@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.core._
+import graft.connections.DbConnection
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StructType
+
+/** HWM column request: expression + optional qualified name
+  * (the reference's AutoDetectHWM, onetl/hwm/auto_hwm.py:15 — the concrete
+  * HWM type is detected from the source schema). */
+final case class HwmColumn(expression: String, name: Option[String] = None) {
+  def qualifiedName(source: String): String =
+    name.getOrElse(s"$source.$expression")
+}
+
+/** Plan + execute the read of one table/collection/topic into a DataFrame,
+  * windowed by the active [[graft.core.Strategy]].
+  *
+  * Port of the reference's DBReader semantics (onetl/db/db_reader/
+  * db_reader.py:52,550-794), with the window-planning subtleties kept:
+  *
+  *  - start/stop both known → no MIN/MAX probe (db_reader.py:728-731);
+  *  - MIN/MAX fetched with both edges INCLUSIVE; `>` vs `>=` applied only in
+  *    the final dataframe query (db_reader.py:741-746);
+  *  - empty source → `limit=0` so an *empty* frame (not an unfiltered one)
+  *    returns (db_reader.py:752-756);
+  *  - IncrementalStrategy pins `stop_at` to the observed max so the HWM
+  *    matches dataframe content even if rows arrive mid-read (:786-792);
+  *  - HWM is updated with the window stop *before* the lazy read executes
+  *    (:592-595) — intentional eager-update semantics;
+  *  - HWM without a HwmStrategy (and vice versa) is a usage error
+  *    (:611-624).
+  */
+final case class DbReader(connection: DbConnection,
+                          source: String,
+                          columns: Seq[String] = Nil,
+                          where: Seq[String] = Nil,
+                          hint: Option[String] = None,
+                          dfSchema: Option[StructType] = None,
+                          hwm: Option[HwmColumn] = None) {
+
+  def run(): DataFrame = {
+    val strategy = checkStrategy()
+    val (window, limit) = calculateWindowAndLimit(strategy)
+    for {
+      s <- strategy
+      w <- window
+      stop <- w.stopAt.value
+    } s.updateHwm(stop)
+    read(window, limit)
+  }
+
+  /** `LIMIT 1` existence probe under the current window
+    * (reference db_reader.py:452-512: limit=1 then take(1)). */
+  def hasData: Boolean = {
+    val strategy = checkStrategy()
+    val window = strategy.map { s =>
+      val col = hwm.get
+      s.fetchHwm(connection.dialect.detectHwmClass(
+        col.qualifiedName(source), source, col.expression,
+        connection.getDfSchema(source, Seq(col.expression)).fields.head))
+      Window(col.expression, startFrom = s.startEdge)
+    }
+    read(window, Some(1)).take(1).nonEmpty
+  }
+
+  def raiseIfNoData(): Unit =
+    if (!hasData) throw new IllegalStateException(
+      s"no data in source $source under the current window")
+
+  private def read(window: Option[Window], limit: Option[Int]): DataFrame =
+    connection.readSourceAsDf(
+      source = source,
+      columns = columns,
+      where = connection.dialect.applyWindow(where, window),
+      hint = hint,
+      limit = limit,
+      dfSchema = dfSchema)
+
+  private def checkStrategy(): Option[HwmStrategy] = Strategy.current match {
+    case s: HwmStrategy =>
+      require(hwm.nonEmpty,
+        s"${s.getClass.getSimpleName} cannot be used without DbReader(hwm=...)")
+      Some(s)
+    case _ =>
+      require(hwm.isEmpty,
+        "DbReader(hwm=...) requires an Incremental/Batch strategy scope — " +
+          "wrap the run in Strategy.using(IncrementalStrategy()) { ... }")
+      None
+  }
+
+  /** Port of db_reader.py:718-794. Returns (window, forced-limit). */
+  private def calculateWindowAndLimit(
+      strategyOpt: Option[HwmStrategy]): (Option[Window], Option[Int]) = {
+    val strategy = strategyOpt.getOrElse(return (None, None))
+    val col = hwm.get
+    val template = connection.dialect.detectHwmClass(
+      col.qualifiedName(source), source, col.expression,
+      connection.getDfSchema(source, Seq(col.expression)).fields.head)
+    val bound = strategy.fetchHwm(template)
+    val expr = col.expression
+
+    def align(v: Any): Any = bound.withValue(v).valueOpt.get
+
+    strategy match {
+      case b: BatchHwmStrategy =>
+        if (b.initialized) {
+          if (b.exhausted) return (Some(Window(expr,
+            Edge.exclusive(b.stop.get), Edge.inclusive(b.stop.get))), Some(0))
+          return (Some(b.currentWindow(expr)), None)
+        }
+        val explicitStart = b match {
+          case sb: SnapshotBatchStrategy => sb.explicitStart.map(align)
+          case _: IncrementalBatchStrategy => bound.valueOpt.map(align)
+        }
+        val explicitStop = b match {
+          case sb: SnapshotBatchStrategy => sb.explicitStop.map(align)
+          case _ => None
+        }
+        (explicitStart, explicitStop) match {
+          case (Some(s0), Some(s1)) =>
+            b.initialize(s0, s1)
+            (Some(b.currentWindow(expr)), None)
+          case _ =>
+            val probe = Window(expr,
+              startFrom = Edge(explicitStart, including = true),
+              stopAt = Edge(explicitStop, including = true))
+            val (minV, maxV) = minMax(Some(probe))
+            (minV, maxV) match {
+              case (Some(mn), Some(mx)) =>
+                b.initialize(explicitStart.getOrElse(align(mn)),
+                             explicitStop.getOrElse(align(mx)))
+                (Some(b.currentWindow(expr)), None)
+              case _ => (None, Some(0)) // empty source → empty frame
+            }
+        }
+
+      case inc: IncrementalStrategy =>
+        val start = inc.startEdge
+        val probe = Window(expr, startFrom = Edge(start.value, including = true))
+        val (_, maxV) = minMax(Some(probe))
+        maxV match {
+          case Some(mx) =>
+            (Some(Window(expr, start, Edge.inclusive(align(mx)))), None)
+          case None => (None, Some(0))
+        }
+    }
+  }
+
+  private def minMax(window: Option[Window]): (Option[Any], Option[Any]) =
+    connection.getMinMaxValues(source, hwm.get.expression,
+      connection.dialect.applyWindow(where, window))
+}

@@ -1,0 +1,168 @@
+package graft.core
+
+import java.time.{Duration, Instant, LocalDate}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class WindowMathSpec extends AnyFunSuite {
+  test("long stepping") {
+    assert(WindowMath.add(10L, 5L) == 15L)
+    assert(WindowMath.min(10L, 5L) == 5L)
+    assert(WindowMath.lt(5L, 10L))
+  }
+  test("decimal stepping") {
+    assert(WindowMath.add(BigDecimal("1.5"), BigDecimal("0.5")) == BigDecimal(2))
+  }
+  test("date stepping by days") {
+    assert(WindowMath.add(LocalDate.of(2024, 1, 31), 1L) == LocalDate.of(2024, 2, 1))
+  }
+  test("instant stepping by duration") {
+    val t = Instant.parse("2024-01-01T00:00:00Z")
+    assert(WindowMath.add(t, Duration.ofHours(2)) == Instant.parse("2024-01-01T02:00:00Z"))
+  }
+  test("min(a+step, stop) is monotone (property)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val a = rnd.nextLong() % 100000
+      val step = math.abs(rnd.nextInt(1000)).toLong + 1
+      val stop = a + math.abs(rnd.nextLong() % 100000)
+      val next = WindowMath.min(WindowMath.add(a, step), stop)
+      assert(WindowMath.compare(next, a) >= 0 && WindowMath.compare(next, stop) <= 0)
+    }
+  }
+  test("incompatible types throw") {
+    intercept[IllegalArgumentException](WindowMath.add("a", 1L))
+    intercept[IllegalArgumentException](WindowMath.compare(1L, LocalDate.now()))
+  }
+}
+
+class HwmStoreSpec extends AnyFunSuite {
+  test("in-memory roundtrip + raise-only semantics") {
+    val store = new InMemoryHwmStore
+    store.set(IntHwm("h1", "t", "id", Some(42L)))
+    assert(store.get("h1").get.valueOpt.contains(42L))
+    assert(store.get("missing").isEmpty)
+  }
+
+  test("file store roundtrips every HWM type atomically") {
+    val dir = java.nio.file.Files.createTempDirectory("hwm").toString
+    val store = new FileHwmStore(dir)
+    val hwms = Seq(
+      IntHwm("db.t.id", "t", "id", Some(7L)),
+      DecimalHwm("d", "t", "amount", Some(BigDecimal("12.34"))),
+      DateHwm("dt", "t", "day", Some(LocalDate.of(2024, 3, 1))),
+      DateTimeHwm("ts", "t", "ts", Some(Instant.parse("2024-03-01T12:00:00Z"))),
+      KeyValueIntHwm("kv", "topic", "offset", Map(0 -> 5L, 1 -> 9L)),
+      FileListHwm("fl", "dir", "file_list", Set("/a/b.csv", "/a/c.csv")),
+      FileMTimeHwm("fm", "dir", "modified_time", Some(Instant.parse("2024-01-01T00:00:00Z"))))
+    hwms.foreach(store.set)
+    hwms.foreach { h => assert(store.get(h.name).contains(h), h.name) }
+    // unset value roundtrip
+    store.set(IntHwm("empty", "t", "id", None))
+    assert(store.get("empty").get.valueOpt.isEmpty)
+    // name sanitization: weird chars don't escape the directory
+    store.set(IntHwm("sch ema//t@ble#id", "t", "id", Some(1L)))
+    assert(store.get("sch ema//t@ble#id").get.valueOpt.contains(1L))
+  }
+
+  test("FileMTimeHwm.withValue keeps the max") {
+    val h = FileMTimeHwm("m", "d", value = Some(Instant.parse("2024-06-01T00:00:00Z")))
+    val older = h.withValue(Instant.parse("2024-01-01T00:00:00Z"))
+    assert(older.asInstanceOf[FileMTimeHwm].value.contains(Instant.parse("2024-06-01T00:00:00Z")))
+  }
+}
+
+class StrategySpec extends AnyFunSuite {
+  test("default strategy is snapshot") {
+    assert(Strategy.current == SnapshotStrategy)
+  }
+
+  test("incremental saves HWM only on clean exit") {
+    val store = new InMemoryHwmStore
+    val s1 = new IncrementalStrategy(store = store)
+    Strategy.using(s1) {
+      s1.fetchHwm(IntHwm("h", "t", "id"))
+      s1.updateHwm(100L)
+    }
+    assert(store.get("h").get.valueOpt.contains(100L))
+
+    val s2 = new IncrementalStrategy(store = store)
+    intercept[RuntimeException] {
+      Strategy.using(s2) {
+        s2.fetchHwm(IntHwm("h", "t", "id"))
+        s2.updateHwm(999L)
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(store.get("h").get.valueOpt.contains(100L), "failed run must not persist")
+  }
+
+  test("updateHwm is raise-only") {
+    val s = new IncrementalStrategy(store = new InMemoryHwmStore)
+    s.fetchHwm(IntHwm("h", "t", "id", Some(50L)))
+    s.updateHwm(40L)
+    assert(s.hwm.get.valueOpt.contains(50L))
+    s.updateHwm(60L)
+    assert(s.hwm.get.valueOpt.contains(60L))
+  }
+
+  test("one strategy scope serves exactly one HWM") {
+    val s = new IncrementalStrategy(store = new InMemoryHwmStore)
+    s.fetchHwm(IntHwm("a", "t", "id"))
+    intercept[IllegalStateException](s.fetchHwm(IntHwm("b", "t", "other")))
+  }
+
+  test("stored HWM type mismatch is rejected") {
+    val store = new InMemoryHwmStore
+    store.set(DateHwm("h", "t", "day", Some(LocalDate.now())))
+    val s = new IncrementalStrategy(store = store)
+    intercept[IllegalStateException](s.fetchHwm(IntHwm("h", "t", "day")))
+  }
+
+  test("incremental offset widens the window") {
+    val s = new IncrementalStrategy(offset = Some(10L), store = new InMemoryHwmStore)
+    s.fetchHwm(IntHwm("h", "t", "id", Some(100L)))
+    assert(s.startEdge == Edge.exclusive(90L))
+  }
+
+  test("batch windows: [start, s+step], then half-open, capped at stop") {
+    val b = SnapshotBatchStrategy(step = 10L)
+    b.initialize(0L, 25L)
+    assert(b.currentWindow("id") == Window("id", Edge.inclusive(0L), Edge.inclusive(10L)))
+    assert(!b.advance("id"))
+    assert(b.currentWindow("id") == Window("id", Edge.exclusive(10L), Edge.inclusive(20L)))
+    assert(!b.advance("id"))
+    assert(b.currentWindow("id") == Window("id", Edge.exclusive(20L), Edge.inclusive(25L)))
+    assert(b.advance("id"), "third advance covers the range")
+  }
+
+  test("snapshot-batch never persists HWM") {
+    val store = new InMemoryHwmStore
+    val b = new SnapshotBatchStrategy(10L, store = store)
+    Strategy.using(b) {
+      b.fetchHwm(IntHwm("sb", "t", "id"))
+      b.initialize(0L, 5L)
+      b.updateHwm(5L)
+    }
+    assert(store.get("sb").isEmpty)
+  }
+
+  test("incremental-batch persists HWM per batch") {
+    val store = new InMemoryHwmStore
+    val b = new IncrementalBatchStrategy(10L, store = store)
+    b.fetchHwm(IntHwm("ib", "t", "id"))
+    b.initialize(0L, 30L)
+    b.updateHwm(10L)
+    b.advance("id")
+    assert(store.get("ib").get.valueOpt.contains(10L))
+  }
+
+  test("runaway batch guard") {
+    val b = SnapshotBatchStrategy(step = 1L)
+    b.initialize(0L, 1000000L)
+    intercept[IllegalStateException] {
+      var done = false
+      while (!done) done = b.advance("id")
+    }
+  }
+}
