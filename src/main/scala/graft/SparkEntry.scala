@@ -54,6 +54,37 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // --- FileDF formats (SURVEY §2.4): write-read roundtrip through our
+    // FileDFWriter/FileDFReader must preserve content exactly -------------
+    "filedf_csv_roundtrip" -> ((s, dir) => {
+      import graft.filedf._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val src = DbReader(conn(s, dir), "nation").run()
+      FileDFWriter(Csv.withHeader(), tmp, DirIfExists.ReplaceEntireDirectory).run(src)
+      FileDFReader(s, Csv.withHeader(), tmp, Some(src.schema)).run()
+        .orderBy(col("n_nationkey"))
+    }),
+    "filedf_jsonline_roundtrip" -> ((s, dir) => {
+      import graft.filedf._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      val src = DbReader(conn(s, dir), "region").run()
+      FileDFWriter(JsonLine(), tmp, DirIfExists.ReplaceEntireDirectory).run(src)
+      FileDFReader(s, JsonLine(), tmp, Some(src.schema)).run()
+        .orderBy(col("r_regionkey"))
+    }),
+    "filedf_partitioned_orc" -> ((s, dir) => {
+      import graft.filedf._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val src = DbReader(conn(s, dir), "customer").run()
+      FileDFWriter(Orc(), tmp, DirIfExists.ReplaceEntireDirectory,
+        partitionBy = Seq("c_mktsegment")).run(src)
+      FileDFReader(s, Orc(), tmp).run()
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("c_acctbal").cast("decimal(18,2)")).as("balance"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // --- Spark-native transform handoff (SURVEY §2.9) --------------------
     "q1_pricing_summary" -> ((s, dir) => {
       DbReader(conn(s, dir), "lineitem").run()
@@ -83,6 +114,14 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "filedf_csv_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "filedf_jsonline_roundtrip" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+    "filedf_partitioned_orc" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS balance
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
