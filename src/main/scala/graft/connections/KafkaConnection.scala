@@ -1,0 +1,114 @@
+package graft.connections
+
+import graft.dialects.{Dialect, GenericDialect}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Kafka as a BOUNDED batch source/sink — the reference's model
+  * (kafka/connection.py:246-335): one topic read between offset windows via
+  * `startingOffsets`/`endingOffsets` JSON, never Structured Streaming
+  * (streaming is an explicit reference non-goal; our graft.streaming module
+  * adds it as an extension).
+  *
+  * The spark-sql-kafka package is not shipped in this environment, so
+  * `load()` would fail at runtime; all planning logic (offset JSON, column
+  * contract, fixed schema) is pure and unit-tested.
+  */
+object KafkaPlanner {
+  /** Fixed read schema (reference kafka/connection.py:334). */
+  val readSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType, nullable = false),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  /** Columns a Kafka write may carry (reference kafka/connection.py:297-311). */
+  val writableColumns: Set[String] =
+    Set("key", "value", "topic", "partition", "headers")
+
+  /** Per-partition offset window JSON:
+    * `{"topic":{"0":123,"1":456}}`. Partitions present in `stop` but
+    * absent in `start` default to offset 0
+    * (reference kafka/connection.py:272-276). */
+  def offsetsJson(topic: String, offsets: Map[Int, Long],
+                  fillFrom: Set[Int] = Set.empty): String = {
+    val all = offsets ++ (fillFrom -- offsets.keySet).map(_ -> 0L)
+    val inner = all.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p": $o""" }.mkString(", ")
+    s"""{"$topic": {$inner}}"""
+  }
+
+  def readOptions(topic: String,
+                  startOffsets: Option[Map[Int, Long]],
+                  endOffsets: Option[Map[Int, Long]]): Map[String, String] = {
+    val partitions =
+      startOffsets.map(_.keySet).getOrElse(Set.empty) ++
+        endOffsets.map(_.keySet).getOrElse(Set.empty)
+    Map("subscribe" -> topic,
+      "startingOffsets" -> startOffsets.map(o => offsetsJson(topic, o, partitions))
+        .getOrElse("earliest"),
+      "endingOffsets" -> endOffsets.map(o => offsetsJson(topic, o, partitions))
+        .getOrElse("latest"))
+  }
+
+  def validateWriteColumns(columns: Seq[String]): Unit = {
+    require(columns.contains("value"), "Kafka write requires a 'value' column")
+    val extra = columns.filterNot(writableColumns)
+    require(extra.isEmpty,
+      s"columns not writable to Kafka: ${extra.mkString(", ")} " +
+        s"(allowed: ${writableColumns.mkString(", ")})")
+  }
+}
+
+final class KafkaConnection(val spark: SparkSession,
+                            bootstrapServers: String,
+                            extraOptions: Map[String, String] = Map.empty)
+  extends DbConnection {
+
+  val dialect: Dialect = GenericDialect
+
+  private def base = Map("kafka.bootstrap.servers" -> bootstrapServers) ++
+    extraOptions
+
+  def check(): this.type = this
+
+  /** `source` is the topic; `where` is unused (Kafka has no predicates —
+    * the window IS the offsets). */
+  def readSourceAsDf(source: String, columns: Seq[String], where: Seq[String],
+                     hint: Option[String], limit: Option[Int],
+                     dfSchema: Option[StructType]): DataFrame =
+    readTopic(source, None, None, limit)
+
+  def readTopic(topic: String,
+                startOffsets: Option[Map[Int, Long]],
+                endOffsets: Option[Map[Int, Long]],
+                limit: Option[Int] = None): DataFrame = {
+    val df = spark.read.format("kafka")
+      .options(base ++ KafkaPlanner.readOptions(topic, startOffsets, endOffsets))
+      .load()
+    limit.fold(df)(df.limit)
+  }
+
+  def writeDfToTarget(df: DataFrame, target: String, ifExists: IfExists,
+                      options: Map[String, String]): Unit = {
+    KafkaPlanner.validateWriteColumns(df.columns.toSeq)
+    require(ifExists == IfExists.Append || ifExists == IfExists.Error,
+      "Kafka supports only append/error modes (reference kafka/connection.py:292-335)")
+    df.write.format("kafka").options(base ++ options)
+      .option("topic", target).save()
+  }
+
+  def getDfSchema(source: String, columns: Seq[String]): StructType =
+    KafkaPlanner.readSchema
+
+  /** min/max per-partition offsets come from consumer admin calls in the
+    * reference (kafka/connection.py:498-553) — requires the Kafka client
+    * library, not available in this environment. */
+  def getMinMaxValues(source: String, expression: String,
+                      where: Seq[String]): (Option[Any], Option[Any]) =
+    throw new UnsupportedOperationException(
+      "Kafka offset probing needs the kafka-clients package (not shipped here)")
+}

@@ -1,0 +1,155 @@
+package graft.connections
+
+import graft.dialects._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests for the pure read planners — the parts of the JDBC/Kafka/
+  * Mongo connections that decide what SQL/offsets/pipelines reach the
+  * remote engine (no live databases in this environment). */
+class JdbcReadPlanSpec extends AnyFunSuite {
+  private def bounds = (Some(100L): Option[Any], Some(200L): Option[Any])
+
+  test("no partitioning: pushdown subquery") {
+    val p = JdbcReadPlan.plan(PostgresDialect, "public.t",
+      Seq("id", "name"), Seq("id > 5"), None, None, None, bounds)
+    assert(p.options == Map("dbtable" -> "(SELECT id, name FROM public.t WHERE id > 5) T"))
+    assert(p.dropColumns.isEmpty)
+  }
+
+  test("range partitioning with explicit bounds") {
+    val p = JdbcReadPlan.plan(PostgresDialect, "t", Nil, Nil, None, None,
+      Some(JdbcPartitioning(8, "id", PartitioningMode.Range, Some(0L), Some(1000L))),
+      sys.error("must not probe bounds"))
+    assert(p.options("partitionColumn") == "id")
+    assert(p.options("lowerBound") == "0" && p.options("upperBound") == "1000")
+    assert(p.options("numPartitions") == "8")
+  }
+
+  test("range partitioning auto-detects missing bounds via MIN/MAX") {
+    val p = JdbcReadPlan.plan(PostgresDialect, "t", Nil, Nil, None, None,
+      Some(JdbcPartitioning(4, "id")), bounds)
+    assert(p.options("lowerBound") == "100" && p.options("upperBound") == "200")
+  }
+
+  test("hash partitioning synthesizes an aliased bucket column and drops it") {
+    val p = JdbcReadPlan.plan(PostgresDialect, "t", Seq("id", "name"), Nil,
+      None, None, Some(JdbcPartitioning(8, "id", PartitioningMode.Hash)),
+      sys.error("hash mode must not probe bounds"))
+    val alias = JdbcReadPlan.generatedAlias("id", PartitioningMode.Hash)
+    assert(p.options("dbtable") ==
+      s"(SELECT id, name, abs(hashtext(id::text)) % 8 AS $alias FROM t) T")
+    assert(p.options("partitionColumn") == alias)
+    assert(p.options("lowerBound") == "0" && p.options("upperBound") == "8")
+    assert(p.dropColumns == Seq(alias))
+  }
+
+  test("mod partitioning per dialect") {
+    val p = JdbcReadPlan.plan(OracleDialect, "t", Nil, Nil, None, None,
+      Some(JdbcPartitioning(4, "id", PartitioningMode.Mod)),
+      sys.error("no probe"))
+    val alias = JdbcReadPlan.generatedAlias("id", PartitioningMode.Mod)
+    // Oracle expands bare * to t.* when mixed with expressions
+    assert(p.options("dbtable") == s"(SELECT t.*, ABS(MOD(id, 4)) AS $alias FROM t) T")
+  }
+
+  test("window + hint + limit compose in the pushdown SQL") {
+    val p = JdbcReadPlan.plan(MssqlDialect, "t", Seq("a"),
+      Seq("a > 1", "ts >= CAST('2024-01-01T00:00:00' AS datetime2)"),
+      Some("INDEX(i)"), Some(10), None, bounds)
+    assert(p.options("dbtable") ==
+      "(SELECT TOP 10 /*+ INDEX(i) */ a FROM t WHERE (a > 1) AND " +
+        "(ts >= CAST('2024-01-01T00:00:00' AS datetime2))) T")
+  }
+}
+
+class KafkaPlannerSpec extends AnyFunSuite {
+  test("offset window json; missing partitions default to 0") {
+    assert(KafkaPlanner.offsetsJson("top", Map(0 -> 5L, 1 -> 9L)) ==
+      """{"top": {"0": 5, "1": 9}}""")
+    assert(KafkaPlanner.offsetsJson("top", Map(1 -> 9L), fillFrom = Set(0, 1)) ==
+      """{"top": {"0": 0, "1": 9}}""")
+  }
+  test("read options: earliest/latest defaults, explicit windows") {
+    assert(KafkaPlanner.readOptions("t", None, None) ==
+      Map("subscribe" -> "t", "startingOffsets" -> "earliest",
+        "endingOffsets" -> "latest"))
+    val opts = KafkaPlanner.readOptions("t", Some(Map(0 -> 3L)), Some(Map(0 -> 7L, 1 -> 2L)))
+    assert(opts("startingOffsets") == """{"t": {"0": 3, "1": 0}}""")
+    assert(opts("endingOffsets") == """{"t": {"0": 7, "1": 2}}""")
+  }
+  test("write column contract") {
+    KafkaPlanner.validateWriteColumns(Seq("key", "value"))
+    intercept[IllegalArgumentException](KafkaPlanner.validateWriteColumns(Seq("key")))
+    intercept[IllegalArgumentException](
+      KafkaPlanner.validateWriteColumns(Seq("value", "oops")))
+  }
+  test("fixed read schema matches the kafka source contract") {
+    assert(KafkaPlanner.readSchema.fieldNames.toSeq ==
+      Seq("key", "value", "topic", "partition", "offset", "timestamp", "timestampType"))
+  }
+}
+
+class MongoDialectSpec extends AnyFunSuite {
+  import graft.core.Edge
+
+  test("window edges render as $gt/$gte/$lt/$lte json") {
+    assert(MongoDialect.edgeToJson("id", Edge.exclusive(10L), isStart = true)
+      .contains("""{"id": {"$gt": 10}}"""))
+    assert(MongoDialect.edgeToJson("id", Edge.inclusive(10L), isStart = false)
+      .contains("""{"id": {"$lte": 10}}"""))
+  }
+  test("datetime values render as $date") {
+    val t = java.time.Instant.parse("2024-01-02T03:04:05Z")
+    assert(MongoDialect.serializeJsonValue(t) ==
+      """{"$date": "2024-01-02T03:04:05Z"}""")
+  }
+  test("match stage conjunction") {
+    assert(MongoDialect.matchStage(Seq("""{"a": 1}""")).contains(
+      """{"$match": {"a": 1}}"""))
+    assert(MongoDialect.matchStage(Seq("""{"a": 1}""", """{"b": 2}""")).contains(
+      """{"$match": {"$and": [{"a": 1}, {"b": 2}]}}"""))
+  }
+  test("min/max $group pipeline") {
+    assert(MongoDialect.minMaxPipeline("hwm", Nil) ==
+      """[{"$group": {"_id": 1, "min": {"$min": "$hwm"}, "max": {"$max": "$hwm"}}}]""")
+  }
+}
+
+class HiveConnectionSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("saveAsTable + append + column realignment + replace partitions") {
+    val conn = new HiveConnection(spark).check()
+    val df = Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "name", "part")
+    conn.write(df, "hive_t", HiveWriteOptions(partitionBy = Seq("part")))
+    assert(spark.table("hive_t").count() == 2)
+
+    // append with SHUFFLED column order — realignment must fix positions
+    val shuffled = Seq(("c", 3L, "p1")).toDF("name", "id", "part")
+    conn.write(shuffled, "hive_t", HiveWriteOptions(ifExists = IfExists.Append))
+    val rows = spark.table("hive_t").orderBy($"id").collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getAs[String]("name")).toSeq == Seq("a", "b", "c"))
+
+    // replace only partition p2
+    val patch = Seq((9L, "z", "p2")).toDF("id", "name", "part")
+    conn.write(patch, "hive_t",
+      HiveWriteOptions(ifExists = IfExists.ReplaceOverlappingPartitions))
+    val after = spark.table("hive_t")
+    assert(after.filter($"part" === "p2").count() == 1)
+    assert(after.filter($"part" === "p1").count() == 2)
+
+    // missing column rejected
+    intercept[IllegalArgumentException] {
+      conn.write(Seq(1L).toDF("id"), "hive_t",
+        HiveWriteOptions(ifExists = IfExists.Append))
+    }
+
+    // reader path via connection.sql + DbReader
+    val got = graft.operators.DbReader(conn, "hive_t",
+      columns = Seq("id", "name"), where = Seq("part = 'p1'")).run()
+    assert(got.count() == 2)
+    assert(conn.sql("SELECT count(*) AS n FROM hive_t").head().getLong(0) == 3)
+    spark.sql("DROP TABLE hive_t")
+  }
+}
