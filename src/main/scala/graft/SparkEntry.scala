@@ -85,7 +85,151 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // --- Dedup (training-data pipeline ops) ------------------------------
+    "dedup_exact" -> ((s, dir) => {
+      operators.Dedup.exactDedupIds(
+          DbReader(conn(s, dir), "documents").run(), "doc_id", "text")
+        .select(col("doc_id"), col("dup_count"))
+        .orderBy(col("doc_id"))
+    }),
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      operators.Dedup.minhashDupPairs(
+          DbReader(conn(s, dir), "documents").run(), "doc_id", "text",
+          shingleSize = 3, bands = 32, rowsPerBand = 4, threshold = 0.7)
+        .orderBy(col("id1"), col("id2"))
+    }),
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      operators.Dedup.ngramJaccardDupPairs(
+          DbReader(conn(s, dir), "documents").run(), "doc_id", "text",
+          shingleSize = 3, threshold = 0.7)
+        .orderBy(col("id1"), col("id2"))
+    }),
+    "dedup_simhash" -> ((s, dir) => {
+      // custom 64-bit hash: not expressible in ANSI SQL → rows-only check
+      operators.Dedup.simhashDupPairs(
+          DbReader(conn(s, dir), "documents").run(), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      operators.Dedup.embeddingDupPairs(
+          DbReader(conn(s, dir), "embeddings").run(), "vec_id", "embedding",
+          threshold = 0.4, bruteForce = true)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // --- Similarity search -----------------------------------------------
+    "similarity_topk_brute" -> ((s, dir) => {
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      operators.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "similarity_topk_lsh" -> ((s, dir) => {
+      // approximate scale path: rows-only check (recall is data-dependent)
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      operators.Similarity.lshTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- Text analysis ----------------------------------------------------
+    "text_stats" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"),
+          langId(col("text")).as("lang_pred"),
+          tokenCount(col("text")).as("n_tokens"),
+          qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+    "text_fingerprint_distinct" -> ((s, dir) => {
+      // rolling-hash fingerprints: count distinct normalized docs per source
+      import graft.functions.TextFunctions._
+      DbReader(conn(s, dir), "documents").run()
+        .select(col("source"), fingerprint(col("text")).as("fp"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("fp")).as("n_distinct"))
+        .orderBy(col("source"))
+    }),
+
+    // --- Multimodal plumbing ----------------------------------------------
+    "multimodal_byte_stats" -> ((s, dir) => {
+      // opaque binary payload (here: encoded text) + pure-SQL byte stats
+      val df = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      operators.Multimodal.byteStats(df, "payload")
+        .select(col("doc_id"), col("n_bytes"), col("first_byte"))
+        .orderBy(col("doc_id"))
+    }),
+    "multimodal_decode_meta" -> ((s, dir) => {
+      // mapPartitions decoder plumbing (stub codec) → rows-only check on
+      // the n_bytes field, which IS SQL-checkable
+      val df = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      operators.Multimodal.decodeMeta(df, "payload")
+        .select(col("doc_id"),
+          col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.first_byte").as("first_byte"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Spark-native transform handoff (SURVEY §2.9) --------------------
+    "q3_top_revenue" -> ((s, dir) => {
+      val c = conn(s, dir)
+      val customer = DbReader(c, "customer").run()
+      val orders = DbReader(c, "orders").run()
+      val lineitem = DbReader(c, "lineitem").run()
+      lineitem
+        .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+        .join(broadcast(customer.filter(col("c_mktsegment") === "BUILDING")),
+          orders("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,6)")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "q_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = DbReader(conn(s, dir), "lineitem").run()
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(
+        col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      li.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("l_suppkey"), col("rn").cast("int").as("rn"),
+          col("l_orderkey"), col("l_extendedprice"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    }),
+    "q_semi_anti" -> ((s, dir) => {
+      val c = conn(s, dir)
+      val orders = DbReader(c, "orders").run()
+      val lineitem = DbReader(c, "lineitem").run()
+      val withItems = orders.join(lineitem,
+        orders("o_orderkey") === lineitem("l_orderkey"), "left_semi")
+      val withoutItems = orders.join(lineitem,
+        orders("o_orderkey") === lineitem("l_orderkey"), "left_anti")
+      withItems.select(lit("with").as("kind"), col("o_orderkey"))
+        .unionAll(withoutItems.select(lit("without").as("kind"), col("o_orderkey")))
+        .groupBy(col("kind")).agg(count(lit(1)).as("n"))
+        .orderBy(col("kind"))
+    }),
+    "q_events_sessionize" -> ((s, dir) => {
+      // event-time windowed aggregation over the events table.
+      // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects; read nanos as long and convert to micros (what
+      // DuckDB does implicitly on read).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = DbReader(conn(s, dir), "events").run()
+        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("total"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
     "q1_pricing_summary" -> ((s, dir) => {
       DbReader(conn(s, dir), "lineitem").run()
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -99,6 +243,23 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
   )
+
+  /** Exact 3-gram Jaccard ≥ 0.7 via an inverted shingle index — the DuckDB
+    * oracle for BOTH the exact operator and the MinHash-LSH operator (LSH
+    * miss probability at s=0.7 with 32×4 banding is ~1.5e-4 per pair). */
+  private val jaccardOracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+      |         i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+      |  WHERE len(toks) >= 3
+      |), inv AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM docs)
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |       round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 6) AS jaccard
+      |FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id
+      |HAVING jaccard >= 0.7
+      |ORDER BY id1, id2""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -114,6 +275,95 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents
+        |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_lsh" -> jaccardOracle,
+    "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE cosine >= 0.4 ORDER BY id1, id2""".stripMargin,
+    "similarity_topk_brute" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT query_id, rank::INTEGER AS rank, id, cosine FROM (
+        |  SELECT query_id, id, cosine,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
+        |  FROM scored) t WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |       WHEN len(regexp_extract_all(text, '[\x{3040}-\x{30ff}]')) > 0 THEN 'ja'
+        |       WHEN len(regexp_extract_all(text, '[\x{ac00}-\x{d7af}]')) > 0 THEN 'ko'
+        |       WHEN len(regexp_extract_all(text, '[\x{0400}-\x{04ff}]')) > 0 THEN 'ru'
+        |       WHEN len(regexp_extract_all(text, '[\x{0600}-\x{06ff}]')) > 0 THEN 'ar'
+        |       WHEN es > en AND es >= de AND es >= fr THEN 'es'
+        |       WHEN de > en AND de > es AND de >= fr THEN 'de'
+        |       WHEN fr > en AND fr > es AND fr > de THEN 'fr'
+        |       WHEN en > 0 THEN 'en'
+        |       ELSE 'und' END AS lang_pred,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |  round(0.3 * least(length(text) / 500.0, 1.0)
+        |      + 0.4 * (CASE WHEN length(text) = 0 THEN 0.0
+        |               ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / (length(text) * 1.0) END)
+        |      + 0.3 * (CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |               ELSE least(len(regexp_extract_all(text, '\b(the|and|of|to|is|in|that|it|a|for)\b'))
+        |                          / (len(string_split_regex(trim(text), '\s+')) * 1.0) * 5.0, 1.0) END), 4)
+        |    AS quality
+        |FROM (SELECT doc_id, text,
+        |        len(regexp_extract_all(text, '\b(the|and|of|to|is|in|that|it)\b')) AS en,
+        |        len(regexp_extract_all(text, '\b(el|la|los|las|de|que|y|en|un|una)\b')) AS es,
+        |        len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|ein|eine)\b')) AS de,
+        |        len(regexp_extract_all(text, '\b(le|les|des|est|et|une|dans|pour)\b')) AS fr
+        |      FROM documents) d
+        |ORDER BY doc_id""".stripMargin,
+    "text_fingerprint_distinct" ->
+      """SELECT source, count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_distinct
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "multimodal_byte_stats" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |       CASE WHEN length(text) > 0 THEN ascii(substring(text, 1, 1)) ELSE -1 END AS first_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_decode_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |       CASE WHEN length(text) > 0 THEN ascii(substring(text, 1, 1)) ELSE -1 END AS first_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_window_rank" ->
+      """SELECT l_suppkey, rn::INTEGER AS rn, l_orderkey, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_suppkey
+        |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 2 ORDER BY l_suppkey, rn""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT kind, count(*) AS n FROM (
+        |  SELECT 'with' AS kind, o_orderkey FROM orders
+        |  WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |  UNION ALL
+        |  SELECT 'without' AS kind, o_orderkey FROM orders
+        |  WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)) t
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+    "q_events_sessionize" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+        |       count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     "filedf_csv_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "filedf_jsonline_roundtrip" ->

@@ -1,0 +1,252 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the training-data pipeline hot paths.
+  *
+  * Each expression stays inside whole-stage codegen by emitting a call to a
+  * small static JVM helper (the same pattern Spark's own hash expressions
+  * use) — no Scala UDF boxing, no codegen fallback. At 100 TB these run
+  * once per document per batch, so this is the layer worth keeping native.
+  */
+
+/** 64-bit FNV-1a over the UTF-8 bytes — document fingerprinting.
+  * Pair with lower/trim/regexp_replace for normalization (see
+  * [[graft.functions.TextFunctions.fingerprint]]). */
+case class Fingerprint64(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fingerprint64"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHashImpl.fnv1a64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashImpl.fnv1a64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
+    copy(child = newChild)
+}
+
+/** MinHash signature of a shingle array: k affine transforms
+  * `(a_i * h + b_i)` of ONE xxHash64 per shingle — the standard one-pass
+  * construction (Broder '97). Empty input → all Long.MaxValue (callers
+  * should filter empty docs before LSH banding, or every empty doc lands
+  * in the same bucket). */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long = 42L)
+  extends UnaryExpression {
+  require(numHashes > 0 && numHashes <= 1024, "numHashes must be in (0, 1024]")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHashImpl.minhash(input.asInstanceOf[ArrayData], numHashes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextHashImpl.minhash($c, $numHashes, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over a token array (Charikar '02): per-bit vote of each
+  * token's xxHash64, weighted +1/-1; near-duplicates differ in few bits, so
+  * `bit_count(a ^ b)` (built-in) gives the Hamming distance. */
+case class SimHash64(child: Expression, seed: Long = 42L)
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHashImpl.simhash(input.asInstanceOf[ArrayData], seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashImpl.simhash($c, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Cosine similarity of two float/double arrays in one fused pass —
+  * replaces a zip_with + aggregate + sqrt expression tree with a single
+  * tight loop (and single codegen call). Null elements are not supported;
+  * zero-norm inputs yield 0.0. */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"cosine_similarity needs array<float|double>, got $other")
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    isFloat(left); isFloat(right)
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorImpl.cosine(a.asInstanceOf[ArrayData], isFloat(left),
+      b.asInstanceOf[ArrayData], isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.VectorImpl.cosine($a, ${isFloat(left)}, $b, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Static helpers invoked from generated code — keep signatures stable. */
+object TextHashImpl {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  def fnv1a64(s: UTF8String): Long = {
+    var h = FnvOffset
+    val n = s.numBytes()
+    var i = 0
+    while (i < n) {
+      h ^= (s.getByte(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  def xx64(s: UTF8String, seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+
+  /** Affine coefficient cache keyed by (numHashes, seed); coefficients come
+    * from a seeded SplittableRandom so signatures are deterministic. */
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+  private def coeffs(k: Int, seed: Long): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent((k, seed), { case (kk, s) =>
+      val rnd = new java.util.SplittableRandom(s)
+      val a = Array.fill(kk)(rnd.nextLong() | 1L) // odd => bijective mod 2^64
+      val b = Array.fill(kk)(rnd.nextLong())
+      (a, b)
+    })
+
+  def minhash(shingles: ArrayData, numHashes: Int, seed: Long): ArrayData = {
+    val (a, b) = coeffs(numHashes, seed)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h = xx64(shingles.getUTF8String(i), seed)
+      var j = 0
+      while (j < numHashes) {
+        val v = a(j) * h + b(j)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def simhash(tokens: ArrayData, seed: Long): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = xx64(tokens.getUTF8String(i), seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+object VectorImpl {
+  def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  def dot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  /** splitmix64 finalizer — deterministic per-(seed,bit,component) sign. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def hyperplaneSig(v: ArrayData, isFloat: Boolean, seed: Long): Long = {
+    val dim = v.numElements()
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      var acc = 0.0
+      var j = 0
+      while (j < dim) {
+        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        val sign = if ((mix(seed ^ (bit.toLong << 32) ^ j.toLong) & 1L) == 1L) 1.0 else -1.0
+        acc += x * sign
+        j += 1
+      }
+      if (acc > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+}
+
+/** Column-level API + SQL registration for the custom expressions. */
+object GraftExpressions {
+  private def col(e: Expression): Column = GraftColumnBridge.column(e)
+  private def expr(c: Column): Expression = GraftColumnBridge.expression(c)
+
+  def fingerprint64(c: Column): Column = col(Fingerprint64(expr(c)))
+  def wordShingles(c: Column, n: Int): Column = col(WordShingles(expr(c), n))
+  def minhashSignature(c: Column, numHashes: Int, seed: Long = 42L): Column =
+    col(MinHashSignature(expr(c), numHashes, seed))
+  def simhash64(c: Column, seed: Long = 42L): Column = col(SimHash64(expr(c), seed))
+  def cosineSimilarity(a: Column, b: Column): Column =
+    col(CosineSimilarity(expr(a), expr(b)))
+
+  /** Make the expressions usable from `spark.sql(...)` too. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = org.apache.spark.sql.GraftColumnBridge.functionRegistry(spark)
+    reg.createOrReplaceTempFunction("fingerprint64",
+      es => Fingerprint64(es.head), "builtin")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head), "builtin")
+    reg.createOrReplaceTempFunction("cosine_similarity",
+      es => CosineSimilarity(es(0), es(1)), "builtin")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.expressions.GraftExpressions
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines, composed from
+  * codegen'd `org.apache.spark.sql.functions` (no UDFs) so Catalyst can
+  * push, prune, and fuse them. Every helper is deterministic and (except
+  * the custom hashes) reproducible in ANSI SQL for oracle checks.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; empty/blank text → empty array. */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** Token count via the BPE-ish boundary regex: words, numbers, or single
+    * punctuation — a cheap proxy for tokenizer budgeting. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Rough subword count: words split to ~4-char chunks like BPE budgets.
+    * ceil(chars-without-spaces / 4). */
+  def subwordCountEstimate(c: Column): Column =
+    ceil(length(regexp_replace(c, "\\s+", "")).cast("double") / lit(4.0)).cast("long")
+
+  /** Word n-gram shingles; fewer than n tokens → empty array. One-pass
+    * codegen'd expression (see graft.expressions.WordShingles for why the
+    * higher-order-function formulation is a scale trap). */
+  def wordShingles(c: Column, n: Int): Column =
+    GraftExpressions.wordShingles(c, n)
+
+  /** Script-based language ID heuristic: Unicode-block counters for CJK /
+    * Cyrillic / Arabic / Hangul / Kana, Latin-language stopword markers
+    * otherwise. Deterministic and expressible in DuckDB SQL. */
+  def langId(c: Column): Column = {
+    def hits(pattern: String): Column =
+      size(regexp_extract_all(c, lit(pattern), lit(0)))
+    val en = hits("\\b(the|and|of|to|is|in|that|it)\\b")
+    val es = hits("\\b(el|la|los|las|de|que|y|en|un|una)\\b")
+    val de = hits("\\b(der|die|das|und|ist|nicht|ein|eine)\\b")
+    val fr = hits("\\b(le|les|des|est|et|une|dans|pour)\\b")
+    when(hits("[\\x{4e00}-\\x{9fff}]") > 0, "zh")
+      .when(hits("[\\x{3040}-\\x{30ff}]") > 0, "ja")
+      .when(hits("[\\x{ac00}-\\x{d7af}]") > 0, "ko")
+      .when(hits("[\\x{0400}-\\x{04ff}]") > 0, "ru")
+      .when(hits("[\\x{0600}-\\x{06ff}]") > 0, "ar")
+      .when(es > en && es >= de && es >= fr, "es")
+      .when(de > en && de > es && de >= fr, "de")
+      .when(fr > en && fr > es && fr > de, "fr")
+      .when(en > 0, "en")
+      .otherwise("und")
+  }
+
+  /** Composite quality score in [0,1]:
+    * 0.3·length-saturation + 0.4·alpha-ratio + 0.3·stopword-signal,
+    * rounded to 4 decimals. All three components are standard quality
+    * heuristics (length, punctuation/alpha balance, stopword density). */
+  def qualityScore(c: Column): Column = {
+    val chars = length(c).cast("double")
+    val lenNorm = least(chars / lit(500.0), lit(1.0))
+    val alphaRatio =
+      when(chars === 0, 0.0)
+        .otherwise(length(regexp_replace(c, "[^A-Za-z]", "")).cast("double") / chars)
+    val toks = tokenCount(c).cast("double")
+    val stops = size(regexp_extract_all(c,
+      lit("\\b(the|and|of|to|is|in|that|it|a|for)\\b"), lit(0))).cast("double")
+    val stopSignal = when(toks === 0, 0.0)
+      .otherwise(least(stops / toks * lit(5.0), lit(1.0)))
+    round(lit(0.3) * lenNorm + lit(0.4) * alphaRatio + lit(0.3) * stopSignal, 4)
+  }
+
+  /** Normalized rolling-hash fingerprint: lowercase, collapse whitespace,
+    * FNV-1a 64 (custom codegen'd expression). Equal fingerprints ⇒
+    * whitespace/case-insensitive duplicate documents. */
+  def fingerprint(c: Column): Column =
+    GraftExpressions.fingerprint64(
+      regexp_replace(lower(trim(c)), "\\s+", " "))
+}

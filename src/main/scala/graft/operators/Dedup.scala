@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.expressions.GraftExpressions
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Four families, ordered by cost:
+  *  - exact (one shuffle on a 64-bit fingerprint),
+  *  - MinHash+LSH (shingle→signature→band→bucket-join: near-linear,
+  *    the 100 TB path),
+  *  - SimHash (one 64-bit signature per doc, 4-band pigeonhole for
+  *    Hamming ≤ 3),
+  *  - exact n-gram Jaccard via an inverted shingle index (no cross join —
+  *    pairs are generated only for docs sharing ≥1 shingle, then verified
+  *    exactly; used as the correctness oracle for the LSH paths).
+  *
+  * All signatures are computed by codegen'd custom expressions
+  * (graft.expressions), so the scan→signature stage stays in one
+  * WholeStageCodegen span; the only shuffles are the pair-generation
+  * groupBy/joins, which AQE can rebalance on skew.
+  */
+object Dedup {
+
+  /** Exact dedup on a normalized 64-bit fingerprint: keep the smallest id
+    * per duplicate class. One map-side-combinable groupBy — at 100 TB this
+    * shuffles only (fingerprint, id), never the text. */
+  def exactDedupIds(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** Rows of `df` that survive exact dedup (smallest id wins). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactDedupIds(df, idCol, textCol).select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Candidate duplicate pairs via MinHash LSH, verified with EXACT
+    * Jaccard over distinct shingles.
+    *
+    * bands×rowsPerBand hashes; a pair with true Jaccard s collides in ≥1
+    * band with p = 1-(1-s^rows)^bands (default 32×4: s=0.8 → p≈1-4e-8,
+    * s=0.4 → p≈0.56 then verified away). Returns (id1, id2, jaccard)
+    * with id1 < id2.
+    */
+  def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3,
+                      bands: Int = 32, rowsPerBand: Int = 4,
+                      threshold: Double = 0.8,
+                      seed: Long = 42L): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val docs = df.select(
+        col(idCol).as("id"),
+        array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize))
+          .as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val sigs = docs.withColumn("sig",
+      GraftExpressions.minhashSignature(col("shingles"), numHashes, seed))
+
+    // band → bucket key: hash the band's slice of the signature
+    val banded = sigs.select(col("id"), col("shingles"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)),
+                        b.cast("string")))).as(Seq("band", "bucket")))
+
+    val candidates = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        col("l.shingles").as("sh1"), col("r.shingles").as("sh2"))
+      .dropDuplicates("id1", "id2")
+
+    verifyJaccard(candidates, threshold)
+  }
+
+  private def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame = {
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    val union = (size(col("sh1")) + size(col("sh2"))).cast("double") -
+      size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    pairs
+      .withColumn("jaccard", round(inter / union, 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** EXACT n-gram Jaccard duplicate pairs via an inverted shingle index:
+    * explode distinct shingles, self-join on shingle (only docs sharing a
+    * shingle ever meet), count shared shingles per pair, then
+    * jaccard = |∩| / (|A|+|B|-|∩|). The oracle for the LSH paths. */
+  def ngramJaccardDupPairs(df: DataFrame, idCol: String, textCol: String,
+                           shingleSize: Int = 3,
+                           threshold: Double = 0.8): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+        array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize))
+          .as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("n_sh", size(col("shingles")))
+    val inverted = docs.select(col("id"), col("n_sh"),
+      explode(col("shingles")).as("sh"))
+    val shared = inverted.as("l")
+      .join(inverted.as("r"),
+        col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id1"), col("r.id").as("id2"),
+        col("l.n_sh").as("n1"), col("r.n_sh").as("n2"))
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: one 64-bit signature per doc; splitting it
+    * into 4×16-bit chunks guarantees (pigeonhole) that any pair within
+    * Hamming distance 3 shares at least one chunk. Candidates sharing a
+    * chunk are verified with `bit_count(xor) <= maxHamming`. */
+  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding only guarantees recall for distance <= 3")
+    val sigs = df.select(col(idCol).as("id"),
+        GraftExpressions.simhash64(TextFunctions.tokens(col(textCol)), seed).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        i => call_function("shiftright", col("sig"), (i * 16).cast("int")).bitwiseAND(lit(0xffffL))))
+        .as(Seq("chunk_idx", "chunk")))
+    chunked.as("l")
+      .join(chunked.as("r"),
+        col("l.chunk_idx") === col("r.chunk_idx") &&
+          col("l.chunk") === col("r.chunk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
+      .dropDuplicates("id1", "id2")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold.
+    * `bruteForce=true` compares all pairs (the small-N oracle);
+    * otherwise candidates come from random-hyperplane LSH (sign-bit
+    * signature over `planes` projections, banded like simhash) and only
+    * candidates get the exact cosine — the 100 TB path. */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.95,
+                        bruteForce: Boolean = false,
+                        seed: Long = 42L): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    if (bruteForce) {
+      docs.as("l").join(docs.as("r"), col("l.id") < col("r.id"))
+        .select(col("l.id").as("id1"), col("r.id").as("id2"),
+          round(GraftExpressions.cosineSimilarity(col("l.v"), col("r.v")), 6)
+            .as("cosine"))
+        .filter(col("cosine") >= threshold)
+    } else {
+      val sigs = docs.withColumn("sig", Similarity.hyperplaneSig(col("v"), 64, seed))
+      val chunked = sigs.select(col("id"), col("v"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          i => call_function("shiftright", col("sig"), (i * 16).cast("int")).bitwiseAND(lit(0xffffL))))
+          .as(Seq("chunk_idx", "chunk")))
+      chunked.as("l")
+        .join(chunked.as("r"),
+          col("l.chunk_idx") === col("r.chunk_idx") &&
+            col("l.chunk") === col("r.chunk") && col("l.id") < col("r.id"))
+        .select(col("l.id").as("id1"), col("r.id").as("id2"),
+          col("l.v").as("v1"), col("r.v").as("v2"))
+        .dropDuplicates("id1", "id2")
+        .withColumn("cosine",
+          round(GraftExpressions.cosineSimilarity(col("v1"), col("v2")), 6))
+        .filter(col("cosine") >= threshold)
+        .select(col("id1"), col("id2"), col("cosine"))
+    }
+  }
+}

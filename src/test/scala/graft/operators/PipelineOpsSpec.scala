@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.expressions.{GraftExpressions, TextHashImpl}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens + tokenCount handle empty/blank/multispace") {
+    val df = Seq("a b  c", "", "   ", "one").toDF("t")
+      .select(TextFunctions.tokenCount($"t").as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(3, 0, 0, 1))
+  }
+
+  test("wordShingles: n-grams, short docs yield empty") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(TextFunctions.wordShingles($"t", 3).as("s"))
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextFunctions.wordShingles($"t", 3).as("s"))
+      .as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("langId: script blocks + latin stopwords") {
+    val cases = Seq(
+      "the cat and the hat is here" -> "en",
+      "el perro y la casa de que en un dia" -> "es",
+      "der hund und die katze ist nicht hier" -> "de",
+      "你好世界" -> "zh",
+      "привет мир" -> "ru",
+      "zzz qqq xxx" -> "und")
+    val df = cases.map(_._1).toDF("t").select(TextFunctions.langId($"t").as("l"))
+    assert(df.as[String].collect().toSeq == cases.map(_._2))
+  }
+
+  test("qualityScore in [0,1], higher for real text than garbage") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and runs to the hills",
+      "@@@@ #### $$$$ %%%%").toDF("t")
+      .select(TextFunctions.qualityScore($"t").as("q"))
+    val Seq(good, bad) = df.as[Double].collect().toSeq
+    assert(good > bad && good <= 1.0 && bad >= 0.0)
+  }
+
+  test("fingerprint is whitespace/case-insensitive and codegen matches eval") {
+    val df = Seq("Hello   World", "hello world", "different").toDF("t")
+      .select(TextFunctions.fingerprint($"t").as("fp"))
+    val fps = df.as[Long].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+    // scala-side reference
+    assert(TextHashImpl.fnv1a64(UTF8String.fromString("hello world")) == fps(0))
+  }
+
+  test("custom expressions stay inside WholeStageCodegen") {
+    // parquet-backed source so ConvertToLocalRelation can't pre-fold the plan
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(TextFunctions.fingerprint($"text").as("fp"),
+        GraftExpressions.simhash64(TextFunctions.tokens($"text")).as("sh"),
+        GraftExpressions.minhashSignature(
+          TextFunctions.wordShingles($"text", 2), 16).as("mh"))
+    // WholeStageCodegen children render with a "*(n)" prefix: the Project
+    // holding our expressions must be inside a codegen span
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.trim.matches("""\*\(\d+\) Project.*""")), plan)
+    assert(df.head().getSeq[Long](2).size == 16)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the old river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the old river bank yesterday"), // near dup of 1
+    (4L, "completely different content about spark query engines and distributed joins"),
+    (5L, "THE QUICK   brown fox jumps over the lazy dog near the old river bank today"), // case/ws dup of 1
+    (6L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: normalized duplicates collapse to smallest id") {
+    val ids = Dedup.exactDedup(docs, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L, 4L, 6L))
+  }
+
+  test("minhash LSH pairs == exact ngram jaccard pairs on crafted docs") {
+    val lsh = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(exact.contains((1L, 2L)) && exact.contains((1L, 3L)))
+    assert(lsh == exact, s"LSH $lsh vs exact $exact")
+  }
+
+  test("minhash jaccard values match the exact computation") {
+    val lsh = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select($"id1", $"id2", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val exact = Dedup.ngramJaccardDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select($"id1", $"id2", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash finds exact and tiny-edit near duplicates on long docs") {
+    // simhash hamming<=3 targets LONG documents with tiny edits: with n
+    // tokens a 1-token change flips only bits whose vote margin is ~0.
+    val base = (0 until 1000).map(i => "tok" + i).mkString(" ")
+    val edited = base.replace("tok999", "changed") // exactly one token edited
+    val long = Seq((10L, base), (11L, base), (12L, edited),
+      (13L, (0 until 1000).map(i => "zz" + i).mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.simhashDupPairs(long, "doc_id", "text", maxHamming = 3)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 11L)), s"identical docs: $pairs")
+    assert(pairs.contains((10L, 12L)), s"tiny edit within hamming 3: $pairs")
+    assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L), "unrelated doc matched")
+  }
+
+  test("embedding dedup: LSH reproduces brute force on planted near-dups") {
+    // the testdata embeddings are near-random (max cosine ~0.5), so plant
+    // near-duplicates: 20 bases + perturbed copies (+100 distractors)
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def perturb(v: Array[Float]): Array[Float] =
+      v.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val bases = (0 until 20).map(i => (i.toLong, vec()))
+    val copies = bases.map { case (i, v) => (100L + i, perturb(v)) }
+    val noise = (0 until 100).map(i => (1000L + i, vec()))
+    val emb = (bases ++ copies ++ noise).toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.95, bruteForce = true)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.95, bruteForce = false)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute), "LSH must not invent pairs (cosine is verified)")
+    assert(brute.size >= 15, s"planted dups should be found: ${brute.size}")
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.8, s"LSH recall too low: $recall (${lsh.size}/${brute.size})")
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForceTopK: deterministic ranks, self excluded") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 3)
+    val topk = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val rows = topk.collect()
+    assert(rows.length == 15, "3 queries x 5 neighbors")
+    assert(!rows.exists(r => r.getAs[Long]("query_id") == r.getAs[Long]("id")))
+    val ranks = topk.filter($"query_id" === 0).orderBy($"rank")
+      .select($"cosine").as[Double].collect()
+    assert(ranks.toSeq == ranks.sorted.reverse.toSeq, "cosine desc by rank")
+  }
+
+  test("lshTopK finds planted near neighbors at rank 1") {
+    // hyperplane LSH surfaces NEAR neighbors (cosine >~0.9); plant them
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 10).map(i => (i.toLong, vec()))
+    val queries = bases.map { case (i, v) =>
+      (100L + i, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val noise = (0 until 200).map(i => (1000L + i, vec()))
+    val corpus = (bases ++ noise).toDF("vec_id", "embedding")
+    val qdf = queries.toDF("vec_id", "embedding")
+    val lsh = Similarity.lshTopK(corpus.unionAll(qdf), qdf, "vec_id", "embedding", 1)
+      .select($"query_id", $"id").as[(Long, Long)].collect().toMap
+    val hits = (0 until 10).count(i => lsh.get(100L + i).contains(i.toLong))
+    assert(hits >= 8, s"planted neighbor found for only $hits/10 queries")
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodeMeta: schema, determinism, null passthrough") {
+    val df = Seq(("a", "hello".getBytes("UTF-8")), ("b", Array.empty[Byte]),
+      ("c", null)).toDF("id", "payload")
+    val out = Multimodal.decodeMeta(df, "payload")
+    assert(out.schema.fieldNames.contains("media_meta"))
+    val rows = out.orderBy($"id").collect()
+    val metaA = rows(0).getStruct(2)
+    assert(metaA.getLong(0) == 5L && metaA.getInt(1) == 'h'.toInt)
+    assert(metaA.getInt(3) >= 64, "fake width in range")
+    assert(rows(1).getStruct(2).getInt(1) == -1, "empty payload")
+    assert(rows(2).isNullAt(2), "null payload -> null meta")
+    // deterministic across runs
+    val again = Multimodal.decodeMeta(df, "payload").orderBy($"id").collect()
+    assert(again(0).getStruct(2) == metaA)
+  }
+
+  test("frameSample emits n evenly spaced chunks") {
+    val bytes = (0 until 100).map(_.toByte).toArray
+    val df = Seq(("v1", bytes)).toDF("id", "payload")
+    val frames = Multimodal.frameSample(df, "payload", 4, frameBytes = 8)
+    val rows = frames.orderBy($"frame_idx").collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Array[Byte]]("frame").head.toInt).toSeq == Seq(0, 25, 50, 75))
+  }
+
+  test("byteStats is pure SQL over binary") {
+    val df = Seq(("a", "xyz".getBytes("UTF-8"))).toDF("id", "payload")
+    val r = Multimodal.byteStats(df, "payload").head()
+    assert(r.getAs[Long]("n_bytes") == 3L)
+    assert(r.getAs[Int]("first_byte") == 'x'.toInt)
+  }
+}
