@@ -43,8 +43,10 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
     "reader_snapshot_batch_union" -> ((s, dir) => {
-      // stepping strategy: batches of 3000 keys unioned back == full table
-      val b = SnapshotBatchStrategy(step = 3000L)
+      // stepping strategy: batches of 10k keys unioned back == full table
+      // (step sized so sf0.01 takes 2 batches and sf0.1 takes 15 — each
+      // batch is a full predicate-pushed scan, so step controls scan count)
+      val b = SnapshotBatchStrategy(step = 10000L)
       val reader = DbReader(conn(s, dir), "orders", hwm = Some(HwmColumn("o_orderkey")))
       val frames = Strategy.using(b) { b.foreachBatch(reader.run()) }
       frames.reduce(_ unionAll _)
