@@ -232,6 +232,46 @@ object SparkEntry {
           col("n"), col("total"))
         .orderBy(col("w_start"), col("event_type"))
     }),
+    "q_rollup" -> ((s, dir) => {
+      // grouping-set rollup with null-safe group keys for cross-engine sort
+      DbReader(conn(s, dir), "lineitem").run()
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+    "filedf_xml_roundtrip" -> ((s, dir) => {
+      // Spark 4 native XML write+read through our format wrappers
+      import graft.filedf._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_xml").toString
+      val src = DbReader(conn(s, dir), "region").run()
+      FileDFWriter(Xml("row"), tmp, DirIfExists.ReplaceEntireDirectory).run(src)
+      FileDFReader(s, Xml("row"), tmp, Some(src.schema)).run()
+        .orderBy(col("r_regionkey"))
+    }),
+    "codec_csv_column" -> ((s, dir) => {
+      // column-level codec: serialize rows to a CSV string column, parse
+      // back with from_csv, prove lossless roundtrip
+      import graft.filedf.ColumnCodecs._
+      val src = DbReader(conn(s, dir), "nation").run()
+      val packed = src.select(
+        serializeCsvColumn(struct(col("n_nationkey"), col("n_name"),
+          col("n_regionkey"))).as("line"))
+      packed.select(parseCsvColumn(col("line"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("n_nationkey",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("n_name",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_regionkey",
+              org.apache.spark.sql.types.IntegerType)))).as("r"))
+        .select(col("r.n_nationkey").as("n_nationkey"),
+          col("r.n_name").as("n_name"), col("r.n_regionkey").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
     "q1_pricing_summary" -> ((s, dir) => {
       DbReader(conn(s, dir), "lineitem").run()
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -374,6 +414,15 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n,
         |       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS balance
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "filedf_xml_roundtrip" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+    "codec_csv_column" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,

@@ -39,16 +39,19 @@ final case class DbReader(connection: DbConnection,
                           dfSchema: Option[StructType] = None,
                           hwm: Option[HwmColumn] = None) {
 
-  def run(): DataFrame = {
-    val strategy = checkStrategy()
-    val (window, limit) = calculateWindowAndLimit(strategy)
-    for {
-      s <- strategy
-      w <- window
-      stop <- w.stopAt.value
-    } s.updateHwm(stop)
-    read(window, limit)
-  }
+  def run(): DataFrame =
+    graft.util.SparkUtils.withJobDescription(connection.spark,
+      s"${connection.getClass.getSimpleName} -> DbReader.run($source)") {
+      graft.hooks.GraftListeners.fireBeforeRead(source)
+      val strategy = checkStrategy()
+      val (window, limit) = calculateWindowAndLimit(strategy)
+      for {
+        s <- strategy
+        w <- window
+        stop <- w.stopAt.value
+      } s.updateHwm(stop)
+      graft.hooks.GraftListeners.fireAfterRead(source, read(window, limit))
+    }
 
   /** `LIMIT 1` existence probe under the current window
     * (reference db_reader.py:452-512: limit=1 then take(1)). */

@@ -17,9 +17,14 @@ final case class DbWriter(connection: DbConnection,
     require(!df.isStreaming,
       "DbWriter cannot write streaming DataFrames — use Structured " +
         "Streaming sinks (graft.streaming) for those")
-    val (_, metrics) = MetricsRecorder.record(connection.spark) {
-      connection.writeDfToTarget(df, target, ifExists, options)
+    graft.hooks.GraftListeners.fireBeforeWrite(target, df)
+    val (_, metrics) = graft.util.SparkUtils.withJobDescription(connection.spark,
+      s"DbWriter.run($target) -> ${connection.getClass.getSimpleName}") {
+      MetricsRecorder.record(connection.spark) {
+        connection.writeDfToTarget(df, target, ifExists, options)
+      }
     }
+    graft.hooks.GraftListeners.fireAfterWrite(target, metrics)
     metrics
   }
 }

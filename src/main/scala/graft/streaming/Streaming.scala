@@ -1,0 +1,136 @@
+package graft.streaming
+
+import graft.filedf.FileFormat
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming extension.
+  *
+  * The reference is explicitly batch-only ("no streaming" is a stated
+  * non-goal, README.rst; DBWriter rejects streaming frames,
+  * db_writer.py:154-155). This module adds the streaming surface a
+  * training-data pipeline needs, Spark-first: `readStream` file sources
+  * with schema pinned (inference is disallowed on streams anyway),
+  * watermarked event-time windows, stream dedup, and gap-based
+  * sessionization via `flatMapGroupsWithState` — all runnable as
+  * incremental batches with `Trigger.AvailableNow` (the streaming
+  * equivalent of the HWM strategies: process exactly what arrived since
+  * the last checkpoint, then stop).
+  */
+object FileStreamReader {
+  /** Stream a directory of files. `maxFilesPerTrigger` bounds micro-batch
+    * size — the knob that keeps 100 TB backfills from becoming one giant
+    * batch. */
+  def read(spark: SparkSession, format: FileFormat, path: String,
+           schema: StructType,
+           maxFilesPerTrigger: Option[Int] = None,
+           options: Map[String, String] = Map.empty): DataFrame = {
+    var r = spark.readStream.format(format.name)
+      .options(format.options ++ options)
+      .schema(schema)
+    maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n))
+    r.load(path)
+  }
+}
+
+object StreamOps {
+  /** Watermarked tumbling-window aggregation. */
+  def windowedCounts(df: DataFrame, tsCol: String, keyCol: String,
+                     windowDuration: String,
+                     watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("w_start"), col(keyCol), col("n"),
+        col("total"))
+
+  /** Exactly-once-style stream dedup on a key within the watermark
+    * horizon (state is bounded by the watermark). */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String,
+                           watermarkDelay: String,
+                           keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Int, total: Double)
+  final case class Session(user_id: Long, start: java.sql.Timestamp,
+                           end: java.sql.Timestamp, n_events: Int,
+                           total_value: Double)
+
+  /** Gap-based sessionization with custom state
+    * (`flatMapGroupsWithState` + event-time timeout): a session closes
+    * when no event arrives for `gapMillis` past the watermark. */
+  def sessionize(events: Dataset[Event], gapMillis: Long,
+                 watermarkDelay: String): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+              s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMillis =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(user, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMillis)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}
+
+object StreamRunner {
+  /** Run a streaming frame to a parquet sink with AvailableNow semantics:
+    * process everything pending, checkpoint, stop — the streaming
+    * incremental read. Blocks until complete. */
+  def runAvailableNowToParquet(df: DataFrame, path: String,
+                               checkpoint: String): Unit = {
+    val q = df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Drain a stream into an in-memory table (testing/interactive). */
+  def runAvailableNowToMemory(df: DataFrame, tableName: String,
+                              outputMode: OutputMode = OutputMode.Complete())
+      : StreamingQuery = {
+    val q = df.writeStream.format("memory")
+      .queryName(tableName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

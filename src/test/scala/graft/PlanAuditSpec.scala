@@ -1,0 +1,90 @@
+package graft
+
+import graft.connections.FileTableConnection
+import graft.hooks.{GraftListener, GraftListeners}
+import graft.metrics.SparkCommandMetrics
+import graft.operators.{DbReader, DbWriter}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: at 100 TB the plan IS the product. These specs
+  * pin the properties that make the engine scale — predicate pushdown into
+  * the parquet scan, column pruning, broadcast joins for small dims — so a
+  * regression in any operator's plan fails CI, not a cluster bill. */
+class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val conn = new FileTableConnection(spark, "/root/testdata/sf0.001")
+
+  private def formatted(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("DbReader filters are pushed into the parquet scan") {
+    val df = DbReader(conn, "lineitem",
+      columns = Seq("l_orderkey", "l_quantity"),
+      where = Seq("l_quantity <= 25", "l_returnflag = 'A'")).run()
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters:") &&
+      scan.contains("LessThanOrEqual(l_quantity,25.0)"), scan)
+  }
+
+  test("DbReader column projection prunes the read schema") {
+    val df = DbReader(conn, "lineitem", columns = Seq("l_orderkey", "l_quantity")).run()
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"projection must reach the scan, got: $scan")
+  }
+
+  test("HWM window predicate reaches the scan as a pushed filter") {
+    import graft.core._
+    val store = new InMemoryHwmStore
+    store.set(IntHwm("orders.o_orderkey", "orders", "o_orderkey", Some(500L)))
+    val df = Strategy.using(new IncrementalStrategy(store = store)) {
+      DbReader(conn, "orders", hwm = Some(graft.operators.HwmColumn("o_orderkey"))).run()
+    }
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("GreaterThan(o_orderkey,500)"), scan)
+  }
+
+  test("small dimension joins broadcast (no shuffle of the big side)") {
+    val li = DbReader(conn, "lineitem").run()
+    val supp = DbReader(conn, "supplier").run()
+    val joined = li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .groupBy($"s_name").agg(sum($"l_quantity"))
+    val plan = formatted(joined)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle") {
+    val df = DbReader(conn, "lineitem").run()
+      .groupBy($"l_returnflag").agg(sum($"l_quantity"))
+    val plan = formatted(df)
+    // HashAggregate(partial) -> Exchange -> HashAggregate(final)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("listeners fire around reads and writes, afterRead may rewrite") {
+    var events = List.empty[String]
+    val tagger = new GraftListener {
+      override def beforeRead(source: String): Unit = events ::= s"br:$source"
+      override def afterRead(source: String, df: DataFrame): DataFrame = {
+        events ::= s"ar:$source"
+        df.withColumn("tagged", lit(true))
+      }
+      override def beforeWrite(target: String, df: DataFrame): Unit =
+        events ::= s"bw:$target"
+      override def afterWrite(target: String, m: SparkCommandMetrics): Unit =
+        events ::= s"aw:$target:${m.outputRows}"
+    }
+    val out = new FileTableConnection(spark, tmpDir("listener"))
+    GraftListeners.withListener(tagger) {
+      val df = DbReader(conn, "region").run()
+      assert(df.columns.contains("tagged"), "afterRead rewrite applied")
+      DbWriter(out, "region_copy").run(df)
+    }
+    assert(events.reverse.take(3) == List("br:region", "ar:region", "bw:region_copy"))
+    assert(events.head.startsWith("aw:region_copy:5"), events.head)
+    assert(GraftListeners.active.isEmpty, "withListener must unregister")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.filedf.Parquet
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsDf = {
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    (0 until 200).map { i =>
+      (i.toLong, java.sql.Timestamp.from(base.plusSeconds(i * 90L)),
+        i % 5, "click", (i % 10) * 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("file stream: windowed counts over AvailableNow == batch result") {
+    val src = tmpDir("stream-src")
+    eventsDf.write.mode("overwrite").parquet(src)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", IntegerType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val stream = FileStreamReader.read(spark, Parquet(), src, schema,
+      maxFilesPerTrigger = Some(1))
+    assert(stream.isStreaming)
+    val agg = StreamOps.windowedCounts(stream, "ts", "event_type",
+      "1 hour", "10 minutes")
+    StreamRunner.runAvailableNowToMemory(agg, "stream_counts")
+    val streamed = spark.table("stream_counts")
+      .orderBy($"w_start").select($"w_start", $"n", $"total").collect()
+
+    val batch = eventsDf.groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+      .select($"window.start".as("w_start"), $"n", $"total")
+      .orderBy($"w_start").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("streaming frames are rejected by the batch writer") {
+    val src = tmpDir("stream-src2")
+    eventsDf.write.mode("overwrite").parquet(src)
+    val schema = eventsDf.schema
+    val stream = FileStreamReader.read(spark, Parquet(), src, schema)
+    intercept[IllegalArgumentException] {
+      graft.operators.DbWriter(
+        new graft.connections.FileTableConnection(spark, tmpDir("sink")), "t")
+        .run(stream)
+    }
+  }
+
+  test("sessionize: gap-based sessions with event-time timeout") {
+    val mkTs = (m: Long) => new java.sql.Timestamp(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli + m * 60000)
+    // user 1: events at 0,5,10 min (one session), then 60,62 (second session)
+    // user 2: single event
+    val rows = Seq(
+      StreamOps.Event(1L, mkTs(0), 1.0), StreamOps.Event(1L, mkTs(5), 2.0),
+      StreamOps.Event(1L, mkTs(10), 3.0), StreamOps.Event(1L, mkTs(60), 4.0),
+      StreamOps.Event(1L, mkTs(62), 5.0), StreamOps.Event(2L, mkTs(1), 9.0),
+      // sentinel far in the future advances the watermark so all
+      // earlier sessions time out and emit
+      StreamOps.Event(99L, mkTs(10000), 0.0))
+    val src = tmpDir("sess-src")
+    rows.toDF().write.mode("overwrite").parquet(src)
+    val stream = FileStreamReader.read(spark, Parquet(), src,
+      implicitly[org.apache.spark.sql.Encoder[StreamOps.Event]].schema)
+      .as[StreamOps.Event]
+    val sessions = StreamOps.sessionize(stream, gapMillis = 15 * 60000,
+      watermarkDelay = "1 minute")
+    StreamRunner.runAvailableNowToMemory(sessions.toDF(), "sessions",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("sessions")
+      .filter($"user_id" < 90)
+      .orderBy($"user_id", $"start")
+      .select($"user_id", $"n_events", $"total_value").as[(Long, Int, Double)]
+      .collect().toSeq
+    assert(got == Seq((1L, 3, 6.0), (1L, 2, 9.0), (2L, 1, 9.0)), got)
+  }
+}
