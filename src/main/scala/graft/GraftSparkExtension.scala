@@ -1,0 +1,45 @@
+package graft
+
+import graft.expressions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's custom expressions for SQL use:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftSparkExtension
+  *   SELECT fingerprint64(text), simhash64(split(text, ' ')) FROM docs
+  * }}}
+  *
+  * This is the `SparkSessionExtensions` injection point SURVEY §7.3 calls
+  * out: functions only — no custom Rules/Strategies are needed for parity
+  * (the reference performs all rewrites source-side, §4).
+  */
+class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftSparkExtension].getName, null, name, usage,
+      "", "", "", "", "4.0.0", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("fingerprint64"),
+      info("fingerprint64", "fingerprint64(str) - 64-bit FNV-1a of the UTF-8 bytes"),
+      (es: Seq[Expression]) => Fingerprint64(es.head)))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<string>) - 64-bit SimHash of a token array"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(str, n) - word n-gram shingles"),
+      (es: Seq[Expression]) => {
+        val n = es(1).eval(null).asInstanceOf[Number].intValue()
+        WordShingles(es.head, n)
+      }))
+    ext.injectFunction((FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "cosine_similarity(a, b) - cosine of two float/double arrays"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("hyperplane_sig64"),
+      info("hyperplane_sig64", "hyperplane_sig64(vec) - 64-bit random-hyperplane LSH signature"),
+      (es: Seq[Expression]) => HyperplaneSignature64(es.head)))
+  }
+}

@@ -87,6 +87,23 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    "writer_roundtrip" -> ((s, dir) => {
+      // DbWriter with if-exists semantics + metrics: write supplier to a
+      // temp file-table (replace), append once, read back through DbReader
+      import graft.connections.IfExists
+      import graft.operators.DbWriter
+      val out = new FileTableConnection(s,
+        java.nio.file.Files.createTempDirectory("graft_writer").toString)
+      val src = DbReader(conn(s, dir), "supplier").run()
+      DbWriter(out, "supplier_copy", IfExists.ReplaceEntireTable).run(src)
+      DbWriter(out, "supplier_copy", IfExists.Append).run(src)
+      DbReader(out, "supplier_copy").run()
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("s_acctbal").cast("decimal(18,2)")).as("bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // --- Dedup (training-data pipeline ops) ------------------------------
     "dedup_exact" -> ((s, dir) => {
       operators.Dedup.exactDedupIds(
@@ -317,6 +334,10 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "writer_roundtrip" ->
+      """SELECT s_nationkey, count(*) * 2 AS n,
+        |       sum(CAST(s_acctbal AS DECIMAL(18,2))) * 2 AS bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')

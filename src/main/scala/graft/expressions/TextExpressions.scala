@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GraftStringArrayInput, GraftStringInput, GraftVectorInput, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types._
@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Pair with lower/trim/regexp_replace for normalization (see
   * [[graft.functions.TextFunctions.fingerprint]]). */
 case class Fingerprint64(child: Expression)
-  extends UnaryExpression {
+  extends UnaryExpression with GraftStringInput {
   override def dataType: DataType = LongType
   override def prettyName: String = "fingerprint64"
   protected override def nullSafeEval(input: Any): Any =
@@ -38,7 +38,7 @@ case class Fingerprint64(child: Expression)
   * should filter empty docs before LSH banding, or every empty doc lands
   * in the same bucket). */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long = 42L)
-  extends UnaryExpression {
+  extends UnaryExpression with GraftStringArrayInput {
   require(numHashes > 0 && numHashes <= 1024, "numHashes must be in (0, 1024]")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
@@ -55,7 +55,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long = 42L)
   * token's xxHash64, weighted +1/-1; near-duplicates differ in few bits, so
   * `bit_count(a ^ b)` (built-in) gives the Hamming distance. */
 case class SimHash64(child: Expression, seed: Long = 42L)
-  extends UnaryExpression {
+  extends UnaryExpression with GraftStringArrayInput {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
   protected override def nullSafeEval(input: Any): Any =
@@ -71,19 +71,13 @@ case class SimHash64(child: Expression, seed: Long = 42L)
   * tight loop (and single codegen call). Null elements are not supported;
   * zero-norm inputs yield 0.0. */
 case class CosineSimilarity(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with GraftVectorInput {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case other => throw new IllegalArgumentException(
-      s"cosine_similarity needs array<float|double>, got $other")
-  }
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    isFloat(left); isFloat(right)
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case _ => false
   }
 
   protected override def nullSafeEval(a: Any, b: Any): Any =
@@ -243,10 +237,15 @@ object GraftExpressions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = org.apache.spark.sql.GraftColumnBridge.functionRegistry(spark)
     reg.createOrReplaceTempFunction("fingerprint64",
-      es => Fingerprint64(es.head), "builtin")
+      es => Fingerprint64(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
-      es => SimHash64(es.head), "builtin")
+      es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("cosine_similarity",
-      es => CosineSimilarity(es(0), es(1)), "builtin")
+      es => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      es => WordShingles(es.head,
+        es(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_sig64",
+      es => HyperplaneSignature64(es.head), "built-in")
   }
 }

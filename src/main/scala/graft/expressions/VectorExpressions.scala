@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GraftVectorInput, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -11,15 +11,13 @@ import org.apache.spark.sql.types._
   * executors need zero broadcast state. Two vectors at cosine angle θ
   * disagree on each bit with probability θ/π. */
 case class HyperplaneSignature64(child: Expression, seed: Long = 42L)
-  extends UnaryExpression {
+  extends UnaryExpression with GraftVectorInput {
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig64"
 
   private lazy val isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case other => throw new IllegalArgumentException(
-      s"hyperplane_sig64 needs array<float|double>, got $other")
+    case _ => false
   }
 
   protected override def nullSafeEval(input: Any): Any =

@@ -1,0 +1,30 @@
+package org.apache.spark.sql.catalyst.expressions
+
+import org.apache.spark.sql.types._
+
+/** Input-type bridge traits for graft's custom expressions.
+  *
+  * `AbstractDataType` / `TypeCollection` are `private[sql]`, so expressions
+  * living in package `graft.expressions` cannot override
+  * `ExpectsInputTypes.inputTypes` directly. These traits (compiled into the
+  * Spark namespace, like [[org.apache.spark.sql.GraftColumnBridge]]) provide
+  * the override; graft expressions just mix one in. `ImplicitCastInputTypes`
+  * then lets Catalyst coerce e.g. `array(1.0, 0.0)` (array<decimal>) to
+  * `array<double>` instead of failing analysis.
+  */
+trait GraftStringInput extends ImplicitCastInputTypes { self: Expression =>
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq.fill(children.size)(StringType)
+}
+
+trait GraftStringArrayInput extends ImplicitCastInputTypes { self: Expression =>
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq.fill(children.size)(ArrayType(StringType))
+}
+
+/** array<float> passes through untouched (embeddings stay Array[Float]);
+  * any other numeric array implicit-casts to array<double>. */
+trait GraftVectorInput extends ImplicitCastInputTypes { self: Expression =>
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq.fill(children.size)(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+}
