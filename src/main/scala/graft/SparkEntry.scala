@@ -152,6 +152,17 @@ object SparkEntry {
           emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "similarity_topk_ivf" -> ((s, dir) => {
+      // IVF scale path with full probes: nProbe == nLists makes the result
+      // exact, so the brute-force SQL is a true oracle; pruned-probe recall
+      // is covered by the planted-cluster spec
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      operators.Similarity.ivfTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+          nLists = 8, nProbe = 8, iters = 2)
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // --- Text analysis ----------------------------------------------------
     "text_stats" -> ((s, dir) => {
@@ -350,6 +361,19 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE cosine >= 0.4 ORDER BY id1, id2""".stripMargin,
     "similarity_topk_brute" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT query_id, rank::INTEGER AS rank, id, cosine FROM (
+        |  SELECT query_id, id, cosine,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
+        |  FROM scored) t WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // full-probe IVF (nProbe == nLists) is exact, so it shares the
+    // brute-force top-k oracle
+    "similarity_topk_ivf" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS id,
         |         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine

@@ -200,6 +200,29 @@ object VectorImpl {
     z ^ (z >>> 31)
   }
 
+  def nearestCentroid(v: ArrayData, isFloat: Boolean,
+                      cents: Array[Array[Double]]): Int = {
+    val n = v.numElements()
+    var best = -1
+    var bestCos = Double.NegativeInfinity
+    var ci = 0
+    while (ci < cents.length) {
+      val c = cents(ci)
+      val dim = math.min(n, c.length)
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      var j = 0
+      while (j < dim) {
+        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        dot += x * c(j); nv += x * x; nc += c(j) * c(j)
+        j += 1
+      }
+      val cos = if (nv == 0.0 || nc == 0.0) 0.0 else dot / math.sqrt(nv * nc)
+      if (cos > bestCos) { bestCos = cos; best = ci }
+      ci += 1
+    }
+    best
+  }
+
   def hyperplaneSig(v: ArrayData, isFloat: Boolean, seed: Long): Long = {
     val dim = v.numElements()
     var out = 0L

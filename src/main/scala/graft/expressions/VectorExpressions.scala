@@ -29,3 +29,30 @@ case class HyperplaneSignature64(child: Expression, seed: Long = 42L)
     copy(child = newChild)
 }
 
+/** Index of the max-cosine centroid for a vector — the IVF assignment hot
+  * loop. The (small) centroid matrix rides along as a codegen reference
+  * object, so every corpus row is assigned inside whole-stage codegen with
+  * zero shuffle and zero broadcast plumbing; ties break to the lowest
+  * centroid index. */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+  extends UnaryExpression with GraftVectorInput {
+  require(centroids.nonEmpty, "need at least one centroid")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    VectorImpl.nearestCentroid(input.asInstanceOf[ArrayData], isFloat, centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.VectorImpl.nearestCentroid($c, $isFloat, $cents)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+

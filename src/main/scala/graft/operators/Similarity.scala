@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.expressions.{GraftExpressions, HyperplaneSignature64}
+import graft.expressions.{GraftExpressions, HyperplaneSignature64, NearestCentroid}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -61,6 +61,82 @@ object Similarity {
           col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"), col("qv"), col("v"))
       .dropDuplicates("query_id", "id")
+      .select(col("query_id"), col("id"),
+        round(GraftExpressions.cosineSimilarity(col("qv"), col("v")), 6).as("cosine"))
+    topK(candidates, k)
+  }
+
+  def nearestCentroid(v: Column, cents: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(NearestCentroid(GraftColumnBridge.expression(v), cents))
+
+  /** IVF coarse quantizer: nLists centroids learned with `iters` Lloyd
+    * iterations from deterministic hash-chosen seeds (the nLists vectors
+    * with the smallest xxhash64(seed, id) — no RNG, stable across runs).
+    *
+    * Per iteration: assignment is map-only (codegen'd [[NearestCentroid]]
+    * with the centroid matrix as a reference object), and the update
+    * shuffles only (cid, pos, partial-sum) — map-side combined to
+    * ≤ nLists×dim rows per task regardless of corpus size. Centroids are
+    * collected to the driver between iterations (nLists×dim doubles,
+    * bounded small — same driver-side role as the reference's min/max
+    * bound queries, jdbc_connection/connection.py:340-391). */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nLists: Int, iters: Int = 2,
+                   seed: Long = 42L): Array[Array[Double]] = {
+    require(nLists > 0 && iters >= 0)
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    var cents: Array[Array[Double]] =
+      c.orderBy(xxhash64(lit(seed), col("id")))
+        .limit(nLists)
+        .select(col("v")).collect()
+        .map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val upd = c.select(nearestCentroid(col("v"), cents).as("cid"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("x"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
+          s => s("x")).as("cv"))
+        .collect()
+      val next = cents.map(_.clone())
+      upd.foreach(r => next(r.getInt(0)) = r.getSeq[Double](1).toArray)
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF top-k: assign every corpus vector to its nearest of nLists
+    * centroids (map-only), probe each query's nProbe nearest lists, exact
+    * cosine only inside probed lists. The probe set (|queries| × nProbe
+    * rows) is broadcast, so the scan side never shuffles — at 100 TB the
+    * exact-cosine work drops to ~nProbe/nLists of brute force and the only
+    * shuffle is the final per-query top-k. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nLists: Int = 16, nProbe: Int = 4, iters: Int = 2,
+              seed: Long = 42L): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nLists)
+    val cents = ivfCentroids(corpus, idCol, vecCol, nLists, iters, seed)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cid", nearestCentroid(col("v"), cents))
+    val centLit = typedlit(cents.toSeq.zipWithIndex.map {
+      case (v, i) => (i, v.toSeq)
+    })
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"), explode(centLit).as("c"))
+      .select(col("query_id"), col("qv"), col("c._1").as("cid"),
+        GraftExpressions.cosineSimilarity(col("c._2"), col("qv")).as("ccos"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    val candidates = c.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
         round(GraftExpressions.cosineSimilarity(col("qv"), col("v")), 6).as("cosine"))
     topK(candidates, k)

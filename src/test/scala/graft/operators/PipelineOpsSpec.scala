@@ -159,6 +159,36 @@ class SimilaritySpec extends SparkSpec {
     assert(ranks.toSeq == ranks.sorted.reverse.toSeq, "cosine desc by rank")
   }
 
+  test("ivfTopK with nProbe == nLists reproduces brute force exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"rank", $"id").as[(Long, Int, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nLists = 8, nProbe = 8, iters = 2)
+      .select($"query_id", $"rank", $"id").as[(Long, Int, Long)].collect().toSet
+    assert(ivf == brute, "full-probe IVF must equal exact top-k")
+  }
+
+  test("ivfTopK finds planted near neighbors with pruned probes") {
+    val rnd = new scala.util.Random(23)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 10).map(i => (i.toLong, vec()))
+    val queries = bases.map { case (i, v) =>
+      (100L + i, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val noise = (0 until 200).map(i => (1000L + i, vec()))
+    val corpus = (bases ++ noise).toDF("vec_id", "embedding")
+    val qdf = queries.toDF("vec_id", "embedding")
+    // a perturbed copy lands in the same Voronoi cell as its base almost
+    // surely, so even nProbe=1 should recover nearly all planted pairs
+    val ivf = Similarity.ivfTopK(corpus, qdf, "vec_id", "embedding", 1,
+        nLists = 8, nProbe = 2, iters = 2)
+      .select($"query_id", $"id").as[(Long, Long)].collect().toMap
+    val hits = (0 until 10).count(i => ivf.get(100L + i).contains(i.toLong))
+    assert(hits >= 9, s"planted neighbor found for only $hits/10 queries")
+  }
+
   test("lshTopK finds planted near neighbors at rank 1") {
     // hyperplane LSH surfaces NEAR neighbors (cosine >~0.9); plant them
     val rnd = new scala.util.Random(11)
