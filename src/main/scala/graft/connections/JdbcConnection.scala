@@ -134,7 +134,7 @@ class JdbcConnection(val spark: SparkSession,
       options.sessionInitStatement.map("sessionInitStatement" -> _) ++
       options.extra
 
-  def check(): this.type = { fetch("SELECT 1"); this }
+  def check(): this.type = { fetch(dialect.checkQuery); this }
 
   def readSourceAsDf(source: String, columns: Seq[String], where: Seq[String],
                      hint: Option[String], limit: Option[Int],

@@ -27,6 +27,10 @@ trait Dialect {
   def escapeColumn(ident: String): String = "\"" + ident + "\""
   def aliased(expression: String, alias: String): String = s"$expression AS $alias"
 
+  /** Connectivity probe (reference jdbc_connection/connection.py:86
+    * `CHECK_QUERY`; Oracle overrides with `FROM dual`). */
+  def checkQuery: String = "SELECT 1"
+
   def maxValue(expression: String): String = s"MAX($expression)"
   def minValue(expression: String): String = s"MIN($expression)"
 
@@ -133,6 +137,7 @@ object PostgresDialect extends Dialect {
 object OracleDialect extends Dialect {
   val name = "oracle"
   override def supportsHint: Boolean = true
+  override def checkQuery: String = "SELECT 1 FROM dual"
   override def getSqlQuery(table: String, columns: Seq[String], where: Seq[String],
                            hint: Option[String], limit: Option[Int]): String = {
     val cols =
@@ -213,6 +218,33 @@ object GreenplumDialect extends Dialect {
     s"cast('${v.format(DateTimeFormatter.ISO_LOCAL_DATE_TIME)}' as timestamp)"
   override protected def serializeDate(v: LocalDate): String =
     s"cast('$v' as date)"
+}
+
+/** Apache Derby (ANSI): `FETCH FIRST n ROWS ONLY` instead of LIMIT, `MOD()`
+  * function (no `%` operator), `VALUES 1` probe. Not in the reference's
+  * storage list — included because Derby ships with Spark, giving the JDBC
+  * read/write/fetch/execute path a live in-process integration target. */
+object DerbyDialect extends Dialect {
+  val name = "derby"
+  override def checkQuery: String = "VALUES 1"
+  override def getSqlQuery(table: String, columns: Seq[String], where: Seq[String],
+                           hint: Option[String], limit: Option[Int]): String = {
+    // `SELECT *, expr` is invalid in Derby (as in Oracle — oracle/dialect.py
+    // rewrites to `t.*`); hit by the synthesized partition column
+    val cols =
+      if (columns.size > 1) columns.map(c => if (c.trim == "*") s"$table.*" else c)
+      else columns
+    val base = super.getSqlQuery(table, cols, where, hint,
+      if (limit.contains(0)) Some(0) else None)
+    limit.filter(_ > 0).map(n => s"$base FETCH FIRST $n ROWS ONLY").getOrElse(base)
+  }
+  override def partitionColumnHash(c: String, n: Int): String =
+    partitionColumnMod(c, n) // Derby has no SQL-visible hash function
+  override def partitionColumnMod(c: String, n: Int): String =
+    s"MOD(ABS($c), $n)"
+  override protected def serializeDatetime(v: LocalDateTime): String =
+    s"TIMESTAMP('${v.format(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))}')"
+  override protected def serializeDate(v: LocalDate): String = s"DATE('$v')"
 }
 
 /** Spark-SQL dialect shared by Hive/Iceberg/file-table connections
