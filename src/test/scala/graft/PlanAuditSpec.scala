@@ -64,6 +64,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), plan)
   }
 
+  test("custom expressions compile into whole-stage generated code") {
+    import org.apache.spark.sql.execution.debug._
+    val df = DbReader(conn, "documents").run()
+      .select(
+        graft.expressions.GraftExpressions.fingerprint64($"text").as("fp"),
+        graft.expressions.GraftExpressions.simhash64(
+          graft.functions.TextFunctions.tokens($"text")).as("sh"))
+    val code = df.queryExecution.debug.codegenToSeq().map(_._2).mkString
+    // the static helper calls must appear in the generated Java — i.e. the
+    // expressions codegen'd rather than falling back to interpreted eval
+    assert(code.contains("graft.expressions.TextHashImpl.fnv1a64"), "fingerprint64 fell out of codegen")
+    assert(code.contains("graft.expressions.TextHashImpl.simhash"), "simhash64 fell out of codegen")
+    // `*(n)` prefixes mark operators inside a WholeStageCodegen stage
+    assert(formatted(df).linesIterator.exists(l =>
+      l.contains("*(") && l.contains("Project")), formatted(df))
+  }
+
   test("listeners fire around reads and writes, afterRead may rewrite") {
     var events = List.empty[String]
     val tagger = new GraftListener {

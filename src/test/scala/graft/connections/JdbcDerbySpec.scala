@@ -100,6 +100,40 @@ class JdbcDerbySpec extends SparkSpec {
       "synthesized partition column is dropped after load")
   }
 
+  test("range-partitioned read auto-detects bounds with a MIN/MAX probe") {
+    val c0 = newConn("rng")
+    c0.execute("CREATE TABLE seq (id BIGINT NOT NULL, v INT)")
+    c0.execute("INSERT INTO seq " +
+      (100 to 400).map(i => s"VALUES ($i, $i)").mkString(" UNION ALL "))
+    val c = new JdbcConnection(spark, DerbyDialect,
+      JdbcOptions(url = "jdbc:derby:memory:rng"),
+      Some(JdbcPartitioning(4, "id", PartitioningMode.Range)))
+    val df = c.readSourceAsDf("seq", Nil, Nil, None, None, None)
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 301)
+    // stride partitioning must not drop boundary rows
+    assert(df.agg(min(col("id")), max(col("id"))).head().toSeq ==
+      Seq(100L, 400L))
+  }
+
+  test("driver-channel type mapping: date/timestamp/decimal/smallint/real") {
+    val c = newConn("types")
+    c.execute("""CREATE TABLE typed (
+      d DATE, ts TIMESTAMP, dc DECIMAL(10,2), si SMALLINT, r REAL, b BOOLEAN)""")
+    c.execute("INSERT INTO typed VALUES " +
+      "(DATE('2024-03-15'), TIMESTAMP('2024-03-15 12:30:45'), " +
+      "1234.56, 7, 2.5, true)")
+    val df = c.fetch("SELECT * FROM typed")
+    val f = df.schema.fields.map(x => x.name.toLowerCase -> x.dataType.typeName).toMap
+    assert(f("d") == "date" && f("ts") == "timestamp" &&
+      f("dc") == "decimal(10,2)" && f("si") == "short" &&
+      f("r") == "float" && f("b") == "boolean", f.toString)
+    val r = df.head()
+    assert(r.getAs[java.sql.Date]("D").toString == "2024-03-15")
+    assert(r.getAs[java.math.BigDecimal]("DC").toString == "1234.56")
+    assert(r.getAs[Short]("SI") == 7.toShort)
+  }
+
   test("write modes: append creates, overwrite replaces, roundtrip survives") {
     val c = newConn("wr")
     val df = (1L to 20L).map(i => (i, s"s$i")).toDF("id", "name")
