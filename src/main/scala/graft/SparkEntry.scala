@@ -260,6 +260,22 @@ object SparkEntry {
           col("n"), col("total"))
         .orderBy(col("w_start"), col("event_type"))
     }),
+    "q_asof_join" -> ((s, dir) => {
+      // for each event: the customer's latest order at-or-before the event
+      // (union–sort–carry as-of; see operators.Joins.asofJoin).
+      // events.ts is TIMESTAMP(NANOS) → read as long, convert to micros
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val events = DbReader(conn(s, dir), "events").run()
+        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      val orders = DbReader(conn(s, dir), "orders").run()
+      operators.Joins.asofJoin(events, orders,
+          leftTime = "ts", rightTime = "o_orderdate",
+          leftBy = Seq("user_id"), rightBy = Seq("o_custkey"),
+          rightCols = Seq("o_orderkey", "o_totalprice"),
+          tiebreak = Some("o_orderkey"), how = "inner")
+        .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    }),
     "q_rollup" -> ((s, dir) => {
       // grouping-set rollup with null-safe group keys for cross-engine sort
       DbReader(conn(s, dir), "lineitem").run()
@@ -459,6 +475,19 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n,
         |       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS balance
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // deterministic as-of semantics: max (o_orderdate, o_orderkey) among
+    // orders at-or-before the event — DuckDB's native ASOF JOIN leaves
+    // equal-timestamp winners unspecified, so the oracle imposes the
+    // same tiebreak explicitly
+    "q_asof_join" ->
+      """WITH cand AS (
+        |  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, o_orderkey, o_totalprice FROM cand WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
         |       count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Join operators Spark lacks as built-ins.
+  *
+  * The reference delegates all joins to Spark (README.rst "Goals" bullet 2;
+  * SURVEY §2.9); these cover the time-series shapes a training-data /
+  * feature pipeline needs that the built-in equi/range machinery handles
+  * badly at scale.
+  */
+object Joins {
+
+  /** As-of join: for every left row, attach the single latest right row
+    * with `right.timeCol <= left.timeCol` on the same key (pandas
+    * `merge_asof` / DuckDB `ASOF JOIN` semantics, backward direction).
+    *
+    * Implementation is union–sort–carry, NOT an inequality join: both
+    * sides are unioned (right payload packed into one struct), hash
+    * -shuffled once on the key, sorted within each key by
+    * (time, side, tiebreak), and the last non-null right struct is carried
+    * forward with a running `last(ignoreNulls)` window. One shuffle per
+    * side, no range cross-product, no broadcast requirement — at 100 TB
+    * this is the only shape that survives (a Catalyst inequality join
+    * degenerates to BroadcastNestedLoop). Heavily skewed keys can be
+    * pre-salted by bucketing `timeCol` — the algorithm is unchanged.
+    *
+    * Time ties: a right row at exactly left.time IS visible (<=). Among
+    * right rows sharing (key, time), the one with the greatest `tiebreak`
+    * wins, making results deterministic (DuckDB ASOF leaves this
+    * unspecified, so the oracle must impose the same tiebreak).
+    *
+    * @param rightCols right columns to attach (must not collide with left)
+    * @param tiebreak  right column ordering ties on equal timestamps
+    * @param how       "left" (unmatched left rows keep nulls) or "inner"
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftTime: String, rightTime: String,
+               leftBy: Seq[String], rightBy: Seq[String],
+               rightCols: Seq[String],
+               tiebreak: Option[String] = None,
+               how: String = "left"): DataFrame = {
+    require(leftBy.length == rightBy.length && leftBy.nonEmpty,
+      "asofJoin needs matching non-empty key column lists")
+    require(Seq("left", "inner").contains(how), s"how must be left|inner, got $how")
+    val collisions = rightCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"right columns collide with left: $collisions")
+
+    val keyNames = leftBy.indices.map(i => s"__asof_k$i")
+    val payloadCols = (rightCols :+ rightTime).distinct ++
+      tiebreak.filterNot(rightCols.contains).filterNot(_ == rightTime)
+    val payloadType = StructType(
+      right.select(payloadCols.map(col): _*).schema.fields)
+
+    val leftPrep = left.select(
+      leftBy.zip(keyNames).map { case (c, k) => col(c).as(k) } ++ Seq(
+        col(leftTime).as("__asof_t"),
+        lit(1).as("__asof_side"),
+        struct(left.columns.map(col): _*).as("__asof_l"),
+        lit(null).cast(payloadType).as("__asof_r")): _*)
+    val rightPrep = right.select(
+      rightBy.zip(keyNames).map { case (c, k) => col(c).as(k) } ++ Seq(
+        col(rightTime).cast(leftPrep.schema("__asof_t").dataType).as("__asof_t"),
+        lit(0).as("__asof_side"),
+        lit(null).cast(leftPrep.schema("__asof_l").dataType).as("__asof_l"),
+        struct(payloadCols.map(col): _*).as("__asof_r")): _*)
+
+    // sort: right rows first at equal time (they are visible to the left
+    // row), greatest tiebreak last so `last()` picks it
+    val order = Seq(col("__asof_t").asc, col("__asof_side").asc) ++
+      tiebreak.map(tb => col(s"__asof_r.$tb").asc_nulls_first)
+    val w = Window.partitionBy(keyNames.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = leftPrep.unionByName(rightPrep)
+      .withColumn("__asof_match", last(col("__asof_r"), ignoreNulls = true).over(w))
+      .filter(col("__asof_side") === 1)
+
+    val filtered = how match {
+      case "inner" => carried.filter(col("__asof_match").isNotNull)
+      case _ => carried
+    }
+    filtered.select(
+      left.columns.map(c => col(s"__asof_l.$c").as(c)) ++
+        rightCols.map(c => col(s"__asof_match.$c").as(c)): _*)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val events = Seq(
+    (1L, 100L, ts("2024-01-10 00:00:00")), // after two orders
+    (2L, 100L, ts("2024-01-05 00:00:00")), // exactly at an order's time
+    (3L, 100L, ts("2024-01-01 00:00:00")), // before any order
+    (4L, 200L, ts("2024-06-01 00:00:00")), // other key
+    (5L, 300L, ts("2024-06-01 00:00:00"))  // key with no orders at all
+  ).toDF("event_id", "user_id", "ts")
+
+  private val orders = Seq(
+    (10L, 100L, ts("2024-01-03 00:00:00"), 30.0),
+    (11L, 100L, ts("2024-01-05 00:00:00"), 50.0), // tie on time with 12
+    (12L, 100L, ts("2024-01-05 00:00:00"), 70.0), // wins tie (bigger key)
+    (20L, 200L, ts("2024-05-01 00:00:00"), 99.0)
+  ).toDF("o_id", "cust", "o_ts", "price")
+
+  test("asofJoin: backward match, <= inclusivity, deterministic tiebreak") {
+    val out = Joins.asofJoin(events, orders,
+        leftTime = "ts", rightTime = "o_ts",
+        leftBy = Seq("user_id"), rightBy = Seq("cust"),
+        rightCols = Seq("o_id", "price"),
+        tiebreak = Some("o_id"), how = "left")
+      .orderBy($"event_id")
+      .select($"event_id", $"o_id", $"price")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    assert(out.toSeq == Seq(
+      (1L, Some(12L), Some(70.0)), // latest time 01-05, tie -> max o_id
+      (2L, Some(12L), Some(70.0)), // same-instant order IS visible (<=)
+      (3L, None, None),            // nothing at or before
+      (4L, Some(20L), Some(99.0)),
+      (5L, None, None)))           // key absent from right
+  }
+
+  test("asofJoin inner drops unmatched left rows; left schema is preserved") {
+    val out = Joins.asofJoin(events, orders,
+      "ts", "o_ts", Seq("user_id"), Seq("cust"),
+      Seq("o_id"), tiebreak = Some("o_id"), how = "inner")
+    assert(out.columns.toSeq == Seq("event_id", "user_id", "ts", "o_id"))
+    assert(out.select($"event_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L))
+  }
+
+  test("asofJoin plan: one shuffle per side on the key, no nested loop") {
+    val out = Joins.asofJoin(events, orders,
+      "ts", "o_ts", Seq("user_id"), Seq("cust"), Seq("o_id"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"asof must not degenerate to a nested-loop join: $plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+}
