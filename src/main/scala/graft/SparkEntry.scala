@@ -276,6 +276,23 @@ object SparkEntry {
         .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("event_id"))
     }),
+    "q_band_join" -> ((s, dir) => {
+      // same-user event pairs within one hour of each other — a binned
+      // equi-join on (user, time-bucket), not an inequality join
+      // (operators.Joins.bandJoin)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val base = DbReader(conn(s, dir), "events").run()
+        .withColumn("ets", (col("ts") / lit(1000000000L)).cast("long"))
+      val a = base.select(col("event_id").as("id1"), col("user_id"),
+        col("ets").as("t1"))
+      val b = base.select(col("event_id").as("id2"), col("user_id").as("uid2"),
+        col("ets").as("t2"))
+      operators.Joins.bandJoin(a, b, "t1", "t2",
+          Seq("user_id"), Seq("uid2"), band = 3600.0)
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"))
+        .orderBy(col("id1"), col("id2"))
+    }),
     "q_rollup" -> ((s, dir) => {
       // grouping-set rollup with null-safe group keys for cross-engine sort
       DbReader(conn(s, dir), "lineitem").run()
@@ -488,6 +505,14 @@ object SparkEntry {
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
         |SELECT event_id, o_orderkey, o_totalprice FROM cand WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
+    // both sides floor to whole epoch seconds so the band boundary is
+    // bit-identical across engines (events.ts carries sub-second precision)
+    "q_band_join" ->
+      """SELECT a.event_id AS id1, b.event_id AS id2
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND a.event_id < b.event_id
+        |  AND abs(floor(epoch(a.ts)) - floor(epoch(b.ts))) <= 3600
+        |ORDER BY id1, id2""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
         |       count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty

@@ -88,4 +88,43 @@ object Joins {
       left.columns.map(c => col(s"__asof_l.$c").as(c)) ++
         rightCols.map(c => col(s"__asof_match.$c").as(c)): _*)
   }
+
+  /** Band (range) join: pairs where `|left.valCol - right.valCol| <= band`
+    * on the same key, WITHOUT an inequality join (Catalyst plans those as
+    * BroadcastNestedLoop — quadratic and undistributable at scale).
+    *
+    * Both sides bucketize `valCol` into bins of `binWidth`; the left row
+    * keeps its single bin, the right row replicates to every bin its
+    * `[v-band, v+band]` window touches (≤ `2 + band/binWidth` bins), the
+    * join is a plain equi-join on (keys, bin), and the exact predicate
+    * filters after. Each qualifying pair meets in exactly one bin (the
+    * left row's), so no dedup pass is needed. `binWidth` defaults to
+    * `band`, giving ≤ 3 replicas — tune it when band ≫ typical spacing.
+    */
+  def bandJoin(left: DataFrame, right: DataFrame,
+               leftVal: String, rightVal: String,
+               leftBy: Seq[String], rightBy: Seq[String],
+               band: Double,
+               binWidth: Option[Double] = None): DataFrame = {
+    require(band >= 0, "band must be non-negative")
+    require(leftBy.length == rightBy.length,
+      "bandJoin needs matching key column lists")
+    val collisions = right.columns.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"column names collide across sides: $collisions")
+    val w = binWidth.getOrElse(math.max(band, Double.MinPositiveValue))
+
+    val l = left.withColumn("__band_bin",
+      floor(col(leftVal).cast("double") / w).cast("long"))
+    val r = right.withColumn("__band_bin", explode(sequence(
+      floor((col(rightVal).cast("double") - band) / w).cast("long"),
+      floor((col(rightVal).cast("double") + band) / w).cast("long"))))
+
+    val keyCond = leftBy.zip(rightBy)
+      .map { case (a, b) => l(a) === r(b) }
+      .foldLeft(l("__band_bin") === r("__band_bin"))(_ && _)
+    l.join(r, keyCond)
+      .filter(abs(col(leftVal).cast("double") - col(rightVal).cast("double"))
+        <= band)
+      .drop("__band_bin")
+  }
 }

@@ -59,4 +59,38 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("Window"), plan)
   }
+
+  test("bandJoin: inclusive band, cross-bin matches, key isolation") {
+    val pts = Seq((1L, 10L, 100.0), (2L, 10L, 205.0), (3L, 20L, 100.0))
+      .toDF("pid", "k", "x")
+    val refs = Seq(
+      (50L, 10L, 90.0),   // |100-90|=10 == band → inclusive match for pid 1
+      (51L, 10L, 199.0),  // bin below 205 but within band → cross-bin match
+      (52L, 10L, 300.0),  // out of band for everyone
+      (53L, 30L, 100.0))  // exact value, wrong key
+      .toDF("rid", "rk", "y")
+    val out = Joins.bandJoin(pts, refs, "x", "y",
+        Seq("k"), Seq("rk"), band = 10.0)
+      .select($"pid", $"rid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 50L), (2L, 51L)))
+  }
+
+  test("bandJoin: pairs meet in exactly one bin (no duplicates)") {
+    val pts = Seq((1L, 1L, 100.0)).toDF("pid", "k", "x")
+    val refs = Seq((9L, 1L, 99.0)).toDF("rid", "rk", "y")
+    // narrow bins: the ref row replicates to many bins, but only the
+    // left row's single bin can produce the pair
+    val out = Joins.bandJoin(pts, refs, "x", "y", Seq("k"), Seq("rk"),
+      band = 10.0, binWidth = Some(2.0))
+    assert(out.count() == 1)
+  }
+
+  test("bandJoin plan: equi-join on bins, no nested loop") {
+    val pts = Seq((1L, 1L, 1.0)).toDF("pid", "k", "x")
+    val refs = Seq((2L, 1L, 1.5)).toDF("rid", "rk", "y")
+    val plan = Joins.bandJoin(pts, refs, "x", "y", Seq("k"), Seq("rk"), 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }
