@@ -260,6 +260,15 @@ object SparkEntry {
           col("n"), col("total"))
         .orderBy(col("w_start"), col("event_type"))
     }),
+    "q_topk_sketch" -> ((s, dir) => {
+      // one-pass mergeable SpaceSaving heavy hitters; capacity 64 covers
+      // the distinct event types so counts are exact → DuckDB-checkable
+      val ev = DbReader(conn(s, dir), "events").run()
+      ev.agg(graft.expressions.GraftExpressions
+          .topkSketch(col("event_type"), 5, 64).as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.count").as("n"))
+    }),
     "q_asof_join" -> ((s, dir) => {
       // for each event: the customer's latest order at-or-before the event
       // (union–sort–carry as-of; see operators.Joins.asofJoin).
@@ -492,6 +501,9 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n,
         |       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS balance
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_topk_sketch" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5""".stripMargin,
     // deterministic as-of semantics: max (o_orderdate, o_orderkey) among
     // orders at-or-before the event — DuckDB's native ASOF JOIN leaves
     // equal-timestamp winners unspecified, so the oracle imposes the

@@ -255,6 +255,10 @@ object GraftExpressions {
   def simhash64(c: Column, seed: Long = 42L): Column = col(SimHash64(expr(c), seed))
   def cosineSimilarity(a: Column, b: Column): Column =
     col(CosineSimilarity(expr(a), expr(b)))
+  /** Aggregate: approximate top-k heavy hitters (exact when capacity
+    * covers the distinct count). */
+  def topkSketch(c: Column, k: Int, capacity: Int): Column =
+    col(TopKItems(expr(c), k, capacity).toAggregateExpression())
 
   /** Make the expressions usable from `spark.sql(...)` too. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

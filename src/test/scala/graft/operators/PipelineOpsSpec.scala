@@ -207,6 +207,48 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class TopKSketchSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.expressions.GraftExpressions.topkSketch
+  import org.apache.spark.sql.functions._
+
+  test("exact regime: capacity >= distinct reproduces GROUP BY counts") {
+    val df = (1 to 1000).map(i => s"item${i % 7}").toDF("s").repartition(8)
+    val got = df.agg(topkSketch($"s", 3, 64).as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.item", $"e.count", $"e.error")
+      .as[(String, Long, Long)].collect().toSeq
+    val expected = (1 to 1000).map(i => s"item${i % 7}")
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }.toSeq
+      .sortBy { case (k, n) => (-n, k) }.take(3)
+    assert(got.map(t => (t._1, t._2)) == expected)
+    assert(got.forall(_._3 == 0L), "exact regime must report zero error")
+  }
+
+  test("heavy hitter survives tiny capacity across partition merges") {
+    // 5000 occurrences of HH + 2000 distinct noise singletons; any item
+    // with freq > N/capacity is guaranteed kept by SpaceSaving
+    val rows = Seq.fill(5000)("HH") ++ (1 to 2000).map(i => s"n$i")
+    val df = rows.toDF("s").repartition(16)
+    val got = df.agg(topkSketch($"s", 1, 32).as("tk"))
+      .select(explode($"tk").as("e")).select($"e.item", $"e.count", $"e.error")
+      .as[(String, Long, Long)].head()
+    assert(got._1 == "HH")
+    assert(got._2 >= 5000L, "estimate must upper-bound the true count")
+    assert(got._2 - got._3 <= 5000L, "count - error must lower-bound truth")
+  }
+
+  test("null inputs are ignored; grouped aggregation works per key") {
+    val df = Seq(("a", "x"), ("a", "x"), ("a", null), ("b", "y"))
+      .toDF("g", "s")
+    val got = df.groupBy($"g").agg(topkSketch($"s", 1, 8).as("tk"))
+      .select($"g", explode($"tk").as("e"))
+      .select($"g", $"e.item", $"e.count")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "x", 2L), ("b", "y", 1L)))
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
