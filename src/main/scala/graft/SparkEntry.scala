@@ -260,6 +260,28 @@ object SparkEntry {
           col("n"), col("total"))
         .orderBy(col("w_start"), col("event_type"))
     }),
+    "q_cube" -> ((s, dir) => {
+      // grouping-set coverage: CUBE over two order dimensions
+      DbReader(conn(s, dir), "orders").run()
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("n"), col("total"))
+        .orderBy(col("st"), col("pri"))
+    }),
+    "q_pivot" -> ((s, dir) => {
+      // pivot order status into columns per priority
+      DbReader(conn(s, dir), "orders").run()
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"), col("F").as("n_f"),
+          col("O").as("n_o"), col("P").as("n_p"))
+        .orderBy(col("o_orderpriority"))
+    }),
     "q_topk_sketch" -> ((s, dir) => {
       // one-pass mergeable SpaceSaving heavy hitters; capacity 64 covers
       // the distinct event types so counts are exact → DuckDB-checkable
@@ -501,6 +523,18 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n,
         |       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS balance
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |       coalesce(o_orderpriority, 'ALL') AS pri,
+        |       count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |       count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |       count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |       count(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_topk_sketch" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5""".stripMargin,
