@@ -1,0 +1,110 @@
+package graft.core
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based tests for the pure window/HWM math — an upgrade over the
+  * reference, whose tests pin only hand-picked examples
+  * (tests_strategy_unit/). */
+class PropertySpec extends SparkSpec {
+
+  private def check(label: String, p: Prop): Unit = {
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, s"$label: ${r.status}")
+  }
+
+  test("batch stepping partitions (start, stop] exactly, first edge inclusive") {
+    val gen = for {
+      start <- Gen.choose(-1000000L, 1000000L)
+      len <- Gen.choose(0L, 100000L)
+      step <- Gen.choose(math.max(1L, len / 50), math.max(1L, len / 50) + 50000L)
+    } yield (start, start + len, step)
+    check("partition", Prop.forAll(gen) { case (start, stop, step) =>
+      val b = SnapshotBatchStrategy(step)
+      b.initialize(start, stop)
+      val wins = scala.collection.mutable.ArrayBuffer[Window]()
+      var done = false
+      while (!done) { wins += b.currentWindow("x"); done = b.advance("x") }
+      val ws = wins.toList
+      val contiguous = ws.zip(ws.drop(1)).forall { case (a, c) =>
+        a.stopAt.value == c.startFrom.value && !c.startFrom.including
+      }
+      val first = ws.head
+      val last = ws.last
+      first.startFrom.value.contains(start) && first.startFrom.including &&
+        last.stopAt.value.contains(stop) && last.stopAt.including &&
+        ws.forall(w => w.stopAt.including) &&
+        contiguous &&
+        ws.forall(w => !WindowMath.lt(w.stopAt.value.get, w.startFrom.value.get))
+    })
+  }
+
+  test("updateHwm is raise-only: value equals the running max") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(-1000000L, 1000000L))
+    check("raise-only", Prop.forAll(gen) { values =>
+      val s = new IncrementalStrategy(store = new InMemoryHwmStore)
+      s.fetchHwm(IntHwm("p.x", "p", "x", None))
+      values.foreach(s.updateHwm(_))
+      s.hwm.get.valueOpt.contains(values.max)
+    })
+  }
+
+  test("edgeToWhere renders the four inclusivity operators correctly") {
+    val gen = for {
+      v <- Gen.choose(-1000000L, 1000000L)
+      isStart <- Gen.oneOf(true, false)
+      inc <- Gen.oneOf(true, false)
+    } yield (v, isStart, inc)
+    check("edges", Prop.forAll(gen) { case (v, isStart, inc) =>
+      val sql = graft.dialects.GenericDialect
+        .edgeToWhere("c", Edge(Some(v), inc), isStart).get
+      val op = (isStart, inc) match {
+        case (true, true) => ">="
+        case (true, false) => ">"
+        case (false, true) => "<="
+        case (false, false) => "<"
+      }
+      sql == s"c $op $v"
+    })
+  }
+
+  test("SpaceSaving guarantees: heavy hitters kept, bounds bracket truth") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val gen = for {
+      capacity <- Gen.choose(4, 32)
+      items <- Gen.listOfN(500, Gen.choose(0, 200).map(i => s"i$i"))
+    } yield (capacity, items)
+    check("spacesaving", Prop.forAll(gen) { case (capacity, items) =>
+      val sk = new graft.expressions.SpaceSavingSketch(capacity)
+      items.foreach(s => sk.add(UTF8String.fromString(s)))
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = items.size.toLong
+      val kept = new scala.collection.mutable.HashMap[String, (Long, Long)]()
+      sk.counters.forEach((k, v) => kept(k.toString) = (v(0), v(1)))
+      val heavyKept = truth.forall { case (item, f) =>
+        f <= n / capacity || kept.contains(item)
+      }
+      val bounded = kept.forall { case (item, (count, err)) =>
+        val t = truth.getOrElse(item, 0L)
+        count >= t && count - err <= t
+      }
+      heavyKept && bounded
+    })
+  }
+
+  test("word shingle count is max(0, tokens - n + 1)") {
+    val token = Gen.choose(1, 6).flatMap(len =>
+      Gen.listOfN(len, Gen.alphaNumChar).map(_.mkString))
+    val gen = for {
+      k <- Gen.choose(1, 12)
+      toks <- Gen.listOfN(k, token)
+      n <- Gen.choose(1, 5)
+    } yield (toks, n)
+    check("shingles", Prop.forAll(gen) { case (toks, n) =>
+      val arr = graft.expressions.ShingleImpl.shingles(
+        org.apache.spark.unsafe.types.UTF8String.fromString(toks.mkString(" ")), n)
+      arr.numElements() == math.max(0, toks.size - n + 1)
+    })
+  }
+}
