@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GraftStringInput, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[graft.functions.TextFunctions.wordShingles]]).
   */
 case class WordShingles(child: Expression, n: Int)
-  extends UnaryExpression {
+  extends UnaryExpression with GraftStringInput {
   require(n >= 1, "shingle size must be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
