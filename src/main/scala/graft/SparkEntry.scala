@@ -205,6 +205,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "multimodal_frame_sample" -> ((s, dir) => {
+      // evenly-spaced frame sampling over opaque binary payloads
+      // (byte-slice stub in place of a codec; boundary math is exact and
+      // DuckDB-checkable through blob slicing)
+      val df = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      operators.Multimodal.frameSample(df, "payload", n = 4, frameBytes = 16)
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).cast("long").as("f_len"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // --- Spark-native transform handoff (SURVEY §2.9) --------------------
     "q3_top_revenue" -> ((s, dir) => {
       val c = conn(s, dir)
@@ -523,6 +535,15 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n,
         |       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS balance
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "multimodal_frame_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len,
+        |         greatest(1, octet_length(encode(text)) // 4) AS step
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |f AS (SELECT doc_id, unnest(range(least(4, len))) AS i, step, len FROM s)
+        |SELECT doc_id, i::INT AS frame_idx,
+        |       least(16, len - i*step)::BIGINT AS f_len
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS st,
         |       coalesce(o_orderpriority, 'ALL') AS pri,
