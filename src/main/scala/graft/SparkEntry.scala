@@ -272,6 +272,28 @@ object SparkEntry {
           col("n"), col("total"))
         .orderBy(col("w_start"), col("event_type"))
     }),
+    "q_percentile" -> ((s, dir) => {
+      // exact interpolated percentiles (Spark `percentile` == DuckDB
+      // quantile_cont), computed per group in one pass
+      DbReader(conn(s, dir), "lineitem").run()
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "q_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS through the SQL surface on a graft-read frame
+      val df = DbReader(conn(s, dir), "orders").run()
+      df.createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS st,
+              |       coalesce(o_orderpriority, 'ALL') AS pri,
+              |       count(*) AS n
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY st, pri""".stripMargin)
+    }),
     "q_cube" -> ((s, dir) => {
       // grouping-set coverage: CUBE over two order dimensions
       DbReader(conn(s, dir), "orders").run()
@@ -535,6 +557,19 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n,
         |       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS balance
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |       round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        |       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |       coalesce(o_orderpriority, 'ALL') AS pri,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY st, pri""".stripMargin,
     "multimodal_frame_sample" ->
       """WITH s AS (
         |  SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len,
