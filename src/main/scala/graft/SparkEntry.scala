@@ -272,6 +272,19 @@ object SparkEntry {
           col("n"), col("total"))
         .orderBy(col("w_start"), col("event_type"))
     }),
+    "q_session_gap" -> ((s, dir) => {
+      // batch gap sessionization (30 min): sessions per user + busiest
+      // session size (operators.Sessions)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = DbReader(conn(s, dir), "events").run()
+        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      operators.Sessions.stats(ev, "user_id", "ts", gapSeconds = 1800L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_events"),
+          max(col("span_sec")).as("max_span"))
+        .orderBy(col("user_id"))
+    }),
     "q_percentile" -> ((s, dir) => {
       // exact interpolated percentiles (Spark `percentile` == DuckDB
       // quantile_cont), computed per group in one pass
@@ -557,6 +570,23 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n,
         |       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS balance
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_session_gap" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL THEN 0
+        |              WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+        |              ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq FROM e),
+        |g AS (
+        |  SELECT user_id, session_seq, count(*) AS n_events,
+        |         floor(epoch(max(ts)) - epoch(min(ts)))::BIGINT AS span_sec
+        |  FROM s GROUP BY user_id, session_seq)
+        |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_events,
+        |       max(span_sec) AS max_span
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.5), 6) AS p50,

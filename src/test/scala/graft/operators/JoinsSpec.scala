@@ -85,6 +85,23 @@ class JoinsSpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("Sessions.assign: gap starts a new session, boundary stays inside") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:20:00")), // 1200s gap -> same session
+      (1L, ts("2024-01-01 00:50:00")), // exactly 1800s -> same (strict >)
+      (1L, ts("2024-01-01 02:00:00")), // 4200s -> new session
+      (2L, ts("2024-01-01 00:00:00"))  // other key independent
+    ).toDF("uid", "t")
+    val got = Sessions.assign(ev, "uid", "t", 1800L)
+      .orderBy($"uid", $"t")
+      .select($"uid", $"session_seq").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (1L, 0L), (1L, 0L), (1L, 1L), (2L, 0L)))
+    val st = Sessions.stats(ev, "uid", "t", 1800L)
+      .filter($"uid" === 1 && $"session_seq" === 0).head()
+    assert(st.getAs[Long]("n_events") == 3 && st.getAs[Long]("span_sec") == 3000L)
+  }
+
   test("bandJoin plan: equi-join on bins, no nested loop") {
     val pts = Seq((1L, 1L, 1.0)).toDF("pid", "k", "x")
     val refs = Seq((2L, 1L, 1.5)).toDF("rid", "rk", "y")
