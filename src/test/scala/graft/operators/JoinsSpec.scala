@@ -102,6 +102,36 @@ class JoinsSpec extends SparkSpec {
     assert(st.getAs[Long]("n_events") == 3 && st.getAs[Long]("span_sec") == 3000L)
   }
 
+  test("edge cases: empty sides, single rows, tiny corpora") {
+    val emptyOrders = orders.filter($"o_id" < 0)
+    // asof against an empty right: left keeps nulls, inner drops all
+    assert(Joins.asofJoin(events, emptyOrders, "ts", "o_ts",
+      Seq("user_id"), Seq("cust"), Seq("o_id")).count() == 5)
+    assert(Joins.asofJoin(events, emptyOrders, "ts", "o_ts",
+      Seq("user_id"), Seq("cust"), Seq("o_id"), how = "inner").count() == 0)
+    // band with empty right
+    assert(Joins.bandJoin(
+      Seq((1L, 1L, 1.0)).toDF("pid", "k", "x"),
+      Seq.empty[(Long, Long, Double)].toDF("rid", "rk", "y"),
+      "x", "y", Seq("k"), Seq("rk"), 1.0).count() == 0)
+    // sessionization of a single event
+    val one = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("uid", "t")
+    assert(Sessions.stats(one, "uid", "t", 60L).head()
+      .getAs[Long]("n_events") == 1)
+    // IVF with a corpus smaller than nLists still answers exactly
+    import graft.operators.Similarity
+    val tiny = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(1f, 1f))).toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(tiny, tiny.filter($"vec_id" === 1),
+        "vec_id", "embedding", 2, nLists = 8, nProbe = 8, iters = 1)
+      .select($"id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L))
+    // topk sketch over an empty frame → empty array, no crash
+    val empty = Seq.empty[String].toDF("s")
+    assert(empty.agg(graft.expressions.GraftExpressions
+      .topkSketch($"s", 3, 8).as("tk")).head().getSeq[Any](0).isEmpty)
+  }
+
   test("bandJoin plan: equi-join on bins, no nested loop") {
     val pts = Seq((1L, 1L, 1.0)).toDF("pid", "k", "x")
     val refs = Seq((2L, 1L, 1.5)).toDF("rid", "rk", "y")
