@@ -33,6 +33,23 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `word_shingle_hashes(text, n)`: xx64 of each word n-gram, one pass, no
+  * string array — the scale path for the dedup pipeline's widest column. */
+case class WordShingleHashes(child: Expression, n: Int, seed: Long = 42L)
+  extends UnaryExpression with GraftStringInput {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  protected override def nullSafeEval(input: Any): Any =
+    ShingleImpl.shingleHashes(input.asInstanceOf[UTF8String], n, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.ShingleImpl.shingleHashes($c, $n, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
 object ShingleImpl {
   private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f' || b == 0x0b
@@ -63,6 +80,55 @@ object ShingleImpl {
       val from = starts.get(k)
       val to = ends.get(k + n - 1)
       out(k) = normalizeSpaces(s, from, to)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** xx64 of each normalized n-gram WITHOUT materializing the string
+    * array — one scratch buffer reused across shingles. At scale the
+    * string shingle array is the widest intermediate in the dedup
+    * pipeline; this keeps only 8 bytes per shingle. Hash values equal
+    * `xx64(shingles(s, n)(k), seed)` exactly. */
+  def shingleHashes(s: UTF8String, n: Int, seed: Long): GenericArrayData = {
+    val len = s.numBytes()
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isSpace(s.getByte(i))) i += 1
+      if (i < len) {
+        starts.add(i)
+        while (i < len && !isSpace(s.getByte(i))) i += 1
+        ends.add(i)
+      }
+    }
+    val t = starts.size()
+    if (t < n) return new GenericArrayData(Array.empty[Any])
+    var scratch = new Array[Byte](64)
+    val out = new Array[Any](t - n + 1)
+    var k = 0
+    while (k <= t - n) {
+      val from = starts.get(k)
+      val to = ends.get(k + n - 1)
+      if (to - from > scratch.length) scratch = new Array[Byte](to - from)
+      // normalize whitespace runs to single spaces into the scratch buffer
+      var w = 0
+      var j = from
+      var lastSpace = false
+      while (j < to) {
+        val b = s.getByte(j)
+        if (isSpace(b)) {
+          if (!lastSpace) { scratch(w) = ' '; w += 1 }
+          lastSpace = true
+        } else {
+          scratch(w) = b; w += 1
+          lastSpace = false
+        }
+        j += 1
+      }
+      out(k) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, w, seed)
       k += 1
     }
     new GenericArrayData(out)

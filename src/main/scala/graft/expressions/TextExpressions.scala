@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GraftStringArrayInput, GraftStringInput, GraftVectorInput, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GraftStringArrayInput, GraftStringInput, GraftStringOrLongArrayInput, GraftVectorInput, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types._
@@ -38,15 +38,29 @@ case class Fingerprint64(child: Expression)
   * should filter empty docs before LSH banding, or every empty doc lands
   * in the same bucket). */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long = 42L)
-  extends UnaryExpression with GraftStringArrayInput {
+  extends UnaryExpression with GraftStringOrLongArrayInput {
   require(numHashes > 0 && numHashes <= 1024, "numHashes must be in (0, 1024]")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
+
+  // array<long> input = pre-hashed shingles (word_shingle_hashes): skip the
+  // per-element xx64 and apply the affine transforms directly. Signatures
+  // are identical to the string path because that path hashes with the
+  // same (xx64, seed).
+  private lazy val preHashed: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   protected override def nullSafeEval(input: Any): Any =
-    TextHashImpl.minhash(input.asInstanceOf[ArrayData], numHashes, seed)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (preHashed)
+      TextHashImpl.minhashFromHashes(input.asInstanceOf[ArrayData], numHashes, seed)
+    else TextHashImpl.minhash(input.asInstanceOf[ArrayData], numHashes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (preHashed) "minhashFromHashes" else "minhash"
     defineCodeGen(ctx, ev,
-      c => s"graft.expressions.TextHashImpl.minhash($c, $numHashes, ${seed}L)")
+      c => s"graft.expressions.TextHashImpl.$fn($c, $numHashes, ${seed}L)")
+  }
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
 }
@@ -131,6 +145,24 @@ object TextHashImpl {
     var i = 0
     while (i < n) {
       val h = xx64(shingles.getUTF8String(i), seed)
+      var j = 0
+      while (j < numHashes) {
+        val v = a(j) * h + b(j)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def minhashFromHashes(hashes: ArrayData, numHashes: Int, seed: Long): ArrayData = {
+    val (a, b) = coeffs(numHashes, seed)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
       var j = 0
       while (j < numHashes) {
         val v = a(j) * h + b(j)
@@ -250,6 +282,8 @@ object GraftExpressions {
 
   def fingerprint64(c: Column): Column = col(Fingerprint64(expr(c)))
   def wordShingles(c: Column, n: Int): Column = col(WordShingles(expr(c), n))
+  def wordShingleHashes(c: Column, n: Int, seed: Long = 42L): Column =
+    col(WordShingleHashes(expr(c), n, seed))
   def minhashSignature(c: Column, numHashes: Int, seed: Long = 42L): Column =
     col(MinHashSignature(expr(c), numHashes, seed))
   def simhash64(c: Column, seed: Long = 42L): Column = col(SimHash64(expr(c), seed))

@@ -52,9 +52,11 @@ object Dedup {
                       threshold: Double = 0.8,
                       seed: Long = 42L): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // hashed shingles end-to-end: 8 bytes/shingle through every shuffle,
+    // signatures identical to hashing the strings (same xx64/seed)
     val docs = df.select(
         col(idCol).as("id"),
-        array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize))
+        array_distinct(GraftExpressions.wordShingleHashes(col(textCol), shingleSize))
           .as("shingles"))
       .filter(size(col("shingles")) > 0)
     val sigs = docs.withColumn("sig",
@@ -101,13 +103,12 @@ object Dedup {
                            shingleSize: Int = 3,
                            threshold: Double = 0.8): DataFrame = {
     val docs = df.select(col(idCol).as("id"),
-        array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize))
+        array_distinct(GraftExpressions.wordShingleHashes(col(textCol), shingleSize))
           .as("shingles"))
       .filter(size(col("shingles")) > 0)
       .withColumn("n_sh", size(col("shingles")))
     val inverted = docs
-      .select(col("id"), col("n_sh"), explode(col("shingles")).as("sh0"))
-      .select(col("id"), col("n_sh"), xxhash64(col("sh0")).as("sh"))
+      .select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
     val shared = inverted.as("l")
       .join(inverted.as("r"),
         col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))

@@ -28,3 +28,10 @@ trait GraftVectorInput extends ImplicitCastInputTypes { self: Expression =>
   override def inputTypes: Seq[AbstractDataType] =
     Seq.fill(children.size)(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
 }
+
+/** Raw shingle strings or pre-hashed 64-bit shingles are both accepted
+  * (the hashed form avoids materializing string arrays at scale). */
+trait GraftStringOrLongArrayInput extends ImplicitCastInputTypes { self: Expression =>
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq.fill(children.size)(TypeCollection(ArrayType(StringType), ArrayType(LongType)))
+}

@@ -93,6 +93,29 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("shingleHashes == xx64 of the string shingles, element by element") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val token = Gen.choose(1, 6).flatMap(len =>
+      Gen.listOfN(len, Gen.alphaNumChar).map(_.mkString))
+    val ws = Gen.choose(1, 3).map(" " * _)
+    val gen = for {
+      k <- Gen.choose(1, 10)
+      toks <- Gen.listOfN(k, token)
+      seps <- Gen.listOfN(k, ws)
+      n <- Gen.choose(1, 4)
+    } yield (toks.zip(seps).map { case (t, s) => t + s }.mkString, n)
+    check("hash-parity", Prop.forAll(gen) { case (text, n) =>
+      val u = UTF8String.fromString(text)
+      val strs = graft.expressions.ShingleImpl.shingles(u, n)
+      val hashes = graft.expressions.ShingleImpl.shingleHashes(u, n, 42L)
+      hashes.numElements() == strs.numElements() &&
+        (0 until strs.numElements()).forall { i =>
+          hashes.getLong(i) ==
+            graft.expressions.TextHashImpl.xx64(strs.getUTF8String(i), 42L)
+        }
+    })
+  }
+
   test("word shingle count is max(0, tokens - n + 1)") {
     val token = Gen.choose(1, 6).flatMap(len =>
       Gen.listOfN(len, Gen.alphaNumChar).map(_.mkString))
