@@ -41,5 +41,18 @@ class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("hyperplane_sig64"),
       info("hyperplane_sig64", "hyperplane_sig64(vec) - 64-bit random-hyperplane LSH signature"),
       (es: Seq[Expression]) => HyperplaneSignature64(es.head)))
+    ext.injectFunction((FunctionIdentifier("word_shingle_hashes"),
+      info("word_shingle_hashes", "word_shingle_hashes(str, n) - xx64 of each word n-gram"),
+      (es: Seq[Expression]) => WordShingleHashes(es.head,
+        es(1).eval(null).asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(shingles, k) - k-hash MinHash signature"),
+      (es: Seq[Expression]) => MinHashSignature(es.head,
+        es(1).eval(null).asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("topk_sketch"),
+      info("topk_sketch", "topk_sketch(col, k, capacity) - SpaceSaving heavy hitters"),
+      (es: Seq[Expression]) => TopKItems(es.head,
+        es(1).eval(null).asInstanceOf[Number].intValue(),
+        es(2).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression()))
   }
 }

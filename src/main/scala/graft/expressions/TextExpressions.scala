@@ -308,5 +308,16 @@ object GraftExpressions {
         es(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_sig64",
       es => HyperplaneSignature64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("word_shingle_hashes",
+      es => WordShingleHashes(es.head,
+        es(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      es => MinHashSignature(es.head,
+        es(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("topk_sketch",
+      es => TopKItems(es.head,
+        es(1).eval(null).asInstanceOf[Number].intValue(),
+        es(2).eval(null).asInstanceOf[Number].intValue())
+        .toAggregateExpression(), "built-in")
   }
 }

@@ -29,4 +29,19 @@ class ExtensionSpec extends SparkSpec {
     val df = spark.sql("SELECT word_shingles('a b c d', 2) AS sh")
     assert(df.head().getSeq[String](0) == Seq("a b", "b c", "c d"))
   }
+
+  test("minhash/shingle-hash/topk SQL functions work end to end") {
+    GraftExpressions.register(spark)
+    val r = spark.sql(
+      """SELECT size(minhash_signature(word_shingle_hashes('a b c d e', 3), 16)) AS k,
+        |       word_shingle_hashes('a b', 2)[0] AS h
+        |""".stripMargin).head()
+    assert(r.getInt(0) == 16)
+    assert(r.getLong(1) == graft.expressions.TextHashImpl.xx64(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b"), 42L))
+    val tk = spark.sql(
+      """SELECT topk_sketch(s, 2, 8) AS tk FROM VALUES ('x'),('x'),('y') t(s)
+        |""".stripMargin).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.map(r => (r.getString(0), r.getLong(1))) == Seq(("x", 2L), ("y", 1L)))
+  }
 }
