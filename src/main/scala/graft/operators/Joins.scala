@@ -89,6 +89,32 @@ object Joins {
         rightCols.map(c => col(s"__asof_match.$c").as(c)): _*)
   }
 
+  /** Salted equi-join for skewed keys: the big side gets a uniform salt in
+    * [0, factor), the small side is replicated once per salt value, and the
+    * join key becomes (keys, salt) — a hot key's rows now spread over
+    * `factor` reduce partitions instead of serializing through one.
+    *
+    * Use when AQE's skew-join split can't apply (non-sort-merge joins,
+    * pair-generation self-joins) and the small side is replicable. Results
+    * are identical to the plain join: every big row matches exactly the
+    * one replica carrying its salt. Cost: small side × factor.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame,
+                 bigKeys: Seq[String], smallKeys: Seq[String],
+                 factor: Int, joinType: String = "inner"): DataFrame = {
+    require(factor >= 1, "salt factor must be >= 1")
+    require(bigKeys.length == smallKeys.length && bigKeys.nonEmpty,
+      "saltedJoin needs matching non-empty key column lists")
+    val b = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(factor)).cast("int"))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    val cond = bigKeys.zip(smallKeys)
+      .map { case (x, y) => b(x) === s(y) }
+      .foldLeft(b("__salt") === s("__salt"))(_ && _)
+    b.join(s, cond, joinType).drop("__salt")
+  }
+
   /** Band (range) join: pairs where `|left.valCol - right.valCol| <= band`
     * on the same key, WITHOUT an inequality join (Catalyst plans those as
     * BroadcastNestedLoop — quadratic and undistributable at scale).

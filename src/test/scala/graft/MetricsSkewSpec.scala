@@ -31,4 +31,25 @@ class MetricsSkewSpec extends SparkSpec {
         s"uniform keys must stay balanced: ${even.map(_.shuffleSkew)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
+
+  test("saltedJoin: identical result to plain join, spread over salts") {
+    import graft.operators.Joins
+    // 10k rows all on key 1 (hot) + 100 spread keys, joined to a small dim
+    val big = spark.range(10100)
+      .withColumn("k", when($"id" < 10000, lit(1L)).otherwise($"id" % 100))
+      .withColumn("v", $"id" * 2)
+    val dim = (0L until 100L).map(k => (k, s"name$k")).toDF("dk", "name")
+    val plain = big.join(dim, big("k") === dim("dk"))
+      .select($"id", $"name").as[(Long, String)].collect().toSet
+    val salted = Joins.saltedJoin(big, dim, Seq("k"), Seq("dk"), factor = 8)
+      .select($"id", $"name").as[(Long, String)].collect().toSet
+    assert(salted == plain)
+    // left join keeps unmatched big rows exactly once
+    val bigWithMiss = big.withColumn("k",
+      when($"id" === 0, lit(-1L)).otherwise($"k"))
+    val leftS = Joins.saltedJoin(bigWithMiss, dim, Seq("k"), Seq("dk"),
+      factor = 4, joinType = "left")
+    assert(leftS.count() == bigWithMiss.join(dim,
+      bigWithMiss("k") === dim("dk"), "left").count())
+  }
 }
