@@ -272,6 +272,21 @@ object SparkEntry {
           col("n"), col("total"))
         .orderBy(col("w_start"), col("event_type"))
     }),
+    "q_salted_join" -> ((s, dir) => {
+      // skew-safe join shape: salt the fact side, replicate the dim —
+      // result-identical to the plain join (operators.Joins.saltedJoin)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = DbReader(conn(s, dir), "events").run()
+        .select(col("event_id"), col("user_id"), col("value"))
+      val cust = DbReader(conn(s, dir), "customer").run()
+        .select(col("c_custkey"), col("c_mktsegment"))
+      operators.Joins.saltedJoin(ev, cust,
+          Seq("user_id"), Seq("c_custkey"), factor = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("total"))
+        .orderBy(col("c_mktsegment"))
+    }),
     "q_session_gap" -> ((s, dir) => {
       // batch gap sessionization (30 min): sessions per user + busiest
       // session size (operators.Sessions)
@@ -570,6 +585,11 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n,
         |       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS balance
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_salted_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n,
+        |       sum(CAST(e.value AS DECIMAL(18,2))) AS total
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
     "q_session_gap" ->
       """WITH e AS (
         |  SELECT user_id, ts,
