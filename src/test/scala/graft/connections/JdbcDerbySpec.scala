@@ -134,6 +134,26 @@ class JdbcDerbySpec extends SparkSpec {
     assert(r.getAs[Short]("SI") == 7.toShort)
   }
 
+  test("Greenplum guard: >=100 parallel connections refused pre-flight") {
+    val url = JdbcOptions(url = "jdbc:postgresql://localhost:1/absent")
+    val storm = new GreenplumConnection(spark, url,
+      Some(JdbcPartitioning(150, "id", PartitioningMode.Range,
+        lowerBound = Some(0L), upperBound = Some(150L))))
+    val e = intercept[IllegalStateException] {
+      storm.readSourceAsDf("t", Nil, Nil, None, None, None)
+    }
+    assert(e.getMessage.contains("exceed"), e.getMessage)
+    // under the limit the guard passes — failure is then the absent driver/
+    // server, proving the read was attempted
+    val ok = new GreenplumConnection(spark, url,
+      Some(JdbcPartitioning(20, "id", PartitioningMode.Range,
+        lowerBound = Some(0L), upperBound = Some(20L))))
+    val e2 = intercept[Exception] {
+      ok.readSourceAsDf("t", Nil, Nil, None, None, None)
+    }
+    assert(!e2.getMessage.contains("exceed"), e2.getMessage)
+  }
+
   test("write modes: append creates, overwrite replaces, roundtrip survives") {
     val c = newConn("wr")
     val df = (1L to 20L).map(i => (i, s"s$i")).toDF("id", "name")
