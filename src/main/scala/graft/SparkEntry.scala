@@ -171,6 +171,7 @@ object SparkEntry {
         .select(col("doc_id"),
           langId(col("text")).as("lang_pred"),
           tokenCount(col("text")).as("n_tokens"),
+          subwordCountEstimate(col("text")).as("n_subwords"),
           qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
     }),
@@ -524,6 +525,7 @@ object SparkEntry {
         |       ELSE 'und' END AS lang_pred,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
         |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |  ceil(length(regexp_replace(text, '\s+', '', 'g')) / 4.0)::BIGINT AS n_subwords,
         |  round(0.3 * least(length(text) / 500.0, 1.0)
         |      + 0.4 * (CASE WHEN length(text) = 0 THEN 0.0
         |               ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / (length(text) * 1.0) END)

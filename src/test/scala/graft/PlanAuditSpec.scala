@@ -81,6 +81,15 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("*(") && l.contains("Project")), formatted(df))
   }
 
+  test("estimateDataFrameBytes tracks plan statistics and column pruning") {
+    val full = DbReader(conn, "lineitem").run()
+    val pruned = DbReader(conn, "lineitem", columns = Seq("l_orderkey")).run()
+    val fullB = graft.util.SparkUtils.estimateDataFrameBytes(full)
+    val prunedB = graft.util.SparkUtils.estimateDataFrameBytes(pruned)
+    assert(fullB > 0 && prunedB > 0 && prunedB < fullB,
+      s"pruned estimate must shrink: $prunedB vs $fullB")
+  }
+
   test("listeners fire around reads and writes, afterRead may rewrite") {
     var events = List.empty[String]
     val tagger = new GraftListener {
