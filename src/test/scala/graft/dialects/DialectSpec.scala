@@ -54,6 +54,18 @@ class DialectSpec extends AnyFunSuite {
     assert(OracleDialect.getSqlQuery("t", limit = Some(0)) ==
       "SELECT * FROM t WHERE 1 = 0")
   }
+  test("derby: FETCH FIRST limit, t.* expansion, MOD partitioning, probe") {
+    assert(DerbyDialect.getSqlQuery("t", limit = Some(5)) ==
+      "SELECT * FROM t FETCH FIRST 5 ROWS ONLY")
+    assert(DerbyDialect.getSqlQuery("t", columns = Seq("*", "id"), limit = Some(5)) ==
+      "SELECT t.*, id FROM t FETCH FIRST 5 ROWS ONLY")
+    assert(DerbyDialect.getSqlQuery("t", limit = Some(0)) ==
+      "SELECT * FROM t WHERE 1 = 0")
+    assert(DerbyDialect.partitionColumnMod("c", 8) == "MOD(ABS(c), 8)")
+    assert(DerbyDialect.checkQuery == "VALUES 1")
+    assert(OracleDialect.checkQuery == "SELECT 1 FROM dual")
+    assert(GenericDialect.checkQuery == "SELECT 1")
+  }
   test("mssql: TOP n") {
     assert(MssqlDialect.getSqlQuery("t", where = Seq("a > 1"), limit = Some(5)) ==
       "SELECT TOP 5 * FROM t WHERE a > 1")
