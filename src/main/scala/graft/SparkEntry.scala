@@ -185,6 +185,23 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "q_pipeline_e2e" -> ((s, dir) => {
+      // the whole training-data story in one plan: read through the engine,
+      // exact-dedup (keep smallest id per normalized text), quality-filter,
+      // then per-source language/token statistics
+      import graft.functions.TextFunctions._
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val kept = operators.Dedup.exactDedup(docs, "doc_id", "text")
+      kept.select(col("source"),
+          langId(col("text")).as("lang_pred"),
+          tokenCount(col("text")).as("n_tokens"),
+          qualityScore(col("text")).as("quality"))
+        .filter(col("quality") >= 0.4)
+        .groupBy(col("source"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("source"), col("lang_pred"))
+    }),
+
     // --- Multimodal plumbing ----------------------------------------------
     "multimodal_byte_stats" -> ((s, dir) => {
       // opaque binary payload (here: encoded text) + pure-SQL byte stats
@@ -543,6 +560,41 @@ object SparkEntry {
     "text_fingerprint_distinct" ->
       """SELECT source, count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_distinct
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_pipeline_e2e" ->
+      """WITH kept AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+        |t AS (SELECT d.* FROM documents d JOIN kept k ON d.doc_id = k.doc_id),
+        |s AS (
+        |  SELECT source,
+        |    CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |         WHEN len(regexp_extract_all(text, '[\x{3040}-\x{30ff}]')) > 0 THEN 'ja'
+        |         WHEN len(regexp_extract_all(text, '[\x{ac00}-\x{d7af}]')) > 0 THEN 'ko'
+        |         WHEN len(regexp_extract_all(text, '[\x{0400}-\x{04ff}]')) > 0 THEN 'ru'
+        |         WHEN len(regexp_extract_all(text, '[\x{0600}-\x{06ff}]')) > 0 THEN 'ar'
+        |         WHEN es > en AND es >= de AND es >= fr THEN 'es'
+        |         WHEN de > en AND de > es AND de >= fr THEN 'de'
+        |         WHEN fr > en AND fr > es AND fr > de THEN 'fr'
+        |         WHEN en > 0 THEN 'en'
+        |         ELSE 'und' END AS lang_pred,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    round(0.3 * least(length(text) / 500.0, 1.0)
+        |        + 0.4 * (CASE WHEN length(text) = 0 THEN 0.0
+        |                 ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / (length(text) * 1.0) END)
+        |        + 0.3 * (CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |                 ELSE least(len(regexp_extract_all(text, '\b(the|and|of|to|is|in|that|it|a|for)\b'))
+        |                            / (len(string_split_regex(trim(text), '\s+')) * 1.0) * 5.0, 1.0) END), 4)
+        |      AS quality
+        |  FROM (SELECT source, text,
+        |          len(regexp_extract_all(text, '\b(the|and|of|to|is|in|that|it)\b')) AS en,
+        |          len(regexp_extract_all(text, '\b(el|la|los|las|de|que|y|en|un|una)\b')) AS es,
+        |          len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|ein|eine)\b')) AS de,
+        |          len(regexp_extract_all(text, '\b(le|les|des|est|et|une|dans|pour)\b')) AS fr
+        |        FROM t) d)
+        |SELECT source, lang_pred, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+        |FROM s WHERE quality >= 0.4
+        |GROUP BY source, lang_pred ORDER BY source, lang_pred""".stripMargin,
     "multimodal_byte_stats" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |       CASE WHEN length(text) > 0 THEN ascii(substring(text, 1, 1)) ELSE -1 END AS first_byte
