@@ -47,13 +47,21 @@ final case class DateTimeHwm(name: String, entity: String, expression: String,
 }
 
 /** Kafka-style per-partition offsets (reference: kafka/dialect.py:55-59).
-  * New partitions default to offset 0 (kafka/connection.py:272-276). */
+  * New partitions default to offset 0 (kafka/connection.py:272-276).
+  * Updates MERGE per key keeping the maximum (etl-entities
+  * KeyValueIntHWM.update) — an update listing fewer partitions, e.g.
+  * after a topic rebalance, must not erase stored offsets, and a stale
+  * smaller offset must not move a partition backwards. */
 final case class KeyValueIntHwm(name: String, entity: String,
                                 expression: String = "offset",
                                 value: Map[Int, Long] = Map.empty) extends Hwm {
   def valueOpt: Option[Any] = if (value.isEmpty) None else Some(value)
-  def withValue(v: Any): Hwm =
-    copy(value = v.asInstanceOf[Map[Int, Long]])
+  def withValue(v: Any): Hwm = {
+    val incoming = v.asInstanceOf[Map[Int, Long]]
+    copy(value = incoming.foldLeft(value) { case (acc, (k, off)) =>
+      acc.updated(k, math.max(acc.getOrElse(k, Long.MinValue), off))
+    })
+  }
 }
 
 /** Set of already-seen file paths (reference: file_downloader.py:14). */

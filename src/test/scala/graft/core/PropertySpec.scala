@@ -116,6 +116,22 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("KeyValueIntHwm updates merge per-key maxima, never regress") {
+    val entry = for {
+      k <- Gen.choose(0, 5)
+      v <- Gen.choose(0L, 1000L)
+    } yield (k, v)
+    val gen = Gen.listOf(Gen.nonEmptyListOf(entry).map(_.toMap))
+    check("kv-merge", Prop.forAll(gen) { updates =>
+      val h0 = KeyValueIntHwm("k.off", "k")
+      val merged = updates.foldLeft(h0: Hwm)((h, u) => h.withValue(u))
+        .asInstanceOf[KeyValueIntHwm].value
+      val expected = updates.flatten
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      merged == expected
+    })
+  }
+
   test("word shingle count is max(0, tokens - n + 1)") {
     val token = Gen.choose(1, 6).flatMap(len =>
       Gen.listOfN(len, Gen.alphaNumChar).map(_.mkString))
