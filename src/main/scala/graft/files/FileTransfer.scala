@@ -77,6 +77,16 @@ final case class FileDownloader(connection: FileConnection,
   private val local = new LocalFileConnection
 
   private def strategyHwm: Option[HwmStrategy] = Strategy.current match {
+    case b: graft.core.BatchHwmStrategy =>
+      // reference file_downloader.py:620: file HWMs have no batch window
+      throw new IllegalArgumentException(
+        s"file transfer cannot run under ${b.getClass.getSimpleName} — " +
+          "file HWMs are not steppable; use IncrementalStrategy")
+    case s: graft.core.IncrementalStrategy if s.offset.nonEmpty =>
+      // reference file_downloader.py:624: offset is meaningless for files
+      throw new IllegalArgumentException(
+        "file transfer cannot use IncrementalStrategy(offset=...) — " +
+          "file HWMs have no numeric window to widen")
     case s: HwmStrategy =>
       require(hwmName.nonEmpty,
         "incremental file transfer requires hwmName=... on the downloader")

@@ -114,6 +114,19 @@ class FileTransferSpec extends AnyFunSuite {
     assert(r3.successful.map(p => Paths.get(p).getFileName.toString) == Seq("fresh.csv"))
   }
 
+  test("batch strategies and offset-incremental are rejected for files") {
+    val src = tmp("guard-src"); mkTree(src)
+    val dl = FileDownloader(new LocalFileConnection, src, tmp("guard-dst"),
+      hwmName = Some("g.files"))
+    intercept[IllegalArgumentException] {
+      Strategy.using(SnapshotBatchStrategy(step = 10L)) { dl.run() }
+    }
+    intercept[IllegalArgumentException] {
+      Strategy.using(new IncrementalStrategy(offset = Some(5L),
+        store = new InMemoryHwmStore)) { dl.run() }
+    }
+  }
+
   test("HWM is saved even when some files fail (partial-failure contract)") {
     val src = tmp("pf-src"); mkTree(src)
     val dst = tmp("pf-dst")
