@@ -18,13 +18,24 @@ final case class DbWriter(connection: DbConnection,
       "DbWriter cannot write streaming DataFrames — use Structured " +
         "Streaming sinks (graft.streaming) for those")
     graft.hooks.GraftListeners.fireBeforeWrite(target, df)
-    val (_, metrics) = graft.util.SparkUtils.withJobDescription(connection.spark,
-      s"DbWriter.run($target) -> ${connection.getClass.getSimpleName}") {
-      MetricsRecorder.record(connection.spark) {
-        connection.writeDfToTarget(df, target, ifExists, options)
+    val attempt = scala.util.Try {
+      graft.util.SparkUtils.withJobDescription(connection.spark,
+        s"DbWriter.run($target) -> ${connection.getClass.getSimpleName}") {
+        MetricsRecorder.record(connection.spark) {
+          connection.writeDfToTarget(df, target, ifExists, options)
+        }
       }
     }
-    graft.hooks.GraftListeners.fireAfterWrite(target, metrics)
-    metrics
+    attempt match {
+      case scala.util.Success((_, metrics)) =>
+        graft.hooks.GraftListeners.fireAfterWrite(target, metrics)
+        metrics
+      case scala.util.Failure(e) =>
+        // reference db_writer.py:183-186: a failed write is not a clean
+        // no-op — surface that the target may hold partial data
+        org.slf4j.LoggerFactory.getLogger(getClass).error(
+          s"error writing to $target — target MAY contain partially written data", e)
+        throw e
+    }
   }
 }
