@@ -141,10 +141,19 @@ class JdbcConnection(val spark: SparkSession,
                      dfSchema: Option[StructType]): DataFrame = {
     require(dfSchema.isEmpty,
       "JDBC sources infer their schema from the database — df_schema is not supported")
+    var boundsProbed = false
     val plan = JdbcReadPlan.plan(dialect, source, columns, where, hint, limit,
-      partitioning, getMinMaxValues(source, partitioning.get.partitionColumn, where))
+      partitioning, {
+        boundsProbed = true
+        getMinMaxValues(source, partitioning.get.partitionColumn, where)
+      })
+    // after a driver-side bound probe the init statement has already run
+    // once; drop it from the executor read (reference connection.py:384-386)
+    val base =
+      if (boundsProbed) sparkJdbcBaseOptions - "sessionInitStatement"
+      else sparkJdbcBaseOptions
     val df = spark.read.format("jdbc")
-      .options(sparkJdbcBaseOptions ++ plan.options).load()
+      .options(base ++ plan.options).load()
     plan.dropColumns.foldLeft(df)(_ drop _)
   }
 
