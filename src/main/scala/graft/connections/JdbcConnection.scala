@@ -18,7 +18,28 @@ final case class JdbcOptions(url: String,
                              fetchsize: Int = 100000,
                              queryTimeoutSec: Option[Int] = None,
                              sessionInitStatement: Option[String] = None,
-                             extra: Map[String, String] = Map.empty)
+                             extra: Map[String, String] = Map.empty) {
+  // connection identity and partitioning are modelled as typed fields; a
+  // passthrough key would silently override them (reference
+  // jdbc_connection/options.py:22-33 GENERIC_PROHIBITED_OPTIONS)
+  JdbcOptions.requireAllowed(extra, "JdbcOptions.extra")
+}
+
+object JdbcOptions {
+  /** Spark JDBC option keys a user must not smuggle through a passthrough
+    * map (case-insensitive, like Spark's own option handling). */
+  val ProhibitedPassthrough: Set[String] = Set(
+    "user", "password", "driver", "url", "table", "dbtable", "query",
+    "properties", "partitioncolumn", "lowerbound", "upperbound",
+    "numpartitions", "partitioningmode")
+
+  def requireAllowed(opts: Map[String, String], where: String): Unit = {
+    val bad = opts.keySet.filter(k => ProhibitedPassthrough(k.toLowerCase))
+    require(bad.isEmpty,
+      s"options ${bad.mkString(", ")} are not allowed in $where — they are " +
+        "owned by the connection/partitioning configuration")
+  }
+}
 
 /** Parallel-read partitioning (reference jdbc_connection/options.py:104-400).
   *
@@ -159,6 +180,7 @@ class JdbcConnection(val spark: SparkSession,
 
   def writeDfToTarget(df: DataFrame, target: String, ifExists: IfExists,
                       writeOptions: Map[String, String]): Unit = {
+    JdbcOptions.requireAllowed(writeOptions, "DbWriter options")
     val mode = ifExists match {
       case IfExists.Append => "append"
       case IfExists.ReplaceEntireTable | IfExists.ReplaceOverlappingPartitions => "overwrite"

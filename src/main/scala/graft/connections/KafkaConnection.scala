@@ -54,13 +54,23 @@ object KafkaPlanner {
         .getOrElse("latest"))
   }
 
-  def validateWriteColumns(columns: Seq[String]): Unit = {
+  def validateWriteColumns(columns: Seq[String],
+                           includeHeaders: Boolean = true): Unit = {
     require(columns.contains("value"), "Kafka write requires a 'value' column")
     val extra = columns.filterNot(writableColumns)
     require(extra.isEmpty,
       s"columns not writable to Kafka: ${extra.mkString(", ")} " +
         s"(allowed: ${writableColumns.mkString(", ")})")
+    // headers need includeHeaders=true on the sink
+    // (reference kafka/connection.py:312-314)
+    require(includeHeaders || !columns.contains("headers"),
+      "Cannot write a 'headers' column with includeHeaders=false")
   }
+}
+
+object KafkaConnection {
+  private[connections] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[KafkaConnection])
 }
 
 final class KafkaConnection(val spark: SparkSession,
@@ -94,7 +104,11 @@ final class KafkaConnection(val spark: SparkSession,
 
   def writeDfToTarget(df: DataFrame, target: String, ifExists: IfExists,
                       options: Map[String, String]): Unit = {
-    KafkaPlanner.validateWriteColumns(df.columns.toSeq)
+    KafkaPlanner.validateWriteColumns(df.columns.toSeq,
+      options.getOrElse("includeHeaders", "false").toBoolean)
+    if (df.columns.contains("topic"))
+      KafkaConnection.log.warn(
+        s"the 'topic' column in the DataFrame will be overridden with '$target'")
     require(ifExists == IfExists.Append || ifExists == IfExists.Error,
       "Kafka supports only append/error modes (reference kafka/connection.py:292-335)")
     df.write.format("kafka").options(base ++ options)

@@ -53,8 +53,9 @@ object Dedup {
                       seed: Long = 42L): DataFrame = {
     val numHashes = bands * rowsPerBand
     // hashed shingles end-to-end: 8 bytes/shingle through every shuffle,
-    // signatures identical to hashing the strings (same xx64/seed)
-    val docs = df.select(
+    // signatures identical to hashing the strings (same xx64/seed);
+    // widen so the shingle+signature scan uses every core
+    val docs = graft.util.SparkUtils.widen(df).select(
         col(idCol).as("id"),
         array_distinct(GraftExpressions.wordShingleHashes(col(textCol), shingleSize))
           .as("shingles"))
@@ -102,7 +103,8 @@ object Dedup {
   def ngramJaccardDupPairs(df: DataFrame, idCol: String, textCol: String,
                            shingleSize: Int = 3,
                            threshold: Double = 0.8): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
+    val docs = graft.util.SparkUtils.widen(df)
+      .select(col(idCol).as("id"),
         array_distinct(GraftExpressions.wordShingleHashes(col(textCol), shingleSize))
           .as("shingles"))
       .filter(size(col("shingles")) > 0)
@@ -129,7 +131,7 @@ object Dedup {
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding only guarantees recall for distance <= 3")
-    val sigs = df.select(col(idCol).as("id"),
+    val sigs = graft.util.SparkUtils.widen(df).select(col(idCol).as("id"),
         GraftExpressions.simhash64(TextFunctions.tokens(col(textCol)), seed).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
@@ -154,7 +156,10 @@ object Dedup {
                         threshold: Double = 0.95,
                         bruteForce: Boolean = false,
                         seed: Long = 42L): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // the pair-compare below is O(n²) in the worst case — make sure the
+    // streamed side isn't a single small-file partition
+    val docs = graft.util.SparkUtils.widen(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")))
     if (bruteForce) {
       docs.as("l").join(docs.as("r"), col("l.id") < col("r.id"))
         .select(col("l.id").as("id1"), col("r.id").as("id2"),

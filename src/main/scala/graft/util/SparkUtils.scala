@@ -5,6 +5,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Small Spark utilities ported from the reference's _util/spark.py. */
 object SparkUtils {
 
+  /** Ensure a compute-bound stage gets at least the cluster's default
+    * parallelism. A small input (one parquet file, a filtered dim table)
+    * arrives in 1-2 partitions, and any O(n²) join or heavy per-row scan
+    * downstream then runs nearly single-threaded no matter how many cores
+    * exist. At real scale inputs already carry ≥ parallelism partitions
+    * and this is a no-op — the shuffle is only paid when it buys cores. */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Label jobs in the Spark UI for the duration of `body`, restoring the
     * previous description (reference _util/spark.py:204
     * `override_job_description`). */

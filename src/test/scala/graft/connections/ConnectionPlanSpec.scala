@@ -60,6 +60,18 @@ class JdbcReadPlanSpec extends AnyFunSuite {
       "(SELECT TOP 10 /*+ INDEX(i) */ a FROM t WHERE (a > 1) AND " +
         "(ts >= CAST('2024-01-01T00:00:00' AS datetime2))) T")
   }
+
+  test("prohibited passthrough options are rejected (jdbc options.py:22-33)") {
+    intercept[IllegalArgumentException](
+      JdbcOptions("jdbc:derby:memory:x", extra = Map("url" -> "jdbc:evil")))
+    intercept[IllegalArgumentException](
+      JdbcOptions("jdbc:derby:memory:x", extra = Map("partitionColumn" -> "id")))
+    // benign driver tuning keys still pass through
+    JdbcOptions("jdbc:derby:memory:x", extra = Map("ssl" -> "true"))
+    JdbcOptions.requireAllowed(Map("batchsize" -> "10000"), "w")
+    intercept[IllegalArgumentException](
+      JdbcOptions.requireAllowed(Map("DBTABLE" -> "t2"), "w"))
+  }
 }
 
 class KafkaPlannerSpec extends AnyFunSuite {
@@ -82,6 +94,11 @@ class KafkaPlannerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](KafkaPlanner.validateWriteColumns(Seq("key")))
     intercept[IllegalArgumentException](
       KafkaPlanner.validateWriteColumns(Seq("value", "oops")))
+  }
+  test("headers column requires includeHeaders=true (kafka/connection.py:312-314)") {
+    KafkaPlanner.validateWriteColumns(Seq("value", "headers"), includeHeaders = true)
+    intercept[IllegalArgumentException](
+      KafkaPlanner.validateWriteColumns(Seq("value", "headers"), includeHeaders = false))
   }
   test("fixed read schema matches the kafka source contract") {
     assert(KafkaPlanner.readSchema.fieldNames.toSeq ==

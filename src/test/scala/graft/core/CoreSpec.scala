@@ -65,6 +65,18 @@ class HwmStoreSpec extends AnyFunSuite {
     assert(store.get("sch ema//t@ble#id").get.valueOpt.contains(1L))
   }
 
+  test("file store keeps an append-history; latest set wins (yaml_hwm_store.py:178-196)") {
+    val dir = java.nio.file.Files.createTempDirectory("hwm_hist").toString
+    val store = new FileHwmStore(dir)
+    store.set(IntHwm("h", "t", "id", Some(100L)))
+    store.set(IntHwm("h", "t", "id", Some(250L)))
+    store.set(IntHwm("h", "t", "id", Some(175L))) // e.g. after a manual reset
+    assert(store.get("h").get.valueOpt.contains(175L))
+    val hist = store.history("h").map(_.valueOpt.get)
+    assert(hist.length == 3 && hist.head == 175L)
+    assert(hist.toSet == Set(100L, 250L, 175L))
+  }
+
   test("FileMTimeHwm.withValue keeps the max") {
     val h = FileMTimeHwm("m", "d", value = Some(Instant.parse("2024-06-01T00:00:00Z")))
     val older = h.withValue(Instant.parse("2024-01-01T00:00:00Z"))
