@@ -49,10 +49,14 @@ object SparkEntry {
       val b = SnapshotBatchStrategy(step = 10000L)
       val reader = DbReader(conn(s, dir), "orders", hwm = Some(HwmColumn("o_orderkey")))
       val frames = Strategy.using(b) { b.foreachBatch(reader.run()) }
+      // exact decimal accumulation, final cast to double: DuckDB's pandas
+      // bridge turns DECIMAL into float64, so only a double output column
+      // hash-compares bit-exactly across engines
       frames.reduce(_ unionAll _)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-             sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+             sum(col("o_totalprice").cast("decimal(18,2)"))
+               .cast("double").as("total"))
         .orderBy(col("o_orderstatus"))
     }),
 
@@ -83,7 +87,8 @@ object SparkEntry {
       FileDFReader(s, Orc(), tmp).run()
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
-             sum(col("c_acctbal").cast("decimal(18,2)")).as("balance"))
+             sum(col("c_acctbal").cast("decimal(18,2)"))
+               .cast("double").as("balance"))
         .orderBy(col("c_mktsegment"))
     }),
 
@@ -100,7 +105,7 @@ object SparkEntry {
       DbReader(out, "supplier_copy").run()
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"),
-          sum(col("s_acctbal").cast("decimal(18,2)")).as("bal"))
+          sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
         .orderBy(col("s_nationkey"))
     }),
 
@@ -247,7 +252,7 @@ object SparkEntry {
           orders("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(28,6)")).as("revenue"))
+          .cast("decimal(28,6)")).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -285,7 +290,7 @@ object SparkEntry {
         .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
       ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).as("total"))
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
         .select(col("window.start").as("w_start"), col("event_type"),
           col("n"), col("total"))
         .orderBy(col("w_start"), col("event_type"))
@@ -302,7 +307,7 @@ object SparkEntry {
           Seq("user_id"), Seq("c_custkey"), factor = 8)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).as("total"))
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy(col("c_mktsegment"))
     }),
     "q_session_gap" -> ((s, dir) => {
@@ -345,7 +350,7 @@ object SparkEntry {
       DbReader(conn(s, dir), "orders").run()
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
           col("n"), col("total"))
@@ -409,7 +414,7 @@ object SparkEntry {
       DbReader(conn(s, dir), "lineitem").run()
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("n"), col("qty"))
@@ -449,10 +454,11 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(28,6)")).as("sum_disc_price"),
+            .cast("decimal(28,6)")).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -487,11 +493,11 @@ object SparkEntry {
         |WHERE o_orderkey > 7500 ORDER BY o_orderkey""".stripMargin,
     "reader_snapshot_batch_union" ->
       """SELECT o_orderstatus, count(*) AS n,
-        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "writer_roundtrip" ->
       """SELECT s_nationkey, count(*) * 2 AS n,
-        |       sum(CAST(s_acctbal AS DECIMAL(18,2))) * 2 AS bal
+        |       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) * 2 AS DOUBLE) AS bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents
@@ -592,7 +598,8 @@ object SparkEntry {
         |          len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|ein|eine)\b')) AS de,
         |          len(regexp_extract_all(text, '\b(le|les|des|est|et|une|dans|pour)\b')) AS fr
         |        FROM t) d)
-        |SELECT source, lang_pred, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+        |SELECT source, lang_pred, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM s WHERE quality >= 0.4
         |GROUP BY source, lang_pred ORDER BY source, lang_pred""".stripMargin,
     "multimodal_byte_stats" ->
@@ -605,7 +612,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q3_top_revenue" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS revenue
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -629,7 +636,8 @@ object SparkEntry {
         |GROUP BY kind ORDER BY kind""".stripMargin,
     "q_events_sessionize" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
-        |       count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     "filedf_csv_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
@@ -637,11 +645,11 @@ object SparkEntry {
       "SELECT * FROM region ORDER BY r_regionkey",
     "filedf_partitioned_orc" ->
       """SELECT c_mktsegment, count(*) AS n,
-        |       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS balance
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_salted_join" ->
       """SELECT c.c_mktsegment, count(*) AS n,
-        |       sum(CAST(e.value AS DECIMAL(18,2))) AS total
+        |       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
     "q_session_gap" ->
@@ -686,7 +694,8 @@ object SparkEntry {
     "q_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS st,
         |       coalesce(o_orderpriority, 'ALL') AS pri,
-        |       count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY st, pri""".stripMargin,
     "q_pivot" ->
@@ -721,7 +730,8 @@ object SparkEntry {
         |ORDER BY id1, id2""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
-        |       count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |       count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
     "filedf_xml_roundtrip" ->
@@ -730,9 +740,9 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS sum_disc_price,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
         |       count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,

@@ -15,6 +15,12 @@ object MongoDialect extends Dialect {
   override def supportsWhere: Boolean = true
   override def requiresDfSchema: Boolean = true
 
+  /** HWM window edges render as Mongo JSON fragments, not SQL — this is
+    * what `Dialect.applyWindow` composes, so DbReader windows flow into
+    * `$match` pipelines as valid JSON (reference mongodb/dialect.py:115-160). */
+  override def edgeToWhere(expression: String, edge: Edge, isStart: Boolean): Option[String] =
+    edgeToJson(expression, edge, isStart)
+
   /** `{"expr": {"$gt": value}}` window fragments. */
   def edgeToJson(expression: String, edge: Edge, isStart: Boolean): Option[String] =
     edge.value.map { v =>

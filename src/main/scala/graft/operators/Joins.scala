@@ -95,14 +95,22 @@ object Joins {
     * `factor` reduce partitions instead of serializing through one.
     *
     * Use when AQE's skew-join split can't apply (non-sort-merge joins,
-    * pair-generation self-joins) and the small side is replicable. Results
-    * are identical to the plain join: every big row matches exactly the
-    * one replica carrying its salt. Cost: small side × factor.
+    * pair-generation self-joins) and the small side is replicable. For the
+    * supported join types the results are identical to the plain join:
+    * every big row matches exactly the one replica carrying its salt.
+    * Right/full outer are rejected — an unmatched small-side row would
+    * surface once per salt replica, duplicating null-extended output.
+    * Cost: small side × factor.
     */
   def saltedJoin(big: DataFrame, small: DataFrame,
                  bigKeys: Seq[String], smallKeys: Seq[String],
                  factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor >= 1, "salt factor must be >= 1")
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+        "leftsemi", "left_anti", "leftanti").contains(
+        joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports inner/left/left_semi/left_anti, not '$joinType': " +
+        "replicating the small side duplicates unmatched right/full outer rows")
     require(bigKeys.length == smallKeys.length && bigKeys.nonEmpty,
       "saltedJoin needs matching non-empty key column lists")
     val b = big.withColumn("__salt",

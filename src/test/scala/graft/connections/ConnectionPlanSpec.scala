@@ -130,6 +130,30 @@ class MongoDialectSpec extends AnyFunSuite {
     assert(MongoDialect.minMaxPipeline("hwm", Nil) ==
       """[{"$group": {"_id": 1, "min": {"$min": "$hwm"}, "max": {"$max": "$hwm"}}}]""")
   }
+
+  test("incremental window flows through applyWindow as valid $match JSON") {
+    // the DbReader path calls dialect.applyWindow — for Mongo the edge
+    // conjuncts must be JSON fragments (not SQL like `id > 10`), and the
+    // assembled $match stage must parse as JSON
+    val w = graft.core.Window("id", Edge.exclusive(10L), Edge.inclusive(100L))
+    val conjuncts = MongoDialect.applyWindow(Seq("""{"kind": "click"}"""), Some(w))
+    assert(conjuncts == Seq("""{"kind": "click"}""",
+      """{"id": {"$gt": 10}}""", """{"id": {"$lte": 100}}"""))
+    val stage = MongoDialect.matchStage(conjuncts).get
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(stage)
+    assert(parsed.path("$match").path("$and").size() == 3)
+    assert(parsed.path("$match").path("$and").get(1)
+      .path("id").path("$gt").asLong() == 10L)
+  }
+
+  test("min/max pipeline under a window is valid JSON with $match before $group") {
+    val w = graft.core.Window("hwm", Edge.exclusive(5L), Edge.inclusive(9L))
+    val pipeline = MongoDialect.minMaxPipeline("hwm",
+      MongoDialect.applyWindow(Nil, Some(w)))
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(pipeline)
+    assert(parsed.isArray && parsed.size() == 2)
+    assert(parsed.get(0).has("$match") && parsed.get(1).has("$group"))
+  }
 }
 
 class HiveConnectionSpec extends graft.SparkSpec {
