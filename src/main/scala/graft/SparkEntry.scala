@@ -462,6 +462,71 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
+
+    // --- Live JDBC slice (SURVEY §2.1/§2.2) in the oracle gate: write the
+    // customer table into embedded Derby through DbWriter, read it back
+    // through the dialect-generated pushdown with a MOD-partitioned
+    // parallel scan (8 executor connections with disjoint predicates —
+    // the only JDBC shape that scales), aggregate, compare to the parquet
+    // truth. Derby ships in /opt/spark/jars, so this is a real database
+    // round-trip, not a golden-string test.
+    "jdbc_mod_partitioned" -> ((s, dir) => {
+      import graft.connections.{JdbcOptions, JdbcPartitioning, PartitioningMode}
+      import graft.dialects.DerbyDialect
+      import graft.operators.DbWriter
+      System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+      val url = "jdbc:derby:memory:graft_entry;create=true"
+      val jdbc = new graft.connections.JdbcConnection(s, DerbyDialect, JdbcOptions(url))
+      val src = DbReader(conn(s, dir), "customer").run()
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      DbWriter(jdbc, "customer_jdbc",
+        graft.connections.IfExists.ReplaceEntireTable).run(src)
+      // Spark's JDBC writer creates case-preserving quoted columns, so the
+      // pushdown SQL must quote them too (same as the reference's escaping)
+      val part = new graft.connections.JdbcConnection(s, DerbyDialect,
+        JdbcOptions(url),
+        Some(JdbcPartitioning(8, "\"c_custkey\"", PartitioningMode.Mod)))
+      DbReader(part, "customer_jdbc",
+          columns = Seq("\"c_custkey\"", "\"c_mktsegment\"", "\"c_acctbal\""))
+        .run()
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // --- Sequence packing (LLM pipeline): chunk each source's token
+    // stream into 512-token chunks by window prefix sum ------------------
+    "q_pack_chunks" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens"))
+      operators.Packing.packChunks(docs, Seq("source"), "doc_id", "n_tokens", 512L)
+        .groupBy(col("source"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("chunk_tokens"))
+        .orderBy(col("source"), col("chunk_id"))
+    }),
+
+    // --- Deterministic stratified sampling (LLM pipeline): arithmetic
+    // key-hash keeps the same rows on every engine and every run ---------
+    "sample_stratified" -> ((s, dir) => {
+      operators.Sampling.stratifiedSampleByKey(
+          DbReader(conn(s, dir), "documents").run(), "doc_id", "source",
+          Map("src0" -> 0.5, "src1" -> 0.25), default = 0.1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("source"))
+    }),
+
+    // --- Driver-side MIN/MAX probe (SURVEY §2.1 get_min_max_values):
+    // the bound planner surfaced as a checkable one-row frame ------------
+    "reader_minmax_probe" -> ((s, dir) => {
+      val (lo, hi) = conn(s, dir).getMinMaxValues(
+        "orders", "o_orderkey", Seq("o_orderstatus = 'F'"))
+      import s.implicits._
+      Seq((lo.get.toString.toLong, hi.get.toString.toLong))
+        .toDF("min_key", "max_key")
+    }),
   )
 
   /** Exact 3-gram Jaccard ≥ 0.7 via an inverted shingle index — the DuckDB
@@ -746,5 +811,39 @@ object SparkEntry {
         |       count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "jdbc_mod_partitioned" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_pack_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+        |           AS BIGINT) AS chunk_id
+        |  FROM d)
+        |SELECT source, chunk_id, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+        |FROM c GROUP BY source, chunk_id ORDER BY source, chunk_id""".stripMargin,
+    // thresholds are floor(fraction * 2^32): 0.5 -> 2147483648,
+    // 0.25 -> 1073741824, default 0.1 -> 429496729 (same truncation as
+    // Sampling.threshold); hash = (key mod 2^31) * 2654435761 mod 2^32
+    "sample_stratified" ->
+      """SELECT source, count(*) AS n_kept, min(doc_id) AS min_id
+        |FROM documents
+        |WHERE (doc_id % 2147483648) * 2654435761 % 4294967296 <
+        |      CASE source WHEN 'src0' THEN 2147483648
+        |                  WHEN 'src1' THEN 1073741824
+        |                  ELSE 429496729 END
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "reader_minmax_probe" ->
+      """SELECT CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |       CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
   )
 }

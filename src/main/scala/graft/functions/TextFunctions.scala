@@ -77,4 +77,33 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     GraftExpressions.fingerprint64(
       regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  // --- PII redaction (training-data hygiene) -----------------------------
+  // RE2-compatible patterns (no backrefs/lookaround) so the same regexes
+  // run in Spark's java.util.regex AND DuckDB's RE2 for oracle checks.
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private[graft] val PhoneRe = "\\+?[0-9][0-9() .-]{6,}[0-9]"
+
+  /** Redact emails, IPv4 addresses, and phone-like digit runs with typed
+    * placeholders. Order matters: emails first (their digits would
+    * otherwise feed the phone pattern), then IPs, then phones. Map-only,
+    * codegen'd `regexp_replace` chain — no UDF, scales linearly. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  /** Count of PII matches (emails + IPv4s + phone runs) in `c`, counted on
+    * the same progressive redaction the scrubber applies so nothing is
+    * double-counted. */
+  def piiCount(c: Column): Column = {
+    val afterEmail = regexp_replace(c, EmailRe, "[EMAIL]")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "[IP]")
+    (size(regexp_extract_all(c, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))) +
+      size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0)))).cast("long")
+  }
 }

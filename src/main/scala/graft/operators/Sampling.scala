@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for dataset curation.
+  *
+  * The keep/drop decision is a pure-arithmetic multiplicative hash of an
+  * integer key (Knuth's 2654435761, i.e. floor(2^32/phi)), so:
+  *  - the SAME rows are selected on every run and every engine — unlike
+  *    `df.sample`, whose partition-seeded RNG changes with partitioning;
+  *  - selection is reproducible from the key alone (re-runs of an
+  *    incremental pipeline keep/drop consistently);
+  *  - an external SQL engine can verify the sample exactly;
+  *  - nested samples: fraction f1 < f2 implies sample(f1) ⊆ sample(f2).
+  *
+  * Scale: map-only — no shuffle, plain codegen'd arithmetic on a long.
+  */
+object Sampling {
+
+  private val Knuth = 2654435761L // floor(2^32 / golden ratio), odd
+  private val M32 = 4294967296L // 2^32
+
+  /** `(key mod 2^31) * 2654435761 mod 2^32`, uniform on [0, 2^32).
+    * The key is folded to 31 bits first so the product stays below 2^63
+    * (no silent long overflow here, and the same expression stays exact
+    * in engines where BIGINT overflow is an error). */
+  def knuthHash32(key: Column): Column =
+    pmod(pmod(key.cast("long"), lit(M32 / 2)) * lit(Knuth), lit(M32))
+
+  private def threshold(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0,1], got $fraction")
+    (fraction * M32).toLong
+  }
+
+  /** Keep ~`fraction` of rows, chosen deterministically by `keyCol`. */
+  def sampleByKey(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(knuthHash32(col(keyCol)) < lit(threshold(fraction)))
+
+  /** Per-stratum fractions; strata not listed get `default`. One codegen'd
+    * CASE on the stratum column — no join, no shuffle. */
+  def stratifiedSampleByKey(df: DataFrame, keyCol: String, strataCol: String,
+                            fractions: Map[String, Double],
+                            default: Double = 0.0): DataFrame = {
+    val thr = fractions.toSeq.sortBy(_._1).foldLeft(lit(threshold(default))) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(threshold(f))).otherwise(acc)
+    }
+    df.filter(knuthHash32(col(keyCol)) < thr)
+  }
+}

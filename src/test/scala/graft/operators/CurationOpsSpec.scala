@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunk assignment: exclusive prefix sum, doc counted where it starts") {
+    // source A: tokens 300, 300, 300 with chunk size 512:
+    //   doc 1 starts at 0   -> chunk 0
+    //   doc 2 starts at 300 -> chunk 0 (straddles, counted at its start)
+    //   doc 3 starts at 600 -> chunk 1
+    val df = Seq(("A", 1L, 300L), ("A", 2L, 300L), ("A", 3L, 300L),
+                 ("B", 9L, 1200L), ("B", 10L, 1L))
+      .toDF("source", "doc_id", "n_tokens")
+    val packed = Packing.packChunks(df, Seq("source"), "doc_id", "n_tokens", 512L)
+      .select($"source", $"doc_id", $"chunk_id").as[(String, Long, Long)]
+      .collect().toSet
+    assert(packed == Set(("A", 1L, 0L), ("A", 2L, 0L), ("A", 3L, 1L),
+      ("B", 9L, 0L), ("B", 10L, 2L)))
+  }
+
+  test("chunk ids are dense per group and independent across groups") {
+    val df = (1L to 100L).map(i => ("g" + (i % 2), i, 100L))
+      .toDF("source", "doc_id", "n_tokens")
+    val chunks = Packing.packChunks(df, Seq("source"), "doc_id", "n_tokens", 500L)
+      .groupBy($"source", $"chunk_id").count()
+      .select($"source", $"chunk_id", $"count").as[(String, Long, Long)]
+      .collect()
+    // 50 docs x 100 tokens / 500 per chunk = 10 full chunks of 5 docs each
+    assert(chunks.length == 20)
+    assert(chunks.forall(_._3 == 5L))
+    chunks.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).sorted.toSeq == (0L to 9L))
+    }
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids = (0L until 4000L).toDF("id")
+
+  test("deterministic: same rows every run, fraction approximately honored") {
+    val a = Sampling.sampleByKey(ids, "id", 0.3).as[Long].collect().toSet
+    val b = Sampling.sampleByKey(ids, "id", 0.3).as[Long].collect().toSet
+    assert(a == b, "hash sampling must be run-stable")
+    assert(math.abs(a.size / 4000.0 - 0.3) < 0.05, s"got ${a.size}/4000")
+  }
+
+  test("nested: sample(0.1) is a subset of sample(0.5)") {
+    val small = Sampling.sampleByKey(ids, "id", 0.1).as[Long].collect().toSet
+    val large = Sampling.sampleByKey(ids, "id", 0.5).as[Long].collect().toSet
+    assert(small.subsetOf(large))
+  }
+
+  test("edge fractions: 0 keeps nothing, 1 keeps everything") {
+    assert(Sampling.sampleByKey(ids, "id", 0.0).count() == 0L)
+    assert(Sampling.sampleByKey(ids, "id", 1.0).count() == 4000L)
+    intercept[IllegalArgumentException] { Sampling.sampleByKey(ids, "id", 1.5) }
+  }
+
+  test("stratified: per-stratum fractions and default applied") {
+    val df = (0L until 3000L).map(i => (i, "s" + (i % 3))).toDF("id", "st")
+    val kept = Sampling.stratifiedSampleByKey(df, "id", "st",
+        Map("s0" -> 0.8, "s1" -> 0.2), default = 0.0)
+      .groupBy($"st").count().as[(String, Long)].collect().toMap
+    assert(math.abs(kept("s0") / 1000.0 - 0.8) < 0.08, kept.toString)
+    assert(math.abs(kept("s1") / 1000.0 - 0.2) < 0.08, kept.toString)
+    assert(!kept.contains("s2"), "default 0.0 must drop the whole stratum")
+  }
+
+  test("hash stays in [0, 2^32) even for huge and negative keys") {
+    val df = Seq(Long.MaxValue, Long.MinValue, -1L, 0L).toDF("id")
+    val hs = df.select(Sampling.knuthHash32($"id").as("h")).as[Long].collect()
+    assert(hs.forall(h => h >= 0L && h < 4294967296L), hs.toSeq.toString)
+  }
+}
+
+class PiiScrubSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("emails, IPs, phone runs redacted with typed placeholders") {
+    val df = Seq(
+      "contact bob.smith+x@example.co.uk or call +1 (415) 555-0101 now",
+      "server at 192.168.0.1 responded",
+      "clean text with no pii at all").toDF("t")
+    val out = df.select(TextFunctions.scrubPii($"t").as("s")).as[String].collect()
+    assert(out(0) == "contact [EMAIL] or call [PHONE] now", out(0))
+    assert(out(1) == "server at [IP] responded", out(1))
+    assert(out(2) == "clean text with no pii at all")
+  }
+
+  test("piiCount counts each entity once, never double-counts email digits") {
+    val df = Seq(
+      ("a@b.io and c@d.org", 2L),
+      ("ip 10.0.0.7 phone 415 555 0101", 2L),
+      ("nothing here", 0L)).toDF("t", "want")
+    val got = df.select(TextFunctions.piiCount($"t").as("n"), $"want")
+      .as[(Long, Long)].collect()
+    got.foreach { case (n, want) => assert(n == want, s"$n != $want") }
+  }
+}
