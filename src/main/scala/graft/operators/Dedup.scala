@@ -111,9 +111,17 @@ object Dedup {
       .withColumn("n_sh", size(col("shingles")))
     val inverted = docs
       .select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    // length filter: jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so any pair
+    // with |B| outside [t·|A|, |A|/t] can never reach the threshold — prune
+    // it inside the join, before the per-pair aggregation shuffles it
+    val lengthOk =
+      if (threshold > 0)
+        col("r.n_sh").cast("double") >= col("l.n_sh") * threshold &&
+          col("r.n_sh").cast("double") <= col("l.n_sh") / threshold
+      else lit(true)
     val shared = inverted.as("l")
       .join(inverted.as("r"),
-        col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
+        col("l.sh") === col("r.sh") && col("l.id") < col("r.id") && lengthOk)
       .groupBy(col("l.id").as("id1"), col("r.id").as("id2"),
         col("l.n_sh").as("n1"), col("r.n_sh").as("n2"))
       .agg(count(lit(1)).as("inter"))

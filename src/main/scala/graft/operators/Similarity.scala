@@ -45,13 +45,23 @@ object Similarity {
 
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
+              nChunks: Int = 8,
               seed: Long = 42L): DataFrame = {
+    // Banding trade-off: a candidate needs ONE full chunk of hyperplane
+    // bits to match, so P(candidate) = 1-(1-p^w)^nChunks with
+    // p = 1-θ/π and w = 64/nChunks. The 16-bit chunks that are right for
+    // near-duplicate mining (θ→0) retrieve almost nothing for general
+    // ANN queries — 8×8-bit banding keeps the candidate set ~nChunks·p^8
+    // of the corpus while recall@k for genuinely-close vectors stays high.
+    require(nChunks > 0 && 64 % nChunks == 0, "nChunks must divide 64")
+    val width = 64 / nChunks
+    val mask = (1L << width) - 1
     def chunked(df: DataFrame, id: String, v: String) =
       df.select(col(id), col(v),
           hyperplaneSig(col(v), 64, seed).as("sig"))
         .select(col(id), col(v),
-          posexplode(transform(sequence(lit(0), lit(3)),
-            i => call_function("shiftright", col("sig"), (i * 16).cast("int")).bitwiseAND(lit(0xffffL))))
+          posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
+            i => call_function("shiftright", col("sig"), (i * width).cast("int")).bitwiseAND(lit(mask))))
             .as(Seq("chunk_idx", "chunk")))
     val c = chunked(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "id", "v")
     val q = chunked(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
