@@ -113,4 +113,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(events.head.startsWith("aw:region_copy:5"), events.head)
     assert(GraftListeners.active.isEmpty, "withListener must unregister")
   }
+
+  test("deterministic sampling is map-only: no exchange, filter fused in codegen") {
+    val docs = DbReader(conn, "documents").run()
+    val sampled = graft.operators.Sampling.stratifiedSampleByKey(
+      docs, "doc_id", "source", Map("src0" -> 0.5), default = 0.1)
+    val plan = formatted(sampled)
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Filter")),
+      s"sampling filter must stay inside WholeStageCodegen:\n$plan")
+  }
+
+  test("packChunks plans one shuffle on the group key, window after it") {
+    val docs = DbReader(conn, "documents").run()
+      .select($"doc_id", $"source",
+        graft.functions.TextFunctions.tokenCount($"text").as("n_tokens"))
+    val packed = graft.operators.Packing.packChunks(
+      docs, Seq("source"), "doc_id", "n_tokens", 512L)
+    val plan = formatted(packed)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected exactly one shuffle (group key), got $exchanges:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("ngram jaccard length filter is part of the join, not a post-filter") {
+    val docs = DbReader(conn, "documents").run()
+    val pairs = graft.operators.Dedup.ngramJaccardDupPairs(
+      docs, "doc_id", "text", shingleSize = 3, threshold = 0.7)
+    // the pruning predicate must sit in the join condition so pairs die
+    // before the per-pair aggregation; SortMergeJoin prints it in its
+    // condition, and no separate Filter on n_sh may appear above the join
+    val plan = formatted(pairs)
+    assert(plan.contains("Join") || plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("n_sh"), s"length filter missing from plan:\n$plan")
+  }
 }

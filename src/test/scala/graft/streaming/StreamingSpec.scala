@@ -79,4 +79,33 @@ class StreamingSpec extends SparkSpec {
       .collect().toSeq
     assert(got == Seq((1L, 3, 6.0), (1L, 2, 9.0), (2L, 1, 9.0)), got)
   }
+
+  test("stateless curation ops run unchanged on streams: sample + scrub") {
+    // Sampling and PII scrubbing are pure row-local transformations, so
+    // the SAME operator code applies to a readStream frame — this is the
+    // property that lets a batch-curated pipeline move to incremental
+    // ingestion without rewriting: streamed output == batch output.
+    val src = tmpDir("stream-curate")
+    val docs = (0 until 300).map(i =>
+      (i.toLong, if (i % 7 == 0) s"mail me at user$i@example.com today" else s"doc $i plain text"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(src)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = FileStreamReader.read(spark, Parquet(), src, schema,
+      maxFilesPerTrigger = Some(1))
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sampling.sampleByKey(df, "doc_id", 0.5)
+        .select($"doc_id",
+          graft.functions.TextFunctions.scrubPii($"text").as("clean"),
+          graft.functions.TextFunctions.piiCount($"text").as("n_pii"))
+    StreamRunner.runAvailableNowToMemory(curate(stream), "stream_curated",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val streamed = spark.table("stream_curated")
+      .orderBy($"doc_id").collect().toSeq
+    val batch = curate(docs).orderBy($"doc_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty &&
+      streamed.exists(_.getString(1).contains("[EMAIL]")), "scrub applied in-stream")
+  }
 }
