@@ -518,6 +518,35 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "codec_json_column" -> ((s, dir) => {
+      // JSON column codec (SURVEY §2.4): to_json → from_json roundtrip
+      // through our codec wrappers must be lossless
+      import graft.filedf.ColumnCodecs._
+      import org.apache.spark.sql.types._
+      val src = DbReader(conn(s, dir), "nation").run()
+      val packed = src.select(serializeJsonColumn(struct(col("n_nationkey"),
+        col("n_name"), col("n_regionkey"))).as("doc"))
+      packed.select(parseJsonColumn(col("doc"), StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType)))).as("r"))
+        .select(col("r.n_nationkey").as("n_nationkey"),
+          col("r.n_name").as("n_name"), col("r.n_regionkey").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // --- Embedding vector math through declarative higher-order functions
+    // (aggregate over the array — no UDF), DuckDB list_* as the oracle ---
+    "q_embedding_norms" -> ((s, dir) => {
+      val v = col("embedding").cast("array<double>")
+      DbReader(conn(s, dir), "embeddings").run()
+        .select(col("vec_id"),
+          round(sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x)), 6).as("l2"),
+          round(aggregate(v, lit(0.0), (acc, x) => acc + x) /
+            size(col("embedding")), 6).as("mean"))
+        .orderBy(col("vec_id"))
+    }),
+
     // --- Driver-side MIN/MAX probe (SURVEY §2.1 get_min_max_values):
     // the bound planner surfaced as a checkable one-row frame ------------
     "reader_minmax_probe" -> ((s, dir) => {
@@ -841,6 +870,13 @@ object SparkEntry {
         |                  WHEN 'src1' THEN 1073741824
         |                  ELSE 429496729 END
         |GROUP BY source ORDER BY source""".stripMargin,
+    "codec_json_column" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_embedding_norms" ->
+      """SELECT vec_id,
+        |       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) AS l2,
+        |       round(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS mean
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "reader_minmax_probe" ->
       """SELECT CAST(min(o_orderkey) AS BIGINT) AS min_key,
         |       CAST(max(o_orderkey) AS BIGINT) AS max_key
