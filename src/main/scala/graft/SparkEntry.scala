@@ -480,7 +480,8 @@ object SparkEntry {
       val src = DbReader(conn(s, dir), "customer").run()
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
       DbWriter(jdbc, "customer_jdbc",
-        graft.connections.IfExists.ReplaceEntireTable).run(src)
+        graft.connections.IfExists.ReplaceEntireTable,
+        options = Map("batchsize" -> "10000")).run(src)
       // Spark's JDBC writer creates case-preserving quoted columns, so the
       // pushdown SQL must quote them too (same as the reference's escaping)
       val part = new graft.connections.JdbcConnection(s, DerbyDialect,

@@ -36,6 +36,18 @@ class PackingSpec extends SparkSpec {
       assert(g.map(_._2).sorted.toSeq == (0L to 9L))
     }
   }
+
+  test("packing conserves tokens and docs: chunk totals sum to input totals") {
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 500L).map(i => ("g" + (i % 3), i, rnd.nextInt(400).toLong))
+      .toDF("source", "doc_id", "n_tokens")
+    val packed = Packing.packChunks(df, Seq("source"), "doc_id", "n_tokens", 777L)
+    assert(packed.count() == 500L)
+    val byChunk = packed.groupBy($"source", $"chunk_id")
+      .agg(sum($"n_tokens").as("t")).agg(sum($"t")).as[Long].head()
+    val total = df.agg(sum($"n_tokens")).as[Long].head()
+    assert(byChunk == total, "no tokens lost or duplicated across chunks")
+  }
 }
 
 class SamplingSpec extends SparkSpec {
@@ -76,6 +88,11 @@ class SamplingSpec extends SparkSpec {
     val df = Seq(Long.MaxValue, Long.MinValue, -1L, 0L).toDF("id")
     val hs = df.select(Sampling.knuthHash32($"id").as("h")).as[Long].collect()
     assert(hs.forall(h => h >= 0L && h < 4294967296L), hs.toSeq.toString)
+  }
+
+  test("null keys are dropped (null hash fails the filter)") {
+    val df = Seq(Some(1L), None, Some(2L)).toDF("id")
+    assert(Sampling.sampleByKey(df, "id", 1.0).count() == 2L)
   }
 }
 
