@@ -63,20 +63,30 @@ object Dedup {
     val sigs = docs.withColumn("sig",
       GraftExpressions.minhashSignature(col("shingles"), numHashes, seed))
 
-    // band → bucket key: hash the band's slice of the signature
-    val banded = sigs.select(col("id"), col("shingles"),
+    // band → bucket key: hash the band's slice of the signature. Only
+    // (band, bucket, id) rides the self-join shuffle — 24 bytes/row, not
+    // the shingle array (which the explode would otherwise replicate once
+    // per band); shingles rejoin by id AFTER candidates are deduplicated,
+    // so each doc's array moves through exactly one more shuffle, once.
+    val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)),
                         b.cast("string")))).as(Seq("band", "bucket")))
 
-    val candidates = banded.as("l")
+    val candidateIds = banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") &&
           col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id1"), col("r.id").as("id2"),
-        col("l.shingles").as("sh1"), col("r.shingles").as("sh2"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
       .dropDuplicates("id1", "id2")
+
+    val shingleSets = docs.select(col("id"), col("shingles"))
+    val candidates = candidateIds
+      .join(shingleSets.withColumnRenamed("id", "id1")
+        .withColumnRenamed("shingles", "sh1"), Seq("id1"))
+      .join(shingleSets.withColumnRenamed("id", "id2")
+        .withColumnRenamed("shingles", "sh2"), Seq("id2"))
 
     verifyJaccard(candidates, threshold)
   }
@@ -175,18 +185,23 @@ object Dedup {
             .as("cosine"))
         .filter(col("cosine") >= threshold)
     } else {
+      // as in minhashDupPairs: only (chunk_idx, chunk, id) shuffles through
+      // the banded self-join; vectors rejoin by id after candidate dedup
       val sigs = docs.withColumn("sig", Similarity.hyperplaneSig(col("v"), 64, seed))
-      val chunked = sigs.select(col("id"), col("v"), col("sig"),
+      val chunked = sigs.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(3)),
           i => call_function("shiftright", col("sig"), (i * 16).cast("int")).bitwiseAND(lit(0xffffL))))
           .as(Seq("chunk_idx", "chunk")))
-      chunked.as("l")
+      val candidateIds = chunked.as("l")
         .join(chunked.as("r"),
           col("l.chunk_idx") === col("r.chunk_idx") &&
             col("l.chunk") === col("r.chunk") && col("l.id") < col("r.id"))
-        .select(col("l.id").as("id1"), col("r.id").as("id2"),
-          col("l.v").as("v1"), col("r.v").as("v2"))
+        .select(col("l.id").as("id1"), col("r.id").as("id2"))
         .dropDuplicates("id1", "id2")
+      val vecs = docs.select(col("id"), col("v"))
+      candidateIds
+        .join(vecs.withColumnRenamed("id", "id1").withColumnRenamed("v", "v1"), Seq("id1"))
+        .join(vecs.withColumnRenamed("id", "id2").withColumnRenamed("v", "v2"), Seq("id2"))
         .withColumn("cosine",
           round(GraftExpressions.cosineSimilarity(col("v1"), col("v2")), 6))
         .filter(col("cosine") >= threshold)

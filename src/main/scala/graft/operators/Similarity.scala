@@ -56,21 +56,27 @@ object Similarity {
     require(nChunks > 0 && 64 % nChunks == 0, "nChunks must divide 64")
     val width = 64 / nChunks
     val mask = (1L << width) - 1
-    def chunked(df: DataFrame, id: String, v: String) =
-      df.select(col(id), col(v),
-          hyperplaneSig(col(v), 64, seed).as("sig"))
-        .select(col(id), col(v),
+    // only (chunk_idx, chunk, id) flows through the bucket join — the
+    // embedding arrays would otherwise be replicated nChunks× through the
+    // shuffle; they rejoin by id once candidates are deduplicated
+    def chunked(df: DataFrame, id: String) =
+      df.select(col(id), hyperplaneSig(col("__v"), 64, seed).as("sig"))
+        .select(col(id),
           posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
             i => call_function("shiftright", col("sig"), (i * width).cast("int")).bitwiseAND(lit(mask))))
             .as(Seq("chunk_idx", "chunk")))
-    val c = chunked(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "id", "v")
-    val q = chunked(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-      "query_id", "qv")
-    val candidates = c.join(q,
+    val cVec = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+    val qVec = queries.select(col(idCol).as("query_id"), col(vecCol).as("__v"))
+    val c = chunked(cVec, "id")
+    val q = chunked(qVec, "query_id")
+    val candidateIds = c.join(q,
         c("chunk_idx") === q("chunk_idx") && c("chunk") === q("chunk") &&
           col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id"), col("qv"), col("v"))
+      .select(col("query_id"), col("id"))
       .dropDuplicates("query_id", "id")
+    val candidates = candidateIds
+      .join(cVec.withColumnRenamed("__v", "v"), Seq("id"))
+      .join(broadcast(qVec.withColumnRenamed("__v", "qv")), Seq("query_id"))
       .select(col("query_id"), col("id"),
         round(GraftExpressions.cosineSimilarity(col("qv"), col("v")), 6).as("cosine"))
     topK(candidates, k)
