@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.StructType
   * 100 TB this is the difference between scanning one column of one
   * partition and scanning the lake.
   */
-final class FileTableConnection(val spark: SparkSession,
+class FileTableConnection(val spark: SparkSession,
                                 val root: String,
                                 val format: String = "parquet")
   extends DbConnection {

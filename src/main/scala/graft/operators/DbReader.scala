@@ -53,6 +53,55 @@ final case class DbReader(connection: DbConnection,
       graft.hooks.GraftListeners.fireAfterRead(source, read(window, limit))
     }
 
+  /** Single-pass incremental read: capture the HWM with a Spark
+    * [[org.apache.spark.sql.Observation]] on the SAME job that materializes
+    * the frame, instead of the reference's separate MIN/MAX pre-query
+    * (db_reader.py:739-746 + jdbc_connection/connection.py:278-318 — two
+    * scans of the source per run).
+    *
+    * Semantics difference, deliberately: the saved HWM is the max over the
+    * rows the action actually processed (exactly-processed watermark), not
+    * a max probed before the read — so rows arriving mid-read are picked up
+    * by the NEXT run rather than silently skipped, and the source is
+    * scanned once. The reference approximates this by pinning stop to the
+    * probed max; with an observation no pinning is needed.
+    *
+    * `action` must execute an action on the frame it is given (count,
+    * write, collect, ...); if it doesn't, no rows were processed and the
+    * HWM is left unchanged. Requires an [[IncrementalStrategy]] scope. */
+  def runObservingHwm[A](action: DataFrame => A): A = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{expr => sexpr, max}
+    val strategy = checkStrategy()
+    val inc = strategy match {
+      case Some(s: IncrementalStrategy) => s
+      case _ => throw new IllegalArgumentException(
+        "runObservingHwm requires an IncrementalStrategy scope")
+    }
+    val col = hwm.get
+    val template = connection.dialect.detectHwmClass(
+      col.qualifiedName(source), source, col.expression,
+      connection.getDfSchema(source, Seq(col.expression)).fields.head)
+    val bound = inc.fetchHwm(template)
+    val window = Window(col.expression, startFrom = inc.startEdge)
+    val obs = Observation(s"graft_hwm_${source}_${col.expression}")
+    val df = read(Some(window), None)
+      .observe(obs, max(sexpr(col.expression)).as("max"))
+    val result = action(df)
+    // the observation is delivered by an async QueryExecutionListener —
+    // wait on its future with a bound rather than obs.get, which would
+    // hang forever if the action never materialized the frame
+    val observedMax =
+      try Option(scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(10, "s")).getAs[Any]("max"))
+      catch { case _: java.util.concurrent.TimeoutException => None }
+    observedMax match {
+      case Some(mx) => inc.updateHwm(bound.withValue(mx).valueOpt.get)
+      case None => // action ran nothing, or the window was empty: keep the HWM
+    }
+    result
+  }
+
   /** `LIMIT 1` existence probe under the current window
     * (reference db_reader.py:452-512: limit=1 then take(1)). */
   def hasData: Boolean = {

@@ -182,4 +182,53 @@ class DbReaderSpec extends SparkSpec {
     assert(DbReader(conn, "w2").run().count() == 10)
     intercept[Exception] { DbWriter(conn, "w2", IfExists.Error).run(df) }
   }
+
+  test("runObservingHwm: single-pass HWM capture, no MIN/MAX probe job") {
+    val dir = tmpDir("dbreader-obs")
+    // a connection that refuses the probe proves the observed path never
+    // plans the separate MIN/MAX query
+    val conn = new FileTableConnection(spark, dir) {
+      override def getMinMaxValues(source: String, expression: String,
+                                   where: Seq[String]): (Option[Any], Option[Any]) =
+        sys.error("runObservingHwm must not run a MIN/MAX probe")
+    }
+    writeRows(new FileTableConnection(spark, dir), "t",
+      (1L to 50L).map(i => (i, s"n$i")))
+    val store = new graft.core.InMemoryHwmStore
+    val reader = DbReader(conn, "t", hwm = Some(HwmColumn("id")))
+
+    val n1 = graft.core.Strategy.using(
+      new graft.core.IncrementalStrategy(store = store)) {
+      reader.runObservingHwm(_.count())
+    }
+    assert(n1 == 50L)
+    assert(store.get("t.id").get.valueOpt.contains(50L),
+      "HWM == max of the rows the action processed")
+
+    // second run: only the delta beyond the stored HWM
+    writeRows(new FileTableConnection(spark, dir), "t",
+      (1L to 80L).map(i => (i, s"n$i")))
+    val seen = graft.core.Strategy.using(
+      new graft.core.IncrementalStrategy(store = store)) {
+      reader.runObservingHwm(df =>
+        df.select($"id").as[Long].collect().toSet)
+    }
+    assert(seen == (51L to 80L).toSet)
+    assert(store.get("t.id").get.valueOpt.contains(80L))
+
+    // an action that materializes nothing leaves the HWM unchanged
+    graft.core.Strategy.using(
+      new graft.core.IncrementalStrategy(store = store)) {
+      reader.runObservingHwm(_ => ())
+    }
+    assert(store.get("t.id").get.valueOpt.contains(80L))
+  }
+
+  test("runObservingHwm outside an incremental scope is a usage error") {
+    val conn = freshConn()
+    writeRows(conn, "t", Seq((1L, "a")))
+    intercept[IllegalArgumentException] {
+      DbReader(conn, "t", hwm = Some(HwmColumn("id"))).runObservingHwm(_.count())
+    }
+  }
 }
