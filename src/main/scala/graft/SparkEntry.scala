@@ -60,6 +60,21 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "reader_incremental_batch_union" -> ((s, dir) => {
+      // IncrementalBatchStrategy (SURVEY §2.6): from stored HWM 5000,
+      // step through (5000, max] in 4000-key windows with per-batch HWM
+      // persistence; the union must equal one incremental read
+      val store = new InMemoryHwmStore
+      store.set(IntHwm("orders.o_orderkey", "orders", "o_orderkey", Some(5000L)))
+      val b = new IncrementalBatchStrategy(step = 4000L, store = store)
+      val reader = DbReader(conn(s, dir), "orders", hwm = Some(HwmColumn("o_orderkey")))
+      val frames = Strategy.using(b) { b.foreachBatch(reader.run()) }
+      frames.reduce(_ unionAll _)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // --- FileDF formats (SURVEY §2.4): write-read roundtrip through our
     // FileDFWriter/FileDFReader must preserve content exactly -------------
     "filedf_csv_roundtrip" -> ((s, dir) => {
@@ -590,6 +605,11 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "reader_incremental_batch_union" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders WHERE o_orderkey > 5000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "writer_roundtrip" ->
       """SELECT s_nationkey, count(*) * 2 AS n,
         |       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) * 2 AS DOUBLE) AS bal

@@ -192,22 +192,35 @@ sealed abstract class BatchHwmStrategy(val step: Any, store: HwmStore)
     * (reference incremental_strategy.py:572-574). */
   def savesPerBatch: Boolean
 
-  /** Called by the reader once min/max are known. */
-  private[graft] def initialize(startV: Any, stopV: Any): Unit = synchronized {
-    if (!initialized) {
-      if (WindowMath.lt(stopV, startV))
-        throw new IllegalStateException(s"batch window stop $stopV < start $startV")
-      start = Some(startV); stop = Some(stopV); left = Some(startV)
-      initialized = true
+  @volatile private[graft] var startExclusive = false
+
+  /** Called by the reader once min/max are known. `exclusiveStart` marks a
+    * start seeded from a STORED HWM, whose row was already consumed by the
+    * previous run: the reference renders that edge with `>` because
+    * `HWMStrategy.current` is exclusive when the HWM is set
+    * (hwm_strategy.py:24-31), and `BatchHWMStrategy.current` only falls
+    * back to the inclusive `start` when it is not
+    * (batch_hwm_strategy.py:98-106). A probed MIN or explicit start stays
+    * inclusive. */
+  private[graft] def initialize(startV: Any, stopV: Any,
+                                exclusiveStart: Boolean = false): Unit =
+    synchronized {
+      if (!initialized) {
+        if (WindowMath.lt(stopV, startV))
+          throw new IllegalStateException(s"batch window stop $stopV < start $startV")
+        start = Some(startV); stop = Some(stopV); left = Some(startV)
+        startExclusive = exclusiveStart
+        initialized = true
+      }
     }
-  }
 
   private[graft] def currentWindow(expression: String): Window = {
     val l = left.getOrElse(throw new IllegalStateException("batch not initialized"))
     val s = stop.get
     val right = WindowMath.min(WindowMath.add(l, step), s)
     Window(expression,
-      startFrom = if (isFirstBatch) Edge.inclusive(l) else Edge.exclusive(l),
+      startFrom = if (isFirstBatch && !startExclusive) Edge.inclusive(l)
+                  else Edge.exclusive(l),
       stopAt = Edge.inclusive(right))
   }
 

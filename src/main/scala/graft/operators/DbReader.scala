@@ -169,9 +169,14 @@ final case class DbReader(connection: DbConnection,
           case sb: SnapshotBatchStrategy => sb.explicitStop.map(align)
           case _ => None
         }
+        // a start seeded from the stored HWM was already consumed by the
+        // previous run → the first batch edge must be exclusive (reference
+        // hwm_strategy.py:24-31 via batch_hwm_strategy.py:98-106)
+        val startIsStoredHwm =
+          b.isInstanceOf[IncrementalBatchStrategy] && explicitStart.nonEmpty
         (explicitStart, explicitStop) match {
           case (Some(s0), Some(s1)) =>
-            b.initialize(s0, s1)
+            b.initialize(s0, s1, exclusiveStart = startIsStoredHwm)
             (Some(b.currentWindow(expr)), None)
           case _ =>
             val probe = Window(expr,
@@ -181,7 +186,8 @@ final case class DbReader(connection: DbConnection,
             (minV, maxV) match {
               case (Some(mn), Some(mx)) =>
                 b.initialize(explicitStart.getOrElse(align(mn)),
-                             explicitStop.getOrElse(align(mx)))
+                             explicitStop.getOrElse(align(mx)),
+                             exclusiveStart = startIsStoredHwm)
                 (Some(b.currentWindow(expr)), None)
               case _ => (None, Some(0)) // empty source → empty frame
             }

@@ -129,8 +129,10 @@ class DbReaderSpec extends SparkSpec {
     val counts = Strategy.using(b) {
       b.foreachBatch(DbReader(conn, "ib", hwm = Some(HwmColumn("id"))).run().count())
     }
-    // start=20 (stored, inclusive first batch), stop=100: [20,60], (60,100]
-    assert(counts.sum == 81, s"batches: $counts")
+    // start=20 came from the STORED HWM, so row 20 was already consumed:
+    // windows (20,60], (60,100] — 80 rows, not 81 (reference
+    // hwm_strategy.py:24-31: current edge exclusive when HWM is set)
+    assert(counts.sum == 80, s"batches: $counts")
     assert(store.get("ib.id").get.valueOpt.contains(100L))
   }
 
