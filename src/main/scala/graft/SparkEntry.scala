@@ -61,11 +61,15 @@ object SparkEntry {
     }),
 
     "reader_incremental_batch_union" -> ((s, dir) => {
-      // IncrementalBatchStrategy (SURVEY §2.6): from stored HWM 5000,
-      // step through (5000, max] in 4000-key windows with per-batch HWM
-      // persistence; the union must equal one incremental read
+      // IncrementalBatchStrategy (SURVEY §2.6): stored HWM = max-12000 so
+      // the run steps through exactly 3 windows of 4000 keys at EVERY
+      // scale factor (a fixed literal would mean 36 batches at sf0.1),
+      // with per-batch HWM persistence; the union must equal one
+      // incremental read of (hwm, max]
+      val (_, hi) = conn(s, dir).getMinMaxValues("orders", "o_orderkey", Nil)
+      val hwm0 = hi.get.toString.toLong - 12000L
       val store = new InMemoryHwmStore
-      store.set(IntHwm("orders.o_orderkey", "orders", "o_orderkey", Some(5000L)))
+      store.set(IntHwm("orders.o_orderkey", "orders", "o_orderkey", Some(hwm0)))
       val b = new IncrementalBatchStrategy(step = 4000L, store = store)
       val reader = DbReader(conn(s, dir), "orders", hwm = Some(HwmColumn("o_orderkey")))
       val frames = Strategy.using(b) { b.foreachBatch(reader.run()) }
@@ -608,7 +612,8 @@ object SparkEntry {
     "reader_incremental_batch_union" ->
       """SELECT o_orderstatus, count(*) AS n,
         |       CAST(max(o_orderkey) AS BIGINT) AS max_key
-        |FROM orders WHERE o_orderkey > 5000
+        |FROM orders
+        |WHERE o_orderkey > (SELECT max(o_orderkey) - 12000 FROM orders)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "writer_roundtrip" ->
       """SELECT s_nationkey, count(*) * 2 AS n,
