@@ -538,6 +538,33 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // --- Hive write modes (SURVEY §2.5) live in the gate: create a
+    // partitioned catalog table (external, temp-dir path), then replace
+    // ONLY the 'O' partition via dynamic partition overwrite with doubled
+    // prices — untouched partitions must survive, the overwritten one must
+    // show the new values. Exercises saveAsTable, insertInto realignment,
+    // and partitionOverwriteMode=dynamic end-to-end.
+    "hive_partition_overwrite" -> ((s, dir) => {
+      import graft.connections.{HiveConnection, HiveWriteOptions, IfExists}
+      val hive = new HiveConnection(s)
+      val src = DbReader(conn(s, dir), "orders").run()
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hive").toString
+      hive.execute("DROP TABLE IF EXISTS graft_orders_gate")
+      hive.write(src, "graft_orders_gate", HiveWriteOptions(
+        partitionBy = Seq("o_orderstatus"), options = Map("path" -> tmp)))
+      val doubled = src.filter(col("o_orderstatus") === "O")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      hive.write(doubled, "graft_orders_gate", HiveWriteOptions(
+        ifExists = IfExists.ReplaceOverlappingPartitions,
+        partitionBy = Seq("o_orderstatus")))
+      hive.sql("SELECT * FROM graft_orders_gate")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "codec_json_column" -> ((s, dir) => {
       // JSON column codec (SURVEY §2.4): to_json → from_json roundtrip
       // through our codec wrappers must be lossless
@@ -896,6 +923,13 @@ object SparkEntry {
         |                  WHEN 'src1' THEN 1073741824
         |                  ELSE 429496729 END
         |GROUP BY source ORDER BY source""".stripMargin,
+    "hive_partition_overwrite" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(CASE WHEN o_orderstatus = 'O'
+        |                          THEN o_totalprice * 2
+        |                          ELSE o_totalprice END AS DECIMAL(18,2)))
+        |            AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "codec_json_column" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q_embedding_norms" ->
