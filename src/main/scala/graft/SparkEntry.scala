@@ -111,6 +111,27 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // --- File-transfer engine (SURVEY §2.3) in the gate: Spark-write the
+    // region table as multi-part CSV to a "remote" dir, mirror it to a
+    // local dir through FileDownloader (walk + glob filter + worker pool +
+    // atomic temp-file renames), then Spark-read the DOWNLOADED copies —
+    // content must survive the transfer byte-for-byte.
+    "file_transfer_roundtrip" -> ((s, dir) => {
+      import graft.filedf._
+      import graft.files._
+      val src = DbReader(conn(s, dir), "region").run()
+      val remote = java.nio.file.Files.createTempDirectory("graft_remote").toString
+      FileDFWriter(Csv.withHeader(), remote, DirIfExists.ReplaceEntireDirectory)
+        .run(src.repartition(3))
+      val local = java.nio.file.Files.createTempDirectory("graft_local").toString
+      val result = FileDownloader(new LocalFileConnection, remote, local,
+        filters = Seq(Glob("*.csv")), workers = 4,
+        ifExists = FileIfExists.ReplaceFile).run()
+      result.raiseIfFailed()
+      FileDFReader(s, Csv.withHeader(), local, Some(src.schema)).run()
+        .orderBy(col("r_regionkey"))
+    }),
+
     "writer_roundtrip" -> ((s, dir) => {
       // DbWriter with if-exists semantics + metrics: write supplier to a
       // temp file-table (replace), append once, read back through DbReader
@@ -642,6 +663,8 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey > (SELECT max(o_orderkey) - 12000 FROM orders)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "file_transfer_roundtrip" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
     "writer_roundtrip" ->
       """SELECT s_nationkey, count(*) * 2 AS n,
         |       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) * 2 AS DOUBLE) AS bal
