@@ -66,10 +66,16 @@ final case class DbReader(connection: DbConnection,
     * scanned once. The reference approximates this by pinning stop to the
     * probed max; with an observation no pinning is needed.
     *
-    * `action` must execute an action on the frame it is given (count,
-    * write, collect, ...); if it doesn't, no rows were processed and the
-    * HWM is left unchanged. Requires an [[IncrementalStrategy]] scope. */
-  def runObservingHwm[A](action: DataFrame => A): A = {
+    * `action` must FULLY materialize the frame it is given (count, write,
+    * full collect). A partial action — `limit`/`take`/`head` — is unsafe
+    * here: the observation sees only the rows that flowed through it, so
+    * the HWM would advance to the max of an arbitrary subset and every
+    * unprocessed row below it would fall out of all future windows. If the
+    * action materializes nothing, the HWM is left unchanged. Requires an
+    * [[IncrementalStrategy]] scope. */
+  def runObservingHwm[A](action: DataFrame => A): A =
+    graft.util.SparkUtils.withJobDescription(connection.spark,
+      s"${connection.getClass.getSimpleName} -> DbReader.runObservingHwm($source)") {
     import org.apache.spark.sql.Observation
     import org.apache.spark.sql.functions.{expr => sexpr, max}
     val strategy = checkStrategy()
@@ -78,6 +84,7 @@ final case class DbReader(connection: DbConnection,
       case _ => throw new IllegalArgumentException(
         "runObservingHwm requires an IncrementalStrategy scope")
     }
+    graft.hooks.GraftListeners.fireBeforeRead(source)
     val col = hwm.get
     val template = connection.dialect.detectHwmClass(
       col.qualifiedName(source), source, col.expression,
@@ -85,19 +92,30 @@ final case class DbReader(connection: DbConnection,
     val bound = inc.fetchHwm(template)
     val window = Window(col.expression, startFrom = inc.startEdge)
     val obs = Observation(s"graft_hwm_${source}_${col.expression}")
-    val df = read(Some(window), None)
+    val df = graft.hooks.GraftListeners
+      .fireAfterRead(source, read(Some(window), None))
       .observe(obs, max(sexpr(col.expression)).as("max"))
     val result = action(df)
     // the observation is delivered by an async QueryExecutionListener —
     // wait on its future with a bound rather than obs.get, which would
     // hang forever if the action never materialized the frame
     val observedMax =
-      try Option(scala.concurrent.Await.result(obs.future,
-          scala.concurrent.duration.Duration(10, "s")).getAs[Any]("max"))
-      catch { case _: java.util.concurrent.TimeoutException => None }
+      try Right(Option(scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(30, "s")).getAs[Any]("max")))
+      catch {
+        case _: java.util.concurrent.TimeoutException => Left("timeout")
+      }
     observedMax match {
-      case Some(mx) => inc.updateHwm(bound.withValue(mx).valueOpt.get)
-      case None => // action ran nothing, or the window was empty: keep the HWM
+      case Right(Some(mx)) => inc.updateHwm(bound.withValue(mx).valueOpt.get)
+      case Right(None) => // window was empty: keep the HWM
+      case Left(_) =>
+        // a late/dropped listener event is NOT the same as "no rows ran" —
+        // be loud, because a stale HWM means the next run re-reads rows
+        System.err.println(
+          s"[graft] WARNING: observation for $source.${col.expression} not " +
+            "delivered within 30s (listener bus busy, or the action never " +
+            "materialized the frame) — HWM left unchanged; the next " +
+            "incremental run will re-read this window")
     }
     result
   }

@@ -107,7 +107,7 @@ object Joins {
                  factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor >= 1, "salt factor must be >= 1")
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
-        "leftsemi", "left_anti", "leftanti").contains(
+        "leftsemi", "semi", "left_anti", "leftanti", "anti").contains(
         joinType.toLowerCase.replace(" ", "_")),
       s"saltedJoin supports inner/left/left_semi/left_anti, not '$joinType': " +
         "replicating the small side duplicates unmatched right/full outer rows")

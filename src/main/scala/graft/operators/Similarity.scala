@@ -15,11 +15,12 @@ import org.apache.spark.sql.{Column, DataFrame}
   *    only shuffle is the final per-query top-k, over ≤ |corpus| rows of
   *    (qid, id, cosine) — at 100 TB keep the query batch bounded and this
   *    scales linearly.
-  *  - `lshTopK`: random-hyperplane signatures bucket the corpus
-  *    (16-bit chunks of a 64-bit signature, like the simhash banding);
-  *    only same-bucket candidates get an exact cosine, then per-query
-  *    top-k. Approximate, near-linear — the scale path. Recall grows with
-  *    `probeChunks` (how many of the 4 chunks must collide: 1 = any).
+  *  - `lshTopK`: random-hyperplane signatures bucket the corpus — the
+  *    64-bit signature splits into `nChunks` bands (default 8×8-bit) and
+  *    a candidate needs ONE full band to collide; only candidates get an
+  *    exact cosine, then per-query top-k. Approximate, near-linear — the
+  *    scale path. Fewer/wider chunks → fewer candidates and lower recall;
+  *    more/narrower chunks → the reverse.
   */
 object Similarity {
 
