@@ -432,6 +432,24 @@ object SparkEntry {
         .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("event_id"))
     }),
+    "q_asof_join_left" -> ((s, dir) => {
+      // left as-of: events with NO order at-or-before keep a null match —
+      // per-user counts of matched vs unmatched events
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val events = DbReader(conn(s, dir), "events").run()
+        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      val orders = DbReader(conn(s, dir), "orders").run()
+      operators.Joins.asofJoin(events, orders,
+          leftTime = "ts", rightTime = "o_orderdate",
+          leftBy = Seq("user_id"), rightBy = Seq("o_custkey"),
+          rightCols = Seq("o_orderkey"),
+          tiebreak = Some("o_orderkey"), how = "left")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("o_orderkey")).as("n_matched"))
+        .orderBy(col("user_id"))
+    }),
+
     "q_band_join" -> ((s, dir) => {
       // same-user event pairs within one hour of each other — a binned
       // equi-join on (user, time-bucket), not an inequality join
@@ -890,6 +908,15 @@ object SparkEntry {
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
         |SELECT event_id, o_orderkey, o_totalprice FROM cand WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
+    "q_asof_join_left" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       count(CASE WHEN matched THEN 1 END) AS n_matched
+        |FROM (SELECT e.user_id,
+        |        EXISTS(SELECT 1 FROM orders o
+        |               WHERE o.o_custkey = e.user_id
+        |                 AND o.o_orderdate <= e.ts) AS matched
+        |      FROM events e) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // both sides floor to whole epoch seconds so the band boundary is
     // bit-identical across engines (events.ts carries sub-second precision)
     "q_band_join" ->

@@ -146,4 +146,36 @@ class PropertySpec extends SparkSpec {
       arr.numElements() == math.max(0, toks.size - n + 1)
     })
   }
+
+  test("WindowMath.add is monotone and consistent with compare across HWM types") {
+    import java.time.{Duration, Instant, LocalDate}
+    val longs = Gen.choose(-1000000L, 1000000L)
+    check("long add monotone", Prop.forAll(longs, Gen.choose(1L, 10000L)) {
+      (v, step) => WindowMath.lt(v, WindowMath.add(v, step))
+    })
+    check("decimal add monotone", Prop.forAll(longs, Gen.choose(1L, 10000L)) {
+      (v, step) =>
+        WindowMath.lt(BigDecimal(v), WindowMath.add(BigDecimal(v), BigDecimal(step)))
+    })
+    check("date add by days monotone", Prop.forAll(
+        Gen.choose(0L, 200000L), Gen.choose(1, 365)) { (epochDay, days) =>
+      val d = LocalDate.ofEpochDay(epochDay)
+      WindowMath.lt(d, WindowMath.add(d, days))
+    })
+    check("instant add by duration monotone", Prop.forAll(
+        Gen.choose(0L, 4102444800L), Gen.choose(1L, 86400L * 365)) { (sec, stepSec) =>
+      val t = Instant.ofEpochSecond(sec)
+      WindowMath.lt(t, WindowMath.add(t, Duration.ofSeconds(stepSec)))
+    })
+  }
+
+  test("WindowMath.min/max agree with compare and are idempotent") {
+    val longs = Gen.choose(Long.MinValue / 4, Long.MaxValue / 4)
+    check("min/max coherent", Prop.forAll(longs, longs) { (a, b) =>
+      val mn = WindowMath.min(a, b); val mx = WindowMath.max(a, b)
+      !WindowMath.lt(mx, mn) &&
+        (mn == a || mn == b) && (mx == a || mx == b) &&
+        WindowMath.min(mn, mn) == mn && WindowMath.max(mx, mx) == mx
+    })
+  }
 }
