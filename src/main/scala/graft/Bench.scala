@@ -15,9 +15,14 @@ object Bench {
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the scan + codegen + shuffle paths once so the first timed
-    // query doesn't absorb JVM/JIT startup.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // Warm every query once at the smallest scale factor so the timed
+    // sf run measures the operators, not JVM class-loading and codegen
+    // compilation (first execution of each plan compiles its generated
+    // Java; that cost is per-plan-shape, not per-row).
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
