@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-wide plan invariant over EVERY SparkEntry query: no plan may
+  * contain a CartesianProduct — the quadratic, undistributable shape that
+  * appears when a join degenerates (e.g. an inequality-only condition).
+  * BroadcastNestedLoopJoin is allowed only where it is the deliberate
+  * bounded-broadcast design (brute-force similarity scoring broadcasts a
+  * small query set against the corpus); everywhere else it flags a join
+  * that lost its equi-keys. Runs against sf0.001 so plan construction
+  * (which for some queries includes live Derby/Hive/file side effects)
+  * stays cheap.
+  */
+class QueryPlanSweepSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val broadcastNestedLoopAllowed = Set(
+    "similarity_topk_brute",  // deliberate: broadcast(queries) cross corpus
+    "similarity_topk_ivf",    // deliberate: broadcast probe set
+    "similarity_topk_lsh",    // deliberate: broadcast query vectors
+    "dedup_embedding_cosine"  // gate runs the bruteForce=true oracle path
+                              // (all-pairs small-N); LSH is the scale path
+  )
+
+  test("no query plans a CartesianProduct; nested-loop only where designed") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, dir).queryExecution.executedPlan.toString
+          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        val cartesian = plan.contains("CartesianProduct")
+        val nestedLoop = plan.contains("BroadcastNestedLoopJoin") &&
+          !broadcastNestedLoopAllowed(name)
+        if (cartesian) Some(s"$name: CartesianProduct")
+        else if (nestedLoop) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+        else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
