@@ -268,6 +268,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "multimodal_feature_hist" -> ((s, dir) => {
+      // feature-extraction plumbing (byte-histogram stub): the documents
+      // are ASCII, so bucket fractions are independently computable in
+      // DuckDB with hex char-class regexes — bucket 2 = bytes 0x20-0x2f
+      // (space/punct), bucket 6 = bytes 0x60-0x6f (backtick..'o')
+      val df = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .filter(length(col("payload")) > 0)
+      operators.Multimodal.featureExtract(df, "payload", dim = 16)
+        .select(col("doc_id"),
+          round(element_at(col("features"), 3), 6).as("f2"),
+          round(element_at(col("features"), 7), 6).as("f6"))
+        .orderBy(col("doc_id"))
+    }),
+
     "multimodal_frame_sample" -> ((s, dir) => {
       // evenly-spaced frame sampling over opaque binary payloads
       // (byte-slice stub in place of a codec; boundary math is exact and
@@ -870,6 +885,14 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY st, pri""".stripMargin,
+    "multimodal_feature_hist" ->
+      """SELECT doc_id,
+        |       round(len(regexp_extract_all(text, '[\x20-\x2f]'))::DOUBLE
+        |             / octet_length(encode(text)), 6) AS f2,
+        |       round(len(regexp_extract_all(text, '[\x60-\x6f]'))::DOUBLE
+        |             / octet_length(encode(text)), 6) AS f6
+        |FROM documents WHERE octet_length(encode(text)) > 0
+        |ORDER BY doc_id""".stripMargin,
     "multimodal_frame_sample" ->
       """WITH s AS (
         |  SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS len,

@@ -89,6 +89,57 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** Fixed-dimension feature vector from a binary payload: byte histogram
+    * folded into `dim` buckets, L1-normalized. A deterministic stand-in
+    * for an embedding/feature model with the same plumbing contract —
+    * fixed output dimension, per-partition batch extraction, null-safe.
+    * Swap the histogram for a real model call off-container. */
+  def featureExtract(df: DataFrame, binCol: String, dim: Int = 16,
+                     outCol: String = "features"): DataFrame = {
+    require(dim > 0 && 256 % dim == 0, "dim must divide 256")
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, ArrayType(DoubleType, containsNull = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val fold = 256 / dim
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val feats =
+          if (bytes == null || bytes.isEmpty) Array.fill(dim)(0.0)
+          else {
+            val hist = new Array[Double](dim)
+            var i = 0
+            while (i < bytes.length) { hist((bytes(i) & 0xff) / fold) += 1.0; i += 1 }
+            val total = bytes.length.toDouble
+            var k = 0
+            while (k < dim) { hist(k) /= total; k += 1 }
+            hist
+          }
+        Row.fromSeq(row.toSeq :+ feats.toSeq)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Resize stub: normalize every payload to exactly `targetBytes` by
+    * truncate-or-zero-pad — a real resize's shape contract (fixed output
+    * size regardless of input) with a byte operation in place of pixel
+    * resampling. Null payloads stay null. */
+  def resizeStub(df: DataFrame, binCol: String, targetBytes: Int,
+                 outCol: String = "resized"): DataFrame = {
+    require(targetBytes > 0)
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val out =
+          if (bytes == null) null
+          else java.util.Arrays.copyOf(bytes, targetBytes) // truncates or 0-pads
+        Row.fromSeq(row.toSeq :+ out)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** Pure-SQL byte statistics over a binary column — the parts of media
     * handling that do NOT need a codec stay declarative (and oracle-
     * checkable): payload size and first byte. */

@@ -283,4 +283,30 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Long]("n_bytes") == 3L)
     assert(r.getAs[Int]("first_byte") == 'x'.toInt)
   }
+
+  test("featureExtract: normalized byte histogram, fixed dim, null-safe") {
+    // "aa  " = two 'a' (0x61 -> bucket 6) + two spaces (0x20 -> bucket 2)
+    val df = Seq(("a", "aa  ".getBytes("UTF-8")), ("b", Array.empty[Byte]),
+      ("c", null)).toDF("id", "payload")
+    val rows = Multimodal.featureExtract(df, "payload", dim = 16)
+      .orderBy($"id").collect()
+    val fa = rows(0).getSeq[Double](2)
+    assert(fa.length == 16 && fa(2) == 0.5 && fa(6) == 0.5 && fa.sum == 1.0)
+    assert(rows(1).getSeq[Double](2).forall(_ == 0.0), "empty -> zero vector")
+    assert(rows(2).getSeq[Double](2).forall(_ == 0.0), "null -> zero vector")
+  }
+
+  test("resizeStub: every payload becomes exactly targetBytes") {
+    val df = Seq(("long", (0 until 50).map(_.toByte).toArray),
+      ("short", Array[Byte](1, 2, 3)), ("nul", null))
+      .toDF("id", "payload")
+    val rows = Multimodal.resizeStub(df, "payload", targetBytes = 10)
+      .orderBy($"id").collect()
+    val long = rows(0).getAs[Array[Byte]]("resized")
+    assert(long.length == 10 && long(9) == 9.toByte, "truncated to target")
+    val short = rows(2).getAs[Array[Byte]]("resized")
+    assert(short.length == 10 && short(0) == 1.toByte && short(9) == 0.toByte,
+      "zero-padded to target")
+    assert(rows(1).isNullAt(2), "null stays null")
+  }
 }
