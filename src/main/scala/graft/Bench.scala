@@ -15,23 +15,35 @@ object Bench {
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm every query once at the smallest scale factor so the timed
-    // sf run measures the operators, not JVM class-loading and codegen
-    // compilation (first execution of each plan compiles its generated
-    // Java; that cost is per-plan-shape, not per-row).
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => }
+    // Warm every query once at the SAME scale factor that gets timed, so
+    // the timed pass measures steady-state operator cost: the first
+    // execution of each plan shape compiles its generated Java, and plan
+    // shapes can differ between scale factors (e.g. broadcast vs
+    // sort-merge), so warming at a smaller sf would leave compilation
+    // inside the timed run. Warm failures are loud — a silently skipped
+    // warm-up would re-inflate the timings it exists to remove.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $name FAILED: ${e.getMessage}")
+      }
     }
+    var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        failed ::= name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // a failed query must not masquerade as a fast success: its name is
+    // listed and the run's exit signal is the non-empty "failed" array
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

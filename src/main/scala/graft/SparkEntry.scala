@@ -17,6 +17,17 @@ object SparkEntry {
   private def conn(spark: SparkSession, dir: String) =
     new FileTableConnection(spark, dir)
 
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects — read nanos as long and convert with INTEGRAL
+    * division (`div`): the `/` operator goes through double, and
+    * 2026-era epoch-nanos (~1.77e18) exceed double's 2^53 exact range,
+    * so a double round-trip can shift timestamps by ±1µs. */
+  private def eventsMicros(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    DbReader(conn(s, dir), "events").run()
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -338,11 +349,9 @@ object SparkEntry {
     "q_events_sessionize" -> ((s, dir) => {
       // event-time windowed aggregation over the events table.
       // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read nanos as long and convert to micros (what
+      // reader rejects; eventsMicros converts nanos -> micros (what
       // DuckDB does implicitly on read).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = DbReader(conn(s, dir), "events").run()
-        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      val ev = eventsMicros(s, dir)
       ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
@@ -368,9 +377,7 @@ object SparkEntry {
     "q_session_gap" -> ((s, dir) => {
       // batch gap sessionization (30 min): sessions per user + busiest
       // session size (operators.Sessions)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = DbReader(conn(s, dir), "events").run()
-        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      val ev = eventsMicros(s, dir)
       operators.Sessions.stats(ev, "user_id", "ts", gapSeconds = 1800L)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"),
@@ -435,9 +442,7 @@ object SparkEntry {
       // for each event: the customer's latest order at-or-before the event
       // (union–sort–carry as-of; see operators.Joins.asofJoin).
       // events.ts is TIMESTAMP(NANOS) → read as long, convert to micros
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val events = DbReader(conn(s, dir), "events").run()
-        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      val events = eventsMicros(s, dir)
       val orders = DbReader(conn(s, dir), "orders").run()
       operators.Joins.asofJoin(events, orders,
           leftTime = "ts", rightTime = "o_orderdate",
@@ -450,9 +455,7 @@ object SparkEntry {
     "q_asof_join_left" -> ((s, dir) => {
       // left as-of: events with NO order at-or-before keep a null match —
       // per-user counts of matched vs unmatched events
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val events = DbReader(conn(s, dir), "events").run()
-        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      val events = eventsMicros(s, dir)
       val orders = DbReader(conn(s, dir), "orders").run()
       operators.Joins.asofJoin(events, orders,
           leftTime = "ts", rightTime = "o_orderdate",
@@ -471,7 +474,7 @@ object SparkEntry {
       // (operators.Joins.bandJoin)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val base = DbReader(conn(s, dir), "events").run()
-        .withColumn("ets", (col("ts") / lit(1000000000L)).cast("long"))
+        .withColumn("ets", expr("ts div 1000000000"))
       val a = base.select(col("event_id").as("id1"), col("user_id"),
         col("ets").as("t1"))
       val b = base.select(col("event_id").as("id2"), col("user_id").as("uid2"),
