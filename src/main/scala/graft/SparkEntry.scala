@@ -179,6 +179,20 @@ object SparkEntry {
           shingleSize = 3, threshold = 0.7)
         .orderBy(col("id1"), col("id2"))
     }),
+    "dedup_components" -> ((s, dir) => {
+      // near-dup clustering: pairwise MinHash hits → connected components
+      // (min-label propagation) → one dedup group per component. The
+      // oracle recomputes components with a recursive CTE over the exact
+      // Jaccard pair set (LSH == exact on this data, see jaccardOracle).
+      val pairs = operators.Dedup.minhashDupPairs(
+        DbReader(conn(s, dir), "documents").run(), "doc_id", "text",
+        shingleSize = 3, bands = 32, rowsPerBand = 4, threshold = 0.7)
+      operators.Dedup.connectedComponents(pairs, "id1", "id2")
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("size"))
+        .orderBy(col("comp"))
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // custom 64-bit hash: not expressible in ANSI SQL → rows-only check
       operators.Dedup.simhashDupPairs(
@@ -711,6 +725,28 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle,
     "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_components" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |         i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |), inv AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 6) >= 0.7
+        |), edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs
+        |), walk(id, reach) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT w.id, e.b FROM walk w JOIN edges e ON w.reach = e.a
+        |)
+        |SELECT comp, count(*) AS size FROM (
+        |  SELECT id, CAST(min(reach) AS BIGINT) AS comp FROM walk GROUP BY id) t
+        |GROUP BY comp ORDER BY comp""".stripMargin,
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
         |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

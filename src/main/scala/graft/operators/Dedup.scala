@@ -165,6 +165,50 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a duplicate-pair graph — the clustering
+    * step that turns pairwise near-dup hits into dedup groups (keep one
+    * doc per component). Iterative min-label propagation: every vertex
+    * starts labeled with its own id, and each round adopts the minimum
+    * label among itself and its neighbors, converging in O(diameter)
+    * rounds (dup clusters are shallow — a handful of rounds in practice).
+    *
+    * Scale shape: each round is one equi-join + one map-side-combined
+    * groupBy over (edge, label) rows — no vertex ever holds its whole
+    * component in memory, and `localCheckpoint` cuts the lineage each
+    * round so the plan doesn't grow exponentially (on a cluster, use a
+    * reliable checkpoint dir instead). Convergence is detected with a
+    * per-round changed-label count, so quiet graphs cost exactly
+    * diameter+1 rounds.
+    *
+    * Returns (id, comp) where comp = min id reachable from id. */
+  def connectedComponents(pairs: DataFrame, col1: String, col2: String,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(col1).as("a"), col(col2).as("b"))
+      .unionAll(pairs.select(col(col2).as("a"), col(col1).as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = edges.join(labels, edges("a") === labels("id"))
+        .groupBy(col("b").as("nid")).agg(min(col("comp")).as("nmin"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("next"))
+        .localCheckpoint()
+      changed = updated.filter(col("next") < col("comp")).count()
+      labels = updated.select(col("id"), col("next").as("comp"))
+      it += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter (component diameter exceeds it)")
+    labels
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold.
     * `bruteForce=true` compares all pairs (the small-N oracle);
     * otherwise candidates come from random-hyperplane LSH (sign-bit

@@ -144,6 +144,35 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("chains, stars, and singleton-free labeling converge to min ids") {
+    // components: {1,2,3,4} (chain), {10,11,12} (star on 10), {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (20L, 21L)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long path needs diameter rounds; too-small maxIter raises") {
+    // label propagation moves the min one hop per round, so a 12-node
+    // path converges in 11 rounds (inside the default 25) and provably
+    // cannot converge in 2
+    val path = (0L until 12L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(path, "id1", "id2")
+      .agg(countDistinct($"comp")).as[Long].head()
+    assert(cc == 1L, "one path = one component")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, "id1", "id2", maxIter = 2).count()
+    }
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
