@@ -175,10 +175,13 @@ object Dedup {
     * Scale shape: each round is one equi-join + one map-side-combined
     * groupBy over (edge, label) rows — no vertex ever holds its whole
     * component in memory, and `localCheckpoint` cuts the lineage each
-    * round so the plan doesn't grow exponentially (on a cluster, use a
-    * reliable checkpoint dir instead). Convergence is detected with a
-    * per-round changed-label count, so quiet graphs cost exactly
-    * diameter+1 rounds.
+    * round so the plan doesn't grow exponentially. Per-round snapshots
+    * are released asynchronously by Spark's ContextCleaner as the loop
+    * drops its references; on a cluster-scale graph use a reliable
+    * checkpoint dir (managed, deterministic cleanup) instead of local
+    * checkpoints. Convergence means a round observed ZERO label changes,
+    * so a component of diameter d costs d+1 rounds — size `maxIter`
+    * accordingly (default 25 handles the shallow graphs dedup produces).
     *
     * Returns (id, comp) where comp = min id reachable from id. */
   def connectedComponents(pairs: DataFrame, col1: String, col2: String,
@@ -192,11 +195,13 @@ object Dedup {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
+      // symmetrized edges guarantee every vertex has >= 1 neighbor, so an
+      // inner join loses nobody and nbrMin has exactly one row per vertex
       val nbrMin = edges.join(labels, edges("a") === labels("id"))
         .groupBy(col("b").as("nid")).agg(min(col("comp")).as("nmin"))
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"))
         .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("next"))
+          least(col("comp"), col("nmin")).as("next"))
         .localCheckpoint()
       changed = updated.filter(col("next") < col("comp")).count()
       labels = updated.select(col("id"), col("next").as("comp"))
@@ -204,8 +209,9 @@ object Dedup {
     }
     if (changed > 0)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — " +
-          "raise maxIter (component diameter exceeds it)")
+        s"connectedComponents could not confirm convergence within $maxIter " +
+          "rounds — a component needs diameter+1 rounds (the last one " +
+          "observing zero changes); raise maxIter")
     labels
   }
 

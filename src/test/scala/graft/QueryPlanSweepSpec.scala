@@ -11,6 +11,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * that lost its equi-keys. Runs against sf0.001 so plan construction
   * (which for some queries includes live Derby/Hive/file side effects)
   * stays cheap.
+  *
+  * Caveat: queries that EXECUTE iterative work at construction time
+  * (dedup_components' per-round joins run behind localCheckpoint) expose
+  * only their final plan here — their inner join shapes are covered by
+  * their own operator specs, not this sweep.
   */
 class QueryPlanSweepSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark

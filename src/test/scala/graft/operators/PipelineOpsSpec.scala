@@ -160,8 +160,8 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   test("long path needs diameter rounds; too-small maxIter raises") {
     // label propagation moves the min one hop per round, so a 12-node
-    // path converges in 11 rounds (inside the default 25) and provably
-    // cannot converge in 2
+    // path needs 11 changing rounds + 1 zero-change confirming round
+    // (12 total, inside the default 25) and provably cannot finish in 2
     val path = (0L until 12L).sliding(2).map(w => (w(0), w(1))).toSeq
       .toDF("id1", "id2")
     val cc = Dedup.connectedComponents(path, "id1", "id2")
