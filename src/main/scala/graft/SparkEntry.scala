@@ -193,6 +193,18 @@ object SparkEntry {
         .orderBy(col("comp"))
     }),
 
+    "decontaminate_overlap" -> ((s, dir) => {
+      // train/benchmark decontamination: treat src0 as the held-out
+      // benchmark and every other source as the training corpus; find
+      // corpus docs leaking benchmark content by exact n-gram Jaccard
+      val docs = DbReader(conn(s, dir), "documents").run()
+      operators.Dedup.crossNgramJaccardPairs(
+          corpus = docs.filter(col("source") =!= "src0"),
+          benchmark = docs.filter(col("source") === "src0"),
+          "doc_id", "text", shingleSize = 3, threshold = 0.7)
+        .orderBy(col("bench_id"), col("corpus_id"))
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // custom 64-bit hash: not expressible in ANSI SQL → rows-only check
       operators.Dedup.simhashDupPairs(
@@ -725,6 +737,20 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle,
     "dedup_ngram_jaccard" -> jaccardOracle,
+    "decontaminate_overlap" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, list_distinct(list_transform(range(1, len(toks)-1),
+        |         i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |), inv AS (SELECT doc_id, source, unnest(sh) AS s, len(sh) AS n FROM docs)
+        |SELECT b.doc_id AS bench_id, a.doc_id AS corpus_id,
+        |       round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 6) AS jaccard
+        |FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id != b.doc_id
+        |WHERE b.source = 'src0' AND a.source != 'src0'
+        |GROUP BY b.doc_id, a.doc_id
+        |HAVING jaccard >= 0.7
+        |ORDER BY bench_id, corpus_id""".stripMargin,
     "dedup_components" ->
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),

@@ -142,6 +142,43 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Cross-corpus contamination detection: documents in `corpus` whose
+    * n-gram Jaccard similarity with any `benchmark` document reaches
+    * `threshold` — the decontamination primitive for excluding training
+    * documents that leak evaluation data. Same inverted-index shape as
+    * [[ngramJaccardDupPairs]], but the index join runs corpus-side ×
+    * benchmark-side (no self-pairs, no ordering constraint), so the
+    * shuffle carries only (shingle-hash, id, n) rows from each side and
+    * the benchmark — typically tiny next to a 100 TB corpus — gates the
+    * candidate count. Returns (bench_id, corpus_id, jaccard). */
+  def crossNgramJaccardPairs(corpus: DataFrame, benchmark: DataFrame,
+                             idCol: String, textCol: String,
+                             shingleSize: Int = 3,
+                             threshold: Double = 0.8): DataFrame = {
+    def index(df: DataFrame) = graft.util.SparkUtils.widen(df)
+      .select(col(idCol).as("id"),
+        array_distinct(GraftExpressions.wordShingleHashes(col(textCol), shingleSize))
+          .as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("n_sh", size(col("shingles")))
+      .select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    val c = index(corpus)
+    val b = index(benchmark)
+    val lengthOk =
+      if (threshold > 0)
+        c("n_sh").cast("double") >= b("n_sh") * threshold &&
+          c("n_sh").cast("double") <= b("n_sh") / threshold
+      else lit(true)
+    b.as("b").join(c.as("c"), b("sh") === c("sh") && lengthOk)
+      .groupBy(b("id").as("bench_id"), c("id").as("corpus_id"),
+        b("n_sh").as("nb"), c("n_sh").as("nc"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("nb") + col("nc") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("bench_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** SimHash near-dup pairs: one 64-bit signature per doc; splitting it
     * into 4×16-bit chunks guarantees (pigeonhole) that any pair within
     * Hamming distance 3 shares at least one chunk. Candidates sharing a

@@ -120,6 +120,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L), "unrelated doc matched")
   }
 
+  test("decontamination: corpus docs leaking benchmark content are flagged") {
+    val bench = Seq(
+      (100L, "what is the capital of france and when was it founded exactly"),
+      (101L, "name every planet in the solar system in order from the sun"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "what is the capital of france and when was it founded exactly"), // verbatim leak of 100
+      (2L, "what is the capital of france and when was it founded precisely"), // near leak of 100
+      (3L, "a completely unrelated training document about cooking pasta well"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.crossNgramJaccardPairs(corpus, bench, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      .select($"bench_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((100L, 1L), (100L, 2L)), hits.toString)
+    // benchmark docs never pair with each other, corpus docs neither
+    assert(!hits.exists(h => h._1 == 101L || h._2 == 3L))
+  }
+
   test("embedding dedup: LSH reproduces brute force on planted near-dups") {
     // the testdata embeddings are near-random (max cosine ~0.5), so plant
     // near-duplicates: 20 bases + perturbed copies (+100 distractors)
