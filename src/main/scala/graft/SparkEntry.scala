@@ -267,6 +267,14 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "text_repetition" -> ((s, dir) => {
+      // repetition quality metrics: top-token concentration + vocabulary
+      // diversity per document (operators.TextMetrics)
+      operators.TextMetrics.repetition(
+          DbReader(conn(s, dir), "documents").run(), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_pipeline_e2e" -> ((s, dir) => {
       // the whole training-data story in one plan: read through the engine,
       // exact-dedup (keep smallest id per normalized text), quality-filter,
@@ -834,6 +842,15 @@ object SparkEntry {
     "text_fingerprint_distinct" ->
       """SELECT source, count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_distinct
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY doc_id, tok)
+        |SELECT doc_id,
+        |       round(max(cnt)::DOUBLE / sum(cnt), 6) AS top_token_frac,
+        |       round(count(*)::DOUBLE / sum(cnt), 6) AS distinct_token_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pipeline_e2e" ->
       """WITH kept AS (
         |  SELECT min(doc_id) AS doc_id FROM documents

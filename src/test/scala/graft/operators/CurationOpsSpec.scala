@@ -96,6 +96,25 @@ class SamplingSpec extends SparkSpec {
   }
 }
 
+class TextMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition: concentration and diversity on crafted docs") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),        // one token repeated 4x
+      (2L, "all four tokens differ here"), // fully diverse (5 tokens)
+      (3L, "a a b b"),                    // two tokens, 2x each
+      (4L, "   ")                         // blank: no tokens, no row
+    ).toDF("doc_id", "text")
+    val m = TextMetrics.repetition(df, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Double, Double)].collect().toSeq
+    assert(m == Seq(
+      (1L, 1.0, 0.25),
+      (2L, 0.2, 1.0),
+      (3L, 0.5, 0.5)))
+  }
+}
+
 class PiiScrubSpec extends SparkSpec {
   import spark.implicits._
 
