@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.expressions.GraftExpressions
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines.
@@ -38,6 +38,41 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** (id, shingles, n_sh) per document — distinct hashed word shingles
+    * (8 bytes each through every downstream shuffle), empty docs dropped,
+    * input widened so the scan uses every core. Shared by every
+    * shingle-based dedup path so tokenization/hashing can never diverge
+    * between them. */
+  private def shingleDocs(df: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int): DataFrame =
+    graft.util.SparkUtils.widen(df).select(
+        col(idCol).as("id"),
+        array_distinct(GraftExpressions.wordShingleHashes(col(textCol), shingleSize))
+          .as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("n_sh", size(col("shingles")))
+
+  /** Inverted index rows (id, n_sh, sh) from [[shingleDocs]] output. */
+  private def invertedIndex(docs: DataFrame): DataFrame =
+    docs.select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
+
+  /** jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|): any pair whose sizes fall
+    * outside [t*n, n/t] can never reach threshold t — prune inside the
+    * index join, before the per-pair aggregation shuffles it. */
+  private def lengthBound(threshold: Double, leftN: Column, rightN: Column): Column =
+    if (threshold > 0)
+      rightN.cast("double") >= leftN * threshold &&
+        rightN.cast("double") <= leftN / threshold
+    else lit(true)
+
+  /** jaccard = |inter| / (n1 + n2 - |inter|), rounded and thresholded. */
+  private def jaccardFromCounts(grouped: DataFrame, threshold: Double,
+                                n1: String, n2: String): DataFrame =
+    grouped
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col(n1) + col(n2) - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+
   /** Candidate duplicate pairs via MinHash LSH, verified with EXACT
     * Jaccard over distinct shingles.
     *
@@ -52,14 +87,7 @@ object Dedup {
                       threshold: Double = 0.8,
                       seed: Long = 42L): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // hashed shingles end-to-end: 8 bytes/shingle through every shuffle,
-    // signatures identical to hashing the strings (same xx64/seed);
-    // widen so the shingle+signature scan uses every core
-    val docs = graft.util.SparkUtils.widen(df).select(
-        col(idCol).as("id"),
-        array_distinct(GraftExpressions.wordShingleHashes(col(textCol), shingleSize))
-          .as("shingles"))
-      .filter(size(col("shingles")) > 0)
+    val docs = shingleDocs(df, idCol, textCol, shingleSize)
     val sigs = docs.withColumn("sig",
       GraftExpressions.minhashSignature(col("shingles"), numHashes, seed))
 
@@ -113,32 +141,15 @@ object Dedup {
   def ngramJaccardDupPairs(df: DataFrame, idCol: String, textCol: String,
                            shingleSize: Int = 3,
                            threshold: Double = 0.8): DataFrame = {
-    val docs = graft.util.SparkUtils.widen(df)
-      .select(col(idCol).as("id"),
-        array_distinct(GraftExpressions.wordShingleHashes(col(textCol), shingleSize))
-          .as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("n_sh", size(col("shingles")))
-    val inverted = docs
-      .select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
-    // length filter: jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so any pair
-    // with |B| outside [t·|A|, |A|/t] can never reach the threshold — prune
-    // it inside the join, before the per-pair aggregation shuffles it
-    val lengthOk =
-      if (threshold > 0)
-        col("r.n_sh").cast("double") >= col("l.n_sh") * threshold &&
-          col("r.n_sh").cast("double") <= col("l.n_sh") / threshold
-      else lit(true)
+    val inverted = invertedIndex(shingleDocs(df, idCol, textCol, shingleSize))
     val shared = inverted.as("l")
       .join(inverted.as("r"),
-        col("l.sh") === col("r.sh") && col("l.id") < col("r.id") && lengthOk)
+        col("l.sh") === col("r.sh") && col("l.id") < col("r.id") &&
+          lengthBound(threshold, col("l.n_sh"), col("r.n_sh")))
       .groupBy(col("l.id").as("id1"), col("r.id").as("id2"),
         col("l.n_sh").as("n1"), col("r.n_sh").as("n2"))
       .agg(count(lit(1)).as("inter"))
-    shared
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("n1") + col("n2") - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
+    jaccardFromCounts(shared, threshold, "n1", "n2")
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
@@ -155,27 +166,14 @@ object Dedup {
                              idCol: String, textCol: String,
                              shingleSize: Int = 3,
                              threshold: Double = 0.8): DataFrame = {
-    def index(df: DataFrame) = graft.util.SparkUtils.widen(df)
-      .select(col(idCol).as("id"),
-        array_distinct(GraftExpressions.wordShingleHashes(col(textCol), shingleSize))
-          .as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("n_sh", size(col("shingles")))
-      .select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
-    val c = index(corpus)
-    val b = index(benchmark)
-    val lengthOk =
-      if (threshold > 0)
-        c("n_sh").cast("double") >= b("n_sh") * threshold &&
-          c("n_sh").cast("double") <= b("n_sh") / threshold
-      else lit(true)
-    b.as("b").join(c.as("c"), b("sh") === c("sh") && lengthOk)
+    val c = invertedIndex(shingleDocs(corpus, idCol, textCol, shingleSize))
+    val b = invertedIndex(shingleDocs(benchmark, idCol, textCol, shingleSize))
+    val joined = b.join(c, b("sh") === c("sh") &&
+        lengthBound(threshold, b("n_sh"), c("n_sh")))
       .groupBy(b("id").as("bench_id"), c("id").as("corpus_id"),
         b("n_sh").as("nb"), c("n_sh").as("nc"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("nb") + col("nc") - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
+    jaccardFromCounts(joined, threshold, "nb", "nc")
       .select(col("bench_id"), col("corpus_id"), col("jaccard"))
   }
 

@@ -134,8 +134,6 @@ class DedupSpec extends SparkSpec {
         shingleSize = 3, threshold = 0.5)
       .select($"bench_id", $"corpus_id").as[(Long, Long)].collect().toSet
     assert(hits == Set((100L, 1L), (100L, 2L)), hits.toString)
-    // benchmark docs never pair with each other, corpus docs neither
-    assert(!hits.exists(h => h._1 == 101L || h._2 == 3L))
   }
 
   test("embedding dedup: LSH reproduces brute force on planted near-dups") {
