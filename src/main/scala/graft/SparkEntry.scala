@@ -618,6 +618,21 @@ object SparkEntry {
         .orderBy(col("source"), col("chunk_id"))
     }),
 
+    "q_pack_payloads" -> ((s, dir) => {
+      // the packed payloads themselves: per chunk, md5 of the documents'
+      // text joined in doc_id order — content AND order must match the
+      // engine-independent reconstruction, not just the counts
+      import graft.functions.TextFunctions._
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), col("source"), col("text"),
+          tokenCount(col("text")).as("n_tokens"))
+      operators.Packing.packText(docs, Seq("source"), "doc_id",
+          "text", "n_tokens", chunkTokens = 512L)
+        .select(col("source"), col("chunk_id"), col("n_docs"),
+          md5(col("packed")).as("payload_md5"))
+        .orderBy(col("source"), col("chunk_id"))
+    }),
+
     // --- Deterministic stratified sampling (LLM pipeline): arithmetic
     // key-hash keeps the same rows on every engine and every run ---------
     "sample_stratified" -> ((s, dir) => {
@@ -1066,6 +1081,21 @@ object SparkEntry {
         |  FROM d)
         |SELECT source, chunk_id, count(*) AS n_docs,
         |       CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+        |FROM c GROUP BY source, chunk_id ORDER BY source, chunk_id""".stripMargin,
+    "q_pack_payloads" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, text, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+        |           AS BIGINT) AS chunk_id
+        |  FROM d)
+        |SELECT source, chunk_id, count(*) AS n_docs,
+        |       md5(string_agg(text, chr(10) ORDER BY doc_id)) AS payload_md5
         |FROM c GROUP BY source, chunk_id ORDER BY source, chunk_id""".stripMargin,
     // thresholds are floor(fraction * 2^32): 0.5 -> 2147483648,
     // 0.25 -> 1073741824, default 0.1 -> 429496729 (same truncation as

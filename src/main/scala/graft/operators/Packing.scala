@@ -35,4 +35,26 @@ object Packing {
     df.withColumn("chunk_id",
       floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / lit(chunkTokens)))
   }
+
+  /** Materialize the packed payloads: one row per (group, chunk) with the
+    * documents' text concatenated in `orderCol` order, `separator`-joined —
+    * what actually feeds a trainer after [[packChunks]] assigns chunks.
+    * Concatenation order is pinned by sorting (order, text) structs inside
+    * each chunk, so the bytes are deterministic and an external engine can
+    * re-derive them (the gate compares md5 of every chunk).
+    *
+    * Scale note: this is the ONE dedup/packing stage where text rides a
+    * shuffle — unavoidable, the chunk must be assembled somewhere — but
+    * each text moves exactly once, to its chunk's reducer. */
+  def packText(df: DataFrame, groupCols: Seq[String], orderCol: String,
+               textCol: String, tokensCol: String, chunkTokens: Long,
+               separator: String = "\n"): DataFrame = {
+    val chunked = packChunks(df, groupCols, orderCol, tokensCol, chunkTokens)
+    chunked.groupBy((groupCols :+ "chunk_id").map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        concat_ws(separator,
+          transform(array_sort(collect_list(struct(col(orderCol), col(textCol)))),
+            s => s(textCol))).as("packed"))
+  }
 }

@@ -37,6 +37,19 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packText joins chunk members in order with the separator") {
+    val df = Seq(("A", 1L, "one", 300L), ("A", 2L, "two", 300L),
+      ("A", 3L, "three", 300L), ("B", 9L, "solo", 10L))
+      .toDF("source", "doc_id", "text", "n_tokens")
+    val packed = Packing.packText(df, Seq("source"), "doc_id",
+        "text", "n_tokens", chunkTokens = 512L, separator = "|")
+      .select($"source", $"chunk_id", $"packed")
+      .as[(String, Long, String)].collect().toSet
+    // A: docs 1,2 start in chunk 0 (prefix 0 and 300), doc 3 in chunk 1
+    assert(packed == Set(("A", 0L, "one|two"), ("A", 1L, "three"),
+      ("B", 0L, "solo")))
+  }
+
   test("packing conserves tokens and docs: chunk totals sum to input totals") {
     val rnd = new scala.util.Random(7)
     val df = (1L to 500L).map(i => ("g" + (i % 3), i, rnd.nextInt(400).toLong))
