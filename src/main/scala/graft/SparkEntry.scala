@@ -606,6 +606,33 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // --- Live JDBC range partitioning: bounds AUTO-DETECTED with a
+    // driver-side MIN/MAX probe, then 4 executor connections pull
+    // disjoint strides (the other half of the parallel-extraction story
+    // next to jdbc_mod_partitioned's hash buckets).
+    "jdbc_range_partitioned" -> ((s, dir) => {
+      import graft.connections.{JdbcOptions, JdbcPartitioning, PartitioningMode}
+      import graft.dialects.DerbyDialect
+      import graft.operators.DbWriter
+      System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+      val url = "jdbc:derby:memory:graft_range;create=true"
+      val jdbc = new graft.connections.JdbcConnection(s, DerbyDialect, JdbcOptions(url))
+      val src = DbReader(conn(s, dir), "supplier").run()
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      DbWriter(jdbc, "supplier_jdbc",
+        graft.connections.IfExists.ReplaceEntireTable).run(src)
+      val part = new graft.connections.JdbcConnection(s, DerbyDialect,
+        JdbcOptions(url),
+        Some(JdbcPartitioning(4, "\"s_suppkey\"", PartitioningMode.Range)))
+      DbReader(part, "supplier_jdbc",
+          columns = Seq("\"s_suppkey\"", "\"s_nationkey\"", "\"s_acctbal\""))
+        .run()
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // --- Sequence packing (LLM pipeline): chunk each source's token
     // stream into 512-token chunks by window prefix sum ------------------
     "q_pack_chunks" -> ((s, dir) => {
@@ -1067,6 +1094,10 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n,
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "jdbc_range_partitioned" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_pack_chunks" ->
       """WITH d AS (
         |  SELECT doc_id, source,
