@@ -143,6 +143,28 @@ object SparkEntry {
         .orderBy(col("r_regionkey"))
     }),
 
+    // Uploader + mover complete the §2.3 trio: stage nation as JSONL,
+    // upload (local → "remote"), move within the remote connection, read
+    // the moved files — per-file statuses must all be successful and
+    // content intact end-to-end.
+    "file_upload_move_roundtrip" -> ((s, dir) => {
+      import graft.filedf._
+      import graft.files._
+      val src = DbReader(conn(s, dir), "nation").run()
+      val staging = java.nio.file.Files.createTempDirectory("graft_stage").toString
+      FileDFWriter(JsonLine(), staging, DirIfExists.ReplaceEntireDirectory)
+        .run(src.repartition(2))
+      val remoteA = java.nio.file.Files.createTempDirectory("graft_up").toString
+      val remoteB = java.nio.file.Files.createTempDirectory("graft_mv").toString
+      FileUploader(new LocalFileConnection, staging, remoteA,
+        filters = Seq(Glob("*.json")), workers = 2,
+        ifExists = FileIfExists.ReplaceFile).run().raiseIfFailed()
+      FileMover(new LocalFileConnection, remoteA, remoteB,
+        ifExists = FileIfExists.ReplaceFile).run().raiseIfFailed()
+      FileDFReader(s, JsonLine(), remoteB, Some(src.schema)).run()
+        .orderBy(col("n_nationkey"))
+    }),
+
     "writer_roundtrip" -> ((s, dir) => {
       // DbWriter with if-exists semantics + metrics: write supplier to a
       // temp file-table (replace), append once, read back through DbReader
@@ -777,6 +799,8 @@ object SparkEntry {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "file_transfer_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+    "file_upload_move_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
     "writer_roundtrip" ->
       """SELECT s_nationkey, count(*) * 2 AS n,
         |       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) * 2 AS DOUBLE) AS bal
