@@ -297,6 +297,75 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "quality_gopher_filter" -> ((s, dir) => {
+      // Gopher-style keep rule, per-doc metrics exposed so the oracle
+      // verifies the full computation, not just the final boolean
+      // (word-count bounds tuned to this corpus's 10-99-word docs)
+      import graft.functions.TextFunctions._
+      DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_words"),
+          meanWordLength(col("text")).as("mean_wlen"),
+          symbolRatio(col("text")).as("symbol_ratio"),
+          bulletLineRatio(col("text")).as("bullet_ratio"),
+          stopwordHits(col("text")).as("stop_hits"),
+          gopherKeep(col("text"), minWords = 30, maxWords = 90).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+    "text_normalize" -> ((s, dir) => {
+      // canonical normalization audited by md5 so the whole normalized
+      // string is verified without hauling text through the compare
+      import graft.functions.TextFunctions._
+      DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"),
+          md5(normalizeText(col("text"))).as("norm_md5"),
+          length(normalizeText(col("text"))).cast("long").as("norm_len"))
+        .orderBy(col("doc_id"))
+    }),
+    "dedup_keep_best" -> ((s, dir) => {
+      // end-to-end near-dup removal: MinHash pairs → connected components
+      // → keep the longest doc per cluster (ties: smallest id); verified
+      // per source by survivor count and id checksum
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val pairs = operators.Dedup.minhashDupPairs(docs, "doc_id", "text",
+        shingleSize = 3, bands = 32, rowsPerBand = 4, threshold = 0.7)
+      operators.Dedup.keepBestPerCluster(docs, pairs, "doc_id", "n_chars")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_kept"))
+        .orderBy(col("source"))
+    }),
+    "global_shuffle_head" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // deterministic training-order shuffle: first 100 docs of the
+      // Knuth-hash permutation (limit prunes before the tiny rank window)
+      val ordered = operators.Sampling.shuffled(
+        DbReader(conn(s, dir), "documents").run()
+          .select(col("doc_id"), col("source")), "doc_id")
+        .limit(100)
+      ordered.withColumn("pos", row_number().over(
+          Window.orderBy(operators.Sampling.knuthHash32(col("doc_id")),
+            col("doc_id"))).cast("long"))
+        .select(col("pos"), col("doc_id"), col("source"))
+        .orderBy(col("pos"))
+    }),
+    "length_bucket_batch" -> ((s, dir) => {
+      // token-length bucketing for batch shaping: integer CASE thresholds
+      // (no float log2 at the boundary), per-bucket doc and token totals
+      import graft.functions.TextFunctions._
+      val n = tokenCount(col("text")).cast("long")
+      DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"),
+          when(n < 16, "lt16").when(n < 32, "lt32").when(n < 64, "lt64")
+            .otherwise("ge64").as("bucket"),
+          n.as("n_tokens"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("bucket"))
+    }),
+
     "q_pipeline_e2e" -> ((s, dir) => {
       // the whole training-data story in one plan: read through the engine,
       // exact-dedup (keep smallest id per normalized text), quality-filter,
@@ -377,6 +446,285 @@ object SparkEntry {
           .cast("decimal(28,6)")).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
+    }),
+    // --- TPC-H suite adapted to the testdata schema (no partsupp /
+    // commitdate / shipmode columns; see TESTDATA.md). All money math
+    // accumulates in exact DECIMAL and casts to DOUBLE once at the end so
+    // the DuckDB hash compare is bit-exact. Small dimensions broadcast;
+    // fact-fact joins shuffle on their keys and rely on AQE at scale.
+    "q4_order_priority" -> ((s, dir) => {
+      // EXISTS-late-shipment probe as a left-semi join (no commitdate in
+      // this schema; "late" = shipped >30 days after the order date)
+      val c = conn(s, dir)
+      val orders = DbReader(c, "orders").run()
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      val li = DbReader(c, "lineitem").run()
+      orders.join(li,
+          orders("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > orders("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    "q5_local_supplier" -> ((s, dir) => {
+      val c = conn(s, dir)
+      val customer = DbReader(c, "customer").run()
+      val orders = DbReader(c, "orders").run()
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val lineitem = DbReader(c, "lineitem").run()
+      val supplier = DbReader(c, "supplier").run()
+      val nation = DbReader(c, "nation").run()
+      val region = DbReader(c, "region").run().filter(col("r_name") === "ASIA")
+      customer
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,6)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    "q6_forecast_revenue" -> ((s, dir) => {
+      DbReader(conn(s, dir), "lineitem",
+        columns = Seq("l_extendedprice", "l_discount"),
+        where = Seq(
+          "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'",
+          "l_shipdate < TIMESTAMP '1997-01-01 00:00:00'",
+          "l_discount BETWEEN 0.05 AND 0.07",
+          "l_quantity < 24"))
+        .run()
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(28,6)")).cast("double").as("revenue"))
+    }),
+    "q7_volume_shipping" -> ((s, dir) => {
+      val c = conn(s, dir)
+      val li = DbReader(c, "lineitem").run()
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val orders = DbReader(c, "orders").run()
+      val customer = DbReader(c, "customer").run()
+      val supplier = DbReader(c, "supplier").run()
+      val n1 = DbReader(c, "nation").run()
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = DbReader(c, "nation").run()
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,6)")).cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+    "q8_market_share" -> ((s, dir) => {
+      val c = conn(s, dir)
+      val part = DbReader(c, "part").run().filter(col("p_type") === "ECONOMY")
+      val li = DbReader(c, "lineitem").run()
+      val orders = DbReader(c, "orders").run()
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val customer = DbReader(c, "customer").run()
+      val nation = DbReader(c, "nation").run()
+      val region = DbReader(c, "region").run().filter(col("r_name") === "AMERICA")
+      val suppNation = DbReader(c, "supplier").run()
+        .join(broadcast(DbReader(c, "nation").run()
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(28,6)")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(lit(0).cast("decimal(28,6)"))).cast("double").as("nation_vol"),
+          sum(vol).cast("double").as("total_vol"))
+        .withColumn("mkt_share", col("nation_vol") / col("total_vol"))
+        .orderBy(col("o_year"))
+    }),
+    "q9_product_profit" -> ((s, dir) => {
+      // no partsupp/supplycost in this schema: profit = discounted revenue
+      val c = conn(s, dir)
+      val part = DbReader(c, "part").run().filter(col("p_name").contains("red"))
+      val li = DbReader(c, "lineitem").run()
+      val orders = DbReader(c, "orders").run()
+      val suppNation = DbReader(c, "supplier").run()
+        .join(broadcast(DbReader(c, "nation").run()),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,6)")).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+    "q10_returned_items" -> ((s, dir) => {
+      val c = conn(s, dir)
+      val customer = DbReader(c, "customer").run()
+      val orders = DbReader(c, "orders").run()
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val li = DbReader(c, "lineitem").run().filter(col("l_returnflag") === "R")
+      val nation = DbReader(c, "nation").run()
+      customer
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,6)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+    "q12_late_priority" -> ((s, dir) => {
+      // shipmode-less adaptation: orders shipped >60 days after order
+      // date, split urgent vs other priorities, by ship year
+      val c = conn(s, dir)
+      val orders = DbReader(c, "orders").run()
+      val li = DbReader(c, "lineitem").run()
+      li.join(orders, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy(col("ship_year"))
+    }),
+    "q13_order_distribution" -> ((s, dir) => {
+      val c = conn(s, dir)
+      val customer = DbReader(c, "customer").run()
+      val orders = DbReader(c, "orders").run()
+      customer
+        .join(orders, col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "4-NOT SPECIFIED", "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    "q14_promo_revenue" -> ((s, dir) => {
+      val c = conn(s, dir)
+      val part = DbReader(c, "part").run()
+      val li = DbReader(c, "lineitem").run()
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(28,6)")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", vol)
+            .otherwise(lit(0).cast("decimal(28,6)"))).cast("double").as("promo_vol"),
+          sum(vol).cast("double").as("total_vol"))
+        .withColumn("promo_revenue", lit(100.0) * col("promo_vol") / col("total_vol"))
+    }),
+    "q15_top_supplier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = conn(s, dir)
+      val rev = DbReader(c, "lineitem").run()
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,6)")).as("rev_dec"))
+      // post-agg cardinality = |supplier| — the global rank window is tiny
+      val top = rev.withColumn("rk", rank().over(Window.orderBy(col("rev_dec").desc)))
+        .filter(col("rk") === 1)
+      top.join(broadcast(DbReader(c, "supplier").run()),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_dec").cast("double").as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val c = conn(s, dir)
+      val li = DbReader(c, "lineitem").run()
+      val part = DbReader(c, "part").run().filter(col("p_brand") === "Brand#1")
+      val stats = li.groupBy(col("l_partkey").as("sp_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+      // l_quantity < 0.2 * avg(qty) rewritten as exact integer arithmetic
+      // (quantities are integral): 5 * qty * cnt < sum_qty — no double
+      // rounding at the boundary
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(stats, col("l_partkey") === col("sp_partkey"))
+        .filter(col("l_quantity").cast("long") * lit(5L) * col("cnt") <
+          col("sum_qty"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+          lit(7.0)).as("avg_yearly"))
+    }),
+    "q18_big_orders" -> ((s, dir) => {
+      val c = conn(s, dir)
+      val li = DbReader(c, "lineitem").run()
+      val big = li.groupBy(col("l_orderkey").as("b_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("b_qty"))
+        .filter(col("b_qty") > 250)
+      val orders = DbReader(c, "orders").run()
+      val customer = DbReader(c, "customer").run()
+      orders.join(big, col("o_orderkey") === col("b_orderkey"), "left_semi")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+    "q19_disc_revenue" -> ((s, dir) => {
+      val c = conn(s, dir)
+      val li = DbReader(c, "lineitem").run()
+      val part = DbReader(c, "part").run()
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey") && (
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+          col("l_quantity").between(20, 30))))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,6)")).cast("double").as("revenue"))
+    }),
+    "q22_dormant_customers" -> ((s, dir) => {
+      val c = conn(s, dir)
+      val customer = DbReader(c, "customer").run()
+      // "dormant" = no orders in the trailing window (every customer has
+      // *some* order in this dataset, unlike TPC-H's sparse custkeys)
+      val orders = DbReader(c, "orders").run()
+        .filter(col("o_orderdate") >= lit("1999-06-01").cast("timestamp"))
+      // scalar global aggregate broadcast back as a 1-row dimension;
+      // threshold compare in exact decimal (bal * cnt > sum) so the
+      // boundary never flips on double rounding
+      val stats = customer.filter(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_bal"),
+          count(lit(1)).as("cnt_bal"))
+      customer
+        .join(broadcast(stats),
+          col("c_acctbal").cast("decimal(18,2)") * col("cnt_bal") > col("sum_bal"))
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+        .orderBy(col("c_nationkey"))
     }),
     "q_window_rank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -917,6 +1265,86 @@ object SparkEntry {
         |       round(max(cnt)::DOUBLE / sum(cnt), 6) AS top_token_frac,
         |       round(count(*)::DOUBLE / sum(cnt), 6) AS distinct_token_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "quality_gopher_filter" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS nw_chars,
+        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS sym_chars,
+        |    length(text) AS n_chars_t,
+        |    len(regexp_extract_all(text, '(?m)^[ \t]*[-*]')) AS bullets,
+        |    length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
+        |    CAST(len(regexp_extract_all(text, '\b(the|and|of|to|is|in|that|it|a|for)\b')) AS BIGINT) AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |  CASE WHEN n_words = 0 THEN 0.0
+        |       ELSE CAST(nw_chars AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mean_wlen,
+        |  CASE WHEN n_chars_t = 0 THEN 0.0
+        |       ELSE CAST(sym_chars AS DOUBLE) / CAST(n_chars_t AS DOUBLE) END AS symbol_ratio,
+        |  CAST(bullets AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_ratio,
+        |  stop_hits,
+        |  (n_words BETWEEN 30 AND 90
+        |   AND (CASE WHEN n_words = 0 THEN 0.0
+        |        ELSE CAST(nw_chars AS DOUBLE) / CAST(n_words AS DOUBLE) END) BETWEEN 3.0 AND 10.0
+        |   AND (CASE WHEN n_chars_t = 0 THEN 0.0
+        |        ELSE CAST(sym_chars AS DOUBLE) / CAST(n_chars_t AS DOUBLE) END) < 0.1
+        |   AND CAST(bullets AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.9
+        |   AND stop_hits >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_md5,
+        |       CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |         i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |), inv AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 6) >= 0.7
+        |), edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs
+        |), walk(id, reach) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT w.id, e.b FROM walk w JOIN edges e ON w.reach = e.a
+        |), labels AS (
+        |  SELECT id, CAST(min(reach) AS BIGINT) AS comp FROM walk GROUP BY id
+        |), winners AS (
+        |  SELECT d.* FROM documents d JOIN labels l ON d.doc_id = l.id
+        |  QUALIFY row_number() OVER (PARTITION BY l.comp
+        |                             ORDER BY d.n_chars DESC, d.doc_id) = 1
+        |), kept AS (
+        |  SELECT * FROM documents WHERE doc_id NOT IN (SELECT id FROM labels)
+        |  UNION ALL SELECT * FROM winners)
+        |SELECT source, count(*) AS n_kept,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    "global_shuffle_head" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         (doc_id % 2147483648) * 2654435761 % 4294967296 AS hh
+        |  FROM documents ORDER BY hh, doc_id LIMIT 100)
+        |SELECT CAST(row_number() OVER (ORDER BY hh, doc_id) AS BIGINT) AS pos,
+        |       doc_id, source
+        |FROM h ORDER BY pos""".stripMargin,
+    "length_bucket_batch" ->
+      """WITH d AS (
+        |  SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT CASE WHEN n < 16 THEN 'lt16' WHEN n < 32 THEN 'lt32'
+        |            WHEN n < 64 THEN 'lt64' ELSE 'ge64' END AS bucket,
+        |       count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens
+        |FROM d GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_pipeline_e2e" ->
       """WITH kept AS (
         |  SELECT min(doc_id) AS doc_id FROM documents
@@ -1114,6 +1542,179 @@ object SparkEntry {
         |       count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+        |                     ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS nation_vol,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_vol,
+        |       CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+        |                     ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+        |         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+        |         AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, o_year ORDER BY nation, o_year DESC""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY ship_year ORDER BY ship_year""".stripMargin,
+    "q13_order_distribution" ->
+      """WITH cc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM cc GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+        |                     ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS promo_vol,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_vol,
+        |       100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+        |                     ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+        |         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+        |         AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH s AS (
+        |  SELECT l_partkey AS sp_partkey,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |         count(*) AS cnt
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |         AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN s ON l_partkey = sp_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND CAST(l_quantity AS BIGINT) * 5 * cnt < sum_qty""".stripMargin,
+    "q18_big_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_disc_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_dormant_customers" ->
+      """WITH stats AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal, count(*) AS cnt_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, stats
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt_bal > sum_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-06-01 00:00:00')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "jdbc_mod_partitioned" ->
       """SELECT c_mktsegment, count(*) AS n,
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal

@@ -71,6 +71,54 @@ object TextFunctions {
     round(lit(0.3) * lenNorm + lit(0.4) * alphaRatio + lit(0.3) * stopSignal, 4)
   }
 
+  /** Canonical text normalization for dedup/fingerprinting: lowercase,
+    * trim, collapse whitespace runs to single spaces. Pure codegen'd
+    * string ops; reproducible in ANSI SQL (lower + regexp_replace). */
+  def normalizeText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Mean word length proxy: non-whitespace chars / whitespace tokens.
+    * 0.0 for blank text. Both operands are exact integers, so the double
+    * division is bit-identical across engines. */
+  def meanWordLength(c: Column): Column =
+    when(tokenCount(c) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "\\s+", "")).cast("double") /
+        tokenCount(c).cast("double"))
+
+  /** Fraction of lines that open with a bullet marker (`-` or `*`).
+    * Lines counted as newline count + 1 — integer-exact in any engine. */
+  def bulletLineRatio(c: Column): Column = {
+    val bullets = regexp_count(c, lit("(?m)^[ \\t]*[-*]")).cast("double")
+    val lines = (length(c) - length(regexp_replace(c, "\n", "")) + lit(1))
+      .cast("double")
+    bullets / lines
+  }
+
+  /** Fraction of characters that are neither alphanumeric nor whitespace.
+    * 0.0 for empty text. */
+  def symbolRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "[A-Za-z0-9\\s]", "")).cast("double") /
+        length(c).cast("double"))
+
+  /** Count of common-English stopword hits (same marker list the quality
+    * score uses). */
+  def stopwordHits(c: Column): Column =
+    size(regexp_extract_all(c,
+      lit("\\b(the|and|of|to|is|in|that|it|a|for)\\b"), lit(0))).cast("long")
+
+  /** Gopher-style document keep rule (Rae et al. 2021, adapted): word
+    * count in [minWords, maxWords], mean word length in [3, 10], symbol
+    * ratio < 0.1, at most 90% bullet lines, and ≥ 2 stopword hits. Every
+    * sub-metric is a map-only codegen'd expression — the filter runs in
+    * the scan stage at any scale. */
+  def gopherKeep(c: Column, minWords: Long = 50, maxWords: Long = 100000): Column =
+    tokenCount(c).between(minWords, maxWords) &&
+      meanWordLength(c).between(3.0, 10.0) &&
+      symbolRatio(c) < 0.1 &&
+      bulletLineRatio(c) <= 0.9 &&
+      stopwordHits(c) >= 2
+
   /** Normalized rolling-hash fingerprint: lowercase, collapse whitespace,
     * FNV-1a 64 (custom codegen'd expression). Equal fingerprints ⇒
     * whitespace/case-insensitive duplicate documents. */

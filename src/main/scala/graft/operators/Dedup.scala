@@ -250,6 +250,32 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-duplicate removal: cluster the duplicate-pair graph
+    * into connected components and keep ONE representative per cluster —
+    * the row with the highest `qualityCol` (ties broken by smallest id).
+    * Rows that appear in no pair survive untouched.
+    *
+    * Scale shape: the ranking window partitions by component (never a
+    * global or null-keyed window), and unclustered rows exit through a
+    * left-anti join — so the common case (almost everything is unique)
+    * never enters a window at all. Pairs are tiny relative to the corpus;
+    * the component labels broadcast or hash-join on the id.
+    */
+  def keepBestPerCluster(df: DataFrame, pairs: DataFrame, idCol: String,
+                         qualityCol: String, pairCol1: String = "id1",
+                         pairCol2: String = "id2"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = connectedComponents(pairs, pairCol1, pairCol2)
+    val winners = df.join(comps, df(idCol) === comps("id"))
+      .withColumn("graft_rn", row_number().over(
+        Window.partitionBy(col("comp"))
+          .orderBy(col(qualityCol).desc, col(idCol))))
+      .filter(col("graft_rn") === 1)
+      .drop("graft_rn", "id", "comp")
+    val untouched = df.join(comps, df(idCol) === comps("id"), "left_anti")
+    untouched.unionByName(winners)
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold.
     * `bruteForce=true` compares all pairs (the small-N oracle);
     * otherwise candidates come from random-hyperplane LSH (sign-bit

@@ -49,4 +49,12 @@ object Sampling {
     }
     df.filter(knuthHash32(col(keyCol)) < thr)
   }
+
+  /** Deterministic global shuffle for training order: sort by the Knuth
+    * hash of the key (ties by key). The hash is map-only; the sort is one
+    * range-partitioned exchange, identical on re-runs — no RNG state, so
+    * a resumed job re-derives the same permutation. Writers preserve the
+    * sorted partition order on disk. */
+  def shuffled(df: DataFrame, keyCol: String): DataFrame =
+    df.orderBy(knuthHash32(col(keyCol)), col(keyCol))
 }
