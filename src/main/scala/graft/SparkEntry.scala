@@ -1068,6 +1068,30 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "bucketed_join_agg" -> ((s, dir) => {
+      // co-bucketed layout gate: write orders+lineitem bucketed on the
+      // join key, then join + aggregate — the join plans zero Exchange
+      // (BucketingSpec pins the plan; this gates the results)
+      import org.apache.spark.sql.SaveMode
+      val orders = DbReader(conn(s, dir), "orders").run()
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val li = DbReader(conn(s, dir), "lineitem").run()
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      s.sql("DROP TABLE IF EXISTS graft_bkt_orders_gate")
+      s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem_gate")
+      operators.Bucketing.writeBucketed(orders, "graft_bkt_orders_gate",
+        buckets = 8, keys = Seq("o_orderkey"), mode = SaveMode.Overwrite)
+      operators.Bucketing.writeBucketed(li, "graft_bkt_lineitem_gate",
+        buckets = 8, keys = Seq("l_orderkey"), mode = SaveMode.Overwrite)
+      operators.Bucketing.bucketedJoin(s, "graft_bkt_orders_gate",
+          "graft_bkt_lineitem_gate", Seq("o_orderkey"), Seq("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(28,6)")).cast("double").as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "codec_json_column" -> ((s, dir) => {
       // JSON column codec (SURVEY §2.4): to_json → from_json roundtrip
       // through our codec wrappers must be lossless
@@ -1773,6 +1797,11 @@ object SparkEntry {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "codec_json_column" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "bucketed_join_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_embedding_norms" ->
       """SELECT vec_id,
         |       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) AS l2,

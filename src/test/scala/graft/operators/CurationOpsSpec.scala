@@ -152,3 +152,79 @@ class PiiScrubSpec extends SparkSpec {
     got.foreach { case (n, want) => assert(n == want, s"$n != $want") }
   }
 }
+
+class KeepBestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "aaa", 100L), (2L, "aab", 300L), (3L, "aac", 300L), // cluster {1,2,3}
+    (4L, "bbb", 50L), (5L, "bbc", 40L),                      // cluster {4,5}
+    (6L, "unique", 10L), (7L, "also unique", 20L)            // untouched
+  ).toDF("doc_id", "text", "n_chars")
+  private val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+
+  test("one winner per cluster: best quality, ties to smallest id") {
+    val kept = Dedup.keepBestPerCluster(docs, pairs, "doc_id", "n_chars")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    // {1,2,3}: 2 and 3 tie on n_chars=300 -> 2 wins; {4,5}: 4 wins
+    assert(kept == Seq(2L, 4L, 6L, 7L))
+  }
+
+  test("survivor rows carry the original schema and values") {
+    val kept = Dedup.keepBestPerCluster(docs, pairs, "doc_id", "n_chars")
+    assert(kept.columns.toSeq == Seq("doc_id", "text", "n_chars"))
+    val row = kept.filter($"doc_id" === 4L)
+      .as[(Long, String, Long)].collect().head
+    assert(row == ((4L, "bbb", 50L)))
+  }
+
+  test("empty pair set keeps everything") {
+    val none = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.keepBestPerCluster(docs, none, "doc_id", "n_chars")
+      .count() == 7L)
+  }
+}
+
+class GopherFilterSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.TextFunctions._
+
+  test("each rule independently rejects its designed violation") {
+    val good = (("the quick brown fox jumps over a lazy dog and " * 5).trim + " it is")
+    val tooShort = "the and of it is a"
+    val symbols = "the ### $$$ %%% @@@ ((( ))) !!! ??? *** " * 8 + "of it a is"
+    val bullets = (1 to 20).map(i => s"- item $i the of a").mkString("\n")
+    val noStops = "lorem ipsum dolor sit amet consectetur " * 10
+    val df = Seq(good, tooShort, symbols, bullets, noStops).toDF("t")
+    val keep = df.select(gopherKeep($"t", minWords = 30, maxWords = 500).as("k"))
+      .as[Boolean].collect()
+    assert(keep(0), "well-formed text must pass")
+    assert(!keep(1), "short text must fail the word-count floor")
+    assert(!keep(2), "symbol soup must fail the symbol ratio")
+    assert(!keep(3), "bullet wall must fail the bullet-line ratio")
+    assert(!keep(4), "stopword-free text must fail the stopword floor")
+  }
+
+  test("metric columns are exact on crafted input") {
+    val df = Seq("ab cd ef").toDF("t")
+    val (wlen, sym, stop) = df.select(meanWordLength($"t"), symbolRatio($"t"),
+      stopwordHits($"t")).as[(Double, Double, Long)].collect().head
+    assert(wlen == 2.0 && sym == 0.0 && stop == 0L)
+    val bullets = Seq("- a\nplain\n* b").toDF("t")
+    val br = bullets.select(bulletLineRatio($"t")).as[Double].collect().head
+    assert(math.abs(br - 2.0 / 3.0) < 1e-15)
+  }
+}
+
+class ShuffledOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shuffled: stable permutation, not the input order") {
+    val df = (1L to 1000L).toDF("id")
+    val a = Sampling.shuffled(df, "id").as[Long].collect().toSeq
+    val b = Sampling.shuffled(df, "id").as[Long].collect().toSeq
+    assert(a == b, "order must be deterministic across runs")
+    assert(a.sorted == (1L to 1000L), "must be a permutation")
+    assert(a != (1L to 1000L).toSeq, "must not be the identity order")
+  }
+}
