@@ -439,7 +439,7 @@ object SparkEntry {
       val lineitem = DbReader(c, "lineitem").run()
       lineitem
         .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
-        .join(broadcast(customer.filter(col("c_mktsegment") === "BUILDING")),
+        .join(customer.filter(col("c_mktsegment") === "BUILDING"),
           orders("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -450,8 +450,11 @@ object SparkEntry {
     // --- TPC-H suite adapted to the testdata schema (no partsupp /
     // commitdate / shipmode columns; see TESTDATA.md). All money math
     // accumulates in exact DECIMAL and casts to DOUBLE once at the end so
-    // the DuckDB hash compare is bit-exact. Small dimensions broadcast;
-    // fact-fact joins shuffle on their keys and rely on AQE at scale.
+    // the DuckDB hash compare is bit-exact. Broadcast-hint policy: only
+    // fixed-cardinality dims (nation=25, region=5) and 1-row scalars get
+    // explicit broadcast() — customer/supplier/part/orders scale with SF,
+    // so AQE picks broadcast at small SF and shuffle joins at cluster
+    // scale; a hard hint on those would OOM a 100 TB run.
     "q4_order_priority" -> ((s, dir) => {
       // EXISTS-late-shipment probe as a left-semi join (no commitdate in
       // this schema; "late" = shipped >30 days after the order date)
@@ -481,7 +484,7 @@ object SparkEntry {
       customer
         .join(orders, col("c_custkey") === col("o_custkey"))
         .join(lineitem, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+        .join(supplier, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -516,7 +519,7 @@ object SparkEntry {
         .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
       li.join(orders, col("l_orderkey") === col("o_orderkey"))
         .join(customer, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(supplier, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
         .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
@@ -544,12 +547,12 @@ object SparkEntry {
         .select(col("s_suppkey"), col("supp_nation"))
       val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
         .cast("decimal(28,6)")
-      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
         .join(orders, col("l_orderkey") === col("o_orderkey"))
         .join(customer, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
-        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(
           sum(when(col("supp_nation") === "NATION_3", vol)
@@ -568,8 +571,8 @@ object SparkEntry {
         .join(broadcast(DbReader(c, "nation").run()),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("nation"))
-      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
         .join(orders, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -631,7 +634,7 @@ object SparkEntry {
           col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
       val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
         .cast("decimal(28,6)")
-      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
         .agg(
           sum(when(col("p_type") === "PROMO", vol)
             .otherwise(lit(0).cast("decimal(28,6)"))).cast("double").as("promo_vol"),
@@ -650,7 +653,7 @@ object SparkEntry {
       // post-agg cardinality = |supplier| — the global rank window is tiny
       val top = rev.withColumn("rk", rank().over(Window.orderBy(col("rev_dec").desc)))
         .filter(col("rk") === 1)
-      top.join(broadcast(DbReader(c, "supplier").run()),
+      top.join(DbReader(c, "supplier").run(),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
           col("rev_dec").cast("double").as("total_revenue"))
@@ -666,7 +669,7 @@ object SparkEntry {
       // l_quantity < 0.2 * avg(qty) rewritten as exact integer arithmetic
       // (quantities are integral): 5 * qty * cnt < sum_qty — no double
       // rounding at the boundary
-      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
         .join(stats, col("l_partkey") === col("sp_partkey"))
         .filter(col("l_quantity").cast("long") * lit(5L) * col("cnt") <
           col("sum_qty"))
@@ -681,9 +684,11 @@ object SparkEntry {
         .filter(col("b_qty") > 250)
       val orders = DbReader(c, "orders").run()
       val customer = DbReader(c, "customer").run()
+      // customer scales with the fact tables — no broadcast hint; AQE
+      // picks broadcast at small SF and shuffle-hash at cluster scale
       orders.join(big, col("o_orderkey") === col("b_orderkey"), "left_semi")
         .join(li, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
           col("o_orderdate"), col("o_totalprice"))
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
@@ -694,7 +699,7 @@ object SparkEntry {
       val c = conn(s, dir)
       val li = DbReader(c, "lineitem").run()
       val part = DbReader(c, "part").run()
-      li.join(broadcast(part), col("l_partkey") === col("p_partkey") && (
+      li.join(part, col("l_partkey") === col("p_partkey") && (
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
           col("l_quantity").between(1, 11)) ||
         (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
