@@ -709,6 +709,34 @@ object SparkEntry {
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(28,6)")).cast("double").as("revenue"))
     }),
+    "q21_waiting_supplier" -> ((s, dir) => {
+      // suppliers who were the SOLE late shipper on a multi-supplier
+      // order (late = shipped >60 days after order date; no receiptdate
+      // in this schema). EXISTS → left-semi, NOT EXISTS → left-anti,
+      // both as equi-joins on the order key with a supplier disequality.
+      val c = conn(s, dir)
+      val orders = DbReader(c, "orders").run()
+        .filter(col("o_orderstatus") === "F")
+      val li = DbReader(c, "lineitem").run()
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = li
+        .join(orders, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val lateOthers = late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      val sole = late
+        .join(others, col("l_orderkey") === col("o2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(lateOthers, col("l_orderkey") === col("o3") &&
+          col("l_suppkey") =!= col("s3"), "left_anti")
+      sole.join(DbReader(c, "supplier").run(),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
     "q22_dormant_customers" -> ((s, dir) => {
       val c = conn(s, dir)
       val customer = DbReader(c, "customer").run()
@@ -1733,6 +1761,21 @@ object SparkEntry {
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3
+        |                    ON o3.o_orderkey = l3.l_orderkey
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "q22_dormant_customers" ->
       """WITH stats AS (
         |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal, count(*) AS cnt_bal
