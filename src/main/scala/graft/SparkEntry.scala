@@ -108,6 +108,20 @@ object SparkEntry {
       FileDFReader(s, JsonLine(), tmp, Some(src.schema)).run()
         .orderBy(col("r_regionkey"))
     }),
+    "filedf_text_roundtrip" -> ((s, dir) => {
+      // raw-corpus shape: one doc per line, id carried in-band (docs are
+      // single-line and tab-free in this corpus)
+      import graft.filedf._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_text").toString
+      val src = DbReader(conn(s, dir), "documents").run()
+        .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+      FileDFWriter(Text(), tmp, DirIfExists.ReplaceEntireDirectory).run(src)
+      FileDFReader(s, Text(), tmp, None).run()
+        .select(
+          split(col("value"), "\t", 2).getItem(0).cast("long").as("doc_id"),
+          split(col("value"), "\t", 2).getItem(1).as("text"))
+        .orderBy(col("doc_id"))
+    }),
     "filedf_partitioned_orc" -> ((s, dir) => {
       import graft.filedf._
       val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
@@ -769,6 +783,57 @@ object SparkEntry {
         .select(col("l_suppkey"), col("rn").cast("int").as("rn"),
           col("l_orderkey"), col("l_extendedprice"))
         .orderBy(col("l_suppkey"), col("rn"))
+    }),
+    "q_json_extract" -> ((s, dir) => {
+      // semi-structured extraction: pull a typed value out of a JSON
+      // props column and aggregate — codegen'd get_json_object, no UDF
+      eventsMicros(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        .orderBy(col("event_type"))
+    }),
+    "q_cumulative_revenue" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // running total per customer; the predicate prunes at the scan so
+      // the window only sees the selected keys
+      val orders = DbReader(conn(s, dir), "orders",
+        where = Seq("o_custkey <= 100")).run()
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("run_total"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+    "q_moving_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // 3-order moving window as exact SUM + COUNT, divided in double at
+      // the end (decimal avg rounds differently across engines)
+      val orders = DbReader(conn(s, dir), "orders",
+        where = Seq("o_custkey <= 100")).run()
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      orders.select(col("o_custkey"), col("o_orderkey"),
+          (sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double") /
+            count(lit(1)).over(w).cast("double")).as("mov_avg"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+    "q_customer_deciles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // ntile over a total order (acctbal, custkey) is deterministic;
+      // the decile summary keeps the output small at any SF
+      val cust = DbReader(conn(s, dir), "customer").run()
+      cust.withColumn("decile", ntile(10).over(
+          Window.orderBy(col("c_acctbal"), col("c_custkey"))).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal_sum"))
+        .orderBy(col("decile"))
     }),
     "q_semi_anti" -> ((s, dir) => {
       val c = conn(s, dir)
@@ -1599,6 +1664,39 @@ object SparkEntry {
         |       count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "filedf_text_roundtrip" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+        |       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_cumulative_revenue" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) AS run_total
+        |FROM orders WHERE o_custkey <= 100
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            OVER w AS DOUBLE)
+        |         / CAST(count(*) OVER w AS DOUBLE) AS mov_avg
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_customer_deciles" ->
+      """WITH d AS (
+        |  SELECT c_acctbal,
+        |         CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS decile
+        |  FROM customer)
+        |SELECT decile, count(*) AS n,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders o

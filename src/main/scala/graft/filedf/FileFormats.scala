@@ -78,6 +78,14 @@ final case class Xml(rowTag: String,
     w.format(name).option("rowTag", rowTag).options(options)
 }
 
+/** Plain text: one row per line, single `value: string` column on read;
+  * writes exactly one string column per row. The natural format for raw
+  * document corpora (reference has no equivalent; Spark's built-in
+  * `text` source). `lineSep` etc. pass through as options. */
+final case class Text(options: Map[String, String] = Map.empty) extends FileFormat {
+  def name = "text"
+}
+
 /** reference excel.py:28 — needs the spark-excel package (not available
   * here); kept for API parity, fails at load time like the reference does
   * without its package. */
