@@ -108,4 +108,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty &&
       streamed.exists(_.getString(1).contains("[EMAIL]")), "scrub applied in-stream")
   }
+
+  test("quality filter + normalization run unchanged on streams") {
+    // gopherKeep and normalizeText are also row-local: the incremental
+    // ingestion path filters and canonicalizes exactly like the batch
+    // curation run did
+    val src = tmpDir("stream-quality")
+    val docs = (0 until 200).map { i =>
+      val body =
+        if (i % 3 == 0) ("the quick brown fox is a friend of it and the dog " * 4).trim
+        else "tiny"
+      (i.toLong, s"  $body  ")
+    }.toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(src)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = FileStreamReader.read(spark, Parquet(), src, schema,
+      maxFilesPerTrigger = Some(1))
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      df.filter(graft.functions.TextFunctions.gopherKeep($"text", minWords = 10))
+        .select($"doc_id",
+          graft.functions.TextFunctions.normalizeText($"text").as("norm"))
+    StreamRunner.runAvailableNowToMemory(curate(stream), "stream_quality",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val streamed = spark.table("stream_quality").orderBy($"doc_id").collect().toSeq
+    val batch = curate(docs).orderBy($"doc_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.size < 200, "filter must drop the tiny docs")
+    assert(streamed.forall(!_.getString(1).startsWith(" ")), "normalized in-stream")
+  }
 }
