@@ -351,16 +351,16 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
     "global_shuffle_head" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       // deterministic training-order shuffle: first 100 docs of the
-      // Knuth-hash permutation (limit prunes before the tiny rank window)
+      // Knuth-hash permutation (orderBy+limit plans as TakeOrdered), then
+      // scale-safe global numbering — no single-partition window anywhere
       val ordered = operators.Sampling.shuffled(
         DbReader(conn(s, dir), "documents").run()
           .select(col("doc_id"), col("source")), "doc_id")
         .limit(100)
-      ordered.withColumn("pos", row_number().over(
-          Window.orderBy(operators.Sampling.knuthHash32(col("doc_id")),
-            col("doc_id"))).cast("long"))
+      operators.Ranking.globalRowNumber(ordered,
+          Seq(operators.Sampling.knuthHash32(col("doc_id")), col("doc_id")),
+          out = "pos")
         .select(col("pos"), col("doc_id"), col("source"))
         .orderBy(col("pos"))
     }),

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Scale-safe global ranking.
+  *
+  * `row_number()/ntile() OVER (ORDER BY ...)` with no PARTITION BY moves
+  * the ENTIRE dataset into one partition (Spark's WindowExec warns and
+  * then does exactly that) — a guaranteed out-of-memory at 100 TB. These
+  * operators produce the same numbers from a range-partitioned sort:
+  * `repartitionByRange` gives globally ordered partitions, a per-partition
+  * scan numbers rows locally, and partition row-counts (a tiny driver-side
+  * array, one long per partition) turn local indices into global ones.
+  * That is `RDD.zipWithIndex`: one extra count job, no single-partition
+  * stage, every partition bounded by the range split.
+  *
+  * The reference delegates all ranking to Spark (SURVEY §2.9); these exist
+  * because the Spark built-in is the wrong shape for a global total order.
+  */
+object Ranking {
+
+  /** Append 1-based global row numbers in the total order of `sortCols`.
+    *
+    * `sortCols` must be a TOTAL order (break ties — e.g. end with the id
+    * column): rows that compare equal may land in either range partition,
+    * making their relative numbering nondeterministic otherwise.
+    *
+    * Cost: one range exchange + local sort + zipWithIndex's count job.
+    * The RDD round-trip pins the schema before numbering, so apply column
+    * pruning upstream.
+    */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
+                      out: String = "rn"): DataFrame = {
+    require(sortCols.nonEmpty, "globalRowNumber needs at least one sort column")
+    val spark = df.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      df.rdd.getNumPartitions)
+    val sorted = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val numbered = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(numbered, sorted.schema.add(out, LongType, nullable = false))
+  }
+
+  /** Append the standard SQL `NTILE(k)` bucket (1..k) over the global
+    * total order of `sortCols` — computed from the global row number, not
+    * a window: with n rows, q = n div k and r = n mod k, the first r
+    * tiles get q+1 rows and the rest get q.
+    *
+    * The row count comes from `df.count()` BEFORE the ranking sort (a
+    * pushdown-friendly count on the source, not a recompute of the sorted
+    * lineage); the tile is then pure integer arithmetic on the row number.
+    */
+  def globalNtile(df: DataFrame, k: Int, sortCols: Seq[Column],
+                  out: String = "tile"): DataFrame = {
+    require(k >= 1, s"ntile bucket count must be >= 1, got $k")
+    val n = df.count()
+    val q = n / k
+    val r = n % k
+    val boundary = r * (q + 1) // rows 1..boundary live in the r fat tiles
+    val withRn = globalRowNumber(df, sortCols, out = "__graft_rn")
+    val i = col("__graft_rn")
+    // integral `div`, not `/`: double division mis-floors at exact tile
+    // boundaries once q approaches 2^53 / n
+    def idiv(a: Column, b: Long) = call_function("div", a, lit(b))
+    val tile =
+      if (q == 0) i // n < k: every row its own tile
+      else when(i <= boundary, idiv(i - 1, q + 1) + 1)
+        .otherwise(lit(r) + idiv(i - lit(boundary) - 1, q) + 1)
+    withRn
+      .withColumn(out, tile.cast("long"))
+      .drop("__graft_rn")
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking must reproduce the window built-ins exactly — from a
+  * range-partitioned sort, never a single-partition window. */
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample(n: Int) = {
+    // keys deliberately skewed + shuffled across partitions
+    val rows = (1 to n).map(i => ((i * 37) % n, s"v$i", i.toLong))
+    spark.createDataFrame(rows).toDF("k", "v", "id")
+      .repartition(7, col("v"))
+  }
+
+  test("globalRowNumber matches row_number over a global window") {
+    val df = sample(500)
+    val got = Ranking.globalRowNumber(df, Seq(col("k"), col("id")), out = "rn")
+    val want = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("globalRowNumber is dense, 1-based, and deterministic across runs") {
+    val df = sample(300)
+    val a = Ranking.globalRowNumber(df, Seq(col("k"), col("id")))
+      .select("rn", "id").as[(Long, Long)].collect().sortBy(_._1)
+    val b = Ranking.globalRowNumber(df, Seq(col("k"), col("id")))
+      .select("rn", "id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.map(_._1).toSeq == (1L to 300L))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("globalNtile matches ntile() for divisible and ragged row counts") {
+    for ((n, k) <- Seq((100, 10), (103, 10), (7, 3), (5, 8), (1, 4))) {
+      val df = sample(n)
+      val got = Ranking.globalNtile(df, k, Seq(col("k"), col("id")), out = "tile")
+      val want = df.withColumn("tile",
+        ntile(k).over(Window.orderBy(col("k"), col("id"))).cast("long"))
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"ntile mismatch at n=$n k=$k")
+    }
+  }
+
+  test("no Window operator in the physical plan") {
+    val df = sample(50)
+    val plan = Ranking.globalNtile(df, 5, Seq(col("k"), col("id")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in plan:\n$plan")
+  }
+}
