@@ -2,7 +2,7 @@ package graft
 
 import graft.connections.FileTableConnection
 import graft.core._
-import graft.operators.{DbReader, HwmColumn}
+import graft.operators.{DbReader, HwmColumn, Ranking}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -824,12 +824,15 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
     "q_customer_deciles" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // ntile over a total order (acctbal, custkey) is deterministic;
-      // the decile summary keeps the output small at any SF
+      // ntile over a total order (acctbal, custkey) is deterministic. A
+      // plain `ntile(10).over(Window.orderBy(...))` would drag the whole
+      // customer table into ONE task; Ranking.globalNtile produces the
+      // identical bucketing from a range-partitioned sort + integer
+      // arithmetic (equivalence proven in RankingSpec), so every partition
+      // stays bounded at any SF.
       val cust = DbReader(conn(s, dir), "customer").run()
-      cust.withColumn("decile", ntile(10).over(
-          Window.orderBy(col("c_acctbal"), col("c_custkey"))).cast("long"))
+      Ranking.globalNtile(cust, 10,
+          Seq(col("c_acctbal"), col("c_custkey")), out = "decile")
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"),
           sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal_sum"))
