@@ -53,6 +53,28 @@ object SparkEntry {
       df.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
     }),
+    "reader_observed_hwm" -> ((s, dir) => {
+      // single-scan incremental (runObservingHwm): run 1 reads the subset
+      // that has "arrived" (o_orderkey <= 5000) and captures its max HWM
+      // with an Observation on the SAME job that materializes the count —
+      // no separate MIN/MAX probe (the reference double-scans,
+      // db_reader.py:739-746). Run 2 then reads (observed_hwm, max];
+      // the oracle recomputes the two-run window independently.
+      val store = new InMemoryHwmStore
+      val c = conn(s, dir)
+      Strategy.using(new IncrementalStrategy(store = store)) {
+        DbReader(c, "orders", where = Seq("o_orderkey <= 5000"),
+          hwm = Some(HwmColumn("o_orderkey"))).runObservingHwm(_.count())
+      }
+      val second = Strategy.using(new IncrementalStrategy(store = store)) {
+        DbReader(c, "orders", hwm = Some(HwmColumn("o_orderkey"))).run()
+      }
+      second.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
     "reader_snapshot_batch_union" -> ((s, dir) => {
       // stepping strategy: batches of 10k keys unioned back == full table
       // (step sized so sf0.01 takes 2 batches and sf0.1 takes 15 — each
@@ -242,10 +264,11 @@ object SparkEntry {
     }),
 
     "dedup_simhash" -> ((s, dir) => {
-      // custom 64-bit hash: not expressible in ANSI SQL → rows-only check
+      // md5-derived token hash → DuckDB recomputes the exact signatures,
+      // so banding + Hamming verification get a full brute-force oracle
       operators.Dedup.simhashDupPairs(
           DbReader(conn(s, dir), "documents").run(), "doc_id", "text",
-          maxHamming = 3)
+          maxHamming = 3, md5TokenHash = true)
         .orderBy(col("id1"), col("id2"))
     }),
     "dedup_embedding_cosine" -> ((s, dir) => {
@@ -264,11 +287,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
     "similarity_topk_lsh" -> ((s, dir) => {
-      // approximate scale path: rows-only check (recall is data-dependent)
+      // recall gate for the approximate scale path: with 16×4-bit banding
+      // (the right width for general ANN queries, where neighbor angles
+      // are wide — see lshTopK's banding note) every query must recover
+      // >= 3 of its true top-5. The oracle pins recall_ok = TRUE for all
+      // queries, so a banding/recall regression hash-mismatches.
       val emb = DbReader(conn(s, dir), "embeddings").run()
-      operators.Similarity.lshTopK(
-          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
-        .orderBy(col("query_id"), col("rank"))
+      val q = emb.filter(col("vec_id") < 10)
+      val lsh = operators.Similarity.lshTopK(emb, q, "vec_id", "embedding", 5,
+        nChunks = 16)
+      val brute = operators.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      val hits = lsh.join(brute, Seq("query_id", "id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("hits"), lit(0L)) >= 3).as("recall_ok"))
+        .orderBy(col("query_id"))
     }),
     "similarity_topk_ivf" -> ((s, dir) => {
       // IVF scale path with full probes: nProbe == nLists makes the result
@@ -1260,6 +1295,13 @@ object SparkEntry {
     "reader_incremental_window" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey > 7500 ORDER BY o_orderkey""".stripMargin,
+    "reader_observed_hwm" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderkey > (SELECT max(o_orderkey) FROM orders
+        |                    WHERE o_orderkey <= 5000)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "reader_snapshot_batch_union" ->
       """SELECT o_orderstatus, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -1284,6 +1326,31 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle,
     "dedup_ngram_jaccard" -> jaccardOracle,
+    // brute-force simhash: same md5-derived 64-bit token hash
+    // (first 16 md5 hex chars), same per-occurrence bit votes, all pairs
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), hashed AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+        |), bits AS (
+        |  SELECT doc_id, b.bit,
+        |         sum(CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM hashed CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+        |  GROUP BY doc_id, b.bit
+        |), sigs AS (
+        |  SELECT d.doc_id,
+        |         CAST(COALESCE(sum(CASE WHEN s.vote > 0
+        |             THEN (1::UBIGINT << s.bit)::HUGEINT ELSE 0 END), 0) AS UBIGINT) AS sig
+        |  FROM documents d LEFT JOIN bits s ON d.doc_id = s.doc_id
+        |  GROUP BY d.doc_id
+        |)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY id1, id2""".stripMargin,
     "decontaminate_overlap" ->
       """WITH docs AS (
         |  SELECT doc_id, source, list_distinct(list_transform(range(1, len(toks)-1),
@@ -1336,6 +1403,12 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
         |  FROM scored) t WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // the LSH gate emits per-query recall_ok (>= 4 of the true top-5
+    // recovered); the oracle pins recall_ok = TRUE for every query, so a
+    // banding/recall regression shows up as a hash mismatch
+    "similarity_topk_lsh" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     // full-probe IVF (nProbe == nLists) is exact, so it shares the
     // brute-force top-k oracle
     "similarity_topk_ivf" ->

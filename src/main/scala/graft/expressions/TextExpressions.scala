@@ -80,6 +80,24 @@ case class SimHash64(child: Expression, seed: Long = 42L)
     copy(child = newChild)
 }
 
+/** SimHash64 with an md5-derived token hash (first 8 digest bytes,
+  * big-endian) instead of seeded xxHash64. ~10× more hashing cost per
+  * token, so the xx64 variant stays the scale default — this one exists
+  * because every SQL engine has `md5()`, which makes the WHOLE simhash
+  * pipeline (votes, signature, banding, Hamming verify) reproducible by
+  * an independent oracle, not just spec-tested. */
+case class SimHash64Md5(child: Expression)
+  extends UnaryExpression with GraftStringArrayInput {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64_md5"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHashImpl.simhashMd5(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashImpl.simhashMd5($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Md5 =
+    copy(child = newChild)
+}
+
 /** Cosine similarity of two float/double arrays in one fused pass —
   * replaces a zip_with + aggregate + sqrt expression tree with a single
   * tight loop (and single codegen call). Null elements are not supported;
@@ -172,6 +190,45 @@ object TextHashImpl {
       i += 1
     }
     new GenericArrayData(sig)
+  }
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 md5-digest bytes, big-endian — the same 64 bits as
+    * `('0x' || substr(md5(s), 1, 16))::UBIGINT` in DuckDB/Postgres. */
+  def md5hash64(s: UTF8String): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  def simhashMd5(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = md5hash64(tokens.getUTF8String(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
   }
 
   def simhash(tokens: ArrayData, seed: Long): Long = {
@@ -287,6 +344,7 @@ object GraftExpressions {
   def minhashSignature(c: Column, numHashes: Int, seed: Long = 42L): Column =
     col(MinHashSignature(expr(c), numHashes, seed))
   def simhash64(c: Column, seed: Long = 42L): Column = col(SimHash64(expr(c), seed))
+  def simhash64Md5(c: Column): Column = col(SimHash64Md5(expr(c)))
   def cosineSimilarity(a: Column, b: Column): Column =
     col(CosineSimilarity(expr(a), expr(b)))
   /** Aggregate: approximate top-k heavy hitters (exact when capacity
@@ -301,6 +359,8 @@ object GraftExpressions {
       es => Fingerprint64(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash64_md5",
+      es => SimHash64Md5(es.head), "built-in")
     reg.createOrReplaceTempFunction("cosine_similarity",
       es => CosineSimilarity(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",

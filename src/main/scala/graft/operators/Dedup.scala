@@ -182,10 +182,18 @@ object Dedup {
     * Hamming distance 3 shares at least one chunk. Candidates sharing a
     * chunk are verified with `bit_count(xor) <= maxHamming`. */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+                      maxHamming: Int = 3, seed: Long = 42L,
+                      md5TokenHash: Boolean = false): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding only guarantees recall for distance <= 3")
+    // md5TokenHash swaps the seeded xx64 token hash for the md5-derived one
+    // (SimHash64Md5) so an independent SQL engine can recompute the exact
+    // signatures; the vote/banding/verify pipeline is identical either way.
+    val toks = TextFunctions.tokens(col(textCol))
+    val sigExpr =
+      if (md5TokenHash) GraftExpressions.simhash64Md5(toks)
+      else GraftExpressions.simhash64(toks, seed)
     val sigs = graft.util.SparkUtils.widen(df).select(col(idCol).as("id"),
-        GraftExpressions.simhash64(TextFunctions.tokens(col(textCol)), seed).as("sig"))
+        sigExpr.as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         i => call_function("shiftright", col("sig"), (i * 16).cast("int")).bitwiseAND(lit(0xffffL))))
