@@ -179,6 +179,30 @@ object SparkEntry {
         .orderBy(col("r_regionkey"))
     }),
 
+    // LIVE ftp:// protocol gate: stage part-table CSVs under an in-JVM FTP
+    // server (MiniFtpServer — this container's stand-in for the reference's
+    // dockerized FTP fixture), then pull them through the full client
+    // stack (FtpFileConnection → Hadoop FTPFileSystem → commons-net) with
+    // FileDownloader and verify content end-to-end.
+    "ftp_download_roundtrip" -> ((s, dir) => {
+      import graft.filedf._
+      import graft.files._
+      val src = DbReader(conn(s, dir), "part").run()
+      val remote = java.nio.file.Files.createTempDirectory("graft_ftp_root")
+      FileDFWriter(Csv.withHeader(), remote.toString, DirIfExists.ReplaceEntireDirectory)
+        .run(src.repartition(3))
+      val srv = new MiniFtpServer(remote, "graft", "graft-pass")
+      try {
+        val ftp = new FtpFileConnection(srv.host, srv.port, "graft", "graft-pass").check()
+        val local = java.nio.file.Files.createTempDirectory("graft_ftp_local").toString
+        FileDownloader(ftp, "/", local,
+          filters = Seq(Glob("*.csv")), workers = 4,
+          ifExists = FileIfExists.ReplaceFile).run().raiseIfFailed()
+        FileDFReader(s, Csv.withHeader(), local, Some(src.schema)).run()
+          .orderBy(col("p_partkey"))
+      } finally srv.stop()
+    }),
+
     // Uploader + mover complete the §2.3 trio: stage nation as JSONL,
     // upload (local → "remote"), move within the remote connection, read
     // the moved files — per-file statuses must all be successful and
@@ -1314,6 +1338,8 @@ object SparkEntry {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "file_transfer_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+    "ftp_download_roundtrip" ->
+      "SELECT * FROM part ORDER BY p_partkey",
     "file_upload_move_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "writer_roundtrip" ->

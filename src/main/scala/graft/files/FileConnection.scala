@@ -112,6 +112,59 @@ final class LocalFileConnection extends FileConnection {
   }
 }
 
+/** FTP protocol client (reference onetl/connection/file_connection/ftp.py:47)
+  * over Hadoop's `ftp://` FileSystem, which rides the commons-net FTPClient
+  * shipped inside hadoop-client-runtime — no extra driver package, the same
+  * way the reference leans on its bundled ftputil.
+  *
+  * Configured for passive-mode stream transfers: passive because the
+  * client side (Spark driver/executors) usually sits behind NAT where
+  * active-mode callbacks can't reach it, stream mode because Hadoop's
+  * default block mode needs a MODE B server, which plain FTP daemons
+  * rarely enable. Hadoop opens one FTP session per filesystem call —
+  * correct and robust (no stale-connection state); a long `walk` over a
+  * huge remote tree would want a pooled client, which the SPI allows
+  * swapping in without touching the transfer engine.
+  *
+  * Live-gated end-to-end against [[MiniFtpServer]] (`ftp_download_roundtrip`).
+  */
+final class FtpFileConnection(host: String, port: Int = 21,
+                              user: String = "anonymous",
+                              password: String = "") extends FileConnection {
+  private val inner: HadoopFsConnection = {
+    val conf = new Configuration()
+    conf.set("fs.ftp.host", host)
+    conf.setInt("fs.ftp.host.port", port)
+    conf.set(s"fs.ftp.user.$host", user)
+    conf.set(s"fs.ftp.password.$host", password)
+    conf.set("fs.ftp.data.connection.mode", "PASSIVE_LOCAL_DATA_CONNECTION_MODE")
+    conf.set("fs.ftp.transfer.mode", "STREAM_TRANSFER_MODE")
+    // one FileSystem per (host, port, credentials) — the JVM-wide cache
+    // would hand every FtpFileConnection for a host the first credentials
+    conf.setBoolean("fs.ftp.impl.disable.cache", true)
+    new HadoopFsConnection(s"ftp://$host:$port/", conf)
+  }
+
+  /** A real round trip (root listing), not FileSystem.getStatus — whose
+    * default implementation answers from the client without touching the
+    * server at all. */
+  def check(): this.type = {
+    require(inner.isDir("/"), s"ftp://$host:$port/ root not listable")
+    this
+  }
+  def exists(path: String): Boolean = inner.exists(path)
+  def isDir(path: String): Boolean = inner.isDir(path)
+  def stat(path: String): PathStat = inner.stat(path)
+  def listDir(path: String): Seq[RemoteEntry] = inner.listDir(path)
+  def mkdirs(path: String): Unit = inner.mkdirs(path)
+  def removeFile(path: String): Unit = inner.removeFile(path)
+  def removeDir(path: String, recursive: Boolean): Unit = inner.removeDir(path, recursive)
+  def renameFile(source: String, target: String): Unit = inner.renameFile(source, target)
+  def downloadFile(remote: String, local: Path): Unit = inner.downloadFile(remote, local)
+  def uploadFile(local: Path, remote: String): Unit = inner.uploadFile(local, remote)
+  def open(path: String): InputStream = inner.open(path)
+}
+
 /** Hadoop-FileSystem-backed client: one implementation for `file://`,
   * `hdfs://`, `s3a://` (SURVEY §2.3 — Hadoop FS covers HDFS+S3+local in one
   * SPI, replacing the reference's per-protocol Python clients). */
