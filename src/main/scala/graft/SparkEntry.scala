@@ -1069,6 +1069,33 @@ object SparkEntry {
       FileDFReader(s, Xml("row"), tmp, Some(src.schema)).run()
         .orderBy(col("r_regionkey"))
     }),
+    "filedf_avro_roundtrip" -> ((s, dir) => {
+      // Spark 4 bundles the Avro file source inside spark-sql (the
+      // short-name lookup still errors, so the format wrapper targets the
+      // class directly — see filedf.Avro)
+      import graft.filedf._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_avro").toString
+      val src = DbReader(conn(s, dir), "nation").run()
+      FileDFWriter(Avro(), tmp, DirIfExists.ReplaceEntireDirectory).run(src)
+      FileDFReader(s, Avro(), tmp).run()
+        .select(src.columns.map(col).toIndexedSeq: _*)
+        .orderBy(col("n_nationkey"))
+    }),
+    "codec_avro_column" -> ((s, dir) => {
+      // column-level Avro codec (reference avro.py:326,430): serialize
+      // rows into a binary column with our native expression, parse back
+      // with the writer's record schema, prove lossless roundtrip
+      import graft.filedf.ColumnCodecs._
+      val src = DbReader(conn(s, dir), "nation").run()
+      val payload = struct(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val schemaJson = graft.expressions.AvroCodecs.writerSchemaJson(
+        src.select(payload).schema.fields(0).dataType)
+      src.select(serializeAvroColumn(payload).as("bin"))
+        .select(parseAvroColumn(col("bin"), schemaJson).as("r"))
+        .select(col("r.n_nationkey").as("n_nationkey"),
+          col("r.n_name").as("n_name"), col("r.n_regionkey").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
     "codec_csv_column" -> ((s, dir) => {
       // column-level codec: serialize rows to a CSV string column, parse
       // back with from_csv, prove lossless roundtrip
@@ -1429,7 +1456,7 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
         |  FROM scored) t WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
-    // the LSH gate emits per-query recall_ok (>= 4 of the true top-5
+    // the LSH gate emits per-query recall_ok (>= 3 of the true top-5
     // recovered); the oracle pins recall_ok = TRUE for every query, so a
     // banding/recall regression shows up as a hash mismatch
     "similarity_topk_lsh" ->
@@ -1756,6 +1783,10 @@ object SparkEntry {
         |ORDER BY rf, ls""".stripMargin,
     "filedf_xml_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+    "filedf_avro_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "codec_avro_column" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "codec_csv_column" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q1_pricing_summary" ->

@@ -4,6 +4,38 @@ import graft.dialects.{Dialect, SparkSqlDialect}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
+/** Pure write-mode planner for the V2 writer — the decision matrix of
+  * reference iceberg/connection.py:448-473 and 578-640, extracted so the
+  * mapping is machine-checkable without a live Iceberg catalog:
+  *
+  *  - table missing, ANY mode   → createOrReplace (reference always goes
+  *    through `_save_as_table`, connection.py:459-461)
+  *  - exists + replace_entire_table → createOrReplace
+  *  - exists + error            → reject
+  *  - exists + ignore           → no-op
+  *  - exists + append           → append (snapshot-isolated)
+  *  - exists + replace_overlapping_partitions → overwritePartitions (the
+  *    V2 analogue of dynamic partition overwrite)
+  */
+object IcebergPlanner {
+  sealed trait WriteAction
+  case object CreateOrReplace extends WriteAction
+  case object Append extends WriteAction
+  case object OverwritePartitions extends WriteAction
+  case object Noop extends WriteAction
+  case object Reject extends WriteAction
+
+  def plan(tableExists: Boolean, ifExists: IfExists): WriteAction =
+    if (!tableExists || ifExists == IfExists.ReplaceEntireTable) CreateOrReplace
+    else ifExists match {
+      case IfExists.Error => Reject
+      case IfExists.Ignore => Noop
+      case IfExists.Append => Append
+      case IfExists.ReplaceOverlappingPartitions => OverwritePartitions
+      case _ => CreateOrReplace // unreachable: ReplaceEntireTable handled above
+    }
+}
+
 /** Iceberg-catalog connection (reference iceberg/connection.py:351-640).
   *
   * Same catalog shape as Hive but through the V2 writer: `writeTo` gives
@@ -11,7 +43,7 @@ import org.apache.spark.sql.types.StructType
   * of dynamic partition overwrite. Requires an Iceberg catalog configured
   * on the session (`spark.sql.catalog.<name>`), whose runtime jar is not
   * shipped in this environment; the logic compiles against the stock
-  * DataFrameWriterV2 API.
+  * DataFrameWriterV2 API and the mode matrix lives in [[IcebergPlanner]].
   */
 final class IcebergConnection(val spark: SparkSession,
                               catalog: String,
@@ -39,17 +71,21 @@ final class IcebergConnection(val spark: SparkSession,
 
   def writeDfToTarget(df: DataFrame, target: String, ifExists: IfExists,
                       options: Map[String, String]): Unit = {
+    import IcebergPlanner._
     val name = qualified(target)
     val exists = spark.catalog.tableExists(name)
-    val w = df.writeTo(name)
-    (exists, ifExists) match {
-      case (true, IfExists.Error) =>
+    // table properties ride as writer options on the create path, like the
+    // reference's tableProperty loop (iceberg/connection.py:586-589)
+    def w = options.foldLeft(df.writeTo(name).using("iceberg")) {
+      case (acc, (k, v)) => acc.option(k, v)
+    }
+    plan(exists, ifExists) match {
+      case Reject =>
         throw new IllegalStateException(s"table $name already exists")
-      case (true, IfExists.Ignore) => ()
-      case (true, IfExists.Append) => w.append()
-      case (true, IfExists.ReplaceOverlappingPartitions) => w.overwritePartitions()
-      case (true, IfExists.ReplaceEntireTable) => w.createOrReplace()
-      case (false, _) => w.create()
+      case Noop => ()
+      case Append => w.append()
+      case OverwritePartitions => w.overwritePartitions()
+      case CreateOrReplace => w.createOrReplace()
     }
   }
 

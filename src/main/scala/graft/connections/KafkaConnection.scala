@@ -54,6 +54,48 @@ object KafkaPlanner {
         .getOrElse("latest"))
   }
 
+  /** Clamp an HWM window into the topic's live offset range, one entry
+    * per partition (reference kafka/connection.py:498-553): the probe
+    * returns `beginningOffsets`/`endOffsets` for every partition, then
+    * per partition min = max(window_start, beginning) and
+    * max = min(window_stop, end). A window side that doesn't mention a
+    * partition falls back to the live bound, so retention-expired stored
+    * offsets snap forward to `beginning` instead of under-reading. */
+  def clampWindow(beginning: Map[Int, Long], end: Map[Int, Long],
+                  windowStart: Option[Map[Int, Long]],
+                  windowStop: Option[Map[Int, Long]])
+    : (Map[Int, Long], Map[Int, Long]) = {
+    val partitions = beginning.keySet ++ end.keySet
+    val mins = partitions.iterator.map { p =>
+      val b = beginning.getOrElse(p, 0L)
+      p -> windowStart.filter(_.nonEmpty)
+        .map(w => math.max(w.getOrElse(p, b), b)).getOrElse(b)
+    }.toMap
+    val maxs = partitions.iterator.map { p =>
+      val e = end.getOrElse(p, 0L)
+      p -> windowStop.filter(_.nonEmpty)
+        .map(w => math.min(w.getOrElse(p, e), e)).getOrElse(e)
+    }.toMap
+    (mins, maxs)
+  }
+
+  /** One incremental run at the planner level: given the stored
+    * per-partition HWM and the live [beginning, end] offsets from the
+    * probe, produce (exact read options, the window max to feed the HWM
+    * update). Mirrors the reference's incremental flow — start side is
+    * the STORED offsets verbatim (new partitions default to 0 via the
+    * fill in [[offsetsJson]], kafka/connection.py:272-276), stop side is
+    * the clamped live end; the caller merges the returned maxs into its
+    * [[graft.core.KeyValueIntHwm]] on clean exit. */
+  def planIncremental(topic: String, stored: Map[Int, Long],
+                      beginning: Map[Int, Long], end: Map[Int, Long])
+    : (Map[String, String], Map[Int, Long]) = {
+    val (_, maxs) =
+      clampWindow(beginning, end,
+        if (stored.isEmpty) None else Some(stored), None)
+    (readOptions(topic, Some(stored), Some(maxs)), maxs)
+  }
+
   def validateWriteColumns(columns: Seq[String],
                            includeHeaders: Boolean = true): Unit = {
     require(columns.contains("value"), "Kafka write requires a 'value' column")

@@ -61,11 +61,19 @@ final case class Parquet(options: Map[String, String] = Map.empty) extends FileF
   def name = "parquet"
 }
 
-/** reference avro.py:51 — needs the spark-avro package on the classpath
-  * (not shipped in this environment; construction is allowed, reading will
-  * fail at runtime with Spark's own DATA_SOURCE_NOT_FOUND). */
+/** reference avro.py:51 — Spark 4 ships the Avro source inside spark-sql
+  * (AvroFileFormat), so this is a live format here, no external package
+  * needed. Spark's short-name lookup still hard-errors on "avro" (it
+  * assumes the external module), so reads/writes go through the bundled
+  * file-format class directly. An explicit record schema passes through
+  * as `avroSchema`. */
 final case class Avro(options: Map[String, String] = Map.empty) extends FileFormat {
   def name = "avro"
+  private def impl = org.apache.spark.sql.avro.GraftAvroBridge.fileFormatClass
+  override def applyToReader(r: DataFrameReader): DataFrameReader =
+    r.format(impl).options(options)
+  override def applyToWriter[T](w: DataFrameWriter[T]): DataFrameWriter[T] =
+    w.format(impl).options(options)
 }
 
 /** reference xml.py:34 — Spark 4 ships XML natively. rowTag is required. */
@@ -124,4 +132,13 @@ object ColumnCodecs {
   def serializeXmlColumn(col: Column,
                          options: Map[String, String] = Map.empty): Column =
     to_xml(col, j(options))
+
+  /** Avro codecs (reference avro.py:326,430) over a binary column; the
+    * Avro writer record schema is the usual JSON record definition. Built
+    * on graft's own expressions — Spark's to_avro/from_avro functions
+    * error out without the external spark-avro module. */
+  def parseAvroColumn(col: Column, jsonSchema: String): Column =
+    graft.expressions.AvroCodecs.fromAvroBinary(col, jsonSchema)
+  def serializeAvroColumn(col: Column): Column =
+    graft.expressions.AvroCodecs.toAvroBinary(col)
 }

@@ -32,13 +32,16 @@ final class MiniFtpServer(root: Path, user: String, password: String) {
   def host: String = control.getInetAddress.getHostAddress
 
   private val acceptor = new Thread(() => {
-    while (running) {
+    while (running && !control.isClosed) {
       try {
         val s = control.accept()
         val t = new Thread(() => serve(s), s"mini-ftp-session-${s.getPort}")
         t.setDaemon(true)
         t.start()
-      } catch { case _: Throwable => /* closed */ }
+      } catch {
+        case _: Throwable if !running || control.isClosed => // stop() raced accept()
+        case _: Throwable => Thread.sleep(10) // transient accept failure; avoid a hot spin
+      }
     }
   }, "mini-ftp-acceptor")
   acceptor.setDaemon(true)

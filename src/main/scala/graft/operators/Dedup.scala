@@ -220,19 +220,50 @@ object Dedup {
     * component in memory, and `localCheckpoint` cuts the lineage each
     * round so the plan doesn't grow exponentially. Per-round snapshots
     * are released asynchronously by Spark's ContextCleaner as the loop
-    * drops its references; on a cluster-scale graph use a reliable
-    * checkpoint dir (managed, deterministic cleanup) instead of local
-    * checkpoints. Convergence means a round observed ZERO label changes,
+    * drops its references; on a cluster-scale graph pass `checkpointDir`
+    * to use reliable `checkpoint()` instead — local checkpoints live in
+    * executor block storage, so one lost executor kills a long run,
+    * while reliable checkpoints survive on the shared FS and are removed
+    * deterministically when the loop finishes with them.
+    * Convergence means a round observed ZERO label changes,
     * so a component of diameter d costs d+1 rounds — size `maxIter`
     * accordingly (default 25 handles the shallow graphs dedup produces).
     *
     * Returns (id, comp) where comp = min id reachable from id. */
   def connectedComponents(pairs: DataFrame, col1: String, col2: String,
-                          maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(col1).as("a"), col(col2).as("b"))
+                          maxIter: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    // reliable mode: eager checkpoint() to the shared FS. Every
+    // setCheckpointDir call creates a fresh UUID subdir under the base,
+    // so each snapshot lands in its own directory; a round's directory
+    // is deleted as soon as the NEXT round has materialized, keeping
+    // disk use O(1) rounds regardless of maxIter. The edge snapshot and
+    // the final labels snapshot stay (the returned DataFrame reads the
+    // latter lazily); clear the base dir when done with the result.
+    var priorRoundDir: Option[String] = None
+    def reliableSnap(df: DataFrame, rolling: Boolean): DataFrame = {
+      sc.setCheckpointDir(checkpointDir.get)
+      val myDir = sc.getCheckpointDir
+      val cp = df.checkpoint() // eager: materialized before cleanup below
+      if (rolling) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(sc.hadoopConfiguration)
+        priorRoundDir.foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true))
+        priorRoundDir = myDir
+      }
+      cp
+    }
+    def snapshot(df: DataFrame): DataFrame =
+      if (checkpointDir.isEmpty) df.localCheckpoint()
+      else reliableSnap(df, rolling = true)
+    val edges0 = pairs.select(col(col1).as("a"), col(col2).as("b"))
       .unionAll(pairs.select(col(col2).as("a"), col(col1).as("b")))
       .distinct()
-      .localCheckpoint()
+    val edges =
+      if (checkpointDir.isEmpty) edges0.localCheckpoint()
+      else reliableSnap(edges0, rolling = false)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
     var changed = 1L
@@ -242,10 +273,10 @@ object Dedup {
       // inner join loses nobody and nbrMin has exactly one row per vertex
       val nbrMin = edges.join(labels, edges("a") === labels("id"))
         .groupBy(col("b").as("nid")).agg(min(col("comp")).as("nmin"))
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"))
-        .select(col("id"), col("comp"),
-          least(col("comp"), col("nmin")).as("next"))
-        .localCheckpoint()
+      val updated = snapshot(
+        labels.join(nbrMin, labels("id") === nbrMin("nid"))
+          .select(col("id"), col("comp"),
+            least(col("comp"), col("nmin")).as("next")))
       changed = updated.filter(col("next") < col("comp")).count()
       labels = updated.select(col("id"), col("next").as("comp"))
       it += 1

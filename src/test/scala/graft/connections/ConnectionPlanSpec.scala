@@ -104,6 +104,71 @@ class KafkaPlannerSpec extends AnyFunSuite {
     assert(KafkaPlanner.readSchema.fieldNames.toSeq ==
       Seq("key", "value", "topic", "partition", "offset", "timestamp", "timestampType"))
   }
+
+  test("clampWindow: offsets clamp into the topic's live range (connection.py:498-553)") {
+    val beginning = Map(0 -> 100L, 1 -> 0L)
+    val end = Map(0 -> 900L, 1 -> 50L)
+    // stored p0 offset 40 predates retention (beginning 100) -> snaps to 100;
+    // stop asking past the live end (2000) -> clamps to 900
+    val (mins, maxs) = KafkaPlanner.clampWindow(beginning, end,
+      windowStart = Some(Map(0 -> 40L, 1 -> 10L)),
+      windowStop = Some(Map(0 -> 2000L)))
+    assert(mins == Map(0 -> 100L, 1 -> 10L))
+    assert(maxs == Map(0 -> 900L, 1 -> 50L))
+    // no window at all -> live bounds verbatim
+    assert(KafkaPlanner.clampWindow(beginning, end, None, None) ==
+      (beginning, end))
+  }
+
+  test("incremental KeyValueIntHwm stepping across two runs, new partition defaults to 0") {
+    import graft.core.KeyValueIntHwm
+    // run 1: empty HWM, topic has 2 partitions. The reference fills every
+    // ending partition absent from the (empty) start side with offset 0
+    // (kafka/connection.py:272-276), so run 1 reads [0, end) explicitly.
+    var hwm = KeyValueIntHwm("hwm_events", "events")
+    val (opts1, maxs1) = KafkaPlanner.planIncremental("events",
+      hwm.value, beginning = Map(0 -> 0L, 1 -> 0L), end = Map(0 -> 120L, 1 -> 45L))
+    assert(opts1("startingOffsets") == """{"events": {"0": 0, "1": 0}}""")
+    assert(opts1("endingOffsets") == """{"events": {"0": 120, "1": 45}}""")
+    hwm = hwm.withValue(maxs1).asInstanceOf[KeyValueIntHwm]
+    assert(hwm.value == Map(0 -> 120L, 1 -> 45L))
+
+    // run 2: topic grew a partition (2) and both old partitions advanced.
+    // New partition appears only on the stop side -> start defaults to 0;
+    // old partitions resume exactly at the stored offsets.
+    val (opts2, maxs2) = KafkaPlanner.planIncremental("events",
+      hwm.value, beginning = Map(0 -> 0L, 1 -> 0L, 2 -> 0L),
+      end = Map(0 -> 200L, 1 -> 45L, 2 -> 30L))
+    assert(opts2("startingOffsets") == """{"events": {"0": 120, "1": 45, "2": 0}}""")
+    assert(opts2("endingOffsets") == """{"events": {"0": 200, "1": 45, "2": 30}}""")
+    hwm = hwm.withValue(maxs2).asInstanceOf[KeyValueIntHwm]
+    assert(hwm.value == Map(0 -> 200L, 1 -> 45L, 2 -> 30L))
+
+    // a later stale/partial update must neither erase partitions nor
+    // move any offset backwards (etl-entities KeyValueIntHWM.update)
+    hwm = hwm.withValue(Map(0 -> 150L)).asInstanceOf[KeyValueIntHwm]
+    assert(hwm.value == Map(0 -> 200L, 1 -> 45L, 2 -> 30L))
+  }
+}
+
+class IcebergPlannerSpec extends AnyFunSuite {
+  import graft.connections.IcebergPlanner._
+  import graft.connections.IfExists
+
+  test("V2 write-mode matrix matches iceberg/connection.py:448-473") {
+    val modes = Seq(IfExists.Append, IfExists.Error, IfExists.Ignore,
+      IfExists.ReplaceOverlappingPartitions, IfExists.ReplaceEntireTable)
+    // missing table: every mode creates (reference always routes through
+    // _save_as_table -> createOrReplace when the target doesn't exist)
+    modes.foreach(m => assert(plan(tableExists = false, m) == CreateOrReplace, m))
+    // existing table: the five modes map to the five distinct actions
+    assert(plan(tableExists = true, IfExists.Append) == Append)
+    assert(plan(tableExists = true, IfExists.Error) == Reject)
+    assert(plan(tableExists = true, IfExists.Ignore) == Noop)
+    assert(plan(tableExists = true, IfExists.ReplaceOverlappingPartitions) ==
+      OverwritePartitions)
+    assert(plan(tableExists = true, IfExists.ReplaceEntireTable) == CreateOrReplace)
+  }
 }
 
 class MongoDialectSpec extends AnyFunSuite {

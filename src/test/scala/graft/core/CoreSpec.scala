@@ -77,6 +77,47 @@ class HwmStoreSpec extends AnyFunSuite {
     assert(hist.toSet == Set(100L, 250L, 175L))
   }
 
+  test("yaml store roundtrips every HWM type; latest set wins") {
+    val dir = java.nio.file.Files.createTempDirectory("hwm_yaml").toString
+    val store = new YamlHwmStore(dir)
+    val hwms = Seq(
+      IntHwm("db.t.id", "t", "id", Some(7L)),
+      DecimalHwm("d", "t", "amount", Some(BigDecimal("12.34"))),
+      DateHwm("dt", "t", "day", Some(LocalDate.of(2024, 3, 1))),
+      DateTimeHwm("ts", "t", "ts", Some(Instant.parse("2024-03-01T12:00:00Z"))),
+      KeyValueIntHwm("kv", "topic", "offset", Map(0 -> 5L, 1 -> 9L)),
+      FileListHwm("fl", "dir", "file_list", Set("/a/b.csv", "/a/c.csv")),
+      FileMTimeHwm("fm", "dir", "modified_time", Some(Instant.parse("2024-01-01T00:00:00Z"))))
+    hwms.foreach(store.set)
+    hwms.foreach { h => assert(store.get(h.name).contains(h), h.name) }
+    store.set(IntHwm("db.t.id", "t", "id", Some(9L)))
+    assert(store.get("db.t.id").get.valueOpt.contains(9L))
+    assert(store.history("db.t.id").length == 2)
+    // special characters in values survive the quoted-scalar escaping
+    store.set(FileListHwm("esc", "dir", "file_list", Set("/p/a \"q\"\tb.csv")))
+    assert(store.get("esc").contains(
+      FileListHwm("esc", "dir", "file_list", Set("/p/a \"q\"\tb.csv"))))
+  }
+
+  test("yaml store emits the reference's file layout (yaml_hwm_store.py:56-216)") {
+    val dir = java.nio.file.Files.createTempDirectory("hwm_yaml_fmt").toString
+    val store = new YamlHwmStore(dir)
+    // cleanup_file_name (yaml_hwm_store.py:192-199): delimiters #@| -> __,
+    // prohibited =:/\ -> _, collapse runs
+    store.set(IntHwm("id#db.table@proto://instance", "t", "id", Some(1000L)))
+    val f = store.fileFor("id#db.table@proto://instance")
+    assert(f.getFileName.toString == "id__db.table__proto_instance.yml")
+    val text = java.nio.file.Files.readString(f)
+    // a YAML block list of flat mappings, value as quoted scalar
+    assert(text.startsWith("- name: \"id#db.table@proto://instance\"\n"))
+    assert(text.contains("\n  type: \"int\"\n"))
+    assert(text.contains("\n  value: \"1000\"\n"))
+    // a keyvalue HWM nests a mapping under value
+    store.set(KeyValueIntHwm("kv2", "topic", "offset", Map(0 -> 120L, 1 -> 45L)))
+    val kvText = java.nio.file.Files.readString(store.fileFor("kv2"))
+    assert(kvText.contains("\n  value:\n    0: 120\n    1: 45\n"))
+  }
+
   test("FileMTimeHwm.withValue keeps the max") {
     val h = FileMTimeHwm("m", "d", value = Some(Instant.parse("2024-06-01T00:00:00Z")))
     val older = h.withValue(Instant.parse("2024-01-01T00:00:00Z"))

@@ -33,6 +33,29 @@ class FileDFSpec extends SparkSpec {
     }
   }
 
+  test("avro roundtrip (Spark 4 ships the source in spark-sql)") {
+    val dir = tmpDir("avro")
+    FileDFWriter(Avro(), dir, DirIfExists.ReplaceEntireDirectory).run(sample)
+    val back = FileDFReader(spark, Avro(), dir).run()
+    assert(back.count() == 4)
+    assert(back.orderBy($"id").collect().map(_.getString(1)).toSeq ==
+      Seq("alpha", "beta", "gamma", "delta"))
+  }
+
+  test("avro column codecs roundtrip binary payloads") {
+    // Avro binary carries no schema — the reader must use the WRITER's
+    // record schema, which for a nullable string field is a union type
+    val schema = graft.expressions.AvroCodecs.writerSchemaJson(
+      sample.select(struct($"id", $"name")).schema.fields(0).dataType)
+    val enc = sample.select($"id", $"name",
+      ColumnCodecs.serializeAvroColumn(struct($"id", $"name")).as("bin"))
+    assert(enc.schema("bin").dataType == BinaryType)
+    val dec = enc.select(ColumnCodecs.parseAvroColumn($"bin", schema).as("r"))
+      .select($"r.id", $"r.name").orderBy($"id")
+    assert(dec.as[(Long, String)].collect().toSeq ==
+      Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta")))
+  }
+
   test("xml roundtrip (Spark 4 native)") {
     val dir = tmpDir("xml")
     FileDFWriter(Xml("row"), dir, DirIfExists.ReplaceEntireDirectory).run(sample)

@@ -187,6 +187,23 @@ class ConnectedComponentsSpec extends SparkSpec {
       Dedup.connectedComponents(path, "id1", "id2", maxIter = 2).count()
     }
   }
+
+  test("reliable checkpointing survives 30+ rounds with O(1) disk use") {
+    // a 35-node path forces 34 changing rounds + 1 confirming round; the
+    // reliable path must converge, keep only {edges, final} snapshots on
+    // disk (rolling per-round cleanup), and produce the same labels
+    val base = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val path = (0L until 35L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(path, "id1", "id2", maxIter = 40,
+        checkpointDir = Some(base))
+      .as[(Long, Long)].collect().toMap
+    assert(cc == (0L until 35L).map(_ -> 0L).toMap)
+    val dirs = new java.io.File(base).listFiles()
+    assert(dirs != null && dirs.length <= 2,
+      s"rolling cleanup must leave at most {edges, final}: ${dirs.mkString(", ")}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -202,6 +219,22 @@ class SimilaritySpec extends SparkSpec {
     val ranks = topk.filter($"query_id" === 0).orderBy($"rank")
       .select($"cosine").as[Double].collect()
     assert(ranks.toSeq == ranks.sorted.reverse.toSeq, "cosine desc by rank")
+  }
+
+  test("lshTopK recall vs brute force on gate data, reported per query") {
+    // mirrors the similarity_topk_lsh gate (16x4-bit banding, top-5,
+    // queries vec_id < 10) but asserts the actual hit counts so a recall
+    // regression reports numbers instead of an opaque oracle hash diff
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, nChunks = 16)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+    val hits = lsh.join(brute, Seq("query_id", "id"), "left_semi")
+      .groupBy($"query_id").count()
+      .as[(Long, Long)].collect().toMap
+    val perQuery = (0L until 10L).map(i => i -> hits.getOrElse(i, 0L))
+    assert(perQuery.forall(_._2 >= 3),
+      s"gate needs >= 3 of the true top-5 per query; got ${perQuery.mkString(", ")}")
   }
 
   test("ivfTopK with nProbe == nLists reproduces brute force exactly") {
