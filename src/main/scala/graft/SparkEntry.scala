@@ -203,6 +203,30 @@ object SparkEntry {
       } finally srv.stop()
     }),
 
+    // LIVE WebDAV protocol gate (reference webdav.py:49): stage supplier
+    // CSVs behind an in-JVM RFC 4918 server, pull them through the real
+    // HTTP stack (WebDavFileConnection → JDK HttpClient → PROPFIND/GET)
+    // with FileDownloader and verify content end-to-end. WebDAV is plain
+    // HTTP, so unlike SFTP/Samba this protocol runs live in-container.
+    "webdav_download_roundtrip" -> ((s, dir) => {
+      import graft.filedf._
+      import graft.files._
+      val src = DbReader(conn(s, dir), "supplier").run()
+      val remote = java.nio.file.Files.createTempDirectory("graft_dav_root")
+      FileDFWriter(Csv.withHeader(), remote.toString, DirIfExists.ReplaceEntireDirectory)
+        .run(src.repartition(3))
+      val srv = new MiniWebDavServer(remote, "graft", "graft-pass")
+      try {
+        val dav = new WebDavFileConnection(srv.host, srv.port, "graft", "graft-pass").check()
+        val local = java.nio.file.Files.createTempDirectory("graft_dav_local").toString
+        FileDownloader(dav, "/", local,
+          filters = Seq(Glob("*.csv")), workers = 4,
+          ifExists = FileIfExists.ReplaceFile).run().raiseIfFailed()
+        FileDFReader(s, Csv.withHeader(), local, Some(src.schema)).run()
+          .orderBy(col("s_suppkey"))
+      } finally srv.stop()
+    }),
+
     // Uploader + mover complete the §2.3 trio: stage nation as JSONL,
     // upload (local → "remote"), move within the remote connection, read
     // the moved files — per-file statuses must all be successful and
@@ -1367,6 +1391,8 @@ object SparkEntry {
       "SELECT * FROM region ORDER BY r_regionkey",
     "ftp_download_roundtrip" ->
       "SELECT * FROM part ORDER BY p_partkey",
+    "webdav_download_roundtrip" ->
+      "SELECT * FROM supplier ORDER BY s_suppkey",
     "file_upload_move_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "writer_roundtrip" ->
