@@ -28,6 +28,48 @@ object SparkEntry {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Stage the events table into a fresh landing dir and drive `build`'s
+    * streaming frame through three AvailableNow runs over one checkpoint:
+    * run 1 = the real files in ONE micro-batch (no maxFilesPerTrigger —
+    * single-batch processing keeps per-user event order inside one
+    * state-update call), runs 2-3 each land one far-future sentinel row
+    * (event_type 'zz_sentinel', user_id -1) and re-run, advancing the
+    * event-time watermark past all real data so append-mode state drains.
+    * Fresh temp dirs per invocation keep the gate idempotent across the
+    * driver's warm+timed executions. */
+  private def streamedEvents(s: SparkSession, dir: String)
+                            (build: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
+    eventsMicros(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .coalesce(2).write.mode("append").parquet(landing)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def runOnce(): Unit = {
+      val stream = graft.streaming.FileStreamReader.read(
+        s, graft.filedf.Parquet(), landing, schema)
+      graft.streaming.StreamRunner.runAvailableNowToParquet(build(stream), out, ck)
+    }
+    runOnce()
+    Seq("2049-01-01T00:00:00Z", "2049-06-01T00:00:00Z").zipWithIndex.foreach {
+      case (t, i) =>
+        import s.implicits._
+        Seq((-(i + 1).toLong,
+            java.sql.Timestamp.from(java.time.Instant.parse(t)),
+            -1L, "zz_sentinel", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+          .coalesce(1).write.mode("append").parquet(landing)
+        runOnce()
+    }
+    s.read.parquet(out)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -224,6 +266,32 @@ object SparkEntry {
           ifExists = FileIfExists.ReplaceFile).run().raiseIfFailed()
         FileDFReader(s, Csv.withHeader(), local, Some(src.schema)).run()
           .orderBy(col("s_suppkey"))
+      } finally srv.stop()
+    }),
+
+    // SFTP wire-protocol gate (reference sftp.py:50): customer CSVs staged
+    // behind an in-JVM SFTP v3 packet server, pulled through the real
+    // SSH_FXP client stack (handshake, handles, 32 KiB offset-addressed
+    // chunked reads) with FileDownloader. The carrier is loopback TCP —
+    // in production the identical bytes ride an encrypted SSH channel via
+    // a different SftpTransport; the file-transfer protocol is fully live.
+    "sftp_download_roundtrip" -> ((s, dir) => {
+      import graft.filedf._
+      import graft.files._
+      val src = DbReader(conn(s, dir), "customer").run()
+      val remote = java.nio.file.Files.createTempDirectory("graft_sftp_root")
+      FileDFWriter(Csv.withHeader(), remote.toString, DirIfExists.ReplaceEntireDirectory)
+        .run(src.repartition(3))
+      val srv = new MiniSftpServer(remote)
+      try {
+        val sftp = new SftpFileConnection(
+          () => new TcpSftpTransport(srv.host, srv.port)).check()
+        val local = java.nio.file.Files.createTempDirectory("graft_sftp_local").toString
+        FileDownloader(sftp, "/", local,
+          filters = Seq(Glob("*.csv")), workers = 4,
+          ifExists = FileIfExists.ReplaceFile).run().raiseIfFailed()
+        FileDFReader(s, Csv.withHeader(), local, Some(src.schema)).run()
+          .orderBy(col("c_custkey"))
       } finally srv.stop()
     }),
 
@@ -934,6 +1002,66 @@ object SparkEntry {
         .groupBy(col("kind")).agg(count(lit(1)).as("n"))
         .orderBy(col("kind"))
     }),
+    // --- Structured Streaming (graft.streaming — beyond the batch-only
+    // reference, SURVEY §1 "possible extension"). Each gate stages events
+    // into a landing dir and drives the stream with Trigger.AvailableNow
+    // across THREE runs sharing one checkpoint — the streaming twin of the
+    // HWM strategies: run 1 processes the real files; runs 2-3 each land a
+    // far-future sentinel file whose arrival advances the event-time
+    // watermark past all real data. Needed because append-mode emission
+    // lags the watermark by one micro-batch (watermark for batch N is
+    // computed from batch N-1), so without sentinels the last windows/
+    // sessions would stay in state forever. Results are then DuckDB-
+    // oracled exactly like the batch gates.
+    "streaming_windowed_agg" -> ((s, dir) => {
+      val out = streamedEvents(s, dir) { stream =>
+        stream.withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("dec_total"))
+          .select(col("window.start").as("w_start"), col("event_type"),
+            col("n"), col("dec_total"))
+      }
+      out.filter(col("event_type") =!= "zz_sentinel")
+        .select(col("w_start"), col("event_type"), col("n"),
+          col("dec_total").cast("double").as("total"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+    "streaming_dedup" -> ((s, dir) => {
+      // dropDuplicatesWithinWatermark: state bounded by the watermark
+      // horizon; emits the first sighting of each key immediately, so the
+      // distinct set is complete after the runs. Only key columns are
+      // emitted — "which payload row was first" is racy across partitions,
+      // the key set is deterministic.
+      val out = streamedEvents(s, dir) { stream =>
+        stream.withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select(col("user_id"), col("event_type"))
+      }
+      out.filter(col("event_type") =!= "zz_sentinel")
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+    "streaming_sessionize" -> ((s, dir) => {
+      // custom state machine: gap-based sessions via flatMapGroupsWithState
+      // with event-time timeout. value is floor(value*100) — integer-valued
+      // doubles, so the per-session fold sums exactly regardless of
+      // accumulation order (FP-safe without decimals in the case class).
+      import s.implicits._
+      import graft.streaming.StreamOps
+      val out = streamedEvents(s, dir) { stream =>
+        val ev = stream.select(col("user_id"), col("ts"),
+            floor(col("value") * 100).cast("double").as("value"))
+          .as[StreamOps.Event]
+        StreamOps.sessionize(ev, gapMillis = 1800L * 1000,
+          watermarkDelay = "0 seconds").toDF()
+      }
+      out.filter(col("user_id") >= 0)
+        .select(col("user_id"), col("start").as("session_start"),
+          col("end").as("session_end"), col("n_events"),
+          col("total_value").cast("long").as("total_cents"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     "q_events_sessionize" -> ((s, dir) => {
       // event-time windowed aggregation over the events table.
       // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
@@ -1393,6 +1521,8 @@ object SparkEntry {
       "SELECT * FROM part ORDER BY p_partkey",
     "webdav_download_roundtrip" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
+    "sftp_download_roundtrip" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
     "file_upload_move_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "writer_roundtrip" ->
@@ -1690,6 +1820,33 @@ object SparkEntry {
         |  SELECT 'without' AS kind, o_orderkey FROM orders
         |  WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)) t
         |GROUP BY kind ORDER BY kind""".stripMargin,
+    // streaming gates share batch semantics: AvailableNow over static
+    // files must equal the batch query (sentinel rows are filtered on the
+    // Spark side before the compare)
+    "streaming_windowed_agg" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "streaming_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "streaming_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, CAST(floor(value * 100) AS DOUBLE) AS v,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+        |              ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), g AS (
+        |  SELECT user_id, ts, v,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events, CAST(sum(v) AS BIGINT) AS total_cents
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_events_sessionize" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
         |       count(*) AS n,

@@ -36,10 +36,14 @@ final class MiniWebDavServer(root: Path, user: String, password: String) {
     .encodeToString(s"$user:$password".getBytes(UTF_8))
 
   server.createContext("/", (ex: HttpExchange) => handle(ex))
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+  // daemon worker threads + explicit shutdown: a lingering non-daemon
+  // pool would keep the whole JVM alive after stop()
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
+    (r: Runnable) => { val t = new Thread(r, "mini-webdav"); t.setDaemon(true); t })
+  server.setExecutor(pool)
   server.start()
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
 
   // ---- request handling ---------------------------------------------------
 

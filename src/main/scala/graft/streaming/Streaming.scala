@@ -55,10 +55,22 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  /** State times are epoch MICROseconds: java.sql.Timestamp carries
+    * microsecond precision (via nanos), and tracking state in
+    * Timestamp.getTime millis would silently truncate session boundaries
+    * and emitted start/end times on micro-precision event streams. */
   final case class SessionState(start: Long, end: Long, n: Int, total: Double)
   final case class Session(user_id: Long, start: java.sql.Timestamp,
                            end: java.sql.Timestamp, n_events: Int,
                            total_value: Double)
+
+  private def toMicros(ts: java.sql.Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+  private def fromMicros(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
 
   /** Gap-based sessionization with custom state
     * (`flatMapGroupsWithState` + event-time timeout): a session closes
@@ -66,6 +78,7 @@ object StreamOps {
   def sessionize(events: Dataset[Event], gapMillis: Long,
                  watermarkDelay: String): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val gapMicros = gapMillis * 1000L
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
@@ -76,21 +89,20 @@ object StreamOps {
             val s = state.get
             state.remove()
             Iterator.single(Session(user,
-              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
-              s.n, s.total))
+              fromMicros(s.start), fromMicros(s.end), s.n, s.total))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => toMicros(e.ts))
             var closed = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = toMicros(e.ts)
               cur match {
-                case Some(s) if t - s.end <= gapMillis =>
+                case Some(s) if t - s.end <= gapMicros =>
                   cur = Some(SessionState(s.start, math.max(s.end, t),
                     s.n + 1, s.total + e.value))
                 case Some(s) =>
-                  closed ::= Session(user, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.end), s.n, s.total)
+                  closed ::= Session(user, fromMicros(s.start),
+                    fromMicros(s.end), s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -98,7 +110,8 @@ object StreamOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMillis)
+              // timeout is a wall-clock-shaped API: milliseconds
+              state.setTimeoutTimestamp((s.end + gapMicros) / 1000L + 1)
             }
             closed.reverseIterator
           }
