@@ -29,44 +29,70 @@ object SparkEntry {
   }
 
   /** Stage the events table into a fresh landing dir and drive `build`'s
-    * streaming frame through three AvailableNow runs over one checkpoint:
-    * run 1 = the real files in ONE micro-batch (no maxFilesPerTrigger —
-    * single-batch processing keeps per-user event order inside one
-    * state-update call), runs 2-3 each land one far-future sentinel row
-    * (event_type 'zz_sentinel', user_id -1) and re-run, advancing the
-    * event-time watermark past all real data so append-mode state drains.
-    * Fresh temp dirs per invocation keep the gate idempotent across the
-    * driver's warm+timed executions. */
-  private def streamedEvents(s: SparkSession, dir: String)
+    * streaming frame with ONE Trigger.AvailableNow run whose micro-batches
+    * are sequenced by file modification time + maxFilesPerTrigger=2:
+    * batch 1 = the two real data files (all real events in ONE state
+    * update, preserving per-user event order inside the update call),
+    * batches 2-3 = three far-future sentinel rows (event_type
+    * 'zz_sentinel', user_id -1) staged up front with strictly later
+    * mtimes. Each sentinel batch advances the event-time watermark
+    * (watermark for batch N is computed from batch N-1's data), so by the
+    * final batch every real window/session has drained from append-mode
+    * state — the single-query form of "run again after new data arrives",
+    * without paying three streaming-query startups. Fresh temp dirs per
+    * invocation keep the gate idempotent across the driver's warm+timed
+    * executions. */
+  private def streamedEvents(s: SparkSession, dir: String,
+                             sentinels: Boolean = true)
                             (build: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
-    val landing = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream_in")
     val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
     val ck = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
     eventsMicros(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
-      .coalesce(2).write.mode("append").parquet(landing)
+      .coalesce(2).write.mode("append").parquet(landing.toString)
+    def listParts(): Set[java.nio.file.Path] = {
+      val st = java.nio.file.Files.list(landing)
+      try {
+        val it = st.iterator(); val b = Set.newBuilder[java.nio.file.Path]
+        while (it.hasNext) { val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) b += p }
+        b.result()
+      } finally st.close()
+    }
+    def stamp(parts: Set[java.nio.file.Path], t: java.time.Instant): Unit =
+      parts.foreach(p => java.nio.file.Files.setLastModifiedTime(
+        p, java.nio.file.attribute.FileTime.from(t)))
+    val t0 = java.time.Instant.now()
+    var stamped = listParts()
+    stamp(stamped, t0)
+    if (sentinels) {
+      // three sentinels: with maxFilesPerTrigger=2 they land as batches
+      // {A,B} then {C}; batch {C}'s watermark (from A/B) is already past
+      // all real data, so the final real windows drain in it
+      Seq("2049-01-01T00:00:00Z", "2049-02-01T00:00:00Z", "2049-06-01T00:00:00Z")
+        .zipWithIndex.foreach { case (t, i) =>
+          import s.implicits._
+          Seq((-(i + 1).toLong,
+              java.sql.Timestamp.from(java.time.Instant.parse(t)),
+              -1L, "zz_sentinel", 0.0))
+            .toDF("event_id", "ts", "user_id", "event_type", "value")
+            .coalesce(1).write.mode("append").parquet(landing.toString)
+          val fresh = listParts() -- stamped
+          stamp(fresh, t0.plusSeconds(10L * (i + 1)))
+          stamped ++= fresh
+        }
+    }
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType)))
-    def runOnce(): Unit = {
-      val stream = graft.streaming.FileStreamReader.read(
-        s, graft.filedf.Parquet(), landing, schema)
-      graft.streaming.StreamRunner.runAvailableNowToParquet(build(stream), out, ck)
-    }
-    runOnce()
-    Seq("2049-01-01T00:00:00Z", "2049-06-01T00:00:00Z").zipWithIndex.foreach {
-      case (t, i) =>
-        import s.implicits._
-        Seq((-(i + 1).toLong,
-            java.sql.Timestamp.from(java.time.Instant.parse(t)),
-            -1L, "zz_sentinel", 0.0))
-          .toDF("event_id", "ts", "user_id", "event_type", "value")
-          .coalesce(1).write.mode("append").parquet(landing)
-        runOnce()
-    }
+    val stream = graft.streaming.FileStreamReader.read(
+      s, graft.filedf.Parquet(), landing.toString, schema,
+      maxFilesPerTrigger = if (sentinels) Some(2) else None)
+    graft.streaming.StreamRunner.runAvailableNowToParquet(build(stream), out, ck)
     s.read.parquet(out)
   }
 
@@ -1029,11 +1055,11 @@ object SparkEntry {
     }),
     "streaming_dedup" -> ((s, dir) => {
       // dropDuplicatesWithinWatermark: state bounded by the watermark
-      // horizon; emits the first sighting of each key immediately, so the
-      // distinct set is complete after the runs. Only key columns are
-      // emitted — "which payload row was first" is racy across partitions,
-      // the key set is deterministic.
-      val out = streamedEvents(s, dir) { stream =>
+      // horizon; emits the first sighting of each key immediately — no
+      // watermark draining needed, so no sentinel batches. Only key
+      // columns are emitted — "which payload row was first" is racy
+      // across partitions, the key set is deterministic.
+      val out = streamedEvents(s, dir, sentinels = false) { stream =>
         stream.withWatermark("ts", "10 minutes")
           .dropDuplicatesWithinWatermark("user_id", "event_type")
           .select(col("user_id"), col("event_type"))
