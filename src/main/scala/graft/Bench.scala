@@ -82,14 +82,16 @@ object Bench {
         val t0 = System.nanoTime()
         val (_, report) = SkewAudit.audit(spark) { q.count() }
         val sec = (System.nanoTime() - t0) / 1e9
-        // judge the stage that moved the most bytes (the join shuffle):
-        // its max-task read is the straggler's load — the absolute number
-        // that decides whether one executor stalls the stage at 100 TB
-        val worst = report.filter(_.maxShuffleReadBytes > 0)
-          .maxByOption(_.maxShuffleReadBytes)
+        // judge the stage that moved the most ROWS (the join shuffle):
+        // its max-task record count is the straggler's load, independent
+        // of shuffle compression (repetitive hot keys compress so well
+        // that byte metrics invert the story) — the number that decides
+        // whether one executor stalls the stage at 100 TB
+        val worst = report.filter(_.maxShuffleReadRecords > 0)
+          .maxByOption(_.maxShuffleReadRecords)
         (sec,
-          worst.map(_.maxShuffleReadBytes / 1e6).getOrElse(0.0),
-          worst.map(_.shuffleSkew).getOrElse(0.0))
+          worst.map(_.maxShuffleReadRecords / 1e6).getOrElse(0.0),
+          worst.map(_.recordSkew).getOrElse(0.0))
       } finally {
         spark.conf.set("spark.sql.adaptive.enabled", true)
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
@@ -98,16 +100,19 @@ object Bench {
     }
     def naiveQ = fact.join(dim, fact("k") === dim("dk"))
       .groupBy(col("dk")).agg(sum(col("l_quantity") * col("dv")).as("s"))
+    // factor 64 over 32 shuffle partitions: each partition lands ~2 salt
+    // cells of the hot key, so the straggler's load drops ~30x instead of
+    // riding the balls-into-bins maximum of a factor==partitions salt
     def saltedQ = graft.operators.Joins
-      .saltedJoin(fact, dim, Seq("k"), Seq("dk"), factor = 32)
+      .saltedJoin(fact, dim, Seq("k"), Seq("dk"), factor = 64)
       .groupBy(col("dk")).agg(sum(col("l_quantity") * col("dv")).as("s"))
     // warm-up: compile codegen for both shapes outside the timed runs
     naiveQ.count(); saltedQ.count()
-    val (naiveSec, naiveMaxMb, naiveSkew) = run("naive", aqe = false)(naiveQ)
-    val (saltedSec, saltedMaxMb, saltedSkew) = run("salted", aqe = false)(saltedQ)
-    val (aqeSec, aqeMaxMb, aqeSkew) = run("aqe", aqe = true)(naiveQ)
+    val (naiveSec, naiveMaxM, naiveSkew) = run("naive", aqe = false)(naiveQ)
+    val (saltedSec, saltedMaxM, saltedSkew) = run("salted", aqe = false)(saltedQ)
+    val (aqeSec, aqeMaxM, aqeSkew) = run("aqe", aqe = true)(naiveQ)
     f"""{"naive_sec":$naiveSec%.3f,"salted_sec":$saltedSec%.3f,"aqe_skewjoin_sec":$aqeSec%.3f,""" +
-      f""""naive_max_task_shuffle_mb":$naiveMaxMb%.1f,"salted_max_task_shuffle_mb":$saltedMaxMb%.1f,"aqe_max_task_shuffle_mb":$aqeMaxMb%.1f,""" +
-      f""""naive_shuffle_skew":$naiveSkew%.1f,"salted_shuffle_skew":$saltedSkew%.1f,"aqe_shuffle_skew":$aqeSkew%.1f}"""
+      f""""naive_max_task_mrows":$naiveMaxM%.2f,"salted_max_task_mrows":$saltedMaxM%.2f,"aqe_max_task_mrows":$aqeMaxM%.2f,""" +
+      f""""naive_record_skew":$naiveSkew%.1f,"salted_record_skew":$saltedSkew%.1f,"aqe_record_skew":$aqeSkew%.1f}"""
   }
 }

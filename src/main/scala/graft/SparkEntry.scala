@@ -367,6 +367,45 @@ object SparkEntry {
         .select(col("doc_id"), col("dup_count"))
         .orderBy(col("doc_id"))
     }),
+    "dedup_chunk_rebuild" -> ((s, dir) => {
+      // sub-document dedup: the globally-first occurrence of every
+      // 10-token chunk survives, documents are rebuilt from surviving
+      // chunks; md5 audits the rebuilt content without hauling text
+      // through the compare
+      operators.Dedup.chunkDedupRebuild(
+          DbReader(conn(s, dir), "documents").run(), "doc_id", "text",
+          chunkTokens = 10)
+        .select(col("doc_id"), col("n_kept"), md5(col("rebuilt")).as("rebuilt_md5"))
+        .orderBy(col("doc_id"))
+    }),
+    "pii_scrub" -> ((s, dir) => {
+      // PII redaction audit with planted entities: the corpus has no
+      // natural PII, so each doc gets a deterministic email + IP + phone
+      // derived from doc_id, and the oracle replants the SAME text — the
+      // compare then verifies the regex semantics (match spans, counts,
+      // replacement) across both engines, not just a no-op pass.
+      import graft.functions.TextFunctions._
+      val aug = concat(col("text"),
+        format_string(" contact user%d@example.com ip 10.0.%d.7 call +1 (555) 010-%d now",
+          col("doc_id"), pmod(col("doc_id"), lit(256)),
+          pmod(col("doc_id"), lit(9000)) + 1000))
+      DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"),
+          piiCount(aug).as("n_pii"),
+          md5(scrubPii(aug)).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+    "ngram_topk" -> ((s, dir) => {
+      // corpus-wide bigram frequencies, top 20 with a total order
+      // (count desc, gram asc). Map-side-combinable groupBy on the gram,
+      // then TakeOrderedAndProject — no global sort materializes.
+      import graft.functions.TextFunctions._
+      DbReader(conn(s, dir), "documents").run()
+        .select(explode(wordShingles(col("text"), 2)).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram"))
+        .limit(20)
+    }),
     "dedup_minhash_lsh" -> ((s, dir) => {
       operators.Dedup.minhashDupPairs(
           DbReader(conn(s, dir), "documents").run(), "doc_id", "text",
@@ -1559,6 +1598,56 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
         |ORDER BY doc_id""".stripMargin,
+    "dedup_chunk_rebuild" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), chunks AS (
+        |  SELECT doc_id, i AS idx,
+        |         array_to_string(t[(i*10+1):(i*10+10)], ' ') AS chunk
+        |  FROM toks, UNNEST(range(CAST(ceil(len(t)/10.0) AS BIGINT))) AS u(i)
+        |), winners AS (
+        |  SELECT chunk, min(doc_id * 1000000 + idx) AS ord
+        |  FROM chunks GROUP BY chunk
+        |), kept AS (
+        |  SELECT c.doc_id, c.idx, c.chunk FROM chunks c
+        |  JOIN winners w ON c.chunk = w.chunk
+        |   AND c.doc_id * 1000000 + c.idx = w.ord)
+        |SELECT doc_id, count(*) AS n_kept,
+        |       md5(string_agg(chunk, ' ' ORDER BY idx)) AS rebuilt_md5
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id || '@example.com ip 10.0.' ||
+        |         (doc_id % 256) || '.7 call +1 (555) 010-' ||
+        |         (doc_id % 9000 + 1000) || ' now' AS a
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, a,
+        |         regexp_replace(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                        '[EMAIL]', 'g') AS e
+        |  FROM aug
+        |), s2 AS (
+        |  SELECT doc_id, a, e,
+        |         regexp_replace(e, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g') AS ei
+        |  FROM s1)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |          + len(regexp_extract_all(e, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+        |          + len(regexp_extract_all(ei, '\+?[0-9][0-9() .-]{6,}[0-9]')) AS BIGINT) AS n_pii,
+        |       md5(regexp_replace(ei, '\+?[0-9][0-9() .-]{6,}[0-9]', '[PHONE]', 'g')) AS clean_md5
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+    "ngram_topk" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+        |  WHERE length(trim(text)) > 0
+        |), grams AS (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |                i -> array_to_string(t[i:i+1], ' '))) AS gram
+        |  FROM toks WHERE len(t) >= 2)
+        |SELECT gram, count(*) AS n FROM grams GROUP BY gram
+        |ORDER BY n DESC, gram LIMIT 20""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle,
     "dedup_ngram_jaccard" -> jaccardOracle,
     // brute-force simhash: same md5-derived 64-bit token hash

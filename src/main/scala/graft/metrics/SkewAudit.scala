@@ -10,12 +10,20 @@ import org.apache.spark.sql.SparkSession
   * shuffle-read volume. */
 final case class StageSkew(stageId: Int, tasks: Int,
                            maxDurationMs: Long, medianDurationMs: Long,
-                           maxShuffleReadBytes: Long, medianShuffleReadBytes: Long) {
+                           maxShuffleReadBytes: Long, medianShuffleReadBytes: Long,
+                           maxShuffleReadRecords: Long = 0L,
+                           medianShuffleReadRecords: Long = 0L) {
   def durationSkew: Double =
     if (medianDurationMs <= 0) 0.0 else maxDurationMs.toDouble / medianDurationMs
   def shuffleSkew: Double =
     if (medianShuffleReadBytes <= 0) 0.0
     else maxShuffleReadBytes.toDouble / medianShuffleReadBytes
+  /** Records are the compression-independent straggler measure: repetitive
+    * synthetic keys can compress a hot partition's bytes below a uniform
+    * one's, hiding real row-count skew. */
+  def recordSkew: Double =
+    if (medianShuffleReadRecords <= 0) 0.0
+    else maxShuffleReadRecords.toDouble / medianShuffleReadRecords
 }
 
 /** Listener that turns task metrics into a per-stage skew report.
@@ -31,6 +39,7 @@ final case class StageSkew(stageId: Int, tasks: Int,
 final class SkewAudit extends SparkListener {
   private val durations = TrieMap.empty[Int, ArrayBuffer[Long]]
   private val shuffleReads = TrieMap.empty[Int, ArrayBuffer[Long]]
+  private val shuffleRecords = TrieMap.empty[Int, ArrayBuffer[Long]]
 
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
     val m = taskEnd.taskMetrics
@@ -40,6 +49,8 @@ final class SkewAudit extends SparkListener {
           durations(taskEnd.stageId) += taskEnd.taskInfo.duration
           shuffleReads.getOrElseUpdate(taskEnd.stageId, ArrayBuffer.empty) +=
             m.shuffleReadMetrics.totalBytesRead
+          shuffleRecords.getOrElseUpdate(taskEnd.stageId, ArrayBuffer.empty) +=
+            m.shuffleReadMetrics.recordsRead
         }
     }
   }
@@ -55,7 +66,8 @@ final class SkewAudit extends SparkListener {
     durations.keySet.toSeq.sorted.map { sid =>
       val (maxD, medD) = stats(durations(sid).toSeq)
       val (maxS, medS) = stats(shuffleReads.getOrElse(sid, ArrayBuffer.empty).toSeq)
-      StageSkew(sid, durations(sid).size, maxD, medD, maxS, medS)
+      val (maxR, medR) = stats(shuffleRecords.getOrElse(sid, ArrayBuffer.empty).toSeq)
+      StageSkew(sid, durations(sid).size, maxD, medD, maxS, medS, maxR, medR)
     }
 }
 

@@ -315,6 +315,46 @@ object Dedup {
     untouched.unionByName(winners)
   }
 
+  /** Sub-document (paragraph-style) exact dedup and reassembly: split each
+    * document into `chunkTokens`-token chunks, keep only the globally
+    * FIRST occurrence of each distinct chunk (ordered by doc id, then
+    * chunk index), and rebuild every document from its surviving chunks —
+    * the RefinedWeb/CCNet-style pass that removes boilerplate repeated
+    * across pages without dropping whole documents. On corpora with
+    * paragraph structure, split on the delimiter instead; the dedup and
+    * reassembly algebra is identical.
+    *
+    * Scale shape: chunking is a map-only codegen'd pass; the dedup
+    * shuffle groups by the 64-bit chunk fingerprint and min-reduces the
+    * (doc, idx, chunk) struct — map-side combinable, and the chunk text
+    * crosses the wire once per distinct fingerprint, not once per
+    * occurrence. Reassembly shuffles only the SURVIVING chunks by doc id.
+    * Documents whose every chunk was claimed by an earlier doc drop out
+    * (their callers can anti-join to find them). */
+  def chunkDedupRebuild(df: DataFrame, idCol: String, textCol: String,
+                        chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be positive")
+    val toks = TextFunctions.tokens(col(textCol))
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    val chunks = df
+      .select(col(idCol).as("doc"), toks.as("t"), nChunks.as("nc"))
+      .filter(col("nc") > 0)
+      .select(col("doc"), posexplode(transform(
+        sequence(lit(0), col("nc") - 1),
+        i => array_join(slice(col("t"), i * chunkTokens + 1, lit(chunkTokens)), " ")))
+        .as(Seq("idx", "chunk")))
+    val firstSeen = chunks
+      .groupBy(GraftExpressions.fingerprint64(col("chunk")).as("fp"))
+      .agg(min(struct(col("doc"), col("idx"), col("chunk"))).as("w"))
+      .select(col("w.doc").as("doc"), col("w.idx").as("idx"),
+        col("w.chunk").as("chunk"))
+    firstSeen
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(array_sort(collect_list(struct(col("idx"), col("chunk"))))
+          .getField("chunk"), " ").as("rebuilt"))
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold.
     * `bruteForce=true` compares all pairs (the small-N oracle);
     * otherwise candidates come from random-hyperplane LSH (sign-bit

@@ -228,3 +228,46 @@ class ShuffledOrderSpec extends SparkSpec {
     assert(a != (1L to 1000L).toSeq, "must not be the identity order")
   }
 }
+
+class ChunkDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 10 distinct tokens -> exactly one 10-token chunk
+  private def words(prefix: String): String =
+    (0 until 10).map(i => s"$prefix$i").mkString(" ")
+
+  test("globally-first chunk occurrence wins; later docs lose the repeat") {
+    val shared = words("boiler")
+    val df = Seq(
+      (1L, shared + " " + words("one")),  // owns the shared chunk
+      (2L, words("two") + " " + shared),  // loses its second chunk
+      (3L, shared)                        // fully duplicated -> drops out
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedupRebuild(df, "doc_id", "text", chunkTokens = 10)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_kept", $"rebuilt").as[(Long, Long, String)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, shared + " " + words("one")),
+      (2L, 1L, words("two"))))
+  }
+
+  test("partial tail chunks participate like full chunks") {
+    val df = Seq(
+      (1L, words("a") + " tail"),   // chunk0 = words(a), chunk1 = "tail"
+      (2L, "tail")                  // loses to doc 1's tail chunk
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedupRebuild(df, "doc_id", "text", chunkTokens = 10)
+      .select($"doc_id", $"n_kept").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L))
+  }
+
+  test("no duplicates -> every doc rebuilt to its normalized self") {
+    val df = Seq((1L, words("x")), (2L, words("y") + "  " + words("z")))
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkDedupRebuild(df, "doc_id", "text", chunkTokens = 10)
+      .select($"doc_id", $"rebuilt").as[(Long, String)].collect().toMap
+    assert(out(1L) == words("x"))
+    assert(out(2L) == words("y") + " " + words("z"), "whitespace normalized by tokenization")
+  }
+}
