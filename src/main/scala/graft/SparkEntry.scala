@@ -486,6 +486,26 @@ object SparkEntry {
           (coalesce(col("hits"), lit(0L)) >= 3).as("recall_ok"))
         .orderBy(col("query_id"))
     }),
+    "similarity_topk_pq" -> ((s, dir) => {
+      // product-quantization scale path (8x32 codebooks, ADC scoring over
+      // 8-byte packed codes, exact re-rank of a 100-candidate shortlist):
+      // recall gate like similarity_topk_lsh — every query must recover
+      // >= 3 of its true top-5; the oracle pins recall_ok = TRUE so a
+      // codebook/recall regression hash-mismatches. Per-query hit counts
+      // are asserted with numbers in PqSimilaritySpec.
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      val q = emb.filter(col("vec_id") < 10)
+      val pq = operators.Similarity.pqTopK(emb, q, "vec_id", "embedding", 5,
+        ks = 32, shortlist = 100)
+      val brute = operators.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      val hits = pq.join(brute, Seq("query_id", "id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("hits"), lit(0L)) >= 3).as("recall_ok"))
+        .orderBy(col("query_id"))
+    }),
     "similarity_topk_ivf" -> ((s, dir) => {
       // IVF scale path with full probes: nProbe == nLists makes the result
       // exact, so the brute-force SQL is a true oracle; pruned-probe recall
@@ -1731,6 +1751,10 @@ object SparkEntry {
     // recovered); the oracle pins recall_ok = TRUE for every query, so a
     // banding/recall regression shows up as a hash mismatch
     "similarity_topk_lsh" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    // PQ shares the LSH gate shape: recall_ok pinned TRUE per query
+    "similarity_topk_pq" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     // full-probe IVF (nProbe == nLists) is exact, so it shares the

@@ -330,6 +330,101 @@ object VectorImpl {
     }
     out
   }
+
+  /** L2-normalized copy of `v` as a double array; zero-norm → all zeros. */
+  def normalized(v: ArrayData, isFloat: Boolean): Array[Double] = {
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var norm = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      out(i) = x; norm += x * x
+      i += 1
+    }
+    if (norm > 0.0) {
+      val inv = 1.0 / math.sqrt(norm)
+      i = 0
+      while (i < n) { out(i) *= inv; i += 1 }
+    }
+    out
+  }
+
+  /** Subspace bounds: subspace i covers [lo, hi) of a dim-`n` vector,
+    * splitting as evenly as integer division allows. */
+  private def subRange(n: Int, m: Int, i: Int): (Int, Int) = {
+    val base = n / m; val rem = n % m
+    val lo = i * base + math.min(i, rem)
+    val hi = lo + base + (if (i < rem) 1 else 0)
+    (lo, hi)
+  }
+
+  def pqEncode(v: ArrayData, isFloat: Boolean,
+               codebooks: Array[Array[Array[Double]]]): Long = {
+    val x = normalized(v, isFloat)
+    val m = codebooks.length
+    var code = 0L
+    var i = 0
+    while (i < m) {
+      val (lo, hi) = subRange(x.length, m, i)
+      val cb = codebooks(i)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var d = 0.0
+        var j = lo
+        while (j < hi && j - lo < cent.length) {
+          val diff = x(j) - cent(j - lo)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      code |= (best.toLong & 0xffL) << (8 * i)
+      i += 1
+    }
+    code
+  }
+
+  def pqTable(q: ArrayData, isFloat: Boolean,
+              codebooks: Array[Array[Array[Double]]]): ArrayData = {
+    val x = normalized(q, isFloat)
+    val m = codebooks.length
+    val ks = codebooks(0).length
+    val out = new Array[Double](m * ks)
+    var i = 0
+    while (i < m) {
+      val (lo, hi) = subRange(x.length, m, i)
+      val cb = codebooks(i)
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var acc = 0.0
+        var j = lo
+        while (j < hi && j - lo < cent.length) {
+          acc += x(j) * cent(j - lo)
+          j += 1
+        }
+        out(i * ks + c) = acc
+        c += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def pqAdc(code: Long, table: ArrayData, m: Int, ks: Int): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < m) {
+      val c = ((code >>> (8 * i)) & 0xffL).toInt
+      acc += table.getDouble(i * ks + c)
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Column-level API + SQL registration for the custom expressions. */
@@ -347,6 +442,12 @@ object GraftExpressions {
   def simhash64Md5(c: Column): Column = col(SimHash64Md5(expr(c)))
   def cosineSimilarity(a: Column, b: Column): Column =
     col(CosineSimilarity(expr(a), expr(b)))
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    col(PqEncode(expr(v), codebooks))
+  def pqTable(q: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    col(PqTable(expr(q), codebooks))
+  def pqAdcScore(code: Column, table: Column, m: Int, ks: Int): Column =
+    col(PqAdcScore(expr(code), expr(table), m, ks))
   /** Aggregate: approximate top-k heavy hitters (exact when capacity
     * covers the distinct count). */
   def topkSketch(c: Column, k: Int, capacity: Int): Column =

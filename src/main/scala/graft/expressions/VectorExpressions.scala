@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, GraftVectorInput, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GraftPqAdcInput, GraftVectorInput, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -54,5 +54,82 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   }
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
+}
+
+/** Product-quantization encode: L2-normalize the vector, split it into
+  * `codebooks.length` subvectors, pick each subvector's nearest (L2)
+  * centroid from its codebook, and pack the centroid indices into one
+  * 64-bit code (8 bits per subspace). At 100 TB this is the memory story:
+  * the corpus scan carries an 8-byte code instead of a 256-byte float
+  * vector — 32x less I/O — and stays inside whole-stage codegen (the
+  * codebooks ride along as a codegen reference object, like
+  * [[NearestCentroid]]'s matrix). */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+  extends UnaryExpression with GraftVectorInput {
+  require(codebooks.nonEmpty && codebooks.length <= 8,
+    "1..8 subspaces fit 8-bit codes in one long")
+  require(codebooks.forall(cb => cb.nonEmpty && cb.length <= 256),
+    "1..256 centroids per subspace")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_encode"
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    VectorImpl.pqEncode(input.asInstanceOf[ArrayData], isFloat, codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.VectorImpl.pqEncode($c, $isFloat, $cb)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Per-query asymmetric-distance table: L2-normalize the query, then
+  * table[i*ks + c] = dot(q̂_subvector_i, codebooks[i][c]). Computed once
+  * per QUERY row (the small side) and broadcast with it; corpus rows then
+  * score with [[PqAdcScore]] table lookups only. */
+case class PqTable(child: Expression, codebooks: Array[Array[Array[Double]]])
+  extends UnaryExpression with GraftVectorInput {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_table"
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    VectorImpl.pqTable(input.asInstanceOf[ArrayData], isFloat, codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.VectorImpl.pqTable($c, $isFloat, $cb)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqTable =
+    copy(child = newChild)
+}
+
+/** ADC score: Σ_i table[i*ks + code_byte_i] ≈ cosine(query, doc) when both
+  * sides were L2-normalized at encode/table time. The ANN hot loop — m
+  * array reads and adds per (query, doc), no vector math. */
+case class PqAdcScore(left: Expression, right: Expression, m: Int, ks: Int)
+  extends BinaryExpression with GraftPqAdcInput {
+  require(m >= 1 && m <= 8 && ks >= 1 && ks <= 256)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+
+  protected override def nullSafeEval(code: Any, table: Any): Any =
+    VectorImpl.pqAdc(code.asInstanceOf[Long], table.asInstanceOf[ArrayData], m, ks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, t) =>
+      s"graft.expressions.VectorImpl.pqAdc($c, $t, $m, $ks)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): PqAdcScore =
+    copy(left = newLeft, right = newRight)
 }
 

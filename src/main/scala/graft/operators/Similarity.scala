@@ -159,6 +159,106 @@ object Similarity {
     topK(candidates, k)
   }
 
+  /** Product-quantization codebooks: per-subspace k-means over a
+    * DETERMINISTIC sample (the `sampleN` vectors with smallest
+    * xxhash64(seed, id) — no RNG, stable across runs; same bounded
+    * driver-probe role as [[ivfCentroids]]'s seeds). Vectors are
+    * L2-normalized before subspacing so ADC dot sums approximate cosine.
+    * Lloyd iterations use L2 on the subvectors; empty clusters keep their
+    * previous centroid. Driver cost: sampleN × dim doubles — bounded,
+    * independent of corpus size. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int = 8, ks: Int = 16,
+                  sampleN: Int = 2000, iters: Int = 5,
+                  seed: Long = 42L): Array[Array[Array[Double]]] = {
+    require(m >= 1 && m <= 8 && ks >= 1 && ks <= 256)
+    val sample = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(xxhash64(lit(seed), col("id")))
+      .limit(sampleN)
+      .select(col("v")).collect()
+      .map { r =>
+        val raw = r.getSeq[Double](0).toArray
+        val n = math.sqrt(raw.map(x => x * x).sum)
+        if (n > 0) raw.map(_ / n) else raw
+      }
+    require(sample.nonEmpty, "empty corpus sample")
+    val dim = sample.head.length
+    def subRange(i: Int): (Int, Int) = {
+      val base = dim / m; val rem = dim % m
+      val lo = i * base + math.min(i, rem)
+      (lo, lo + base + (if (i < rem) 1 else 0))
+    }
+    Array.tabulate(m) { i =>
+      val (lo, hi) = subRange(i)
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, lo, hi))
+      var cents = subs.take(ks).map(_.clone())
+      if (cents.length < ks) // tiny sample: pad by repeating (harmless)
+        cents = Array.tabulate(ks)(c => subs(c % subs.length).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ks)(new Array[Double](hi - lo))
+        val counts = new Array[Int](ks)
+        subs.foreach { s =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ks) {
+            var d = 0.0; var j = 0
+            while (j < s.length) { val t = s(j) - cents(c)(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < s.length) { sums(best)(j) += s(j); j += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(ks) { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c))
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** PQ top-k with exact re-ranking — the memory-bound 100 TB path: the
+    * corpus is scanned as 8-byte packed codes (one `PqEncode` map pass;
+    * 32x less I/O than raw 64-dim float vectors), each query broadcasts a
+    * precomputed `PqTable`, candidate scoring is m table-lookups per
+    * (query, doc) inside codegen, and only the top `shortlist` ADC
+    * candidates per query fetch their true vectors for an exact cosine
+    * re-rank. Approximation error lives entirely in shortlist membership;
+    * the returned cosines are exact. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             m: Int = 8, ks: Int = 16,
+             shortlist: Int = 50, sampleN: Int = 2000,
+             iters: Int = 5, seed: Long = 42L): DataFrame = {
+    require(shortlist >= k, "shortlist must cover k")
+    val codebooks = pqCodebooks(corpus, idCol, vecCol, m, ks, sampleN, iters, seed)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val codes = c.select(col("id"),
+      GraftExpressions.pqEncode(col("v"), codebooks).as("code"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("tbl", GraftExpressions.pqTable(col("qv"), codebooks))
+    val adcW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("id").asc)
+    val candidates = codes.crossJoin(broadcast(q.select(col("query_id"), col("tbl"))))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        GraftExpressions.pqAdcScore(col("code"), col("tbl"), m, ks).as("adc"))
+      .withColumn("r", row_number().over(adcW))
+      .filter(col("r") <= shortlist)
+      .select(col("query_id"), col("id"))
+    val exact = candidates
+      .join(c, Seq("id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("id"),
+        round(GraftExpressions.cosineSimilarity(col("qv"), col("v")), 6).as("cosine"))
+    topK(exact, k)
+  }
+
   /** Deterministic per-query top-k: rank on (cosine desc, id asc) so ties
     * are stable across engines. */
   private def topK(scored: DataFrame, k: Int): DataFrame = {

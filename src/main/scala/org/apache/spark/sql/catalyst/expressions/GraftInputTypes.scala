@@ -29,6 +29,12 @@ trait GraftVectorInput extends ImplicitCastInputTypes { self: Expression =>
     Seq.fill(children.size)(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
 }
 
+/** (packed long code, array<double> distance table) for PQ ADC scoring. */
+trait GraftPqAdcInput extends ImplicitCastInputTypes { self: Expression =>
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(LongType, ArrayType(DoubleType))
+}
+
 /** Raw shingle strings or pre-hashed 64-bit shingles are both accepted
   * (the hashed form avoids materializing string arrays at scale). */
 trait GraftStringOrLongArrayInput extends ImplicitCastInputTypes { self: Expression =>

@@ -24,6 +24,7 @@ class QueryPlanSweepSpec extends AnyFunSuite {
     "similarity_topk_brute",  // deliberate: broadcast(queries) cross corpus
     "similarity_topk_ivf",    // deliberate: broadcast probe set
     "similarity_topk_lsh",    // deliberate: broadcast query vectors
+    "similarity_topk_pq",     // deliberate: broadcast ADC tables cross codes
     "dedup_embedding_cosine", // gate runs the bruteForce=true oracle path
                               // (all-pairs small-N); LSH is the scale path
     "q22_dormant_customers"   // deliberate: 1-row global-aggregate scalar

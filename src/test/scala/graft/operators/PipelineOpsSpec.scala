@@ -388,3 +388,60 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).isNullAt(2), "null stays null")
   }
 }
+
+class PqSimilaritySpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("pqTopK recall vs brute force on gate data, reported per query") {
+    // mirrors the similarity_topk_pq gate (8x16 codebooks, shortlist 50,
+    // top-5, queries vec_id < 10): assert actual hit counts so a recall
+    // regression reports numbers instead of an opaque oracle hash diff
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val pq = Similarity.pqTopK(emb, q, "vec_id", "embedding", 5,
+      ks = 32, shortlist = 100)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+    val hits = pq.join(brute, Seq("query_id", "id"), "left_semi")
+      .groupBy($"query_id").count()
+      .as[(Long, Long)].collect().toMap
+    val perQuery = (0L until 10L).map(i => i -> hits.getOrElse(i, 0L))
+    assert(perQuery.forall(_._2 >= 3),
+      s"gate needs >= 3 of the true top-5 per query; got ${perQuery.mkString(", ")}")
+  }
+
+  test("pqTopK finds planted near neighbors at rank 1") {
+    val rnd = new scala.util.Random(29)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 10).map(i => (i.toLong, vec()))
+    val queries = bases.map { case (i, v) =>
+      (100L + i, v.map(x => x + 0.03f * rnd.nextGaussian().toFloat))
+    }
+    val noise = (0 until 200).map(i => (1000L + i, vec()))
+    val corpus = (bases ++ noise).toDF("vec_id", "embedding")
+    val qdf = queries.toDF("vec_id", "embedding")
+    val pq = Similarity.pqTopK(corpus.unionAll(qdf), qdf, "vec_id", "embedding", 1,
+        shortlist = 20)
+      .select($"query_id", $"id").as[(Long, Long)].collect().toMap
+    // a perturbed copy's ADC score dominates random noise, so the planted
+    // base must survive the shortlist and win the exact re-rank
+    val hits = (0 until 10).count(i => pq.get(100L + i).contains(i.toLong))
+    assert(hits >= 9, s"planted neighbor found for only $hits/10 queries")
+  }
+
+  test("pq codes are deterministic across runs and pack m bytes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, ks = 16)
+    assert(cb.length == 4 && cb.forall(_.length == 16))
+    val codes1 = emb.select($"vec_id",
+        graft.expressions.GraftExpressions.pqEncode($"embedding", cb).as("c"))
+      .as[(Long, Long)].collect().toMap
+    val cb2 = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, ks = 16)
+    val codes2 = emb.select($"vec_id",
+        graft.expressions.GraftExpressions.pqEncode($"embedding", cb2).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(codes1 == codes2, "training + encode must be deterministic")
+    // ks=16 -> every byte < 16, upper 4 bytes empty
+    assert(codes1.values.forall(c => (c >>> 32) == 0L &&
+      (0 until 4).forall(i => ((c >>> (8 * i)) & 0xffL) < 16L)))
+  }
+}
