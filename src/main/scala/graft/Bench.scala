@@ -37,7 +37,10 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal values keep the whole line inside the driver's ~4 KB tail
+    // capture — full-precision doubles pushed the JSON past it, so the
+    // driver recorded rc/tail but failed to parse the line (BENCH_r03)
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -45,10 +45,20 @@ object SparkEntry {
   private def streamedEvents(s: SparkSession, dir: String,
                              sentinels: Boolean = true)
                             (build: DataFrame => DataFrame): DataFrame = {
-    import org.apache.spark.sql.types._
-    val landing = java.nio.file.Files.createTempDirectory("graft_stream_in")
     val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
     val ck = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
+    val stream = stagedEventsStream(s, dir, sentinels)
+    graft.streaming.StreamRunner.runAvailableNowToParquet(build(stream), out, ck)
+    s.read.parquet(out)
+  }
+
+  /** The staging half of [[streamedEvents]]: lands the events table (and
+    * optional sentinel files) and returns the readStream over it, so
+    * gates can pick their own sink (parquet, foreachBatch → JDBC, ...). */
+  private def stagedEventsStream(s: SparkSession, dir: String,
+                                 sentinels: Boolean): DataFrame = {
+    import org.apache.spark.sql.types._
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream_in")
     eventsMicros(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
@@ -89,11 +99,9 @@ object SparkEntry {
       StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType)))
-    val stream = graft.streaming.FileStreamReader.read(
+    graft.streaming.FileStreamReader.read(
       s, graft.filedf.Parquet(), landing.toString, schema,
       maxFilesPerTrigger = if (sentinels) Some(2) else None)
-    graft.streaming.StreamRunner.runAvailableNowToParquet(build(stream), out, ck)
-    s.read.parquet(out)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -1031,6 +1039,27 @@ object SparkEntry {
           min(col("k")).as("k_min"), max(col("k")).as("k_max"))
         .orderBy(col("event_type"))
     }),
+    "q_range_frame_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // RANGE frame (value-based, not row-based): per customer, the
+      // trailing-30-day order total — peers with equal order dates all
+      // enter the frame, so the result is deterministic under ties.
+      // lag/lead ride a fully-ordered sibling window. Both windows are
+      // partitioned by customer: scale-safe.
+      val orders = DbReader(conn(s, dir), "orders",
+        where = Seq("o_custkey <= 100")).run()
+        .withColumn("sec", unix_timestamp(col("o_orderdate")))
+      val wRange = Window.partitionBy(col("o_custkey")).orderBy(col("sec"))
+        .rangeBetween(-30L * 86400, Window.currentRow)
+      val wSeq = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders.select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(wRange)
+            .cast("double").as("trail30"),
+          lag(col("o_totalprice"), 1).over(wSeq).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(wSeq).as("next_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
     "q_cumulative_revenue" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       // running total per customer; the predicate prunes at the scan so
@@ -1145,6 +1174,44 @@ object SparkEntry {
           col("end").as("session_end"), col("n_events"),
           col("total_value").cast("long").as("total_cents"))
         .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    "streaming_foreachbatch_jdbc" -> ((s, dir) => {
+      // stream → batch-sink bridge: the windowed aggregation streams
+      // through foreachBatch into a LIVE Derby table via DbWriter (batch
+      // 0 replaces the table, later batches append — idempotent across
+      // the driver's warm+timed reruns because the checkpoint is fresh
+      // per invocation), then the result is read back over JDBC. This is
+      // the integration the batch-only reference cannot express: any
+      // batch sink in the library becomes a streaming sink.
+      import graft.connections.{IfExists, JdbcOptions}
+      import graft.dialects.DerbyDialect
+      import graft.operators.DbWriter
+      System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+      val url = "jdbc:derby:memory:graft_fb;create=true"
+      val jdbc = new graft.connections.JdbcConnection(s, DerbyDialect, JdbcOptions(url))
+      val ck = java.nio.file.Files.createTempDirectory("graft_fb_ck").toString
+      val agg = stagedEventsStream(s, dir, sentinels = true)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("dec_total"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("dec_total").cast("double").as("total"))
+      graft.streaming.StreamRunner.runAvailableNowForeachBatch(agg, ck) {
+        (batch, id) =>
+          // VARCHAR instead of Spark's default Derby CLOB mapping: CLOB
+          // columns reject SQL comparisons, which would break the
+          // readback filter pushdown
+          DbWriter(jdbc, "stream_windows",
+            if (id == 0L) IfExists.ReplaceEntireTable else IfExists.Append,
+            options = Map("createTableColumnTypes" -> "event_type VARCHAR(64)"))
+            .run(batch)
+      }
+      DbReader(jdbc, "stream_windows").run()
+        .filter(col("event_type") =!= "zz_sentinel")
+        .select(col("w_start"), col("event_type"), col("n"), col("total"))
+        .orderBy(col("w_start"), col("event_type"))
     }),
 
     "q_events_sessionize" -> ((s, dir) => {
@@ -1970,6 +2037,13 @@ object SparkEntry {
     "streaming_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // the foreachBatch→JDBC bridge lands the same windows as the parquet
+    // streaming sink, so it shares the batch-equivalence oracle
+    "streaming_foreachbatch_jdbc" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     "streaming_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, ts, CAST(floor(value * 100) AS DOUBLE) AS v,
@@ -2127,6 +2201,16 @@ object SparkEntry {
         |       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
         |       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_range_frame_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail30,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_cumulative_revenue" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))

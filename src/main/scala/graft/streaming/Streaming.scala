@@ -134,6 +134,22 @@ object StreamRunner {
     q.awaitTermination()
   }
 
+  /** foreachBatch bridge: drain a streaming frame with AvailableNow,
+    * delivering each micro-batch as a BATCH DataFrame to `f` — the
+    * integration that lets streams feed every batch sink in the library
+    * (DbWriter → JDBC/Hive, FileDFWriter, ...) with the checkpoint
+    * providing exactly-once batch ids. */
+  def runAvailableNowForeachBatch(df: DataFrame, checkpoint: String)
+                                 (f: (DataFrame, Long) => Unit): Unit = {
+    val q = df.writeStream
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], id: Long) => f(batch.toDF(), id))
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain a stream into an in-memory table (testing/interactive). */
   def runAvailableNowToMemory(df: DataFrame, tableName: String,
                               outputMode: OutputMode = OutputMode.Complete())
