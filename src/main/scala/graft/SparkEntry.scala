@@ -169,6 +169,26 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "reader_datetime_batch_union" -> ((s, dir) => {
+      // timestamp-typed window stepping (reference supports timedelta
+      // steps, batch_hwm_strategy.py): 90-day Duration batches over
+      // o_orderdate — exercises WindowMath's Instant+Duration arithmetic
+      // and timestamp edge inclusivity end-to-end (the off-by-one risk
+      // area ints don't cover). ~9 windows over the 2-year order range at
+      // every SF; union of consecutive half-open windows == full table.
+      val b = SnapshotBatchStrategy(step = java.time.Duration.ofDays(90))
+      val reader = DbReader(conn(s, dir), "orders", hwm = Some(HwmColumn("o_orderdate")))
+      val frames = Strategy.using(b) { b.foreachBatch(reader.run()) }
+      frames.reduce(_ unionAll _)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderdate")).as("first_date"),
+          max(col("o_orderdate")).as("last_date"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "reader_incremental_batch_union" -> ((s, dir) => {
       // IncrementalBatchStrategy (SURVEY §2.6): stored HWM = max-12000 so
       // the run steps through exactly 3 windows of 4000 keys at EVERY
@@ -1661,6 +1681,11 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "reader_datetime_batch_union" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       min(o_orderdate) AS first_date, max(o_orderdate) AS last_date,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "reader_incremental_batch_union" ->
       """SELECT o_orderstatus, count(*) AS n,
         |       CAST(max(o_orderkey) AS BIGINT) AS max_key

@@ -120,6 +120,9 @@ object HwmValue {
   def toInstant(v: Any): Instant = v match {
     case i: Instant => i
     case t: java.sql.Timestamp => t.toInstant
+    // TIMESTAMP_NTZ columns collect as LocalDateTime; the engine runs
+    // with session timezone UTC, so NTZ wall-clock == UTC instant
+    case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC)
     case d: java.util.Date => d.toInstant
     case l: Long => Instant.ofEpochMilli(l)
     case s: String => Instant.parse(s)

@@ -76,6 +76,20 @@ class PlanAuditSpec extends SparkSpec {
     // expressions codegen'd rather than falling back to interpreted eval
     assert(code.contains("graft.expressions.TextHashImpl.fnv1a64"), "fingerprint64 fell out of codegen")
     assert(code.contains("graft.expressions.TextHashImpl.simhash"), "simhash64 fell out of codegen")
+    // PQ hot path: encode + ADC scoring must stay inside codegen too.
+    // Inputs derive from the row id — all-literal children would be
+    // constant-folded away before codegen and vacuously "pass".
+    import org.apache.spark.sql.functions.{array, lit}
+    val cb = Array.fill(4)(Array.fill(4)(Array.fill(2)(0.1)))
+    val pqDf = spark.range(3)
+      .select(array((0 until 8).map(i => $"id" * lit(i * 0.5)): _*).as("v"))
+      .select(graft.expressions.GraftExpressions.pqEncode($"v", cb).as("code"))
+      .select($"code", array((0 until 16).map(i => ($"code" + lit(i)).cast("double")): _*).as("tbl"))
+      .select(graft.expressions.GraftExpressions.pqAdcScore($"code", $"tbl",
+        m = 4, ks = 4).as("s"))
+    val pqCode = pqDf.queryExecution.debug.codegenToSeq().map(_._2).mkString
+    assert(pqCode.contains("graft.expressions.VectorImpl.pqEncode"), "pq_encode fell out of codegen")
+    assert(pqCode.contains("graft.expressions.VectorImpl.pqAdc"), "pq_adc_score fell out of codegen")
     // `*(n)` prefixes mark operators inside a WholeStageCodegen stage
     assert(formatted(df).linesIterator.exists(l =>
       l.contains("*(") && l.contains("Project")), formatted(df))
