@@ -670,6 +670,18 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bytes"), col("first_byte"))
         .orderBy(col("doc_id"))
     }),
+    "multimodal_resize" -> ((s, dir) => {
+      // resize shape contract over mapPartitions plumbing: every payload
+      // becomes exactly 40 bytes (all corpus docs are >= 44 bytes at
+      // every SF, so the gate exercises the truncation arm; zero-padding
+      // is spec-covered). md5 audits the produced bytes.
+      val df = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      operators.Multimodal.resizeStub(df, "payload", targetBytes = 40)
+        .select(col("doc_id"), length(col("resized")).cast("long").as("n_out"),
+          md5(col("resized")).as("out_md5"))
+        .orderBy(col("doc_id"))
+    }),
     "multimodal_decode_meta" -> ((s, dir) => {
       // mapPartitions decoder plumbing (stub codec) → rows-only check on
       // the n_bytes field, which IS SQL-checkable
@@ -2022,6 +2034,12 @@ object SparkEntry {
     "multimodal_byte_stats" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |       CASE WHEN length(text) > 0 THEN ascii(substring(text, 1, 1)) ELSE -1 END AS first_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // ASCII corpus: md5 over the VARCHAR prefix equals Spark's md5 over
+    // the truncated UTF-8 payload bytes
+    "multimodal_resize" ->
+      """SELECT doc_id, CAST(40 AS BIGINT) AS n_out,
+        |       md5(substring(text, 1, 40)) AS out_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_decode_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
