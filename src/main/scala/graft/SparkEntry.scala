@@ -534,6 +534,24 @@ object SparkEntry {
           (coalesce(col("hits"), lit(0L)) >= 3).as("recall_ok"))
         .orderBy(col("query_id"))
     }),
+    "similarity_topk_ivfpq" -> ((s, dir) => {
+      // the combined FAISS-style scale design: coarse lists prune compute
+      // (nProbe/nLists of the corpus ADC-scored), PQ codes shrink the
+      // scan to (id, cid, 8-byte code). Full probes here so the recall
+      // gate isolates quantization loss; pruned probes are spec-covered.
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      val q = emb.filter(col("vec_id") < 10)
+      val ann = operators.Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 5,
+        nLists = 8, nProbe = 8, ks = 32, shortlist = 100)
+      val brute = operators.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      val hits = ann.join(brute, Seq("query_id", "id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("hits"), lit(0L)) >= 3).as("recall_ok"))
+        .orderBy(col("query_id"))
+    }),
     "similarity_topk_ivf" -> ((s, dir) => {
       // IVF scale path with full probes: nProbe == nLists makes the result
       // exact, so the brute-force SQL is a true oracle; pruned-probe recall
@@ -1857,8 +1875,11 @@ object SparkEntry {
     "similarity_topk_lsh" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
-    // PQ shares the LSH gate shape: recall_ok pinned TRUE per query
+    // PQ and IVF-PQ share the LSH gate shape: recall_ok pinned TRUE
     "similarity_topk_pq" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    "similarity_topk_ivfpq" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     // full-probe IVF (nProbe == nLists) is exact, so it shares the

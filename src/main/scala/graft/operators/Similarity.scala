@@ -259,6 +259,60 @@ object Similarity {
     topK(exact, k)
   }
 
+  /** IVF-PQ top-k — the full FAISS-style scale design: a coarse
+    * quantizer prunes COMPUTE (each query ADC-scores only its nProbe
+    * nearest inverted lists, ~nProbe/nLists of the corpus) while PQ codes
+    * shrink MEMORY (the scan carries cid + 8-byte code, not the vector).
+    * The index frame (id, cid, code) is one map-only pass over the
+    * corpus; at 100 TB it is the thing you'd persist, partitioned by cid.
+    * Exact-cosine re-rank of the per-query shortlist confines the
+    * approximation to shortlist membership, as in [[pqTopK]]. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                nLists: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ks: Int = 16,
+                shortlist: Int = 50, sampleN: Int = 2000,
+                iters: Int = 2, seed: Long = 42L): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nLists && shortlist >= k)
+    val cents = ivfCentroids(corpus, idCol, vecCol, nLists, iters, seed)
+    val codebooks = pqCodebooks(corpus, idCol, vecCol, m, ks, sampleN,
+      math.max(iters, 3), seed)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val index = c.select(col("id"),
+      nearestCentroid(col("v"), cents).as("cid"),
+      GraftExpressions.pqEncode(col("v"), codebooks).as("code"))
+    val centLit = typedlit(cents.toSeq.zipWithIndex.map {
+      case (v, i) => (i, v.toSeq)
+    })
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"), explode(centLit).as("c"))
+      .select(col("query_id"), col("qv"), col("c._1").as("cid"),
+        GraftExpressions.cosineSimilarity(col("c._2"), col("qv")).as("ccos"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("cid"),
+        GraftExpressions.pqTable(col("qv"), codebooks).as("tbl"))
+    val adcW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("id").asc)
+    val candidates = index.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        GraftExpressions.pqAdcScore(col("code"), col("tbl"), m, ks).as("adc"))
+      .withColumn("r", row_number().over(adcW))
+      .filter(col("r") <= shortlist)
+      .select(col("query_id"), col("id"))
+    val exact = candidates
+      .join(c, Seq("id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("id"),
+        round(GraftExpressions.cosineSimilarity(col("qv"), col("v")), 6).as("cosine"))
+    topK(exact, k)
+  }
+
   /** Deterministic per-query top-k: rank on (cosine desc, id asc) so ties
     * are stable across engines. */
   private def topK(scored: DataFrame, k: Int): DataFrame = {

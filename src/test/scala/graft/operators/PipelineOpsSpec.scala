@@ -445,3 +445,41 @@ class PqSimilaritySpec extends graft.SparkSpec {
       (0 until 4).forall(i => ((c >>> (8 * i)) & 0xffL) < 16L)))
   }
 }
+
+class IvfPqSimilaritySpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("ivfPqTopK recall vs brute on gate data (full probes isolate PQ loss)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    // nProbe == nLists: list pruning removes nothing, so any recall loss
+    // is PQ's — mirrors the similarity_topk_ivfpq gate parameters
+    val ann = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 5,
+      nLists = 8, nProbe = 8, ks = 32, shortlist = 100)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+    val hits = ann.join(brute, Seq("query_id", "id"), "left_semi")
+      .groupBy($"query_id").count().as[(Long, Long)].collect().toMap
+    val perQuery = (0L until 10L).map(i => i -> hits.getOrElse(i, 0L))
+    assert(perQuery.forall(_._2 >= 3),
+      s"gate needs >= 3 of the true top-5 per query; got ${perQuery.mkString(", ")}")
+  }
+
+  test("ivfPqTopK finds planted near neighbors with pruned probes") {
+    val rnd = new scala.util.Random(31)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 10).map(i => (i.toLong, vec()))
+    val queries = bases.map { case (i, v) =>
+      (100L + i, v.map(x => x + 0.03f * rnd.nextGaussian().toFloat))
+    }
+    val noise = (0 until 200).map(i => (1000L + i, vec()))
+    val corpus = (bases ++ noise).toDF("vec_id", "embedding")
+    val qdf = queries.toDF("vec_id", "embedding")
+    // pruned probes AND quantized scoring together: the perturbed copy
+    // lands in the same coarse cell and dominates the ADC shortlist
+    val ann = Similarity.ivfPqTopK(corpus.unionAll(qdf), qdf, "vec_id", "embedding", 1,
+        nLists = 8, nProbe = 2, shortlist = 20)
+      .select($"query_id", $"id").as[(Long, Long)].collect().toMap
+    val hits = (0 until 10).count(i => ann.get(100L + i).contains(i.toLong))
+    assert(hits >= 9, s"planted neighbor found for only $hits/10 queries")
+  }
+}
