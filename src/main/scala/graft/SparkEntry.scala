@@ -169,6 +169,40 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "reader_incremental_jdbc_store" -> ((s, dir) => {
+      // same incremental semantics with the HWM persisted in a DATABASE:
+      // run 1 reads everything and saves max(o_orderkey) into a live
+      // Derby-backed JdbcHwmStore; run 2 (fresh store object over the
+      // same DB — any driver host can resume) reads only the rows a
+      // between-runs append added. Gate output = run 2's window, which
+      // the oracle reproduces as keys above the pre-append max.
+      System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+      val url = "jdbc:derby:memory:graft_hwm_gate;create=true"
+      // the in-memory Derby DB outlives one invocation (bench runs each
+      // gate twice in one JVM): a fresh table per invocation keeps run 1
+      // genuinely "first" every time
+      val hwmTable = "hwm_gate_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val orders = DbReader(conn(s, dir), "orders").run()
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val base = java.nio.file.Files.createTempDirectory("graft_incjdbc").toString
+      val table = new FileTableConnection(s, base)
+      val cut = orders.agg(max(col("o_orderkey"))).head().getLong(0) - 2000L
+      operators.DbWriter(table, "orders_inc",
+        connections.IfExists.ReplaceEntireTable)
+        .run(orders.filter(col("o_orderkey") <= cut))
+      val store1 = new JdbcHwmStore(url, hwmTable)
+      Strategy.using(new IncrementalStrategy(store = store1)) {
+        DbReader(table, "orders_inc", hwm = Some(HwmColumn("o_orderkey")))
+          .run().count() // run 1 consumes the window and saves the HWM
+      }
+      operators.DbWriter(table, "orders_inc", connections.IfExists.Append)
+        .run(orders.filter(col("o_orderkey") > cut))
+      val store2 = new JdbcHwmStore(url, hwmTable) // fresh store, same DB
+      val df = Strategy.using(new IncrementalStrategy(store = store2)) {
+        DbReader(table, "orders_inc", hwm = Some(HwmColumn("o_orderkey"))).run()
+      }
+      df.orderBy(col("o_orderkey"))
+    }),
     "reader_datetime_batch_union" -> ((s, dir) => {
       // timestamp-typed window stepping (reference supports timedelta
       // steps, batch_hwm_strategy.py): 90-day Duration batches over
@@ -1711,6 +1745,11 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // run 2's incremental window = keys above the pre-append max
+    "reader_incremental_jdbc_store" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey > (SELECT max(o_orderkey) - 2000 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "reader_datetime_batch_union" ->
       """SELECT o_orderpriority, count(*) AS n,
         |       min(o_orderdate) AS first_date, max(o_orderdate) AS last_date,

@@ -313,3 +313,76 @@ private object FileHwmStore {
     }
   }
 }
+
+/** JDBC-backed HWM store — beyond the reference's memory/YAML pair: teams
+  * running many pipelines persist watermarks in a shared database so any
+  * driver host can resume any pipeline. Append-only history table (one
+  * row per save, IDENTITY-sequenced); `get` returns the newest record,
+  * matching the file stores' newest-first contract. Records reuse the
+  * same key=value codec as [[FileHwmStore]], so a value that round-trips
+  * through one store round-trips through all of them.
+  *
+  * Plain `java.sql.DriverManager` on the driver — the same channel as
+  * JdbcConnection.fetch/execute; no Spark job is involved in HWM I/O.
+  * Works against any ANSI JDBC database; live-tested on embedded Derby.
+  */
+final class JdbcHwmStore(url: String, table: String = "graft_hwm")
+  extends HwmStore {
+  import java.sql.{Connection, DriverManager}
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  // Derby has no CREATE TABLE IF NOT EXISTS: create and swallow the
+  // "already exists" state (X0Y32), racing creators included
+  withConn { c =>
+    try {
+      val st = c.createStatement()
+      try st.executeUpdate(
+        s"""CREATE TABLE $table (
+           |  seq BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+           |  hwm_name VARCHAR(512) NOT NULL,
+           |  payload CLOB NOT NULL)""".stripMargin)
+      finally st.close()
+    } catch {
+      case e: java.sql.SQLException if e.getSQLState == "X0Y32" => // exists
+    }
+  }
+
+  private def encodePayload(hwm: Hwm): String =
+    FileHwmStore.encode(hwm).map { case (k, v) => s"$k=$v" }.mkString("\n")
+
+  private def decodePayload(s: String): Hwm =
+    FileHwmStore.decode(s.linesIterator.filter(_.contains("=")).map { l =>
+      val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+    }.toMap)
+
+  def set(hwm: Hwm): Unit = withConn { c =>
+    val ps = c.prepareStatement(
+      s"INSERT INTO $table (hwm_name, payload) VALUES (?, ?)")
+    try {
+      ps.setString(1, hwm.name)
+      ps.setString(2, encodePayload(hwm))
+      ps.executeUpdate()
+    } finally ps.close()
+  }
+
+  def get(name: String): Option[Hwm] = history(name, limit = 1).headOption
+
+  /** Saved history for `name`, newest first. */
+  def history(name: String, limit: Int = Int.MaxValue): Seq[Hwm] = withConn { c =>
+    val ps = c.prepareStatement(
+      s"""SELECT payload FROM $table WHERE hwm_name = ?
+         |ORDER BY seq DESC FETCH FIRST $limit ROWS ONLY""".stripMargin)
+    try {
+      ps.setString(1, name)
+      val rs = ps.executeQuery()
+      val out = Seq.newBuilder[Hwm]
+      while (rs.next()) out += decodePayload(rs.getString(1))
+      rs.close()
+      out.result()
+    } finally ps.close()
+  }
+}

@@ -219,3 +219,49 @@ class StrategySpec extends AnyFunSuite {
     }
   }
 }
+
+class JdbcHwmStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
+  System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+  private val url = "jdbc:derby:memory:graft_hwmstore;create=true"
+  private lazy val store = new graft.core.JdbcHwmStore(url)
+
+  test("every HWM type round-trips through the database") {
+    import graft.core._
+    val samples: Seq[Hwm] = Seq(
+      IntHwm("jdbc.int", "t", "c", Some(42L)),
+      DecimalHwm("jdbc.dec", "t", "c", Some(BigDecimal("12.750"))),
+      DateHwm("jdbc.date", "t", "c", Some(java.time.LocalDate.parse("2024-02-29"))),
+      DateTimeHwm("jdbc.dt", "t", "c", Some(java.time.Instant.parse("2024-01-01T12:34:56.789Z"))),
+      KeyValueIntHwm("jdbc.kv", "topic", "offset", Map(0 -> 10L, 3 -> 7L)),
+      FileListHwm("jdbc.fl", "dir", "paths", Set("/a/b.csv", "/c d.csv")),
+      FileMTimeHwm("jdbc.mt", "dir", "mtime", Some(java.time.Instant.parse("2024-06-01T00:00:00Z"))),
+      IntHwm("jdbc.empty", "t", "c", None))
+    samples.foreach(store.set)
+    samples.foreach(h => assert(store.get(h.name).contains(h), h.name))
+  }
+
+  test("get returns the newest save; history is newest-first") {
+    import graft.core._
+    store.set(IntHwm("jdbc.hist", "t", "c", Some(1L)))
+    store.set(IntHwm("jdbc.hist", "t", "c", Some(2L)))
+    store.set(IntHwm("jdbc.hist", "t", "c", Some(3L)))
+    assert(store.get("jdbc.hist").flatMap(_.valueOpt) == Some(3L))
+    assert(store.history("jdbc.hist").flatMap(_.valueOpt) == Seq(3L, 2L, 1L))
+  }
+
+  test("a second store over the same database sees saved state (shared resume)") {
+    import graft.core._
+    store.set(IntHwm("jdbc.shared", "t", "c", Some(99L)))
+    val other = new graft.core.JdbcHwmStore(url)
+    assert(other.get("jdbc.shared").flatMap(_.valueOpt) == Some(99L))
+  }
+
+  test("the store drives an incremental strategy end-to-end") {
+    import graft.core._
+    store.set(IntHwm("orders.o_orderkey", "orders", "o_orderkey", Some(7500L)))
+    val s = new IncrementalStrategy(store = store)
+    // strategy reads the persisted HWM as its exclusive window start
+    s.fetchHwm(IntHwm("orders.o_orderkey", "orders", "o_orderkey", None))
+    assert(s.startEdge.value.contains(7500L) && !s.startEdge.including)
+  }
+}
