@@ -333,6 +333,34 @@ object SparkEntry {
       } finally srv.stop()
     }),
 
+    // LIVE explicit-FTPS gate (reference ftps.py:44): orders CSVs staged
+    // behind MiniFtpServer with AUTH TLS enabled, pulled through the
+    // native RFC 959/4217 client — TLS handshakes on the control channel
+    // AND every PASV data channel, certificate verified against the
+    // keytool-generated keystore (not a trust-all bypass).
+    "ftps_download_roundtrip" -> ((s, dir) => {
+      import graft.filedf._
+      import graft.files._
+      val src = DbReader(conn(s, dir), "orders").run()
+      val remote = java.nio.file.Files.createTempDirectory("graft_ftps_root")
+      FileDFWriter(Csv.withHeader(), remote.toString, DirIfExists.ReplaceEntireDirectory)
+        .run(src.repartition(3))
+      val ks = FtpsTestTls.generateKeystore(
+        java.nio.file.Files.createTempDirectory("graft_ftps_ks"))
+      val srv = new MiniFtpServer(remote, "graft", "graft-pass",
+        tls = Some(FtpsTestTls.serverContext(ks)))
+      try {
+        val ftps = new FtpsFileConnection(srv.host, srv.port, "graft", "graft-pass",
+          FtpsTestTls.clientContext(ks)).check()
+        val local = java.nio.file.Files.createTempDirectory("graft_ftps_local").toString
+        FileDownloader(ftps, "/", local,
+          filters = Seq(Glob("*.csv")), workers = 4,
+          ifExists = FileIfExists.ReplaceFile).run().raiseIfFailed()
+        FileDFReader(s, Csv.withHeader(), local, Some(src.schema)).run()
+          .orderBy(col("o_orderkey"))
+      } finally srv.stop()
+    }),
+
     // LIVE WebDAV protocol gate (reference webdav.py:49): stage supplier
     // CSVs behind an in-JVM RFC 4918 server, pull them through the real
     // HTTP stack (WebDavFileConnection → JDK HttpClient → PROPFIND/GET)
@@ -1767,6 +1795,8 @@ object SparkEntry {
       "SELECT * FROM part ORDER BY p_partkey",
     "webdav_download_roundtrip" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
+    "ftps_download_roundtrip" ->
+      "SELECT * FROM orders ORDER BY o_orderkey",
     "sftp_download_roundtrip" ->
       "SELECT * FROM customer ORDER BY c_custkey",
     "file_upload_move_roundtrip" ->

@@ -34,10 +34,10 @@ final case class RemoteEntry(path: String, stat: PathStat, isDir: Boolean) {
   *    the [[SftpTransport]] seam — the encrypted SSH carrier is the only
   *    stubbed layer (no SSH library ships in this container); live-gated
   *    at the packet level against [[MiniSftpServer]].
-  *  - FTPS: FtpFileConnection's control/data protocol is identical; the
-  *    TLS wrap needs commons-net's FTPSClient (hadoop bundles only
-  *    FTPClient) — container-bound, same failure mode as the reference
-  *    without its ftputil TLS extras.
+  *  - FTPS: [[FtpsFileConnection]], a native RFC 959/4217 client (AUTH
+  *    TLS control upgrade + TLS-wrapped PASV data channels, MLSD/MLST
+  *    listings) — live-gated against [[MiniFtpServer]] with TLS enabled
+  *    and certificate verification on both channels.
   *  - Samba: no JVM SMB client ships here (jcifs/smbj absent and SMB2 is
   *    not reimplementable responsibly); the JVM-idiomatic production
   *    answer is an OS-mounted CIFS share consumed through

@@ -24,7 +24,8 @@ import java.util.Locale
   * prove the client stack end-to-end, the same role as the reference's
   * docker-compose fixtures.
   */
-final class MiniFtpServer(root: Path, user: String, password: String) {
+final class MiniFtpServer(root: Path, user: String, password: String,
+                          tls: Option[javax.net.ssl.SSLContext] = None) {
   private val control = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
   @volatile private var running = true
 
@@ -65,6 +66,16 @@ final class MiniFtpServer(root: Path, user: String, password: String) {
     root.resolve(norm).normalize()
   }
 
+  private val mdtmFormat =
+    DateTimeFormatter.ofPattern("yyyyMMddHHmmss", Locale.US).withZone(ZoneId.of("UTC"))
+
+  private def mlsdLine(p: Path): String = {
+    val dir = Files.isDirectory(p)
+    val size = if (dir) 0L else Files.size(p)
+    val mod = mdtmFormat.format(Files.getLastModifiedTime(p).toInstant)
+    s"type=${if (dir) "dir" else "file"};size=$size;modify=$mod; ${p.getFileName}"
+  }
+
   private def listLine(p: Path): String = {
     val dir = Files.isDirectory(p)
     val size = if (dir) 4096L else Files.size(p)
@@ -73,10 +84,11 @@ final class MiniFtpServer(root: Path, user: String, password: String) {
     f"$flags%s   1 ftp      ftp      $size%10d $mtime%s ${p.getFileName}%s"
   }
 
-  private def serve(sock: Socket): Unit = {
+  private def serve(sock0: Socket): Unit = {
+    var sock = sock0
     sock.setSoTimeout(30000)
-    val in = new BufferedReader(new InputStreamReader(sock.getInputStream, "UTF-8"))
-    val out = new PrintWriter(sock.getOutputStream, true)
+    var in = new BufferedReader(new InputStreamReader(sock.getInputStream, "UTF-8"))
+    var out = new PrintWriter(sock.getOutputStream, true)
     def reply(s: String): Unit = { out.print(s + "\r\n"); out.flush() }
 
     var cwd = "/"
@@ -84,15 +96,25 @@ final class MiniFtpServer(root: Path, user: String, password: String) {
     var userSeen: Option[String] = None
     var pasv: Option[ServerSocket] = None
     var renameFrom: Option[Path] = None
+    var protP = false // PROT P: TLS-wrap data connections (RFC 4217)
 
-    /** 150 → run `body` over the one-shot passive data socket → 226. */
+    /** 150 → run `body` over the one-shot passive data socket → 226;
+      * under PROT P the accepted socket is TLS-wrapped server-side. */
     def withData(body: Socket => Unit): Unit = pasv match {
       case None => reply("425 use PASV first")
       case Some(srv) =>
         reply("150 opening data connection")
         try {
           srv.setSoTimeout(15000)
-          val data = srv.accept()
+          val plain = srv.accept()
+          val data =
+            if (protP && tls.isDefined) {
+              val s = tls.get.getSocketFactory.createSocket(
+                plain, null, plain.getPort, true)
+                .asInstanceOf[javax.net.ssl.SSLSocket]
+              s.setUseClientMode(false)
+              s
+            } else plain
           try body(data) finally data.close()
           reply("226 transfer complete")
         } catch {
@@ -110,6 +132,25 @@ final class MiniFtpServer(root: Path, user: String, password: String) {
           case i => (line.substring(0, i).toUpperCase(Locale.ROOT), line.substring(i + 1))
         }
         cmd match {
+          // RFC 4217 explicit TLS — legal BEFORE login
+          case "AUTH" if arg.equalsIgnoreCase("TLS") => tls match {
+            case Some(ctx) =>
+              reply("234 proceed with TLS negotiation")
+              val ssl = ctx.getSocketFactory
+                .createSocket(sock, null, sock.getPort, true)
+                .asInstanceOf[javax.net.ssl.SSLSocket]
+              ssl.setUseClientMode(false)
+              ssl.startHandshake()
+              sock = ssl
+              in = new BufferedReader(new InputStreamReader(ssl.getInputStream, "UTF-8"))
+              out = new PrintWriter(ssl.getOutputStream, true)
+            case None => reply("502 TLS not enabled on this server")
+          }
+          case "PBSZ" => reply("200 PBSZ=0")
+          case "PROT" =>
+            if (arg.equalsIgnoreCase("P")) { protP = true; reply("200 protection level P") }
+            else if (arg.equalsIgnoreCase("C")) { protP = false; reply("200 protection level C") }
+            else reply("504 only C and P supported")
           case "USER" => userSeen = Some(arg); reply("331 password required")
           case "PASS" =>
             if (userSeen.contains(user) && arg == password) { authed = true; reply("230 logged in") }
@@ -186,6 +227,30 @@ final class MiniFtpServer(root: Path, user: String, password: String) {
             val p = resolve(cwd, arg)
             if (Files.isRegularFile(p)) reply(s"213 ${Files.size(p)}")
             else reply("550 no such file")
+          case "MDTM" =>
+            val p = resolve(cwd, arg)
+            if (Files.exists(p)) reply("213 " + mdtmFormat.format(
+              Files.getLastModifiedTime(p).toInstant))
+            else reply("550 no such path")
+          case "MLSD" =>
+            // RFC 3659 machine-readable listing: type/size/modify facts
+            val target = resolve(cwd, if (arg.isEmpty) "." else arg)
+            if (!Files.isDirectory(target)) reply("550 not a directory")
+            else withData { data =>
+              val w = new PrintWriter(data.getOutputStream)
+              val s = Files.list(target)
+              try s.sorted().forEach(p => w.print(mlsdLine(p) + "\r\n"))
+              finally s.close()
+              w.flush()
+            }
+          case "MLST" =>
+            val p = resolve(cwd, if (arg.isEmpty) "." else arg)
+            if (!Files.exists(p)) reply("550 no such path")
+            else {
+              reply("250-listing follows")
+              reply(" " + mlsdLine(p))
+              reply("250 end")
+            }
           case "QUIT" => reply("221 bye"); return
           case _ => reply("502 not implemented")
         }
