@@ -1,9 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.util.Locale
+
 object Bench {
+  /** Locale-stable numeric formatting: the default-locale `f""`
+    * interpolator prints "0,123" under e.g. de_DE and corrupts the JSON
+    * line the driver parses. Every number in bench output goes through
+    * here. */
+  private def num(v: Double, dp: Int): String =
+    String.format(Locale.ROOT, s"%.${dp}f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runsPerQuery =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,43 +27,81 @@ object Bench {
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm every query once at the SAME scale factor that gets timed, so
-    // the timed pass measures steady-state operator cost: the first
-    // execution of each plan shape compiles its generated Java, and plan
-    // shapes can differ between scale factors (e.g. broadcast vs
-    // sort-merge), so warming at a smaller sf would leave compilation
-    // inside the timed run. Warm failures are loud — a silently skipped
-    // warm-up would re-inflate the timings it exists to remove.
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] warm-up $name FAILED: ${e.getMessage}")
-      }
-    }
+    // Each query runs `runsPerQuery` times and reports the MIN. Run 1
+    // carries whole-stage-codegen compilation and page-cache warm-up, so
+    // the min is taken over runs that include at least two steady-state
+    // executions — the single-run numbers of earlier rounds drifted a
+    // median 1.62x on byte-identical code (BENCH_r04 vs r05), which is the
+    // sandbox noise floor this min-of-N exists to cut through. All runs
+    // for every query are preserved in the full JSON so the noise floor
+    // itself stays measurable round over round.
     var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    val results: Map[String, Vector[Double]] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val runs = (1 to runsPerQuery).toVector.map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+            if (!failed.contains(name)) failed ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> runs
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    // 3-decimal values keep the whole line inside the driver's ~4 KB tail
-    // capture — full-precision doubles pushed the JSON past it, so the
-    // driver recorded rc/tail but failed to parse the line (BENCH_r03)
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    val mins = results.map { case (k, v) => k -> v.min }
+    // 3-decimal values keep the whole stdout line inside the driver's
+    // ~4 KB tail capture — full-precision doubles pushed the JSON past it,
+    // so the driver recorded rc/tail but failed to parse the line
+    // (BENCH_r03). The COMPLETE per-run data goes to `fullOut` instead.
+    val qs = mins.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":${num(v, 3)}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (mins.nonEmpty) mins.values.sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val skewJson = try skewExperiment(spark, sfDir) catch { case e: Throwable =>
       System.err.println(s"[bench] skew experiment FAILED: ${e.getMessage}")
       "{}"
     }
+    writeFull(fullOut, sfDir, runsPerQuery, results, failed, skewJson, total)
+    // stop Spark BEFORE printing: the driver keeps only a ~4 KB stdout
+    // TAIL, and shutdown logging emitted after the JSON line is what
+    // pushed it out of the capture window in rounds 3-5 (parsed: null).
+    // The line must be the process's final output.
+    spark.stop()
     // a failed query must not masquerade as a fast success: its name is
     // listed and the run's exit signal is the non-empty "failed" array
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"skew":$skewJson,"sf":"$sfDir"}""")
-    spark.stop()
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failedJson,"skew":$skewJson,"full":"$fullOut","sf":"$sfDir"}""")
+    System.out.flush()
+  }
+
+  /** Writes the complete benchmark record — every run of every query, the
+    * min, and the observed per-query noise ratio (max/min across runs) —
+    * to a file the driver's 4 KB stdout tail cannot truncate. */
+  private def writeFull(path: String, sfDir: String, runsPerQuery: Int,
+      results: Map[String, Vector[Double]], failed: List[String],
+      skewJson: String, total: Double): Unit = {
+    val noiseNote =
+      "Single-run local[32] timings on this sandbox drift up to 4x per " +
+      "query and ~1.6x at the median on identical code (measured " +
+      "BENCH_r04 vs r05). 'min' is the minimum over 'runs' timed " +
+      "executions (run 1 includes codegen compilation); 'noise' is " +
+      "max/min across those runs and is the per-query noise floor " +
+      "observed within this very run. Compare rounds on 'min'; treat " +
+      "ratios inside a query's own 'noise' band as measurement error."
+    val entries = results.toSeq.sortBy(_._1).map { case (name, runs) =>
+      val runsJson = runs.map(num(_, 3)).mkString("[", ",", "]")
+      val noise = if (runs.min > 0) runs.max / runs.min else 0.0
+      s""""$name":{"runs":$runsJson,"min":${num(runs.min, 3)},"noise":${num(noise, 2)}}"""
+    }.mkString("{", ",", "}")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"sf":"$sfDir","runs_per_query":$runsPerQuery,"total_min_sec":${num(total, 3)},
+         |"note":"$noiseNote",
+         |"failed":$failedJson,
+         |"skew":$skewJson,
+         |"queries":$entries}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Planted-hot-key join at bench scale: measures the cure, not just the
@@ -114,8 +164,8 @@ object Bench {
     val (naiveSec, naiveMaxM, naiveSkew) = run("naive", aqe = false)(naiveQ)
     val (saltedSec, saltedMaxM, saltedSkew) = run("salted", aqe = false)(saltedQ)
     val (aqeSec, aqeMaxM, aqeSkew) = run("aqe", aqe = true)(naiveQ)
-    f"""{"naive_sec":$naiveSec%.3f,"salted_sec":$saltedSec%.3f,"aqe_skewjoin_sec":$aqeSec%.3f,""" +
-      f""""naive_max_task_mrows":$naiveMaxM%.2f,"salted_max_task_mrows":$saltedMaxM%.2f,"aqe_max_task_mrows":$aqeMaxM%.2f,""" +
-      f""""naive_record_skew":$naiveSkew%.1f,"salted_record_skew":$saltedSkew%.1f,"aqe_record_skew":$aqeSkew%.1f}"""
+    s"""{"naive_sec":${num(naiveSec, 3)},"salted_sec":${num(saltedSec, 3)},"aqe_skewjoin_sec":${num(aqeSec, 3)},""" +
+      s""""naive_max_task_mrows":${num(naiveMaxM, 2)},"salted_max_task_mrows":${num(saltedMaxM, 2)},"aqe_max_task_mrows":${num(aqeMaxM, 2)},""" +
+      s""""naive_record_skew":${num(naiveSkew, 1)},"salted_record_skew":${num(saltedSkew, 1)},"aqe_record_skew":${num(aqeSkew, 1)}}"""
   }
 }
