@@ -117,12 +117,25 @@ object HwmValue {
     case s: String => LocalDate.parse(s)
     case other => throw new IllegalArgumentException(s"not a date HWM value: $other")
   }
-  def toInstant(v: Any): Instant = v match {
+  /** The zone a zoneless wall-clock value (TIMESTAMP_NTZ collects as
+    * LocalDateTime) is interpreted in: the active Spark session's
+    * `spark.sql.session.timeZone` — the same zone Spark itself used to
+    * render the value — falling back to UTC when no session is active
+    * (e.g. pure HWM-store manipulation on the driver). Hard-coding UTC
+    * here silently shifted every NTZ high-water-mark by the session
+    * offset for non-UTC sessions. */
+  def sessionZone: java.time.ZoneId =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => s.conf.getOption("spark.sql.session.timeZone"))
+      .map(java.time.ZoneId.of)
+      .getOrElse(java.time.ZoneOffset.UTC)
+
+  def toInstant(v: Any): Instant = toInstant(v, sessionZone)
+
+  def toInstant(v: Any, zone: java.time.ZoneId): Instant = v match {
     case i: Instant => i
     case t: java.sql.Timestamp => t.toInstant
-    // TIMESTAMP_NTZ columns collect as LocalDateTime; the engine runs
-    // with session timezone UTC, so NTZ wall-clock == UTC instant
-    case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC)
+    case l: java.time.LocalDateTime => l.atZone(zone).toInstant
     case d: java.util.Date => d.toInstant
     case l: Long => Instant.ofEpochMilli(l)
     case s: String => Instant.parse(s)

@@ -49,10 +49,7 @@ final class FtpsFileConnection(host: String, port: Int,
     // RFC 4217: secure the control channel before credentials cross it
     sendRaw("AUTH TLS")
     expect(readReply(), 2, "AUTH TLS") // 234
-    val ssl = sslContext.getSocketFactory
-      .createSocket(sock, host, port, true).asInstanceOf[SSLSocket]
-    ssl.setUseClientMode(true)
-    ssl.startHandshake()
+    val ssl = tlsWrap(sock, port)
     sock = ssl
     in = new BufferedReader(new InputStreamReader(ssl.getInputStream, "UTF-8"))
     out = new PrintWriter(ssl.getOutputStream, true)
@@ -60,6 +57,24 @@ final class FtpsFileConnection(host: String, port: Int,
     command("PROT P", 2)
     command(s"USER $user", 3)
     command(s"PASS $password", 2)
+  }
+
+  /** TLS-upgrades an already-connected socket with RFC 2818/6125 endpoint
+    * identification ENABLED: without it, any certificate the context's
+    * trust anchors would sign is accepted for ANY host, so a MITM holding
+    * a valid cert for an unrelated name could impersonate the server.
+    * Applied to the control channel and to every PASV data channel — the
+    * data connection is a separate TCP socket and must be verified
+    * against the same hostname independently. */
+  private def tlsWrap(plain: Socket, port: Int): SSLSocket = {
+    val ssl = sslContext.getSocketFactory
+      .createSocket(plain, host, port, true).asInstanceOf[SSLSocket]
+    ssl.setUseClientMode(true)
+    val params = ssl.getSSLParameters
+    params.setEndpointIdentificationAlgorithm("HTTPS")
+    ssl.setSSLParameters(params)
+    ssl.startHandshake()
+    ssl
   }
 
   private def ensureConnected(): Unit =
@@ -122,11 +137,7 @@ final class FtpsFileConnection(host: String, port: Int,
     try {
       sendRaw(cmd)
       expect(readReply(), 1, cmd.takeWhile(_ != ' ')) // 150
-      val ssl = sslContext.getSocketFactory
-        .createSocket(plain, host, plain.getPort, true).asInstanceOf[SSLSocket]
-      ssl.setUseClientMode(true)
-      ssl.startHandshake()
-      data = ssl
+      data = tlsWrap(plain, plain.getPort)
       val result = body(data)
       data.close()
       expect(readReply(), 2, cmd.takeWhile(_ != ' ')) // 226
@@ -241,15 +252,22 @@ object FtpsTestTls {
   import java.security.KeyStore
   import javax.net.ssl.{KeyManagerFactory, TrustManagerFactory}
 
-  /** Generate a fresh self-signed keystore with the JDK's keytool. */
-  def generateKeystore(dir: Path, storePass: String = "graft-ftps"): Path = {
+  /** Generate a fresh self-signed keystore with the JDK's keytool. The
+    * default SAN covers the loopback listener's numeric address — the
+    * client enables endpoint identification, and RFC 6125 has no CN
+    * fallback for IP literals, so an iPAddress SAN is mandatory. Tests
+    * override `san` to mint a trusted-but-wrong-host certificate. */
+  def generateKeystore(dir: Path, storePass: String = "graft-ftps",
+      san: String = "dns:localhost,ip:127.0.0.1"): Path = {
     val ks = dir.resolve("ftps.p12")
     val cmd = Array(
       System.getProperty("java.home") + "/bin/keytool",
       "-genkeypair", "-alias", "graft-ftps", "-keyalg", "RSA",
       "-keysize", "2048", "-storetype", "PKCS12",
       "-keystore", ks.toString, "-storepass", storePass,
-      "-dname", "CN=localhost", "-validity", "2")
+      "-dname", "CN=localhost",
+      "-ext", s"SAN=$san",
+      "-validity", "2")
     val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val log = new String(p.getInputStream.readAllBytes())
     require(p.waitFor() == 0, s"keytool failed: $log")

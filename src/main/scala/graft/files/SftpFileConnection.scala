@@ -107,7 +107,7 @@ final class SftpFileConnection(newTransport: () => SftpTransport) extends FileCo
     }
     val handle = hr.bytes()
     val out = Seq.newBuilder[RemoteEntry]
-    try {
+    withCleanup(() => closeHandle(handle, s"dir $path")) {
       var eof = false
       while (!eof) {
         val (tpe, r) = call(FXP_READDIR, _.bytes(handle))
@@ -133,9 +133,6 @@ final class SftpFileConnection(newTransport: () => SftpTransport) extends FileCo
           case other => throw new IOException(s"READDIR $path: unexpected packet $other")
         }
       }
-    } finally {
-      val (ct, cr) = call(FXP_CLOSE, _.bytes(handle))
-      expectOk(ct, cr, s"CLOSE dir $path")
     }
     out.result().sortBy(_.path)
   }
@@ -184,6 +181,31 @@ final class SftpFileConnection(newTransport: () => SftpTransport) extends FileCo
     expectOk(tpe, r, s"CLOSE $what")
   }
 
+  /** try/finally with honest failure attribution: every cleanup runs, but
+    * a cleanup failure never REPLACES the body's exception — when the body
+    * already threw (e.g. READ died because the channel dropped, which
+    * also dooms the finally-side CLOSE), cleanup exceptions attach as
+    * suppressed, preserving the root cause. Cleanup failures only
+    * propagate when the body itself succeeded. */
+  private def withCleanup[A](cleanups: (() => Unit)*)(body: => A): A = {
+    var primary: Throwable = null
+    try body
+    catch { case t: Throwable => primary = t; throw t }
+    finally {
+      var cleanupFailure: Throwable = null
+      cleanups.foreach { c =>
+        try c()
+        catch {
+          case t: Throwable =>
+            if (primary != null) primary.addSuppressed(t)
+            else if (cleanupFailure == null) cleanupFailure = t
+            else cleanupFailure.addSuppressed(t)
+        }
+      }
+      if (primary == null && cleanupFailure != null) throw cleanupFailure
+    }
+  }
+
   /** Chunked READ loop: offset-addressed, so a retried chunk is
     * idempotent (the property real SFTP clients rely on for resume). */
   private def readFully(handle: Array[Byte], sink: (Array[Byte], Int) => Unit): Unit = {
@@ -208,14 +230,15 @@ final class SftpFileConnection(newTransport: () => SftpTransport) extends FileCo
   def downloadFile(remote: String, local: JPath): Unit = {
     val handle = openHandle(remote, FXF_READ)
     val out = Files.newOutputStream(local)
-    try readFully(handle, (b, n) => out.write(b, 0, n))
-    finally { out.close(); closeHandle(handle, remote) }
+    withCleanup(() => out.close(), () => closeHandle(handle, remote)) {
+      readFully(handle, (b, n) => out.write(b, 0, n))
+    }
   }
 
   def uploadFile(local: JPath, remote: String): Unit = {
     val handle = openHandle(remote, FXF_WRITE | FXF_CREAT | FXF_TRUNC)
     val in = Files.newInputStream(local)
-    try {
+    withCleanup(() => in.close(), () => closeHandle(handle, remote)) {
       val buf = new Array[Byte](ChunkSize)
       var offset = 0L
       var n = in.read(buf)
@@ -228,7 +251,7 @@ final class SftpFileConnection(newTransport: () => SftpTransport) extends FileCo
         offset += n
         n = in.read(buf)
       }
-    } finally { in.close(); closeHandle(handle, remote) }
+    }
   }
 
   def open(path: String): InputStream = {
@@ -236,8 +259,9 @@ final class SftpFileConnection(newTransport: () => SftpTransport) extends FileCo
     // control files (HWM lists), bulk data goes through downloadFile
     val buf = new java.io.ByteArrayOutputStream()
     val handle = openHandle(path, FXF_READ)
-    try readFully(handle, (b, n) => buf.write(b, 0, n))
-    finally closeHandle(handle, path)
+    withCleanup(() => closeHandle(handle, path)) {
+      readFully(handle, (b, n) => buf.write(b, 0, n))
+    }
     new java.io.ByteArrayInputStream(buf.toByteArray)
   }
 }

@@ -62,16 +62,20 @@ final class WebDavFileConnection(host: String, port: Int,
 
   private case class DavEntry(href: String, isDir: Boolean, size: Long, mtime: Instant)
 
-  private def propfind(path: String, depth: Int): Seq[DavEntry] = {
-    val resp = send(req(path).method("PROPFIND",
+  private def propfindRaw(path: String, depth: Int): HttpResponse[Array[Byte]] =
+    send(req(path).method("PROPFIND",
         HttpRequest.BodyPublishers.noBody())
       .header("Depth", depth.toString).build(),
       HttpResponse.BodyHandlers.ofByteArray())
-    expect(resp, 207)
+
+  private def propfind(path: String, depth: Int): Seq[DavEntry] =
+    parseMultistatus(expect(propfindRaw(path, depth), 207).body())
+
+  private def parseMultistatus(body: Array[Byte]): Seq[DavEntry] = {
     val dbf = DocumentBuilderFactory.newInstance()
     dbf.setNamespaceAware(true)
     val doc = dbf.newDocumentBuilder()
-      .parse(new ByteArrayInputStream(resp.body()))
+      .parse(new ByteArrayInputStream(body))
     val responses = doc.getElementsByTagNameNS("DAV:", "response")
     (0 until responses.getLength).map { i =>
       val e = responses.item(i).asInstanceOf[Element]
@@ -89,9 +93,19 @@ final class WebDavFileConnection(host: String, port: Int,
     }
   }
 
-  private def statOpt(path: String): Option[DavEntry] =
-    try Some(propfind(path, 0).head)
-    catch { case _: java.io.IOException => None }
+  /** Only 404 means "not there". Mapping every failure to None (as an
+    * earlier revision did) made auth failures and server errors read as
+    * missing files — a 401 or 500 during a transfer plan would silently
+    * SKIP files instead of failing the run. */
+  private def statOpt(path: String): Option[DavEntry] = {
+    val resp = propfindRaw(path, 0)
+    resp.statusCode() match {
+      case 207 => parseMultistatus(resp.body()).headOption
+      case 404 => None
+      case other => throw new java.io.IOException(
+        s"WebDAV PROPFIND ${resp.request.uri} -> $other")
+    }
+  }
 
   // ---- FileConnection SPI -------------------------------------------------
 

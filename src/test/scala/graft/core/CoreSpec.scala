@@ -4,6 +4,27 @@ import java.time.{Duration, Instant, LocalDate}
 
 import org.scalatest.funsuite.AnyFunSuite
 
+class HwmValueZoneSpec extends AnyFunSuite {
+  test("LocalDateTime (NTZ) is interpreted in the given zone, not hard-coded UTC") {
+    val wall = java.time.LocalDateTime.of(2024, 3, 1, 12, 0, 0)
+    assert(HwmValue.toInstant(wall, java.time.ZoneOffset.UTC) ===
+      Instant.parse("2024-03-01T12:00:00Z"))
+    // same wall clock in New York (EST, UTC-5 on this date) is 5h later in UTC
+    assert(HwmValue.toInstant(wall, java.time.ZoneId.of("America/New_York")) ===
+      Instant.parse("2024-03-01T17:00:00Z"))
+  }
+
+  test("no active Spark session falls back to UTC; an active session's TZ wins") {
+    // these core specs run without a SparkSession — fallback path
+    if (org.apache.spark.sql.SparkSession.getActiveSession.isEmpty)
+      assert(HwmValue.sessionZone === java.time.ZoneOffset.UTC)
+    else // suite ordering gave us a session: it must reflect the conf
+      assert(HwmValue.sessionZone.getId ===
+        org.apache.spark.sql.SparkSession.getActiveSession.get
+          .conf.get("spark.sql.session.timeZone"))
+  }
+}
+
 class WindowMathSpec extends AnyFunSuite {
   test("long stepping") {
     assert(WindowMath.add(10L, 5L) == 15L)

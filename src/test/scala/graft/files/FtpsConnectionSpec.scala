@@ -42,6 +42,24 @@ class FtpsConnectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[Exception](distrustful.check())
   }
 
+  test("a trusted certificate for the WRONG host is refused (endpoint id)") {
+    // cert is fully trusted by the client's trust store, but its SAN names
+    // a different host than the one being connected to — without endpoint
+    // identification this handshake would succeed and a MITM holding any
+    // trusted cert could impersonate the server
+    val wrongKs = FtpsTestTls.generateKeystore(
+      Files.createTempDirectory("ftps_spec_ks3"), san = "dns:evil.example")
+    val wrongSrv = new MiniFtpServer(root, "u", "p",
+      tls = Some(FtpsTestTls.serverContext(wrongKs)))
+    try {
+      val victim = new FtpsFileConnection(wrongSrv.host, wrongSrv.port,
+        "u", "p", FtpsTestTls.clientContext(wrongKs))
+      val e = intercept[Exception](victim.check())
+      assert(e.isInstanceOf[javax.net.ssl.SSLException]
+        || e.getCause.isInstanceOf[javax.net.ssl.SSLException])
+    } finally wrongSrv.stop()
+  }
+
   test("listDir, stat, exists over MLSD/MLST") {
     assert(c.listDir("/").map(_.name).toSet === Set("top.csv", "sub"))
     assert(c.stat("/top.csv").size === Files.size(root.resolve("top.csv")))

@@ -32,6 +32,54 @@ class SftpConnectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     c.check()
   }
 
+  test("a cleanup-side CLOSE failure never masks the transfer exception") {
+    // transport that drops the channel the moment the first FXP_READ is
+    // sent — the READ dies AND the finally-side FXP_CLOSE dies; the
+    // exception that surfaces must be the READ's, with the CLOSE failure
+    // attached as suppressed (not replacing it)
+    class DroppingTransport(failOnType: Int) extends SftpTransport {
+      private val inner = new TcpSftpTransport(srv.host, srv.port)
+      val input: java.io.InputStream = inner.input
+      val output: java.io.OutputStream = new java.io.OutputStream {
+        private val header = new Array[Int](5)
+        private var hi = 0
+        private var frameRemaining = 0
+        private var dead = false
+        override def write(b: Int): Unit = {
+          if (dead) throw new java.io.IOException("injected: channel dropped")
+          if (frameRemaining > 0) { frameRemaining -= 1; inner.output.write(b) }
+          else {
+            header(hi) = b & 0xff; hi += 1
+            if (hi == 5) {
+              val len = (header(0) << 24) | (header(1) << 16) |
+                (header(2) << 8) | header(3)
+              val tpe = header(4)
+              hi = 0
+              if (tpe == failOnType) {
+                dead = true
+                throw new java.io.IOException(
+                  s"injected: channel dropped on packet type $tpe")
+              }
+              frameRemaining = len - 1
+              header.foreach(inner.output.write)
+            }
+          }
+        }
+        override def flush(): Unit = inner.output.flush()
+      }
+      def close(): Unit = inner.close()
+    }
+    val flaky = new SftpFileConnection(
+      () => new DroppingTransport(failOnType = 5)) // 5 = SSH_FXP_READ
+    val local = Files.createTempDirectory("sftp_spec_mask").resolve("x.csv")
+    val e = intercept[java.io.IOException](
+      flaky.downloadFile("/top.csv", local))
+    assert(e.getMessage.contains("packet type 5"),
+      s"surfaced exception must be the READ failure, got: ${e.getMessage}")
+    assert(e.getSuppressed.exists(_.getMessage.contains("injected")),
+      "the CLOSE failure must ride along as suppressed")
+  }
+
   test("listDir, stat, exists over STAT/OPENDIR/READDIR") {
     assert(c.listDir("/").map(_.name).toSet === Set("top.csv", "sub", "big.bin"))
     assert(c.stat("/top.csv").size === Files.size(root.resolve("top.csv")))

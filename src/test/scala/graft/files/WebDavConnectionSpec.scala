@@ -29,6 +29,15 @@ class WebDavConnectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[Exception](bad.check())
   }
 
+  test("exists() distinguishes 'missing' from 'denied': 401 throws, 404 is false") {
+    // a wrong-credential client must NOT read every path as absent — that
+    // would make a transfer plan silently skip the whole tree
+    val bad = new WebDavFileConnection(srv.host, srv.port, "u", "wrong")
+    val e = intercept[java.io.IOException](bad.exists("/top.csv"))
+    assert(e.getMessage.contains("401"))
+    assert(!c.exists("/really-not-there.bin")) // genuine 404 stays false
+  }
+
   test("listDir, stat, exists over PROPFIND") {
     assert(c.listDir("/").map(_.name).toSet ===
       Set("top.csv", "sub", "with space.txt"))
