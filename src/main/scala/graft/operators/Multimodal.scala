@@ -13,12 +13,13 @@ import org.apache.spark.sql.{DataFrame, Row}
   * Scala analogue of `mapInPandas`: one iterator pass per partition, no
   * per-row lambda dispatch, bounded memory).
   *
-  * The actual codec step is STUBBED — image/audio libraries are not in
-  * this container — behind [[BinaryDecoder]]; [[StubDecoder]] is a
-  * deterministic fake that reads real bytes (length, first byte, FNV hash,
-  * fake dimensions derived from the hash). The Spark-side plumbing
-  * (schema, batching, partition sizing) is real and tested; swap the
-  * decoder for javacv/ffmpeg in a real deployment.
+  * IMAGES decode for real: [[ImageIoDecoder]] and [[resizeImage]] ride
+  * the JDK's headless `javax.imageio` (PNG/JPEG/GIF/BMP — no external
+  * jar needed). Audio/video codecs are not in this container, so those
+  * paths keep the deterministic [[StubDecoder]] fake (real byte
+  * inspection, fabricated dimensions) behind the same [[BinaryDecoder]]
+  * seam; swap in javacv/ffmpeg off-container. The Spark-side plumbing
+  * (schema, batching, partition sizing) is identical either way.
   */
 object Multimodal {
 
@@ -27,24 +28,71 @@ object Multimodal {
     StructField("first_byte", IntegerType, nullable = false),
     StructField("content_hash", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false)))
+    StructField("height", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = true)))
 
   trait BinaryDecoder extends Serializable {
     def decode(bytes: Array[Byte]): Row
   }
 
+  private def fnv(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
   /** Deterministic fake decoder: real byte inspection, fabricated
-    * dimensions. REPLACE with a real codec (`???` boundary) off-container. */
+    * dimensions, `format = null`. The plumbing fixture for payloads that
+    * are NOT images (audio/video codecs are absent in this container);
+    * for real PNG/JPEG decoding use [[ImageIoDecoder]]. */
   object StubDecoder extends BinaryDecoder {
     def decode(bytes: Array[Byte]): Row = {
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+      val h = fnv(bytes)
       val w = 64 + (((h % 1024) + 1024) % 1024).toInt
       Row(bytes.length.toLong,
         if (bytes.isEmpty) -1 else bytes(0) & 0xff,
-        h, w, (w * 3) / 4)
+        h, w, (w * 3) / 4, null)
     }
+  }
+
+  /** REAL image codec on the JDK's headless `javax.imageio` (no external
+    * jar): true width/height and the reader's format name for any
+    * PNG/JPEG/GIF/BMP payload. Payloads ImageIO cannot decode fall back
+    * to the [[StubDecoder]] byte-derived row (format = null), so mixed
+    * binary columns decode in one pass without failing the batch. */
+  object ImageIoDecoder extends BinaryDecoder {
+    def decode(bytes: Array[Byte]): Row = {
+      readImage(bytes) match {
+        case Some((fmt, img)) =>
+          Row(bytes.length.toLong,
+            if (bytes.isEmpty) -1 else bytes(0) & 0xff,
+            fnv(bytes), img.getWidth, img.getHeight, fmt)
+        case None => StubDecoder.decode(bytes)
+      }
+    }
+  }
+
+  /** Decode bytes with the registered ImageIO reader, returning the
+    * format name ("png", "JPEG", …, lower-cased) and the buffered image. */
+  private def readImage(bytes: Array[Byte])
+      : Option[(String, java.awt.image.BufferedImage)] = {
+    if (bytes == null || bytes.length == 0) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+          Some((fmt, reader.read(0)))
+        } catch { case _: java.io.IOException => None }
+        finally reader.dispose()
+      }
+    } finally iis.close()
   }
 
   /** Decode a binary column into a typed metadata struct, one partition
@@ -136,6 +184,79 @@ object Multimodal {
           if (bytes == null) null
           else java.util.Arrays.copyOf(bytes, targetBytes) // truncates or 0-pads
         Row.fromSeq(row.toSeq :+ out)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** REAL image resize: decode with ImageIO, scale to exactly
+    * (width × height) with bilinear interpolation, re-encode as PNG.
+    * Same per-partition batch plumbing as [[resizeStub]]; payloads that
+    * are not decodable images (and null payloads) produce null — a
+    * training pipeline filters those rather than shipping fake pixels.
+    * Deterministic: JDK PNG encoding carries no timestamps and bilinear
+    * scaling is pure raster math. */
+  def resizeImage(df: DataFrame, binCol: String,
+                  width: Int, height: Int,
+                  outCol: String = "resized"): DataFrame = {
+    require(width > 0 && height > 0)
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val out = if (bytes == null) null else readImage(bytes) match {
+          case None => null
+          case Some((_, img)) =>
+            val scaled = new java.awt.image.BufferedImage(
+              width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, width, height, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaled, "png", bos)
+            bos.toByteArray
+        }
+        Row.fromSeq(row.toSeq :+ out)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Deterministic PNG fixture generator for the codec gates: appends a
+    * real PNG payload whose dimensions are pure functions of the id —
+    * width = 16 + id % 32, height = 8 + id % 16 — with id-seeded pixels,
+    * so a SQL oracle can predict the decoded dimensions arithmetically
+    * while the bytes themselves exercise the full encode/decode path. */
+  def generatePng(df: DataFrame, idCol: String,
+                  outCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.get(idIdx) match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case other => other.toString.toLong
+        }
+        val w = 16 + (id % 32).toInt
+        val h = 8 + (id % 16).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (x * 31 + y * 17 + id.toInt * 97) & 0xffffff)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(row.toSeq :+ bos.toByteArray)
       }
     }(RowEncoder.encoderFor(outSchema))
   }

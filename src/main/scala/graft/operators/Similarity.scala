@@ -281,13 +281,25 @@ object Similarity {
     val index = c.select(col("id"),
       nearestCentroid(col("v"), cents).as("cid"),
       GraftExpressions.pqEncode(col("v"), codebooks).as("code"))
+    ivfPqQuery(index, cents, codebooks, c,
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      k, nProbe, m, ks, shortlist)
+  }
+
+  /** The probe → ADC-shortlist → exact-re-rank pipeline shared by the
+    * build-inline [[ivfPqTopK]] and the amortized [[ivfPqTopKFromIndex]]:
+    * identical inputs produce identical results, which is what lets the
+    * persisted-index gate reuse the inline path's oracle. */
+  private def ivfPqQuery(index: DataFrame, cents: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], corpusVecs: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int,
+      m: Int, ks: Int, shortlist: Int): DataFrame = {
     val centLit = typedlit(cents.toSeq.zipWithIndex.map {
       case (v, i) => (i, v.toSeq)
     })
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cid").asc)
     val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .select(col("query_id"), col("qv"), explode(centLit).as("c"))
       .select(col("query_id"), col("qv"), col("c._1").as("cid"),
         GraftExpressions.cosineSimilarity(col("c._2"), col("qv")).as("ccos"))
@@ -305,12 +317,104 @@ object Similarity {
       .filter(col("r") <= shortlist)
       .select(col("query_id"), col("id"))
     val exact = candidates
-      .join(c, Seq("id"))
-      .join(broadcast(queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("qv"))), Seq("query_id"))
+      .join(corpusVecs, Seq("id"))
+      .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("id"),
         round(GraftExpressions.cosineSimilarity(col("qv"), col("v")), 6).as("cosine"))
     topK(exact, k)
+  }
+
+  /** Builds the IVF-PQ index ONCE and persists it — at 100 TB the build
+    * (centroid training + a full encode pass over every vector) is the
+    * expensive stage, and rebuilding it per query batch (what the inline
+    * [[ivfPqTopK]] does) throws that work away. Layout under `path`:
+    *
+    *  - `codes/` — the (id, code) frame as parquet, PARTITIONED BY cid:
+    *    a query batch probing nProbe of nLists lists prunes the scan to
+    *    those directories (verified partition pruning, not just a filter);
+    *  - `centroids/` — (cid, v): nLists rows, the coarse quantizer;
+    *  - `codebooks/` — (sub, code, v): m × ks rows, the PQ codebooks.
+    *
+    * The sidecars are small by construction (nLists + m·ks rows) — the
+    * same bounded-driver-collect contract as [[ivfCentroids]]. Raw
+    * vectors are deliberately NOT persisted (FAISS-style): the exact
+    * re-rank joins back to the source corpus by id. */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      path: String,
+                      nLists: Int = 16, m: Int = 8, ks: Int = 16,
+                      sampleN: Int = 2000, iters: Int = 2,
+                      seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(corpus, idCol, vecCol, nLists, iters, seed)
+    val codebooks = pqCodebooks(corpus, idCol, vecCol, m, ks, sampleN,
+      math.max(iters, 3), seed)
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"),
+        nearestCentroid(col("v"), cents).as("cid"),
+        GraftExpressions.pqEncode(col("v"), codebooks).as("code"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+    cents.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }
+      .toDF("cid", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    codebooks.zipWithIndex.toSeq.flatMap { case (book, sub) =>
+      book.zipWithIndex.map { case (v, code) => (sub, code, v.toSeq) }
+    }.toDF("sub", "code", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Queries a persisted IVF-PQ index: loads the two tiny sidecars to the
+    * driver (nLists + m·ks rows), computes the probed list ids, and scans
+    * ONLY those cid partitions of `codes/` — the parquet scan carries
+    * `PartitionFilters: cid IN (...)`, so at 100 TB the I/O is
+    * ~nProbe/nLists of the index, and the index itself is ~dim·4/8 bytes
+    * smaller per row than the raw vectors. Exact re-rank joins the
+    * shortlist back to `corpus` by id, identical to [[ivfPqTopK]]. */
+  def ivfPqTopKFromIndex(indexPath: String,
+                         corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         nProbe: Int = 4, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k)
+    val spark = corpus.sparkSession
+    val cents: Array[Array[Double]] =
+      spark.read.parquet(s"$indexPath/centroids")
+        .orderBy(col("cid")).collect()
+        .map(_.getAs[Seq[Double]]("v").toArray)
+    val books = spark.read.parquet(s"$indexPath/codebooks").collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
+        r.getAs[Seq[Double]]("v").toArray))
+    val m = books.map(_._1).max + 1
+    val ks = books.map(_._2).max + 1
+    val codebooks = Array.tabulate(m, ks)((s, c) =>
+      books.find(b => b._1 == s && b._2 == c).get._3)
+    require(nProbe >= 1 && nProbe <= cents.length)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // the probed lists across the whole query batch: ≤ nLists values,
+    // collected so the scan below is a PARTITION-pruned read, not a
+    // full-index scan with a post-filter
+    val probedCids = probeCids(q, cents, nProbe)
+    val index = spark.read.parquet(s"$indexPath/codes")
+      .filter(col("cid").isin(probedCids: _*))
+    ivfPqQuery(index, cents, codebooks,
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
+      q, k, nProbe, m, ks, shortlist)
+  }
+
+  /** Distinct list ids any query in the batch probes — bounded by nLists. */
+  private def probeCids(q: DataFrame, cents: Array[Array[Double]],
+      nProbe: Int): Seq[Int] = {
+    val centLit = typedlit(cents.toSeq.zipWithIndex.map {
+      case (v, i) => (i, v.toSeq)
+    })
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    q.select(col("query_id"), col("qv"), explode(centLit).as("c"))
+      .select(col("query_id"), col("c._1").as("cid"),
+        GraftExpressions.cosineSimilarity(col("c._2"), col("qv")).as("ccos"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("cid")).distinct()
+      .limit(cents.length).collect().map(_.getInt(0)).toSeq
   }
 
   /** Deterministic per-query top-k: rank on (cosine desc, id asc) so ties

@@ -346,6 +346,58 @@ class MultimodalSpec extends SparkSpec {
     assert(again(0).getStruct(2) == metaA)
   }
 
+  test("ImageIoDecoder reads true PNG dimensions; non-images fall back to stub") {
+    // a real 7x5 PNG encoded on the driver with the same headless ImageIO
+    // the executors use
+    val img = new java.awt.image.BufferedImage(
+      7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq(("png", bos.toByteArray),
+      ("txt", "not an image".getBytes("UTF-8"))).toDF("id", "payload")
+    val rows = Multimodal.decodeMeta(df, "payload",
+        decoder = Multimodal.ImageIoDecoder)
+      .select($"id", $"media_meta.width", $"media_meta.height",
+        $"media_meta.format")
+      .as[(String, Int, Int, String)].collect()
+      .map { case (a, b, c, d) => a -> ((b, c, d)) }.toMap
+    assert(rows("png") === ((7, 5, "png")))
+    assert(rows("txt")._3 == null, "non-image must carry a null format")
+  }
+
+  test("resizeImage scales for real: dimensions exact, solid color preserved") {
+    val img = new java.awt.image.BufferedImage(
+      40, 20, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(10, 200, 30)); g.fillRect(0, 0, 40, 20)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq(("a", bos.toByteArray),
+      ("junk", Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val out = Multimodal.resizeImage(df, "payload", 10, 10)
+      .select($"id", $"resized").as[(String, Array[Byte])].collect().toMap
+    assert(out("junk") == null, "undecodable payload -> null, not fake pixels")
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out("a")))
+    assert(back.getWidth === 10 && back.getHeight === 10)
+    // bilinear scaling of a constant image is that constant
+    assert((back.getRGB(5, 5) & 0xffffff) === ((10 << 16) | (200 << 8) | 30))
+  }
+
+  test("generatePng dims follow the documented id formulas") {
+    val df = Seq(0L, 7L, 33L).toDF("doc_id")
+    val metas = Multimodal.decodeMeta(
+        Multimodal.generatePng(df, "doc_id"), "payload",
+        decoder = Multimodal.ImageIoDecoder)
+      .select($"doc_id", $"media_meta.width", $"media_meta.height")
+      .as[(Long, Int, Int)].collect()
+      .map { case (i, w, h) => i -> ((w, h)) }.toMap
+    Seq(0L, 7L, 33L).foreach { id =>
+      assert(metas(id) === ((16 + (id % 32).toInt, 8 + (id % 16).toInt)))
+    }
+  }
+
   test("frameSample emits n evenly spaced chunks") {
     val bytes = (0 until 100).map(_.toByte).toArray
     val df = Seq(("v1", bytes)).toDF("id", "payload")
@@ -462,6 +514,30 @@ class IvfPqSimilaritySpec extends graft.SparkSpec {
     val perQuery = (0L until 10L).map(i => i -> hits.getOrElse(i, 0L))
     assert(perQuery.forall(_._2 >= 3),
       s"gate needs >= 3 of the true top-5 per query; got ${perQuery.mkString(", ")}")
+  }
+
+  test("persisted index reproduces the inline path exactly and prunes partitions") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", idx,
+      nLists = 8, ks = 32)
+    // same deterministic training -> the amortized path must be
+    // row-for-row identical to building inline, pruned probes included
+    val fromIdx = Similarity.ivfPqTopKFromIndex(idx, emb, q,
+      "vec_id", "embedding", 5, nProbe = 3, shortlist = 100)
+    val inline = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 5,
+      nLists = 8, nProbe = 3, ks = 32, shortlist = 100)
+    assert(fromIdx.orderBy($"query_id", $"rank").collect().toSeq ===
+      inline.orderBy($"query_id", $"rank").collect().toSeq)
+    // the codes scan must be partition-pruned to the probed cids, not a
+    // full read with a post-filter — the point of partitioning by cid
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
+      s"expected a cid partition filter on the codes scan:\n$plan")
+    // sidecars are bounded: nLists centroids, m*ks codebook rows
+    assert(spark.read.parquet(s"$idx/centroids").count() === 8L)
+    assert(spark.read.parquet(s"$idx/codebooks").count() === 8L * 32L)
   }
 
   test("ivfPqTopK finds planted near neighbors with pruned probes") {
