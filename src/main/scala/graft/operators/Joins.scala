@@ -33,16 +33,30 @@ object Joins {
     * wins, making results deterministic (DuckDB ASOF leaves this
     * unspecified, so the oracle must impose the same tiebreak).
     *
+    * Skew: the carry window partitions by key, so ONE hot key (one user
+    * holding half the events) serializes through one task. Passing
+    * `saltBucketWidth = Some(w)` extends the partition key with a time
+    * bucket `floor(time / w)` (w in seconds for timestamp columns, value
+    * units for numerics): each (key, bucket) sorts independently, and
+    * visibility across bucket boundaries is restored by injecting, per
+    * (key, left-bucket), the latest right row from any EARLIER bucket — a
+    * bucket-granularity frame (≤ one row per key × bucket), so the extra
+    * work scales with the number of buckets, not the number of rows.
+    * Results are identical to the unsalted join (spec-asserted on a
+    * planted hot key).
+    *
     * @param rightCols right columns to attach (must not collide with left)
     * @param tiebreak  right column ordering ties on equal timestamps
     * @param how       "left" (unmatched left rows keep nulls) or "inner"
+    * @param saltBucketWidth time-bucket width for skew pre-salting
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftTime: String, rightTime: String,
                leftBy: Seq[String], rightBy: Seq[String],
                rightCols: Seq[String],
                tiebreak: Option[String] = None,
-               how: String = "left"): DataFrame = {
+               how: String = "left",
+               saltBucketWidth: Option[Double] = None): DataFrame = {
     require(leftBy.length == rightBy.length && leftBy.nonEmpty,
       "asofJoin needs matching non-empty key column lists")
     require(Seq("left", "inner").contains(how), s"how must be left|inner, got $how")
@@ -72,13 +86,64 @@ object Joins {
     // row), greatest tiebreak last so `last()` picks it
     val order = Seq(col("__asof_t").asc, col("__asof_side").asc) ++
       tiebreak.map(tb => col(s"__asof_r.$tb").asc_nulls_first)
-    val w = Window.partitionBy(keyNames.map(col): _*)
-      .orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = leftPrep.unionByName(rightPrep)
-      .withColumn("__asof_match", last(col("__asof_r"), ignoreNulls = true).over(w))
-      .filter(col("__asof_side") === 1)
+    val carried = saltBucketWidth match {
+      case None =>
+        val w = Window.partitionBy(keyNames.map(col): _*)
+          .orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        leftPrep.unionByName(rightPrep)
+          .withColumn("__asof_match",
+            last(col("__asof_r"), ignoreNulls = true).over(w))
+          .filter(col("__asof_side") === 1)
+
+      case Some(wd) =>
+        require(wd > 0, "saltBucketWidth must be positive")
+        def bucket(c: org.apache.spark.sql.Column) =
+          floor(c.cast("double") / wd).cast("long")
+        val l = leftPrep.withColumn("__asof_b", bucket(col("__asof_t")))
+        val r = rightPrep.withColumn("__asof_b", bucket(col("__asof_t")))
+        // one row per (key, bucket): the right row a NEXT bucket would
+        // carry in — max (time, tiebreak), matching the main sort's winner
+        val lastW = Window
+          .partitionBy((keyNames :+ "__asof_b").map(col): _*)
+          .orderBy(Seq(col("__asof_t").desc) ++
+            tiebreak.map(tb => col(s"__asof_r.$tb").desc_nulls_last): _*)
+        val bucketLast = r
+          .withColumn("__rn", row_number().over(lastW))
+          .filter(col("__rn") === 1)
+          .select(keyNames.map(col) ++ Seq(col("__asof_b"),
+            lit(1).as("__marker"),
+            struct(col("__asof_t"), col("__asof_r")).as("__carry_src")): _*)
+        val leftBuckets = l
+          .select((keyNames :+ "__asof_b").map(col): _*).distinct()
+          .withColumn("__marker", lit(0))
+          .withColumn("__carry_src",
+            lit(null).cast(bucketLast.schema("__carry_src").dataType))
+        // bucket-granularity as-of: a left bucket sees the latest carry
+        // source from STRICTLY earlier buckets (same-bucket sources sort
+        // after marker 0, so in-bucket rights stay in the main frame only)
+        val carryW = Window.partitionBy(keyNames.map(col): _*)
+          .orderBy(col("__asof_b").asc, col("__marker").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val carryIn = bucketLast.unionByName(leftBuckets)
+          .withColumn("__carry",
+            last(col("__carry_src"), ignoreNulls = true).over(carryW))
+          .filter(col("__marker") === 0 && col("__carry").isNotNull)
+          .select(keyNames.map(col) ++ Seq(
+            col("__carry.__asof_t").as("__asof_t"),
+            lit(0).as("__asof_side"),
+            lit(null).cast(leftPrep.schema("__asof_l").dataType).as("__asof_l"),
+            col("__carry.__asof_r").as("__asof_r"),
+            col("__asof_b")): _*)
+        val w = Window.partitionBy((keyNames :+ "__asof_b").map(col): _*)
+          .orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        l.unionByName(r).unionByName(carryIn)
+          .withColumn("__asof_match",
+            last(col("__asof_r"), ignoreNulls = true).over(w))
+          .filter(col("__asof_side") === 1)
+    }
 
     val filtered = how match {
       case "inner" => carried.filter(col("__asof_match").isNotNull)

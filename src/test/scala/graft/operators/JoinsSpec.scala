@@ -60,6 +60,63 @@ class JoinsSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("asofJoin salt: identical results on a planted hot key, straggler rows drop") {
+    // one user holds 50% of all events and 50% of all orders — the
+    // unsalted carry window serializes that key through one task
+    val n = 20000
+    val hotEvents = (0 until n / 2).map(i =>
+      (i.toLong, 1L, 1000L + i * 4L))
+    val coldEvents = (n / 2 until n).map(i =>
+      (i.toLong, 2L + (i % 500).toLong, 1000L + i * 4L))
+    val ev = (hotEvents ++ coldEvents).toDF("event_id", "user_id", "t")
+    val hotOrders = (0 until n / 2).map(i =>
+      (100000L + i, 1L, 990L + i * 4L, i * 1.5))
+    val coldOrders = (n / 2 until n).map(i =>
+      (100000L + i, 2L + (i % 500).toLong, 990L + i * 4L, i * 1.5))
+    val ord = (hotOrders ++ coldOrders).toDF("o_id", "cust", "o_t", "price")
+
+    def run(salt: Option[Double]) = Joins.asofJoin(ev, ord,
+      "t", "o_t", Seq("user_id"), Seq("cust"),
+      Seq("o_id", "price"), tiebreak = Some("o_id"),
+      saltBucketWidth = salt)
+
+    // correctness: salting must not change a single row
+    val plain = run(None).orderBy($"event_id").collect().toSeq
+    val salted = run(Some(2000.0)).orderBy($"event_id").collect().toSeq
+    assert(salted === plain)
+
+    // skew: the worst shuffle-read task must shrink by severalfold —
+    // measured on records (compression-independent), worst stage of each.
+    // .rdd.count() materializes every output column so the carry window
+    // (and its shuffle) cannot be pruned the way .count() prunes it; AQE
+    // off keeps the 32 reduce tasks distinct, like MetricsSkewSpec
+    import graft.metrics.SkewAudit
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (_, plainRep) = SkewAudit.audit(spark) { run(None).rdd.count() }
+      val (_, saltedRep) = SkewAudit.audit(spark) { run(Some(2000.0)).rdd.count() }
+      val plainMax = plainRep.map(_.maxShuffleReadRecords).max
+      val saltedMax = saltedRep.map(_.maxShuffleReadRecords).max
+      assert(plainMax >= n.toLong,
+        s"hot key should pin ~half of all ${2 * n} rows in one task, got $plainMax")
+      // the straggler measure is max/median WITHIN the worst stage: the
+      // hot key makes one task carry ~4.5x the median; salted, every
+      // stage is balanced. (An absolute-max bound would be partition-
+      // count-limited: the test session runs few reduce tasks, so even a
+      // perfectly flat distribution keeps max near total/partitions.)
+      val plainSkew = plainRep.map(_.recordSkew).max
+      val saltedSkew = saltedRep.map(_.recordSkew).max
+      assert(plainSkew > 3.0,
+        s"hot key should show record skew > 3x, got $plainSkew")
+      assert(saltedSkew < 2.0,
+        s"salted stages must be balanced, got $saltedSkew: " +
+          saltedRep.filter(_.maxShuffleReadRecords > 0).toString)
+      assert(saltedMax < plainMax,
+        s"salting must strictly shrink the straggler: $plainMax -> $saltedMax")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("bandJoin: inclusive band, cross-bin matches, key isolation") {
     val pts = Seq((1L, 10L, 100.0), (2L, 10L, 205.0), (3L, 20L, 100.0))
       .toDF("pid", "k", "x")
