@@ -150,6 +150,33 @@ object StreamRunner {
     q.awaitTermination()
   }
 
+  /** [[runAvailableNowForeachBatch]] with replay protection: the last
+    * batch id whose sink write COMMITTED is recorded in `store` (any
+    * [[graft.core.HwmStore]] — the JDBC-backed store puts the ledger next
+    * to the data), and batches at or below it are skipped. Structured
+    * Streaming's foreachBatch contract is at-least-once: after a crash or
+    * checkpoint reuse the last batch is re-delivered even if the sink
+    * already wrote it — without the ledger that duplicates rows in
+    * non-transactional batch sinks (JDBC Append, files). The ledger write
+    * happens strictly AFTER `f` returns, so a crash between sink commit
+    * and ledger write degrades to at-least-once for exactly that one
+    * batch (closing that window needs the sink's own transaction, which
+    * per-sink writers own); every other replay is skipped exactly-once. */
+  def runAvailableNowForeachBatchExactlyOnce(
+      df: DataFrame, checkpoint: String,
+      store: graft.core.HwmStore, ledgerName: String)
+      (f: (DataFrame, Long) => Unit): Unit = {
+    def lastCommitted(): Long = store.get(ledgerName)
+      .flatMap(_.valueOpt).map(graft.core.HwmValue.toLong).getOrElse(-1L)
+    runAvailableNowForeachBatch(df, checkpoint) { (batch, id) =>
+      if (id > lastCommitted()) {
+        f(batch, id)
+        store.set(graft.core.IntHwm(ledgerName, entity = "stream_batch",
+          expression = "batch_id").withValue(id))
+      }
+    }
+  }
+
   /** Drain a stream into an in-memory table (testing/interactive). */
   def runAvailableNowToMemory(df: DataFrame, tableName: String,
                               outputMode: OutputMode = OutputMode.Complete())

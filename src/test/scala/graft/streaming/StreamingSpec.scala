@@ -80,6 +80,47 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 3, 6.0), (1L, 2, 9.0), (2L, 1, 9.0)), got)
   }
 
+  test("exactly-once foreachBatch: replayed micro-batches are not re-applied") {
+    // foreachBatch is at-least-once: after a crash (or a lost/rebuilt
+    // checkpoint) batches the sink already committed are RE-DELIVERED.
+    // Simulate the worst case — the whole checkpoint gone, every batch
+    // replayed from id 0 — by re-running the same source against a FRESH
+    // checkpoint but the SAME ledger. maxFilesPerTrigger=1 + mtime/path
+    // ordering make the file → batch-id mapping deterministic, so run 2
+    // re-delivers exactly run 1's batches; the ledger must swallow all of
+    // them. (Direct checkpoint-commit surgery can't simulate this on
+    // Spark 4: the commit log detects the tamper as concurrent use.)
+    val src = tmpDir("stream-eo-src")
+    eventsDf.coalesce(2).write.mode("overwrite").parquet(src)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", IntegerType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val store = new graft.core.InMemoryHwmStore
+    val sunk = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    var applications = 0
+    def run(ck: String): Unit = StreamRunner.runAvailableNowForeachBatchExactlyOnce(
+      FileStreamReader.read(spark, Parquet(), src, schema,
+        maxFilesPerTrigger = Some(1)),
+      ck, store, "eo_ledger") { (batch, id) =>
+      applications += 1
+      sunk.merge(id, batch.count(), (a, b) => a + b)
+    }
+    run(tmpDir("stream-eo-ck1"))
+    val firstPass = sunk.size
+    assert(firstPass >= 2 && applications === firstPass)
+    import scala.jdk.CollectionConverters._
+    def totalRows(): Long = sunk.values().asScala.sum
+    assert(totalRows() === 200L)
+
+    // the replay: fresh checkpoint, batch ids restart at 0 — without the
+    // ledger every row would be double-applied
+    run(tmpDir("stream-eo-ck2"))
+    assert(applications === firstPass,
+      "replayed batches reached the sink — ledger failed to deduplicate")
+    assert(totalRows() === 200L, "row totals changed after replay")
+  }
+
   test("stateless curation ops run unchanged on streams: sample + scrub") {
     // Sampling and PII scrubbing are pure row-local transformations, so
     // the SAME operator code applies to a readStream frame — this is the
