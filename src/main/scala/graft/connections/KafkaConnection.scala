@@ -79,6 +79,28 @@ object KafkaPlanner {
     (mins, maxs)
   }
 
+  /** Consumer-admin min/max probe (reference kafka/connection.py:498-553):
+    * the reference asks the consumer admin API for `beginning_offsets` /
+    * `end_offsets` of every partition, clamps the HWM window into that
+    * live range, and reports per-partition (min, max) — the numbers that
+    * drive `has_data` (any partition with max > min) and the KeyValueHwm
+    * update. Partitions that appear only in the live probe (created since
+    * the window was stored) surface with the full live range. This is the
+    * pure half of that call; the admin round-trip itself needs
+    * kafka-clients, absent in this container. */
+  def minMaxOffsets(beginning: Map[Int, Long], end: Map[Int, Long],
+                    windowStart: Option[Map[Int, Long]] = None,
+                    windowStop: Option[Map[Int, Long]] = None)
+    : Map[Int, (Long, Long)] = {
+    val (mins, maxs) = clampWindow(beginning, end, windowStart, windowStop)
+    mins.keySet.map(p => p -> ((mins(p), maxs(p)))).toMap
+  }
+
+  /** `has_data` over a probe result (reference db_reader.py:718 analogue
+    * for Kafka): true iff any partition's window is non-empty. */
+  def hasData(minMax: Map[Int, (Long, Long)]): Boolean =
+    minMax.values.exists { case (lo, hi) => hi > lo }
+
   /** One incremental run at the planner level: given the stored
     * per-partition HWM and the live [beginning, end] offsets from the
     * probe, produce (exact read options, the window max to feed the HWM

@@ -120,6 +120,40 @@ class KafkaPlannerSpec extends AnyFunSuite {
       (beginning, end))
   }
 
+  test("consumer-admin min/max across two runs feeds KeyValueHwm; added partition surfaces (connection.py:498-553)") {
+    import graft.core.KeyValueIntHwm
+    // run 1: no stored window — min/max are the live bounds verbatim
+    var hwm = KeyValueIntHwm("hwm_mm", "events")
+    val probe1 = KafkaPlanner.minMaxOffsets(
+      beginning = Map(0 -> 0L, 1 -> 0L), end = Map(0 -> 120L, 1 -> 45L))
+    assert(probe1 == Map(0 -> ((0L, 120L)), 1 -> ((0L, 45L))))
+    assert(KafkaPlanner.hasData(probe1))
+    hwm = hwm.withValue(probe1.view.mapValues(_._2).toMap)
+      .asInstanceOf[KeyValueIntHwm]
+
+    // run 2: partition 2 created since run 1, p0 advanced, p1 idle, and
+    // p0's early offsets expired (beginning 30). Window start = stored
+    // HWM: p0 resumes at 120, p1's window is empty (45,45), p2 appears
+    // only in the live probe -> full live range (0, 30)
+    val probe2 = KafkaPlanner.minMaxOffsets(
+      beginning = Map(0 -> 30L, 1 -> 0L, 2 -> 0L),
+      end = Map(0 -> 200L, 1 -> 45L, 2 -> 30L),
+      windowStart = Some(hwm.value))
+    assert(probe2 == Map(0 -> ((120L, 200L)), 1 -> ((45L, 45L)), 2 -> ((0L, 30L))))
+    assert(KafkaPlanner.hasData(probe2))
+    hwm = hwm.withValue(probe2.view.mapValues(_._2).toMap)
+      .asInstanceOf[KeyValueIntHwm]
+    assert(hwm.value == Map(0 -> 200L, 1 -> 45L, 2 -> 30L))
+
+    // stored offsets past retention snap FORWARD to beginning (no
+    // under-read), and a fully drained topic reports no data
+    val expired = KafkaPlanner.minMaxOffsets(
+      beginning = Map(0 -> 500L), end = Map(0 -> 500L),
+      windowStart = Some(Map(0 -> 200L)))
+    assert(expired == Map(0 -> ((500L, 500L))))
+    assert(!KafkaPlanner.hasData(expired))
+  }
+
   test("incremental KeyValueIntHwm stepping across two runs, new partition defaults to 0") {
     import graft.core.KeyValueIntHwm
     // run 1: empty HWM, topic has 2 partitions. The reference fills every
