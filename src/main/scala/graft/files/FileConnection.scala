@@ -38,11 +38,15 @@ final case class RemoteEntry(path: String, stat: PathStat, isDir: Boolean) {
   *    TLS control upgrade + TLS-wrapped PASV data channels, MLSD/MLST
   *    listings) — live-gated against [[MiniFtpServer]] with TLS enabled
   *    and certificate verification on both channels.
-  *  - Samba: no JVM SMB client ships here (jcifs/smbj absent and SMB2 is
-  *    not reimplementable responsibly); the JVM-idiomatic production
-  *    answer is an OS-mounted CIFS share consumed through
-  *    [[LocalFileConnection]]/[[HadoopFsConnection]], which this SPI
-  *    already covers.
+  *  - Samba: [[SmbFileConnection]] over the [[SmbShare]] seam — the SPI
+  *    logic, SMB path discipline (UNC parsing, backslash wire paths,
+  *    reserved characters) and transfer-engine integration are
+  *    machine-checked against the [[DirSmbShare]] contract double; the
+  *    SMB2 wire binding itself is the seam's production implementation
+  *    (smbj/jcifs-ng, absent in this container — SMB2/3 crypto+credit
+  *    machinery is not reimplementable responsibly, unlike SFTP/FTPS
+  *    above). An OS-mounted CIFS share through [[LocalFileConnection]]
+  *    remains the zero-dependency production route.
   */
 trait FileConnection {
   def check(): this.type
