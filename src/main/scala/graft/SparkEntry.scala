@@ -1540,6 +1540,22 @@ object SparkEntry {
         .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("event_id"))
     }),
+    "q_asof_join_salted" -> ((s, dir) => {
+      // the skew-safe variant: identical semantics (and the IDENTICAL
+      // DuckDB oracle as q_asof_join) with the carry window pre-salted
+      // into 30-day time buckets — the gate proves result parity of the
+      // salt path end-to-end, not just in the planted-hot-key spec
+      val events = eventsMicros(s, dir)
+      val orders = DbReader(conn(s, dir), "orders").run()
+      operators.Joins.asofJoin(events, orders,
+          leftTime = "ts", rightTime = "o_orderdate",
+          leftBy = Seq("user_id"), rightBy = Seq("o_custkey"),
+          rightCols = Seq("o_orderkey", "o_totalprice"),
+          tiebreak = Some("o_orderkey"), how = "inner",
+          saltBucketWidth = Some(30.0 * 86400))
+        .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    }),
     "q_asof_join_left" -> ((s, dir) => {
       // left as-of: events with NO order at-or-before keep a null match —
       // per-user counts of matched vs unmatched events
@@ -2402,6 +2418,16 @@ object SparkEntry {
     // equal-timestamp winners unspecified, so the oracle imposes the
     // same tiebreak explicitly
     "q_asof_join" ->
+      """WITH cand AS (
+        |  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, o_orderkey, o_totalprice FROM cand WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+    // the salted variant must be indistinguishable from the plain as-of
+    "q_asof_join_salted" ->
       """WITH cand AS (
         |  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
         |         row_number() OVER (PARTITION BY e.event_id
