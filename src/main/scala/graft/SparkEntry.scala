@@ -1540,6 +1540,18 @@ object SparkEntry {
         .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("event_id"))
     }),
+    "sample_cap_per_key" -> ((s, dir) => {
+      // per-domain quota (operators.Sampling.capPerKey): keep the 15
+      // longest docs per source (the corpus has 25/source, so the cap
+      // provably drops rows) — the web-corpus cap that stops a few
+      // hosts from dominating; deterministic rank so DuckDB reproduces
+      // the exact survivor set
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      operators.Sampling.capPerKey(docs, Seq("source"), 15, "n_chars", "doc_id")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
     "q_asof_join_salted" -> ((s, dir) => {
       // the skew-safe variant: identical semantics (and the IDENTICAL
       // DuckDB oracle as q_asof_join) with the carry window pre-salted
@@ -2426,6 +2438,14 @@ object SparkEntry {
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
         |SELECT event_id, o_orderkey, o_totalprice FROM cand WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
+    "sample_cap_per_key" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, length(text)::BIGINT AS n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY length(text) DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars FROM r WHERE rn <= 15
+        |ORDER BY source, doc_id""".stripMargin,
     // the salted variant must be indistinguishable from the plain as-of
     "q_asof_join_salted" ->
       """WITH cand AS (

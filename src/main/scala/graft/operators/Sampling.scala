@@ -57,4 +57,29 @@ object Sampling {
     * sorted partition order on disk. */
   def shuffled(df: DataFrame, keyCol: String): DataFrame =
     df.orderBy(knuthHash32(col(keyCol)), col(keyCol))
+
+  /** Per-key quota: keep at most `maxPerKey` rows per key group — the
+    * per-domain cap every web-corpus curation run applies (a handful of
+    * hosts otherwise dominate the corpus). Which rows survive is
+    * deterministic: the group's rows rank by `orderBy` descending
+    * ("best first" — e.g. a quality score) with `tieBreak` ascending as
+    * the total tiebreaker, and rank > maxPerKey is dropped.
+    *
+    * Scale: one hash shuffle on the key columns + a rank inside each
+    * group — the same shape as any windowed top-k. A key hot enough to
+    * straggle here is exactly the key the cap exists to cut, but the
+    * FULL group still sorts in one task before the cap applies; for a
+    * pathological host (>~10^8 rows in one group) pre-trim with
+    * `sampleByKey` on a per-row id first, then cap exactly. */
+  def capPerKey(df: DataFrame, keyCols: Seq[String], maxPerKey: Int,
+                orderBy: String, tieBreak: String): DataFrame = {
+    require(maxPerKey > 0, "maxPerKey must be positive")
+    require(keyCols.nonEmpty, "capPerKey needs at least one key column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderBy).desc_nulls_last, col(tieBreak).asc)
+    df.withColumn("__cap_rank", row_number().over(w))
+      .filter(col("__cap_rank") <= maxPerKey)
+      .drop("__cap_rank")
+  }
 }

@@ -68,6 +68,22 @@ class SamplingSpec extends SparkSpec {
 
   private def ids = (0L until 4000L).toDF("id")
 
+  test("capPerKey keeps exactly maxPerKey best rows per key, deterministic ties") {
+    // domain a: 10 docs, quality == id%3 (ties resolved by ascending id);
+    // domain b: 2 docs (below the cap, all survive)
+    val docs = ((0 until 10).map(i => ("a", i.toLong, (i % 3).toDouble)) ++
+      Seq(("b", 100L, 9.0), ("b", 101L, 1.0))).toDF("domain", "id", "q")
+    val kept = Sampling.capPerKey(docs, Seq("domain"), 4, "q", "id")
+      .select($"domain", $"id").as[(String, Long)].collect().toSet
+    // a: quality-2 docs are ids 2,5,8 -> all kept; the 4th slot goes to
+    // the smallest-id quality-1 doc (id 1)
+    assert(kept === Set(("a", 2L), ("a", 5L), ("a", 8L), ("a", 1L),
+      ("b", 100L), ("b", 101L)))
+    // survivor columns are untouched and the cap never exceeds the group
+    assert(Sampling.capPerKey(docs, Seq("domain"), 100, "q", "id")
+      .count() === docs.count())
+  }
+
   test("deterministic: same rows every run, fraction approximately honored") {
     val a = Sampling.sampleByKey(ids, "id", 0.3).as[Long].collect().toSet
     val b = Sampling.sampleByKey(ids, "id", 0.3).as[Long].collect().toSet
