@@ -1540,6 +1540,25 @@ object SparkEntry {
         .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("event_id"))
     }),
+    "url_normalize" -> ((s, dir) => {
+      // URL canonicalization (functions.UrlFunctions): messy crawl-style
+      // URLs synthesized deterministically per doc (mixed-case scheme and
+      // host, default port, utm_ tracking params, fragment) — the oracle
+      // constructs the EXPECTED canonical form directly, so it checks the
+      // normalization rules independently instead of re-running them
+      import graft.functions.UrlFunctions._
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), col("source"))
+        .withColumn("url", concat(
+          lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/Docs/"),
+          col("doc_id").cast("string"),
+          lit("?utm_source=feed&id="), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit("&utm_medium=web#sec")))
+      docs.select(col("doc_id"),
+          normalizeUrl(col("url")).as("norm_url"),
+          urlDomain(col("url")).as("domain"))
+        .orderBy(col("doc_id"))
+    }),
     "sample_cap_per_key" -> ((s, dir) => {
       // per-domain quota (operators.Sampling.capPerKey): keep the 15
       // longest docs per source (the corpus has 25/source, so the cap
@@ -2438,6 +2457,16 @@ object SparkEntry {
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
         |SELECT event_id, o_orderkey, o_totalprice FROM cand WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
+    // the oracle BUILDS the expected canonical URL rather than re-running
+    // the normalizer: scheme+host lower-cased, :443 dropped for https,
+    // utm_* params removed (id= survives), fragment gone, www kept in the
+    // url but stripped in the domain key
+    "url_normalize" ->
+      """SELECT doc_id,
+        |  'https://www.' || lower(source) || '.example.com/Docs/' || doc_id
+        |    || '?id=' || (doc_id % 7) AS norm_url,
+        |  lower(source) || '.example.com' AS domain
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "sample_cap_per_key" ->
       """WITH r AS (
         |  SELECT source, doc_id, length(text)::BIGINT AS n_chars,

@@ -63,6 +63,32 @@ class PackingSpec extends SparkSpec {
   }
 }
 
+class UrlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.UrlFunctions._
+
+  private def norm(u: String): String =
+    Seq(u).toDF("u").select(normalizeUrl($"u")).as[String].head()
+
+  test("normalizeUrl: case, default ports, userinfo, utm params, fragment") {
+    assert(norm("HTTPS://User:Pw@WWW.Ex.COM:443/A/B?utm_source=x&id=3&utm_medium=y#frag")
+      === "https://www.ex.com/A/B?id=3")
+    assert(norm("http://ex.com:80") === "http://ex.com/") // default port + empty path
+    assert(norm("http://ex.com:8080/x") === "http://ex.com:8080/x") // non-default kept
+    assert(norm("https://ex.com:80/x") === "https://ex.com:80/x") // 80 not default for https
+    assert(norm("ftp://Ex.Com/File.TXT") === "ftp://ex.com/File.TXT") // path case kept
+    assert(norm("not a url") === "not a url") // schemeless passes through
+  }
+
+  test("urlDomain strips one www label; host/port/path/query extract") {
+    val row = Seq("https://WWW.Sub.Ex.com:8443/p/q?a=1#z").toDF("u")
+      .select(urlHost($"u"), urlDomain($"u"), urlPort($"u"), urlPath($"u"),
+        urlQuery($"u"))
+      .as[(String, String, String, String, String)].head()
+    assert(row === (("www.sub.ex.com", "sub.ex.com", "8443", "/p/q", "a=1")))
+  }
+}
+
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
