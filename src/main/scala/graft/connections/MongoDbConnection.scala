@@ -47,6 +47,66 @@ object MongoDialect extends Dialect {
     else if (conjuncts.size == 1) Some(s"""{"$$match": ${conjuncts.head}}""")
     else Some(s"""{"$$match": {"$$and": [${conjuncts.mkString(", ")}]}}""")
 
+  /** Aggregation-pipeline STAGE operators, which must not appear at the
+    * top level of a `where` filter document (reference
+    * mongodb/dialect.py:17-58 `_upper_level_operators`). */
+  private val StageOperators = Set(
+    "$addFields", "$bucket", "$bucketAuto", "$changeStream", "$collStats",
+    "$count", "$currentOp", "$densify", "$documents", "$facet", "$fill",
+    "$geoNear", "$graphLookup", "$group", "$indexStats", "$limit",
+    "$listLocalSessions", "$listSessions", "$lookup", "$merge", "$out",
+    "$planCacheStats", "$project", "$redact", "$replaceRoot", "$replaceWith",
+    "$sample", "$search", "$searchMeta", "$set", "$setWindowFields",
+    "$shardedDataDistribution", "$skip", "$sort", "$sortByCount",
+    "$unionWith", "$unset", "$unwind")
+
+  /** `where` must be a FILTER document ({"col": {"$eq": 1}}, $and/$or...),
+    * never a pipeline stage: a $match wrapper double-wraps (the engine
+    * adds its own), and stage operators like $group/$out would smuggle
+    * arbitrary pipeline stages — $out even writes — through what callers
+    * believe is a read filter (reference mongodb/dialect.py:161-175). */
+  def validateWhere(fragment: String): String = {
+    topLevelKeys(fragment).foreach { k =>
+      if (k == "$match")
+        throw new IllegalArgumentException(
+          "'where' must not wrap the filter in $match — pass the filter " +
+            "document itself; the $match stage is added by the engine")
+      if (StageOperators.contains(k))
+        throw new IllegalArgumentException(
+          s"pipeline stage operator '$k' is not allowed in 'where' — " +
+            "only filtering operators ($eq/$gt/$and/...) may appear")
+    }
+    fragment
+  }
+
+  /** First-level keys of a JSON object literal: depth-tracked scan (the
+    * JDK has no JSON parser and this validation needs no full parse). */
+  private[connections] def topLevelKeys(json: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var i = 0
+    var inString = false
+    val sb = new StringBuilder
+    var lastString: String = null
+    while (i < json.length) {
+      val c = json.charAt(i)
+      if (inString) {
+        if (c == '\\') { if (i + 1 < json.length) sb.append(json.charAt(i + 1)); i += 1 }
+        else if (c == '"') { inString = false; lastString = sb.toString; sb.clear() }
+        else sb.append(c)
+      } else c match {
+        case '"' => inString = true
+        case '{' | '[' => depth += 1
+        case '}' | ']' => depth -= 1
+        case ':' if depth == 1 && lastString != null =>
+          out += lastString; lastString = null
+        case _ =>
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   /** `$group` min/max pipeline (reference mongodb/connection.py:404-414). */
   def minMaxPipeline(expression: String, conjuncts: Seq[String]): String = {
     val group =
@@ -76,20 +136,30 @@ final class MongoDbConnection(val spark: SparkSession,
                      dfSchema: Option[StructType]): DataFrame = {
     require(dfSchema.nonEmpty,
       "MongoDB requires an explicit df_schema (reference dialect_mixins/requires_df_schema.py)")
+    where.foreach(MongoDialect.validateWhere)
     var df = pipeline(source,
       "[" + MongoDialect.matchStage(where).getOrElse("") + "]",
-      dfSchema)
+      dfSchema, hint)
     if (columns.nonEmpty) df = df.selectExpr(columns: _*)
     limit.fold(df)(df.limit)
   }
 
+  /** The exact option map handed to the mongodb source — pure, so the
+    * hint/pipeline wiring is golden-testable without a live server
+    * (reference mongodb/connection.py:422-426 renders hint the same way). */
+  def readOptions(collection: String, pipelineJson: String,
+                  hint: Option[String] = None): Map[String, String] =
+    base ++ Map("collection" -> collection,
+      "aggregation.pipeline" -> pipelineJson) ++
+      hint.map("hint" -> _)
+
   /** Raw aggregation pipeline, distributed
     * (reference mongodb/connection.py:223-360). */
   def pipeline(collection: String, pipelineJson: String,
-               schema: Option[StructType] = None): DataFrame = {
+               schema: Option[StructType] = None,
+               hint: Option[String] = None): DataFrame = {
     var r = spark.read.format("mongodb")
-      .options(base + ("collection" -> collection))
-      .option("aggregation.pipeline", pipelineJson)
+      .options(readOptions(collection, pipelineJson, hint))
     schema.foreach(s => r = r.schema(s))
     r.load()
   }

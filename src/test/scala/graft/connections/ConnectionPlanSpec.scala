@@ -245,6 +245,38 @@ class MongoDialectSpec extends AnyFunSuite {
       .path("id").path("$gt").asLong() == 10L)
   }
 
+  test("where rejects pipeline stage operators; filters pass (dialect.py:161-175)") {
+    // plain filters and $and/$or/$eq operators are fine
+    MongoDialect.validateWhere("""{"col": {"$eq": 1}}""")
+    MongoDialect.validateWhere("""{"$and": [{"a": 1}, {"b": {"$gt": 2}}]}""")
+    // $match double-wraps (the engine adds the stage itself)
+    val m = intercept[IllegalArgumentException](
+      MongoDialect.validateWhere("""{"$match": {"a": 1}}"""))
+    assert(m.getMessage.contains("$match"))
+    // stage operators would smuggle pipeline stages ($out even WRITES)
+    // through a read filter
+    Seq("$group", "$out", "$merge", "$lookup", "$unionWith").foreach { op =>
+      val e = intercept[IllegalArgumentException](
+        MongoDialect.validateWhere(s"""{"$op": {"x": 1}}"""))
+      assert(e.getMessage.contains(op))
+    }
+    // NESTED occurrences are legal (e.g. a field literally matching a
+    // stage name inside $elemMatch) — only top-level keys are stages
+    MongoDialect.validateWhere("""{"tags": {"$elemMatch": {"$group": "x"}}}""")
+  }
+
+  test("hint renders into the mongodb read options (connection.py:422-426)") {
+    val spark = graft.TestSpark.spark
+    val c = new MongoDbConnection(spark, "mongodb://h:27017", "db")
+    val opts = c.readOptions("events", """[{"$match": {"a": 1}}]""",
+      hint = Some("""{"user_id": 1}"""))
+    assert(opts("collection") == "events")
+    assert(opts("aggregation.pipeline") == """[{"$match": {"a": 1}}]""")
+    assert(opts("hint") == """{"user_id": 1}""")
+    assert(opts("connection.uri") == "mongodb://h:27017")
+    assert(!c.readOptions("events", "[]").contains("hint"))
+  }
+
   test("min/max pipeline under a window is valid JSON with $match before $group") {
     val w = graft.core.Window("hwm", Edge.exclusive(5L), Edge.inclusive(9L))
     val pipeline = MongoDialect.minMaxPipeline("hwm",
