@@ -498,6 +498,29 @@ object SparkEntry {
         .select(col("doc_id"), col("dup_count"))
         .orderBy(col("doc_id"))
     }),
+    "dedup_incremental_index" -> ((s, dir) => {
+      // incremental ingestion: history (doc_id < 250) is distilled into a
+      // persisted 8-byte fingerprint index ONCE; the new batch dedups
+      // within itself and anti-joins the index — no rescan of historical
+      // text. The corpus texts are all-distinct, so the batch plants
+      // duplicates explicitly (mirrored in the oracle): 50 re-ingested
+      // history docs under new ids (must be killed by the INDEX) and 10
+      // within-batch copies (killed by the in-batch dedup).
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), col("source"), col("text"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_fp_idx").toString
+      operators.Dedup.buildFingerprintIndex(
+        docs.filter(col("doc_id") < 250), "text", idx)
+      val batch = docs.filter(col("doc_id") >= 250)
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 1000))
+        .unionByName(docs.filter(col("doc_id").between(250, 259))
+          .withColumn("doc_id", col("doc_id") + 2000))
+      operators.Dedup.exactDedupAgainstIndex(batch, "doc_id", "text", idx)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
     "dedup_chunk_rebuild" -> ((s, dir) => {
       // sub-document dedup: the globally-first occurrence of every
       // 10-token chunk survives, documents are rebuilt from surviving
@@ -1966,6 +1989,26 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
         |ORDER BY doc_id""".stripMargin,
+    // same normalization as dedup_exact; membership + first-occurrence
+    // expressed directly on normalized text, independent of fingerprint64;
+    // the planted re-ingestions and in-batch copies mirror the gate
+    "dedup_incremental_index" ->
+      """WITH n AS (
+        |  SELECT doc_id, source,
+        |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        |  FROM documents),
+        |hist AS (SELECT DISTINCT nt FROM n WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, source, nt FROM n WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000, source, nt FROM n WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 2000, source, nt FROM n WHERE doc_id BETWEEN 250 AND 259),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY nt)
+        |SELECT b.doc_id, b.source FROM batch b
+        |JOIN keep k USING (doc_id)
+        |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.nt = b.nt)
+        |ORDER BY b.doc_id""".stripMargin,
     "dedup_chunk_rebuild" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

@@ -38,6 +38,32 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Persist the corpus's distinct fingerprint set — the historical index
+    * an INCREMENTAL ingestion run dedups new batches against. 8 bytes per
+    * distinct document, so at 100 TB of text the index is a few GB of
+    * parquet: re-deduplicating the full corpus per batch (what a
+    * stateless pipeline does) rescans everything; this scans only the
+    * index. Append-able: union new survivors' fingerprints and rewrite,
+    * or write per-batch subdirectories. */
+  def buildFingerprintIndex(df: DataFrame, textCol: String,
+                            path: String): Unit =
+    df.select(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** Batch rows that are first-occurrence WITHIN the batch (smallest id
+    * wins, as [[exactDedup]]) and whose fingerprint is absent from the
+    * persisted index — i.e. genuinely new documents. The index side of
+    * the anti-join carries only the 8-byte fingerprints; when the index
+    * fits the broadcast threshold the batch side never shuffles. */
+  def exactDedupAgainstIndex(df: DataFrame, idCol: String, textCol: String,
+                             indexPath: String): DataFrame = {
+    val idx = df.sparkSession.read.parquet(indexPath)
+    exactDedup(df, idCol, textCol)
+      .join(idx, TextFunctions.fingerprint(col(textCol)) === idx("fp"),
+        "left_anti")
+  }
+
   /** (id, shingles, n_sh) per document — distinct hashed word shingles
     * (8 bytes each through every downstream shuffle), empty docs dropped,
     * input widened so the scan uses every core. Shared by every
