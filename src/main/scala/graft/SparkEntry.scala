@@ -499,27 +499,48 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "dedup_incremental_index" -> ((s, dir) => {
-      // incremental ingestion: history (doc_id < 250) is distilled into a
-      // persisted 8-byte fingerprint index ONCE; the new batch dedups
-      // within itself and anti-joins the index — no rescan of historical
-      // text. The corpus texts are all-distinct, so the batch plants
-      // duplicates explicitly (mirrored in the oracle): 50 re-ingested
-      // history docs under new ids (must be killed by the INDEX) and 10
-      // within-batch copies (killed by the in-batch dedup).
+      // incremental ingestion, TWO-BATCH RESUME over the BUCKETED
+      // fingerprint index: history (doc_id < 250) builds the index once;
+      // batch 1 dedups against it and its survivors' fps are APPENDED;
+      // batch 2 must then drop re-ingestions of BATCH-1 docs via the
+      // updated index (the append step is what this gate proves), plus
+      // re-ingestions of history and its own in-batch copies. The index
+      // side of each anti-join is bucketed by fp — no Exchange at any
+      // history size (plan-asserted in DedupIndexSpec). Texts are
+      // all-distinct in the corpus, so every duplicate is planted and
+      // mirrored in the oracle.
       val docs = DbReader(conn(s, dir), "documents").run()
         .select(col("doc_id"), col("source"), col("text"))
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_fp_idx").toString
-      operators.Dedup.buildFingerprintIndex(
-        docs.filter(col("doc_id") < 250), "text", idx)
-      val batch = docs.filter(col("doc_id") >= 250)
-        .unionByName(docs.filter(col("doc_id") < 50)
-          .withColumn("doc_id", col("doc_id") + 1000))
-        .unionByName(docs.filter(col("doc_id").between(250, 259))
-          .withColumn("doc_id", col("doc_id") + 2000))
-      operators.Dedup.exactDedupAgainstIndex(batch, "doc_id", "text", idx)
-        .select(col("doc_id"), col("source"))
-        .orderBy(col("doc_id"))
+      def shifted(from: Int, until: Int, shift: Int) =
+        docs.filter(col("doc_id") >= from && col("doc_id") < until)
+          .withColumn("doc_id", col("doc_id") + shift)
+      val table = "fp_idx_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      operators.Dedup.buildFingerprintIndexTable(
+        docs.filter(col("doc_id") < 250), "text", table)
+      try {
+        val batch1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+          .unionByName(shifted(0, 50, 1000))     // killed by the index
+          .unionByName(shifted(250, 260, 2000))  // killed in-batch
+        // localCheckpoint: survivors must be MATERIALIZED with lineage
+        // truncated before the index mutates under them (a lazily
+        // recomputed s1 would re-read the APPENDED index and drop its
+        // own rows) and before the temp table is dropped
+        val s1 = operators.Dedup
+          .exactDedupAgainstIndexTable(batch1, "doc_id", "text", table)
+          .localCheckpoint()
+        operators.Dedup.appendToFingerprintIndexTable(s1, "text", table)
+        val batch2 = docs.filter(col("doc_id") >= 375)
+          .unionByName(shifted(250, 300, 3000))  // killed by APPENDED fps
+          .unionByName(shifted(50, 60, 4000))    // killed by original index
+          .unionByName(shifted(375, 385, 5000))  // killed in-batch
+        val s2 = operators.Dedup
+          .exactDedupAgainstIndexTable(batch2, "doc_id", "text", table)
+        s1.unionByName(s2)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+      } finally s.sql(s"DROP TABLE IF EXISTS $table")
     }),
     "dedup_chunk_rebuild" -> ((s, dir) => {
       // sub-document dedup: the globally-first occurrence of every
@@ -874,6 +895,25 @@ object SparkEntry {
         .select(col("doc_id"),
           col("media_meta.width").as("width"),
           col("media_meta.height").as("height"),
+          col("media_meta.format").as("format"))
+        .orderBy(col("doc_id"))
+    }),
+    "multimodal_audio_decode" -> ((s, dir) => {
+      // REAL audio codec path: deterministic generated WAVs (rate,
+      // channels, frame count and the constant PCM amplitude are pure
+      // functions of doc_id) -> javax.sound.sampled decode -> header
+      // facts plus a data-chunk statistic, all predicted arithmetically
+      // by the SQL oracle
+      val df = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id")).filter(col("doc_id") < 500)
+      val wav = operators.Multimodal.generateWav(df, "doc_id")
+      operators.Multimodal.decodeMeta(wav, "payload",
+          decoder = operators.Multimodal.AudioDecoder)
+        .select(col("doc_id"),
+          col("media_meta.sample_rate").as("sample_rate"),
+          col("media_meta.channels").as("channels"),
+          col("media_meta.n_frames").as("n_frames"),
+          col("media_meta.pcm_max").as("pcm_max"),
           col("media_meta.format").as("format"))
         .orderBy(col("doc_id"))
     }),
@@ -1566,17 +1606,19 @@ object SparkEntry {
     "url_normalize" -> ((s, dir) => {
       // URL canonicalization (functions.UrlFunctions): messy crawl-style
       // URLs synthesized deterministically per doc (mixed-case scheme and
-      // host, default port, utm_ tracking params, fragment) — the oracle
+      // host, default port, utm_ tracking params, fragment, and RFC 3986
+      // percent-escape variants: lowercase-hex unreserved escapes in the
+      // path, reserved + unreserved escapes in the query) — the oracle
       // constructs the EXPECTED canonical form directly, so it checks the
       // normalization rules independently instead of re-running them
       import graft.functions.UrlFunctions._
       val docs = DbReader(conn(s, dir), "documents").run()
         .select(col("doc_id"), col("source"))
         .withColumn("url", concat(
-          lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/Docs/"),
+          lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/D%6fcs%7e/"),
           col("doc_id").cast("string"),
           lit("?utm_source=feed&id="), pmod(col("doc_id"), lit(7)).cast("string"),
-          lit("&utm_medium=web#sec")))
+          lit("&q=%3f%7e&utm_medium=web#sec")))
       docs.select(col("doc_id"),
           normalizeUrl(col("url")).as("norm_url"),
           urlDomain(col("url")).as("domain"))
@@ -1998,17 +2040,32 @@ object SparkEntry {
         |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
         |  FROM documents),
         |hist AS (SELECT DISTINCT nt FROM n WHERE doc_id < 250),
-        |batch AS (
-        |  SELECT doc_id, source, nt FROM n WHERE doc_id >= 250
+        |b1 AS (
+        |  SELECT doc_id, source, nt FROM n WHERE doc_id >= 250 AND doc_id < 375
         |  UNION ALL
         |  SELECT doc_id + 1000, source, nt FROM n WHERE doc_id < 50
         |  UNION ALL
-        |  SELECT doc_id + 2000, source, nt FROM n WHERE doc_id BETWEEN 250 AND 259),
-        |keep AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY nt)
-        |SELECT b.doc_id, b.source FROM batch b
-        |JOIN keep k USING (doc_id)
-        |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.nt = b.nt)
-        |ORDER BY b.doc_id""".stripMargin,
+        |  SELECT doc_id + 2000, source, nt FROM n WHERE doc_id >= 250 AND doc_id < 260),
+        |k1 AS (SELECT min(doc_id) AS doc_id FROM b1 GROUP BY nt),
+        |s1 AS (SELECT b.doc_id, b.source, b.nt FROM b1 b
+        |       JOIN k1 USING (doc_id)
+        |       WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.nt = b.nt)),
+        |idx2 AS (SELECT nt FROM hist UNION SELECT nt FROM s1),
+        |b2 AS (
+        |  SELECT doc_id, source, nt FROM n WHERE doc_id >= 375
+        |  UNION ALL
+        |  SELECT doc_id + 3000, source, nt FROM n WHERE doc_id >= 250 AND doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 4000, source, nt FROM n WHERE doc_id >= 50 AND doc_id < 60
+        |  UNION ALL
+        |  SELECT doc_id + 5000, source, nt FROM n WHERE doc_id >= 375 AND doc_id < 385),
+        |k2 AS (SELECT min(doc_id) AS doc_id FROM b2 GROUP BY nt),
+        |s2 AS (SELECT b.doc_id, b.source FROM b2 b
+        |       JOIN k2 USING (doc_id)
+        |       WHERE NOT EXISTS (SELECT 1 FROM idx2 i WHERE i.nt = b.nt))
+        |SELECT doc_id, source FROM s1
+        |UNION ALL SELECT doc_id, source FROM s2
+        |ORDER BY doc_id""".stripMargin,
     "dedup_chunk_rebuild" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -2348,6 +2405,14 @@ object SparkEntry {
     "multimodal_image_resize" ->
       """SELECT doc_id, 24::INT AS out_w, 12::INT AS out_h, 'png' AS format
         |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
+    "multimodal_audio_decode" ->
+      """SELECT doc_id,
+        |  (8000 + (doc_id % 8) * 1000)::INT AS sample_rate,
+        |  (1 + doc_id % 2)::INT AS channels,
+        |  (50 + doc_id % 100)::BIGINT AS n_frames,
+        |  (doc_id % 500)::INT AS pcm_max,
+        |  'pcm_signed' AS format
+        |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
     "q3_top_revenue" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
@@ -2506,8 +2571,8 @@ object SparkEntry {
     // url but stripped in the domain key
     "url_normalize" ->
       """SELECT doc_id,
-        |  'https://www.' || lower(source) || '.example.com/Docs/' || doc_id
-        |    || '?id=' || (doc_id % 7) AS norm_url,
+        |  'https://www.' || lower(source) || '.example.com/Docs~/' || doc_id
+        |    || '?id=' || (doc_id % 7) || '&q=%3F~' AS norm_url,
         |  lower(source) || '.example.com' AS domain
         |FROM documents ORDER BY doc_id""".stripMargin,
     "sample_cap_per_key" ->

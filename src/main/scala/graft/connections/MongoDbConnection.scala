@@ -80,7 +80,11 @@ object MongoDialect extends Dialect {
   }
 
   /** First-level keys of a JSON object literal: depth-tracked scan (the
-    * JDK has no JSON parser and this validation needs no full parse). */
+    * JDK has no JSON parser and this validation needs no full parse).
+    * Escape sequences are DECODED, not stripped: `"$out"` must
+    * yield the key `$out`, or the stage-operator check above is
+    * bypassable with unicode escapes (the reference parses real JSON,
+    * so escapes are normalized before validation). */
   private[connections] def topLevelKeys(json: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
@@ -91,7 +95,20 @@ object MongoDialect extends Dialect {
     while (i < json.length) {
       val c = json.charAt(i)
       if (inString) {
-        if (c == '\\') { if (i + 1 < json.length) sb.append(json.charAt(i + 1)); i += 1 }
+        if (c == '\\' && i + 1 < json.length) {
+          json.charAt(i + 1) match {
+            case 'u' if i + 5 < json.length =>
+              val hex = json.substring(i + 2, i + 6)
+              try { sb.append(Integer.parseInt(hex, 16).toChar); i += 5 }
+              catch { case _: NumberFormatException => sb.append('u'); i += 1 }
+            case 'n' => sb.append('\n'); i += 1
+            case 't' => sb.append('\t'); i += 1
+            case 'r' => sb.append('\r'); i += 1
+            case 'b' => sb.append('\b'); i += 1
+            case 'f' => sb.append('\f'); i += 1
+            case e => sb.append(e); i += 1 // \" \\ \/ and any other pass-through
+          }
+        }
         else if (c == '"') { inString = false; lastString = sb.toString; sb.clear() }
         else sb.append(c)
       } else c match {

@@ -44,7 +44,7 @@ final case class SmbEntry(name: String, isDir: Boolean, size: Long,
 
 object SmbFileConnection {
   /** Characters invalid in SMB path components (MS-FSCC 2.1.5). */
-  private val Reserved = "\"*:<>?|".toSet
+  private[files] val Reserved = "\"*:<>?|".toSet
 
   /** Parse a UNC location `\\server\share[\path]` (samba.py's
     * host + share_name split). */
@@ -151,8 +151,14 @@ final class DirSmbShare(root: JPath) extends SmbShare {
       s"seam violation: SMB wire paths are backslash-separated, got '$wire'")
     require(!wire.startsWith("\\"),
       s"seam violation: SMB wire paths are share-relative, got '$wire'")
-    wire.split('\\').filter(_.nonEmpty)
-      .foldLeft(root)((p, seg) => p.resolve(seg))
+    // server-side STATUS_OBJECT_NAME_INVALID semantics: reserved characters
+    // and dot segments fail HERE, so a client bypassing toWirePath cannot
+    // smuggle them (and '..' cannot escape the share root)
+    wire.split('\\').filter(_.nonEmpty).foldLeft(root) { (p, seg) =>
+      if (seg.exists(SmbFileConnection.Reserved) || seg == "." || seg == "..")
+        throw new IOException(s"STATUS_OBJECT_NAME_INVALID: $wire")
+      p.resolve(seg)
+    }
   }
 
   private def entry(p: JPath): SmbEntry = SmbEntry(

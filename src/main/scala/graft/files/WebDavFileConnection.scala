@@ -72,10 +72,7 @@ final class WebDavFileConnection(host: String, port: Int,
     parseMultistatus(expect(propfindRaw(path, depth), 207).body())
 
   private def parseMultistatus(body: Array[Byte]): Seq[DavEntry] = {
-    val dbf = DocumentBuilderFactory.newInstance()
-    dbf.setNamespaceAware(true)
-    val doc = dbf.newDocumentBuilder()
-      .parse(new ByteArrayInputStream(body))
+    val doc = WebDavFileConnection.secureParse(body)
     val responses = doc.getElementsByTagNameNS("DAV:", "response")
     (0 until responses.getLength).map { i =>
       val e = responses.item(i).asInstanceOf[Element]
@@ -188,5 +185,22 @@ final class WebDavFileConnection(host: String, port: Int,
       throw new java.io.IOException(s"GET $path -> ${resp.statusCode()}")
     }
     resp.body()
+  }
+}
+
+object WebDavFileConnection {
+  /** Hardened XML parse for SERVER-CONTROLLED multistatus bodies: doctype
+    * declarations are rejected outright and external general/parameter
+    * entities disabled, so a malicious or compromised WebDAV server cannot
+    * mount XXE (local file read / SSRF) through a PROPFIND response. */
+  private[files] def secureParse(body: Array[Byte]): org.w3c.dom.Document = {
+    val dbf = DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    dbf.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    dbf.setXIncludeAware(false)
+    dbf.setExpandEntityReferences(false)
+    dbf.newDocumentBuilder().parse(new ByteArrayInputStream(body))
   }
 }

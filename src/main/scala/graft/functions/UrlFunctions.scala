@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import graft.expressions.PercentNormalize
+import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization for corpus curation — the normalization pass
@@ -35,21 +36,37 @@ object UrlFunctions {
   def urlPath(u: Column): Column =
     regexp_extract(u, SchemePrefix + "[^/?#]*(/[^?#]*)", 1)
 
-  /** Query string without the leading '?', "" when absent. */
+  /** Query string without the leading '?', "" when absent. The fragment
+    * is stripped FIRST: a '?' inside the fragment ("https://h/p#frag?x=1")
+    * is fragment text, not a query — matching the raw string would
+    * resurrect it after normalizeUrl drops the fragment. */
   def urlQuery(u: Column): Column =
-    regexp_extract(u, "\\?([^#]*)", 1)
+    regexp_extract(regexp_replace(u, "#.*", ""), "\\?(.*)", 1)
 
   /** Host with one leading "www." label removed — the grouping key for
     * per-domain caps and domain blocklists. */
   def urlDomain(u: Column): Column =
     regexp_replace(urlHost(u), "^www\\.", "")
 
+  /** RFC 3986 §6.2.2 percent-encoding normalization: unreserved escapes
+    * (`%7E`, `%41`, ...) decode to their character, all other escapes
+    * keep uppercase hex (`%3f` → `%3F`). Codegen'd single pass
+    * ([[graft.expressions.PercentNormalize]]); reserved characters are
+    * never decoded, so component boundaries cannot move. */
+  def percentNormalize(u: Column): Column =
+    GraftColumnBridge.column(PercentNormalize(GraftColumnBridge.expression(u)))
+
   /** Canonical form: lower-cased scheme and host, userinfo dropped,
     * default ports (http:80 / https:443) dropped, empty path becomes
     * "/", `utm_*` tracking parameters removed from the query, fragment
-    * dropped. Values without a scheme pass through unchanged (not a URL
-    * — leave them to upstream filtering). */
-  def normalizeUrl(u: Column): Column = {
+    * dropped, percent-escapes normalized (unreserved decoded, hex
+    * uppercased — see [[percentNormalize]]). Values without a scheme
+    * pass through unchanged (not a URL — leave them to upstream
+    * filtering). */
+  def normalizeUrl(raw: Column): Column = {
+    // percent-normalizing the WHOLE url first is safe (reserved chars stay
+    // encoded, so no delimiter can appear) and covers path + query at once
+    val u = percentNormalize(raw)
     val scheme = urlScheme(u)
     val host = urlHost(u)
     val port = urlPort(u)
@@ -64,6 +81,6 @@ object UrlFunctions {
       when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
       path,
       when(cleanedQuery =!= "", concat(lit("?"), cleanedQuery)).otherwise(lit("")))
-    when(scheme === "", u).otherwise(canonical)
+    when(scheme === "", raw).otherwise(canonical)
   }
 }

@@ -55,13 +55,65 @@ object Dedup {
     * wins, as [[exactDedup]]) and whose fingerprint is absent from the
     * persisted index — i.e. genuinely new documents. The index side of
     * the anti-join carries only the 8-byte fingerprints; when the index
-    * fits the broadcast threshold the batch side never shuffles. */
+    * fits the broadcast threshold the batch side never shuffles. For an
+    * index past the broadcast threshold use the BUCKETED variants below —
+    * this path re-shuffles the full historical index every batch. */
   def exactDedupAgainstIndex(df: DataFrame, idCol: String, textCol: String,
-                             indexPath: String): DataFrame = {
-    val idx = df.sparkSession.read.parquet(indexPath)
-    exactDedup(df, idCol, textCol)
-      .join(idx, TextFunctions.fingerprint(col(textCol)) === idx("fp"),
-        "left_anti")
+                             indexPath: String): DataFrame =
+    dedupNewAgainstIndex(df, idCol, textCol,
+      df.sparkSession.read.parquet(indexPath))
+
+  /** The historical fingerprint index as a BUCKETED table (bucketed and
+    * per-bucket sorted by `fp`): the layout that makes the per-batch
+    * anti-join one-sided once the index outgrows the broadcast threshold.
+    * A plain parquet index is re-shuffled in full on EVERY daily batch —
+    * at a trillion historical fingerprints that shuffle dwarfs the batch
+    * itself; bucketed, the index side of the anti-join has no Exchange
+    * (its `HashPartitioning(fp)` already satisfies the join's required
+    * distribution) and only the new batch moves. */
+  def buildFingerprintIndexTable(df: DataFrame, textCol: String,
+                                 table: String, buckets: Int = 32): Unit =
+    Bucketing.writeBucketed(
+      df.select(TextFunctions.fingerprint(col(textCol)).as("fp")).distinct(),
+      table, buckets, Seq("fp"))
+
+  /** Append a processed batch's fingerprints to the bucketed index —
+    * the missing step that lets incremental ingestion RESUME without
+    * rebuilding the index from the full corpus. Appended files keep the
+    * table's bucket spec (`buckets` must match the build call; Spark
+    * rejects a mismatch). Pass the batch's SURVIVORS (the output of
+    * [[exactDedupAgainstIndexTable]]); re-appending the same fps never
+    * corrupts results — the index is an existence set, duplicates only
+    * waste bytes — so a replayed batch is safe, just not free. */
+  def appendToFingerprintIndexTable(newDocs: DataFrame, textCol: String,
+                                    table: String, buckets: Int = 32): Unit =
+    Bucketing.writeBucketed(
+      newDocs.select(TextFunctions.fingerprint(col(textCol)).as("fp")).distinct(),
+      table, buckets, Seq("fp"), org.apache.spark.sql.SaveMode.Append)
+
+  /** [[exactDedupAgainstIndex]] against the bucketed index table: the
+    * anti-join plan has NO Exchange on the index side (plan-asserted in
+    * DedupIndexSpec) — only the incoming batch shuffles, by its own
+    * fingerprint, into the index's bucket count. */
+  def exactDedupAgainstIndexTable(df: DataFrame, idCol: String,
+                                  textCol: String, table: String): DataFrame =
+    dedupNewAgainstIndex(df, idCol, textCol, df.sparkSession.table(table))
+
+  /** Shared batch-vs-index dedup: one fingerprint projection (computed
+    * ONCE), anti-join against the index, then in-batch first-occurrence
+    * via a window over the fingerprint — which reuses the anti-join's
+    * hash partitioning on fp, so the whole thing costs the batch one
+    * shuffle (plus the index side's Exchange only when `idx` is not
+    * bucketed). */
+  private def dedupNewAgainstIndex(df: DataFrame, idCol: String,
+                                   textCol: String, idx: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .join(idx.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__fp")).orderBy(col(idCol))))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
   }
 
   /** (id, shingles, n_sh) per document — distinct hashed word shingles

@@ -33,6 +33,9 @@ object Multimodal {
 
   trait BinaryDecoder extends Serializable {
     def decode(bytes: Array[Byte]): Row
+    /** Schema of the rows [[decode]] produces; media kinds with different
+      * metadata (audio vs image) override it and [[decodeMeta]] follows. */
+    def schema: StructType = metaSchema
   }
 
   private def fnv(bytes: Array[Byte]): Long = {
@@ -99,7 +102,7 @@ object Multimodal {
     * batch at a time. Output schema = input ++ `<outCol>: metaSchema`. */
   def decodeMeta(df: DataFrame, binCol: String, outCol: String = "media_meta",
                  decoder: BinaryDecoder = StubDecoder): DataFrame = {
-    val outSchema = StructType(df.schema.fields :+ StructField(outCol, metaSchema))
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, decoder.schema))
     val binIdx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
       rows.map { row =>
@@ -256,6 +259,111 @@ object Multimodal {
         }
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(row.toSeq :+ bos.toByteArray)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Audio metadata row shape: header facts (sample rate, channels,
+    * frame count, encoding) plus one PCM statistic (max absolute 16-bit
+    * sample) proving the decoder read the DATA chunk, not just the
+    * header. `format = null` marks the non-audio stub fallback. */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("content_hash", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("pcm_max", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = true)))
+
+  /** REAL audio codec on the JDK's `javax.sound.sampled` (no external
+    * jar): WAV/AIFF/AU decode to true sample rate, channel count, frame
+    * length and a max-|sample| scan of the 16-bit PCM payload. The same
+    * honesty upgrade [[ImageIoDecoder]] made for images — the JDK ships
+    * these codecs, so "no codec in container" does not excuse a stub.
+    * Payloads the sound stack cannot parse fall back to a byte-derived
+    * stub row (`format = null`, -1 sentinels), so mixed binary columns
+    * decode in one pass without failing the batch. */
+  object AudioDecoder extends BinaryDecoder {
+    override def schema: StructType = audioMetaSchema
+    def decode(bytes: Array[Byte]): Row = {
+      readAudio(bytes) match {
+        case Some((fmt, frames, pcmMax)) =>
+          Row(bytes.length.toLong, fnv(bytes),
+            fmt.getSampleRate.toInt, fmt.getChannels, frames, pcmMax,
+            fmt.getEncoding.toString.toLowerCase(java.util.Locale.ROOT))
+        case None =>
+          Row(bytes.length.toLong, fnv(bytes), -1, -1, -1L, -1, null)
+      }
+    }
+  }
+
+  private def readAudio(bytes: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Long, Int)] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val data = ais.readAllBytes()
+        // max |sample| over 16-bit frames (little-endian unless the
+        // format says otherwise); non-16-bit payloads report 0
+        var pcmMax = 0
+        if (fmt.getSampleSizeInBits == 16) {
+          var i = 0
+          while (i + 1 < data.length) {
+            val s =
+              if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+              else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+            val a = math.abs(s.toInt)
+            if (a > pcmMax) pcmMax = a
+            i += 2
+          }
+        }
+        Some((fmt, ais.getFrameLength, pcmMax))
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Deterministic WAV generator for gates/specs: 16-bit PCM mono/stereo
+    * with rate, frame count and a CONSTANT sample amplitude that are all
+    * pure functions of the id — so an external SQL oracle can predict
+    * every decoded field arithmetically. Encoded with the same JDK sound
+    * stack the decoder reads ([[AudioDecoder]] round trip). */
+  def generateWav(df: DataFrame, idCol: String,
+                  outCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.get(idIdx) match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case other => other.toString.toLong
+        }
+        val rate = 8000 + (id % 8).toInt * 1000
+        val channels = 1 + (id % 2).toInt
+        val frames = 50 + (id % 100).toInt
+        val amp = (id % 500).toInt // constant signal -> pcm_max == amp
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, channels, true, false)
+        val data = new Array[Byte](frames * channels * 2)
+        var i = 0
+        while (i < data.length) {
+          data(i) = (amp & 0xff).toByte
+          data(i + 1) = ((amp >> 8) & 0xff).toByte
+          i += 2
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
         Row.fromSeq(row.toSeq :+ bos.toByteArray)
       }
     }(RowEncoder.encoderFor(outSchema))

@@ -281,7 +281,7 @@ object Similarity {
     val index = c.select(col("id"),
       nearestCentroid(col("v"), cents).as("cid"),
       GraftExpressions.pqEncode(col("v"), codebooks).as("code"))
-    ivfPqQuery(index, cents, codebooks, c,
+    ivfPqQuery(index, cents, codebooks, Some(c),
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       k, nProbe, m, ks, shortlist)
   }
@@ -289,9 +289,12 @@ object Similarity {
   /** The probe → ADC-shortlist → exact-re-rank pipeline shared by the
     * build-inline [[ivfPqTopK]] and the amortized [[ivfPqTopKFromIndex]]:
     * identical inputs produce identical results, which is what lets the
-    * persisted-index gate reuse the inline path's oracle. */
+    * persisted-index gate reuse the inline path's oracle. `reRank` is the
+    * (id, v) source for the exact pass; `None` = ADC-only mode (the
+    * shortlist IS the answer, ranked by the approximate score in column
+    * `adc`). */
   private def ivfPqQuery(index: DataFrame, cents: Array[Array[Double]],
-      codebooks: Array[Array[Array[Double]]], corpusVecs: DataFrame,
+      codebooks: Array[Array[Array[Double]]], reRank: Option[DataFrame],
       queries: DataFrame, k: Int, nProbe: Int,
       m: Int, ks: Int, shortlist: Int): DataFrame = {
     val centLit = typedlit(cents.toSeq.zipWithIndex.map {
@@ -309,19 +312,26 @@ object Similarity {
         GraftExpressions.pqTable(col("qv"), codebooks).as("tbl"))
     val adcW = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("id").asc)
-    val candidates = index.join(broadcast(probes), Seq("cid"))
+    val scored = index.join(broadcast(probes), Seq("cid"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
         GraftExpressions.pqAdcScore(col("code"), col("tbl"), m, ks).as("adc"))
       .withColumn("r", row_number().over(adcW))
       .filter(col("r") <= shortlist)
-      .select(col("query_id"), col("id"))
-    val exact = candidates
-      .join(corpusVecs, Seq("id"))
-      .join(broadcast(queries), Seq("query_id"))
-      .select(col("query_id"), col("id"),
-        round(GraftExpressions.cosineSimilarity(col("qv"), col("v")), 6).as("cosine"))
-    topK(exact, k)
+    reRank match {
+      case Some(vecs) =>
+        val exact = scored.select(col("query_id"), col("id"))
+          .join(vecs, Seq("id"))
+          .join(broadcast(queries), Seq("query_id"))
+          .select(col("query_id"), col("id"),
+            round(GraftExpressions.cosineSimilarity(col("qv"), col("v")), 6)
+              .as("cosine"))
+        topK(exact, k)
+      case None => // ADC-only: the shortlist ranking IS the answer
+        scored.filter(col("r") <= k)
+          .select(col("query_id"), col("r").as("rank"), col("id"),
+            round(col("adc"), 6).as("adc"))
+    }
   }
 
   /** Builds the IVF-PQ index ONCE and persists it — at 100 TB the build
@@ -335,15 +345,26 @@ object Similarity {
     *  - `centroids/` — (cid, v): nLists rows, the coarse quantizer;
     *  - `codebooks/` — (sub, code, v): m × ks rows, the PQ codebooks.
     *
+    *  - `vectors/` — (id, v), also PARTITIONED BY cid (when
+    *    `persistVectors`, the default): the exact re-rank reads ONLY the
+    *    probed partitions. Without it, re-rank must join the shortlist
+    *    back to the raw corpus — at 100 TB that is a full corpus scan per
+    *    query batch, which is exactly the cost this index exists to
+    *    avoid. FAISS stores the vectors inside the IVF lists for the same
+    *    reason; this is the parquet rendition of that layout.
+    *
     * The sidecars are small by construction (nLists + m·ks rows) — the
-    * same bounded-driver-collect contract as [[ivfCentroids]]. Raw
-    * vectors are deliberately NOT persisted (FAISS-style): the exact
-    * re-rank joins back to the source corpus by id. */
+    * same bounded-driver-collect contract as [[ivfCentroids]]. With
+    * `persistVectors` the build costs one extra map-only corpus pass
+    * (assign + write; no shuffle) and stores dim·8 bytes/row next to the
+    * 8-byte codes — the classic FAISS trade: pay storage once, never
+    * rescan the corpus at query time. */
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       path: String,
                       nLists: Int = 16, m: Int = 8, ks: Int = 16,
                       sampleN: Int = 2000, iters: Int = 2,
-                      seed: Long = 42L): Unit = {
+                      seed: Long = 42L,
+                      persistVectors: Boolean = true): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = ivfCentroids(corpus, idCol, vecCol, nLists, iters, seed)
@@ -354,6 +375,10 @@ object Similarity {
         nearestCentroid(col("v"), cents).as("cid"),
         GraftExpressions.pqEncode(col("v"), codebooks).as("code"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+    if (persistVectors)
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .select(col("id"), col("v"), nearestCentroid(col("v"), cents).as("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/vectors")
     cents.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }
       .toDF("cid", "v")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -368,12 +393,25 @@ object Similarity {
     * ONLY those cid partitions of `codes/` — the parquet scan carries
     * `PartitionFilters: cid IN (...)`, so at 100 TB the I/O is
     * ~nProbe/nLists of the index, and the index itself is ~dim·4/8 bytes
-    * smaller per row than the raw vectors. Exact re-rank joins the
-    * shortlist back to `corpus` by id, identical to [[ivfPqTopK]]. */
+    * smaller per row than the raw vectors.
+    *
+    * Exact re-rank reads the index's own `vectors/` layout when present,
+    * pruned to the SAME probed partitions (plan-asserted in
+    * PipelineOpsSpec) — the shortlist's true vectors live in the probed
+    * lists by construction, so no other partition can be needed. When the
+    * index was built with `persistVectors = false`:
+    *  - `adcOnly = true` skips the exact re-rank and returns the
+    *    ADC-approximate ranking (column `adc` instead of `cosine`) — the
+    *    scale path when storing vectors twice is unacceptable;
+    *  - otherwise `corpus` is the re-rank source, which at 100 TB streams
+    *    the FULL corpus under the shortlist join — correct, but the cost
+    *    the persisted layout exists to avoid; reserve it for small
+    *    corpora. */
   def ivfPqTopKFromIndex(indexPath: String,
                          corpus: DataFrame, queries: DataFrame,
                          idCol: String, vecCol: String, k: Int,
-                         nProbe: Int = 4, shortlist: Int = 50): DataFrame = {
+                         nProbe: Int = 4, shortlist: Int = 50,
+                         adcOnly: Boolean = false): DataFrame = {
     require(shortlist >= k)
     val spark = corpus.sparkSession
     val cents: Array[Array[Double]] =
@@ -390,13 +428,23 @@ object Similarity {
     require(nProbe >= 1 && nProbe <= cents.length)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     // the probed lists across the whole query batch: ≤ nLists values,
-    // collected so the scan below is a PARTITION-pruned read, not a
-    // full-index scan with a post-filter
+    // collected so the scans below are PARTITION-pruned reads, not
+    // full-index scans with a post-filter
     val probedCids = probeCids(q, cents, nProbe)
     val index = spark.read.parquet(s"$indexPath/codes")
       .filter(col("cid").isin(probedCids: _*))
-    ivfPqQuery(index, cents, codebooks,
-      corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
+    val vectorsPath = new org.apache.hadoop.fs.Path(s"$indexPath/vectors")
+    val hasVectors = vectorsPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(vectorsPath)
+    val reRank =
+      if (adcOnly) None
+      else if (hasVectors)
+        Some(spark.read.parquet(s"$indexPath/vectors")
+          .filter(col("cid").isin(probedCids: _*))
+          .select(col("id"), col("v")))
+      else Some(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
+    ivfPqQuery(index, cents, codebooks, reRank,
       q, k, nProbe, m, ks, shortlist)
   }
 

@@ -265,6 +265,27 @@ class MongoDialectSpec extends AnyFunSuite {
     MongoDialect.validateWhere("""{"tags": {"$elemMatch": {"$group": "x"}}}""")
   }
 
+  test("where validation is not bypassable with JSON escape sequences") {
+    // build the payload programmatically: a literal $ in Scala source
+    // would be decoded by the COMPILER, not exercise the validator.
+    // "{"$out": "other_coll"}" decodes to $out in any JSON parser —
+    // the validator must normalize escapes before checking, or the write
+    // stage smuggles in
+    val smuggledOut = "{\"" + "\\u0024" + "out\": \"other_coll\"}"
+    val e = intercept[IllegalArgumentException](
+      MongoDialect.validateWhere(smuggledOut))
+    assert(e.getMessage.contains("$out"))
+    val smuggledMatch = "{\"" + "\\u0024" + "match\": {\"a\": 1}}"
+    val m = intercept[IllegalArgumentException](
+      MongoDialect.validateWhere(smuggledMatch))
+    assert(m.getMessage.contains("$match"))
+    // escaped characters inside ordinary field names decode correctly
+    // and remain legal
+    MongoDialect.validateWhere("""{"a\"b\\cA": {"$eq": 1}}""")
+    assert(MongoDialect.topLevelKeys("""{"a\"b\\cA": 1, "$x": 2}""")
+      === Seq("a\"b\\cA", "$x"))
+  }
+
   test("hint renders into the mongodb read options (connection.py:422-426)") {
     val spark = graft.TestSpark.spark
     val c = new MongoDbConnection(spark, "mongodb://h:27017", "db")

@@ -90,4 +90,16 @@ class SmbConnectionSpec extends AnyFunSuite {
     assert(Files.readString(java.nio.file.Paths.get(loc, "top.csv")) === "k,v\n1,a\n")
     assert(Files.readString(java.nio.file.Paths.get(loc, "sub/inner.csv")) === "k,v\n2,b\n")
   }
+
+  test("DirSmbShare enforces STATUS_OBJECT_NAME_INVALID server-side") {
+    // a client bypassing toWirePath must still fail at the share: reserved
+    // characters and dot segments are rejected by the double itself, and
+    // '..' cannot escape the share root
+    val share = new DirSmbShare(root)
+    Seq("a?b", "a*b", "x\\..\\y", "x\\.\\y", "a:b", "a<b>c").foreach { wire =>
+      intercept[java.io.IOException](share.stat(wire))
+    }
+    // plain nested paths still resolve
+    assert(share.stat("top.csv").isDefined)
+  }
 }

@@ -104,4 +104,23 @@ class WebDavConnectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Files.readString(java.nio.file.Paths.get(loc, "top.csv")) === "k,v\n1,a\n")
     assert(Files.readString(java.nio.file.Paths.get(loc, "sub/inner.csv")) === "k,v\n2,b\n")
   }
+
+  test("multistatus parser refuses doctype declarations (XXE hardening)") {
+    // a hostile server's PROPFIND body must not be able to pull local
+    // files or open network connections via external entities
+    val evil = ("""<?xml version="1.0"?>""" +
+      """<!DOCTYPE r [<!ENTITY x SYSTEM "file:///etc/hostname">]>""" +
+      """<D:multistatus xmlns:D="DAV:"><D:response>""" +
+      """<D:href>&x;</D:href></D:response></D:multistatus>""")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    intercept[org.xml.sax.SAXParseException](
+      WebDavFileConnection.secureParse(evil))
+    // a benign multistatus still parses
+    val ok = ("""<?xml version="1.0"?>""" +
+      """<D:multistatus xmlns:D="DAV:"><D:response>""" +
+      """<D:href>/x.txt</D:href></D:response></D:multistatus>""")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(WebDavFileConnection.secureParse(ok)
+      .getElementsByTagNameNS("DAV:", "response").getLength === 1)
+  }
 }

@@ -87,6 +87,32 @@ class UrlFunctionsSpec extends SparkSpec {
       .as[(String, String, String, String, String)].head()
     assert(row === (("www.sub.ex.com", "sub.ex.com", "8443", "/p/q", "a=1")))
   }
+
+  test("a '?' inside the fragment is not a query string") {
+    // no real query here: '?x=1' is fragment text, and normalizeUrl must
+    // not resurrect it after dropping the fragment
+    val row = Seq("https://h/p#frag?x=1").toDF("u")
+      .select(urlQuery($"u"), normalizeUrl($"u")).as[(String, String)].head()
+    assert(row === (("", "https://h/p")))
+    // a real query before the fragment still extracts
+    assert(Seq("https://h/p?a=1#frag?x=2").toDF("u")
+      .select(urlQuery($"u")).as[String].head() === "a=1")
+  }
+
+  test("percent-encoding normalization (RFC 3986 6.2.2)") {
+    def pn(s: String): String =
+      Seq(s).toDF("u").select(percentNormalize($"u")).as[String].head()
+    assert(pn("a%7eb") === "a~b")          // unreserved decodes
+    assert(pn("a%7Eb") === "a~b")
+    assert(pn("%41%62%39%2d%2e%5f") === "Ab9-._")
+    assert(pn("a%3fb%2fc") === "a%3Fb%2Fc") // reserved stays, hex uppercased
+    assert(pn("100%") === "100%")           // bare percent passes through
+    assert(pn("%zz%4") === "%zz%4")         // invalid escapes untouched
+    assert(pn("plain") === "plain")         // fast path: no '%'
+    // inside normalizeUrl: path + query both normalized
+    assert(norm("https://Ex.com/a%7Eb/%41?x=%3f&y=%7e")
+      === "https://ex.com/a~b/A?x=%3F&y=~")
+  }
 }
 
 class SamplingSpec extends SparkSpec {

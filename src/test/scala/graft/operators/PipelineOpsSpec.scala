@@ -382,6 +382,49 @@ class MultimodalSpec extends SparkSpec {
     assert(rows("txt")._3 == null, "non-image must carry a null format")
   }
 
+  test("AudioDecoder reads true WAV header + PCM stats; non-audio falls back") {
+    // a real 3-frame stereo 11025 Hz WAV encoded on the driver with the
+    // same JDK sound stack the executors use; max |sample| is 32000
+    val fmt = new javax.sound.sampled.AudioFormat(11025f, 16, 2, true, false)
+    val samples = Array[Short](-5, -5, 300, 300, -32000, -32000)
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, 3L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val df = Seq(("wav", bos.toByteArray),
+      ("txt", "not audio at all".getBytes("UTF-8"))).toDF("id", "payload")
+    val rows = Multimodal.decodeMeta(df, "payload",
+        decoder = Multimodal.AudioDecoder)
+      .select($"id", $"media_meta.sample_rate", $"media_meta.channels",
+        $"media_meta.n_frames", $"media_meta.pcm_max", $"media_meta.format")
+      .as[(String, Int, Int, Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(rows("wav") === ((11025, 2, 3L, 32000, "pcm_signed")))
+    assert(rows("txt") === ((-1, -1, -1L, -1, null)),
+      "non-audio must carry the stub sentinels and a null format")
+  }
+
+  test("generateWav fields follow the documented id formulas through decode") {
+    val df = Seq(0L, 7L, 123L, 499L).toDF("doc_id")
+    val metas = Multimodal.decodeMeta(
+        Multimodal.generateWav(df, "doc_id"), "payload",
+        decoder = Multimodal.AudioDecoder)
+      .select($"doc_id", $"media_meta.sample_rate", $"media_meta.channels",
+        $"media_meta.n_frames", $"media_meta.pcm_max")
+      .as[(Long, Int, Int, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    Seq(0L, 7L, 123L, 499L).foreach { id =>
+      assert(metas(id) === ((8000 + (id % 8).toInt * 1000, 1 + (id % 2).toInt,
+        (50 + (id % 100)), (id % 500).toInt)))
+    }
+  }
+
   test("resizeImage scales for real: dimensions exact, solid color preserved") {
     val img = new java.awt.image.BufferedImage(
       40, 20, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -535,7 +578,11 @@ class IvfPqSimilaritySpec extends graft.SparkSpec {
 
   test("persisted index reproduces the inline path exactly and prunes partitions") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val q = emb.filter($"vec_id" < 10)
+    // queries materialized in memory: the only embeddings.parquet scan a
+    // plan could then contain would be a corpus-side re-rank — which the
+    // vectors/ layout exists to eliminate
+    val q = emb.filter($"vec_id" < 10).select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq.toDF("vec_id", "embedding")
     val idx = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
     Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", idx,
       nLists = 8, ks = 32)
@@ -547,14 +594,64 @@ class IvfPqSimilaritySpec extends graft.SparkSpec {
       nLists = 8, nProbe = 3, ks = 32, shortlist = 100)
     assert(fromIdx.orderBy($"query_id", $"rank").collect().toSeq ===
       inline.orderBy($"query_id", $"rank").collect().toSeq)
-    // the codes scan must be partition-pruned to the probed cids, not a
-    // full read with a post-filter — the point of partitioning by cid
+    // BOTH data scans must be partition-pruned to the probed cids, not
+    // full reads with a post-filter — the point of partitioning by cid.
+    // The re-rank reads the index's own vectors/ layout, NOT the corpus:
+    // at 100 TB a corpus-side re-rank is a full scan per query batch.
     val plan = fromIdx.queryExecution.executedPlan.toString
-    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
-      s"expected a cid partition filter on the codes scan:\n$plan")
+    val pruned = "PartitionFilters: \\[[^\\]]*cid".r.findAllIn(plan).toSeq
+    assert(pruned.size >= 2,
+      s"expected cid partition filters on BOTH codes and vectors scans:\n$plan")
+    assert(plan.contains("/vectors") && !plan.contains("embeddings.parquet"),
+      s"re-rank must read the index vectors/, not the corpus:\n$plan")
     // sidecars are bounded: nLists centroids, m*ks codebook rows
     assert(spark.read.parquet(s"$idx/centroids").count() === 8L)
     assert(spark.read.parquet(s"$idx/codebooks").count() === 8L * 32L)
+    // vectors/ carries the corpus row count, partitioned by cid
+    assert(spark.read.parquet(s"$idx/vectors").count() === emb.count())
+  }
+
+  test("ADC-only mode: no vectors persisted, no corpus scan, ranked shortlist") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 5).select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_adc").toString
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", idx,
+      nLists = 8, ks = 32, persistVectors = false)
+    val adc = Similarity.ivfPqTopKFromIndex(idx, emb, q,
+      "vec_id", "embedding", 5, nProbe = 3, shortlist = 100, adcOnly = true)
+    // approximate scores, exact schema contract: rank 1..k per query
+    assert(adc.columns.toSeq === Seq("query_id", "rank", "id", "adc"))
+    val byQuery = adc.select($"query_id", $"rank").as[(Long, Int)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byQuery.keySet === (0L until 5L).toSet)
+    assert(byQuery.values.forall(_ == Seq(1, 2, 3, 4, 5)))
+    // the plan never touches the raw corpus — ADC-only is the mode for
+    // indexes that chose not to store vectors twice
+    val plan = adc.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"),
+      s"ADC-only must not scan the corpus:\n$plan")
+    // ADC ranking quality on PLANTED near-duplicates (gate embeddings are
+    // near-random, so distances concentrate and top-1 membership is not a
+    // stable signal there): a perturbed copy of each query must surface
+    // in its ADC top-1 without any exact re-rank
+    val rnd = new scala.util.Random(17)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 10).map(i => (i.toLong, vec()))
+    val noise = (0 until 200).map(i => (1000L + i, vec()))
+    val qs = bases.map { case (i, v) =>
+      (100L + i, v.map(x => x + 0.03f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (bases ++ noise ++ qs).toDF("vec_id", "embedding")
+    val idx2 = java.nio.file.Files.createTempDirectory("ivfpq_adc2").toString
+    Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", idx2,
+      nLists = 8, persistVectors = false)
+    val top1 = Similarity.ivfPqTopKFromIndex(idx2, corpus,
+        qs.toDF("vec_id", "embedding"), "vec_id", "embedding", 1,
+        nProbe = 2, shortlist = 20, adcOnly = true)
+      .select($"query_id", $"id").as[(Long, Long)].collect().toMap
+    val found = (0 until 10).count(i => top1.get(100L + i).contains(i.toLong))
+    assert(found >= 8, s"ADC-only found the planted neighbor for only $found/10")
   }
 
   test("ivfPqTopK finds planted near neighbors with pruned probes") {
