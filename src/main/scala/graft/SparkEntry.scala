@@ -61,6 +61,13 @@ object SparkEntry {
   private val landingCache =
     scala.collection.concurrent.TrieMap.empty[(String, Boolean), String]
 
+  /** Staged documents landing for streaming_incremental_dedup: three
+    * mtime-ordered parquet files with planted duplicates (same
+    * INPUT-only / fresh-checkpoint idempotency contract as
+    * [[landingCache]]). */
+  private val docsLandingCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** The staging half of [[streamedEvents]]: lands the events table (and
     * optional sentinel files) and returns the readStream over it, so
     * gates can pick their own sink (parquet, foreachBatch → JDBC, ...). */
@@ -586,6 +593,39 @@ object SparkEntry {
           DbReader(conn(s, dir), "documents").run(), "doc_id", "text",
           shingleSize = 3, bands = 32, rowsPerBand = 4, threshold = 0.7)
         .orderBy(col("id1"), col("id2"))
+    }),
+    "dedup_minhash_incremental" -> ((s, dir) => {
+      // incremental NEAR-dup dedup: history (doc_id < 250) persists its
+      // MinHash band buckets + shingle sets as bucketed tables ONCE; the
+      // batch (originals >= 250 plus planted near-copies of history docs
+      // with two appended tokens) LSH-joins the band index for
+      // candidates and exact-Jaccard-verifies them — no historical text
+      // rescan, no re-signing. The oracle recomputes exact Jaccard
+      // batch x history in DuckDB (LSH == exact on this data, same
+      // contract as dedup_minhash_lsh), so survivors are fully checked:
+      // long planted copies die, short ones (few shingles -> low
+      // Jaccard) legitimately survive, and natural cross-half near-dups
+      // are caught identically by both engines.
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), col("source"), col("text"))
+      val table = "mh_idx_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      operators.Dedup.buildMinHashIndexTable(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", table)
+      try {
+        val batch = docs.filter(col("doc_id") >= 250)
+          .unionByName(docs.filter(col("doc_id") < 50)
+            .withColumn("doc_id", col("doc_id") + 1000)
+            .withColumn("text", concat(col("text"), lit(" zz yy"))))
+        operators.Dedup.minhashDedupAgainstIndexTable(
+            batch, "doc_id", "text", table, threshold = 0.7)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS ${table}_bands")
+        s.sql(s"DROP TABLE IF EXISTS ${table}_shingles")
+      }
     }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       operators.Dedup.ngramJaccardDupPairs(
@@ -1497,6 +1537,83 @@ object SparkEntry {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
+    "streaming_incremental_dedup" -> ((s, dir) => {
+      // continuous dedup-on-ingest: three mtime-ordered micro-batches of
+      // documents with planted duplicates stream through foreachBatch;
+      // each batch anti-joins the BUCKETED fingerprint index (built from
+      // history doc_id < 250), survivors land in parquet, and their fps
+      // are appended so batch N+1 drops re-ingestions of batch N. Every
+      // planted copy dies (in-batch, vs history, or vs an EARLIER batch
+      // via the append), so the landed corpus is exactly the originals —
+      // any dedup failure surfaces as extra rows, over-deletion as
+      // missing ones. Exact dedup is confluent (smallest id wins within
+      // a batch, the index kills across batches), so the landed set does
+      // not depend on micro-batch boundaries.
+      import org.apache.spark.sql.types._
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), col("source"), col("text"))
+      def shifted(from: Int, until: Int, shift: Int) =
+        docs.filter(col("doc_id") >= from && col("doc_id") < until)
+          .withColumn("doc_id", col("doc_id") + shift)
+      val landing = docsLandingCache.synchronized {
+        docsLandingCache.getOrElseUpdate(dir, {
+          val ld = java.nio.file.Files.createTempDirectory("graft_sid_in")
+          val batches = Seq(
+            docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+              .unionByName(shifted(0, 50, 1000))     // vs history index
+              .unionByName(shifted(250, 260, 2000)), // in-batch copies
+            docs.filter(col("doc_id") >= 375 && col("doc_id") < 450)
+              .unionByName(shifted(250, 300, 3000)), // vs batch-0 APPENDED fps
+            docs.filter(col("doc_id") >= 450)
+              .unionByName(shifted(375, 385, 5000))  // vs batch-1 APPENDED fps
+              .unionByName(shifted(50, 60, 4000)))   // vs history index
+          batches.zipWithIndex.foreach { case (b, i) =>
+            b.coalesce(1).write.mode("append").parquet(ld.toString)
+            // stamp everything unstamped so far with a strictly
+            // increasing mtime: file order = batch order
+            val st = java.nio.file.Files.list(ld)
+            try {
+              val it = st.iterator()
+              while (it.hasNext) {
+                val p = it.next()
+                if (p.getFileName.toString.endsWith(".parquet") &&
+                    java.nio.file.Files.getLastModifiedTime(p).toInstant
+                      .isAfter(java.time.Instant.EPOCH.plusSeconds(1000 + i.toLong)))
+                  java.nio.file.Files.setLastModifiedTime(p,
+                    java.nio.file.attribute.FileTime.from(
+                      java.time.Instant.EPOCH.plusSeconds(1000 + i.toLong)))
+              }
+            } finally st.close()
+          }
+          ld.toString
+        })
+      }
+      val table = "fp_sid_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      operators.Dedup.buildFingerprintIndexTable(
+        docs.filter(col("doc_id") < 250), "text", table)
+      try {
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("source", StringType),
+          StructField("text", StringType)))
+        val stream = graft.streaming.FileStreamReader.read(
+          s, graft.filedf.Parquet(), landing, schema,
+          maxFilesPerTrigger = Some(1))
+        val ck = java.nio.file.Files.createTempDirectory("graft_sid_ck").toString
+        val out = java.nio.file.Files.createTempDirectory("graft_sid_out").toString
+        val ledger = new graft.core.InMemoryHwmStore
+        graft.streaming.StreamRunner.runIncrementalDedup(
+          stream, "doc_id", "text", table, ck, ledger, s"sid@$ck") {
+          (survivors, _) =>
+            survivors.write.mode("append").parquet(out)
+        }
+        s.read.parquet(out)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+      } finally s.sql(s"DROP TABLE IF EXISTS $table")
+    }),
+
     "q_events_sessionize" -> ((s, dir) => {
       // event-time windowed aggregation over the events table.
       // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
@@ -2117,6 +2234,36 @@ object SparkEntry {
         |SELECT gram, count(*) AS n FROM grams GROUP BY gram
         |ORDER BY n DESC, gram LIMIT 20""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle,
+    // batch doc survives iff NO history doc reaches exact Jaccard 0.7
+    // (shingle construction identical to jaccardOracle's)
+    "dedup_minhash_incremental" ->
+      """WITH base AS (SELECT doc_id, source, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id, source, text FROM base WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000, source, text || ' zz yy' FROM base WHERE doc_id < 50),
+        |hist AS (SELECT doc_id, text FROM base WHERE doc_id < 250),
+        |bdocs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |         i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM batch)
+        |  WHERE len(toks) >= 3),
+        |hdocs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |         i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM hist)
+        |  WHERE len(toks) >= 3),
+        |binv AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM bdocs),
+        |hinv AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM hdocs),
+        |dups AS (
+        |  SELECT b.doc_id,
+        |         round(count(*)::DOUBLE / (any_value(b.n) + any_value(h.n) - count(*)), 6) AS jaccard
+        |  FROM binv b JOIN hinv h ON b.s = h.s
+        |  GROUP BY b.doc_id, h.doc_id
+        |  HAVING jaccard >= 0.7)
+        |SELECT doc_id, source FROM batch
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle,
     // brute-force simhash: same md5-derived 64-bit token hash
     // (first 16 md5 hex chars), same per-occurrence bit votes, all pairs
@@ -2440,6 +2587,12 @@ object SparkEntry {
     // streaming gates share batch semantics: AvailableNow over static
     // files must equal the batch query (sentinel rows are filtered on the
     // Spark side before the compare)
+    // every planted duplicate (in-batch copies, re-ingested history,
+    // re-ingestions of earlier micro-batches) must die; the landed
+    // corpus is exactly the non-history originals
+    "streaming_incremental_dedup" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE doc_id >= 250 ORDER BY doc_id""".stripMargin,
     "streaming_windowed_agg" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
         |       count(*) AS n,

@@ -33,8 +33,38 @@ case class PercentNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** IDN (internationalized domain name) host → ASCII Compatible Encoding
+  * via the JDK's RFC 3490 implementation: `münchen.example.com` →
+  * `xn--mnchen-3ya.example.com`. The same resource is reachable under
+  * the unicode and punycode spellings, so crawl URL dedup must pick one
+  * canonical form — ACE, because it is what DNS actually resolves.
+  * Already-ASCII hosts pass through unchanged (fast path); inputs the
+  * IDN rules reject (empty labels, length overflows) pass through
+  * rather than failing the batch. */
+case class IdnAscii(child: Expression)
+  extends UnaryExpression with GraftStringInput {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "idn_ascii"
+  protected override def nullSafeEval(input: Any): Any =
+    UrlNormImpl.idnAscii(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.UrlNormImpl.idnAscii($c)")
+  override protected def withNewChildInternal(newChild: Expression): IdnAscii =
+    copy(child = newChild)
+}
+
 /** Static helper invoked from generated code — keep signatures stable. */
 object UrlNormImpl {
+
+  def idnAscii(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var ascii = true
+    var i = 0
+    while (i < n && ascii) { if ((s.getByte(i) & 0x80) != 0) ascii = false; i += 1 }
+    if (ascii) return s // common case: no non-ASCII byte, nothing to encode
+    try UTF8String.fromString(java.net.IDN.toASCII(s.toString))
+    catch { case _: IllegalArgumentException => s }
+  }
 
   private def hexVal(b: Byte): Int = b match {
     case d if d >= '0' && d <= '9' => d - '0'

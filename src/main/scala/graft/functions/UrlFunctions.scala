@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.expressions.PercentNormalize
+import graft.expressions.{IdnAscii, PercentNormalize}
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
@@ -55,6 +55,14 @@ object UrlFunctions {
     * never decoded, so component boundaries cannot move. */
   def percentNormalize(u: Column): Column =
     GraftColumnBridge.column(PercentNormalize(GraftColumnBridge.expression(u)))
+
+  /** IDN host → punycode ACE form (`münchen.de` → `xn--mnchen-3ya.de`),
+    * ASCII hosts untouched — the canonical host spelling for URL-level
+    * dedup of international crawls ([[graft.expressions.IdnAscii]]).
+    * Compose as `idnAscii(urlHost(u))`; [[normalizeUrl]] leaves hosts
+    * byte-for-byte (minus case) so its oracle stays SQL-reproducible. */
+  def idnAscii(host: Column): Column =
+    GraftColumnBridge.column(IdnAscii(GraftColumnBridge.expression(host)))
 
   /** Canonical form: lower-cased scheme and host, userinfo dropped,
     * default ports (http:80 / https:443) dropped, empty path becomes

@@ -37,6 +37,36 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Rewrite a bucketed table in place to heal APPEND fragmentation:
+    * every [[writeBucketed]] append adds at least one file per written
+    * bucket, so a year of daily appends leaves each bucket as ~365 small
+    * files — the scan then pays per-file open cost and loses the
+    * per-bucket sort (each file is sorted, the bucket no longer is,
+    * which silently re-adds a sort before merge joins). Compaction
+    * rewrites each bucket as one sorted file; `dropDuplicates = true`
+    * additionally collapses exact duplicate rows, which the
+    * append-based dedup indexes accumulate harmlessly on replays.
+    *
+    * NOT atomic: the rewrite lands in a temp table that is swapped in
+    * via drop + rename (the session catalog has no atomic exchange). A
+    * crash between the two leaves `<table>__compact` complete on disk
+    * and the original dropped — recover by re-running the rename. Run
+    * it as offline maintenance, like any file-compaction pass. */
+  def compactBucketed(spark: SparkSession, table: String, buckets: Int,
+                      keys: Seq[String],
+                      dropDuplicates: Boolean = false): Unit = {
+    val tmp = s"${table}__compact"
+    val df0 = spark.table(table)
+    val df = if (dropDuplicates) df0.distinct() else df0
+    // one file per bucket: repartition on the bucket keys into `buckets`
+    // output tasks before the bucketed write, so each task writes exactly
+    // its bucket's single file
+    writeBucketed(df.repartition(buckets, keys.map(org.apache.spark.sql.functions.col): _*),
+      tmp, buckets, keys)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
   /** Join two tables previously written by [[writeBucketed]] with the
     * same keys and bucket counts. The resulting plan contains no
     * Exchange on either input (verified by BucketingSpec). */

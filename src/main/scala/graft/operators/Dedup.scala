@@ -91,6 +91,14 @@ object Dedup {
       newDocs.select(TextFunctions.fingerprint(col(textCol)).as("fp")).distinct(),
       table, buckets, Seq("fp"), org.apache.spark.sql.SaveMode.Append)
 
+  /** Offline maintenance for the append-based fingerprint index: one
+    * sorted file per bucket again, replay-duplicated fps collapsed
+    * (see [[Bucketing.compactBucketed]] for the atomicity contract). */
+  def compactFingerprintIndexTable(spark: org.apache.spark.sql.SparkSession,
+                                   table: String, buckets: Int = 32): Unit =
+    Bucketing.compactBucketed(spark, table, buckets, Seq("fp"),
+      dropDuplicates = true)
+
   /** [[exactDedupAgainstIndex]] against the bucketed index table: the
     * anti-join plan has NO Exchange on the index side (plan-asserted in
     * DedupIndexSpec) — only the incoming batch shuffles, by its own
@@ -98,6 +106,85 @@ object Dedup {
   def exactDedupAgainstIndexTable(df: DataFrame, idCol: String,
                                   textCol: String, table: String): DataFrame =
     dedupNewAgainstIndex(df, idCol, textCol, df.sparkSession.table(table))
+
+  /** The NEAR-dup analogue of the fingerprint index: persist the
+    * historical corpus's MinHash band buckets and shingle sets as two
+    * BUCKETED tables, so incremental ingestion can near-dedup each batch
+    * against all history without rescanning or re-signing it:
+    *
+    *  - `<table>_bands` (id, band, bucket), bucketed by (band, bucket) —
+    *    the batch↔history candidate join has no Exchange on the index
+    *    side;
+    *  - `<table>_shingles` (id, n_sh, shingles), bucketed by id — the
+    *    exact-Jaccard verification fetches ONLY candidate docs' shingle
+    *    sets, joined on the bucketed id.
+    *
+    * Storage is ~8·shingles + 24·bands bytes per historical doc — far
+    * below the text — and both tables append per batch like the
+    * fingerprint index. */
+  def buildMinHashIndexTable(df: DataFrame, idCol: String, textCol: String,
+                             table: String, shingleSize: Int = 3,
+                             bands: Int = 32, rowsPerBand: Int = 4,
+                             seed: Long = 42L, buckets: Int = 32): Unit = {
+    val docs = shingleDocs(df, idCol, textCol, shingleSize)
+    Bucketing.writeBucketed(bandRows(docs, bands, rowsPerBand, seed),
+      s"${table}_bands", buckets, Seq("band", "bucket"))
+    Bucketing.writeBucketed(docs.select(col("id"), col("n_sh"), col("shingles")),
+      s"${table}_shingles", buckets, Seq("id"))
+  }
+
+  /** Append a processed batch (its SURVIVORS) to the MinHash index.
+    * Duplicate rows from a replayed append are harmless for correctness
+    * (extra candidate pairs verify to the same answer) — the same
+    * idempotency contract as [[appendToFingerprintIndexTable]]. */
+  def appendToMinHashIndexTable(newDocs: DataFrame, idCol: String,
+                                textCol: String, table: String,
+                                shingleSize: Int = 3, bands: Int = 32,
+                                rowsPerBand: Int = 4, seed: Long = 42L,
+                                buckets: Int = 32): Unit = {
+    val docs = shingleDocs(newDocs, idCol, textCol, shingleSize)
+    Bucketing.writeBucketed(bandRows(docs, bands, rowsPerBand, seed),
+      s"${table}_bands", buckets, Seq("band", "bucket"),
+      org.apache.spark.sql.SaveMode.Append)
+    Bucketing.writeBucketed(docs.select(col("id"), col("n_sh"), col("shingles")),
+      s"${table}_shingles", buckets, Seq("id"),
+      org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** Batch rows with NO verified near-duplicate in the index: LSH band
+    * collision generates (batch, history) candidates — the index side of
+    * that join never shuffles — and exact Jaccard over distinct shingles
+    * verifies them, so approximation lives only in candidate RECALL
+    * (the standard LSH contract, p = 1-(1-s^rows)^bands). Near-dups
+    * WITHIN the batch are left to the caller ([[minhashDupPairs]] +
+    * [[keepBestPerCluster]] compose for that) — cross-batch and in-batch
+    * policies differ (drop-vs-history is asymmetric; in-batch needs a
+    * representative choice), so this operator does exactly one thing. */
+  def minhashDedupAgainstIndexTable(batch: DataFrame, idCol: String,
+                                    textCol: String, table: String,
+                                    shingleSize: Int = 3, bands: Int = 32,
+                                    rowsPerBand: Int = 4,
+                                    threshold: Double = 0.8,
+                                    seed: Long = 42L): DataFrame = {
+    val spark = batch.sparkSession
+    val docs = shingleDocs(batch, idCol, textCol, shingleSize)
+    val banded = bandRows(docs, bands, rowsPerBand, seed)
+    val idxBands = spark.table(s"${table}_bands")
+      .withColumnRenamed("id", "hist_id")
+    val candidates = banded.join(idxBands, Seq("band", "bucket"))
+      .select(col("id"), col("hist_id")).dropDuplicates("id", "hist_id")
+    val idxSh = spark.table(s"${table}_shingles")
+      .select(col("id").as("hist_id"), col("shingles").as("sh2"))
+    val dupIds = candidates
+      .join(docs.select(col("id"), col("shingles").as("sh1")), Seq("id"))
+      .join(idxSh, Seq("hist_id"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") /
+        ((size(col("sh1")) + size(col("sh2"))).cast("double") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id")).distinct()
+    batch.join(dupIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
 
   /** Shared batch-vs-index dedup: one fingerprint projection (computed
     * ONCE), anti-join against the index, then in-batch first-occurrence
@@ -134,6 +221,23 @@ object Dedup {
   private def invertedIndex(docs: DataFrame): DataFrame =
     docs.select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
 
+  /** (id, band, bucket) LSH rows from [[shingleDocs]] output: MinHash the
+    * shingles, then hash each band's slice of the signature into a bucket
+    * key. Only 24 bytes/row ride any downstream shuffle — not the shingle
+    * array (which the explode would otherwise replicate once per band);
+    * shingles rejoin by id AFTER candidates are deduplicated. Shared by
+    * [[minhashDupPairs]] and the persisted band index so banding can
+    * never diverge between the inline and incremental paths. */
+  private def bandRows(docs: DataFrame, bands: Int, rowsPerBand: Int,
+                       seed: Long): DataFrame = {
+    val sigs = docs.withColumn("sig",
+      GraftExpressions.minhashSignature(col("shingles"), bands * rowsPerBand, seed))
+    sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)),
+                      b.cast("string")))).as(Seq("band", "bucket")))
+  }
+
   /** jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|): any pair whose sizes fall
     * outside [t*n, n/t] can never reach threshold t — prune inside the
     * index join, before the per-pair aggregation shuffles it. */
@@ -164,20 +268,8 @@ object Dedup {
                       bands: Int = 32, rowsPerBand: Int = 4,
                       threshold: Double = 0.8,
                       seed: Long = 42L): DataFrame = {
-    val numHashes = bands * rowsPerBand
     val docs = shingleDocs(df, idCol, textCol, shingleSize)
-    val sigs = docs.withColumn("sig",
-      GraftExpressions.minhashSignature(col("shingles"), numHashes, seed))
-
-    // band → bucket key: hash the band's slice of the signature. Only
-    // (band, bucket, id) rides the self-join shuffle — 24 bytes/row, not
-    // the shingle array (which the explode would otherwise replicate once
-    // per band); shingles rejoin by id AFTER candidates are deduplicated,
-    // so each doc's array moves through exactly one more shuffle, once.
-    val banded = sigs.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)),
-                        b.cast("string")))).as(Seq("band", "bucket")))
+    val banded = bandRows(docs, bands, rowsPerBand, seed)
 
     val candidateIds = banded.as("l")
       .join(banded.as("r"),

@@ -82,4 +82,59 @@ object Sampling {
       .filter(col("__cap_rank") <= maxPerKey)
       .drop("__cap_rank")
   }
+
+  /** [[capPerKey]] for skewed key distributions with LARGE caps —
+    * result-identical (given a unique `tieBreak`, the same requirement
+    * the plain path has), but no single task ever holds a hot key's
+    * full group.
+    *
+    * When it matters: for caps under
+    * `spark.sql.optimizer.windowGroupLimitThreshold` (default 1000)
+    * Spark's own InferWindowGroupLimit already trims each map partition
+    * to the top `maxPerKey` per key BEFORE the shuffle, so the plain
+    * window is skew-safe (plan-asserted in SamplingSpec). Production
+    * per-domain caps are often larger than that threshold — keep the
+    * best 10k docs per domain — and above it the rule does not fire:
+    * the hot domain's ENTIRE group (30% of a crawl, for a 30% domain)
+    * then shuffles into ONE window task. This variant restores the
+    * bound:
+    *
+    *  1. a pre-aggregated count finds the keys OVER the cap (map-side
+    *     combinable; the over-cap key set is the Zipf head the cap
+    *     exists to cut, so it broadcasts);
+    *  2. rows of under-cap keys bypass ranking entirely via a broadcast
+    *     anti-join (map-only): every one of their rows survives by
+    *     definition — for a crawl corpus, the vast majority of rows
+    *     never shuffle at all;
+    *  3. over-cap rows run a salted two-phase top-k: rank within
+    *     (key, salt-of-tieBreak) cells keeping `maxPerKey` per cell —
+    *     any global top-`maxPerKey` row is in its cell's top-`maxPerKey`
+    *     — then rank the ≤ salt·maxPerKey survivors per key exactly.
+    *
+    * Worst-task load drops from the hot group's full size to
+    * ~max(group/salt, salt·maxPerKey). Use plain [[capPerKey]] when the
+    * cap is inside the group-limit threshold — this variant costs one
+    * extra count aggregation and a second (tiny) window. */
+  def capPerKeySkewAware(df: DataFrame, keyCols: Seq[String], maxPerKey: Int,
+                         orderBy: String, tieBreak: String,
+                         salt: Int = 16): DataFrame = {
+    require(maxPerKey > 0, "maxPerKey must be positive")
+    require(keyCols.nonEmpty, "capPerKey needs at least one key column")
+    require(salt > 1, "salt must exceed 1 or the pre-rank is the plain path")
+    val overKeys = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxPerKey).drop("__n")
+    val under = df.join(broadcast(overKeys), keyCols, "left_anti")
+    val overRows = df.join(broadcast(overKeys), keyCols, "left_semi")
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy((keyCols.map(col) :+ col("__cap_salt")): _*)
+      .orderBy(col(orderBy).desc_nulls_last, col(tieBreak).asc)
+    val partial = overRows
+      .withColumn("__cap_salt", pmod(xxhash64(col(tieBreak)), lit(salt)))
+      .withColumn("__cap_r1", row_number().over(w1))
+      .filter(col("__cap_r1") <= maxPerKey)
+      .drop("__cap_salt", "__cap_r1")
+    capPerKey(partial, keyCols, maxPerKey, orderBy, tieBreak)
+      .unionByName(under)
+  }
 }

@@ -414,17 +414,9 @@ object Similarity {
                          adcOnly: Boolean = false): DataFrame = {
     require(shortlist >= k)
     val spark = corpus.sparkSession
-    val cents: Array[Array[Double]] =
-      spark.read.parquet(s"$indexPath/centroids")
-        .orderBy(col("cid")).collect()
-        .map(_.getAs[Seq[Double]]("v").toArray)
-    val books = spark.read.parquet(s"$indexPath/codebooks").collect()
-      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
-        r.getAs[Seq[Double]]("v").toArray))
-    val m = books.map(_._1).max + 1
-    val ks = books.map(_._2).max + 1
-    val codebooks = Array.tabulate(m, ks)((s, c) =>
-      books.find(b => b._1 == s && b._2 == c).get._3)
+    val (cents, codebooks) = loadIndexSidecars(spark, indexPath)
+    val m = codebooks.length
+    val ks = codebooks.head.length
     require(nProbe >= 1 && nProbe <= cents.length)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     // the probed lists across the whole query batch: ≤ nLists values,
@@ -446,6 +438,53 @@ object Similarity {
       else Some(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
     ivfPqQuery(index, cents, codebooks, reRank,
       q, k, nProbe, m, ks, shortlist)
+  }
+
+  /** Load the two tiny sidecars to the driver (nLists + m·ks rows — the
+    * bounded-collect contract of the index layout). */
+  private def loadIndexSidecars(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val cents: Array[Array[Double]] =
+      spark.read.parquet(s"$indexPath/centroids")
+        .orderBy(col("cid")).collect()
+        .map(_.getAs[Seq[Double]]("v").toArray)
+    val books = spark.read.parquet(s"$indexPath/codebooks").collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
+        r.getAs[Seq[Double]]("v").toArray))
+    val m = books.map(_._1).max + 1
+    val ks = books.map(_._2).max + 1
+    val codebooks = Array.tabulate(m, ks)((s, c) =>
+      books.find(b => b._1 == s && b._2 == c).get._3)
+    (cents, codebooks)
+  }
+
+  /** Append new vectors to a persisted IVF-PQ index with its EXISTING
+    * coarse quantizer and codebooks — the FAISS `add` operation: one
+    * map-only encode pass over the batch, appending only to the cid
+    * partitions the new vectors land in; nothing existing is rewritten
+    * and no retraining happens. This is what makes the index a GROWABLE
+    * structure for continuous ingestion (pair with the incremental dedup
+    * indexes): daily embeddings append in O(batch), queries stay
+    * partition-pruned. Quantization quality for appended vectors rides
+    * the ORIGINAL training sample — re-train with [[buildIvfPqIndex]]
+    * when the embedding distribution drifts (same rebuild cadence FAISS
+    * recommends). Appends also land in `vectors/` when the index stores
+    * vectors, so exact re-rank covers appended rows. */
+  def appendToIvfPqIndex(newVectors: DataFrame, idCol: String,
+                         vecCol: String, path: String): Unit = {
+    val spark = newVectors.sparkSession
+    val (cents, codebooks) = loadIndexSidecars(spark, path)
+    val assigned = newVectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    assigned.select(col("id"),
+        nearestCentroid(col("v"), cents).as("cid"),
+        GraftExpressions.pqEncode(col("v"), codebooks).as("code"))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/codes")
+    val vectorsPath = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    if (vectorsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(vectorsPath))
+      assigned.select(col("id"), col("v"),
+          nearestCentroid(col("v"), cents).as("cid"))
+        .write.mode("append").partitionBy("cid").parquet(s"$path/vectors")
   }
 
   /** Distinct list ids any query in the batch probes — bounded by nLists. */

@@ -177,6 +177,40 @@ object StreamRunner {
     }
   }
 
+  /** Continuous dedup-on-ingest — the operator a training pipeline
+    * actually runs: each micro-batch is deduplicated against the
+    * PERSISTED bucketed fingerprint index
+    * ([[graft.operators.Dedup.exactDedupAgainstIndexTable]] — the index
+    * side of the anti-join never shuffles), the survivors go to `sink`,
+    * and their fingerprints are appended to the index so the NEXT batch
+    * (and the next run) dedups against them. Replay-protected by the
+    * committed-batch ledger in `store`: a re-delivered micro-batch is
+    * skipped before it can re-write the sink or re-append fps.
+    *
+    * Ordering inside a batch: survivors are materialized (lineage
+    * truncated) BEFORE the sink write and the index append — a lazily
+    * recomputed survivor frame would re-read the index it just mutated
+    * and drop its own rows. Sink commits before the fp append: a crash
+    * between the two re-delivers the batch, the ledger skip is not yet
+    * recorded, and reprocessing re-appends the fps — duplicate fps in the
+    * index are harmless (it is an existence set), whereas appending fps
+    * before the sink commit would make a replayed batch anti-join its own
+    * rows away and LOSE them. */
+  def runIncrementalDedup(stream: DataFrame, idCol: String, textCol: String,
+                          indexTable: String, checkpoint: String,
+                          store: graft.core.HwmStore, ledgerName: String,
+                          indexBuckets: Int = 32)
+                         (sink: (DataFrame, Long) => Unit): Unit =
+    runAvailableNowForeachBatchExactlyOnce(stream, checkpoint, store,
+        ledgerName) { (batch, id) =>
+      val survivors = graft.operators.Dedup
+        .exactDedupAgainstIndexTable(batch, idCol, textCol, indexTable)
+        .localCheckpoint()
+      sink(survivors, id)
+      graft.operators.Dedup.appendToFingerprintIndexTable(
+        survivors, textCol, indexTable, indexBuckets)
+    }
+
   /** Drain a stream into an in-memory table (testing/interactive). */
   def runAvailableNowToMemory(df: DataFrame, tableName: String,
                               outputMode: OutputMode = OutputMode.Complete())

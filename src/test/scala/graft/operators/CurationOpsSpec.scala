@@ -99,6 +99,17 @@ class UrlFunctionsSpec extends SparkSpec {
       .select(urlQuery($"u")).as[String].head() === "a=1")
   }
 
+  test("idnAscii: unicode hosts -> punycode, ASCII and invalid pass through") {
+    def idn(s: String): String =
+      Seq(s).toDF("h").select(idnAscii($"h")).as[String].head()
+    assert(idn("münchen.example.com") === "xn--mnchen-3ya.example.com")
+    assert(idn("例え.テスト") === "xn--r8jz45g.xn--zckzah")
+    assert(idn("plain.example.com") === "plain.example.com") // fast path
+    assert(idn("") === "")
+    // the two spellings of one host collapse to one dedup key
+    assert(idn("münchen.de") === idn("xn--mnchen-3ya.de"))
+  }
+
   test("percent-encoding normalization (RFC 3986 6.2.2)") {
     def pn(s: String): String =
       Seq(s).toDF("u").select(percentNormalize($"u")).as[String].head()
@@ -134,6 +145,49 @@ class SamplingSpec extends SparkSpec {
     // survivor columns are untouched and the cap never exceeds the group
     assert(Sampling.capPerKey(docs, Seq("domain"), 100, "q", "id")
       .count() === docs.count())
+  }
+
+  test("capPerKeySkewAware: identical survivors, hot-key task shrinks") {
+    // planted 30%-style skew: one domain holds 20k rows, 40 others hold
+    // 50 each; cap keeps the 4 best per domain
+    val hot = (0 until 20000).map(i => ("hot.com", i.toLong, (i % 97).toDouble))
+    val cold = (0 until 40).flatMap(d =>
+      (0 until 50).map(i => (s"d$d.com", 100000L + d * 100 + i, (i % 7).toDouble)))
+    val docs = (hot ++ cold).toDF("domain", "id", "q")
+    def plain = Sampling.capPerKey(docs, Seq("domain"), 4, "q", "id")
+    def skewAware = Sampling.capPerKeySkewAware(docs, Seq("domain"), 4, "q", "id")
+    // result-identical: same survivor SET (cold keys under the cap all
+    // survive; hot key keeps the exact same best-4)
+    assert(skewAware.select($"domain", $"id").as[(String, Long)].collect().toSet
+      === plain.select($"domain", $"id").as[(String, Long)].collect().toSet)
+    // small caps: Spark's InferWindowGroupLimit protects the plain path
+    // by itself — the plan must carry a WindowGroupLimit, which trims
+    // each map partition to the top-4 per key before the shuffle
+    plain.count()
+    assert(plain.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "expected Spark's group-limit pushdown on the plain path at cap=4")
+    // LARGE caps lose that rule (it fires only under
+    // windowGroupLimitThreshold, default 1000) — simulate by disabling
+    // it: the plain window then materializes the WHOLE hot group in one
+    // task, and the salted pre-rank is what bounds the straggler
+    // (records, not bytes — repetitive keys compress; AQE off keeps
+    // reduce tasks distinct)
+    import graft.metrics.SkewAudit
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "-1")
+    try {
+      val (_, plainRep) = SkewAudit.audit(spark) { plain.rdd.count() }
+      val (_, skewRep) = SkewAudit.audit(spark) { skewAware.rdd.count() }
+      val plainMax = plainRep.map(_.maxShuffleReadRecords).max
+      val skewMax = skewRep.map(_.maxShuffleReadRecords).max
+      assert(plainMax >= 20000L,
+        s"plain path should pin the full hot group in one task, got $plainMax")
+      assert(skewMax < plainMax / 2,
+        s"skew-aware worst task should shrink severalfold: $skewMax vs $plainMax")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.optimizer.windowGroupLimitThreshold")
+    }
   }
 
   test("deterministic: same rows every run, fraction approximately honored") {

@@ -52,6 +52,105 @@ class DedupIndexSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("minhash index: near-dups die vs history and vs APPENDED batch, exacts survive") {
+    val mkDoc = (id: Long, base: String) => (id, base)
+    val hist = Seq(
+      mkDoc(1L, "the quick brown fox jumps over the lazy dog near the old river bank"),
+      mkDoc(2L, "completely different content about spark query engines and distributed joins today")
+    ).toDF("doc_id", "text")
+    val table = "graft_mh_idx_spec"
+    Dedup.buildMinHashIndexTable(hist, "doc_id", "text", table, buckets = 4)
+    try {
+      val batch1 = Seq(
+        // near-copy of history 1 (two tokens appended) -> killed
+        mkDoc(10L, "the quick brown fox jumps over the lazy dog near the old river bank zz yy"),
+        // unrelated -> survives
+        mkDoc(11L, "a totally fresh document with its own vocabulary and no overlap whatsoever here"),
+        mkDoc(12L, "short text")
+      ).toDF("doc_id", "text")
+      val s1 = Dedup.minhashDedupAgainstIndexTable(batch1, "doc_id", "text",
+        table, threshold = 0.7)
+      assert(s1.select($"doc_id").as[Long].collect().sorted.toSeq === Seq(11L, 12L))
+      Dedup.appendToMinHashIndexTable(
+        s1.localCheckpoint(), "doc_id", "text", table, buckets = 4)
+      val batch2 = Seq(
+        // near-copy of batch-1 SURVIVOR 11 -> killed only if append worked
+        mkDoc(20L, "a totally fresh document with its own vocabulary and no overlap whatsoever here zz"),
+        // near-copy of history 2 -> killed by the original index
+        mkDoc(21L, "completely different content about spark query engines and distributed joins today yy"),
+        mkDoc(22L, "yet another brand new piece of writing on an unrelated subject entirely now")
+      ).toDF("doc_id", "text")
+      val s2 = Dedup.minhashDedupAgainstIndexTable(batch2, "doc_id", "text",
+        table, threshold = 0.7)
+      assert(s2.select($"doc_id").as[Long].collect().toSeq === Seq(22L))
+      // the candidate join must not shuffle the band index (bucketed by
+      // (band, bucket)); disable broadcast to force the sort-merge path
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = Dedup.minhashDedupAgainstIndexTable(batch2, "doc_id",
+          "text", table, threshold = 0.7)
+        plan.count()
+        val ex = exchanges(plan.queryExecution.executedPlan)
+        // exchanges exist (batch banding, jaccard grouping) but none may
+        // sit above the bands-table scan
+        val resolved = plan.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        // an Exchange sits on the index side iff its subtree's ONLY leaf
+        // is the bands scan (downstream shuffles legitimately contain it
+        // along with the batch side)
+        val bandScanShuffled = ex.exists { e =>
+          val leaves = e.collectLeaves()
+          leaves.nonEmpty &&
+            leaves.forall(_.toString.contains(s"${table}_bands"))
+        }
+        assert(!bandScanShuffled,
+          s"band index side must not shuffle:\n$resolved")
+        // sanity: the batch side of the candidate join DOES shuffle
+        assert(ex.nonEmpty)
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_shingles")
+    }
+  }
+
+  test("compactBucketed heals append fragmentation, keeps the bucketed layout") {
+    val table = "graft_fp_idx_compact"
+    Dedup.buildFingerprintIndexTable(hist, "text", table, buckets = 4)
+    try {
+      // five appends, one of them a replay (duplicate fps)
+      val extra = Seq((10L, "fresh one"), (11L, "fresh two")).toDF("doc_id", "text")
+      (1 to 4).foreach(_ =>
+        Dedup.appendToFingerprintIndexTable(extra, "text", table, buckets = 4))
+      val dir = new java.io.File(
+        spark.sql(s"DESCRIBE FORMATTED $table").collect()
+          .find(_.getString(0) == "Location").get.getString(1)
+          .stripPrefix("file:"))
+      def files = dir.listFiles().count(_.getName.endsWith(".parquet"))
+      val before = files
+      assert(spark.table(table).count() === 11L) // 3 hist + 4x2 appended
+      Dedup.compactFingerprintIndexTable(spark, table, buckets = 4)
+      // duplicates collapsed, files reduced to at most one per bucket
+      assert(spark.table(table).count() === 5L)
+      val dir2 = new java.io.File(
+        spark.sql(s"DESCRIBE FORMATTED $table").collect()
+          .find(_.getString(0) == "Location").get.getString(1)
+          .stripPrefix("file:"))
+      val after = dir2.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(after <= 4 && after < before, s"files: $before -> $after")
+      // the compacted table still joins without an index-side Exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val batch = Seq((20L, "fresh one"), (21L, "brand new")).toDF("doc_id", "text")
+        val kept = Dedup.exactDedupAgainstIndexTable(batch, "doc_id", "text", table)
+        assert(kept.select($"doc_id").as[Long].collect().toSeq === Seq(21L))
+        assert(exchanges(kept.queryExecution.executedPlan).size === 1)
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("anti-join shuffles ONLY the batch side; plain parquet index shuffles both") {
     val table = "graft_fp_idx_plan"
     Dedup.buildFingerprintIndexTable(hist, "text", table, buckets = 4)

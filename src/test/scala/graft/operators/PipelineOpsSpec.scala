@@ -611,6 +611,35 @@ class IvfPqSimilaritySpec extends graft.SparkSpec {
     assert(spark.read.parquet(s"$idx/vectors").count() === emb.count())
   }
 
+  test("appendToIvfPqIndex: appended vectors are queryable, nothing retrained") {
+    val rnd = new scala.util.Random(53)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 200).map(i => (i.toLong, vec()))
+    val corpus = base.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_append").toString
+    Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", idx, nLists = 8)
+    val centsBefore = spark.read.parquet(s"$idx/centroids").collect().toSet
+    // append perturbed copies of 10 base vectors under new ids
+    val appended = base.take(10).map { case (i, v) =>
+      (1000L + i, v.map(x => x + 0.03f * rnd.nextGaussian().toFloat))
+    }
+    Similarity.appendToIvfPqIndex(
+      appended.toDF("vec_id", "embedding"), "vec_id", "embedding", idx)
+    // sidecars untouched: append must never retrain
+    assert(spark.read.parquet(s"$idx/centroids").collect().toSet === centsBefore)
+    // the appended rows are present in codes and vectors, in cid partitions
+    assert(spark.read.parquet(s"$idx/codes").count() === 210L)
+    assert(spark.read.parquet(s"$idx/vectors").count() === 210L)
+    // querying each original base vector finds its appended near-copy
+    // (full probes isolate the membership question from list pruning)
+    val q = base.take(10).toDF("vec_id", "embedding")
+    val top = Similarity.ivfPqTopKFromIndex(idx, corpus, q,
+        "vec_id", "embedding", 1, nProbe = 8, shortlist = 50)
+      .select($"query_id", $"id").as[(Long, Long)].collect().toMap
+    val hits = (0 until 10).count(i => top.get(i.toLong).contains(1000L + i))
+    assert(hits >= 9, s"appended neighbor found for only $hits/10 queries")
+  }
+
   test("ADC-only mode: no vectors persisted, no corpus scan, ranked shortlist") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter($"vec_id" < 5).select($"vec_id", $"embedding")

@@ -121,6 +121,69 @@ class StreamingSpec extends SparkSpec {
     assert(totalRows() === 200L, "row totals changed after replay")
   }
 
+  test("streaming incremental dedup: index-killed dups, cross-batch append, replay-safe") {
+    // three mtime-ordered files -> three deterministic micro-batches; the
+    // dedup must kill an in-batch copy, a re-ingestion of HISTORY, and a
+    // re-ingestion of an EARLIER BATCH (proving fps were appended); then
+    // a forged full replay (fresh checkpoint, same ledger/index/sink)
+    // must leave the sink untouched.
+    val hist = Seq((1L, "history text alpha"), (2L, "history text beta"))
+      .toDF("doc_id", "text")
+    val table = "graft_fp_sid_spec"
+    graft.operators.Dedup.buildFingerprintIndexTable(hist, "text", table, buckets = 4)
+    try {
+      val src = tmpDir("stream-sid-src")
+      val batches = Seq(
+        Seq((10L, "history text alpha"), // killed by index
+          (11L, "fresh doc one"), (12L, "fresh doc one"), // in-batch dup
+          (13L, "fresh doc two")),
+        Seq((20L, "fresh doc one"),      // killed by batch-0's APPENDED fp
+          (21L, "fresh doc three")),
+        Seq((30L, "fresh doc three"),    // killed by batch-1's APPENDED fp
+          (31L, "history text beta"),    // killed by index
+          (32L, "fresh doc four")))
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        rows.toDF("doc_id", "text").coalesce(1)
+          .write.mode("append").parquet(src)
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(src))
+        try {
+          val it = st.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".parquet") &&
+                java.nio.file.Files.getLastModifiedTime(p).toInstant
+                  .isAfter(java.time.Instant.EPOCH.plusSeconds(100 + i.toLong)))
+              java.nio.file.Files.setLastModifiedTime(p,
+                java.nio.file.attribute.FileTime.from(
+                  java.time.Instant.EPOCH.plusSeconds(100 + i.toLong)))
+          }
+        } finally st.close()
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val store = new graft.core.InMemoryHwmStore
+      val out = tmpDir("stream-sid-out")
+      def run(ck: String): Unit = StreamRunner.runIncrementalDedup(
+        FileStreamReader.read(spark, Parquet(), src, schema,
+          maxFilesPerTrigger = Some(1)),
+        "doc_id", "text", table, ck, store, "sid_ledger", indexBuckets = 4) {
+        (survivors, _) => survivors.write.mode("append").parquet(out)
+      }
+      run(tmpDir("stream-sid-ck1"))
+      val landed = spark.read.parquet(out)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(landed === Seq(11L, 13L, 21L, 32L))
+      // fps appended: 2 history + 4 survivors
+      assert(spark.table(table).count() === 6L)
+      // forged replay: fresh checkpoint restarts batch ids at 0; the
+      // ledger must skip every batch — sink and index unchanged
+      run(tmpDir("stream-sid-ck2"))
+      assert(spark.read.parquet(out)
+        .select($"doc_id").as[Long].collect().sorted.toSeq === landed)
+      assert(spark.table(table).count() === 6L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("stateless curation ops run unchanged on streams: sample + scrub") {
     // Sampling and PII scrubbing are pure row-local transformations, so
     // the SAME operator code applies to a readStream frame — this is the
