@@ -527,8 +527,8 @@ object SparkEntry {
         docs.filter(col("doc_id") < 250), "text", table)
       try {
         val batch1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
-          .unionByName(shifted(0, 50, 1000))     // killed by the index
-          .unionByName(shifted(250, 260, 2000))  // killed in-batch
+          .unionByName(shifted(0, 50, 1000000))     // killed by the index
+          .unionByName(shifted(250, 260, 2000000))  // killed in-batch
         // localCheckpoint: survivors must be MATERIALIZED with lineage
         // truncated before the index mutates under them (a lazily
         // recomputed s1 would re-read the APPENDED index and drop its
@@ -538,9 +538,9 @@ object SparkEntry {
           .localCheckpoint()
         operators.Dedup.appendToFingerprintIndexTable(s1, "text", table)
         val batch2 = docs.filter(col("doc_id") >= 375)
-          .unionByName(shifted(250, 300, 3000))  // killed by APPENDED fps
-          .unionByName(shifted(50, 60, 4000))    // killed by original index
-          .unionByName(shifted(375, 385, 5000))  // killed in-batch
+          .unionByName(shifted(250, 300, 3000000))  // killed by APPENDED fps
+          .unionByName(shifted(50, 60, 4000000))    // killed by original index
+          .unionByName(shifted(375, 385, 5000000))  // killed in-batch
         val s2 = operators.Dedup
           .exactDedupAgainstIndexTable(batch2, "doc_id", "text", table)
         s1.unionByName(s2)
@@ -615,7 +615,7 @@ object SparkEntry {
       try {
         val batch = docs.filter(col("doc_id") >= 250)
           .unionByName(docs.filter(col("doc_id") < 50)
-            .withColumn("doc_id", col("doc_id") + 1000)
+            .withColumn("doc_id", col("doc_id") + 1000000)
             .withColumn("text", concat(col("text"), lit(" zz yy"))))
         operators.Dedup.minhashDedupAgainstIndexTable(
             batch, "doc_id", "text", table, threshold = 0.7)
@@ -1544,11 +1544,13 @@ object SparkEntry {
       // history doc_id < 250), survivors land in parquet, and their fps
       // are appended so batch N+1 drops re-ingestions of batch N. Every
       // planted copy dies (in-batch, vs history, or vs an EARLIER batch
-      // via the append), so the landed corpus is exactly the originals —
-      // any dedup failure surfaces as extra rows, over-deletion as
-      // missing ones. Exact dedup is confluent (smallest id wins within
-      // a batch, the index kills across batches), so the landed set does
-      // not depend on micro-batch boundaries.
+      // via the append), and at larger SFs the corpus's natural
+      // duplicate pairs collapse too — any dedup failure surfaces as
+      // extra rows, over-deletion as missing ones. Exact dedup is
+      // confluent (smallest id wins within a batch, the index kills
+      // across batches), so the landed set does not depend on
+      // micro-batch boundaries and the oracle may compute the global
+      // min-id form.
       import org.apache.spark.sql.types._
       val docs = DbReader(conn(s, dir), "documents").run()
         .select(col("doc_id"), col("source"), col("text"))
@@ -1560,13 +1562,13 @@ object SparkEntry {
           val ld = java.nio.file.Files.createTempDirectory("graft_sid_in")
           val batches = Seq(
             docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
-              .unionByName(shifted(0, 50, 1000))     // vs history index
-              .unionByName(shifted(250, 260, 2000)), // in-batch copies
+              .unionByName(shifted(0, 50, 1000000))     // vs history index
+              .unionByName(shifted(250, 260, 2000000)), // in-batch copies
             docs.filter(col("doc_id") >= 375 && col("doc_id") < 450)
-              .unionByName(shifted(250, 300, 3000)), // vs batch-0 APPENDED fps
+              .unionByName(shifted(250, 300, 3000000)), // vs batch-0 APPENDED fps
             docs.filter(col("doc_id") >= 450)
-              .unionByName(shifted(375, 385, 5000))  // vs batch-1 APPENDED fps
-              .unionByName(shifted(50, 60, 4000)))   // vs history index
+              .unionByName(shifted(375, 385, 5000000))  // vs batch-1 APPENDED fps
+              .unionByName(shifted(50, 60, 4000000)))   // vs history index
           batches.zipWithIndex.foreach { case (b, i) =>
             b.coalesce(1).write.mode("append").parquet(ld.toString)
             // stamp everything unstamped so far with a strictly
@@ -2160,9 +2162,9 @@ object SparkEntry {
         |b1 AS (
         |  SELECT doc_id, source, nt FROM n WHERE doc_id >= 250 AND doc_id < 375
         |  UNION ALL
-        |  SELECT doc_id + 1000, source, nt FROM n WHERE doc_id < 50
+        |  SELECT doc_id + 1000000, source, nt FROM n WHERE doc_id < 50
         |  UNION ALL
-        |  SELECT doc_id + 2000, source, nt FROM n WHERE doc_id >= 250 AND doc_id < 260),
+        |  SELECT doc_id + 2000000, source, nt FROM n WHERE doc_id >= 250 AND doc_id < 260),
         |k1 AS (SELECT min(doc_id) AS doc_id FROM b1 GROUP BY nt),
         |s1 AS (SELECT b.doc_id, b.source, b.nt FROM b1 b
         |       JOIN k1 USING (doc_id)
@@ -2171,11 +2173,11 @@ object SparkEntry {
         |b2 AS (
         |  SELECT doc_id, source, nt FROM n WHERE doc_id >= 375
         |  UNION ALL
-        |  SELECT doc_id + 3000, source, nt FROM n WHERE doc_id >= 250 AND doc_id < 300
+        |  SELECT doc_id + 3000000, source, nt FROM n WHERE doc_id >= 250 AND doc_id < 300
         |  UNION ALL
-        |  SELECT doc_id + 4000, source, nt FROM n WHERE doc_id >= 50 AND doc_id < 60
+        |  SELECT doc_id + 4000000, source, nt FROM n WHERE doc_id >= 50 AND doc_id < 60
         |  UNION ALL
-        |  SELECT doc_id + 5000, source, nt FROM n WHERE doc_id >= 375 AND doc_id < 385),
+        |  SELECT doc_id + 5000000, source, nt FROM n WHERE doc_id >= 375 AND doc_id < 385),
         |k2 AS (SELECT min(doc_id) AS doc_id FROM b2 GROUP BY nt),
         |s2 AS (SELECT b.doc_id, b.source FROM b2 b
         |       JOIN k2 USING (doc_id)
@@ -2241,7 +2243,7 @@ object SparkEntry {
         |batch AS (
         |  SELECT doc_id, source, text FROM base WHERE doc_id >= 250
         |  UNION ALL
-        |  SELECT doc_id + 1000, source, text || ' zz yy' FROM base WHERE doc_id < 50),
+        |  SELECT doc_id + 1000000, source, text || ' zz yy' FROM base WHERE doc_id < 50),
         |hist AS (SELECT doc_id, text FROM base WHERE doc_id < 250),
         |bdocs AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
@@ -2587,12 +2589,35 @@ object SparkEntry {
     // streaming gates share batch semantics: AvailableNow over static
     // files must equal the batch query (sentinel rows are filtered on the
     // Spark side before the compare)
-    // every planted duplicate (in-batch copies, re-ingested history,
-    // re-ingestions of earlier micro-batches) must die; the landed
-    // corpus is exactly the non-history originals
+    // sequential per-batch exact dedup (min id within the first batch a
+    // class appears in, index kills across batches) is CONFLUENT with a
+    // single global min-id dedup here: original ids ascend with batch
+    // order and every planted id exceeds 1e6, so the oracle computes the
+    // global form — which also catches the corpus's natural duplicate
+    // pairs at larger SFs
     "streaming_incremental_dedup" ->
-      """SELECT doc_id, source FROM documents
-        |WHERE doc_id >= 250 ORDER BY doc_id""".stripMargin,
+      """WITH n AS (
+        |  SELECT doc_id, source,
+        |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        |  FROM documents),
+        |hist AS (SELECT DISTINCT nt FROM n WHERE doc_id < 250),
+        |stream AS (
+        |  SELECT doc_id, source, nt FROM n WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, nt FROM n WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, source, nt FROM n WHERE doc_id >= 250 AND doc_id < 260
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, source, nt FROM n WHERE doc_id >= 250 AND doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, source, nt FROM n WHERE doc_id >= 50 AND doc_id < 60
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, source, nt FROM n WHERE doc_id >= 375 AND doc_id < 385),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM stream GROUP BY nt)
+        |SELECT s.doc_id, s.source FROM stream s
+        |JOIN keep k USING (doc_id)
+        |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.nt = s.nt)
+        |ORDER BY s.doc_id""".stripMargin,
     "streaming_windowed_agg" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
         |       count(*) AS n,
