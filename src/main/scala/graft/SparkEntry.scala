@@ -1974,6 +1974,34 @@ object SparkEntry {
 
     // --- Deterministic stratified sampling (LLM pipeline): arithmetic
     // key-hash keeps the same rows on every engine and every run ---------
+    "sample_mix_budget" -> ((s, dir) => {
+      // data-mixture step: three sources fill 50/30/20% of a 3000-token
+      // budget in deterministic hash order; every cap binds at both SFs
+      // (each source holds >= 2.5k tokens at sf0.01), other sources
+      // contribute nothing. Row-level survivors — the oracle replays the
+      // identical running-sum cut
+      import graft.functions.TextFunctions._
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .withColumn("n_tokens", tokenCount(col("text")))
+      operators.Sampling.mixByTokenBudget(docs, "source", "n_tokens",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+          budget = 3000L, tieBreak = "doc_id")
+        .select(col("doc_id"), col("source"),
+          col("n_tokens").cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+    "sample_split_assign" -> ((s, dir) => {
+      // deterministic 80/10/10 train/val/test assignment by hash band —
+      // stable under corpus growth (a doc's split never changes when
+      // rows are added), reproducible in any SQL engine
+      val docs = DbReader(conn(s, dir), "documents").run()
+      operators.Sampling.splitByHash(docs, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"))
+    }),
     "sample_stratified" -> ((s, dir) => {
       operators.Sampling.stratifiedSampleByKey(
           DbReader(conn(s, dir), "documents").run(), "doc_id", "source",
@@ -3082,6 +3110,34 @@ object SparkEntry {
     // thresholds are floor(fraction * 2^32): 0.5 -> 2147483648,
     // 0.25 -> 1073741824, default 0.1 -> 429496729 (same truncation as
     // Sampling.threshold); hash = (key mod 2^31) * 2654435761 mod 2^32
+    // identical running-sum cut: per-source cumulative tokens in
+    // (knuth-hash, doc_id) order, kept while cum <= budget * weight
+    "sample_mix_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |         (doc_id % 2147483648) * 2654435761 % 4294967296 AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum
+        |  FROM d)
+        |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens FROM c
+        |WHERE cum <= CASE source WHEN 'src0' THEN 1500.0
+        |                         WHEN 'src1' THEN 900.0
+        |                         WHEN 'src2' THEN 600.0 ELSE 0.0 END
+        |ORDER BY doc_id""".stripMargin,
+    // cumulative hash bands: train < 0.8*2^32, val < 0.9*2^32, else test
+    "sample_split_assign" ->
+      """SELECT CASE WHEN h < 3435973836 THEN 'train'
+        |            WHEN h < 3865470566 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM (SELECT doc_id,
+        |        (doc_id % 2147483648) * 2654435761 % 4294967296 AS h
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY split""".stripMargin,
     "sample_stratified" ->
       """SELECT source, count(*) AS n_kept, min(doc_id) AS min_id
         |FROM documents

@@ -50,6 +50,68 @@ object Sampling {
     df.filter(knuthHash32(col(keyCol)) < thr)
   }
 
+  /** Deterministic train/val/test assignment: label each row by which
+    * cumulative hash band its key falls in — `splitByHash(df, "doc_id",
+    * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))`. Map-only (one
+    * codegen'd CASE, no shuffle, no RNG state), and STABLE under corpus
+    * growth: a key's split never changes when rows are added, which is
+    * what keeps eval sets uncontaminated across ingestion runs — the
+    * property `randomSplit` cannot give you. Weights summing below 1
+    * leave the remainder `NULL` (an explicit holdout). */
+  def splitByHash(df: DataFrame, keyCol: String,
+                  weights: Seq[(String, Double)],
+                  outCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "splitByHash needs at least one split")
+    require(weights.forall(_._2 > 0), "split weights must be positive")
+    require(weights.map(_._2).sum <= 1.0 + 1e-9,
+      s"split weights must sum to <= 1, got ${weights.map(_._2).sum}")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "split names must be unique")
+    val h = knuthHash32(col(keyCol))
+    val cum = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val expr = weights.zip(cum).foldRight(lit(null).cast("string")) {
+      case (((name, _), cumW), acc) =>
+        when(h < lit(threshold(math.min(cumW, 1.0))), name).otherwise(acc)
+    }
+    df.withColumn(outCol, expr)
+  }
+
+  /** Token-budget corpus mixing — the data-mixture step of a training
+    * run: each source contributes documents, in a deterministic
+    * pseudo-random order (Knuth hash of `tieBreak`), until its share of
+    * the global token budget (`budget · weights(source)`) is reached;
+    * sources not in `weights` contribute nothing. One hash shuffle on
+    * the source column + a running-sum window per source — the same
+    * shape as any per-key cumulative cut. Selection is deterministic
+    * across re-runs but NOT stable under corpus growth (new docs insert
+    * into the hash order and can displace later ones) — mixing decides a
+    * training run's diet, it is not a split ([[splitByHash]] is).
+    *
+    * The per-source window scans the full source in one task; for a
+    * single source holding a large corpus share, pre-trim with
+    * [[sampleByKey]] to ~the budget first (the same hot-key argument as
+    * [[capPerKeySkewAware]], which cannot apply here because a
+    * cumulative SUM, unlike a top-k rank, has no per-cell decomposition). */
+  def mixByTokenBudget(df: DataFrame, sourceCol: String, tokensCol: String,
+                       weights: Map[String, Double], budget: Long,
+                       tieBreak: String): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    require(weights.values.sum <= 1.0 + 1e-9,
+      s"weights must sum to <= 1, got ${weights.values.sum}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(knuthHash32(col(tieBreak)), col(tieBreak))
+    val cap = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (src, frac)) =>
+        when(col(sourceCol) === src, lit(budget * frac)).otherwise(acc)
+    }
+    df.withColumn("__mix_cum", sum(col(tokensCol)).over(w))
+      .filter(col("__mix_cum") <= cap)
+      .drop("__mix_cum")
+  }
+
   /** Deterministic global shuffle for training order: sort by the Knuth
     * hash of the key (ties by key). The hash is map-only; the sort is one
     * range-partitioned exchange, identical on re-runs — no RNG state, so

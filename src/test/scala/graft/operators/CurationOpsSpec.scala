@@ -203,6 +203,47 @@ class SamplingSpec extends SparkSpec {
     assert(small.subsetOf(large))
   }
 
+  test("mixByTokenBudget: per-source caps bind, order deterministic, others drop") {
+    val docs = (0 until 30).map { i =>
+      (i.toLong, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", 10L)
+    }.toDF("id", "src", "toks") // 10 docs x 10 tokens per source
+    val mixed = Sampling.mixByTokenBudget(docs, "src", "toks",
+      Map("a" -> 0.5, "b" -> 0.25), budget = 200L, tieBreak = "id")
+    val bySrc = mixed.groupBy($"src").count().as[(String, Long)].collect().toMap
+    // a: cap 100 tokens -> 10 docs (all); b: cap 50 -> 5 docs; c: absent -> 0
+    assert(bySrc === Map("a" -> 10L, "b" -> 5L))
+    // deterministic: identical selection on re-run
+    val again = Sampling.mixByTokenBudget(docs, "src", "toks",
+      Map("a" -> 0.5, "b" -> 0.25), budget = 200L, tieBreak = "id")
+    assert(mixed.select($"id").as[Long].collect().sorted.toSeq ===
+      again.select($"id").as[Long].collect().sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      Sampling.mixByTokenBudget(docs, "src", "toks", Map("a" -> 1.5), 100L, "id")
+    }
+  }
+
+  test("splitByHash: disjoint covering bands, stable under corpus growth") {
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val small = Sampling.splitByHash(ids, "id", w)
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    // every row labeled, rough proportions hold
+    assert(small.values.forall(Set("train", "val", "test")))
+    val frac = small.values.groupBy(identity).view.mapValues(_.size / 4000.0)
+    assert(math.abs(frac("train") - 0.8) < 0.05, frac.toMap.toString)
+    // growth stability: the same ids keep their split in a 3x corpus
+    val big = Sampling.splitByHash((0L until 12000L).toDF("id"), "id", w)
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(small.forall { case (id, sp) => big(id) == sp },
+      "existing keys must never be reassigned when the corpus grows")
+    // weights below 1: remainder is NULL (explicit holdout)
+    val partial = Sampling.splitByHash(ids, "id", Seq("train" -> 0.5))
+      .filter($"split".isNull).count()
+    assert(partial > 1500 && partial < 2500)
+    intercept[IllegalArgumentException] {
+      Sampling.splitByHash(ids, "id", Seq("a" -> 0.9, "b" -> 0.2))
+    }
+  }
+
   test("edge fractions: 0 keeps nothing, 1 keeps everything") {
     assert(Sampling.sampleByKey(ids, "id", 0.0).count() == 0L)
     assert(Sampling.sampleByKey(ids, "id", 1.0).count() == 4000L)
