@@ -281,6 +281,33 @@ object VectorImpl {
     acc
   }
 
+  /** Rademacher random projection (Achlioptas '03): out_k =
+    * Σ_j v_j · sign(mix(seed,k,j)) / √outDim. Distances/cosines are
+    * preserved in JL fashion with ±1 entries — no Gaussian sampling, no
+    * matrix to store or broadcast (signs derive from the splitmix), and
+    * the result is float, so a 64-dim double embedding projected to 16
+    * dims cuts downstream shuffle bytes 8×. */
+  def randomProject(v: ArrayData, isFloat: Boolean, outDim: Int,
+                    seed: Long): ArrayData = {
+    val dim = v.numElements()
+    val out = new Array[Float](outDim)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    var k = 0
+    while (k < outDim) {
+      var acc = 0.0
+      var j = 0
+      while (j < dim) {
+        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        val sign = if ((mix(seed ^ (k.toLong << 32) ^ j.toLong) & 1L) == 1L) 1.0 else -1.0
+        acc += x * sign
+        j += 1
+      }
+      out(k) = (acc * scale).toFloat
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** splitmix64 finalizer — deterministic per-(seed,bit,component) sign. */
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
@@ -439,6 +466,8 @@ object GraftExpressions {
   def minhashSignature(c: Column, numHashes: Int, seed: Long = 42L): Column =
     col(MinHashSignature(expr(c), numHashes, seed))
   def simhash64(c: Column, seed: Long = 42L): Column = col(SimHash64(expr(c), seed))
+  def randomProject(v: Column, outDim: Int, seed: Long = 42L): Column =
+    col(RandomProject(expr(v), outDim, seed))
   def simhash64Md5(c: Column): Column = col(SimHash64Md5(expr(c)))
   def cosineSimilarity(a: Column, b: Column): Column =
     col(CosineSimilarity(expr(a), expr(b)))

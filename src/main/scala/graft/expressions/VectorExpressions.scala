@@ -29,6 +29,31 @@ case class HyperplaneSignature64(child: Expression, seed: Long = 42L)
     copy(child = newChild)
 }
 
+/** Rademacher (±1) random projection to `outDim` float components —
+  * Johnson–Lindenstrauss dimensionality reduction with the Achlioptas
+  * construction, signs derived from a splitmix of (seed, k, j) so there
+  * is no projection matrix to store or ship. Cosines are preserved to
+  * O(1/√outDim); project corpus and queries with the SAME seed. */
+case class RandomProject(child: Expression, outDim: Int, seed: Long = 42L)
+  extends UnaryExpression with GraftVectorInput {
+  require(outDim > 0 && outDim <= 4096, "outDim must be in (0, 4096]")
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "random_project"
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    VectorImpl.randomProject(input.asInstanceOf[ArrayData], isFloat, outDim, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.VectorImpl.randomProject($c, $isFloat, $outDim, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): RandomProject =
+    copy(child = newChild)
+}
+
 /** Index of the max-cosine centroid for a vector — the IVF assignment hot
   * loop. The (small) centroid matrix rides along as a codegen reference
   * object, so every corpus row is assigned inside whole-stage codegen with

@@ -44,6 +44,42 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Random-projection pre-filter ANN: brute-force the top-`shortlist`
+    * on Rademacher-projected `outDim`-dim float vectors, then exact
+    * cosine re-rank on the raw vectors. The all-pairs compare drops to
+    * outDim/dim of the brute cost and the broadcast/shuffle payload
+    * shrinks the same way (float halves it again vs double); recall
+    * rides JL distortion O(1/√outDim) and lives only in shortlist
+    * membership — returned cosines are exact, as in [[pqTopK]]. The
+    * middle ground between [[bruteForceTopK]] (exact, full cost) and
+    * [[lshTopK]] (bucketed, needs tuning). */
+  def projectedBruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                              idCol: String, vecCol: String, k: Int,
+                              outDim: Int = 16, shortlist: Int = 50,
+                              seed: Long = 42L): DataFrame = {
+    require(shortlist >= k, "shortlist must cover k")
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("pv", GraftExpressions.randomProject(col("v"), outDim, seed))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("pq", GraftExpressions.randomProject(col("qv"), outDim, seed))
+    val candW = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("id").asc)
+    val candidates = c.select(col("id"), col("pv"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("pq"))))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        GraftExpressions.cosineSimilarity(col("pq"), col("pv")).as("pcos"))
+      .withColumn("r", row_number().over(candW))
+      .filter(col("r") <= shortlist)
+      .select(col("query_id"), col("id"))
+    val exact = candidates
+      .join(c.select(col("id"), col("v")), Seq("id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("id"),
+        round(GraftExpressions.cosineSimilarity(col("qv"), col("v")), 6).as("cosine"))
+    topK(exact, k)
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nChunks: Int = 8,

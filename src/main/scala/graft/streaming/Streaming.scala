@@ -211,6 +211,36 @@ object StreamRunner {
         survivors, textCol, indexTable, indexBuckets)
     }
 
+  /** [[runIncrementalDedup]]'s NEAR-dup sibling: each micro-batch is
+    * near-deduplicated against the persisted MinHash band index
+    * ([[graft.operators.Dedup.minhashDedupAgainstIndexTable]] — LSH
+    * candidates with the index side unshuffled, exact-Jaccard verified),
+    * survivors go to `sink`, and their bands + shingle sets are appended
+    * so later batches (and runs) drop near-copies of them. Same
+    * materialize-before-mutate and sink-before-append ordering as the
+    * exact variant — a replayed append only adds redundant candidate
+    * rows, which verification collapses ([[graft.operators.Dedup
+    * .appendToMinHashIndexTable]] documents the idempotency contract).
+    * Run BOTH: exact dedup first (cheap, 8-byte keys), then this for the
+    * near-misses exact fingerprints cannot see. */
+  def runIncrementalNearDedup(stream: DataFrame, idCol: String,
+                              textCol: String, indexTable: String,
+                              checkpoint: String,
+                              store: graft.core.HwmStore, ledgerName: String,
+                              threshold: Double = 0.8,
+                              indexBuckets: Int = 32)
+                             (sink: (DataFrame, Long) => Unit): Unit =
+    runAvailableNowForeachBatchExactlyOnce(stream, checkpoint, store,
+        ledgerName) { (batch, id) =>
+      val survivors = graft.operators.Dedup
+        .minhashDedupAgainstIndexTable(batch, idCol, textCol, indexTable,
+          threshold = threshold)
+        .localCheckpoint()
+      sink(survivors, id)
+      graft.operators.Dedup.appendToMinHashIndexTable(
+        survivors, idCol, textCol, indexTable, buckets = indexBuckets)
+    }
+
   /** Drain a stream into an in-memory table (testing/interactive). */
   def runAvailableNowToMemory(df: DataFrame, tableName: String,
                               outputMode: OutputMode = OutputMode.Complete())

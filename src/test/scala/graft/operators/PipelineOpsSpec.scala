@@ -640,6 +640,34 @@ class IvfPqSimilaritySpec extends graft.SparkSpec {
     assert(hits >= 9, s"appended neighbor found for only $hits/10 queries")
   }
 
+  test("randomProject: deterministic, cosine-preserving, finds planted neighbors") {
+    import graft.expressions.GraftExpressions._
+    val rnd = new scala.util.Random(71)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 10).map(i => (i.toLong, vec()))
+    val noise = (0 until 200).map(i => (1000L + i, vec()))
+    val qs = bases.map { case (i, v) =>
+      (100L + i, v.map(x => x + 0.03f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (bases ++ noise).toDF("vec_id", "embedding")
+    // determinism: same seed -> identical projection
+    val p1 = corpus.select($"vec_id", randomProject($"embedding", 16).as("p"))
+      .as[(Long, Array[Float])].collect().toMap
+    val p2 = corpus.select($"vec_id", randomProject($"embedding", 16).as("p"))
+      .as[(Long, Array[Float])].collect().toMap
+    assert(p1.forall { case (id, v) => v.sameElements(p2(id)) })
+    assert(p1.values.forall(_.length == 16))
+    // near-identical vectors stay near under projection; the pre-filter
+    // + exact re-rank finds each planted neighbor with exact cosines
+    val top = Similarity.projectedBruteForceTopK(
+        corpus.unionAll(qs.toDF("vec_id", "embedding")),
+        qs.toDF("vec_id", "embedding"), "vec_id", "embedding", 1,
+        outDim = 16, shortlist = 20)
+      .select($"query_id", $"id").as[(Long, Long)].collect().toMap
+    val hits = (0 until 10).count(i => top.get(100L + i).contains(i.toLong))
+    assert(hits >= 9, s"planted neighbor found for only $hits/10 queries")
+  }
+
   test("ADC-only mode: no vectors persisted, no corpus scan, ranked shortlist") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter($"vec_id" < 5).select($"vec_id", $"embedding")

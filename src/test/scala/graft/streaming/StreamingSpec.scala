@@ -184,6 +184,61 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("streaming incremental NEAR-dedup: cross-batch near-copies die, replay-safe") {
+    val hist = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the old river bank"))
+      .toDF("doc_id", "text")
+    val table = "graft_mh_sid_spec"
+    graft.operators.Dedup.buildMinHashIndexTable(hist, "doc_id", "text", table, buckets = 4)
+    try {
+      val src = tmpDir("stream-nsid-src")
+      val batches = Seq(
+        Seq((10L, "the quick brown fox jumps over the lazy dog near the old river bank zz"), // near-copy of history
+          (11L, "a totally fresh document with its own vocabulary and no overlap whatsoever here")),
+        Seq((20L, "a totally fresh document with its own vocabulary and no overlap whatsoever here yy"), // near-copy of batch-0 survivor
+          (21L, "yet another brand new piece of writing on an unrelated subject entirely now")))
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        rows.toDF("doc_id", "text").coalesce(1)
+          .write.mode("append").parquet(src)
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(src))
+        try {
+          val it = st.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".parquet") &&
+                java.nio.file.Files.getLastModifiedTime(p).toInstant
+                  .isAfter(java.time.Instant.EPOCH.plusSeconds(100 + i.toLong)))
+              java.nio.file.Files.setLastModifiedTime(p,
+                java.nio.file.attribute.FileTime.from(
+                  java.time.Instant.EPOCH.plusSeconds(100 + i.toLong)))
+          }
+        } finally st.close()
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val store = new graft.core.InMemoryHwmStore
+      val out = tmpDir("stream-nsid-out")
+      def run(ck: String): Unit = StreamRunner.runIncrementalNearDedup(
+        FileStreamReader.read(spark, Parquet(), src, schema,
+          maxFilesPerTrigger = Some(1)),
+        "doc_id", "text", table, ck, store, "nsid_ledger",
+        threshold = 0.7, indexBuckets = 4) {
+        (survivors, _) => survivors.write.mode("append").parquet(out)
+      }
+      run(tmpDir("stream-nsid-ck1"))
+      val landed = spark.read.parquet(out)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(landed === Seq(11L, 21L))
+      // forged replay: ledger skips everything, sink unchanged
+      run(tmpDir("stream-nsid-ck2"))
+      assert(spark.read.parquet(out)
+        .select($"doc_id").as[Long].collect().sorted.toSeq === landed)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_shingles")
+    }
+  }
+
   test("stateless curation ops run unchanged on streams: sample + scrub") {
     // Sampling and PII scrubbing are pure row-local transformations, so
     // the SAME operator code applies to a readStream frame — this is the
