@@ -813,6 +813,36 @@ object SparkEntry {
           qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
     }),
+    "text_strip_html" -> ((s, dir) => {
+      // crawl-page cleaning: every doc is wrapped in deterministic HTML
+      // whose script block contains a bare '<' (the case that derails
+      // naive tag-stripping), plus comments, entities and nbsp; the
+      // oracle runs the IDENTICAL RE2-subset regexp chain in DuckDB
+      import graft.functions.TextFunctions._
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .withColumn("html", concat(
+          lit("<html><head><script type=\"a\">var x = 1 < 2;</script>" +
+            "<style>p { color: red; }</style></head><body><h1>Title</h1><p>"),
+          col("text"),
+          lit("</p><!-- hidden --><br/>Tom &amp; Jerry &lt;3&nbsp;end</body></html>")))
+      docs.select(col("doc_id"),
+          md5(encode(stripHtml(col("html")), "UTF-8")).as("h"))
+        .orderBy(col("doc_id"))
+    }),
+    "text_nfc_normalize" -> ((s, dir) => {
+      // Unicode canonicalization: every doc gets a decomposed suffix
+      // (" cafe" + combining acute U+0301); NFC must compose it to the
+      // precomposed form, which DuckDB's nfc_normalize reproduces —
+      // md5 over the normalized text keeps the compare compact. The
+      // already-NFC corpus body passes through byte-identical, so the
+      // hash checks both the fast path and the composition.
+      import graft.expressions.GraftExpressions._
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .withColumn("raw", concat(col("text"), lit(" café")))
+      docs.select(col("doc_id"),
+          md5(encode(unicodeNormalize(col("raw")), "UTF-8")).as("h"))
+        .orderBy(col("doc_id"))
+    }),
     "text_fingerprint_distinct" -> ((s, dir) => {
       // rolling-hash fingerprints: count distinct normalized docs per source
       import graft.functions.TextFunctions._
@@ -2461,6 +2491,29 @@ object SparkEntry {
         |        len(regexp_extract_all(text, '\b(le|les|des|est|et|une|dans|pour)\b')) AS fr
         |      FROM documents) d
         |ORDER BY doc_id""".stripMargin,
+    "text_nfc_normalize" ->
+      """SELECT doc_id, md5(nfc_normalize(text || ' cafe' || chr(769))) AS h
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_strip_html" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><script type="a">var x = 1 < 2;</script><style>p { color: red; }</style></head><body><h1>Title</h1><p>'
+        |    || text ||
+        |    '</p><!-- hidden --><br/>Tom &amp; Jerry &lt;3&nbsp;end</body></html>' AS t
+        |  FROM documents)
+        |, s0 AS (SELECT doc_id, regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h)
+        |, s1 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s0)
+        |, s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1)
+        |, s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s2)
+        |, s4 AS (SELECT doc_id, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM s3)
+        |, s5 AS (SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g') AS t FROM s4)
+        |, s6 AS (SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g') AS t FROM s5)
+        |, s7 AS (SELECT doc_id, regexp_replace(t, '&quot;', '"', 'g') AS t FROM s6)
+        |, s8 AS (SELECT doc_id, regexp_replace(t, '&#39;', chr(39), 'g') AS t FROM s7)
+        |, s9 AS (SELECT doc_id, regexp_replace(t, '&apos;', chr(39), 'g') AS t FROM s8)
+        |, s10 AS (SELECT doc_id, regexp_replace(t, '&amp;', '&', 'g') AS t FROM s9)
+        |SELECT doc_id, md5(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS h
+        |FROM s10 ORDER BY doc_id""".stripMargin,
     "text_fingerprint_distinct" ->
       """SELECT source, count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_distinct
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,

@@ -65,6 +65,27 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long = 42L)
     copy(child = newChild)
 }
 
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) — the canonicalization pass
+  * exact dedup needs BEFORE fingerprinting: "café" composed (U+00E9) and
+  * decomposed (e + U+0301) are byte-different, survive fingerprint dedup
+  * as distinct docs, and appear in real crawls in both spellings. NFKC
+  * additionally folds compatibility forms (ﬁ → fi, fullwidth → ASCII),
+  * the usual choice for training corpora. Fast path: already-normalized
+  * strings (the overwhelming majority) return the input unchanged. */
+case class UnicodeNormalize(child: Expression, form: String = "NFC")
+  extends UnaryExpression with GraftStringInput {
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form), s"unknown form $form")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHashImpl.unicodeNormalize(input.asInstanceOf[UTF8String], form)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"""graft.expressions.TextHashImpl.unicodeNormalize($c, "$form")""")
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over a token array (Charikar '02): per-bit vote of each
   * token's xxHash64, weighted +1/-1; near-duplicates differ in few bits, so
   * `bit_count(a ^ b)` (built-in) gives the Hamming distance. */
@@ -127,6 +148,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object TextHashImpl {
   final val FnvOffset = 0xcbf29ce484222325L
   final val FnvPrime = 0x100000001b3L
+
+  def unicodeNormalize(s: UTF8String, form: String): UTF8String = {
+    val f = java.text.Normalizer.Form.valueOf(form)
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  }
 
   def fnv1a64(s: UTF8String): Long = {
     var h = FnvOffset
@@ -460,6 +488,8 @@ object GraftExpressions {
   private def expr(c: Column): Expression = GraftColumnBridge.expression(c)
 
   def fingerprint64(c: Column): Column = col(Fingerprint64(expr(c)))
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column =
+    col(UnicodeNormalize(expr(c), form))
   def wordShingles(c: Column, n: Int): Column = col(WordShingles(expr(c), n))
   def wordShingleHashes(c: Column, n: Int, seed: Long = 42L): Column =
     col(WordShingleHashes(expr(c), n, seed))

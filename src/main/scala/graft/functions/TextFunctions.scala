@@ -126,6 +126,28 @@ object TextFunctions {
     GraftExpressions.fingerprint64(
       regexp_replace(lower(trim(c)), "\\s+", " "))
 
+  /** HTML → text for crawl curation: drop script/style blocks WITH their
+    * content (a naive tag-strip leaks javascript into the corpus — and a
+    * `<` inside script text derails it), drop comments, replace remaining
+    * tags with spaces (block boundaries must not glue words), decode the
+    * common entities (`&amp;` LAST, or `&amp;lt;` would double-decode),
+    * collapse whitespace. A regexp_replace chain in the RE2-compatible
+    * subset — no backreferences, so the same rules run verbatim in
+    * DuckDB for the oracle. Not a browser: malformed-markup edge cases
+    * degrade to extra whitespace, never to lost text. */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val ent = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+      "&amp;" -> "&" // last: &amp;lt; must become &lt;, not <
+    ).foldLeft(noTags) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   // --- PII redaction (training-data hygiene) -----------------------------
   // RE2-compatible patterns (no backrefs/lookaround) so the same regexes
   // run in Spark's java.util.regex AND DuckDB's RE2 for oracle checks.

@@ -151,6 +151,17 @@ object Dedup {
       org.apache.spark.sql.SaveMode.Append)
   }
 
+  /** Offline maintenance for the MinHash index pair — same contract as
+    * [[compactFingerprintIndexTable]]; replay-duplicated band/shingle
+    * rows collapse and each bucket returns to one sorted file. */
+  def compactMinHashIndexTable(spark: org.apache.spark.sql.SparkSession,
+                               table: String, buckets: Int = 32): Unit = {
+    Bucketing.compactBucketed(spark, s"${table}_bands", buckets,
+      Seq("band", "bucket"), dropDuplicates = true)
+    Bucketing.compactBucketed(spark, s"${table}_shingles", buckets,
+      Seq("id"), dropDuplicates = true)
+  }
+
   /** Batch rows with NO verified near-duplicate in the index: LSH band
     * collision generates (batch, history) candidates — the index side of
     * that join never shuffles — and exact Jaccard over distinct shingles

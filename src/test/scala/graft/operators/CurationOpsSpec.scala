@@ -63,6 +63,51 @@ class PackingSpec extends SparkSpec {
   }
 }
 
+class StripHtmlSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.TextFunctions._
+
+  private def strip(s: String): String =
+    Seq(s).toDF("t").select(stripHtml($"t")).as[String].head()
+
+  test("script/style content dies with the block, even with bare '<' inside") {
+    assert(strip("<script>if (1 < 2) alert('x');</script>keep") === "keep")
+    assert(strip("<style>p > a { color: red; }</style>keep") === "keep")
+    assert(strip("a<SCRIPT>\nmultiline\n</SCRIPT>b") === "a b")
+  }
+
+  test("tags become spaces, comments vanish, entities decode once") {
+    assert(strip("<p>one</p><p>two</p>") === "one two")
+    assert(strip("a<!-- note -->b") === "a b")
+    assert(strip("Tom &amp; Jerry &lt;3") === "Tom & Jerry <3")
+    // &amp;lt; is the ESCAPED text "&lt;" — must not double-decode to '<'
+    assert(strip("&amp;lt;") === "&lt;")
+    assert(strip("x&nbsp;y") === "x y")
+    assert(strip("  a   b  ") === "a b")
+  }
+}
+
+class UnicodeNormalizeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.expressions.GraftExpressions._
+
+  test("NFC composes, NFKC folds compatibility forms, fast path intact") {
+    def norm(s: String, form: String = "NFC"): String =
+      Seq(s).toDF("t").select(unicodeNormalize($"t", form)).as[String].head()
+    val decomposed = "cafe\u0301"           // e + combining acute
+    assert(norm(decomposed) === "caf\u00e9") // composed form
+    assert(norm("caf\u00e9") === "caf\u00e9") // already NFC: unchanged
+    assert(norm("\uff21\ufb01", "NFKC") === "Afi") // fullwidth A + fi ligature
+    // the dedup consequence: both spellings collapse to one fingerprint
+    val fps = Seq(decomposed, "caf\u00e9").toDF("t")
+      .select(fingerprint64(unicodeNormalize($"t"))).distinct().count()
+    assert(fps === 1L)
+    intercept[IllegalArgumentException] {
+      Seq("x").toDF("t").select(unicodeNormalize($"t", "NFX")).head()
+    }
+  }
+}
+
 class UrlFunctionsSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.UrlFunctions._

@@ -83,6 +83,11 @@ class DedupIndexSpec extends SparkSpec {
       val s2 = Dedup.minhashDedupAgainstIndexTable(batch2, "doc_id", "text",
         table, threshold = 0.7)
       assert(s2.select($"doc_id").as[Long].collect().toSeq === Seq(22L))
+      // compaction keeps both tables' layout and the dedup answer
+      Dedup.compactMinHashIndexTable(spark, table, buckets = 4)
+      val s2b = Dedup.minhashDedupAgainstIndexTable(batch2, "doc_id", "text",
+        table, threshold = 0.7)
+      assert(s2b.select($"doc_id").as[Long].collect().toSeq === Seq(22L))
       // the candidate join must not shuffle the band index (bucketed by
       // (band, bucket)); disable broadcast to force the sort-merge path
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
