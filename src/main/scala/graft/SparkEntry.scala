@@ -813,6 +813,22 @@ object SparkEntry {
           qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
     }),
+    "text_compression_ratio" -> ((s, dir) => {
+      // deflate-ratio repetitiveness signal (Gopher-style quality cut).
+      // No SQL engine replicates zlib byte-for-byte, so this gate has no
+      // oracle entry — the driver records the weaker rows-only check;
+      // ordering/determinism properties are spec-pinned
+      // (CompressionRatioSpec)
+      import graft.expressions.GraftExpressions._
+      DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), col("source"),
+          compressionRatio(col("text")).as("r"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("r")), 4).as("mean_ratio"),
+          count(when(col("r") < 0.25, 1)).as("n_below_25"))
+        .orderBy(col("source"))
+    }),
     "text_strip_html" -> ((s, dir) => {
       // crawl-page cleaning: every doc is wrapped in deterministic HTML
       // whose script block contains a bare '<' (the case that derails

@@ -65,6 +65,28 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long = 42L)
     copy(child = newChild)
 }
 
+/** Deflate compression ratio of the UTF-8 text: compressed/raw bytes in
+  * (0, ~1.1]. Highly repetitive machine-generated junk compresses far
+  * below natural prose (~0.3-0.6 for English), making this the cheap
+  * single-number repetitiveness signal quality pipelines cut on
+  * (Gopher's repetition filters approximate what one deflate pass
+  * measures directly). Level-6 zlib, whole-doc window; empty text → 1.0.
+  * Deterministic for a given JDK zlib; no SQL engine replicates deflate,
+  * so correctness is spec-pinned (ordering properties + byte-level
+  * round-trip), not oracle-hashed. */
+case class CompressionRatio(child: Expression)
+  extends UnaryExpression with GraftStringInput {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "compression_ratio"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHashImpl.compressionRatio(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextHashImpl.compressionRatio($c)")
+  override protected def withNewChildInternal(newChild: Expression): CompressionRatio =
+    copy(child = newChild)
+}
+
 /** Unicode normalization (NFC/NFD/NFKC/NFKD) — the canonicalization pass
   * exact dedup needs BEFORE fingerprinting: "café" composed (U+00E9) and
   * decomposed (e + U+0301) are byte-different, survive fingerprint dedup
@@ -148,6 +170,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object TextHashImpl {
   final val FnvOffset = 0xcbf29ce484222325L
   final val FnvPrime = 0x100000001b3L
+
+  def compressionRatio(s: UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(raw)
+      d.finish()
+      var compressed = 0L
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) compressed += d.deflate(buf)
+      compressed.toDouble / raw.length
+    } finally d.end()
+  }
 
   def unicodeNormalize(s: UTF8String, form: String): UTF8String = {
     val f = java.text.Normalizer.Form.valueOf(form)
@@ -490,6 +526,7 @@ object GraftExpressions {
   def fingerprint64(c: Column): Column = col(Fingerprint64(expr(c)))
   def unicodeNormalize(c: Column, form: String = "NFC"): Column =
     col(UnicodeNormalize(expr(c), form))
+  def compressionRatio(c: Column): Column = col(CompressionRatio(expr(c)))
   def wordShingles(c: Column, n: Int): Column = col(WordShingles(expr(c), n))
   def wordShingleHashes(c: Column, n: Int, seed: Long = 42L): Column =
     col(WordShingleHashes(expr(c), n, seed))

@@ -27,6 +27,9 @@ class QueryPlanSweepSpec extends AnyFunSuite {
     "similarity_topk_pq",     // deliberate: broadcast ADC tables cross codes
     "similarity_topk_ivfpq",  // deliberate: gate compares vs broadcast brute
     "similarity_topk_ivfpq_index", // same gate shape: recall vs broadcast brute
+    "similarity_topk_rp",     // deliberate: broadcast projected queries cross
+                              // the projected corpus (the pre-filter IS the
+                              // broadcast-bounded scan), + recall vs brute
     "dedup_embedding_cosine", // gate runs the bruteForce=true oracle path
                               // (all-pairs small-N); LSH is the scale path
     "q22_dormant_customers"   // deliberate: 1-row global-aggregate scalar

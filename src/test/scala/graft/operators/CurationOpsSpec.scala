@@ -63,6 +63,29 @@ class PackingSpec extends SparkSpec {
   }
 }
 
+class CompressionRatioSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.expressions.GraftExpressions._
+
+  test("repetitive junk compresses below prose; deterministic; round-trip sane") {
+    val prose = "The quick brown fox jumps over the lazy dog while seventeen " +
+      "geese argue about parquet footers in a surprisingly verbose manner today."
+    val junk = "buy now click here " * 40
+    val rows = Seq(("prose", prose), ("junk", junk), ("empty", ""))
+      .toDF("id", "t")
+      .select($"id", compressionRatio($"t").as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(rows("junk") < rows("prose"),
+      s"repetition must compress better: ${rows("junk")} vs ${rows("prose")}")
+    assert(rows("junk") < 0.2 && rows("prose") > 0.5, rows.toString)
+    assert(rows("empty") === 1.0)
+    // deterministic across runs (same JVM zlib, fixed level)
+    val again = Seq(("prose", prose)).toDF("id", "t")
+      .select(compressionRatio($"t")).as[Double].head()
+    assert(again === rows("prose"))
+  }
+}
+
 class StripHtmlSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.TextFunctions._
