@@ -54,5 +54,22 @@ class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => TopKItems(es.head,
         es(1).eval(null).asInstanceOf[Number].intValue(),
         es(2).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("unicode_normalize"),
+      info("unicode_normalize", "unicode_normalize(str[, form]) - NFC/NFD/NFKC/NFKD normalization"),
+      (es: Seq[Expression]) => UnicodeNormalize(es.head,
+        if (es.size > 1) es(1).eval(null).toString else "NFC")))
+    ext.injectFunction((FunctionIdentifier("compression_ratio"),
+      info("compression_ratio", "compression_ratio(str) - deflate bytes / raw bytes"),
+      (es: Seq[Expression]) => CompressionRatio(es.head)))
+    ext.injectFunction((FunctionIdentifier("percent_normalize"),
+      info("percent_normalize", "percent_normalize(url) - RFC 3986 percent-escape normalization"),
+      (es: Seq[Expression]) => PercentNormalize(es.head)))
+    ext.injectFunction((FunctionIdentifier("idn_ascii"),
+      info("idn_ascii", "idn_ascii(host) - IDN host to punycode ACE form"),
+      (es: Seq[Expression]) => IdnAscii(es.head)))
+    ext.injectFunction((FunctionIdentifier("random_project"),
+      info("random_project", "random_project(vec, outDim) - Rademacher JL projection"),
+      (es: Seq[Expression]) => RandomProject(es.head,
+        es(1).eval(null).asInstanceOf[Number].intValue())))
   }
 }

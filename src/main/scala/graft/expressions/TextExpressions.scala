@@ -576,5 +576,17 @@ object GraftExpressions {
         es(1).eval(null).asInstanceOf[Number].intValue(),
         es(2).eval(null).asInstanceOf[Number].intValue())
         .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("unicode_normalize",
+      es => UnicodeNormalize(es.head,
+        if (es.size > 1) es(1).eval(null).toString else "NFC"), "built-in")
+    reg.createOrReplaceTempFunction("compression_ratio",
+      es => CompressionRatio(es.head), "built-in")
+    reg.createOrReplaceTempFunction("percent_normalize",
+      es => PercentNormalize(es.head), "built-in")
+    reg.createOrReplaceTempFunction("idn_ascii",
+      es => IdnAscii(es.head), "built-in")
+    reg.createOrReplaceTempFunction("random_project",
+      es => RandomProject(es.head,
+        es(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
   }
 }

@@ -14,6 +14,18 @@ class ExtensionSpec extends SparkSpec {
     assert(r.getLong(0) == graft.expressions.TextHashImpl.fnv1a64(
       org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    val r2 = spark.sql(
+      """SELECT unicode_normalize('café') AS nfc,
+        |       percent_normalize('a%7eb%3f') AS pn,
+        |       idn_ascii('münchen.de') AS idn,
+        |       compression_ratio('xyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxy') AS cr,
+        |       size(random_project(array(1.0, 2.0, 3.0), 8)) AS rp
+        |""".stripMargin).head()
+    assert(r2.getString(0) === "café")
+    assert(r2.getString(1) === "a~b%3F")
+    assert(r2.getString(2) === "xn--mnchen-3ya.de")
+    assert(r2.getDouble(3) < 0.6)
+    assert(r2.getInt(4) === 8)
   }
 
   test("GraftSparkExtension injects functions into a fresh session") {
