@@ -840,6 +840,17 @@ object SparkEntry {
           qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
     }),
+    "text_sentences" -> ((s, dir) => {
+      // regex sentence segmentation, replayed verbatim by the oracle:
+      // count + md5 of the first segment audits boundaries without
+      // hauling text through the compare
+      import graft.functions.TextFunctions._
+      DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"),
+          sentenceCount(col("text")).as("n_sent"),
+          md5(encode(element_at(sentences(col("text")), 1), "UTF-8")).as("first_md5"))
+        .orderBy(col("doc_id"))
+    }),
     "text_compression_ratio" -> ((s, dir) => {
       // deflate-ratio repetitiveness signal (Gopher-style quality cut).
       // No SQL engine replicates zlib byte-for-byte, so this gate has no
@@ -2550,6 +2561,11 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "text_nfc_normalize" ->
       """SELECT doc_id, md5(nfc_normalize(text || ' cafe' || chr(769))) AS h
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_sentences" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[^.!?]+[.!?]*'))::BIGINT AS n_sent,
+        |  md5(regexp_extract_all(text, '[^.!?]+[.!?]*')[1]) AS first_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_strip_html" ->
       """WITH h AS (

@@ -126,6 +126,21 @@ object TextFunctions {
     GraftExpressions.fingerprint64(
       regexp_replace(lower(trim(c)), "\\s+", " "))
 
+  /** Sentence segmentation for curation heuristics (docs with very few
+    * or pathologically many sentences, per-sentence dedup, sentence-count
+    * quality features): runs of non-terminator characters plus their
+    * trailing `.!?` run — `"a. b"` → `["a.", " b"]`, a trailing fragment
+    * without punctuation still counts. Deliberately regex-simple (no
+    * abbreviation model — "Dr. Smith" splits) and RE2-compatible, so the
+    * oracle replays it verbatim; callers needing linguistic segmentation
+    * plug their own model upstream. */
+  def sentences(c: Column): Column =
+    regexp_extract_all(c, lit("[^.!?]+[.!?]*"), lit(0))
+
+  /** Number of [[sentences]] segments; 0 for empty/blank text. */
+  def sentenceCount(c: Column): Column =
+    size(sentences(c)).cast("long")
+
   /** HTML → text for crawl curation: drop script/style blocks WITH their
     * content (a naive tag-strip leaks javascript into the corpus — and a
     * `<` inside script text derails it), drop comments, replace remaining

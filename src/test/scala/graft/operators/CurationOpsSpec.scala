@@ -63,6 +63,21 @@ class PackingSpec extends SparkSpec {
   }
 }
 
+class SentencesSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.TextFunctions._
+
+  test("segments keep terminators, trailing fragment counts, empty is zero") {
+    def seg(s: String): Seq[String] =
+      Seq(s).toDF("t").select(sentences($"t")).as[Seq[String]].head()
+    assert(seg("One. Two! Three?") === Seq("One.", " Two!", " Three?"))
+    assert(seg("no terminator at all") === Seq("no terminator at all"))
+    assert(seg("Tail. fragment") === Seq("Tail.", " fragment"))
+    assert(seg("Wait... what?!") === Seq("Wait...", " what?!"))
+    assert(Seq("").toDF("t").select(sentenceCount($"t")).as[Long].head() === 0L)
+  }
+}
+
 class CompressionRatioSpec extends SparkSpec {
   import spark.implicits._
   import graft.expressions.GraftExpressions._
