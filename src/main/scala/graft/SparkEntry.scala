@@ -840,6 +840,27 @@ object SparkEntry {
           qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
     }),
+    "pipeline_curate_e2e" -> ((s, dir) => {
+      // the stages COMPOSED, one oracle over the whole pipeline: wrap in
+      // crawl HTML -> stripHtml -> token-band quality cut -> per-domain
+      // cap. Each stage is gated alone elsewhere; this pins that their
+      // composition (and the intermediate schemas/columns the stages
+      // hand each other) stays correct end to end.
+      import graft.functions.TextFunctions._
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .withColumn("html", concat(
+          lit("<html><head><script type=\"a\">var x = 1 < 2;</script>" +
+            "<style>p { color: red; }</style></head><body><h1>Title</h1><p>"),
+          col("text"),
+          lit("</p><!-- hidden --><br/>Tom &amp; Jerry &lt;3&nbsp;end</body></html>")))
+        .withColumn("clean", stripHtml(col("html")))
+        .withColumn("n_tokens", tokenCount(col("clean")).cast("long"))
+        .filter(col("n_tokens").between(35, 100))
+        .withColumn("n_chars", length(col("clean")).cast("long"))
+      operators.Sampling.capPerKey(docs, Seq("source"), 10, "n_chars", "doc_id")
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("n_chars"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
     "text_sentences" -> ((s, dir) => {
       // regex sentence segmentation, replayed verbatim by the oracle:
       // count + md5 of the first segment audits boundaries without
@@ -2562,6 +2583,39 @@ object SparkEntry {
     "text_nfc_normalize" ->
       """SELECT doc_id, md5(nfc_normalize(text || ' cafe' || chr(769))) AS h
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipeline_curate_e2e" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    '<html><head><script type="a">var x = 1 < 2;</script><style>p { color: red; }</style></head><body><h1>Title</h1><p>'
+        |    || text ||
+        |    '</p><!-- hidden --><br/>Tom &amp; Jerry &lt;3&nbsp;end</body></html>' AS t
+        |  FROM documents)
+        |, s0 AS (SELECT doc_id, source, regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h)
+        |, s1 AS (SELECT doc_id, source, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s0)
+        |, s2 AS (SELECT doc_id, source, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1)
+        |, s3 AS (SELECT doc_id, source, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s2)
+        |, s4 AS (SELECT doc_id, source, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM s3)
+        |, s5 AS (SELECT doc_id, source, regexp_replace(t, '&lt;', '<', 'g') AS t FROM s4)
+        |, s6 AS (SELECT doc_id, source, regexp_replace(t, '&gt;', '>', 'g') AS t FROM s5)
+        |, s7 AS (SELECT doc_id, source, regexp_replace(t, '&quot;', '"', 'g') AS t FROM s6)
+        |, s8 AS (SELECT doc_id, source, regexp_replace(t, '&#39;', chr(39), 'g') AS t FROM s7)
+        |, s9 AS (SELECT doc_id, source, regexp_replace(t, '&apos;', chr(39), 'g') AS t FROM s8)
+        |, s10 AS (SELECT doc_id, source, regexp_replace(t, '&amp;', '&', 'g') AS t FROM s9)
+        |, clean AS (SELECT doc_id, source, trim(regexp_replace(t, '\s+', ' ', 'g')) AS t FROM s10)
+        |, qual AS (
+        |  SELECT doc_id, source, t,
+        |    CASE WHEN length(trim(t)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(t), '\s+')) END::BIGINT AS n_tokens,
+        |    length(t)::BIGINT AS n_chars
+        |  FROM clean)
+        |, band AS (SELECT * FROM qual WHERE n_tokens BETWEEN 35 AND 100)
+        |, r AS (
+        |  SELECT source, doc_id, n_tokens, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM band)
+        |SELECT source, doc_id, n_tokens, n_chars FROM r WHERE rn <= 10
+        |ORDER BY source, doc_id""".stripMargin,
     "text_sentences" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[^.!?]+[.!?]*'))::BIGINT AS n_sent,
