@@ -2,6 +2,35 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.util.Locale
 
+/** Pure per-query run summarization, separated from the Bench main so the
+  * failed-run and noise rules are unit-testable (BenchSummarySpec): a
+  * failed run's time-to-exception must never masquerade as the query's
+  * min, and the noise ratio that drives adaptive reruns considers only
+  * successful runs. */
+object BenchSummary {
+  /** Min over SUCCESSFUL runs; all-failed falls back to the raw min (the
+    * query is separately listed in `failed`, which is the driver's
+    * failure signal). */
+  def minOf(runs: Vector[(Double, Boolean)]): Double = {
+    val oks = runs.collect { case (s, true) => s }
+    if (oks.nonEmpty) oks.min else runs.map(_._1).min
+  }
+
+  /** max/min over successful runs; 0 when fewer than one succeeded or
+    * the min is non-positive. */
+  def noiseOf(runs: Vector[(Double, Boolean)]): Double = {
+    val oks = runs.collect { case (s, true) => s }
+    if (oks.nonEmpty && oks.min > 0) oks.max / oks.min else 0.0
+  }
+
+  /** Rerun predicate for the adaptive loop: noisy (ratio > 2 over >= 2
+    * successful runs) or nothing succeeded yet. */
+  def needsRerun(runs: Vector[(Double, Boolean)]): Boolean = {
+    val oks = runs.collect { case (s, true) => s }
+    (oks.size >= 2 && oks.min > 0 && oks.max / oks.min > 2.0) || oks.isEmpty
+  }
+}
+
 object Bench {
   /** Locale-stable numeric formatting: the default-locale `f""`
     * interpolator prints "0,123" under e.g. de_DE and corrupts the JSON
@@ -61,19 +90,11 @@ object Bench {
           ((System.nanoTime() - t0) / 1e9, ok)
         }
         var runs = (1 to runsPerQuery).toVector.map(_ => once())
-        def oks = runs.collect { case (s, true) => s }
-        def noisy = oks.size >= 2 && oks.min > 0 && oks.max / oks.min > 2.0
-        while (runs.size < maxRuns && (noisy || oks.isEmpty))
+        while (runs.size < maxRuns && BenchSummary.needsRerun(runs))
           runs :+= once()
         name -> runs
       }
-    def minOf(v: Vector[(Double, Boolean)]): Double = {
-      val oks = v.collect { case (s, true) => s }
-      // all runs failed: fall back to the raw min so the number exists,
-      // but the name is in `failed`, which is the driver's failure signal
-      if (oks.nonEmpty) oks.min else v.map(_._1).min
-    }
-    val mins = results.map { case (k, v) => k -> minOf(v) }
+    val mins = results.map { case (k, v) => k -> BenchSummary.minOf(v) }
     // 3-decimal values keep the whole stdout line inside the driver's
     // ~4 KB tail capture — full-precision doubles pushed the JSON past it,
     // so the driver recorded rc/tail but failed to parse the line
@@ -171,10 +192,8 @@ object Bench {
       "as measurement error."
     val entries = results.toSeq.sortBy(_._1).map { case (name, runs) =>
       val runsJson = runs.map(r => num(r._1, 3)).mkString("[", ",", "]")
-      val oks = runs.collect { case (s, true) => s }
-      val noise =
-        if (oks.nonEmpty && oks.min > 0) oks.max / oks.min else 0.0
-      val min = if (oks.nonEmpty) oks.min else runs.map(_._1).min
+      val noise = BenchSummary.noiseOf(runs)
+      val min = BenchSummary.minOf(runs)
       val failedRuns = runs.count(!_._2)
       val failedPart = if (failedRuns > 0) s""","failed_runs":$failedRuns""" else ""
       s""""$name":{"runs":$runsJson,"min":${num(min, 3)},"noise":${num(noise, 2)}$failedPart}"""

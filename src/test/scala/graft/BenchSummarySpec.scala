@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's failed-run and noise rules, unit-pinned: a query that
+  * throws fast in one run must never report the failure time as its
+  * benchmark number when other runs succeeded. */
+class BenchSummarySpec extends AnyFunSuite {
+  private def ok(s: Double) = (s, true)
+  private def bad(s: Double) = (s, false)
+
+  test("min excludes failed runs; all-failed falls back to raw min") {
+    // the ADVICE case: a 0.01 s time-to-exception beside 5 s successes
+    assert(BenchSummary.minOf(Vector(bad(0.01), ok(5.0), ok(4.5))) === 4.5)
+    assert(BenchSummary.minOf(Vector(ok(2.0), ok(3.0))) === 2.0)
+    // every run failed: a number still exists (the name rides `failed`)
+    assert(BenchSummary.minOf(Vector(bad(0.3), bad(0.1))) === 0.1)
+  }
+
+  test("noise considers only successful runs") {
+    assert(BenchSummary.noiseOf(Vector(bad(0.01), ok(2.0), ok(4.0))) === 2.0)
+    assert(BenchSummary.noiseOf(Vector(ok(1.0))) === 1.0)
+    assert(BenchSummary.noiseOf(Vector(bad(1.0), bad(2.0))) === 0.0)
+  }
+
+  test("rerun: noisy over successes, or nothing succeeded yet") {
+    assert(BenchSummary.needsRerun(Vector(ok(1.0), ok(2.5))))  // noise 2.5
+    assert(!BenchSummary.needsRerun(Vector(ok(1.0), ok(1.5)))) // noise 1.5
+    assert(!BenchSummary.needsRerun(Vector(ok(1.0))))          // one sample: stop
+    assert(BenchSummary.needsRerun(Vector(bad(0.5), bad(0.2)))) // keep trying
+    assert(!BenchSummary.needsRerun(Vector(bad(0.5), ok(1.0), ok(1.2))))
+  }
+}
