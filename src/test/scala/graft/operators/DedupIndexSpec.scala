@@ -105,13 +105,17 @@ class DedupIndexSpec extends SparkSpec {
         // an Exchange sits on the index side iff its subtree's ONLY leaf
         // is the bands scan (downstream shuffles legitimately contain it
         // along with the batch side)
-        val bandScanShuffled = ex.exists { e =>
+        def onlyLeafIs(e: Exchange, t: String): Boolean = {
           val leaves = e.collectLeaves()
-          leaves.nonEmpty &&
-            leaves.forall(_.toString.contains(s"${table}_bands"))
+          leaves.nonEmpty && leaves.forall(_.toString.contains(t))
         }
-        assert(!bandScanShuffled,
+        assert(!ex.exists(onlyLeafIs(_, s"${table}_bands")),
           s"band index side must not shuffle:\n$resolved")
+        // the HISTORICAL shingle store must not re-shuffle per batch
+        // either: its bucketing-by-id must survive the hist_id alias
+        // into the verification join (alias-aware output partitioning)
+        assert(!ex.exists(onlyLeafIs(_, s"${table}_shingles")),
+          s"shingle store side must not shuffle:\n$resolved")
         // sanity: the batch side of the candidate join DOES shuffle
         assert(ex.nonEmpty)
       } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
