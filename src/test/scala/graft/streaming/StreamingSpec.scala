@@ -254,10 +254,13 @@ class StreamingSpec extends SparkSpec {
     val stream = FileStreamReader.read(spark, Parquet(), src, schema,
       maxFilesPerTrigger = Some(1))
     def curate(df: org.apache.spark.sql.DataFrame) =
-      graft.operators.Sampling.sampleByKey(df, "doc_id", 0.5)
+      graft.operators.Sampling.splitByHash(
+          graft.operators.Sampling.sampleByKey(df, "doc_id", 0.5),
+          "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
         .select($"doc_id",
           graft.functions.TextFunctions.scrubPii($"text").as("clean"),
-          graft.functions.TextFunctions.piiCount($"text").as("n_pii"))
+          graft.functions.TextFunctions.piiCount($"text").as("n_pii"),
+          $"split")
     StreamRunner.runAvailableNowToMemory(curate(stream), "stream_curated",
       org.apache.spark.sql.streaming.OutputMode.Append())
     val streamed = spark.table("stream_curated")
