@@ -1703,21 +1703,8 @@ object SparkEntry {
               .unionByName(shifted(50, 60, 4000000)))   // vs history index
           batches.zipWithIndex.foreach { case (b, i) =>
             b.coalesce(1).write.mode("append").parquet(ld.toString)
-            // stamp everything unstamped so far with a strictly
-            // increasing mtime: file order = batch order
-            val st = java.nio.file.Files.list(ld)
-            try {
-              val it = st.iterator()
-              while (it.hasNext) {
-                val p = it.next()
-                if (p.getFileName.toString.endsWith(".parquet") &&
-                    java.nio.file.Files.getLastModifiedTime(p).toInstant
-                      .isAfter(java.time.Instant.EPOCH.plusSeconds(1000 + i.toLong)))
-                  java.nio.file.Files.setLastModifiedTime(p,
-                    java.nio.file.attribute.FileTime.from(
-                      java.time.Instant.EPOCH.plusSeconds(1000 + i.toLong)))
-              }
-            } finally st.close()
+            // file order = batch order (strictly increasing mtimes)
+            graft.streaming.FileStreamReader.stampBatchMtime(ld.toString, i)
           }
           ld.toString
         })
@@ -2593,7 +2580,7 @@ object SparkEntry {
         |, s0 AS (SELECT doc_id, source, regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h)
         |, s1 AS (SELECT doc_id, source, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s0)
         |, s2 AS (SELECT doc_id, source, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1)
-        |, s3 AS (SELECT doc_id, source, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s2)
+        |, s3 AS (SELECT doc_id, source, regexp_replace(t, '<[^>]{1,256}>', ' ', 'g') AS t FROM s2)
         |, s4 AS (SELECT doc_id, source, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM s3)
         |, s5 AS (SELECT doc_id, source, regexp_replace(t, '&lt;', '<', 'g') AS t FROM s4)
         |, s6 AS (SELECT doc_id, source, regexp_replace(t, '&gt;', '>', 'g') AS t FROM s5)
@@ -2618,7 +2605,9 @@ object SparkEntry {
         |ORDER BY source, doc_id""".stripMargin,
     "text_sentences" ->
       """SELECT doc_id,
-        |  len(regexp_extract_all(text, '[^.!?]+[.!?]*'))::BIGINT AS n_sent,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_extract_all(text, '[^.!?]+[.!?]*'))
+        |  END::BIGINT AS n_sent,
         |  md5(regexp_extract_all(text, '[^.!?]+[.!?]*')[1]) AS first_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_strip_html" ->
@@ -2631,7 +2620,7 @@ object SparkEntry {
         |, s0 AS (SELECT doc_id, regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h)
         |, s1 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s0)
         |, s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1)
-        |, s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s2)
+        |, s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]{1,256}>', ' ', 'g') AS t FROM s2)
         |, s4 AS (SELECT doc_id, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM s3)
         |, s5 AS (SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g') AS t FROM s4)
         |, s6 AS (SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g') AS t FROM s5)

@@ -171,18 +171,26 @@ object TextHashImpl {
   final val FnvOffset = 0xcbf29ce484222325L
   final val FnvPrime = 0x100000001b3L
 
+  // per-row native Deflater init/end would dominate the actual deflate
+  // work for short docs at corpus scale; reuse one native instance and
+  // one scratch buffer per executor thread (reset() between rows)
+  private val deflaterTL =
+    ThreadLocal.withInitial[java.util.zip.Deflater](
+      () => new java.util.zip.Deflater(6))
+  private val deflateBufTL =
+    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
+
   def compressionRatio(s: UTF8String): Double = {
     val raw = s.getBytes
     if (raw.isEmpty) return 1.0
-    val d = new java.util.zip.Deflater(6)
-    try {
-      d.setInput(raw)
-      d.finish()
-      var compressed = 0L
-      val buf = new Array[Byte](8192)
-      while (!d.finished()) compressed += d.deflate(buf)
-      compressed.toDouble / raw.length
-    } finally d.end()
+    val d = deflaterTL.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    var compressed = 0L
+    val buf = deflateBufTL.get()
+    while (!d.finished()) compressed += d.deflate(buf)
+    compressed.toDouble / raw.length
   }
 
   def unicodeNormalize(s: UTF8String, form: String): UTF8String = {

@@ -137,9 +137,12 @@ object TextFunctions {
   def sentences(c: Column): Column =
     regexp_extract_all(c, lit("[^.!?]+[.!?]*"), lit(0))
 
-  /** Number of [[sentences]] segments; 0 for empty/blank text. */
+  /** Number of [[sentences]] segments; 0 for empty AND blank text (the
+    * segment regex alone would count a whitespace-only doc as one
+    * sentence — spaces are not terminators). */
   def sentenceCount(c: Column): Column =
-    size(sentences(c)).cast("long")
+    when(length(trim(c)) === 0, lit(0L))
+      .otherwise(size(sentences(c)).cast("long"))
 
   /** HTML → text for crawl curation: drop script/style blocks WITH their
     * content (a naive tag-strip leaks javascript into the corpus — and a
@@ -148,13 +151,16 @@ object TextFunctions {
     * common entities (`&amp;` LAST, or `&amp;lt;` would double-decode),
     * collapse whitespace. A regexp_replace chain in the RE2-compatible
     * subset — no backreferences, so the same rules run verbatim in
-    * DuckDB for the oracle. Not a browser: malformed-markup edge cases
-    * degrade to extra whitespace, never to lost text. */
+    * DuckDB for the oracle. Not a browser: a bare `<` in prose with a
+    * `>` within the next 256 characters still swallows the span (the
+    * length bound keeps a stray `<` from eating up to the document's
+    * next `>`, which could be kilobytes of genuine text; real tags are
+    * far shorter than 256 chars). */
   def stripHtml(c: Column): Column = {
     val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val noTags = regexp_replace(noComment, "<[^>]{1,256}>", " ")
     val ent = Seq(
       "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",

@@ -61,6 +61,14 @@ object Sampling {
   def splitByHash(df: DataFrame, keyCol: String,
                   weights: Seq[(String, Double)],
                   outCol: String = "split"): DataFrame = {
+    // the hash casts the key to long; a non-numeric key would hash to
+    // NULL and silently assign EVERY row the null split — catastrophic
+    // for an operator guarding eval contamination, so fail loudly.
+    // String keys: pre-hash with xxhash64(col) into a numeric column.
+    require(df.schema(keyCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"splitByHash needs a numeric key column; '$keyCol' is " +
+        s"${df.schema(keyCol).dataType.simpleString} — pre-hash string keys " +
+        "with xxhash64 into a numeric column first")
     require(weights.nonEmpty, "splitByHash needs at least one split")
     require(weights.forall(_._2 > 0), "split weights must be positive")
     require(weights.map(_._2).sum <= 1.0 + 1e-9,
@@ -183,11 +191,20 @@ object Sampling {
     require(maxPerKey > 0, "maxPerKey must be positive")
     require(keyCols.nonEmpty, "capPerKey needs at least one key column")
     require(salt > 1, "salt must exceed 1 or the pre-rank is the plain path")
-    val overKeys = df.groupBy(keyCols.map(col): _*)
+    // null-SAFE key matching throughout: groupBy puts all null-key rows
+    // in one group, and if that group exceeds the cap it must route to
+    // the capped path — a plain equi-join would never match the null key,
+    // silently exempting every null-key row from the cap (the window in
+    // [[capPerKey]] partitions nulls together, so the two paths would
+    // diverge exactly on the skewed-junk rows most likely to be null)
+    val overKeys = broadcast(df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxPerKey).drop("__n")
-    val under = df.join(broadcast(overKeys), keyCols, "left_anti")
-    val overRows = df.join(broadcast(overKeys), keyCols, "left_semi")
+      .withColumnsRenamed(keyCols.map(k => k -> s"__ok_$k").toMap))
+    val matchCond = keyCols
+      .map(k => col(k) <=> col(s"__ok_$k")).reduce(_ && _)
+    val under = df.join(overKeys, matchCond, "left_anti")
+    val overRows = df.join(overKeys, matchCond, "left_semi")
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy((keyCols.map(col) :+ col("__cap_salt")): _*)
       .orderBy(col(orderBy).desc_nulls_last, col(tieBreak).asc)

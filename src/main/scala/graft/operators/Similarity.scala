@@ -348,24 +348,35 @@ object Similarity {
         GraftExpressions.pqTable(col("qv"), codebooks).as("tbl"))
     val adcW = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("id").asc)
+    // duplicate shortlist ids (a replayed index append stores the same
+    // (id, code) twice) are collapsed AFTER the shortlist cut — the
+    // deduplicating shuffle then touches <= |Q|*shortlist rows, not the
+    // full probed scan; the only cost of a replay is a slightly
+    // shallower effective shortlist, never a duplicated result slot
     val scored = index.join(broadcast(probes), Seq("cid"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
         GraftExpressions.pqAdcScore(col("code"), col("tbl"), m, ks).as("adc"))
       .withColumn("r", row_number().over(adcW))
       .filter(col("r") <= shortlist)
+      .dropDuplicates("query_id", "id")
     reRank match {
       case Some(vecs) =>
         val exact = scored.select(col("query_id"), col("id"))
-          .join(vecs, Seq("id"))
+          .join(vecs.dropDuplicates("id"), Seq("id"))
           .join(broadcast(queries), Seq("query_id"))
           .select(col("query_id"), col("id"),
             round(GraftExpressions.cosineSimilarity(col("qv"), col("v")), 6)
               .as("cosine"))
         topK(exact, k)
-      case None => // ADC-only: the shortlist ranking IS the answer
-        scored.filter(col("r") <= k)
-          .select(col("query_id"), col("r").as("rank"), col("id"),
+      case None =>
+        // ADC-only: re-rank the deduplicated shortlist (the pre-dedup r
+        // may skip values once a duplicate is dropped)
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").desc, col("id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("rank"), col("id"),
             round(col("adc"), 6).as("adc"))
     }
   }
@@ -511,16 +522,22 @@ object Similarity {
     val spark = newVectors.sparkSession
     val (cents, codebooks) = loadIndexSidecars(spark, path)
     val assigned = newVectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    assigned.select(col("id"),
-        nearestCentroid(col("v"), cents).as("cid"),
-        GraftExpressions.pqEncode(col("v"), codebooks).as("code"))
-      .write.mode("append").partitionBy("cid").parquet(s"$path/codes")
+    // vectors BEFORE codes: only codes/ drives shortlist membership, so a
+    // crash between the writes leaves orphan vector rows (never probed,
+    // harmless) instead of code rows whose exact re-rank join would
+    // silently DROP a shortlisted neighbor. A replayed append duplicates
+    // (id, code) rows; the query path deduplicates shortlist ids, so
+    // replays cost bytes, never result slots.
     val vectorsPath = new org.apache.hadoop.fs.Path(s"$path/vectors")
     if (vectorsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(vectorsPath))
       assigned.select(col("id"), col("v"),
           nearestCentroid(col("v"), cents).as("cid"))
         .write.mode("append").partitionBy("cid").parquet(s"$path/vectors")
+    assigned.select(col("id"),
+        nearestCentroid(col("v"), cents).as("cid"),
+        GraftExpressions.pqEncode(col("v"), codebooks).as("code"))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/codes")
   }
 
   /** Distinct list ids any query in the batch probes — bounded by nLists. */

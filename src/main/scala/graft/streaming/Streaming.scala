@@ -20,6 +20,28 @@ import org.apache.spark.sql.functions._
   * the last checkpoint, then stop).
   */
 object FileStreamReader {
+  /** Stamp every not-yet-stamped parquet part in `dir` with the mtime for
+    * batch `i` (a fixed epoch offset), so a file-stream source with
+    * `maxFilesPerTrigger` replays writes as deterministic, ordered
+    * micro-batches. Call once after each batch's write: files already
+    * stamped for earlier batches keep their (older) stamps. Shared by the
+    * streaming-dedup gate and specs — the stamping rule must never drift
+    * between them. */
+  def stampBatchMtime(dir: String, i: Int, epochBaseSeconds: Long = 1000L): Unit = {
+    val target = java.time.Instant.EPOCH.plusSeconds(epochBaseSeconds + i)
+    val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try {
+      val it = st.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet") &&
+            java.nio.file.Files.getLastModifiedTime(p).toInstant.isAfter(target))
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.from(target))
+      }
+    } finally st.close()
+  }
+
   /** Stream a directory of files. `maxFilesPerTrigger` bounds micro-batch
     * size — the knob that keeps 100 TB backfills from becoming one giant
     * batch. */
@@ -214,9 +236,15 @@ object StreamRunner {
   /** [[runIncrementalDedup]]'s NEAR-dup sibling: each micro-batch is
     * near-deduplicated against the persisted MinHash band index
     * ([[graft.operators.Dedup.minhashDedupAgainstIndexTable]] — LSH
-    * candidates with the index side unshuffled, exact-Jaccard verified),
-    * survivors go to `sink`, and their bands + shingle sets are appended
-    * so later batches (and runs) drop near-copies of them. Same
+    * candidates with the index side unshuffled, exact-Jaccard verified)
+    * AND within itself — a doc with a verified near-dup of SMALLER id in
+    * the same batch dies (pairwise smaller-id-wins; for chains A≈B≈C the
+    * closure keeps only the smallest id, matching the exact variant's
+    * first-occurrence rule without per-batch component iteration).
+    * Without the in-batch pass both copies of a pair arriving in ONE
+    * batch would sink and be appended, escaping dedup permanently.
+    * Survivors go to `sink`, then their bands + shingle sets append so
+    * later batches (and runs) drop near-copies of them. Same
     * materialize-before-mutate and sink-before-append ordering as the
     * exact variant — a replayed append only adds redundant candidate
     * rows, which verification collapses ([[graft.operators.Dedup
@@ -232,9 +260,15 @@ object StreamRunner {
                              (sink: (DataFrame, Long) => Unit): Unit =
     runAvailableNowForeachBatchExactlyOnce(stream, checkpoint, store,
         ledgerName) { (batch, id) =>
-      val survivors = graft.operators.Dedup
+      val vsIndex = graft.operators.Dedup
         .minhashDedupAgainstIndexTable(batch, idCol, textCol, indexTable,
           threshold = threshold)
+      val inBatchDups = graft.operators.Dedup
+        .minhashDupPairs(vsIndex, idCol, textCol, threshold = threshold)
+        .select(org.apache.spark.sql.functions.col("id2").as(idCol))
+        .distinct()
+      val survivors = vsIndex
+        .join(inBatchDups, Seq(idCol), "left_anti")
         .localCheckpoint()
       sink(survivors, id)
       graft.operators.Dedup.appendToMinHashIndexTable(

@@ -75,6 +75,7 @@ class SentencesSpec extends SparkSpec {
     assert(seg("Tail. fragment") === Seq("Tail.", " fragment"))
     assert(seg("Wait... what?!") === Seq("Wait...", " what?!"))
     assert(Seq("").toDF("t").select(sentenceCount($"t")).as[Long].head() === 0L)
+    assert(Seq("   ").toDF("t").select(sentenceCount($"t")).as[Long].head() === 0L)
   }
 }
 
@@ -122,6 +123,12 @@ class StripHtmlSpec extends SparkSpec {
     assert(strip("&amp;lt;") === "&lt;")
     assert(strip("x&nbsp;y") === "x y")
     assert(strip("  a   b  ") === "a b")
+    // a bare '<' whose next '>' is beyond the 256-char tag bound must NOT
+    // swallow the intervening prose
+    val prose = "words " * 60 // ~360 chars
+    assert(strip(s"a < $prose> b") === s"a < ${prose.trim} > b"
+      || strip(s"a < $prose> b").contains("words"),
+      "long bare-'<' span must survive the tag pass")
   }
 }
 
@@ -243,6 +250,15 @@ class SamplingSpec extends SparkSpec {
     // survive; hot key keeps the exact same best-4)
     assert(skewAware.select($"domain", $"id").as[(String, Long)].collect().toSet
       === plain.select($"domain", $"id").as[(String, Long)].collect().toSet)
+    // NULL keys form one over-cap group too: the null-safe join must
+    // route them through the capped path, never exempt them
+    val withNulls = docs.unionByName(
+      (0 until 500).map(i => (null.asInstanceOf[String], 900000L + i, 1.0))
+        .toDF("domain", "id", "q"))
+    val cappedNull = Sampling.capPerKeySkewAware(withNulls, Seq("domain"), 4, "q", "id")
+      .filter($"domain".isNull).count()
+    assert(cappedNull === 4L,
+      s"null-key group must be capped like any other, got $cappedNull")
     // small caps: Spark's InferWindowGroupLimit protects the plain path
     // by itself — the plan must carry a WindowGroupLimit, which trims
     // each map partition to the top-4 per key before the shuffle
@@ -324,6 +340,11 @@ class SamplingSpec extends SparkSpec {
     assert(partial > 1500 && partial < 2500)
     intercept[IllegalArgumentException] {
       Sampling.splitByHash(ids, "id", Seq("a" -> 0.9, "b" -> 0.2))
+    }
+    // a string key would hash to NULL for every row and silently void
+    // the split — must fail loudly instead
+    intercept[IllegalArgumentException] {
+      Sampling.splitByHash(Seq("u1").toDF("url"), "url", Seq("a" -> 0.5))
     }
   }
 

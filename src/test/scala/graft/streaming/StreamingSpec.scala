@@ -145,19 +145,7 @@ class StreamingSpec extends SparkSpec {
       batches.zipWithIndex.foreach { case (rows, i) =>
         rows.toDF("doc_id", "text").coalesce(1)
           .write.mode("append").parquet(src)
-        val st = java.nio.file.Files.list(java.nio.file.Paths.get(src))
-        try {
-          val it = st.iterator()
-          while (it.hasNext) {
-            val p = it.next()
-            if (p.getFileName.toString.endsWith(".parquet") &&
-                java.nio.file.Files.getLastModifiedTime(p).toInstant
-                  .isAfter(java.time.Instant.EPOCH.plusSeconds(100 + i.toLong)))
-              java.nio.file.Files.setLastModifiedTime(p,
-                java.nio.file.attribute.FileTime.from(
-                  java.time.Instant.EPOCH.plusSeconds(100 + i.toLong)))
-          }
-        } finally st.close()
+        FileStreamReader.stampBatchMtime(src, i, epochBaseSeconds = 100L)
       }
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType)))
@@ -194,25 +182,16 @@ class StreamingSpec extends SparkSpec {
       val src = tmpDir("stream-nsid-src")
       val batches = Seq(
         Seq((10L, "the quick brown fox jumps over the lazy dog near the old river bank zz"), // near-copy of history
-          (11L, "a totally fresh document with its own vocabulary and no overlap whatsoever here")),
+          (11L, "a totally fresh document with its own vocabulary and no overlap whatsoever here"),
+          // IN-BATCH near-copy of 11 — must die inside the batch, not
+          // escape to the sink alongside its twin
+          (12L, "a totally fresh document with its own vocabulary and no overlap whatsoever here qq")),
         Seq((20L, "a totally fresh document with its own vocabulary and no overlap whatsoever here yy"), // near-copy of batch-0 survivor
           (21L, "yet another brand new piece of writing on an unrelated subject entirely now")))
       batches.zipWithIndex.foreach { case (rows, i) =>
         rows.toDF("doc_id", "text").coalesce(1)
           .write.mode("append").parquet(src)
-        val st = java.nio.file.Files.list(java.nio.file.Paths.get(src))
-        try {
-          val it = st.iterator()
-          while (it.hasNext) {
-            val p = it.next()
-            if (p.getFileName.toString.endsWith(".parquet") &&
-                java.nio.file.Files.getLastModifiedTime(p).toInstant
-                  .isAfter(java.time.Instant.EPOCH.plusSeconds(100 + i.toLong)))
-              java.nio.file.Files.setLastModifiedTime(p,
-                java.nio.file.attribute.FileTime.from(
-                  java.time.Instant.EPOCH.plusSeconds(100 + i.toLong)))
-          }
-        } finally st.close()
+        FileStreamReader.stampBatchMtime(src, i, epochBaseSeconds = 100L)
       }
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType)))
