@@ -638,6 +638,17 @@ class IvfPqSimilaritySpec extends graft.SparkSpec {
       .select($"query_id", $"id").as[(Long, Long)].collect().toMap
     val hits = (0 until 10).count(i => top.get(i.toLong).contains(1000L + i))
     assert(hits >= 9, s"appended neighbor found for only $hits/10 queries")
+    // REPLAYED append (same batch twice — the crash-retry case): stored
+    // twice, but no id may occupy two of the k result slots
+    Similarity.appendToIvfPqIndex(
+      appended.toDF("vec_id", "embedding"), "vec_id", "embedding", idx)
+    assert(spark.read.parquet(s"$idx/codes").count() === 220L)
+    val top5 = Similarity.ivfPqTopKFromIndex(idx, corpus, q,
+        "vec_id", "embedding", 5, nProbe = 8, shortlist = 50)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+    val slots = top5.groupBy(_._1).view.mapValues(_.map(_._2).toSeq)
+    assert(slots.values.forall(ids => ids.distinct.size == ids.size),
+      s"replayed append duplicated a result slot: ${slots.toMap}")
   }
 
   test("randomProject: deterministic, cosine-preserving, finds planted neighbors") {
