@@ -2580,7 +2580,7 @@ object SparkEntry {
         |, s0 AS (SELECT doc_id, source, regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h)
         |, s1 AS (SELECT doc_id, source, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s0)
         |, s2 AS (SELECT doc_id, source, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1)
-        |, s3 AS (SELECT doc_id, source, regexp_replace(t, '<[^>]{1,256}>', ' ', 'g') AS t FROM s2)
+        |, s3 AS (SELECT doc_id, source, regexp_replace(t, '</?[a-zA-Z!][^>]{0,1000}>', ' ', 'g') AS t FROM s2)
         |, s4 AS (SELECT doc_id, source, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM s3)
         |, s5 AS (SELECT doc_id, source, regexp_replace(t, '&lt;', '<', 'g') AS t FROM s4)
         |, s6 AS (SELECT doc_id, source, regexp_replace(t, '&gt;', '>', 'g') AS t FROM s5)
@@ -2605,7 +2605,7 @@ object SparkEntry {
         |ORDER BY source, doc_id""".stripMargin,
     "text_sentences" ->
       """SELECT doc_id,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |  CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0
         |       ELSE len(regexp_extract_all(text, '[^.!?]+[.!?]*'))
         |  END::BIGINT AS n_sent,
         |  md5(regexp_extract_all(text, '[^.!?]+[.!?]*')[1]) AS first_md5
@@ -2620,7 +2620,7 @@ object SparkEntry {
         |, s0 AS (SELECT doc_id, regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h)
         |, s1 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s0)
         |, s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1)
-        |, s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]{1,256}>', ' ', 'g') AS t FROM s2)
+        |, s3 AS (SELECT doc_id, regexp_replace(t, '</?[a-zA-Z!][^>]{0,1000}>', ' ', 'g') AS t FROM s2)
         |, s4 AS (SELECT doc_id, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM s3)
         |, s5 AS (SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g') AS t FROM s4)
         |, s6 AS (SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g') AS t FROM s5)

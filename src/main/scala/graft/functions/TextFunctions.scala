@@ -139,9 +139,11 @@ object TextFunctions {
 
   /** Number of [[sentences]] segments; 0 for empty AND blank text (the
     * segment regex alone would count a whitespace-only doc as one
-    * sentence — spaces are not terminators). */
+    * sentence — spaces are not terminators). Blank = any whitespace,
+    * not just spaces: `trim` strips only ' ', so a tab/newline-only doc
+    * needs the regex check. */
   def sentenceCount(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0L))
+    when(length(regexp_replace(c, "\\s", "")) === 0, lit(0L))
       .otherwise(size(sentences(c)).cast("long"))
 
   /** HTML → text for crawl curation: drop script/style blocks WITH their
@@ -151,16 +153,19 @@ object TextFunctions {
     * common entities (`&amp;` LAST, or `&amp;lt;` would double-decode),
     * collapse whitespace. A regexp_replace chain in the RE2-compatible
     * subset — no backreferences, so the same rules run verbatim in
-    * DuckDB for the oracle. Not a browser: a bare `<` in prose with a
-    * `>` within the next 256 characters still swallows the span (the
-    * length bound keeps a stray `<` from eating up to the document's
-    * next `>`, which could be kilobytes of genuine text; real tags are
-    * far shorter than 256 chars). */
+    * DuckDB for the oracle. The tag pattern is ANCHORED on a tag-start
+    * character (`<` + letter, `</`, `<!`) — HTML only opens tags that
+    * way, so prose like `1 < 2` or `a < b` can never start a match —
+    * and bounded at 1000 chars (RE2's repetition ceiling) so a letter-initial bare `<` in prose
+    * (`i<n ... >`) cannot swallow kilobytes while real tags (including
+    * long attribute lists up to 1000 chars) still strip whole. Not a browser: edge cases
+    * degrade to stray markup characters surviving as text, never to
+    * unbounded text loss. */
   def stripHtml(c: Column): Column = {
     val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "<[^>]{1,256}>", " ")
+    val noTags = regexp_replace(noComment, "</?[a-zA-Z!][^>]{0,1000}>", " ")
     val ent = Seq(
       "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",

@@ -28,6 +28,17 @@ object Sampling {
   def knuthHash32(key: Column): Column =
     pmod(pmod(key.cast("long"), lit(M32 / 2)) * lit(Knuth), lit(M32))
 
+  /** Every operator hashing a key column must reject non-numeric keys
+    * LOUDLY: knuthHash32 casts to long, so a string key hashes to NULL
+    * for every row — a silently empty sample, a key-ordered "shuffle", a
+    * voided split. String keys: pre-hash with xxhash64 into a numeric
+    * column. */
+  private def requireNumericKey(df: DataFrame, keyCol: String, op: String): Unit =
+    require(df.schema(keyCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$op needs a numeric key column; '$keyCol' is " +
+        s"${df.schema(keyCol).dataType.simpleString} — pre-hash string keys " +
+        "with xxhash64 into a numeric column first")
+
   private def threshold(fraction: Double): Long = {
     require(fraction >= 0.0 && fraction <= 1.0,
       s"fraction must be in [0,1], got $fraction")
@@ -35,14 +46,17 @@ object Sampling {
   }
 
   /** Keep ~`fraction` of rows, chosen deterministically by `keyCol`. */
-  def sampleByKey(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+  def sampleByKey(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    requireNumericKey(df, keyCol, "sampleByKey")
     df.filter(knuthHash32(col(keyCol)) < lit(threshold(fraction)))
+  }
 
   /** Per-stratum fractions; strata not listed get `default`. One codegen'd
     * CASE on the stratum column — no join, no shuffle. */
   def stratifiedSampleByKey(df: DataFrame, keyCol: String, strataCol: String,
                             fractions: Map[String, Double],
                             default: Double = 0.0): DataFrame = {
+    requireNumericKey(df, keyCol, "stratifiedSampleByKey")
     val thr = fractions.toSeq.sortBy(_._1).foldLeft(lit(threshold(default))) {
       case (acc, (stratum, f)) =>
         when(col(strataCol) === stratum, lit(threshold(f))).otherwise(acc)
@@ -61,14 +75,7 @@ object Sampling {
   def splitByHash(df: DataFrame, keyCol: String,
                   weights: Seq[(String, Double)],
                   outCol: String = "split"): DataFrame = {
-    // the hash casts the key to long; a non-numeric key would hash to
-    // NULL and silently assign EVERY row the null split — catastrophic
-    // for an operator guarding eval contamination, so fail loudly.
-    // String keys: pre-hash with xxhash64(col) into a numeric column.
-    require(df.schema(keyCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"splitByHash needs a numeric key column; '$keyCol' is " +
-        s"${df.schema(keyCol).dataType.simpleString} — pre-hash string keys " +
-        "with xxhash64 into a numeric column first")
+    requireNumericKey(df, keyCol, "splitByHash")
     require(weights.nonEmpty, "splitByHash needs at least one split")
     require(weights.forall(_._2 > 0), "split weights must be positive")
     require(weights.map(_._2).sum <= 1.0 + 1e-9,
@@ -103,6 +110,7 @@ object Sampling {
   def mixByTokenBudget(df: DataFrame, sourceCol: String, tokensCol: String,
                        weights: Map[String, Double], budget: Long,
                        tieBreak: String): DataFrame = {
+    requireNumericKey(df, tieBreak, "mixByTokenBudget(tieBreak)")
     require(budget > 0, "budget must be positive")
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be non-empty and positive")
@@ -125,8 +133,10 @@ object Sampling {
     * range-partitioned exchange, identical on re-runs — no RNG state, so
     * a resumed job re-derives the same permutation. Writers preserve the
     * sorted partition order on disk. */
-  def shuffled(df: DataFrame, keyCol: String): DataFrame =
+  def shuffled(df: DataFrame, keyCol: String): DataFrame = {
+    requireNumericKey(df, keyCol, "shuffled")
     df.orderBy(knuthHash32(col(keyCol)), col(keyCol))
+  }
 
   /** Per-key quota: keep at most `maxPerKey` rows per key group — the
     * per-domain cap every web-corpus curation run applies (a handful of

@@ -352,14 +352,17 @@ object Similarity {
     // (id, code) twice) are collapsed AFTER the shortlist cut — the
     // deduplicating shuffle then touches <= |Q|*shortlist rows, not the
     // full probed scan; the only cost of a replay is a slightly
-    // shallower effective shortlist, never a duplicated result slot
+    // shallower effective shortlist, never a duplicated result slot.
+    // max(adc) (not dropDuplicates' arbitrary row) keeps the collapse
+    // DETERMINISTIC even if an id was re-appended with a drifted code.
     val scored = index.join(broadcast(probes), Seq("cid"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
         GraftExpressions.pqAdcScore(col("code"), col("tbl"), m, ks).as("adc"))
       .withColumn("r", row_number().over(adcW))
       .filter(col("r") <= shortlist)
-      .dropDuplicates("query_id", "id")
+      .groupBy(col("query_id"), col("id"))
+      .agg(max(col("adc")).as("adc"))
     reRank match {
       case Some(vecs) =>
         val exact = scored.select(col("query_id"), col("id"))

@@ -260,9 +260,13 @@ object StreamRunner {
                              (sink: (DataFrame, Long) => Unit): Unit =
     runAvailableNowForeachBatchExactlyOnce(stream, checkpoint, store,
         ledgerName) { (batch, id) =>
+      // localCheckpoint: vsIndex feeds TWO consumers (the survivor frame
+      // and the in-batch pair generation) — without materialization the
+      // expensive index-vs-batch LSH join would execute twice per batch
       val vsIndex = graft.operators.Dedup
         .minhashDedupAgainstIndexTable(batch, idCol, textCol, indexTable,
           threshold = threshold)
+        .localCheckpoint()
       val inBatchDups = graft.operators.Dedup
         .minhashDupPairs(vsIndex, idCol, textCol, threshold = threshold)
         .select(org.apache.spark.sql.functions.col("id2").as(idCol))

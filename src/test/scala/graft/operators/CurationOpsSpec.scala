@@ -123,12 +123,14 @@ class StripHtmlSpec extends SparkSpec {
     assert(strip("&amp;lt;") === "&lt;")
     assert(strip("x&nbsp;y") === "x y")
     assert(strip("  a   b  ") === "a b")
-    // a bare '<' whose next '>' is beyond the 256-char tag bound must NOT
-    // swallow the intervening prose
+    // a bare '<' in prose (not followed by a tag-start character) must
+    // NOT start a match at all — the full span survives verbatim
     val prose = "words " * 60 // ~360 chars
-    assert(strip(s"a < $prose> b") === s"a < ${prose.trim} > b"
-      || strip(s"a < $prose> b").contains("words"),
-      "long bare-'<' span must survive the tag pass")
+    assert(strip(s"a < $prose> b") === s"a < ${prose.trim} > b")
+    assert(strip("1 < 2 and 3 > 1") === "1 < 2 and 3 > 1")
+    // while a REAL tag longer than any prose bound still strips whole
+    val longTag = "<img src=\"data:image/png;base64," + ("A" * 600) + "\">"
+    assert(strip(s"x ${longTag} y") === "x y")
   }
 }
 
