@@ -1735,6 +1735,62 @@ object SparkEntry {
       } finally s.sql(s"DROP TABLE IF EXISTS $table")
     }),
 
+    "streaming_incremental_neardedup" -> ((s, dir) => {
+      // dedup-on-ingest, NEAR-dup flavor: two mtime-ordered micro-batches
+      // stream against the persisted MinHash band index. Batch 1 drops
+      // near-copies of HISTORY and its own in-batch near-pairs
+      // (smaller id wins), its survivors' bands/shingles APPEND; batch 2
+      // must then drop near-copies of batch-1 survivors via the updated
+      // index. The oracle replays the same sequence with exact Jaccard
+      // (LSH == exact on this data, the dedup_minhash_lsh contract). The
+      // index mutates per invocation, so it is rebuilt fresh each time
+      // (unlike the read-only cached one in dedup_minhash_incremental).
+      import org.apache.spark.sql.types._
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), col("source"), col("text"))
+      def planted(from: Int, until: Int, shift: Int, suffix: String) =
+        docs.filter(col("doc_id") >= from && col("doc_id") < until)
+          .withColumn("doc_id", col("doc_id") + shift)
+          .withColumn("text", concat(col("text"), lit(suffix)))
+      val table = "mh_sid_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      operators.Dedup.buildMinHashIndexTable(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", table)
+      try {
+        val ld = java.nio.file.Files.createTempDirectory("graft_nsid_in").toString
+        val batches = Seq(
+          docs.filter(col("doc_id") >= 250 && col("doc_id") < 350)
+            .unionByName(planted(0, 25, 1000000, " zz yy")),   // vs history
+          docs.filter(col("doc_id") >= 350)
+            .unionByName(planted(250, 270, 2000000, " qq ww")) // vs batch-1 APPENDED
+            .unionByName(planted(350, 360, 3000000, " rr tt"))) // in-batch
+        batches.zipWithIndex.foreach { case (b, i) =>
+          b.coalesce(1).write.mode("append").parquet(ld)
+          graft.streaming.FileStreamReader.stampBatchMtime(ld, i)
+        }
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("source", StringType),
+          StructField("text", StringType)))
+        val stream = graft.streaming.FileStreamReader.read(
+          s, graft.filedf.Parquet(), ld, schema, maxFilesPerTrigger = Some(1))
+        val ck = java.nio.file.Files.createTempDirectory("graft_nsid_ck").toString
+        val out = java.nio.file.Files.createTempDirectory("graft_nsid_out").toString
+        val ledger = new graft.core.InMemoryHwmStore
+        graft.streaming.StreamRunner.runIncrementalNearDedup(
+          stream, "doc_id", "text", table, ck, ledger, s"nsid@$ck",
+          threshold = 0.7) {
+          (survivors, _) => survivors.write.mode("append").parquet(out)
+        }
+        s.read.parquet(out)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS ${table}_bands")
+        s.sql(s"DROP TABLE IF EXISTS ${table}_shingles")
+      }
+    }),
+
     "q_events_sessionize" -> ((s, dir) => {
       // event-time windowed aggregation over the events table.
       // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
@@ -2816,6 +2872,75 @@ object SparkEntry {
     // streaming gates share batch semantics: AvailableNow over static
     // files must equal the batch query (sentinel rows are filtered on the
     // Spark side before the compare)
+    // sequential near-dedup replayed with exact Jaccard: batch 1 vs
+    // history then in-batch (smaller id wins), survivors join the
+    // index, batch 2 vs the UPDATED index then in-batch
+    "streaming_incremental_neardedup" ->
+      """WITH base AS (SELECT doc_id, source, text FROM documents)
+        |, hist AS (SELECT doc_id, text FROM base WHERE doc_id < 250)
+        |, b1 AS (
+        |  SELECT doc_id, source, text FROM base WHERE doc_id >= 250 AND doc_id < 350
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, text || ' zz yy' FROM base WHERE doc_id < 25)
+        |, b2 AS (
+        |  SELECT doc_id, source, text FROM base WHERE doc_id >= 350
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, source, text || ' qq ww' FROM base WHERE doc_id >= 250 AND doc_id < 270
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, source, text || ' rr tt' FROM base WHERE doc_id >= 350 AND doc_id < 360)
+        |, hsh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |         i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM hist)
+        |  WHERE len(toks) >= 3)
+        |, hinv AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM hsh)
+        |, b1sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |         i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM b1)
+        |  WHERE len(toks) >= 3)
+        |, b1inv AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM b1sh)
+        |, d1 AS (
+        |  SELECT a.doc_id AS aid, b.doc_id AS bid,
+        |         round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 6) AS j
+        |  FROM b1inv a JOIN hinv b ON a.s = b.s
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING j >= 0.7)
+        |, vs1 AS (SELECT * FROM b1 WHERE doc_id NOT IN (SELECT aid FROM d1))
+        |, vs1inv AS (SELECT * FROM b1inv WHERE doc_id IN (SELECT doc_id FROM vs1))
+        |, p1 AS (
+        |  SELECT a.doc_id AS aid, b.doc_id AS bid,
+        |         round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 6) AS j
+        |  FROM vs1inv a JOIN vs1inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING j >= 0.7)
+        |, s1 AS (SELECT * FROM vs1 WHERE doc_id NOT IN (SELECT bid FROM p1))
+        |, s1inv AS (SELECT * FROM b1inv WHERE doc_id IN (SELECT doc_id FROM s1))
+        |, idx2inv AS (SELECT * FROM hinv UNION ALL SELECT * FROM s1inv)
+        |, b2sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |         i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM b2)
+        |  WHERE len(toks) >= 3)
+        |, b2inv AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM b2sh)
+        |, d2 AS (
+        |  SELECT a.doc_id AS aid, b.doc_id AS bid,
+        |         round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 6) AS j
+        |  FROM b2inv a JOIN idx2inv b ON a.s = b.s
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING j >= 0.7)
+        |, vs2 AS (SELECT * FROM b2 WHERE doc_id NOT IN (SELECT aid FROM d2))
+        |, vs2inv AS (SELECT * FROM b2inv WHERE doc_id IN (SELECT doc_id FROM vs2))
+        |, p2 AS (
+        |  SELECT a.doc_id AS aid, b.doc_id AS bid,
+        |         round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 6) AS j
+        |  FROM vs2inv a JOIN vs2inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING j >= 0.7)
+        |, s2 AS (SELECT * FROM vs2 WHERE doc_id NOT IN (SELECT bid FROM p2))
+        |SELECT doc_id, source FROM s1
+        |UNION ALL SELECT doc_id, source FROM s2
+        |ORDER BY doc_id""".stripMargin,
     // sequential per-batch exact dedup (min id within the first batch a
     // class appears in, index kills across batches) is CONFLUENT with a
     // single global min-id dedup here: original ids ascend with batch
