@@ -1761,7 +1761,10 @@ object SparkEntry {
         val batches = Seq(
           docs.filter(col("doc_id") >= 250 && col("doc_id") < 350)
             .unionByName(planted(0, 25, 1000000, " zz yy")),   // vs history
-          docs.filter(col("doc_id") >= 350)
+          // batch 2 bounded at 2000 docs (SF-scaling: 150 at sf0.01) —
+          // the gate proves the SEQUENCE, not bulk throughput, and the
+          // unbounded batch made this the bench's most expensive gate
+          docs.filter(col("doc_id") >= 350 && col("doc_id") < 2350)
             .unionByName(planted(250, 270, 2000000, " qq ww")) // vs batch-1 APPENDED
             .unionByName(planted(350, 360, 3000000, " rr tt"))) // in-batch
         batches.zipWithIndex.foreach { case (b, i) =>
@@ -2883,7 +2886,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 1000000, source, text || ' zz yy' FROM base WHERE doc_id < 25)
         |, b2 AS (
-        |  SELECT doc_id, source, text FROM base WHERE doc_id >= 350
+        |  SELECT doc_id, source, text FROM base WHERE doc_id >= 350 AND doc_id < 2350
         |  UNION ALL
         |  SELECT doc_id + 2000000, source, text || ' qq ww' FROM base WHERE doc_id >= 250 AND doc_id < 270
         |  UNION ALL
