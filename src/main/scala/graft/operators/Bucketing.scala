@@ -47,15 +47,29 @@ object Bucketing {
     * additionally collapses exact duplicate rows, which the
     * append-based dedup indexes accumulate harmlessly on replays.
     *
-    * NOT atomic: the rewrite lands in a temp table that is swapped in
-    * via drop + rename (the session catalog has no atomic exchange). A
-    * crash between the two leaves `<table>__compact` complete on disk
-    * and the original dropped — recover by re-running the rename. Run
-    * it as offline maintenance, like any file-compaction pass. */
+    * The swap is not atomic (the session catalog has no atomic
+    * exchange), but it IS crash-recoverable and never destroys data:
+    * the rewrite lands in `<table>__compact`, then the swap is three
+    * metastore-only ops — rename live to `<table>__old`, rename the
+    * compacted table in, drop `__old`. At every crash point at least one
+    * COMPLETE copy of the data exists under a known name, and
+    * [[recoverCompaction]] (run automatically at the start of every
+    * compaction) renames it back to `table`; the old drop+rename order
+    * had a window where the only complete copy sat under the temp name
+    * with the live name gone until manual repair (ADVICE r7).
+    *
+    * Concurrent-reader contract (CompactionSwapSpec pins it): the
+    * table NAME is unresolvable only inside the two-rename window —
+    * metastore ops, no data rewrite — and re-resolving after recovery
+    * always succeeds; a reader holding a pre-compaction plan races the
+    * final DROP of the old files, which is why this is documented as
+    * offline maintenance, like any file-compaction pass. */
   def compactBucketed(spark: SparkSession, table: String, buckets: Int,
                       keys: Seq[String],
                       dropDuplicates: Boolean = false): Unit = {
     val tmp = s"${table}__compact"
+    val old = s"${table}__old"
+    recoverCompaction(spark, table) // heal any earlier crash, drop stragglers
     val df0 = spark.table(table)
     val df = if (dropDuplicates) df0.distinct() else df0
     // one file per bucket: repartition on the bucket keys into `buckets`
@@ -63,8 +77,29 @@ object Bucketing {
     // its bucket's single file
     writeBucketed(df.repartition(buckets, keys.map(org.apache.spark.sql.functions.col): _*),
       tmp, buckets, keys)
-    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE $old")
+  }
+
+  /** Restore `table` after a compaction crash: if the live name is gone,
+    * rename the completed compacted copy (`__compact` — preferred: it
+    * only outlives the live name once fully written) or the displaced
+    * original (`__old`) back in; once a live table exists, drop whichever
+    * siblings remain. Idempotent, called automatically by
+    * [[compactBucketed]]; safe to call any time. */
+  def recoverCompaction(spark: SparkSession, table: String): Unit = {
+    val cat = spark.catalog
+    val tmp = s"${table}__compact"
+    val old = s"${table}__old"
+    if (!cat.tableExists(table)) {
+      if (cat.tableExists(tmp)) spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      else if (cat.tableExists(old)) spark.sql(s"ALTER TABLE $old RENAME TO $table")
+    }
+    if (cat.tableExists(table)) {
+      if (cat.tableExists(old)) spark.sql(s"DROP TABLE $old")
+      if (cat.tableExists(tmp)) spark.sql(s"DROP TABLE $tmp")
+    }
   }
 
   /** Join two tables previously written by [[writeBucketed]] with the

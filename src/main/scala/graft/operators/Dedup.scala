@@ -206,12 +206,26 @@ object Dedup {
   private def dedupNewAgainstIndex(df: DataFrame, idCol: String,
                                    textCol: String, idx: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    df.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
-      .join(idx.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__fp")).orderBy(col(idCol))))
-      .filter(col("__rn") === 1)
-      .drop("__fp", "__rn")
+    // withColumn REPLACES an existing column of the same name — a caller
+    // whose frame already carries "__fp"/"__rn" would have that column
+    // silently destroyed, so derive working names the input cannot contain
+    val fpCol = collisionFree("__fp", df.columns)
+    val rnCol = collisionFree("__rn", df.columns)
+    df.withColumn(fpCol, TextFunctions.fingerprint(col(textCol)))
+      .join(idx.select(col("fp").as(fpCol)), Seq(fpCol), "left_anti")
+      .withColumn(rnCol, row_number().over(
+        Window.partitionBy(col(fpCol)).orderBy(col(idCol))))
+      .filter(col(rnCol) === 1)
+      .drop(fpCol, rnCol)
+  }
+
+  /** `base`, suffixed with underscores until it collides with nothing in
+    * `cols` — temp-column hygiene for operators that decorate arbitrary
+    * caller frames. */
+  private def collisionFree(base: String, cols: Array[String]): String = {
+    var n = base
+    while (cols.contains(n)) n += "_"
+    n
   }
 
   /** (id, shingles, n_sh) per document — distinct hashed word shingles

@@ -307,7 +307,12 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = ais.getFormat
-        val data = ais.readAllBytes()
+        // a decoded stream can never legitimately exceed the payload it
+        // came from (PCM containers store samples verbatim); a header
+        // whose declared sizes imply more is malformed — bail to the stub
+        // row instead of letting readAllBytes allocate from a lie
+        val data = ais.readNBytes(bytes.length max 64)
+        if (ais.read() != -1) return None
         // max |sample| over 16-bit frames (little-endian unless the
         // format says otherwise); non-16-bit payloads report 0
         var pcmMax = 0
@@ -325,8 +330,13 @@ object Multimodal {
         Some((fmt, ais.getFrameLength, pcmMax))
       } finally ais.close()
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
+      // NonFatal, not just the two declared exceptions: WAV/AIFF header
+      // parsing inside AudioSystem throws RuntimeExceptions on crafted
+      // sizes (NegativeArraySize, ArrayIndexOutOfBounds) and the
+      // documented contract is "falls back without failing the batch" —
+      // one malformed payload in a 100 TB scan must cost one stub row,
+      // never a task retry storm
+      case scala.util.control.NonFatal(_) => None
     }
   }
 

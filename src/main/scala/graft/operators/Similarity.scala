@@ -365,12 +365,19 @@ object Similarity {
       .agg(max(col("adc")).as("adc"))
     reRank match {
       case Some(vecs) =>
+        // duplicate (id, v) rows (a replayed append stored an id's vector
+        // twice, possibly DRIFTED): score every copy and keep
+        // max(cosine) — deterministic like the max(adc) collapse above,
+        // where dropDuplicates("id") would pick an arbitrary copy; the
+        // collapsing shuffle touches only the joined shortlist rows
         val exact = scored.select(col("query_id"), col("id"))
-          .join(vecs.dropDuplicates("id"), Seq("id"))
+          .join(vecs, Seq("id"))
           .join(broadcast(queries), Seq("query_id"))
           .select(col("query_id"), col("id"),
             round(GraftExpressions.cosineSimilarity(col("qv"), col("v")), 6)
               .as("cosine"))
+          .groupBy(col("query_id"), col("id"))
+          .agg(max(col("cosine")).as("cosine"))
         topK(exact, k)
       case None =>
         // ADC-only: re-rank the deduplicated shortlist (the pre-dedup r

@@ -207,7 +207,16 @@ object StreamRunner {
     * and their fingerprints are appended to the index so the NEXT batch
     * (and the next run) dedups against them. Replay-protected by the
     * committed-batch ledger in `store`: a re-delivered micro-batch is
-    * skipped before it can re-write the sink or re-append fps.
+    * skipped before it can re-write the sink or re-append fps. The
+    * ledger's one open window (see
+    * [[runAvailableNowForeachBatchExactlyOnce]]): a crash AFTER
+    * `sink(survivors)` returns but BEFORE the ledger records the batch
+    * replays that one batch into the sink — exactly-once output therefore
+    * additionally requires the sink itself to be idempotent (write to a
+    * batch-id-keyed location so a replay overwrites, or use a
+    * transactional sink); the INDEX stays correct either way, since
+    * re-appended fps are harmless duplicates. The same caveat applies to
+    * [[runIncrementalNearDedup]].
     *
     * Ordering inside a batch: survivors are materialized (lineage
     * truncated) BEFORE the sink write and the index append — a lazily
