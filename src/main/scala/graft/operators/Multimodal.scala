@@ -312,7 +312,11 @@ object Multimodal {
         // whose declared sizes imply more is malformed — bail to the stub
         // row instead of letting readAllBytes allocate from a lie
         val data = ais.readNBytes(bytes.length max 64)
-        if (ais.read() != -1) return None
+        // trailing-data probe must be frame-aligned: the single-byte
+        // read() overload throws for any frame size != 1 (every 16-bit
+        // PCM stream), which the NonFatal catch would turn into a stub
+        // row for ALL valid audio
+        if (ais.readNBytes(math.max(fmt.getFrameSize, 1)).nonEmpty) return None
         // max |sample| over 16-bit frames (little-endian unless the
         // format says otherwise); non-16-bit payloads report 0
         var pcmMax = 0

@@ -160,6 +160,31 @@ class DedupIndexSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("caller columns named __fp/__rn survive the index dedup unchanged") {
+    val table = "graft_fp_idx_collide"
+    Dedup.buildFingerprintIndexTable(hist, "text", table, buckets = 4)
+    try {
+      // a frame that ALREADY carries the operator's working names — the
+      // collision the temp-column renaming exists for; withColumn would
+      // silently overwrite these
+      val batch = Seq(
+        (10L, "history document one about rivers and banks", "keep_fp_a", 7),
+        (11L, "fresh content alpha", "keep_fp_b", 8),
+        (12L, "fresh content alpha", "keep_fp_c", 9), // in-batch dup of 11
+        (13L, "fresh content beta", "keep_fp_d", 10)
+      ).toDF("doc_id", "text", "__fp", "__rn")
+      val kept = Dedup.exactDedupAgainstIndexTable(batch, "doc_id", "text", table)
+      // dedup semantics unchanged: 10 dies vs index, 12 dies in-batch
+      assert(kept.select($"doc_id").as[Long].collect().sorted.toSeq === Seq(11L, 13L))
+      // the caller's columns come back byte-identical
+      assert(kept.columns.sorted.toSeq === Seq("__fp", "__rn", "doc_id", "text"))
+      val rows = kept.select($"doc_id", $"__fp", $"__rn")
+        .as[(Long, String, Int)].collect().map { case (k, v, w) => k -> (v, w) }.toMap
+      assert(rows(11L) === ("keep_fp_b", 8))
+      assert(rows(13L) === ("keep_fp_d", 10))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("anti-join shuffles ONLY the batch side; plain parquet index shuffles both") {
     val table = "graft_fp_idx_plan"
     Dedup.buildFingerprintIndexTable(hist, "text", table, buckets = 4)

@@ -651,6 +651,43 @@ class IvfPqSimilaritySpec extends graft.SparkSpec {
       s"replayed append duplicated a result slot: ${slots.toMap}")
   }
 
+  test("re-rank collapses a DRIFTED duplicate id to max(cosine), deterministically") {
+    val rnd = new scala.util.Random(97)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 200).map(i => (i.toLong, vec()))
+    val corpus = base.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_drift").toString
+    Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", idx, nLists = 8)
+    // re-append id 5 with a DRIFTED vector equal to the query itself:
+    // the index now stores two copies of id 5 whose cosines to the query
+    // differ (original is a random vector, drifted copy scores 1.0)
+    val qv = vec()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    assert(cos(base(5)._2, qv) < 0.9, "original copy must NOT already score ~1")
+    Similarity.appendToIvfPqIndex(
+      Seq((5L, qv)).toDF("vec_id", "embedding"), "vec_id", "embedding", idx)
+    val q = Seq((9000L, qv)).toDF("vec_id", "embedding")
+    def run() = Similarity.ivfPqTopKFromIndex(idx, corpus, q,
+        "vec_id", "embedding", 5, nProbe = 8, shortlist = 50)
+      .select($"rank", $"id", $"cosine")
+      .as[(Int, Long, Double)].collect().toSeq.sortBy(_._1)
+    val r1 = run()
+    // id 5 occupies exactly ONE result slot, scored by its BEST copy —
+    // dropDuplicates("id") would pick an arbitrary copy and could return
+    // the original's sub-1 cosine here
+    assert(r1.count(_._2 == 5L) === 1, s"duplicate id must fill one slot: $r1")
+    val (rank5, _, cos5) = r1.find(_._2 == 5L).get
+    assert(rank5 === 1 && cos5 === 1.0,
+      s"drifted duplicate must score max(cosine)=1.0 at rank 1, got $r1")
+    assert(r1.map(_._2).distinct.size === r1.size)
+    // deterministic: a second evaluation returns the identical ranking
+    assert(run() === r1)
+  }
+
   test("randomProject: deterministic, cosine-preserving, finds planted neighbors") {
     import graft.expressions.GraftExpressions._
     val rnd = new scala.util.Random(71)
