@@ -1,6 +1,5 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.util.Locale
 
 /** Pure per-query run summarization, separated from the Bench main so the
   * failed-run and noise rules are unit-testable (BenchSummarySpec): a
@@ -29,15 +28,33 @@ object BenchSummary {
     val oks = runs.collect { case (s, true) => s }
     (oks.size >= 2 && oks.min > 0 && oks.max / oks.min > 2.0) || oks.isEmpty
   }
-}
 
-object Bench {
+  /** The ONE stdout line the driver tail-captures (~4 KB): metric/value/
+    * unit/queries/sf is the driver contract; everything else (skew and
+    * incremental experiments, per-run arrays, noise) lives ONLY in
+    * BENCH_FULL.json, because every byte here competes with per-query
+    * entries for the tail window. Built here, not inline in the main, so
+    * BenchSummarySpec can size-budget it against the REAL gate list
+    * (BENCH_r03 shipped `parsed: null` when the line outgrew the tail). */
   /** Locale-stable numeric formatting: the default-locale `f""`
     * interpolator prints "0,123" under e.g. de_DE and corrupts the JSON
     * line the driver parses. Every number in bench output goes through
     * here. */
-  private def num(v: Double, dp: Int): String =
-    String.format(Locale.ROOT, s"%.${dp}f", Double.box(v))
+  def num(v: Double, dp: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+
+  def stdoutLine(total: Double, mins: Map[String, Double],
+                 failed: List[String], fullOut: String, sfDir: String): String = {
+    val qs = mins.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":${num(v, 3)}""" }
+      .mkString("{", ",", "}")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failedJson,"full":"$fullOut","sf":"$sfDir"}"""
+  }
+}
+
+object Bench {
+  private def num(v: Double, dp: Int): String = BenchSummary.num(v, dp)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -95,15 +112,7 @@ object Bench {
         name -> runs
       }
     val mins = results.map { case (k, v) => k -> BenchSummary.minOf(v) }
-    // 3-decimal values keep the whole stdout line inside the driver's
-    // ~4 KB tail capture — full-precision doubles pushed the JSON past it,
-    // so the driver recorded rc/tail but failed to parse the line
-    // (BENCH_r03). The COMPLETE per-run data goes to `fullOut` instead.
-    val qs = mins.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":${num(v, 3)}""" }
-      .mkString("{", ",", "}")
     val total = if (mins.nonEmpty) mins.values.sum else 0.0
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val skewJson = try skewExperiment(spark, sfDir) catch { case e: Throwable =>
       System.err.println(s"[bench] skew experiment FAILED: ${e.getMessage}")
       "{}"
@@ -123,8 +132,10 @@ object Bench {
     // The line must be the process's final output.
     spark.stop()
     // a failed query must not masquerade as a fast success: its name is
-    // listed and the run's exit signal is the non-empty "failed" array
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failedJson,"skew":$skewJson,"full":"$fullOut","sf":"$sfDir"}""")
+    // listed and the run's exit signal is the non-empty "failed" array.
+    // Skew/incremental experiment blocks ride BENCH_FULL only — the
+    // stdout byte budget is spec-pinned (BenchSummarySpec).
+    println(BenchSummary.stdoutLine(total, mins, failed, fullOut, sfDir))
     System.out.flush()
   }
 

@@ -706,6 +706,32 @@ object SparkEntry {
           threshold = 0.4, bruteForce = true)
         .orderBy(col("id1"), col("id2"))
     }),
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup over the embeddings table with PLANTED paraphrase groups:
+      // scaled copies (0.9x / 1.1x) score cosine 1.0 vs their original
+      // while every natural pair sits <= 0.517 (measured at both SFs), so
+      // at threshold 0.9 the qualifying pairs are exactly the planted
+      // ones — and because NearestCentroid assigns by COSINE, a scaled
+      // copy can never straddle a cluster boundary (assignment is
+      // scale-invariant), making the brute-force SQL oracle EXACT, not
+      // recall-pinned. (An additive displacement looks more "paraphrase"
+      // but measurably straddles boundaries on these near-random vectors
+      // — angle-perturbed paraphrases are covered by SemanticDedupSpec,
+      // where the oracle is hand-planted rather than SQL.)
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+        .select(col("vec_id"), col("embedding"))
+      def paraphrase(mod: Int, idOff: Long, scale: Float) = emb
+        .filter(col("vec_id") % mod === 0)
+        .select((col("vec_id") + idOff).as("vec_id"),
+          transform(col("embedding"), x => x * lit(scale)).as("embedding"))
+      val corpus = emb
+        .unionAll(paraphrase(7, 1000000L, 0.9f))
+        .unionAll(paraphrase(14, 2000000L, 1.1f))
+      operators.Dedup.semanticDedup(corpus, "vec_id", "embedding",
+          nClusters = 16, threshold = 0.9)
+        .select(col("vec_id").as("id"))
+        .orderBy(col("id"))
+    }),
 
     // --- Similarity search -----------------------------------------------
     "similarity_topk_brute" -> ((s, dir) => {
@@ -2576,6 +2602,24 @@ object SparkEntry {
         |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE cosine >= 0.4 ORDER BY id1, id2""".stripMargin,
+    // exact oracle: planted scaled copies are the ONLY pairs >= 0.9, and
+    // cosine-based assignment cannot split a scaled copy from its
+    // original, so SemDeDup's within-cluster pruning equals the
+    // brute-force smaller-id rule here
+    "dedup_semantic" ->
+      """WITH corpus AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 0.9)
+        |  FROM embeddings WHERE vec_id % 7 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 2000000, list_transform(embedding::DOUBLE[], x -> x * 1.1)
+        |  FROM embeddings WHERE vec_id % 14 = 0)
+        |SELECT a.id FROM corpus a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM corpus b
+        |  WHERE b.id < a.id AND list_cosine_similarity(a.v, b.v) >= 0.9)
+        |ORDER BY id""".stripMargin,
     "similarity_topk_brute" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS id,

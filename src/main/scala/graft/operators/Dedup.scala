@@ -177,9 +177,25 @@ object Dedup {
                                     rowsPerBand: Int = 4,
                                     threshold: Double = 0.8,
                                     seed: Long = 42L): DataFrame = {
-    val spark = batch.sparkSession
     val docs = shingleDocs(batch, idCol, textCol, shingleSize)
     val banded = bandRows(docs, bands, rowsPerBand, seed)
+    minhashDedupVsIndexPre(batch, idCol, docs, banded, table, threshold)
+  }
+
+  /** [[minhashDedupAgainstIndexTable]] over PRE-computed shingle/band
+    * frames — the shared-signing path for callers that need the same
+    * batch's shingles and bands more than once per micro-batch
+    * ([[graft.streaming.Streaming.runIncrementalNearDedup]] feeds the
+    * vs-history join, the in-batch pass and the index append from ONE
+    * materialized signing; re-deriving them from raw text tripled the
+    * per-batch signing cost and let parameters silently diverge).
+    * `docs`/`banded` must come from [[shingleDocsOf]]/[[bandRowsOf]] on
+    * the same batch. */
+  private[graft] def minhashDedupVsIndexPre(batch: DataFrame, idCol: String,
+                                            docs: DataFrame, banded: DataFrame,
+                                            table: String,
+                                            threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
     val idxBands = spark.table(s"${table}_bands")
       .withColumnRenamed("id", "hist_id")
     val candidates = banded.join(idxBands, Seq("band", "bucket"))
@@ -233,6 +249,54 @@ object Dedup {
     * input widened so the scan uses every core. Shared by every
     * shingle-based dedup path so tokenization/hashing can never diverge
     * between them. */
+  /** Package-private handles on the shared shingle/band pipeline for the
+    * one-signing-per-batch streaming path (see
+    * [[minhashDedupVsIndexPre]]); parameters default to the values every
+    * minhash entry point here uses. */
+  private[graft] def shingleDocsOf(df: DataFrame, idCol: String,
+                                   textCol: String,
+                                   shingleSize: Int = 3): DataFrame =
+    shingleDocs(df, idCol, textCol, shingleSize)
+
+  private[graft] def bandRowsOf(docs: DataFrame, bands: Int = 32,
+                                rowsPerBand: Int = 4,
+                                seed: Long = 42L): DataFrame =
+    bandRows(docs, bands, rowsPerBand, seed)
+
+  /** Append PRE-computed shingle/band frames (restricted to the batch's
+    * survivors) to the MinHash index — the streaming path's variant of
+    * [[appendToMinHashIndexTable]] that reuses the signing the dedup
+    * passes already paid for. */
+  private[graft] def appendToMinHashIndexTablePre(docs: DataFrame,
+                                                  banded: DataFrame,
+                                                  table: String,
+                                                  buckets: Int): Unit = {
+    Bucketing.writeBucketed(banded, s"${table}_bands", buckets,
+      Seq("band", "bucket"), org.apache.spark.sql.SaveMode.Append)
+    Bucketing.writeBucketed(docs.select(col("id"), col("n_sh"), col("shingles")),
+      s"${table}_shingles", buckets, Seq("id"),
+      org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** [[minhashDupPairs]] over PRE-computed shingle/band frames. */
+  private[graft] def minhashDupPairsPre(docs: DataFrame, banded: DataFrame,
+                                        threshold: Double): DataFrame = {
+    val candidateIds = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    val shingleSets = docs.select(col("id"), col("shingles"))
+    val candidates = candidateIds
+      .join(shingleSets.withColumnRenamed("id", "id1")
+        .withColumnRenamed("shingles", "sh1"), Seq("id1"))
+      .join(shingleSets.withColumnRenamed("id", "id2")
+        .withColumnRenamed("shingles", "sh2"), Seq("id2"))
+    verifyJaccard(candidates, threshold)
+  }
+
   private def shingleDocs(df: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int): DataFrame =
     graft.util.SparkUtils.widen(df).select(
@@ -295,23 +359,7 @@ object Dedup {
                       seed: Long = 42L): DataFrame = {
     val docs = shingleDocs(df, idCol, textCol, shingleSize)
     val banded = bandRows(docs, bands, rowsPerBand, seed)
-
-    val candidateIds = banded.as("l")
-      .join(banded.as("r"),
-        col("l.band") === col("r.band") &&
-          col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id1"), col("r.id").as("id2"))
-      .dropDuplicates("id1", "id2")
-
-    val shingleSets = docs.select(col("id"), col("shingles"))
-    val candidates = candidateIds
-      .join(shingleSets.withColumnRenamed("id", "id1")
-        .withColumnRenamed("shingles", "sh1"), Seq("id1"))
-      .join(shingleSets.withColumnRenamed("id", "id2")
-        .withColumnRenamed("shingles", "sh2"), Seq("id2"))
-
-    verifyJaccard(candidates, threshold)
+    minhashDupPairsPre(docs, banded, threshold)
   }
 
   private def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame = {
@@ -592,5 +640,68 @@ object Dedup {
         .filter(col("cosine") >= threshold)
         .select(col("id1"), col("id2"), col("cosine"))
     }
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then prune
+    * cosine near-duplicates WITHIN each cluster only. The clustering is
+    * what makes embedding dedup tractable at corpus scale — the pair
+    * compare shrinks from O(n²) to O(Σ nᵢ²) over cluster sizes nᵢ (the
+    * paper prunes LAION with 50k clusters), and the within-cluster join
+    * is keyed on the cluster id, so the plan has a real equi-join key:
+    * no CartesianProduct, no cross-cluster pair (both spec-asserted in
+    * SemanticDedupSpec). A row is dropped when an OUTRANKING row of the
+    * same cluster scores cosine ≥ threshold; the rank rule is the
+    * deterministic keep-lowest-id every dedup family here uses, or — with
+    * `keepFarthest` — the paper's best-performing policy: keep the group
+    * member FARTHEST from its centroid (the low-centroid-similarity
+    * example preserves the most diversity, SemDeDup §4), ids breaking
+    * exact ties.
+    *
+    * Scale contract: size `nClusters` so the largest cluster's pair
+    * block fits one executor (nClusters ≈ n/⟨cluster⟩; AQE rebalances
+    * moderate skew since cid is the shuffle key); centroid training is
+    * the bounded driver collect of [[Similarity.ivfCentroids]]
+    * (nClusters rows, sampled k-means). Approximation lives in RECALL
+    * only — a near-dup pair straddling a cluster boundary is missed,
+    * the trade the paper accepts — never in a false drop: every drop is
+    * backed by an exactly-scored pair. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    nClusters: Int = 16, threshold: Double = 0.9,
+                    iters: Int = 2, seed: Long = 42L,
+                    keepFarthest: Boolean = false): DataFrame = {
+    val cents = Similarity.ivfCentroids(df, idCol, vecCol, nClusters, iters, seed)
+    // map-only cid assignment (codegen'd NearestCentroid), widened so the
+    // pair stage uses every core even off a single small file. ccos (the
+    // row's cosine to ITS centroid, the paper's ranking signal) is
+    // computed in the same map pass — rounded so the keep-farthest
+    // priority is stable across float evaluation orders.
+    val assigned = graft.util.SparkUtils.widen(df)
+      .select(Similarity.nearestCentroid(col(vecCol), cents).as("cid"),
+        col(idCol).as("id"), col(vecCol).as("v"))
+    val sides =
+      if (!keepFarthest) assigned
+      else {
+        val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+        assigned.withColumn("ccos", round(GraftExpressions.cosineSimilarity(
+          col("v"), element_at(centsLit, col("cid") + 1)), 6))
+      }
+    // a row dies when a same-cluster neighbor above threshold OUTRANKS it:
+    // by lowest id (default — the rule every dedup family here shares), or
+    // by the paper's best-performing policy (`keepFarthest`): the group
+    // member FARTHEST from the centroid survives (lowest ccos; SemDeDup
+    // §4 finds keeping low-centroid-similarity examples preserves the
+    // most diversity), ids breaking exact ties
+    val outranks =
+      if (keepFarthest)
+        col("r.ccos") < col("l.ccos") ||
+          (col("r.ccos") === col("l.ccos") && col("r.id") < col("l.id"))
+      else col("r.id") < col("l.id")
+    val dupIds = sides.as("l")
+      .join(sides.as("r"), col("l.cid") === col("r.cid") && outranks)
+      .filter(round(GraftExpressions.cosineSimilarity(col("l.v"), col("r.v")), 6)
+        >= threshold)
+      .select(col("l.id").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
   }
 }

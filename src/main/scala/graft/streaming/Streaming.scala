@@ -269,23 +269,39 @@ object StreamRunner {
                              (sink: (DataFrame, Long) => Unit): Unit =
     runAvailableNowForeachBatchExactlyOnce(stream, checkpoint, store,
         ledgerName) { (batch, id) =>
+      import org.apache.spark.sql.functions.col
+      import graft.operators.Dedup
+      // the batch is shingled and MinHash-signed exactly ONCE: docs and
+      // banded are materialized and every consumer below — the vs-history
+      // join, the in-batch pair pass, and the index append — reuses them.
+      // (Earlier rounds re-signed from raw text in all three places,
+      // tripling the per-batch signature cost; sharing the frames also
+      // makes parameter divergence between the passes impossible.)
+      val docs = Dedup.shingleDocsOf(batch, idCol, textCol).localCheckpoint()
+      val banded = Dedup.bandRowsOf(docs).localCheckpoint()
       // localCheckpoint: vsIndex feeds TWO consumers (the survivor frame
-      // and the in-batch pair generation) — without materialization the
+      // and the in-batch restriction) — without materialization the
       // expensive index-vs-batch LSH join would execute twice per batch
-      val vsIndex = graft.operators.Dedup
-        .minhashDedupAgainstIndexTable(batch, idCol, textCol, indexTable,
-          threshold = threshold)
+      val vsIndex = Dedup
+        .minhashDedupVsIndexPre(batch, idCol, docs, banded, indexTable,
+          threshold)
         .localCheckpoint()
-      val inBatchDups = graft.operators.Dedup
-        .minhashDupPairs(vsIndex, idCol, textCol, threshold = threshold)
-        .select(org.apache.spark.sql.functions.col("id2").as(idCol))
+      val vsIds = vsIndex.select(col(idCol).as("id"))
+      val inBatchDups = Dedup
+        .minhashDupPairsPre(
+          docs.join(vsIds, Seq("id"), "left_semi"),
+          banded.join(vsIds, Seq("id"), "left_semi"), threshold)
+        .select(col("id2").as(idCol))
         .distinct()
       val survivors = vsIndex
         .join(inBatchDups, Seq(idCol), "left_anti")
         .localCheckpoint()
       sink(survivors, id)
-      graft.operators.Dedup.appendToMinHashIndexTable(
-        survivors, idCol, textCol, indexTable, buckets = indexBuckets)
+      val keptIds = survivors.select(col(idCol).as("id"))
+      Dedup.appendToMinHashIndexTablePre(
+        docs.join(keptIds, Seq("id"), "left_semi"),
+        banded.join(keptIds, Seq("id"), "left_semi"),
+        indexTable, indexBuckets)
     }
 
   /** Drain a stream into an in-memory table (testing/interactive). */

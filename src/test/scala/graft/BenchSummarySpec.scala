@@ -30,4 +30,21 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(BenchSummary.needsRerun(Vector(bad(0.5), bad(0.2)))) // keep trying
     assert(!BenchSummary.needsRerun(Vector(bad(0.5), ok(1.0), ok(1.2))))
   }
+
+  test("stdout line fits the driver's ~4 KB tail for the REAL gate list, " +
+       "worst-case widths") {
+    // every gate at a 3-digit-seconds worst case (999.999): if adding a
+    // gate pushes the line past the tail window, the driver records the
+    // bench as `parsed: null` (BENCH_r03) — this budget fails FIRST
+    val mins = SparkEntry.queries.keys.map(_ -> 999.999).toMap
+    val line = BenchSummary.stdoutLine(999.999 * mins.size, mins,
+      failed = Nil, fullOut = "BENCH_FULL.json",
+      sfDir = "/root/testdata/sf0.1")
+    assert(line.getBytes("UTF-8").length < 3900,
+      s"bench stdout line is ${line.getBytes("UTF-8").length} B; drop " +
+        "per-query stdout reporting to totals or shorten gate names")
+    // the driver contract fields survive the budgeting
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.contains("\"queries\":{") && line.contains("\"sf\":"))
+  }
 }
