@@ -732,6 +732,27 @@ object SparkEntry {
         .select(col("vec_id").as("id"))
         .orderBy(col("id"))
     }),
+    "embedding_quantize" -> ((s, dir) => {
+      // int8 embedding storage (1 byte/dim, 4x cut): per-vector symmetric
+      // scale = max|x|/127 in double over the exact float values, so
+      // DuckDB recomputes it bit-for-bit; the quantize->dequantize
+      // round-trip error bound (<= scale/2 per component, plus float
+      // re-encode ulps) is computed in Spark and pinned TRUE
+      import graft.expressions.GraftExpressions.{int8Dequantize, int8Quantize, int8Scale}
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      emb.select(col("vec_id"), col("embedding"),
+          int8Scale(col("embedding")).as("sc"),
+          int8Dequantize(int8Quantize(col("embedding")),
+            int8Scale(col("embedding"))).as("deq"))
+        .select(col("vec_id"),
+          round(col("sc"), 6).as("scale"),
+          size(col("embedding")).cast("long").as("dims"),
+          (aggregate(
+            zip_with(col("embedding"), col("deq"), (a, b) => abs(a - b)),
+            lit(0.0), (acc, x) => greatest(acc, x.cast("double")))
+            <= col("sc") * 0.50001).as("err_ok"))
+        .orderBy(col("vec_id"))
+    }),
 
     // --- Similarity search -----------------------------------------------
     "similarity_topk_brute" -> ((s, dir) => {
@@ -844,6 +865,49 @@ object SparkEntry {
           "vec_id", "embedding", 1, nProbe = 8, shortlist = 50)
         .select(col("query_id"),
           (col("id") === col("query_id") + 10000).as("found_append"))
+        .orderBy(col("query_id"))
+    }),
+    "streaming_ann_ingest" -> ((s, dir) => {
+      // continuous embedding ingestion: the IVF-PQ index builds from the
+      // corpus ONCE, then two mtime-ordered micro-batches of EXACT copies
+      // of the query vectors (shifted ids) stream through the
+      // exactly-once ledger and append with frozen quantizers — map-only,
+      // O(batch), no retrain. Full-probe top-1 for each query must then
+      // be its copy from the correct batch — found_ingest pinned TRUE.
+      // Fresh temp dirs per invocation keep the gate idempotent.
+      import org.apache.spark.sql.types._
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+        .select(col("vec_id"), col("embedding"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ann_ing_idx").toString
+      operators.Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", idx,
+        nLists = 8, ks = 32)
+      val ld = java.nio.file.Files
+        .createTempDirectory("graft_ann_ing_in").toString
+      val batches = Seq(
+        emb.filter(col("vec_id") < 10)
+          .withColumn("vec_id", col("vec_id") + 1000000L),
+        emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+          .withColumn("vec_id", col("vec_id") + 2000000L))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        b.coalesce(1).write.mode("append").parquet(ld)
+        graft.streaming.FileStreamReader.stampBatchMtime(ld, i)
+      }
+      val schema = StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val stream = graft.streaming.FileStreamReader.read(
+        s, graft.filedf.Parquet(), ld, schema, maxFilesPerTrigger = Some(1))
+      val ck = java.nio.file.Files.createTempDirectory("graft_ann_ck").toString
+      graft.streaming.StreamRunner.runIncrementalAnnIngest(
+        stream, "vec_id", "embedding", idx, ck,
+        new graft.core.InMemoryHwmStore, s"ann@$ck")
+      val q = emb.filter(col("vec_id") < 20)
+      operators.Similarity.ivfPqTopKFromIndex(idx, emb, q,
+          "vec_id", "embedding", 1, nProbe = 8, shortlist = 50)
+        .select(col("query_id"),
+          (col("id") === col("query_id") +
+            when(col("query_id") < 10, 1000000L).otherwise(2000000L))
+            .as("found_ingest"))
         .orderBy(col("query_id"))
     }),
     "similarity_topk_ivfpq_index" -> ((s, dir) => {
@@ -2620,6 +2684,13 @@ object SparkEntry {
         |  SELECT 1 FROM corpus b
         |  WHERE b.id < a.id AND list_cosine_similarity(a.v, b.v) >= 0.9)
         |ORDER BY id""".stripMargin,
+    // the scale is pure double arithmetic over the same float values;
+    // the error-bound boolean is Spark-verified and pinned TRUE
+    "embedding_quantize" ->
+      """SELECT vec_id,
+        |       round(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127, 6) AS scale,
+        |       len(embedding) AS dims, TRUE AS err_ok
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "similarity_topk_brute" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS id,
@@ -2655,6 +2726,11 @@ object SparkEntry {
     "similarity_topk_ivfpq_append" ->
       """SELECT vec_id AS query_id, TRUE AS found_append
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    // streamed appends (exactly-once ledger) must be queryable batch by
+    // batch: each query's top-1 is its exact copy from the right batch
+    "streaming_ann_ingest" ->
+      """SELECT vec_id AS query_id, TRUE AS found_ingest
+        |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
     // full-probe IVF (nProbe == nLists) is exact, so it shares the
     // brute-force top-k oracle
     "similarity_topk_ivf" ->

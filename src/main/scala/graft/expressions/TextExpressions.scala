@@ -353,6 +353,52 @@ object VectorImpl {
     acc
   }
 
+  /** Symmetric per-vector int8 scale: max|x| / 127 (0 for the zero
+    * vector). Computed in double from the exact input values so an
+    * external double-arithmetic engine reproduces it bit-for-bit. */
+  def int8Scale(v: ArrayData, isFloat: Boolean): Double = {
+    val n = v.numElements()
+    var mx = 0.0
+    var j = 0
+    while (j < n) {
+      val x = math.abs(if (isFloat) v.getFloat(j).toDouble else v.getDouble(j))
+      if (x > mx) mx = x
+      j += 1
+    }
+    mx / 127.0
+  }
+
+  /** Round-to-nearest int8 codes under [[int8Scale]]; the zero vector
+    * quantizes to all-zero codes. |x - code·scale| ≤ scale/2 for every
+    * component by construction (codes span the full ±127 range since the
+    * scale is the max component). */
+  def int8Quantize(v: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    val s = int8Scale(v, isFloat)
+    val out = new Array[Byte](n)
+    if (s > 0.0) {
+      var j = 0
+      while (j < n) {
+        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        val q = math.rint(x / s)
+        out(j) = math.max(-127.0, math.min(127.0, q)).toByte
+        j += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  def int8Dequantize(q: ArrayData, scale: Double): ArrayData = {
+    val n = q.numElements()
+    val out = new Array[Float](n)
+    var j = 0
+    while (j < n) {
+      out(j) = (q.getByte(j) * scale).toFloat
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Rademacher random projection (Achlioptas '03): out_k =
     * Σ_j v_j · sign(mix(seed,k,j)) / √outDim. Distances/cosines are
     * preserved in JL fashion with ±1 entries — no Gaussian sampling, no
@@ -546,6 +592,10 @@ object GraftExpressions {
   def simhash64Md5(c: Column): Column = col(SimHash64Md5(expr(c)))
   def cosineSimilarity(a: Column, b: Column): Column =
     col(CosineSimilarity(expr(a), expr(b)))
+  def int8Scale(v: Column): Column = col(Int8Scale(expr(v)))
+  def int8Quantize(v: Column): Column = col(Int8Quantize(expr(v)))
+  def int8Dequantize(codes: Column, scale: Column): Column =
+    col(Int8Dequantize(expr(codes), expr(scale)))
   def pqEncode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
     col(PqEncode(expr(v), codebooks))
   def pqTable(q: Column, codebooks: Array[Array[Array[Double]]]): Column =

@@ -54,6 +54,66 @@ case class RandomProject(child: Expression, outDim: Int, seed: Long = 42L)
     copy(child = newChild)
 }
 
+/** Symmetric per-vector int8 quantization scale (max|x|/127, double) —
+  * pair with [[Int8Quantize]]/[[Int8Dequantize]] to store embeddings at
+  * 1 byte/dim instead of 4: at 100 TB of vectors that is the difference
+  * between the index fitting the cluster's disks or not, and the re-rank
+  * error is bounded by scale/2 per component. Codegen'd, so quantization
+  * rides the same WholeStageCodegen span as the scan. */
+case class Int8Scale(child: Expression)
+  extends UnaryExpression with GraftVectorInput {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "int8_scale"
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  protected override def nullSafeEval(input: Any): Any =
+    VectorImpl.int8Scale(input.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.VectorImpl.int8Scale($c, $isFloat)")
+  override protected def withNewChildInternal(newChild: Expression): Int8Scale =
+    copy(child = newChild)
+}
+
+/** Round-to-nearest int8 codes under [[Int8Scale]]'s per-vector scale —
+  * array<tinyint>, the 4× storage cut for vector columns. */
+case class Int8Quantize(child: Expression)
+  extends UnaryExpression with GraftVectorInput {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "int8_quantize"
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  protected override def nullSafeEval(input: Any): Any =
+    VectorImpl.int8Quantize(input.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.VectorImpl.int8Quantize($c, $isFloat)")
+  override protected def withNewChildInternal(newChild: Expression): Int8Quantize =
+    copy(child = newChild)
+}
+
+/** Reconstruct float components from int8 codes and their scale:
+  * x̂_i = code_i · scale. */
+case class Int8Dequantize(left: Expression, right: Expression)
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.GraftInt8Input {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "int8_dequantize"
+  protected override def nullSafeEval(codes: Any, scale: Any): Any =
+    VectorImpl.int8Dequantize(codes.asInstanceOf[ArrayData],
+      scale.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, s) =>
+      s"graft.expressions.VectorImpl.int8Dequantize($c, $s)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8Dequantize =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Index of the max-cosine centroid for a vector — the IVF assignment hot
   * loop. The (small) centroid matrix rides along as a codegen reference
   * object, so every corpus row is assigned inside whole-stage codegen with

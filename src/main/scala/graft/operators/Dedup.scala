@@ -185,7 +185,7 @@ object Dedup {
   /** [[minhashDedupAgainstIndexTable]] over PRE-computed shingle/band
     * frames — the shared-signing path for callers that need the same
     * batch's shingles and bands more than once per micro-batch
-    * ([[graft.streaming.Streaming.runIncrementalNearDedup]] feeds the
+    * ([[graft.streaming.StreamRunner.runIncrementalNearDedup]] feeds the
     * vs-history join, the in-batch pass and the index append from ONE
     * materialized signing; re-deriving them from raw text tripled the
     * per-batch signing cost and let parameters silently diverge).

@@ -304,6 +304,33 @@ object StreamRunner {
         indexTable, indexBuckets)
     }
 
+  /** Continuous ANN-index ingestion — the embedding sibling of
+    * [[runIncrementalDedup]]: each micro-batch of (id, vector) rows is
+    * encoded with the persisted IVF-PQ index's EXISTING centroids and
+    * codebooks and appended map-only (the FAISS `add` operation,
+    * [[graft.operators.Similarity.appendToIvfPqIndex]]), so the index
+    * grows O(batch) per trigger — never a retrain, never a rewrite of
+    * existing partitions — and queries stay partition-pruned throughout
+    * ingestion. Replay-protected by the committed-batch ledger in
+    * `store`. The one open window (append done, ledger not yet recorded)
+    * re-appends the batch on replay, storing duplicate (id, code) and
+    * (id, vector) rows — which the query path collapses
+    * DETERMINISTICALLY (max-ADC shortlist, max-cosine re-rank;
+    * spec-pinned in IvfPqSimilaritySpec), so a replayed append cannot
+    * shift any query result: exactly-once semantics on READS over
+    * at-least-once storage, with compaction optional rather than
+    * required for correctness. */
+  def runIncrementalAnnIngest(stream: DataFrame, idCol: String,
+                              vecCol: String, indexPath: String,
+                              checkpoint: String,
+                              store: graft.core.HwmStore,
+                              ledgerName: String): Unit =
+    runAvailableNowForeachBatchExactlyOnce(stream, checkpoint, store,
+        ledgerName) { (batch, _) =>
+      graft.operators.Similarity.appendToIvfPqIndex(
+        batch, idCol, vecCol, indexPath)
+    }
+
   /** Drain a stream into an in-memory table (testing/interactive). */
   def runAvailableNowToMemory(df: DataFrame, tableName: String,
                               outputMode: OutputMode = OutputMode.Complete())

@@ -35,6 +35,12 @@ trait GraftPqAdcInput extends ImplicitCastInputTypes { self: Expression =>
     Seq(LongType, ArrayType(DoubleType))
 }
 
+/** (array<tinyint> codes, double scale) for int8 dequantization. */
+trait GraftInt8Input extends ImplicitCastInputTypes { self: Expression =>
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(ByteType), DoubleType)
+}
+
 /** Raw shingle strings or pre-hashed 64-bit shingles are both accepted
   * (the hashed form avoids materializing string arrays at scale). */
 trait GraftStringOrLongArrayInput extends ImplicitCastInputTypes { self: Expression =>

@@ -218,6 +218,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ANN ingest: O(batch) appends, replay-safe; a LOST ledger " +
+       "double-appends storage but cannot shift any query result") {
+    val rnd = new scala.util.Random(61)
+    def vec(): Array[Float] = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val base = (0 until 100).map(i => (i.toLong, vec()))
+    val corpus = base.toDF("vec_id", "embedding")
+    val idx = tmpDir("ann-ing-idx")
+    graft.operators.Similarity.buildIvfPqIndex(
+      corpus, "vec_id", "embedding", idx, nLists = 4)
+    val centsBefore = spark.read.parquet(s"$idx/centroids").collect().toSet
+    // two mtime-ordered batches: exact copies of base 0-4 then 5-9
+    val ld = tmpDir("ann-ing-in")
+    val batches = Seq(
+      base.take(5).map { case (i, v) => (1000L + i, v) },
+      base.slice(5, 10).map { case (i, v) => (2000L + i, v) })
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(ld)
+      FileStreamReader.stampBatchMtime(ld, i)
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def run(ck: String, st: graft.core.HwmStore): Unit =
+      StreamRunner.runIncrementalAnnIngest(
+        FileStreamReader.read(spark, Parquet(), ld, schema,
+          maxFilesPerTrigger = Some(1)),
+        "vec_id", "embedding", idx, ck, st, "ann-spec")
+    val ledger = new graft.core.InMemoryHwmStore
+    run(tmpDir("ann-ck1"), ledger)
+    // both batches appended, quantizers untouched (no retrain)
+    assert(spark.read.parquet(s"$idx/codes").count() === 110L)
+    assert(spark.read.parquet(s"$idx/centroids").collect().toSet === centsBefore)
+    // every query's top-1 is its streamed copy, from either batch
+    val q = base.take(10).toDF("vec_id", "embedding")
+    def top1() = graft.operators.Similarity.ivfPqTopKFromIndex(idx, corpus, q,
+        "vec_id", "embedding", 1, nProbe = 4, shortlist = 50)
+      .select($"query_id", $"id").as[(Long, Long)].collect().toMap
+    val t1 = top1()
+    assert((0 until 5).forall(i => t1(i.toLong) == 1000L + i), s"batch-1: $t1")
+    assert((5 until 10).forall(i => t1(i.toLong) == 2000L + i), s"batch-2: $t1")
+    // forged full replay (fresh checkpoint, SAME ledger): nothing appends
+    run(tmpDir("ann-ck2"), ledger)
+    assert(spark.read.parquet(s"$idx/codes").count() === 110L)
+    // LOST ledger — the documented at-least-once window: the batches
+    // re-append (storage doubles) but the deterministic max-ADC/max-cosine
+    // collapse keeps every result identical; compaction is an
+    // optimization, never a correctness requirement
+    run(tmpDir("ann-ck3"), new graft.core.InMemoryHwmStore)
+    assert(spark.read.parquet(s"$idx/codes").count() === 120L)
+    assert(top1() === t1)
+  }
+
   test("stateless curation ops run unchanged on streams: sample + scrub") {
     // Sampling and PII scrubbing are pure row-local transformations, so
     // the SAME operator code applies to a readStream frame — this is the
