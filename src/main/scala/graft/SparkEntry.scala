@@ -1078,6 +1078,39 @@ object SparkEntry {
           length(normalizeText(col("text"))).cast("long").as("norm_len"))
         .orderBy(col("doc_id"))
     }),
+    "corpus_boilerplate_strip" -> ((s, dir) => {
+      // CCNet-style line-level boilerplate removal. The corpus has no
+      // newlines, so (pii_scrub precedent) each doc is wrapped in
+      // deterministic page chrome BOTH engines replant identically: a
+      // global nav line, a cookie banner on even ids, the body, a rare
+      // cross-reference line (~2 docs each at sf0.01 — must survive
+      // minDocs=30), and a per-source copyright footer (~100 docs each —
+      // must die). concat_ws skips the NULL banner on odd ids in both
+      // engines. md5 audits the cleaned text without hauling it through
+      // the compare.
+      val aug = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"),
+          concat_ws("\n",
+            lit("Home | About | Contact"),
+            when(pmod(col("doc_id"), lit(2)) === 0,
+              lit("This site uses cookies to improve your experience")),
+            col("text"),
+            concat(lit("ref "), pmod(col("doc_id"), lit(250))),
+            concat(lit("(c) 2026 "), col("source"),
+              lit(" rights reserved"))).as("text"))
+      operators.Corpus.stripBoilerplate(aug, "doc_id", "text", minDocs = 30)
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+          md5(col("cleaned")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+    "quality_unigram_nll" -> ((s, dir) => {
+      // corpus-trained unigram LM perplexity proxy (CCNet quality
+      // ranking without an external LM): per-doc mean -ln p(token);
+      // round(4) absorbs sub-ulp ln/summation drift across engines
+      operators.Corpus.unigramNll(
+          DbReader(conn(s, dir), "documents").run(), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     "dedup_keep_best" -> ((s, dir) => {
       // end-to-end near-dup removal: MinHash pairs → connected components
       // → keep the longest doc per cluster (ties: smallest id); verified
@@ -1938,6 +1971,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy(col("c_mktsegment"))
+    }),
+    "q_bloom_prefilter_join" -> ((s, dir) => {
+      // Bloom semi-join reduction: lineitem is prefiltered by a sketch of
+      // the urgent-1994 order keys BEFORE the join shuffle (the 100 TB
+      // shape when the dim's rows outgrow broadcast but its key SET fits
+      // a sketch). Exactness by construction — no false negatives, the
+      // real join kills the ≤1% false positives — so the oracle is the
+      // PLAIN join: any sketch bug that drops or invents a row breaks the
+      // hash compare.
+      val c = conn(s, dir)
+      val urgent = DbReader(c, "orders").run()
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = DbReader(c, "lineitem").run()
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val pre = operators.Joins.bloomKeyPrefilter(
+        li, "l_orderkey", urgent, "o_orderkey", fpp = 0.01)
+      pre.join(urgent, pre("l_orderkey") === urgent("o_orderkey"))
+        .groupBy(month(col("o_orderdate")).cast("int").as("o_month"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(28,6)")).cast("double").as("revenue"))
+        .orderBy(col("o_month"))
     }),
     "q_session_gap" -> ((s, dir) => {
       // batch gap sessionization (30 min): sessions per user + busiest

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-frequency curation operators: signals that need a statistic of
+  * the WHOLE corpus (line document-frequency, unigram counts) rather than
+  * any single document. Both are two-phase plans — one corpus-wide
+  * map-combinable aggregate producing a compact model (frequent-line set,
+  * vocabulary), then a map-heavy scoring/stripping pass joined against
+  * that model — the only shape that holds up when the corpus is 100 TB
+  * and the model is megabytes.
+  *
+  * Reference scope: the reference engine (MobileTeleSystems/onetl) moves
+  * data and delegates transforms to Spark; these operators cover the
+  * CCNet-style curation stage a training-data pipeline runs on top of
+  * that movement layer.
+  */
+object Corpus {
+
+  /** CCNet-style line-level boilerplate removal (Wenzek et al. 2019
+    * deduplicate common lines before LM filtering): a line whose TRIMMED
+    * form occurs in at least `minDocs` distinct documents is boilerplate
+    * (cookie banners, navigation bars, copyright footers) and is stripped
+    * from every document. Blank lines are document structure, never
+    * boilerplate: they are excluded from frequency counting and always
+    * kept, so paragraph breaks survive cleaning.
+    *
+    * Returns one row per input document:
+    * (idCol, n_kept long, n_dropped long, cleaned string) — `cleaned` is
+    * the surviving lines re-joined with \n ('' when every line was
+    * boilerplate).
+    *
+    * Scale shape: posexplode is map-side; document frequency is
+    * distinct-(line,id) + count — two map-combinable shuffles over line
+    * text; the frequent set is bounded by total_lines / minDocs entries
+    * (tiny for any real threshold), so AQE broadcasts the anti-join; the
+    * rebuild shuffles (id, pos, line) once. At 100 TB substitute
+    * fingerprint64(line) for the raw line in the frequency count and join
+    * to shuffle 8 bytes per line instead of text — kept as raw strings
+    * here so the DuckDB oracle compares exact line content.
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would strip every non-blank line")
+    val lines = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val frequent = lines
+      .filter(trim(col("__line")) =!= "")
+      .select(trim(col("__line")).as("__nline"), col("__id"))
+      .distinct()
+      .groupBy(col("__nline")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__nline"))
+    val kept = lines.join(frequent,
+      trim(col("__line")) === col("__nline"), "left_anti")
+    val rebuilt = kept.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          array_sort(collect_list(struct(col("__pos"), col("__line"))))
+            .getField("__line"), "\n").as("cleaned"))
+    // left join back so a fully-boilerplate document still yields a row
+    // (n_kept = 0, cleaned = '') instead of silently vanishing
+    df.select(col(idCol).as("__id"),
+        size(split(col(textCol), "\n")).cast("long").as("__n_total"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
+  /** The frequent-line set [[stripBoilerplate]] strips — exposed so a
+    * pipeline can audit WHAT it is about to remove (the CCNet paper's
+    * manual-inspection step) before committing to a threshold.
+    * Returns (line string, n_docs long), most-frequent first. */
+  def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                       minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would flag every non-blank line")
+    df.select(col(idCol).as("__id"),
+        explode(split(col(textCol), "\n")).as("__line"))
+      .filter(trim(col("__line")) =!= "")
+      .select(trim(col("__line")).as("line"), col("__id"))
+      .distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("line"))
+  }
+
+  /** Corpus-unigram negative log-likelihood — a KenLM-free perplexity
+    * proxy (CCNet ranks documents by LM perplexity; with no external LM
+    * in scope the corpus itself is the model): p(w) = count(w) / N over
+    * lowercased ASCII-letter tokens, each document scored by the mean
+    * -ln p(w) of its tokens. Low = built from common words
+    * (boilerplate-like); high = rare-word-heavy (often noise). Every
+    * token seen at scoring time was counted at training time, so no
+    * smoothing term is needed and the score is exact.
+    *
+    * Returns (idCol, n_toks long, nll double rounded to 4 dp — the
+    * rounding absorbs sub-ulp ln/summation differences across engines so
+    * the DuckDB oracle hash-matches).
+    *
+    * Scale shape: token counting is the word-count pattern (map-side
+    * combine, shuffles (token, count) pairs); Zipf keeps the vocabulary
+    * orders of magnitude below the corpus, so AQE broadcasts the
+    * vocab-join against the token stream; N rides a one-row broadcast;
+    * the per-doc mean is one more map-combinable aggregate. Nothing in
+    * the plan is proportional to corpus² and no text leaves the scan
+    * stage except the (token, id) pairs.
+    */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+      explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        t => t =!= "")).as("__t"))
+    val counts = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum(col("__c")).as("__n"))
+    toks.join(counts, Seq("__t"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_toks"),
+        round(avg(-log(col("__c").cast("double") / col("__n"))), 4).as("nll"))
+      .withColumnRenamed("__id", idCol)
+  }
+}

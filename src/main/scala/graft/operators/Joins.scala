@@ -226,4 +226,48 @@ object Joins {
         <= band)
       .drop("__band_bin")
   }
+
+  /** Bloom-filter semi-join reduction: filter `fact` down to rows whose
+    * `factKey` MIGHT appear in `dim`'s `dimKey` set, using a Bloom filter
+    * built distributively over the dim keys and shipped to every fact
+    * task as a plan constant. The shape that matters at 100 TB: when the
+    * dim side is too big to broadcast as rows but its KEY SET fits a
+    * bloom sketch (~1.2 bytes/key at 1% fpp — a billion keys ≈ 1.2 GB,
+    * a hundred million ≈ 120 MB), the fact side sheds non-matching rows
+    * in its scan stage, BEFORE the join shuffle, instead of shuffling
+    * 100 TB to discard most of it at the join.
+    *
+    * EXACTNESS: a Bloom filter has no false negatives, so every matching
+    * fact row survives; false positives (≤ fpp) are dropped by the real
+    * join that follows. Prefilter + join ≡ plain join, always — the
+    * sketch only changes WHERE rows die, never the result (spec-asserted
+    * against the plain join on planted keys).
+    *
+    * Mechanics: dim keys are xxhash64'd and fed to the distributed
+    * sketch builder (`stat.bloomFilter` — a treeAggregate, no
+    * driver-side row collection); the probe is Spark's own codegen'd
+    * `BloomFilterMightContain` over `xxhash64(factKey)`, so the filter
+    * fuses into the fact scan's WholeStageCodegen span. Cost: one extra
+    * pass over dim (plus a count when `expectedItems` is not given —
+    * pass it to skip that job).
+    */
+  def bloomKeyPrefilter(fact: DataFrame, factKey: String,
+                        dim: DataFrame, dimKey: String,
+                        fpp: Double = 0.01,
+                        expectedItems: Long = -1L): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val hashed = dim.select(xxhash64(col(dimKey)).as("__h"))
+    val n = if (expectedItems > 0) expectedItems else hashed.count()
+    val bf = hashed.stat.bloomFilter("__h", math.max(n, 1L), fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    fact.filter(GraftColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+      GraftColumnBridge.expression(xxhash64(col(factKey))))))
+  }
 }
