@@ -45,11 +45,15 @@ object BenchSummary {
 
   def stdoutLine(total: Double, mins: Map[String, Double],
                  failed: List[String], fullOut: String, sfDir: String): String = {
-    val qs = mins.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":${num(v, 3)}""" }
-      .mkString("{", ",", "}")
+    // Per-query times live ONLY in BENCH_FULL.json: at 130 gates the
+    // inline map alone is ~3.9 KB (r9 measured 3987 B total), which
+    // pushed the line past the driver's ~4 KB stdout tail and produced
+    // `parsed: null` BENCH records in r3-r9. The stdout line keeps the
+    // driver-contract fields with an EMPTY queries map (shape-stable for
+    // any parser that indexes it), the failure signal, the gate count,
+    // and the pointer to the full record.
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failedJson,"full":"$fullOut","sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":{},"n_queries":${mins.size},"failed":$failedJson,"full":"$fullOut","sf":"$sfDir"}"""
   }
 }
 
@@ -90,12 +94,22 @@ object Bench {
     val maxRuns =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "5").toInt.max(runsPerQuery)
     var failed = List.empty[String]
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to named gates —
+    // for A/B-ing a regression in a quiet JVM without paying the full
+    // 130-gate sequence (the in-sequence timing includes whatever the
+    // previous 100 gates left in the page cache and JIT)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
     // per query: (seconds, succeeded) per run. A failed run records its
     // time-to-exception but is EXCLUDED from min/noise — a query that
     // throws fast in one run must not report the failure time as its
     // benchmark number when other runs succeeded.
     val results: Map[String, Vector[(Double, Boolean)]] =
-      SparkEntry.queries.map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         def once(): (Double, Boolean) = {
           val t0 = System.nanoTime()
           val ok =
@@ -113,13 +127,16 @@ object Bench {
       }
     val mins = results.map { case (k, v) => k -> BenchSummary.minOf(v) }
     val total = if (mins.nonEmpty) mins.values.sum else 0.0
-    val skewJson = try skewExperiment(spark, sfDir) catch { case e: Throwable =>
-      System.err.println(s"[bench] skew experiment FAILED: ${e.getMessage}")
-      "{}"
-    }
+    // experiments are skipped in ONLY mode — an A/B run wants a quiet JVM
+    val skewJson = if (only.isDefined) "{}" else
+      try skewExperiment(spark, sfDir) catch { case e: Throwable =>
+        System.err.println(s"[bench] skew experiment FAILED: ${e.getMessage}")
+        "{}"
+      }
     // full-file-only experiment (the stdout line is budgeted against the
     // driver's ~4 KB tail; BENCH_FULL has room for more evidence)
-    val incrJson = try incrementalDedupExperiment(spark, sfDir)
+    val incrJson = if (only.isDefined) "{}" else
+      try incrementalDedupExperiment(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] incr experiment FAILED: ${e.getMessage}")
         "{}"

@@ -43,8 +43,14 @@ object Corpus {
   def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
                        minDocs: Int): DataFrame = {
     require(minDocs >= 2, "minDocs < 2 would strip every non-blank line")
-    val lines = df.select(col(idCol).as("__id"),
-      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    // NULL text = a document with ZERO lines → (0, 0, ''). Without the
+    // isNotNull guard it would half-vanish: posexplode(split(NULL))
+    // yields no line rows while size(split(NULL)) is NULL (or -1 under
+    // legacy sizeOfNull), leaving n_dropped NULL instead of 0. Distinct
+    // from text='' (ONE blank line, which is structure and is kept).
+    val lines = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
     val frequent = lines
       .filter(trim(col("__line")) =!= "")
       .select(trim(col("__line")).as("__nline"), col("__id"))
@@ -61,8 +67,12 @@ object Corpus {
             .getField("__line"), "\n").as("cleaned"))
     // left join back so a fully-boilerplate document still yields a row
     // (n_kept = 0, cleaned = '') instead of silently vanishing
+    // when() not coalesce: size(NULL) is NULL under ANSI but -1 under
+    // legacy sizeOfNull — branch on the input, not the size result
     df.select(col(idCol).as("__id"),
-        size(split(col(textCol), "\n")).cast("long").as("__n_total"))
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(split(col(textCol), "\n")).cast("long"))
+          .as("__n_total"))
       .join(rebuilt, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
@@ -114,11 +124,19 @@ object Corpus {
         t => t =!= "")).as("__t"))
     val counts = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
     val total = counts.agg(sum(col("__c")).as("__n"))
-    toks.join(counts, Seq("__t"))
+    val scored = toks.join(counts, Seq("__t"))
       .crossJoin(broadcast(total))
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_toks"),
         round(avg(-log(col("__c").cast("double") / col("__n"))), 4).as("nll"))
-      .withColumnRenamed("__id", idCol)
+    // left-join back to the input so token-less documents (NULL text, or
+    // no ASCII-letter runs at all) keep their row as (id, 0, NULL nll)
+    // instead of silently vanishing through the inner explode+join —
+    // "one row per document" means every document, scoreable or not
+    df.select(col(idCol).as("__id"))
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        col("nll"))
   }
 }

@@ -258,7 +258,19 @@ object Joins {
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     val hashed = dim.select(xxhash64(col(dimKey)).as("__h"))
     val n = if (expectedItems > 0) expectedItems else hashed.count()
-    val bf = hashed.stat.bloomFilter("__h", math.max(n, 1L), fpp)
+    // `stat.bloomFilter` treeAggregates from a null zero-value, so an
+    // EMPTY dim yields a null-backed sketch (NPE on serialize) — and an
+    // empty key set matches nothing anyway: prefilter against it ≡ plain
+    // join with an empty dim ≡ zero rows. Short-circuit to the
+    // statically-empty fact (Catalyst folds `lit(false)` to an empty
+    // LocalRelation — no fact scan at all). The count-based path catches
+    // this for free; when the caller passed expectedItems (skipping the
+    // count), the null result from the aggregate is caught below.
+    if (n == 0) return fact.filter(lit(false))
+    val bf =
+      try hashed.stat.bloomFilter("__h", n, fpp)
+      catch { case _: NullPointerException => null }
+    if (bf == null) return fact.filter(lit(false))
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)

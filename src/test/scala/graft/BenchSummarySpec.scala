@@ -33,18 +33,26 @@ class BenchSummarySpec extends AnyFunSuite {
 
   test("stdout line fits the driver's ~4 KB tail for the REAL gate list, " +
        "worst-case widths") {
-    // every gate at a 3-digit-seconds worst case (999.999): if adding a
-    // gate pushes the line past the tail window, the driver records the
-    // bench as `parsed: null` (BENCH_r03) — this budget fails FIRST
+    // r9 proved the inline per-query map cannot fit 130 gates (3987 B >
+    // 3900 B budget → BENCH_r09 parsed: null), so the line now carries
+    // totals + failed + the BENCH_FULL pointer only. Budget-check the
+    // WORST case: every gate failed, so the failed array holds every
+    // real gate name — if adding a gate pushes the line past the tail
+    // window, this fails before the driver records `parsed: null`
     val mins = SparkEntry.queries.keys.map(_ -> 999.999).toMap
     val line = BenchSummary.stdoutLine(999.999 * mins.size, mins,
-      failed = Nil, fullOut = "BENCH_FULL.json",
+      failed = mins.keys.toList, fullOut = "BENCH_FULL.json",
       sfDir = "/root/testdata/sf0.1")
     assert(line.getBytes("UTF-8").length < 3900,
-      s"bench stdout line is ${line.getBytes("UTF-8").length} B; drop " +
-        "per-query stdout reporting to totals or shorten gate names")
+      s"bench stdout line is ${line.getBytes("UTF-8").length} B; the " +
+        "failed array has outgrown the tail — cap it to a count")
     // the driver contract fields survive the budgeting
     assert(line.startsWith("""{"metric":"total","value":"""))
     assert(line.contains("\"queries\":{") && line.contains("\"sf\":"))
+    assert(line.contains("\"full\":\"BENCH_FULL.json\""))
+    // and the realistic case (nothing failed) is far under budget
+    val quiet = BenchSummary.stdoutLine(105.5, mins, Nil,
+      "BENCH_FULL.json", "/root/testdata/sf0.1")
+    assert(quiet.getBytes("UTF-8").length < 400, quiet)
   }
 }

@@ -32,8 +32,11 @@ class QueryPlanSweepSpec extends AnyFunSuite {
                               // broadcast-bounded scan), + recall vs brute
     "dedup_embedding_cosine", // gate runs the bruteForce=true oracle path
                               // (all-pairs small-N); LSH is the scale path
-    "q22_dormant_customers"   // deliberate: 1-row global-aggregate scalar
+    "q22_dormant_customers",  // deliberate: 1-row global-aggregate scalar
                               // broadcast as the acctbal threshold
+    "quality_unigram_nll"     // deliberate: 1-row corpus-total N broadcast
+                              // cross the token stream (Corpus.unigramNll);
+                              // O(n) with a single-row build side
   )
 
   /** Global `OVER (ORDER BY ...)` windows with no PARTITION BY run the

@@ -197,4 +197,40 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
   }
+
+  test("bloomKeyPrefilter: prefilter+join ≡ plain join on planted keys") {
+    // planted so the sketch must pass SOME keys and could false-positive
+    // on others: fact keys 0..999, dim keys = multiples of 7 in [0, 500)
+    val fact = (0L until 1000L).map(k => (k, k * 2)).toDF("fk", "payload")
+    val dim = (0L until 500L by 7).map(k => (k, s"d$k")).toDF("dk", "name")
+    val pre = Joins.bloomKeyPrefilter(fact, "fk", dim, "dk", fpp = 0.01)
+    val plain = fact.join(dim, fact("fk") === dim("dk"))
+      .select($"fk", $"payload", $"name")
+    val viaBloom = pre.join(dim, pre("fk") === dim("dk"))
+      .select($"fk", $"payload", $"name")
+    val a = plain.collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = viaBloom.collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty) // non-vacuous: 72 matching keys
+    // no false negatives even at a sloppy fpp
+    val sloppy = Joins.bloomKeyPrefilter(fact, "fk", dim, "dk", fpp = 0.5)
+    assert(sloppy.join(dim, sloppy("fk") === dim("dk")).count() ==
+      plain.count())
+  }
+
+  test("bloomKeyPrefilter: empty dim short-circuits to zero rows, no NPE") {
+    val fact = (0L until 100L).map(k => (k, k)).toDF("fk", "v")
+    val dim = Seq.empty[(Long, String)].toDF("dk", "name")
+    // counted path (expectedItems not given): count() sees 0
+    assert(Joins.bloomKeyPrefilter(fact, "fk", dim, "dk").count() == 0L)
+    // skip-count path (expectedItems given, dim still empty): the null
+    // treeAggregate result must be caught, not dereferenced
+    assert(Joins.bloomKeyPrefilter(fact, "fk", dim, "dk",
+      expectedItems = 50L).count() == 0L)
+    // and a non-empty dim FILTERED to empty (the r9 regression shape:
+    // a date predicate matching zero rows)
+    val dim2 = Seq((1L, "x"), (2L, "y")).toDF("dk", "name")
+      .filter($"dk" > 100L)
+    assert(Joins.bloomKeyPrefilter(fact, "fk", dim2, "dk").count() == 0L)
+  }
 }
