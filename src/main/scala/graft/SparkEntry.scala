@@ -769,6 +769,23 @@ object SparkEntry {
     }),
 
     // --- Similarity search -----------------------------------------------
+    "retrieval_bm25" -> ((s, dir) => {
+      // lexical top-k over the corpus (operators.Retrieval.bm25TopK) —
+      // the keyword sibling of the embedding-ANN gates. Queries anchor
+      // to the corpus vocabulary: 'dup' is the one RARE term (26 occs
+      // at sf0.01) so idf must dominate for qid 0, while qid 1-2 rank
+      // flat-frequency terms by tf/length normalization. Scores are
+      // rounded to 4 dp BEFORE ranking with doc-id tiebreak, so the
+      // DuckDB oracle reproduces the exact ranking despite fp summation
+      // order differences.
+      import s.implicits._
+      val queries = Seq((0L, "dup merge"), (1L, "spark window sort"),
+        (2L, "slow scan filter vector")).toDF("qid", "qtext")
+      val docs = DbReader(conn(s, dir), "documents").run()
+      operators.Retrieval.bm25TopK(docs, "doc_id", "text",
+          queries, "qid", "qtext", k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
     "similarity_topk_brute" -> ((s, dir) => {
       val emb = DbReader(conn(s, dir), "embeddings").run()
       operators.Similarity.bruteForceTopK(
@@ -3451,6 +3468,37 @@ object SparkEntry {
         |SELECT decile, count(*) AS n,
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
         |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+    // full BM25 replay: same tokenization, Lucene-style idf, rounding
+    // BEFORE ranking with doc-id tiebreak (the sf0.01 top-2 for qid 0
+    // tie at 4.3712 — the tiebreak is load-bearing, not decorative)
+    "retrieval_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |q(qid, qtext) AS (VALUES (CAST(0 AS BIGINT), 'dup merge'),
+        |  (1, 'spark window sort'), (2, 'slow scan filter vector')),
+        |qt AS (SELECT DISTINCT qid, t FROM
+        |  (SELECT qid, unnest(list_filter(
+        |     string_split_regex(lower(qtext), '[^a-z]+'), t -> t <> '')) AS t
+        |   FROM q)),
+        |dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |scored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |         round(sum( ln((n - df + 0.5)/(df + 0.5) + 1)
+        |           * tf * 2.2 / (tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl)) ), 4) AS score
+        |  FROM qt JOIN tf USING (t) JOIN dfreq USING (t)
+        |       JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY qt.qid, tf.doc_id),
+        |ranked AS (SELECT qid, doc_id, score,
+        |                  CAST(row_number() OVER (PARTITION BY qid
+        |                    ORDER BY score DESC, doc_id) AS INT) AS rank
+        |           FROM scored)
+        |SELECT qid, rank, doc_id, score FROM ranked
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // the oracle is the PLAIN join — the bloom prefilter must be
     // result-invisible (no false negatives; the join kills the ≤fpp
     // false positives), so any sketch bug breaks this hash compare

@@ -682,9 +682,19 @@ object Dedup {
     val sides =
       if (!keepFarthest) assigned
       else {
-        val centsLit = typedLit(cents.map(_.toSeq).toSeq)
-        assigned.withColumn("ccos", round(GraftExpressions.cosineSimilarity(
-          col("v"), element_at(centsLit, col("cid") + 1)), 6))
+        // centroids ride a BROADCAST JOIN keyed on cid, not a typedLit
+        // plan constant: at the paper's 50k clusters a k×dim literal
+        // array rides every serialized task and bloats the plan (r9
+        // verdict caveat); a broadcast relation ships once per executor
+        // and keeps the plan size O(1) in nClusters
+        import df.sparkSession.implicits._
+        val centDf = broadcast(
+          cents.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+            .toDF("cid", "__cent"))
+        assigned.join(centDf, "cid")
+          .withColumn("ccos", round(GraftExpressions.cosineSimilarity(
+            col("v"), col("__cent")), 6))
+          .drop("__cent")
       }
     // a row dies when a same-cluster neighbor above threshold OUTRANKS it:
     // by lowest id (default — the rule every dedup family here shares), or

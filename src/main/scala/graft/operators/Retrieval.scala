@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus keyword retrieval — the lexical sibling of the embedding-ANN
+  * family in [[Similarity]]. A training-data pipeline uses this for
+  * targeted subset selection ("pull the top-k documents about X"),
+  * contamination triage (rank the corpus against a benchmark prompt),
+  * and boilerplate hunting — anywhere the query is words, not a vector.
+  *
+  * Reference scope: the reference engine (MobileTeleSystems/onetl) moves
+  * data and delegates transforms to Spark; retrieval is part of the
+  * curation layer this library adds on top (same status as Dedup /
+  * Similarity / Corpus).
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k retrieval (Robertson & Zaragoza 2009, the
+    * Lucene-style idf variant): for each query, the k highest-scoring
+    * documents under
+    *
+    *   score(q,d) = Σ_{t ∈ distinct(q)} idf(t) ·
+    *                tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    *   idf(t)     = ln( (N − df(t) + 0.5) / (df(t) + 0.5) + 1 )
+    *
+    * with the `+ 1` inside the ln keeping idf strictly positive even for
+    * terms in more than half the corpus (the flat-vocabulary regime this
+    * library's synthetic corpus is in). Query terms are DEDUPLICATED
+    * (`array_distinct`) — a repeated word in a query counts once.
+    * Tokenization is the shared corpus rule (lowercased ASCII-letter
+    * runs, the same split [[Corpus.unigramNll]] uses) so corpus
+    * statistics and retrieval agree on what a term is.
+    *
+    * Returns (qidCol, rank int 1-based, idCol, score double rounded to
+    * 4 dp). Rounding happens BEFORE ranking and ties break on the doc
+    * id, so the ranking is deterministic across engines and fp
+    * summation orders.
+    *
+    * Scale shape: tf and dl are word-count aggregates (map-side
+    * combine); the query side is a HANDFUL of rows and rides a
+    * broadcast, as do the per-query-term df rows and the 1-row (N,
+    * avgdl) stats — so the only non-broadcast joins are keyed on the
+    * doc id, and nothing anywhere is O(corpus²). The top-k window
+    * partitions by query id; with rank ≤ k Spark inserts
+    * WindowGroupLimit partial limits ahead of the shuffle, so the
+    * per-query candidate stream is pruned map-side at corpus scale.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qidCol: String, qtextCol: String,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val toks = docs.select(col(idCol).as("__id"),
+      explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        t => t =!= "")).as("__t"))
+    val tf = toks.groupBy(col("__id"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val dl = toks.groupBy(col("__id")).agg(count(lit(1)).as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+    val qterms = queries.select(col(qidCol).as("__qid"),
+      explode(array_distinct(filter(split(lower(col(qtextCol)), "[^a-z]+"),
+        t => t =!= ""))).as("__t"))
+    // df only for terms some query mentions: semi-join the vocab-sized
+    // df aggregate down to ≤|query terms| rows, then broadcast it
+    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+      .join(broadcast(qterms.select(col("__t")).distinct()), Seq("__t"),
+        "left_semi")
+    val scored = tf
+      .join(broadcast(qterms), Seq("__t")) // prunes tf to query terms
+      .join(broadcast(dfreq), Seq("__t"))
+      .join(dl, Seq("__id")) // the one keyed shuffle join (doc id)
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1))
+      .withColumn("__w",
+        col("__idf") * col("__tf") * lit(k1 + 1) /
+          (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col("__qid"), col("__id"))
+      .agg(round(sum(col("__w")), 4).as("score"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("score").desc, col("__id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(qidCol), col("rank"),
+        col("__id").as(idCol), col("score"))
+  }
+}

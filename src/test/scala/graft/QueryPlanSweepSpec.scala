@@ -34,9 +34,11 @@ class QueryPlanSweepSpec extends AnyFunSuite {
                               // (all-pairs small-N); LSH is the scale path
     "q22_dormant_customers",  // deliberate: 1-row global-aggregate scalar
                               // broadcast as the acctbal threshold
-    "quality_unigram_nll"     // deliberate: 1-row corpus-total N broadcast
+    "quality_unigram_nll",    // deliberate: 1-row corpus-total N broadcast
                               // cross the token stream (Corpus.unigramNll);
                               // O(n) with a single-row build side
+    "retrieval_bm25"          // deliberate: 1-row (N, avgdl) stats broadcast
+                              // cross the candidate stream (Retrieval)
   )
 
   /** Global `OVER (ORDER BY ...)` windows with no PARTITION BY run the
