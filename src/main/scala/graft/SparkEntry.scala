@@ -2410,6 +2410,20 @@ object SparkEntry {
           max(col("doc_id")).as("max_id"))
         .orderBy(col("split"))
     }),
+    "sample_leakfree_split" -> ((s, dir) => {
+      // leakage-guarded 80/10/10: near-dup CLUSTERS (same pair params as
+      // dedup_components, so the oracle reuses its recursive-CTE
+      // construction) split as a unit keyed on the component min id —
+      // a train doc's near-copy can never land in test. Per-doc output
+      // so the hash compare pins every assignment, not just band sizes.
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val pairs = operators.Dedup.minhashDupPairs(docs, "doc_id", "text",
+        shingleSize = 3, bands = 32, rowsPerBand = 4, threshold = 0.7)
+      operators.Sampling.leakFreeSplit(docs, "doc_id", pairs,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
     "sample_stratified" -> ((s, dir) => {
       operators.Sampling.stratifiedSampleByKey(
           DbReader(conn(s, dir), "documents").run(), "doc_id", "source",
@@ -3820,6 +3834,40 @@ object SparkEntry {
         |        (doc_id % 2147483648) * 2654435761 % 4294967296 AS h
         |      FROM documents)
         |GROUP BY 1 ORDER BY split""".stripMargin,
+    // components via the dedup_components recursive CTE (exact Jaccard
+    // == LSH on this data), then the splitByHash bands keyed on
+    // COALESCE(component min id, doc_id)
+    "sample_leakfree_split" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |         i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |), inv AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 6) >= 0.7
+        |), edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs
+        |), walk(id, reach) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT w.id, e.b FROM walk w JOIN edges e ON w.reach = e.a
+        |), comp AS (
+        |  SELECT id, CAST(min(reach) AS BIGINT) AS comp FROM walk GROUP BY id
+        |), keyed AS (
+        |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS skey
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+        |SELECT doc_id,
+        |       CASE WHEN h < 3435973836 THEN 'train'
+        |            WHEN h < 3865470566 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        (skey % 2147483648) * 2654435761 % 4294967296 AS h
+        |      FROM keyed)
+        |ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT source, count(*) AS n_kept, min(doc_id) AS min_id
         |FROM documents

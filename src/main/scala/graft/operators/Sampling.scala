@@ -91,6 +91,40 @@ object Sampling {
     df.withColumn(outCol, expr)
   }
 
+  /** Leakage-guarded train/val/test split: [[splitByHash]] keyed on the
+    * near-duplicate CLUSTER representative instead of the raw id, so two
+    * documents connected by a duplicate pair can never straddle a split
+    * boundary — the eval-contamination failure mode of per-doc
+    * splitting, where a training document's near-copy lands in test and
+    * the model is graded on memorization. `pairs` is any duplicate-pair
+    * frame this library produces (MinHash / SimHash / n-gram /
+    * embedding-cosine / semantic); paired docs split by the min id of
+    * their connected component, unpaired docs by their own id.
+    *
+    * Stability contract: deterministic across re-runs, and a doc's split
+    * changes ONLY when new pairs merge its cluster with another — which
+    * is exactly when re-splitting is required for the guarantee to keep
+    * holding (the alternative, freezing the old assignment, IS the leak).
+    *
+    * Scale shape: components run on the pair graph only (tiny next to
+    * the corpus — see [[Dedup.connectedComponents]]'s iteration bound);
+    * the label join is keyed on the id and the band assignment is the
+    * same map-only codegen'd CASE as [[splitByHash]]. Unpaired docs —
+    * the overwhelming majority — never enter the component loop. */
+  def leakFreeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                    weights: Seq[(String, Double)],
+                    pairCol1: String = "id1", pairCol2: String = "id2",
+                    outCol: String = "split",
+                    checkpointDir: Option[String] = None): DataFrame = {
+    requireNumericKey(df, idCol, "leakFreeSplit")
+    val comps = Dedup.connectedComponents(pairs, pairCol1, pairCol2,
+      checkpointDir = checkpointDir)
+    val keyed = df.join(comps, df(idCol) === comps("id"), "left")
+      .withColumn("__skey", coalesce(col("comp"), col(idCol).cast("long")))
+      .drop("id", "comp")
+    splitByHash(keyed, "__skey", weights, outCol).drop("__skey")
+  }
+
   /** Token-budget corpus mixing — the data-mixture step of a training
     * run: each source contributes documents, in a deterministic
     * pseudo-random order (Knuth hash of `tieBreak`), until its share of

@@ -323,6 +323,29 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("leakFreeSplit: paired docs land together, unpaired split by id") {
+    val docs = (0L until 100L).toDF("doc_id")
+    // two clusters: {3,7,11} (chained — 3-7 and 7-11, no direct 3-11
+    // edge, so the guarantee must ride CONNECTIVITY not the raw pairs)
+    // and {20,90}
+    val pairs = Seq((3L, 7L), (7L, 11L), (20L, 90L)).toDF("id1", "id2")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.leakFreeSplit(docs, "doc_id", pairs, w)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(out.size == 100 && out.values.forall(_ != null))
+    // whole clusters share one split
+    assert(Set(out(3L), out(7L), out(11L)).size == 1)
+    assert(out(20L) == out(90L))
+    // the cluster's split is its MIN id's splitByHash band, and every
+    // unpaired doc keeps its plain splitByHash assignment
+    val plain = Sampling.splitByHash(docs, "doc_id", w)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(out(7L) == plain(3L) && out(90L) == plain(20L))
+    val paired = Set(3L, 7L, 11L, 20L, 90L)
+    assert(out.filter(kv => !paired(kv._1)) ==
+      plain.filter(kv => !paired(kv._1)))
+  }
+
   test("splitByHash: disjoint covering bands, stable under corpus growth") {
     val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val small = Sampling.splitByHash(ids, "id", w)
