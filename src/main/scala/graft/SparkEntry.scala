@@ -2410,6 +2410,22 @@ object SparkEntry {
           max(col("doc_id")).as("max_id"))
         .orderBy(col("split"))
     }),
+    "sample_temperature_mix" -> ((s, dir) => {
+      // temperature-flattened source mixing (tau=0.5) over SKEWED strata
+      // synthesized from the doc id's digit count (1:9:90:900 group
+      // sizes — the corpus's natural sources are equal-sized, which
+      // would make temperature a no-op). digit-count, not log2: Spark's
+      // log2 is log(x)/log(2), whose floor can flip at exact powers of
+      // two across engines. id_sum pins the exact kept set per group.
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .withColumn("grp", concat(lit("g"),
+          length(col("doc_id").cast("string")).cast("string")))
+      operators.Sampling.temperatureSampleBySource(docs, "doc_id", "grp",
+          tau = 0.5, budgetDocs = 150L)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("grp"))
+    }),
     "sample_leakfree_split" -> ((s, dir) => {
       // leakage-guarded 80/10/10: near-dup CLUSTERS (same pair params as
       // dedup_components, so the oracle reuses its recursive-CTE
@@ -3834,6 +3850,25 @@ object SparkEntry {
         |        (doc_id % 2147483648) * 2654435761 % 4294967296 AS h
         |      FROM documents)
         |GROUP BY 1 ORDER BY split""".stripMargin,
+    // replays the share formula (n^tau / Z, capped at the source size,
+    // floored to an integer hash threshold) over the same digit-count
+    // strata
+    "sample_temperature_mix" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |         'g' || CAST(len(CAST(doc_id AS VARCHAR)) AS VARCHAR) AS grp
+        |  FROM documents),
+        |counts AS (SELECT grp, count(*) AS n FROM docs GROUP BY grp),
+        |z AS (SELECT sum(pow(n, 0.5)) AS z FROM counts),
+        |thr AS (SELECT grp,
+        |          CAST(floor(least(1.0, 150 * pow(n, 0.5) / z / n)
+        |            * 4294967296) AS BIGINT) AS thr
+        |        FROM counts CROSS JOIN z),
+        |kept AS (
+        |  SELECT d.doc_id, d.grp FROM docs d JOIN thr USING (grp)
+        |  WHERE (doc_id % 2147483648) * 2654435761 % 4294967296 < thr)
+        |SELECT grp, count(*) AS n_kept, sum(doc_id) AS id_sum
+        |FROM kept GROUP BY grp ORDER BY grp""".stripMargin,
     // components via the dedup_components recursive CTE (exact Jaccard
     // == LSH on this data), then the splitByHash bands keyed on
     // COALESCE(component min id, doc_id)

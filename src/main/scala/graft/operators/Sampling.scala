@@ -91,6 +91,49 @@ object Sampling {
     df.withColumn(outCol, expr)
   }
 
+  /** Temperature-scaled source mixing — the multilingual/multi-corpus
+    * rebalancing rule (Brown et al. 2020 §2.2 sample corpora
+    * non-proportionally; Conneau & Lample 2019 eq. 3 give the
+    * temperature form): source i receives share n_i^tau / Σ_j n_j^tau of
+    * a `budgetDocs` document budget. tau = 1 is proportional sampling,
+    * tau = 0 an equal share per source, tau in between flattens the
+    * head's dominance and upweights small sources. Shares are capped at
+    * a source's actual size (frac ≤ 1 — no replication here; repeat the
+    * call's output if an epoch needs oversampling).
+    *
+    * Selection is [[sampleByKey]]-style (Knuth hash threshold per
+    * source), so it is deterministic across re-runs, and a kept doc
+    * stays kept when OTHER sources grow (its own source growing changes
+    * n_i, hence the threshold — shares are corpus statistics, unlike
+    * [[splitByHash]] bands).
+    *
+    * Fully declarative at any scale: per-source counts are one
+    * map-combinable aggregate (|sources| rows), the normalizer is a
+    * 1-row aggregate over THAT, both ride broadcast joins back onto the
+    * stream, and the keep decision is a codegen'd hash compare — no
+    * driver-side collect, nothing proportional to the corpus beyond the
+    * one scan. */
+  def temperatureSampleBySource(df: DataFrame, keyCol: String,
+                                sourceCol: String, tau: Double,
+                                budgetDocs: Long): DataFrame = {
+    requireNumericKey(df, keyCol, "temperatureSampleBySource")
+    require(tau >= 0.0 && tau <= 1.0, s"tau must be in [0,1], got $tau")
+    require(budgetDocs > 0, "budgetDocs must be positive")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val z = counts.agg(sum(pow(col("__n"), lit(tau))).as("__z"))
+    val thr = counts.crossJoin(broadcast(z))
+      .withColumn("__frac", least(lit(1.0),
+        lit(budgetDocs.toDouble) * pow(col("__n"), lit(tau)) / col("__z")
+          / col("__n")))
+      // floor to an exact integer threshold so the boundary compare is
+      // int-vs-int (cross-engine reproducible modulo 1-ulp pow drift)
+      .select(col(sourceCol), floor(col("__frac") * lit(M32.toDouble))
+        .cast("long").as("__thr"))
+    df.join(broadcast(thr), Seq(sourceCol))
+      .filter(knuthHash32(col(keyCol)) < col("__thr"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Leakage-guarded train/val/test split: [[splitByHash]] keyed on the
     * near-duplicate CLUSTER representative instead of the raw id, so two
     * documents connected by a duplicate pair can never straddle a split

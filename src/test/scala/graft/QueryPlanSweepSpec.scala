@@ -37,8 +37,11 @@ class QueryPlanSweepSpec extends AnyFunSuite {
     "quality_unigram_nll",    // deliberate: 1-row corpus-total N broadcast
                               // cross the token stream (Corpus.unigramNll);
                               // O(n) with a single-row build side
-    "retrieval_bm25"          // deliberate: 1-row (N, avgdl) stats broadcast
+    "retrieval_bm25",         // deliberate: 1-row (N, avgdl) stats broadcast
                               // cross the candidate stream (Retrieval)
+    "sample_temperature_mix"  // deliberate: 1-row normalizer Z broadcast
+                              // cross the |sources|-row count frame
+                              // (Sampling.temperatureSampleBySource)
   )
 
   /** Global `OVER (ORDER BY ...)` windows with no PARTITION BY run the

@@ -323,6 +323,46 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperatureSampleBySource: tau flattens the head, caps at source " +
+       "size, deterministic") {
+    // geometric strata: g0 holds ids 0..9 (10 docs), g1 the next 90,
+    // g2 the remaining 900 — a 1:9:90 skew
+    val docs = (0L until 1000L).toDF("id")
+      .withColumn("src",
+        when($"id" < 10, "g0").when($"id" < 100, "g1").otherwise("g2"))
+    def keptBySrc(tau: Double, budget: Long) =
+      Sampling.temperatureSampleBySource(docs, "id", "src", tau, budget)
+        .groupBy($"src").count().as[(String, Long)].collect().toMap
+        .withDefaultValue(0L)
+    // tau=0: equal share (100 each) — tiny g0 is CAPPED at its 10 docs,
+    // the rest get ~100 each regardless of size
+    val flat = keptBySrc(0.0, 300L)
+    assert(flat("g0") == 10L)
+    assert(math.abs(flat("g1") - 100L) < 30, flat.toString)
+    assert(math.abs(flat("g2") - 100L) < 30, flat.toString)
+    // tau=1: proportional — g2 dominates ~9:1 over g1
+    val prop = keptBySrc(1.0, 300L)
+    assert(prop("g2") > 5 * prop("g1"), prop.toString)
+    // monotonicity: lowering tau can only grow the small source's share
+    assert(flat("g1") >= prop("g1"))
+    // determinism: identical selection on re-run
+    val a = Sampling.temperatureSampleBySource(docs, "id", "src", 0.5, 300L)
+      .select($"id").as[Long].collect().sorted.toSeq
+    val b = Sampling.temperatureSampleBySource(docs, "id", "src", 0.5, 300L)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    // output schema preserved (no helper columns leak)
+    assert(Sampling.temperatureSampleBySource(docs, "id", "src", 0.5, 300L)
+      .columns.toSeq == Seq("id", "src"))
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSampleBySource(docs, "id", "src", 1.5, 300L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSampleBySource(
+        docs.withColumn("k", $"id".cast("string")), "k", "src", 0.5, 300L)
+    }
+  }
+
   test("leakFreeSplit: paired docs land together, unpaired split by id") {
     val docs = (0L until 100L).toDF("doc_id")
     // two clusters: {3,7,11} (chained — 3-7 and 7-11, no direct 3-11
