@@ -1142,6 +1142,15 @@ object SparkEntry {
           DbReader(conn(s, dir), "documents").run(), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "quality_bigram_nll" -> ((s, dir) => {
+      // interpolated-bigram LM proxy (one rung toward CCNet's 5-gram
+      // KenLM): -ln(λ·c(w1w2)/c(w1) + (1−λ)·c(w2)/N) averaged per doc;
+      // map-side bigram extraction (array zipped with its own tail —
+      // no positional self-join), round(4) for cross-engine parity
+      operators.Corpus.bigramNll(
+          DbReader(conn(s, dir), "documents").run(), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     "dedup_keep_best" -> ((s, dir) => {
       // end-to-end near-dup removal: MinHash pairs → connected components
       // → keep the longest doc per cluster (ties: smallest id); verified
@@ -3575,6 +3584,32 @@ object SparkEntry {
         |       md5(COALESCE(r.cleaned, '')) AS clean_md5
         |FROM tot t LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // interpolated bigram replay; (1.0 - 0.7) spelled as arithmetic, not
+    // 0.3 — the two double literals differ in the last ulp and the Spark
+    // side computes lit(1.0 - lambda)
+    "quality_bigram_nll" ->
+      """WITH arr AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS a
+        |  FROM documents),
+        |bigr AS (
+        |  SELECT doc_id, unnest(list_slice(a, 1, len(a)-1)) AS w1,
+        |         unnest(list_slice(a, 2, len(a))) AS w2
+        |  FROM arr WHERE len(a) >= 2),
+        |uni AS (SELECT t, count(*) AS c1
+        |        FROM (SELECT unnest(a) AS t FROM arr) GROUP BY t),
+        |total AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM uni),
+        |bi AS (SELECT w1, w2, count(*) AS c2 FROM bigr GROUP BY w1, w2),
+        |scored AS (
+        |  SELECT b.doc_id, count(*) AS n_bigrams,
+        |         round(avg(-ln(0.7 * c2 / u1.c1 + (1.0 - 0.7) * u2.c1 / n)), 4) AS nll
+        |  FROM bigr b JOIN bi USING (w1, w2)
+        |    JOIN uni u1 ON b.w1 = u1.t JOIN uni u2 ON b.w2 = u2.t
+        |    CROSS JOIN total
+        |  GROUP BY b.doc_id)
+        |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.nll
+        |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // corpus-as-LM unigram NLL: p(w) = count(w)/N over lowercased
     // ASCII-letter runs; round(4) absorbs sub-ulp ln/summation-order
     // drift between engines; token-less docs keep a (id, 0, NULL) row

@@ -118,6 +118,60 @@ object Corpus {
     * the plan is proportional to corpus² and no text leaves the scan
     * stage except the (token, id) pairs.
     */
+  /** Interpolated-bigram NLL — one rung up the ladder from
+    * [[unigramNll]] toward CCNet's 5-gram KenLM: each bigram position
+    * (w1, w2) scores -ln( λ·p(w2|w1) + (1−λ)·p(w2) ) with
+    * p(w2|w1) = c(w1 w2)/c(w1) and p(w2) = c(w2)/N, all counts from the
+    * corpus itself. Every scored bigram was counted (same corpus), so
+    * c(w1 w2) ≥ 1 and no discounting is needed; the unigram
+    * interpolation still matters — it rewards common-word continuations
+    * over one-off juxtapositions. Documents with fewer than two tokens
+    * return (id, 0 bigrams, NULL nll), same contract as [[unigramNll]].
+    *
+    * Returns (idCol, n_bigrams long, nll double rounded to 4 dp).
+    *
+    * Scale shape: bigram extraction is MAP-SIDE (zip the token array
+    * with its own tail — no positional self-join); bigram counting is
+    * the word-count pattern on the (w1,w2) key; the scoring joins are
+    * keyed on the bigram and its two unigrams (Zipf keeps the unigram
+    * vocab broadcastable; the bigram table shuffles but is a keyed
+    * equi-join, never a cross); N rides a 1-row broadcast. Nothing is
+    * O(corpus²). */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String,
+                lambda: Double = 0.7): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val toksArr = df.select(col(idCol).as("__id"),
+      filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= "").as("__a"))
+    val bigrams = toksArr
+      .filter(size(col("__a")) >= 2)
+      .select(col("__id"), explode(zip_with(
+        slice(col("__a"), lit(1), size(col("__a")) - 1),
+        slice(col("__a"), lit(2), size(col("__a")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col("__id"), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    val uni = toksArr.select(col("__id"), explode(col("__a")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c1"))
+    val total = uni.agg(sum(col("__c1")).as("__n"))
+    val bi = bigrams.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__c2"))
+    val scored = bigrams
+      .join(bi, Seq("__w1", "__w2"))
+      .join(uni.select(col("__t").as("__w1"), col("__c1").as("__cw1")), Seq("__w1"))
+      .join(uni.select(col("__t").as("__w2"), col("__c1").as("__cw2")), Seq("__w2"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(
+          lit(lambda) * col("__c2").cast("double") / col("__cw1") +
+            lit(1.0 - lambda) * col("__cw2").cast("double") / col("__n"))), 4)
+          .as("nll"))
+    df.select(col(idCol).as("__id"))
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("nll"))
+  }
+
   def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("__id"),
       explode(filter(split(lower(col(textCol)), "[^a-z]+"),

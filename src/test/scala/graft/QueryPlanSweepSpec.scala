@@ -37,6 +37,7 @@ class QueryPlanSweepSpec extends AnyFunSuite {
     "quality_unigram_nll",    // deliberate: 1-row corpus-total N broadcast
                               // cross the token stream (Corpus.unigramNll);
                               // O(n) with a single-row build side
+    "quality_bigram_nll",     // same shape: 1-row N cross the bigram stream
     "retrieval_bm25",         // deliberate: 1-row (N, avgdl) stats broadcast
                               // cross the candidate stream (Retrieval)
     "sample_temperature_mix"  // deliberate: 1-row normalizer Z broadcast

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stripBoilerplate: frequent lines die everywhere, blanks and rare " +
+       "lines survive, NULL/empty/all-boilerplate docs keep their row") {
+    val nav = "Home | About"
+    // 30 docs sharing the nav line; doc 0 also has a blank line and a
+    // unique body; doc 100 is NULL text; doc 101 is empty text; doc 102
+    // is ONLY the nav line
+    val docs = (0L until 30L).map(i => (i, s"$nav\n\nbody $i")) ++
+      Seq((100L, null: String), (101L, ""), (102L, nav))
+    val out = Corpus.stripBoilerplate(docs.toDF("id", "text"), "id", "text",
+        minDocs = 30)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // nav stripped, blank + body kept in original order
+    assert(out(0L) == (2L, 1L, "\nbody 0"))
+    // NULL text: zero lines, not a vanished or NULL-count row
+    assert(out(100L) == (0L, 0L, ""))
+    // empty text: ONE blank line, which is structure and survives
+    assert(out(101L) == (1L, 0L, ""))
+    // fully-boilerplate doc: present with everything dropped
+    assert(out(102L) == (0L, 1L, ""))
+    assert(out.size == 33)
+  }
+
+  test("stripBoilerplate: minDocs is a hard threshold") {
+    val line = "almost common"
+    val docs = (0L until 10L).map(i => (i, s"$line\nbody $i"))
+    // appears in 10 docs; threshold 11 → survives everywhere
+    val kept = Corpus.stripBoilerplate(docs.toDF("id", "text"), "id", "text",
+      minDocs = 11)
+    assert(kept.filter($"cleaned".contains(line)).count() == 10)
+    // threshold 10 → dies everywhere
+    val dead = Corpus.stripBoilerplate(docs.toDF("id", "text"), "id", "text",
+      minDocs = 10)
+    assert(dead.filter($"cleaned".contains(line)).count() == 0)
+    intercept[IllegalArgumentException] {
+      Corpus.stripBoilerplate(docs.toDF("id", "text"), "id", "text", 1)
+    }
+  }
+
+  test("unigramNll: exact hand-computed scores; token-less docs keep a " +
+       "(id, 0, NULL) row") {
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "123 !!")).toDF("id", "text")
+    val out = Corpus.unigramNll(docs, "id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    // counts: a=2 b=2 c=1, N=5
+    def nll(ps: Double*) =
+      math.rint(ps.map(p => -math.log(p)).sum / ps.size * 1e4) / 1e4
+    assert(out(1L) == (3L, Some(nll(0.4, 0.4, 0.4))))
+    assert(out(2L) == (2L, Some(nll(0.4, 0.2))))
+    assert(out(3L) == (0L, None))
+  }
+
+  test("bigramNll: exact hand-computed interpolated scores; short docs " +
+       "keep a (id, 0, NULL) row") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"),
+      (4L, "???")).toDF("id", "text")
+    val out = Corpus.bigramNll(docs, "id", "text", lambda = 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    // unigrams: a=3 b=3 solo=1, N=7; bigrams: (a,b)=3 (b,a)=1
+    val ab = -math.log(0.5 * 3.0 / 3.0 + 0.5 * 3.0 / 7.0)
+    val ba = -math.log(0.5 * 1.0 / 3.0 + 0.5 * 3.0 / 7.0)
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(out(1L) == (3L, Some(r4((ab + ba + ab) / 3))))
+    assert(out(2L) == (1L, Some(r4(ab))))
+    // one token → no bigram position; zero tokens likewise
+    assert(out(3L) == (0L, None))
+    assert(out(4L) == (0L, None))
+    intercept[IllegalArgumentException] {
+      Corpus.bigramNll(docs, "id", "text", lambda = 1.5)
+    }
+  }
+
+  test("corpus operators plan: no cartesian products") {
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    for (p <- Seq(
+        Corpus.stripBoilerplate(docs, "id", "text", 30),
+        Corpus.unigramNll(docs, "id", "text"),
+        Corpus.bigramNll(docs, "id", "text"))) {
+      assert(!p.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    }
+  }
+}
