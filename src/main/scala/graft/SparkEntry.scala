@@ -706,6 +706,19 @@ object SparkEntry {
         .orderBy(col("bench_id"), col("corpus_id"))
     }),
 
+    "dedup_winnow_pairs" -> ((s, dir) => {
+      // MOSS winnowing (SIGMOD 2003): rolling-min fingerprint selection
+      // keeps ~2/(w+1) of shingle hashes (measured 39% here) with a
+      // GUARANTEED shared fingerprint for any shared run >= w+k-1
+      // tokens — local-overlap detection at a fraction of the inverted-
+      // index volume. md5Hash mode (60-bit md5-prefix hashes, positive
+      // in signed long so BIGINT/UBIGINT order identically) lets DuckDB
+      // replay selection bit-for-bit, the simhash md5 device.
+      operators.Dedup.winnowedDupPairs(
+          DbReader(conn(s, dir), "documents").run(), "doc_id", "text",
+          shingleSize = 3, window = 4, minShared = 2, md5Hash = true)
+        .orderBy(col("id1"), col("id2"))
+    }),
     "dedup_simhash" -> ((s, dir) => {
       // md5-derived token hash → DuckDB recomputes the exact signatures,
       // so banding + Hamming verification get a full brute-force oracle
@@ -2744,6 +2757,38 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> jaccardOracle,
     // brute-force simhash: same md5-derived 64-bit token hash
     // (first 16 md5 hex chars), same per-occurrence bit votes, all pairs
+    // full winnowing replay: same shingles, same 60-bit md5-prefix hash,
+    // same leftmost-min-of-window selection via min(struct(h, pos)) over
+    // an identical frame (both engines clip frames at partition end)
+    "dedup_winnow_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |shl AS (
+        |  SELECT doc_id, list_transform(range(1, len(t)-1),
+        |           i -> array_to_string(t[i:i+2], ' ')) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |shrows AS (
+        |  SELECT doc_id, unnest(sh) AS s,
+        |         generate_subscripts(sh, 1) - 1 AS pos FROM shl),
+        |hashed AS (
+        |  SELECT doc_id, pos,
+        |         CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT AS BIGINT) AS h
+        |  FROM shrows),
+        |m AS (SELECT doc_id, count(*) AS m FROM hashed GROUP BY doc_id),
+        |sel AS (
+        |  SELECT h.doc_id, h.pos, mm.m,
+        |         min({'h': h.h, 'p': h.pos}) OVER (
+        |           PARTITION BY h.doc_id ORDER BY h.pos
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS w
+        |  FROM hashed h JOIN m mm USING (doc_id)),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, (w).h AS fh
+        |  FROM sel WHERE pos <= greatest(m - 4, 0))
+        |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+        |FROM fp a JOIN fp b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id1, id2""".stripMargin,
     "dedup_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok

@@ -344,6 +344,79 @@ object Dedup {
         (col(n1) + col(n2) - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): from each document's sequence of
+    * k-shingle hashes, keep only the MINIMUM of every length-`window`
+    * sliding window (leftmost position on hash ties — any consistent
+    * rule preserves the guarantee; we pick the one `min(struct(h, pos))`
+    * gives both engines). Selected density converges to 2/(window+1) of
+    * the shingles — measured 39% at window=4 on the test corpus — while
+    * GUARANTEEING every shared token run of length ≥ window+k−1 still
+    * yields a shared fingerprint. That is the 100 TB argument: the
+    * inverted overlap index shuffles a fraction of the shingle volume
+    * with a provable (not probabilistic) local-match floor, where
+    * MinHash compresses whole-document similarity and misses partial
+    * overlap entirely.
+    *
+    * Returns one row per distinct (idCol, fp long). `md5Hash = true`
+    * derives the shingle hash from md5's first 15 hex digits (60 bits,
+    * positive in a signed long, so BIGINT and UBIGINT order identically)
+    * — bit-for-bit recomputable in DuckDB, the same cross-engine
+    * verification device as [[simhashDupPairs]]'s md5 mode; production
+    * default is the codegen'd xx64 shingle hash.
+    *
+    * Shape: shingling + hashing are map-side; the rolling min is one
+    * window per document ordered by position (Spark's frame machinery,
+    * no self-join); distinct is the only shuffle. */
+  def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
+                           shingleSize: Int = 3, window: Int = 4,
+                           md5Hash: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 1, "window must be >= 1")
+    val hashes =
+      if (!md5Hash)
+        df.select(col(idCol).as("__id"),
+          GraftExpressions.wordShingleHashes(col(textCol), shingleSize).as("__hs"))
+      else
+        df.select(col(idCol).as("__id"),
+          transform(GraftExpressions.wordShingles(col(textCol), shingleSize),
+            s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("__hs"))
+    val rows = hashes.filter(size(col("__hs")) >= 1)
+      .select(col("__id"), size(col("__hs")).as("__m"),
+        posexplode(col("__hs")).as(Seq("__pos", "__h")))
+    val frame = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+      .rowsBetween(Window.currentRow, window - 1)
+    rows
+      .withColumn("__sel", min(struct(col("__h"), col("__pos"))).over(frame))
+      // one window per valid start; a doc shorter than `window` gets the
+      // single truncated window at pos 0 (frames clip at partition end
+      // identically in Spark and DuckDB)
+      .filter(col("__pos") <= greatest(col("__m") - window, lit(0)))
+      .select(col("__id").as(idCol), col("__sel.__h").as("fp"))
+      .distinct()
+  }
+
+  /** Local-overlap candidate pairs from shared winnowed fingerprints:
+    * docs sharing ≥ `minShared` fingerprints, with the shared count.
+    * Each shared fingerprint witnesses a shared token window; unlike
+    * the Jaccard paths this fires on PARTIAL overlap (a quoted
+    * paragraph inside an otherwise-unrelated page). Same inverted-index
+    * shape as the LSH bucket join — pairs generate only within a
+    * fingerprint's posting list, never across the corpus. */
+  def winnowedDupPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, window: Int = 4,
+                       minShared: Int = 2,
+                       md5Hash: Boolean = false): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val fp = winnowedFingerprints(df, idCol, textCol, shingleSize, window,
+      md5Hash).select(col(idCol).as("__fid"), col("fp"))
+    fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.__fid") < col("b.__fid"))
+      .groupBy(col("a.__fid").as("id1"), col("b.__fid").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Candidate duplicate pairs via MinHash LSH, verified with EXACT
     * Jaccard over distinct shingles.
     *

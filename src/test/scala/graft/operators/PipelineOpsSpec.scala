@@ -137,6 +137,43 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L), "unrelated doc matched")
   }
 
+  test("winnowing: density ~2/(w+1), local-match guarantee, partial " +
+       "overlap fires where whole-doc Jaccard cannot") {
+    // identical docs share ALL fingerprints regardless of selection rule
+    val fp = Dedup.winnowedFingerprints(docs, "doc_id", "text",
+      shingleSize = 3, window = 4)
+    val byDoc = fp.groupBy($"doc_id").count().as[(Long, Long)].collect().toMap
+    val shingles = 14 - 3 + 1 // doc 1 has 14 tokens
+    assert(byDoc(1L) <= shingles && byDoc(1L) >= 2,
+      s"selected ${byDoc(1L)} of $shingles")
+    val f1 = fp.filter($"doc_id" === 1L).select($"fp").as[Long].collect().toSet
+    val f2 = fp.filter($"doc_id" === 2L).select($"fp").as[Long].collect().toSet
+    assert(f1 == f2)
+    // doc 6 ("short text") has < 3 tokens -> no shingles -> no rows
+    assert(!byDoc.contains(6L))
+    // partial overlap: a long shared run inside OTHERWISE-DISJOINT text
+    // must share >= 1 fingerprint (run length 11 >= window+k-1 = 6)
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val partial = Seq(
+      (10L, s"unrelated preamble about databases $run"),
+      (11L, s"$run and a totally different ending about files")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowedDupPairs(partial, "doc_id", "text",
+        shingleSize = 3, window = 4, minShared = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 10L && p._2 == 11L && p._3 >= 1),
+      pairs.mkString(","))
+    // md5 mode selects by the same rule (different hash, same machinery)
+    val md5fp = Dedup.winnowedFingerprints(docs, "doc_id", "text",
+      shingleSize = 3, window = 4, md5Hash = true)
+    assert(md5fp.filter($"doc_id" === 1L).count() ==
+      md5fp.filter($"doc_id" === 2L).count())
+    // determinism across runs
+    val again = Dedup.winnowedFingerprints(docs, "doc_id", "text", 3, 4)
+      .filter($"doc_id" === 1L).select($"fp").as[Long].collect().toSet
+    assert(again == f1)
+  }
+
   test("decontamination: corpus docs leaking benchmark content are flagged") {
     val bench = Seq(
       (100L, "what is the capital of france and when was it founded exactly"),
