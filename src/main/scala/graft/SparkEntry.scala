@@ -3947,7 +3947,8 @@ object SparkEntry {
         |kept AS (
         |  SELECT d.doc_id, d.grp FROM docs d JOIN thr USING (grp)
         |  WHERE (doc_id % 2147483648) * 2654435761 % 4294967296 < thr)
-        |SELECT grp, count(*) AS n_kept, sum(doc_id) AS id_sum
+        |SELECT grp, count(*) AS n_kept,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM kept GROUP BY grp ORDER BY grp""".stripMargin,
     // components via the dedup_components recursive CTE (exact Jaccard
     // == LSH on this data), then the splitByHash bands keyed on
