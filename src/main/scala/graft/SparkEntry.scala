@@ -1164,6 +1164,24 @@ object SparkEntry {
           DbReader(conn(s, dir), "documents").run(), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "tokenizer_bpe_pairs" -> ((s, dir) => {
+      // one BPE merge-step's pair statistics (Sennrich 2016): corpus
+      // collapses to the word-frequency table FIRST, char pairs are
+      // counted over unique words only; substring(w,i,1) indexing is
+      // 1-based in both engines so the oracle replays exactly. Total
+      // order (cnt desc, sym1, sym2) makes the top-30 cut deterministic.
+      operators.Tokenize.bpePairCounts(
+          DbReader(conn(s, dir), "documents").run(), "text", topK = 30)
+    }),
+    "tokenizer_seed_vocab" -> ((s, dir) => {
+      // unigram-tokenizer seed vocabulary (Kudo 2018): frequent
+      // substrings of length 2..4 scored by occurrences x length over
+      // the word-frequency table — the EM seed a SentencePiece-style
+      // trainer starts from; same vocab-not-corpus scale shape
+      operators.Tokenize.substringSeedVocab(
+          DbReader(conn(s, dir), "documents").run(), "text",
+          minLen = 2, maxLen = 4, topK = 40)
+    }),
     "dedup_keep_best" -> ((s, dir) => {
       // end-to-end near-dup removal: MinHash pairs → connected components
       // → keep the longest doc per cluster (ties: smallest id); verified
@@ -3673,6 +3691,40 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(s.n_toks, 0) AS n_toks, s.nll
         |FROM documents d LEFT JOIN scored s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // BPE pair statistics over the word-frequency table; substring is
+    // 1-based in both engines, range(1, len) excludes the end so i+1
+    // stays in bounds; (cnt desc, sym1, sym2) total-orders the cut
+    "tokenizer_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT t AS w, count(*) AS c
+        |  FROM documents,
+        |    UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+        |  WHERE t <> '' GROUP BY t),
+        |pairs AS (
+        |  SELECT substring(w, i, 1) AS sym1, substring(w, i + 1, 1) AS sym2, c
+        |  FROM words, UNNEST(range(1, length(w))) AS g(i)
+        |  WHERE length(w) >= 2)
+        |SELECT sym1, sym2, CAST(sum(c) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY sym1, sym2
+        |ORDER BY cnt DESC, sym1, sym2 LIMIT 30""".stripMargin,
+    // unigram-seed vocabulary: substrings of length 2..4 over unique
+    // words, scored occurrences x length; lateral range() bounds mirror
+    // the Spark sequence() bounds exactly
+    "tokenizer_seed_vocab" ->
+      """WITH words AS (
+        |  SELECT t AS w, count(*) AS c
+        |  FROM documents,
+        |    UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+        |  WHERE t <> '' GROUP BY t),
+        |pieces AS (
+        |  SELECT substring(w, i, n) AS piece, c
+        |  FROM words,
+        |    UNNEST(range(1, length(w) - 2 + 2)) AS g(i),
+        |    UNNEST(range(2, least(4, length(w) - i + 1) + 1)) AS h(n)
+        |  WHERE length(w) >= 2)
+        |SELECT piece, CAST(sum(c * length(piece)) AS BIGINT) AS score
+        |FROM pieces GROUP BY piece
+        |ORDER BY score DESC, piece LIMIT 40""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders o

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-training primitives: the corpus-statistics passes a BPE/
+  * unigram tokenizer build runs before any model training. The reference
+  * engine (MobileTeleSystems/onetl) moves corpora and delegates
+  * transforms to Spark; this is the transform a 100 TB text corpus
+  * actually needs before it can be tokenized at all.
+  */
+object Tokenize {
+
+  /** One BPE merge-step's pair statistics (Sennrich et al. 2016,
+    * arXiv:1508.07909 — "Neural Machine Translation of Rare Words with
+    * Subword Units", Algorithm 1): count every adjacent symbol pair
+    * across the corpus, weighted by word frequency, and return the
+    * `topK` most frequent pairs — the candidates the next merge would
+    * fuse. Symbols here are single characters (the algorithm's initial
+    * state; after a merge the caller would re-run on the fused vocab).
+    *
+    * Returns (sym1 string, sym2 string, cnt long), most-frequent first,
+    * ties broken by (sym1, sym2) so the top-k cut is total-ordered and
+    * engine-independent.
+    *
+    * Scale shape — the whole trick is that pair counting NEVER touches
+    * the corpus: phase 1 is the word-count pattern (map-side combine,
+    * shuffles (word, count) pairs, collapses 100 TB of text to a
+    * Zipf-bounded vocabulary of millions), phase 2 explodes characters
+    * over UNIQUE WORDS only — per-word work is O(len) on a table that is
+    * orders of magnitude smaller than the corpus. The final top-k is
+    * TakeOrderedAndProject (per-partition heap + driver merge of k
+    * rows), not a global sort. This is exactly how production BPE
+    * trainers scale: frequency table first, merges on the table.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    // phase 1: corpus -> word frequency table (the only corpus-wide scan)
+    val words = df
+      .select(explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        t => t =!= "")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    // phase 2: adjacent char pairs over unique words, weighted by __c.
+    // substring(w, i, 1) not split(w, "") — 1-based substring indexing
+    // behaves identically in Spark and DuckDB, so the oracle replays
+    // byte-for-byte; split-on-empty edge semantics differ across engines.
+    val pairs = words
+      .filter(length(col("__w")) >= 2)
+      .select(col("__c"), explode(expr(
+        "transform(sequence(1, length(__w) - 1), " +
+          "i -> struct(substring(__w, i, 1) AS s1, substring(__w, i + 1, 1) AS s2))"
+      )).as("__p"))
+      .groupBy(col("__p.s1").as("sym1"), col("__p.s2").as("sym2"))
+      .agg(sum(col("__c")).as("cnt"))
+    pairs.orderBy(col("cnt").desc, col("sym1"), col("sym2")).limit(topK)
+  }
+
+  /** Unigram-tokenizer seed vocabulary (Kudo 2018, arXiv:1804.10959
+    * §3.2 seeds from frequent substrings): every substring of length
+    * `minLen..maxLen` occurring in the corpus, scored by
+    * occurrences × length (the EM initialization's frequency-length
+    * heuristic), top `topK`. Like [[bpePairCounts]], the corpus
+    * collapses to the word-frequency table before any substring work:
+    * a word of length L contributes O(L · (maxLen-minLen)) substring
+    * rows counted once and weighted by frequency, so the explode is
+    * bounded by vocab size × word length, never corpus size.
+    *
+    * Returns (piece string, score long) ordered by (score desc, piece).
+    */
+  def substringSeedVocab(df: DataFrame, textCol: String,
+                         minLen: Int, maxLen: Int, topK: Int): DataFrame = {
+    require(minLen >= 1 && maxLen >= minLen,
+      s"need 1 <= minLen <= maxLen, got ($minLen, $maxLen)")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val words = df
+      .select(explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        t => t =!= "")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val pieces = words
+      .filter(length(col("__w")) >= minLen)
+      .select(col("__c"), explode(expr(
+        // all (start, len) windows with minLen <= len <= maxLen that fit
+        s"flatten(transform(sequence(1, length(__w) - $minLen + 1), " +
+          s"i -> transform(sequence($minLen, least($maxLen, length(__w) - i + 1)), " +
+          "n -> substring(__w, i, n))))"
+      )).as("piece"))
+      .groupBy(col("piece"))
+      .agg(sum(col("__c") * length(col("piece"))).as("score"))
+    pieces.orderBy(col("score").desc, col("piece")).limit(topK)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TokenizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bpePairCounts: hand-computed pair counts weighted by word " +
+       "frequency; single-char words contribute nothing") {
+    // corpus: "low low lower" + "low newest" → freq low=3 lower=1 newest=1
+    val docs = Seq((1L, "low low lower"), (2L, "low newest"),
+      (3L, "a b")).toDF("id", "text")
+    val out = Tokenize.bpePairCounts(docs, "text", topK = 100).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // (l,o): 3 from low + 1 from lower = 4; (o,w): same 4
+    assert(out(("l", "o")) == 4L)
+    assert(out(("o", "w")) == 4L)
+    // lower-only pairs
+    assert(out(("w", "e")) == 2L) // lower + newest
+    assert(out(("e", "r")) == 1L)
+    // newest-only
+    assert(out(("n", "e")) == 1L)
+    assert(out(("s", "t")) == 1L)
+    // "a" and "b" are single-char: no pair rows at all for them
+    assert(!out.keys.exists { case (a, b) => a == "a" || b == "b" })
+  }
+
+  test("bpePairCounts: top-k cut is total-ordered (cnt desc, sym1, sym2)") {
+    // ab and cd tie at 1; ef wins with 2 — topK=2 must pick ef then ab
+    val docs = Seq((1L, "ab cd ef ef")).toDF("id", "text")
+    val rows = Tokenize.bpePairCounts(docs, "text", topK = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("e", "f", 2L), ("a", "b", 1L)))
+    intercept[IllegalArgumentException] {
+      Tokenize.bpePairCounts(docs, "text", topK = 0)
+    }
+  }
+
+  test("substringSeedVocab: all 2..4-grams of unique words, scored " +
+       "occurrences x length") {
+    val docs = Seq((1L, "abc abc")).toDF("id", "text") // freq abc=2
+    val out = Tokenize.substringSeedVocab(docs, "text",
+        minLen = 2, maxLen = 4, topK = 100).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // pieces of "abc": ab, abc, bc — scores 2*2, 2*3, 2*2
+    assert(out == Map("ab" -> 4L, "abc" -> 6L, "bc" -> 4L))
+    // maxLen caps the window: no piece longer than the word
+    val caps = Tokenize.substringSeedVocab(docs, "text", 2, 10, 100)
+      .collect().map(_.getString(0)).toSet
+    assert(caps == Set("ab", "abc", "bc"))
+    intercept[IllegalArgumentException] {
+      Tokenize.substringSeedVocab(docs, "text", 3, 2, 10)
+    }
+  }
+
+  test("tokenize plans: corpus collapses to the vocab before char work — " +
+       "exactly one aggregate keyed on the raw word, and no cartesian") {
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    for (p <- Seq(Tokenize.bpePairCounts(docs, "text", 5),
+        Tokenize.substringSeedVocab(docs, "text", 2, 4, 5))) {
+      val plan = p.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"))
+      // top-k is a TakeOrdered (per-partition heap), not a global sort
+      assert(plan.contains("TakeOrderedAndProject"), plan)
+    }
+  }
+}
