@@ -1182,6 +1182,16 @@ object SparkEntry {
           DbReader(conn(s, dir), "documents").run(), "text",
           minLen = 2, maxLen = 4, topK = 40)
     }),
+    "sample_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weights, target = the English slice: mean
+      // per-token ln(p_en / p_raw) with add-1 smoothing over the raw
+      // vocab; one word-count aggregate carries BOTH distributions;
+      // round(4) absorbs cross-engine ln drift (unigramNll precedent)
+      operators.Sampling.dsirWeights(
+          DbReader(conn(s, dir), "documents").run(), "doc_id", "text",
+          col("lang") === "en")
+        .orderBy(col("doc_id"))
+    }),
     "dedup_keep_best" -> ((s, dir) => {
       // end-to-end near-dup removal: MinHash pairs → connected components
       // → keep the longest doc per cluster (ties: smallest id); verified
@@ -3725,6 +3735,29 @@ object SparkEntry {
         |SELECT piece, CAST(sum(c * length(piece)) AS BIGINT) AS score
         |FROM pieces GROUP BY piece
         |ORDER BY score DESC, piece LIMIT 40""".stripMargin,
+    // DSIR log-likelihood ratio vs the English target slice; NULL lang
+    // rows score as non-target (CASE WHEN NULL -> 0, matching Spark's
+    // coalesced predicate); token-less docs keep (id, 0, NULL)
+    "sample_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, (lang = 'en') AS tgt, t
+        |  FROM documents, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS u(t)),
+        |vocab AS (
+        |  SELECT t, count(*) AS cr,
+        |         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+        |  FROM toks GROUP BY t),
+        |stats AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v
+        |          FROM vocab),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_toks,
+        |         round(avg(ln(CAST(ct + 1 AS DOUBLE) / (nt + v))
+        |                 - ln(CAST(cr + 1 AS DOUBLE) / (nr + v))), 4) AS logratio
+        |  FROM toks JOIN vocab USING (t) CROSS JOIN stats
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(s.n_toks, 0) AS n_toks, s.logratio
+        |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders o

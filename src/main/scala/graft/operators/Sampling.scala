@@ -303,4 +303,55 @@ object Sampling {
     capPerKey(partial, keyCols, maxPerKey, orderBy, tieBreak)
       .unionByName(under)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by the mean per-token log-likelihood ratio
+    * ln(p_target(w) / p_raw(w)) between a target subset (`targetPred`,
+    * e.g. a trusted high-quality slice) and the raw corpus — the signal
+    * DSIR resamples on to tilt a web-scale corpus toward a target
+    * domain. The paper hashes n-grams into buckets; with exact
+    * distributed counting available there is no need to hash — the
+    * unigram tables ARE the feature distributions (hashing exists to fit
+    * one machine). Both distributions use add-1 smoothing over the raw
+    * vocabulary (target tokens are a subset of raw tokens by
+    * construction, so V covers every scored token).
+    *
+    * Returns one row per document: (idCol, n_toks long, logratio double
+    * rounded to 4 dp — absorbs sub-ulp ln/summation drift across
+    * engines). Positive = target-like; token-less docs keep a
+    * (id, 0, NULL) row. Downstream selection is `ORDER BY logratio DESC`
+    * top-n or a threshold filter — both total-ordered by (logratio, id).
+    *
+    * Scale shape: ONE corpus scan feeds a single word-count aggregate
+    * that carries both distributions (raw count + conditional target
+    * count per token — no second pass over the target slice); Zipf keeps
+    * the vocab broadcastable for the score join; N_t/N_r/V ride a 1-row
+    * broadcast; the per-doc mean is map-combinable. Nothing is
+    * O(corpus²) and no text leaves the scan except (token, id, flag). */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+      coalesce(targetPred, lit(false)).as("__tgt"),
+      explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        t => t =!= "")).as("__t"))
+    val vocab = toks.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__cr"),
+        sum(when(col("__tgt"), lit(1L)).otherwise(lit(0L))).as("__ct"))
+    val stats = vocab.agg(sum(col("__cr")).as("__nr"),
+      sum(col("__ct")).as("__nt"), count(lit(1)).as("__v"))
+    val scored = toks.join(vocab, Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_toks"),
+        round(avg(
+          log((col("__ct") + 1).cast("double") / (col("__nt") + col("__v"))) -
+            log((col("__cr") + 1).cast("double") / (col("__nr") + col("__v")))
+        ), 4).as("logratio"))
+    df.select(col(idCol).as("__id"))
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        col("logratio"))
+  }
 }

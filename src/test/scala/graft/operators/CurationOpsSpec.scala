@@ -517,6 +517,48 @@ class KeepBestSpec extends SparkSpec {
   }
 }
 
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dsirWeights: exact hand-computed log-ratios; target-like docs " +
+       "score positive, off-target negative") {
+    // target (t=true): "a a b"; raw adds "c c c". Vocab {a,b,c} V=3,
+    // N_t=3, N_r=6. Smoothed: p_t(a)=(2+1)/6, p_t(b)=2/6, p_t(c)=1/6;
+    // p_r(a)=3/9, p_r(b)=2/9, p_r(c)=4/9.
+    val docs = Seq((1L, "a a b", true), (2L, "c c c", false),
+      (3L, "", false)).toDF("id", "text", "tgt")
+    val out = Sampling.dsirWeights(docs, "id", "text", $"tgt").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val la = math.log(3.0 / 6) - math.log(3.0 / 9)
+    val lb = math.log(2.0 / 6) - math.log(2.0 / 9)
+    val lc = math.log(1.0 / 6) - math.log(4.0 / 9)
+    assert(out(1L) == (3L, Some(r4((la + la + lb) / 3))))
+    assert(out(1L)._2.get > 0, "target-built doc must score positive")
+    assert(out(2L) == (3L, Some(r4(lc))))
+    assert(out(2L)._2.get < 0, "off-target doc must score negative")
+    // token-less doc keeps its row with a NULL score
+    assert(out(3L) == (0L, None))
+  }
+
+  test("dsirWeights: NULL predicate rows count as non-target, not poison") {
+    val docs = Seq((1L, "x y", "en"), (2L, "x y", null.asInstanceOf[String]))
+      .toDF("id", "text", "lang")
+    val out = Sampling.dsirWeights(docs, "id", "text", $"lang" === "en")
+      .collect().map(r => r.getLong(0) -> r.get(2)).toMap
+    // identical text, same ratio for both docs — and nothing is NULL
+    assert(out(1L) != null && out(1L) == out(2L))
+  }
+
+  test("dsirWeights plan: no cartesian beyond the 1-row stats broadcast") {
+    val docs = Seq((1L, "a", true)).toDF("id", "text", "tgt")
+    val plan = Sampling.dsirWeights(docs, "id", "text", $"tgt")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
+
 class GopherFilterSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.TextFunctions._
