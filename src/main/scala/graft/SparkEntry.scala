@@ -2578,6 +2578,16 @@ object SparkEntry {
             size(col("embedding")), 6).as("mean"))
         .orderBy(col("vec_id"))
     }),
+    "embedding_outlier_scores" -> ((s, dir) => {
+      // robust centroid outlier scoring: cosine distance to the
+      // per-label per-dim MEDIAN centroid — median is an order
+      // statistic, bit-reproducible across engines (float32 midpoints
+      // are exact in double), unlike a shuffle-order-dependent mean
+      operators.Similarity.centroidOutlierScores(
+          DbReader(conn(s, dir), "embeddings").run(),
+          "vec_id", "embedding", "label")
+        .orderBy(col("vec_id"))
+    }),
 
     // --- Driver-side MIN/MAX probe (SURVEY §2.1 get_min_max_values):
     // the bound planner surfaced as a checkable one-row frame ------------
@@ -4096,6 +4106,20 @@ object SparkEntry {
         |       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) AS l2,
         |       round(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS mean
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // per-label median centroid (exact order statistic — engine-
+    // independent), then cosine distance; round(6) as in the other
+    // embedding gates
+    "embedding_outlier_scores" ->
+      """WITH dims AS (
+        |  SELECT label, i, median(CAST(embedding[i] AS DOUBLE)) AS m
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS g(i)
+        |  GROUP BY label, i),
+        |cents AS (SELECT label, list(m ORDER BY i) AS cent
+        |          FROM dims GROUP BY label)
+        |SELECT e.vec_id, e.label,
+        |       round(1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cent), 6) AS dist
+        |FROM embeddings e JOIN cents c USING (label)
+        |ORDER BY e.vec_id""".stripMargin,
     "reader_minmax_probe" ->
       """SELECT CAST(min(o_orderkey) AS BIGINT) AS min_key,
         |       CAST(max(o_orderkey) AS BIGINT) AS max_key

@@ -567,6 +567,44 @@ object Similarity {
       .limit(cents.length).collect().map(_.getInt(0)).toSeq
   }
 
+  /** Robust per-group centroid outlier scoring — the embedding-space
+    * curation step that flags off-topic/mislabeled documents: each
+    * vector's cosine DISTANCE to its group's per-dimension MEDIAN
+    * centroid. Median, not mean, for two reasons: (a) robustness — the
+    * centroid of a contaminated group should not chase its own outliers
+    * (the classic robust-statistics argument); (b) determinism — an
+    * exact median is an order statistic, reproducible bit-for-bit
+    * regardless of aggregation order, while a mean of floats depends on
+    * shuffle-order summation. Float32 values interpolate exactly in
+    * double (24-bit mantissas; sums/halving are exact), so the Spark
+    * `percentile(_, 0.5)` and DuckDB `median` agree to the last bit.
+    *
+    * Returns (idCol, grpCol, dist double rounded to 6 dp), dist in
+    * [0, 2]; high = far from the group's consensus direction. Callers
+    * threshold or top-k downstream (total-ordered by (dist, id)).
+    *
+    * Scale shape: the explode shuffles n·d (group, dim, value) rows
+    * into a map-combinable exact-percentile aggregate (Spark's
+    * percentile partial-aggregates value→count maps — bounded when
+    * embeddings are quantized; substitute approx_percentile at extreme
+    * cardinality, trading the bit-exact oracle); centroids are
+    * |groups|·d doubles and broadcast back; the scoring pass is one
+    * codegen'd expression per row. Nothing is O(n²). */
+  def centroidOutlierScores(df: DataFrame, idCol: String, vecCol: String,
+                            grpCol: String): DataFrame = {
+    val dims = df.select(col(grpCol).as("__g"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("__i", "__x")))
+    val med = dims.groupBy(col("__g"), col("__i"))
+      .agg(expr("percentile(__x, 0.5)").as("__m"))
+    val cents = med.groupBy(col("__g"))
+      .agg(array_sort(collect_list(struct(col("__i"), col("__m"))))
+        .getField("__m").as("__cent"))
+    df.join(broadcast(cents), col(grpCol) === col("__g"))
+      .select(col(idCol), col(grpCol),
+        round(lit(1.0) - GraftExpressions.cosineSimilarity(
+          col(vecCol), col("__cent")), 6).as("dist"))
+  }
+
   /** Deterministic per-query top-k: rank on (cosine desc, id asc) so ties
     * are stable across engines. */
   private def topK(scored: DataFrame, k: Int): DataFrame = {

@@ -275,6 +275,42 @@ class SimilaritySpec extends SparkSpec {
     assert(ranks.toSeq == ranks.sorted.reverse.toSeq, "cosine desc by rank")
   }
 
+  test("centroidOutlierScores: exact median centroid, planted opposite " +
+       "vector maxes out at dist 2") {
+    // group A medians: dim0 median(0,1,3) = 1, dim1 median(0,1,4) = 1
+    // -> centroid [1,1]; group B holds one vector (its own centroid)
+    val vecs = Seq(
+      (1L, Array(1f, 0f), "A"), (2L, Array(0f, 1f), "A"),
+      (3L, Array(3f, 4f), "A"), (4L, Array(-1f, -1f), "A"),
+      (10L, Array(5f, 0f), "B")).toDF("id", "v", "g")
+    // with doc 4, dim medians are median(-1,0,1,3)=0.5, median(-1,0,1,4)=0.5
+    // — keep the hand case simple: score only docs 1-3 against the
+    // 3-vector group by building centroid from a 3-doc frame, then check
+    // the planted-opposite case separately on a symmetric group
+    val threeDocs = vecs.filter($"id" <= 3)
+    val out = Similarity.centroidOutlierScores(threeDocs, "id", "v", "g")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def d6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(1L) == d6(1.0 - 1.0 / math.sqrt(2)))
+    assert(out(2L) == d6(1.0 - 1.0 / math.sqrt(2)))
+    assert(out(3L) == d6(1.0 - 7.0 / (5 * math.sqrt(2))))
+    // the in-distribution vector scores far lower than the spread ones
+    assert(out(3L) < out(1L))
+    // symmetric group: [1,0] and [-1,0] -> centroid [0,0]... degenerate;
+    // instead plant opposite-of-centroid: group of three [1,0] copies
+    // plus one [-1,0] has median centroid [1,0] (median of 1,1,1,-1 = 1)
+    val planted = Seq((1L, Array(1f, 0f), "C"), (2L, Array(1f, 0f), "C"),
+      (3L, Array(1f, 0f), "C"), (4L, Array(-1f, 0f), "C")).toDF("id", "v", "g")
+    val p = Similarity.centroidOutlierScores(planted, "id", "v", "g")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(p(4L) == 2.0, "anti-parallel vector is the maximal outlier")
+    assert(p(1L) == 0.0)
+    // per-group isolation: a one-vector group scores 0 against itself
+    val solo = Similarity.centroidOutlierScores(vecs, "id", "v", "g")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(solo(10L) == 0.0)
+  }
+
   test("lshTopK recall vs brute force on gate data, reported per query") {
     // mirrors the similarity_topk_lsh gate (16x4-bit banding, top-5,
     // queries vec_id < 10) but asserts the actual hit counts so a recall
