@@ -1220,6 +1220,18 @@ object SparkEntry {
         .select(col("pos"), col("doc_id"), col("source"))
         .orderBy(col("pos"))
     }),
+    "layout_zorder_stats" -> ((s, dir) => {
+      // Z-order layout clustering (the OPTIMIZE ZORDER class of op):
+      // orders clustered on (o_custkey, o_orderkey), then the per-bucket
+      // min/max envelopes a scan planner would prune on — all-integer
+      // quantize + interleave, bit-identical in any engine
+      val z = operators.Layout.zorderBy(
+        DbReader(conn(s, dir), "orders").run()
+          .select(col("o_orderkey"), col("o_custkey")),
+        Seq("o_custkey", "o_orderkey"), bits = 8)
+      operators.Layout.clusterStats(z, "__z", zBits = 16, bucketBits = 4,
+        cols = Seq("o_custkey", "o_orderkey"))
+    }),
     "length_bucket_batch" -> ((s, dir) => {
       // token-length bucketing for batch shaping: integer CASE thresholds
       // (no float log2 at the boundary), per-bucket doc and token totals
@@ -2603,6 +2615,13 @@ object SparkEntry {
   /** Exact 3-gram Jaccard ≥ 0.7 via an inverted shingle index — the DuckDB
     * oracle for BOTH the exact operator and the MinHash-LSH operator (LSH
     * miss probability at s=0.7 with 32×4 banding is ~1.5e-4 per pair). */
+  /** Morton-interleave SQL for two 8-bit quantized lanes (`q1` lane 0,
+    * `q2` lane 1) — mirrors Layout.zValue's bit placement exactly. */
+  private def zInterleaveSql(q1: String, q2: String): String =
+    (0 until 8).flatMap(b => Seq(
+      s"((($q1 >> $b) & 1) << ${2 * b})",
+      s"((($q2 >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
+
   private val jaccardOracle: String =
     """WITH docs AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
@@ -3768,6 +3787,28 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(s.n_toks, 0) AS n_toks, s.logratio
         |FROM documents d LEFT JOIN scored s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // z-order pruning stats: integer quantize (// floor-divides exactly
+    // like Spark's bounded floor-of-double), Morton interleave, bucket
+    // by the top 4 of 16 z-bits, per-bucket min/max envelopes
+    "layout_zorder_stats" ->
+      s"""WITH stats AS (
+        |  SELECT min(o_custkey) AS c0, max(o_custkey) AS c1,
+        |         min(o_orderkey) AS k0, max(o_orderkey) AS k1 FROM orders),
+        |q AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         ((o_custkey - c0) * 255) // GREATEST(c1 - c0, 1) AS qc,
+        |         ((o_orderkey - k0) * 255) // GREATEST(k1 - k0, 1) AS qk
+        |  FROM orders CROSS JOIN stats),
+        |z AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         (${zInterleaveSql("qc", "qk")}) AS zv
+        |  FROM q)
+        |SELECT (zv >> 12) AS bucket, count(*) AS n,
+        |       CAST(min(o_custkey) AS BIGINT) AS min_o_custkey,
+        |       CAST(max(o_custkey) AS BIGINT) AS max_o_custkey,
+        |       CAST(min(o_orderkey) AS BIGINT) AS min_o_orderkey,
+        |       CAST(max(o_orderkey) AS BIGINT) AS max_o_orderkey
+        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders o

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue: hand-computed Morton interleave, column 0 in the low lane") {
+    // q0 = 0b10 (2), q1 = 0b01 (1): bit0 of q0 -> pos0 (0), bit0 of
+    // q1 -> pos1 (1), bit1 of q0 -> pos2 (1), bit1 of q1 -> pos3 (0)
+    // => 0b0110 = 6
+    val out = Seq((2L, 1L)).toDF("a", "b")
+      .select(Layout.zValue(Seq(col("a"), col("b")), bits = 2).as("z"))
+      .as[Long].collect().head
+    assert(out == 6L)
+    intercept[IllegalArgumentException] {
+      Layout.zValue(Seq(col("a"), col("b")), bits = 31) // 62 > 60
+    }
+  }
+
+  test("quantizeMinMax: endpoints hit 0 and 2^bits-1; constant column " +
+       "degenerates to 0, not divide-by-zero") {
+    val df = Seq(10L, 20L, 30L).toDF("x")
+      .withColumn("mn", lit(10L)).withColumn("mx", lit(30L))
+    val q = df.select(Layout.quantizeMinMax(col("x"), col("mn"), col("mx"), 8)
+      .as("q")).as[Long].collect().toSeq
+    assert(q == Seq(0L, 127L, 255L)) // (20-10)*255/20 = 127.5 -> 127
+    val const = Seq(5L).toDF("x")
+      .select(Layout.quantizeMinMax(col("x"), lit(5L), lit(5L), 8).as("q"))
+      .as[Long].collect().head
+    assert(const == 0L)
+  }
+
+  test("zorderBy tightens per-bucket envelopes on BOTH columns vs a " +
+       "single-column sort — the file-skipping win") {
+    // a 64x64 grid: x-sorted layout gives each bucket the full y range;
+    // z-order gives sub-ranges on both dimensions
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    val z = Layout.zorderBy(grid, Seq("x", "y"), bits = 6)
+    val zStats = Layout.clusterStats(z, "__z", zBits = 12, bucketBits = 2,
+      cols = Seq("x", "y")).collect()
+    // every z-bucket envelope covers at most half of each dimension
+    // (top-2 z-bits split the plane into 2x2 quadrants)
+    assert(zStats.length == 4)
+    for (r <- zStats) {
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") <= 31L)
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") <= 31L)
+    }
+    // the x-sorted baseline cannot: its buckets span the full y range
+    val xSorted = grid.withColumn("__z",
+      Layout.quantizeMinMax(col("x"), lit(0L), lit(63L), 12))
+    val xStats = Layout.clusterStats(xSorted, "__z", zBits = 12,
+      bucketBits = 2, cols = Seq("x", "y")).collect()
+    assert(xStats.forall(r =>
+      r.getAs[Long]("max_y") - r.getAs[Long]("min_y") == 63L))
+  }
+
+  test("zorderBy plan: one range exchange on the z-value, min/max stats " +
+       "broadcast — no extra shuffles, no cartesian blowup") {
+    val df = (0L until 100L).map(i => (i, i * 7 % 100)).toDF("a", "b")
+    val plan = Layout.zorderBy(df, Seq("a", "b"), bits = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // exactly one Exchange over the data path (the range repartition);
+    // the stats side rides a BroadcastExchange
+    val exchanges = "(?i)\\bExchange rangepartitioning".r
+      .findAllIn(plan).size
+    assert(exchanges == 1, s"want 1 range exchange, plan:\n$plan")
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+}
