@@ -1182,6 +1182,19 @@ object SparkEntry {
           DbReader(conn(s, dir), "documents").run(), "text",
           minLen = 2, maxLen = 4, topK = 40)
     }),
+    "sample_epoch_mix" -> ((s, dir) => {
+      // deterministic epoch replication (the oversampling half of a
+      // data recipe): src0 runs 2.5 epochs, src1 exactly 1, src2 0.25;
+      // unlisted sources pass through at 1. Audited per (source, epoch)
+      // by count + id checksum — WHICH docs carry the extra epoch is a
+      // stable hash slice both engines replay
+      val docs = DbReader(conn(s, dir), "documents").run()
+      operators.Sampling.epochReplicate(docs, "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25))
+        .groupBy(col("source"), col("epoch"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"), col("epoch"))
+    }),
     "sample_dsir_weights" -> ((s, dir) => {
       // DSIR importance weights, target = the English slice: mean
       // per-token ln(p_en / p_raw) with add-1 smoothing over the raw
@@ -3764,6 +3777,31 @@ object SparkEntry {
         |SELECT piece, CAST(sum(c * length(piece)) AS BIGINT) AS score
         |FROM pieces GROUP BY piece
         |ORDER BY score DESC, piece LIMIT 40""".stripMargin,
+    // epoch replication: whole copies + a Knuth-hashed extra-epoch
+    // slice (thresholds are the exact integers floor(frac * 2^32):
+    // 0.5 -> 2147483648, 0.25 -> 1073741824); unlisted sources get 1
+    "sample_epoch_mix" ->
+      """WITH plan AS (
+        |  SELECT * FROM (VALUES
+        |    ('src0', CAST(2 AS BIGINT), CAST(2147483648 AS BIGINT)),
+        |    ('src1', CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |    ('src2', CAST(0 AS BIGINT), CAST(1073741824 AS BIGINT)))
+        |    AS t(source, whole, thr)),
+        |n AS (
+        |  SELECT d.source, d.doc_id,
+        |         COALESCE(whole, 1)
+        |           + CASE WHEN (doc_id % 2147483648) * 2654435761
+        |                       % 4294967296 < COALESCE(thr, 0)
+        |                  THEN 1 ELSE 0 END AS nc
+        |  FROM documents d LEFT JOIN plan USING (source)),
+        |rep AS (
+        |  SELECT source, doc_id, CAST(e AS INTEGER) AS epoch
+        |  FROM n, UNNEST(range(nc)) AS u(e)
+        |  WHERE nc > 0)
+        |SELECT source, epoch, count(*) AS n,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM rep GROUP BY source, epoch
+        |ORDER BY source, epoch""".stripMargin,
     // DSIR log-likelihood ratio vs the English target slice; NULL lang
     // rows score as non-target (CASE WHEN NULL -> 0, matching Spark's
     // coalesced predicate); token-less docs keep (id, 0, NULL)

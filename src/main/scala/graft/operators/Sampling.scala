@@ -304,6 +304,49 @@ object Sampling {
       .unionByName(under)
   }
 
+  /** Deterministic epoch replication — the oversampling half of a data
+    * recipe (the Llama/GPT mixture tables quote "epochs" per source:
+    * high-quality sources repeat >1×, bulk web <1×), complementing
+    * [[temperatureSampleBySource]], which only downsamples (share
+    * capped at 1). A source with `epochs(s) = e` emits floor(e) full
+    * copies of every document plus one extra copy for the
+    * deterministically-hashed `frac(e)` slice — so expected copies = e
+    * exactly, and WHICH docs get the extra epoch is a stable function of
+    * the key (re-runs and incremental rebuilds agree). Sources absent
+    * from `epochs` default to 1.0 (pass through unchanged).
+    *
+    * Output: the input columns plus `epoch` (int, 0-based copy index) —
+    * interleave-ready for a training shuffle downstream. e < 1 drops
+    * the unlucky slice entirely (0 copies), which makes this a strict
+    * superset of fractional sampling.
+    *
+    * Scale shape: the epochs table is |sources| rows broadcast onto the
+    * stream; copy count is a codegen'd hash compare; replication is one
+    * map-side posexplode of a sequence — no shuffle at all, output size
+    * is exactly the token budget the recipe asked for. */
+  def epochReplicate(df: DataFrame, keyCol: String, sourceCol: String,
+                     epochs: Map[String, Double],
+                     epochCol: String = "epoch"): DataFrame = {
+    requireNumericKey(df, keyCol, "epochReplicate")
+    require(epochs.values.forall(e => e >= 0.0 && e < 100.0),
+      "epochs must be in [0, 100) — triple-digit replication is a typo")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val plan = epochs.toSeq.map { case (s, e) =>
+      (s, math.floor(e).toLong, threshold(e - math.floor(e)))
+    }.toDF(sourceCol, "__whole", "__thr")
+    val joined = df.join(broadcast(plan), Seq(sourceCol), "left")
+      .withColumn("__n",
+        coalesce(col("__whole"), lit(1L)) +
+          when(knuthHash32(col(keyCol)) < coalesce(col("__thr"), lit(0L)),
+            lit(1L)).otherwise(lit(0L)))
+    joined.filter(col("__n") > 0)
+      .withColumn(epochCol,
+        explode(expr("sequence(0, int(__n) - 1)")))
+      .drop("__whole", "__thr", "__n")
+      .select((df.columns.map(col) :+ col(epochCol)): _*)
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169
     * "Data Selection for Language Models via Importance Resampling"):
     * score every document by the mean per-token log-likelihood ratio

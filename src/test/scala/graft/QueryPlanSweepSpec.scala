@@ -40,9 +40,15 @@ class QueryPlanSweepSpec extends AnyFunSuite {
     "quality_bigram_nll",     // same shape: 1-row N cross the bigram stream
     "retrieval_bm25",         // deliberate: 1-row (N, avgdl) stats broadcast
                               // cross the candidate stream (Retrieval)
-    "sample_temperature_mix"  // deliberate: 1-row normalizer Z broadcast
+    "sample_temperature_mix", // deliberate: 1-row normalizer Z broadcast
                               // cross the |sources|-row count frame
                               // (Sampling.temperatureSampleBySource)
+    "sample_dsir_weights",    // deliberate: 1-row (N_t, N_r, V) stats
+                              // broadcast cross the token stream
+                              // (Sampling.dsirWeights)
+    "layout_zorder_stats"     // deliberate: 1-row global min/max envelope
+                              // broadcast cross the table being clustered
+                              // (Layout.zorderBy)
   )
 
   /** Global `OVER (ORDER BY ...)` windows with no PARTITION BY run the

@@ -517,6 +517,55 @@ class KeepBestSpec extends SparkSpec {
   }
 }
 
+class EpochReplicateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (0L until 1000L).map(i =>
+    (i, if (i < 400) "hq" else "web")).toDF("id", "src")
+
+  test("epochReplicate: floor copies for everyone, the hashed slice gets " +
+       "one more — expected copies exact, not approximate") {
+    val out = Sampling.epochReplicate(docs, "id", "src",
+      Map("hq" -> 2.5, "web" -> 0.25))
+    val hq = out.filter($"src" === "hq")
+    // every hq doc appears at least twice (epochs 0 and 1)
+    assert(hq.filter($"epoch" < 2).count() == 800L)
+    // the extra epoch is EXACTLY the fraction-0.5 hash slice
+    val extra = hq.filter($"epoch" === 2).select($"id").as[Long].collect().toSet
+    val slice = Sampling.sampleByKey(docs.filter($"src" === "hq"), "id", 0.5)
+      .select($"id").as[Long].collect().toSet
+    assert(extra == slice)
+    // web runs 0.25 epochs: only the hashed quarter survives, epoch 0 only
+    val web = out.filter($"src" === "web")
+    assert(web.select($"epoch").distinct().as[Int].collect().toSeq == Seq(0))
+    val webSlice = Sampling.sampleByKey(docs.filter($"src" === "web"), "id", 0.25)
+    assert(web.count() == webSlice.count())
+  }
+
+  test("epochReplicate: unlisted sources pass through once; e=0 drops a " +
+       "source entirely; determinism across runs") {
+    val out = Sampling.epochReplicate(docs, "id", "src", Map("hq" -> 0.0))
+    assert(out.filter($"src" === "hq").count() == 0L)
+    val web = out.filter($"src" === "web")
+    assert(web.count() == 600L && web.select($"epoch").distinct().count() == 1)
+    val again = Sampling.epochReplicate(docs, "id", "src", Map("hq" -> 0.0))
+      .select($"id", $"epoch").as[(Long, Int)].collect().toSet
+    assert(again == out.select($"id", $"epoch").as[(Long, Int)].collect().toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.epochReplicate(docs, "id", "src", Map("hq" -> 100.0))
+    }
+  }
+
+  test("epochReplicate plan: broadcast plan join + map-side explode, no " +
+       "shuffle of the corpus") {
+    val plan = Sampling.epochReplicate(docs, "id", "src", Map("hq" -> 2.5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
+
 class DsirSpec extends SparkSpec {
   import spark.implicits._
 
