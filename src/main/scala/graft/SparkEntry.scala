@@ -1182,6 +1182,20 @@ object SparkEntry {
           DbReader(conn(s, dir), "documents").run(), "text",
           minLen = 2, maxLen = 4, topK = 40)
     }),
+    "shard_cost_budget" -> ((s, dir) => {
+      // cost-balanced shard assignment over the deterministic training
+      // order (Knuth-hash permutation): shard = exclusive char-prefix
+      // div 6000 — distributed prefix-sum, never a single-partition
+      // window; audited per shard by doc count, char total, id checksum
+      val docs = DbReader(conn(s, dir), "documents").run()
+      operators.Ranking.shardByCostBudget(docs,
+          Seq(operators.Sampling.knuthHash32(col("doc_id")), col("doc_id")),
+          "n_chars", budget = 6000L)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("shard"))
+    }),
     "sample_epoch_mix" -> ((s, dir) => {
       // deterministic epoch replication (the oversampling half of a
       // data recipe): src0 runs 2.5 epochs, src1 exactly 1, src2 0.25;
@@ -3777,6 +3791,20 @@ object SparkEntry {
         |SELECT piece, CAST(sum(c * length(piece)) AS BIGINT) AS score
         |FROM pieces GROUP BY piece
         |ORDER BY score DESC, piece LIMIT 40""".stripMargin,
+    // shard assignment replayed as a window running-sum over the same
+    // Knuth-hash total order; exclusive prefix // budget, integer-exact
+    "shard_cost_budget" ->
+      """WITH ordered AS (
+        |  SELECT doc_id, n_chars,
+        |         sum(n_chars) OVER (
+        |           ORDER BY (doc_id % 2147483648) * 2654435761 % 4294967296,
+        |                    doc_id
+        |           ROWS UNBOUNDED PRECEDING) - n_chars AS pre
+        |  FROM documents)
+        |SELECT pre // 6000 AS shard, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM ordered GROUP BY shard ORDER BY shard""".stripMargin,
     // epoch replication: whole copies + a Knuth-hashed extra-epoch
     // slice (thresholds are the exact integers floor(frac * 2^32):
     // 0.5 -> 2147483648, 0.25 -> 1073741824); unlisted sources get 1

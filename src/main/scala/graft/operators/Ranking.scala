@@ -74,4 +74,61 @@ object Ranking {
       .withColumn(out, tile.cast("long"))
       .drop("__graft_rn")
   }
+
+  /** Append the global running (inclusive-prefix) sum of `valueCol` in
+    * the total order of `sortCols` — the distributed prefix-sum:
+    * `SUM(...) OVER (ORDER BY ...)` with no PARTITION BY is the same
+    * single-partition trap as global row_number, and this is the same
+    * cure. Range-partitioned sort → one tiny job collecting per-partition
+    * sums (one long per partition) → prefix offsets broadcast back → a
+    * local streaming cumsum per partition. The sorted RDD is persisted
+    * (memory-and-disk) between the two passes so the range sort is paid
+    * once.
+    *
+    * `sortCols` must be a TOTAL order (end with the id), and `valueCol`
+    * is read as long (NULL counts 0). */
+  def globalRunningSum(df: DataFrame, sortCols: Seq[Column], valueCol: String,
+                       out: String = "running"): DataFrame = {
+    require(sortCols.nonEmpty, "globalRunningSum needs at least one sort column")
+    val spark = df.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      df.rdd.getNumPartitions)
+    val sorted = df
+      .withColumn("__grs_v", coalesce(col(valueCol).cast("long"), lit(0L)))
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val vIdx = sorted.schema.fieldIndex("__grs_v")
+    val rdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+    val summed = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets.value(i)
+      it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+    }
+    spark.createDataFrame(summed,
+        sorted.schema.add(out, LongType, nullable = false))
+      .drop("__grs_v")
+  }
+
+  /** Cost-balanced shard assignment — "write the corpus into shards of
+    * ~`budget` tokens each", the packing step before a training run
+    * materializes its shuffled dataset: rows take their place in the
+    * deterministic total order of `sortCols`, and a row starts in the
+    * shard its FIRST cost unit lands in (shard = exclusive-prefix-sum
+    * div budget). Every shard except the last then carries at least
+    * `budget` minus one row's cost, and assignment is reproducible
+    * across engines and re-runs — no greedy bin-packing heuristics,
+    * whose output depends on traversal order. */
+  def shardByCostBudget(df: DataFrame, sortCols: Seq[Column], costCol: String,
+                        budget: Long, out: String = "shard"): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    globalRunningSum(df, sortCols, costCol, out = "__grs_run")
+      .withColumn(out, call_function("div",
+        col("__grs_run") - coalesce(col(costCol).cast("long"), lit(0L)),
+        lit(budget)))
+      .drop("__grs_run")
+  }
 }

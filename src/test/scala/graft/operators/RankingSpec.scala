@@ -51,4 +51,41 @@ class RankingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"unexpected window in plan:\n$plan")
   }
+
+  test("globalRunningSum matches the window running sum; NULL costs " +
+       "count as zero") {
+    val df = sample(300).withColumn("v",
+      when(col("id") % 7 === 0, lit(null)).otherwise(col("id") % 13))
+    val got = Ranking.globalRunningSum(df, Seq(col("k"), col("id")), "v",
+        out = "run")
+      .select("id", "run").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("run",
+        sum(coalesce(col("v"), lit(0L)))
+          .over(Window.orderBy(col("k"), col("id"))))
+      .select("id", "run").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("shardByCostBudget: every shard but the last reaches the budget " +
+       "minus at most one row's cost; assignment deterministic") {
+    val df = sample(200).withColumn("cost", col("id") % 50 + 1)
+    val sharded = Ranking.shardByCostBudget(df,
+      Seq(col("k"), col("id")), "cost", budget = 100L)
+    val perShard = sharded.groupBy(col("shard"))
+      .agg(sum(col("cost")).as("c")).orderBy(col("shard"))
+      .as[(Long, Long)].collect()
+    assert(perShard.map(_._1).toSeq == perShard.indices.map(_.toLong),
+      "shard ids are dense from 0")
+    // a row overflows INTO the next shard, so a shard's cost can exceed
+    // budget by at most (maxCost - 1), and only the last can undershoot
+    val maxCost = 50L
+    for ((s, c) <- perShard.dropRight(1))
+      assert(c >= 100L - maxCost + 1 && c <= 100L + maxCost - 1,
+        s"shard $s cost $c outside the budget envelope")
+    val again = Ranking.shardByCostBudget(df,
+        Seq(col("k"), col("id")), "cost", budget = 100L)
+      .select("id", "shard").as[(Long, Long)].collect().toSet
+    assert(again == sharded.select("id", "shard")
+      .as[(Long, Long)].collect().toSet)
+  }
 }
