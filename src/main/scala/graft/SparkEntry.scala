@@ -1182,6 +1182,26 @@ object SparkEntry {
           DbReader(conn(s, dir), "documents").run(), "text",
           minLen = 2, maxLen = 4, topK = 40)
     }),
+    "dedup_source_matrix" -> ((s, dir) => {
+      // cross-source duplication audit: MinHash near-dup pairs labeled
+      // by endpoint sources, counted per unordered source pair —
+      // within-source rows on the diagonal, cross-source leakage off it
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val pairs = operators.Dedup.minhashDupPairs(docs, "doc_id", "text",
+        shingleSize = 3, bands = 32, rowsPerBand = 4, threshold = 0.7)
+      operators.Dedup.sourceOverlapMatrix(docs, pairs, "doc_id", "source")
+    }),
+    "chunk_sliding_window" -> ((s, dir) => {
+      // RAG-style overlapping context windows: 10-token chunks every 5
+      // tokens, tail runs short; md5 audits chunk content without
+      // hauling text through the compare — entirely map-side
+      operators.Packing.slidingWindowChunks(
+          DbReader(conn(s, dir), "documents").run(), "doc_id", "text",
+          window = 10, stride = 5)
+        .select(col("doc_id"), col("start"), col("n_tok"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("start"))
+    }),
     "shard_cost_budget" -> ((s, dir) => {
       // cost-balanced shard assignment over the deterministic training
       // order (Knuth-hash permutation): shard = exclusive char-prefix
@@ -3791,6 +3811,44 @@ object SparkEntry {
         |SELECT piece, CAST(sum(c * length(piece)) AS BIGINT) AS score
         |FROM pieces GROUP BY piece
         |ORDER BY score DESC, piece LIMIT 40""".stripMargin,
+    // exact-Jaccard pairs (== LSH pairs on this data, the
+    // dedup_minhash_lsh precedent) labeled with sources, unordered
+    "dedup_source_matrix" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |         i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |), inv AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |         round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 6) AS jaccard
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING jaccard >= 0.7),
+        |lab AS (
+        |  SELECT least(d1.source, d2.source) AS src_a,
+        |         greatest(d1.source, d2.source) AS src_b
+        |  FROM pairs p
+        |    JOIN documents d1 ON p.id1 = d1.doc_id
+        |    JOIN documents d2 ON p.id2 = d2.doc_id)
+        |SELECT src_a, src_b, count(*) AS n_pairs
+        |FROM lab GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
+    // sliding windows replayed with list slicing (both engines clamp
+    // the tail); same whitespace tokenization as the jaccard oracles
+    "chunk_sliding_window" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |ch AS (
+        |  SELECT doc_id, st, t[st:st+9] AS w
+        |  FROM toks, UNNEST(range(1, len(t) + 1, 5)) AS u(st)
+        |  WHERE len(t) >= 1)
+        |SELECT doc_id, CAST(st AS INTEGER) AS start,
+        |       CAST(len(w) AS BIGINT) AS n_tok,
+        |       md5(array_to_string(w, ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, start""".stripMargin,
     // shard assignment replayed as a window running-sum over the same
     // Knuth-hash total order; exclusive prefix // budget, integer-exact
     "shard_cost_budget" ->

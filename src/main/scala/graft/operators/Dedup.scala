@@ -435,6 +435,38 @@ object Dedup {
     minhashDupPairsPre(docs, banded, threshold)
   }
 
+  /** Cross-source duplication matrix — the corpus-governance report
+    * behind "how much of source A is already in source B" (the overlap
+    * audits published for web-scale corpora, e.g. C4 vs Pile): label
+    * each duplicate pair with its endpoints' sources and count pairs per
+    * unordered source pair. `pairs` is any duplicate-pair frame this
+    * library produces (MinHash / SimHash / n-gram / winnowing /
+    * embedding / semantic). Diagonal rows (src_a = src_b) are
+    * within-source duplication; off-diagonal rows are cross-source
+    * leakage — the ones that decide whether two sources can both stay
+    * in the mixture at full weight.
+    *
+    * Scale shape: the pair frame is orders of magnitude smaller than
+    * the corpus (it is the near-dup set); two equi-joins against the
+    * (id, source) projection — which AQE broadcasts when it fits — and
+    * one |sources|²-bounded aggregate. */
+  def sourceOverlapMatrix(docs: DataFrame, pairs: DataFrame, idCol: String,
+                          srcCol: String, id1: String = "id1",
+                          id2: String = "id2"): DataFrame = {
+    val lab = docs.select(col(idCol).cast("long").as("__soid"),
+      col(srcCol).as("__sosrc"))
+    pairs
+      .join(lab, col(id1).cast("long") === col("__soid"))
+      .withColumnRenamed("__sosrc", "__s1").drop("__soid")
+      .join(lab, col(id2).cast("long") === col("__soid"))
+      .withColumnRenamed("__sosrc", "__s2").drop("__soid")
+      .select(least(col("__s1"), col("__s2")).as("src_a"),
+        greatest(col("__s1"), col("__s2")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   private def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
     val union = (size(col("sh1")) + size(col("sh2"))).cast("double") -

@@ -23,6 +23,40 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Sliding-window chunk extraction — the context-window chunking a
+    * RAG index or a long-document pretraining pipeline runs before
+    * embedding/packing: token windows of `window` tokens starting every
+    * `stride` tokens (stride < window ⇒ overlapping context). Start
+    * positions are 1, 1+stride, … while ≤ the token count, and the tail
+    * window is allowed to run short (every token is covered; no token
+    * appears in a chunk twice per window). Token-less documents (NULL
+    * or whitespace-only text) produce zero chunks.
+    *
+    * Returns (idCol, start int — 1-based token offset, n_tok long,
+    * chunk string).
+    *
+    * Scale shape: entirely map-side — tokenize once, one
+    * transform+posexplode per row, no shuffle, no window function;
+    * output rows ≈ n_tokens/stride per doc, the size the downstream
+    * embedding pass pays anyway. */
+  def slidingWindowChunks(df: DataFrame, idCol: String, textCol: String,
+                          window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got $stride (stride > window " +
+        "would skip tokens)")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__t"))
+      .filter(size(col("__t")) >= 1)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(__t), $stride), " +
+          s"st -> struct(st, slice(__t, st, $window) AS w))")).as("__c"))
+      .select(col(idCol), col("__c.st").as("start"),
+        size(col("__c.w")).cast("long").as("n_tok"),
+        array_join(col("__c.w"), " ").as("chunk"))
+  }
+
   /** Adds a `chunk_id` column. `orderCol` must be unique within a group
     * (e.g. a document id) so the layout is deterministic. */
   def packChunks(df: DataFrame, groupCols: Seq[String], orderCol: String,

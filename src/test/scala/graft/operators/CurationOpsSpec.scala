@@ -517,6 +517,64 @@ class KeepBestSpec extends SparkSpec {
   }
 }
 
+class SlidingWindowChunksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed windows: stride-overlap, short tail, 1-based starts") {
+    val df = Seq((1L, "a b c d e f g")).toDF("id", "text")
+    val out = Packing.slidingWindowChunks(df, "id", "text",
+        window = 3, stride = 2)
+      .orderBy($"start")
+      .select($"start", $"n_tok", $"chunk")
+      .as[(Int, Long, String)].collect().toSeq
+    assert(out == Seq((1, 3L, "a b c"), (3, 3L, "c d e"),
+      (5, 3L, "e f g"), (7, 1L, "g")))
+  }
+
+  test("every token is covered; token-less docs produce zero chunks") {
+    val df = Seq((1L, "x y z"), (2L, null.asInstanceOf[String]),
+      (3L, "   ")).toDF("id", "text")
+    val out = Packing.slidingWindowChunks(df, "id", "text", 10, 5)
+    assert(out.collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+      == Seq((1L, "x y z")))
+    intercept[IllegalArgumentException] {
+      Packing.slidingWindowChunks(df, "id", "text", window = 3, stride = 4)
+    }
+  }
+
+  test("plan is map-side only: no shuffle, no window") {
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+    val plan = Packing.slidingWindowChunks(df, "id", "text", 10, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+}
+
+class SourceOverlapMatrixSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pairs label by endpoint sources, unordered; diagonal = " +
+       "within-source") {
+    val docs = Seq((1L, "web"), (2L, "books"), (3L, "web"), (4L, "web"),
+      (5L, "wiki")).toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("id1", "id2")
+    val out = Dedup.sourceOverlapMatrix(docs, pairs, "doc_id", "source")
+      .as[(String, String, Long)].collect().toSeq
+    // (1,2) and (2,3) both cross books<->web; (1,3) and (3,4) are
+    // within web; wiki never appears
+    assert(out == Seq(("books", "web", 2L), ("web", "web", 2L)))
+  }
+
+  test("empty pair frame yields an empty matrix, not a crash") {
+    val docs = Seq((1L, "web")).toDF("doc_id", "source")
+    val none = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.sourceOverlapMatrix(docs, none, "doc_id", "source")
+      .count() == 0L)
+  }
+}
+
 class EpochReplicateSpec extends SparkSpec {
   import spark.implicits._
 
