@@ -1182,6 +1182,23 @@ object SparkEntry {
           DbReader(conn(s, dir), "documents").run(), "text",
           minLen = 2, maxLen = 4, topK = 40)
     }),
+    "corpus_diff" -> ((s, dir) => {
+      // snapshot delta: v2 drops ids %10==0, edits ids %7==0 (append
+      // " v2"), adds ids %3==0 shifted by 1e6; classified by md5 compare
+      // (identical digests in both engines), audited per status
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), col("text"))
+      val v2 = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      operators.Corpus.corpusDiff(docs, v2, "doc_id", "text")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("status"))
+    }),
     "dedup_source_matrix" -> ((s, dir) => {
       // cross-source duplication audit: MinHash near-dup pairs labeled
       // by endpoint sources, counted per unordered source pair —
@@ -3811,6 +3828,27 @@ object SparkEntry {
         |SELECT piece, CAST(sum(c * length(piece)) AS BIGINT) AS score
         |FROM pieces GROUP BY piece
         |ORDER BY score DESC, piece LIMIT 40""".stripMargin,
+    // snapshot diff replayed with the same v2 construction + FULL JOIN;
+    // md5 digests agree across engines; NULL text -> '' on both sides
+    "corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(COALESCE(text, '')) AS h
+        |            FROM documents),
+        |v2src AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0),
+        |v2 AS (SELECT doc_id, md5(COALESCE(text, '')) AS h FROM v2src),
+        |d AS (
+        |  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |         CASE WHEN v1.h IS NULL THEN 'added'
+        |              WHEN v2.h IS NULL THEN 'removed'
+        |              WHEN v1.h = v2.h THEN 'unchanged'
+        |              ELSE 'changed' END AS status
+        |  FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT status, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
     // exact-Jaccard pairs (== LSH pairs on this data, the
     // dedup_minhash_lsh precedent) labeled with sources, unordered
     "dedup_source_matrix" ->

@@ -172,6 +172,32 @@ object Corpus {
         col("nll"))
   }
 
+  /** Snapshot delta between two corpus versions — the report an
+    * incremental pipeline keys on ("what changed since the last crawl"):
+    * every id is classified added / removed / changed / unchanged by
+    * full-outer-joining the two versions on the id and comparing content
+    * digests. Returns (idCol, status string).
+    *
+    * Scale shape: digests are computed IN the scan stage, so the
+    * full-outer join — the one unavoidable shuffle — moves 16-byte
+    * hashes plus ids, never text; downstream incremental work (re-embed
+    * the changed set, retire the removed set from indexes) joins back by
+    * id. NULL text digests as the empty string, so a NULL→'' edit
+    * counts as unchanged rather than NULL-poisoning the compare. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("__id"),
+      md5(coalesce(col(textCol), lit(""))).as("__oh"))
+    val n = newDf.select(col(idCol).as("__id"),
+      md5(coalesce(col(textCol), lit(""))).as("__nh"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__oh").isNull, lit("added"))
+          .when(col("__nh").isNull, lit("removed"))
+          .when(col("__oh") === col("__nh"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("__id"),
       explode(filter(split(lower(col(textCol)), "[^a-z]+"),

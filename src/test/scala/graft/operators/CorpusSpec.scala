@@ -80,6 +80,18 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("corpusDiff: all four statuses on a crafted delta; NULL text " +
+       "digests as empty, not NULL-poison") {
+    val v1 = Seq((1L, "same"), (2L, "old"), (3L, "gone"),
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val v2 = Seq((1L, "same"), (2L, "new"), (4L, "fresh"),
+      (5L, "")).toDF("id", "text")
+    val out = Corpus.corpusDiff(v1, v2, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged"))
+  }
+
   test("corpus operators plan: no cartesian products") {
     val docs = Seq((1L, "a b c")).toDF("id", "text")
     for (p <- Seq(
