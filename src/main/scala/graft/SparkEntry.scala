@@ -1208,6 +1208,16 @@ object SparkEntry {
         shingleSize = 3, bands = 32, rowsPerBand = 4, threshold = 0.7)
       operators.Dedup.sourceOverlapMatrix(docs, pairs, "doc_id", "source")
     }),
+    "chunk_content_defined" -> ((s, dir) => {
+      // content-defined (CDC) chunking: boundaries where a token's md5
+      // ends in '0' — edit-robust chunk identity for chunk-level dedup;
+      // md5 audits content, the (start, n_tok) pair audits placement
+      operators.Packing.contentDefinedChunks(
+          DbReader(conn(s, dir), "documents").run(), "doc_id", "text")
+        .select(col("doc_id"), col("start"), col("n_tok"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("start"))
+    }),
     "chunk_sliding_window" -> ((s, dir) => {
       // RAG-style overlapping context windows: 10-token chunks every 5
       // tokens, tail runs short; md5 audits chunk content without
@@ -3872,6 +3882,28 @@ object SparkEntry {
         |    JOIN documents d2 ON p.id2 = d2.doc_id)
         |SELECT src_a, src_b, count(*) AS n_pairs
         |FROM lab GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
+    // CDC boundaries replayed by enumerating the boundary list with
+    // end sentinels; md5 hex agrees across engines, t[st:en] is
+    // inclusive 1-based slicing in DuckDB
+    "chunk_content_defined" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT doc_id, t, list_filter(range(1, len(t) + 1),
+        |           i -> substr(md5(t[i]), 32, 1) = '0') AS bnd
+        |  FROM toks WHERE len(t) >= 1),
+        |ch AS (
+        |  SELECT doc_id,
+        |         CASE WHEN k = 1 THEN 1 ELSE bnd[k - 1] + 1 END AS st,
+        |         CASE WHEN k <= len(bnd) THEN bnd[k] ELSE len(t) END AS en,
+        |         t
+        |  FROM b, UNNEST(range(1, len(bnd) + 2)) AS u(k))
+        |SELECT doc_id, CAST(st AS INTEGER) AS start,
+        |       CAST(en - st + 1 AS BIGINT) AS n_tok,
+        |       md5(array_to_string(t[st:en], ' ')) AS chunk_md5
+        |FROM ch WHERE st <= en ORDER BY doc_id, start""".stripMargin,
     // sliding windows replayed with list slicing (both engines clamp
     // the tail); same whitespace tokenization as the jaccard oracles
     "chunk_sliding_window" ->

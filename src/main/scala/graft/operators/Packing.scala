@@ -39,6 +39,48 @@ object Packing {
     * transform+posexplode per row, no shuffle, no window function;
     * output rows ≈ n_tokens/stride per doc, the size the downstream
     * embedding pass pays anyway. */
+  /** Content-defined chunking (the LBFS/Rabin-fingerprint boundary idea,
+    * Muthitacharoen et al. SOSP 2001, applied at token granularity): a
+    * chunk boundary falls AFTER every token whose content hash lands in
+    * a fixed 1-in-16 residue class (last md5 hex digit '0'), so
+    * boundaries are a function of local content, not position. That is
+    * the property fixed/sliding windows lack: inserting one token early
+    * in a document shifts every fixed-window chunk after it, but changes
+    * at most the one content-defined chunk containing the edit (two if
+    * the inserted token is itself a boundary) — chunk-level exact dedup
+    * stays effective across small edits. Expected chunk length is
+    * geometric with mean 16 tokens; P(len > 128) ≈ 2.6e-4, so the
+    * uncapped tail is negligible (a hard cap needs a stateful scan —
+    * at extreme scale add one via mapPartitions if required).
+    *
+    * Returns (idCol, start int — 1-based token offset, n_tok long,
+    * chunk string); token-less documents produce zero chunks.
+    *
+    * Scale shape: entirely map-side (tokenize, one md5 per token, array
+    * enumeration of the boundary list) — no shuffle, no window. */
+  def contentDefinedChunks(df: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__t"))
+      .filter(size(col("__t")) >= 1)
+      // boundary positions, then chunk k spans (bnd[k-1]+1 .. bnd[k])
+      // with sentinels 1 and size(__t) at the ends; a boundary on the
+      // last token makes the tail pair empty -> filtered
+      .withColumn("__b", expr(
+        "filter(sequence(1, size(__t)), " +
+          "i -> substring(md5(element_at(__t, i)), 32, 1) = '0')"))
+      .select(col(idCol), col("__t"), explode(expr(
+        "filter(transform(sequence(1, size(__b) + 1), k -> struct(" +
+          "if(k = 1, 1, element_at(__b, k - 1) + 1) AS st, " +
+          "if(k <= size(__b), element_at(__b, k), size(__t)) AS en)), " +
+          "c -> c.st <= c.en)")).as("__c"))
+      .select(col(idCol), col("__c.st").as("start"),
+        (col("__c.en") - col("__c.st") + 1).cast("long").as("n_tok"),
+        array_join(slice(col("__t"), col("__c.st"),
+          col("__c.en") - col("__c.st") + 1), " ").as("chunk"))
+  }
+
   def slidingWindowChunks(df: DataFrame, idCol: String, textCol: String,
                           window: Int, stride: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")

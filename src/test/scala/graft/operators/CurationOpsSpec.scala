@@ -551,6 +551,58 @@ class SlidingWindowChunksSpec extends SparkSpec {
   }
 }
 
+class ContentDefinedChunksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val words =
+    (1 to 120).map(i => s"w$i").mkString(" ") // deterministic corpus-ish doc
+
+  test("chunks tile the document exactly: concatenation rebuilds the " +
+       "normalized text, starts are contiguous") {
+    val df = Seq((1L, words)).toDF("id", "text")
+    val ch = Packing.contentDefinedChunks(df, "id", "text")
+      .orderBy($"start").collect()
+    assert(ch.map(_.getString(3)).mkString(" ") == words)
+    val bounds = ch.map(r => (r.getInt(1), r.getLong(2)))
+    // each chunk starts where the previous ended
+    assert(bounds.scanLeft(1L)((acc, c) => acc + c._2).init.toSeq
+      == bounds.map(_._1.toLong).toSeq)
+  }
+
+  test("edit-robustness: one inserted token changes at most two chunk " +
+       "contents — the CDC property fixed windows lack") {
+    val a = Packing.contentDefinedChunks(
+      Seq((1L, words)).toDF("id", "text"), "id", "text")
+      .select($"chunk").as[String].collect().toSeq
+    val b = Packing.contentDefinedChunks(
+      Seq((1L, "inserted " + words)).toDF("id", "text"), "id", "text")
+      .select($"chunk").as[String].collect().toSeq
+    def multiset(s: Seq[String]) = s.groupBy(identity).view.mapValues(_.size).toMap
+    val ma = multiset(a); val mb = multiset(b)
+    val onlyA = ma.map { case (k, v) => (v - mb.getOrElse(k, 0)).max(0) }.sum
+    assert(onlyA <= 2, s"$onlyA chunks of the original vanished after a " +
+      "single-token insert; CDC boundaries must localize edits")
+    // contrast: sliding windows shift EVERY chunk
+    val sa = Packing.slidingWindowChunks(
+      Seq((1L, words)).toDF("id", "text"), "id", "text", 10, 10)
+      .select($"chunk").as[String].collect().toSet
+    val sb = Packing.slidingWindowChunks(
+      Seq((1L, "inserted " + words)).toDF("id", "text"), "id", "text", 10, 10)
+      .select($"chunk").as[String].collect().toSet
+    assert((sa -- sb).size > 2, "fixed windows should NOT be edit-robust " +
+      "(or this corpus is degenerate and the test proves nothing)")
+  }
+
+  test("token-less docs produce zero chunks; map-only plan") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, " ")).toDF("id", "text")
+    assert(Packing.contentDefinedChunks(df, "id", "text").count() == 0L)
+    val plan = Packing.contentDefinedChunks(
+        Seq((1L, "a b")).toDF("id", "text"), "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"), plan)
+  }
+}
+
 class SourceOverlapMatrixSpec extends SparkSpec {
   import spark.implicits._
 
