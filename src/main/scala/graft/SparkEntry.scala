@@ -2664,6 +2664,29 @@ object SparkEntry {
             size(col("embedding")), 6).as("mean"))
         .orderBy(col("vec_id"))
     }),
+    "embedding_robust_scale" -> ((s, dir) => {
+      // RobustScaler per dim ((x - median) / IQR — exact order
+      // statistics, bit-identical across engines at power-of-two
+      // quantiles); audited by the scaled vector's l2, round(6)
+      val scaled = operators.Similarity.robustScaleVectors(
+        DbReader(conn(s, dir), "embeddings").run(), "vec_id", "embedding")
+      scaled.select(col("vec_id"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x * x)), 6).as("l2"))
+        .orderBy(col("vec_id"))
+    }),
+    "quality_curriculum" -> ((s, dir) => {
+      // curriculum buckets: corpus-LM NLL deciles via the scale-safe
+      // global ntile (no single-partition window), per-decile count +
+      // mean score — the training-order artifact a curriculum run reads
+      val scored = operators.Corpus.unigramNll(
+        DbReader(conn(s, dir), "documents").run(), "doc_id", "text")
+      operators.Ranking.globalNtile(scored, 10,
+          Seq(col("nll").asc_nulls_last, col("doc_id")), out = "decile")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), round(avg(col("nll")), 4).as("mean_nll"))
+        .orderBy(col("decile"))
+    }),
     "embedding_outlier_scores" -> ((s, dir) => {
       // robust centroid outlier scoring: cosine distance to the
       // per-label per-dim MEDIAN centroid — median is an order
@@ -4341,6 +4364,46 @@ object SparkEntry {
         |       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) AS l2,
         |       round(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS mean
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // RobustScaler stats via quantile_cont (same (n-1)q interpolation
+    // as Spark's percentile; float32 interpolates exactly at
+    // power-of-two quantiles); IQR-0 dims scale by 1
+    "embedding_robust_scale" ->
+      """WITH dims AS (
+        |  SELECT i, quantile_cont(CAST(embedding[i] AS DOUBLE), 0.5) AS med,
+        |         quantile_cont(CAST(embedding[i] AS DOUBLE), 0.75)
+        |           - quantile_cont(CAST(embedding[i] AS DOUBLE), 0.25) AS iqr
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS g(i)
+        |  GROUP BY i),
+        |st AS (SELECT list(med ORDER BY i) AS meds,
+        |              list(CASE WHEN iqr = 0 THEN 1 ELSE iqr END ORDER BY i) AS iqrs
+        |       FROM dims)
+        |SELECT vec_id,
+        |       round(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |         i -> ((CAST(embedding[i] AS DOUBLE) - meds[i]) / iqrs[i])
+        |            * ((CAST(embedding[i] AS DOUBLE) - meds[i]) / iqrs[i])))), 6) AS l2
+        |FROM embeddings CROSS JOIN st ORDER BY vec_id""".stripMargin,
+    // NLL deciles via standard ntile over (nll NULLS LAST, doc_id);
+    // nll is already round(4) so the per-decile mean re-rounds safely
+    "quality_curriculum" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS t
+        |  FROM documents),
+        |counts AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+        |total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_toks,
+        |         round(avg(-ln(CAST(c AS DOUBLE) / n)), 4) AS nll
+        |  FROM toks JOIN counts USING (t) CROSS JOIN total
+        |  GROUP BY doc_id),
+        |alldocs AS (
+        |  SELECT d.doc_id, s.nll FROM documents d
+        |  LEFT JOIN scored s USING (doc_id)),
+        |t AS (SELECT nll, ntile(10) OVER (
+        |        ORDER BY nll ASC NULLS LAST, doc_id) AS decile
+        |      FROM alldocs)
+        |SELECT decile, count(*) AS n, round(avg(nll), 4) AS mean_nll
+        |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
     // per-label median centroid (exact order statistic — engine-
     // independent), then cosine distance; round(6) as in the other
     // embedding gates

@@ -605,6 +605,42 @@ object Similarity {
           col(vecCol), col("__cent")), 6).as("dist"))
   }
 
+  /** Robust per-dimension feature scaling for embedding columns — the
+    * RobustScaler transform ((x − median) / IQR per dimension), which
+    * unlike mean/std scaling is not dragged by the heavy-tailed
+    * dimensions embedding models routinely produce. All three statistics
+    * are exact order statistics (median, p25, p75 at the (n−1)·q
+    * interpolation both Spark's `percentile` and DuckDB's
+    * `quantile_cont` use), and float32 inputs interpolate exactly in
+    * double at q ∈ {.25, .5, .75} (power-of-two fractions), so the
+    * scaling constants are bit-identical across engines. Degenerate
+    * dimensions (IQR 0) scale by 1 — centered but not stretched.
+    *
+    * Returns (idCol, vecCol array<double> scaled). Same percentile
+    * scale shape as [[centroidOutlierScores]]: explode → map-combinable
+    * exact-percentile aggregate → d-row stats broadcast back →
+    * codegen'd per-row transform. */
+  def robustScaleVectors(df: DataFrame, idCol: String,
+                         vecCol: String): DataFrame = {
+    val dims = df.select(
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("__i", "__x")))
+    val stats = dims.groupBy(col("__i"))
+      .agg(expr("percentile(__x, 0.5)").as("__med"),
+        (expr("percentile(__x, 0.75)") - expr("percentile(__x, 0.25)"))
+          .as("__iqr"))
+    val cents = stats.agg(
+      array_sort(collect_list(struct(col("__i"), col("__med"))))
+        .getField("__med").as("__meds"),
+      array_sort(collect_list(struct(col("__i"),
+        when(col("__iqr") === 0.0, 1.0).otherwise(col("__iqr")).as("__s"))))
+        .getField("__s").as("__iqrs"))
+    df.crossJoin(broadcast(cents))
+      .select(col(idCol),
+        expr(s"zip_with($vecCol, sequence(1, size($vecCol)), " +
+          "(x, i) -> (cast(x AS double) - element_at(__meds, i)) " +
+          "/ element_at(__iqrs, i))").as(vecCol))
+  }
+
   /** Deterministic per-query top-k: rank on (cosine desc, id asc) so ties
     * are stable across engines. */
   private def topK(scored: DataFrame, k: Int): DataFrame = {

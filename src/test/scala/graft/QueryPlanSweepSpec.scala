@@ -46,9 +46,14 @@ class QueryPlanSweepSpec extends AnyFunSuite {
     "sample_dsir_weights",    // deliberate: 1-row (N_t, N_r, V) stats
                               // broadcast cross the token stream
                               // (Sampling.dsirWeights)
-    "layout_zorder_stats"     // deliberate: 1-row global min/max envelope
+    "layout_zorder_stats",    // deliberate: 1-row global min/max envelope
                               // broadcast cross the table being clustered
                               // (Layout.zorderBy)
+    "embedding_robust_scale", // deliberate: 1-row (meds, iqrs) stats
+                              // broadcast cross the vectors
+                              // (Similarity.robustScaleVectors)
+    "quality_curriculum"      // unigramNll's 1-row corpus-total N
+                              // broadcast (same shape as quality_unigram_nll)
   )
 
   /** Global `OVER (ORDER BY ...)` windows with no PARTITION BY run the

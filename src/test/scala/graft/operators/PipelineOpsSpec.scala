@@ -311,6 +311,19 @@ class SimilaritySpec extends SparkSpec {
     assert(solo(10L) == 0.0)
   }
 
+  test("robustScaleVectors: exact median/IQR scaling; constant dims " +
+       "center to 0 without dividing by zero") {
+    // dim0: (0,10,20) -> med 10, p25 5, p75 15, IQR 10 -> (-1, 0, 1)
+    // dim1: constant 5 -> IQR 0 -> scale 1 -> (0, 0, 0)
+    val vecs = Seq((1L, Array(0f, 5f)), (2L, Array(10f, 5f)),
+      (3L, Array(20f, 5f))).toDF("id", "v")
+    val out = Similarity.robustScaleVectors(vecs, "id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(out(1L) == Seq(-1.0, 0.0))
+    assert(out(2L) == Seq(0.0, 0.0))
+    assert(out(3L) == Seq(1.0, 0.0))
+  }
+
   test("lshTopK recall vs brute force on gate data, reported per query") {
     // mirrors the similarity_topk_lsh gate (16x4-bit banding, top-5,
     // queries vec_id < 10) but asserts the actual hit counts so a recall
