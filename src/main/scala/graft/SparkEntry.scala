@@ -1147,6 +1147,27 @@ object SparkEntry {
           md5(col("cleaned")).as("clean_md5"))
         .orderBy(col("doc_id"))
     }),
+    "corpus_line_self_dedup" -> ((s, dir) => {
+      // intra-document duplicate-line removal (keep-first): the corpus
+      // has no newlines, so page chrome with INTRA-doc repeats is
+      // planted identically in both engines — a nav line that reappears
+      // on every 3rd doc, a share-widget line repeated twice verbatim.
+      // Per-document decision, no corpus statistic; md5 audits the text.
+      val aug = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"),
+          concat_ws("\n",
+            lit("Top Menu | Search"),
+            col("text"),
+            concat(lit("share: "), col("source")),
+            concat(lit("share: "), col("source")),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              lit("Top Menu | Search")),
+            lit("End")).as("text"))
+      operators.Corpus.dedupLinesWithinDoc(aug, "doc_id", "text")
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+          md5(col("cleaned")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
     "quality_unigram_nll" -> ((s, dir) => {
       // corpus-trained unigram LM perplexity proxy (CCNet quality
       // ranking without an external LM): per-doc mean -ln p(token);
@@ -3773,6 +3794,39 @@ object SparkEntry {
         |kept AS (
         |  SELECT doc_id, pos, line FROM lines
         |  WHERE trim(line) NOT IN (SELECT nline FROM freq)),
+        |rebuilt AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(line, chr(10) ORDER BY pos) AS cleaned
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_total FROM aug)
+        |SELECT t.doc_id, COALESCE(r.n_kept, 0) AS n_kept,
+        |       t.n_total - COALESCE(r.n_kept, 0) AS n_dropped,
+        |       md5(COALESCE(r.cleaned, '')) AS clean_md5
+        |FROM tot t LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+    // intra-doc keep-first replay: same planted chrome, row_number over
+    // (doc, trimmed line) ordered by position, blanks exempt
+    "corpus_line_self_dedup" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         concat_ws(chr(10),
+        |           'Top Menu | Search',
+        |           text,
+        |           'share: ' || source,
+        |           'share: ' || source,
+        |           CASE WHEN doc_id % 3 = 0 THEN 'Top Menu | Search' END,
+        |           'End') AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug)),
+        |kept AS (
+        |  SELECT doc_id, pos, line FROM (
+        |    SELECT doc_id, pos, line,
+        |           row_number() OVER (PARTITION BY doc_id, trim(line)
+        |                              ORDER BY pos) AS rn
+        |    FROM lines) t
+        |  WHERE trim(line) = '' OR rn = 1),
         |rebuilt AS (
         |  SELECT doc_id, count(*) AS n_kept,
         |         string_agg(line, chr(10) ORDER BY pos) AS cleaned

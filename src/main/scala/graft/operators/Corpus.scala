@@ -80,6 +80,58 @@ object Corpus {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** Intra-document duplicate-line removal (keep-first): web scrapes
+    * repeat chrome WITHIN a page (a nav bar rendered top and bottom, a
+    * share-widget after every paragraph), which inflates token counts and
+    * teaches an LM to loop. Unlike [[stripBoilerplate]] this needs NO
+    * corpus statistic — the decision is purely per-document — so it runs
+    * before corpus-level cleaning and on any fragment of the corpus
+    * independently. A line is dropped iff its TRIMMED form already
+    * occurred at an earlier position in the SAME document; blank lines
+    * are document structure and always survive (both paragraph breaks of
+    * "a\n\n\nb" are kept).
+    *
+    * Returns one row per input document:
+    * (idCol, n_kept long, n_dropped long, cleaned string).
+    *
+    * Scale shape: keep-first is a row_number window PARTITIONED BY
+    * (document, trimmed line) — a far finer key than the document alone,
+    * so one skewed mega-document cannot pin a partition; the rebuild is
+    * the same (id)-keyed sort-aggregate as [[stripBoilerplate]]. Two
+    * shuffles of (id, pos, line), nothing corpus². At 100 TB run the
+    * window over fingerprint64(line) and re-join the survivors'
+    * positions to the raw lines so the wide text column rides only the
+    * rebuild shuffle. */
+  def dedupLinesWithinDoc(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val kept = lines
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__id"), trim(col("__line")))
+          .orderBy(col("__pos"))))
+      .filter(trim(col("__line")) === "" || col("__rn") === 1)
+    val rebuilt = kept.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          array_sort(collect_list(struct(col("__pos"), col("__line"))))
+            .getField("__line"), "\n").as("cleaned"))
+    // left join back: NULL-text docs (zero lines) keep a (0, 0, '') row —
+    // same contract and same when()-not-coalesce reasoning as
+    // stripBoilerplate (size(NULL) is NULL under ANSI, -1 under legacy)
+    df.select(col(idCol).as("__id"),
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(split(col(textCol), "\n")).cast("long"))
+          .as("__n_total"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** The frequent-line set [[stripBoilerplate]] strips — exposed so a
     * pipeline can audit WHAT it is about to remove (the CCNet paper's
     * manual-inspection step) before committing to a threshold.

@@ -29,6 +29,28 @@ class CorpusSpec extends SparkSpec {
     assert(out.size == 33)
   }
 
+  test("dedupLinesWithinDoc: keep-first on the trimmed form, blanks always " +
+       "survive, no cross-document effect, NULL text keeps a (0,0,'') row") {
+    val docs = Seq(
+      // nav repeated top+bottom (second dies), trimmed-form match
+      // ("  nav" == "nav"), interior blank pair both kept
+      (1L, "nav\nbody\n\n\n  nav\nbody"),
+      // same nav in ANOTHER doc is untouched (decision is per-document)
+      (2L, "nav\nother"),
+      (3L, null: String),
+      (4L, "")).toDF("id", "text")
+    val out = Corpus.dedupLinesWithinDoc(docs, "id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == (4L, 2L, "nav\nbody\n\n"))
+    assert(out(2L) == (2L, 0L, "nav\nother"))
+    assert(out(3L) == (0L, 0L, ""))
+    // empty text = ONE blank line, structure, kept
+    assert(out(4L) == (1L, 0L, ""))
+    assert(!Corpus.dedupLinesWithinDoc(docs, "id", "text")
+      .queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
   test("stripBoilerplate: minDocs is a hard threshold") {
     val line = "almost common"
     val docs = (0L until 10L).map(i => (i, s"$line\nbody $i"))
