@@ -2358,6 +2358,29 @@ object SparkEntry {
         .select(col("id1"), col("id2"))
         .orderBy(col("id1"), col("id2"))
     }),
+    "q_interval_overlap_join" -> ((s, dir) => {
+      // click dwell windows × purchase dwell windows for the same user
+      // (attribution-style interval intersection): each event spans
+      // [ts, ts + 10 min]; pairs whose windows intersect, via the binned
+      // equi-join (operators.Joins.intervalOverlapJoin) — never a
+      // nested-loop compare of every click × purchase per user.
+      // unix_micros is exact and matches DuckDB's epoch_us bit-for-bit
+      val ev = eventsMicros(s, dir)
+      val dwellUs = 600000000L
+      def side(t: String, idAs: String, p: String) =
+        ev.filter(col("event_type") === t)
+          .select(col("event_id").as(idAs),
+            col("user_id").as(p + "_user"),
+            unix_micros(col("ts")).as(p + "_s"),
+            (unix_micros(col("ts")) + lit(dwellUs)).as(p + "_e"))
+      operators.Joins.intervalOverlapJoin(
+          side("click", "click_id", "c"), side("purchase", "purchase_id", "p"),
+          "c_s", "c_e", "p_s", "p_e",
+          Seq("c_user"), Seq("p_user"), binWidth = dwellUs.toDouble)
+        .select(col("c_user").as("user_id"), col("click_id"),
+          col("purchase_id"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
     "q_rollup" -> ((s, dir) => {
       // grouping-set rollup with null-safe group keys for cross-engine sort
       DbReader(conn(s, dir), "lineitem").run()
@@ -3662,6 +3685,19 @@ object SparkEntry {
         |  AND a.event_id < b.event_id
         |  AND abs(floor(epoch(a.ts)) - floor(epoch(b.ts))) <= 3600
         |ORDER BY id1, id2""".stripMargin,
+    // plain inequality-join replay of the binned interval join: overlap
+    // of closed [ts, ts+10min] windows, micros exact on both engines
+    "q_interval_overlap_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |                  epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+        |           FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT event_id AS purchase_id, user_id,
+        |                  epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, p.purchase_id
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c.s <= p.e AND p.s <= c.e
+        |ORDER BY c.user_id, c.click_id, p.purchase_id""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
         |       count(*) AS n,

@@ -227,6 +227,62 @@ object Joins {
       .drop("__band_bin")
   }
 
+  /** Interval-overlap join: pair a left row with a right row when their
+    * closed intervals intersect (`l.start <= r.end AND r.start <= l.end`)
+    * and the optional equality keys match — sessions × maintenance
+    * windows, ad exposures × visits, any two interval sets. Spark has no
+    * native interval join; the naive plan is a BroadcastNestedLoopJoin
+    * (or a cartesian) that compares every pair per key — O(n·m), dead at
+    * scale. Here both sides bucketize into bins of `binWidth` (each row
+    * replicates to every bin its interval touches, ≤ `len/binWidth + 2`
+    * copies), the join is a plain equi-join on (keys, bin) — one hash
+    * shuffle, AQE-skew-splittable — and the exact overlap predicate
+    * filters after.
+    *
+    * Exactly-once without a dedup pass: a qualifying pair is emitted only
+    * in the bin containing `max(l.start, r.start)`. Overlap means
+    * `max(starts) <= min(ends)`, so that bin is covered by BOTH
+    * intervals, and floor's monotonicity makes it `max` of the two start
+    * bins — each pair meets the filter in exactly one bin, so no
+    * `distinct` shuffle follows the join.
+    *
+    * Rows whose `end < start` (empty intervals) match nothing and are
+    * dropped up front — also keeps `sequence()` from stepping backwards.
+    * Bounds are compared as doubles: exact for epoch micros (< 2^53);
+    * epoch NANOS would round — pre-divide such columns first.
+    *
+    * `binWidth` tunes the replication/selectivity trade: ~the typical
+    * interval length gives ≤ 3 copies a side; too-wide bins degrade
+    * toward per-key nested loops, too-narrow ones explode replicas. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          leftStart: String, leftEnd: String,
+                          rightStart: String, rightEnd: String,
+                          leftBy: Seq[String], rightBy: Seq[String],
+                          binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(leftBy.length == rightBy.length,
+      "intervalOverlapJoin needs matching key column lists")
+    val collisions = right.columns.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"column names collide across sides: $collisions")
+    def bin(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / binWidth).cast("long")
+    val l = left.filter(col(leftEnd) >= col(leftStart))
+      .withColumn("__iv_lbin", explode(sequence(
+        bin(col(leftStart)), bin(col(leftEnd)))))
+    val r = right.filter(col(rightEnd) >= col(rightStart))
+      .withColumn("__iv_rbin", explode(sequence(
+        bin(col(rightStart)), bin(col(rightEnd)))))
+    val keyCond = leftBy.zip(rightBy)
+      .map { case (a, b) => l(a) === r(b) }
+      .foldLeft(l("__iv_lbin") === r("__iv_rbin"))(_ && _)
+    l.join(r, keyCond)
+      .filter(col(leftStart).cast("double") <= col(rightEnd).cast("double") &&
+        col(rightStart).cast("double") <= col(leftEnd).cast("double"))
+      .filter(col("__iv_lbin") ===
+        greatest(bin(col(leftStart)), bin(col(rightStart))))
+      .drop("__iv_lbin", "__iv_rbin")
+  }
+
   /** Bloom-filter semi-join reduction: filter `fact` down to rows whose
     * `factKey` MIGHT appear in `dim`'s `dimKey` set, using a Bloom filter
     * built distributively over the dim keys and shipped to every fact

@@ -142,6 +142,48 @@ class JoinsSpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("intervalOverlapJoin: parity vs the naive nested-loop join on " +
+       "random intervals, across bin widths") {
+    val rnd = new scala.util.Random(7)
+    val lft = (0 until 120).map(i =>
+      (i.toLong, i.toLong % 4, rnd.nextInt(1000).toDouble,
+        rnd.nextInt(40).toDouble)).map { case (id, k, s, len) =>
+      (id, k, s, s + len) }.toDF("lid", "lk", "ls", "le")
+    val rgt = (0 until 120).map(i =>
+      (1000L + i, i.toLong % 4, rnd.nextInt(1000).toDouble,
+        rnd.nextInt(40).toDouble)).map { case (id, k, s, len) =>
+      (id, k, s, s + len) }.toDF("rid", "rk", "rs", "re")
+    val naive = lft.crossJoin(rgt)
+      .filter($"lk" === $"rk" && $"ls" <= $"re" && $"rs" <= $"le")
+      .select($"lid", $"rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    // narrow bins (many replicas), matched bins, wide bins — identical
+    // pair sets, each pair exactly once
+    for (w <- Seq(7.0, 40.0, 500.0)) {
+      val got = Joins.intervalOverlapJoin(lft, rgt, "ls", "le", "rs", "re",
+          Seq("lk"), Seq("rk"), binWidth = w)
+        .select($"lid", $"rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size, s"duplicate pairs at binWidth=$w")
+      assert(got.toSet == naive, s"pair-set mismatch at binWidth=$w")
+    }
+  }
+
+  test("intervalOverlapJoin: empty intervals match nothing; empty sides " +
+       "are fine; plan is an equi-join, not a nested loop") {
+    val lft = Seq((1L, 10.0, 5.0), (2L, 0.0, 100.0)).toDF("lid", "ls", "le")
+    val rgt = Seq((9L, 50.0, 60.0)).toDF("rid", "rs", "re")
+    // row 1 has end < start → dropped; row 2 overlaps
+    val out = Joins.intervalOverlapJoin(lft, rgt, "ls", "le", "rs", "re",
+      Nil, Nil, binWidth = 10.0)
+    assert(out.select("lid").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val empty = Seq.empty[(Long, Double, Double)].toDF("rid", "rs", "re")
+    assert(Joins.intervalOverlapJoin(lft, empty, "ls", "le", "rs", "re",
+      Nil, Nil, binWidth = 10.0).count() == 0L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("Sessions.assign: gap starts a new session, boundary stays inside") {
     val ev = Seq(
       (1L, ts("2024-01-01 00:00:00")),
