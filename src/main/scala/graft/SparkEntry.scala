@@ -1147,6 +1147,18 @@ object SparkEntry {
           md5(col("cleaned")).as("clean_md5"))
         .orderBy(col("doc_id"))
     }),
+    "embedding_covariance" -> ((s, dir) => {
+      // upper-triangle sample covariance of the embedding column via ONE
+      // fixed-size mergeable aggregate (VectorMomentsAgg: d + d(d+1)/2
+      // doubles per task, tree-merged) — never the explode-twice shape
+      // that shuffles n·d² rows. round(6) absorbs accumulation-order
+      // drift vs DuckDB's covar_samp; + 0.0 canonicalizes -0.0
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      operators.VectorStats.covarianceMatrix(emb, "embedding")
+        .select(col("i"), col("j"),
+          (round(col("cov"), 6) + lit(0.0)).as("cov"))
+        .orderBy(col("i"), col("j"))
+    }),
     "corpus_line_self_dedup" -> ((s, dir) => {
       // intra-document duplicate-line removal (keep-first): the corpus
       // has no newlines, so page chrome with INTRA-doc repeats is
@@ -3840,6 +3852,18 @@ object SparkEntry {
         |       md5(COALESCE(r.cleaned, '')) AS clean_md5
         |FROM tot t LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // covariance replay: positional unnest + pairwise covar_samp over
+    // the i <= j triangle; INTEGER casts match Spark's int indexes
+    "embedding_covariance" ->
+      """WITH v AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings)
+        |SELECT a.i::INTEGER AS i, b.i::INTEGER AS j,
+        |       round(covar_samp(a.x, b.x), 6) + 0 AS cov
+        |FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY a.i, b.i
+        |ORDER BY i, j""".stripMargin,
     // intra-doc keep-first replay: same planted chrome, row_number over
     // (doc, trimmed line) ordered by position, blanks exempt
     "corpus_line_self_dedup" ->

@@ -570,6 +570,32 @@ object VectorImpl {
     }
     acc
   }
+
+  def matrixProject(v: ArrayData, isFloat: Boolean,
+                    means: Array[Double],
+                    w: Array[Array[Double]]): ArrayData = {
+    val d = means.length
+    val n = math.min(v.numElements(), d)
+    val centered = new Array[Double](d)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      centered(i) = x - means(i)
+      i += 1
+    }
+    while (i < d) { centered(i) = -means(i); i += 1 }
+    val out = new Array[Double](w.length)
+    var k = 0
+    while (k < w.length) {
+      val row = w(k)
+      var acc = 0.0
+      var j = 0
+      while (j < d) { acc += row(j) * centered(j); j += 1 }
+      out(k) = acc
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Column-level API + SQL registration for the custom expressions. */
@@ -606,6 +632,17 @@ object GraftExpressions {
     * covers the distinct count). */
   def topkSketch(c: Column, k: Int, capacity: Int): Column =
     col(TopKItems(expr(c), k, capacity).toAggregateExpression())
+
+  /** Aggregate: count + component sums + upper-triangle product sums of
+    * a vector column — the fixed-size mergeable summary under
+    * covariance / Gram / PCA (see [[VectorMomentsAgg]]). */
+  def vectorMoments(v: Column): Column =
+    col(VectorMomentsAgg(expr(v)).toAggregateExpression())
+
+  /** Map-only centered projection `W (x − μ)` (see [[MatrixProject]]). */
+  def matrixProject(v: Column, means: Array[Double],
+                    w: Array[Array[Double]]): Column =
+    col(MatrixProject(expr(v), means, w))
 
   /** Make the expressions usable from `spark.sql(...)` too. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

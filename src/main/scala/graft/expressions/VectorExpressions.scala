@@ -218,3 +218,37 @@ case class PqAdcScore(left: Expression, right: Expression, m: Int, ks: Int)
     copy(left = newLeft, right = newRight)
 }
 
+
+/** Centered linear projection `y = W (x − μ)` with the k×d matrix `W`
+  * and mean vector `μ` embedded in the plan as codegen reference objects
+  * (same pattern as [[NearestCentroid]]) — the map-only second half of
+  * PCA: the expensive part (the covariance) is one [[VectorMomentsAgg]]
+  * pass, the eigenbasis is a driver-side O(d³) solve on a d×d matrix,
+  * and the projection itself never shuffles. Output `array<double>` of
+  * length k. */
+case class MatrixProject(child: Expression,
+                         means: Array[Double],
+                         w: Array[Array[Double]])
+  extends UnaryExpression with GraftVectorInput {
+  require(w.nonEmpty && w.forall(_.length == means.length),
+    "projection rows must match the mean vector's dimension")
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "matrix_project"
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    VectorImpl.matrixProject(input.asInstanceOf[ArrayData], isFloat, means, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mu = ctx.addReferenceObj("means", means, "double[]")
+    val mat = ctx.addReferenceObj("w", w, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.VectorImpl.matrixProject($c, $isFloat, $mu, $mat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MatrixProject =
+    copy(child = newChild)
+}

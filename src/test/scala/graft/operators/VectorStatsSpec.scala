@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("covarianceMatrix: exact values on a hand-checkable 2-D set; " +
+       "partition layout does not change the result") {
+    // x = [1,2,3,4], y = [2,4,6,8]: var(x)=5/3, var(y)=20/3, cov=10/3
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f)),
+      (3L, Array(3.0f, 6.0f)), (4L, Array(4.0f, 8.0f)))
+    for (parts <- Seq(1, 3)) {
+      val df = vecs.toDF("id", "v").repartition(parts)
+      val out = VectorStats.covarianceMatrix(df, "v").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(out.size == 3)
+      assert(math.abs(out((0, 0)) - 5.0 / 3) < 1e-12)
+      assert(math.abs(out((0, 1)) - 10.0 / 3) < 1e-12)
+      assert(math.abs(out((1, 1)) - 20.0 / 3) < 1e-12)
+    }
+  }
+
+  test("covarianceMatrix: NULL vectors skipped; degenerate inputs yield " +
+       "an empty frame; ragged dims fail loudly") {
+    val withNull = Seq((1L, Array(1.0f, 0f)), (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array(3.0f, 0f))).toDF("id", "v")
+    val out = VectorStats.covarianceMatrix(withNull, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(out((0, 0)) - 2.0) < 1e-12) // var([1,3]) = 2
+    // one row (n == ddof) and zero rows both produce empty output
+    assert(VectorStats.covarianceMatrix(
+      Seq((1L, Array(1.0f))).toDF("id", "v"), "v").count() == 0)
+    assert(VectorStats.covarianceMatrix(
+      Seq.empty[(Long, Array[Float])].toDF("id", "v"), "v").count() == 0)
+    val ragged = Seq((1L, Array(1.0f, 2f)), (2L, Array(1.0f))).toDF("id", "v")
+    val e = intercept[Exception] {
+      VectorStats.covarianceMatrix(ragged.repartition(1), "v").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("jacobiEigen: recovers a known symmetric eigendecomposition") {
+    // [[2,1],[1,2]] has eigenvalues 3 and 1
+    val (vals, vecs) = VectorStats.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val sorted = vals.sorted
+    assert(math.abs(sorted(0) - 1.0) < 1e-10)
+    assert(math.abs(sorted(1) - 3.0) < 1e-10)
+    // columns are orthonormal
+    val dot = vecs(0)(0) * vecs(0)(1) + vecs(1)(0) * vecs(1)(1)
+    assert(math.abs(dot) < 1e-10)
+  }
+
+  test("pcaComponents + pcaProject: top component captures the planted " +
+       "direction; projected variance matches the eigenvalue; projection " +
+       "is map-only (no shuffle)") {
+    // points along (1,1,0) with small noise in (1,-1,0)
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 200).map { i =>
+      val t = rnd.nextGaussian() * 10
+      val e = rnd.nextGaussian() * 0.1
+      (i.toLong, Array((t + e).toFloat, (t - e).toFloat, 0.0f))
+    }
+    val df = vecs.toDF("id", "v")
+    val (means, vals, w) = VectorStats.pcaComponents(df, "v", 2)
+    assert(means.length == 3 && vals.length == 2 && w.length == 2)
+    // dominant direction ~ (1,1,0)/sqrt(2)
+    val top = w(0)
+    assert(math.abs(math.abs(top(0)) - math.abs(top(1))) < 0.05)
+    assert(math.abs(top(2)) < 0.05)
+    assert(vals(0) > 50 * vals(1))
+    val proj = VectorStats.pcaProject(df, "id", "v", 2)
+    // sample variance of the first projected coordinate == eigenvalue 1
+    val varOut = proj.select(element_at($"pca", 1).as("p1"))
+      .agg(var_samp($"p1")).head().getDouble(0)
+    assert(math.abs(varOut - vals(0)) / vals(0) < 1e-6)
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
