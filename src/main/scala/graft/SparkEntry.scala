@@ -806,6 +806,18 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("int"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "similarity_hard_negatives" -> ((s, dir) => {
+      // contrastive-training negative mining: per anchor, the 5 most
+      // cosine-similar vectors with a DIFFERENT label (label-filter
+      // before ranking, so rank k = k-th hardest negative); anchors
+      // broadcast, corpus scanned once, no corpus shuffle
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      operators.Similarity.mineHardNegatives(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          "label", 5)
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "similarity_topk_rp" -> ((s, dir) => {
       // random-projection pre-filter (64 -> 32 dims, Achlioptas JL) with
       // exact re-rank: the shortlist compare runs at half the arithmetic
@@ -3096,6 +3108,19 @@ object SparkEntry {
         |  WHERE q.vec_id < 10)
         |SELECT query_id, rank::INTEGER AS rank, id, cosine FROM (
         |  SELECT query_id, id, cosine,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
+        |  FROM scored) t WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // hard-negative replay: same brute scoring restricted to rows whose
+    // label differs from the anchor's, ranked after the filter
+    "similarity_hard_negatives" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id, c.label AS label,
+        |         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+        |  FROM embeddings q JOIN embeddings c ON c.label != q.label
+        |  WHERE q.vec_id < 10)
+        |SELECT query_id, rank::INTEGER AS rank, id, cosine, label FROM (
+        |  SELECT query_id, id, label, cosine,
         |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
         |  FROM scored) t WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,

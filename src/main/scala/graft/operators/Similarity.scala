@@ -44,6 +44,46 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training (the heavy data-prep
+    * step behind embedding-model fine-tuning, e.g. SimCSE/DPR-style
+    * in-batch negatives upgraded to mined ones): for each anchor, the
+    * top-k most-cosine-similar vectors whose `labelCol` DIFFERS from the
+    * anchor's — similar enough to be hard, labeled differently so they
+    * are true negatives. Output (query_id, rank, id, cosine, label).
+    *
+    * This exact variant broadcasts the anchors (they are a training
+    * batch or a sampled subset — small by construction) against the full
+    * corpus scan: cost is one corpus pass per anchor set, no shuffle of
+    * the corpus, same shape as [[bruteForceTopK]]. When the anchor set
+    * is NOT small, compose the IVF path instead: assign both sides to
+    * centroids and mine within probed cells ([[ivfTopK]] with the label
+    * filter) — same recall story as ANN search.
+    *
+    * The label filter runs BEFORE ranking, so rank k means "k-th hardest
+    * negative", not "survivors of a post-filtered top-k" — a
+    * post-filtered variant would under-fill k whenever the true top-k is
+    * dominated by same-label positives (it always is, for a good
+    * encoder). */
+  def mineHardNegatives(corpus: DataFrame, anchors: DataFrame,
+                        idCol: String, vecCol: String, labelCol: String,
+                        k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col(labelCol).as("label"))
+    val q = anchors.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("qlabel"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("id"), col("label"),
+        round(GraftExpressions.cosineSimilarity(col("qv"), col("v")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("cosine"),
+        col("label"))
+  }
+
   /** Random-projection pre-filter ANN: brute-force the top-`shortlist`
     * on Rademacher-projected `outDim`-dim float vectors, then exact
     * cosine re-rank on the raw vectors. The all-pairs compare drops to

@@ -275,6 +275,29 @@ class SimilaritySpec extends SparkSpec {
     assert(ranks.toSeq == ranks.sorted.reverse.toSeq, "cosine desc by rank")
   }
 
+  test("mineHardNegatives: same-label vectors never surface, the planted " +
+       "near-identical different-label vector ranks 1, k fills from the " +
+       "filtered pool") {
+    // label 0: anchor (1,0) and a near-duplicate (0.99, 0.14) — the
+    // nearest vector overall, but same label, so it must NOT appear.
+    // label 1: a slightly-rotated copy (hardest negative), plus two
+    // farther ones.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.14f), 0),
+      (2L, Array(0.95f, 0.31f), 1), // hardest negative
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(-1.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.mineHardNegatives(vecs,
+        vecs.filter($"vec_id" === 0L), "vec_id", "embedding", "label", 3)
+      .orderBy($"rank").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(2L, 3L, 4L))
+    assert(out.forall(_.getAs[Int]("label") == 1))
+    // rank 1 is the planted hard negative, not the same-label near-dup
+    assert(out.head.getAs[Int]("rank") == 1 &&
+      out.head.getAs[Long]("id") == 2L)
+  }
+
   test("centroidOutlierScores: exact median centroid, planted opposite " +
        "vector maxes out at dist 2") {
     // group A medians: dim0 median(0,1,3) = 1, dim1 median(0,1,4) = 1
