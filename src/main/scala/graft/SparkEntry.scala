@@ -1192,6 +1192,18 @@ object SparkEntry {
           md5(col("cleaned")).as("clean_md5"))
         .orderBy(col("doc_id"))
     }),
+    "corpus_drift_js" -> ((s, dir) => {
+      // snapshot drift alarm: Jensen-Shannon divergence between the
+      // unigram distributions of two corpus halves (even/odd doc_id
+      // stands in for consecutive crawls — deterministic in both
+      // engines); symmetric, bounded by ln 2, defined on one-sided
+      // tokens. Word-count shuffles + a vocab-sized full-outer join,
+      // one scalar out
+      val docs = DbReader(conn(s, dir), "documents").run()
+      operators.Corpus.unigramJsDivergence(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text")
+    }),
     "quality_unigram_nll" -> ((s, dir) => {
       // corpus-trained unigram LM perplexity proxy (CCNet quality
       // ranking without an external LM): per-doc mean -ln p(token);
@@ -3877,6 +3889,29 @@ object SparkEntry {
         |       md5(COALESCE(r.cleaned, '')) AS clean_md5
         |FROM tot t LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // JS-drift replay: unigram counts per half, full-outer join on the
+    // token, 0.5*p*ln(p/m)+0.5*q*ln(q/m) folded to one scalar
+    "corpus_drift_js" ->
+      """WITH o AS (
+        |  SELECT t, count(*) AS co FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t
+        |    FROM documents WHERE doc_id % 2 = 0) GROUP BY t),
+        |n AS (
+        |  SELECT t, count(*) AS cn FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t
+        |    FROM documents WHERE doc_id % 2 = 1) GROUP BY t),
+        |j AS (
+        |  SELECT COALESCE(o.co, 0) AS co, COALESCE(n.cn, 0) AS cn
+        |  FROM o FULL OUTER JOIN n ON o.t = n.t),
+        |tot AS (SELECT CAST(sum(co) AS BIGINT) AS tno, CAST(sum(cn) AS BIGINT) AS tnn FROM j)
+        |SELECT tno AS n_old, tnn AS n_new, count(*) AS vocab,
+        |       round(sum(
+        |         CASE WHEN co > 0 THEN 0.5 * (co / CAST(tno AS DOUBLE)) *
+        |           ln((co / CAST(tno AS DOUBLE)) / ((co / CAST(tno AS DOUBLE) + cn / CAST(tnn AS DOUBLE)) / 2)) ELSE 0 END +
+        |         CASE WHEN cn > 0 THEN 0.5 * (cn / CAST(tnn AS DOUBLE)) *
+        |           ln((cn / CAST(tnn AS DOUBLE)) / ((co / CAST(tno AS DOUBLE) + cn / CAST(tnn AS DOUBLE)) / 2)) ELSE 0 END), 6) AS js
+        |FROM j CROSS JOIN tot
+        |GROUP BY tno, tnn""".stripMargin,
     // covariance replay: positional unnest + pairwise covar_samp over
     // the i <= j triangle; INTEGER casts match Spark's int indexes
     "embedding_covariance" ->

@@ -250,6 +250,63 @@ object Corpus {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Distributional drift between two corpus snapshots: Jensen–Shannon
+    * divergence of their unigram distributions — the number a pipeline
+    * alarms on when a new crawl's language shifted (spam influx, a
+    * domain gone dark, a scraper bug), where [[corpusDiff]] only says
+    * WHICH documents changed. JS over KL because it is symmetric,
+    * defined when a token exists on one side only, and bounded by ln 2 —
+    * thresholds stay meaningful across corpora.
+    *
+    * Returns ONE row: (n_old long, n_new long, vocab long, js double) —
+    * total tokens per side, union vocabulary size, and
+    * `JS(P‖Q) = ½ Σ p·ln(p/m) + ½ Σ q·ln(q/m)` with `m = (p+q)/2`,
+    * rounded to 6 dp for cross-engine parity. A side with zero tokens
+    * makes `js` NULL (drift from nothing is undefined, not 0 or ln 2).
+    *
+    * Scale shape: two word-count aggregates (map-side combine), one
+    * vocab-sized full-outer join — Zipf keeps the vocabulary orders of
+    * magnitude under the corpus — totals ride a 1-row broadcast, and
+    * the final fold is a single scalar aggregate. Nothing touches
+    * document text after the scan stage. */
+  def unigramJsDivergence(oldDf: DataFrame, newDf: DataFrame,
+                          textCol: String): DataFrame = {
+    def counts(df: DataFrame, as: String) = df
+      .select(explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        t => t =!= "")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as(as))
+    val joined = counts(oldDf, "__co")
+      .join(counts(newDf, "__cn"), Seq("__t"), "full_outer")
+      .select(col("__t"), coalesce(col("__co"), lit(0L)).as("__co"),
+        coalesce(col("__cn"), lit(0L)).as("__cn"))
+    val totals = joined.agg(sum(col("__co")).as("__no"),
+      sum(col("__cn")).as("__nn"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("__co"), col("__cn"), col("__no"), col("__nn"),
+        // try_divide: a zero-token side must flow through as NULL (the
+        // final guard reports NULL drift), not throw under ANSI mode
+        try_divide(col("__co").cast("double"), col("__no")).as("__p"),
+        try_divide(col("__cn").cast("double"), col("__nn")).as("__q"))
+      .withColumn("__m", (col("__p") + col("__q")) / 2)
+      .agg(max(col("__no")).as("__tno"), max(col("__nn")).as("__tnn"),
+        count(lit(1)).as("vocab"),
+        sum(
+          when(col("__co") > 0,
+            lit(0.5) * col("__p") * log(col("__p") / col("__m")))
+            .otherwise(lit(0.0)) +
+          when(col("__cn") > 0,
+            lit(0.5) * col("__q") * log(col("__q") / col("__m")))
+            .otherwise(lit(0.0))).as("__js_raw"))
+      // an empty side leaves 0/0 = NaN in the fold — surface the
+      // undefinedness as NULL, not NaN (and not a fake 0 drift)
+      .select(coalesce(col("__tno"), lit(0L)).as("n_old"),
+        coalesce(col("__tnn"), lit(0L)).as("n_new"),
+        col("vocab"),
+        when(col("__tno") > 0 && col("__tnn") > 0,
+          round(col("__js_raw"), 6))
+          .otherwise(lit(null).cast("double")).as("js"))
+  }
+
   def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("__id"),
       explode(filter(split(lower(col(textCol)), "[^a-z]+"),

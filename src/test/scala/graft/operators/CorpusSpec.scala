@@ -102,6 +102,31 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("unigramJsDivergence: hand-computed JS on crafted corpora; " +
+       "identical corpora score 0; disjoint corpora score ln 2; an " +
+       "empty side is NULL, not 0 or NaN") {
+    def js(rows: Seq[(Long, String)], rows2: Seq[(Long, String)]) =
+      Corpus.unigramJsDivergence(rows.toDF("id", "text"),
+        rows2.toDF("id", "text"), "text").collect().head
+    // old = {a:2, b:1} (N=3), new = {a:1, b:2} (N=3)
+    val r = js(Seq((1L, "a a b")), Seq((2L, "a b b")))
+    val p = Seq(2.0 / 3, 1.0 / 3); val q = Seq(1.0 / 3, 2.0 / 3)
+    val expect = (0 until 2).map { i =>
+      val m = (p(i) + q(i)) / 2
+      0.5 * p(i) * math.log(p(i) / m) + 0.5 * q(i) * math.log(q(i) / m)
+    }.sum
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(math.abs(r.getDouble(3) - math.rint(expect * 1e6) / 1e6) < 1e-12)
+    // identical distributions → 0
+    assert(js(Seq((1L, "x y")), Seq((2L, "x y"))).getDouble(3) == 0.0)
+    // disjoint vocabularies → ln 2
+    val d = js(Seq((1L, "x x")), Seq((2L, "y z")))
+    assert(math.abs(d.getDouble(3) - math.log(2)) < 1e-6)
+    // empty new side → NULL js, zero n_new
+    val e = js(Seq((1L, "x y")), Seq((2L, "123 !!")))
+    assert(e.isNullAt(3) && e.getLong(1) == 0L)
+  }
+
   test("corpusDiff: all four statuses on a crafted delta; NULL text " +
        "digests as empty, not NULL-poison") {
     val v1 = Seq((1L, "same"), (2L, "old"), (3L, "gone"),
