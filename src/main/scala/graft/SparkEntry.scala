@@ -782,6 +782,14 @@ object SparkEntry {
     }),
 
     // --- Similarity search -----------------------------------------------
+    "retrieval_tfidf_terms" -> ((s, dir) => {
+      // per-document keyword extraction: top-3 terms by tf·ln(N/df) —
+      // document descriptors for topic audits and cluster labeling.
+      // round(4) BEFORE ranking + term tiebreak makes ranks engine-exact
+      operators.Retrieval.tfidfTopTerms(
+          DbReader(conn(s, dir), "documents").run(), "doc_id", "text", 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
     "retrieval_bm25" -> ((s, dir) => {
       // lexical top-k over the corpus (operators.Retrieval.bm25TopK) —
       // the keyword sibling of the embedding-ANN gates. Queries anchor
@@ -3812,6 +3820,24 @@ object SparkEntry {
         |SELECT decile, count(*) AS n,
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
         |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+    // tf-idf replay: same tokenization, N = count(distinct doc_id)
+    // including token-less docs, rounding before ranking, term tiebreak
+    "retrieval_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t),
+        |dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, t, round(tf * ln(CAST(n AS DOUBLE) / df), 4) AS score
+        |  FROM tf JOIN dfreq USING (t) CROSS JOIN n)
+        |SELECT doc_id, rank::INTEGER AS rank, t AS term, score FROM (
+        |  SELECT doc_id, t, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rank
+        |  FROM scored) WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
     // full BM25 replay: same tokenization, Lucene-style idf, rounding
     // BEFORE ranking with doc-id tiebreak (the sf0.01 top-2 for qid 0
     // tie at 4.3712 — the tiebreak is load-bearing, not decorative)

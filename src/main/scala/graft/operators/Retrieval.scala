@@ -85,4 +85,48 @@ object Retrieval {
       .select(col("__qid").as(qidCol), col("rank"),
         col("__id").as(idCol), col("score"))
   }
+
+  /** TF-IDF keyword extraction: the k most distinctive terms of EVERY
+    * document — `tf(t,d) · ln(N / df(t))`, the classic smoothing-free
+    * form (df ≥ 1 always holds for a term being scored, so the ln is
+    * defined; a term in every document scores exactly 0). A pipeline
+    * uses the output as document descriptors: topic audit of a crawl,
+    * cluster labeling after [[Dedup.semanticDedup]], targeted subset
+    * pulls without an embedding model.
+    *
+    * Returns (idCol, rank int 1-based, term, score double rounded 4 dp).
+    * Rounding happens BEFORE ranking with ties broken on the term, so
+    * ranks are reproducible across engines and summation orders.
+    * Documents with no tokens yield no rows (nothing to describe).
+    *
+    * Scale shape: tf is the word-count aggregate; df is vocab-sized and
+    * joins the tf stream on the term (Zipf keeps it broadcastable —
+    * UNLIKE [[bm25TopK]]'s df this one cannot be semi-joined down,
+    * every term is scored); N rides a 1-row broadcast; top-k windows by
+    * document with WindowGroupLimit pruning partial top-k map-side.
+    * Nothing is O(corpus²). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val toks = docs.select(col(idCol).as("__id"),
+      explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        t => t =!= "")).as("__t"))
+    val tf = toks.groupBy(col("__id"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val n = docs.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val scored = tf
+      .join(dfreq, Seq("__t"))
+      .crossJoin(broadcast(n))
+      .select(col("__id"), col("__t"),
+        round(col("__tf") * log(col("__n").cast("double") / col("__df")), 4)
+          .as("score"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("score").desc, col("__t"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__id").as(idCol), col("rank"), col("__t").as("term"),
+        col("score"))
+  }
 }

@@ -22,6 +22,10 @@ class QueryPlanSweepSpec extends AnyFunSuite {
 
   private val broadcastNestedLoopAllowed = Set(
     "similarity_topk_brute",  // deliberate: broadcast(queries) cross corpus
+    "similarity_hard_negatives", // same shape: broadcast(anchors) cross
+                              // corpus scan (Similarity.mineHardNegatives)
+    "corpus_drift_js",        // deliberate: 1-row token-totals broadcast
+                              // cross the vocab frame (unigramJsDivergence)
     "similarity_topk_ivf",    // deliberate: broadcast probe set
     "similarity_topk_lsh",    // deliberate: broadcast query vectors
     "similarity_topk_pq",     // deliberate: broadcast ADC tables cross codes

@@ -61,4 +61,31 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("tfidfTopTerms: hand-computed scores, ubiquitous terms score 0, " +
+       "k truncates, token-less docs yield no rows") {
+    // corpus: apple in 3/4 docs, cherry in 1/4, banana in 2/4,
+    // durian in 1/4; doc 5 has no tokens at all
+    val withEmpty = docs.union(Seq((5L, "123 !!")).toDF("doc_id", "text"))
+    val out = Retrieval.tfidfTopTerms(withEmpty, "doc_id", "text", 2)
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getString(2), r.getDouble(3)))
+    // doc 2: cherry tf=3 df=1 N=5 → 3·ln5 ≈ 4.8283 beats apple
+    val d2 = rows.filter(_._1 == 2L).sortBy(_._2)
+    assert(d2.head._3 == "cherry")
+    assert(math.abs(d2.head._4 - math.rint(3 * math.log(5.0) * 1e4) / 1e4) < 1e-12)
+    // doc 4: durian tf=1 df=1 → ln 5
+    val d4 = rows.filter(_._1 == 4L)
+    assert(d4.length == 1 && d4.head._3 == "durian")
+    // k truncates: no doc exceeds 2 rows; doc 5 contributes none
+    assert(rows.groupBy(_._1).values.forall(_.length <= 2))
+    assert(!rows.exists(_._1 == 5L))
+    // a term in EVERY doc scores 0 (ln N/N): make apple ubiquitous
+    val all = Seq((1L, "apple x"), (2L, "apple y"), (3L, "apple z"))
+      .toDF("doc_id", "text")
+    val scores = Retrieval.tfidfTopTerms(all, "doc_id", "text", 5)
+      .filter($"term" === "apple").select($"score")
+      .as[Double].collect()
+    assert(scores.forall(_ == 0.0))
+  }
 }
