@@ -1179,6 +1179,21 @@ object SparkEntry {
           (round(col("cov"), 6) + lit(0.0)).as("cov"))
         .orderBy(col("i"), col("j"))
     }),
+    "embedding_whiten_identity" -> ((s, dir) => {
+      // ZCA whitening certified by its defining property: the covariance
+      // of the whitened embeddings IS the identity — computed
+      // distributed (moments pass on the whitened frame), rounded to
+      // 4 dp; the oracle generates I_64 directly. A wrong eigensolve,
+      // scale, or projection shows up as any off-diagonal != 0
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      val white = operators.VectorStats.whiten(emb, "vec_id", "embedding")
+      operators.VectorStats.covarianceMatrix(
+          white.select(col("vec_id"), col("white").as("embedding")),
+          "embedding")
+        .select(col("i"), col("j"),
+          (round(col("cov"), 4) + lit(0.0)).as("cov"))
+        .orderBy(col("i"), col("j"))
+    }),
     "corpus_line_self_dedup" -> ((s, dir) => {
       // intra-document duplicate-line removal (keep-first): the corpus
       // has no newlines, so page chrome with INTRA-doc repeats is
@@ -1199,6 +1214,14 @@ object SparkEntry {
         .select(col("doc_id"), col("n_kept"), col("n_dropped"),
           md5(col("cleaned")).as("clean_md5"))
         .orderBy(col("doc_id"))
+    }),
+    "corpus_ttr_by_source" -> ((s, dir) => {
+      // per-source lexical diversity (token count, vocab, type-token
+      // ratio): the corpus-QA table that flags template spam (TTR → 0)
+      // or tokenizer junk (TTR → 1 on a big source)
+      operators.Corpus.typeTokenRatioBySource(
+          DbReader(conn(s, dir), "documents").run(), "source", "text")
+        .orderBy(col("source"))
     }),
     "corpus_drift_js" -> ((s, dir) => {
       // snapshot drift alarm: Jensen-Shannon divergence between the
@@ -2401,6 +2424,19 @@ object SparkEntry {
         .filter(col("id1") < col("id2"))
         .select(col("id1"), col("id2"))
         .orderBy(col("id1"), col("id2"))
+    }),
+    "events_volume_zscore" -> ((s, dir) => {
+      // volume-anomaly audit: daily event counts z-scored within each
+      // event type (Ranking.groupZScores — stats join, no window, so a
+      // hot type cannot pin one task); z NULL when a type has <2 days
+      // or zero spread. round(4)+0.0 for cross-engine parity
+      val daily = eventsMicros(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      operators.Ranking.groupZScores(daily, Seq("event_type"), "n")
+        .select(col("event_type"), col("day"), col("n"),
+          (round(col("z"), 4) + lit(0.0)).as("z"))
+        .orderBy(col("event_type"), col("day"))
     }),
     "q_interval_overlap_join" -> ((s, dir) => {
       // click dwell windows × purchase dwell windows for the same user
@@ -3742,6 +3778,18 @@ object SparkEntry {
         |  AND a.event_id < b.event_id
         |  AND abs(floor(epoch(a.ts)) - floor(epoch(b.ts))) <= 3600
         |ORDER BY id1, id2""".stripMargin,
+    // z-score replay: daily counts, per-type mean/stddev_samp join
+    "events_volume_zscore" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, avg(n) AS m, stddev_samp(n) AS sd
+        |  FROM daily GROUP BY 1)
+        |SELECT d.event_type, d.day, d.n,
+        |       CASE WHEN sd > 0 THEN round((n - m) / sd, 4) + 0 END AS z
+        |FROM daily d JOIN st USING (event_type)
+        |ORDER BY d.event_type, d.day""".stripMargin,
     // plain inequality-join replay of the binned interval join: overlap
     // of closed [ts, ts+10min] windows, micros exact on both engines
     "q_interval_overlap_join" ->
@@ -3915,6 +3963,30 @@ object SparkEntry {
         |       md5(COALESCE(r.cleaned, '')) AS clean_md5
         |FROM tot t LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // the whitening oracle is the identity matrix itself (embeddings
+    // are 64-dim at every SF): any defect in moments, eigensolve, or
+    // projection breaks cov = I at 4 dp
+    "embedding_whiten_identity" ->
+      """SELECT a.i::INTEGER AS i, b.i::INTEGER AS j,
+        |       CASE WHEN a.i = b.i THEN 1.0 ELSE 0.0 END AS cov
+        |FROM range(64) a(i) JOIN range(64) b(i) ON a.i <= b.i
+        |ORDER BY i, j""".stripMargin,
+    // TTR replay: same tokenization, per-source token/vocab counts,
+    // sources with no tokens keep a (0, 0, NULL) row
+    "corpus_ttr_by_source" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |ag AS (
+        |  SELECT source, count(*) AS n_toks, count(DISTINCT t) AS vocab
+        |  FROM toks GROUP BY source)
+        |SELECT s.source, COALESCE(ag.n_toks, 0) AS n_toks,
+        |       COALESCE(ag.vocab, 0) AS vocab,
+        |       round(ag.vocab / CAST(ag.n_toks AS DOUBLE), 6) AS ttr
+        |FROM (SELECT DISTINCT source FROM documents) s
+        |LEFT JOIN ag USING (source)
+        |ORDER BY s.source""".stripMargin,
     // JS-drift replay: unigram counts per half, full-outer join on the
     // token, 0.5*p*ln(p/m)+0.5*q*ln(q/m) folded to one scalar
     "corpus_drift_js" ->

@@ -250,6 +250,37 @@ object Corpus {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Lexical-diversity audit per source: token count, vocabulary size,
+    * and type-token ratio for every value of `sourceCol` — the quick
+    * corpus-QA table that catches a source gone repetitive (template
+    * spam drives TTR toward 0) or a tokenizer mishap (TTR near 1 on a
+    * large source means the "words" are unique junk). Sources whose
+    * documents contain no tokens still appear, with (0, 0, NULL) — a
+    * silent disappearance is exactly what this audit must not do.
+    *
+    * Returns (sourceCol, n_toks long, vocab long, ttr double rounded 6).
+    *
+    * Scale shape: one word-count aggregate on (source, token) + a
+    * per-source rollup — both map-side combinable; the source list for
+    * the completeness join is |sources| rows and broadcasts. */
+  def typeTokenRatioBySource(df: DataFrame, sourceCol: String,
+                             textCol: String): DataFrame = {
+    val toks = df.select(col(sourceCol).as("__src"),
+      explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        t => t =!= "")).as("__t"))
+    val ag = toks.groupBy(col("__src"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__src"))
+      .agg(sum(col("__c")).as("n_toks"), count(lit(1)).as("vocab"))
+    df.select(col(sourceCol).as("__src")).distinct()
+      .join(ag, Seq("__src"), "left")
+      .select(col("__src").as(sourceCol),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"),
+        round(try_divide(col("vocab").cast("double"), col("n_toks")), 6)
+          .as("ttr"))
+  }
+
   /** Distributional drift between two corpus snapshots: Jensen–Shannon
     * divergence of their unigram distributions — the number a pipeline
     * alarms on when a new crawl's language shifted (spam influx, a

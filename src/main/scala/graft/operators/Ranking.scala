@@ -131,4 +131,30 @@ object Ranking {
         lit(budget)))
       .drop("__grs_run")
   }
+
+  /** Per-group z-scores of a value column — the anomaly primitive under
+    * "which day's event volume is off for this event type", "which
+    * document's quality score is an outlier for its source": each row
+    * gains `(value − mean_group) / stddev_group` (sample stddev). Groups
+    * with fewer than 2 rows, or zero spread, yield NULL z — "no basis
+    * for surprise" is not z = 0. Input columns pass through.
+    *
+    * Scale shape: the group statistics are one map-combinable aggregate
+    * over the SAME key the scoring join uses, and the stats frame has
+    * one row per group — broadcastable for any real group count; no
+    * window function, so no per-group sort and no single-task risk on a
+    * skewed group. */
+  def groupZScores(df: DataFrame, groupCols: Seq[String], valCol: String,
+                   out: String = "z"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(avg(col(valCol)).as("__zs_mean"),
+        stddev_samp(col(valCol)).as("__zs_sd"))
+    df.join(stats, groupCols)
+      .withColumn(out,
+        when(col("__zs_sd") > 0,
+          (col(valCol) - col("__zs_mean")) / col("__zs_sd"))
+          .otherwise(lit(null).cast("double")))
+      .drop("__zs_mean", "__zs_sd")
+  }
 }

@@ -95,6 +95,57 @@ object VectorStats {
       GraftExpressions.matrixProject(col(vecCol), means, w).as("pca"))
   }
 
+  /** ZCA whitening: x ↦ E D^(−1/2) Eᵀ (x − μ), the symmetric whitening
+    * transform — output components are decorrelated with unit variance,
+    * and among all whitenings ZCA stays closest to the original basis
+    * (Bell & Sejnowski '97), which is why it is the standard choice for
+    * embedding post-processing. Same cost model as [[pcaProject]]: one
+    * moments pass, a driver-side d×d solve, then a map-only codegen'd
+    * projection — no shuffle at any scale.
+    *
+    * Eigendirections with variance ≤ `eps` (degenerate/constant dims)
+    * are passed through UNSCALED (factor 1) instead of exploding
+    * 1/√λ → ∞ noise: whitening a dimension with no variance is
+    * undefined, and dropping it would change the output dimension.
+    * Returns (idCol, white array<double> length d). */
+  def whiten(df: DataFrame, idCol: String, vecCol: String,
+             eps: Double = 1e-9): DataFrame = {
+    val (means, vals, vecs) = {
+      val row = df.agg(GraftExpressions.vectorMoments(col(vecCol)).as("m"))
+        .select(col("m.n"), col("m.sums"), col("m.pairs.sxy"))
+        .head()
+      val n = row.getLong(0)
+      require(n > 1, s"whitening needs >= 2 vectors, got $n")
+      val sums = row.getSeq[Double](1).toArray
+      val sxy = row.getSeq[Double](2).toArray
+      val d = sums.length
+      val cov = Array.ofDim[Double](d, d)
+      var idx = 0; var i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) {
+          val c = (sxy(idx) - sums(i) * sums(j) / n) / (n - 1)
+          cov(i)(j) = c; cov(j)(i) = c
+          idx += 1; j += 1
+        }
+        i += 1
+      }
+      val (ev, evec) = jacobiEigen(cov)
+      (sums.map(_ / n), ev, evec)
+    }
+    val d = means.length
+    // W = E diag(s) Eᵀ with s_k = 1/sqrt(λ_k) (or 1 when λ_k <= eps)
+    val scale = vals.map(l => if (l <= eps) 1.0 else 1.0 / math.sqrt(l))
+    val w = Array.tabulate(d, d) { (r, c) =>
+      var acc = 0.0
+      var k = 0
+      while (k < d) { acc += vecs(r)(k) * scale(k) * vecs(c)(k); k += 1 }
+      acc
+    }
+    df.select(col(idCol),
+      GraftExpressions.matrixProject(col(vecCol), means, w).as("white"))
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
     * (eigenvalues, eigenvector matrix V with V[:,i] the i-th vector).
     * Textbook rotations until off-diagonal mass is ~machine-zero;

@@ -26,6 +26,8 @@ class QueryPlanSweepSpec extends AnyFunSuite {
                               // corpus scan (Similarity.mineHardNegatives)
     "corpus_drift_js",        // deliberate: 1-row token-totals broadcast
                               // cross the vocab frame (unigramJsDivergence)
+    "retrieval_tfidf_terms",  // deliberate: 1-row doc-count N broadcast
+                              // cross the tf stream (tfidfTopTerms)
     "similarity_topk_ivf",    // deliberate: broadcast probe set
     "similarity_topk_lsh",    // deliberate: broadcast query vectors
     "similarity_topk_pq",     // deliberate: broadcast ADC tables cross codes

@@ -127,6 +127,23 @@ class CorpusSpec extends SparkSpec {
     assert(e.isNullAt(3) && e.getLong(1) == 0L)
   }
 
+  test("typeTokenRatioBySource: exact counts, token-less sources keep a " +
+       "(0, 0, NULL) row") {
+    val docs = Seq(
+      ("web", "a a b"), ("web", "b c"),   // web: 5 toks, vocab {a,b,c}
+      ("books", "x x x x"),               // books: 4 toks, vocab {x}
+      ("junk", "123 !!")                  // junk: no tokens at all
+    ).toDF("source", "text")
+    val out = Corpus.typeTokenRatioBySource(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("web") == (5L, 3L, Some(0.6)))
+    assert(out("books") == (4L, 1L, Some(0.25)))
+    assert(out("junk") == (0L, 0L, None))
+    assert(out.size == 3)
+  }
+
   test("corpusDiff: all four statuses on a crafted delta; NULL text " +
        "digests as empty, not NULL-poison") {
     val v1 = Seq((1L, "same"), (2L, "old"), (3L, "gone"),

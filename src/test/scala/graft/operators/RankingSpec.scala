@@ -88,4 +88,22 @@ class RankingSpec extends SparkSpec {
     assert(again == sharded.select("id", "shard")
       .as[(Long, Long)].collect().toSet)
   }
+
+  test("groupZScores: hand-computed z per group; singleton and " +
+       "zero-spread groups yield NULL; no window in the plan") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), // mean 2, sd 1 → z = -1, 0, 1
+      ("b", 5.0),                          // singleton → NULL
+      ("c", 4.0), ("c", 4.0)               // zero spread → NULL
+    ).toDF("g", "v")
+    val out = Ranking.groupZScores(df, Seq("g"), "v")
+    val rows = out.collect().map(r => (r.getString(0), r.getDouble(1),
+      Option(r.get(2)).map(_.asInstanceOf[Double])))
+    val a = rows.filter(_._1 == "a").sortBy(_._2).map(_._3)
+    assert(a.flatten.toSeq == Seq(-1.0, 0.0, 1.0))
+    assert(rows.filter(_._1 == "b").forall(_._3.isEmpty))
+    assert(rows.filter(_._1 == "c").forall(_._3.isEmpty))
+    assert(out.columns.toSeq == Seq("g", "v", "z"))
+    assert(!out.queryExecution.executedPlan.toString.contains("WindowExec"))
+  }
 }

@@ -54,6 +54,30 @@ class VectorStatsSpec extends SparkSpec {
     assert(math.abs(dot) < 1e-10)
   }
 
+  test("whiten: output covariance is the identity on correlated input; " +
+       "degenerate dims pass through unscaled instead of exploding") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 300).map { i =>
+      val a = rnd.nextGaussian(); val b = rnd.nextGaussian()
+      // strongly correlated pair + an independent dim + a CONSTANT dim
+      (i.toLong, Array((2 * a).toFloat, (2 * a + 0.3 * b).toFloat,
+        rnd.nextGaussian().toFloat, 7.0f))
+    }
+    val df = vecs.toDF("id", "v")
+    val out = VectorStats.whiten(df, "id", "v")
+    val cov = VectorStats.covarianceMatrix(
+      out.select($"id", $"white".as("v")), "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (((i, j), c) <- cov if i < 3 && j < 3) {
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(c - want) < 1e-8, s"cov($i,$j)=$c")
+    }
+    // constant dim: centered to 0, scale 1 → whitened component ~0 var
+    assert(math.abs(cov((3, 3))) < 1e-8)
+    // projection stage itself is map-only
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("pcaComponents + pcaProject: top component captures the planted " +
        "direction; projected variance matches the eigenvalue; projection " +
        "is map-only (no shuffle)") {
