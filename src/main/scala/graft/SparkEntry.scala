@@ -1460,6 +1460,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "multimodal_image_dedup" -> ((s, dir) => {
+      // REAL perceptual-dedup path: PNG pixels repeat every 100 ids
+      // (generatePng patternMod) -> ImageIO decode -> 64-bit dHash ->
+      // keep the smallest id per hash. The oracle predicts survivors
+      // arithmetically (keep iff doc_id < 100) — any decode, hash, or
+      // grouping defect mis-keeps some row
+      import org.apache.spark.sql.expressions.Window
+      val df = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id")).filter(col("doc_id") < 500)
+      val png = operators.Multimodal.generatePng(df, "doc_id",
+        patternMod = 100L)
+      operators.Multimodal.perceptualHash64(png, "payload")
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("phash")).orderBy(col("doc_id"))))
+        .select(col("doc_id"), (col("__rn") === 1).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
     "multimodal_image_decode" -> ((s, dir) => {
       // REAL codec path: deterministic generated PNGs (dims are pure
       // functions of doc_id) -> ImageIO decode -> true width/height and
@@ -3456,6 +3473,12 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |       CASE WHEN length(text) > 0 THEN ascii(substring(text, 1, 1)) ELSE -1 END AS first_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // dedup survivors predicted arithmetically: pixels are a pure
+    // function of doc_id % 100, so exactly the first occurrence of each
+    // pattern (doc_id < 100) survives keep-min-per-hash
+    "multimodal_image_dedup" ->
+      """SELECT doc_id, doc_id < 100 AS keep
+        |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
     // the generator's dimension formulas (generatePng: w = 16 + id % 32,
     // h = 8 + id % 16) predicted arithmetically; format pinned to 'png'
     "multimodal_image_decode" ->

@@ -232,18 +232,23 @@ object Multimodal {
     * real PNG payload whose dimensions are pure functions of the id —
     * width = 16 + id % 32, height = 8 + id % 16 — with id-seeded pixels,
     * so a SQL oracle can predict the decoded dimensions arithmetically
-    * while the bytes themselves exercise the full encode/decode path. */
+    * while the bytes themselves exercise the full encode/decode path.
+    * `patternMod > 0` seeds dims and pixels from `id % patternMod`
+    * instead of the id, planting EXACT duplicate images across ids in a
+    * way the oracle predicts arithmetically (the image-dedup gate). */
   def generatePng(df: DataFrame, idCol: String,
-                  outCol: String = "payload"): DataFrame = {
+                  outCol: String = "payload",
+                  patternMod: Long = 0L): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
     df.mapPartitions { rows =>
       rows.map { row =>
-        val id = row.get(idIdx) match {
+        val rawId = row.get(idIdx) match {
           case l: Long => l
           case i: Int => i.toLong
           case other => other.toString.toLong
         }
+        val id = if (patternMod > 0) rawId % patternMod else rawId
         val w = 16 + (id % 32).toInt
         val h = 8 + (id % 16).toInt
         val img = new java.awt.image.BufferedImage(
@@ -262,6 +267,104 @@ object Multimodal {
         Row.fromSeq(row.toSeq :+ bos.toByteArray)
       }
     }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** 64-bit difference hash (dHash) of an image payload — the standard
+    * perceptual fingerprint for image dedup: decode, software-bilinear
+    * downscale to 9×8 grayscale, bit i set when pixel (x+1) is brighter
+    * than pixel x in its row. Identical pixels hash identically
+    * regardless of container bytes; re-encodes and mild resizes move few
+    * bits, so near-dups live at small Hamming distance. Pure Java2D
+    * software raster — deterministic across JVMs. NULL / undecodable
+    * payloads hash to NULL (they cannot be "similar" to anything).
+    * Appends `<outCol>: long`. Map-only; at 100 TB this runs in the scan
+    * stage and the 8-byte hash is all that ever shuffles. */
+  def perceptualHash64(df: DataFrame, binCol: String,
+                       outCol: String = "phash"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, LongType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val hash: Any = readImage(if (bytes == null) Array.emptyByteArray
+          else bytes) match {
+          case None => null
+          case Some((_, img)) => dHash64(img)
+        }
+        Row.fromSeq(row.toSeq :+ hash)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  private[operators] def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val small = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 9, 8, null)
+    } finally g.dispose()
+    var h = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        def gray(px: Int): Int = {
+          val rgb = small.getRGB(px, y)
+          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+        }
+        if (gray(x + 1) > gray(x)) h |= (1L << bit)
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Candidate near-duplicate image pairs at Hamming distance ≤
+    * `maxHamming` on the dHash, WITHOUT an all-pairs compare: the 64-bit
+    * hash splits into `maxHamming + 1`-wise bands (rounded up to a
+    * power-of-two count ≤ 16), pairs equi-join on (band index, band
+    * value) — pigeonhole guarantees ≤ maxHamming flipped bits leave at
+    * least one band intact — then the exact popcount filter keeps true
+    * pairs and `distinct` collapses multi-band meetings. Returns
+    * (id1, id2, hamming int) with id1 < id2.
+    *
+    * Scale shape: the corpus shuffles once on band values (8 bytes +
+    * id per band row); candidate volume is governed by band width
+    * (16/8/4 bits) exactly like the MinHash-LSH text path. Cluster the
+    * pairs with [[Dedup.connectedComponents]] and keep-min, as the text
+    * near-dup pipeline does. */
+  def nearDupImagePairs(df: DataFrame, idCol: String, binCol: String,
+                        maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      "maxHamming in [0, 15]: 16 bands of 4 bits are the thinnest useful cut")
+    // smallest power-of-two band count > maxHamming (pigeonhole: more
+    // bands than flippable bits leaves one band intact); divides 64
+    var nBands = 1
+    while (nBands < maxHamming + 1) nBands <<= 1
+    val width = 64 / nBands
+    val hashed = perceptualHash64(df, binCol).filter(col("phash").isNotNull)
+      .select(col(idCol).as("__pid"), col("phash"))
+    val banded = hashed.select(col("__pid"), col("phash"),
+      explode(sequence(lit(0), lit(nBands - 1))).as("__b"))
+      .withColumn("__bv",
+        expr(s"shiftrightunsigned(phash, __b * $width)")
+          .bitwiseAND(lit(if (width == 64) -1L else (1L << width) - 1)))
+    val l = banded.select(col("__pid").as("id1"), col("phash").as("__h1"),
+      col("__b"), col("__bv"))
+    val r = banded.select(col("__pid").as("id2"), col("phash").as("__h2"),
+      col("__b"), col("__bv"))
+    l.join(r, Seq("__b", "__bv"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        expr("bit_count(__h1 ^ __h2)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Audio metadata row shape: header facts (sample rate, channels,

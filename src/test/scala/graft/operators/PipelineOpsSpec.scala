@@ -456,6 +456,72 @@ class TopKSketchSpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  private def pngBytes(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("perceptualHash64: identical pixels hash equal; a resized smooth " +
+       "gradient lands within small Hamming distance; a different " +
+       "pattern lands far; undecodable/null hash NULL") {
+    def grad(scale: Int)(x: Int, y: Int): Int = {
+      val g = (x * 255 / (32 * scale - 1)) & 0xff
+      (g << 16) | (g << 8) | g // horizontal ramp, resize-stable
+    }
+    def vert(x: Int, y: Int): Int = {
+      val g = (y * 255 / 15) & 0xff
+      (g << 16) | (g << 8) | g // vertical ramp — orthogonal pattern
+    }
+    val df = Seq(
+      (1L, pngBytes(32, 16, grad(1))),
+      (2L, pngBytes(32, 16, grad(1))),    // byte-identical pixels
+      (3L, pngBytes(64, 32, grad(2))),    // 2x resize of the same scene
+      (4L, pngBytes(32, 16, vert)),       // different scene
+      (5L, "notanimage".getBytes("UTF-8")),
+      (6L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val h = Multimodal.perceptualHash64(df, "payload").collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(h(1L) == h(2L) && h(1L).isDefined)
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(h(1L).get, h(3L).get) <= 4,
+      s"resize moved ${dist(h(1L).get, h(3L).get)} bits")
+    assert(dist(h(1L).get, h(4L).get) >= 16,
+      s"orthogonal scene only ${dist(h(1L).get, h(4L).get)} bits away")
+    assert(h(5L).isEmpty && h(6L).isEmpty)
+  }
+
+  test("nearDupImagePairs: banded LSH finds exactly the planted pairs, " +
+       "each once; plan is an equi-join") {
+    def grad(scale: Int)(x: Int, y: Int): Int = {
+      val g = (x * 255 / (32 * scale - 1)) & 0xff
+      (g << 16) | (g << 8) | g
+    }
+    def vert(x: Int, y: Int): Int = {
+      val g = (y * 255 / 15) & 0xff
+      (g << 16) | (g << 8) | g
+    }
+    val df = Seq(
+      (1L, pngBytes(32, 16, grad(1))),
+      (2L, pngBytes(32, 16, grad(1))),  // exact dup of 1
+      (3L, pngBytes(64, 32, grad(2))),  // near dup of 1 and 2
+      (4L, pngBytes(32, 16, vert))      // unrelated
+    ).toDF("id", "payload")
+    val pairs = Multimodal.nearDupImagePairs(df, "id", "payload",
+      maxHamming = 4)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)), got.toString)
+    // multi-band meetings collapse: one row per pair
+    assert(pairs.count() == 3)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("decodeMeta: schema, determinism, null passthrough") {
     val df = Seq(("a", "hello".getBytes("UTF-8")), ("b", Array.empty[Byte]),
       ("c", null)).toDF("id", "payload")
