@@ -1215,6 +1215,34 @@ object SparkEntry {
           md5(col("cleaned")).as("clean_md5"))
         .orderBy(col("doc_id"))
     }),
+    "corpus_length_histogram" -> ((s, dir) => {
+      // document-length distribution audit (Ranking.equiWidthHistogram):
+      // 10 equi-width buckets over [0, 500) chars plus sentinel buckets
+      // for out-of-range mass (n_chars spans ~44..577, so bucket 10 is
+      // non-empty — the tails are the point). Bounds columns dropped in
+      // the gate: ±Infinity sentinels stringify differently across
+      // engines, and bucket+count is the hashable audit
+      operators.Ranking.equiWidthHistogram(
+          DbReader(conn(s, dir), "documents").run(), "n_chars",
+          buckets = 10, lo = 0.0, hi = 500.0)
+        .select(col("bucket"), col("n"))
+        .orderBy(col("bucket"))
+    }),
+    "corpus_token_stutter" -> ((s, dir) => {
+      // ASR/OCR de-stuttering: consecutive repeated words collapse
+      // case-insensitively, keep-first. Stutter is planted identically
+      // in both engines ('very very' prefix, 'stop stop STOP' suffix —
+      // the cased repeat pins the case-insensitive compare); md5 audits
+      // the rebuilt text
+      val aug = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"),
+          concat(lit("very very "), col("text"),
+            lit(" stop stop STOP")).as("text"))
+      operators.Corpus.collapseRepeatedTokens(aug, "doc_id", "text")
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+          md5(col("cleaned")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
     "corpus_ttr_by_source" -> ((s, dir) => {
       // per-source lexical diversity (token count, vocab, type-token
       // ratio): the corpus-QA table that flags template spam (TTR → 0)
@@ -3994,6 +4022,48 @@ object SparkEntry {
         |       CASE WHEN a.i = b.i THEN 1.0 ELSE 0.0 END AS cov
         |FROM range(64) a(i) JOIN range(64) b(i) ON a.i <= b.i
         |ORDER BY i, j""".stripMargin,
+    // histogram replay: same bucket arithmetic, range() supplies the
+    // fixed bucket shape (empty buckets at n = 0)
+    "corpus_length_histogram" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN n_chars < 0 THEN -1
+        |              WHEN n_chars >= 500 THEN 10
+        |              ELSE CAST(floor(n_chars / 50.0) AS INTEGER) END AS bucket
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |c AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket)
+        |SELECT s.bucket::INTEGER AS bucket, COALESCE(c.n, 0) AS n
+        |FROM range(-1, 11) s(bucket) LEFT JOIN c USING (bucket)
+        |ORDER BY bucket""".stripMargin,
+    // stutter replay: same plant, lag window over the positional
+    // whitespace split, case-insensitive compare, keep-first casing
+    "corpus_token_stutter" ->
+      """WITH aug AS (
+        |  SELECT doc_id, 'very very ' || text || ' stop stop STOP' AS text
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS w
+        |  FROM (SELECT doc_id, list_filter(
+        |          string_split_regex(text, '\s+'), x -> x <> '') AS l
+        |        FROM aug)),
+        |kept AS (
+        |  SELECT doc_id, pos, w FROM (
+        |    SELECT doc_id, pos, w,
+        |           lag(lower(w)) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |    FROM words) t
+        |  WHERE prev IS NULL OR prev <> lower(w)),
+        |rebuilt AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(w, ' ' ORDER BY pos) AS cleaned
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (
+        |  SELECT doc_id, len(list_filter(
+        |           string_split_regex(text, '\s+'), x -> x <> '')) AS n_total
+        |  FROM aug)
+        |SELECT t.doc_id, COALESCE(r.n_kept, 0) AS n_kept,
+        |       t.n_total - COALESCE(r.n_kept, 0) AS n_dropped,
+        |       md5(COALESCE(r.cleaned, '')) AS clean_md5
+        |FROM tot t LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     // TTR replay: same tokenization, per-source token/vocab counts,
     // sources with no tokens keep a (0, 0, NULL) row
     "corpus_ttr_by_source" ->

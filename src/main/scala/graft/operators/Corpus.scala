@@ -250,6 +250,52 @@ object Corpus {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Collapse consecutive repeated words — "the the the model model" →
+    * "the model" — the de-stuttering cleanup for ASR transcripts, OCR
+    * output, and generation loops (immediately-repeated tokens teach an
+    * LM to loop harder). A word is dropped iff it equals the previous
+    * word of the SAME document case-insensitively; rebuilding joins
+    * survivors with single spaces (original whitespace is not
+    * preserved, same contract as the other rebuilds). Regex
+    * backreferences could express this only engine-locked (RE2 has
+    * none), so the lag-window form IS the portable definition.
+    *
+    * Returns (idCol, n_kept long, n_dropped long, cleaned string);
+    * NULL/whitespace-only text yields (0, 0, '').
+    *
+    * Scale shape: identical to [[dedupLinesWithinDoc]] — the lag window
+    * partitions by document (pos order), the rebuild is the (id)-keyed
+    * sort-aggregate. The window key here is the document alone (lag
+    * needs full order), so a pathological mega-document serializes in
+    * one task: chunk such docs first ([[Packing]]) — documented bound,
+    * not a silent one. */
+  def collapseRepeatedTokens(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(filter(split(col(textCol), "\\s+"), w => w =!= ""))
+          .as(Seq("__pos", "__w")))
+    val kept = words
+      .withColumn("__prev", lag(lower(col("__w")), 1).over(
+        Window.partitionBy(col("__id")).orderBy(col("__pos"))))
+      .filter(col("__prev").isNull || col("__prev") =!= lower(col("__w")))
+    val rebuilt = kept.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          array_sort(collect_list(struct(col("__pos"), col("__w"))))
+            .getField("__w"), " ").as("cleaned"))
+    df.select(col(idCol).as("__id"),
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(filter(split(col(textCol), "\\s+"), w => w =!= ""))
+            .cast("long")).as("__n_total"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Lexical-diversity audit per source: token count, vocabulary size,
     * and type-token ratio for every value of `sourceCol` — the quick
     * corpus-QA table that catches a source gone repetitive (template

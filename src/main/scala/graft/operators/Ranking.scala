@@ -132,6 +132,45 @@ object Ranking {
       .drop("__grs_run")
   }
 
+  /** Equi-width histogram of a numeric column over [lo, hi): bucket b
+    * covers `[lo + b·w, lo + (b+1)·w)` with `w = (hi − lo)/buckets`;
+    * values below `lo` land in bucket −1, values at or above `hi` in
+    * bucket `buckets` — out-of-range mass is REPORTED, never silently
+    * clipped into the edge buckets (a distribution audit that hides its
+    * tails is how length-filter regressions go unnoticed). Empty buckets
+    * inside the range are emitted with n = 0 so the output shape is
+    * fixed and diffable across runs. NULL values are excluded.
+    *
+    * Returns (bucket int, lo double, hi double, n long), bucket
+    * ascending. One map-combinable aggregate; the bucket frame is
+    * `buckets + 2` rows — driver-bounded like every sidecar here. */
+  def equiWidthHistogram(df: DataFrame, valCol: String, buckets: Int,
+                         lo: Double, hi: Double): DataFrame = {
+    require(buckets >= 1, "need at least one bucket")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val w = (hi - lo) / buckets
+    val spark = df.sparkSession
+    val counted = df.filter(col(valCol).isNotNull)
+      .select(
+        when(col(valCol).cast("double") < lo, lit(-1))
+          .when(col(valCol).cast("double") >= hi, lit(buckets))
+          .otherwise(floor((col(valCol).cast("double") - lo) / w)
+            .cast("int")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    import spark.implicits._
+    val shape = (-1 to buckets).toDF("bucket")
+    broadcast(shape).join(counted, Seq("bucket"), "left")
+      .select(col("bucket"),
+        when(col("bucket") === -1, lit(Double.NegativeInfinity))
+          .when(col("bucket") === buckets, lit(hi))
+          .otherwise(lit(lo) + col("bucket") * w).as("lo"),
+        when(col("bucket") === -1, lit(lo))
+          .when(col("bucket") === buckets, lit(Double.PositiveInfinity))
+          .otherwise(lit(lo) + (col("bucket") + 1) * w).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
   /** Per-group z-scores of a value column — the anomaly primitive under
     * "which day's event volume is off for this event type", "which
     * document's quality score is an outlier for its source": each row

@@ -127,6 +127,25 @@ class CorpusSpec extends SparkSpec {
     assert(e.isNullAt(3) && e.getLong(1) == 0L)
   }
 
+  test("collapseRepeatedTokens: case-insensitive consecutive collapse, " +
+       "non-adjacent repeats survive, NULL/blank keep a (0,0,'') row") {
+    val docs = Seq(
+      (1L, "the THE the model  model runs"),
+      (2L, "a b a b"),            // alternating — nothing collapses
+      (3L, null: String),
+      (4L, "   "),
+      (5L, "word")).toDF("id", "text")
+    val out = Corpus.collapseRepeatedTokens(docs, "id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // keep-first preserves the FIRST casing of a run
+    assert(out(1L) == (3L, 3L, "the model runs"))
+    assert(out(2L) == (4L, 0L, "a b a b"))
+    assert(out(3L) == (0L, 0L, ""))
+    assert(out(4L) == (0L, 0L, ""))
+    assert(out(5L) == (1L, 0L, "word"))
+  }
+
   test("typeTokenRatioBySource: exact counts, token-less sources keep a " +
        "(0, 0, NULL) row") {
     val docs = Seq(

@@ -89,6 +89,24 @@ class RankingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet)
   }
 
+  test("equiWidthHistogram: exact bucketing, boundary values fall right, " +
+       "out-of-range mass reported in sentinel buckets, empty buckets " +
+       "emitted, NULLs excluded") {
+    val df = Seq[java.lang.Double](0.0, 9.999, 10.0, 25.0, 39.9, 40.0,
+      -5.0, 100.0, null).toDF("v")
+    val out = Ranking.equiWidthHistogram(df, "v", 4, 0.0, 40.0).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+    assert(out.map(_._1).toSeq == Seq(-1, 0, 1, 2, 3, 4))
+    val m = out.toMap
+    assert(m(-1) == (Double.NegativeInfinity, 0.0, 1L)) // -5
+    assert(m(0)._3 == 2L)  // 0.0, 9.999
+    assert(m(1)._3 == 1L)  // 10.0 lands in [10,20), not [0,10)
+    assert(m(2)._3 == 1L)  // 25
+    assert(m(3)._3 == 1L)  // 39.9
+    assert(m(4) == (40.0, Double.PositiveInfinity, 2L)) // 40, 100
+    assert(m(2)._1 == 20.0 && m(2)._2 == 30.0)
+  }
+
   test("groupZScores: hand-computed z per group; singleton and " +
        "zero-spread groups yield NULL; no window in the plan") {
     val df = Seq(
