@@ -1215,6 +1215,17 @@ object SparkEntry {
           md5(col("cleaned")).as("clean_md5"))
         .orderBy(col("doc_id"))
     }),
+    "text_char_entropy" -> ((s, dir) => {
+      // gibberish detector: per-doc Shannon entropy of the character
+      // distribution — row-local higher-order array functions, no
+      // explode, no shuffle beyond the final sort (TextFunctions
+      // .charEntropy); round(4) absorbs term-order drift vs the
+      // oracle's grouped-sum form
+      DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.charEntropy(col("text")).as("h"))
+        .orderBy(col("doc_id"))
+    }),
     "corpus_length_histogram" -> ((s, dir) => {
       // document-length distribution audit (Ranking.equiWidthHistogram):
       // 10 equi-width buckets over [0, 500) chars plus sentinel buckets
@@ -2469,6 +2480,14 @@ object SparkEntry {
         .filter(col("id1") < col("id2"))
         .select(col("id1"), col("id2"))
         .orderBy(col("id1"), col("id2"))
+    }),
+    "events_funnel" -> ((s, dir) => {
+      // ordered conversion funnel view → click → purchase per user:
+      // stage k needs an event at or after the earliest qualifying
+      // stage-(k−1) event. Per-stage min-aggregates joined on the user
+      // key — no per-user sort of the full stream (Sessions.funnel)
+      operators.Sessions.funnel(eventsMicros(s, dir), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))
     }),
     "events_volume_zscore" -> ((s, dir) => {
       // volume-anomaly audit: daily event counts z-scored within each
@@ -3829,6 +3848,22 @@ object SparkEntry {
         |  AND a.event_id < b.event_id
         |  AND abs(floor(epoch(a.ts)) - floor(epoch(b.ts))) <= 3600
         |ORDER BY id1, id2""".stripMargin,
+    // funnel replay: per-stage correlated min-aggregates, ties (>=) count
+    "events_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1)
+        |SELECT * FROM (VALUES
+        |  (1, 'view', (SELECT count(*) FROM s1)),
+        |  (2, 'click', (SELECT count(*) FROM s2)),
+        |  (3, 'purchase', (SELECT count(*) FROM s3))) t(stage, event_type, n_keys)
+        |ORDER BY stage""".stripMargin,
     // z-score replay: daily counts, per-type mean/stddev_samp join
     "events_volume_zscore" ->
       """WITH daily AS (
@@ -4022,6 +4057,20 @@ object SparkEntry {
         |       CASE WHEN a.i = b.i THEN 1.0 ELSE 0.0 END AS cov
         |FROM range(64) a(i) JOIN range(64) b(i) ON a.i <= b.i
         |ORDER BY i, j""".stripMargin,
+    // entropy replay via the grouped-sum form (mathematically identical,
+    // round(4) bridges the summation-order difference)
+    "text_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ''), x -> x <> '')) AS ch
+        |  FROM documents),
+        |pc AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+        |tot AS (SELECT doc_id, sum(c) AS n FROM pc GROUP BY doc_id),
+        |h AS (
+        |  SELECT pc.doc_id,
+        |         round(sum(-(c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))), 4) AS h
+        |  FROM pc JOIN tot USING (doc_id) GROUP BY pc.doc_id)
+        |SELECT d.doc_id, h.h FROM documents d LEFT JOIN h USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // histogram replay: same bucket arithmetic, range() supplies the
     // fixed bucket shape (empty buckets at n = 0)
     "corpus_length_histogram" ->

@@ -38,4 +38,45 @@ object Sessions {
       .agg(count(lit(1)).as("n_events"),
         (max(col(tsCol)).cast("double") - min(col(tsCol)).cast("double"))
           .cast("long").as("span_sec"))
+
+  /** Ordered funnel: how many keys reach each stage of
+    * `stages = Seq(A, B, C, …)`, where reaching stage k means an event
+    * of type `stages(k)` occurred AT OR AFTER the earliest qualifying
+    * event of stage k−1 (the standard product-analytics conversion
+    * funnel; ties at the same timestamp count, matching the usual
+    * "same-batch pixel" convention). Returns one row per stage:
+    * (stage int 1-based, event_type, n_keys long) — n_keys is
+    * monotonically non-increasing by construction.
+    *
+    * Scale shape: stage k is a filtered min-aggregate on the key joined
+    * to stage k−1's frame — every shuffle is keyed on the SAME key
+    * column, so AQE coalesces them into co-partitioned exchanges, and
+    * per-stage frames only shrink. k stages = k passes over the (typed,
+    * pre-filtered) event subsets, never a per-key sort of the full
+    * stream and never anything O(keys²). Single-pass sequence matching
+    * per key is possible with a sorted window but serializes hot keys;
+    * the per-stage aggregate form keeps every stage map-combinable. */
+  def funnel(df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    require(stages.distinct.length == stages.length,
+      "repeated stage types are ambiguous — rename or pre-tag them")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var reached = df.filter(col(typeCol) === stages.head)
+      .groupBy(col(keyCol).as("__fk"))
+      .agg(min(col(tsCol)).as("__ft"))
+    val counts = Seq.newBuilder[(Int, String, Long)]
+    counts += ((1, stages.head, reached.count()))
+    for ((st, i) <- stages.zipWithIndex.drop(1)) {
+      reached = df.filter(col(typeCol) === st)
+        .select(col(keyCol).as("__fk"), col(tsCol).as("__ts"))
+        .join(reached, Seq("__fk"))
+        .filter(col("__ts") >= col("__ft"))
+        .groupBy(col("__fk"))
+        .agg(min(col("__ts")).as("__ft"))
+      counts += ((i + 1, st, reached.count()))
+    }
+    counts.result().toDF("stage", "event_type", "n_keys")
+  }
 }

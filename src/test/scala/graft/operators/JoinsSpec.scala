@@ -201,6 +201,30 @@ class JoinsSpec extends SparkSpec {
     assert(st.getAs[Long]("n_events") == 3 && st.getAs[Long]("span_sec") == 3000L)
   }
 
+  test("funnel: order matters, ties count, drop-off is monotone, " +
+       "missing stages zero out") {
+    import java.sql.Timestamp
+    def t(s: Int) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", t(10)), (1L, "click", t(20)), (1L, "purchase", t(30)),
+      // user 2: purchase BEFORE click — reaches stage 2 only
+      (2L, "view", t(10)), (2L, "purchase", t(15)), (2L, "click", t(20)),
+      // user 3: click tied with view — tie counts; no purchase
+      (3L, "view", t(10)), (3L, "click", t(10)),
+      // user 4: click only — never entered the funnel
+      (4L, "click", t(5))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Sessions.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase")).orderBy($"stage").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, "view", 3L), (2, "click", 3L),
+      (3, "purchase", 1L)))
+    intercept[IllegalArgumentException] {
+      Sessions.funnel(ev, "user_id", "event_type", "ts", Seq("a", "a"))
+    }
+  }
+
   test("edge cases: empty sides, single rows, tiny corpora") {
     val emptyOrders = orders.filter($"o_id" < 0)
     // asof against an empty right: left keeps nulls, inner drops all

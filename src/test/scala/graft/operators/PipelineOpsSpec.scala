@@ -47,6 +47,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(good > bad && good <= 1.0 && bad >= 0.0)
   }
 
+  test("charEntropy: uniform/degenerate/hand-computed values; NULL and " +
+       "empty score NULL; stays out of the shuffle") {
+    val df = Seq((1L, "aaaa"), (2L, "abca"), (3L, "abcd"),
+      (4L, ""), (5L, null: String)).toDF("id", "t")
+    val out = df.select($"id", TextFunctions.charEntropy($"t").as("h"))
+    val m = out.collect().map(r => r.getLong(0) ->
+      Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(m(1L) == Some(0.0))
+    // {a:2, b:1, c:1} over 4 → -(.5 ln .5 + .25 ln .25 ×2) = 1.0397
+    assert(m(2L) == Some(1.0397))
+    assert(m(3L) == Some(math.rint(math.log(4.0) * 1e4) / 1e4))
+    assert(m(4L).isEmpty && m(5L).isEmpty)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("fingerprint is whitespace/case-insensitive and codegen matches eval") {
     val df = Seq("Hello   World", "hello world", "different").toDF("t")
       .select(TextFunctions.fingerprint($"t").as("fp"))
