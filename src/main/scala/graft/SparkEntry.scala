@@ -2481,6 +2481,14 @@ object SparkEntry {
         .select(col("id1"), col("id2"))
         .orderBy(col("id1"), col("id2"))
     }),
+    "events_cohort_retention" -> ((s, dir) => {
+      // weekly cohort retention: users grouped by first-activity week
+      // (epoch-aligned periods, no locale calendar), counted per
+      // return-week offset (Sessions.cohortRetention)
+      operators.Sessions.cohortRetention(eventsMicros(s, dir),
+          "user_id", "ts", periodDays = 7)
+        .orderBy(col("cohort"), col("offset"))
+    }),
     "events_funnel" -> ((s, dir) => {
       // ordered conversion funnel view → click → purchase per user:
       // stage k needs an event at or after the earliest qualifying
@@ -2762,6 +2770,17 @@ object SparkEntry {
       operators.Sampling.leakFreeSplit(docs, "doc_id", pairs,
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+    "sample_systematic_pps" -> ((s, dir) => {
+      // probability-proportional-to-size corpus subsetting: keep rows
+      // whose char-weight span crosses a 5000-char lattice point in
+      // doc_id order — all-integer arithmetic, so the selection replays
+      // bit-identically (no pow(u,1/w) libm-ulp rank risk)
+      operators.Sampling.systematicSampleByWeight(
+          DbReader(conn(s, dir), "documents").run()
+            .select(col("doc_id"), col("n_chars")),
+          Seq(col("doc_id")), "n_chars", stride = 5000L)
         .orderBy(col("doc_id"))
     }),
     "sample_stratified" -> ((s, dir) => {
@@ -3848,6 +3867,18 @@ object SparkEntry {
         |  AND a.event_id < b.event_id
         |  AND abs(floor(epoch(a.ts)) - floor(epoch(b.ts))) <= 3600
         |ORDER BY id1, id2""".stripMargin,
+    // retention replay: epoch-day arithmetic (date - epoch yields days
+    // in DuckDB), same floor-div periods
+    "events_cohort_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(floor((CAST(ts AS DATE) - DATE '1970-01-01') / 7.0) AS BIGINT) AS p
+        |  FROM events),
+        |firstp AS (SELECT user_id, min(p) AS c0 FROM active GROUP BY 1)
+        |SELECT DATE '1970-01-01' + (c0 * 7)::INTEGER AS cohort,
+        |       (p - c0)::INTEGER AS "offset", count(*) AS n_keys
+        |FROM active JOIN firstp USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // funnel replay: per-stage correlated min-aggregates, ties (>=) count
     "events_funnel" ->
       """WITH s1 AS (
@@ -4750,6 +4781,16 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |        (skey % 2147483648) * 2654435761 % 4294967296 AS h
         |      FROM keyed)
+        |ORDER BY doc_id""".stripMargin,
+    // PPS replay: exclusive-prefix-sum lattice crossing, integer div
+    "sample_systematic_pps" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |         sum(n_chars) OVER (ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM documents)
+        |SELECT doc_id, n_chars FROM r
+        |WHERE run // 5000 > (run - n_chars) // 5000
         |ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT source, count(*) AS n_kept, min(doc_id) AS min_id

@@ -205,6 +205,34 @@ object Sampling {
       .drop("__mix_cum")
   }
 
+  /** Systematic probability-proportional-to-size sampling: lay the rows
+    * out in the deterministic total order of `sortCols`, accumulate the
+    * integer `weightCol` (token counts, byte sizes), and keep every row
+    * whose weight span crosses a multiple of `stride` — inclusion
+    * probability ≈ weight/stride, expected sample weight = total/stride,
+    * and a row with weight ≥ stride is ALWAYS kept (the classic PPS
+    * guarantee). All arithmetic is integer, so the selection replays
+    * bit-identically in any engine — no `pow(u, 1/w)` key whose last-ulp
+    * libm differences could flip a rank (the reason this is the
+    * exponential-keys method's engine-portable sibling).
+    *
+    * Scale shape: rides [[Ranking.globalRunningSum]] — one
+    * range-partitioned sort + per-partition offsets broadcast, then the
+    * crossing test is a map-only integer compare. NULL weights count 0
+    * (never sampled, never shift the lattice). */
+  def systematicSampleByWeight(df: DataFrame,
+                               sortCols: Seq[org.apache.spark.sql.Column],
+                               weightCol: String,
+                               stride: Long): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    Ranking.globalRunningSum(df, sortCols, weightCol, out = "__pps_run")
+      .filter(call_function("div", col("__pps_run"), lit(stride)) >
+        call_function("div",
+          col("__pps_run") - coalesce(col(weightCol).cast("long"), lit(0L)),
+          lit(stride)))
+      .drop("__pps_run")
+  }
+
   /** Deterministic global shuffle for training order: sort by the Knuth
     * hash of the key (ties by key). The hash is map-only; the sort is one
     * range-partitioned exchange, identical on re-runs — no RNG state, so

@@ -39,6 +39,34 @@ object Sessions {
         (max(col(tsCol)).cast("double") - min(col(tsCol)).cast("double"))
           .cast("long").as("span_sec"))
 
+  /** Cohort retention: group keys by the period of their FIRST event
+    * (the cohort), then count how many of each cohort come back in each
+    * later period. Returns (cohort date, offset int ≥ 0, n_keys long) —
+    * offset 0 is the cohort's size by construction. `periodDays` buckets
+    * time as `floor(days_since_epoch / periodDays)`, so periods are
+    * aligned and engine-replayable (no calendar-week locale traps).
+    *
+    * Scale shape: first-event is a min-aggregate on the key; activity
+    * is a distinct on (key, period); their join is keyed on the SAME
+    * key; the final rollup groups (cohort, offset) — all map-combinable,
+    * nothing O(keys²), no window over the event stream. */
+  def cohortRetention(df: DataFrame, keyCol: String, tsCol: String,
+                      periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 1, "periodDays must be >= 1")
+    def period(c: org.apache.spark.sql.Column) =
+      floor(datediff(to_date(c), lit("1970-01-01").cast("date"))
+        .cast("double") / periodDays).cast("long")
+    val active = df.select(col(keyCol).as("__ck"),
+      period(col(tsCol)).as("__p")).distinct()
+    val first = active.groupBy(col("__ck")).agg(min(col("__p")).as("__c0"))
+    active.join(first, Seq("__ck"))
+      .groupBy(col("__c0"), (col("__p") - col("__c0")).cast("int").as("offset"))
+      .agg(count(lit(1)).as("n_keys"))
+      .select(date_add(lit("1970-01-01").cast("date"),
+          (col("__c0") * periodDays).cast("int")).as("cohort"),
+        col("offset"), col("n_keys"))
+  }
+
   /** Ordered funnel: how many keys reach each stage of
     * `stages = Seq(A, B, C, …)`, where reaching stage k means an event
     * of type `stages(k)` occurred AT OR AFTER the earliest qualifying

@@ -304,6 +304,37 @@ class SamplingSpec extends SparkSpec {
     assert(small.subsetOf(large))
   }
 
+  test("systematicSampleByWeight: every stride crossing kept exactly " +
+       "once, heavy rows always survive, expected weight ~ total/stride, " +
+       "NULL weights never sampled") {
+    import org.apache.spark.sql.functions.col
+    val rows = (0 until 400).map(i =>
+      (i.toLong, ((i * 37) % 90 + 10).toLong)) :+ (400L, 5000L)
+    val df = rows.toDF("id", "w")
+    val out = Sampling.systematicSampleByWeight(df, Seq(col("id")), "w",
+      stride = 1000L).select("id", "w").as[(Long, Long)].collect()
+    // the 5000-weight row crosses >= 5 boundaries -> always kept
+    assert(out.exists(_._1 == 400L))
+    // with every weight < stride each row crosses at most one boundary,
+    // so the light-only frame keeps exactly floor(total / stride) rows
+    // (the heavy row above absorbs several boundaries into one row)
+    val light = rows.dropRight(1)
+    val lightKept = Sampling.systematicSampleByWeight(
+      light.toDF("id", "w"), Seq(col("id")), "w", stride = 1000L).count()
+    assert(lightKept == light.map(_._2).sum / 1000L)
+    // deterministic replay
+    val again = Sampling.systematicSampleByWeight(df, Seq(col("id")), "w",
+      stride = 1000L).select("id").as[Long].collect()
+    assert(out.map(_._1).toSeq == again.toSeq)
+    // NULL weight rows can never be selected
+    val withNull = Seq((1L, java.lang.Long.valueOf(1500L)),
+      (2L, null.asInstanceOf[java.lang.Long]),
+      (3L, java.lang.Long.valueOf(1500L))).toDF("id", "w")
+    val sel = Sampling.systematicSampleByWeight(withNull, Seq(col("id")),
+      "w", stride = 1000L).select("id").as[Long].collect().toSet
+    assert(sel == Set(1L, 3L))
+  }
+
   test("mixByTokenBudget: per-source caps bind, order deterministic, others drop") {
     val docs = (0 until 30).map { i =>
       (i.toLong, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", 10L)

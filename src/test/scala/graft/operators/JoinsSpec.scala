@@ -225,6 +225,26 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("cohortRetention: offset 0 equals cohort size, gaps don't break " +
+       "offsets, multiple same-period events count once") {
+    import java.sql.Timestamp
+    def d(day: Int) = Timestamp.valueOf(f"1970-01-${day}%02d 12:00:00")
+    val ev = Seq(
+      // users 1,2 start period 0 (days 1-7); user 1 returns periods 1
+      // and 3 (skipping 2); user 2 never returns
+      (1L, d(2)), (1L, d(3)), (1L, d(9)), (1L, d(23)),
+      (2L, d(5)),
+      // user 3 starts period 1, returns period 2
+      (3L, d(10)), (3L, d(16))
+    ).toDF("user_id", "ts")
+    val out = Sessions.cohortRetention(ev, "user_id", "ts", periodDays = 7)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(out == Set(
+      ("1970-01-01", 0, 2L), ("1970-01-01", 1, 1L), ("1970-01-01", 3, 1L),
+      ("1970-01-08", 0, 1L), ("1970-01-08", 1, 1L)))
+  }
+
   test("edge cases: empty sides, single rows, tiny corpora") {
     val emptyOrders = orders.filter($"o_id" < 0)
     // asof against an empty right: left keeps nulls, inner drops all
