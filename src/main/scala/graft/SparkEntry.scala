@@ -1215,6 +1215,19 @@ object SparkEntry {
           md5(col("cleaned")).as("clean_md5"))
         .orderBy(col("doc_id"))
     }),
+    "tokenizer_bpe_encode" -> ((s, dir) => {
+      // real BPE inference (greedy lowest-rank merge loop) with an
+      // arithmetically-predictable outcome: each doc's text is 'ab'
+      // repeated k = doc_id%20+1 times; merges (a,b) then (ab,ab)
+      // collapse it to ceil(k/2) tokens — any defect in rank priority,
+      // adjacency, or leftmost-first tie-breaking shifts some count
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"),
+          expr("repeat('ab', CAST(doc_id % 20 + 1 AS INT))").as("text"))
+      operators.Tokenize.bpeTokenCounts(docs, "doc_id", "text",
+          Seq(("a", "b"), ("ab", "ab")))
+        .orderBy(col("doc_id"))
+    }),
     "text_char_entropy" -> ((s, dir) => {
       // gibberish detector: per-doc Shannon entropy of the character
       // distribution — row-local higher-order array functions, no
@@ -4088,6 +4101,11 @@ object SparkEntry {
         |       CASE WHEN a.i = b.i THEN 1.0 ELSE 0.0 END AS cov
         |FROM range(64) a(i) JOIN range(64) b(i) ON a.i <= b.i
         |ORDER BY i, j""".stripMargin,
+    // BPE-encode oracle: 'ab'*k under merges (a,b),(ab,ab) -> ceil(k/2)
+    "tokenizer_bpe_encode" ->
+      """SELECT doc_id,
+        |       CAST(ceil((doc_id % 20 + 1) / 2.0) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // entropy replay via the grouped-sum form (mathematically identical,
     // round(4) bridges the summation-order difference)
     "text_char_entropy" ->

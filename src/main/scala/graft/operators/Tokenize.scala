@@ -55,6 +55,83 @@ object Tokenize {
     pairs.orderBy(col("cnt").desc, col("sym1"), col("sym2")).limit(topK)
   }
 
+  /** Greedy BPE encoding of one word against a ranked merge list
+    * (Sennrich et al. 2016 inference): start from characters, repeatedly
+    * fuse the adjacent pair with the LOWEST merge rank anywhere in the
+    * word (leftmost on rank ties) until no listed pair remains. This is
+    * the reference BPE inference loop, exposed for specs and driver-side
+    * use; the distributed path is [[bpeEncode]]. */
+  def bpeEncodeWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    val rank = merges.zipWithIndex.toMap
+    val toks = scala.collection.mutable.ArrayBuffer(
+      word.map(_.toString): _*)
+    var done = toks.length < 2
+    while (!done) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = rank.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = i }
+        i += 1
+      }
+      if (best < 0 || bestRank == Int.MaxValue) done = true
+      else {
+        toks(best) = toks(best) + toks(best + 1)
+        toks.remove(best + 1)
+        if (toks.length < 2) done = true
+      }
+    }
+    toks.toSeq
+  }
+
+  /** Distributed BPE encoding: tokenize the corpus against a learned
+    * merge list, WITHOUT ever running the merge loop over the corpus —
+    * the corpus collapses to its word-frequency table (the only full
+    * scan, map-side combined), each UNIQUE word encodes once in a typed
+    * map over that vocab-sized table, and consumers join the result back
+    * by word. A word seen a billion times costs one encode. Returns
+    * (word string, count long, tokens array<string>, n_tokens int).
+    *
+    * The merge list rides the closure (it is KBs — a 50k-merge GPT-2
+    * table is ~0.5 MB, broadcast-fine); ranks resolve by list position. */
+  def bpeEncode(df: DataFrame, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        t => t =!= "")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    words.as[(String, Long)].map { case (w, c) =>
+      val toks = bpeEncodeWord(w, merges)
+      (w, c, toks, toks.length)
+    }.toDF("word", "count", "tokens", "n_tokens")
+  }
+
+  /** Per-document token counts under a BPE merge list: the budget
+    * column every packing / mixing / curriculum step keys on, computed
+    * at the REAL tokenizer's granularity instead of the whitespace
+    * estimate. One corpus scan for the (doc, word) stream, one
+    * vocab-sized encode ([[bpeEncode]]), one broadcastable join back on
+    * the word, one per-doc sum. Documents with no tokens keep a
+    * (id, 0) row. Returns (idCol, n_tokens long). */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val docWords = df.select(col(idCol).as("__id"),
+      explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        t => t =!= "")).as("__w"))
+    val encoded = bpeEncode(df, textCol, merges)
+      .select(col("word").as("__w"), col("n_tokens").as("__nt"))
+    val summed = docWords.join(encoded, Seq("__w"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__nt")).cast("long").as("n_tokens"))
+    df.select(col(idCol).as("__id"))
+      .join(summed, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+
   /** Unigram-tokenizer seed vocabulary (Kudo 2018, arXiv:1804.10959
     * §3.2 seeds from frequent substrings): every substring of length
     * `minLen..maxLen` occurring in the corpus, scored by

@@ -65,4 +65,37 @@ class TokenizeSpec extends SparkSpec {
       assert(plan.contains("TakeOrderedAndProject"), plan)
     }
   }
+
+  test("bpeEncodeWord: rank priority beats position, leftmost wins rank " +
+       "ties, unmergeable text stays characters, chains compose") {
+    // lowest-rank pair fuses FIRST even when a later-position pair has
+    // a lower rank than an earlier-position one
+    assert(Tokenize.bpeEncodeWord("abc", Seq(("b", "c"), ("a", "b")))
+      == Seq("a", "bc"))
+    // leftmost-first on equal ranks: aaa -> [aa, a], not [a, aa]
+    assert(Tokenize.bpeEncodeWord("aaa", Seq(("a", "a"))) == Seq("aa", "a"))
+    // chain: ab+ab composes from two (a,b) products
+    assert(Tokenize.bpeEncodeWord("abab",
+      Seq(("a", "b"), ("ab", "ab"))) == Seq("abab"))
+    // no listed pair -> characters
+    assert(Tokenize.bpeEncodeWord("xyz", Seq(("a", "b")))
+      == Seq("x", "y", "z"))
+    assert(Tokenize.bpeEncodeWord("a", Nil) == Seq("a"))
+  }
+
+  test("bpeEncode + bpeTokenCounts: unique words encode once, counts " +
+       "join back per doc, token-less docs keep a zero row") {
+    val docs = Seq((1L, "abab ab"), (2L, "abab abab xyz"),
+      (3L, "123")).toDF("id", "text")
+    val merges = Seq(("a", "b"), ("ab", "ab"))
+    val enc = Tokenize.bpeEncode(docs, "text", merges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(3)))).toMap
+    // vocab: abab (x3 across docs), ab (x1), xyz (x1)
+    assert(enc("abab") == (3L, 1))
+    assert(enc("ab") == (1L, 1))
+    assert(enc("xyz") == (1L, 3))
+    val counts = Tokenize.bpeTokenCounts(docs, "id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 2L, 2L -> 5L, 3L -> 0L))
+  }
 }
