@@ -680,6 +680,36 @@ object SparkEntry {
           shingleSize = 3, threshold = 0.7)
         .orderBy(col("id1"), col("id2"))
     }),
+    "dedup_containment" -> ((s, dir) => {
+      // excerpt detection Jaccard structurally misses: docs < 50 get a
+      // 12-word-prefix excerpt planted at id+100000; containment
+      // excerpt→source is exactly 1.0 while Jaccard ≈ prefix/full.
+      // Directed pairs at ≥ 0.9 (natural near-dup pairs also qualify —
+      // the oracle replays the same shingle algebra)
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), col("text"))
+      val excerpts = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 12), " ")
+            .as("text"))
+      operators.Dedup.ngramContainmentPairs(docs.unionByName(excerpts),
+          "doc_id", "text", shingleSize = 3, threshold = 0.9)
+        .orderBy(col("src_id"), col("dst_id"))
+    }),
+    "dedup_keep_latest" -> ((s, dir) => {
+      // changelog compaction: one max_by aggregate per key, no window
+      // sort a hot key could serialize. lineitem as the changelog:
+      // key = l_orderkey % 1000; the synthetic lineitem REPEATS
+      // (orderkey, linenumber) pairs, so l_quantity joins the version
+      // to make the order total (the operator contract: pass enough
+      // columns or ties resolve arbitrarily)
+      operators.Dedup.keepLatestByKey(
+          DbReader(conn(s, dir), "lineitem").run()
+            .select(pmod(col("l_orderkey"), lit(1000)).as("k"),
+              col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+          Seq("k"), Seq("l_orderkey", "l_linenumber", "l_quantity"))
+        .orderBy(col("k"))
+    }),
     "dedup_components" -> ((s, dir) => {
       // near-dup clustering: pairwise MinHash hits → connected components
       // (min-label propagation) → one dedup group per component. The
@@ -3129,6 +3159,47 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT doc_id FROM dups)
         |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle,
+    // containment replay: same raw-string shingles as jaccardOracle plus
+    // the planted prefix excerpts; directed rows from the undirected
+    // intersection
+    "dedup_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         array_to_string(list_slice(
+        |           string_split_regex(trim(text), '\s+'), 1, 12), ' ')
+        |  FROM documents WHERE doc_id < 50),
+        |docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |         i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM base)
+        |  WHERE len(toks) >= 3),
+        |inv AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM docs),
+        |shared AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |         any_value(a.n) AS n1, any_value(b.n) AS n2, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT src_id, dst_id, containment FROM (
+        |  SELECT id1 AS src_id, id2 AS dst_id,
+        |         round(inter::DOUBLE / n1, 6) AS containment FROM shared
+        |  UNION ALL
+        |  SELECT id2, id1, round(inter::DOUBLE / n2, 6) FROM shared)
+        |WHERE containment >= 0.9
+        |ORDER BY src_id, dst_id""".stripMargin,
+    // keep-latest replay via a total-order window (DuckDB's arg_max
+    // takes a scalar key; the window states the lexicographic version
+    // directly)
+    "dedup_keep_latest" ->
+      """SELECT k, l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT l_orderkey % 1000 AS k, l_orderkey, l_linenumber,
+        |         l_quantity,
+        |         row_number() OVER (PARTITION BY l_orderkey % 1000
+        |           ORDER BY l_orderkey DESC, l_linenumber DESC,
+        |                    l_quantity DESC) AS rn
+        |  FROM lineitem) t WHERE rn = 1
+        |ORDER BY k""".stripMargin,
     // brute-force simhash: same md5-derived 64-bit token hash
     // (first 16 md5 hex chars), same per-occurrence bit votes, all pairs
     // full winnowing replay: same shingles, same 60-bit md5-prefix hash,

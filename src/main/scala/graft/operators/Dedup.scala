@@ -501,6 +501,65 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** DIRECTED n-gram containment pairs: `c(A→B) = |A∩B| / |A|` over
+    * distinct word shingles — the asymmetric similarity that catches
+    * what Jaccard structurally cannot: a 10-shingle excerpt quoted
+    * inside a 500-shingle article has Jaccard ≈ 0.02 but containment
+    * 1.0. The dedup policy difference matters at corpus scale: quote
+    * farms, syndication wrappers, and prompt-injection echoes are
+    * containment events, not near-duplicates.
+    *
+    * Returns (src_id, dst_id, containment double round 6) for every
+    * DIRECTED pair with containment ≥ `threshold` — src's shingles are
+    * contained in dst at that fraction; both directions of an unordered
+    * pair can qualify (two near-identical docs contain each other).
+    *
+    * Scale shape: the SAME inverted-index self-join as
+    * [[ngramJaccardDupPairs]] (docs only meet on a shared shingle,
+    * 8-byte hashed keys); the undirected intersection counts once, then
+    * both directed rows derive from it — no second join. No length
+    * bound prunes here: containment has no size-ratio bound (that
+    * asymmetry is the point). */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int = 3,
+                            threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val inverted = invertedIndex(shingleDocs(df, idCol, textCol, shingleSize))
+    val shared = inverted.as("l")
+      .join(inverted.as("r"),
+        col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id1"), col("r.id").as("id2"),
+        col("l.n_sh").as("n1"), col("r.n_sh").as("n2"))
+      .agg(count(lit(1)).as("inter"))
+    shared.select(col("id1").as("src_id"), col("id2").as("dst_id"),
+        round(col("inter").cast("double") / col("n1"), 6).as("containment"))
+      .unionByName(shared.select(col("id2").as("src_id"),
+        col("id1").as("dst_id"),
+        round(col("inter").cast("double") / col("n2"), 6).as("containment")))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Changelog compaction: keep each key's LATEST row, where latest is
+    * the max of `versionCols` compared lexicographically (CDC sequence
+    * number, updated-at + tiebreak — pass enough columns to make the
+    * order total, or ties resolve arbitrarily-but-deterministically by
+    * the remaining payload). One `max_by` aggregate — map-side
+    * combinable, partial-merging, NO window sort: a key with a billion
+    * updates costs its partitions one running maximum each, not a
+    * single-task sort (the row_number formulation's failure mode).
+    * Output schema = input schema, one row per key. */
+  def keepLatestByKey(df: DataFrame, keyCols: Seq[String],
+                      versionCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && versionCols.nonEmpty,
+      "need key and version columns")
+    val payload = struct(df.columns.map(col): _*)
+    val version = struct(versionCols.map(col): _*)
+    val kept = df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(payload, version).as("__row"))
+      .select(col("__row.*"))
+    kept
+  }
+
   /** Cross-corpus contamination detection: documents in `corpus` whose
     * n-gram Jaccard similarity with any `benchmark` document reaches
     * `threshold` — the decontamination primitive for excluding training

@@ -121,6 +121,42 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(idx).count() === 2L)
   }
 
+  test("ngramContainmentPairs: an excerpt scores 1.0 into its source " +
+       "while Jaccard misses it; identical docs contain each other; " +
+       "below-threshold directions are dropped") {
+    val article = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (5 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, article), (2L, excerpt), (3L, article),
+      (4L, "totally different words here entirely")).toDF("id", "text")
+    val pairs = Dedup.ngramContainmentPairs(docs, "id", "text",
+        shingleSize = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // excerpt (2) fully contained in both article copies
+    assert(pairs((2L, 1L)) == 1.0 && pairs((2L, 3L)) == 1.0)
+    // articles contain each other (identical)
+    assert(pairs((1L, 3L)) == 1.0 && pairs((3L, 1L)) == 1.0)
+    // the big article is NOT contained in the excerpt
+    assert(!pairs.contains((1L, 2L)))
+    // and Jaccard at the same bar misses the excerpt entirely
+    val jac = Dedup.ngramJaccardDupPairs(docs, "id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)))
+  }
+
+  test("keepLatestByKey: lexicographic version max wins, schema " +
+       "preserved, no window sort in the plan") {
+    val log = Seq(
+      (1L, 1, 10, "a"), (1L, 2, 5, "b"),   // key 1: version (2,5) wins
+      (1L, 2, 9, "c"),                      // same major, higher minor
+      (2L, 1, 1, "d")).toDF("k", "vmaj", "vmin", "payload")
+    val out = Dedup.keepLatestByKey(log, Seq("k"), Seq("vmaj", "vmin"))
+    assert(out.columns.toSeq == Seq("k", "vmaj", "vmin", "payload"))
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(m == Map(1L -> "c", 2L -> "d"))
+    assert(!out.queryExecution.executedPlan.toString.contains("WindowExec"))
+  }
+
   test("minhash LSH pairs == exact ngram jaccard pairs on crafted docs") {
     val lsh = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.5)
       .select($"id1", $"id2").as[(Long, Long)].collect().toSet
