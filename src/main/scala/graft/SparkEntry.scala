@@ -94,6 +94,12 @@ object SparkEntry {
   private val docsLandingCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Landing dir of staged PNG-payload batches for
+    * streaming_image_dedup (same INPUT-only contract as
+    * [[docsLandingCache]]). */
+  private val imageLandingCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Read-only history MinHash index for dedup_minhash_incremental,
     * built once per (JVM, sfDir): the gate never mutates it (appends
     * happen only in specs), so the driver's warm + timed reruns share
@@ -2250,6 +2256,57 @@ object SparkEntry {
       } finally s.sql(s"DROP TABLE IF EXISTS $table")
     }),
 
+    "streaming_image_dedup" -> ((s, dir) => {
+      // image dedup-on-ingest: PNG payloads whose pixels repeat every
+      // 100 ids stream in two mtime-ordered batches through the
+      // key-generic keyed-dedup runner (prepare = REAL ImageIO decode →
+      // dHash64). History = patterns 0..49 (ids 0..49) seeds the key
+      // index; batch 1 (ids 50..299) keeps only the first occurrence of
+      // each new pattern (50..99), batch 2 (ids 300..499) dies entirely
+      // against the appended index. Survivors are therefore exactly
+      // ids 50..99 — the oracle predicts them arithmetically
+      import org.apache.spark.sql.types._
+      val ids = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id")).filter(col("doc_id") < 500)
+      def pngs(from: Int, until: Int) =
+        operators.Multimodal.generatePng(
+          ids.filter(col("doc_id") >= from && col("doc_id") < until),
+          "doc_id", patternMod = 100L)
+      val landing = imageLandingCache.synchronized {
+        imageLandingCache.getOrElseUpdate(dir, {
+          val ld = java.nio.file.Files.createTempDirectory("graft_img_in")
+          Seq(pngs(50, 300), pngs(300, 500)).zipWithIndex.foreach {
+            case (b, i) =>
+              b.coalesce(1).write.mode("append").parquet(ld.toString)
+              graft.streaming.FileStreamReader.stampBatchMtime(ld.toString, i)
+          }
+          ld.toString
+        })
+      }
+      val table = "ph_img_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      operators.Dedup.buildKeyIndexTable(
+        operators.Multimodal.perceptualHash64(pngs(0, 50), "payload"),
+        col("phash"), table)
+      try {
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("payload", BinaryType)))
+        val stream = graft.streaming.FileStreamReader.read(
+          s, graft.filedf.Parquet(), landing, schema,
+          maxFilesPerTrigger = Some(1))
+        val ck = java.nio.file.Files.createTempDirectory("graft_img_ck").toString
+        val out = java.nio.file.Files.createTempDirectory("graft_img_out").toString
+        val ledger = new graft.core.InMemoryHwmStore
+        graft.streaming.StreamRunner.runIncrementalKeyedDedup(
+          stream, "doc_id",
+          b => operators.Multimodal.perceptualHash64(b, "payload"),
+          "phash", table, ck, ledger, s"img@$ck") { (survivors, _) =>
+            survivors.select(col("doc_id")).write.mode("append").parquet(out)
+        }
+        s.read.parquet(out).orderBy(col("doc_id")).localCheckpoint()
+      } finally s.sql(s"DROP TABLE IF EXISTS $table")
+    }),
+
     "streaming_incremental_neardedup" -> ((s, dir) => {
       // dedup-on-ingest, NEAR-dup flavor: two mtime-ordered micro-batches
       // stream against the persisted MinHash band index. Batch 1 drops
@@ -3623,6 +3680,12 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |       CASE WHEN length(text) > 0 THEN ascii(substring(text, 1, 1)) ELSE -1 END AS first_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // streaming image-dedup survivors predicted arithmetically: history
+    // holds patterns 0..49, so the stream's first occurrences of the
+    // NEW patterns (ids 50..99) are the only survivors
+    "streaming_image_dedup" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id >= 50 AND doc_id < 100 ORDER BY doc_id""".stripMargin,
     // dedup survivors predicted arithmetically: pixels are a pure
     // function of doc_id % 100, so exactly the first occurrence of each
     // pattern (doc_id < 100) survives keep-min-per-hash

@@ -220,20 +220,53 @@ object Dedup {
     * shuffle (plus the index side's Exchange only when `idx` is not
     * bucketed). */
   private def dedupNewAgainstIndex(df: DataFrame, idCol: String,
-                                   textCol: String, idx: DataFrame): DataFrame = {
+                                   textCol: String, idx: DataFrame): DataFrame =
+    dedupNewAgainstIndexByKey(df, idCol,
+      TextFunctions.fingerprint(col(textCol)), idx)
+
+  private def dedupNewAgainstIndexByKey(df: DataFrame, idCol: String,
+                                        key: Column, idx: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // withColumn REPLACES an existing column of the same name — a caller
     // whose frame already carries "__fp"/"__rn" would have that column
     // silently destroyed, so derive working names the input cannot contain
     val fpCol = collisionFree("__fp", df.columns)
     val rnCol = collisionFree("__rn", df.columns)
-    df.withColumn(fpCol, TextFunctions.fingerprint(col(textCol)))
+    val keyed = df.withColumn(fpCol, key)
+    // a NULL key means "no identity" (e.g. an undecodable image) — such
+    // rows can never be duplicates of anything; without this split the
+    // per-batch window would collapse ALL null-keyed rows into one
+    val nullKeyed = keyed.filter(col(fpCol).isNull).drop(fpCol)
+    keyed.filter(col(fpCol).isNotNull)
       .join(idx.select(col("fp").as(fpCol)), Seq(fpCol), "left_anti")
       .withColumn(rnCol, row_number().over(
         Window.partitionBy(col(fpCol)).orderBy(col(idCol))))
       .filter(col(rnCol) === 1)
       .drop(fpCol, rnCol)
+      .unionByName(nullKeyed)
   }
+
+  /** Key-generic siblings of the fingerprint-index trio: same bucketed
+    * existence-set machinery, but the 8-byte identity is ANY caller
+    * expression — a perceptual image hash, a URL canonical form, a
+    * (source, checksum) composite — instead of the text fingerprint.
+    * Rows whose key evaluates NULL pass through dedup untouched and are
+    * never appended (no identity ⇒ no duplicate relation). */
+  def buildKeyIndexTable(df: DataFrame, key: Column, table: String,
+                         buckets: Int = 32): Unit =
+    Bucketing.writeBucketed(
+      df.select(key.as("fp")).filter(col("fp").isNotNull).distinct(),
+      table, buckets, Seq("fp"))
+
+  def keyedDedupAgainstIndexTable(df: DataFrame, idCol: String, key: Column,
+                                  table: String): DataFrame =
+    dedupNewAgainstIndexByKey(df, idCol, key, df.sparkSession.table(table))
+
+  def appendKeysToIndexTable(newRows: DataFrame, key: Column, table: String,
+                             buckets: Int = 32): Unit =
+    Bucketing.writeBucketed(
+      newRows.select(key.as("fp")).filter(col("fp").isNotNull).distinct(),
+      table, buckets, Seq("fp"), org.apache.spark.sql.SaveMode.Append)
 
   /** `base`, suffixed with underscores until it collides with nothing in
     * `cols` — temp-column hygiene for operators that decorate arbitrary

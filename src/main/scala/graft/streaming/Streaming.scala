@@ -242,6 +242,35 @@ object StreamRunner {
         survivors, textCol, indexTable, indexBuckets)
     }
 
+  /** Key-generic [[runIncrementalDedup]]: each micro-batch first runs
+    * `prepare` (e.g. decode payloads into a perceptual hash column —
+    * anything that appends the identity column), then dedups on
+    * `keyCol` against the bucketed key index, sinks survivors, and
+    * appends their keys. This is how IMAGE dedup-on-ingest composes
+    * from parts: prepare = [[graft.operators.Multimodal
+    * .perceptualHash64]], key = the 8-byte dHash — same exactly-once
+    * ledger, same materialize-before-mutate ordering, same O(batch)
+    * cost per batch as the text path. Rows whose key is NULL
+    * (undecodable media) sink unconditionally and never index. */
+  def runIncrementalKeyedDedup(stream: DataFrame, idCol: String,
+                               prepare: DataFrame => DataFrame,
+                               keyCol: String,
+                               indexTable: String, checkpoint: String,
+                               store: graft.core.HwmStore,
+                               ledgerName: String,
+                               indexBuckets: Int = 32)
+                              (sink: (DataFrame, Long) => Unit): Unit =
+    runAvailableNowForeachBatchExactlyOnce(stream, checkpoint, store,
+        ledgerName) { (batch, id) =>
+      val survivors = graft.operators.Dedup
+        .keyedDedupAgainstIndexTable(prepare(batch), idCol,
+          org.apache.spark.sql.functions.col(keyCol), indexTable)
+        .localCheckpoint()
+      sink(survivors, id)
+      graft.operators.Dedup.appendKeysToIndexTable(survivors,
+        org.apache.spark.sql.functions.col(keyCol), indexTable, indexBuckets)
+    }
+
   /** [[runIncrementalDedup]]'s NEAR-dup sibling: each micro-batch is
     * near-deduplicated against the persisted MinHash band index
     * ([[graft.operators.Dedup.minhashDedupAgainstIndexTable]] — LSH

@@ -160,6 +160,37 @@ class DedupIndexSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("keyed index: arbitrary key expression dedups and appends; NULL " +
+       "keys pass through every batch and never enter the index") {
+    import org.apache.spark.sql.functions.col
+    val table = "key_idx_spec_" + System.nanoTime()
+    // identity = v % 100 (stand-in for a perceptual hash); id 7 has no key
+    val hist = Seq((1L, java.lang.Long.valueOf(105L)),
+      (2L, java.lang.Long.valueOf(206L))).toDF("id", "v")
+    Dedup.buildKeyIndexTable(hist, col("v") % 100, table, buckets = 4)
+    try {
+      val batch = Seq(
+        (3L, java.lang.Long.valueOf(305L)),  // key 5: dup of history
+        (4L, java.lang.Long.valueOf(407L)),  // key 7: new, survives
+        (5L, java.lang.Long.valueOf(507L)),  // key 7 again: in-batch dup
+        (6L, null.asInstanceOf[java.lang.Long]), // NULL key: passes
+        (7L, null.asInstanceOf[java.lang.Long])  // NULL key: ALSO passes
+      ).toDF("id", "v")
+      val s1 = Dedup.keyedDedupAgainstIndexTable(batch, "id",
+        col("v") % 100, table)
+      assert(s1.select("id").as[Long].collect().toSet == Set(4L, 6L, 7L))
+      Dedup.appendKeysToIndexTable(s1, col("v") % 100, table, buckets = 4)
+      // key 7 now indexed; NULL-keyed rows still pass on replay
+      val batch2 = Seq((8L, java.lang.Long.valueOf(807L)),
+        (9L, null.asInstanceOf[java.lang.Long])).toDF("id", "v")
+      val s2 = Dedup.keyedDedupAgainstIndexTable(batch2, "id",
+        col("v") % 100, table)
+      assert(s2.select("id").as[Long].collect().toSet == Set(9L))
+      // the index never holds a NULL fp row
+      assert(spark.table(table).filter(col("fp").isNull).count() == 0)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("caller columns named __fp/__rn survive the index dedup unchanged") {
     val table = "graft_fp_idx_collide"
     Dedup.buildFingerprintIndexTable(hist, "text", table, buckets = 4)
