@@ -2498,6 +2498,29 @@ object SparkEntry {
         .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("event_id"))
     }),
+    "dedup_by_canonical_url" -> ((s, dir) => {
+      // crawl dedup by canonical URL: messy variants (case, default
+      // port, utm_ noise, fragments) of the same page collapse once
+      // normalizeUrl canonicalizes them — the key-generic batch dedup
+      // (keyedDedupAgainstIndexTable's in-batch rule via an empty
+      // index is overkill here; plain keep-min per canonical key).
+      // url repeats every 150 ids, so survivors are ids 0..149
+      import graft.functions.UrlFunctions._
+      import org.apache.spark.sql.expressions.Window
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"),
+          concat(lit("HTTP://Site.Example.COM:80/page/"),
+            pmod(col("doc_id"), lit(150)),
+            when(pmod(col("doc_id"), lit(2)) === 0,
+              lit("?utm_source=feed")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit("#frag"))
+              .otherwise(lit(""))).as("url"))
+      docs.withColumn("__canon", normalizeUrl(col("url")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__canon")).orderBy(col("doc_id"))))
+        .select(col("doc_id"), (col("__rn") === 1).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
     "url_normalize" -> ((s, dir) => {
       // URL canonicalization (functions.UrlFunctions): messy crawl-style
       // URLs synthesized deterministically per doc (mixed-case scheme and
@@ -3961,6 +3984,13 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     // the oracle BUILDS the expected canonical URL rather than re-running
     // the normalizer: scheme+host lower-cased, :443 dropped for https,
+    // canonical-URL dedup survivors predicted arithmetically: variants
+    // differ only in case/port/utm/fragment — all erased by
+    // canonicalization — so the first id of each path (doc_id < 150)
+    // survives
+    "dedup_by_canonical_url" ->
+      """SELECT doc_id, doc_id < 150 AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // utm_* params removed (id= survives), fragment gone, www kept in the
     // url but stripped in the domain key
     "url_normalize" ->
