@@ -1303,6 +1303,34 @@ object SparkEntry {
           md5(col("cleaned")).as("clean_md5"))
         .orderBy(col("doc_id"))
     }),
+    "corpus_pmi_collocations" -> ((s, dir) => {
+      // multi-word-expression mining: top adjacent pairs by pointwise
+      // mutual information, minCount 5 against the hapax pathology;
+      // round(4) before rank + word tiebreaks make the cut engine-exact
+      operators.Corpus.pmiCollocations(
+          DbReader(conn(s, dir), "documents").run(), "text",
+          minCount = 5, k = 30)
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+    }),
+    "corpus_line_cross_dedup" -> ((s, dir) => {
+      // Lee et al.-style corpus-wide line dedup: the FIRST occurrence
+      // (by doc then position) of every trimmed line survives; all
+      // later copies die in every document. Planted chrome makes the
+      // cross-document deaths deterministic: one global nav line (only
+      // doc 0 keeps it) and a 'ref N' line repeating every 100 docs
+      // (kept by the first doc of each residue class). min-aggregate on
+      // the line, not a window — no hot-line task
+      val aug = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"),
+          concat_ws("\n",
+            lit("Global Nav | Home"),
+            col("text"),
+            concat(lit("ref "), pmod(col("doc_id"), lit(100)))).as("text"))
+      operators.Corpus.dedupLinesAcrossDocs(aug, "doc_id", "text")
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+          md5(col("cleaned")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
     "corpus_ttr_by_source" -> ((s, dir) => {
       // per-source lexical diversity (token count, vocab, type-token
       // ratio): the corpus-QA table that flags template spam (TTR → 0)
@@ -4321,6 +4349,55 @@ object SparkEntry {
         |  SELECT doc_id, len(list_filter(
         |           string_split_regex(text, '\s+'), x -> x <> '')) AS n_total
         |  FROM aug)
+        |SELECT t.doc_id, COALESCE(r.n_kept, 0) AS n_kept,
+        |       t.n_total - COALESCE(r.n_kept, 0) AS n_dropped,
+        |       md5(COALESCE(r.cleaned, '')) AS clean_md5
+        |FROM tot t LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+    // PMI replay: aligned-slice bigram unnest, HAVING as minCount,
+    // round-before-rank with word tiebreaks
+    "corpus_pmi_collocations" ->
+      """WITH arr AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                     t -> t <> '') AS a
+        |  FROM documents),
+        |bigr AS (
+        |  SELECT unnest(list_slice(a, 1, len(a)-1)) AS w1,
+        |         unnest(list_slice(a, 2, len(a))) AS w2
+        |  FROM arr WHERE len(a) >= 2),
+        |bi AS (SELECT w1, w2, count(*) AS n_pair FROM bigr
+        |       GROUP BY 1, 2 HAVING count(*) >= 5),
+        |uni AS (SELECT t, count(*) AS c
+        |        FROM (SELECT unnest(a) AS t FROM arr) GROUP BY 1),
+        |total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni)
+        |SELECT w1, w2, n_pair,
+        |       round(ln(n_pair::DOUBLE * n / (u1.c * u2.c)), 4) AS pmi
+        |FROM bi JOIN uni u1 ON bi.w1 = u1.t JOIN uni u2 ON bi.w2 = u2.t
+        |CROSS JOIN total
+        |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin,
+    // cross-doc line dedup replay: min of (doc << 20 | pos) per trimmed
+    // line, blanks exempt, md5 audit of the rebuilt text
+    "corpus_line_cross_dedup" ->
+      """WITH aug AS (
+        |  SELECT doc_id, concat_ws(chr(10), 'Global Nav | Home', text,
+        |           'ref ' || CAST(doc_id % 100 AS VARCHAR)) AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug)),
+        |firsts AS (
+        |  SELECT trim(line) AS nline,
+        |         min(doc_id * 1048576 + pos) AS firstord
+        |  FROM lines WHERE trim(line) <> '' GROUP BY 1),
+        |kept AS (
+        |  SELECT doc_id, pos, line FROM lines
+        |  LEFT JOIN firsts ON trim(line) = nline
+        |  WHERE trim(line) = '' OR doc_id * 1048576 + pos = firstord),
+        |rebuilt AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(line, chr(10) ORDER BY pos) AS cleaned
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_total FROM aug)
         |SELECT t.doc_id, COALESCE(r.n_kept, 0) AS n_kept,
         |       t.n_total - COALESCE(r.n_kept, 0) AS n_dropped,
         |       md5(COALESCE(r.cleaned, '')) AS clean_md5

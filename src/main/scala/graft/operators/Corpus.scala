@@ -250,6 +250,101 @@ object Corpus {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Pointwise-mutual-information collocations: the adjacent word pairs
+    * that co-occur far beyond chance — `pmi = ln(c₁₂·N / (c₁·c₂))` —
+    * which is the corpus's multi-word-expression table ("new york",
+    * "machine learning"). Tokenizer builders use it to sanity-check
+    * merges; curation uses it to spot template artifacts (a spammy
+    * collocation with huge PMI and huge count is boilerplate the
+    * frequency threshold missed). `minCount` suppresses the classic
+    * PMI pathology (hapax pairs score highest; with c₁₂ = c₁ = c₂ = 1,
+    * pmi = ln N regardless of meaning).
+    *
+    * Returns top-`k` rows (w1, w2, n_pair long, pmi double round 4) by
+    * (pmi desc, w1, w2) — rounded BEFORE ranking, term tiebreaks, so
+    * the cut replays across engines.
+    *
+    * Scale shape: bigram extraction is map-side (token array zipped
+    * with its own tail, as [[bigramNll]]); pair and unigram counting
+    * are word-count aggregates; the scoring joins are keyed on the pair
+    * and its words (Zipf-broadcastable); N rides a 1-row broadcast; the
+    * top-k is TakeOrderedAndProject, not a global sort. */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 5, k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be >= 1")
+    val toksArr = df.select(
+      filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= "").as("__a"))
+    val bigrams = toksArr.filter(size(col("__a")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__a"), lit(1), size(col("__a")) - 1),
+        slice(col("__a"), lit(2), size(col("__a")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val uni = toksArr.select(explode(col("__a")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val total = uni.agg(sum(col("__c")).as("__n"))
+    bigrams
+      .join(uni.select(col("__t").as("w1"), col("__c").as("__c1")), Seq("w1"))
+      .join(uni.select(col("__t").as("w2"), col("__c").as("__c2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log(col("n_pair").cast("double") * col("__n") /
+          (col("__c1") * col("__c2"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** CORPUS-WIDE first-occurrence line dedup (the exact line-level form
+    * of Lee et al. 2022's "Deduplicating Training Data Makes Language
+    * Models Better" substring dedup): a non-blank line survives only in
+    * the FIRST document (by id, then position) where its trimmed form
+    * appears; every later copy anywhere in the corpus is dropped.
+    * Stronger than [[stripBoilerplate]] (which only removes lines
+    * frequent enough to cross a threshold, and removes ALL copies) and
+    * than [[dedupLinesWithinDoc]] (which never looks across documents).
+    *
+    * Returns (idCol, n_kept long, n_dropped long, cleaned string) —
+    * one row per document, same contract as the other rebuilds.
+    *
+    * Scale shape: first-occurrence is a MIN-AGGREGATE on the trimmed
+    * line (map-side combinable — a line repeated a billion times folds
+    * to one (line, min) row per partition, so the hot-line skew a
+    * row_number window would serialize never materializes), joined back
+    * on the line to filter. `posEncode` packs (doc, pos) into one
+    * ordered long for that aggregate; positions must stay under its
+    * 2^20 bound — chunk pathological documents first. */
+  def dedupLinesAcrossDocs(df: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val PosBound = 1L << 20
+    val lines = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val encoded = lines.withColumn("__ord",
+      col("__id") * PosBound + col("__pos"))
+    val firsts = encoded.filter(trim(col("__line")) =!= "")
+      .groupBy(trim(col("__line")).as("__nline"))
+      .agg(min(col("__ord")).as("__first"))
+    val kept = encoded
+      .join(firsts, trim(col("__line")) === col("__nline"), "left")
+      .filter(trim(col("__line")) === "" || col("__ord") === col("__first"))
+    val rebuilt = kept.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          array_sort(collect_list(struct(col("__pos"), col("__line"))))
+            .getField("__line"), "\n").as("cleaned"))
+    df.select(col(idCol).as("__id"),
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(split(col(textCol), "\n")).cast("long"))
+          .as("__n_total"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Collapse consecutive repeated words — "the the the model model" →
     * "the model" — the de-stuttering cleanup for ASR transcripts, OCR
     * output, and generation loops (immediately-repeated tokens teach an

@@ -127,6 +127,38 @@ class CorpusSpec extends SparkSpec {
     assert(e.isNullAt(3) && e.getLong(1) == 0L)
   }
 
+  test("pmiCollocations: hand-computed PMI, minCount suppresses hapax " +
+       "pairs, rounding-then-rank replays") {
+    // "strong coffee" ×3, each word only in that pair; filler separates
+    val docs = Seq(
+      (1L, "strong coffee x strong coffee y strong coffee"),
+      (2L, "x y x y")).toDF("id", "text")
+    val out = Corpus.pmiCollocations(docs, "text", minCount = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // N = 12 tokens (8 + 4); c(strong)=c(coffee)=3, c12=3 → ln(3·12/9)
+    val want = math.rint(math.log(3.0 * 12 / 9) * 1e4) / 1e4
+    assert(out((("strong", "coffee"))) == (3L, want))
+    // pairs below minCount (everything else) are gone
+    assert(out.keySet == Set(("strong", "coffee")))
+  }
+
+  test("dedupLinesAcrossDocs: corpus-first occurrence survives by " +
+       "(id, pos), later copies die everywhere, blanks always kept") {
+    val docs = Seq(
+      (1L, "nav\nbody one\nnav"),     // first nav (pos 0) survives; pos-2 copy dies
+      (2L, "nav\n\nbody two"),        // doc 2's nav dies (doc 1 was first)
+      (3L, "body one\nunique"),       // 'body one' dies (doc 1 first)
+      (4L, null: String)).toDF("id", "text")
+    val out = Corpus.dedupLinesAcrossDocs(docs, "id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == (2L, 1L, "nav\nbody one"))
+    assert(out(2L) == (2L, 1L, "\nbody two"))
+    assert(out(3L) == (1L, 1L, "unique"))
+    assert(out(4L) == (0L, 0L, ""))
+  }
+
   test("collapseRepeatedTokens: case-insensitive consecutive collapse, " +
        "non-adjacent repeats survive, NULL/blank keep a (0,0,'') row") {
     val docs = Seq(
