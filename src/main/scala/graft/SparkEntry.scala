@@ -1153,6 +1153,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "quality_percentile_by_source" -> ((s, dir) => {
+      // cross-source score calibration: a raw score (here char length)
+      // is not comparable across sources; its within-source percent
+      // rank is (Ranking.percentRankWithin). Ties share ranks in both
+      // engines, so pr replays bit-exactly — same integers, same
+      // division
+      operators.Ranking.percentRankWithin(
+          DbReader(conn(s, dir), "documents").run()
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          Seq("source"), "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (round(col("pr"), 6) + lit(0.0)).as("pr"))
+        .orderBy(col("doc_id"))
+    }),
     "quality_gopher_filter" -> ((s, dir) => {
       // Gopher-style keep rule, per-doc metrics exposed so the oracle
       // verifies the full computation, not just the final boolean
@@ -1576,6 +1590,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "multimodal_audio_trim" -> ((s, dir) => {
+      // VAD-lite silence trim on REAL decoded WAVs: silence-padded
+      // fixtures (lead = id%10, tail = id%5 silent frames around the
+      // constant-amp signal) -> javax.sound decode -> per-frame scan;
+      // the oracle predicts all four frame counts arithmetically,
+      // including the all-silent amp-0 residue class
+      val df = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id")).filter(col("doc_id") < 500)
+      operators.Multimodal.trimSilence(
+          operators.Multimodal.generateWav(df, "doc_id", silencePad = true),
+          "payload")
+        .select(col("doc_id"), col("n_frames"), col("lead_frames"),
+          col("tail_frames"), col("kept_frames"))
+        .orderBy(col("doc_id"))
+    }),
     "multimodal_image_dedup" -> ((s, dir) => {
       // REAL perceptual-dedup path: PNG pixels repeat every 100 ids
       // (generatePng patternMod) -> ImageIO decode -> 64-bit dHash ->
@@ -3731,6 +3760,17 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |       CASE WHEN length(text) > 0 THEN ascii(substring(text, 1, 1)) ELSE -1 END AS first_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // audio-trim oracle: generator arithmetic (amp = id%500, so id 0 is
+    // the all-silent case: lead = n, tail = kept = 0)
+    "multimodal_audio_trim" ->
+      """SELECT doc_id,
+        |  ((doc_id % 10) + (50 + doc_id % 100) + (doc_id % 5))::BIGINT AS n_frames,
+        |  (CASE WHEN doc_id % 500 = 0
+        |        THEN (doc_id % 10) + (50 + doc_id % 100) + (doc_id % 5)
+        |        ELSE doc_id % 10 END)::BIGINT AS lead_frames,
+        |  (CASE WHEN doc_id % 500 = 0 THEN 0 ELSE doc_id % 5 END)::BIGINT AS tail_frames,
+        |  (CASE WHEN doc_id % 500 = 0 THEN 0 ELSE 50 + doc_id % 100 END)::BIGINT AS kept_frames
+        |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
     // streaming image-dedup survivors predicted arithmetically: history
     // holds patterns 0..49, so the stream's first occurrences of the
     // NEW patterns (ids 50..99) are the only survivors
@@ -4354,6 +4394,12 @@ object SparkEntry {
         |       md5(COALESCE(r.cleaned, '')) AS clean_md5
         |FROM tot t LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // percent-rank replay: identical window semantics, ties share ranks
+    "quality_percentile_by_source" ->
+      """SELECT doc_id, source, n_chars,
+        |       round(percent_rank() OVER (PARTITION BY source
+        |                                  ORDER BY n_chars), 6) + 0 AS pr
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // PMI replay: aligned-slice bigram unnest, HAVING as minCount,
     // round-before-rank with word tiebreaks
     "corpus_pmi_collocations" ->

@@ -453,7 +453,8 @@ object Multimodal {
     * every decoded field arithmetically. Encoded with the same JDK sound
     * stack the decoder reads ([[AudioDecoder]] round trip). */
   def generateWav(df: DataFrame, idCol: String,
-                  outCol: String = "payload"): DataFrame = {
+                  outCol: String = "payload",
+                  silencePad: Boolean = false): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
     df.mapPartitions { rows =>
@@ -467,23 +468,97 @@ object Multimodal {
         val channels = 1 + (id % 2).toInt
         val frames = 50 + (id % 100).toInt
         val amp = (id % 500).toInt // constant signal -> pcm_max == amp
+        // silencePad brackets the signal with id-derived silent frames
+        // (lead = id % 10, tail = id % 5) so a trim operator's outcome
+        // is arithmetically predictable per id
+        val lead = if (silencePad) (id % 10).toInt else 0
+        val tail = if (silencePad) (id % 5).toInt else 0
         val fmt = new javax.sound.sampled.AudioFormat(
           rate.toFloat, 16, channels, true, false)
-        val data = new Array[Byte](frames * channels * 2)
-        var i = 0
-        while (i < data.length) {
+        val total = lead + frames + tail
+        val data = new Array[Byte](total * channels * 2)
+        var i = lead * channels * 2
+        val signalEnd = (lead + frames) * channels * 2
+        while (i < signalEnd) {
           data(i) = (amp & 0xff).toByte
           data(i + 1) = ((amp >> 8) & 0xff).toByte
           i += 2
         }
         val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+          new java.io.ByteArrayInputStream(data), fmt, total.toLong)
         val bos = new java.io.ByteArrayOutputStream()
         javax.sound.sampled.AudioSystem.write(ais,
           javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
         Row.fromSeq(row.toSeq :+ bos.toByteArray)
       }
     }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Leading/trailing-silence measurement for 16-bit PCM payloads — the
+    * VAD-lite trim every speech-data pipeline runs before chunking: a
+    * frame is LOUD when any channel's |sample| exceeds `threshold`;
+    * the report is (n_frames, lead_frames, tail_frames, kept_frames)
+    * with kept the inclusive loud span (all-silent audio reports
+    * lead = n, tail = 0, kept = 0 — "everything is leading silence").
+    * Appends the four long columns; NULL/undecodable/non-16-bit
+    * payloads report NULLs. Map-only real decode, same partition-batch
+    * contract as [[decodeMeta]]. */
+  def trimSilence(df: DataFrame, binCol: String,
+                  threshold: Int = 0): DataFrame = {
+    require(threshold >= 0, "threshold must be >= 0")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("n_frames", LongType), StructField("lead_frames", LongType),
+      StructField("tail_frames", LongType), StructField("kept_frames", LongType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val stats: Seq[Any] = decodePcm16(bytes) match {
+          case None => Seq(null, null, null, null)
+          case Some((channels, data)) =>
+            val frameBytes = channels * 2
+            val n = data.length / frameBytes
+            def loud(f: Int): Boolean = {
+              var c = 0
+              while (c < channels) {
+                val i = f * frameBytes + c * 2
+                val s = ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+                if (math.abs(s.toInt) > threshold) return true
+                c += 1
+              }
+              false
+            }
+            var first = 0
+            while (first < n && !loud(first)) first += 1
+            if (first == n) Seq(n.toLong, n.toLong, 0L, 0L)
+            else {
+              var last = n - 1
+              while (last > first && !loud(last)) last -= 1
+              Seq(n.toLong, first.toLong, (n - 1 - last).toLong,
+                (last - first + 1).toLong)
+            }
+        }
+        Row.fromSeq(row.toSeq ++ stats)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Decode a payload to (channels, little-endian 16-bit PCM bytes) —
+    * None for NULL/undecodable/non-16-bit/big-endian input. */
+  private def decodePcm16(bytes: Array[Byte]): Option[(Int, Array[Byte])] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else {
+          val data = ais.readNBytes(bytes.length max 64)
+          Some((fmt.getChannels, data))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Pure-SQL byte statistics over a binary column — the parts of media

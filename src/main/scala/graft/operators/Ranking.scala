@@ -132,6 +132,28 @@ object Ranking {
       .drop("__grs_run")
   }
 
+  /** Per-group percent rank of a value column — score CALIBRATION
+    * across heterogeneous sources: a quality score of 0.7 means
+    * different things in Wikipedia and Common Crawl; its within-source
+    * percent rank is comparable, so cross-source thresholds and
+    * curricula act on `(rank − 1)/(n − 1)` instead of raw scores.
+    * Singleton groups score 0.0 (percent_rank's convention). Ties share
+    * a rank in both engines, so the output replays exactly — the
+    * division is the same integers in the same order.
+    *
+    * A window, not a stats join — percent rank NEEDS the full group
+    * order. Groups here are sources (thousands at most); a pathological
+    * single-group corpus degrades to one sorted task, which is the
+    * operator's documented bound (use [[groupZScores]] when a
+    * rank-free calibration suffices). */
+  def percentRankWithin(df: DataFrame, groupCols: Seq[String],
+                        valCol: String, out: String = "pr"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn(out, percent_rank().over(
+      Window.partitionBy(groupCols.map(col): _*).orderBy(col(valCol))))
+  }
+
   /** Equi-width histogram of a numeric column over [lo, hi): bucket b
     * covers `[lo + b·w, lo + (b+1)·w)` with `w = (hi − lo)/buckets`;
     * values below `lo` land in bucket −1, values at or above `hi` in

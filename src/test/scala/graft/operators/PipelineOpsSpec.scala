@@ -573,6 +573,25 @@ class MultimodalSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("trimSilence: exact lead/tail/kept on padded WAVs, all-silent " +
+       "reports (n, n, 0, 0), garbage reports NULLs") {
+    val ids = Seq(7L, 123L, 500L).toDF("doc_id") // 500: amp 0, all-silent
+    val out = Multimodal.trimSilence(
+        Multimodal.generateWav(ids, "doc_id", silencePad = true), "payload")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(2)))).toMap
+    // id 7: lead 7, tail 2, kept 57, total 66
+    assert(out(7L) == (7L, 2L, 57L, 66L))
+    // id 123: lead 3, tail 3, kept 73, total 79
+    assert(out(123L) == (3L, 3L, 73L, 79L))
+    // id 500: amp 0 → everything silent: lead = n, tail 0, kept 0
+    val n500 = 0 + 50 + 0 // lead 0, frames 50, tail 0
+    assert(out(500L) == (n500.toLong, 0L, 0L, n500.toLong))
+    val junk = Seq((1L, "nope".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val j = Multimodal.trimSilence(junk, "payload").collect().head
+    assert(j.isNullAt(2) && j.isNullAt(5))
+  }
+
   test("decodeMeta: schema, determinism, null passthrough") {
     val df = Seq(("a", "hello".getBytes("UTF-8")), ("b", Array.empty[Byte]),
       ("c", null)).toDF("id", "payload")

@@ -89,6 +89,18 @@ class RankingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet)
   }
 
+  test("percentRankWithin: 0..1 span per group, ties share ranks, " +
+       "singleton groups score 0") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 30.0),
+      ("b", 99.0)).toDF("g", "v")
+    val out = Ranking.percentRankWithin(df, Seq("g"), "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val a = out.filter(_._1 == "a").sortBy(_._2).map(_._3)
+    // ranks 1,2,2,4 of 4 → pr = 0, 1/3, 1/3, 1
+    assert(a.toSeq == Seq(0.0, 1.0 / 3, 1.0 / 3, 1.0))
+    assert(out.filter(_._1 == "b").map(_._3).toSeq == Seq(0.0))
+  }
+
   test("equiWidthHistogram: exact bucketing, boundary values fall right, " +
        "out-of-range mass reported in sentinel buckets, empty buckets " +
        "emitted, NULLs excluded") {
