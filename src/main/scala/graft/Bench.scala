@@ -52,8 +52,14 @@ object BenchSummary {
     // driver-contract fields with an EMPTY queries map (shape-stable for
     // any parser that indexes it), the failure signal, the gate count,
     // and the pointer to the full record.
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":{},"n_queries":${mins.size},"failed":$failedJson,"full":"$fullOut","sf":"$sfDir"}"""
+    // The failed array is capped: at 180+ gates even the names alone
+    // outgrow the tail in the everything-failed worst case. The first
+    // `FailedCap` names (sorted) identify the breakage; n_failed carries
+    // the true count; the full list is in BENCH_FULL.json.
+    val FailedCap = 100
+    val failedJson = failed.sorted.take(FailedCap)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":{},"n_queries":${mins.size},"n_failed":${failed.size},"failed":$failedJson,"full":"$fullOut","sf":"$sfDir"}"""
   }
 }
 

@@ -28,6 +28,8 @@ class QueryPlanSweepSpec extends AnyFunSuite {
                               // cross the vocab frame (unigramJsDivergence)
     "retrieval_tfidf_terms",  // deliberate: 1-row doc-count N broadcast
                               // cross the tf stream (tfidfTopTerms)
+    "corpus_pmi_collocations", // same shape: 1-row token-total N cross
+                              // the thresholded pair table (pmiCollocations)
     "similarity_topk_ivf",    // deliberate: broadcast probe set
     "similarity_topk_lsh",    // deliberate: broadcast query vectors
     "similarity_topk_pq",     // deliberate: broadcast ADC tables cross codes
