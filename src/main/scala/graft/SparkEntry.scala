@@ -2952,6 +2952,18 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))
     }),
+    "sample_temporal_split" -> ((s, dir) => {
+      // leakage-safe temporal holdout over events: train strictly
+      // before cutoff − embargo, test at/after cutoff, the 24 h embargo
+      // band purged (Sampling.temporalSplit). Counts per split keep the
+      // gate small while pinning both boundaries
+      operators.Sampling.temporalSplit(eventsMicros(s, dir), "ts",
+          java.sql.Timestamp.valueOf("2024-01-20 00:00:00"),
+          embargoSeconds = 86400L)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_id"))
+        .orderBy(col("split"))
+    }),
     "sample_systematic_pps" -> ((s, dir) => {
       // probability-proportional-to-size corpus subsetting: keep rows
       // whose char-weight span crosses a 5000-char lattice point in
@@ -5087,6 +5099,17 @@ object SparkEntry {
         |        (skey % 2147483648) * 2654435761 % 4294967296 AS h
         |      FROM keyed)
         |ORDER BY doc_id""".stripMargin,
+    // temporal-split replay: strict < for the train end, inclusive >=
+    // for the test start, embargo band [cutoff-1d, cutoff) absent
+    "sample_temporal_split" ->
+      """SELECT split, count(*) AS n, max(event_id) AS max_id FROM (
+        |  SELECT event_id,
+        |         CASE WHEN ts < TIMESTAMP '2024-01-19 00:00:00' THEN 'train'
+        |              WHEN ts >= TIMESTAMP '2024-01-20 00:00:00' THEN 'test'
+        |         END AS split
+        |  FROM events) t
+        |WHERE split IS NOT NULL
+        |GROUP BY split ORDER BY split""".stripMargin,
     // PPS replay: exclusive-prefix-sum lattice crossing, integer div
     "sample_systematic_pps" ->
       """WITH r AS (

@@ -205,6 +205,31 @@ object Sampling {
       .drop("__mix_cum")
   }
 
+  /** Leakage-safe TEMPORAL holdout: rows strictly before
+    * `cutoff − embargo` train, rows at or after `cutoff` test, and the
+    * embargo band between them is DROPPED — the purge window that keeps
+    * slow-moving signals (a document revised hours before the cutoff, a
+    * user session straddling it) from leaking test-period information
+    * into training. The time-series counterpart of [[splitByHash]]:
+    * hash splits assume exchangeable rows; temporal data is not
+    * exchangeable, and hashing it leaks by construction. Map-only
+    * column compare; returns the input plus `split` ∈
+    * {'train','test'} with embargoed rows absent. */
+  def temporalSplit(df: DataFrame, tsCol: String,
+                    cutoff: java.sql.Timestamp,
+                    embargoSeconds: Long = 0L,
+                    out: String = "split"): DataFrame = {
+    require(embargoSeconds >= 0, "embargo must be >= 0")
+    val cutoffExpr = lit(cutoff).cast("timestamp")
+    val trainEnd = (cutoffExpr.cast("double") - embargoSeconds)
+      .cast("timestamp")
+    df.withColumn(out,
+        when(col(tsCol) < trainEnd, lit("train"))
+          .when(col(tsCol) >= cutoffExpr, lit("test"))
+          .otherwise(lit(null).cast("string")))
+      .filter(col(out).isNotNull)
+  }
+
   /** Systematic probability-proportional-to-size sampling: lay the rows
     * out in the deterministic total order of `sortCols`, accumulate the
     * integer `weightCol` (token counts, byte sizes), and keep every row

@@ -304,6 +304,20 @@ class SamplingSpec extends SparkSpec {
     assert(small.subsetOf(large))
   }
 
+  test("temporalSplit: strict train end, inclusive test start, embargo " +
+       "band dropped, NULL ts dropped") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val df = Seq((1L, t(100)), (2L, t(189)), (3L, t(190)), (4L, t(195)),
+      (5L, t(200)), (6L, t(300)),
+      (7L, null.asInstanceOf[Timestamp])).toDF("id", "ts")
+    val out = Sampling.temporalSplit(df, "ts", t(200), embargoSeconds = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // train end = 190 exclusive; embargo [190, 200) gone; test from 200
+    assert(out == Map(1L -> "train", 2L -> "train",
+      5L -> "test", 6L -> "test"))
+  }
+
   test("systematicSampleByWeight: every stride crossing kept exactly " +
        "once, heavy rows always survive, expected weight ~ total/stride, " +
        "NULL weights never sampled") {
