@@ -96,4 +96,14 @@ object Layout {
       .agg(count(lit(1)).as("n"), aggs: _*)
       .orderBy(col("bucket"))
   }
+
+  /** Row count per physical file backing a DataFrame — the small-files
+    * audit (thousands of KB-sized parquet files poison scan scheduling
+    * and NameNode/list costs long before they poison queries). Built on
+    * `input_file_name()`, so it costs one scan + a tiny aggregate keyed
+    * by file path; feed its skew (min vs max rows) into a compaction
+    * decision the same way [[clusterStats]] feeds clustering. */
+  def rowsPerFile(df: DataFrame): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"))
 }

@@ -132,6 +132,31 @@ object Ranking {
       .drop("__grs_run")
   }
 
+  /** Robust per-group z-scores: `(x − median) / (1.4826 · MAD)` with
+    * `MAD = median(|x − median|)` — [[groupZScores]]'s outlier-immune
+    * sibling. Mean/stddev z-scores are corrupted by the very anomalies
+    * they hunt (one 1000× spike inflates σ until nothing else scores);
+    * the median/MAD pair has a 50% breakdown point, and 1.4826 rescales
+    * MAD to σ under normality so thresholds carry over. Groups with
+    * zero MAD (over half the values identical) or under 2 rows yield
+    * NULL. Two grouped median aggregates joined on the same key — still
+    * no window, no per-group sort of the raw stream. */
+  def groupRobustZScores(df: DataFrame, groupCols: Seq[String],
+                         valCol: String, out: String = "rz"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val meds = df.groupBy(groupCols.map(col): _*)
+      .agg(median(col(valCol)).as("__rz_med"))
+    val withMed = df.join(meds, groupCols)
+    val mads = withMed.groupBy(groupCols.map(col): _*)
+      .agg(median(abs(col(valCol) - col("__rz_med"))).as("__rz_mad"))
+    withMed.join(mads, groupCols)
+      .withColumn(out,
+        when(col("__rz_mad") > 0,
+          (col(valCol) - col("__rz_med")) / (lit(1.4826) * col("__rz_mad")))
+          .otherwise(lit(null).cast("double")))
+      .drop("__rz_med", "__rz_mad")
+  }
+
   /** Per-group percent rank of a value column — score CALIBRATION
     * across heterogeneous sources: a quality score of 0.7 means
     * different things in Wikipedia and Common Crawl; its within-source

@@ -71,4 +71,20 @@ class LayoutSpec extends SparkSpec {
     assert(exchanges == 1, s"want 1 range exchange, plan:\n$plan")
     assert(plan.contains("BroadcastExchange"), plan)
   }
+
+  test("rowsPerFile: per-file counts match the written layout, " +
+       "round-robin split is balanced to ±1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rpf").toString
+    (0L until 101L).toDF("id").coalesce(1).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val counts = Layout.rowsPerFile(spark.read.parquet(dir))
+      .select($"n_rows").as[Long].collect()
+    assert(counts.length == 4)
+    assert(counts.sum == 101L)
+    // round-robin is balanced to a few rows (Spark's start offset makes
+    // exact ±1 non-contractual), far from the order-of-magnitude skew
+    // this audit exists to catch
+    assert(counts.max - counts.min <= 4, counts.mkString(","))
+  }
 }

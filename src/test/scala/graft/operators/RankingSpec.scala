@@ -89,6 +89,23 @@ class RankingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet)
   }
 
+  test("groupRobustZScores: outlier does not poison the scale, " +
+       "zero-MAD groups yield NULL") {
+    // group a: {1..5, 1000}: med 3.5, MAD = median(2.5,1.5,.5,.5,1.5,996.5) = 1.5
+    val df = (Seq.tabulate(5)(i => ("a", (i + 1).toDouble)) :+ (("a", 1000.0)))
+      .++(Seq(("b", 7.0), ("b", 7.0), ("b", 7.0))).toDF("g", "v")
+    val out = Ranking.groupRobustZScores(df, Seq("g"), "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    val spike = out.find(r => r._1 == "a" && r._2 == 1000.0).get._3.get
+    assert(math.abs(spike - (1000.0 - 3.5) / (1.4826 * 1.5)) < 1e-9)
+    // an in-range value stays small despite the spike
+    val mid = out.find(r => r._1 == "a" && r._2 == 3.0).get._3.get
+    assert(math.abs(mid) < 1.0)
+    // constant group: MAD 0 → NULL
+    assert(out.filter(_._1 == "b").forall(_._3.isEmpty))
+  }
+
   test("percentRankWithin: 0..1 span per group, ties share ranks, " +
        "singleton groups score 0") {
     val df = Seq(("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 30.0),
