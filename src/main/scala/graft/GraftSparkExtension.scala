@@ -71,5 +71,15 @@ class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
       info("random_project", "random_project(vec, outDim) - Rademacher JL projection"),
       (es: Seq[Expression]) => RandomProject(es.head,
         es(1).eval(null).asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("vector_moments"),
+      info("vector_moments", "vector_moments(vec) - aggregate: count, component " +
+        "sums, upper-triangle product sums (covariance/PCA summary)"),
+      (es: Seq[Expression]) => VectorMomentsAgg(es.head).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("int8_quantize"),
+      info("int8_quantize", "int8_quantize(vec) - symmetric int8 codes"),
+      (es: Seq[Expression]) => Int8Quantize(es.head)))
+    ext.injectFunction((FunctionIdentifier("int8_scale"),
+      info("int8_scale", "int8_scale(vec) - max|x|/127 dequantization scale"),
+      (es: Seq[Expression]) => Int8Scale(es.head)))
   }
 }

@@ -683,5 +683,11 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("random_project",
       es => RandomProject(es.head,
         es(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("vector_moments",
+      es => VectorMomentsAgg(es.head).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("int8_quantize",
+      es => Int8Quantize(es.head), "built-in")
+    reg.createOrReplaceTempFunction("int8_scale",
+      es => Int8Scale(es.head), "built-in")
   }
 }

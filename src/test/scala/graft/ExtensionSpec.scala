@@ -42,6 +42,24 @@ class ExtensionSpec extends SparkSpec {
     assert(df.head().getSeq[String](0) == Seq("a b", "b c", "c d"))
   }
 
+  test("vector_moments / int8 SQL functions work end to end") {
+    val ext = new GraftSparkExtension
+    ext.apply(new org.apache.spark.sql.SparkSessionExtensions)
+    graft.expressions.GraftExpressions.register(spark)
+    import spark.implicits._
+    Seq((1L, Array(1.0f, 3.0f)), (2L, Array(3.0f, 1.0f)))
+      .toDF("id", "v").createOrReplaceTempView("vm_docs")
+    val m = spark.sql(
+      "SELECT vector_moments(v) AS m FROM vm_docs").head().getStruct(0)
+    assert(m.getLong(0) == 2L)
+    assert(m.getSeq[Double](1) == Seq(4.0, 4.0))
+    val q = spark.sql(
+      "SELECT int8_quantize(v) AS c, int8_scale(v) AS s FROM vm_docs " +
+        "WHERE id = 1").head()
+    assert(q.getSeq[Byte](0).last == 127.toByte) // max component pins 127
+    assert(math.abs(q.getDouble(1) - 3.0 / 127) < 1e-12)
+  }
+
   test("minhash/shingle-hash/topk SQL functions work end to end") {
     GraftExpressions.register(spark)
     val r = spark.sql(
