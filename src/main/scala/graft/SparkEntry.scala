@@ -1153,6 +1153,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "quality_rank_fusion" -> ((s, dir) => {
+      // score-free ensembling of incomparable quality signals via
+      // reciprocal rank fusion (k=60): signal 1 = char length, signal
+      // 2 = a deterministic synthetic score both engines derive
+      // identically. Ranks come from globalRowNumber (range exchange,
+      // no single-task window); id tiebreaks make the fusion exact
+      operators.Ranking.reciprocalRankFusion(
+          DbReader(conn(s, dir), "documents").run()
+            .select(col("doc_id"), col("n_chars").cast("double").as("s1"),
+              pmod(col("doc_id") * 37, lit(101)).cast("double").as("s2")),
+          "doc_id", Seq("s1", "s2"), k = 60)
+        .select(col("doc_id"), col("rrf"))
+        .orderBy(col("doc_id"))
+    }),
     "quality_percentile_by_source" -> ((s, dir) => {
       // cross-source score calibration: a raw score (here char length)
       // is not comparable across sources; its within-source percent
@@ -4453,6 +4467,21 @@ object SparkEntry {
         |       md5(COALESCE(r.cleaned, '')) AS clean_md5
         |FROM tot t LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // RRF replay: per-signal descending ranks with id tiebreaks, fused
+    // and rounded
+    "quality_rank_fusion" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars::DOUBLE AS s1,
+        |         (doc_id * 37 % 101)::DOUBLE AS s2
+        |  FROM documents),
+        |r1 AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY s1 DESC, doc_id) AS rn FROM s),
+        |r2 AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY s2 DESC, doc_id) AS rn FROM s)
+        |SELECT s.doc_id,
+        |       round(1.0 / (60 + r1.rn) + 1.0 / (60 + r2.rn), 6) AS rrf
+        |FROM s JOIN r1 USING (doc_id) JOIN r2 USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
     // percent-rank replay: identical window semantics, ties share ranks
     "quality_percentile_by_source" ->
       """SELECT doc_id, source, n_chars,

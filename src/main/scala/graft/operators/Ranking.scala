@@ -132,6 +132,35 @@ object Ranking {
       .drop("__grs_run")
   }
 
+  /** Reciprocal rank fusion (Cormack et al. 2009): combine several
+    * quality/relevance signals by summing `1 / (k + rankᵢ)` over each
+    * signal's descending rank — the standard score-free ensembling for
+    * signals on incomparable scales (a perplexity, a length prior, a
+    * classifier logit): ranks need no calibration, and k=60 damps any
+    * single signal's top ranks from dominating. Ties within a signal
+    * break on ascending `idCol`, so ranks — and therefore the fused
+    * score — are deterministic and engine-replayable.
+    *
+    * Returns the input plus `rrf double` (rounded to 6 dp). Rank each
+    * signal with [[globalRowNumber]] — a range exchange per signal, no
+    * single-task window — then join the rank frames back on the id:
+    * |signals| sorts of (id, signal) pairs, never the payload. */
+  def reciprocalRankFusion(df: DataFrame, idCol: String,
+                           signalCols: Seq[String],
+                           k: Int = 60): DataFrame = {
+    require(signalCols.nonEmpty, "need at least one signal column")
+    require(k >= 1, "k must be >= 1")
+    val fused = signalCols.zipWithIndex.map { case (sc, i) =>
+      globalRowNumber(df.select(col(idCol), col(sc)),
+        Seq(col(sc).desc, col(idCol)), out = s"__rrf_rn_$i")
+        .select(col(idCol), (lit(1.0) / (lit(k) + col(s"__rrf_rn_$i")))
+          .as(s"__rrf_$i"))
+    }.reduce(_.join(_, Seq(idCol)))
+    val sum = signalCols.indices.map(i => col(s"__rrf_$i"))
+      .reduce(_ + _)
+    df.join(fused.select(col(idCol), round(sum, 6).as("rrf")), Seq(idCol))
+  }
+
   /** Robust per-group z-scores: `(x − median) / (1.4826 · MAD)` with
     * `MAD = median(|x − median|)` — [[groupZScores]]'s outlier-immune
     * sibling. Mean/stddev z-scores are corrupted by the very anomalies

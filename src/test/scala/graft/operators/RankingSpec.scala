@@ -89,6 +89,21 @@ class RankingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet)
   }
 
+  test("reciprocalRankFusion: hand-computed fusion, agreement beats " +
+       "disagreement, deterministic ties") {
+    // a: rank 1 on s1, rank 2 on s2; b: rank 2 on s1, rank 1 on s2;
+    // c: rank 3 on both → c fused lowest; a == b by symmetry
+    val df = Seq((1L, 10.0, 5.0), (2L, 9.0, 6.0), (3L, 1.0, 1.0))
+      .toDF("id", "s1", "s2")
+    val out = Ranking.reciprocalRankFusion(df, "id", Seq("s1", "s2"), k = 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(1L) == r6(1.0 / 61 + 1.0 / 62))
+    assert(out(2L) == r6(1.0 / 62 + 1.0 / 61))
+    assert(out(3L) == r6(2.0 / 63))
+    assert(out(1L) == out(2L) && out(3L) < out(1L))
+  }
+
   test("groupRobustZScores: outlier does not poison the scale, " +
        "zero-MAD groups yield NULL") {
     // group a: {1..5, 1000}: med 3.5, MAD = median(2.5,1.5,.5,.5,1.5,996.5) = 1.5
