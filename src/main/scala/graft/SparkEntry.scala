@@ -2994,6 +2994,29 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))
     }),
+    "sample_kfold" -> ((s, dir) => {
+      // deterministic cross-validation folds: knuthHash(id) mod 5 —
+      // stable across runs, engines, and corpus growth
+      operators.Sampling.kFold(
+          DbReader(conn(s, dir), "documents").run().select(col("doc_id")),
+          "doc_id", 5)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("fold"))
+    }),
+    "text_head_tail_truncate" -> ((s, dir) => {
+      // context-window fitting: keep the first 20 + last 10 whitespace
+      // tokens with a marker when a doc exceeds the 30-token budget;
+      // shorter docs pass verbatim (both paths occur in the corpus).
+      // md5 audits the truncated text without hauling it
+      operators.Packing.truncateHeadTail(
+          DbReader(conn(s, dir), "documents").run()
+            .select(col("doc_id"), col("text")),
+          "text", headTokens = 20, tailTokens = 10)
+        .select(col("doc_id"), col("n_tokens_kept"),
+          md5(col("truncated")).as("trunc_md5"))
+        .orderBy(col("doc_id"))
+    }),
     "sample_temporal_split" -> ((s, dir) => {
       // leakage-safe temporal holdout over events: train strictly
       // before cutoff − embargo, test at/after cutoff, the 24 h embargo
@@ -5175,6 +5198,26 @@ object SparkEntry {
         |        (skey % 2147483648) * 2654435761 % 4294967296 AS h
         |      FROM keyed)
         |ORDER BY doc_id""".stripMargin,
+    // k-fold replay: the shared Knuth-hash idiom mod 5
+    "sample_kfold" ->
+      """SELECT ((doc_id % 2147483648) * 2654435761 % 4294967296 % 5)::INTEGER AS fold,
+        |       count(*) AS n, min(doc_id) AS min_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // head+tail replay: list slices with the same marker; coalesce
+    // guards the NULL-text n_tokens contract (0, not NULL)
+    "text_head_tail_truncate" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |                             x -> x <> '') AS a
+        |  FROM documents)
+        |SELECT doc_id,
+        |       COALESCE(least(len(a), 30), 0)::BIGINT AS n_tokens_kept,
+        |       md5(CASE WHEN len(a) <= 30 THEN array_to_string(a, ' ')
+        |            ELSE array_to_string(list_slice(a, 1, 20), ' ')
+        |                 || ' ... '
+        |                 || array_to_string(list_slice(a, -10, -1), ' ')
+        |            END) AS trunc_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
     // temporal-split replay: strict < for the train end, inclusive >=
     // for the test start, embargo band [cutoff-1d, cutoff) absent
     "sample_temporal_split" ->

@@ -133,4 +133,40 @@ object Packing {
           transform(array_sort(collect_list(struct(col(orderCol), col(textCol)))),
             s => s(textCol))).as("packed"))
   }
+
+  /** Head+tail truncation to a token budget — the BERT-era recipe for
+    * fitting long documents into a fixed context window (Sun et al.
+    * 2019 found head+tail beats head-only: openings AND conclusions
+    * carry signal, middles pad): keep the first `headTokens` and last
+    * `tailTokens` whitespace tokens with a marker between, pass short
+    * documents through verbatim. A document is truncated only when it
+    * EXCEEDS head+tail tokens (at exactly the budget nothing is cut, no
+    * marker appears). Returns (input columns, truncated string,
+    * n_tokens_kept long). Entirely row-local array slicing — a
+    * scan-stage transform, nothing shuffles. */
+  def truncateHeadTail(df: DataFrame, textCol: String,
+                       headTokens: Int, tailTokens: Int,
+                       marker: String = " ... "): DataFrame = {
+    require(headTokens >= 1 && tailTokens >= 0,
+      "need headTokens >= 1 and tailTokens >= 0")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val n = size(toks)
+    val budget = headTokens + tailTokens
+    df.withColumn("truncated",
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .when(n <= budget, array_join(toks, " "))
+          .otherwise(
+            // tailTokens = 0 would make slice(-0, 0) — an invalid Spark
+            // slice start — so the tail clause is built statically
+            if (tailTokens > 0)
+              concat(array_join(slice(toks, 1, headTokens), " "),
+                lit(marker),
+                array_join(slice(toks, -tailTokens, tailTokens), " "))
+            else
+              concat(array_join(slice(toks, 1, headTokens), " "),
+                lit(marker))))
+      .withColumn("n_tokens_kept",
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(least(n.cast("long"), lit(budget.toLong))))
+  }
 }

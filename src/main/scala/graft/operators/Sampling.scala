@@ -205,6 +205,19 @@ object Sampling {
       .drop("__mix_cum")
   }
 
+  /** Deterministic k-fold assignment: fold = knuthHash(key) mod k —
+    * every row gets a stable fold in [0, k), so cross-validation and
+    * sharded evaluation reproduce across runs and engines, and a row's
+    * fold never changes as the corpus grows (same hash-stability
+    * argument as [[splitByHash]]). Map-only; NULL/non-numeric keys
+    * rejected loudly by the shared key guard. */
+  def kFold(df: DataFrame, keyCol: String, k: Int,
+            out: String = "fold"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    requireNumericKey(df, keyCol, "kFold")
+    df.withColumn(out, pmod(knuthHash32(col(keyCol)), lit(k)).cast("int"))
+  }
+
   /** Leakage-safe TEMPORAL holdout: rows strictly before
     * `cutoff − embargo` train, rows at or after `cutoff` test, and the
     * embargo band between them is DROPPED — the purge window that keeps

@@ -304,6 +304,39 @@ class SamplingSpec extends SparkSpec {
     assert(small.subsetOf(large))
   }
 
+  test("kFold: stable folds in [0,k), growth-invariant, key-determined") {
+    val df = (0L until 1000L).toDF("id")
+    val folds = Sampling.kFold(df, "id", 5).select("id", "fold")
+      .as[(Long, Int)].collect().toMap
+    assert(folds.values.forall(f => f >= 0 && f < 5))
+    // every fold populated, roughly balanced
+    val sizes = folds.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.size == 5 && sizes.values.forall(s => s > 120 && s < 280))
+    // a row's fold never changes when the corpus grows
+    val grown = Sampling.kFold((0L until 2000L).toDF("id"), "id", 5)
+      .select("id", "fold").as[(Long, Int)].collect().toMap
+    assert(folds.forall { case (id, f) => grown(id) == f })
+    intercept[IllegalArgumentException] { Sampling.kFold(df, "id", 1) }
+  }
+
+  test("truncateHeadTail: exceeding docs keep head+tail with marker, " +
+       "at-budget docs pass verbatim, tail 0 keeps head only, NULL " +
+       "stays NULL") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),  // 8 tokens > 3+2
+      (2L, "a b c d e"),        // exactly at budget
+      (3L, null: String)).toDF("id", "text")
+    val out = Packing.truncateHeadTail(docs, "text", 3, 2).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getString(2)), r.getLong(3)))).toMap
+    assert(out(1L) == (Some("a b c ... g h"), 5L))
+    assert(out(2L) == (Some("a b c d e"), 5L))
+    assert(out(3L) == (None, 0L))
+    val headOnly = Packing.truncateHeadTail(docs, "text", 3, 0).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(headOnly(1L) == Some("a b c ... "))
+  }
+
   test("temporalSplit: strict train end, inclusive test start, embargo " +
        "band dropped, NULL ts dropped") {
     import java.sql.Timestamp
