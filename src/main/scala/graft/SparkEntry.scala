@@ -862,6 +862,26 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("int"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "similarity_triplets" -> ((s, dir) => {
+      // metric-learning triplet mining: per anchor, hardest same-label
+      // positive + hardest different-label negative from ONE broadcast
+      // corpus scan (Similarity.mineTriplets); margin = pos - neg
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      operators.Similarity.mineTriplets(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          "label")
+        .orderBy(col("query_id"))
+    }),
+    "corpus_length_quantiles" -> ((s, dir) => {
+      // equi-depth length distribution: 10 near-equal-count buckets
+      // with value envelopes (Ranking.equiDepthHistogram via the
+      // range-exchange global ntile — no single-task window); heavy
+      // tails isolate in the top tile instead of flattening the plot
+      operators.Ranking.equiDepthHistogram(
+          DbReader(conn(s, dir), "documents").run()
+            .select(col("n_chars")), "n_chars", 10)
+        .orderBy(col("tile"))
+    }),
     "similarity_topk_rp" -> ((s, dir) => {
       // random-projection pre-filter (64 -> 32 dims, Achlioptas JL) with
       // exact re-rank: the shortlist compare runs at half the arithmetic
@@ -3548,6 +3568,36 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
         |  FROM scored) t WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // triplet replay: per-anchor top-1 on each side of the label split,
+    // inner join drops unusable anchors
+    "similarity_triplets" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |         c.label = q.label AS same,
+        |         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id < 10),
+        |pos AS (
+        |  SELECT query_id, id AS pos_id, cosine AS pos_cosine FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, id) AS rk FROM scored WHERE same)
+        |  WHERE rk = 1),
+        |neg AS (
+        |  SELECT query_id, id AS neg_id, cosine AS neg_cosine FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, id) AS rk FROM scored WHERE NOT same)
+        |  WHERE rk = 1)
+        |SELECT query_id, pos_id, pos_cosine, neg_id, neg_cosine,
+        |       round(pos_cosine - neg_cosine, 6) AS margin
+        |FROM pos JOIN neg USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+    // equi-depth replay: SQL NTILE shares the fat-tiles-first contract
+    "corpus_length_quantiles" ->
+      """SELECT tile::BIGINT AS tile, count(*) AS n,
+        |       min(n_chars) AS lo, max(n_chars) AS hi FROM (
+        |  SELECT n_chars, ntile(10) OVER (ORDER BY n_chars) AS tile
+        |  FROM documents WHERE n_chars IS NOT NULL) t
+        |GROUP BY tile ORDER BY tile""".stripMargin,
     // hard-negative replay: same brute scoring restricted to rows whose
     // label differs from the anchor's, ranked after the filter
     "similarity_hard_negatives" ->

@@ -132,6 +132,25 @@ object Ranking {
       .drop("__grs_run")
   }
 
+  /** Equi-DEPTH histogram: `k` buckets holding (near-)equal row counts,
+    * with each bucket's value envelope — the quantile-shaped complement
+    * of [[equiWidthHistogram]] (equi-width answers "how is mass spread
+    * over the range"; equi-depth answers "where are the quantile cuts",
+    * robust to heavy tails that would drown an equi-width plot in one
+    * bucket). Ties land by the deterministic (value, tiebreak-free row
+    * number) order of [[globalNtile]], so bucket contents replay
+    * exactly. Returns (tile 1..k, n long, lo, hi) ascending. */
+  def equiDepthHistogram(df: DataFrame, valCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 1, "need at least one bucket")
+    globalNtile(df.select(col(valCol)).filter(col(valCol).isNotNull),
+        k, Seq(col(valCol)))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n"), min(col(valCol)).as("lo"),
+        max(col(valCol)).as("hi"))
+      .orderBy(col("tile"))
+  }
+
   /** Reciprocal rank fusion (Cormack et al. 2009): combine several
     * quality/relevance signals by summing `1 / (k + rankᵢ)` over each
     * signal's descending rank — the standard score-free ensembling for

@@ -84,6 +84,48 @@ object Similarity {
         col("label"))
   }
 
+  /** Contrastive TRIPLET mining — (anchor, positive, negative) rows for
+    * metric-learning losses: per anchor, the positive is its most
+    * cosine-similar SAME-label vector and the negative its most similar
+    * DIFFERENT-label vector ([[mineHardNegatives]] with k = 1) — the
+    * "hardest positive, hardest negative" recipe that makes triplet
+    * margins informative. Anchors with no same-label or no
+    * different-label candidate yield no row (an unusable triplet, not a
+    * NULL-padded one). Output (query_id, pos_id, pos_cosine, neg_id,
+    * neg_cosine, margin = pos − neg, rounded 6).
+    *
+    * Scale: ONE broadcast corpus scan scores both sides (the label
+    * filter splits the same scored stream), two per-anchor top-1
+    * windows, one id join — nothing beyond [[bruteForceTopK]]'s cost.
+    * For non-broadcastable anchor sets, compose the IVF path per side. */
+  def mineTriplets(corpus: DataFrame, anchors: DataFrame,
+                   idCol: String, vecCol: String,
+                   labelCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col(labelCol).as("clabel"))
+    val q = anchors.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("qlabel"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), col("clabel"), col("qlabel"),
+        round(GraftExpressions.cosineSimilarity(col("qv"), col("v")), 6)
+          .as("cosine"))
+    def top1(df: DataFrame, idAs: String, cosAs: String) = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("id").asc)
+      df.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("query_id"), col("id").as(idAs),
+          col("cosine").as(cosAs))
+    }
+    top1(scored.filter(col("clabel") === col("qlabel")),
+        "pos_id", "pos_cosine")
+      .join(top1(scored.filter(col("clabel") =!= col("qlabel")),
+        "neg_id", "neg_cosine"), Seq("query_id"))
+      .withColumn("margin",
+        round(col("pos_cosine") - col("neg_cosine"), 6))
+  }
+
   /** Random-projection pre-filter ANN: brute-force the top-`shortlist`
     * on Rademacher-projected `outDim`-dim float vectors, then exact
     * cosine re-rank on the raw vectors. The all-pairs compare drops to

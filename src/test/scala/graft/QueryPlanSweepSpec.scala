@@ -24,6 +24,8 @@ class QueryPlanSweepSpec extends AnyFunSuite {
     "similarity_topk_brute",  // deliberate: broadcast(queries) cross corpus
     "similarity_hard_negatives", // same shape: broadcast(anchors) cross
                               // corpus scan (Similarity.mineHardNegatives)
+    "similarity_triplets",    // same shape: broadcast(anchors) cross the
+                              // corpus scan, split by label (mineTriplets)
     "corpus_drift_js",        // deliberate: 1-row token-totals broadcast
                               // cross the vocab frame (unigramJsDivergence)
     "retrieval_tfidf_terms",  // deliberate: 1-row doc-count N broadcast

@@ -326,6 +326,28 @@ class SimilaritySpec extends SparkSpec {
     assert(ranks.toSeq == ranks.sorted.reverse.toSeq, "cosine desc by rank")
   }
 
+  test("mineTriplets: hardest positive and hardest negative per anchor, " +
+       "unusable anchors yield no row, margin is pos minus neg") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // anchor
+      (1L, Array(0.99f, 0.14f), 0), // hardest positive
+      (2L, Array(0.7f, 0.71f), 0),  // weaker positive
+      (3L, Array(0.95f, 0.31f), 1), // hardest negative
+      (4L, Array(-1.0f, 0.0f), 1),
+      (9L, Array(0.5f, 0.5f), 7)    // label 7: no same-label partner
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.mineTriplets(vecs,
+        vecs.filter($"vec_id".isin(0L, 9L)), "vec_id", "embedding", "label")
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("pos_id"), r.getAs[Long]("neg_id"),
+          r.getAs[Double]("margin"))))
+      .toMap
+    assert(out.keySet == Set(0L)) // anchor 9 has no positive -> dropped
+    val (pos, neg, margin) = out(0L)
+    assert(pos == 1L && neg == 3L)
+    assert(margin > 0 && margin < 0.2) // hard negative: small margin
+  }
+
   test("mineHardNegatives: same-label vectors never surface, the planted " +
        "near-identical different-label vector ranks 1, k fills from the " +
        "filtered pool") {

@@ -89,6 +89,20 @@ class RankingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet)
   }
 
+  test("equiDepthHistogram: balanced counts (fat tiles first), " +
+       "monotone envelopes, heavy tail isolated instead of drowning") {
+    // 98 small values + 2 huge outliers, 10 rows per tile at k = 10
+    val df = ((1 to 98).map(_.toDouble) ++ Seq(1e9, 2e9)).toDF("v")
+    val out = Ranking.equiDepthHistogram(df, "v", 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == (1L to 10L))
+    assert(out.forall(_._2 == 10L))
+    // envelopes are monotone and non-overlapping
+    assert(out.sliding(2).forall { case Array(a, b) => a._4 <= b._3 })
+    // the outliers live alone at the top instead of flattening the rest
+    assert(out.last._3 >= 91.0 && out.last._4 == 2e9)
+  }
+
   test("reciprocalRankFusion: hand-computed fusion, agreement beats " +
        "disagreement, deterministic ties") {
     // a: rank 1 on s1, rank 2 on s2; b: rank 2 on s1, rank 1 on s2;
