@@ -1299,6 +1299,21 @@ object SparkEntry {
           md5(col("cleaned")).as("clean_md5"))
         .orderBy(col("doc_id"))
     }),
+    "tokenizer_freq_spectrum" -> ((s, dir) => {
+      // counts-of-counts corpus fingerprint: hapax share predicts OOV
+      // and Good-Turing mass; frequencies 1..10 + one overflow row,
+      // empty frequencies emitted so the shape is diffable
+      operators.Tokenize.frequencySpectrum(
+        DbReader(conn(s, dir), "documents").run(), "text", maxF = 10)
+    }),
+    "tokenizer_coverage_curve" -> ((s, dir) => {
+      // vocab sizing: smallest top-frequency vocabulary covering 50 /
+      // 90 / 99% of corpus tokens — rank and running share via the
+      // range-exchange helpers, never a partition-less window
+      operators.Tokenize.coverageCurve(
+        DbReader(conn(s, dir), "documents").run(), "text",
+        Seq(0.5, 0.9, 0.99))
+    }),
     "tokenizer_bpe_encode" -> ((s, dir) => {
       // real BPE inference (greedy lowest-rank merge loop) with an
       // arithmetically-predictable outcome: each doc's text is 'ab'
@@ -4479,6 +4494,41 @@ object SparkEntry {
         |       CASE WHEN a.i = b.i THEN 1.0 ELSE 0.0 END AS cov
         |FROM range(64) a(i) JOIN range(64) b(i) ON a.i <= b.i
         |ORDER BY i, j""".stripMargin,
+    // spectrum replay: word count -> count of counts, range() shapes
+    // the empty frequencies, 11 is the overflow row
+    "tokenizer_freq_spectrum" ->
+      """WITH counts AS (
+        |  SELECT t, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                              x -> x <> '')) AS t
+        |    FROM documents) GROUP BY t),
+        |sp AS (
+        |  SELECT CASE WHEN c <= 10 THEN c ELSE 11 END AS freq,
+        |         count(*) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens
+        |  FROM counts GROUP BY 1)
+        |SELECT f.freq::BIGINT AS freq, COALESCE(n_types, 0) AS n_types,
+        |       COALESCE(n_tokens, 0) AS n_tokens
+        |FROM range(1, 12) f(freq) LEFT JOIN sp ON sp.freq = f.freq
+        |ORDER BY freq""".stripMargin,
+    // coverage replay: run is strictly increasing along the rank order,
+    // so min(rnk)/min(run) locate the first reaching row
+    "tokenizer_coverage_curve" ->
+      """WITH counts AS (
+        |  SELECT t, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                              x -> x <> '')) AS t
+        |    FROM documents) GROUP BY t),
+        |ordered AS (
+        |  SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rnk,
+        |         sum(c) OVER (ORDER BY c DESC, t
+        |           ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM counts),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM counts)
+        |SELECT tg.target, CAST(min(o.rnk) AS BIGINT) AS vocab_size,
+        |       CAST(min(o.run) AS BIGINT) AS tokens_covered
+        |FROM (VALUES (0.5), (0.9), (0.99)) tg(target)
+        |JOIN ordered o ON o.run >= tg.target * (SELECT n FROM tot)
+        |GROUP BY tg.target ORDER BY tg.target""".stripMargin,
     // BPE-encode oracle: 'ab'*k under merges (a,b),(ab,ab) -> ceil(k/2)
     "tokenizer_bpe_encode" ->
       """SELECT doc_id,

@@ -55,6 +55,82 @@ object Tokenize {
     pairs.orderBy(col("cnt").desc, col("sym1"), col("sym2")).limit(topK)
   }
 
+  /** Frequency-of-frequencies spectrum ("count of counts"): how many
+    * distinct tokens occur exactly f times, for f = 1..`maxF`, plus one
+    * overflow row (f = maxF+1 aggregating everything rarer than common).
+    * THE corpus-health fingerprint: hapax share predicts OOV rates and
+    * Good–Turing mass, a spectrum bending away from Zipf flags template
+    * spam or tokenizer breakage. Empty rows are emitted for absent
+    * frequencies so the spectrum's shape is fixed and diffable.
+    *
+    * Returns (freq long — maxF+1 = overflow, n_types long,
+    * n_tokens long) ascending by freq.
+    *
+    * Scale shape: word-count, then count-of-counts — the second
+    * aggregate's input is the vocabulary, already orders of magnitude
+    * below the corpus; the spectrum frame is maxF+1 rows. */
+  def frequencySpectrum(df: DataFrame, textCol: String,
+                        maxF: Int = 10): DataFrame = {
+    require(maxF >= 1, "maxF must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        t => t =!= "")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val spectrum = counts
+      .select(when(col("__c") <= maxF, col("__c"))
+        .otherwise(lit(maxF + 1L)).as("freq"), col("__c"))
+      .groupBy(col("freq"))
+      .agg(count(lit(1)).as("n_types"), sum(col("__c")).as("n_tokens"))
+    val shape = (1L to (maxF + 1L)).toDF("freq")
+    broadcast(shape).join(spectrum, Seq("freq"), "left")
+      .select(col("freq"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .orderBy(col("freq"))
+  }
+
+  /** Vocabulary coverage curve: the smallest top-by-frequency vocabulary
+    * covering each target share of corpus tokens — the number a
+    * tokenizer build sizes its vocab by ("32k pieces cover 99.2%").
+    * For each target t, reports the first rank (by count desc, token
+    * asc — a total order, so the curve replays exactly) whose running
+    * token share reaches t. Returns (target double, vocab_size long,
+    * tokens_covered long); a target no finite vocab reaches (t > 1)
+    * would simply yield no row.
+    *
+    * Scale shape: word-count, then [[Ranking.globalRunningSum]] over
+    * the vocabulary (range exchange — vocab-sized, not corpus-sized),
+    * then one broadcast of the |targets|-row frame and a min-aggregate
+    * per target. */
+  def coverageCurve(df: DataFrame, textCol: String,
+                    targets: Seq[Double]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(t => t > 0 && t <= 1),
+      "targets must be fractions in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        t => t =!= "")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val ord = Seq(col("__c").desc, col("__t"))
+    // rank and running sum over the SAME total order — both via the
+    // range-exchange helpers, never a partition-less window
+    val ordered = Ranking.globalRunningSum(
+      Ranking.globalRowNumber(counts, ord, out = "__rank"), ord, "__c",
+      out = "__run")
+    val total = counts.agg(sum(col("__c")).cast("double").as("__n"))
+    val tf = targets.distinct.sorted.toDF("target")
+    ordered.crossJoin(broadcast(total))
+      .join(broadcast(tf), col("__run") >= col("target") * col("__n"))
+      .groupBy(col("target"))
+      .agg(min(struct(col("__run"), col("__rank"))).as("__first"))
+      .select(col("target"), col("__first.__rank").as("vocab_size"),
+        col("__first.__run").as("tokens_covered"))
+      .orderBy(col("target"))
+  }
+
   /** Greedy BPE encoding of one word against a ranked merge list
     * (Sennrich et al. 2016 inference): start from characters, repeatedly
     * fuse the adjacent pair with the LOWEST merge rank anywhere in the

@@ -66,6 +66,32 @@ class TokenizeSpec extends SparkSpec {
     }
   }
 
+  test("frequencySpectrum: exact counts-of-counts, empty frequencies " +
+       "emitted, overflow aggregates the common head") {
+    // a x5, b x2, c x2, d x1, e x1, f x1 → f1: 3 types/3 toks,
+    // f2: 2/4, f3..: 0, overflow(>3): a → 1 type/5 toks
+    val docs = Seq((1L, "a a a b c d"), (2L, "a a b c e f")).toDF("id", "t")
+    val out = Tokenize.frequencySpectrum(docs, "t", maxF = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == (3L, 3L))
+    assert(out(2L) == (2L, 4L))
+    assert(out(3L) == (0L, 0L))
+    assert(out(4L) == (1L, 5L)) // overflow row
+    assert(out.size == 4)
+  }
+
+  test("coverageCurve: smallest vocab reaching each target share, " +
+       "deterministic tie order, target 1.0 needs the whole vocab") {
+    // counts: a=6, b=3, c=1 → N=10; 0.6 → 1 word; 0.9 → 2; 1.0 → 3
+    val docs = Seq((1L, "a a a a a a b b b c")).toDF("id", "t")
+    val out = Tokenize.coverageCurve(docs, "t", Seq(0.6, 0.9, 1.0))
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0.6) == (1L, 6L))
+    assert(out(0.9) == (2L, 9L))
+    assert(out(1.0) == (3L, 10L))
+  }
+
   test("bpeEncodeWord: rank priority beats position, leftmost wins rank " +
        "ties, unmergeable text stays characters, chains compose") {
     // lowest-rank pair fuses FIRST even when a later-position pair has
