@@ -32,6 +32,9 @@ class QueryPlanSweepSpec extends AnyFunSuite {
                               // cross the tf stream (tfidfTopTerms)
     "corpus_pmi_collocations", // same shape: 1-row token-total N cross
                               // the thresholded pair table (pmiCollocations)
+    "tokenizer_coverage_curve", // deliberate: |targets|-row broadcast
+                              // inequality-joined to the vocab-sized
+                              // running-share frame (coverageCurve)
     "similarity_topk_ivf",    // deliberate: broadcast probe set
     "similarity_topk_lsh",    // deliberate: broadcast query vectors
     "similarity_topk_pq",     // deliberate: broadcast ADC tables cross codes
