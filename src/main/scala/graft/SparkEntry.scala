@@ -850,6 +850,20 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("int"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "similarity_topk_signbit" -> ((s, dir) => {
+      // 1-bit binary-quantized ANN: sign-pack to 64-bit words (32x
+      // smaller than float32), candidates by popcount-XOR Hamming with
+      // id tiebreaks, exact cosine re-rank on the rerank=20 pool
+      // (Similarity.signBitTopK). Corpus is never shuffled: the Hamming
+      // window moves 20-byte rows and the re-rank joins the tiny
+      // survivor set back by broadcast
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      operators.Similarity.signBitTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, rerank = 20)
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "similarity_hard_negatives" -> ((s, dir) => {
       // contrastive-training negative mining: per anchor, the 5 most
       // cosine-similar vectors with a DIFFERENT label (label-filter
@@ -1171,6 +1185,17 @@ object SparkEntry {
       operators.TextMetrics.repetition(
           DbReader(conn(s, dir), "documents").run(), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    "text_dup_ngram_stats" -> ((s, dir) => {
+      // Gopher duplicate-n-gram repetition filters (Rae et al. 2021): per
+      // (doc, n) the top-gram token coverage and the position-exact
+      // duplicated-gram coverage, n in {2,3,5}. Both fractions round(6);
+      // the DuckDB oracle replays grams positionally with list slicing
+      operators.TextMetrics.duplicateNgramStats(
+          DbReader(conn(s, dir), "documents").run(), "doc_id", "text",
+          ns = Seq(2, 3, 5))
+        .orderBy(col("doc_id"), col("n"))
     }),
 
     "quality_rank_fusion" -> ((s, dir) => {
@@ -3583,6 +3608,39 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
         |  FROM scored) t WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // sign-bit replay: pack bit b iff embedding[b] >= 0 (distinct powers
+    // of two, so list_sum is an exact OR), Hamming = popcount(xor),
+    // candidate pool by (hamming, id), exact-cosine final rank
+    "similarity_topk_signbit" ->
+      """WITH codes AS (
+        |  SELECT vec_id,
+        |         list_sum(list_transform(range(0, 64),
+        |           b -> CASE WHEN embedding[b + 1] < 0 THEN 0::BIGINT
+        |                WHEN b = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |                ELSE 1::BIGINT << b END))::BIGINT AS code,
+        |         embedding
+        |  FROM embeddings),
+        |pool AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |         bit_count(xor(q.code, c.code))::INTEGER AS hamming,
+        |         q.embedding AS qv, c.embedding AS cv
+        |  FROM codes q JOIN codes c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id < 10),
+        |surv AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hamming, id) AS hr FROM pool) t
+        |  WHERE hr <= 20),
+        |rr AS (
+        |  SELECT query_id, id, hamming,
+        |         round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cosine
+        |  FROM surv)
+        |SELECT query_id, rank::INTEGER AS rank, id, hamming, cosine FROM (
+        |  SELECT query_id, id, hamming, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, id) AS rank
+        |  FROM rr) t WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // triplet replay: per-anchor top-1 on each side of the label split,
     // inner join drops unusable anchors
     "similarity_triplets" ->
@@ -3772,6 +3830,35 @@ object SparkEntry {
         |       round(max(cnt)::DOUBLE / sum(cnt), 6) AS top_token_frac,
         |       round(count(*)::DOUBLE / sum(cnt), 6) AS distinct_token_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // grams built positionally from the same \s+ token array; DuckDB list
+    // slicing is 1-based inclusive so toks[i+1:i+n] is the n-token window
+    // at 0-based offset i; covered positions de-overlap via DISTINCT
+    "text_dup_ngram_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |ns AS (SELECT unnest([2, 3, 5]) AS n),
+        |d AS (SELECT doc_id, n, len(toks) AS ntok FROM t, ns WHERE len(toks) >= n),
+        |g AS (
+        |  SELECT t.doc_id, ns.n, i AS pos,
+        |         array_to_string(toks[i + 1:i + ns.n], ' ') AS gram
+        |  FROM t, ns, unnest(range(0, len(toks) - ns.n + 1)) AS r(i)
+        |  WHERE len(toks) >= ns.n),
+        |c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        |top AS (SELECT doc_id, n, max(cnt) AS top FROM c GROUP BY 1, 2),
+        |cov AS (
+        |  SELECT doc_id, n, count(DISTINCT p) AS cov FROM (
+        |    SELECT g.doc_id, g.n, unnest(range(g.pos, g.pos + g.n)) AS p
+        |    FROM g JOIN c ON g.doc_id = c.doc_id AND g.n = c.n
+        |                 AND g.gram = c.gram AND c.cnt > 1)
+        |  GROUP BY 1, 2)
+        |SELECT d.doc_id, d.n,
+        |  round(least(1.0, top.top * d.n * 1.0 / d.ntok), 6) AS top_ngram_frac,
+        |  round(coalesce(cov.cov, 0) * 1.0 / d.ntok, 6) AS dup_ngram_frac
+        |FROM d
+        |JOIN top ON d.doc_id = top.doc_id AND d.n = top.n
+        |LEFT JOIN cov ON d.doc_id = cov.doc_id AND d.n = cov.n
+        |ORDER BY d.doc_id, d.n""".stripMargin,
     "quality_gopher_filter" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -399,6 +399,37 @@ object VectorImpl {
     new GenericArrayData(out)
   }
 
+  /** 1-bit sign quantization: bit (j mod 64) of word (j div 64) is set
+    * iff component j >= 0 (so −0.0 sets the bit and NaN clears it — both
+    * choices replay identically in any IEEE engine). 32× storage cut over
+    * float; Hamming distance between packed words estimates angular
+    * distance exactly as axis-aligned hyperplane LSH. */
+  def signPack(v: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    val words = new Array[Long]((n + 63) >>> 6)
+    var j = 0
+    while (j < n) {
+      val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+      if (x >= 0.0) words(j >>> 6) |= (1L << (j & 63))
+      j += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  /** Popcount-XOR Hamming distance over sign-packed words (shorter input
+    * zero-extends: extra words of the longer side are ignored, matching
+    * same-dim usage; callers quantize both sides with [[signPack]]). */
+  def hammingDistance(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
   /** Rademacher random projection (Achlioptas '03): out_k =
     * Σ_j v_j · sign(mix(seed,k,j)) / √outDim. Distances/cosines are
     * preserved in JL fashion with ±1 entries — no Gaussian sampling, no
@@ -622,6 +653,9 @@ object GraftExpressions {
   def int8Quantize(v: Column): Column = col(Int8Quantize(expr(v)))
   def int8Dequantize(codes: Column, scale: Column): Column =
     col(Int8Dequantize(expr(codes), expr(scale)))
+  def signPack(v: Column): Column = col(SignPack(expr(v)))
+  def hammingDistance(a: Column, b: Column): Column =
+    col(HammingDistance(expr(a), expr(b)))
   def pqEncode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
     col(PqEncode(expr(v), codebooks))
   def pqTable(q: Column, codebooks: Array[Array[Array[Double]]]): Column =
@@ -689,5 +723,9 @@ object GraftExpressions {
       es => Int8Quantize(es.head), "built-in")
     reg.createOrReplaceTempFunction("int8_scale",
       es => Int8Scale(es.head), "built-in")
+    reg.createOrReplaceTempFunction("sign_pack",
+      es => SignPack(es.head), "built-in")
+    reg.createOrReplaceTempFunction("hamming_distance",
+      es => HammingDistance(es(0), es(1)), "built-in")
   }
 }

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GraftPqAdcInput, GraftVectorInput, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GraftLongArrayInput, GraftPqAdcInput, GraftVectorInput, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -94,6 +94,48 @@ case class Int8Quantize(child: Expression)
       c => s"graft.expressions.VectorImpl.int8Quantize($c, $isFloat)")
   override protected def withNewChildInternal(newChild: Expression): Int8Quantize =
     copy(child = newChild)
+}
+
+/** 1-bit sign quantization to packed 64-bit words — array<long> of
+  * ceil(dim/64) elements, bit (j mod 64) of word (j div 64) set iff
+  * component j >= 0. The 32× storage cut below even [[Int8Quantize]]:
+  * a 1024-dim float embedding becomes 16 longs, and candidate
+  * generation runs on popcount-XOR ([[HammingDistance]]) instead of
+  * float math. Codegen'd so packing rides the scan's WholeStageCodegen
+  * span. */
+case class SignPack(child: Expression)
+  extends UnaryExpression with GraftVectorInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_pack"
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  protected override def nullSafeEval(input: Any): Any =
+    VectorImpl.signPack(input.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.VectorImpl.signPack($c, $isFloat)")
+  override protected def withNewChildInternal(newChild: Expression): SignPack =
+    copy(child = newChild)
+}
+
+/** Hamming distance between two [[SignPack]] code arrays: Σ popcount(a_w
+  * XOR b_w). For sign-quantized vectors, E[hamming/dim] = θ/π (the
+  * hyperplane-LSH collision bound), so ranking by Hamming approximates
+  * ranking by angle at 2 bit-ops per 64 dimensions. */
+case class HammingDistance(left: Expression, right: Expression)
+  extends BinaryExpression with GraftLongArrayInput {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hamming_distance"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorImpl.hammingDistance(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.VectorImpl.hammingDistance($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Reconstruct float components from int8 codes and their scale:

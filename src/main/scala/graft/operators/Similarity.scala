@@ -723,6 +723,59 @@ object Similarity {
           "/ element_at(__iqrs, i))").as(vecCol))
   }
 
+  /** 1-bit binary-quantized ANN: candidates by Hamming distance over
+    * sign-packed codes, exact cosine re-rank on the survivors.
+    *
+    * Pass 1 moves ONLY (query_id, id, hamming) through the per-query
+    * ranking window — 20 bytes a row instead of the full vector, and the
+    * distance itself is popcount-XOR on ceil(dim/64) longs (SignPack /
+    * HammingDistance, both codegen'd). Pass 2 joins the tiny survivor set
+    * (|queries| × rerank rows) back to the corpus by id — AQE plans it as
+    * a broadcast join against the corpus scan, so the corpus is never
+    * shuffled and float math runs on survivors only. At 100 TB the codes
+    * column is the thing you'd persist (32× smaller than float32 vectors);
+    * this operator reads vectors twice only because it derives codes
+    * inline.
+    *
+    * Ranking is deterministic both passes: Hamming ties break on id asc
+    * (so the candidate pool is engine-independent), final rank is
+    * (cosine desc, id asc). Self-matches are excluded. `rerank` >= k
+    * controls the recall/cost trade: recall@k rises with rerank/k exactly
+    * as in the binary-quantization literature (bit flips are θ/π per
+    * hyperplane). */
+  def signBitTopK(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank pool ($rerank) must cover k ($k)")
+    val c = corpus.select(col(idCol).as("id"),
+      GraftExpressions.signPack(col(vecCol)).as("code"))
+    val q = queries.select(col(idCol).as("query_id"),
+      GraftExpressions.signPack(col(vecCol)).as("qcode"))
+    val pool = c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        GraftExpressions.hammingDistance(col("qcode"), col("code")).as("hamming"))
+    val hw = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("id").asc)
+    val survivors = pool.withColumn("__hr", row_number().over(hw))
+      .filter(col("__hr") <= rerank)
+      .drop("__hr")
+    // exact re-rank: survivors are small — broadcast them at the corpus
+    // and query vectors (never the other way round)
+    val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("__cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val rescored = cv.join(broadcast(survivors), Seq("id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("id"), col("hamming"),
+        round(GraftExpressions.cosineSimilarity(col("__qv"), col("__cv")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("hamming"), col("cosine"))
+  }
+
   /** Deterministic per-query top-k: rank on (cosine desc, id asc) so ties
     * are stable across engines. */
   private def topK(scored: DataFrame, k: Int): DataFrame = {

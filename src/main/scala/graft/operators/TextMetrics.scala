@@ -31,4 +31,60 @@ object TextMetrics {
         round(count(lit(1)).cast("double") / sum(col("cnt")).cast("double"), 6)
           .as("distinct_token_frac"))
   }
+
+  /** Gopher-style duplicate-n-gram repetition metrics (Rae et al. 2021,
+    * arXiv:2112.11446 Table A1; the reference filters documents on the same
+    * family — see onetl's quality-filter gates). For each requested `n`,
+    * per document with at least `n` tokens:
+    *
+    *  - `top_ngram_frac`: tokens covered by occurrences of the single most
+    *    frequent n-gram / total tokens (`count * n / n_tok`), capped at 1.0
+    *    because overlapping occurrences can multi-count a position;
+    *  - `dup_ngram_frac`: distinct token POSITIONS covered by any n-gram
+    *    that occurs more than once / total tokens — position-exact, so
+    *    overlapping duplicate grams never double-count.
+    *
+    * Shape at 100 TB: everything is keyed by (doc, gram) or (doc, position)
+    * — partial aggregation applies, no cross-document traffic, and the only
+    * joins are doc-local (gram counts back to gram positions), so AQE plans
+    * them as shuffle joins on the same doc-keyed exchange. Documents shorter
+    * than `n` tokens emit no row for that `n` (no denominator). Fractions
+    * round(6) for cross-engine hash parity. */
+  def duplicateNgramStats(df: DataFrame, idCol: String, textCol: String,
+                          ns: Seq[Int] = Seq(2, 3, 5)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 2), s"n-gram sizes must be >= 2: $ns")
+    val toksDf = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+    ns.map { n =>
+      val docs = toksDf.where(size(col("__toks")) >= n)
+      val perDoc = docs.select(col(idCol), size(col("__toks")).as("__ntok"))
+      // positional n-grams: one space-joined string per start offset
+      val grams = docs.select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, size(__toks) - $n), " +
+            s"i -> concat_ws(' ', slice(__toks, i + 1, $n)))"))
+          .as(Seq("__pos", "__gram")))
+      val counts = grams.groupBy(col(idCol), col("__gram"))
+        .agg(count(lit(1)).as("__cnt"))
+      val top = perDoc.join(
+        counts.groupBy(col(idCol)).agg(max(col("__cnt")).as("__top")),
+        Seq(idCol))
+      // positions covered by duplicated grams, de-overlapped via distinct
+      val covered = grams
+        .join(counts.where(col("__cnt") > 1).select(col(idCol), col("__gram")),
+          Seq(idCol, "__gram"))
+        .select(col(idCol),
+          explode(expr(s"sequence(__pos, __pos + ${n - 1})")).as("__p"))
+        .distinct()
+        .groupBy(col(idCol)).agg(count(lit(1)).as("__cov"))
+      top.join(covered, Seq(idCol), "left")
+        .select(col(idCol), lit(n).as("n"),
+          round(least(lit(1.0),
+            col("__top") * n / col("__ntok").cast("double")), 6)
+            .as("top_ngram_frac"),
+          round(coalesce(col("__cov"), lit(0L)).cast("double") / col("__ntok"), 6)
+            .as("dup_ngram_frac"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -41,6 +41,12 @@ trait GraftInt8Input extends ImplicitCastInputTypes { self: Expression =>
     Seq(ArrayType(ByteType), DoubleType)
 }
 
+/** Sign-packed 64-bit code words (see graft.expressions.VectorImpl.signPack). */
+trait GraftLongArrayInput extends ImplicitCastInputTypes { self: Expression =>
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq.fill(children.size)(ArrayType(LongType))
+}
+
 /** Raw shingle strings or pre-hashed 64-bit shingles are both accepted
   * (the hashed form avoids materializing string arrays at scale). */
 trait GraftStringOrLongArrayInput extends ImplicitCastInputTypes { self: Expression =>

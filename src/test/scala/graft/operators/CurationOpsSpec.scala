@@ -536,6 +536,33 @@ class TextMetricsSpec extends SparkSpec {
       (2L, 0.2, 1.0),
       (3L, 0.5, 0.5)))
   }
+
+  test("duplicateNgramStats: hand-checked coverage on crafted docs") {
+    val df = Seq(
+      // "a b" occurs at 0,2,4 (3x), "b a" at 1,3 (2x): top 2-gram covers
+      // min(1, 3*2/6)=1.0; every position is inside some duplicated gram
+      (1L, "a b a b a b"),
+      // no repeated 2-gram: top covers 2/4, dup covers 0
+      (2L, "w x y z"),
+      // "c d" duplicated at 0 and 3 -> positions {0,1,3,4} = 4/5 covered;
+      // top 2-gram count 2 -> 2*2/5 = 0.8
+      (3L, "c d e c d"),
+      (4L, " ")                            // blank: no rows at all
+    ).toDF("doc_id", "text")
+    val m = TextMetrics.duplicateNgramStats(df, "doc_id", "text", ns = Seq(2))
+      .orderBy($"doc_id").as[(Long, Int, Double, Double)].collect().toSeq
+    assert(m == Seq(
+      (1L, 2, 1.0, 1.0),
+      (2L, 2, 0.5, 0.0),
+      (3L, 2, 0.8, 0.8)))
+  }
+
+  test("duplicateNgramStats: docs shorter than n emit no row for that n") {
+    val df = Seq((1L, "only two"), (2L, "one two three four five six")).toDF("doc_id", "text")
+    val m = TextMetrics.duplicateNgramStats(df, "doc_id", "text", ns = Seq(2, 5))
+      .select($"doc_id", $"n").as[(Long, Int)].collect().toSet
+    assert(m == Set((1L, 2), (2L, 2), (2L, 5)))
+  }
 }
 
 class PiiScrubSpec extends SparkSpec {

@@ -67,3 +67,55 @@ class Int8QuantizeSpec extends SparkSpec {
     assert(cos.forall(_._2 > 0.999), s"worst ${cos.minBy(_._2)}")
   }
 }
+
+/** 1-bit sign quantization + popcount-XOR Hamming ANN: the 32× storage
+  * cut and the candidate-generation path that never touches float math. */
+class SignBitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("signPack: bit layout hand-checked, multi-word, -0.0 and boundary bits") {
+    // 70 dims -> 2 words; dims 0,63,64,69 probe word boundaries
+    val v = Array.fill(70)(-1.0f)
+    v(0) = 1.0f; v(5) = 0.0f; v(7) = -0.0f; v(63) = 2.0f; v(64) = 3.0f; v(69) = 0.5f
+    val got = Seq(Tuple1(v)).toDF("v")
+      .select(signPack($"v").as("c")).as[Seq[Long]].head()
+    val w0 = (1L << 0) | (1L << 5) | (1L << 7) | (1L << 63) // -0.0 >= 0 sets bit 7
+    val w1 = (1L << 0) | (1L << 5)                          // dims 64, 69
+    assert(got === Seq(w0, w1), got.map(_.toBinaryString))
+  }
+
+  test("hammingDistance: XOR popcount across words, zero for identical codes") {
+    val df = Seq(
+      (Seq(0L, 0L), Seq(-1L, 0L), 64),       // one word fully flipped
+      (Seq(5L, 9L), Seq(5L, 9L), 0),
+      (Seq(1L, 1L << 62), Seq(2L, 0L), 3)
+    ).toDF("a", "b", "want")
+    val got = df.select(hammingDistance($"a", $"b").as("h"), $"want")
+      .as[(Int, Int)].collect()
+    assert(got.forall { case (h, w) => h == w }, got.toSeq)
+  }
+
+  test("signBitTopK: planted near-duplicate ranks 1; full-pool parity with brute") {
+    val rnd = new scala.util.Random(47)
+    val base = (0 until 120).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    // id 200: tiny perturbation of id 7 — same signs almost surely, so it
+    // survives the Hamming pool and wins the exact re-rank
+    val nearDup = (200L, base(7)._2.map(x => x + 0.001f * math.signum(x)))
+    val df = (base :+ nearDup).toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" === 7L)
+    val top = Similarity.signBitTopK(df, q, "vec_id", "embedding", k = 3, rerank = 20)
+      .orderBy($"rank").as[(Long, Int, Long, Int, Double)].collect()
+    assert(top.head._3 == 200L && top.head._4 == 0, top.toSeq)
+    // rerank = corpus size -> every candidate re-ranked exactly: ids must
+    // equal the brute-force answer rank for rank
+    val qs = df.filter($"vec_id" < 5L)
+    val viaSign = Similarity.signBitTopK(df, qs, "vec_id", "embedding",
+        k = 5, rerank = 121)
+      .select($"query_id", $"rank", $"id", $"cosine")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val viaBrute = Similarity.bruteForceTopK(df, qs, "vec_id", "embedding", 5)
+      .select($"query_id", $"rank", $"id", $"cosine")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(viaSign == viaBrute)
+  }
+}
