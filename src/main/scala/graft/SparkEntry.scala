@@ -614,6 +614,19 @@ object SparkEntry {
         .select(col("doc_id"), col("n_kept"), md5(col("rebuilt")).as("rebuilt_md5"))
         .orderBy(col("doc_id"))
     }),
+    "dedup_span_removal" -> ((s, dir) => {
+      // ExactSubstr span dedup (Lee et al. 2021): every run of >= 8
+      // consecutive tokens that also occurs elsewhere in the corpus is
+      // cut, first occurrence (min (doc, pos)) kept. Anchor 8-grams are
+      // exact strings here so DuckDB replays keeper choice and window
+      // coverage verbatim (hashedAnchors=true is the 8-byte-key scale
+      // path; spec pins both modes identical); md5 audits the rebuilt
+      // text, counts audit the cut volume
+      operators.Dedup.removeDuplicateSpans(
+          DbReader(conn(s, dir), "documents").run(), "doc_id", "text",
+          minMatch = 8, hashedAnchors = false)
+        .orderBy(col("doc_id"))
+    }),
     "pii_scrub" -> ((s, dir) => {
       // PII redaction audit with planted entities: the corpus has no
       // natural PII, so each doc gets a deterministic email + IP + phone
@@ -3351,6 +3364,42 @@ object SparkEntry {
         |SELECT doc_id, source FROM s1
         |UNION ALL SELECT doc_id, source FROM s2
         |ORDER BY doc_id""".stripMargin,
+    // span replay: anchor 8-grams positionally, keeper = first (doc,pos)
+    // per gram via row_number, covered = non-keeper windows de-overlapped,
+    // rebuild = positional anti-join + ordered string_agg
+    "dedup_span_removal" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |g AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i + 1:i + 8], ' ') AS gram
+        |  FROM t, unnest(range(0, len(toks) - 7)) AS r(i)
+        |  WHERE len(toks) >= 8),
+        |k AS (
+        |  SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |  FROM g),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT doc_id, unnest(range(pos, pos + 8)) AS p
+        |    FROM k WHERE rn > 1)),
+        |tok AS (
+        |  SELECT doc_id, i AS p, toks[i + 1] AS tok
+        |  FROM t, unnest(range(0, len(toks))) AS r(i)),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.p, tok.tok
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |  WHERE cov.p IS NULL),
+        |reb AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(tok, ' ' ORDER BY p) AS clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |       coalesce(reb.n_kept, 0) AS n_kept,
+        |       len(t.toks) - coalesce(reb.n_kept, 0) AS n_removed,
+        |       md5(coalesce(reb.clean, '')) AS clean_md5
+        |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "dedup_chunk_rebuild" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

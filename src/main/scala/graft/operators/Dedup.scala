@@ -911,4 +911,75 @@ object Dedup {
       .select(col("l.id").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }
+
+  /** ExactSubstr-style duplicated-SPAN removal (Lee et al. 2021,
+    * arXiv:2107.06499 — "Deduplicating Training Data Makes Language
+    * Models Better", the suffix-array ExactSubstr dedup; the reference's
+    * dedup gates cover whole-doc and chunk granularity, this is the
+    * sub-document span granularity in between): cut every run of >=
+    * `minMatch` consecutive tokens that also appears elsewhere in the
+    * corpus, keeping only the FIRST occurrence (minimum (doc, pos)).
+    *
+    * Instead of a distributed suffix array, duplicated runs are found by
+    * their anchor `minMatch`-grams: a duplicated run of length M >= L
+    * contains exactly M−L+1 duplicated L-grams whose covered positions
+    * union back to the full run, so cutting the union of non-keeper
+    * anchor windows cuts exactly the maximal duplicated spans. Everything
+    * is one-pass codegen'd shingling (WordShingles / WordShingleHashes)
+    * plus doc-keyed or gram-keyed aggregation:
+    *
+    *  - keeper per gram = `min(struct(doc, pos))` — partial-aggregatable,
+    *    no global rank window;
+    *  - covered positions = non-keeper anchors exploded to their windows,
+    *    DISTINCT per (doc, pos) — doc-keyed shuffle;
+    *  - rebuild = positional tokens LEFT ANTI covered, re-joined in
+    *    position order — doc-keyed shuffle, text never leaves its doc.
+    *
+    * `hashedAnchors = true` groups on 64-bit xx64 shingle hashes (the
+    * 100 TB path: the shuffle carries 8-byte keys instead of L-token
+    * strings; a 2⁻⁶⁴ collision can merge two unrelated grams). `false`
+    * groups on exact gram strings (oracle-replayable, collision-free) —
+    * the spec pins both modes to identical output on real text.
+    *
+    * Self-overlap policy is positional, deterministic, and engine-free:
+    * a position is cut iff some non-keeper anchor window covers it. In a
+    * degenerate all-same-token doc, the keeper anchor's own tail
+    * positions are covered by the NEXT (non-keeper) anchor, so only the
+    * first token survives — documented, and exactly what the oracle
+    * replays.
+    *
+    * Output: one row per non-blank doc — (id, n_kept, n_removed,
+    * clean_md5 of the space-rejoined kept tokens; empty string when the
+    * whole doc was cut). */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           minMatch: Int = 8,
+                           hashedAnchors: Boolean = true): DataFrame = {
+    require(minMatch >= 2, s"minMatch must be >= 2: $minMatch")
+    val base = df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+    val gramCol =
+      if (hashedAnchors) GraftExpressions.wordShingleHashes(col(textCol), minMatch)
+      else GraftExpressions.wordShingles(col(textCol), minMatch)
+    val grams = df.select(col(idCol), posexplode(gramCol).as(Seq("__pos", "__gram")))
+    val keepers = grams.groupBy(col("__gram"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__keep"))
+    val covered = grams.join(keepers, Seq("__gram"))
+      .where(struct(col(idCol), col("__pos")) =!= col("__keep"))
+      .select(col(idCol),
+        explode(expr(s"sequence(__pos, __pos + ${minMatch - 1})")).as("__p"))
+      .distinct()
+    val toks = base.select(col(idCol), posexplode(col("__toks")).as(Seq("__p", "__tok")))
+    val rebuilt = toks.join(covered, Seq(idCol, "__p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(__p, __tok)))," +
+          " x -> x.__tok), ' ')").as("__clean"))
+    base.select(col(idCol), size(col("__toks")).cast("long").as("__ntok"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__ntok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("__clean"), lit(""))).as("clean_md5"))
+  }
 }

@@ -909,3 +909,67 @@ class ChunkDedupSpec extends SparkSpec {
     assert(out(2L) == words("y") + " " + words("z"), "whitespace normalized by tokenization")
   }
 }
+
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5Of(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(
+      s.getBytes("UTF-8"))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  test("shared >= minMatch run cut from the later doc only, first kept intact") {
+    // 9 shared tokens -> 2 overlapping 8-gram anchors in each occurrence;
+    // doc 1 owns the keeper, doc 2 loses positions 2..10
+    val shared = (0 until 9).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, shared + " alpha beta"),
+      (2L, "x0 x1 " + shared + " omega")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", "text", minMatch = 8,
+        hashedAnchors = false)
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 11L, 0L, md5Of(shared + " alpha beta")),
+      (2L, 3L, 9L, md5Of("x0 x1 omega"))))
+  }
+
+  test("degenerate all-same-token doc keeps only its first token") {
+    val df = Seq((1L, Seq.fill(20)("x").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", "text", minMatch = 8,
+        hashedAnchors = false)
+      .as[(Long, Long, Long, String)].head()
+    assert(out == ((1L, 1L, 19L, md5Of("x"))))
+  }
+
+  test("docs shorter than minMatch and unique docs pass through untouched") {
+    val df = Seq(
+      (1L, "too short to anchor"),
+      (2L, (0 until 30).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", "text", minMatch = 8,
+        hashedAnchors = false)
+      .select($"doc_id", $"n_removed").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("hashed anchors produce byte-identical output to exact-string anchors") {
+    val rnd = new scala.util.Random(61)
+    // 40 docs over a small vocab so natural repeated 8-gram runs exist,
+    // plus planted full copies
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 60).map(_ => s"w${rnd.nextInt(12)}").mkString(" "))
+    }
+    val planted = Seq((100L, docs(3)._2), (101L, "pre fix " + docs(5)._2))
+    val df = (docs ++ planted).toDF("doc_id", "text")
+    val exact = Dedup.removeDuplicateSpans(df, "doc_id", "text", minMatch = 8,
+        hashedAnchors = false)
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    val hashed = Dedup.removeDuplicateSpans(df, "doc_id", "text", minMatch = 8,
+        hashedAnchors = true)
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(exact == hashed)
+    assert(exact.exists(_._3 > 0), "fixture must exercise real cuts")
+  }
+}
