@@ -3090,6 +3090,23 @@ object SparkEntry {
           md5(col("truncated")).as("trunc_md5"))
         .orderBy(col("doc_id"))
     }),
+    "sample_doremi_weights" -> ((s, dir) => {
+      // one DoReMi multiplicative-weights step over the 20 sources:
+      // proxy loss = ln(1+n_chars), reference loss = a deterministic
+      // doc_id-derived level both engines replant identically — some
+      // domains land positive excess, others clamp at 0, exercising
+      // both branches of the update; uniform priors (scale cancels)
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val proxy = docs.select(col("source"),
+        log(lit(1.0) + col("n_chars")).as("loss"))
+      val ref = docs.select(col("source"),
+        log(lit(1.0) + pmod(col("doc_id"), lit(7)) * 50 + 150).as("loss"))
+      val priors = docs.select(col("source")).distinct()
+        .withColumn("w", lit(1.0))
+      operators.Sampling.doremiWeightUpdate(proxy, ref, priors,
+          "source", "loss", "w", eta = 1.0, smoothing = 1e-3)
+        .orderBy(col("source"))
+    }),
     "sample_temporal_split" -> ((s, dir) => {
       // leakage-safe temporal holdout over events: train strictly
       // before cutoff − embargo, test at/after cutoff, the 24 h embargo
@@ -5454,6 +5471,21 @@ object SparkEntry {
         |                 || array_to_string(list_slice(a, -10, -1), ' ')
         |            END) AS trunc_md5
         |FROM t ORDER BY doc_id""".stripMargin,
+    // DoReMi replay: per-domain avg losses, clamped excess, exp step,
+    // normalize + uniform smoothing; round(6) absorbs libm/summation-
+    // order drift between engines
+    "sample_doremi_weights" ->
+      """WITH p AS (
+        |  SELECT source, avg(ln(1 + n_chars)) AS pl FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT source, avg(ln(1 + (doc_id % 7) * 50 + 150)) AS rl
+        |  FROM documents GROUP BY 1),
+        |s AS (
+        |  SELECT p.source, exp(1.0 * greatest(pl - rl, 0)) AS sc
+        |  FROM p JOIN r USING (source)),
+        |t AS (SELECT sum(sc) AS tot, count(*) AS k FROM s)
+        |SELECT source, round(0.999 * sc / tot + 0.001 / k, 6) AS weight
+        |FROM s, t ORDER BY source""".stripMargin,
     // temporal-split replay: strict < for the train end, inclusive >=
     // for the test start, embargo band [cutoff-1d, cutoff) absent
     "sample_temporal_split" ->

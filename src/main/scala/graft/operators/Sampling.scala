@@ -463,4 +463,40 @@ object Sampling {
         coalesce(col("n_toks"), lit(0L)).as("n_toks"),
         col("logratio"))
   }
+
+  /** One DoReMi domain-reweighting step (Xie et al. 2023,
+    * arXiv:2305.10429): the Group-DRO multiplicative-weights update that
+    * turns per-example proxy/reference losses into the next mixture's
+    * domain weights —
+    *
+    *   excess_d = max(0, avg proxy loss_d − avg reference loss_d)
+    *   w'_d     = w_d · exp(η · excess_d)
+    *   out_d    = (1 − c) · w'_d / Σ w' + c / |domains|
+    *
+    * The per-example loss tables are corpus-scale; both collapse in ONE
+    * map-combinable avg per domain, after which everything is
+    * |domains|-sized: the normalizer rides a 1-row broadcast exactly like
+    * the other global-scalar gates. Domains missing from either loss
+    * table drop (inner joins) — a domain the proxy never saw has no
+    * defined excess. Weights round(6) for cross-engine parity; the prior
+    * weight's absolute scale cancels in the normalization. */
+  def doremiWeightUpdate(proxyLosses: DataFrame, refLosses: DataFrame,
+                         priorWeights: DataFrame, domainCol: String,
+                         lossCol: String, weightCol: String,
+                         eta: Double = 1.0,
+                         smoothing: Double = 1e-3): DataFrame = {
+    require(eta > 0, s"step size eta must be positive: $eta")
+    require(smoothing >= 0 && smoothing < 1, s"smoothing in [0,1): $smoothing")
+    val p = proxyLosses.groupBy(col(domainCol)).agg(avg(col(lossCol)).as("__pl"))
+    val r = refLosses.groupBy(col(domainCol)).agg(avg(col(lossCol)).as("__rl"))
+    val scaled = priorWeights.join(p, Seq(domainCol)).join(r, Seq(domainCol))
+      .select(col(domainCol),
+        (col(weightCol) *
+          exp(lit(eta) * greatest(col("__pl") - col("__rl"), lit(0.0)))).as("__s"))
+    val tot = scaled.agg(sum(col("__s")).as("__tot"), count(lit(1)).as("__k"))
+    scaled.crossJoin(broadcast(tot))
+      .select(col(domainCol),
+        round(lit(1.0 - smoothing) * col("__s") / col("__tot")
+          + lit(smoothing) / col("__k"), 6).as("weight"))
+  }
 }

@@ -58,6 +58,9 @@ class QueryPlanSweepSpec extends AnyFunSuite {
     "sample_temperature_mix", // deliberate: 1-row normalizer Z broadcast
                               // cross the |sources|-row count frame
                               // (Sampling.temperatureSampleBySource)
+    "sample_doremi_weights",  // same shape: 1-row (Σw', k) normalizer
+                              // broadcast cross the |domains|-row frame
+                              // (Sampling.doremiWeightUpdate)
     "sample_dsir_weights",    // deliberate: 1-row (N_t, N_r, V) stats
                               // broadcast cross the token stream
                               // (Sampling.dsirWeights)

@@ -823,6 +823,46 @@ class DsirSpec extends SparkSpec {
   }
 }
 
+class DoremiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed update: positive excess amplifies, negative clamps") {
+    // A: avg proxy 2.0 vs ref 1.0 -> excess 1 -> scale e; B: proxy 1.0
+    // vs ref 3.0 -> clamped 0 -> scale 1. Uniform priors, no smoothing.
+    val proxy = Seq(("A", 1.5), ("A", 2.5), ("B", 1.0)).toDF("d", "loss")
+    val ref = Seq(("A", 1.0), ("B", 3.0)).toDF("d", "loss")
+    val w = Seq(("A", 1.0), ("B", 1.0)).toDF("d", "w")
+    val out = Sampling.doremiWeightUpdate(proxy, ref, w, "d", "loss", "w",
+        eta = 1.0, smoothing = 0.0)
+      .as[(String, Double)].collect().toMap
+    val e = math.exp(1.0)
+    assert(math.abs(out("A") - e / (e + 1)) < 1e-6, out)
+    assert(math.abs(out("B") - 1 / (e + 1)) < 1e-6, out)
+  }
+
+  test("smoothing mixes toward uniform; weights always sum to ~1") {
+    val proxy = Seq(("A", 5.0), ("B", 1.0), ("C", 1.0)).toDF("d", "loss")
+    val ref = Seq(("A", 1.0), ("B", 1.0), ("C", 1.0)).toDF("d", "loss")
+    val w = Seq(("A", 1.0), ("B", 1.0), ("C", 1.0)).toDF("d", "w")
+    val out = Sampling.doremiWeightUpdate(proxy, ref, w, "d", "loss", "w",
+        eta = 1.0, smoothing = 0.3)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(out.values.sum - 1.0) < 1e-5, out)
+    // every domain keeps at least the smoothing floor c/k
+    assert(out.values.forall(_ >= 0.3 / 3 - 1e-9), out)
+    assert(out("A") > out("B") && math.abs(out("B") - out("C")) < 1e-9)
+  }
+
+  test("domains missing from the reference drop (no defined excess)") {
+    val proxy = Seq(("A", 1.0), ("B", 1.0)).toDF("d", "loss")
+    val ref = Seq(("A", 1.0)).toDF("d", "loss")
+    val w = Seq(("A", 1.0), ("B", 1.0)).toDF("d", "w")
+    val out = Sampling.doremiWeightUpdate(proxy, ref, w, "d", "loss", "w")
+      .as[(String, Double)].collect().toMap
+    assert(out.keySet == Set("A") && math.abs(out("A") - 1.0) < 1e-6, out)
+  }
+}
+
 class GopherFilterSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.TextFunctions._
