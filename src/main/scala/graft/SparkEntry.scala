@@ -614,6 +614,34 @@ object SparkEntry {
         .select(col("doc_id"), col("n_kept"), md5(col("rebuilt")).as("rebuilt_md5"))
         .orderBy(col("doc_id"))
     }),
+    "dedup_span_incremental" -> ((s, dir) => {
+      // incremental ExactSubstr: history (doc_id < 250) persists its
+      // distinct anchor 8-grams as a bucketed index; the batch (the rest
+      // + a full copy of 20 history docs + in-batch copies of 5 of its
+      // own docs) span-dedups against it without touching history text.
+      // History-known grams cover outright; only never-seen grams
+      // arbitrate within the batch by (doc, pos). Exact-string anchors
+      // so DuckDB replays the split; hashed is the scale path
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), col("text"))
+      val table = "gram_idx_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      operators.Dedup.buildSpanGramIndexTable(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", table,
+        minMatch = 8, hashedAnchors = false)
+      try {
+        val batch = docs.filter(col("doc_id") >= 250)
+          .unionByName(docs.filter(col("doc_id") < 20)
+            .withColumn("doc_id", col("doc_id") + 1000000))
+          .unionByName(docs.filter(col("doc_id") >= 250 && col("doc_id") < 255)
+            .withColumn("doc_id", col("doc_id") + 2000000))
+        // materialize before the temp table drops out from under the plan
+        operators.Dedup.spanDedupAgainstIndexTable(batch, "doc_id", "text",
+            table, minMatch = 8, hashedAnchors = false)
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+      } finally s.sql(s"DROP TABLE IF EXISTS $table")
+    }),
     "dedup_span_removal" -> ((s, dir) => {
       // ExactSubstr span dedup (Lee et al. 2021): every run of >= 8
       // consecutive tokens that also occurs elsewhere in the corpus is
@@ -3381,6 +3409,51 @@ object SparkEntry {
         |SELECT doc_id, source FROM s1
         |UNION ALL SELECT doc_id, source FROM s2
         |ORDER BY doc_id""".stripMargin,
+    // incremental replay: history grams cover outright, never-seen grams
+    // arbitrate within the replanted batch by (doc, pos), same rebuild
+    "dedup_span_incremental" ->
+      """WITH hist AS (
+        |  SELECT DISTINCT array_to_string(toks[i + 1:i + 8], ' ') AS gram
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 250 AND length(trim(text)) > 0) h,
+        |       unnest(range(0, len(toks) - 7)) AS r(i)
+        |  WHERE len(toks) >= 8),
+        |b AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM (
+        |    SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |    UNION ALL
+        |    SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+        |    UNION ALL
+        |    SELECT doc_id + 2000000, text FROM documents
+        |    WHERE doc_id >= 250 AND doc_id < 255)
+        |  WHERE length(trim(text)) > 0),
+        |g AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i + 1:i + 8], ' ') AS gram
+        |  FROM b, unnest(range(0, len(toks) - 7)) AS r(i)
+        |  WHERE len(toks) >= 8),
+        |covh AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM hist)),
+        |fresh AS (SELECT * FROM g WHERE gram NOT IN (SELECT gram FROM hist)),
+        |k AS (SELECT doc_id, pos,
+        |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |      FROM fresh),
+        |cova AS (SELECT doc_id, pos FROM covh
+        |         UNION SELECT doc_id, pos FROM k WHERE rn > 1),
+        |cov AS (SELECT DISTINCT doc_id, p FROM (
+        |  SELECT doc_id, unnest(range(pos, pos + 8)) AS p FROM cova)),
+        |tok AS (SELECT doc_id, i AS p, toks[i + 1] AS tok
+        |        FROM b, unnest(range(0, len(toks))) AS r(i)),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.p, tok.tok
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |  WHERE cov.p IS NULL),
+        |reb AS (SELECT doc_id, count(*) AS n_kept,
+        |               string_agg(tok, ' ' ORDER BY p) AS clean
+        |        FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, coalesce(reb.n_kept, 0) AS n_kept,
+        |       len(b.toks) - coalesce(reb.n_kept, 0) AS n_removed,
+        |       md5(coalesce(reb.clean, '')) AS clean_md5
+        |FROM b LEFT JOIN reb ON b.doc_id = reb.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // span replay: anchor 8-grams positionally, keeper = first (doc,pos)
     // per gram via row_number, covered = non-keeper windows de-overlapped,
     // rebuild = positional anti-join + ordered string_agg

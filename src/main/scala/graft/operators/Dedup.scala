@@ -955,17 +955,34 @@ object Dedup {
                            minMatch: Int = 8,
                            hashedAnchors: Boolean = true): DataFrame = {
     require(minMatch >= 2, s"minMatch must be >= 2: $minMatch")
-    val base = df.select(col(idCol),
-      TextFunctions.tokens(col(textCol)).as("__toks"))
-      .where(size(col("__toks")) > 0)
+    val grams = spanGrams(df, idCol, textCol, minMatch, hashedAnchors)
+    val keepers = grams.groupBy(col("__gram"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__keep"))
+    val anchors = grams.join(keepers, Seq("__gram"))
+      .where(struct(col(idCol), col("__pos")) =!= col("__keep"))
+      .select(col(idCol), col("__pos"))
+    rebuildAfterCut(df, anchors, idCol, textCol, minMatch)
+  }
+
+  /** Positional anchor grams for span dedup: (id, __pos, __gram). */
+  private def spanGrams(df: DataFrame, idCol: String, textCol: String,
+                        minMatch: Int, hashedAnchors: Boolean): DataFrame = {
     val gramCol =
       if (hashedAnchors) GraftExpressions.wordShingleHashes(col(textCol), minMatch)
       else GraftExpressions.wordShingles(col(textCol), minMatch)
-    val grams = df.select(col(idCol), posexplode(gramCol).as(Seq("__pos", "__gram")))
-    val keepers = grams.groupBy(col("__gram"))
-      .agg(min(struct(col(idCol), col("__pos"))).as("__keep"))
-    val covered = grams.join(keepers, Seq("__gram"))
-      .where(struct(col(idCol), col("__pos")) =!= col("__keep"))
+    df.select(col(idCol), posexplode(gramCol).as(Seq("__pos", "__gram")))
+  }
+
+  /** Shared span-dedup tail: explode covered anchors (id, __pos) to their
+    * minMatch windows, de-overlap, cut, and rebuild — see
+    * [[removeDuplicateSpans]] for the output contract. */
+  private def rebuildAfterCut(df: DataFrame, coveredAnchors: DataFrame,
+                              idCol: String, textCol: String,
+                              minMatch: Int): DataFrame = {
+    val base = df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+    val covered = coveredAnchors
       .select(col(idCol),
         explode(expr(s"sequence(__pos, __pos + ${minMatch - 1})")).as("__p"))
       .distinct()
@@ -981,5 +998,65 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("__ntok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         md5(coalesce(col("__clean"), lit(""))).as("clean_md5"))
+  }
+
+  /** Persist the historical corpus's distinct anchor grams as a BUCKETED
+    * table (column `fp`), making [[removeDuplicateSpans]] incremental:
+    * each new batch span-dedups against ALL history via
+    * [[spanDedupAgainstIndexTable]] without rescanning or re-shingling
+    * it, then appends its own new grams — the same O(batch)-forever
+    * contract as the fingerprint/MinHash index families. Storage is one
+    * 8-byte hash (or one L-token string when `hashedAnchors = false`)
+    * per distinct gram in history. */
+  def buildSpanGramIndexTable(df: DataFrame, idCol: String, textCol: String,
+                              table: String, minMatch: Int = 8,
+                              hashedAnchors: Boolean = true,
+                              buckets: Int = 32): Unit =
+    Bucketing.writeBucketed(
+      spanGrams(df, idCol, textCol, minMatch, hashedAnchors)
+        .select(col("__gram").as("fp")).distinct(),
+      table, buckets, Seq("fp"))
+
+  /** Append a processed batch's grams to the span index. Replayed appends
+    * are harmless (duplicate fp rows only widen the semi-join's match set
+    * to the same answer) and heal at the next
+    * [[compactFingerprintIndexTable]]-style compaction. */
+  def appendToSpanGramIndexTable(newDocs: DataFrame, idCol: String,
+                                 textCol: String, table: String,
+                                 minMatch: Int = 8,
+                                 hashedAnchors: Boolean = true,
+                                 buckets: Int = 32): Unit =
+    Bucketing.writeBucketed(
+      spanGrams(newDocs, idCol, textCol, minMatch, hashedAnchors)
+        .select(col("__gram").as("fp")).distinct(),
+      table, buckets, Seq("fp"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+
+  /** [[removeDuplicateSpans]] for one ingestion batch against the
+    * persisted gram index: any anchor whose gram exists in HISTORY is
+    * covered outright (history is older by construction — position
+    * ordering only arbitrates WITHIN the batch, among grams history has
+    * never seen). Both the semi-join (historical grams) and the anti-join
+    * (fresh grams) run against the bucketed index with no Exchange on the
+    * index side, so per-batch cost stays O(batch · L) at any history
+    * size. Output contract matches [[removeDuplicateSpans]], restricted
+    * to the batch's docs. */
+  def spanDedupAgainstIndexTable(batch: DataFrame, idCol: String,
+                                 textCol: String, table: String,
+                                 minMatch: Int = 8,
+                                 hashedAnchors: Boolean = true): DataFrame = {
+    require(minMatch >= 2, s"minMatch must be >= 2: $minMatch")
+    val grams = spanGrams(batch, idCol, textCol, minMatch, hashedAnchors)
+    val idx = batch.sparkSession.table(table)
+      .withColumnRenamed("fp", "__gram")
+    val hist = grams.join(idx, Seq("__gram"), "left_semi")
+      .select(col(idCol), col("__pos"))
+    val fresh = grams.join(idx, Seq("__gram"), "left_anti")
+    val keepers = fresh.groupBy(col("__gram"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__keep"))
+    val freshDup = fresh.join(keepers, Seq("__gram"))
+      .where(struct(col(idCol), col("__pos")) =!= col("__keep"))
+      .select(col(idCol), col("__pos"))
+    rebuildAfterCut(batch, hist.unionByName(freshDup), idCol, textCol, minMatch)
   }
 }

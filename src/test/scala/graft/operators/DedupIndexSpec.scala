@@ -240,3 +240,78 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 }
+
+/** Incremental ExactSubstr: the span-gram index must make per-batch span
+  * dedup independent of history size — history grams cover outright,
+  * only never-seen grams arbitrate within the batch, appends resume, and
+  * the index side of both joins never shuffles. */
+class SpanGramIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(prefix: String): String =
+    (0 until 12).map(i => s"$prefix$i").mkString(" ")
+
+  test("history covers outright, in-batch arbitrates by (doc,pos), appends resume") {
+    val table = "graft_gram_idx_spec"
+    val hist = Seq((1L, doc("h"))).toDF("doc_id", "text")
+    Dedup.buildSpanGramIndexTable(hist, "doc_id", "text", table,
+      minMatch = 8, hashedAnchors = false, buckets = 4)
+    try {
+      val batch1 = Seq(
+        (10L, doc("h")),           // full history copy -> fully cut
+        (11L, doc("n")),           // unique -> untouched
+        (12L, "x0 x1 " + doc("n")) // in-batch dup span: 11 < 12 keeps it
+      ).toDF("doc_id", "text")
+      val s1 = Dedup.spanDedupAgainstIndexTable(batch1, "doc_id", "text",
+          table, minMatch = 8, hashedAnchors = false)
+        .localCheckpoint()
+      val m1 = s1.select($"doc_id", $"n_kept", $"n_removed")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(m1 == Map(
+        10L -> ((0L, 12L)),
+        11L -> ((12L, 0L)),
+        12L -> ((2L, 12L))), m1)
+      Dedup.appendToSpanGramIndexTable(batch1, "doc_id", "text", table,
+        minMatch = 8, hashedAnchors = false, buckets = 4)
+      // batch-1 content re-ingested: killed by the APPENDED grams now
+      val m2 = Dedup.spanDedupAgainstIndexTable(
+          Seq((20L, doc("n"))).toDF("doc_id", "text"), "doc_id", "text",
+          table, minMatch = 8, hashedAnchors = false)
+        .select($"n_kept", $"n_removed").as[(Long, Long)].head()
+      assert(m2 == ((0L, 12L)))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("index side never shuffles; only the batch grams exchange") {
+    val table = "graft_gram_idx_plan"
+    Dedup.buildSpanGramIndexTable(Seq((1L, doc("h"))).toDF("doc_id", "text"),
+      "doc_id", "text", table, minMatch = 8, hashedAnchors = false, buckets = 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = Dedup.spanDedupAgainstIndexTable(
+        Seq((10L, doc("h")), (11L, doc("z"))).toDF("doc_id", "text"),
+        "doc_id", "text", table, minMatch = 8, hashedAnchors = false)
+      out.count()
+      val resolved = out.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val ex = resolved.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      def onlyLeafIs(e: org.apache.spark.sql.execution.exchange.Exchange,
+                     t: String): Boolean = {
+        val leaves = e.collectLeaves()
+        leaves.nonEmpty && leaves.forall(_.toString.contains(t))
+      }
+      assert(!ex.exists(onlyLeafIs(_, table)),
+        s"index side must not shuffle:\n$resolved")
+      assert(ex.nonEmpty, "the batch side legitimately shuffles")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+}
