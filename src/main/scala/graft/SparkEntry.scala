@@ -614,6 +614,36 @@ object SparkEntry {
         .select(col("doc_id"), col("n_kept"), md5(col("rebuilt")).as("rebuilt_md5"))
         .orderBy(col("doc_id"))
     }),
+    "corpus_c4_filter" -> ((s, dir) => {
+      // C4 page/line cleaning (Raffel et al. 2020): the corpus has no
+      // line structure or punctuation, so each doc is wrapped into a
+      // deterministic 6-line "web page" both engines replant identically
+      // — terminal-punct presence keyed to doc_id%3/%2, a too-short
+      // line, a javascript line (%11), a lorem-ipsum page (%13), a
+      // curly-brace page (%17) — so every C4 rule fires on a known slice
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val punct1 = when(pmod(col("doc_id"), lit(3)) === 0, lit("."))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit(""))
+        .otherwise(lit("!"))
+      val page = concat_ws("\n",
+        concat(col("text"), punct1),
+        lit("tiny line."),
+        concat(lit("this page has five proper words"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit(".")).otherwise(lit(""))),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit("a heavy Javascript line with six words."))
+          .otherwise(lit("a clean closing line with six words.")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          lit("lorem ipsum dolor sit amet."))
+          .otherwise(lit("an ordinary final line right here.")),
+        when(pmod(col("doc_id"), lit(17)) === 0,
+          lit("code block { inside }."))
+          .otherwise(lit("no code block in this line.")))
+      operators.Corpus.c4LineFilter(
+          docs.select(col("doc_id"), page.as("page")), "doc_id", "page",
+          minLineWords = 5, minKeptLines = 3)
+        .orderBy(col("doc_id"))
+    }),
     "dedup_span_incremental" -> ((s, dir) => {
       // incremental ExactSubstr: history (doc_id < 250) persists its
       // distinct anchor 8-grams as a bucketed index; the batch (the rest
@@ -3409,6 +3439,45 @@ object SparkEntry {
         |SELECT doc_id, source FROM s1
         |UNION ALL SELECT doc_id, source FROM s2
         |ORDER BY doc_id""".stripMargin,
+    // C4 replay: identical page planting, line verdicts by regex/word
+    // count/javascript, page verdicts by kept-count/lorem/brace
+    "corpus_c4_filter" ->
+      """WITH page AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    text || CASE doc_id % 3 WHEN 0 THEN '.' WHEN 1 THEN '' ELSE '!' END,
+        |    'tiny line.',
+        |    'this page has five proper words'
+        |      || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'a heavy Javascript line with six words.'
+        |         ELSE 'a clean closing line with six words.' END,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum dolor sit amet.'
+        |         ELSE 'an ordinary final line right here.' END,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'code block { inside }.'
+        |         ELSE 'no code block in this line.' END) AS p
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, i AS pos, lns[i + 1] AS ln
+        |  FROM (SELECT doc_id, string_split(p, chr(10)) AS lns FROM page) t,
+        |       unnest(range(0, len(lns))) AS r(i)),
+        |j AS (
+        |  SELECT doc_id, pos, ln,
+        |         (regexp_matches(ln, '[.!?"]$')
+        |          AND len(string_split_regex(trim(ln), '\s+')) >= 5
+        |          AND NOT contains(lower(ln), 'javascript')) AS ok
+        |  FROM l),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_lines,
+        |         count(*) FILTER (WHERE ok) AS n_kept,
+        |         md5(coalesce(
+        |           string_agg(ln, chr(10) ORDER BY pos) FILTER (WHERE ok),
+        |           '')) AS clean_md5
+        |  FROM j GROUP BY 1)
+        |SELECT a.doc_id, a.n_lines, a.n_kept,
+        |       (a.n_kept >= 3 AND NOT contains(lower(p.p), 'lorem ipsum')
+        |        AND NOT contains(p.p, '{')) AS keep,
+        |       a.clean_md5
+        |FROM agg a JOIN page p USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
     // incremental replay: history grams cover outright, never-seen grams
     // arbitrate within the replanted batch by (doc, pos), same rebuild
     "dedup_span_incremental" ->

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -102,6 +103,56 @@ object Corpus {
     * window over fingerprint64(line) and re-join the survivors'
     * positions to the raw lines so the wide text column rides only the
     * rebuild shuffle. */
+  /** C4's page/line cleaning rules (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2 — the original "Colossal Clean Crawled Corpus" filter; the
+    * reference's quality gates cover Gopher-style document heuristics,
+    * this is the line-granular web-page sibling):
+    *
+    *  - a LINE survives iff it ends in a terminal punctuation mark
+    *    (`. ! ? "`), has at least `minLineWords` whitespace words, and
+    *    does not contain the word "javascript" (case-insensitive);
+    *  - the PAGE is kept iff at least `minKeptLines` lines survive AND
+    *    the raw page contains neither "lorem ipsum" (case-insensitive)
+    *    nor a curly brace.
+    *
+    * One posexplode + one doc-keyed aggregation: line verdicts are
+    * map-side row-local regex/count checks, the page flags fold in the
+    * same aggregate, and only (id, pos, line) ever shuffles — the same
+    * shape as [[stripBoilerplate]] without the corpus-frequency pass.
+    *
+    * Output: one row per non-NULL-text doc — (id, n_lines, n_kept, keep,
+    * clean_md5 of the surviving lines '\n'-rejoined in order; md5('')
+    * when nothing survives). */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+                   minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    require(minLineWords >= 1 && minKeptLines >= 1,
+      s"thresholds must be positive: $minLineWords, $minKeptLines")
+    val lines = df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        lower(col(textCol)).contains("lorem ipsum").as("__lorem"),
+        col(textCol).contains("{").as("__brace"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val judged = lines.withColumn("__ok",
+      col("__line").rlike("[.!?\"]$") &&
+        size(TextFunctions.tokens(col("__line"))) >= minLineWords &&
+        !lower(col("__line")).contains("javascript"))
+    judged.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__ok"), 1L).otherwise(0L)).as("n_kept"),
+        first(col("__lorem")).as("__lorem"),
+        first(col("__brace")).as("__brace"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__ok"), struct(col("__pos"), col("__line"))))),
+            x => x.getField("__line")),
+          "\n").as("__clean"))
+      .select(col(idCol), col("n_lines"), col("n_kept"),
+        (col("n_kept") >= minKeptLines && !col("__lorem") && !col("__brace"))
+          .as("keep"),
+        md5(col("__clean")).as("clean_md5"))
+  }
+
   def dedupLinesWithinDoc(df: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -216,4 +216,45 @@ class CorpusSpec extends SparkSpec {
       assert(!p.queryExecution.executedPlan.toString.contains("CartesianProduct"))
     }
   }
+
+  test("c4LineFilter: every rule fires on its designed line, page verdicts " +
+       "combine kept-count with lorem/brace") {
+    val pages = Seq(
+      // 3 good lines -> kept
+      (1L, "first proper line with six words.\nsecond proper line has " +
+        "six words!\nthird proper line also has words?"),
+      // good lines but a lorem mention kills the PAGE, lines still count
+      (2L, "first proper line with six words.\nsecond proper line has " +
+        "six words.\nthis line cites lorem ipsum politely."),
+      // a brace anywhere kills the page
+      (3L, "first proper line with six words.\nsecond proper line has " +
+        "six words.\nobject = { field } style text."),
+      // line failures: no terminal punct / too short / javascript
+      (4L, "unterminated line with six whole words\nshort line.\n" +
+        "a noisy JavaScript widget line here.\nonly this proper line " +
+        "survives the cut.")
+    ).toDF("doc_id", "text")
+    val out = Corpus.c4LineFilter(pages, "doc_id", "text",
+        minLineWords = 5, minKeptLines = 3)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_lines", $"n_kept", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 3L, true),
+      (2L, 3L, 3L, false),   // lorem ipsum: page dies with 3 kept lines
+      (3L, 3L, 3L, false),   // curly brace: same
+      (4L, 4L, 1L, false)))  // line rules leave 1 < 3 kept
+  }
+
+  test("c4LineFilter: clean_md5 is the kept lines rejoined in order") {
+    val keep1 = "alpha beta gamma delta epsilon zeta."
+    val keep2 = "one two three four five six?"
+    val df = Seq((1L, s"$keep1\ndropped short.\n$keep2")).toDF("doc_id", "text")
+    val got = Corpus.c4LineFilter(df, "doc_id", "text", 5, 1)
+      .select($"clean_md5").as[String].head()
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$keep1\n$keep2".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(got == want)
+  }
 }
