@@ -614,6 +614,26 @@ object SparkEntry {
         .select(col("doc_id"), col("n_kept"), md5(col("rebuilt")).as("rebuilt_md5"))
         .orderBy(col("doc_id"))
     }),
+    "corpus_language_mix" -> ((s, dir) => {
+      // mixed-language detection: the Latin-only corpus gets es/de/fr/ru
+      // lines planted on doc_id residues (both engines replant
+      // identically — the Cyrillic line exercises the script branch that
+      // the natural data never fires), then per-line langId aggregates
+      // to (n_lines, n_langs, major_lang, minority_frac) per doc
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val page = concat_ws("\n", col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("el que la de un una y en los las")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("der die das und ist nicht ein eine")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit("le les des est et une dans pour")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit("привет мир снова здесь")))
+      operators.Corpus.languageMixStats(
+          docs.select(col("doc_id"), page.as("page")), "doc_id", "page")
+        .orderBy(col("doc_id"))
+    }),
     "corpus_c4_filter" -> ((s, dir) => {
       // C4 page/line cleaning (Raffel et al. 2020): the corpus has no
       // line structure or punctuation, so each doc is wrapped into a
@@ -3439,6 +3459,50 @@ object SparkEntry {
         |SELECT doc_id, source FROM s1
         |UNION ALL SELECT doc_id, source FROM s2
         |ORDER BY doc_id""".stripMargin,
+    // language-mix replay: identical line planting, the langId CASE
+    // cloned per line, majority by (cnt DESC, lang ASC) rn=1
+    "corpus_language_mix" ->
+      """WITH page AS (
+        |  SELECT doc_id, concat_ws(chr(10), text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'el que la de un una y en los las' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'der die das und ist nicht ein eine' END,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'le les des est et une dans pour' END,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'привет мир снова здесь' END) AS p
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, lns[i + 1] AS ln
+        |  FROM (SELECT doc_id, string_split(p, chr(10)) AS lns FROM page) t,
+        |       unnest(range(0, len(lns))) AS r(i)
+        |  WHERE length(trim(lns[i + 1])) > 0),
+        |lang AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_extract_all(ln, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |         WHEN len(regexp_extract_all(ln, '[\x{3040}-\x{30ff}]')) > 0 THEN 'ja'
+        |         WHEN len(regexp_extract_all(ln, '[\x{ac00}-\x{d7af}]')) > 0 THEN 'ko'
+        |         WHEN len(regexp_extract_all(ln, '[\x{0400}-\x{04ff}]')) > 0 THEN 'ru'
+        |         WHEN len(regexp_extract_all(ln, '[\x{0600}-\x{06ff}]')) > 0 THEN 'ar'
+        |         WHEN es > en AND es >= de AND es >= fr THEN 'es'
+        |         WHEN de > en AND de > es AND de >= fr THEN 'de'
+        |         WHEN fr > en AND fr > es AND fr > de THEN 'fr'
+        |         WHEN en > 0 THEN 'en'
+        |         ELSE 'und' END AS lg
+        |  FROM (SELECT doc_id, ln,
+        |          len(regexp_extract_all(ln, '\b(the|and|of|to|is|in|that|it)\b')) AS en,
+        |          len(regexp_extract_all(ln, '\b(el|la|los|las|de|que|y|en|un|una)\b')) AS es,
+        |          len(regexp_extract_all(ln, '\b(der|die|das|und|ist|nicht|ein|eine)\b')) AS de,
+        |          len(regexp_extract_all(ln, '\b(le|les|des|est|et|une|dans|pour)\b')) AS fr
+        |        FROM l) d),
+        |c AS (SELECT doc_id, lg, count(*) AS cnt FROM lang GROUP BY 1, 2),
+        |top AS (SELECT doc_id, lg, cnt,
+        |          row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY cnt DESC, lg) AS rn
+        |        FROM c),
+        |agg AS (SELECT doc_id, sum(cnt)::BIGINT AS n_lines,
+        |               count(*) AS n_langs FROM c GROUP BY 1)
+        |SELECT agg.doc_id, agg.n_lines, agg.n_langs, top.lg AS major_lang,
+        |       round(1.0 - top.cnt * 1.0 / agg.n_lines, 6) AS minority_frac
+        |FROM agg JOIN top ON top.doc_id = agg.doc_id AND top.rn = 1
+        |ORDER BY agg.doc_id""".stripMargin,
     // C4 replay: identical page planting, line verdicts by regex/word
     // count/javascript, page verdicts by kept-count/lorem/brace
     "corpus_c4_filter" ->

@@ -153,6 +153,36 @@ object Corpus {
         md5(col("__clean")).as("clean_md5"))
   }
 
+  /** Mixed-language detection: run [[TextFunctions.langId]] per LINE and
+    * aggregate per document — `n_lines` (non-blank), `n_langs` (distinct
+    * line languages), `major_lang` (most frequent; ties break to the
+    * alphabetically first language), `minority_frac` (share of lines NOT
+    * in the majority language, round(6)). Code-switched or wrongly
+    * concatenated crawl documents show `n_langs > 1` with a high
+    * minority fraction — the standard cut before monolingual training.
+    *
+    * Two map-combinable aggregations keyed by doc; the majority pick is
+    * a `min(struct(-cnt, lang))` — no rank window. Documents with no
+    * non-blank line emit no row (no denominator). */
+  def languageMixStats(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val lines = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("__line"))
+      .filter(trim(col("__line")) =!= "")
+      .select(col(idCol), TextFunctions.langId(col("__line")).as("__lang"))
+    val counts = lines.groupBy(col(idCol), col("__lang"))
+      .agg(count(lit(1)).as("__cnt"))
+    counts.groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_lines"),
+        count(lit(1)).as("n_langs"),
+        min(struct((col("__cnt") * -1).as("__neg"),
+          col("__lang").as("__l"))).as("__top"))
+      .select(col(idCol), col("n_lines"), col("n_langs"),
+        col("__top.__l").as("major_lang"),
+        round(lit(1.0) + col("__top.__neg").cast("double") / col("n_lines"), 6)
+          .as("minority_frac"))
+  }
+
   def dedupLinesWithinDoc(df: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -246,6 +246,26 @@ class CorpusSpec extends SparkSpec {
       (4L, 4L, 1L, false)))  // line rules leave 1 < 3 kept
   }
 
+  test("languageMixStats: per-line verdicts, alphabetical majority " +
+       "tiebreak, blank lines ignored, no-line docs drop") {
+    val es = "el que la de un una y en los las"
+    val de = "der die das und ist nicht ein eine"
+    val en = "the cat and the dog of it all"
+    val docs = Seq(
+      (1L, s"$en\n$en\n$es"),       // en majority, 1/3 minority
+      (2L, s"$es\n$de"),            // 1-1 tie -> 'de' (alphabetical)
+      (3L, s"$en\n\n  \n$en"),      // blanks never count
+      (4L, "\n  \n")                // nothing -> no row
+    ).toDF("doc_id", "text")
+    val out = Corpus.languageMixStats(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, "en", 0.333333),
+      (2L, 2L, 2L, "de", 0.5),
+      (3L, 2L, 1L, "en", 0.0)))
+  }
+
   test("c4LineFilter: clean_md5 is the kept lines rejoined in order") {
     val keep1 = "alpha beta gamma delta epsilon zeta."
     val keep2 = "one two three four five six?"
