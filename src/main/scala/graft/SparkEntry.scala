@@ -941,6 +941,18 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("int"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "similarity_topk_matryoshka" -> ((s, dir) => {
+      // Matryoshka-truncation ANN: candidates on the first 16 of 64
+      // dims (4x less float math through the ranking window), exact
+      // full-dim re-rank on the 20-candidate pool
+      // (Similarity.matryoshkaTopK)
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      operators.Similarity.matryoshkaTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, dims = 16, rerank = 20)
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "similarity_topk_signbit" -> ((s, dir) => {
       // 1-bit binary-quantized ANN: sign-pack to 64-bit words (32x
       // smaller than float32), candidates by popcount-XOR Hamming with
@@ -3879,6 +3891,32 @@ object SparkEntry {
         |  SELECT query_id, id, cosine,
         |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
         |  FROM scored) t WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // matryoshka replay: prefix-slice cosine pool by (score desc, id),
+    // full-dim cosine final rank on the same 20-candidate pool
+    "similarity_topk_matryoshka" ->
+      """WITH pool AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |         round(list_cosine_similarity(
+        |           (q.embedding[1:16])::DOUBLE[],
+        |           (c.embedding[1:16])::DOUBLE[]), 6) AS trunc_cosine,
+        |         q.embedding AS qv, c.embedding AS cv
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id < 10),
+        |surv AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY trunc_cosine DESC, id) AS tr FROM pool) t
+        |  WHERE tr <= 20),
+        |rr AS (
+        |  SELECT query_id, id, trunc_cosine,
+        |         round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cosine
+        |  FROM surv)
+        |SELECT query_id, rank::INTEGER AS rank, id, trunc_cosine, cosine FROM (
+        |  SELECT query_id, id, trunc_cosine, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, id) AS rank
+        |  FROM rr) t WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     // sign-bit replay: pack bit b iff embedding[b] >= 0 (distinct powers
     // of two, so list_sum is an exact OR), Hamming = popcount(xor),

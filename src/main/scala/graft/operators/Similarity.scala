@@ -776,6 +776,53 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id"), col("hamming"), col("cosine"))
   }
 
+  /** Matryoshka-truncation ANN (Kusupati et al. 2022, arXiv:2205.13147):
+    * candidate generation on the FIRST `dims` components only, exact
+    * full-dimension cosine re-rank on the survivors. MRL-trained
+    * embeddings pack coarse semantics into the prefix, so the truncated
+    * cosine preserves neighborhood order well enough that a small
+    * `rerank` pool recovers the full-dim top-k at `dims/d` of the float
+    * math and memory traffic — the third compression lever next to int8
+    * codes and sign bits, and the one that needs no codebook at all.
+    *
+    * Same two-pass shape as [[signBitTopK]]: pass 1 moves only
+    * (query_id, id, trunc_cosine) through the per-query window; pass 2
+    * broadcasts the survivor set back at the corpus scan. Both rankings
+    * are deterministic (score desc, id asc; scores round(6)). */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     dims: Int, rerank: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1: $dims")
+    require(rerank >= k, s"rerank pool ($rerank) must cover k ($k)")
+    val c = corpus.select(col(idCol).as("id"),
+      slice(col(vecCol), 1, dims).as("tv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      slice(col(vecCol), 1, dims).as("qtv"))
+    val pool = c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        round(GraftExpressions.cosineSimilarity(col("qtv"), col("tv")), 6)
+          .as("trunc_cosine"))
+    val tw = Window.partitionBy(col("query_id"))
+      .orderBy(col("trunc_cosine").desc, col("id").asc)
+    val survivors = pool.withColumn("__tr", row_number().over(tw))
+      .filter(col("__tr") <= rerank)
+      .drop("__tr")
+    val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("__cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val rescored = cv.join(broadcast(survivors), Seq("id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("id"), col("trunc_cosine"),
+        round(GraftExpressions.cosineSimilarity(col("__qv"), col("__cv")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"),
+        col("trunc_cosine"), col("cosine"))
+  }
+
   /** Deterministic per-query top-k: rank on (cosine desc, id asc) so ties
     * are stable across engines. */
   private def topK(scored: DataFrame, k: Int): DataFrame = {

@@ -24,6 +24,8 @@ class QueryPlanSweepSpec extends AnyFunSuite {
     "similarity_topk_brute",  // deliberate: broadcast(queries) cross corpus
     "similarity_topk_signbit", // deliberate: broadcast(query codes) cross
                               // corpus codes — 8 bytes/row, the point
+    "similarity_topk_matryoshka", // deliberate: broadcast(truncated
+                              // queries) cross truncated corpus
     "similarity_hard_negatives", // same shape: broadcast(anchors) cross
                               // corpus scan (Similarity.mineHardNegatives)
     "similarity_triplets",    // same shape: broadcast(anchors) cross the

@@ -118,4 +118,28 @@ class SignBitSpec extends SparkSpec {
       .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(viaSign == viaBrute)
   }
+
+  test("matryoshkaTopK: planted near-dup survives truncation; full-pool " +
+       "parity with brute") {
+    val rnd = new scala.util.Random(53)
+    val base = (0 until 120).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    // prefix-perturbed copy of id 9: the FIRST 16 dims stay almost
+    // identical, so the truncated pass must keep it in the pool and the
+    // full-dim re-rank puts it first
+    val nearDup = (300L, base(9)._2.map(x => x + 0.001f * math.signum(x)))
+    val df = (base :+ nearDup).toDF("vec_id", "embedding")
+    val top = Similarity.matryoshkaTopK(df, df.filter($"vec_id" === 9L),
+        "vec_id", "embedding", k = 3, dims = 16, rerank = 20)
+      .orderBy($"rank").as[(Long, Int, Long, Double, Double)].collect()
+    assert(top.head._3 == 300L, top.toSeq)
+    val qs = df.filter($"vec_id" < 5L)
+    val viaMrl = Similarity.matryoshkaTopK(df, qs, "vec_id", "embedding",
+        k = 5, dims = 16, rerank = 121)
+      .select($"query_id", $"rank", $"id", $"cosine")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val viaBrute = Similarity.bruteForceTopK(df, qs, "vec_id", "embedding", 5)
+      .select($"query_id", $"rank", $"id", $"cosine")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(viaMrl == viaBrute)
+  }
 }
