@@ -614,6 +614,24 @@ object SparkEntry {
         .select(col("doc_id"), col("n_kept"), md5(col("rebuilt")).as("rebuilt_md5"))
         .orderBy(col("doc_id"))
     }),
+    "text_mojibake_repair" -> ((s, dir) => {
+      // encoding-damage repair: docs on the %9 residue get a planted
+      // Latin-1 double-encoded suffix ("CafÃ©" et al.); the marker count
+      // is regex-replayable and the REPAIR check is genuinely
+      // independent — Spark fixes it byte-level (encode ISO-8859-1 →
+      // decode UTF-8) while the oracle composes the known-original
+      // string semantically, and the md5s must agree
+      import graft.functions.TextFunctions._
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val page = when(pmod(col("doc_id"), lit(9)) === 0,
+        concat(col("text"), lit(" CafÃ© rÃ©sumÃ© niÃ±o Ã¼ber faÃ§ade")))
+        .otherwise(col("text"))
+      docs.select(col("doc_id"), page.as("page"))
+        .select(col("doc_id"),
+          mojibakeCount(col("page")).as("n_bad"),
+          md5(repairMojibake(col("page"))).as("repaired_md5"))
+        .orderBy(col("doc_id"))
+    }),
     "corpus_language_mix" -> ((s, dir) => {
       // mixed-language detection: the Latin-only corpus gets es/de/fr/ru
       // lines planted on doc_id residues (both engines replant
@@ -3471,6 +3489,23 @@ object SparkEntry {
         |SELECT doc_id, source FROM s1
         |UNION ALL SELECT doc_id, source FROM s2
         |ORDER BY doc_id""".stripMargin,
+    // mojibake replay: same planting, same marker count; the repaired
+    // text is composed from the KNOWN original — the md5 must meet
+    // Spark's byte-level transcoding half-way
+    "text_mojibake_repair" ->
+      """WITH page AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN doc_id % 9 = 0
+        |              THEN text || ' CafÃ© rÃ©sumÃ© niÃ±o Ã¼ber faÃ§ade'
+        |              ELSE text END AS p
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(p, 'Ã©|Ã¨|Ã¤|Ã¶|Ã¼|Ã§|Ã±|Ã¡|Ã³|Ãº')) AS BIGINT)
+        |    AS n_bad,
+        |  CASE WHEN len(regexp_extract_all(p, 'Ã©|Ã¨|Ã¤|Ã¶|Ã¼|Ã§|Ã±|Ã¡|Ã³|Ãº')) > 0
+        |       THEN md5(text || ' Café résumé niño über façade')
+        |       ELSE md5(p) END AS repaired_md5
+        |FROM page ORDER BY doc_id""".stripMargin,
     // language-mix replay: identical line planting, the langId CASE
     // cloned per line, majority by (cnt DESC, lang ASC) rn=1
     "corpus_language_mix" ->

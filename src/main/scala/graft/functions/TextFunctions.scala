@@ -203,6 +203,30 @@ object TextFunctions {
       size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0)))).cast("long")
   }
 
+  /** Latin-1 double-encoding (mojibake) markers: UTF-8 bytes of a common
+    * accented letter re-read as ISO-8859-1 — "é" becomes "Ã©", "ñ"
+    * becomes "Ã±", etc. A fixed alternation so an external SQL engine
+    * counts the exact same occurrences. */
+  private val MojibakeRe = "Ã©|Ã¨|Ã¤|Ã¶|Ã¼|Ã§|Ã±|Ã¡|Ã³|Ãº"
+
+  /** Count of Latin-1 mojibake markers — the encoding-damage detector for
+    * crawl text that was decoded with the wrong charset somewhere in the
+    * pipeline. Row-local codegen'd regex, same scan-stage cost class as
+    * [[qualityScore]]. */
+  def mojibakeCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(MojibakeRe), lit(0))).cast("long")
+
+  /** Repair Latin-1 double-encoding by re-encoding the damaged string as
+    * ISO-8859-1 bytes and decoding those bytes as the UTF-8 they
+    * originally were ("Ã©" → bytes C3 A9 → "é"). Applied only when
+    * [[mojibakeCount]] fires: the round-trip is the identity on ASCII
+    * but LOSSY on text that legitimately mixes non-Latin-1 characters
+    * with none of the markers, so clean rows must bypass it. Repairing
+    * an already-repaired row is a no-op (its markers are gone). */
+  def repairMojibake(c: Column): Column =
+    when(mojibakeCount(c) > 0, decode(encode(c, "ISO-8859-1"), "UTF-8"))
+      .otherwise(c)
+
   /** Shannon entropy of the character distribution, in nats, rounded to
     * 4 dp — the gibberish detector that catches what word-level filters
     * miss: base64 blobs and hex dumps score near ln(alphabet) ≈ 4+,

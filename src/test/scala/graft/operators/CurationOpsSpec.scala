@@ -565,6 +565,36 @@ class TextMetricsSpec extends SparkSpec {
   }
 }
 
+class MojibakeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.TextFunctions._
+
+  test("repair restores the original UTF-8; clean rows bypass untouched") {
+    val df = Seq(
+      ("CafÃ© rÃ©sumÃ© niÃ±o", "Café résumé niño"),  // damaged -> fixed
+      ("plain ascii text", "plain ascii text"),     // identity
+      ("naïve café — clean unicode", "naïve café — clean unicode")
+      // real accents but NO markers: bypass, NOT transcoded (the
+      // round-trip would garble the em dash)
+    ).toDF("t", "want")
+    val out = df.select(repairMojibake($"t").as("got"), $"want")
+      .as[(String, String)].collect()
+    out.foreach { case (got, want) => assert(got == want, s"$got != $want") }
+  }
+
+  test("mojibakeCount counts each marker; repair is idempotent") {
+    val damaged = "CafÃ© faÃ§ade Ã¼ber"
+    val counts = Seq(damaged).toDF("t")
+      .select(mojibakeCount($"t").as("n"),
+        mojibakeCount(repairMojibake($"t")).as("after"),
+        repairMojibake(repairMojibake($"t")).as("twice"),
+        repairMojibake($"t").as("once"))
+      .as[(Long, Long, String, String)].head()
+    assert(counts._1 == 3L && counts._2 == 0L)
+    assert(counts._3 == counts._4, "second repair must be a no-op")
+  }
+}
+
 class PiiScrubSpec extends SparkSpec {
   import spark.implicits._
 
