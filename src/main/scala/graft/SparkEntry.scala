@@ -94,6 +94,9 @@ object SparkEntry {
   private val docsLandingCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  private val spanLandingCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Landing dir of staged PNG-payload batches for
     * streaming_image_dedup (same INPUT-only contract as
     * [[docsLandingCache]]). */
@@ -2508,6 +2511,60 @@ object SparkEntry {
       } finally s.sql(s"DROP TABLE IF EXISTS $table")
     }),
 
+    "streaming_span_dedup" -> ((s, dir) => {
+      // span dedup-on-ingest: two mtime-ordered micro-batches stream
+      // through runIncrementalSpanDedup against the gram index built
+      // from history (doc_id < 250). Batch 1 carries full copies of 10
+      // history docs (cut by the index); batch 2 carries full copies of
+      // 10 batch-1 docs — cut ONLY because batch 1's grams were
+      // APPENDED, which is the property this gate proves. The oracle
+      // replays the two-step index evolution exactly
+      import org.apache.spark.sql.types._
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), col("text"))
+      def shifted(from: Int, until: Int, shift: Int) =
+        docs.filter(col("doc_id") >= from && col("doc_id") < until)
+          .withColumn("doc_id", col("doc_id") + shift)
+      val landing = spanLandingCache.synchronized {
+        spanLandingCache.getOrElseUpdate(dir, {
+          val ld = java.nio.file.Files.createTempDirectory("graft_ssd_in")
+          val batches = Seq(
+            docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+              .unionByName(shifted(0, 10, 1000000)),    // vs history index
+            docs.filter(col("doc_id") >= 375)
+              .unionByName(shifted(250, 260, 2000000))) // vs APPENDED grams
+          batches.zipWithIndex.foreach { case (b, i) =>
+            b.coalesce(1).write.mode("append").parquet(ld.toString)
+            graft.streaming.FileStreamReader.stampBatchMtime(ld.toString, i)
+          }
+          ld.toString
+        })
+      }
+      val table = "gram_ssd_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      operators.Dedup.buildSpanGramIndexTable(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", table,
+        minMatch = 8, hashedAnchors = false)
+      try {
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType)))
+        val stream = graft.streaming.FileStreamReader.read(
+          s, graft.filedf.Parquet(), landing, schema,
+          maxFilesPerTrigger = Some(1))
+        val ck = java.nio.file.Files.createTempDirectory("graft_ssd_ck").toString
+        val out = java.nio.file.Files.createTempDirectory("graft_ssd_out").toString
+        val ledger = new graft.core.InMemoryHwmStore
+        graft.streaming.StreamRunner.runIncrementalSpanDedup(
+          stream, "doc_id", "text", table, ck, ledger, s"ssd@$ck",
+          minMatch = 8, hashedAnchors = false) { (cleaned, _) =>
+            cleaned.write.mode("append").parquet(out)
+        }
+        s.read.parquet(out)
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+      } finally s.sql(s"DROP TABLE IF EXISTS $table")
+    }),
+
     "streaming_image_dedup" -> ((s, dir) => {
       // image dedup-on-ingest: PNG payloads whose pixels repeat every
       // 100 ids stream in two mtime-ordered batches through the
@@ -3589,6 +3646,72 @@ object SparkEntry {
         |       a.clean_md5
         |FROM agg a JOIN page p USING (doc_id)
         |ORDER BY a.doc_id""".stripMargin,
+    // streaming replay: the gram index evolves batch by batch — h1 =
+    // history, h2 = h1 + batch A's grams; each batch covers vs ITS index
+    // snapshot, then arbitrates its fresh grams internally
+    "streaming_span_dedup" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 250 AND length(trim(text)) > 0),
+        |h1 AS (
+        |  SELECT DISTINCT array_to_string(toks[i + 1:i + 8], ' ') AS gram
+        |  FROM t0, unnest(range(0, len(toks) - 7)) AS r(i)
+        |  WHERE len(toks) >= 8),
+        |bA AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM (
+        |    SELECT doc_id, text FROM documents
+        |    WHERE doc_id >= 250 AND doc_id < 375
+        |    UNION ALL
+        |    SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10)
+        |  WHERE length(trim(text)) > 0),
+        |gA AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i + 1:i + 8], ' ') AS gram
+        |  FROM bA, unnest(range(0, len(toks) - 7)) AS r(i)
+        |  WHERE len(toks) >= 8),
+        |covA AS (
+        |  SELECT doc_id, pos FROM gA WHERE gram IN (SELECT gram FROM h1)
+        |  UNION
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |           row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |    FROM gA WHERE gram NOT IN (SELECT gram FROM h1)) x WHERE rn > 1),
+        |h2 AS (SELECT gram FROM h1 UNION SELECT gram FROM gA),
+        |bB AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM (
+        |    SELECT doc_id, text FROM documents WHERE doc_id >= 375
+        |    UNION ALL
+        |    SELECT doc_id + 2000000, text FROM documents
+        |    WHERE doc_id >= 250 AND doc_id < 260)
+        |  WHERE length(trim(text)) > 0),
+        |gB AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i + 1:i + 8], ' ') AS gram
+        |  FROM bB, unnest(range(0, len(toks) - 7)) AS r(i)
+        |  WHERE len(toks) >= 8),
+        |covB AS (
+        |  SELECT doc_id, pos FROM gB WHERE gram IN (SELECT gram FROM h2)
+        |  UNION
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |           row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |    FROM gB WHERE gram NOT IN (SELECT gram FROM h2)) x WHERE rn > 1),
+        |b AS (SELECT * FROM bA UNION ALL SELECT * FROM bB),
+        |covall AS (SELECT * FROM covA UNION ALL SELECT * FROM covB),
+        |cov AS (SELECT DISTINCT doc_id, p FROM (
+        |  SELECT doc_id, unnest(range(pos, pos + 8)) AS p FROM covall)),
+        |tok AS (SELECT doc_id, i AS p, toks[i + 1] AS tok
+        |        FROM b, unnest(range(0, len(toks))) AS r(i)),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.p, tok.tok
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |  WHERE cov.p IS NULL),
+        |reb AS (SELECT doc_id, count(*) AS n_kept,
+        |               string_agg(tok, ' ' ORDER BY p) AS clean
+        |        FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, coalesce(reb.n_kept, 0) AS n_kept,
+        |       len(b.toks) - coalesce(reb.n_kept, 0) AS n_removed,
+        |       md5(coalesce(reb.clean, '')) AS clean_md5
+        |FROM b LEFT JOIN reb ON b.doc_id = reb.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // incremental replay: history grams cover outright, never-seen grams
     // arbitrate within the replanted batch by (doc, pos), same rebuild
     "dedup_span_incremental" ->

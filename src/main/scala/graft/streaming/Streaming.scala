@@ -271,6 +271,38 @@ object StreamRunner {
         org.apache.spark.sql.functions.col(keyCol), indexTable, indexBuckets)
     }
 
+  /** [[runIncrementalDedup]]'s SUB-document sibling: each micro-batch is
+    * span-deduplicated against the persisted anchor-gram index
+    * ([[graft.operators.Dedup.spanDedupAgainstIndexTable]] — history
+    * grams cover outright, never-seen grams arbitrate within the batch,
+    * index side unshuffled), the CLEANED rows go to `sink`, and the
+    * batch's grams append so later batches (and runs) cut re-ingested
+    * spans. The append is the PRE-cut batch: the index means "content
+    * ever ingested", which keeps replayed appends idempotent (duplicate
+    * fp rows are harmless) and is deterministic under crash-replay —
+    * appending post-cut survivors instead would make the index depend on
+    * exactly which earlier batches were committed before the crash. Same
+    * ledger exactly-once contract and the same materialize-before-mutate
+    * and sink-before-append ordering as the exact variant. */
+  def runIncrementalSpanDedup(stream: DataFrame, idCol: String,
+                              textCol: String, indexTable: String,
+                              checkpoint: String,
+                              store: graft.core.HwmStore, ledgerName: String,
+                              minMatch: Int = 8,
+                              hashedAnchors: Boolean = true,
+                              indexBuckets: Int = 32)
+                             (sink: (DataFrame, Long) => Unit): Unit =
+    runAvailableNowForeachBatchExactlyOnce(stream, checkpoint, store,
+        ledgerName) { (batch, id) =>
+      val cleaned = graft.operators.Dedup
+        .spanDedupAgainstIndexTable(batch, idCol, textCol, indexTable,
+          minMatch, hashedAnchors)
+        .localCheckpoint()
+      sink(cleaned, id)
+      graft.operators.Dedup.appendToSpanGramIndexTable(batch, idCol,
+        textCol, indexTable, minMatch, hashedAnchors, indexBuckets)
+    }
+
   /** [[runIncrementalDedup]]'s NEAR-dup sibling: each micro-batch is
     * near-deduplicated against the persisted MinHash band index
     * ([[graft.operators.Dedup.minhashDedupAgainstIndexTable]] — LSH

@@ -172,6 +172,53 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("streaming incremental SPAN dedup: history spans cut, cross-batch " +
+       "append cuts re-ingested spans, replay-safe") {
+    def doc(prefix: String): String =
+      (0 until 12).map(i => s"$prefix$i").mkString(" ")
+    val hist = Seq((1L, doc("h"))).toDF("doc_id", "text")
+    val table = "graft_gram_ssd_spec"
+    graft.operators.Dedup.buildSpanGramIndexTable(hist, "doc_id", "text",
+      table, minMatch = 8, hashedAnchors = false, buckets = 4)
+    try {
+      val src = tmpDir("stream-ssd-src")
+      val batches = Seq(
+        Seq((10L, doc("h")),                 // fully cut by the index
+          (11L, doc("n"))),                  // fresh: passes intact
+        Seq((20L, "x0 x1 " + doc("n")),      // n-span cut by APPENDED grams
+          (21L, doc("z"))))                  // fresh
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        rows.toDF("doc_id", "text").coalesce(1)
+          .write.mode("append").parquet(src)
+        FileStreamReader.stampBatchMtime(src, i, epochBaseSeconds = 100L)
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val store = new graft.core.InMemoryHwmStore
+      val out = tmpDir("stream-ssd-out")
+      def run(ck: String): Unit = StreamRunner.runIncrementalSpanDedup(
+        FileStreamReader.read(spark, Parquet(), src, schema,
+          maxFilesPerTrigger = Some(1)),
+        "doc_id", "text", table, ck, store, "ssd_ledger",
+        minMatch = 8, hashedAnchors = false, indexBuckets = 4) {
+        (cleaned, _) => cleaned.write.mode("append").parquet(out)
+      }
+      run(tmpDir("stream-ssd-ck1"))
+      val landed = spark.read.parquet(out)
+        .select($"doc_id", $"n_kept", $"n_removed")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(landed == Map(
+        10L -> ((0L, 12L)),   // history copy fully cut
+        11L -> ((12L, 0L)),   // fresh intact
+        20L -> ((2L, 12L)),   // only the appended n-span cut
+        21L -> ((12L, 0L))), landed)
+      // forged replay: fresh checkpoint, same ledger -> sink unchanged
+      run(tmpDir("stream-ssd-ck2"))
+      assert(spark.read.parquet(out).count() === 4L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("streaming incremental NEAR-dedup: cross-batch near-copies die, replay-safe") {
     val hist = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the old river bank"))
