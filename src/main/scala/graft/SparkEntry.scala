@@ -617,6 +617,23 @@ object SparkEntry {
         .select(col("doc_id"), col("n_kept"), md5(col("rebuilt")).as("rebuilt_md5"))
         .orderBy(col("doc_id"))
     }),
+    "text_invisible_scrub" -> ((s, dir) => {
+      // invisible-character hygiene: docs on the %8 residue get a
+      // planted prefix carrying a BOM, a zero-width space, and a soft
+      // hyphen — characters that make visually identical strings hash
+      // apart in dedup; count + scrub must match DuckDB's independent
+      // regex replay of the same class
+      import graft.functions.TextFunctions._
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val page = when(pmod(col("doc_id"), lit(8)) === 0,
+        concat(lit("\uFEFF" + "zero\u200Bwidth\u00ADtest "), col("text")))
+        .otherwise(col("text"))
+      docs.select(col("doc_id"), page.as("page"))
+        .select(col("doc_id"),
+          invisibleCharCount(col("page")).as("n_invisible"),
+          md5(scrubInvisible(col("page"))).as("scrubbed_md5"))
+        .orderBy(col("doc_id"))
+    }),
     "text_mojibake_repair" -> ((s, dir) => {
       // encoding-damage repair: docs on the %9 residue get a planted
       // Latin-1 double-encoded suffix ("CafÃ©" et al.); the marker count
@@ -3546,6 +3563,24 @@ object SparkEntry {
         |SELECT doc_id, source FROM s1
         |UNION ALL SELECT doc_id, source FROM s2
         |ORDER BY doc_id""".stripMargin,
+    // invisible replay: planted chars composed via chr(), count + scrub
+    // via DuckDB's own regex over the same class
+    "text_invisible_scrub" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 8 = 0
+        |         THEN chr(65279) || 'zero' || chr(8203) || 'width'
+        |              || chr(173) || 'test ' || text
+        |         ELSE text END AS p
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(p,
+        |    '[\x{200b}\x{200c}\x{200d}\x{2060}\x{feff}\x{00ad}]')) AS BIGINT)
+        |    AS n_invisible,
+        |  md5(regexp_replace(p,
+        |    '[\x{200b}\x{200c}\x{200d}\x{2060}\x{feff}\x{00ad}]', '', 'g'))
+        |    AS scrubbed_md5
+        |FROM page ORDER BY doc_id""".stripMargin,
     // mojibake replay: same planting, same marker count; the repaired
     // text is composed from the KNOWN original — the md5 must meet
     // Spark's byte-level transcoding half-way

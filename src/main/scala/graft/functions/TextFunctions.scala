@@ -227,6 +227,23 @@ object TextFunctions {
     when(mojibakeCount(c) > 0, decode(encode(c, "ISO-8859-1"), "UTF-8"))
       .otherwise(c)
 
+  /** Invisible/format characters that survive naive crawl cleaning and
+    * silently break tokenizers and dedup (two visually identical strings
+    * hash apart): zero-width space/joiners, word joiner, BOM, soft
+    * hyphen. */
+  private val InvisibleRe =
+    "[\u200B\u200C\u200D\u2060\uFEFF\u00AD]"
+
+  /** Count of invisible format characters. Row-local codegen'd regex. */
+  def invisibleCharCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(InvisibleRe), lit(0))).cast("long")
+
+  /** Strip invisible format characters (they carry no content — unlike
+    * whitespace they are DELETED, not replaced by a space, matching how
+    * tokenizers treat them when text is clean). */
+  def scrubInvisible(c: Column): Column =
+    regexp_replace(c, InvisibleRe, "")
+
   /** Shannon entropy of the character distribution, in nats, rounded to
     * 4 dp — the gibberish detector that catches what word-level filters
     * miss: base64 blobs and hex dumps score near ln(alphabet) ≈ 4+,

@@ -595,6 +595,39 @@ class MojibakeSpec extends SparkSpec {
   }
 }
 
+class InvisibleCharSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.TextFunctions._
+
+  test("count and scrub every marker; clean text untouched; deletion not spacing") {
+    val df = Seq(
+      ("a\u200Bb\uFEFFc\u00ADd\u200C\u200D\u2060e", 6L, "abcde"),
+      ("plain text", 0L, "plain text"),
+      // real whitespace is NOT in the class — only format chars go
+      ("keep the  spaces", 0L, "keep the  spaces")
+    ).toDF("t", "wantN", "wantS")
+    val out = df.select(invisibleCharCount($"t").as("n"),
+        scrubInvisible($"t").as("s"), $"wantN", $"wantS")
+      .as[(Long, String, Long, String)].collect()
+    out.foreach { case (n, sc, wn, ws) =>
+      assert(n == wn && sc == ws, s"($n, $sc)")
+    }
+  }
+
+  test("scrubbed visually-identical strings fingerprint together") {
+    val a = "same words here exactly"
+    val b = "same\u200B words here\u00AD exactly"
+    val fps = Seq(a, b).toDF("t")
+      .select(fingerprint(scrubInvisible($"t")).as("fp"))
+      .as[Long].collect()
+    assert(fps(0) == fps(1))
+    // and WITHOUT the scrub they hash apart — the problem is real
+    val raw = Seq(a, b).toDF("t")
+      .select(fingerprint($"t").as("fp")).as[Long].collect()
+    assert(raw(0) != raw(1))
+  }
+}
+
 class PiiScrubSpec extends SparkSpec {
   import spark.implicits._
 
