@@ -617,6 +617,28 @@ object SparkEntry {
         .select(col("doc_id"), col("n_kept"), md5(col("rebuilt")).as("rebuilt_md5"))
         .orderBy(col("doc_id"))
     }),
+    "url_blocklist_filter" -> ((s, dir) => {
+      // registrable-suffix domain blocklist: synthetic URLs derived from
+      // doc_id residues, a 3-entry blocklist where one entry blocks a
+      // whole domain (any subdomain) and one blocks a single subdomain —
+      // equality-join semantics would get the first wrong
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"),
+          format_string("https://www.sub%d.domain%d.com/p/%d",
+            pmod(col("doc_id"), lit(5)), pmod(col("doc_id"), lit(7)),
+            col("doc_id")).as("url"))
+      val blocklist = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row("domain0.com"),
+          org.apache.spark.sql.Row("sub1.domain3.com"),
+          org.apache.spark.sql.Row("badhost.org")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("dom",
+            org.apache.spark.sql.types.StringType))))
+      operators.Joins.domainBlocklistFlags(docs, "doc_id", "url",
+          blocklist, "dom")
+        .orderBy(col("doc_id"))
+    }),
     "text_invisible_scrub" -> ((s, dir) => {
       // invisible-character hygiene: docs on the %8 residue get a
       // planted prefix carrying a BOM, a zero-width space, and a soft
@@ -3563,6 +3585,24 @@ object SparkEntry {
         |SELECT doc_id, source FROM s1
         |UNION ALL SELECT doc_id, source FROM s2
         |ORDER BY doc_id""".stripMargin,
+    // blocklist replay: same host construction (www. already stripped),
+    // dot-suffix explode, IN-list match, distinct verdict per doc
+    "url_blocklist_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         'sub' || (doc_id % 5) || '.domain' || (doc_id % 7)
+        |           || '.com' AS domain
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         array_to_string(labels[i:len(labels)], '.') AS suffix
+        |  FROM (SELECT doc_id, string_split(domain, '.') AS labels FROM d) t,
+        |       unnest(range(1, len(labels) + 1)) AS r(i)),
+        |b AS (
+        |  SELECT DISTINCT doc_id FROM s
+        |  WHERE suffix IN ('domain0.com', 'sub1.domain3.com', 'badhost.org'))
+        |SELECT d.doc_id, d.domain, (b.doc_id IS NOT NULL) AS blocked
+        |FROM d LEFT JOIN b USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // invisible replay: planted chars composed via chr(), count + scrub
     // via DuckDB's own regex over the same class
     "text_invisible_scrub" ->

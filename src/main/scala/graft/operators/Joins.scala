@@ -338,4 +338,40 @@ object Joins {
       Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
       GraftColumnBridge.expression(xxhash64(col(factKey))))))
   }
+
+  /** Domain-blocklist flags with registrable-suffix semantics — the URL
+    * governance filter every crawl pipeline runs: an entry `example.com`
+    * blocks `example.com` AND every subdomain (`a.b.example.com`), the
+    * way robots/safety blocklists are written, which a plain equality
+    * join on the host gets wrong.
+    *
+    * Each URL's host (lower-cased, `www.`-stripped —
+    * [[graft.functions.UrlFunctions.urlDomain]]) explodes to its ≤ labels
+    * dot-suffixes, which semi-join the BROADCAST blocklist (even a 10⁶-
+    * entry list is megabytes); the suffix explode is a small constant
+    * per row and the only shuffle is re-attaching the verdict by id.
+    * Blocklist entries are matched lower-cased verbatim — callers wanting
+    * IDN/punycode equivalence canonicalize both sides with
+    * [[graft.functions.UrlFunctions.idnAscii]] first.
+    *
+    * Output: (id, domain, blocked). */
+  def domainBlocklistFlags(df: DataFrame, idCol: String, urlCol: String,
+                           blocklist: DataFrame,
+                           domainCol: String): DataFrame = {
+    val hosts = df.select(col(idCol),
+      graft.functions.UrlFunctions.urlDomain(col(urlCol)).as("domain"))
+    val suffixes = hosts.select(col(idCol),
+      explode(expr(
+        "transform(sequence(1, size(split(domain, '\\\\.'))), " +
+          "i -> array_join(slice(split(domain, '\\\\.'), i, 1000), '.'))"))
+        .as("__suffix"))
+    val blocked = suffixes
+      .join(broadcast(blocklist.select(lower(col(domainCol)).as("__suffix"))),
+        Seq("__suffix"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("blocked", lit(true))
+    hosts.join(blocked, Seq(idCol), "left")
+      .select(col(idCol), col("domain"),
+        coalesce(col("blocked"), lit(false)).as("blocked"))
+  }
 }

@@ -319,4 +319,21 @@ class JoinsSpec extends SparkSpec {
       .filter($"dk" > 100L)
     assert(Joins.bloomKeyPrefilter(fact, "fk", dim2, "dk").count() == 0L)
   }
+
+  test("domainBlocklistFlags: a domain entry blocks every subdomain, a " +
+       "subdomain entry only itself; www and case fold; no false positives") {
+    val docs = Seq(
+      (1L, "https://www.a.b.Example.COM/x"),  // blocked: suffix example.com
+      (2L, "https://example.com/y"),          // blocked: exact
+      (3L, "https://notexample.com/z"),       // NOT blocked: label boundary
+      (4L, "https://bad.sub.org/q"),          // blocked: exact subdomain entry
+      (5L, "https://sub.org/q"),              // NOT blocked: parent of an entry
+      (6L, "https://clean.io/ok")             // NOT blocked
+    ).toDF("id", "url")
+    val bl = Seq("Example.com", "bad.sub.org").toDF("dom")
+    val out = Joins.domainBlocklistFlags(docs, "id", "url", bl, "dom")
+      .select($"id", $"blocked").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> false,
+      4L -> true, 5L -> false, 6L -> false), out)
+  }
 }
