@@ -1874,6 +1874,19 @@ object SparkEntry {
           col("media_meta.format").as("format"))
         .orderBy(col("doc_id"))
     }),
+    "multimodal_audio_zcr" -> ((s, dir) => {
+      // zero-crossing rate over a REAL decoded square wave: sign flips
+      // every P = 1 + id%4 frames, so crossings = floor((F-1)/P) for
+      // amp > 0 and 0 for the silent ids — the oracle predicts both
+      // arithmetically while Spark counts them from the decoded PCM
+      val df = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id")).filter(col("doc_id") < 500)
+      val wav = operators.Multimodal.generateWav(df, "doc_id",
+        squareWave = true)
+      operators.Multimodal.zeroCrossingStats(wav, "payload")
+        .select(col("doc_id"), col("n_frames"), col("n_crossings"))
+        .orderBy(col("doc_id"))
+    }),
     "multimodal_audio_decode" -> ((s, dir) => {
       // REAL audio codec path: deterministic generated WAVs (rate,
       // channels, frame count and the constant PCM amplitude are pure
@@ -4563,6 +4576,14 @@ object SparkEntry {
         |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
     "multimodal_image_resize" ->
       """SELECT doc_id, 24::INT AS out_w, 12::INT AS out_h, 'png' AS format
+        |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
+    // ZCR replay: F = 50 + id%100, P = 1 + id%4, amp = id%500; crossings
+    // = (F-1) div P unless the signal is silent
+    "multimodal_audio_zcr" ->
+      """SELECT doc_id,
+        |  (50 + doc_id % 100) AS n_frames,
+        |  CASE WHEN doc_id % 500 = 0 THEN 0
+        |       ELSE (50 + doc_id % 100 - 1) // (1 + doc_id % 4) END AS n_crossings
         |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
     "multimodal_audio_decode" ->
       """SELECT doc_id,

@@ -454,7 +454,8 @@ object Multimodal {
     * stack the decoder reads ([[AudioDecoder]] round trip). */
   def generateWav(df: DataFrame, idCol: String,
                   outCol: String = "payload",
-                  silencePad: Boolean = false): DataFrame = {
+                  silencePad: Boolean = false,
+                  squareWave: Boolean = false): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
     df.mapPartitions { rows =>
@@ -468,6 +469,9 @@ object Multimodal {
         val channels = 1 + (id % 2).toInt
         val frames = 50 + (id % 100).toInt
         val amp = (id % 500).toInt // constant signal -> pcm_max == amp
+        // squareWave flips the sign every P = 1 + id % 4 frames, so a
+        // zero-crossing counter's outcome is floor((frames-1)/P) per id
+        val period = 1 + (id % 4).toInt
         // silencePad brackets the signal with id-derived silent frames
         // (lead = id % 10, tail = id % 5) so a trim operator's outcome
         // is arithmetically predictable per id
@@ -480,8 +484,11 @@ object Multimodal {
         var i = lead * channels * 2
         val signalEnd = (lead + frames) * channels * 2
         while (i < signalEnd) {
-          data(i) = (amp & 0xff).toByte
-          data(i + 1) = ((amp >> 8) & 0xff).toByte
+          val frameIdx = i / (channels * 2) - lead
+          val s =
+            if (squareWave && (frameIdx / period) % 2 == 1) -amp else amp
+          data(i) = (s & 0xff).toByte
+          data(i + 1) = ((s >> 8) & 0xff).toByte
           i += 2
         }
         val ais = new javax.sound.sampled.AudioInputStream(
@@ -559,6 +566,43 @@ object Multimodal {
         }
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Zero-crossing count over channel 0 of a 16-bit PCM payload — the
+    * classic VAD/voicing feature next to [[trimSilence]]'s energy gate
+    * (high ZCR = fricatives/noise, low = voiced speech or tone). A
+    * crossing is a STRICT sign change between consecutive frames
+    * (`s[i-1] · s[i] < 0`); zero samples are sign-less and never count,
+    * so silence contributes nothing. Appends (n_frames, n_crossings);
+    * NULL/undecodable/non-16-bit payloads report NULLs. Map-only real
+    * decode, same partition-batch contract as [[decodeMeta]]. */
+  def zeroCrossingStats(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("n_frames", LongType), StructField("n_crossings", LongType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val stats: Seq[Any] = decodePcm16(bytes) match {
+          case None => Seq(null, null)
+          case Some((channels, data)) =>
+            val frameBytes = channels * 2
+            val n = data.length / frameBytes
+            var crossings = 0L
+            var prev = 0
+            var i = 0
+            while (i < n) {
+              val off = i * frameBytes
+              val s = ((data(off + 1) << 8) | (data(off) & 0xff)).toShort.toInt
+              if (prev * s < 0) crossings += 1
+              if (s != 0) prev = s
+              i += 1
+            }
+            Seq(n.toLong, crossings)
+        }
+        Row.fromSeq(row.toSeq ++ stats)
+      }
+    }(RowEncoder.encoderFor(outSchema))
   }
 
   /** Pure-SQL byte statistics over a binary column — the parts of media

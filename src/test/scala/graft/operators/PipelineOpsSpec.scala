@@ -614,6 +614,27 @@ class MultimodalSpec extends SparkSpec {
     assert(j.isNullAt(2) && j.isNullAt(5))
   }
 
+  test("zeroCrossingStats: square-wave counts match floor((F-1)/P), " +
+       "constant and silent signals never cross, garbage reports NULLs") {
+    // id 7: F=57, P=4, amp=7 -> 56/4 = 14; id 123: F=73, P=4 -> 18;
+    // id 500: amp=0 (silence) -> 0
+    val ids = Seq(7L, 123L, 500L).toDF("doc_id")
+    val out = Multimodal.zeroCrossingStats(
+        Multimodal.generateWav(ids, "doc_id", squareWave = true), "payload")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(7L) == (57L, 14L))
+    assert(out(123L) == (73L, 18L))
+    assert(out(500L) == (50L, 0L))
+    // the constant-amplitude generator never crosses zero
+    val const = Multimodal.zeroCrossingStats(
+        Multimodal.generateWav(Seq(7L).toDF("doc_id"), "doc_id"), "payload")
+      .collect().head
+    assert(const.getLong(3) == 0L)
+    val junk = Seq((1L, "nope".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val j = Multimodal.zeroCrossingStats(junk, "payload").collect().head
+    assert(j.isNullAt(2) && j.isNullAt(3))
+  }
+
   test("decodeMeta: schema, determinism, null passthrough") {
     val df = Seq(("a", "hello".getBytes("UTF-8")), ("b", Array.empty[Byte]),
       ("c", null)).toDF("id", "payload")
