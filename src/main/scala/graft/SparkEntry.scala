@@ -2727,6 +2727,15 @@ object SparkEntry {
       }
     }),
 
+    "q_event_transitions" -> ((s, dir) => {
+      // first-order Markov transition matrix over per-user event
+      // sequences: lag window ordered by (ts, event_id) for
+      // deterministic equal-timestamp pairs, pair counts row-normalized
+      // per prev_type (Sessions.transitionMatrix)
+      operators.Sessions.transitionMatrix(
+          eventsMicros(s, dir), "user_id", "ts", "event_type", "event_id")
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
     "q_events_sessionize" -> ((s, dir) => {
       // event-time windowed aggregation over the events table.
       // eventsMicros normalizes whatever ts layout the file declares to
@@ -4749,6 +4758,23 @@ object SparkEntry {
         |       count(*) AS n_events, CAST(sum(v) AS BIGINT) AS total_cents
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // transition replay: same lag window with the (ts, event_id)
+    // tiebreak; n sums to BIGINT, p row-normalized round(6)
+    "q_event_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT prev AS prev_type, event_type AS next_type,
+        |         count(*) AS n
+        |  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, sum(n)::BIGINT AS tot FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n,
+        |       round(c.n * 1.0 / t.tot, 6) AS p
+        |FROM c JOIN t USING (prev_type)
+        |ORDER BY c.prev_type, c.next_type""".stripMargin,
     "q_events_sessionize" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
         |       count(*) AS n,

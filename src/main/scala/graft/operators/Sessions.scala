@@ -107,4 +107,31 @@ object Sessions {
     }
     counts.result().toDF("stage", "event_type", "n_keys")
   }
+
+  /** First-order Markov transition matrix over per-key event sequences —
+    * (prev_type, next_type, n, p) where p is row-normalized over each
+    * prev_type. The behavioral-analytics sibling of [[funnel]]: funnels
+    * test ONE hypothesized path, the transition matrix surfaces every
+    * observed one (and anomalies: error→error loops, view→purchase
+    * shortcuts).
+    *
+    * One lag window per key ordered by (ts, tiebreakCol) — the explicit
+    * tiebreak makes equal-timestamp pairs deterministic across engines —
+    * then a map-combinable pair count; the per-prev normalizer joins on
+    * prev_type (|types| rows, broadcast). Each key's first event has no
+    * predecessor and contributes nothing. p rounds to 6 dp. */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
+                       typeCol: String, tiebreakCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val pairs = df
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("__tot"))
+    pairs.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("__tot"), 6).as("p"))
+  }
 }

@@ -225,6 +225,37 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("transitionMatrix: hand-counted pairs, row-normalized, first event " +
+       "contributes nothing, tiebreak fixes equal timestamps") {
+    import java.sql.Timestamp
+    def t(s: Int) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      // user 1: a -> b -> a  => (a,b), (b,a)
+      (1L, 10L, "a", t(10)), (1L, 11L, "b", t(20)), (1L, 12L, "a", t(30)),
+      // user 2: a -> a       => (a,a)
+      (2L, 20L, "a", t(10)), (2L, 21L, "a", t(20)),
+      // user 3: equal timestamps — event_id orders b BEFORE c => (b,c)
+      (3L, 30L, "b", t(10)), (3L, 31L, "c", t(10)),
+      // user 4: single event — no pair
+      (4L, 40L, "c", t(5))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val out = Sessions.transitionMatrix(ev, "user_id", "ts", "event_type",
+        "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((1L, 0.5)),     // from a: b once, a once
+      ("a", "a") -> ((1L, 0.5)),
+      ("b", "a") -> ((1L, 0.5)),     // from b: a once, c once
+      ("b", "c") -> ((1L, 0.5))), out)
+    // per-prev probabilities always sum to 1
+    val sums = Sessions.transitionMatrix(ev, "user_id", "ts", "event_type",
+        "event_id")
+      .groupBy($"prev_type").agg(sum($"p").as("s"))
+      .select($"s").as[Double].collect()
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
   test("cohortRetention: offset 0 equals cohort size, gaps don't break " +
        "offsets, multiple same-period events count once") {
     import java.sql.Timestamp
