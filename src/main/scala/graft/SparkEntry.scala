@@ -5590,7 +5590,7 @@ object SparkEntry {
         |                    doc_id
         |           ROWS UNBOUNDED PRECEDING) - n_chars AS pre
         |  FROM documents)
-        |SELECT pre // 6000 AS shard, count(*) AS n_docs,
+        |SELECT CAST(pre // 6000 AS BIGINT) AS shard, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM ordered GROUP BY shard ORDER BY shard""".stripMargin,
@@ -5636,7 +5636,8 @@ object SparkEntry {
         |scored AS (
         |  SELECT doc_id, count(*) AS n_toks,
         |         round(avg(ln(CAST(ct + 1 AS DOUBLE) / (nt + v))
-        |                 - ln(CAST(cr + 1 AS DOUBLE) / (nr + v))), 4) AS logratio
+        |                 - ln(CAST(cr + 1 AS DOUBLE) / (nr + v))), 4) + 0.0
+        |           AS logratio
         |  FROM toks JOIN vocab USING (t) CROSS JOIN stats
         |  GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(s.n_toks, 0) AS n_toks, s.logratio

@@ -5,10 +5,19 @@ Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
 
 For each <name>/ parquet dir in verify_out_dir, runs oracle_sql.json[name]
 in DuckDB over the sf_dir parquet tables, sorts columns by name, sorts rows,
-and compares values (exact for non-floats, tiny epsilon reported for floats).
+and compares values.
+
+MATCHES THE DRIVER'S HASH SEMANTICS (hardened after round 10): the driver
+hashes raw bytes, so this checker is dtype-strict (an int64 column vs a
+float64 column fails BEFORE any value compare — catches DuckDB HUGEINT
+leaking through the pandas bridge as float64) and float columns compare
+BIT-EXACT via an int64 view (catches -0.0 vs +0.0, which `==`/isclose
+treat as equal but the driver's byte hash does not). On the first
+difference it prints the row, both values, and both bit patterns in hex.
 """
 import json, sys, glob, os
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -17,6 +26,14 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
+
+def float_bits(s: pd.Series) -> np.ndarray:
+    """Bit pattern of a float64 column; NaN slots canonicalised so that
+    null==null passes but -0.0 vs +0.0 (different bits, equal values)
+    fails — exactly what a byte hash sees after parquet canonicalises NaN."""
+    v = s.astype(np.float64).values.copy()
+    v[np.isnan(v)] = np.nan  # canonical quiet NaN for both sides
+    return v.view(np.int64)
 
 def main(out_dir, sf_dir):
     con = duckdb.connect()
@@ -47,32 +64,35 @@ def main(out_dir, sf_dir):
         for c in g.columns:
             a, b = g[c], w[c]
             try:
-                if a.dtype.kind == 'f' or b.dtype.kind == 'f':
-                    import numpy as np
-                    aa, bb = a.astype(float).values, b.astype(float).values
-                    mask = ~(np.isclose(aa, bb, rtol=1e-9, atol=1e-12) |
-                             (pd.isna(aa) & pd.isna(bb)))
-                    exact = (aa == bb) | (pd.isna(aa) & pd.isna(bb))
-                    if mask.any():
-                        bad.append((c, int(mask.sum()), "VALUE"))
-                    elif not exact.all():
-                        bad.append((c, int((~exact).sum()), "FLOAT-EPSILON-ONLY"))
+                ak, bk = a.dtype.kind, b.dtype.kind
+                # dtype-strict BEFORE value compare: the driver hashes
+                # bytes, so int64-vs-float64 is a failure even when the
+                # values coerce equal (DuckDB HUGEINT -> float64 leak).
+                if (ak == 'f') != (bk == 'f'):
+                    bad.append((c, len(g),
+                                f"DTYPE spark={a.dtype} oracle={b.dtype}"))
+                    continue
+                if ak == 'f':
+                    ab, bb = float_bits(a), float_bits(b)
+                    neq = ab != bb
+                    if neq.any():
+                        i = int(neq.argmax())
+                        bad.append((c, int(neq.sum()),
+                                    f"row {i}: {a.values[i]!r} vs {b.values[i]!r}"
+                                    f" bits {int(ab[i]) & (2**64-1):016x} vs"
+                                    f" {int(bb[i]) & (2**64-1):016x}"))
                 else:
                     av = a.astype(str).values
                     bv = b.astype(str).values
                     neq = av != bv
                     if neq.any():
-                        i = neq.argmax()
+                        i = int(neq.argmax())
                         bad.append((c, int(neq.sum()), f"e.g. row {i}: {av[i]!r} vs {bv[i]!r}"))
             except Exception as e:
                 bad.append((c, -1, f"compare error: {e}"))
-        hard = [b for b in bad if b[2] != "FLOAT-EPSILON-ONLY"]
-        if hard:
-            print(f"VALUE MISMATCH  {name}: {hard[:3]}")
+        if bad:
+            print(f"VALUE MISMATCH  {name}: {bad[:3]}")
             failures += 1
-        elif bad:
-            print(f"WARN eps-only   {name}: {bad[:3]}")
-            print(f"OK (eps)        {name}  rows={len(g)}")
         else:
             print(f"OK              {name}  rows={len(g)}")
     print("FAILURES:", failures)
