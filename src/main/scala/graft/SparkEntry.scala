@@ -3514,7 +3514,24 @@ object SparkEntry {
       |ORDER BY id1, id2""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * Representation audit (the driver hashes raw bytes, so value
+    * equality is not enough — types and float bit patterns must match):
+    *  - HUGEINT: DuckDB promotes sum(BIGINT) to HUGEINT and keeps it
+    *    through arithmetic (incl. `//`); the pandas bridge renders
+    *    HUGEINT as float64, breaking hash parity with Spark's int64.
+    *    Every integral output column derived from a sum/window-sum is
+    *    CAST(... AS BIGINT); an automated sweep (DuckDB result types of
+    *    all oracles vs an int/double/varchar/bool/date/ts allowlist)
+    *    shows zero HUGEINT/DECIMAL outputs remaining.
+    *  - Signed zero: DuckDB round() preserves -0.0 for tiny negatives;
+    *    Spark's BigDecimal round cannot represent it (always +0.0).
+    *    Every rounded output whose argument can be <= 0 (cosines,
+    *    margins, log-ratios, entropies/NLLs that hit -ln(1) = -0.0,
+    *    PMI, JS terms, embedding means) is normalized with `+ 0.0`
+    *    (IEEE: -0.0 + 0.0 = +0.0; a no-op for every other value).
+    * tools/check_oracle.py enforces both classes bit-exactly. */
   def oracleSql: Map[String, String] = Map(
     "reader_snapshot_projection" ->
       """SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
@@ -4108,7 +4125,7 @@ object SparkEntry {
         |GROUP BY comp ORDER BY comp""".stripMargin,
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) + 0.0 AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE cosine >= 0.4 ORDER BY id1, id2""".stripMargin,
     // exact oracle: planted scaled copies are the ONLY pairs >= 0.9, and
@@ -4139,7 +4156,7 @@ object SparkEntry {
     "similarity_topk_brute" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS id,
-        |         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+        |         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) + 0.0 AS cosine
         |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
         |  WHERE q.vec_id < 10)
         |SELECT query_id, rank::INTEGER AS rank, id, cosine FROM (
@@ -4165,7 +4182,7 @@ object SparkEntry {
         |  WHERE tr <= 20),
         |rr AS (
         |  SELECT query_id, id, trunc_cosine,
-        |         round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cosine
+        |         round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) + 0.0 AS cosine
         |  FROM surv)
         |SELECT query_id, rank::INTEGER AS rank, id, trunc_cosine, cosine FROM (
         |  SELECT query_id, id, trunc_cosine, cosine,
@@ -4198,7 +4215,7 @@ object SparkEntry {
         |  WHERE hr <= 20),
         |rr AS (
         |  SELECT query_id, id, hamming,
-        |         round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cosine
+        |         round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) + 0.0 AS cosine
         |  FROM surv)
         |SELECT query_id, rank::INTEGER AS rank, id, hamming, cosine FROM (
         |  SELECT query_id, id, hamming, cosine,
@@ -4212,7 +4229,7 @@ object SparkEntry {
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS id,
         |         c.label = q.label AS same,
-        |         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+        |         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) + 0.0 AS cosine
         |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
         |  WHERE q.vec_id < 10),
         |pos AS (
@@ -4226,7 +4243,7 @@ object SparkEntry {
         |      ORDER BY cosine DESC, id) AS rk FROM scored WHERE NOT same)
         |  WHERE rk = 1)
         |SELECT query_id, pos_id, pos_cosine, neg_id, neg_cosine,
-        |       round(pos_cosine - neg_cosine, 6) AS margin
+        |       round(pos_cosine - neg_cosine, 6) + 0.0 AS margin
         |FROM pos JOIN neg USING (query_id)
         |ORDER BY query_id""".stripMargin,
     // equi-depth replay: SQL NTILE shares the fat-tiles-first contract
@@ -4241,7 +4258,7 @@ object SparkEntry {
     "similarity_hard_negatives" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS id, c.label AS label,
-        |         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+        |         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) + 0.0 AS cosine
         |  FROM embeddings q JOIN embeddings c ON c.label != q.label
         |  WHERE q.vec_id < 10)
         |SELECT query_id, rank::INTEGER AS rank, id, cosine, label FROM (
@@ -4283,7 +4300,7 @@ object SparkEntry {
     "similarity_topk_ivf" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS id,
-        |         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+        |         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) + 0.0 AS cosine
         |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
         |  WHERE q.vec_id < 10)
         |SELECT query_id, rank::INTEGER AS rank, id, cosine FROM (
@@ -5168,7 +5185,8 @@ object SparkEntry {
     // projection breaks cov = I at 4 dp
     "embedding_whiten_identity" ->
       """SELECT a.i::INTEGER AS i, b.i::INTEGER AS j,
-        |       CASE WHEN a.i = b.i THEN 1.0 ELSE 0.0 END AS cov
+        |       CAST(CASE WHEN a.i = b.i THEN 1.0 ELSE 0.0 END
+        |         AS DOUBLE) AS cov
         |FROM range(64) a(i) JOIN range(64) b(i) ON a.i <= b.i
         |ORDER BY i, j""".stripMargin,
     // spectrum replay: word count -> count of counts, range() shapes
@@ -5201,7 +5219,8 @@ object SparkEntry {
         |           ROWS UNBOUNDED PRECEDING) AS run
         |  FROM counts),
         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM counts)
-        |SELECT tg.target, CAST(min(o.rnk) AS BIGINT) AS vocab_size,
+        |SELECT CAST(tg.target AS DOUBLE) AS target,
+        |       CAST(min(o.rnk) AS BIGINT) AS vocab_size,
         |       CAST(min(o.run) AS BIGINT) AS tokens_covered
         |FROM (VALUES (0.5), (0.9), (0.99)) tg(target)
         |JOIN ordered o ON o.run >= tg.target * (SELECT n FROM tot)
@@ -5221,7 +5240,7 @@ object SparkEntry {
         |tot AS (SELECT doc_id, sum(c) AS n FROM pc GROUP BY doc_id),
         |h AS (
         |  SELECT pc.doc_id,
-        |         round(sum(-(c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))), 4) AS h
+        |         round(sum(-(c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))), 4) + 0.0 AS h
         |  FROM pc JOIN tot USING (doc_id) GROUP BY pc.doc_id)
         |SELECT d.doc_id, h.h FROM documents d LEFT JOIN h USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
@@ -5305,7 +5324,7 @@ object SparkEntry {
         |        FROM (SELECT unnest(a) AS t FROM arr) GROUP BY 1),
         |total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni)
         |SELECT w1, w2, n_pair,
-        |       round(ln(n_pair::DOUBLE * n / (u1.c * u2.c)), 4) AS pmi
+        |       round(ln(n_pair::DOUBLE * n / (u1.c * u2.c)), 4) + 0.0 AS pmi
         |FROM bi JOIN uni u1 ON bi.w1 = u1.t JOIN uni u2 ON bi.w2 = u2.t
         |CROSS JOIN total
         |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin,
@@ -5373,7 +5392,7 @@ object SparkEntry {
         |         CASE WHEN co > 0 THEN 0.5 * (co / CAST(tno AS DOUBLE)) *
         |           ln((co / CAST(tno AS DOUBLE)) / ((co / CAST(tno AS DOUBLE) + cn / CAST(tnn AS DOUBLE)) / 2)) ELSE 0 END +
         |         CASE WHEN cn > 0 THEN 0.5 * (cn / CAST(tnn AS DOUBLE)) *
-        |           ln((cn / CAST(tnn AS DOUBLE)) / ((co / CAST(tno AS DOUBLE) + cn / CAST(tnn AS DOUBLE)) / 2)) ELSE 0 END), 6) AS js
+        |           ln((cn / CAST(tnn AS DOUBLE)) / ((co / CAST(tno AS DOUBLE) + cn / CAST(tnn AS DOUBLE)) / 2)) ELSE 0 END), 6) + 0.0 AS js
         |FROM j CROSS JOIN tot
         |GROUP BY tno, tnn""".stripMargin,
     // covariance replay: positional unnest + pairwise covar_samp over
@@ -5439,7 +5458,7 @@ object SparkEntry {
         |bi AS (SELECT w1, w2, count(*) AS c2 FROM bigr GROUP BY w1, w2),
         |scored AS (
         |  SELECT b.doc_id, count(*) AS n_bigrams,
-        |         round(avg(-ln(0.7 * c2 / u1.c1 + (1.0 - 0.7) * u2.c1 / n)), 4) AS nll
+        |         round(avg(-ln(0.7 * c2 / u1.c1 + (1.0 - 0.7) * u2.c1 / n)), 4) + 0.0 AS nll
         |  FROM bigr b JOIN bi USING (w1, w2)
         |    JOIN uni u1 ON b.w1 = u1.t JOIN uni u2 ON b.w2 = u2.t
         |    CROSS JOIN total
@@ -5459,7 +5478,7 @@ object SparkEntry {
         |total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
         |scored AS (
         |  SELECT doc_id, count(*) AS n_toks,
-        |         round(avg(-ln(CAST(c AS DOUBLE) / n)), 4) AS nll
+        |         round(avg(-ln(CAST(c AS DOUBLE) / n)), 4) + 0.0 AS nll
         |  FROM toks JOIN counts USING (t) CROSS JOIN total
         |  GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(s.n_toks, 0) AS n_toks, s.nll
@@ -6057,7 +6076,7 @@ object SparkEntry {
     "q_embedding_norms" ->
       """SELECT vec_id,
         |       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) AS l2,
-        |       round(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS mean
+        |       round(list_sum(embedding::DOUBLE[]) / len(embedding), 6) + 0.0 AS mean
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     // RobustScaler stats via quantile_cont (same (n-1)q interpolation
     // as Spark's percentile; float32 interpolates exactly at
@@ -6088,7 +6107,7 @@ object SparkEntry {
         |total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
         |scored AS (
         |  SELECT doc_id, count(*) AS n_toks,
-        |         round(avg(-ln(CAST(c AS DOUBLE) / n)), 4) AS nll
+        |         round(avg(-ln(CAST(c AS DOUBLE) / n)), 4) + 0.0 AS nll
         |  FROM toks JOIN counts USING (t) CROSS JOIN total
         |  GROUP BY doc_id),
         |alldocs AS (
@@ -6097,7 +6116,7 @@ object SparkEntry {
         |t AS (SELECT nll, ntile(10) OVER (
         |        ORDER BY nll ASC NULLS LAST, doc_id) AS decile
         |      FROM alldocs)
-        |SELECT decile, count(*) AS n, round(avg(nll), 4) AS mean_nll
+        |SELECT decile, count(*) AS n, round(avg(nll), 4) + 0.0 AS mean_nll
         |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
     // per-label median centroid (exact order statistic — engine-
     // independent), then cosine distance; round(6) as in the other
@@ -6110,7 +6129,7 @@ object SparkEntry {
         |cents AS (SELECT label, list(m ORDER BY i) AS cent
         |          FROM dims GROUP BY label)
         |SELECT e.vec_id, e.label,
-        |       round(1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cent), 6) AS dist
+        |       round(1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cent), 6) + 0.0 AS dist
         |FROM embeddings e JOIN cents c USING (label)
         |ORDER BY e.vec_id""".stripMargin,
     "reader_minmax_probe" ->
