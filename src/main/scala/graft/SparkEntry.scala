@@ -2171,7 +2171,6 @@ object SparkEntry {
         .withColumn("promo_revenue", lit(100.0) * col("promo_vol") / col("total_vol"))
     }),
     "q15_top_supplier" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val c = conn(s, dir)
       val rev = DbReader(c, "lineitem").run()
         // selects 22,017/600k lineitems at sf0.1 (r10 audit)
@@ -2180,9 +2179,12 @@ object SparkEntry {
         .groupBy(col("l_suppkey"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(28,6)")).as("rev_dec"))
-      // post-agg cardinality = |supplier| — the global rank window is tiny
-      val top = rev.withColumn("rk", rank().over(Window.orderBy(col("rev_dec").desc)))
-        .filter(col("rk") === 1)
+      // scale-safe top-1: broadcast the 1-row global max and equi-join —
+      // keeps ties exactly like rank() = 1 did, with no single-partition
+      // WindowExec anywhere in the plan (last such window eliminated r11)
+      val top = rev.join(
+        broadcast(rev.agg(max(col("rev_dec")).as("max_rev"))),
+        col("rev_dec") === col("max_rev")).drop("max_rev")
       top.join(DbReader(c, "supplier").run(),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),

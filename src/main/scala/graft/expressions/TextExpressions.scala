@@ -416,15 +416,24 @@ object VectorImpl {
     new GenericArrayData(words)
   }
 
-  /** Popcount-XOR Hamming distance over sign-packed words (shorter input
-    * zero-extends: extra words of the longer side are ignored, matching
-    * same-dim usage; callers quantize both sides with [[signPack]]). */
+  /** Popcount-XOR Hamming distance over sign-packed words. The shorter
+    * input zero-extends: the longer side's extra words XOR against 0,
+    * so their set bits all count as mismatches (callers normally
+    * quantize both sides to the same dim with [[signPack]], where the
+    * tail never runs). */
   def hammingDistance(a: ArrayData, b: ArrayData): Int = {
-    val n = math.min(a.numElements(), b.numElements())
+    val na = a.numElements()
+    val nb = b.numElements()
+    val n = math.min(na, nb)
     var acc = 0
     var i = 0
     while (i < n) {
       acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    val (longer, nl) = if (na > nb) (a, na) else (b, nb)
+    while (i < nl) {
+      acc += java.lang.Long.bitCount(longer.getLong(i))
       i += 1
     }
     acc

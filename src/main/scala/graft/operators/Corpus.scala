@@ -393,17 +393,17 @@ object Corpus {
     * line (map-side combinable — a line repeated a billion times folds
     * to one (line, min) row per partition, so the hot-line skew a
     * row_number window would serialize never materializes), joined back
-    * on the line to filter. `posEncode` packs (doc, pos) into one
-    * ordered long for that aggregate; positions must stay under its
-    * 2^20 bound — chunk pathological documents first. */
+    * on the line to filter. First-occurrence order is min over the
+    * (doc, pos) STRUCT — lexicographic, no packing, so any id range and
+    * any document length are safe (the r10 packed-long formulation
+    * collided past 2^20 lines). */
   def dedupLinesAcrossDocs(df: DataFrame, idCol: String,
                            textCol: String): DataFrame = {
-    val PosBound = 1L << 20
     val lines = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
     val encoded = lines.withColumn("__ord",
-      col("__id") * PosBound + col("__pos"))
+      struct(col("__id"), col("__pos")))
     val firsts = encoded.filter(trim(col("__line")) =!= "")
       .groupBy(trim(col("__line")).as("__nline"))
       .agg(min(col("__ord")).as("__first"))

@@ -574,19 +574,22 @@ object Dedup {
 
   /** Changelog compaction: keep each key's LATEST row, where latest is
     * the max of `versionCols` compared lexicographically (CDC sequence
-    * number, updated-at + tiebreak — pass enough columns to make the
-    * order total, or ties resolve arbitrarily-but-deterministically by
-    * the remaining payload). One `max_by` aggregate — map-side
-    * combinable, partial-merging, NO window sort: a key with a billion
-    * updates costs its partitions one running maximum each, not a
-    * single-task sort (the row_number formulation's failure mode).
+    * number, updated-at + tiebreak). Version ties resolve
+    * DETERMINISTICALLY by the full payload: the max_by ordering key is
+    * (versionCols..., payload struct), a total order over rows — equal
+    * runs yield equal outputs regardless of partitioning. This requires
+    * every column to be orderable (no map columns; drop them from `df`
+    * first if present). One `max_by` aggregate — map-side combinable,
+    * partial-merging, NO window sort: a key with a billion updates
+    * costs its partitions one running maximum each, not a single-task
+    * sort (the row_number formulation's failure mode).
     * Output schema = input schema, one row per key. */
   def keepLatestByKey(df: DataFrame, keyCols: Seq[String],
                       versionCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && versionCols.nonEmpty,
       "need key and version columns")
     val payload = struct(df.columns.map(col): _*)
-    val version = struct(versionCols.map(col): _*)
+    val version = struct(versionCols.map(col) :+ payload.as("__pay"): _*)
     val kept = df.groupBy(keyCols.map(col): _*)
       .agg(max_by(payload, version).as("__row"))
       .select(col("__row.*"))

@@ -561,7 +561,10 @@ object Multimodal {
         val fmt = ais.getFormat
         if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
         else {
-          val data = ais.readNBytes(bytes.length max 64)
+          // drain to EOF: a stream whose decoded PCM exceeds the
+          // container size (compressed encodings) must not silently
+          // truncate and under-count frames downstream
+          val data = ais.readAllBytes()
           Some((fmt.getChannels, data))
         }
       } finally ais.close()

@@ -249,8 +249,12 @@ object Ranking {
       .select(
         when(col(valCol).cast("double") < lo, lit(-1))
           .when(col(valCol).cast("double") >= hi, lit(buckets))
-          .otherwise(floor((col(valCol).cast("double") - lo) / w)
-            .cast("int")).as("bucket"))
+          // least() clamp: for non-integer lo/w, float rounding can push
+          // floor((v - lo) / w) to `buckets` for v just below hi; such a
+          // value is in-range and belongs in the last real bucket
+          .otherwise(least(lit(buckets - 1),
+            floor((col(valCol).cast("double") - lo) / w)).cast("int"))
+          .as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
     import spark.implicits._
     val shape = (-1 to buckets).toDF("bucket")
