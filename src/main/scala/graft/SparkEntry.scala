@@ -765,6 +765,19 @@ object SparkEntry {
           minMatch = 8, hashedAnchors = false)
         .orderBy(col("doc_id"))
     }),
+    "dedup_sa_spans" -> ((s, dir) => {
+      // suffix-array exact-substring dedup (arXiv:2107.06499): per-doc
+      // stats of CHAR-level length-32 windows that recur anywhere in the
+      // corpus, keep-first. The ranks come from bounded prefix doubling
+      // (8 -> 16 -> 32), so the corpus shuffles O(n log L) fixed-width
+      // rank rows, never O(n*L) window text; the oracle replays the
+      // equivalent window-multiset definition directly. ~63k cut
+      // anchors / 1.33M windows at sf0.1 (r11 audit)
+      operators.Dedup.suffixDupStats(
+          DbReader(conn(s, dir), "documents").run(), "doc_id", "text",
+          minMatch = 32)
+        .orderBy(col("doc_id"))
+    }),
     "pii_scrub" -> ((s, dir) => {
       // PII redaction audit with planted entities: the corpus has no
       // natural PII, so each doc gets a deterministic email + IP + phone
@@ -3876,6 +3889,37 @@ object SparkEntry {
     // span replay: anchor 8-grams positionally, keeper = first (doc,pos)
     // per gram via row_number, covered = non-keeper windows de-overlapped,
     // rebuild = positional anti-join + ordered string_agg
+    // suffix-array span replay by DEFINITION: a cut anchor is a position
+    // whose 32-char window occurs >= 2 times (keep-first by (doc, pos));
+    // coverage merges overlapping windows via lag. Sums cast BIGINT
+    // (HUGEINT) per the representation audit; no float columns
+    "dedup_sa_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, i AS pos, substr(text, i + 1, 32) AS win
+        |  FROM documents, unnest(range(0, greatest(length(text) - 31, 0))) r(i)
+        |  WHERE length(text) >= 32),
+        |k AS (
+        |  SELECT doc_id, pos,
+        |         count(*) OVER (PARTITION BY win) AS c,
+        |         row_number() OVER (PARTITION BY win
+        |           ORDER BY doc_id, pos) AS rn
+        |  FROM w),
+        |anch AS (SELECT doc_id, pos FROM k WHERE c >= 2 AND rn > 1),
+        |cov AS (
+        |  SELECT doc_id, count(*) AS n_anchors,
+        |         CAST(sum(CASE WHEN prev IS NULL THEN 32
+        |                       ELSE least(32, pos - prev) END) AS BIGINT)
+        |           AS n_dup_chars
+        |  FROM (SELECT doc_id, pos,
+        |               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |                 AS prev
+        |        FROM anch)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+        |       CAST(COALESCE(cov.n_anchors, 0) AS BIGINT) AS n_anchors,
+        |       COALESCE(cov.n_dup_chars, 0) AS n_dup_chars
+        |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_span_removal" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks

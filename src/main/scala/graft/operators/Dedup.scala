@@ -1062,4 +1062,111 @@ object Dedup {
       .select(col(idCol), col("__pos"))
     rebuildAfterCut(batch, hist.unionByName(freshDup), idCol, textCol, minMatch)
   }
+
+  /** Character-level exact-substring duplicate anchors via SUFFIX-ARRAY
+    * machinery — the formulation of Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better" (arXiv:2107.06499), which builds
+    * a suffix array over the corpus and cuts every substring of length
+    * ≥ `minMatch` that occurs more than once. This is the companion to
+    * the gram-based [[removeDuplicateSpans]]: instead of materializing
+    * one `minMatch`-sized window per position (O(n·L) shuffle bytes —
+    * ruinous at the paper's L≈250-char threshold), suffix ranks are
+    * built by PREFIX DOUBLING bounded at L: O(log L) rounds, each
+    * shuffling one fixed-width rank pair per position, so total shuffle
+    * is O(n·log L) narrow rows regardless of L.
+    *
+    * Rank construction: r_8 groups positions by their 8-char substring;
+    * each round pairs (r_k(i), r_k(i+d)) with d = min(k, L−k) — the
+    * overlap trick: equal pairs ⟺ equal (k+d)-prefixes, exact in both
+    * directions — until k = L. A group id is the group's MINIMUM
+    * (id, pos) member: injective across groups (groups partition the
+    * position set), deterministic, and requires no global sort — rank
+    * assignment is a hash groupBy + join-back per round, never a
+    * range-sort. Suffixes shorter than L (which cannot anchor a length-L
+    * match) are excluded by the `pos ≤ n−L` filter before grouping, so
+    * end-of-document effects never create false groups.
+    *
+    * Returns CUT anchors (idCol, pos int): positions whose length-L
+    * window occurs elsewhere in the corpus and is not the globally first
+    * (min (id, pos)) occurrence — the paper's keep-first contract.
+    * Reference behavior: onetl has no corpus operator; coverage per
+    * SURVEY §2 extensions. */
+  def suffixDupAnchors(df: DataFrame, idCol: String, textCol: String,
+                       minMatch: Int = 32): DataFrame = {
+    require(minMatch >= 8, s"minMatch must be >= 8 chars: $minMatch")
+    val spark = df.sparkSession
+    // one row per character position; the wide text column is consumed
+    // by the same-stage substring projection and never reaches a shuffle
+    val positions = df
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= minMatch)
+      .select(col(idCol).as("__sid"), length(col(textCol)).as("__n"),
+        col(textCol).as("__t"))
+      .select(col("__sid"), col("__n"),
+        explode(sequence(lit(0), col("__n") - 1)).as("__pos"),
+        col("__t"))
+      .select(col("__sid"), col("__n"), col("__pos"),
+        expr("substring(__t, __pos + 1, 8)").as("__g"))
+    // initial rank: min (id, pos) of each 8-gram group
+    def regroup(frame: DataFrame, keys: Seq[String]): DataFrame = {
+      val groups = frame.groupBy(keys.map(col): _*)
+        .agg(min(struct(col("__sid"), col("__pos"))).as("__nr"))
+      frame.join(groups, keys)
+        .select(col("__sid"), col("__n"), col("__pos"),
+          col("__nr").as("__r"))
+    }
+    var ranks = regroup(positions, Seq("__g")).localCheckpoint()
+    var k = 8
+    while (k < minMatch) {
+      val d = math.min(k, minMatch - k)
+      val shifted = ranks.select(col("__sid").as("__tid"),
+        (col("__pos") - d).as("__tpos"), col("__r").as("__r2"))
+      val paired = ranks.join(shifted,
+          col("__sid") === col("__tid") && col("__pos") === col("__tpos"),
+          "left")
+        .select(col("__sid"), col("__n"), col("__pos"), col("__r"),
+          coalesce(col("__r2"),
+            lit(struct(lit(-1L).as("__sid"), lit(-1).as("__pos"))))
+            .as("__r2"))
+      ranks = regroup(paired, Seq("__r", "__r2")).localCheckpoint()
+      k += d
+    }
+    // full-length windows only, then duplicate groups minus their keeper
+    val full = ranks.filter(col("__pos") <= col("__n") - minMatch)
+    val groups = full.groupBy(col("__r"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col("__sid"), col("__pos"))).as("__keep"))
+      .filter(col("__cnt") >= 2)
+    full.join(groups, Seq("__r"))
+      .where(struct(col("__sid"), col("__pos")) =!= col("__keep"))
+      .select(col("__sid").as(idCol), col("__pos").as("pos"))
+  }
+
+  /** Per-document duplicate-span statistics from [[suffixDupAnchors]]:
+    * (idCol, n_chars, n_anchors, n_dup_chars) for EVERY input document
+    * (zero-filled when clean), where n_dup_chars is the merged length of
+    * the union of the anchors' length-L windows — overlapping anchors
+    * are de-overlapped with one per-document lag window (millions of
+    * documents parallelize; a document's anchor count is bounded by its
+    * own length, so no single task inherits corpus-scale work). */
+  def suffixDupStats(df: DataFrame, idCol: String, textCol: String,
+                     minMatch: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchors = suffixDupAnchors(df, idCol, textCol, minMatch)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prev = lag(col("pos"), 1).over(w)
+    val perDoc = anchors
+      .withColumn("__gain",
+        when(prev.isNull, lit(minMatch.toLong))
+          .otherwise(least(lit(minMatch.toLong),
+            (col("pos") - prev).cast("long"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_anchors"),
+        sum(col("__gain")).as("n_dup_chars"))
+    df.select(col(idCol),
+        coalesce(length(col(textCol)).cast("long"), lit(0L)).as("n_chars"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_chars"),
+        coalesce(col("n_anchors"), lit(0L)).as("n_anchors"),
+        coalesce(col("n_dup_chars"), lit(0L)).as("n_dup_chars"))
+  }
 }
