@@ -812,6 +812,25 @@ object SparkEntry {
           shingleSize = 3, bands = 32, rowsPerBand = 4, threshold = 0.7)
         .orderBy(col("id1"), col("id2"))
     }),
+    "dedup_crosslingual" -> ((s, dir) => {
+      // cross-lingual near-dup: the corpus is ASCII, so plant
+      // transliterated twins (accented vowels + UPPERCASE) for every 7th
+      // doc; fold-before-MinHash must pair each twin with its original
+      // at folded-Jaccard 1.0 while natural near-dup pairs survive
+      // unchanged. The oracle replants the SAME twins and replays exact
+      // folded Jaccard — lower(strip_accents(x)) == MatchFold on this
+      // palette — so the fold semantics are verified, not just row counts
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), col("text"))
+      val twins = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          upper(translate(col("text"), "aeioun", "áéíöüñ"))
+            .as("text"))
+      operators.Dedup.crossLingualDupPairs(docs.unionByName(twins),
+          "doc_id", "text", shingleSize = 3, bands = 32, rowsPerBand = 4,
+          threshold = 0.7)
+        .orderBy(col("id1"), col("id2"))
+    }),
     "dedup_minhash_incremental" -> ((s, dir) => {
       // incremental NEAR-dup dedup: history (doc_id < 250) persists its
       // MinHash band buckets + shingle sets as bucketed tables ONCE; the
@@ -4004,6 +4023,31 @@ object SparkEntry {
         |SELECT gram, count(*) AS n FROM grams GROUP BY gram
         |ORDER BY n DESC, gram LIMIT 20""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle,
+    // folded-jaccard replay over the twin-augmented corpus: DuckDB's
+    // lower(strip_accents(x)) equals MatchFold on the planted palette
+    // (ASCII base + decomposable accents); twin construction (translate
+    // then upper) is codepoint-identical in both engines
+    "dedup_crosslingual" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         upper(translate(text, 'aeioun', 'áéíöüñ'))
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |         i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(
+        |          trim(lower(strip_accents(text))), '\s+') AS toks
+        |        FROM base)
+        |  WHERE len(toks) >= 3
+        |), inv AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM docs)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |       round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 6) AS jaccard
+        |FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING jaccard >= 0.7
+        |ORDER BY id1, id2""".stripMargin,
     // batch doc survives iff NO history doc reaches exact Jaccard 0.7
     // (shingle construction identical to jaccardOracle's)
     "dedup_minhash_incremental" ->

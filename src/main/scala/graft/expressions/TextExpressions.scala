@@ -108,6 +108,27 @@ case class UnicodeNormalize(child: Expression, form: String = "NFC")
     copy(child = newChild)
 }
 
+/** Cross-lingual matching fold: NFD-decompose, strip combining marks,
+  * lowercase, and transliterate the handful of Latin letters NFD cannot
+  * decompose (ß→ss, æ→ae, œ→oe, ø→o, đ→d, ł→l). "Résumé", "RESUME" and
+  * "resumé" all fold to "resume", so near-dup detection pairs
+  * transliterated/diacritic variants of the same document that raw
+  * shingles would miss — the fold-before-MinHash pass for multilingual
+  * crawl dedup. Equivalent to DuckDB's strip_accents∘lower over the
+  * decomposable range, which is what lets fold-based gates replay. */
+case class MatchFold(child: Expression)
+  extends UnaryExpression with GraftStringInput {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "match_fold"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHashImpl.matchFold(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextHashImpl.matchFold($c)")
+  override protected def withNewChildInternal(newChild: Expression): MatchFold =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over a token array (Charikar '02): per-bit vote of each
   * token's xxHash64, weighted +1/-1; near-duplicates differ in few bits, so
   * `bit_count(a ^ b)` (built-in) gives the Hamming distance. */
@@ -198,6 +219,36 @@ object TextHashImpl {
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, f)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  }
+
+  /** NFD → drop combining marks → per-char lowercase → transliterate the
+    * non-decomposable Latin holdouts. ASCII input round-trips through
+    * the fast already-normalized path with only the lowercase pass. */
+  def matchFold(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val f = java.text.Normalizer.Form.NFD
+    val nfd =
+      if (java.text.Normalizer.isNormalized(str, f)) str
+      else java.text.Normalizer.normalize(str, f)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val ch = nfd.charAt(i)
+      if (Character.getType(ch) != Character.NON_SPACING_MARK) {
+        ch match {
+          case 'ß' | 'ẞ'       => sb.append("ss")
+          case 'Æ' | 'æ'       => sb.append("ae")
+          case 'Œ' | 'œ'       => sb.append("oe")
+          case 'Ø' | 'ø'       => sb.append('o')
+          case 'Đ' | 'đ' | 'Ð' => sb.append('d')
+          case 'Ł' | 'ł'       => sb.append('l')
+          case 'Þ' | 'þ'       => sb.append("th")
+          case _               => sb.append(Character.toLowerCase(ch))
+        }
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
   }
 
   def fnv1a64(s: UTF8String): Long = {
@@ -646,6 +697,7 @@ object GraftExpressions {
   def fingerprint64(c: Column): Column = col(Fingerprint64(expr(c)))
   def unicodeNormalize(c: Column, form: String = "NFC"): Column =
     col(UnicodeNormalize(expr(c), form))
+  def matchFold(c: Column): Column = col(MatchFold(expr(c)))
   def compressionRatio(c: Column): Column = col(CompressionRatio(expr(c)))
   def wordShingles(c: Column, n: Int): Column = col(WordShingles(expr(c), n))
   def wordShingleHashes(c: Column, n: Int, seed: Long = 42L): Column =
@@ -719,6 +771,8 @@ object GraftExpressions {
         if (es.size > 1) es(1).eval(null).toString else "NFC"), "built-in")
     reg.createOrReplaceTempFunction("compression_ratio",
       es => CompressionRatio(es.head), "built-in")
+    reg.createOrReplaceTempFunction("match_fold",
+      es => MatchFold(es.head), "built-in")
     reg.createOrReplaceTempFunction("percent_normalize",
       es => PercentNormalize(es.head), "built-in")
     reg.createOrReplaceTempFunction("idn_ascii",

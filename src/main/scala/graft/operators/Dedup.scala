@@ -468,6 +468,27 @@ object Dedup {
     minhashDupPairsPre(docs, banded, threshold)
   }
 
+  /** Cross-lingual near-dup pairs: fold BEFORE MinHash. Diacritic,
+    * case, and transliteration variants of the same document ("café
+    * RÉSUMÉ" vs "cafe resume") produce disjoint raw shingles and are
+    * invisible to [[minhashDupPairs]]; folding with
+    * [[graft.expressions.MatchFold]] (NFD + strip-marks + lowercase +
+    * Latin transliteration) first makes the variants shingle-identical,
+    * and the standard LSH pipeline — unchanged — then pairs them. The
+    * fold is a codegen'd scalar in the same scan stage as shingling, so
+    * the pass costs zero extra shuffles over the monolingual path; the
+    * returned jaccard is over FOLDED shingles. */
+  def crossLingualDupPairs(df: DataFrame, idCol: String, textCol: String,
+                           shingleSize: Int = 3,
+                           bands: Int = 32, rowsPerBand: Int = 4,
+                           threshold: Double = 0.8,
+                           seed: Long = 42L): DataFrame = {
+    val folded = df.select(col(idCol),
+      GraftExpressions.matchFold(col(textCol)).as("__folded"))
+    minhashDupPairs(folded, idCol, "__folded", shingleSize, bands,
+      rowsPerBand, threshold, seed)
+  }
+
   /** Cross-source duplication matrix — the corpus-governance report
     * behind "how much of source A is already in source B" (the overlap
     * audits published for web-scale corpora, e.g. C4 vs Pile): label
