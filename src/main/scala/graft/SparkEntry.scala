@@ -1642,6 +1642,29 @@ object SparkEntry {
           DbReader(conn(s, dir), "documents").run(), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "quality_classifier_score" -> ((s, dir) => {
+      // fastText-style logistic quality scoring with broadcast weights:
+      // the vocabulary is every word with corpus count >= 50, its weight
+      // the md5-derived integer in [-1000, 1000] (deterministic
+      // pseudo-random, replayable via the established conv(md5) <->
+      // ('0x'||substr(md5))::UBIGINT bridge). Integer-valued weights sum
+      // exactly in any accumulation order, so the only float steps are
+      // one division and the final exp — round(4) absorbs the libm ulp
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val toks = docs.select(
+        explode(filter(split(lower(col("text")), "[^a-z]+"),
+          t => t =!= "")).as("word"))
+      val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= 50)
+        .select(col("word"),
+          (conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long")
+            % 2001 - 1000).cast("double").as("weight"))
+      operators.Corpus.fastTextStyleScore(docs, "doc_id", "text",
+          vocab, bias = 0.0, scale = 1000.0)
+        .select(col("doc_id"), col("n_toks"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("doc_id"))
+    }),
     "quality_bigram_nll" -> ((s, dir) => {
       // interpolated-bigram LM proxy (one rung toward CCNet's 5-gram
       // KenLM): -ln(λ·c(w1w2)/c(w1) + (1−λ)·c(w2)/N) averaged per doc;
@@ -5573,6 +5596,30 @@ object SparkEntry {
         |  GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(s.n_toks, 0) AS n_toks, s.nll
         |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // fastText-style logistic replay: vocab = words with count >= 50,
+    // integer md5 weight in [-1000, 1000] (exact sum in any order);
+    // sigmoid is one division + exp, round(4) absorbs the libm ulp;
+    // token-less docs score sigmoid(0) = 0.5
+    "quality_classifier_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS t
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT t, CAST(('0x' || substr(md5(t), 1, 15))::UBIGINT AS BIGINT)
+        |           % 2001 - 1000 AS wi
+        |  FROM (SELECT t FROM toks GROUP BY t HAVING count(*) >= 50)),
+        |s AS (
+        |  SELECT doc_id, count(*) AS n_toks,
+        |         CAST(sum(COALESCE(v.wi, 0)) AS BIGINT) AS sw
+        |  FROM toks LEFT JOIN vocab v USING (t)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(s.n_toks, 0) AS BIGINT) AS n_toks,
+        |       CASE WHEN s.doc_id IS NULL THEN 0.5
+        |            ELSE round(1.0 / (1.0 +
+        |              exp(-(sw / (n_toks * 1000.0)))), 4) END AS score
+        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     // BPE pair statistics over the word-frequency table; substring is
     // 1-based in both engines, range(1, len) excludes the end so i+1

@@ -581,4 +581,46 @@ object Corpus {
         coalesce(col("n_toks"), lit(0L)).as("n_toks"),
         col("nll"))
   }
+
+  /** fastText-style document quality scoring: average the per-token
+    * weights of a BROADCAST vocabulary and squash through a logistic —
+    * score = σ(bias + Σ w(tok) / (n_toks · scale)) — the linear-model
+    * shape of the quality classifiers used to filter web corpora
+    * (fastText in CCNet/GPT-3 data work), with the embedding lookup
+    * replaced by a scalar weight per type. Out-of-vocabulary tokens
+    * weigh 0 but still count in n_toks, exactly like an OOV bucket.
+    *
+    * `vocab` must be (word string, weight double) and SMALL (it rides a
+    * broadcast hash join against the exploded token stream — the 100 TB
+    * path: the corpus shuffles only (doc, partial-sum) rows into the
+    * per-doc aggregate, never tokens). For bit-reproducible scores
+    * across engines, pass INTEGER-VALUED weights with the magnitude in
+    * `scale`: integer sums are exact in any accumulation order, so the
+    * only float steps are one division and the final exp.
+    *
+    * Returns one row per input document: (idCol, n_toks long, score
+    * double, UNROUNDED); token-less documents score σ(bias). */
+  def fastTextStyleScore(df: DataFrame, idCol: String, textCol: String,
+                         vocab: DataFrame, bias: Double = 0.0,
+                         scale: Double = 1.0): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+          t => t =!= "")).as("__t"))
+    val v = vocab.select(col("word").as("__t"), col("weight").as("__w"))
+    val scored = toks.join(broadcast(v), Seq("__t"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(coalesce(col("__w"), lit(0.0))).as("__sw"))
+      .withColumn("score",
+        lit(1.0) / (lit(1.0) +
+          exp(-(lit(bias) +
+            col("__sw") / (col("n_toks") * lit(scale))))))
+    df.select(col(idCol).as("__id"))
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("score"),
+          lit(1.0 / (1.0 + math.exp(-bias)))).as("score"))
+  }
 }

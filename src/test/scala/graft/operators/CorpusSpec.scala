@@ -277,4 +277,25 @@ class CorpusSpec extends SparkSpec {
       .map(b => f"$b%02x").mkString
     assert(got == want)
   }
+
+  test("fastTextStyleScore: broadcast vocab average through the logistic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "aa bb aa"),          // sw = 500+0+500, n = 3
+      (2L, "zz zz"),             // all OOV: sw = 0, n = 2 -> 0.5
+      (3L, "??? 123"),           // token-less -> sigmoid(bias) = 0.5
+      (4L, "cc")                 // sw = -1000, n = 1
+    ).toDF("doc_id", "text")
+    val vocab = Seq(("aa", 500.0), ("cc", -1000.0)).toDF("word", "weight")
+    val got = Corpus.fastTextStyleScore(docs, "doc_id", "text", vocab,
+        bias = 0.0, scale = 1000.0)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Double)].collect()
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    assert(got(0) === ((1L, 3L, sig(1000.0 / 3000.0))))
+    assert(got(1) === ((2L, 2L, 0.5)))
+    assert(got(2) === ((3L, 0L, 0.5)))
+    assert(got(3) === ((4L, 1L, sig(-1.0))))
+  }
 }
