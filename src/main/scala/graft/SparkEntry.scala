@@ -1665,6 +1665,17 @@ object SparkEntry {
           round(col("score"), 4).as("score"))
         .orderBy(col("doc_id"))
     }),
+    "quality_ccnet_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail (Wenzek 2019 §4.3): per-LANGUAGE
+      // perplexity terciles via percent rank on the rounded bigram NLL
+      // (ties share a rank in every engine); <2-token docs bucket as
+      // 'unscored'. Report per (lang, bucket) count + mean nll
+      operators.Corpus.ccnetPerplexityBuckets(
+          DbReader(conn(s, dir), "documents").run(), "doc_id", "text", "lang")
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("nll")), 4).as("mean_nll"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
     "quality_bigram_nll" -> ((s, dir) => {
       // interpolated-bigram LM proxy (one rung toward CCNet's 5-gram
       // KenLM): -ln(λ·c(w1w2)/c(w1) + (1−λ)·c(w2)/N) averaged per doc;
@@ -5556,6 +5567,47 @@ object SparkEntry {
     // interpolated bigram replay; (1.0 - 0.7) spelled as arithmetic, not
     // 0.3 — the two double literals differ in the last ulp and the Spark
     // side computes lit(1.0 - lambda)
+    // CCNet terciles: percent_rank within lang on the round(4) nll —
+    // ties share a rank in both engines; pr boundaries compare the same
+    // IEEE rational (rank-1)/(n-1) so bucket cuts replay exactly.
+    // HUGEINT audit: count(*) cast; -0.0 audit: mean re-round + 0.0
+    "quality_ccnet_buckets" ->
+      """WITH arr AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS a
+        |  FROM documents),
+        |bigr AS (
+        |  SELECT doc_id, unnest(list_slice(a, 1, len(a)-1)) AS w1,
+        |         unnest(list_slice(a, 2, len(a))) AS w2
+        |  FROM arr WHERE len(a) >= 2),
+        |uni AS (SELECT t, count(*) AS c1
+        |        FROM (SELECT unnest(a) AS t FROM arr) GROUP BY t),
+        |total AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM uni),
+        |bi AS (SELECT w1, w2, count(*) AS c2 FROM bigr GROUP BY w1, w2),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |         round(avg(-ln(0.7 * c2 / u1.c1 + (1.0 - 0.7) * u2.c1 / n)), 4) + 0.0 AS nll
+        |  FROM bigr b JOIN bi USING (w1, w2)
+        |    JOIN uni u1 ON b.w1 = u1.t JOIN uni u2 ON b.w2 = u2.t
+        |    CROSS JOIN total
+        |  GROUP BY b.doc_id),
+        |alldocs AS (
+        |  SELECT d.doc_id, d.lang, s.nll
+        |  FROM documents d LEFT JOIN scored s USING (doc_id)),
+        |bucketed AS (
+        |  SELECT lang, nll,
+        |         CASE WHEN pr < 1.0/3.0 THEN 'head'
+        |              WHEN pr < 2.0/3.0 THEN 'middle'
+        |              ELSE 'tail' END AS bucket
+        |  FROM (SELECT lang, nll, percent_rank() OVER (
+        |          PARTITION BY lang ORDER BY nll) AS pr
+        |        FROM alldocs WHERE nll IS NOT NULL)
+        |  UNION ALL
+        |  SELECT lang, nll, 'unscored' FROM alldocs WHERE nll IS NULL)
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n,
+        |       round(avg(nll), 4) + 0.0 AS mean_nll
+        |FROM bucketed GROUP BY lang, bucket
+        |ORDER BY lang, bucket""".stripMargin,
     "quality_bigram_nll" ->
       """WITH arr AS (
         |  SELECT doc_id, list_filter(

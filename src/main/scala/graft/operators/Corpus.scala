@@ -600,6 +600,44 @@ object Corpus {
     *
     * Returns one row per input document: (idCol, n_toks long, score
     * double, UNROUNDED); token-less documents score σ(bias). */
+  /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2019,
+    * §4.3): within each LANGUAGE, rank documents by LM perplexity and
+    * cut the ranking into terciles — `head` (most fluent third),
+    * `middle`, `tail`. CCNet trains a 5-gram KenLM per language on
+    * Wikipedia; this uses the corpus-trained interpolated bigram NLL
+    * ([[bigramNll]]) as the perplexity proxy, which preserves the
+    * operator's shape (per-language percentile cut on an LM score).
+    * Documents too short to score (fewer than 2 tokens → NULL nll) get
+    * bucket `unscored` rather than polluting a tercile.
+    *
+    * Ranks use within-language percent rank on the ROUNDED nll — ties
+    * share a rank in every engine, so bucket assignment replays exactly;
+    * the boundaries are pr < 1/3 and pr < 2/3 on the exact rational
+    * (rank−1)/(n−1), identical in IEEE double everywhere.
+    *
+    * Returns (idCol, langCol, nll double, bucket string). Scale shape:
+    * [[bigramNll]]'s two-phase vocab plan plus one per-language window —
+    * languages number in the hundreds at most, and the window carries
+    * only (id, lang, nll), never text (the [[Ranking.percentRankWithin]]
+    * documented bound). */
+  def ccnetPerplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                             langCol: String,
+                             lambda: Double = 0.7): DataFrame = {
+    val scored = bigramNll(df, idCol, textCol, lambda)
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+      .select(col(idCol), col(langCol), col("nll"))
+    val scoreable = scored.filter(col("nll").isNotNull)
+    val ranked = Ranking.percentRankWithin(scoreable, Seq(langCol), "nll")
+      .withColumn("bucket",
+        when(col("pr") < 1.0 / 3.0, lit("head"))
+          .when(col("pr") < 2.0 / 3.0, lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("pr")
+    ranked.unionByName(
+      scored.filter(col("nll").isNull)
+        .withColumn("bucket", lit("unscored")))
+  }
+
   def fastTextStyleScore(df: DataFrame, idCol: String, textCol: String,
                          vocab: DataFrame, bias: Double = 0.0,
                          scale: Double = 1.0): DataFrame = {

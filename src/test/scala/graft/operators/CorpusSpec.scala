@@ -278,6 +278,35 @@ class CorpusSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ccnetPerplexityBuckets: per-lang terciles, unscored short docs, head more fluent than tail") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a a a a a a", "xx"),   // most common bigram -> most fluent
+      (2L, "a a a a b", "xx"),
+      (3L, "a a b b", "xx"),
+      (4L, "a b b c", "xx"),
+      (5L, "b c c d", "xx"),
+      (6L, "c d d e e f", "xx"),   // rarest bigrams -> least fluent
+      (7L, "solo", "xx"),          // 1 token -> unscored
+      (8L, "a a a", "yy")          // singleton scoreable lang: pr=0 -> head
+    ).toDF("doc_id", "text", "lang")
+    val out = Corpus.ccnetPerplexityBuckets(docs, "doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getString(3)))
+      .toSeq
+    assert(out.length == 8 && out.map(_._1).distinct.length == 8)
+    val xx = out.filter(_._2 == "xx")
+    assert(xx.count(_._4 == "unscored") == 1 &&
+      xx.find(_._4 == "unscored").get._1 == 7L)
+    // 6 scoreable docs -> pr in {0,.2,.4,.6,.8,1}: 2 head, 2 middle, 2 tail
+    assert(xx.count(_._4 == "head") == 2 && xx.count(_._4 == "middle") == 2 &&
+      xx.count(_._4 == "tail") == 2)
+    def mean(b: String) = { val v = xx.filter(_._4 == b).flatMap(_._3); v.sum / v.size }
+    assert(mean("head") < mean("tail"))
+    assert(out.find(_._1 == 8L).get._4 == "head") // singleton group: pr = 0.0
+  }
+
   test("fastTextStyleScore: broadcast vocab average through the logistic") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
