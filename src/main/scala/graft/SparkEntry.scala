@@ -3331,6 +3331,20 @@ object SparkEntry {
           max(col("doc_id")).as("max_id"))
         .orderBy(col("split"))
     }),
+    "sample_unimax" -> ((s, dir) => {
+      // UniMax (arXiv:2304.09151) over the same synthesized 1:9:90:900
+      // skew as sample_temperature_mix (natural sources are equal-sized,
+      // which would make the epoch cap a no-op): budget = half the
+      // corpus chars, cap 3 epochs — the small groups hit the cap and
+      // their unused share flows to the big ones. Pure integer math
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .withColumn("grp", concat(lit("g"),
+          length(col("doc_id").cast("string")).cast("string")))
+      val total = docs.agg(sum(col("n_chars"))).first.getLong(0)
+      operators.Sampling.unimaxAllocation(docs, "grp", "n_chars",
+          budget = total / 2, maxEpochs = 3)
+        .orderBy(col("grp"))
+    }),
     "sample_temperature_mix" -> ((s, dir) => {
       // temperature-flattened source mixing (tau=0.5) over SKEWED strata
       // synthesized from the doc id's digit count (1:9:90:900 group
@@ -6133,6 +6147,29 @@ object SparkEntry {
     // replays the share formula (n^tau / Z, capped at the source size,
     // floored to an integer hash threshold) over the same digit-count
     // strata
+    // UniMax greedy walk as a recursive CTE over the avail-ascending
+    // order; all arithmetic BIGINT with floor division (// here, Long /
+    // in Spark — both floor for the nonnegative operands in play).
+    // HUGEINT audit: every sum/row_number/count cast; no floats at all
+    "sample_unimax" ->
+      """WITH RECURSIVE avail AS (
+        |  SELECT 'g' || CAST(len(CAST(doc_id AS VARCHAR)) AS VARCHAR) AS grp,
+        |         CAST(sum(n_chars) AS BIGINT) AS a
+        |  FROM documents GROUP BY 1),
+        |b AS (SELECT CAST(sum(n_chars) // 2 AS BIGINT) AS u0 FROM documents),
+        |ord AS (SELECT grp, a,
+        |          CAST(row_number() OVER (ORDER BY a, grp) AS BIGINT) AS i,
+        |          CAST(count(*) OVER () AS BIGINT) AS m
+        |        FROM avail),
+        |steps AS (
+        |  SELECT CAST(0 AS BIGINT) AS i, u0 AS u FROM b
+        |  UNION ALL
+        |  SELECT o.i, s.u - least(3 * o.a, s.u // (o.m - o.i + 1))
+        |  FROM steps s JOIN ord o ON o.i = s.i + 1)
+        |SELECT o.grp, o.a AS avail,
+        |       CAST(least(3 * o.a, s.u // (o.m - o.i + 1)) AS BIGINT) AS alloc
+        |FROM ord o JOIN steps s ON s.i = o.i - 1
+        |ORDER BY o.grp""".stripMargin,
     "sample_temperature_mix" ->
       """WITH docs AS (
         |  SELECT doc_id,

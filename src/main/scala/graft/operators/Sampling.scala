@@ -499,4 +499,46 @@ object Sampling {
         round(lit(1.0 - smoothing) * col("__s") / col("__tot")
           + lit(smoothing) / col("__k"), 6).as("weight"))
   }
+
+  /** UniMax budget allocation (Chung et al., ICLR 2023, arXiv:2304.09151
+    * Algorithm 1): split a total training budget across sources so that
+    * no source repeats more than `maxEpochs` times and the leftover is
+    * shared as uniformly as possible. Walk sources by available cost
+    * ASCENDING; each gets `min(maxEpochs · avail, remaining div left)` —
+    * a small source is capped by its epoch bound and the budget it
+    * cannot absorb flows to the larger sources, which is the paper's
+    * fairness argument against temperature sampling's tuned-τ guesswork.
+    *
+    * All arithmetic is integer (floor division, like the oracle's `//`),
+    * so allocations replay bit-exactly across engines. Ties in `avail`
+    * order by `sourceCol` ascending.
+    *
+    * Returns (sourceCol, avail long, alloc long), one row per source.
+    * Scale shape: the corpus collapses to ONE map-combinable per-source
+    * aggregate; the greedy walk runs driver-side over that sidecar
+    * (sources number in the hundreds — same bounded-collect discipline
+    * as the DoReMi/temperature mixers), and the result is a broadcast-
+    * sized quota frame downstream samplers join against. */
+  def unimaxAllocation(df: DataFrame, sourceCol: String, costCol: String,
+                       budget: Long, maxEpochs: Int): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val spark = df.sparkSession
+    val avail = df.groupBy(col(sourceCol))
+      .agg(sum(coalesce(col(costCol).cast("long"), lit(0L))).as("__a"))
+      .collect()
+      .map(r => (r.get(0).toString, r.getLong(1)))
+      .sortBy { case (s, a) => (a, s) }
+    var remaining = budget
+    var left = avail.length
+    val rows = avail.map { case (s, a) =>
+      val fair = if (left == 0) 0L else remaining / left
+      val alloc = math.min(maxEpochs.toLong * a, fair)
+      remaining -= alloc
+      left -= 1
+      (s, a, alloc)
+    }
+    spark.createDataFrame(rows.toSeq)
+      .toDF(sourceCol, "avail", "alloc")
+  }
 }

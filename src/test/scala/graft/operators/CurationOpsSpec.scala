@@ -926,6 +926,36 @@ class DoremiSpec extends SparkSpec {
   }
 }
 
+class UnimaxSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed walk: small sources cap at maxEpochs, surplus flows up") {
+    // avail A:10 B:100 C:1000, E=2, budget 200. Ascending walk:
+    // A: fair 200/3=66, alloc min(20,66)=20, u=180
+    // B: fair 180/2=90, alloc min(200,90)=90, u=90
+    // C: fair 90/1=90,  alloc min(2000,90)=90
+    val docs = (Seq.fill(1)(("A", 10L)) ++ Seq.fill(2)(("B", 50L)) ++
+      Seq.fill(4)(("C", 250L))).toDF("src", "cost")
+    val out = Sampling.unimaxAllocation(docs, "src", "cost", 200L, 2)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("A", 10L, 20L), ("B", 100L, 90L), ("C", 1000L, 90L)))
+  }
+
+  test("budget larger than maxEpochs x corpus: every source caps, surplus unspent") {
+    val docs = Seq(("A", 10L), ("B", 20L)).toDF("src", "cost")
+    val out = Sampling.unimaxAllocation(docs, "src", "cost", 1000L, 3)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("A", 10L, 30L), ("B", 20L, 60L)))
+  }
+
+  test("zero budget allocates zero everywhere; avail ties order by source") {
+    val docs = Seq(("B", 5L), ("A", 5L)).toDF("src", "cost")
+    val out = Sampling.unimaxAllocation(docs, "src", "cost", 0L, 1)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("A", 5L, 0L), ("B", 5L, 0L)))
+  }
+}
+
 class GopherFilterSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.TextFunctions._
