@@ -3331,6 +3331,16 @@ object SparkEntry {
           max(col("doc_id")).as("max_id"))
         .orderBy(col("split"))
     }),
+    "sample_weighted_noreplace" -> ((s, dir) => {
+      // Efraimidis-Spirakis A-Res / Gumbel top-k: 200 docs weighted by
+      // n_chars. Key rounded to 6 dp BEFORE the (key desc, id) rank so
+      // the cut replays across engines; plans as TakeOrderedAndProject
+      operators.Sampling.weightedSampleWithoutReplacement(
+          DbReader(conn(s, dir), "documents").run()
+            .select(col("doc_id"), col("n_chars").as("w")),
+          "doc_id", "w", k = 200)
+        .orderBy(col("doc_id"))
+    }),
     "sample_unimax" -> ((s, dir) => {
       // UniMax (arXiv:2304.09151) over the same synthesized 1:9:90:900
       // skew as sample_temperature_mix (natural sources are equal-sized,
@@ -6147,6 +6157,18 @@ object SparkEntry {
     // replays the share formula (n^tau / Z, capped at the source size,
     // floored to an integer hash threshold) over the same digit-count
     // strata
+    // A-Res keys: u = (knuthHash(id)+1)/(2^32+1) exactly as the Spark
+    // side; round(6) + 0.0 INSIDE the ranking so a -0.0 from a near-1 u
+    // can neither hash-differ nor total-order-sort differently from +0.0
+    "sample_weighted_noreplace" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |         round(ln(CAST((doc_id % 2147483648) * 2654435761 % 4294967296
+        |                       + 1 AS DOUBLE) / 4294967297.0)
+        |               / n_chars, 6) + 0.0 AS es_key
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT doc_id, w, es_key FROM keyed
+        |ORDER BY es_key DESC, doc_id LIMIT 200""".stripMargin,
     // UniMax greedy walk as a recursive CTE over the avail-ascending
     // order; all arithmetic BIGINT with floor division (// here, Long /
     // in Spark — both floor for the nonnegative operands in play).

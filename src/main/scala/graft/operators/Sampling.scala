@@ -500,6 +500,36 @@ object Sampling {
           + lit(smoothing) / col("__k"), 6).as("weight"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * the A-Res reservoir key, equivalently Gumbel top-k): each row gets
+    * key `ln(u) / w` with `u` a deterministic hash-uniform in (0,1), and
+    * the k LARGEST keys are the sample — inclusion probability
+    * proportional to weight, no replacement, one pass, no sequential
+    * reservoir (the classic algorithm's loop collapses to a top-k, which
+    * is exactly what distributes).
+    *
+    * Determinism: `u = (knuthHash32(id)+1) / (2^32+1)` is an exact
+    * integer-derived double, and the key is ROUNDED to 6 dp before
+    * ranking with the id as tiebreak, so the selected set replays across
+    * engines (sub-ulp `ln` differences cannot flip a rank unless a key
+    * sits within 1 ulp of a 5e-7 boundary). Rows with weight <= 0 or
+    * NULL are excluded — zero-weight rows have inclusion probability 0.
+    *
+    * Returns the input columns plus `es_key double`, the k sampled rows.
+    * Scale shape: `orderBy(...).limit(k)` plans as TakeOrderedAndProject
+    * — per-partition top-k heaps merged on the driver, k rows held
+    * anywhere, no global sort, no single-partition window. */
+  def weightedSampleWithoutReplacement(df: DataFrame, idCol: String,
+                                       weightCol: String, k: Int): DataFrame = {
+    requireNumericKey(df, idCol, "weightedSampleWithoutReplacement")
+    require(k >= 1, s"sample size k must be >= 1, got $k")
+    val u = (knuthHash32(col(idCol)) + lit(1L)).cast("double") / lit(M32 + 1.0)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("es_key", round(log(u) / col(weightCol).cast("double"), 6))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** UniMax budget allocation (Chung et al., ICLR 2023, arXiv:2304.09151
     * Algorithm 1): split a total training budget across sources so that
     * no source repeats more than `maxEpochs` times and the leftover is

@@ -956,6 +956,42 @@ class UnimaxSpec extends SparkSpec {
   }
 }
 
+class WeightedNoReplaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("heavy weights dominate the sample; zero/NULL weights never selected") {
+    val rows = (1L to 100L).map(i => (i, java.lang.Long.valueOf(1L))) ++
+      (101L to 200L).map(i => (i, java.lang.Long.valueOf(10000L))) ++
+      Seq((201L, java.lang.Long.valueOf(0L)), (202L, null.asInstanceOf[java.lang.Long]))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSampleWithoutReplacement(df, "id", "w", k = 100)
+      .select("id").as[Long].collect().toSet
+    assert(got.size == 100)
+    assert(!got.contains(201L) && !got.contains(202L))
+    // inclusion ~ weight: the 10000x rows should all but fill the sample
+    assert(got.count(_ > 100L) >= 90, s"heavy rows selected: ${got.count(_ > 100L)}")
+  }
+
+  test("deterministic across runs and partitionings; k >= n returns all positive-weight rows") {
+    val df = (1L to 50L).map(i => (i, i)).toDF("id", "w")
+    val a = Sampling.weightedSampleWithoutReplacement(df, "id", "w", 10)
+      .select("id").as[Long].collect().toSeq
+    val b = Sampling.weightedSampleWithoutReplacement(df.repartition(7), "id", "w", 10)
+      .select("id").as[Long].collect().toSeq
+    assert(a.sorted == b.sorted)
+    val all = Sampling.weightedSampleWithoutReplacement(df, "id", "w", 999)
+    assert(all.count() == 50)
+  }
+
+  test("plan: top-k is TakeOrderedAndProject, not a global sort or window") {
+    val df = (1L to 50L).map(i => (i, i)).toDF("id", "w")
+    val plan = Sampling.weightedSampleWithoutReplacement(df, "id", "w", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+}
+
 class GopherFilterSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.TextFunctions._
