@@ -1665,6 +1665,14 @@ object SparkEntry {
           round(col("score"), 4).as("score"))
         .orderBy(col("doc_id"))
     }),
+    "corpus_zipf_slope" -> ((s, dir) => {
+      // per-source Zipf slope over the top-1000 word ranks: points are
+      // round(6) decimals so every regression sum is EXACT (order-free);
+      // slope/intercept are a fixed double-op sequence on those sums
+      operators.Corpus.zipfSlopeBySource(
+          DbReader(conn(s, dir), "documents").run(), "source", "text")
+        .orderBy(col("source"))
+    }),
     "quality_ccnet_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail (Wenzek 2019 §4.3): per-LANGUAGE
       // perplexity terciles via percent rank on the rounded bigram NLL
@@ -5591,6 +5599,39 @@ object SparkEntry {
     // interpolated bigram replay; (1.0 - 0.7) spelled as arithmetic, not
     // 0.3 — the two double literals differ in the last ulp and the Spark
     // side computes lit(1.0 - lambda)
+    // Zipf fit replay: DECIMAL(18,6) points make the four regression
+    // sums exact in both engines; the closed form then runs the same
+    // double ops in the same order. -0.0 audit: slopes are ~-1 and
+    // intercepts strictly positive here, but + 0.0 guards both anyway
+    "corpus_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS t
+        |  FROM documents),
+        |wc AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+        |       FROM toks GROUP BY source, t),
+        |ranked AS (SELECT source, c,
+        |             CAST(row_number() OVER (PARTITION BY source
+        |               ORDER BY c DESC, t) AS BIGINT) AS r
+        |           FROM wc),
+        |pts AS (SELECT source,
+        |          CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |          CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        |        FROM ranked WHERE r <= 1000),
+        |agg AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+        |          CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |          CAST(sum(x*y) AS DOUBLE) AS sxy,
+        |          CAST(sum(x*x) AS DOUBLE) AS sxx
+        |        FROM pts GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n_words,
+        |       CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+        |            ELSE round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) + 0.0
+        |       END AS slope,
+        |       CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+        |            ELSE round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx)
+        |                       / n, 6) + 0.0
+        |       END AS intercept
+        |FROM agg ORDER BY source""".stripMargin,
     // CCNet terciles: percent_rank within lang on the round(4) nll —
     // ties share a rank in both engines; pr boundaries compare the same
     // IEEE rational (rank-1)/(n-1) so bucket cuts replay exactly.

@@ -638,6 +638,56 @@ object Corpus {
         .withColumn("bucket", lit("unscored")))
   }
 
+  /** Per-source Zipf slope: least-squares fit of `ln(freq)` against
+    * `ln(rank)` over each source's `topN` most frequent words — the
+    * classic power-law diagnostic (Zipf's law: slope ≈ −1 for natural
+    * language). A source whose slope is far from the corpus norm is
+    * machine-generated, templated, or mis-extracted text; tracking the
+    * slope per crawl snapshot catches those regressions cheaply.
+    *
+    * Cross-engine exactness: each point's (ln rank, ln freq) is rounded
+    * to 6 dp and cast to DECIMAL(18,6), so every Σx/Σy/Σxy/Σxx is an
+    * EXACT decimal sum — identical in any accumulation order and in any
+    * engine (float sums are order-dependent; decimal sums are not). The
+    * closed-form slope/intercept is then a fixed sequence of double ops
+    * on those sums, rounded to 6 dp.
+    *
+    * Returns (sourceCol, n_words long, slope double, intercept double);
+    * sources with a degenerate fit (n < 2) yield NULLs. Scale shape:
+    * corpus → per-(source, word) counts (the word-count shuffle), one
+    * per-source window over the VOCABULARY (not the corpus; the
+    * [[Ranking.percentRankWithin]] documented bound), then one
+    * map-combinable aggregate per source. */
+  def zipfSlopeBySource(df: DataFrame, sourceCol: String, textCol: String,
+                        topN: Int = 1000): DataFrame = {
+    require(topN >= 2, s"need topN >= 2 points to fit, got $topN")
+    import org.apache.spark.sql.expressions.Window
+    val wc = df.select(col(sourceCol),
+        explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+          t => t =!= "")).as("__t"))
+      .groupBy(col(sourceCol), col("__t")).agg(count(lit(1)).as("__c"))
+    val ranked = wc.withColumn("__r", row_number().over(
+        Window.partitionBy(col(sourceCol))
+          .orderBy(col("__c").desc, col("__t"))))
+      .filter(col("__r") <= topN)
+    val pts = ranked.select(col(sourceCol),
+      round(log(col("__r").cast("double")), 6).cast("decimal(18,6)").as("__x"),
+      round(log(col("__c").cast("double")), 6).cast("decimal(18,6)").as("__y"))
+    val agg = pts.groupBy(col(sourceCol))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__x")).cast("double").as("__sx"),
+        sum(col("__y")).cast("double").as("__sy"),
+        sum(col("__x") * col("__y")).cast("double").as("__sxy"),
+        sum(col("__x") * col("__x")).cast("double").as("__sxx"))
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val slope = (col("__n") * col("__sxy") - col("__sx") * col("__sy")) / den
+    agg.select(col(sourceCol), col("__n").cast("long").as("n_words"),
+      when(den =!= 0.0, round(slope, 6)).as("slope"),
+      when(den =!= 0.0,
+        round((col("__sy") - slope * col("__sx")) / col("__n"), 6))
+        .as("intercept"))
+  }
+
   def fastTextStyleScore(df: DataFrame, idCol: String, textCol: String,
                          vocab: DataFrame, bias: Double = 0.0,
                          scale: Double = 1.0): DataFrame = {

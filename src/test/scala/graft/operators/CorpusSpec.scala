@@ -307,6 +307,28 @@ class CorpusSpec extends SparkSpec {
     assert(out.find(_._1 == 8L).get._4 == "head") // singleton group: pr = 0.0
   }
 
+  test("zipfSlopeBySource: two-point fit recovers the exact line; singleton vocab yields NULLs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // s1 vocab: a x8 (rank 1, x=ln1) and b x2 (rank 2, x=ln2) ->
+    // slope ~ (ln2 - ln8)/ln2 = -2 (off by the 6dp point rounding)
+    val docs = Seq(
+      (1L, ("a " * 8 + "b b").trim, "s1"),
+      (2L, "only", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.zipfSlopeBySource(docs, "source", "text")
+      .orderBy(col("source")).collect()
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (x2, y1, y2) = (r6(math.log(2)), r6(math.log(8)), r6(math.log(2)))
+    val slope = (y2 - y1) / x2
+    val intercept = ((y1 + y2) - slope * x2) / 2.0
+    assert(out(0).getString(0) == "s1" && out(0).getLong(1) == 2L)
+    assert(math.abs(out(0).getDouble(2) - r6(slope)) < 1e-9, out(0))
+    assert(math.abs(out(0).getDouble(3) - r6(intercept)) < 1e-9, out(0))
+    assert(out(1).getString(0) == "s2" && out(1).getLong(1) == 1L &&
+      out(1).isNullAt(2) && out(1).isNullAt(3))
+  }
+
   test("fastTextStyleScore: broadcast vocab average through the logistic") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
