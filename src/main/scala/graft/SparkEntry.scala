@@ -778,6 +778,28 @@ object SparkEntry {
           minMatch = 32)
         .orderBy(col("doc_id"))
     }),
+    "pii_k_anonymity" -> ((s, dir) => {
+      // k-anonymity audit (Sweeney 2002) on (lang, source, length
+      // centile): combos shared by < 5 docs are re-identification risk.
+      // One word-count-shaped aggregate; output bounded by combo count
+      operators.Privacy.kAnonymityAudit(
+          DbReader(conn(s, dir), "documents").run()
+            .withColumn("len_bucket",
+              call_function("div", col("n_chars"), lit(100L))),
+          Seq("lang", "source", "len_bucket"), k = 5)
+        .orderBy(col("lang"), col("source"), col("len_bucket"))
+    }),
+    "pii_l_diversity" -> ((s, dir) => {
+      // l-diversity audit (Machanavajjhala 2007): within each (lang,
+      // length decile-of-100) class, the 'source' attribute must take
+      // >= 3 distinct values or the class leaks it by association
+      operators.Privacy.lDiversityAudit(
+          DbReader(conn(s, dir), "documents").run()
+            .withColumn("len_bucket",
+              call_function("div", col("n_chars"), lit(100L))),
+          Seq("lang", "len_bucket"), "source", l = 3)
+        .orderBy(col("lang"), col("len_bucket"))
+    }),
     "pii_scrub" -> ((s, dir) => {
       // PII redaction audit with planted entities: the corpus has no
       // natural PII, so each doc gets a deterministic email + IP + phone
@@ -4078,6 +4100,22 @@ object SparkEntry {
         |          + len(regexp_extract_all(ei, '\+?[0-9][0-9() .-]{6,}[0-9]')) AS BIGINT) AS n_pii,
         |       md5(regexp_replace(ei, '\+?[0-9][0-9() .-]{6,}[0-9]', '[PHONE]', 'g')) AS clean_md5
         |FROM s2 ORDER BY doc_id""".stripMargin,
+    // k-anonymity: plain grouped count; n_chars // 100 on BIGINT stays
+    // BIGINT (HUGEINT audit: count cast anyway)
+    "pii_k_anonymity" ->
+      """SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       count(*) < 5 AS at_risk
+        |FROM documents GROUP BY lang, source, len_bucket
+        |ORDER BY lang, source, len_bucket""".stripMargin,
+    // l-diversity: count(distinct source) per (lang, len_bucket) class
+    "pii_l_diversity" ->
+      """SELECT lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sensitive,
+        |       count(DISTINCT source) < 3 AS at_risk
+        |FROM documents GROUP BY lang, len_bucket
+        |ORDER BY lang, len_bucket""".stripMargin,
     "ngram_topk" ->
       """WITH toks AS (
         |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
