@@ -1687,6 +1687,27 @@ object SparkEntry {
           round(col("score"), 4).as("score"))
         .orderBy(col("doc_id"))
     }),
+    "graph_textrank_words" -> ((s, dir) => {
+      // TextRank (Mihalcea & Tarau 2004): integer PageRank over the
+      // symmetrized word-adjacency graph, 3 iterations, top-30 keywords.
+      // Integer floor arithmetic end-to-end -> bit-exact replay; the
+      // top-k cut ties on exact longs with the word as tiebreak
+      val arr = DbReader(conn(s, dir), "documents").run()
+        .select(filter(split(lower(col("text")), "[^a-z]+"),
+          t => t =!= "").as("a"))
+        .filter(size(col("a")) >= 2)
+      val bigr = arr.select(explode(zip_with(
+          slice(col("a"), lit(1), size(col("a")) - 1),
+          slice(col("a"), lit(2), size(col("a")) - 1),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val edges = bigr.select(col("w1").as("s"), col("w2").as("d"))
+        .union(bigr.select(col("w2"), col("w1")))
+      operators.Graph.pageRankIntegers(edges, "s", "d", iterations = 3)
+        .orderBy(col("pr").desc, col("node"))
+        .limit(30)
+        .select(col("node").as("word"), col("pr"))
+    }),
     "corpus_zipf_slope" -> ((s, dir) => {
       // per-source Zipf slope over the top-1000 word ranks: points are
       // round(6) decimals so every regression sum is EXACT (order-free);
@@ -5637,6 +5658,50 @@ object SparkEntry {
     // interpolated bigram replay; (1.0 - 0.7) spelled as arithmetic, not
     // 0.3 — the two double literals differ in the last ulp and the Spark
     // side computes lit(1.0 - lambda)
+    // 3 PageRank iterations unrolled as chained CTEs (recursive CTEs
+    // with aggregation in the recursive term are not portable); every
+    // step is BIGINT floor division exactly as the Spark side. UNION
+    // (not UNION ALL) dedups the symmetrized edge set in both engines
+    "graph_textrank_words" ->
+      """WITH arr AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                     t -> t <> '') AS a
+        |  FROM documents),
+        |bigr AS (
+        |  SELECT unnest(list_slice(a, 1, len(a)-1)) AS w1,
+        |         unnest(list_slice(a, 2, len(a))) AS w2
+        |  FROM arr WHERE len(a) >= 2),
+        |edges AS (SELECT w1 AS s, w2 AS d FROM bigr
+        |          UNION SELECT w2, w1 FROM bigr),
+        |nodes AS (SELECT DISTINCT s AS v FROM edges),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS dg
+        |        FROM edges GROUP BY s),
+        |p0 AS (SELECT v, CAST(1000000000000 // n AS BIGINT) AS p
+        |       FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.d AS v, CAST(sum(p.p // dg.dg) AS BIGINT) AS infl
+        |       FROM edges e JOIN p0 p ON e.s = p.v
+        |         JOIN deg dg ON e.s = dg.s
+        |       GROUP BY e.d),
+        |p1 AS (SELECT nd.v, CAST((15 * (1000000000000 // n)) // 100
+        |             + (85 * COALESCE(c.infl, 0)) // 100 AS BIGINT) AS p
+        |       FROM nodes nd CROSS JOIN nn LEFT JOIN c1 c ON nd.v = c.v),
+        |c2 AS (SELECT e.d AS v, CAST(sum(p.p // dg.dg) AS BIGINT) AS infl
+        |       FROM edges e JOIN p1 p ON e.s = p.v
+        |         JOIN deg dg ON e.s = dg.s
+        |       GROUP BY e.d),
+        |p2 AS (SELECT nd.v, CAST((15 * (1000000000000 // n)) // 100
+        |             + (85 * COALESCE(c.infl, 0)) // 100 AS BIGINT) AS p
+        |       FROM nodes nd CROSS JOIN nn LEFT JOIN c2 c ON nd.v = c.v),
+        |c3 AS (SELECT e.d AS v, CAST(sum(p.p // dg.dg) AS BIGINT) AS infl
+        |       FROM edges e JOIN p2 p ON e.s = p.v
+        |         JOIN deg dg ON e.s = dg.s
+        |       GROUP BY e.d),
+        |p3 AS (SELECT nd.v, CAST((15 * (1000000000000 // n)) // 100
+        |             + (85 * COALESCE(c.infl, 0)) // 100 AS BIGINT) AS p
+        |       FROM nodes nd CROSS JOIN nn LEFT JOIN c3 c ON nd.v = c.v)
+        |SELECT v AS word, p AS pr FROM p3
+        |ORDER BY p DESC, v LIMIT 30""".stripMargin,
     // Zipf fit replay: DECIMAL(18,6) points make the four regression
     // sums exact in both engines; the closed form then runs the same
     // double ops in the same order. -0.0 audit: slopes are ~-1 and

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed path graph a-b-c, one iteration, exact integers") {
+    // base = 1e12/3 = 333333333333, b15 = (15*base)/100 = 49999999999
+    // a: in from b = base/2 -> 49999999999 + (85*166666666666)/100
+    // b: in from a + c = 2*base -> 49999999999 + (85*666666666666)/100
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("s", "d")
+    val out = Graph.pageRankIntegers(edges, "s", "d", iterations = 1)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map(
+      "a" -> 191666666665L, "b" -> 616666666665L, "c" -> 191666666665L))
+  }
+
+  test("symmetric endpoints stay equal over iterations; ranks are partitioning-invariant") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")).toDF("s", "d")
+    val r3 = Graph.pageRankIntegers(edges, "s", "d", 3)
+      .as[(String, Long)].collect().toMap
+    assert(r3("a") == r3("c") && r3("b") > r3("a"))
+    val r3b = Graph.pageRankIntegers(edges.repartition(5), "s", "d", 3)
+      .as[(String, Long)].collect().toMap
+    assert(r3b == r3)
+  }
+
+  test("dangling node leaks mass instead of poisoning ranks; duplicate edges dedup") {
+    // directed a->b only (b dangling): pr1(a) = b15 = 75e9,
+    // pr1(b) = 75e9 + (85 * 5e11)/100 = 5e11; total < 1e12 (the leak)
+    val edges = Seq(("a", "b"), ("a", "b")).toDF("s", "d")
+    val out = Graph.pageRankIntegers(edges, "s", "d", 1)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 75000000000L, "b" -> 500000000000L))
+    assert(out.values.sum < 1000000000000L)
+  }
+}
