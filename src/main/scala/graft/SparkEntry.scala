@@ -1664,6 +1664,23 @@ object SparkEntry {
           DbReader(conn(s, dir), "documents").run(), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "text_blocklist_ratio" -> ((s, dir) => {
+      // taboo-terms fraction (Gopher/RefinedWeb rule stacks): the
+      // blocklist is data-driven — here every word with corpus count
+      // >= 100 whose md5-integer is 0 mod 7 (deterministic pseudo-random
+      // list, ~1/7 of the frequent vocab) — and rides a broadcast join
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val terms = docs.select(
+          explode(filter(split(lower(col("text")), "[^a-z]+"),
+            t => t =!= "")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= 100)
+        .filter(conv(substring(md5(col("term")), 1, 15), 16, 10)
+          .cast("long") % 7 === 0)
+        .select(col("term"))
+      operators.Corpus.blocklistHitStats(docs, "doc_id", "text", terms)
+        .orderBy(col("doc_id"))
+    }),
     "quality_classifier_score" -> ((s, dir) => {
       // fastText-style logistic quality scoring with broadcast weights:
       // the vocabulary is every word with corpus count >= 50, its weight
@@ -5816,6 +5833,29 @@ object SparkEntry {
         |  GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(s.n_toks, 0) AS n_toks, s.nll
         |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // blocklist replay via the same conv(md5) bridge; hit_ratio is an
+    // exact integer rational -> round(6) agrees bit-for-bit (never
+    // negative, so no -0.0 exposure); token-less docs pin (0, 0, 0.0)
+    "text_blocklist_ratio" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS t
+        |  FROM documents),
+        |terms AS (
+        |  SELECT t FROM (SELECT t, count(*) AS c FROM toks GROUP BY t)
+        |  WHERE c >= 100
+        |    AND CAST(('0x' || substr(md5(t), 1, 15))::UBIGINT AS BIGINT) % 7 = 0),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |         CAST(sum(CASE WHEN x.t IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits
+        |  FROM toks LEFT JOIN terms x USING (t)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_toks, 0) AS n_toks,
+        |       COALESCE(a.n_hits, 0) AS n_hits,
+        |       COALESCE(round(CAST(a.n_hits AS DOUBLE) / a.n_toks, 6), 0.0)
+        |         AS hit_ratio
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     // fastText-style logistic replay: vocab = words with count >= 50,
     // integer md5 weight in [-1000, 1000] (exact sum in any order);

@@ -638,6 +638,47 @@ object Corpus {
         .withColumn("bucket", lit("unscored")))
   }
 
+  /** Blocklist hit statistics — the "fraction of taboo terms" signal the
+    * Gopher / RefinedWeb / Dolma rule stacks threshold on (obscenity,
+    * gambling, malware wordlists): per document, how many tokens hit a
+    * data-driven blocklist and what fraction of the document that is.
+    * The list is a DataFrame, not a hardcoded pattern, so wordlists ship
+    * as data and the same operator serves NSFW filtering, brand-safety
+    * audits, and keyword escalation.
+    *
+    * Returns one row per input document:
+    * (idCol, n_toks long, n_hits long, hit_ratio double round(6)) —
+    * token-less documents report (0, 0, 0.0); the ratio is an exact
+    * integer rational before rounding, so thresholds replay across
+    * engines.
+    *
+    * Scale shape: the blocklist rides a broadcast hash join against the
+    * exploded token stream (wordlists are thousands of terms); the
+    * corpus shuffles only (doc, counts) rows into the per-doc aggregate,
+    * never tokens — the [[fastTextStyleScore]] plan with a membership
+    * bit instead of a weight. */
+  def blocklistHitStats(df: DataFrame, idCol: String, textCol: String,
+                        terms: DataFrame,
+                        termCol: String = "term"): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+          t => t =!= "")).as("__t"))
+    val tset = terms.select(col(termCol).as("__t")).distinct()
+      .withColumn("__hit", lit(1L))
+    val agg = toks.join(broadcast(tset), Seq("__t"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+    df.select(col(idCol).as("__id"))
+      .join(agg, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(round(col("n_hits").cast("double") / col("n_toks"), 6),
+          lit(0.0)).as("hit_ratio"))
+  }
+
   /** Per-source Zipf slope: least-squares fit of `ln(freq)` against
     * `ln(rank)` over each source's `topN` most frequent words — the
     * classic power-law diagnostic (Zipf's law: slope ≈ −1 for natural

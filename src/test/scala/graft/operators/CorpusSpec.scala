@@ -329,6 +329,21 @@ class CorpusSpec extends SparkSpec {
       out(1).isNullAt(2) && out(1).isNullAt(3))
   }
 
+  test("blocklistHitStats: exact hit counts, duplicate terms dedup, token-less zero row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "bad bad good worse"),   // 2 bad + 1 worse = 3 hits / 4
+      (2L, "clean text only here"),
+      (3L, "???")                   // token-less
+    ).toDF("doc_id", "text")
+    val terms = Seq("bad", "worse", "bad").toDF("term") // dup must not double-count
+    val got = Corpus.blocklistHitStats(docs, "doc_id", "text", terms)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 4L, 3L, 0.75), (2L, 4L, 0L, 0.0), (3L, 0L, 0L, 0.0)))
+  }
+
   test("fastTextStyleScore: broadcast vocab average through the logistic") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
