@@ -1664,6 +1664,14 @@ object SparkEntry {
           DbReader(conn(s, dir), "documents").run(), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "corpus_burstiness" -> ((s, dir) => {
+      // Church & Gale burstiness: VMR of per-doc counts (zeros via the
+      // C/N, S2/N integer-sum formulation — no N-wide explode), top-30
+      // among words with count >= 50, cut on (rounded vmr desc, word)
+      operators.Corpus.burstinessStats(
+        DbReader(conn(s, dir), "documents").run(), "doc_id", "text",
+        minCount = 50, topK = 30)
+    }),
     "text_blocklist_ratio" -> ((s, dir) => {
       // taboo-terms fraction (Gopher/RefinedWeb rule stacks): the
       // blocklist is data-driven — here every word with corpus count
@@ -5834,6 +5842,28 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(s.n_toks, 0) AS n_toks, s.nll
         |FROM documents d LEFT JOIN scored s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // VMR from integer sums (C, S2, N) through the identical double
+    // sequence mean=C/N; (S2/N - mean^2)/mean; vmr > 0 here (no -0.0):
+    // a word at VMR 0 would need identical count in every doc incl.
+    // count>=50 in all 500+ docs — and the rank cut is on the rounded
+    // value with the word tiebreak either way
+    "corpus_burstiness" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS t
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |pd AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS c
+        |       FROM toks GROUP BY t, doc_id),
+        |agg AS (SELECT t, CAST(count(*) AS BIGINT) AS n_docs,
+        |          CAST(sum(c) AS BIGINT) AS cnt,
+        |          CAST(sum(c*c) AS BIGINT) AS s2
+        |        FROM pd GROUP BY t)
+        |SELECT t AS word, n_docs, cnt AS count,
+        |       round((CAST(s2 AS DOUBLE)/n - (CAST(cnt AS DOUBLE)/n) * (CAST(cnt AS DOUBLE)/n))
+        |             / (CAST(cnt AS DOUBLE)/n), 6) AS vmr
+        |FROM agg CROSS JOIN nn WHERE cnt >= 50
+        |ORDER BY vmr DESC, word LIMIT 30""".stripMargin,
     // blocklist replay via the same conv(md5) bridge; hit_ratio is an
     // exact integer rational -> round(6) agrees bit-for-bit (never
     // negative, so no -0.0 exposure); token-less docs pin (0, 0, 0.0)

@@ -638,6 +638,44 @@ object Corpus {
         .withColumn("bucket", lit("unscored")))
   }
 
+  /** Word burstiness: variance-to-mean ratio (VMR) of a word's per-
+    * document counts, zeros included (Church & Gale 1995's deviation
+    * from Poisson). Function words sit near VMR ≈ 1 (Poisson-like:
+    * everywhere, evenly); content and TEMPLATE words are "bursty" —
+    * absent almost everywhere, piled up where they occur — so the top of
+    * the VMR ranking surfaces boilerplate and topic spikes that raw
+    * frequency hides.
+    *
+    * Exactness: with N docs, total count C and per-doc-count square sum
+    * S2 — all integers — the statistic is the fixed double sequence
+    * `mean = C/N; vmr = (S2/N − mean²)/mean`, then round(6); ranking is
+    * (rounded vmr desc, word) so the top-k cut replays across engines.
+    *
+    * Returns the `topK` rows (word, n_docs long, count long,
+    * vmr double) among words with `count >= minCount`. Scale shape: the
+    * corpus collapses to per-(word, doc) counts (word-count shuffle),
+    * then per-word integer sums; the cut is TakeOrderedAndProject. */
+  def burstinessStats(df: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 50, topK: Int = 30): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val nDocs = df.count()
+    require(nDocs > 0, "burstinessStats needs a non-empty corpus")
+    val perDoc = df.select(col(idCol).as("__id"),
+        explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+          t => t =!= "")).as("__t"))
+      .groupBy(col("__t"), col("__id")).agg(count(lit(1)).as("__c"))
+    val mean = col("count").cast("double") / lit(nDocs.toDouble)
+    val ex2 = col("__s2").cast("double") / lit(nDocs.toDouble)
+    perDoc.groupBy(col("__t"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__c")).as("count"),
+        sum(col("__c") * col("__c")).as("__s2"))
+      .filter(col("count") >= minCount)
+      .withColumn("vmr", round((ex2 - mean * mean) / mean, 6))
+      .select(col("__t").as("word"), col("n_docs"), col("count"), col("vmr"))
+      .orderBy(col("vmr").desc, col("word"))
+      .limit(topK)
+  }
+
   /** Blocklist hit statistics — the "fraction of taboo terms" signal the
     * Gopher / RefinedWeb / Dolma rule stacks threshold on (obscenity,
     * gambling, malware wordlists): per document, how many tokens hit a

@@ -329,6 +329,21 @@ class CorpusSpec extends SparkSpec {
       out(1).isNullAt(2) && out(1).isNullAt(3))
   }
 
+  test("burstinessStats: hand-computed VMR with zero docs counted, bursty beats even") {
+    import spark.implicits._
+    // 4 docs. 'even': 1 in each doc -> counts (1,1,1,1): mean 1,
+    // E[x^2] 1, vmr = 0. 'burst': 4 in one doc -> (4,0,0,0): mean 1,
+    // E[x^2] = 16/4 = 4, vmr = (4-1)/1 = 3.
+    val docs = Seq(
+      (1L, "even burst burst burst burst"),
+      (2L, "even"), (3L, "even"), (4L, "even")
+    ).toDF("doc_id", "text")
+    val got = Corpus.burstinessStats(docs, "doc_id", "text",
+        minCount = 1, topK = 10)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("burst", 1L, 4L, 3.0), ("even", 4L, 4L, 0.0)))
+  }
+
   test("blocklistHitStats: exact hit counts, duplicate terms dedup, token-less zero row") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
