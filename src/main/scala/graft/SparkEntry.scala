@@ -1664,6 +1664,30 @@ object SparkEntry {
           DbReader(conn(s, dir), "documents").run(), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "langid_trigram_confusion" -> ((s, dir) => {
+      // Cavnar-Trenkle trigram language-ID, self-trained: the synthetic
+      // corpus is English-like in every lang, so each page gets its
+      // label's pangram planted 3x (same device as corpus_language_mix)
+      // to make the labels learnable; profiles topM=200, coverage
+      // scoring, argmax via min(struct) — confusion matrix out
+      val phrase =
+        when(col("lang") === "en", lit("the quick brown fox jumps over the lazy dog"))
+          .when(col("lang") === "de", lit("der schnelle braune fuchs springt ueber den faulen hund"))
+          .when(col("lang") === "es", lit("el rapido zorro marron salta sobre el perro perezoso"))
+          .when(col("lang") === "fr", lit("le renard brun rapide saute par dessus le chien paresseux"))
+          .otherwise(lit("zhang wei xiao ming bei jing shang hai guang zhou"))
+      val pages = DbReader(conn(s, dir), "documents").run()
+        .withColumn("page",
+          concat_ws(" ", col("text"), phrase, phrase, phrase))
+      val prof = operators.Corpus.charTrigramProfiles(
+        pages, "lang", "page", topM = 200)
+      operators.Corpus.classifyByTrigramProfiles(
+          pages, "doc_id", "page", prof, "lang")
+        .join(pages.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
     "corpus_burstiness" -> ((s, dir) => {
       // Church & Gale burstiness: VMR of per-doc counts (zeros via the
       // C/N, S2/N integer-sum formulation — no N-wide explode), top-30
@@ -5842,6 +5866,49 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(s.n_toks, 0) AS n_toks, s.nll
         |FROM documents d LEFT JOIN scored s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // trigram langid replay: same plant, same normalization (letter
+    // runs joined by ' '), profile cut (count desc, gram) rn<=200,
+    // coverage score by occurrence, argmax (score desc, label).
+    // HUGEINT audit: counts cast; all-integer scoring, no floats
+    "langid_trigram_confusion" ->
+      """WITH page AS (
+        |  SELECT doc_id, lang, concat_ws(' ', text, ph, ph, ph) AS p
+        |  FROM (SELECT doc_id, lang, text,
+        |          CASE lang
+        |            WHEN 'en' THEN 'the quick brown fox jumps over the lazy dog'
+        |            WHEN 'de' THEN 'der schnelle braune fuchs springt ueber den faulen hund'
+        |            WHEN 'es' THEN 'el rapido zorro marron salta sobre el perro perezoso'
+        |            WHEN 'fr' THEN 'le renard brun rapide saute par dessus le chien paresseux'
+        |            ELSE 'zhang wei xiao ming bei jing shang hai guang zhou'
+        |          END AS ph
+        |        FROM documents)),
+        |norm AS (
+        |  SELECT doc_id, lang, array_to_string(list_filter(
+        |    string_split_regex(lower(p), '[^a-z]+'), t -> t <> ''), ' ') AS s
+        |  FROM page),
+        |grams AS (
+        |  SELECT doc_id, lang, substr(s, CAST(i AS INTEGER), 3) AS g
+        |  FROM norm, unnest(range(1, len(s) - 1)) AS r(i)
+        |  WHERE len(s) >= 3),
+        |prof AS (
+        |  SELECT plabel, g FROM (
+        |    SELECT lang AS plabel, g,
+        |           row_number() OVER (PARTITION BY lang
+        |             ORDER BY count(*) DESC, g) AS rn
+        |    FROM grams GROUP BY lang, g)
+        |  WHERE rn <= 200),
+        |best AS (
+        |  SELECT doc_id, plabel, row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY score DESC, plabel) AS rn
+        |  FROM (SELECT doc_id, plabel, count(*) AS score
+        |        FROM grams JOIN prof USING (g) GROUP BY doc_id, plabel)),
+        |pred AS (
+        |  SELECT d.doc_id, d.lang, COALESCE(b.plabel, 'und') AS predicted
+        |  FROM documents d LEFT JOIN best b
+        |    ON d.doc_id = b.doc_id AND b.rn = 1)
+        |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM pred GROUP BY lang, predicted
+        |ORDER BY lang, predicted""".stripMargin,
     // VMR from integer sums (C, S2, N) through the identical double
     // sequence mean=C/N; (S2/N - mean^2)/mean; vmr > 0 here (no -0.0):
     // a word at VMR 0 would need identical count in every doc incl.

@@ -638,6 +638,71 @@ object Corpus {
         .withColumn("bucket", lit("unscored")))
   }
 
+  /** The normalized character stream trigram language-ID works over:
+    * lowercased ASCII-letter runs joined by single spaces, so spacing
+    * and punctuation noise never perturb the trigram inventory. */
+  private def trigramArray(textCol: org.apache.spark.sql.Column) = {
+    val s = array_join(filter(split(lower(textCol), "[^a-z]+"),
+      t => t =!= ""), " ")
+    when(length(s) >= 3,
+      transform(sequence(lit(1), length(s) - 2),
+        i => substring(s, i, lit(3))))
+      .otherwise(array())
+  }
+
+  /** Character-trigram language profiles (Cavnar & Trenkle 1994): for
+    * each label, the `topM` most frequent trigrams of the normalized
+    * character stream, ties broken by trigram ascending. Train on any
+    * labeled corpus; feed to [[classifyByTrigramProfiles]]. Returns
+    * (labelCol, gram string). Scale shape: trigram extraction is
+    * map-side; counting is the word-count shuffle on (label, gram); the
+    * per-label rank window runs over the trigram VOCABULARY (≤ ~27³ for
+    * this alphabet), not the corpus. */
+  def charTrigramProfiles(df: DataFrame, labelCol: String, textCol: String,
+                          topM: Int = 200): DataFrame = {
+    require(topM >= 1, s"topM must be >= 1, got $topM")
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(labelCol), explode(trigramArray(col(textCol))).as("gram"))
+      .groupBy(col(labelCol), col("gram")).agg(count(lit(1)).as("__c"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(labelCol))
+          .orderBy(col("__c").desc, col("gram"))))
+      .filter(col("__rn") <= topM)
+      .select(col(labelCol), col("gram"))
+  }
+
+  /** Classify documents against trigram language profiles: a document's
+    * score for a label is the number of its trigram OCCURRENCES found in
+    * that label's profile (the coverage simplification of Cavnar &
+    * Trenkle's rank distance — integer, so argmax replays exactly);
+    * predicted = argmax with label-ascending tiebreak, `und` for
+    * documents with no trigrams or no profile overlap.
+    *
+    * Returns (idCol, predicted string, score long). Scale shape: the
+    * profile frame (labels × topM rows) broadcasts against the map-side
+    * exploded trigram stream; argmax is `min(struct(-score, label))` per
+    * document — a map-combinable aggregate, no window over the corpus. */
+  def classifyByTrigramProfiles(df: DataFrame, idCol: String,
+                                textCol: String,
+                                profiles: DataFrame,
+                                labelCol: String = "lang"): DataFrame = {
+    val grams = df.select(col(idCol).as("__id"),
+      explode(trigramArray(col(textCol))).as("gram"))
+    val prof = profiles.select(col(labelCol).as("__lbl"), col("gram"))
+    val best = grams.join(broadcast(prof), Seq("gram"))
+      .groupBy(col("__id"), col("__lbl")).agg(count(lit(1)).as("__score"))
+      .groupBy(col("__id"))
+      .agg(min(struct((-col("__score")).as("ns"), col("__lbl").as("l")))
+        .as("__best"))
+      .select(col("__id"), col("__best.l").as("predicted"),
+        (-col("__best.ns")).as("score"))
+    df.select(col(idCol).as("__id"))
+      .join(best, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("predicted"), lit("und")).as("predicted"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
   /** Word burstiness: variance-to-mean ratio (VMR) of a word's per-
     * document counts, zeros included (Church & Gale 1995's deviation
     * from Poisson). Function words sit near VMR ≈ 1 (Poisson-like:

@@ -329,6 +329,27 @@ class CorpusSpec extends SparkSpec {
       out(1).isNullAt(2) && out(1).isNullAt(3))
   }
 
+  test("trigram langid: profiles discriminate crafted languages, und for no-overlap docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val train = Seq(
+      (1L, "aaa aab aba abb aaa aab", "xx"),
+      (2L, "zzz zzy zyz zyy zzz zzy", "yy")
+    ).toDF("doc_id", "text", "lang")
+    val prof = Corpus.charTrigramProfiles(train, "lang", "text", topM = 10)
+    assert(prof.filter(col("lang") === "xx").count() == 10)
+    val test = Seq(
+      (10L, "aaa abb aab"),   // xx trigrams
+      (11L, "zzz zyy"),       // yy trigrams
+      (12L, "qq")             // < 3 letters of overlap -> und
+    ).toDF("doc_id", "text")
+    val got = Corpus.classifyByTrigramProfiles(test, "doc_id", "text", prof, "lang")
+      .orderBy(col("doc_id"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((10L, "xx"), (11L, "yy"), (12L, "und")))
+    assert(got(0)._3 > 0 && got(2)._3 == 0)
+  }
+
   test("burstinessStats: hand-computed VMR with zero docs counted, bursty beats even") {
     import spark.implicits._
     // 4 docs. 'even': 1 in each doc -> counts (1,1,1,1): mean 1,
