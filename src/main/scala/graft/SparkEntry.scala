@@ -3158,6 +3158,17 @@ object SparkEntry {
       operators.Sessions.funnel(eventsMicros(s, dir), "user_id",
         "event_type", "ts", Seq("view", "click", "purchase"))
     }),
+    "events_psi_drift" -> ((s, dir) => {
+      // PSI between the stream's first and second half (by event_id):
+      // reference deciles via the scale-safe global ntile, +0.5 count
+      // smoothing, per-bucket (p-q)ln(p/q) contributions rounded 6 dp
+      val ev = DbReader(conn(s, dir), "events").run()
+      val half = ev.agg(max(col("event_id"))).first.getLong(0) / 2
+      operators.Drift.psiBuckets(
+        ev.filter(col("event_id") <= half),
+        ev.filter(col("event_id") > half),
+        "value", "event_id", k = 10)
+    }),
     "events_robust_zscore" -> ((s, dir) => {
       // outlier-immune anomaly scores: median/MAD per event type over
       // the value column (Ranking.groupRobustZScores) — a spike cannot
@@ -5241,6 +5252,41 @@ object SparkEntry {
         |  (3, 'purchase', (SELECT count(*) FROM s3))) t(stage, event_type, n_keys)
         |ORDER BY stage""".stripMargin,
     // robust z replay: interpolating median (both engines) + MAD join
+    // PSI replay: bucket = 1 + #(boundary < v) == "smallest i with
+    // v <= b_i" (consistent under duplicate boundaries); p/q/contrib
+    // the identical double sequence on integer counts; round + 0.0
+    // guards the p/q==1.0-by-rounding -0.0 corner
+    "events_psi_drift" ->
+      """WITH mx AS (SELECT CAST(max(event_id) // 2 AS BIGINT) AS h FROM events),
+        |r AS (SELECT event_id, CAST(value AS DOUBLE) AS v
+        |      FROM events CROSS JOIN mx
+        |      WHERE value IS NOT NULL AND event_id <= h),
+        |c AS (SELECT event_id, CAST(value AS DOUBLE) AS v
+        |      FROM events CROSS JOIN mx
+        |      WHERE value IS NOT NULL AND event_id > h),
+        |tiles AS (SELECT v, ntile(10) OVER (ORDER BY v, event_id) AS tile FROM r),
+        |bounds AS (SELECT tile, max(v) AS b FROM tiles WHERE tile < 10
+        |           GROUP BY tile),
+        |nr AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM r),
+        |nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM c),
+        |rb AS (SELECT 1 + COALESCE(sum(CASE WHEN r.v > b.b THEN 1 ELSE 0 END), 0) AS bucket
+        |       FROM r LEFT JOIN bounds b ON TRUE GROUP BY r.event_id),
+        |cb AS (SELECT 1 + COALESCE(sum(CASE WHEN c.v > b.b THEN 1 ELSE 0 END), 0) AS bucket
+        |       FROM c LEFT JOIN bounds b ON TRUE GROUP BY c.event_id),
+        |rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_ref FROM rb GROUP BY bucket),
+        |cc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_cur FROM cb GROUP BY bucket),
+        |shape AS (SELECT CAST(unnest(range(1, 11)) AS INTEGER) AS bucket)
+        |SELECT s.bucket, COALESCE(rc.n_ref, 0) AS n_ref,
+        |       COALESCE(cc.n_cur, 0) AS n_cur,
+        |       round(((CAST(COALESCE(rc.n_ref, 0) AS DOUBLE) + 0.5) / (nr.n + 0.5 * 10)
+        |              - (CAST(COALESCE(cc.n_cur, 0) AS DOUBLE) + 0.5) / (nc.n + 0.5 * 10))
+        |             * ln(((CAST(COALESCE(rc.n_ref, 0) AS DOUBLE) + 0.5) / (nr.n + 0.5 * 10))
+        |                  / ((CAST(COALESCE(cc.n_cur, 0) AS DOUBLE) + 0.5) / (nc.n + 0.5 * 10))), 6)
+        |         + 0.0 AS contrib
+        |FROM shape s CROSS JOIN nr CROSS JOIN nc
+        |  LEFT JOIN rc ON s.bucket = rc.bucket
+        |  LEFT JOIN cc ON s.bucket = cc.bucket
+        |ORDER BY s.bucket""".stripMargin,
     "events_robust_zscore" ->
       """WITH med AS (
         |  SELECT event_type, median(value::DOUBLE) AS m

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("identical slices: every bucket contributes ~0, counts match the deciles") {
+    val ref = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val out = Drift.psiBuckets(ref, ref, "v", "id", k = 10)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == (1 to 10))
+    assert(out.forall(r => r._2 == 10L && r._3 == 10L))
+    assert(out.forall(r => math.abs(r._4) < 1e-9), out)
+  }
+
+  test("mass moved to the tail shows up in the moved buckets; PSI crosses the drift bar") {
+    val ref = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
+    // current: everything at the top decile's values
+    val cur = (1L to 100L).map(i => (i, 95.0)).toDF("id", "v")
+    val out = Drift.psiBuckets(ref, cur, "v", "id", k = 10)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(out.count(_._3 > 0) == 1)            // all current mass in one bucket
+    assert(out.find(_._3 > 0).get._1 == 10)     // ...the top one
+    assert(out.map(_._4).sum > 0.25, out)       // PSI over the drift threshold
+    assert(out.forall(_._4 >= 0.0))             // contributions never negative
+  }
+
+  test("empty buckets emitted with smoothing-finite contributions; NULLs excluded") {
+    val ref = Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, Some(3.0)),
+      (4L, Some(4.0)), (5L, None)).toDF("id", "v")
+    val cur = Seq((1L, Some(2.5)), (2L, None)).toDF("id", "v")
+    val out = Drift.psiBuckets(ref, cur, "v", "id", k = 4)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(out.length == 4 && out.map(_._2).sum == 4L && out.map(_._3).sum == 1L)
+    assert(out.forall(r => !r._4.isNaN && !r._4.isInfinite))
+  }
+}
