@@ -50,6 +50,30 @@ case class WordShingleHashes(child: Expression, n: Int, seed: Long = 42L)
     copy(child = newChild)
 }
 
+/** `char_ngrams(text, n)`: every n-CHARACTER substring, one linear pass.
+  *
+  * Composing this from `transform(sequence(...), i -> substring(s,i,n))`
+  * is quadratic twice over: the lambda re-evaluates any non-attribute
+  * child per position, and UTF-8 `substring` re-scans from byte 0 to
+  * find character i every call (measured 88 s for 1.5M chars at sf0.1;
+  * this expression does the same work in one scan). Code-point byte
+  * offsets are collected once, then each gram is a byte-range copy.
+  * Inputs shorter than n characters yield an empty array.
+  */
+case class CharNgrams(child: Expression, n: Int)
+  extends UnaryExpression with GraftStringInput {
+  require(n >= 1, "ngram size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  protected override def nullSafeEval(input: Any): Any =
+    ShingleImpl.charNgrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ShingleImpl.charNgrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
 object ShingleImpl {
   private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f' || b == 0x0b
@@ -129,6 +153,35 @@ object ShingleImpl {
       }
       out(k) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
         scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, w, seed)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** All n-character substrings in one scan: code-point byte offsets
+    * first (UTF-8 char steps via the first-byte length table), then one
+    * byte-range copy per gram — O(bytes + grams·n), never a re-scan. */
+  def charNgrams(s: UTF8String, n: Int): GenericArrayData = {
+    val numBytes = s.numBytes()
+    // collect byte offsets of each code point start, plus the end
+    val offs = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < numBytes) {
+      offs.add(i)
+      i += UTF8String.numBytesForFirstByte(s.getByte(i))
+    }
+    offs.add(numBytes)
+    val chars = offs.size() - 1
+    if (chars < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](chars - n + 1)
+    var k = 0
+    while (k <= chars - n) {
+      val from = offs.get(k)
+      val to = offs.get(k + n)
+      val bytes = new Array[Byte](to - from)
+      var j = 0
+      while (j < to - from) { bytes(j) = s.getByte(from + j); j += 1 }
+      out(k) = UTF8String.fromBytes(bytes)
       k += 1
     }
     new GenericArrayData(out)

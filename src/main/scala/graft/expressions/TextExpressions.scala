@@ -700,6 +700,7 @@ object GraftExpressions {
   def matchFold(c: Column): Column = col(MatchFold(expr(c)))
   def compressionRatio(c: Column): Column = col(CompressionRatio(expr(c)))
   def wordShingles(c: Column, n: Int): Column = col(WordShingles(expr(c), n))
+  def charNgrams(c: Column, n: Int): Column = col(CharNgrams(expr(c), n))
   def wordShingleHashes(c: Column, n: Int, seed: Long = 42L): Column =
     col(WordShingleHashes(expr(c), n, seed))
   def minhashSignature(c: Column, numHashes: Int, seed: Long = 42L): Column =

@@ -116,6 +116,24 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("charNgrams == sliding character windows, multibyte code points step whole") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val gen = for {
+      // mix ASCII, 2-byte (é), 3-byte (日) code points
+      cs <- Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('é'),
+        Gen.const('日'), Gen.const(' ')))
+      n <- Gen.choose(1, 4)
+    } yield (cs.mkString, n)
+    check("char-ngram-parity", Prop.forAll(gen) { case (text, n) =>
+      val got = graft.expressions.ShingleImpl.charNgrams(
+        UTF8String.fromString(text), n)
+      val want = text.sliding(n).filter(_.length == n).toSeq
+      got.numElements() == want.length &&
+        (0 until got.numElements()).forall(i =>
+          got.getUTF8String(i).toString == want(i))
+    })
+  }
+
   test("KeyValueIntHwm updates merge per-key maxima, never regress") {
     val entry = for {
       k <- Gen.choose(0, 5)
