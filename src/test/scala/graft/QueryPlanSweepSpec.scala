@@ -72,8 +72,10 @@ class QueryPlanSweepSpec extends AnyFunSuite {
     "embedding_robust_scale", // deliberate: 1-row (meds, iqrs) stats
                               // broadcast cross the vectors
                               // (Similarity.robustScaleVectors)
-    "quality_curriculum"      // unigramNll's 1-row corpus-total N
+    "quality_curriculum",     // unigramNll's 1-row corpus-total N
                               // broadcast (same shape as quality_unigram_nll)
+    "quality_ccnet_buckets"   // bigramNll's 1-row corpus-total N broadcast
+                              // (Corpus.ccnetPerplexityBuckets composes it)
   )
 
   /** Global `OVER (ORDER BY ...)` windows with no PARTITION BY run the
