@@ -3158,6 +3158,16 @@ object SparkEntry {
       operators.Sessions.funnel(eventsMicros(s, dir), "user_id",
         "event_type", "ts", Seq("view", "click", "purchase"))
     }),
+    "events_ks_drift" -> ((s, dir) => {
+      // two-sample KS over the same half-split as events_psi_drift:
+      // exact integer CDFs via two distributed prefix-sums, argmax on
+      // identical doubles — binning-free drift distance, one row out
+      val ev = DbReader(conn(s, dir), "events").run()
+      val half = ev.agg(max(col("event_id"))).first.getLong(0) / 2
+      operators.Drift.ksStatistic(
+        ev.filter(col("event_id") <= half),
+        ev.filter(col("event_id") > half), "value")
+    }),
     "events_psi_drift" -> ((s, dir) => {
       // PSI between the stream's first and second half (by event_id):
       // reference deciles via the scale-safe global ntile, +0.5 count
@@ -5252,6 +5262,34 @@ object SparkEntry {
         |  (3, 'purchase', (SELECT count(*) FROM s3))) t(stage, event_type, n_keys)
         |ORDER BY stage""".stripMargin,
     // robust z replay: interpolating median (both engines) + MAD join
+    // KS replay: per-distinct-value counts, window cumsum CDF (fine in
+    // the oracle; the Spark side uses the distributed prefix-sum), the
+    // same integer->double divisions. HUGEINT audit: window sums cast
+    "events_ks_drift" ->
+      """WITH mx AS (SELECT CAST(max(event_id) // 2 AS BIGINT) AS h FROM events),
+        |r AS (SELECT CAST(value AS DOUBLE) AS v FROM events CROSS JOIN mx
+        |      WHERE value IS NOT NULL AND event_id <= h),
+        |c AS (SELECT CAST(value AS DOUBLE) AS v FROM events CROSS JOIN mx
+        |      WHERE value IS NOT NULL AND event_id > h),
+        |g AS (SELECT v,
+        |        CAST(sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+        |        CAST(sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        |      FROM (SELECT v, 'r' AS side FROM r
+        |            UNION ALL SELECT v, 'c' FROM c)
+        |      GROUP BY v),
+        |tot AS (SELECT CAST(sum(nr) AS BIGINT) AS tr,
+        |               CAST(sum(nc) AS BIGINT) AS tc FROM g),
+        |cdf AS (SELECT v,
+        |          CAST(sum(nr) OVER (ORDER BY v) AS BIGINT) AS cr,
+        |          CAST(sum(nc) OVER (ORDER BY v) AS BIGINT) AS cc
+        |        FROM g)
+        |SELECT v AS at_value,
+        |       round(abs(CAST(cr AS DOUBLE) / tr - CAST(cc AS DOUBLE) / tc), 6)
+        |         AS d_stat,
+        |       tr AS n_ref, tc AS n_cur
+        |FROM cdf CROSS JOIN tot
+        |ORDER BY abs(CAST(cr AS DOUBLE) / tr - CAST(cc AS DOUBLE) / tc) DESC, v
+        |LIMIT 1""".stripMargin,
     // PSI replay: bucket = 1 + #(boundary < v) == "smallest i with
     // v <= b_i" (consistent under duplicate boundaries); p/q/contrib
     // the identical double sequence on integer counts; round + 0.0

@@ -33,6 +33,46 @@ object Drift {
     * boundaries (k−1 doubles — a driver-bounded sidecar, the
     * globalRunningSum discipline), then one map-combinable bucket count
     * per slice; the k-row shape frame broadcasts. */
+  /** Two-sample Kolmogorov–Smirnov statistic: `D = max_x |F_ref(x) −
+    * F_cur(x)|` over the observed support — the binning-free complement
+    * of [[psiBuckets]] (PSI answers "how much mass moved between my
+    * buckets"; KS answers "how far apart are the CDFs, anywhere").
+    *
+    * Returns ONE row: (at_value double — the smallest value attaining
+    * the max, d_stat double round(6), n_ref long, n_cur long). NULLs
+    * excluded. Every per-value step is exact integer CDF counts through
+    * identical double divisions, so the argmax and the statistic replay
+    * across engines with no pre-rounding.
+    *
+    * Scale shape: both slices collapse to per-DISTINCT-VALUE counts
+    * first (map-combinable), then the CDF is two [[Ranking
+    * .globalRunningSum]] passes over that distinct-value frame — the
+    * prefix-sum cure for `SUM() OVER (ORDER BY)`'s single-partition
+    * trap; the final argmax is a 1-row TakeOrdered. */
+  def ksStatistic(ref: DataFrame, cur: DataFrame,
+                  valCol: String): DataFrame = {
+    def counted(df: DataFrame, as: String) =
+      df.filter(col(valCol).isNotNull)
+        .select(col(valCol).cast("double").as("__v"))
+        .groupBy(col("__v")).agg(count(lit(1)).as(as))
+    val r = counted(ref, "__nr")
+    val c = counted(cur, "__nc")
+    val nR = r.agg(sum(col("__nr"))).first.getLong(0)
+    val nC = c.agg(sum(col("__nc"))).first.getLong(0)
+    require(nR > 0 && nC > 0, "ksStatistic needs non-empty slices")
+    val g = r.join(c, Seq("__v"), "full")
+    val cum = Ranking.globalRunningSum(
+      Ranking.globalRunningSum(g, Seq(col("__v")), "__nr", "__cr"),
+      Seq(col("__v")), "__nc", "__cc")
+    val diff = abs(col("__cr").cast("double") / lit(nR.toDouble)
+      - col("__cc").cast("double") / lit(nC.toDouble))
+    cum.select(col("__v"), diff.as("__d"))
+      .orderBy(col("__d").desc, col("__v"))
+      .limit(1)
+      .select(col("__v").as("at_value"), round(col("__d"), 6).as("d_stat"),
+        lit(nR).as("n_ref"), lit(nC).as("n_cur"))
+  }
+
   def psiBuckets(ref: DataFrame, cur: DataFrame, valCol: String,
                  idCol: String, k: Int = 10): DataFrame = {
     require(k >= 2, s"need at least 2 buckets, got $k")

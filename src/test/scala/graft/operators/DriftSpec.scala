@@ -27,6 +27,28 @@ class DriftSpec extends SparkSpec {
     assert(out.forall(_._4 >= 0.0))             // contributions never negative
   }
 
+  test("ksStatistic: hand-computed D on disjoint supports and interleaved samples") {
+    // ref {1,2}, cur {3,4}: CDFs never overlap -> D = 1.0 at v = 2
+    val ref = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+    val cur = Seq((3L, 3.0), (4L, 4.0)).toDF("id", "v")
+    val out = Drift.ksStatistic(ref, cur, "v")
+      .as[(Double, Double, Long, Long)].collect().head
+    assert(out == ((2.0, 1.0, 2L, 2L)))
+    // ref {1,3}, cur {2,3}: at v=1 |1/2-0|=.5, v=2 |1/2-1/2|=0 ... D=.5 at 1
+    val ref2 = Seq((1L, 1.0), (2L, 3.0)).toDF("id", "v")
+    val cur2 = Seq((3L, 2.0), (4L, 3.0)).toDF("id", "v")
+    val out2 = Drift.ksStatistic(ref2, cur2, "v")
+      .as[(Double, Double, Long, Long)].collect().head
+    assert(out2 == ((1.0, 0.5, 2L, 2L)))
+  }
+
+  test("ksStatistic: identical slices give D = 0; partitioning-invariant") {
+    val df = (1L to 100L).map(i => (i, (i % 7).toDouble)).toDF("id", "v")
+    val out = Drift.ksStatistic(df, df.repartition(9), "v")
+      .as[(Double, Double, Long, Long)].collect().head
+    assert(out._2 == 0.0 && out._3 == 100L && out._4 == 100L)
+  }
+
   test("empty buckets emitted with smoothing-finite contributions; NULLs excluded") {
     val ref = Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, Some(3.0)),
       (4L, Some(4.0)), (5L, None)).toDF("id", "v")
