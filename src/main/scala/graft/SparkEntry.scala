@@ -97,6 +97,11 @@ object SparkEntry {
   private val spanLandingCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged event-range batches for streaming_psi_monitor (same
+    * INPUT-only contract as [[landingCache]]). */
+  private val driftLandingCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Landing dir of staged PNG-payload batches for
     * streaming_image_dedup (same INPUT-only contract as
     * [[docsLandingCache]]). */
@@ -2665,6 +2670,51 @@ object SparkEntry {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
+    "streaming_psi_monitor" -> ((s, dir) => {
+      // continuous drift alarm: reference = first 40% of the stream
+      // (by event_id), whose decile boundaries + bucket counts are
+      // precomputed sidecars; three mtime-ordered micro-batches (the
+      // next three 20% slices) each emit a 10-bucket PSI report tagged
+      // with the batch id — per-batch cost is one bucket count, the
+      // reference never recomputes. Exactly-once via the batch ledger
+      import org.apache.spark.sql.types._
+      val ev = DbReader(conn(s, dir), "events").run()
+        .select(col("event_id"), col("value"))
+      val mx = ev.agg(max(col("event_id"))).first.getLong(0)
+      val (h1, h2, h3) = (mx * 2 / 5, mx * 3 / 5, mx * 4 / 5)
+      val ref = ev.filter(col("event_id") <= h1)
+      val bounds = operators.Drift.referenceBoundaries(ref, "value", "event_id", 10)
+      val refCounts = operators.Drift.bucketCounts(ref, "value", bounds, 10)
+      val landing = driftLandingCache.synchronized {
+        driftLandingCache.getOrElseUpdate(dir, {
+          val ld = java.nio.file.Files.createTempDirectory("graft_psi_in")
+          val batches = Seq(
+            ev.filter(col("event_id") > h1 && col("event_id") <= h2),
+            ev.filter(col("event_id") > h2 && col("event_id") <= h3),
+            ev.filter(col("event_id") > h3))
+          batches.zipWithIndex.foreach { case (b, i) =>
+            b.coalesce(1).write.mode("append").parquet(ld.toString)
+            graft.streaming.FileStreamReader.stampBatchMtime(ld.toString, i)
+          }
+          ld.toString
+        })
+      }
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("value", DoubleType)))
+      val stream = graft.streaming.FileStreamReader.read(
+        s, graft.filedf.Parquet(), landing, schema,
+        maxFilesPerTrigger = Some(1))
+      val ck = java.nio.file.Files.createTempDirectory("graft_psi_ck").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_psi_out").toString
+      val ledger = new graft.core.InMemoryHwmStore
+      graft.streaming.StreamRunner.runDriftMonitor(
+        stream, "value", bounds, refCounts, ck, ledger, s"psi@$ck") {
+        (report, _) => report.write.mode("append").parquet(out)
+      }
+      s.read.parquet(out)
+        .orderBy(col("batch_id"), col("bucket"))
+        .localCheckpoint()
+    }),
     "streaming_incremental_dedup" -> ((s, dir) => {
       // continuous dedup-on-ingest: three mtime-ordered micro-batches of
       // documents with planted duplicates stream through foreachBatch;
@@ -5006,6 +5056,55 @@ object SparkEntry {
     // order and every planted id exceeds 1e6, so the oracle computes the
     // global form — which also catches the corpus's natural duplicate
     // pairs at larger SFs
+    // streaming PSI replay: batch id == which 20% id-slice the row is
+    // in (file order == mtime order == batch order, the established
+    // landing contract); ref deciles and the contrib formula exactly as
+    // events_psi_drift; round + 0.0 guards the -0.0 corner
+    "streaming_psi_monitor" ->
+      """WITH mx AS (SELECT CAST(max(event_id) AS BIGINT) AS m FROM events),
+        |cuts AS (SELECT CAST(m*2//5 AS BIGINT) AS h1,
+        |                CAST(m*3//5 AS BIGINT) AS h2,
+        |                CAST(m*4//5 AS BIGINT) AS h3 FROM mx),
+        |r AS (SELECT event_id, CAST(value AS DOUBLE) AS v
+        |      FROM events CROSS JOIN cuts
+        |      WHERE value IS NOT NULL AND event_id <= h1),
+        |tiles AS (SELECT v, ntile(10) OVER (ORDER BY v, event_id) AS tile FROM r),
+        |bounds AS (SELECT tile, max(v) AS b FROM tiles WHERE tile < 10
+        |           GROUP BY tile),
+        |nr AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM r),
+        |rb AS (SELECT 1 + COALESCE(sum(CASE WHEN r.v > b.b THEN 1 ELSE 0 END), 0) AS bucket
+        |       FROM r LEFT JOIN bounds b ON TRUE GROUP BY r.event_id),
+        |rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_ref
+        |       FROM rb GROUP BY bucket),
+        |cur AS (SELECT CASE WHEN event_id <= h2 THEN 0
+        |               WHEN event_id <= h3 THEN 1 ELSE 2 END AS batch_id,
+        |               event_id, CAST(value AS DOUBLE) AS v
+        |        FROM events CROSS JOIN cuts
+        |        WHERE value IS NOT NULL AND event_id > h1),
+        |nc AS (SELECT batch_id, CAST(count(*) AS DOUBLE) AS n
+        |       FROM cur GROUP BY batch_id),
+        |cb AS (SELECT batch_id, bucket, CAST(count(*) AS BIGINT) AS n_cur
+        |       FROM (SELECT c.batch_id, c.event_id,
+        |               1 + COALESCE(sum(CASE WHEN c.v > b.b THEN 1 ELSE 0 END), 0) AS bucket
+        |             FROM cur c LEFT JOIN bounds b ON TRUE
+        |             GROUP BY c.batch_id, c.event_id)
+        |       GROUP BY batch_id, bucket),
+        |shape AS (SELECT CAST(bi AS BIGINT) AS batch_id,
+        |                 CAST(bu AS INTEGER) AS bucket
+        |          FROM (SELECT unnest(range(0, 3)) AS bi)
+        |          CROSS JOIN (SELECT unnest(range(1, 11)) AS bu))
+        |SELECT s.batch_id, s.bucket, COALESCE(rc.n_ref, 0) AS n_ref,
+        |       COALESCE(cb.n_cur, 0) AS n_cur,
+        |       round(((CAST(COALESCE(rc.n_ref, 0) AS DOUBLE) + 0.5) / (nr.n + 0.5 * 10)
+        |              - (CAST(COALESCE(cb.n_cur, 0) AS DOUBLE) + 0.5) / (nc.n + 0.5 * 10))
+        |             * ln(((CAST(COALESCE(rc.n_ref, 0) AS DOUBLE) + 0.5) / (nr.n + 0.5 * 10))
+        |                  / ((CAST(COALESCE(cb.n_cur, 0) AS DOUBLE) + 0.5) / (nc.n + 0.5 * 10))), 6)
+        |         + 0.0 AS contrib
+        |FROM shape s CROSS JOIN nr
+        |  JOIN nc ON nc.batch_id = s.batch_id
+        |  LEFT JOIN rc ON rc.bucket = s.bucket
+        |  LEFT JOIN cb ON cb.batch_id = s.batch_id AND cb.bucket = s.bucket
+        |ORDER BY s.batch_id, s.bucket""".stripMargin,
     "streaming_incremental_dedup" ->
       """WITH n AS (
         |  SELECT doc_id, source,

@@ -75,41 +75,76 @@ object Drift {
 
   def psiBuckets(ref: DataFrame, cur: DataFrame, valCol: String,
                  idCol: String, k: Int = 10): DataFrame = {
+    val bounds = referenceBoundaries(ref, valCol, idCol, k)
+    val refCounts = bucketCounts(ref, valCol, bounds, k)
+    psiAgainstReference(cur, valCol, bounds, refCounts)
+  }
+
+  /** The reference's quantile cut points (k−1 ascending doubles) —
+    * compute ONCE, then score any number of slices or micro-batches
+    * against them with [[psiAgainstReference]]. A driver-bounded
+    * sidecar by construction. */
+  def referenceBoundaries(ref: DataFrame, valCol: String, idCol: String,
+                          k: Int): Array[Double] = {
     require(k >= 2, s"need at least 2 buckets, got $k")
-    val spark = ref.sparkSession
     val r = ref.filter(col(valCol).isNotNull)
       .select(col(valCol).cast("double").as("__v"), col(idCol).as("__id"))
-    val c = cur.filter(col(valCol).isNotNull)
-      .select(col(valCol).cast("double").as("__v"))
     val bounds = Ranking.globalNtile(r, k, Seq(col("__v"), col("__id")),
         out = "__tile")
       .filter(col("__tile") < k)
       .groupBy(col("__tile")).agg(max(col("__v")).as("__b"))
       .collect().map(_.getDouble(1)).sorted
-    require(bounds.nonEmpty, "psiBuckets needs a non-empty reference slice")
-    val bucketOf = bounds.zipWithIndex
+    require(bounds.nonEmpty, "psi needs a non-empty reference slice")
+    bounds
+  }
+
+  /** "Smallest i with v <= bounds(i−1), else k" as a chained CASE. */
+  private def bucketOf(bounds: Array[Double], k: Int) =
+    bounds.zipWithIndex
       .foldLeft(Option.empty[org.apache.spark.sql.Column]) {
         case (acc, (b, i)) =>
-          val w = acc.fold(when(col("__v") <= b, lit(i + 1)))(
-            _.when(col("__v") <= b, lit(i + 1)))
-          Some(w)
+          Some(acc.fold(when(col("__v") <= b, lit(i + 1)))(
+            _.when(col("__v") <= b, lit(i + 1))))
       }.get.otherwise(lit(k))
-    def counted(df: DataFrame, as: String) =
-      df.select(bucketOf.as("bucket")).groupBy(col("bucket"))
-        .agg(count(lit(1)).as(as))
-    val nR = r.count().toDouble
+
+  /** Per-bucket counts of a slice under fixed boundaries, as a length-k
+    * array indexed by bucket−1 (zero for empty buckets). */
+  def bucketCounts(df: DataFrame, valCol: String, bounds: Array[Double],
+                   k: Int): Array[Long] = {
+    val rows = df.filter(col(valCol).isNotNull)
+      .select(col(valCol).cast("double").as("__v"))
+      .select(bucketOf(bounds, k).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    Array.tabulate(k)(i => rows.getOrElse(i + 1, 0L))
+  }
+
+  /** PSI of one slice against a PRECOMPUTED reference (boundaries +
+    * per-bucket counts): the scoring half of [[psiBuckets]], reusable
+    * per micro-batch by the streaming drift monitor — the reference
+    * never recomputes. Same output contract as [[psiBuckets]]. */
+  def psiAgainstReference(cur: DataFrame, valCol: String,
+                          bounds: Array[Double],
+                          refCounts: Array[Long]): DataFrame = {
+    val k = refCounts.length
+    require(bounds.length == k - 1,
+      s"need ${k - 1} boundaries for $k buckets, got ${bounds.length}")
+    val spark = cur.sparkSession
+    val c = cur.filter(col(valCol).isNotNull)
+      .select(col(valCol).cast("double").as("__v"))
+    val nR = refCounts.sum.toDouble
     val nC = c.count().toDouble
     import spark.implicits._
-    val shape = (1 to k).toDF("bucket")
-    val p = (coalesce(col("n_ref"), lit(0L)).cast("double") + lit(0.5)) /
-      lit(nR + 0.5 * k)
+    val shape = refCounts.zipWithIndex
+      .map { case (n, i) => (i + 1, n) }.toSeq.toDF("bucket", "n_ref")
+    val counted = c.select(bucketOf(bounds, k).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_cur"))
+    val p = (col("n_ref").cast("double") + lit(0.5)) / lit(nR + 0.5 * k)
     val q = (coalesce(col("n_cur"), lit(0L)).cast("double") + lit(0.5)) /
       lit(nC + 0.5 * k)
     broadcast(shape)
-      .join(counted(r, "n_ref"), Seq("bucket"), "left")
-      .join(counted(c, "n_cur"), Seq("bucket"), "left")
-      .select(col("bucket"),
-        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+      .join(counted, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"),
         round((p - q) * log(p / q), 6).as("contrib"))
       .orderBy(col("bucket"))

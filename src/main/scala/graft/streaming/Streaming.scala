@@ -227,6 +227,31 @@ object StreamRunner {
     * index are harmless (it is an existence set), whereas appending fps
     * before the sink commit would make a replayed batch anti-join its own
     * rows away and LOSE them. */
+  /** Continuous distribution-drift monitoring — the PSI alarm an ingest
+    * pipeline keeps on a value column: every micro-batch is scored
+    * against a FIXED reference (quantile boundaries + per-bucket counts,
+    * both precomputed driver-side sidecars from
+    * [[graft.operators.Drift.referenceBoundaries]]/`bucketCounts`), and
+    * the per-bucket PSI report — tagged with the batch id — goes to
+    * `sink`. The reference never recomputes, so per-batch cost is one
+    * map-combinable bucket count over the batch: O(batch) at any
+    * history size, the same discipline as the incremental dedup
+    * runners. Replay-protected by the committed-batch ledger
+    * ([[runAvailableNowForeachBatchExactlyOnce]] — same one-open-window
+    * caveat: an idempotent or batch-id-keyed sink closes it). */
+  def runDriftMonitor(stream: DataFrame, valCol: String,
+                      bounds: Array[Double], refCounts: Array[Long],
+                      checkpoint: String,
+                      store: graft.core.HwmStore, ledgerName: String)
+                     (sink: (DataFrame, Long) => Unit): Unit =
+    runAvailableNowForeachBatchExactlyOnce(stream, checkpoint, store,
+      ledgerName) { (batch, id) =>
+      val report = graft.operators.Drift
+        .psiAgainstReference(batch, valCol, bounds, refCounts)
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+      sink(report, id)
+    }
+
   def runIncrementalDedup(stream: DataFrame, idCol: String, textCol: String,
                           indexTable: String, checkpoint: String,
                           store: graft.core.HwmStore, ledgerName: String,

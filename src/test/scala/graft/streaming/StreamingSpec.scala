@@ -121,6 +121,49 @@ class StreamingSpec extends SparkSpec {
     assert(totalRows() === 200L, "row totals changed after replay")
   }
 
+  test("streaming drift monitor: per-batch PSI vs fixed reference, replay-safe") {
+    import graft.operators.Drift
+    val src = tmpDir("stream-psi-src")
+    // two mtime-ordered batches: one matching the reference's shape,
+    // one with all mass at the top
+    val b0 = (0 until 100).map(i => (i.toLong, (i % 10).toDouble))
+      .toDF("event_id", "value")
+    val b1 = (100 until 200).map(i => (i.toLong, 9.0))
+      .toDF("event_id", "value")
+    b0.coalesce(1).write.mode("append").parquet(src)
+    FileStreamReader.stampBatchMtime(src, 0)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    FileStreamReader.stampBatchMtime(src, 1)
+    val ref = b0
+    val bounds = Drift.referenceBoundaries(ref, "value", "event_id", 5)
+    val refCounts = Drift.bucketCounts(ref, "value", bounds, 5)
+    assert(refCounts.toSeq == Seq(20L, 20L, 20L, 20L, 20L))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    val store = new graft.core.InMemoryHwmStore
+    val reports = new java.util.concurrent.ConcurrentHashMap[Long, Array[(Int, Long, Double)]]()
+    def run(ck: String): Unit = StreamRunner.runDriftMonitor(
+      FileStreamReader.read(spark, Parquet(), src, schema,
+        maxFilesPerTrigger = Some(1)),
+      "value", bounds, refCounts, ck, store, "psi_ledger") { (report, id) =>
+      reports.put(id, report.orderBy(col("bucket"))
+        .select(col("bucket"), col("n_cur"), col("contrib"))
+        .as[(Int, Long, Double)].collect())
+    }
+    run(tmpDir("stream-psi-ck1"))
+    assert(reports.size == 2)
+    // batch 0 == reference: every contribution ~0
+    assert(reports.get(0L).forall { case (_, n, c) => n == 20L && math.abs(c) < 1e-9 })
+    // batch 1: all 100 rows above every boundary -> top bucket, PSI large
+    val r1 = reports.get(1L)
+    assert(r1.map(_._2).toSeq == Seq(0L, 0L, 0L, 0L, 100L))
+    assert(r1.map(_._3).sum > 0.25)
+    // replay with a fresh checkpoint, same ledger: no report re-emitted
+    reports.clear()
+    run(tmpDir("stream-psi-ck2"))
+    assert(reports.isEmpty, "replayed batches re-emitted drift reports")
+  }
+
   test("streaming incremental dedup: index-killed dups, cross-batch append, replay-safe") {
     // three mtime-ordered files -> three deterministic micro-batches; the
     // dedup must kill an in-batch copy, a re-ingestion of HISTORY, and a
