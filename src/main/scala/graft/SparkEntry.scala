@@ -3502,6 +3502,14 @@ object SparkEntry {
           max(col("doc_id")).as("max_id"))
         .orderBy(col("split"))
     }),
+    "sample_neyman_alloc" -> ((s, dir) => {
+      // Neyman 1934 optimal allocation: 500 review seats across sources
+      // by N_h*sigma_h of n_chars, largest-remainder integer seats
+      operators.Sampling.neymanAllocation(
+          DbReader(conn(s, dir), "documents").run(), "source", "n_chars",
+          k = 500)
+        .orderBy(col("source"))
+    }),
     "sample_weighted_noreplace" -> ((s, dir) => {
       // Efraimidis-Spirakis A-Res / Gumbel top-k: 200 docs weighted by
       // n_chars. Key rounded to 6 dp BEFORE the (key desc, id) rank so
@@ -6621,6 +6629,35 @@ object SparkEntry {
     // replays the share formula (n^tau / Z, capped at the source size,
     // floored to an integer hash threshold) over the same digit-count
     // strata
+    // Neyman replay: integer (N, C, S2) -> the identical double sigma
+    // sequence; rounded weights sum as DECIMAL (order-free); floors +
+    // largest-remainder seats by (frac DESC, source). HUGEINT: all cast
+    "sample_neyman_alloc" ->
+      """WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(n_chars) AS BIGINT) AS c,
+        |              CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+        |            FROM documents GROUP BY source),
+        |w AS (SELECT source, n,
+        |        CASE WHEN n < 2 THEN CAST(0 AS DECIMAL(28,6))
+        |             ELSE CAST(round(n * sqrt(greatest(0.0,
+        |               (CAST(s2 AS DOUBLE)
+        |                - CAST(c AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |               / CAST(n - 1 AS DOUBLE))), 6) AS DECIMAL(28,6))
+        |        END AS wd
+        |      FROM st),
+        |tot AS (SELECT CAST(sum(wd) AS DECIMAL(38,6)) AS t FROM w),
+        |q AS (SELECT source, n,
+        |        500 * (CAST(wd AS DOUBLE) / CAST(t AS DOUBLE)) AS quota
+        |      FROM w CROSS JOIN tot),
+        |b AS (SELECT source, n, CAST(floor(quota) AS BIGINT) AS base,
+        |        quota - floor(quota) AS frac FROM q),
+        |r AS (SELECT CAST(500 - sum(base) AS BIGINT) AS lo FROM b),
+        |rk AS (SELECT source, n, base,
+        |         CAST(row_number() OVER (ORDER BY frac DESC, source) AS BIGINT) AS rn
+        |       FROM b)
+        |SELECT source, n AS n_rows,
+        |       CAST(base + CASE WHEN rn <= lo THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM rk CROSS JOIN r ORDER BY source""".stripMargin,
     // A-Res keys: u = (knuthHash(id)+1)/(2^32+1) exactly as the Spark
     // side; round(6) + 0.0 INSIDE the ranking so a -0.0 from a near-1 u
     // can neither hash-differ nor total-order-sort differently from +0.0

@@ -530,6 +530,68 @@ object Sampling {
       .limit(k)
   }
 
+  /** Neyman optimal stratified allocation (Neyman 1934): split a total
+    * sample budget `k` across strata proportionally to `N_h · σ_h` — the
+    * minimum-variance allocation for estimating a population mean, and
+    * the principled answer to "how many docs should QA hand-review from
+    * each source" (high-variance sources earn more eyes than uniform or
+    * size-proportional splits give them). Integer seats come from the
+    * LARGEST-REMAINDER method (floor every quota, hand the `k − Σfloor`
+    * leftovers to the largest fractional parts, stratum-ascending ties),
+    * so the allocation is exact and engine-replayable.
+    *
+    * Exactness: per-stratum (N, ΣV, ΣV²) are integer-exact aggregates
+    * (`valCol` is read as long); σ, the rounded weight `round(N·σ, 6)`,
+    * and the quotas are a FIXED double sequence; the weight total is a
+    * DECIMAL sum of the rounded weights (order-free), so shares match
+    * across engines. Strata with under 2 rows or zero variance weigh 0
+    * (nothing to learn from sampling a constant stratum — they receive
+    * seats only if every stratum is degenerate, which is rejected).
+    *
+    * Returns (stratumCol, n_rows long, alloc long). Scale shape: one
+    * map-combinable aggregate collapses the table to a per-stratum
+    * sidecar; the seat assignment is driver-side over that bounded
+    * frame, like [[unimaxAllocation]]. */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 0, s"budget must be >= 0, got $k")
+    val spark = df.sparkSession
+    val stats = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(coalesce(col(valCol).cast("long"), lit(0L))).as("__c"),
+        sum(coalesce(col(valCol).cast("long"), lit(0L))
+          * coalesce(col(valCol).cast("long"), lit(0L))).as("__s2"))
+      .collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    def weight(n: Long, c: Long, s2: Long): Double =
+      if (n < 2) 0.0
+      else {
+        val variance = math.max(0.0,
+          (s2.toDouble - c.toDouble * c.toDouble / n.toDouble) / (n - 1).toDouble)
+        val w = n.toDouble * math.sqrt(variance)
+        BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    val ws = stats.map { case (s, n, c, s2) => (s, n, weight(n, c, s2)) }
+    val tot = ws.map(w => BigDecimal(w._3).setScale(6))
+      .foldLeft(BigDecimal(0))(_ + _)
+    require(tot > 0,
+      "neymanAllocation: every stratum is degenerate (constant or <2 rows)")
+    val totD = tot.toDouble
+    val quotas = ws.map { case (s, n, w) =>
+      val quota = k * (w / totD)
+      val base = math.floor(quota).toLong
+      (s, n, base, quota - base)
+    }
+    val leftovers = (k - quotas.map(_._3).sum).toInt
+    val bonus = quotas.sortBy { case (s, _, _, frac) => (-frac, s) }
+      .take(leftovers).map(_._1).toSet
+    val rows = quotas.map { case (s, n, base, _) =>
+      (s, n, base + (if (bonus(s)) 1L else 0L))
+    }
+    spark.createDataFrame(rows.toSeq).toDF(stratumCol, "n_rows", "alloc")
+  }
+
   /** UniMax budget allocation (Chung et al., ICLR 2023, arXiv:2304.09151
     * Algorithm 1): split a total training budget across sources so that
     * no source repeats more than `maxEpochs` times and the leftover is

@@ -956,6 +956,36 @@ class UnimaxSpec extends SparkSpec {
   }
 }
 
+class NeymanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed allocation: variance earns seats, sizes alone do not") {
+    // A: 4 rows of {0, 10} pairs -> sigma ~ 5.7735, w = 23.094
+    // B: 8 rows all 5           -> sigma 0, w = 0
+    // C: 2 rows {0, 100}        -> sigma ~ 70.71, w = 141.4214
+    // shares: A 23.094/164.5154, C 141.4214/164.5154; k=10
+    val docs = (Seq.fill(2)(("A", 0L)) ++ Seq.fill(2)(("A", 10L)) ++
+      Seq.fill(8)(("B", 5L)) ++ Seq(("C", 0L), ("C", 100L)))
+      .toDF("src", "v")
+    val out = Sampling.neymanAllocation(docs, "src", "v", k = 10)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)).toSeq ==
+      Seq(("A", 4L), ("B", 8L), ("C", 2L)))
+    val alloc = out.map(r => r._1 -> r._3).toMap
+    assert(alloc.values.sum == 10L, alloc)          // seats always sum to k
+    assert(alloc("B") == 0L)                        // constant stratum: none
+    assert(alloc("C") > alloc("A") && alloc("A") >= 1L, alloc)
+  }
+
+  test("all-degenerate strata are rejected loudly") {
+    val docs = Seq(("A", 1L), ("B", 2L)).toDF("src", "v")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.neymanAllocation(docs, "src", "v", 5)
+    }
+    assert(e.getMessage.contains("degenerate"))
+  }
+}
+
 class WeightedNoReplaceSpec extends SparkSpec {
   import spark.implicits._
 
