@@ -1799,6 +1799,18 @@ object SparkEntry {
       operators.Tokenize.bpePairCounts(
           DbReader(conn(s, dir), "documents").run(), "text", topK = 30)
     }),
+    "tokenizer_unigram_viterbi" -> ((s, dir) => {
+      // Kudo 2018 E-step: optimal segmentation of every distinct word
+      // against the top-40 seed vocab; packed objective (score*64 +
+      // 63-pieces) makes max-score-then-fewest-pieces one long max,
+      // replayed in DuckDB as a carry-window recursive CTE
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val vocab = operators.Tokenize.substringSeedVocab(
+          docs, "text", minLen = 2, maxLen = 4, topK = 40)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      operators.Tokenize.unigramViterbiSegment(docs, "text", vocab)
+        .orderBy(col("word"))
+    }),
     "tokenizer_seed_vocab" -> ((s, dir) => {
       // unigram-tokenizer seed vocabulary (Kudo 2018): frequent
       // substrings of length 2..4 scored by occurrences x length over
@@ -6188,6 +6200,53 @@ object SparkEntry {
     // unigram-seed vocabulary: substrings of length 2..4 over unique
     // words, scored occurrences x length; lateral range() bounds mirror
     // the Spark sequence() bounds exactly
+    // Viterbi replay: the DP runs as a recursive CTE carrying the last
+    // four best values (b0..b3) per word; aggregation in the recursive
+    // term is DuckDB-supported. Packed recurrence identical to Spark:
+    // b(i) = max(b(i-l) + score*64 - 1), single chars floor at score 1
+    "tokenizer_unigram_viterbi" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT t AS w, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents,
+        |    UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+        |  WHERE t <> '' GROUP BY t),
+        |pieces AS (
+        |  SELECT substring(w, i, n) AS piece, c
+        |  FROM words,
+        |    UNNEST(range(1, length(w) - 2 + 2)) AS g(i),
+        |    UNNEST(range(2, least(4, length(w) - i + 1) + 1)) AS h(n)
+        |  WHERE length(w) >= 2),
+        |vocab AS (
+        |  SELECT piece, CAST(sum(c * length(piece)) AS BIGINT) AS score
+        |  FROM pieces GROUP BY piece
+        |  ORDER BY score DESC, piece LIMIT 40),
+        |dp AS (
+        |  SELECT w, c, 0 AS i, CAST(63 AS BIGINT) AS b0,
+        |         CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2,
+        |         CAST(NULL AS BIGINT) AS b3
+        |  FROM words
+        |  UNION ALL
+        |  SELECT w, c, i + 1, CAST(max(prev + sc * 64 - 1) AS BIGINT) AS b0,
+        |         b0 AS b1, b1 AS b2, b2 AS b3
+        |  FROM (
+        |    SELECT d.w, d.c, d.i, d.b0, d.b1, d.b2, d.b3,
+        |           CASE l.l WHEN 1 THEN d.b0 WHEN 2 THEN d.b1
+        |                    WHEN 3 THEN d.b2 ELSE d.b3 END AS prev,
+        |           CASE WHEN l.l = 1 THEN COALESCE(v.score, 1)
+        |                ELSE v.score END AS sc
+        |    FROM dp d
+        |    JOIN (SELECT unnest([1, 2, 3, 4]) AS l) l ON l.l <= d.i + 1
+        |    LEFT JOIN vocab v
+        |      ON v.piece = substring(d.w, d.i + 2 - l.l, l.l)
+        |    WHERE d.i < length(d.w)
+        |  ) cand
+        |  WHERE prev IS NOT NULL AND sc IS NOT NULL
+        |  GROUP BY w, c, i, b0, b1, b2, b3)
+        |SELECT w AS word, c AS count,
+        |       CAST(b0 // 64 AS BIGINT) AS score,
+        |       CAST(63 - b0 % 64 AS BIGINT) AS n_pieces
+        |FROM dp WHERE i = length(w)
+        |ORDER BY w""".stripMargin,
     "tokenizer_seed_vocab" ->
       """WITH words AS (
         |  SELECT t AS w, count(*) AS c

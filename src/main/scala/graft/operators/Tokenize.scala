@@ -220,6 +220,63 @@ object Tokenize {
     *
     * Returns (piece string, score long) ordered by (score desc, piece).
     */
+  /** Optimal unigram-LM segmentation per word (the Viterbi/E-step of
+    * Kudo 2018's SentencePiece unigram trainer): split each distinct
+    * word into vocabulary pieces maximizing the summed piece scores.
+    * Single characters always segment with a floor score of 1 (the UNK
+    * guarantee), so every word is segmentable; multi-char pieces must be
+    * in `vocab`.
+    *
+    * Ties resolve deterministically by PACKING the objective: a path's
+    * value is `score·64 + (63 − pieces)`, so the DP maximizes score
+    * first, then prefers FEWER pieces — one long per cell, one max per
+    * transition, and the identical packed recurrence replays in SQL
+    * (piece counts stay far below 64; scores below 2^56). Returns
+    * (word, count long, score long, n_pieces long).
+    *
+    * Scale shape: the corpus collapses to its word-frequency table (the
+    * only full scan); each UNIQUE word runs the DP once in a typed map
+    * over that vocab-sized frame with the piece table riding the
+    * closure (KBs) — the [[bpeEncode]] discipline. A word seen a
+    * billion times costs one DP. */
+  def unigramViterbiSegment(df: DataFrame, textCol: String,
+                            vocab: Map[String, Long],
+                            maxPieceLen: Int = 4): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(vocab.values.forall(s => s >= 1 && s < (1L << 56)),
+      "piece scores must be in [1, 2^56) for the packed objective")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        t => t =!= "")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    words.as[(String, Long)].map { case (w, c) =>
+      val n = w.length
+      val dp = new Array[Long](n + 1)
+      dp(0) = 63L // packed (score 0, pieces 0)
+      var i = 1
+      while (i <= n) {
+        var best = Long.MinValue
+        var l = 1
+        val lMax = math.min(maxPieceLen, i)
+        while (l <= lMax) {
+          val piece = w.substring(i - l, i)
+          val sc =
+            if (l == 1) Some(vocab.getOrElse(piece, 1L)) else vocab.get(piece)
+          sc.foreach { s =>
+            val v = dp(i - l) + s * 64 - 1
+            if (v > best) best = v
+          }
+          l += 1
+        }
+        dp(i) = best
+        i += 1
+      }
+      (w, c, dp(n) / 64, 63 - dp(n) % 64)
+    }.toDF("word", "count", "score", "n_pieces")
+  }
+
   def substringSeedVocab(df: DataFrame, textCol: String,
                          minLen: Int, maxLen: Int, topK: Int): DataFrame = {
     require(minLen >= 1 && maxLen >= minLen,

@@ -124,4 +124,17 @@ class TokenizeSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(counts == Map(1L -> 2L, 2L -> 5L, 3L -> 0L))
   }
+
+  test("unigramViterbiSegment: optimal split, fewer-pieces tiebreak, UNK floor") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc abab aa xyz")).toDF("id", "text")
+    val vocab = Map("ab" -> 10L, "abc" -> 100L, "bc" -> 10L, "aa" -> 2L)
+    val out = Tokenize.unigramViterbiSegment(docs, "text", vocab)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out("abc") == ((100L, 1L)))  // whole-word piece beats ab|c (11) and a|bc (11)
+    assert(out("abab") == ((20L, 2L))) // ab|ab
+    // 'aa' as one piece scores 2 == a|a's 1+1: equal score, FEWER pieces wins
+    assert(out("aa") == ((2L, 1L)))
+    assert(out("xyz") == ((3L, 3L)))   // all-UNK: single chars at floor 1
+  }
 }
