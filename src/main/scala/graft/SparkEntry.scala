@@ -3230,6 +3230,14 @@ object SparkEntry {
         ev.filter(col("event_id") <= half),
         ev.filter(col("event_id") > half), "value")
     }),
+    "q_voptimal_histogram" -> ((s, dir) => {
+      // V-optimal histogram (Jagadish VLDB'98) of n_chars: 32 equi-depth
+      // atoms -> exact-integer prefix sums -> O(A^2 B) DP driver-side;
+      // the optimizer-stats histogram equi-width/depth can't produce
+      operators.Ranking.vOptimalHistogram(
+        DbReader(conn(s, dir), "documents").run(), "n_chars", "doc_id",
+        atoms = 32, buckets = 6)
+    }),
     "events_psi_drift" -> ((s, dir) => {
       // PSI between the stream's first and second half (by event_id):
       // reference deciles via the scale-safe global ntile, +0.5 count
@@ -5381,6 +5389,71 @@ object SparkEntry {
         |  (3, 'purchase', (SELECT count(*) FROM s3))) t(stage, event_type, n_keys)
         |ORDER BY stage""".stripMargin,
     // robust z replay: interpolating median (both engines) + MAD join
+    // v-optimal replay: equi-depth atoms (ntile over (v, id)), integer
+    // prefix sums (HUGEINT cast), DP as a recursive CTE with
+    // min(struct(cost, i)) argmin — smallest split on ties, exactly the
+    // Spark DP's strict-< scan — then a recursive backtrack over the
+    // accumulated dp rows. Verified equal to an independent python DP
+    "q_voptimal_histogram" ->
+      """WITH RECURSIVE vals AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v, doc_id AS id
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |tiled AS (SELECT v, ntile(32) OVER (ORDER BY v, id) AS t FROM vals),
+        |a AS (SELECT t, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(v) AS BIGINT) AS s,
+        |             CAST(sum(v*v) AS BIGINT) AS s2,
+        |             min(v) AS lo, max(v) AS hi
+        |      FROM tiled GROUP BY t),
+        |am AS (SELECT CAST(max(t) AS BIGINT) AS a,
+        |              CAST(least(6, max(t)) AS BIGINT) AS b FROM a),
+        |p AS (SELECT 0 AS t, CAST(0 AS BIGINT) AS pn,
+        |             CAST(0 AS BIGINT) AS ps, CAST(0 AS BIGINT) AS ps2
+        |      UNION ALL
+        |      SELECT t, CAST(sum(n) OVER (ORDER BY t) AS BIGINT),
+        |             CAST(sum(s) OVER (ORDER BY t) AS BIGINT),
+        |             CAST(sum(s2) OVER (ORDER BY t) AS BIGINT)
+        |      FROM a),
+        |dp AS (
+        |  SELECT 1 AS b, pj.t AS j, CAST(0 AS BIGINT) AS prev,
+        |         (CAST(pj.ps2 AS DOUBLE)
+        |          - CAST(pj.ps AS DOUBLE) * CAST(pj.ps AS DOUBLE)
+        |            / CAST(pj.pn AS DOUBLE)) AS c
+        |  FROM p pj WHERE pj.t >= 1
+        |  UNION ALL
+        |  SELECT b, j, (min({'c': cand, 'i': i})).i AS prev,
+        |         (min({'c': cand, 'i': i})).c AS c
+        |  FROM (
+        |    SELECT d.b + 1 AS b, pj.t AS j, d.j AS i,
+        |           d.c + (CAST(pj.ps2 - pi.ps2 AS DOUBLE)
+        |                  - CAST(pj.ps - pi.ps AS DOUBLE)
+        |                    * CAST(pj.ps - pi.ps AS DOUBLE)
+        |                    / CAST(pj.pn - pi.pn AS DOUBLE)) AS cand
+        |    FROM dp d
+        |    JOIN p pi ON pi.t = d.j
+        |    JOIN p pj ON pj.t > d.j
+        |    CROSS JOIN am
+        |    WHERE d.b < am.b
+        |  ) cand
+        |  GROUP BY b, j),
+        |bt AS (
+        |  SELECT d.b, d.j, d.prev FROM dp d CROSS JOIN am
+        |  WHERE d.b = am.b AND d.j = am.a
+        |  UNION ALL
+        |  SELECT d.b, d.j, d.prev FROM bt JOIN dp d
+        |    ON d.b = bt.b - 1 AND d.j = bt.prev
+        |  WHERE bt.b > 1)
+        |SELECT CAST(bt.b AS BIGINT) AS bucket,
+        |       CAST(bt.prev + 1 AS BIGINT) AS atom_from,
+        |       CAST(bt.j AS BIGINT) AS atom_to,
+        |       CAST(pj.pn - pi.pn AS BIGINT) AS n,
+        |       (SELECT lo FROM a WHERE a.t = bt.prev + 1) AS lo,
+        |       (SELECT hi FROM a WHERE a.t = bt.j) AS hi,
+        |       round(CAST(pj.ps2 - pi.ps2 AS DOUBLE)
+        |             - CAST(pj.ps - pi.ps AS DOUBLE)
+        |               * CAST(pj.ps - pi.ps AS DOUBLE)
+        |               / CAST(pj.pn - pi.pn AS DOUBLE), 6) + 0.0 AS sse
+        |FROM bt JOIN p pi ON pi.t = bt.prev JOIN p pj ON pj.t = bt.j
+        |ORDER BY bucket""".stripMargin,
     // KS replay: per-distinct-value counts, window cumsum CDF (fine in
     // the oracle; the Spark side uses the distributed prefix-sum), the
     // same integer->double divisions. HUGEINT audit: window sums cast

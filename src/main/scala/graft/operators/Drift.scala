@@ -57,8 +57,8 @@ object Drift {
         .groupBy(col("__v")).agg(count(lit(1)).as(as))
     val r = counted(ref, "__nr")
     val c = counted(cur, "__nc")
-    val nR = r.agg(sum(col("__nr"))).first.getLong(0)
-    val nC = c.agg(sum(col("__nc"))).first.getLong(0)
+    val nR = r.agg(coalesce(sum(col("__nr")), lit(0L))).first.getLong(0)
+    val nC = c.agg(coalesce(sum(col("__nc")), lit(0L))).first.getLong(0)
     require(nR > 0 && nC > 0, "ksStatistic needs non-empty slices")
     val g = r.join(c, Seq("__v"), "full")
     val cum = Ranking.globalRunningSum(

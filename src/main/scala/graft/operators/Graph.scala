@@ -68,7 +68,7 @@ object Graph {
       pr.unpersist()
       pr = next
     }
-    e.unpersist(); contribSrc.unpersist()
+    e.unpersist(); contribSrc.unpersist(); nodes.unpersist()
     pr
   }
 }

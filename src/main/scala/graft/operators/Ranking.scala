@@ -270,6 +270,80 @@ object Ranking {
       .orderBy(col("bucket"))
   }
 
+  /** V-optimal histogram (Jagadish et al., VLDB 1998): the `buckets`-
+    * bucket partition of the sorted value domain minimizing total
+    * within-bucket sum of squared errors — the histogram a query
+    * optimizer wants for selectivity estimation, where equi-width
+    * drowns skew and equi-depth splits uniform runs for no gain.
+    *
+    * Two-level construction (the standard scale shape): the column is
+    * first compressed to `atoms` equi-depth tiles (total-ordered by
+    * (value, idCol) via [[globalNtile]] — deterministic tile membership
+    * for duplicate values), whose integer (n, Σv, Σv²) aggregates form a
+    * driver-bounded sidecar; the O(atoms² · buckets) DP then runs
+    * driver-side on exact integer prefix sums. `valCol` is read as LONG
+    * so the SSE numerators are integer-exact; each cost is the fixed
+    * double sequence `S2 − S·S/N`, and DP ties break on the smallest
+    * split point — the same `min(struct(cost, i))` the oracle takes.
+    *
+    * Returns min(buckets, tiles) rows: (bucket 1.., atom_from, atom_to,
+    * n long, lo long, hi long, sse double round(6)), bucket ascending in
+    * value order. NULLs excluded. */
+  def vOptimalHistogram(df: DataFrame, valCol: String, idCol: String,
+                        atoms: Int = 64, buckets: Int = 6): DataFrame = {
+    require(atoms >= 1 && buckets >= 1 && atoms >= buckets,
+      s"need atoms >= buckets >= 1, got ($atoms, $buckets)")
+    val spark = df.sparkSession
+    val vals = df.filter(col(valCol).isNotNull)
+      .select(col(valCol).cast("long").as("__v"), col(idCol).as("__id"))
+    val stats = globalNtile(vals, atoms, Seq(col("__v"), col("__id")),
+        out = "__t")
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("s"),
+        sum(col("__v") * col("__v")).as("s2"),
+        min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    val a = stats.length // < atoms when the input has fewer rows
+    require(a >= 1, "vOptimalHistogram needs a non-empty input")
+    val b = math.min(buckets, a)
+    val pn = new Array[Long](a + 1); val ps = new Array[Long](a + 1)
+    val ps2 = new Array[Long](a + 1)
+    stats.zipWithIndex.foreach { case ((_, n, s, s2, _, _), i) =>
+      pn(i + 1) = pn(i) + n; ps(i + 1) = ps(i) + s; ps2(i + 1) = ps2(i) + s2
+    }
+    def cost(i: Int, j: Int): Double = {
+      val n = pn(j) - pn(i); val s = ps(j) - ps(i); val s2 = ps2(j) - ps2(i)
+      (s2.toDouble - s.toDouble * s.toDouble / n.toDouble)
+    }
+    // dp(bk)(j): best SSE of splitting atoms 1..j into bk buckets
+    val dp = Array.fill(b + 1, a + 1)(Double.PositiveInfinity)
+    val prev = Array.fill(b + 1, a + 1)(0)
+    for (j <- 1 to a) dp(1)(j) = cost(0, j)
+    for (bk <- 2 to b; j <- bk to a) {
+      var bestI = -1; var bestC = Double.PositiveInfinity
+      for (i <- (bk - 1) until j) {
+        val cnd = dp(bk - 1)(i) + cost(i, j)
+        if (cnd < bestC) { bestC = cnd; bestI = i } // strict '<' == smallest i on ties
+      }
+      dp(bk)(j) = bestC; prev(bk)(j) = bestI
+    }
+    val cuts = new Array[Int](b + 1) // cuts(bk) = last atom of bucket bk
+    cuts(b) = a
+    for (bk <- b until 1 by -1) cuts(bk - 1) = prev(bk)(cuts(bk))
+    val rows = (1 to b).map { bk =>
+      val (from, to) = (cuts(bk - 1) + 1, cuts(bk))
+      val sse = BigDecimal(cost(from - 1, to))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (bk.toLong, from.toLong, to.toLong, pn(to) - pn(from - 1),
+        stats(from - 1)._5, stats(to - 1)._6, sse)
+    }
+    spark.createDataFrame(rows)
+      .toDF("bucket", "atom_from", "atom_to", "n", "lo", "hi", "sse")
+  }
+
   /** Per-group z-scores of a value column — the anomaly primitive under
     * "which day's event volume is off for this event type", "which
     * document's quality score is an outlier for its source": each row

@@ -562,7 +562,11 @@ object Sampling {
         sum(coalesce(col(valCol).cast("long"), lit(0L))
           * coalesce(col(valCol).cast("long"), lit(0L))).as("__s2"))
       .collect()
-      .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map { r =>
+        require(!r.isNullAt(0),
+          s"neymanAllocation: NULL $stratumCol — repair or filter upstream")
+        (r.get(0).toString, r.getLong(1), r.getLong(2), r.getLong(3))
+      }
       .sortBy(_._1)
     def weight(n: Long, c: Long, s2: Long): Double =
       if (n < 2) 0.0
@@ -619,7 +623,11 @@ object Sampling {
     val avail = df.groupBy(col(sourceCol))
       .agg(sum(coalesce(col(costCol).cast("long"), lit(0L))).as("__a"))
       .collect()
-      .map(r => (r.get(0).toString, r.getLong(1)))
+      .map { r =>
+        require(!r.isNullAt(0),
+          s"unimaxAllocation: NULL $sourceCol — repair or filter upstream")
+        (r.get(0).toString, r.getLong(1))
+      }
       .sortBy { case (s, a) => (a, s) }
     var remaining = budget
     var left = avail.length

@@ -182,4 +182,27 @@ class RankingSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("g", "v", "z"))
     assert(!out.queryExecution.executedPlan.toString.contains("WindowExec"))
   }
+
+  test("vOptimalHistogram: finds the zero-SSE cluster split equi-width/depth would miss") {
+    import spark.implicits._
+    // two tight clusters of unequal size: the optimal 2-bucket split is
+    // between them (total SSE 0); equi-depth would cut inside a cluster
+    val df = (Seq.fill(6)(1L) ++ Seq.fill(2)(1000L)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = Ranking.vOptimalHistogram(df, "v", "id", atoms = 8, buckets = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 6L, 6L, 1L, 1L, 0.0),
+      (2L, 7L, 8L, 2L, 1000L, 1000L, 0.0)))
+  }
+
+  test("vOptimalHistogram: buckets cap at available atoms; NULLs excluded") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5L)), (2L, Some(9L)), (3L, None))
+      .toDF("id", "v")
+    val out = Ranking.vOptimalHistogram(df, "v", "id", atoms = 8, buckets = 6)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out.length == 2) // 2 non-null rows -> 2 atoms -> 2 buckets
+    assert(out.map(_._4).sum == 2L && out.forall(_._7 == 0.0))
+  }
 }
