@@ -3230,6 +3230,25 @@ object SparkEntry {
         ev.filter(col("event_id") <= half),
         ev.filter(col("event_id") > half), "value")
     }),
+    "events_chi2_drift" -> ((s, dir) => {
+      // categorical drift over the same half-split: per-event-type
+      // (o-e)^2/e contingency contributions on exact integer counts —
+      // the drift check PSI/KS can't do (no ordered domain needed)
+      val ev = DbReader(conn(s, dir), "events").run()
+      val half = ev.agg(max(col("event_id"))).first.getLong(0) / 2
+      operators.Drift.chiSquareDrift(
+        ev.filter(col("event_id") <= half),
+        ev.filter(col("event_id") > half), "event_type")
+    }),
+    "events_cramers_v" -> ((s, dir) => {
+      // chi2 normalized to [0,1]: decimal-exact sum of the rounded
+      // contributions (order-free), then sqrt(chi2/n) — one row
+      val ev = DbReader(conn(s, dir), "events").run()
+      val half = ev.agg(max(col("event_id"))).first.getLong(0) / 2
+      operators.Drift.cramersV(
+        ev.filter(col("event_id") <= half),
+        ev.filter(col("event_id") > half), "event_type")
+    }),
     "q_voptimal_histogram" -> ((s, dir) => {
       // V-optimal histogram (Jagadish VLDB'98) of n_chars: 32 equi-depth
       // atoms -> exact-integer prefix sums -> O(A^2 B) DP driver-side;
@@ -5482,6 +5501,67 @@ object SparkEntry {
         |FROM cdf CROSS JOIN tot
         |ORDER BY abs(CAST(cr AS DOUBLE) / tr - CAST(cc AS DOUBLE) / tc) DESC, v
         |LIMIT 1""".stripMargin,
+    // chi2 replay: identical contingency-table double sequence
+    // ((tot*slice)/n expected counts) on integer counts; round(6)+0.0
+    "events_chi2_drift" ->
+      """WITH mx AS (SELECT CAST(max(event_id) // 2 AS BIGINT) AS h FROM events),
+        |g AS (SELECT CAST(event_type AS VARCHAR) AS category,
+        |        CAST(sum(CASE WHEN event_id <= h THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_ref,
+        |        CAST(sum(CASE WHEN event_id > h THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_cur
+        |      FROM events CROSS JOIN mx
+        |      WHERE event_type IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS nr,
+        |               CAST(sum(n_cur) AS DOUBLE) AS nc,
+        |               CAST(sum(n_ref) + sum(n_cur) AS DOUBLE) AS n FROM g)
+        |SELECT category, n_ref, n_cur,
+        |       round((CAST(n_ref AS DOUBLE)
+        |                - CAST(n_ref + n_cur AS DOUBLE) * nr / n)
+        |             * (CAST(n_ref AS DOUBLE)
+        |                - CAST(n_ref + n_cur AS DOUBLE) * nr / n)
+        |             / (CAST(n_ref + n_cur AS DOUBLE) * nr / n)
+        |           + (CAST(n_cur AS DOUBLE)
+        |                - CAST(n_ref + n_cur AS DOUBLE) * nc / n)
+        |             * (CAST(n_cur AS DOUBLE)
+        |                - CAST(n_ref + n_cur AS DOUBLE) * nc / n)
+        |             / (CAST(n_ref + n_cur AS DOUBLE) * nc / n), 6) + 0.0
+        |         AS contrib
+        |FROM g CROSS JOIN tot ORDER BY category""".stripMargin,
+    // Cramer's V replay: DECIMAL(28,6) sum of the rounded contributions
+    // (exact, order-free), then the one sqrt at the end
+    "events_cramers_v" ->
+      """WITH mx AS (SELECT CAST(max(event_id) // 2 AS BIGINT) AS h FROM events),
+        |g AS (SELECT CAST(event_type AS VARCHAR) AS category,
+        |        CAST(sum(CASE WHEN event_id <= h THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_ref,
+        |        CAST(sum(CASE WHEN event_id > h THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_cur
+        |      FROM events CROSS JOIN mx
+        |      WHERE event_type IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS nr,
+        |               CAST(sum(n_cur) AS DOUBLE) AS nc,
+        |               CAST(sum(n_ref) + sum(n_cur) AS DOUBLE) AS n FROM g),
+        |c AS (SELECT category, n_ref, n_cur,
+        |        round((CAST(n_ref AS DOUBLE)
+        |                 - CAST(n_ref + n_cur AS DOUBLE) * nr / n)
+        |              * (CAST(n_ref AS DOUBLE)
+        |                 - CAST(n_ref + n_cur AS DOUBLE) * nr / n)
+        |              / (CAST(n_ref + n_cur AS DOUBLE) * nr / n)
+        |            + (CAST(n_cur AS DOUBLE)
+        |                 - CAST(n_ref + n_cur AS DOUBLE) * nc / n)
+        |              * (CAST(n_cur AS DOUBLE)
+        |                 - CAST(n_ref + n_cur AS DOUBLE) * nc / n)
+        |              / (CAST(n_ref + n_cur AS DOUBLE) * nc / n), 6) + 0.0
+        |          AS contrib
+        |      FROM g CROSS JOIN tot)
+        |SELECT CAST(sum(CAST(contrib AS DECIMAL(28,6))) AS DOUBLE) AS chi2,
+        |       round(sqrt(CAST(sum(CAST(contrib AS DECIMAL(28,6))) AS DOUBLE)
+        |                  / CAST(sum(n_ref) + sum(n_cur) AS DOUBLE)), 6) + 0.0
+        |         AS v,
+        |       CAST(sum(n_ref) + sum(n_cur) AS BIGINT) AS n,
+        |       CAST(count(*) AS BIGINT) AS k
+        |FROM c""".stripMargin,
     // PSI replay: bucket = 1 + #(boundary < v) == "smallest i with
     // v <= b_i" (consistent under duplicate boundaries); p/q/contrib
     // the identical double sequence on integer counts; round + 0.0

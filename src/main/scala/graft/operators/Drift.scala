@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift monitors between a reference and a current slice
@@ -71,6 +71,76 @@ object Drift {
       .limit(1)
       .select(col("__v").as("at_value"), round(col("__d"), 6).as("d_stat"),
         lit(nR).as("n_ref"), lit(nC).as("n_cur"))
+  }
+
+  /** Chi-square contingency drift for a CATEGORICAL column — the
+    * complement of [[ksStatistic]]/[[psiBuckets]], which need an
+    * ordered numeric domain: did the category MIX shift between two
+    * snapshots ("is this crawl suddenly 80% one event type")?
+    *
+    * Builds the 2×k contingency table (slice × category) and reports,
+    * per category, both slices' `(o − e)² / e` terms summed —
+    * Σ contrib is the χ² statistic with k−1 degrees of freedom.
+    * Expected counts are `e = rowTotal · colTotal / n`, the fixed
+    * double sequence `(nCat · nSlice) / n` on exact integer counts, so
+    * the contributions replay across engines; round(6)+0.0 guards the
+    * zero corner. Categories absent from one slice contribute their
+    * full expected mass (o = 0) — that IS the drift signal.
+    *
+    * Returns one row per category seen in either slice: (category,
+    * n_ref long, n_cur long, contrib double), category ascending.
+    * NULL categories are excluded. Scale shape: two map-combinable
+    * groupBy-counts and a k-row full join — no sorts, no windows; the
+    * two scalar totals are driver-bounded sidecars. */
+  def chiSquareDrift(ref: DataFrame, cur: DataFrame,
+                     catCol: String): DataFrame = {
+    def counted(df: DataFrame, as: String) =
+      df.filter(col(catCol).isNotNull)
+        .select(col(catCol).cast("string").as("category"))
+        .groupBy(col("category")).agg(count(lit(1)).as(as))
+    val r = counted(ref, "n_ref")
+    val c = counted(cur, "n_cur")
+    val nR = r.agg(coalesce(sum(col("n_ref")), lit(0L))).first.getLong(0)
+    val nC = c.agg(coalesce(sum(col("n_cur")), lit(0L))).first.getLong(0)
+    require(nR > 0 && nC > 0, "chiSquareDrift needs non-empty slices")
+    val n = (nR + nC).toDouble
+    val g = r.join(c, Seq("category"), "full")
+      .select(col("category"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    def term(o: Column, slice: Long) = {
+      val e = (col("n_ref") + col("n_cur")).cast("double") *
+        lit(slice.toDouble) / lit(n)
+      (o.cast("double") - e) * (o.cast("double") - e) / e
+    }
+    g.select(col("category"), col("n_ref"), col("n_cur"),
+        (round(term(col("n_ref"), nR) + term(col("n_cur"), nC), 6) +
+          lit(0.0)).as("contrib"))
+      .orderBy(col("category"))
+  }
+
+  /** Cramér's V — the [0, 1]-normalized effect size of
+    * [[chiSquareDrift]]'s χ²: `sqrt(χ² / (n · min(r−1, k−1)))` with
+    * r = 2 slices, so `sqrt(χ² / n)`. One row: (chi2 double, v double,
+    * n long, k long).
+    *
+    * Cross-engine exactness: per-category terms are the SAME rounded
+    * doubles [[chiSquareDrift]] emits; χ² sums them as DECIMAL(28,6)
+    * (exact, order-free — a plain double SUM would expose both
+    * engines' accumulation order), and only then divides/sqrt's. */
+  def cramersV(ref: DataFrame, cur: DataFrame, catCol: String): DataFrame = {
+    val contrib = chiSquareDrift(ref, cur, catCol)
+    val nRow = contrib
+      .agg(sum(col("n_ref") + col("n_cur")).as("n"), count(lit(1)).as("k"),
+        sum(col("contrib").cast("decimal(28,6)")).as("chi2d"))
+      .first
+    val n = nRow.getLong(0); val k = nRow.getLong(1)
+    val chi2 = nRow.getDecimal(2).doubleValue
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val spark = ref.sparkSession
+    import spark.implicits._
+    Seq((chi2, r6(math.sqrt(chi2 / n)), n, k)).toDF("chi2", "v", "n", "k")
   }
 
   def psiBuckets(ref: DataFrame, cur: DataFrame, valCol: String,

@@ -49,6 +49,32 @@ class DriftSpec extends SparkSpec {
     assert(out._2 == 0.0 && out._3 == 100L && out._4 == 100L)
   }
 
+  test("chiSquareDrift: hand-computed 2x2 contingency; identical mixes give 0") {
+    // ref: 30 a, 10 b; cur: 10 a, 30 b -> classic 2x2, chi2 = 20.0
+    val ref = (Seq.fill(30)("a") ++ Seq.fill(10)("b")).toDF("c")
+    val cur = (Seq.fill(10)("a") ++ Seq.fill(30)("b")).toDF("c")
+    val out = Drift.chiSquareDrift(ref, cur, "c")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("a", 30L, 10L, 10.0), ("b", 10L, 30L, 10.0)))
+    val v = Drift.cramersV(ref, cur, "c")
+      .as[(Double, Double, Long, Long)].collect().head
+    assert(v == ((20.0, 0.5, 80L, 2L))) // sqrt(20/80) = 0.5
+    // same mix in both slices -> every contribution exactly 0
+    val same = Drift.chiSquareDrift(ref, ref, "c")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(same.forall(_._4 == 0.0))
+  }
+
+  test("chiSquareDrift: category absent from one slice contributes; NULLs excluded") {
+    val ref = Seq(Some("a"), Some("a"), Some("b"), None).toDF("c")
+    val cur = Seq(Some("a"), Some("a"), Some("c"), None).toDF("c")
+    val out = Drift.chiSquareDrift(ref, cur, "c")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq("a", "b", "c"))
+    assert(out.map(r => (r._2, r._3)) == Seq((2L, 2L), (1L, 0L), (0L, 1L)))
+    assert(out.filter(_._1 != "a").forall(_._4 > 0.0))
+  }
+
   test("empty buckets emitted with smoothing-finite contributions; NULLs excluded") {
     val ref = Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, Some(3.0)),
       (4L, Some(4.0)), (5L, None)).toDF("id", "v")
