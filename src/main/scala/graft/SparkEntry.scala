@@ -805,6 +805,28 @@ object SparkEntry {
           Seq("lang", "len_bucket"), "source", l = 3)
         .orderBy(col("lang"), col("len_bucket"))
     }),
+    "pii_t_closeness" -> ((s, dir) => {
+      // t-closeness (Li ICDE'07), ordered EMD: does any (lang, source)
+      // class's length-bucket distribution sit > 0.2 EMD from the
+      // table's? Exact integer numerators, one double division at end
+      operators.Privacy.tClosenessAudit(
+          DbReader(conn(s, dir), "documents").run()
+            .withColumn("len_bucket",
+              call_function("div", col("n_chars"), lit(100L))),
+          Seq("lang", "source"), "len_bucket", t = 0.2)
+        .orderBy(col("lang"), col("source"))
+    }),
+    "pii_t_closeness_cat" -> ((s, dir) => {
+      // categorical variant (variational distance) with 'source' as the
+      // sensitive attribute — the l-diversity refinement: a 3-diverse
+      // class can still be 90/5/5 where the table is 30/30/40
+      operators.Privacy.tClosenessAudit(
+          DbReader(conn(s, dir), "documents").run()
+            .withColumn("len_bucket",
+              call_function("div", col("n_chars"), lit(100L))),
+          Seq("lang", "len_bucket"), "source", t = 0.15, ordered = false)
+        .orderBy(col("lang"), col("len_bucket"))
+    }),
     "pii_scrub" -> ((s, dir) => {
       // PII redaction audit with planted entities: the corpus has no
       // natural PII, so each doc gets a deterministic email + IP + phone
@@ -4304,6 +4326,73 @@ object SparkEntry {
         |       count(DISTINCT source) < 3 AS at_risk
         |FROM documents GROUP BY lang, len_bucket
         |ORDER BY lang, len_bucket""".stripMargin,
+    // t-closeness replay: same integer numerators |cum_c·N − cum_g·n|
+    // summed as DECIMAL(38,0), one double division; null-safe class join
+    "pii_t_closeness" ->
+      """WITH base AS (
+        |  SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |g AS (SELECT v, CAST(count(*) AS BIGINT) AS gc FROM base GROUP BY v),
+        |tot AS (SELECT CAST(sum(gc) AS BIGINT) AS nn,
+        |               CAST(count(*) AS BIGINT) AS m FROM g),
+        |cls AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |        FROM base GROUP BY lang, source),
+        |cv AS (SELECT lang, source, v, CAST(count(*) AS BIGINT) AS c
+        |       FROM base GROUP BY lang, source, v),
+        |cum AS (
+        |  SELECT cls.lang, cls.source, cls.n,
+        |         sum(COALESCE(cv.c, 0)) OVER (
+        |           PARTITION BY cls.lang, cls.source ORDER BY g.v) AS cc,
+        |         sum(g.gc) OVER (
+        |           PARTITION BY cls.lang, cls.source ORDER BY g.v) AS cg
+        |  FROM cls CROSS JOIN g
+        |  LEFT JOIN cv ON cv.lang IS NOT DISTINCT FROM cls.lang
+        |              AND cv.source IS NOT DISTINCT FROM cls.source
+        |              AND cv.v = g.v),
+        |s AS (
+        |  SELECT lang, source, n,
+        |         sum(CAST(abs(CAST(cc AS DECIMAL(38,0)) * nn
+        |                      - CAST(cg AS DECIMAL(38,0)) * n)
+        |                  AS DECIMAL(38,0))) AS sm
+        |  FROM cum CROSS JOIN tot GROUP BY lang, source, n),
+        |e AS (
+        |  SELECT lang, source, n,
+        |         round(CAST(sm AS DOUBLE)
+        |               / (CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)
+        |                  * CAST(m - 1 AS DOUBLE)), 6) + 0.0 AS emd
+        |  FROM s CROSS JOIN tot)
+        |SELECT lang, source, n, emd, emd > 0.2 AS at_risk
+        |FROM e ORDER BY lang, source""".stripMargin,
+    // categorical variant: per-value |c·N − g·n|, denominator 2·n·N
+    "pii_t_closeness_cat" ->
+      """WITH base AS (
+        |  SELECT lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+        |         source AS v
+        |  FROM documents WHERE source IS NOT NULL),
+        |g AS (SELECT v, CAST(count(*) AS BIGINT) AS gc FROM base GROUP BY v),
+        |tot AS (SELECT CAST(sum(gc) AS BIGINT) AS nn FROM g),
+        |cls AS (SELECT lang, len_bucket, CAST(count(*) AS BIGINT) AS n
+        |        FROM base GROUP BY lang, len_bucket),
+        |cv AS (SELECT lang, len_bucket, v, CAST(count(*) AS BIGINT) AS c
+        |       FROM base GROUP BY lang, len_bucket, v),
+        |s AS (
+        |  SELECT cls.lang, cls.len_bucket, cls.n,
+        |         sum(CAST(abs(CAST(COALESCE(cv.c, 0) AS DECIMAL(38,0)) * nn
+        |                      - CAST(g.gc AS DECIMAL(38,0)) * cls.n)
+        |                  AS DECIMAL(38,0))) AS sm
+        |  FROM cls CROSS JOIN g CROSS JOIN tot
+        |  LEFT JOIN cv ON cv.lang IS NOT DISTINCT FROM cls.lang
+        |              AND cv.len_bucket IS NOT DISTINCT FROM cls.len_bucket
+        |              AND cv.v = g.v
+        |  GROUP BY cls.lang, cls.len_bucket, cls.n),
+        |e AS (
+        |  SELECT lang, len_bucket, n,
+        |         round(CAST(sm AS DOUBLE)
+        |               / (CAST(n AS DOUBLE) * CAST(nn AS DOUBLE) * 2.0), 6)
+        |           + 0.0 AS emd
+        |  FROM s CROSS JOIN tot)
+        |SELECT lang, len_bucket, n, emd, emd > 0.15 AS at_risk
+        |FROM e ORDER BY lang, len_bucket""".stripMargin,
     "ngram_topk" ->
       """WITH toks AS (
         |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents

@@ -53,4 +53,86 @@ object Privacy {
         count_distinct(col(sensitiveCol)).as("n_sensitive"))
       .withColumn("at_risk", col("n_sensitive") < l)
   }
+
+  /** t-closeness audit (Li et al., ICDE 2007) — the refinement l-diversity
+    * still misses: a class can be l-diverse yet have a sensitive
+    * DISTRIBUTION far from the table's (e.g. 90% one disease where the
+    * population has 5%), and the attacker learns the skew. A class is
+    * t-close when the distance between its sensitive distribution and the
+    * global one is <= `t`; `ordered = true` uses the paper's Earth Mover's
+    * Distance for ordered attributes, `(1/(m−1)) Σ_i |Σ_{j<=i} (p_j − q_j)|`
+    * over the m-value global support; `ordered = false` the categorical
+    * variational distance `(1/2) Σ |p_j − q_j|`.
+    *
+    * Cross-engine exactness: both distances are computed as EXACT INTEGER
+    * numerators — `|cum_c·N − cum_g·n|` (resp. `|c·N − g·n|`), summed as
+    * DECIMAL(38,0) (overflow-safe at any table size), with ONE double
+    * division `/ (n·N·(m−1))` (resp. `/ (2·n·N)`) at the end, then
+    * round(6). No per-term double accumulates, so the audit replays
+    * bit-identically in any engine.
+    *
+    * Returns one row per class: (quasiCols..., n long, emd double,
+    * at_risk boolean). NULL sensitive values are excluded (they carry no
+    * release risk for this attribute); classes that are all-NULL on the
+    * sensitive column therefore do not appear.
+    *
+    * Scale shape: per-value class counts (map-combinable), an m-row
+    * broadcast of the global support onto the distinct-class frame via a
+    * constant-key hash join (m = |support| is audit-bounded), and a
+    * window partitioned BY CLASS — thousands of independent partitions,
+    * never the global single-partition trap. */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, t: Double,
+                      ordered: Boolean = true): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(t > 0.0 && t < 1.0, s"t must be in (0,1), got $t")
+    val qc = quasiCols.map(col)
+    val base = df.filter(col(sensitiveCol).isNotNull)
+      .select(qc :+ col(sensitiveCol).as("__v"): _*)
+    val global = base.groupBy(col("__v")).agg(count(lit(1)).as("__g"))
+    val tot = global.agg(coalesce(sum(col("__g")), lit(0L)),
+      count(lit(1))).first
+    val bigN = tot.getLong(0); val m = tot.getLong(1)
+    require(bigN > 0, "tClosenessAudit needs rows with a sensitive value")
+    require(!ordered || m >= 2,
+      s"ordered EMD needs >= 2 distinct sensitive values, got $m")
+    val classes = base.groupBy(qc: _*).agg(count(lit(1)).as("__n"))
+    // class-list × global support: constant-key broadcast hash join (the
+    // grid is |classes| · m rows — audit-bounded, never O(table))
+    val grid = classes.withColumn("__k", lit(1))
+      .join(broadcast(global.withColumn("__k", lit(1))), "__k").drop("__k")
+    // null-safe (<=>) join: a NULL quasi-value is its own class (GROUP BY
+    // semantics) and must still receive its per-value counts
+    val cv = base.groupBy(qc :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
+      .select(quasiCols.zipWithIndex.map { case (q, i) =>
+        col(q).as(s"__q$i") } ++ Seq(col("__v").as("__w"), col("__c")): _*)
+    val joinCond = quasiCols.zipWithIndex
+      .map { case (q, i) => col(q) <=> col(s"__q$i") }
+      .reduce(_ && _) && col("__v") === col("__w")
+    val joined = grid.join(cv, joinCond, "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qc: _*).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // ordered: the final (i = m) cumulative term is |n·N − N·n| = 0 by
+    // construction, so summing all m rows IS the 1..m−1 paper sum.
+    // Products go through DECIMAL(38,0) BEFORE multiplying — count·count
+    // in long would overflow at ~3e9 rows
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val num =
+      if (ordered) abs(d(sum(col("__c")).over(w)) * lit(bigN)
+        - d(sum(col("__g")).over(w)) * col("__n"))
+      else abs(d(col("__c")) * lit(bigN) - d(col("__g")) * col("__n"))
+    val denom =
+      if (ordered) col("__n").cast("double") * lit(bigN.toDouble) *
+        lit((m - 1).toDouble)
+      else col("__n").cast("double") * lit(bigN.toDouble) * lit(2.0)
+    joined
+      .withColumn("__num", num.cast("decimal(38,0)"))
+      .groupBy(qc :+ col("__n"): _*)
+      .agg(sum(col("__num")).as("__s"))
+      .select(qc ++ Seq(col("__n").as("n"),
+        (round(col("__s").cast("double") / denom, 6) + lit(0.0)).as("emd")): _*)
+      .withColumn("at_risk", col("emd") > t)
+  }
 }

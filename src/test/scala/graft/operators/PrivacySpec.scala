@@ -35,6 +35,35 @@ class PrivacySpec extends SparkSpec {
       ("c", 1L, 0L, true)))   // all-NULL sensitive: 0 distinct, at risk
   }
 
+  test("tClosenessAudit ordered: hand-computed EMD on a 3-value support") {
+    // global: v=1 x4, v=2 x2, v=3 x2 (N=8, m=3); class "a" = {1,1,1,1}
+    // p=(1,0,0), q=(1/2,1/4,1/4): cums |1-1/2|=1/2, |1-3/4|=1/4 ->
+    // EMD = (1/2+1/4)/2 = 0.375; class "b" = {2,2,3,3}: p=(0,1/2,1/2),
+    // cums 1/2, 1/4 -> same 0.375 by symmetry
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 1),
+      ("b", 2), ("b", 2), ("b", 3), ("b", 3)).toDF("q", "v")
+    val out = Privacy.tClosenessAudit(df, Seq("q"), "v", t = 0.3)
+      .as[(String, Long, Double, Boolean)].collect().toSet
+    assert(out == Set(("a", 4L, 0.375, true), ("b", 4L, 0.375, true)))
+  }
+
+  test("tClosenessAudit: global-matching class scores 0; categorical TV; NULLs excluded") {
+    val df = Seq(("a", Some("x")), ("a", Some("y")),
+      ("b", Some("x")), ("b", Some("y")), ("c", None)).toDF("q", "v")
+    // both classes mirror the global 50/50 -> distance 0, not at risk
+    val tv = Privacy.tClosenessAudit(df, Seq("q"), "v", t = 0.1,
+        ordered = false)
+      .as[(String, Long, Double, Boolean)].collect().toSet
+    assert(tv == Set(("a", 2L, 0.0, false), ("b", 2L, 0.0, false)))
+    // skewed class: "a"={x,x}, "b"={y}: global q=(2/3,1/3);
+    // TV(a) = (|1-2/3|+|0-1/3|)/2 = 1/3
+    val df2 = Seq(("a", "x"), ("a", "x"), ("b", "y")).toDF("q", "v")
+    val tv2 = Privacy.tClosenessAudit(df2, Seq("q"), "v", t = 0.3,
+        ordered = false)
+      .as[(String, Long, Double, Boolean)].collect().toSet
+    assert(tv2 == Set(("a", 2L, 0.333333, true), ("b", 1L, 0.666667, true)))
+  }
+
   test("plan: both audits are a single grouped aggregate — no window, no join") {
     val df = Seq(("a", "s1", 1L)).toDF("q", "sens", "v")
     val p1 = Privacy.kAnonymityAudit(df, Seq("q"), 2)
