@@ -805,6 +805,14 @@ object SparkEntry {
           Seq("lang", "len_bucket"), "source", l = 3)
         .orderBy(col("lang"), col("len_bucket"))
     }),
+    "feature_target_encode" -> ((s, dir) => {
+      // k-fold out-of-fold target encoding (source -> mean n_chars):
+      // each (category, fold) cell's encoding uses only OTHER folds'
+      // labels — integer sums, one double division per cell
+      operators.Features.targetEncodeKFold(
+        DbReader(conn(s, dir), "documents").run(),
+        "source", "n_chars", "doc_id", k = 5)
+    }),
     "pii_t_closeness" -> ((s, dir) => {
       // t-closeness (Li ICDE'07), ordered EMD: does any (lang, source)
       // class's length-bucket distribution sit > 0.2 EMD from the
@@ -4326,6 +4334,31 @@ object SparkEntry {
         |       count(DISTINCT source) < 3 AS at_risk
         |FROM documents GROUP BY lang, len_bucket
         |ORDER BY lang, len_bucket""".stripMargin,
+    // target-encoding replay: same Knuth fold, exact integer cell/cat
+    // sums, CASE for the single-fold-category global-mean fallback
+    "feature_target_encode" ->
+      """WITH base AS (
+        |  SELECT CAST(source AS VARCHAR) AS category,
+        |         CAST(n_chars AS BIGINT) AS t,
+        |         CAST((doc_id % 2147483648) * 2654435761 % 4294967296 % 5
+        |              AS BIGINT) AS fold
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |cells AS (SELECT category, fold, CAST(count(*) AS BIGINT) AS n,
+        |                 CAST(sum(t) AS BIGINT) AS s
+        |          FROM base GROUP BY category, fold),
+        |cats AS (SELECT category, CAST(sum(n) AS BIGINT) AS cn,
+        |                CAST(sum(s) AS BIGINT) AS cs
+        |         FROM cells GROUP BY category),
+        |tot AS (SELECT CAST(sum(cn) AS BIGINT) AS bn,
+        |               CAST(sum(cs) AS BIGINT) AS bs FROM cats)
+        |SELECT c.category, c.fold, c.n,
+        |       round(CASE WHEN cats.cn - c.n > 0
+        |                  THEN CAST(cats.cs - c.s AS DOUBLE)
+        |                       / CAST(cats.cn - c.n AS DOUBLE)
+        |                  ELSE CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE) END,
+        |             6) + 0.0 AS enc
+        |FROM cells c JOIN cats USING (category) CROSS JOIN tot
+        |ORDER BY category, fold""".stripMargin,
     // t-closeness replay: same integer numerators |cum_c·N − cum_g·n|
     // summed as DECIMAL(38,0), one double division; null-safe class join
     "pii_t_closeness" ->

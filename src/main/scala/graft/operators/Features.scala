@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering operators that need leakage discipline — the
+  * transforms a training pipeline computes FROM the label column, where
+  * naively using a row's own label to build its feature leaks the target
+  * into the input (the classic target-leakage bug that makes offline
+  * metrics great and the deployed model useless).
+  */
+object Features {
+
+  /** Deterministic fold id in [0, k): the corpus-wide Knuth
+    * multiplicative hash (`(id mod 2^31) · 2654435761 mod 2^32`) mod k —
+    * the same split family the sampling operators use, so folds line up
+    * across feature / split / mixing stages. */
+  def foldOf(id: Column, k: Int): Column =
+    pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(4294967296L)) %
+      lit(k.toLong)
+
+  /** K-fold out-of-fold target-encoding table: for each (category, fold)
+    * cell, the mean label computed over every OTHER fold's rows of that
+    * category — the encoding the cell's rows are allowed to see. Rows
+    * whose category has no out-of-fold labels (a category living entirely
+    * in one fold) fall back to the global out-of-fold-agnostic mean, the
+    * standard prior.
+    *
+    * Cross-engine exactness: the label is read as LONG, all sums/counts
+    * are exact integers, and each encoding is ONE double division
+    * (`(S_c − s_cf) / (n_c − n_cf)`), rounded to 6 dp — no accumulated
+    * double sequence anywhere.
+    *
+    * Returns (category string, fold long, n long — rows IN the cell,
+    * enc double). NULL categories and NULL labels are excluded.
+    *
+    * Scale shape: one map-combinable groupBy on (category, fold) — the
+    * word-count shape — then a per-category total via a second tiny
+    * aggregate broadcast-joined back (both frames are bounded by
+    * |categories| · k, not by the table). Applying the encoding to rows
+    * ([[applyTargetEncoding]]) is one broadcast hash join. */
+  def targetEncodeKFold(df: DataFrame, catCol: String, targetCol: String,
+                        idCol: String, k: Int = 5): DataFrame = {
+    require(k >= 2, s"need at least 2 folds, got $k")
+    val base = df
+      .filter(col(catCol).isNotNull && col(targetCol).isNotNull)
+      .select(col(catCol).cast("string").as("category"),
+        col(targetCol).cast("long").as("__t"),
+        foldOf(col(idCol), k).as("fold"))
+    val cells = base.groupBy(col("category"), col("fold"))
+      .agg(count(lit(1)).as("n"), sum(col("__t")).as("__s"))
+    val cats = cells.groupBy(col("category"))
+      .agg(sum(col("n")).as("__cn"), sum(col("__s")).as("__cs"))
+    val tot = cats.agg(coalesce(sum(col("__cn")), lit(0L)),
+      coalesce(sum(col("__cs")), lit(0L))).first
+    val bigN = tot.getLong(0); val bigS = tot.getLong(1)
+    require(bigN > 0, "targetEncodeKFold needs labeled rows")
+    val outN = col("__cn") - col("n")
+    val outS = col("__cs") - col("__s")
+    cells.join(broadcast(cats), "category")
+      .select(col("category"), col("fold"), col("n"),
+        (round(when(outN > 0, outS.cast("double") / outN.cast("double"))
+          .otherwise(lit(bigS.toDouble / bigN.toDouble)), 6) + lit(0.0))
+          .as("enc"))
+      .orderBy(col("category"), col("fold"))
+  }
+
+  /** Join the [[targetEncodeKFold]] table back onto the rows: each row
+    * gets the encoding of its (category, fold) cell in a new `outCol`.
+    * Rows with a NULL category or an unseen cell get NULL — surface,
+    * don't invent. The encoding table is broadcast (|categories| · k
+    * rows); the big side never shuffles. */
+  def applyTargetEncoding(df: DataFrame, encTable: DataFrame,
+                          catCol: String, idCol: String, k: Int,
+                          outCol: String = "cat_enc"): DataFrame = {
+    val enc = encTable.select(col("category").as("__ec"),
+      col("fold").as("__ef"), col("enc").as(outCol))
+    df.withColumn("__fold", foldOf(col(idCol), k))
+      .join(broadcast(enc),
+        col(catCol).cast("string") === col("__ec") &&
+          col("__fold") === col("__ef"),
+        "left")
+      .drop("__ec", "__ef", "__fold")
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("targetEncodeKFold: a cell's encoding never sees its own fold's labels") {
+    // category "a": fold-0 labels {10, 10}, fold-1 labels {40};
+    // the fold-0 cell must encode to mean(out-of-fold) = 40, never 20
+    // (ids chosen so the Knuth hash lands them in the intended folds)
+    val ids = (0L to 200L).map(i => (i, Features.foldOf(lit(i), 2)))
+    val folds = spark.range(201)
+      .select(col("id"), Features.foldOf(col("id"), 2).as("f"))
+      .as[(Long, Long)].collect().toMap
+    val id0 = (0L to 200L).filter(folds(_) == 0L)
+    val id1 = (0L to 200L).filter(folds(_) == 1L)
+    val df = Seq(
+      (id0(0), "a", 10L), (id0(1), "a", 10L), (id1(0), "a", 40L),
+      (id0(2), "b", 7L), (id1(1), "b", 9L)
+    ).toDF("id", "cat", "t")
+    val out = Features.targetEncodeKFold(df, "cat", "t", "id", k = 2)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("a", 0L, 2L, 40.0),  // out-of-fold mean = 40/1
+      ("a", 1L, 1L, 10.0),  // out-of-fold mean = 20/2
+      ("b", 0L, 1L, 9.0),
+      ("b", 1L, 1L, 7.0)))
+  }
+
+  test("targetEncodeKFold: single-fold category falls back to global mean; NULLs excluded") {
+    val folds = spark.range(100)
+      .select(col("id"), Features.foldOf(col("id"), 2).as("f"))
+      .as[(Long, Long)].collect().toMap
+    val id0 = (0L to 99L).filter(folds(_) == 0L)
+    val id1 = (0L to 99L).filter(folds(_) == 1L)
+    val df = Seq(
+      (id0(0), Some("solo"), Some(100L)),        // entire category in fold 0
+      (id0(1), Some("x"), Some(10L)), (id1(0), Some("x"), Some(30L)),
+      (id1(1), None, Some(5L)), (id0(2), Some("x"), None)
+    ).toDF("id", "cat", "t")
+    val out = Features.targetEncodeKFold(df, "cat", "t", "id", k = 2)
+      .as[(String, Long, Long, Double)].collect().toSet
+    // global mean over labeled, categorized rows = (100+10+30)/3
+    assert(out.contains(("solo", 0L, 1L, 46.666667)))
+    assert(out.size == 3) // NULL cat and NULL label rows dropped
+  }
+
+  test("applyTargetEncoding: rows get their cell's encoding via broadcast; unseen stays NULL") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
+      (4L, "a", 40L), (5L, "b", 50L), (6L, "b", 60L)).toDF("id", "cat", "t")
+    val enc = Features.targetEncodeKFold(df, "cat", "t", "id", k = 3)
+    val applied = Features.applyTargetEncoding(df, enc, "cat", "id", k = 3)
+    assert(applied.count() == 6)
+    assert(applied.filter(col("cat_enc").isNull).count() == 0)
+    val plan = applied.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // a category the table never saw -> NULL, not invented
+    val fresh = Seq((9L, "zzz", 0L)).toDF("id", "cat", "t")
+    assert(Features.applyTargetEncoding(fresh, enc, "cat", "id", k = 3)
+      .filter(col("cat_enc").isNull).count() == 1)
+  }
+}
