@@ -805,6 +805,25 @@ object SparkEntry {
           Seq("lang", "len_bucket"), "source", l = 3)
         .orderBy(col("lang"), col("len_bucket"))
     }),
+    "sketch_hll_registers" -> ((s, dir) => {
+      // deterministic HLL register table (p=8) over the corpus VOCAB —
+      // the mergeable per-shard cardinality sidecar; md5-derived 60-bit
+      // hash so every engine computes identical registers
+      operators.Sketch.hllRegisters(
+        DbReader(conn(s, dir), "documents").run()
+          .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+          .filter(col("w") =!= ""),
+        "w", p = 8)
+    }),
+    "sketch_hll_estimate" -> ((s, dir) => {
+      // the estimate off those registers: integer-exact harmonic-mean
+      // denominator (sum of 2^(53-rank) longs), one double sequence
+      operators.Sketch.hllEstimate(operators.Sketch.hllRegisters(
+        DbReader(conn(s, dir), "documents").run()
+          .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+          .filter(col("w") =!= ""),
+        "w", p = 8))
+    }),
     "feature_target_encode" -> ((s, dir) => {
       // k-fold out-of-fold target encoding (source -> mean n_chars):
       // each (category, fold) cell's encoding uses only OTHER folds'
@@ -4334,6 +4353,64 @@ object SparkEntry {
         |       count(DISTINCT source) < 3 AS at_risk
         |FROM documents GROUP BY lang, len_bucket
         |ORDER BY lang, len_bucket""".stripMargin,
+    // HLL register replay: identical 60-bit md5 hash (15 hex chars ->
+    // BIGINT), bucket = top 8 bits, rank = first set bit of the low 52
+    // via lpad(bin(...)) — byte-identical register table
+    "sketch_hll_registers" ->
+      """WITH toks AS (
+        |  SELECT t FROM documents, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+        |    AS u(t)),
+        |h AS (SELECT CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+        |      FROM toks),
+        |r AS (SELECT h >> 52 AS bucket,
+        |             CASE WHEN (h & ((CAST(1 AS BIGINT) << 52) - 1)) = 0
+        |                  THEN 53
+        |                  ELSE strpos(lpad(bin(
+        |                    h & ((CAST(1 AS BIGINT) << 52) - 1)), 52, '0'),
+        |                    '1') END AS r
+        |      FROM h),
+        |regs AS (SELECT bucket, CAST(max(r) AS BIGINT) AS max_rank
+        |         FROM r GROUP BY bucket),
+        |shape AS (SELECT CAST(unnest(range(256)) AS BIGINT) AS bucket)
+        |SELECT shape.bucket, COALESCE(regs.max_rank, 0) AS max_rank
+        |FROM shape LEFT JOIN regs ON regs.bucket = shape.bucket
+        |ORDER BY shape.bucket""".stripMargin,
+    // estimate replay: integer S = sum 2^(53-rank), then the one fixed
+    // double sequence alpha*m^2*2^53/S (+ linear-counting branch)
+    "sketch_hll_estimate" ->
+      """WITH toks AS (
+        |  SELECT t FROM documents, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+        |    AS u(t)),
+        |h AS (SELECT CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+        |      FROM toks),
+        |r AS (SELECT h >> 52 AS bucket,
+        |             CASE WHEN (h & ((CAST(1 AS BIGINT) << 52) - 1)) = 0
+        |                  THEN 53
+        |                  ELSE strpos(lpad(bin(
+        |                    h & ((CAST(1 AS BIGINT) << 52) - 1)), 52, '0'),
+        |                    '1') END AS r
+        |      FROM h),
+        |regs AS (SELECT bucket, CAST(max(r) AS BIGINT) AS max_rank
+        |         FROM r GROUP BY bucket),
+        |shape AS (SELECT CAST(unnest(range(256)) AS BIGINT) AS bucket),
+        |allr AS (SELECT shape.bucket, COALESCE(regs.max_rank, 0) AS max_rank
+        |         FROM shape LEFT JOIN regs ON regs.bucket = shape.bucket),
+        |s AS (SELECT CAST(sum(CAST(1 AS BIGINT) << CAST(53 - max_rank
+        |               AS INTEGER)) AS BIGINT) AS si,
+        |             CAST(sum(CASE WHEN max_rank = 0 THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS v,
+        |             CAST(count(*) AS BIGINT) AS m FROM allr)
+        |SELECT round(CASE WHEN 0.7213 / (1 + 1.079 / 256.0) * 65536.0
+        |                       * 9007199254740992.0 / CAST(si AS DOUBLE)
+        |                     <= 640.0 AND v > 0
+        |                  THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+        |                  ELSE 0.7213 / (1 + 1.079 / 256.0) * 65536.0
+        |                       * 9007199254740992.0 / CAST(si AS DOUBLE)
+        |             END, 4) + 0.0 AS estimate,
+        |       m AS n_buckets, v AS v_zero
+        |FROM s""".stripMargin,
     // target-encoding replay: same Knuth fold, exact integer cell/cat
     // sums, CASE for the single-fold-category global-mean fallback
     "feature_target_encode" ->
