@@ -805,6 +805,20 @@ object SparkEntry {
           Seq("lang", "len_bucket"), "source", l = 3)
         .orderBy(col("lang"), col("len_bucket"))
     }),
+    "fuzzy_name_matches" -> ((s, dir) => {
+      // blocked fuzzy self-match on customer names: block = name minus
+      // last 2 chars (names differing only there are candidates), pairs
+      // within Levenshtein 1, aggregated per customer — no cross product
+      val pairs = operators.Joins.fuzzySelfPairs(
+        DbReader(conn(s, dir), "customer").run(),
+        "c_custkey", "c_name",
+        expr("substring(c_name, 1, length(c_name)-2)"), maxDist = 1)
+      pairs.select(col("id_a").as("c_custkey"), col("id_b").as("__o"))
+        .union(pairs.select(col("id_b"), col("id_a")))
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_fuzzy"), min(col("__o")).as("min_match"))
+        .orderBy(col("c_custkey"))
+    }),
     "sketch_hll_registers" -> ((s, dir) => {
       // deterministic HLL register table (p=8) over the corpus VOCAB —
       // the mergeable per-shard cardinality sidecar; md5-derived 60-bit
@@ -4353,6 +4367,21 @@ object SparkEntry {
         |       count(DISTINCT source) < 3 AS at_risk
         |FROM documents GROUP BY lang, len_bucket
         |ORDER BY lang, len_bucket""".stripMargin,
+    // fuzzy-match replay: same block, same integer Levenshtein DP
+    "fuzzy_name_matches" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name AS s,
+        |         substr(c_name, 1, length(c_name) - 2) AS blk
+        |  FROM customer WHERE c_name IS NOT NULL AND c_custkey IS NOT NULL),
+        |p AS (
+        |  SELECT a.id AS ia, b.id AS ib
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.s, b.s) <= 1),
+        |sym AS (SELECT ia AS k, ib AS o FROM p
+        |        UNION ALL SELECT ib, ia FROM p)
+        |SELECT k AS c_custkey, CAST(count(*) AS BIGINT) AS n_fuzzy,
+        |       CAST(min(o) AS BIGINT) AS min_match
+        |FROM sym GROUP BY k ORDER BY k""".stripMargin,
     // HLL register replay: identical 60-bit md5 hash (15 hex chars ->
     // BIGINT), bucket = top 8 bits, rank = first set bit of the low 52
     // via lpad(bin(...)) — byte-identical register table

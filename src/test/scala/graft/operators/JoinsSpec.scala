@@ -367,4 +367,28 @@ class JoinsSpec extends SparkSpec {
     assert(out == Map(1L -> true, 2L -> true, 3L -> false,
       4L -> true, 5L -> false, 6L -> false), out)
   }
+
+  test("fuzzySelfPairs: in-block pairs within maxDist; cross-block twins never compared") {
+    val df = Seq(
+      (1L, "smith", "sm"), (2L, "smyth", "sm"), (3L, "smish", "sm"),
+      (4L, "smith", "zz"),              // identical string, different block
+      (5L, null.asInstanceOf[String], "sm")
+    ).toDF("id", "name", "blk")
+    val out = Joins.fuzzySelfPairs(df, "id", "name", col("blk"), maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // smith~smyth 1, smith~smish 1, smyth~smish 2 (excluded); block zz alone
+    assert(out == Set((1L, 2L, 1L), (1L, 3L, 1L)))
+    // maxDist 2 admits the third pair; id_a < id_b canonical
+    val out2 = Joins.fuzzySelfPairs(df, "id", "name", col("blk"), maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out2 == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L)))
+  }
+
+  test("fuzzySelfPairs plan: equi-join on the block key, no cartesian") {
+    val df = Seq((1L, "a", "x")).toDF("id", "name", "blk")
+    val plan = Joins.fuzzySelfPairs(df, "id", "name", col("blk"), 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
