@@ -805,6 +805,24 @@ object SparkEntry {
           Seq("lang", "len_bucket"), "source", l = 3)
         .orderBy(col("lang"), col("len_bucket"))
     }),
+    "fuzzy_jaro_winkler" -> ((s, dir) => {
+      // Jaro-Winkler over same-first-letter pairs of the top-50 vocab
+      // words — the codegen'd expression vs DuckDB's builtin, exercising
+      // windows, transpositions, and the prefix boost on real tokens
+      import graft.expressions.GraftExpressions.jaroWinkler
+      val words = DbReader(conn(s, dir), "documents").run()
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col("w")).limit(50)
+        .select(col("w"), substring(col("w"), 1, 1).as("__b"))
+      words.select(col("w").as("w1"), col("__b"))
+        .join(words.select(col("w").as("w2"), col("__b")), Seq("__b"))
+        .filter(col("w1") < col("w2"))
+        .select(col("w1"), col("w2"),
+          (round(jaroWinkler(col("w1"), col("w2")), 6) + lit(0.0)).as("jw"))
+        .orderBy(col("w1"), col("w2"))
+    }),
     "fuzzy_name_matches" -> ((s, dir) => {
       // blocked fuzzy self-match on customer names: block = name minus
       // last 2 chars (names differing only there are candidates), pairs
@@ -4367,6 +4385,20 @@ object SparkEntry {
         |       count(DISTINCT source) < 3 AS at_risk
         |FROM documents GROUP BY lang, len_bucket
         |ORDER BY lang, len_bucket""".stripMargin,
+    // Jaro-Winkler replay vs DuckDB's builtin (same integer
+    // half-transpositions + 0.7 boost threshold, probed r11)
+    "fuzzy_jaro_winkler" ->
+      """WITH toks AS (
+        |  SELECT t FROM documents, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+        |    AS u(t)),
+        |freq AS (SELECT t AS w, count(*) AS n FROM toks GROUP BY t
+        |         ORDER BY n DESC, w LIMIT 50),
+        |a AS (SELECT w, substr(w, 1, 1) AS b FROM freq)
+        |SELECT x.w AS w1, y.w AS w2,
+        |       round(jaro_winkler_similarity(x.w, y.w), 6) + 0.0 AS jw
+        |FROM a x JOIN a y ON x.b = y.b AND x.w < y.w
+        |ORDER BY w1, w2""".stripMargin,
     // fuzzy-match replay: same block, same integer Levenshtein DP
     "fuzzy_name_matches" ->
       """WITH c AS (

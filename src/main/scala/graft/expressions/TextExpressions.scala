@@ -129,6 +129,26 @@ case class MatchFold(child: Expression)
     copy(child = newChild)
 }
 
+/** Jaro–Winkler similarity — the record-linkage scorer Spark lacks as a
+  * built-in (it has only levenshtein/soundex): codegen'd, NULL-safe,
+  * integer half-transpositions + 0.7 boost threshold, verified
+  * value-identical to DuckDB's `jaro_winkler_similarity` (incl. the
+  * odd-transposition and below-threshold-prefix corners). */
+case class JaroWinkler(left: Expression, right: Expression)
+  extends BinaryExpression with GraftStringInput {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashImpl.jaroWinkler(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.TextHashImpl.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 64-bit SimHash over a token array (Charikar '02): per-bit vote of each
   * token's xxHash64, weighted +1/-1; near-duplicates differ in few bits, so
   * `bit_count(a ^ b)` (built-in) gives the Hamming distance. */
@@ -212,6 +232,56 @@ object TextHashImpl {
     val buf = deflateBufTL.get()
     while (!d.finished()) compressed += d.deflate(buf)
     compressed.toDouble / raw.length
+  }
+
+  /** Jaro–Winkler similarity (Winkler '90), the record-linkage standard:
+    * Jaro match/transposition count over the `max(len)/2 − 1` window,
+    * then the prefix boost `j + ℓ·0.1·(1−j)` for up to 4 common leading
+    * chars, applied only when j > 0.7 (the boost threshold every
+    * mainstream implementation — including DuckDB's
+    * `jaro_winkler_similarity` — uses, which is what lets gates replay).
+    * Operates on UTF-16 code units; identical to byte-wise for ASCII. */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val s = a.toString; val t = b.toString
+    val la = s.length; val lb = t.length
+    if (la == 0 || lb == 0) return 0.0
+    if (s == t) return 1.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val ma = new Array[Boolean](la); val mb = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var done = false
+      while (j <= hi && !done) {
+        if (!mb(j) && s.charAt(i) == t.charAt(j)) {
+          ma(i) = true; mb(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: matched chars of s vs matched chars of t, in order
+    var tpos = 0; var k = 0
+    i = 0
+    while (i < la) {
+      if (ma(i)) {
+        while (!mb(k)) k += 1
+        if (s.charAt(i) != t.charAt(k)) tpos += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (md - tpos / 2) / md) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxL = math.min(4, math.min(la, lb))
+    while (l < maxL && s.charAt(l) == t.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
   }
 
   def unicodeNormalize(s: UTF8String, form: String): UTF8String = {
@@ -698,6 +768,8 @@ object GraftExpressions {
   def unicodeNormalize(c: Column, form: String = "NFC"): Column =
     col(UnicodeNormalize(expr(c), form))
   def matchFold(c: Column): Column = col(MatchFold(expr(c)))
+  def jaroWinkler(a: Column, b: Column): Column =
+    col(JaroWinkler(expr(a), expr(b)))
   def compressionRatio(c: Column): Column = col(CompressionRatio(expr(c)))
   def wordShingles(c: Column, n: Int): Column = col(WordShingles(expr(c), n))
   def charNgrams(c: Column, n: Int): Column = col(CharNgrams(expr(c), n))
