@@ -856,6 +856,17 @@ object SparkEntry {
           .filter(col("w") =!= ""),
         "w", p = 8))
     }),
+    "feature_mutual_info" -> ((s, dir) => {
+      // per-cell MI contributions between source and lang: integer
+      // counts, one integer-product log argument, round(6) per cell
+      operators.Features.mutualInfoCells(
+        DbReader(conn(s, dir), "documents").run(), "source", "lang")
+    }),
+    "feature_mutual_info_total" -> ((s, dir) => {
+      // the scalar: decimal-exact order-free sum of the rounded cells
+      operators.Features.mutualInformation(
+        DbReader(conn(s, dir), "documents").run(), "source", "lang")
+    }),
     "feature_target_encode" -> ((s, dir) => {
       // k-fold out-of-fold target encoding (source -> mean n_chars):
       // each (category, fold) cell's encoding uses only OTHER folds'
@@ -4472,6 +4483,42 @@ object SparkEntry {
         |             END, 4) + 0.0 AS estimate,
         |       m AS n_buckets, v AS v_zero
         |FROM s""".stripMargin,
+    // MI replay: same contingency counts, DECIMAL(38,0) products inside
+    // the one log argument, (c_xy/N)*ln(...) double sequence, round+0.0
+    "feature_mutual_info" ->
+      """WITH base AS (
+        |  SELECT CAST(source AS VARCHAR) AS x, CAST(lang AS VARCHAR) AS y
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL),
+        |xy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy
+        |       FROM base GROUP BY x, y),
+        |xs AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS cx FROM xy GROUP BY x),
+        |ys AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS cy FROM xy GROUP BY y),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+        |SELECT xy.x, xy.y, xy.n_xy,
+        |       round(CAST(xy.n_xy AS DOUBLE) / CAST(n.n AS DOUBLE)
+        |             * ln(CAST(CAST(xy.n_xy AS DECIMAL(38,0)) * n.n AS DOUBLE)
+        |                  / CAST(CAST(xs.cx AS DECIMAL(38,0)) * ys.cy
+        |                         AS DOUBLE)), 6) + 0.0 AS contrib
+        |FROM xy JOIN xs USING (x) JOIN ys USING (y) CROSS JOIN n
+        |ORDER BY x, y""".stripMargin,
+    "feature_mutual_info_total" ->
+      """WITH base AS (
+        |  SELECT CAST(source AS VARCHAR) AS x, CAST(lang AS VARCHAR) AS y
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL),
+        |xy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy
+        |       FROM base GROUP BY x, y),
+        |xs AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS cx FROM xy GROUP BY x),
+        |ys AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS cy FROM xy GROUP BY y),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |cells AS (
+        |  SELECT round(CAST(xy.n_xy AS DOUBLE) / CAST(n.n AS DOUBLE)
+        |             * ln(CAST(CAST(xy.n_xy AS DECIMAL(38,0)) * n.n AS DOUBLE)
+        |                  / CAST(CAST(xs.cx AS DECIMAL(38,0)) * ys.cy
+        |                         AS DOUBLE)), 6) + 0.0 AS contrib
+        |  FROM xy JOIN xs USING (x) JOIN ys USING (y) CROSS JOIN n)
+        |SELECT CAST(sum(CAST(contrib AS DECIMAL(28,6))) AS DOUBLE) AS mi_nats,
+        |       CAST(count(*) AS BIGINT) AS n_cells
+        |FROM cells""".stripMargin,
     // target-encoding replay: same Knuth fold, exact integer cell/cat
     // sums, CASE for the single-fold-category global-mean fallback
     "feature_target_encode" ->

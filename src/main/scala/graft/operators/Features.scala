@@ -65,6 +65,49 @@ object Features {
       .orderBy(col("category"), col("fold"))
   }
 
+  /** Per-cell mutual-information contributions between two categorical
+    * columns — the feature-selection score ("how much does knowing
+    * `source` tell you about `lang`?") and the redundancy check before
+    * adding a feature that's a proxy for the label. Each (x, y) cell
+    * contributes `(c_xy/N) · ln(c_xy·N / (c_x·c_y))` nats; Σ contrib is
+    * the MI, zero iff independent. Cells with c_xy = 0 contribute 0 and
+    * are omitted (lim p→0 of p·ln p).
+    *
+    * Cross-engine exactness: counts are exact integers; the log argument
+    * is formed as one integer-product division (`(c_xy·N) / (c_x·c_y)`,
+    * products through DECIMAL(38,0) so a 10^12-row table cannot
+    * overflow), so each contribution is the same short double sequence in
+    * any engine; round(6)+0.0 per cell.
+    *
+    * Returns (x string, y string, n_xy long, contrib double), ordered by
+    * (x, y). Scale shape: one groupBy on (x, y) plus two marginal
+    * aggregates broadcast back — output bounded by |X|·|Y|. */
+  def mutualInfoCells(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("string").as("x"),
+        col(yCol).cast("string").as("y"))
+    val xy = base.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+    val xs = xy.groupBy(col("x")).agg(sum(col("n_xy")).as("__cx"))
+    val ys = xy.groupBy(col("y")).agg(sum(col("n_xy")).as("__cy"))
+    val n = base.count()
+    require(n > 0, "mutualInfoCells needs non-null rows")
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val ratio = (d(col("n_xy")) * lit(n)).cast("double") /
+      (d(col("__cx")) * col("__cy")).cast("double")
+    xy.join(broadcast(xs), "x").join(broadcast(ys), "y")
+      .select(col("x"), col("y"), col("n_xy"),
+        (round(col("n_xy").cast("double") / lit(n.toDouble) * log(ratio), 6)
+          + lit(0.0)).as("contrib"))
+      .orderBy(col("x"), col("y"))
+  }
+
+  /** The MI scalar off [[mutualInfoCells]]: DECIMAL(28,6) sum of the
+    * rounded cells (order-free), one row (mi_nats double, n_cells long). */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    mutualInfoCells(df, xCol, yCol)
+      .agg(sum(col("contrib").cast("decimal(28,6)")).cast("double")
+        .as("mi_nats"), count(lit(1)).as("n_cells"))
+
   /** Join the [[targetEncodeKFold]] table back onto the rows: each row
     * gets the encoding of its (category, fold) cell in a new `outCol`.
     * Rows with a NULL category or an unseen cell get NULL — surface,

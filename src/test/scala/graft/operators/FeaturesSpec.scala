@@ -47,6 +47,33 @@ class FeaturesSpec extends SparkSpec {
     assert(out.size == 3) // NULL cat and NULL label rows dropped
   }
 
+  test("mutualInformation: 0 for independent columns, ln 2 for a 1-bit copy") {
+    // x == y over two equiprobable values: MI = ln 2 nats
+    val copy = Seq(("a", "a"), ("b", "b"), ("a", "a"), ("b", "b"))
+      .toDF("x", "y")
+    val mi = Features.mutualInformation(copy, "x", "y")
+      .as[(Double, Long)].collect().head
+    assert(math.abs(mi._1 - math.log(2.0)) < 1e-5 && mi._2 == 2L)
+    // independent: every (x, y) combination equally likely -> MI = 0
+    val indep = (for (x <- Seq("a", "b"); y <- Seq("u", "v")) yield (x, y))
+      .toDF("x", "y")
+    val mi0 = Features.mutualInformation(indep, "x", "y")
+      .as[(Double, Long)].collect().head
+    assert(mi0._1 == 0.0 && mi0._2 == 4L)
+  }
+
+  test("mutualInfoCells: zero cells omitted, contributions sum to MI, NULLs excluded") {
+    val df = Seq(
+      (Some("a"), Some("u")), (Some("a"), Some("u")), (Some("b"), Some("v")),
+      (None, Some("u")), (Some("b"), None)).toDF("x", "y")
+    val cells = Features.mutualInfoCells(df, "x", "y")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(cells.map(c => (c._1, c._2)) == Seq(("a", "u"), ("b", "v")))
+    // perfectly dependent 2/1 split: MI = (2/3)ln(3/2) + (1/3)ln(3)
+    val want = 2.0 / 3 * math.log(1.5) + 1.0 / 3 * math.log(3.0)
+    assert(math.abs(cells.map(_._4).sum - want) < 1e-5)
+  }
+
   test("applyTargetEncoding: rows get their cell's encoding via broadcast; unseen stays NULL") {
     val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
       (4L, "a", 40L), (5L, "b", 50L), (6L, "b", 60L)).toDF("id", "cat", "t")
