@@ -856,6 +856,14 @@ object SparkEntry {
           .filter(col("w") =!= ""),
         "w", p = 8))
     }),
+    "text_readability" -> ((s, dir) => {
+      // Flesch Reading Ease + FK grade per doc: fixed regex counting
+      // rules (maximal [a-z]+ words, [.!?]+ sentences, [aeiouy]+ vowel
+      // groups min 1), map-only — no explode, no shuffle
+      operators.TextMetrics.readabilityScores(
+          DbReader(conn(s, dir), "documents").run(), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     "feature_mutual_info" -> ((s, dir) => {
       // per-cell MI contributions between source and lang: integer
       // counts, one integer-product log argument, round(6) per cell
@@ -4483,6 +4491,37 @@ object SparkEntry {
         |             END, 4) + 0.0 AS estimate,
         |       m AS n_buckets, v AS v_zero
         |FROM s""".stripMargin,
+    // readability replay: identical regex counting rules and the two
+    // fixed double sequences; NULL scores for zero-word docs
+    "text_readability" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                     x -> x <> '') AS words,
+        |         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS ns
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+        |         CAST(ns AS BIGINT) AS n_sentences,
+        |         CAST(COALESCE(list_sum(list_transform(words,
+        |           w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))),
+        |           0) AS BIGINT) AS n_syllables
+        |  FROM base)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |       CASE WHEN n_words > 0 THEN
+        |         round(206.835
+        |               - 1.015 * (CAST(n_words AS DOUBLE)
+        |                          / CAST(n_sentences AS DOUBLE))
+        |               - 84.6 * (CAST(n_syllables AS DOUBLE)
+        |                         / CAST(n_words AS DOUBLE)), 4) + 0.0
+        |       END AS fre,
+        |       CASE WHEN n_words > 0 THEN
+        |         round(0.39 * (CAST(n_words AS DOUBLE)
+        |                       / CAST(n_sentences AS DOUBLE))
+        |               + 11.8 * (CAST(n_syllables AS DOUBLE)
+        |                         / CAST(n_words AS DOUBLE)) - 15.59, 4) + 0.0
+        |       END AS fk
+        |FROM c ORDER BY doc_id""".stripMargin,
     // MI replay: same contingency counts, DECIMAL(38,0) products inside
     // the one log argument, (c_xy/N)*ln(...) double sequence, round+0.0
     "feature_mutual_info" ->

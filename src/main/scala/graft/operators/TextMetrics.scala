@@ -87,4 +87,45 @@ object TextMetrics {
             .as("dup_ngram_frac"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Flesch readability per document — Reading Ease (`206.835 −
+    * 1.015·W/S − 84.6·Syl/W`) and Flesch–Kincaid grade (`0.39·W/S +
+    * 11.8·Syl/W − 15.59`), the length-free quality signals a curation
+    * pipeline uses to bucket prose difficulty. Counting rules are fixed
+    * and engine-replayable: words are maximal [a-z]+ runs of the
+    * lowercased text; sentences are maximal [.!?]+ runs (min 1);
+    * syllables per word are maximal [aeiouy]+ vowel groups (min 1 — the
+    * standard heuristic, ±1 syllable on silent-e words, which is fine
+    * for corpus bucketing, not for linguistics).
+    *
+    * Returns (id, n_words, n_sentences, n_syllables, fre double round(4),
+    * fk double round(4)); zero-word documents keep their counts and get
+    * NULL scores (no denominator — surface, don't invent). Purely
+    * map-side: three regexes per document, no explode, no shuffle. */
+  def readabilityScores(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val words = expr(
+      s"filter(split(lower($textCol), '[^a-z]+'), x -> x <> '')")
+    val nW = size(words).cast("long")
+    val nS = greatest(lit(1L),
+      size(expr(s"regexp_extract_all($textCol, '[.!?]+', 0)")).cast("long"))
+    val nSyl = expr(
+      s"""aggregate(
+         |  transform(filter(split(lower($textCol), '[^a-z]+'),
+         |                   x -> x <> ''),
+         |    w -> greatest(1L, size(regexp_extract_all(w, '[aeiouy]+', 0)))),
+         |  0L, (acc, x) -> acc + x)""".stripMargin)
+    val ws = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val sylw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    df.select(col(idCol), nW.as("n_words"), nS.as("n_sentences"),
+        nSyl.as("n_syllables"))
+      .withColumn("fre",
+        when(col("n_words") > 0L,
+          round(lit(206.835) - lit(1.015) * ws - lit(84.6) * sylw, 4)
+            + lit(0.0)))
+      .withColumn("fk",
+        when(col("n_words") > 0L,
+          round(lit(0.39) * ws + lit(11.8) * sylw - lit(15.59), 4)
+            + lit(0.0)))
+  }
 }

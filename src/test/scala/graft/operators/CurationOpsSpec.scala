@@ -563,6 +563,24 @@ class TextMetricsSpec extends SparkSpec {
       .select($"doc_id", $"n").as[(Long, Int)].collect().toSet
     assert(m == Set((1L, 2), (2L, 2), (2L, 5)))
   }
+
+  test("readabilityScores: hand-counted words/sentences/syllables and formulas") {
+    // "The cat sat. It ran!" -> 5 words, 2 sentences,
+    // syllables: the(1) cat(1) sat(1) it(1) ran(1) = 5
+    val df = Seq((1L, "The cat sat. It ran!"), (2L, "???"), (3L, "beautiful day"))
+      .toDF("doc_id", "text")
+    val out = TextMetrics.readabilityScores(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    val r1 = out(0)
+    assert((r1._2, r1._3, r1._4) == ((5L, 2L, 5L)))
+    // FRE = 206.835 - 1.015*2.5 - 84.6*1.0 = 119.6975
+    assert(r1._5.contains(119.6975) && r1._6.contains(-2.815))
+    // zero-word doc: counts kept, scores NULL (sentence floor = 1)
+    assert(out(1) == ((2L, 0L, 1L, 0L, None, None)))
+    // beau-ti-ful (eau/i/u groups = 3) + day (1) = 4 syllables, 1 sentence
+    assert((out(2)._2, out(2)._3, out(2)._4) == ((2L, 1L, 4L)))
+  }
 }
 
 class MojibakeSpec extends SparkSpec {
