@@ -864,6 +864,27 @@ object SparkEntry {
           DbReader(conn(s, dir), "documents").run(), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "feature_calibration_bins" -> ((s, dir) => {
+      // reliability diagram of the fastText-style quality scorer against
+      // the is-English label: decile bins of predicted score vs
+      // empirical positive rate — decimal-exact per-bin sums
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val toks = docs.select(
+        explode(filter(split(lower(col("text")), "[^a-z]+"),
+          t => t =!= "")).as("word"))
+      val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= 50)
+        .select(col("word"),
+          (conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long")
+            % 2001 - 1000).cast("double").as("weight"))
+      val scored = operators.Corpus.fastTextStyleScore(docs, "doc_id",
+          "text", vocab, bias = 0.0, scale = 1000.0)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .join(docs.filter(col("lang").isNotNull)
+          .select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          "doc_id")
+      operators.Features.calibrationBins(scored, "score", "is_en")
+    }),
     "feature_mutual_info" -> ((s, dir) => {
       // per-cell MI contributions between source and lang: integer
       // counts, one integer-product log argument, round(6) per cell
@@ -4522,6 +4543,44 @@ object SparkEntry {
         |                         / CAST(n_words AS DOUBLE)) - 15.59, 4) + 0.0
         |       END AS fk
         |FROM c ORDER BY doc_id""".stripMargin,
+    // calibration replay: the classifier-score CTE verbatim, then
+    // decile bins with DECIMAL(18,6) score sums and rounded-value gaps
+    "feature_calibration_bins" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS t
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT t, CAST(('0x' || substr(md5(t), 1, 15))::UBIGINT AS BIGINT)
+        |           % 2001 - 1000 AS wi
+        |  FROM (SELECT t FROM toks GROUP BY t HAVING count(*) >= 50)),
+        |s AS (
+        |  SELECT doc_id, count(*) AS n_toks,
+        |         CAST(sum(COALESCE(v.wi, 0)) AS BIGINT) AS sw
+        |  FROM toks LEFT JOIN vocab v USING (t)
+        |  GROUP BY doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, (d.lang = 'en') AS l,
+        |         CASE WHEN s.doc_id IS NULL THEN 0.5
+        |              ELSE round(1.0 / (1.0 +
+        |                exp(-(sw / (n_toks * 1000.0)))), 4) END AS score
+        |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        |  WHERE d.lang IS NOT NULL),
+        |b AS (
+        |  SELECT least(9, CAST(floor(score * 10) AS BIGINT)) AS bin,
+        |         CAST(score AS DECIMAL(18,6)) AS sd,
+        |         CASE WHEN l THEN 1 ELSE 0 END AS p
+        |  FROM scored),
+        |agg AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |         round(CAST(sum(sd) AS DOUBLE)
+        |               / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_score,
+        |         round(CAST(sum(p) AS DOUBLE)
+        |               / CAST(count(*) AS DOUBLE), 6) + 0.0 AS frac_pos
+        |  FROM b GROUP BY bin)
+        |SELECT bin, n, mean_score, frac_pos,
+        |       round(abs(mean_score - frac_pos), 6) + 0.0 AS gap
+        |FROM agg ORDER BY bin""".stripMargin,
     // MI replay: same contingency counts, DECIMAL(38,0) products inside
     // the one log argument, (c_xy/N)*ln(...) double sequence, round+0.0
     "feature_mutual_info" ->

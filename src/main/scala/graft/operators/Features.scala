@@ -108,6 +108,45 @@ object Features {
       .agg(sum(col("contrib").cast("decimal(28,6)")).cast("double")
         .as("mi_nats"), count(lit(1)).as("n_cells"))
 
+  /** Reliability-diagram bins for a probabilistic scorer — the
+    * calibration check that belongs next to any quality-classifier gate:
+    * bucket rows by predicted score (`bin = min(bins−1, ⌊score·bins⌋)`),
+    * and per bin report the mean predicted score vs the empirical
+    * positive rate. A calibrated model's per-bin gap ~ 0; Σ (n/N)·gap is
+    * the Expected Calibration Error if the caller wants the scalar.
+    *
+    * Cross-engine exactness: scores pass through DECIMAL(18,6) so the
+    * per-bin sum is exact and order-free; each reported value is one
+    * double division off exact sums, round(6)+0.0; the gap is the
+    * difference OF THE ROUNDED values (deterministic in any engine).
+    *
+    * Returns (bin 0..bins−1 long — empty bins omitted, n long,
+    * mean_score double, frac_pos double, gap double), bin ascending.
+    * NULL scores/labels excluded. One map-combinable groupBy. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(
+        least(lit((bins - 1).toLong),
+          floor(col(scoreCol) * lit(bins)).cast("long")).as("bin"),
+        col(scoreCol).cast("decimal(18,6)").as("__s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__p"))
+    val agg = base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__s")).as("__ss"),
+        sum(col("__p")).as("__pp"))
+      .select(col("bin"), col("n"),
+        (round(col("__ss").cast("double") / col("n").cast("double"), 6)
+          + lit(0.0)).as("mean_score"),
+        (round(col("__pp").cast("double") / col("n").cast("double"), 6)
+          + lit(0.0)).as("frac_pos"))
+    agg.select(col("bin"), col("n"), col("mean_score"), col("frac_pos"),
+        (round(abs(col("mean_score") - col("frac_pos")), 6) + lit(0.0))
+          .as("gap"))
+      .orderBy(col("bin"))
+  }
+
   /** Join the [[targetEncodeKFold]] table back onto the rows: each row
     * gets the encoding of its (category, fold) cell in a new `outCol`.
     * Rows with a NULL category or an unseen cell get NULL — surface,

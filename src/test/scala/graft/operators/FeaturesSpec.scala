@@ -74,6 +74,27 @@ class FeaturesSpec extends SparkSpec {
     assert(math.abs(cells.map(_._4).sum - want) < 1e-5)
   }
 
+  test("calibrationBins: perfect calibration gaps 0; score 1.0 clamps into the top bin") {
+    // bin 2 (scores .2x): 4 rows, mean .25, one positive -> frac .25, gap 0
+    val df = Seq(
+      (0.2, false), (0.2, false), (0.3, true), (0.3, false),
+      (1.0, true), (0.95, true)).toDF("score", "y")
+    val out = Features.calibrationBins(df, "score", "y", bins = 10)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(2L, 3L, 9L)) // 1.0 clamped to bin 9
+    assert(out.head == ((2L, 2L, 0.2, 0.0, 0.2)))
+    assert(out(1) == ((3L, 2L, 0.3, 0.5, 0.2)))
+    assert(out(2) == ((9L, 2L, 0.975, 1.0, 0.025)))
+  }
+
+  test("calibrationBins: NULL score or label rows excluded; empty bins omitted") {
+    val df = Seq((Some(0.5), Some(true)), (None, Some(true)),
+      (Some(0.5), None)).toDF("score", "y")
+    val out = Features.calibrationBins(df, "score", "y")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq((5L, 1L, 0.5, 1.0, 0.5)))
+  }
+
   test("applyTargetEncoding: rows get their cell's encoding via broadcast; unseen stays NULL") {
     val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
       (4L, "a", 40L), (5L, "b", 50L), (6L, "b", 60L)).toDF("id", "cat", "t")
