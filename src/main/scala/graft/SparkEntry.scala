@@ -3351,6 +3351,24 @@ object SparkEntry {
         ev.filter(col("event_id") <= half),
         ev.filter(col("event_id") > half), "value")
     }),
+    "embedding_mean_drift" -> ((s, dir) => {
+      // per-dimension mean shift between the two vec_id halves —
+      // DECIMAL(28,9)-exact per-dim sums, map-combined into 64 cells
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      val half = emb.agg(max(col("vec_id"))).first.getLong(0) / 2
+      operators.Drift.embeddingMeanDrift(
+        emb.filter(col("vec_id") <= half),
+        emb.filter(col("vec_id") > half), "embedding")
+    }),
+    "embedding_mmd2" -> ((s, dir) => {
+      // the scalar linear-kernel MMD^2: DECIMAL(38,18)-exact sum of the
+      // 64 squared drifts, one row
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      val half = emb.agg(max(col("vec_id"))).first.getLong(0) / 2
+      operators.Drift.embeddingMmd2(
+        emb.filter(col("vec_id") <= half),
+        emb.filter(col("vec_id") > half), "embedding")
+    }),
     "events_chi2_drift" -> ((s, dir) => {
       // categorical drift over the same half-split: per-event-type
       // (o-e)^2/e contingency contributions on exact integer counts —
@@ -5906,6 +5924,62 @@ object SparkEntry {
         |FROM cdf CROSS JOIN tot
         |ORDER BY abs(CAST(cr AS DOUBLE) / tr - CAST(cc AS DOUBLE) / tc) DESC, v
         |LIMIT 1""".stripMargin,
+    // embedding-drift replay: float components through DECIMAL(28,9)
+    // (same 9-dp rounding of the same binary value), exact sums, one
+    // division per mean, drifts off the rounded means
+    "embedding_mean_drift" ->
+      """WITH mx AS (SELECT CAST(max(vec_id) // 2 AS BIGINT) AS h
+        |            FROM embeddings),
+        |rx AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |              CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+        |                         * 1000000000.0) AS BIGINT) AS x
+        |       FROM embeddings CROSS JOIN mx
+        |       WHERE embedding IS NOT NULL AND vec_id <= h),
+        |cx AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |              CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+        |                         * 1000000000.0) AS BIGINT) AS x
+        |       FROM embeddings CROSS JOIN mx
+        |       WHERE embedding IS NOT NULL AND vec_id > h),
+        |ra AS (SELECT dim, count(*) AS nr,
+        |              CAST(sum(x) AS DECIMAL(38,0)) AS sr FROM rx GROUP BY dim),
+        |ca AS (SELECT dim, count(*) AS nc,
+        |              CAST(sum(x) AS DECIMAL(38,0)) AS sc FROM cx GROUP BY dim),
+        |m AS (SELECT CAST(ra.dim AS BIGINT) AS dim,
+        |             round(CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)
+        |                   / 1000000000.0, 9) + 0.0 AS mean_ref,
+        |             round(CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)
+        |                   / 1000000000.0, 9) + 0.0 AS mean_cur
+        |      FROM ra JOIN ca ON ra.dim = ca.dim)
+        |SELECT dim, mean_ref, mean_cur,
+        |       round(abs(mean_ref - mean_cur), 9) + 0.0 AS drift
+        |FROM m ORDER BY dim""".stripMargin,
+    "embedding_mmd2" ->
+      """WITH mx AS (SELECT CAST(max(vec_id) // 2 AS BIGINT) AS h
+        |            FROM embeddings),
+        |rx AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |              CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+        |                         * 1000000000.0) AS BIGINT) AS x
+        |       FROM embeddings CROSS JOIN mx
+        |       WHERE embedding IS NOT NULL AND vec_id <= h),
+        |cx AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |              CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+        |                         * 1000000000.0) AS BIGINT) AS x
+        |       FROM embeddings CROSS JOIN mx
+        |       WHERE embedding IS NOT NULL AND vec_id > h),
+        |ra AS (SELECT dim, count(*) AS nr,
+        |              CAST(sum(x) AS DECIMAL(38,0)) AS sr FROM rx GROUP BY dim),
+        |ca AS (SELECT dim, count(*) AS nc,
+        |              CAST(sum(x) AS DECIMAL(38,0)) AS sc FROM cx GROUP BY dim),
+        |d AS (SELECT round(abs(
+        |               (round(CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)
+        |                      / 1000000000.0, 9) + 0.0)
+        |               - (round(CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)
+        |                        / 1000000000.0, 9) + 0.0)), 9) + 0.0 AS drift
+        |      FROM ra JOIN ca ON ra.dim = ca.dim)
+        |SELECT round(CAST(sum(CAST(drift * drift AS DECIMAL(38,18)))
+        |                  AS DOUBLE), 12) + 0.0 AS mmd2,
+        |       CAST(count(*) AS BIGINT) AS dims
+        |FROM d""".stripMargin,
     // chi2 replay: identical contingency-table double sequence
     // ((tot*slice)/n expected counts) on integer counts; round(6)+0.0
     "events_chi2_drift" ->

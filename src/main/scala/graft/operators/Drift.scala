@@ -143,6 +143,60 @@ object Drift {
     Seq((chi2, r6(math.sqrt(chi2 / n)), n, k)).toDF("chi2", "v", "n", "k")
   }
 
+  /** Per-dimension embedding mean drift between two corpus slices — the
+    * linear-kernel MMD decomposition: `MMD² = ||μ_ref − μ_cur||²`, here
+    * reported per dimension so the drifted axes are visible, not just
+    * the scalar. The embedding-space complement of the scalar monitors:
+    * PSI/KS watch one numeric column; this watches where the REPRESENTATION
+    * moved (a new crawl source, a tokenizer change, an encoder swap all
+    * show up as mean shift long before downstream metrics do).
+    *
+    * Cross-engine exactness: each float component is floor-quantized to
+    * integer nano-units (`⌊x·10⁹⌋` — the same double multiply and floor
+    * in every engine; a float→DECIMAL cast is NOT portable, the engines
+    * round the 9th digit differently), so per-dimension sums are exact
+    * integers; each mean is the fixed sequence `(S/n)/10⁹`, round(9);
+    * the per-dim |Δ| is a difference of those rounded doubles.
+    *
+    * Returns (dim 0.., mean_ref, mean_cur, drift double), dim ascending.
+    * NULL vectors excluded. Scale shape: posexplode to (dim, x) with
+    * map-side partial aggregation into d cells per task — the shuffle
+    * carries d rows per partition, not n·d. */
+  def embeddingMeanDrift(ref: DataFrame, cur: DataFrame,
+                         vecCol: String): DataFrame = {
+    def dimSums(df: DataFrame, n: String, s: String) =
+      df.filter(col(vecCol).isNotNull)
+        .select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as(n),
+          sum(floor(col("__x").cast("double") * lit(1.0e9)).cast("long")
+            .cast("decimal(38,0)")).as(s))
+    val r = dimSums(ref, "__nr", "__sr")
+    val c = dimSums(cur, "__nc", "__sc")
+    def mean(s: String, n: String) = round(
+      col(s).cast("double") / col(n).cast("double") / lit(1.0e9), 9)
+    val mr = mean("__sr", "__nr")
+    val mc = mean("__sc", "__nc")
+    r.join(c, Seq("dim"))
+      .select(col("dim").cast("long").as("dim"),
+        (mr + lit(0.0)).as("mean_ref"), (mc + lit(0.0)).as("mean_cur"))
+      .withColumn("drift",
+        round(abs(col("mean_ref") - col("mean_cur")), 9) + lit(0.0))
+      .orderBy(col("dim"))
+  }
+
+  /** The scalar linear-kernel MMD² off [[embeddingMeanDrift]]: each
+    * squared per-dim drift (a deterministic product of two doubles) is
+    * cast straight to DECIMAL(38,18) — same 18-dp rounding of the same
+    * binary value in every engine, no tie cases for non-dyadic products
+    * — summed exactly, one row (mmd2 double round(12), dims long). */
+  def embeddingMmd2(ref: DataFrame, cur: DataFrame,
+                    vecCol: String): DataFrame =
+    embeddingMeanDrift(ref, cur, vecCol)
+      .select((col("drift") * col("drift")).cast("decimal(38,18)").as("__d2"))
+      .agg((round(sum(col("__d2")).cast("double"), 12) + lit(0.0)).as("mmd2"),
+        count(lit(1)).as("dims"))
+
   def psiBuckets(ref: DataFrame, cur: DataFrame, valCol: String,
                  idCol: String, k: Int = 10): DataFrame = {
     val bounds = referenceBoundaries(ref, valCol, idCol, k)

@@ -49,6 +49,23 @@ class DriftSpec extends SparkSpec {
     assert(out._2 == 0.0 && out._3 == 100L && out._4 == 100L)
   }
 
+  test("embeddingMeanDrift + mmd2: hand-computed per-dim shift; identical slices 0") {
+    val ref = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(3.0f, 0.0f)))
+      .toDF("id", "v")
+    val cur = Seq((3L, Array(2.0f, 4.0f)), (4L, Array(4.0f, 4.0f)),
+      (5L, null.asInstanceOf[Array[Float]])).toDF("id", "v")
+    val out = Drift.embeddingMeanDrift(ref, cur, "v")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    // dim0: means 2 vs 3, drift 1; dim1: 0 vs 4, drift 4
+    assert(out == Seq((0L, 2.0, 3.0, 1.0), (1L, 0.0, 4.0, 4.0)))
+    val m = Drift.embeddingMmd2(ref, cur, "v")
+      .as[(Double, Long)].collect().head
+    assert(m == ((17.0, 2L))) // 1 + 16
+    val z = Drift.embeddingMmd2(ref, ref, "v")
+      .as[(Double, Long)].collect().head
+    assert(z == ((0.0, 2L)))
+  }
+
   test("chiSquareDrift: hand-computed 2x2 contingency; identical mixes give 0") {
     // ref: 30 a, 10 b; cur: 10 a, 30 b -> classic 2x2, chi2 = 20.0
     val ref = (Seq.fill(30)("a") ++ Seq.fill(10)("b")).toDF("c")
