@@ -885,6 +885,27 @@ object SparkEntry {
           "doc_id")
       operators.Features.calibrationBins(scored, "score", "is_en")
     }),
+    "feature_roc_auc" -> ((s, dir) => {
+      // ranking quality of the quality scorer vs the is-English label:
+      // Mann-Whitney AUC with exact integer tie credit over the
+      // distinct-score frame (prefix-sum shape, no row ranks)
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val toks = docs.select(
+        explode(filter(split(lower(col("text")), "[^a-z]+"),
+          t => t =!= "")).as("word"))
+      val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= 50)
+        .select(col("word"),
+          (conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long")
+            % 2001 - 1000).cast("double").as("weight"))
+      val scored = operators.Corpus.fastTextStyleScore(docs, "doc_id",
+          "text", vocab, bias = 0.0, scale = 1000.0)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .join(docs.filter(col("lang").isNotNull)
+          .select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          "doc_id")
+      operators.Features.rocAuc(scored, "score", "is_en")
+    }),
     "feature_mutual_info" -> ((s, dir) => {
       // per-cell MI contributions between source and lang: integer
       // counts, one integer-product log argument, round(6) per cell
@@ -4599,6 +4620,46 @@ object SparkEntry {
         |SELECT bin, n, mean_score, frac_pos,
         |       round(abs(mean_score - frac_pos), 6) + 0.0 AS gap
         |FROM agg ORDER BY bin""".stripMargin,
+    // AUC replay: distinct-score counts, window prefix of negatives,
+    // integer 2U through DECIMAL(38,0), one division
+    "feature_roc_auc" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS t
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT t, CAST(('0x' || substr(md5(t), 1, 15))::UBIGINT AS BIGINT)
+        |           % 2001 - 1000 AS wi
+        |  FROM (SELECT t FROM toks GROUP BY t HAVING count(*) >= 50)),
+        |s AS (
+        |  SELECT doc_id, count(*) AS n_toks,
+        |         CAST(sum(COALESCE(v.wi, 0)) AS BIGINT) AS sw
+        |  FROM toks LEFT JOIN vocab v USING (t)
+        |  GROUP BY doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, (d.lang = 'en') AS l,
+        |         CASE WHEN s.doc_id IS NULL THEN 0.5
+        |              ELSE round(1.0 / (1.0 +
+        |                exp(-(sw / (n_toks * 1000.0)))), 4) END AS v
+        |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        |  WHERE d.lang IS NOT NULL),
+        |g AS (SELECT v,
+        |        CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |        CAST(sum(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        |      FROM scored GROUP BY v),
+        |c AS (SELECT v, pos, neg,
+        |        CAST(sum(neg) OVER (ORDER BY v) AS BIGINT) AS cumneg
+        |      FROM g),
+        |t AS (SELECT CAST(sum(CAST(pos AS DECIMAL(38,0)) * (cumneg - neg) * 2
+        |                    + CAST(pos AS DECIMAL(38,0)) * neg)
+        |               AS DECIMAL(38,0)) AS u2,
+        |             CAST(sum(pos) AS BIGINT) AS np,
+        |             CAST(sum(neg) AS BIGINT) AS nn FROM c)
+        |SELECT round(CAST(u2 AS DOUBLE)
+        |             / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6)
+        |         + 0.0 AS auc,
+        |       np AS n_pos, nn AS n_neg
+        |FROM t""".stripMargin,
     // MI replay: same contingency counts, DECIMAL(38,0) products inside
     // the one log argument, (c_xy/N)*ln(...) double sequence, round+0.0
     "feature_mutual_info" ->

@@ -147,6 +147,53 @@ object Features {
       .orderBy(col("bin"))
   }
 
+  /** ROC AUC of a scorer against a binary label — the ranking-quality
+    * companion to [[calibrationBins]] (calibration says "are the
+    * probabilities honest", AUC says "does the ordering separate the
+    * classes"). Computed by the Mann–Whitney identity with exact tie
+    * handling: collapsing to per-distinct-score (pos_v, neg_v) counts,
+    * `2·U = Σ_v (2·pos_v·negBelow_v + pos_v·neg_v)` — ties credit ½ —
+    * and `AUC = 2U / (2·n_pos·n_neg)`.
+    *
+    * Cross-engine exactness: everything up to the final division is
+    * exact integer arithmetic (products through DECIMAL(38,0)); ONE
+    * double division, round(6)+0.0. No per-row ranks, no windows over
+    * rows: the prefix sum runs over the DISTINCT-SCORE frame via
+    * [[Ranking.globalRunningSum]] — the same shape as the KS statistic,
+    * linear at any corpus size.
+    *
+    * Returns one row: (auc double, n_pos long, n_neg long). NULL scores
+    * or labels excluded; requires both classes present. */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val counts = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__v"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__p"))
+      .groupBy(col("__v"))
+      .agg(sum(col("__p")).as("__pos"),
+        (count(lit(1)) - sum(col("__p"))).as("__neg"))
+    val tot = counts.agg(coalesce(sum(col("__pos")), lit(0L)),
+      coalesce(sum(col("__neg")), lit(0L))).first
+    val nPos = tot.getLong(0); val nNeg = tot.getLong(1)
+    require(nPos > 0 && nNeg > 0,
+      s"rocAuc needs both classes, got pos=$nPos neg=$nNeg")
+    val cum = Ranking.globalRunningSum(counts, Seq(col("__v")), "__neg",
+      out = "__cumNeg")
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val u2 = cum.select(
+        (d(col("__pos")) * (col("__cumNeg") - col("__neg")) * lit(2L)
+          + d(col("__pos")) * col("__neg")).as("__t"))
+      .agg(coalesce(sum(col("__t")), lit(java.math.BigDecimal.ZERO))
+        .as("__u2"))
+      .first.getDecimal(0)
+    val auc = u2.doubleValue / (2.0 * nPos.toDouble * nNeg.toDouble)
+    val r6 = BigDecimal(auc)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((r6, nPos, nNeg)).toDF("auc", "n_pos", "n_neg")
+  }
+
   /** Join the [[targetEncodeKFold]] table back onto the rows: each row
     * gets the encoding of its (category, fold) cell in a new `outCol`.
     * Rows with a NULL category or an unseen cell get NULL — surface,

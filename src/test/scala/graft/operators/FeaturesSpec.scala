@@ -95,6 +95,27 @@ class FeaturesSpec extends SparkSpec {
     assert(out == Seq((5L, 1L, 0.5, 1.0, 0.5)))
   }
 
+  test("rocAuc: perfect separation 1.0, reversed 0.0, all-ties 0.5, hand-checked ties") {
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+      .toDF("s", "y")
+    assert(Features.rocAuc(perfect, "s", "y")
+      .as[(Double, Long, Long)].collect().head == ((1.0, 2L, 2L)))
+    val reversed = Seq((0.9, false), (0.1, true)).toDF("s", "y")
+    assert(Features.rocAuc(reversed, "s", "y")
+      .as[(Double, Long, Long)].collect().head == ((0.0, 1L, 1L)))
+    val ties = Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false))
+      .toDF("s", "y")
+    assert(Features.rocAuc(ties, "s", "y")
+      .as[(Double, Long, Long)].collect().head == ((0.5, 2L, 2L)))
+    // pos at {0.9, 0.5}, neg at {0.5, 0.1}: U = 1 + (0.5+0.5·tie... )
+    // pairs: (0.9>0.5)=1, (0.9>0.1)=1, (0.5=0.5)=0.5, (0.5>0.1)=1
+    // AUC = 3.5/4 = 0.875
+    val mixed = Seq((0.9, true), (0.5, true), (0.5, false), (0.1, false))
+      .toDF("s", "y")
+    assert(Features.rocAuc(mixed, "s", "y")
+      .as[(Double, Long, Long)].collect().head == ((0.875, 2L, 2L)))
+  }
+
   test("applyTargetEncoding: rows get their cell's encoding via broadcast; unseen stays NULL") {
     val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
       (4L, "a", 40L), (5L, "b", 50L), (6L, "b", 60L)).toDF("id", "cat", "t")
