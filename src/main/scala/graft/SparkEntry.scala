@@ -1835,6 +1835,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted"))
     }),
+    "feature_cohens_kappa" -> ((s, dir) => {
+      // chance-corrected agreement between the trigram language-ID and
+      // the gold label: the integer identity (N·diag − Σrc)/(N² − Σrc),
+      // one double division — same pipeline as the confusion gate
+      val phrase =
+        when(col("lang") === "en", lit("the quick brown fox jumps over the lazy dog"))
+          .when(col("lang") === "de", lit("der schnelle braune fuchs springt ueber den faulen hund"))
+          .when(col("lang") === "es", lit("el rapido zorro marron salta sobre el perro perezoso"))
+          .when(col("lang") === "fr", lit("le renard brun rapide saute par dessus le chien paresseux"))
+          .otherwise(lit("zhang wei xiao ming bei jing shang hai guang zhou"))
+      val pages = DbReader(conn(s, dir), "documents").run()
+        .withColumn("page",
+          concat_ws(" ", col("text"), phrase, phrase, phrase))
+      val prof = operators.Corpus.charTrigramProfiles(
+        pages, "lang", "page", topM = 200)
+      val pred = operators.Corpus.classifyByTrigramProfiles(
+          pages, "doc_id", "page", prof, "lang")
+        .join(pages.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      operators.Features.cohensKappa(pred, "lang", "predicted")
+    }),
     "corpus_burstiness" -> ((s, dir) => {
       // Church & Gale burstiness: VMR of per-doc counts (zeros via the
       // C/N, S2/N integer-sum formulation — no N-wide explode), top-30
@@ -6805,6 +6825,68 @@ object SparkEntry {
         |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
         |FROM pred GROUP BY lang, predicted
         |ORDER BY lang, predicted""".stripMargin,
+    // kappa replay: the langid pred CTE verbatim, then the integer
+    // identity with DECIMAL(38,0) marginal products
+    "feature_cohens_kappa" ->
+      """WITH page AS (
+        |  SELECT doc_id, lang, concat_ws(' ', text, ph, ph, ph) AS p
+        |  FROM (SELECT doc_id, lang, text,
+        |          CASE lang
+        |            WHEN 'en' THEN 'the quick brown fox jumps over the lazy dog'
+        |            WHEN 'de' THEN 'der schnelle braune fuchs springt ueber den faulen hund'
+        |            WHEN 'es' THEN 'el rapido zorro marron salta sobre el perro perezoso'
+        |            WHEN 'fr' THEN 'le renard brun rapide saute par dessus le chien paresseux'
+        |            ELSE 'zhang wei xiao ming bei jing shang hai guang zhou'
+        |          END AS ph
+        |        FROM documents)),
+        |norm AS (
+        |  SELECT doc_id, lang, array_to_string(list_filter(
+        |    string_split_regex(lower(p), '[^a-z]+'), t -> t <> ''), ' ') AS s
+        |  FROM page),
+        |grams AS (
+        |  SELECT doc_id, lang, substr(s, CAST(i AS INTEGER), 3) AS g
+        |  FROM norm, unnest(range(1, len(s) - 1)) AS r(i)
+        |  WHERE len(s) >= 3),
+        |prof AS (
+        |  SELECT plabel, g FROM (
+        |    SELECT lang AS plabel, g,
+        |           row_number() OVER (PARTITION BY lang
+        |             ORDER BY count(*) DESC, g) AS rn
+        |    FROM grams GROUP BY lang, g)
+        |  WHERE rn <= 200),
+        |best AS (
+        |  SELECT doc_id, plabel, row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY score DESC, plabel) AS rn
+        |  FROM (SELECT doc_id, plabel, count(*) AS score
+        |        FROM grams JOIN prof USING (g) GROUP BY doc_id, plabel)),
+        |pred AS (
+        |  SELECT d.doc_id, d.lang, COALESCE(b.plabel, 'und') AS predicted
+        |  FROM documents d LEFT JOIN best b
+        |    ON d.doc_id = b.doc_id AND b.rn = 1),
+        |cm AS (SELECT lang AS a, predicted AS b, CAST(count(*) AS BIGINT) AS c
+        |       FROM pred WHERE lang IS NOT NULL AND predicted IS NOT NULL
+        |       GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cm),
+        |dg AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS d
+        |       FROM cm WHERE a = b),
+        |marg AS (SELECT COALESCE(ra.k, ca.k) AS k, COALESCE(ra.r, 0) AS r,
+        |                COALESCE(ca.cc, 0) AS cc
+        |         FROM (SELECT a AS k, CAST(sum(c) AS BIGINT) AS r
+        |               FROM cm GROUP BY a) ra
+        |         FULL JOIN (SELECT b AS k, CAST(sum(c) AS BIGINT) AS cc
+        |                    FROM cm GROUP BY b) ca ON ra.k = ca.k),
+        |rc AS (SELECT CAST(sum(CAST(r AS DECIMAL(38,0)) * cc)
+        |                   AS DECIMAL(38,0)) AS src FROM marg)
+        |SELECT CASE WHEN CAST(n AS DECIMAL(38,0)) * n - src = 0 THEN NULL
+        |            ELSE round(
+        |              CAST(CAST(n AS DECIMAL(38,0)) * d - src AS DOUBLE)
+        |              / CAST(CAST(n AS DECIMAL(38,0)) * n - src AS DOUBLE),
+        |              6) + 0.0 END AS kappa,
+        |       round(CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS po,
+        |       round(CAST(src AS DOUBLE)
+        |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) + 0.0 AS pe,
+        |       n
+        |FROM tot CROSS JOIN dg CROSS JOIN rc""".stripMargin,
     // VMR from integer sums (C, S2, N) through the identical double
     // sequence mean=C/N; (S2/N - mean^2)/mean; vmr > 0 here (no -0.0):
     // a word at VMR 0 would need identical count in every doc incl.

@@ -194,6 +194,51 @@ object Features {
     Seq((r6, nPos, nNeg)).toDF("auc", "n_pos", "n_neg")
   }
 
+  /** Cohen's kappa between two categorical columns — chance-corrected
+    * agreement, the number to quote when comparing a cheap classifier
+    * against gold labels (or two labeling runs against each other):
+    * `κ = (p_o − p_e) / (1 − p_e)` with p_o the observed agreement and
+    * p_e the agreement expected from the marginals.
+    *
+    * Cross-engine exactness: computed as the INTEGER identity
+    * `κ = (N·Σdiag − Σ_k row_k·col_k) / (N² − Σ_k row_k·col_k)` —
+    * numerator and denominator are exact integers (BigInt / DECIMAL(38)
+    * products), ONE double division, round(6). Returns one row
+    * (kappa double — NULL when the denominator is 0 (both columns
+    * constant; agreement is undefined, surfaced not invented), po, pe,
+    * n long). NULL labels excluded pairwise.
+    *
+    * Scale shape: one groupBy on the label pair; the |A|·|B| cell frame
+    * is a driver-bounded sidecar. */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val n = cells.map(_._3).sum
+    require(n > 0, "cohensKappa needs non-null label pairs")
+    val diag = cells.filter(c => c._1 == c._2).map(_._3).sum
+    val rows = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val cols = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val src = (rows.keySet ++ cols.keySet).toSeq.map { k =>
+      BigInt(rows.getOrElse(k, 0L)) * BigInt(cols.getOrElse(k, 0L))
+    }.sum
+    val num = BigInt(n) * BigInt(diag) - src
+    val den = BigInt(n) * BigInt(n) - src
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val kappa: Option[Double] =
+      if (den == BigInt(0)) None
+      else Some(r6(num.toDouble / den.toDouble))
+    val po = r6(diag.toDouble / n.toDouble)
+    val pe = r6(src.toDouble / (n.toDouble * n.toDouble))
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((kappa, po, pe, n)).toDF("kappa", "po", "pe", "n")
+  }
+
   /** Join the [[targetEncodeKFold]] table back onto the rows: each row
     * gets the encoding of its (category, fold) cell in a new `outCol`.
     * Rows with a NULL category or an unseen cell get NULL — surface,

@@ -116,6 +116,32 @@ class FeaturesSpec extends SparkSpec {
       .as[(Double, Long, Long)].collect().head == ((0.875, 2L, 2L)))
   }
 
+  test("cohensKappa: perfect 1, chance-level 0, constant-labels NULL") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("x", "y")
+    val p = Features.cohensKappa(perfect, "x", "y")
+      .as[(Option[Double], Double, Double, Long)].collect().head
+    assert(p._1.contains(1.0) && p._2 == 1.0 && p._4 == 3L)
+    // marginally-independent agreement exactly at chance: kappa = 0
+    // (2x2 uniform: po = 1/2, pe = 1/2)
+    val chance = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))
+      .toDF("x", "y")
+    val c = Features.cohensKappa(chance, "x", "y")
+      .as[(Option[Double], Double, Double, Long)].collect().head
+    assert(c._1.contains(0.0) && c._2 == 0.5 && c._3 == 0.5)
+    // both columns constant: pe = 1, denominator 0 -> NULL, not a number
+    val const = Seq(("a", "a"), ("a", "a")).toDF("x", "y")
+    val k = Features.cohensKappa(const, "x", "y")
+      .as[(Option[Double], Double, Double, Long)].collect().head
+    assert(k._1.isEmpty && k._2 == 1.0 && k._3 == 1.0)
+    // hand-computed asymmetric case: po=.6, pe=.52 ->
+    // kappa = (6*10-52)/(100-52) = 8/48 = 0.166667
+    val mixed = (Seq.fill(2)(("a", "a")) ++ Seq.fill(2)(("a", "b")) ++
+      Seq.fill(2)(("b", "a")) ++ Seq.fill(4)(("b", "b"))).toDF("x", "y")
+    val m = Features.cohensKappa(mixed, "x", "y")
+      .as[(Option[Double], Double, Double, Long)].collect().head
+    assert(m._1.contains(0.166667) && m._2 == 0.6 && m._3 == 0.52)
+  }
+
   test("applyTargetEncoding: rows get their cell's encoding via broadcast; unseen stays NULL") {
     val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
       (4L, "a", 40L), (5L, "b", 50L), (6L, "b", 60L)).toDF("id", "cat", "t")
