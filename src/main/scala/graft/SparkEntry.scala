@@ -1855,6 +1855,13 @@ object SparkEntry {
         .join(pages.select(col("doc_id"), col("lang")), Seq("doc_id"))
       operators.Features.cohensKappa(pred, "lang", "predicted")
     }),
+    "corpus_ngram_novelty" -> ((s, dir) => {
+      // per-doc bigram novelty in id order: min-id first-seen
+      // attribution, exact integer counts, one division — the corpus
+      // freshness curve
+      operators.Corpus.ngramNovelty(
+        DbReader(conn(s, dir), "documents").run(), "doc_id", "text", n = 2)
+    }),
     "corpus_burstiness" -> ((s, dir) => {
       // Church & Gale burstiness: VMR of per-doc counts (zeros via the
       // C/N, S2/N integer-sum formulation — no N-wide explode), top-30
@@ -6825,6 +6832,29 @@ object SparkEntry {
         |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
         |FROM pred GROUP BY lang, predicted
         |ORDER BY lang, predicted""".stripMargin,
+    // novelty replay: same bigram extraction (1-based list indexing,
+    // range end-exclusive), distinct + min-id + join back
+    "corpus_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS a
+        |  FROM documents WHERE text IS NOT NULL),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         a[CAST(i AS INTEGER)] || ' '
+        |           || a[CAST(i AS INTEGER) + 1] AS g
+        |  FROM toks, unnest(range(1, len(a))) AS r(i)
+        |  WHERE len(a) >= 2),
+        |fs AS (SELECT g, CAST(min(doc_id) AS BIGINT) AS first FROM grams
+        |       GROUP BY g)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN fs.first = doc_id THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_novel,
+        |       round(CAST(sum(CASE WHEN fs.first = doc_id THEN 1 ELSE 0 END)
+        |                  AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) + 0.0 AS novelty
+        |FROM grams JOIN fs USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // kappa replay: the langid pred CTE verbatim, then the integer
     // identity with DECIMAL(38,0) marginal products
     "feature_cohens_kappa" ->

@@ -860,4 +860,52 @@ object Corpus {
         coalesce(col("score"),
           lit(1.0 / (1.0 + math.exp(-bias)))).as("score"))
   }
+
+  /** Per-document n-gram novelty in corpus id order — the freshness
+    * curve ("how much of this page is phrasing the corpus has already
+    * seen?"): a gram is NOVEL in the document with the smallest id
+    * containing it; each document reports the novel fraction of its
+    * DISTINCT n-grams. Dedup and decontamination catch whole-document
+    * and span copies; this is the aggregate trend — scrape drift toward
+    * boilerplate shows up as a falling novelty curve long before any
+    * single pair crosses a dedup threshold.
+    *
+    * Cross-engine exactness: counts of distinct grams and min-id
+    * attribution are exact integers; novelty is ONE double division,
+    * round(6). Returns (id, n_grams long — distinct n-grams, n_novel
+    * long, novelty double), documents with < n tokens omitted (no
+    * denominator). NULL text excluded.
+    *
+    * Scale shape: (doc, gram) distinct → min(id) per gram (both
+    * map-combinable) → one hash join back on the gram — everything
+    * key-partitioned; only 16-byte gram hashes would shuffle if the
+    * caller pre-hashes, and the join degenerates gracefully under AQE
+    * skew handling for stop-gram keys. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        filter(split(lower(col(textCol)), "[^a-z]+"),
+          t => t =!= "").as("__a"))
+      .filter(size(col("__a")) >= n)
+    val grams =
+      if (n == 1) toks.select(col("__id"), explode(col("__a")).as("__g"))
+      else toks.select(col("__id"), explode(expr(
+        s"""transform(sequence(1, size(__a) - ${n - 1}),
+           |  i -> array_join(slice(__a, i, $n), ' '))""".stripMargin))
+        .as("__g"))
+    val docGram = grams.distinct()
+    val firstSeen = docGram.groupBy(col("__g"))
+      .agg(min(col("__id")).as("__first"))
+    docGram.join(firstSeen, Seq("__g"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("__id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("__id").as(idCol), col("n_grams"), col("n_novel"),
+        (round(col("n_novel").cast("double") /
+          col("n_grams").cast("double"), 6) + lit(0.0)).as("novelty"))
+      .orderBy(col(idCol))
+  }
 }

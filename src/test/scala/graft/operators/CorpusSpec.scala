@@ -400,4 +400,19 @@ class CorpusSpec extends SparkSpec {
     assert(got(2) === ((3L, 0L, 0.5)))
     assert(got(3) === ((4L, 1L, sig(-1.0))))
   }
+
+  test("ngramNovelty: first-seen attribution by min id; short docs omitted") {
+    val docs = Seq(
+      (1L, "a b c"),      // bigrams {a b, b c} both first here -> 1.0
+      (2L, "a b d"),      // {a b (seen in 1), b d (novel)} -> 0.5
+      (3L, "a b c"),      // both seen -> 0.0
+      (4L, "x"),          // 1 token: no bigram, omitted
+      (5L, "b c b c")     // distinct {b c (seen), c b (novel)} -> 0.5
+    ).toDF("doc_id", "text")
+    val out = Corpus.ngramNovelty(docs, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0),
+      (5L, 2L, 1L, 0.5)))
+  }
 }
