@@ -823,6 +823,16 @@ object SparkEntry {
           (round(jaroWinkler(col("w1"), col("w2")), 6) + lit(0.0)).as("jw"))
         .orderBy(col("w1"), col("w2"))
     }),
+    "graph_triangle_counts" -> ((s, dir) => {
+      // per-node triangles of the fuzzy-match graph (degree-ordered
+      // orientation, O(m^1.5)): dense template families vs bridge pairs
+      val pairs = operators.Joins.fuzzySelfPairs(
+        DbReader(conn(s, dir), "customer").run(),
+        "c_custkey", "c_name",
+        expr("substring(c_name, 1, length(c_name)-2)"), maxDist = 1)
+      operators.Graph.triangleCounts(pairs, "id_a", "id_b")
+        .select(col("node").as("c_custkey"), col("triangles"))
+    }),
     "fuzzy_name_matches" -> ((s, dir) => {
       // blocked fuzzy self-match on customer names: block = name minus
       // last 2 chars (names differing only there are candidates), pairs
@@ -4505,6 +4515,39 @@ object SparkEntry {
         |       round(jaro_winkler_similarity(x.w, y.w), 6) + 0.0 AS jw
         |FROM a x JOIN a y ON x.b = y.b AND x.w < y.w
         |ORDER BY w1, w2""".stripMargin,
+    // triangle replay: same canonical edges, (degree, id) orientation,
+    // wedge join + EXISTS closure — exact integer counts
+    "graph_triangle_counts" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name AS s,
+        |         substr(c_name, 1, length(c_name) - 2) AS blk
+        |  FROM customer WHERE c_name IS NOT NULL AND c_custkey IS NOT NULL),
+        |e AS (
+        |  SELECT a.id AS a, b.id AS b
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.s, b.s) <= 1),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY n),
+        |o AS (
+        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+        |              THEN e.a ELSE e.b END AS s,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+        |              THEN e.b ELSE e.a END AS t,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+        |              THEN db.d ELSE da.d END AS dt
+        |  FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+        |wg AS (
+        |  SELECT o1.s, o1.t AS v, o2.t AS w2
+        |  FROM o o1 JOIN o o2 ON o1.s = o2.s
+        |  WHERE o1.dt < o2.dt OR (o1.dt = o2.dt AND o1.t < o2.t)),
+        |tri AS (
+        |  SELECT wg.s, wg.v, wg.w2 FROM wg
+        |  WHERE EXISTS (SELECT 1 FROM o WHERE o.s = wg.v AND o.t = wg.w2))
+        |SELECT node AS c_custkey, CAST(count(*) AS BIGINT) AS triangles
+        |FROM (SELECT s AS node FROM tri UNION ALL SELECT v FROM tri
+        |      UNION ALL SELECT w2 FROM tri)
+        |GROUP BY node ORDER BY node""".stripMargin,
     // fuzzy-match replay: same block, same integer Levenshtein DP
     "fuzzy_name_matches" ->
       """WITH c AS (

@@ -71,4 +71,61 @@ object Graph {
     e.unpersist(); contribSrc.unpersist(); nodes.unpersist()
     pr
   }
+
+  /** Per-node triangle counts of an UNDIRECTED graph — the local
+    * clustering signal over a near-duplicate / fuzzy-match graph: a
+    * document in many triangles sits inside a dense template family
+    * (candidates for one-per-cluster keep decisions), while a
+    * bridge-node duplicate pair is more likely a false positive.
+    *
+    * Implementation is the degree-ordered orientation (the standard
+    * O(m^1.5) enumeration, vs O(Σ deg²) for naive wedge counting): each
+    * canonical edge is directed from its (degree, id)-smaller endpoint
+    * to the larger, every triangle then has exactly ONE source node with
+    * two out-edges, and a wedge (u→v, u→w, rank(v) < rank(w)) closes iff
+    * the oriented edge v→w exists — checked with one semi-join. Max
+    * out-degree after orientation is O(√m), which is what bounds the
+    * wedge frame on a power-law graph where a raw hub would explode.
+    *
+    * Input edges are symmetrized/deduplicated internally; self-loops
+    * dropped. Returns (node, triangles long) for nodes in ≥ 1 triangle,
+    * exact integer counts — identical in any engine. All joins are
+    * keyed equi-joins; nothing collects to the driver. */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    val canon = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("n")).union(canon.select(col("b")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id): src = smaller endpoint in that total order
+    val withDeg = canon
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("s"), col("b").as("t"),
+          col("da").as("ds"), col("db").as("dt")))
+        .otherwise(struct(col("b").as("s"), col("a").as("t"),
+          col("db").as("ds"), col("da").as("dt"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"),
+        col("e.ds").as("ds"), col("e.dt").as("dt"))
+    val o1 = oriented.select(col("s"), col("t").as("v"),
+      col("dt").as("dv"))
+    val o2 = oriented.select(col("s"), col("t").as("w"),
+      col("dt").as("dw"))
+    val wedges = o1.join(o2, Seq("s"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val closing = oriented.select(col("s").as("v"), col("t").as("w"))
+    val tris = wedges.join(closing, Seq("v", "w"), "left_semi")
+      .select(col("s"), col("v"), col("w"))
+    tris.select(explode(array(col("s"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+      .orderBy(col("node"))
+  }
 }

@@ -36,4 +36,22 @@ class GraphSpec extends SparkSpec {
     assert(out == Map("a" -> 75000000000L, "b" -> 500000000000L))
     assert(out.values.sum < 1000000000000L)
   }
+
+  test("triangleCounts: triangle + pendant; K4; duplicate/reversed edges collapse") {
+    // triangle 1-2-3 with pendant 4 hanging off 3
+    val t = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (2L, 1L), (1L, 2L))
+      .toDF("x", "y")
+    val out = Graph.triangleCounts(t, "x", "y")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // 4 in no triangle
+    // K4: every node sits in C(3,2) = 3 triangles
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+      .toDF("x", "y")
+    val ok4 = Graph.triangleCounts(k4, "x", "y")
+      .as[(Long, Long)].collect().toMap
+    assert(ok4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // self-loops ignored
+    val loops = Seq((1L, 1L), (1L, 2L)).toDF("x", "y")
+    assert(Graph.triangleCounts(loops, "x", "y").count() == 0)
+  }
 }
