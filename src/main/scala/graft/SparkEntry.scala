@@ -823,6 +823,17 @@ object SparkEntry {
           (round(jaroWinkler(col("w1"), col("w2")), 6) + lit(0.0)).as("jw"))
         .orderBy(col("w1"), col("w2"))
     }),
+    "graph_clustering_coeff" -> ((s, dir) => {
+      // local clustering coefficient 2T/(d(d-1)) over the same graph:
+      // template-family density per customer name, exact integers
+      val pairs = operators.Joins.fuzzySelfPairs(
+        DbReader(conn(s, dir), "customer").run(),
+        "c_custkey", "c_name",
+        expr("substring(c_name, 1, length(c_name)-2)"), maxDist = 1)
+      operators.Graph.clusteringCoefficients(pairs, "id_a", "id_b")
+        .select(col("node").as("c_custkey"), col("degree"),
+          col("triangles"), col("coeff"))
+    }),
     "graph_triangle_counts" -> ((s, dir) => {
       // per-node triangles of the fuzzy-match graph (degree-ordered
       // orientation, O(m^1.5)): dense template families vs bridge pairs
@@ -4515,6 +4526,48 @@ object SparkEntry {
         |       round(jaro_winkler_similarity(x.w, y.w), 6) + 0.0 AS jw
         |FROM a x JOIN a y ON x.b = y.b AND x.w < y.w
         |ORDER BY w1, w2""".stripMargin,
+    // clustering-coefficient replay: triangle CTE + degree, 2T/(d(d-1))
+    "graph_clustering_coeff" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name AS s,
+        |         substr(c_name, 1, length(c_name) - 2) AS blk
+        |  FROM customer WHERE c_name IS NOT NULL AND c_custkey IS NOT NULL),
+        |e AS (
+        |  SELECT a.id AS a, b.id AS b
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.s, b.s) <= 1),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY n),
+        |o AS (
+        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+        |              THEN e.a ELSE e.b END AS s,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+        |              THEN e.b ELSE e.a END AS t,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+        |              THEN db.d ELSE da.d END AS dt
+        |  FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+        |wg AS (
+        |  SELECT o1.s, o1.t AS v, o2.t AS w2
+        |  FROM o o1 JOIN o o2 ON o1.s = o2.s
+        |  WHERE o1.dt < o2.dt OR (o1.dt = o2.dt AND o1.t < o2.t)),
+        |tri AS (
+        |  SELECT wg.s, wg.v, wg.w2 FROM wg
+        |  WHERE EXISTS (SELECT 1 FROM o WHERE o.s = wg.v AND o.t = wg.w2)),
+        |tc AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        |  FROM (SELECT s AS node FROM tri UNION ALL SELECT v FROM tri
+        |        UNION ALL SELECT w2 FROM tri)
+        |  GROUP BY node)
+        |SELECT deg.n AS c_custkey, deg.d AS degree,
+        |       COALESCE(tc.triangles, 0) AS triangles,
+        |       CASE WHEN deg.d >= 2 THEN
+        |         round(2.0 * CAST(COALESCE(tc.triangles, 0) AS DOUBLE)
+        |               / (CAST(deg.d AS DOUBLE)
+        |                  * CAST(deg.d - 1 AS DOUBLE)), 6) + 0.0
+        |       ELSE 0.0 END AS coeff
+        |FROM deg LEFT JOIN tc ON tc.node = deg.n
+        |ORDER BY c_custkey""".stripMargin,
     // triangle replay: same canonical edges, (degree, id) orientation,
     // wedge join + EXISTS closure — exact integer counts
     "graph_triangle_counts" ->

@@ -128,4 +128,34 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
       .orderBy(col("node"))
   }
+
+  /** Local clustering coefficient per node: `2·T / (d·(d−1))` — how
+    * close a node's neighborhood is to a clique, on the same triangle
+    * machinery. Returns (node, degree long, triangles long, coeff
+    * double round(6)) for every node of the (symmetrized, deduplicated)
+    * graph; degree-1 nodes report 0 triangles and coeff 0 (no possible
+    * wedge — reported, not dropped, because "no clustering" is signal).
+    * Exact integers everywhere, one double division. */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+                             dstCol: String): DataFrame = {
+    val canon = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("node"))
+      .union(canon.select(col("b")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(edges, srcCol, dstCol), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("coeff",
+        when(col("degree") >= 2L,
+          round(lit(2.0) * col("triangles").cast("double") /
+            (col("degree").cast("double") *
+              (col("degree") - 1L).cast("double")), 6) + lit(0.0))
+          .otherwise(lit(0.0)))
+      .orderBy(col("node"))
+  }
 }

@@ -54,4 +54,15 @@ class GraphSpec extends SparkSpec {
     val loops = Seq((1L, 1L), (1L, 2L)).toDF("x", "y")
     assert(Graph.triangleCounts(loops, "x", "y").count() == 0)
   }
+
+  test("clusteringCoefficients: triangle+pendant hand values; degree-1 reports 0") {
+    val t = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("x", "y")
+    val out = Graph.clusteringCoefficients(t, "x", "y")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // nodes 1,2: degree 2, 1 triangle -> coeff 1; node 3: degree 3,
+    // 1 triangle -> 2/(3*2) = 0.333333; pendant 4: degree 1 -> 0
+    assert(out == Seq(
+      (1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 0.333333), (4L, 1L, 0L, 0.0)))
+  }
 }
