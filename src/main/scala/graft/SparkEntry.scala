@@ -946,6 +946,23 @@ object SparkEntry {
         DbReader(conn(s, dir), "documents").run(),
         "source", "n_chars", "doc_id", k = 5)
     }),
+    "pii_luhn_scan" -> ((s, dir) => {
+      // Luhn-validated card detection with planted candidates (the
+      // corpus has no natural long digit runs): a 16-digit
+      // pseudo-random number per doc + a 13-digit one on every 5th —
+      // BOTH engines validate with the same integer checksum, so
+      // naturally-valid (~10%) vs invalid runs are the compared signal
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .withColumn("aug", concat(coalesce(col("text"), lit("")),
+          lit(" card "),
+          lpad((col("doc_id") * 7919 % 1000000000000000L).cast("string"),
+            16, "4"),
+          when(col("doc_id") % 5 === 0, concat(lit(" alt "),
+            lpad((col("doc_id") * 104729 % 10000000000000L).cast("string"),
+              13, "0"))).otherwise(lit(""))))
+      operators.Privacy.luhnScan(docs, "doc_id", "aug")
+        .orderBy(col("doc_id"))
+    }),
     "pii_t_closeness" -> ((s, dir) => {
       // t-closeness (Li ICDE'07), ordered EMD: does any (lang, source)
       // class's length-bucket distribution sit > 0.2 EMD from the
@@ -4844,6 +4861,35 @@ object SparkEntry {
         |             6) + 0.0 AS enc
         |FROM cells c JOIN cats USING (category) CROSS JOIN tot
         |ORDER BY category, fold""".stripMargin,
+    // Luhn replay: same plant, same regex runs, same integer checksum
+    "pii_luhn_scan" ->
+      """WITH aug AS (
+        |  SELECT doc_id, COALESCE(text, '') || ' card ' ||
+        |    lpad(CAST(doc_id * 7919 % 1000000000000000 AS VARCHAR), 16, '4')
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' alt ' ||
+        |         lpad(CAST(doc_id * 104729 % 10000000000000 AS VARCHAR),
+        |              13, '0')
+        |       ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, regexp_extract_all(t, '[0-9]{13,19}') AS runs
+        |  FROM aug),
+        |v AS (
+        |  SELECT doc_id, CAST(len(runs) AS BIGINT) AS n_candidates,
+        |         CAST(len(list_filter(list_transform(runs, s ->
+        |           list_sum(list_transform(range(1, len(s) + 1), i ->
+        |             CASE WHEN (len(s) - i) % 2 = 1
+        |               THEN CASE WHEN (ascii(substr(s, CAST(i AS INTEGER), 1))
+        |                               - 48) * 2 > 9
+        |                    THEN (ascii(substr(s, CAST(i AS INTEGER), 1))
+        |                          - 48) * 2 - 9
+        |                    ELSE (ascii(substr(s, CAST(i AS INTEGER), 1))
+        |                          - 48) * 2 END
+        |               ELSE ascii(substr(s, CAST(i AS INTEGER), 1)) - 48
+        |             END)) % 10 = 0), b -> b)) AS BIGINT) AS n_valid
+        |  FROM c)
+        |SELECT doc_id, n_candidates, n_valid, n_valid > 0 AS any_valid
+        |FROM v ORDER BY doc_id""".stripMargin,
     // t-closeness replay: same integer numerators |cum_c·N − cum_g·n|
     // summed as DECIMAL(38,0), one double division; null-safe class join
     "pii_t_closeness" ->

@@ -64,6 +64,21 @@ class PrivacySpec extends SparkSpec {
     assert(tv2 == Set(("a", 2L, 0.333333, true), ("b", 1L, 0.666667, true)))
   }
 
+  test("luhnScan: textbook card numbers validate, off-by-one fails, short runs ignored") {
+    val df = Seq(
+      (1L, "pay 4532015112830366 now"),        // valid Visa test number
+      (2L, "pay 4532015112830367 now"),        // last digit bumped -> invalid
+      (3L, "order 123456789012 and 79927398713"), // 12-digit run too short; 11-digit too
+      (4L, "two cards 4532015112830366 and 6011000990139424"), // both valid
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val out = Privacy.luhnScan(df, "id", "text")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, 1L, 1L, true), (2L, 1L, 0L, false), (3L, 0L, 0L, false),
+      (4L, 2L, 2L, true), (5L, 0L, 0L, false)))
+  }
+
   test("plan: both audits are a single grouped aggregate — no window, no join") {
     val df = Seq(("a", "s1", 1L)).toDF("q", "sens", "v")
     val p1 = Privacy.kAnonymityAudit(df, Seq("q"), 2)
