@@ -30,6 +30,11 @@ class QueryPlanSweepSpec extends AnyFunSuite {
                               // corpus scan (Similarity.mineHardNegatives)
     "similarity_triplets",    // same shape: broadcast(anchors) cross the
                               // corpus scan, split by label (mineTriplets)
+    "pii_t_closeness",        // deliberate: m-row global-support broadcast
+                              // onto the bounded class list (the EMD grid
+                              // is |classes|·m, never O(table)); the
+                              // constant-key hash join folds to BNLJ
+    "pii_t_closeness_cat",    // same grid, categorical variant
     "corpus_drift_js",        // deliberate: 1-row token-totals broadcast
                               // cross the vocab frame (unigramJsDivergence)
     "retrieval_tfidf_terms",  // deliberate: 1-row doc-count N broadcast
