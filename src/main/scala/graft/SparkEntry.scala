@@ -1893,6 +1893,13 @@ object SparkEntry {
         .join(pages.select(col("doc_id"), col("lang")), Seq("doc_id"))
       operators.Features.cohensKappa(pred, "lang", "predicted")
     }),
+    "corpus_diversity" -> ((s, dir) => {
+      // Shannon + Simpson language diversity per source: Simpson as the
+      // exact integer identity (C^2 - sum c^2)/C^2, Shannon via the
+      // decimal-sum-of-rounded-terms discipline
+      operators.Corpus.diversityIndices(
+        DbReader(conn(s, dir), "documents").run(), "source", "lang")
+    }),
     "corpus_ngram_novelty" -> ((s, dir) => {
       // per-doc bigram novelty in id order: min-id first-seen
       // attribution, exact integer counts, one division — the corpus
@@ -6974,6 +6981,28 @@ object SparkEntry {
         |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
         |FROM pred GROUP BY lang, predicted
         |ORDER BY lang, predicted""".stripMargin,
+    // diversity replay: same cells, Simpson integer identity, Shannon
+    // decimal sum of rounded -(p ln p) terms
+    "corpus_diversity" ->
+      """WITH cells AS (
+        |  SELECT source, CAST(lang AS VARCHAR) AS c,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY source, lang),
+        |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS t
+        |        FROM cells GROUP BY source),
+        |terms AS (
+        |  SELECT cells.source, n, t,
+        |         round(-(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+        |                 * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))), 6)
+        |           + 0.0 AS h,
+        |         CAST(n AS DECIMAL(38,0)) * n AS sq
+        |  FROM cells JOIN tot ON cells.source IS NOT DISTINCT FROM tot.source)
+        |SELECT source, t AS n, CAST(count(*) AS BIGINT) AS n_cats,
+        |       CAST(sum(CAST(h AS DECIMAL(28,6))) AS DOUBLE) AS shannon,
+        |       round(CAST(CAST(t AS DECIMAL(38,0)) * t - sum(sq) AS DOUBLE)
+        |             / CAST(CAST(t AS DECIMAL(38,0)) * t AS DOUBLE), 6) + 0.0
+        |         AS simpson
+        |FROM terms GROUP BY source, t ORDER BY source""".stripMargin,
     // novelty replay: same bigram extraction (1-based list indexing,
     // range end-exclusive), distinct + min-id + join back
     "corpus_ngram_novelty" ->

@@ -861,6 +861,49 @@ object Corpus {
           lit(1.0 / (1.0 + math.exp(-bias)))).as("score"))
   }
 
+  /** Shannon + Simpson diversity of a categorical column per group —
+    * ecology's standard pair applied to corpus health: "how diverse is
+    * each source's language mix" (or domain mix, topic mix). Shannon
+    * `H = −Σ p ln p` weighs rare categories; Simpson `1 − Σ p²` is the
+    * probability two random docs differ — a collapsed source (one lang
+    * taking over) drops both long before a hard filter would notice.
+    *
+    * Cross-engine exactness: Simpson is the exact integer identity
+    * `(C² − Σc²)/C²` — products through DECIMAL(38,0), ONE double
+    * division; Shannon's per-category terms `−(c/C)·ln(c/C)` are each
+    * one short double sequence, rounded to 6 dp and summed as
+    * DECIMAL(28,6) (order-free).
+    *
+    * Returns (group, n long, n_cats long, shannon double, simpson
+    * double), group ascending. NULL categories excluded; NULL groups
+    * form their own group. One map-combinable groupBy; output bounded
+    * by |groups|. */
+  def diversityIndices(df: DataFrame, groupCol: String,
+                       catCol: String): DataFrame = {
+    val cells = df.filter(col(catCol).isNotNull)
+      .groupBy(col(groupCol), col(catCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val withTot = cells
+      .join(cells.groupBy(col(groupCol)).agg(sum(col("__n")).as("__t")),
+        Seq(groupCol))
+    val p = col("__n").cast("double") / col("__t").cast("double")
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    withTot
+      .select(col(groupCol), col("__n"), col("__t"),
+        (round(-(p * log(p)), 6) + lit(0.0)).as("__h"),
+        (d(col("__n")) * col("__n")).as("__sq"))
+      .groupBy(col(groupCol), col("__t"))
+      .agg(count(lit(1)).as("n_cats"),
+        sum(col("__h").cast("decimal(28,6)")).cast("double").as("shannon"),
+        sum(col("__sq")).as("__ssq"))
+      .select(col(groupCol), col("__t").as("n"), col("n_cats"),
+        col("shannon"),
+        (round((d(col("__t")) * col("__t") - col("__ssq")).cast("double") /
+          (d(col("__t")) * col("__t")).cast("double"), 6) + lit(0.0))
+          .as("simpson"))
+      .orderBy(col(groupCol))
+  }
+
   /** Per-document n-gram novelty in corpus id order — the freshness
     * curve ("how much of this page is phrasing the corpus has already
     * seen?"): a gram is NOVEL in the document with the smallest id

@@ -401,6 +401,21 @@ class CorpusSpec extends SparkSpec {
     assert(got(3) === ((4L, 1L, sig(-1.0))))
   }
 
+  test("diversityIndices: 50/50 split hand values; monoculture scores 0/0") {
+    val docs = Seq(
+      ("A", "en"), ("A", "en"), ("A", "fr"), ("A", "fr"),
+      ("B", "en"), ("B", "en"), ("B", "en"),
+      ("C", null.asInstanceOf[String])).toDF("source", "lang")
+    val out = Corpus.diversityIndices(docs, "source", "lang")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    // A: H = 2 * round(-(1/2)ln(1/2), 6) = 0.693148 (rounded-term sum),
+    //    Simpson = (16 - 8)/16 = 0.5
+    // B: single lang -> H = -(1*ln 1) = 0, Simpson = (9-9)/9 = 0
+    // C: all-NULL langs -> no cells, source absent
+    assert(out == Seq(("A", 4L, 2L, 0.693148, 0.5),
+      ("B", 3L, 1L, 0.0, 0.0)))
+  }
+
   test("ngramNovelty: first-seen attribution by min id; short docs omitted") {
     val docs = Seq(
       (1L, "a b c"),      // bigrams {a b, b c} both first here -> 1.0
