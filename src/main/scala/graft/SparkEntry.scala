@@ -1893,6 +1893,16 @@ object SparkEntry {
         .join(pages.select(col("doc_id"), col("lang")), Seq("doc_id"))
       operators.Features.cohensKappa(pred, "lang", "predicted")
     }),
+    "corpus_token_gini" -> ((s, dir) => {
+      // Gini of the word-frequency distribution (vocabulary
+      // concentration, the scalar cousin of the Zipf slope): sorted-rank
+      // identity on exact integers, ranks via globalRowNumber
+      val freq = DbReader(conn(s, dir), "documents").run()
+        .select(explode(filter(split(lower(col("text")), "[^a-z]+"),
+          t => t =!= "")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      operators.Ranking.giniCoefficient(freq, "c", "w")
+    }),
     "corpus_diversity" -> ((s, dir) => {
       // Shannon + Simpson language diversity per source: Simpson as the
       // exact integer identity (C^2 - sum c^2)/C^2, Shannon via the
@@ -6981,6 +6991,26 @@ object SparkEntry {
         |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
         |FROM pred GROUP BY lang, predicted
         |ORDER BY lang, predicted""".stripMargin,
+    // Gini replay: same (count, word) total order, rank products through
+    // DECIMAL(38,0), one division
+    "corpus_token_gini" ->
+      """WITH toks AS (
+        |  SELECT t FROM documents, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+        |    AS u(t)),
+        |freq AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS c
+        |         FROM toks GROUP BY t),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c, w) AS i FROM freq),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(c) AS BIGINT) AS ct,
+        |             CAST(sum(CAST(i AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))
+        |               AS ic FROM r)
+        |SELECT round(CAST(2 * ic - CAST(n + 1 AS DECIMAL(38,0)) * ct
+        |                  AS DOUBLE)
+        |             / CAST(CAST(n AS DECIMAL(38,0)) * ct AS DOUBLE), 6)
+        |         + 0.0 AS gini,
+        |       n, ct AS total
+        |FROM s""".stripMargin,
     // diversity replay: same cells, Simpson integer identity, Shannon
     // decimal sum of rounded -(p ln p) terms
     "corpus_diversity" ->

@@ -270,6 +270,43 @@ object Ranking {
       .orderBy(col("bucket"))
   }
 
+  /** Gini coefficient of a non-negative value column — inequality of a
+    * distribution in one number: 0 = perfectly uniform, → 1 = all mass
+    * on one row. Over token frequencies it quantifies vocabulary
+    * concentration (the scalar cousin of the Zipf slope); over per-source
+    * doc counts, corpus imbalance; over shard costs, how well packing
+    * balanced the load.
+    *
+    * Uses the sorted-rank identity `G = (2·Σ i·c_i − (n+1)·ΣC) / (n·ΣC)`
+    * with ranks i from the scale-safe [[globalRowNumber]] total order
+    * (value, id) — no single-partition window. Everything up to the one
+    * double division is exact integer arithmetic (rank·value products
+    * through DECIMAL(38,0)). Returns one row: (gini double round(6),
+    * n long, total long). NULL/negative values excluded. */
+  def giniCoefficient(df: DataFrame, valCol: String,
+                      idCol: String): DataFrame = {
+    val vals = df.filter(col(valCol).isNotNull && col(valCol) >= 0)
+      .select(col(valCol).cast("long").as("__v"), col(idCol).as("__id"))
+    val ranked = globalRowNumber(vals, Seq(col("__v"), col("__id")),
+      out = "__i")
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val agg = ranked.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(col("__v")), lit(0L)).as("c"),
+      coalesce(sum(d(col("__i")) * col("__v")),
+        lit(java.math.BigDecimal.ZERO)).as("ic")).first
+    val n = agg.getLong(0); val c = agg.getLong(1)
+    val ic = BigDecimal(agg.getDecimal(2))
+    require(n > 0 && c > 0, "giniCoefficient needs positive total mass")
+    val num = BigDecimal(2) * ic - BigDecimal(n + 1) * BigDecimal(c)
+    val den = BigDecimal(n) * BigDecimal(c)
+    val g = BigDecimal(num.toDouble / den.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((g, n, c)).toDF("gini", "n", "total")
+  }
+
   /** V-optimal histogram (Jagadish et al., VLDB 1998): the `buckets`-
     * bucket partition of the sorted value domain minimizing total
     * within-bucket sum of squared errors — the histogram a query

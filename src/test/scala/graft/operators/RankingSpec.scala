@@ -183,6 +183,21 @@ class RankingSpec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("WindowExec"))
   }
 
+  test("giniCoefficient: uniform 0, maximal concentration, textbook mid value") {
+    // uniform: every value equal -> G = 0
+    val uni = (1L to 10L).map(i => (i, 5L)).toDF("id", "v")
+    assert(Ranking.giniCoefficient(uni, "v", "id")
+      .as[(Double, Long, Long)].collect().head == ((0.0, 10L, 50L)))
+    // all mass on one of n rows -> G = (n-1)/n
+    val conc = ((1L to 9L).map(i => (i, 0L)) :+ (10L, 100L)).toDF("id", "v")
+    assert(Ranking.giniCoefficient(conc, "v", "id")
+      .as[(Double, Long, Long)].collect().head == ((0.9, 10L, 100L)))
+    // hand-computed {1,2,3,4}: G = (2*(1+4+9+16) - 5*10) / (4*10) = 0.25
+    val mid = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("id", "v")
+    assert(Ranking.giniCoefficient(mid, "v", "id")
+      .as[(Double, Long, Long)].collect().head == ((0.25, 4L, 10L)))
+  }
+
   test("vOptimalHistogram: finds the zero-SSE cluster split equi-width/depth would miss") {
     import spark.implicits._
     // two tight clusters of unequal size: the optimal 2-bucket split is
