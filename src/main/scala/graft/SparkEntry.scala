@@ -102,6 +102,11 @@ object SparkEntry {
   private val driftLandingCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged (event_id, event_type) batches for streaming_chi2_monitor
+    * (same INPUT-only contract as [[landingCache]]). */
+  private val chi2LandingCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Landing dir of staged PNG-payload batches for
     * streaming_image_dedup (same INPUT-only contract as
     * [[docsLandingCache]]). */
@@ -2906,6 +2911,49 @@ object SparkEntry {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
+    "streaming_chi2_monitor" -> ((s, dir) => {
+      // categorical drift alarm: reference = event_type counts of the
+      // first 40% of the stream (driver sidecar); three mtime-ordered
+      // 20%-slice micro-batches each emit a per-category chi-square
+      // report tagged with the batch id. Exactly-once via the ledger
+      import org.apache.spark.sql.types._
+      val ev = DbReader(conn(s, dir), "events").run()
+        .select(col("event_id"), col("event_type"))
+      val mx = ev.agg(max(col("event_id"))).first.getLong(0)
+      val (h1, h2, h3) = (mx * 2 / 5, mx * 3 / 5, mx * 4 / 5)
+      val refCounts = operators.Drift.categoryCounts(
+        ev.filter(col("event_id") <= h1), "event_type")
+      val landing = chi2LandingCache.synchronized {
+        chi2LandingCache.getOrElseUpdate(dir, {
+          val ld = java.nio.file.Files.createTempDirectory("graft_chi2_in")
+          val batches = Seq(
+            ev.filter(col("event_id") > h1 && col("event_id") <= h2),
+            ev.filter(col("event_id") > h2 && col("event_id") <= h3),
+            ev.filter(col("event_id") > h3))
+          batches.zipWithIndex.foreach { case (b, i) =>
+            b.coalesce(1).write.mode("append").parquet(ld.toString)
+            graft.streaming.FileStreamReader.stampBatchMtime(ld.toString, i)
+          }
+          ld.toString
+        })
+      }
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType)))
+      val stream = graft.streaming.FileStreamReader.read(
+        s, graft.filedf.Parquet(), landing, schema,
+        maxFilesPerTrigger = Some(1))
+      val ck = java.nio.file.Files.createTempDirectory("graft_chi2_ck").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_chi2_out").toString
+      val ledger = new graft.core.InMemoryHwmStore
+      graft.streaming.StreamRunner.runCategoricalDriftMonitor(
+        stream, "event_type", refCounts, ck, ledger, s"chi2@$ck") {
+        (report, _) => report.write.mode("append").parquet(out)
+      }
+      s.read.parquet(out)
+        .orderBy(col("batch_id"), col("category"))
+        .localCheckpoint()
+    }),
     "streaming_psi_monitor" -> ((s, dir) => {
       // continuous drift alarm: reference = first 40% of the stream
       // (by event_id), whose decile boundaries + bucket counts are
@@ -5777,6 +5825,59 @@ object SparkEntry {
     // in (file order == mtime order == batch order, the established
     // landing contract); ref deciles and the contrib formula exactly as
     // events_psi_drift; round + 0.0 guards the -0.0 corner
+    // chi2 monitor replay: fixed reference counts, per-batch contingency
+    // with the category union shape, same (o-e)^2/e double sequence
+    "streaming_chi2_monitor" ->
+      """WITH mx AS (SELECT CAST(max(event_id) AS BIGINT) AS m FROM events),
+        |cuts AS (SELECT CAST(m*2//5 AS BIGINT) AS h1,
+        |                CAST(m*3//5 AS BIGINT) AS h2,
+        |                CAST(m*4//5 AS BIGINT) AS h3 FROM mx),
+        |ref AS (SELECT event_type AS category,
+        |               CAST(count(*) AS BIGINT) AS n_ref
+        |        FROM events CROSS JOIN cuts
+        |        WHERE event_type IS NOT NULL AND event_id <= h1 GROUP BY 1),
+        |nr AS (SELECT CAST(sum(n_ref) AS BIGINT) AS n FROM ref),
+        |cur AS (SELECT CASE WHEN event_id <= h2 THEN 0
+        |               WHEN event_id <= h3 THEN 1 ELSE 2 END AS batch_id,
+        |               event_type AS category
+        |        FROM events CROSS JOIN cuts
+        |        WHERE event_type IS NOT NULL AND event_id > h1),
+        |cb AS (SELECT batch_id, category, CAST(count(*) AS BIGINT) AS n_cur
+        |       FROM cur GROUP BY 1, 2),
+        |nc AS (SELECT batch_id, CAST(sum(n_cur) AS BIGINT) AS n
+        |       FROM cb GROUP BY 1),
+        |shape AS (SELECT DISTINCT batch_id, category FROM (
+        |            SELECT CAST(b.bi AS BIGINT) AS batch_id, ref.category
+        |            FROM ref CROSS JOIN (SELECT unnest(range(0, 3)) AS bi) b
+        |            UNION ALL SELECT batch_id, category FROM cb)),
+        |g AS (SELECT s.batch_id, s.category,
+        |             COALESCE(ref.n_ref, 0) AS n_ref,
+        |             COALESCE(cb.n_cur, 0) AS n_cur,
+        |             nr.n AS nrr, nc.n AS ncc
+        |      FROM shape s CROSS JOIN nr
+        |        JOIN nc ON nc.batch_id = s.batch_id
+        |        LEFT JOIN ref ON ref.category = s.category
+        |        LEFT JOIN cb ON cb.batch_id = s.batch_id
+        |                    AND cb.category = s.category)
+        |SELECT category, n_ref, n_cur,
+        |       round((CAST(n_ref AS DOUBLE)
+        |                - CAST(n_ref + n_cur AS DOUBLE) * CAST(nrr AS DOUBLE)
+        |                  / CAST(nrr + ncc AS DOUBLE))
+        |             * (CAST(n_ref AS DOUBLE)
+        |                - CAST(n_ref + n_cur AS DOUBLE) * CAST(nrr AS DOUBLE)
+        |                  / CAST(nrr + ncc AS DOUBLE))
+        |             / (CAST(n_ref + n_cur AS DOUBLE) * CAST(nrr AS DOUBLE)
+        |                / CAST(nrr + ncc AS DOUBLE))
+        |           + (CAST(n_cur AS DOUBLE)
+        |                - CAST(n_ref + n_cur AS DOUBLE) * CAST(ncc AS DOUBLE)
+        |                  / CAST(nrr + ncc AS DOUBLE))
+        |             * (CAST(n_cur AS DOUBLE)
+        |                - CAST(n_ref + n_cur AS DOUBLE) * CAST(ncc AS DOUBLE)
+        |                  / CAST(nrr + ncc AS DOUBLE))
+        |             / (CAST(n_ref + n_cur AS DOUBLE) * CAST(ncc AS DOUBLE)
+        |                / CAST(nrr + ncc AS DOUBLE)), 6) + 0.0 AS contrib,
+        |       batch_id
+        |FROM g ORDER BY batch_id, category""".stripMargin,
     "streaming_psi_monitor" ->
       """WITH mx AS (SELECT CAST(max(event_id) AS BIGINT) AS m FROM events),
         |cuts AS (SELECT CAST(m*2//5 AS BIGINT) AS h1,

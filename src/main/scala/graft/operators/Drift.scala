@@ -93,14 +93,33 @@ object Drift {
     * groupBy-counts and a k-row full join — no sorts, no windows; the
     * two scalar totals are driver-bounded sidecars. */
   def chiSquareDrift(ref: DataFrame, cur: DataFrame,
-                     catCol: String): DataFrame = {
-    def counted(df: DataFrame, as: String) =
-      df.filter(col(catCol).isNotNull)
-        .select(col(catCol).cast("string").as("category"))
-        .groupBy(col("category")).agg(count(lit(1)).as(as))
-    val r = counted(ref, "n_ref")
-    val c = counted(cur, "n_cur")
-    val nR = r.agg(coalesce(sum(col("n_ref")), lit(0L))).first.getLong(0)
+                     catCol: String): DataFrame =
+    chiSquareAgainstReference(cur, catCol, categoryCounts(ref, catCol))
+
+  /** The reference slice's per-category counts as a driver sidecar
+    * (bounded by |categories|) — compute ONCE, then score any number of
+    * slices or micro-batches with [[chiSquareAgainstReference]]. */
+  def categoryCounts(df: DataFrame, catCol: String): Seq[(String, Long)] =
+    df.filter(col(catCol).isNotNull)
+      .select(col(catCol).cast("string").as("category"))
+      .groupBy(col("category")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy(_._1)
+
+  /** Score one slice against a PRECOMPUTED reference — the scoring half
+    * of [[chiSquareDrift]], reusable per micro-batch by the streaming
+    * categorical-drift monitor. Same output contract. */
+  def chiSquareAgainstReference(cur: DataFrame, catCol: String,
+                                refCounts: Seq[(String, Long)]): DataFrame = {
+    val nR = refCounts.map(_._2).sum
+    val spark = cur.sparkSession
+    import spark.implicits._
+    // no broadcast hint: full outer joins can't broadcast-build, and the
+    // ref frame is |categories| rows — the shuffle is trivial by design
+    val r = refCounts.toDF("category", "n_ref")
+    val c = cur.filter(col(catCol).isNotNull)
+      .select(col(catCol).cast("string").as("category"))
+      .groupBy(col("category")).agg(count(lit(1)).as("n_cur"))
     val nC = c.agg(coalesce(sum(col("n_cur")), lit(0L))).first.getLong(0)
     require(nR > 0 && nC > 0, "chiSquareDrift needs non-empty slices")
     val n = (nR + nC).toDouble

@@ -252,6 +252,28 @@ object StreamRunner {
       sink(report, id)
     }
 
+  /** [[runDriftMonitor]]'s categorical sibling — the chi-square alarm on
+    * a label/category column ("is this crawl suddenly 80% one event
+    * type?"): each micro-batch is scored against FIXED reference
+    * category counts ([[graft.operators.Drift.categoryCounts]], a
+    * driver-bounded sidecar), and the per-category (o−e)²/e report —
+    * tagged with the batch id — goes to `sink`. Per-batch cost is one
+    * map-combinable count over the batch; same exactly-once ledger and
+    * idempotent-sink caveat as the PSI monitor. */
+  def runCategoricalDriftMonitor(stream: DataFrame, catCol: String,
+                                 refCounts: Seq[(String, Long)],
+                                 checkpoint: String,
+                                 store: graft.core.HwmStore,
+                                 ledgerName: String)
+                                (sink: (DataFrame, Long) => Unit): Unit =
+    runAvailableNowForeachBatchExactlyOnce(stream, checkpoint, store,
+      ledgerName) { (batch, id) =>
+      val report = graft.operators.Drift
+        .chiSquareAgainstReference(batch, catCol, refCounts)
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+      sink(report, id)
+    }
+
   def runIncrementalDedup(stream: DataFrame, idCol: String, textCol: String,
                           indexTable: String, checkpoint: String,
                           store: graft.core.HwmStore, ledgerName: String,

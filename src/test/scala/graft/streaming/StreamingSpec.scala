@@ -164,6 +164,47 @@ class StreamingSpec extends SparkSpec {
     assert(reports.isEmpty, "replayed batches re-emitted drift reports")
   }
 
+  test("streaming categorical drift monitor: per-batch chi2 vs fixed counts, replay-safe") {
+    import graft.operators.Drift
+    val src = tmpDir("stream-chi2-src")
+    // batch 0 mirrors the reference mix (50/50) -> chi2 ~ 0;
+    // batch 1 is all one category -> large contributions
+    val b0 = (0 until 100).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("event_id", "event_type")
+    val b1 = (100 until 200).map(i => (i.toLong, "a"))
+      .toDF("event_id", "event_type")
+    b0.coalesce(1).write.mode("append").parquet(src)
+    FileStreamReader.stampBatchMtime(src, 0)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    FileStreamReader.stampBatchMtime(src, 1)
+    val refCounts = Drift.categoryCounts(b0, "event_type")
+    assert(refCounts == Seq(("a", 50L), ("b", 50L)))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType)))
+    val store = new graft.core.InMemoryHwmStore
+    val reports = new java.util.concurrent.ConcurrentHashMap[Long, Array[(String, Long, Double)]]()
+    def run(ck: String): Unit = StreamRunner.runCategoricalDriftMonitor(
+      FileStreamReader.read(spark, Parquet(), src, schema,
+        maxFilesPerTrigger = Some(1)),
+      "event_type", refCounts, ck, store, "chi2_ledger") { (report, id) =>
+      reports.put(id, report.orderBy(col("category"))
+        .select(col("category"), col("n_cur"), col("contrib"))
+        .as[(String, Long, Double)].collect())
+    }
+    run(tmpDir("stream-chi2-ck1"))
+    assert(reports.size == 2)
+    // matching mix: every contribution exactly 0
+    assert(reports.get(0L).forall { case (_, n, c) => n == 50L && c == 0.0 })
+    // collapsed batch: category b has o=0 in the batch -> big chi2
+    val r1 = reports.get(1L)
+    assert(r1.map(_._2).toSeq == Seq(100L, 0L))
+    assert(r1.map(_._3).sum > 3.84) // chi2 >> the 95% one-dof cutoff
+    // replay with a fresh checkpoint, same ledger: nothing re-emitted
+    reports.clear()
+    run(tmpDir("stream-chi2-ck2"))
+    assert(reports.isEmpty, "replayed batches re-emitted chi2 reports")
+  }
+
   test("streaming incremental dedup: index-killed dups, cross-batch append, replay-safe") {
     // three mtime-ordered files -> three deterministic micro-batches; the
     // dedup must kill an in-batch copy, a re-ingestion of HISTORY, and a
