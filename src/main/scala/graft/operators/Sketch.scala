@@ -92,4 +92,144 @@ object Sketch {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
     Seq((r4, m.toLong, vZero)).toDF("estimate", "n_buckets", "v_zero")
   }
+
+  // --- Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) ---
+
+  /** Cell index of value `v` in depth-row `row`: the row number salts the
+    * md5 input (`"<row>:" + v`), the first 15 hex chars become a 60-bit
+    * non-negative long, mod `width`. Positive dividend, so `pmod` here and
+    * plain `%` in any replaying engine agree. */
+  private def cmCell(v: Column, row: Int, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"$row:"), v.cast("string"))
+      .cast("binary")), 1, 15), 16, 10).cast("long"), lit(width.toLong))
+
+  /** The dense depth×width counter table of a column: (row, cell, cnt),
+    * zero-filled so counter tables from different shards/days align
+    * cell-for-cell. The input first collapses to its value-frequency
+    * table, so hashing touches |vocab|·depth rows, not |corpus|·depth —
+    * at 100 TB the frequency groupBy is the only corpus-sized pass and it
+    * map-side combines. Counters are sums, so the sketch is MERGEABLE by
+    * per-cell addition ([[cmMerge]]) and the estimate never undercounts. */
+  def cmCounters(df: DataFrame, valCol: String, depth: Int = 4,
+                 width: Int = 512): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(width >= 16, s"width must be >= 16, got $width")
+    val freq = df.filter(col(valCol).isNotNull)
+      .groupBy(col(valCol).as("__v")).agg(count(lit(1)).as("__c"))
+    val cells = freq.select(posexplode(array((0 until depth).map(r =>
+        cmCell(col("__v"), r, width)): _*)).as(Seq("row", "cell")),
+        col("__c"))
+      .groupBy(col("row").cast("long").as("row"), col("cell"))
+      .agg(sum(col("__c")).as("cnt"))
+    // dense shape from ONE range (row = id / width, cell = id % width) —
+    // no cross join, and the d·w frame is tiny by construction
+    val shape = df.sparkSession.range(depth.toLong * width)
+      .select((col("id") / lit(width)).cast("long").as("row"),
+        pmod(col("id"), lit(width.toLong)).as("cell"))
+    shape.join(broadcast(cells), Seq("row", "cell"), "left")
+      .select(col("row"), col("cell"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy(col("row"), col("cell"))
+  }
+
+  /** Fold counter tables from several shards into one — per-cell sum.
+    * `estimate(merge(a, b)) == estimate(a ⊎ b)` exactly, because the
+    * cells are plain sums. */
+  def cmMerge(counters: DataFrame*): DataFrame = {
+    require(counters.nonEmpty, "cmMerge needs at least one counter table")
+    counters.reduce(_ unionByName _)
+      .groupBy(col("row"), col("cell")).agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("row"), col("cell"))
+  }
+
+  /** Point estimates for a (small, broadcast) probe frame: est(v) =
+    * min over rows of counter[row, h_row(v)] — the classic CM upper
+    * bound, an overestimate by at most the hash-collision mass. Returns
+    * (probe value column, est_cnt). Counters are d·w rows and the probe
+    * side is broadcast, so the lookup never shuffles the corpus. */
+  def cmEstimate(counters: DataFrame, probes: DataFrame, valCol: String,
+                 depth: Int, width: Int): DataFrame = {
+    val pcells = probes.select(col(valCol).as("__v"),
+      posexplode(array((0 until depth).map(r =>
+        cmCell(col(valCol), r, width)): _*)).as(Seq("row", "cell")))
+      .select(col("__v"), col("row").cast("long").as("row"), col("cell"))
+    counters.join(broadcast(pcells), Seq("row", "cell"))
+      .groupBy(col("__v").as(valCol))
+      .agg(min(col("cnt")).as("est_cnt"))
+  }
+
+  // --- KMV / bottom-k distinct sketch (Bar-Yossef et al., RANDOM'02) ---
+
+  /** The k smallest DISTINCT 60-bit md5 hash values of a column — a
+    * bottom-k sketch. Global smallest-k is a TakeOrderedAndProject
+    * (per-partition top-k, then a k-row driver merge), never a full sort.
+    * Mergeable: union registers, distinct, keep the k smallest. */
+  def kmvRegisters(df: DataFrame, valCol: String, k: Int = 128): DataFrame = {
+    require(k >= 8, s"k must be >= 8, got $k")
+    val h = conv(substring(md5(col(valCol).cast("string").cast("binary")),
+      1, 15), 16, 10).cast("long")
+    df.filter(col(valCol).isNotNull).select(h.as("h")).distinct()
+      .orderBy(col("h")).limit(k)
+  }
+
+  /** Fold bottom-k registers from several shards: distinct-union, keep
+    * the k smallest — exactly the registers of the unioned input. */
+  def kmvMerge(k: Int, regs: DataFrame*): DataFrame = {
+    require(regs.nonEmpty, "kmvMerge needs at least one register table")
+    regs.reduce(_ unionByName _).distinct().orderBy(col("h")).limit(k)
+  }
+
+  /** Distinct-count estimate from a bottom-k register table — one row:
+    * (n_regs, kth_hash, estimate round(4)). With fewer than k distinct
+    * hashes the register set IS the distinct set (estimate = n, exact);
+    * otherwise the unbiased estimator (k−1)·2^60 / h_(k) over the
+    * [0, 2^60) hash space. The division is one double op on two exactly-
+    * representable operands — identical in any engine. */
+  def kmvEstimate(registers: DataFrame, k: Int): DataFrame = {
+    val hs = registers.select(col("h")).collect().map(_.getLong(0))
+    require(hs.length <= k, s"register table has ${hs.length} rows > k=$k")
+    val n = hs.length.toLong
+    val hk = if (hs.isEmpty) 0L else hs.max
+    val est =
+      if (n < k) n.toDouble
+      else (k - 1).toDouble * 1152921504606846976.0 / hk.toDouble
+    val spark = registers.sparkSession
+    import spark.implicits._
+    val r4 = BigDecimal(est)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    Seq((n, hk, r4)).toDF("n_regs", "kth_hash", "estimate")
+  }
+
+  // --- Bloom filter as an explicit bit-position set (Bloom, CACM 1970) --
+
+  /** The set bit positions of an m-bit, k-hash Bloom filter over a
+    * column: one row per DISTINCT set bit. Same row-salted md5 cell hash
+    * as Count-Min, so any engine replays the positions verbatim.
+    * Mergeable by distinct-union (Bloom OR). The frame is at most m rows
+    * — the 100 TB shape is one distinct over |vocab|·k positions. */
+  def bloomBits(df: DataFrame, valCol: String, m: Int = 4096,
+                k: Int = 5): DataFrame = {
+    require(k >= 1 && k <= 8, s"k must be in [1,8], got $k")
+    require(m >= 64, s"m must be >= 64, got $m")
+    df.filter(col(valCol).isNotNull)
+      .select(explode(array((0 until k).map(r =>
+        cmCell(col(valCol), r, m)): _*)).as("bit"))
+      .distinct().orderBy(col("bit"))
+  }
+
+  /** Membership probe: for each (small, broadcast) probe value, 1 iff
+    * ALL k bit positions are set — no false negatives by construction,
+    * false positives at the documented (1−e^{−kn/m})^k rate. Returns
+    * (probe value column, maybe_in long 0/1). */
+  def bloomMightContain(bits: DataFrame, probes: DataFrame, valCol: String,
+                        m: Int, k: Int): DataFrame = {
+    val pbits = probes.select(col(valCol).as("__v"),
+      explode(array((0 until k).map(r =>
+        cmCell(col(valCol), r, m)): _*)).as("bit"))
+    pbits.join(broadcast(bits.withColumn("__hit", lit(1L))),
+        Seq("bit"), "left")
+      .groupBy(col("__v").as(valCol))
+      .agg((sum(coalesce(col("__hit"), lit(0L))) === lit(k.toLong))
+        .cast("long").as("maybe_in"))
+  }
 }

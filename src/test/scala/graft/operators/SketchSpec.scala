@@ -41,4 +41,75 @@ class SketchSpec extends SparkSpec {
     // 2 values -> v_zero >= 254, linear counting ~= 2
     assert(est._3 >= 254L && est._1 > 0.0 && est._1 < 10.0, est)
   }
+
+  test("cmCounters: dense d×w, mass conservation per row, merge == union") {
+    val a = spark.range(2000).select((col("id") % 7).cast("string").as("v"))
+    val b = spark.range(500).select((col("id") % 3).cast("string").as("v"))
+    val direct = Sketch.cmCounters(a.union(b), "v", depth = 4, width = 64)
+      .collect()
+    assert(direct.length == 4 * 64)
+    // every depth-row holds the full input mass once
+    assert(direct.groupBy(_.getLong(0)).values
+      .forall(_.map(_.getLong(2)).sum == 2500L))
+    val merged = Sketch.cmMerge(
+      Sketch.cmCounters(a, "v", 4, 64), Sketch.cmCounters(b, "v", 4, 64))
+      .collect()
+    assert(merged.toSeq == direct.toSeq)
+  }
+
+  test("cmEstimate: never undercounts, exact when collision-free") {
+    val df = spark.range(3000).select((col("id") % 11).cast("string").as("v"))
+    val truth = df.groupBy("v").agg(count(lit(1)).as("true_cnt"))
+    val est = Sketch.cmEstimate(
+      Sketch.cmCounters(df, "v", 4, 512), truth.select("v"), "v", 4, 512)
+      .join(truth, "v").collect()
+    assert(est.length == 11)
+    assert(est.forall(r =>
+      r.getAs[Long]("est_cnt") >= r.getAs[Long]("true_cnt")))
+    // 11 values in 4 independent rows of 512 cells: some row is
+    // collision-free for every value, so min-over-rows is exact
+    assert(est.forall(r =>
+      r.getAs[Long]("est_cnt") == r.getAs[Long]("true_cnt")))
+  }
+
+  test("kmvRegisters: k smallest distinct hashes; merge == union; exact under k") {
+    val a = spark.range(1000).select(col("id").cast("string").as("v"))
+    val b = spark.range(500, 1500).select(col("id").cast("string").as("v"))
+    val k = 64
+    val merged = Sketch.kmvMerge(k,
+      Sketch.kmvRegisters(a, "v", k), Sketch.kmvRegisters(b, "v", k))
+      .as[Long].collect().toSeq
+    val direct = Sketch.kmvRegisters(a.union(b), "v", k)
+      .as[Long].collect().toSeq
+    assert(merged == direct)
+    assert(direct.length == k && direct == direct.sorted &&
+      direct.distinct == direct)
+    val est = Sketch.kmvEstimate(
+      Sketch.kmvRegisters(a.union(b), "v", k), k).collect().head
+    assert(est.getLong(0) == k.toLong)
+    assert(math.abs(est.getDouble(2) - 1500.0) / 1500.0 < 0.4, est)
+    // fewer than k distinct -> the sketch IS the distinct set, exact
+    val e2 = Sketch.kmvEstimate(
+      Sketch.kmvRegisters(Seq("x", "y", "x").toDF("v"), "v", k), k)
+      .collect().head
+    assert(e2.getLong(0) == 2L && e2.getDouble(2) == 2.0)
+  }
+
+  test("bloomBits: no false negatives; OR-merge == bits of the union") {
+    val a = spark.range(200).select(concat(lit("a"), col("id")).as("v"))
+    val bits = Sketch.bloomBits(a, "v", m = 2048, k = 5)
+    val mc = Sketch.bloomMightContain(bits, a.limit(50), "v", 2048, 5)
+      .collect()
+    assert(mc.length == 50 && mc.forall(_.getLong(1) == 1L))
+    val b = spark.range(200, 400).select(concat(lit("a"), col("id")).as("v"))
+    val mergedBits = Sketch.bloomBits(a.union(b), "v", 2048, 5)
+      .as[Long].collect().toSeq
+    val ored = bits.union(Sketch.bloomBits(b, "v", 2048, 5))
+      .distinct().orderBy("bit").as[Long].collect().toSeq
+    assert(ored == mergedBits)
+    // an unrelated probe set: flags are 0/1 longs, never null
+    val far = spark.range(20).select(concat(lit("zz"), col("id")).as("v"))
+    val fm = Sketch.bloomMightContain(bits, far, "v", 2048, 5).collect()
+    assert(fm.length == 20 && fm.forall(r => Set(0L, 1L)(r.getLong(1))))
+  }
 }
