@@ -839,6 +839,27 @@ object SparkEntry {
         .select(col("node").as("c_custkey"), col("degree"),
           col("triangles"), col("coeff"))
     }),
+    "profile_table_columns" -> ((s, dir) => {
+      // post-ingest column profile of orders: null density, exact
+      // cardinality, native-typed min/max envelope rendered to strings —
+      // one aggregate pass, one collected row, |cols| output rows
+      operators.Profiling.profileColumns(
+        DbReader(conn(s, dir), "orders").run(),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_orderdate"))
+    }),
+    "graph_kcore" -> ((s, dir) => {
+      // 3-core of the fuzzy-match graph: iterative peel to fixpoint —
+      // dense template families survive with their within-core degrees,
+      // bridge chains cascade away (a sharper cut than a raw degree
+      // threshold)
+      val pairs = operators.Joins.fuzzySelfPairs(
+        DbReader(conn(s, dir), "customer").run(),
+        "c_custkey", "c_name",
+        expr("substring(c_name, 1, length(c_name)-2)"), maxDist = 1)
+      operators.Graph.kCoreNodes(pairs, "id_a", "id_b", k = 3)
+        .select(col("node").as("c_custkey"), col("degree"))
+    }),
     "graph_triangle_counts" -> ((s, dir) => {
       // per-node triangles of the fuzzy-match graph (degree-ordered
       // orientation, O(m^1.5)): dense template families vs bridge pairs
@@ -881,6 +902,57 @@ object SparkEntry {
           .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
           .filter(col("w") =!= ""),
         "w", p = 8))
+    }),
+    "sketch_countmin_words" -> ((s, dir) => {
+      // Count-Min counters (d=4, w=512) over the word stream, probed at
+      // the 20 most frequent words: min-over-rows estimate vs truth —
+      // the mergeable heavy-hitter counter sidecar; never undercounts
+      val words = DbReader(conn(s, dir), "documents").run()
+        .select(explode(filter(split(lower(col("text")), "[^a-z]+"),
+          t => t =!= "")).as("w"))
+      val counters = operators.Sketch.cmCounters(
+        words, "w", depth = 4, width = 512)
+      val probes = words.groupBy(col("w")).agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("w")).limit(20)
+      operators.Sketch.cmEstimate(
+          counters, probes.select(col("w")), "w", depth = 4, width = 512)
+        .join(broadcast(probes), Seq("w"))
+        .select(col("w"), col("true_cnt"), col("est_cnt"),
+          (col("est_cnt") - col("true_cnt")).as("overcount"))
+        .orderBy(col("w"))
+    }),
+    "sketch_kmv_distinct" -> ((s, dir) => {
+      // bottom-k distinct sketch (k=128) over the word stream: the k
+      // smallest md5 hashes + the (k-1)*2^60/h_k estimate, with the
+      // exact distinct-hash count alongside for the error to be visible
+      val words = DbReader(conn(s, dir), "documents").run()
+        .select(explode(filter(split(lower(col("text")), "[^a-z]+"),
+          t => t =!= "")).as("w"))
+      val exact = words.select(conv(substring(
+          md5(col("w").cast("binary")), 1, 15), 16, 10).cast("long").as("h"))
+        .distinct().count()
+      operators.Sketch.kmvEstimate(
+          operators.Sketch.kmvRegisters(words, "w", k = 128), k = 128)
+        .withColumn("n_distinct_hashes", lit(exact))
+    }),
+    "sketch_bloom_probe" -> ((s, dir) => {
+      // Bloom bits (m=4096, k=5) over even-doc words, probed with the
+      // 50 most frequent odd-doc words: membership flags with zero
+      // false negatives by construction; truly_in exposes the FP rate
+      val docs = DbReader(conn(s, dir), "documents").run()
+      def words(p: Int) = docs.filter(pmod(col("doc_id"), lit(2L)) === p)
+        .select(explode(filter(split(lower(col("text")), "[^a-z]+"),
+          t => t =!= "")).as("w"))
+      val bits = operators.Sketch.bloomBits(words(0), "w", m = 4096, k = 5)
+      val probes = words(1).groupBy(col("w")).agg(count(lit(1)).as("__c"))
+        .orderBy(col("__c").desc, col("w")).limit(50).select(col("w"))
+      val truly = words(0).select(col("w")).distinct()
+        .withColumn("__t", lit(1L))
+      operators.Sketch.bloomMightContain(bits, probes, "w", m = 4096, k = 5)
+        .join(broadcast(truly), Seq("w"), "left")
+        .select(col("w"), col("maybe_in"),
+          coalesce(col("__t"), lit(0L)).as("truly_in"))
+        .orderBy(col("w"))
     }),
     "text_readability" -> ((s, dir) => {
       // Flesch Reading Ease + FK grade per doc: fixed regex counting
@@ -4099,6 +4171,53 @@ object SparkEntry {
       s"((($q1 >> $b) & 1) << ${2 * b})",
       s"((($q2 >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
 
+  /** Unrolled k-core peel for the DuckDB replay: `rounds` filtered
+    * degree recomputations over the fuzzy-match adjacency. Peeling is
+    * idempotent past its fixpoint, so any `rounds` ≥ the observed
+    * cascade depth (2 at sf0.01/0.1, headroom to 8 here) replays the
+    * Spark fixpoint exactly. */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      s"""WITH c AS (
+         |  SELECT c_custkey AS id, c_name AS s,
+         |         substr(c_name, 1, length(c_name) - 2) AS blk
+         |  FROM customer WHERE c_name IS NOT NULL AND c_custkey IS NOT NULL),
+         |e AS (
+         |  SELECT a.id AS a, b.id AS b
+         |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+         |  WHERE levenshtein(a.s, b.s) <= 1),
+         |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+         |l0 AS (SELECT u AS node, count(*) AS degree FROM adj
+         |       GROUP BY u HAVING count(*) >= $k)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""l$i AS (SELECT u AS node, count(*) AS degree FROM adj
+         |  WHERE u IN (SELECT node FROM l${i - 1})
+         |    AND v IN (SELECT node FROM l${i - 1})
+         |  GROUP BY u HAVING count(*) >= $k)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node AS c_custkey, CAST(degree AS BIGINT) AS degree" +
+      s"\nFROM l$rounds ORDER BY node"
+  }
+
+  /** Column-profile replay: one UNION ALL branch per column — nulls as
+    * `count(*) − count(c)` (BIGINT in every engine, no CASE-sum HUGEINT),
+    * exact `count(DISTINCT c)`, min/max on the native type rendered to
+    * VARCHAR (timestamps via strftime so sub-second digits can't
+    * disagree). */
+  private def profileOracleSql(table: String,
+                               cols: Seq[(String, Boolean)]): String =
+    cols.map { case (c, isTs) =>
+      def r(agg: String) =
+        if (isTs) s"strftime($agg($c), '%Y-%m-%d %H:%M:%S')"
+        else s"CAST($agg($c) AS VARCHAR)"
+      s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  ${r("min")} AS min_str, ${r("max")} AS max_str
+         |FROM $table""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+
   private val jaccardOracle: String =
     """WITH docs AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
@@ -4652,6 +4771,11 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     // triangle replay: same canonical edges, (degree, id) orientation,
     // wedge join + EXISTS closure — exact integer counts
+    "graph_kcore" -> kCoreOracleSql(k = 3, rounds = 8),
+    "profile_table_columns" -> profileOracleSql("orders",
+      Seq(("o_orderkey", false), ("o_custkey", false),
+        ("o_orderstatus", false), ("o_orderpriority", false),
+        ("o_orderdate", true))),
     "graph_triangle_counts" ->
       """WITH c AS (
         |  SELECT c_custkey AS id, c_name AS s,
@@ -4756,6 +4880,90 @@ object SparkEntry {
         |             END, 4) + 0.0 AS estimate,
         |       m AS n_buckets, v AS v_zero
         |FROM s""".stripMargin,
+    // Count-Min replay: identical row-salted md5 cells ("<row>:" || w,
+    // first 15 hex chars as a 60-bit long, % 512 — positive dividend so
+    // % == pmod), per-cell BIGINT sums, min over the 4 rows. All-integer
+    // output; est - true stays BIGINT (no sum in the subtraction).
+    "sketch_countmin_words" ->
+      """WITH toks AS (
+        |  SELECT t FROM documents, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+        |    AS u(t)),
+        |freq AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS c
+        |         FROM toks GROUP BY t),
+        |cells AS (
+        |  SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || w),
+        |           1, 15) AS BIGINT) % 512 AS cell, c
+        |  FROM freq, (SELECT unnest(range(4)) AS r)),
+        |counters AS (SELECT r, cell, CAST(sum(c) AS BIGINT) AS cnt
+        |             FROM cells GROUP BY r, cell),
+        |probes AS (SELECT w, c FROM freq ORDER BY c DESC, w LIMIT 20),
+        |pc AS (
+        |  SELECT w, c, r, CAST('0x' || substr(md5(CAST(r AS VARCHAR)
+        |           || ':' || w), 1, 15) AS BIGINT) % 512 AS cell
+        |  FROM probes, (SELECT unnest(range(4)) AS r)),
+        |est AS (SELECT pc.w, any_value(pc.c) AS true_cnt,
+        |               CAST(min(counters.cnt) AS BIGINT) AS est_cnt
+        |        FROM pc JOIN counters
+        |          ON pc.r = counters.r AND pc.cell = counters.cell
+        |        GROUP BY pc.w)
+        |SELECT w, true_cnt, est_cnt, est_cnt - true_cnt AS overcount
+        |FROM est ORDER BY w""".stripMargin,
+    // KMV replay: distinct 60-bit hashes, k=128 smallest, estimator
+    // 127 * 2^60 / h_k (both operands exactly representable doubles);
+    // round(4)+0.0 as everywhere. n < k means the register set IS the
+    // distinct set — estimate = n exactly.
+    "sketch_kmv_distinct" ->
+      """WITH toks AS (
+        |  SELECT t FROM documents, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+        |    AS u(t)),
+        |dh AS (SELECT DISTINCT CAST('0x' || substr(md5(t), 1, 15)
+        |         AS BIGINT) AS h FROM toks),
+        |reg AS (SELECT h FROM dh ORDER BY h LIMIT 128),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_regs,
+        |             CAST(max(h) AS BIGINT) AS kth_hash FROM reg),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS exact FROM dh)
+        |SELECT n_regs, kth_hash,
+        |       round(CASE WHEN n_regs < 128 THEN CAST(n_regs AS DOUBLE)
+        |             ELSE 127.0 * 1152921504606846976.0
+        |                  / CAST(kth_hash AS DOUBLE) END, 4) + 0.0
+        |         AS estimate,
+        |       exact AS n_distinct_hashes
+        |FROM s, d""".stripMargin,
+    // Bloom replay: same salted cells as Count-Min with m=4096, k=5;
+    // membership = all 5 positions present (duplicate positions join
+    // twice on both sides, so the count-of-hits == 5 rule agrees with
+    // Spark's sum-of-hits). truly_in via left join on the even-doc vocab.
+    "sketch_bloom_probe" ->
+      """WITH ew AS (
+        |  SELECT t FROM documents, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+        |    AS u(t) WHERE doc_id % 2 = 0),
+        |ow AS (
+        |  SELECT t FROM documents, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+        |    AS u(t) WHERE doc_id % 2 = 1),
+        |ev AS (SELECT DISTINCT t FROM ew),
+        |bits AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(r AS VARCHAR)
+        |           || ':' || t), 1, 15) AS BIGINT) % 4096 AS bit,
+        |         1 AS hit
+        |  FROM ev, (SELECT unnest(range(5)) AS r)),
+        |probes AS (SELECT t AS w FROM ow GROUP BY t
+        |           ORDER BY count(*) DESC, t LIMIT 50),
+        |pb AS (
+        |  SELECT w, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || w),
+        |           1, 15) AS BIGINT) % 4096 AS bit
+        |  FROM probes, (SELECT unnest(range(5)) AS r)),
+        |mc AS (SELECT w, CAST(CASE WHEN sum(COALESCE(bits.hit, 0)) = 5
+        |                      THEN 1 ELSE 0 END AS BIGINT) AS maybe_in
+        |       FROM pb LEFT JOIN bits ON pb.bit = bits.bit GROUP BY w)
+        |SELECT mc.w, mc.maybe_in,
+        |       CAST(CASE WHEN ev.t IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |         AS truly_in
+        |FROM mc LEFT JOIN ev ON mc.w = ev.t
+        |ORDER BY mc.w""".stripMargin,
     // readability replay: identical regex counting rules and the two
     // fixed double sequences; NULL scores for zero-word docs
     "text_readability" ->

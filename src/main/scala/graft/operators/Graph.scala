@@ -158,4 +158,70 @@ object Graph {
           .otherwise(lit(0.0)))
       .orderBy(col("node"))
   }
+
+  /** k-core decomposition (Seidman, Social Networks 1983): the maximal
+    * subgraph in which every node has degree ≥ k, found by iterative
+    * peeling — drop all nodes of degree < k, recompute degrees on the
+    * survivors, repeat to fixpoint. On a near-duplicate / fuzzy-match
+    * graph the k-core separates dense template families (which survive)
+    * from bridge chains and stray pairs (which peel away) — a sharper
+    * cluster-quality cut than a raw degree threshold, because peeling
+    * cascades: a node held up only by already-peeled neighbors goes too.
+    *
+    * Returns (node, degree long) for the members of the k-core with
+    * their WITHIN-CORE degree, ordered by node. Exact and engine-
+    * replayable: peeling is deterministic (no tie-breaks — all sub-k
+    * nodes drop together each round).
+    *
+    * Scale shape: per round, two semi-joins of the symmetrized edge list
+    * against the (shrinking) survivor frame + one map-combinable count —
+    * all keyed equi-joins, nothing collected but the per-round survivor
+    * count (one long). Each round's frame is persisted and the previous
+    * released, so lineage stays flat for any round count; rounds are
+    * bounded by `maxRounds` (the peel cascade on real match graphs
+    * settles in a handful — the caller gets a hard error, not a silent
+    * partial core, if the bound is hit). */
+  def kCoreNodes(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+                 maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    import org.apache.spark.storage.StorageLevel
+    val canon = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val adj = canon.select(col("a").as("u"), col("b").as("v"))
+      .union(canon.select(col("b"), col("a")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // round 0: plain degrees — the first peel needs no restriction
+    var live = adj.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= k.toLong)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var n = live.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds && n > 0) {
+      val deg = adj
+        .join(live.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(live.select(col("node").as("v")), Seq("v"), "left_semi")
+        .groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
+      val next = deg.filter(col("degree") >= k.toLong)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val m = next.count()
+      converged = m == n
+      // keep the recomputed frame even on convergence: its degrees are
+      // the within-core degrees (round 0's were whole-graph degrees)
+      live.unpersist()
+      live = next
+      n = m
+      rounds += 1
+    }
+    require(converged || n == 0,
+      s"k-core peeling did not settle within $maxRounds rounds")
+    adj.unpersist()
+    live.orderBy(col("node"))
+  }
 }

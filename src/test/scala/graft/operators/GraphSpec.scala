@@ -65,4 +65,30 @@ class GraphSpec extends SparkSpec {
       (1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
       (3L, 3L, 1L, 0.333333), (4L, 1L, 0L, 0.0)))
   }
+
+  test("kCoreNodes: peel cascade drops chains; within-core degrees; k=1 keeps all") {
+    // triangle 1-2-3 with chain 3-4-5: the 2-core is the triangle, and
+    // the cascade matters — 5 peels in round 0, which strands 4
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("x", "y")
+    val core2 = Graph.kCoreNodes(g, "x", "y", k = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(core2 == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // k=3 on the same graph: empty core (triangle degrees are 2)
+    assert(Graph.kCoreNodes(g, "x", "y", k = 3).count() == 0)
+    // K4 + pendant: the 3-core is K4 with degree 3 each
+    val k4 = ((for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)) :+
+      ((4L, 9L))).toDF("x", "y")
+    val core3 = Graph.kCoreNodes(k4, "x", "y", k = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(core3 == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // k=1 keeps every non-isolated node with its full degree
+    val core1 = Graph.kCoreNodes(g, "x", "y", k = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(core1 == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
+    // duplicate/reversed edges and self-loops collapse before peeling
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L)).toDF("x", "y")
+    assert(Graph.kCoreNodes(messy, "x", "y", k = 1)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 1L), (2L, 1L)))
+  }
 }
