@@ -839,6 +839,19 @@ object SparkEntry {
         .select(col("node").as("c_custkey"), col("degree"),
           col("triangles"), col("coeff"))
     }),
+    "eval_bleu_pairs" -> ((s, dir) => {
+      // BLEU-2 of each even doc against its successor: clipped 1/2-gram
+      // precision with exact integer counts, geometric mean without the
+      // engine-unportable exp brevity penalty
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val pairs = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+        .select(col("doc_id").as("cand_id"), col("text").as("cand_text"))
+        .join(docs.select((col("doc_id") - 1).as("cand_id"),
+          col("text").as("ref_text")), Seq("cand_id"))
+      operators.TextMetrics.bleuCounts(
+          pairs, "cand_id", "cand_text", "ref_text")
+        .orderBy(col("cand_id"))
+    }),
     "profile_table_columns" -> ((s, dir) => {
       // post-ingest column profile of orders: null density, exact
       // cardinality, native-typed min/max envelope rendered to strings —
@@ -4772,6 +4785,71 @@ object SparkEntry {
     // triangle replay: same canonical edges, (degree, id) orientation,
     // wedge join + EXISTS closure — exact integer counts
     "graph_kcore" -> kCoreOracleSql(k = 3, rounds = 8),
+    // BLEU replay: same tokenization, bigrams via 1-indexed list window,
+    // clipped matches through a (pair, n, gram) left join; the only
+    // doubles are the two divisions + multiply + sqrt + round — one IEEE
+    // sequence in both engines
+    "eval_bleu_pairs" ->
+      """WITH pairs AS (
+        |  SELECT a.doc_id AS id, a.text AS ct, b.text AS rt
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 2 = 0),
+        |cg AS (
+        |  SELECT id, n, g, CAST(count(*) AS BIGINT) AS cc FROM (
+        |    SELECT id, 1 AS n, t AS g
+        |    FROM pairs, UNNEST(list_filter(string_split_regex(lower(ct),
+        |      '[^a-z]+'), x -> x <> '')) AS u(t)
+        |    UNION ALL
+        |    SELECT id, 2 AS n, g FROM (
+        |      SELECT id, list_filter(string_split_regex(lower(ct),
+        |        '[^a-z]+'), x -> x <> '') AS a FROM pairs),
+        |      UNNEST(list_transform(range(1, len(a)),
+        |        i -> a[i] || ' ' || a[i+1])) AS v(g))
+        |  GROUP BY id, n, g),
+        |rg AS (
+        |  SELECT id, n, g, CAST(count(*) AS BIGINT) AS rc FROM (
+        |    SELECT id, 1 AS n, t AS g
+        |    FROM pairs, UNNEST(list_filter(string_split_regex(lower(rt),
+        |      '[^a-z]+'), x -> x <> '')) AS u(t)
+        |    UNION ALL
+        |    SELECT id, 2 AS n, g FROM (
+        |      SELECT id, list_filter(string_split_regex(lower(rt),
+        |        '[^a-z]+'), x -> x <> '') AS a FROM pairs),
+        |      UNNEST(list_transform(range(1, len(a)),
+        |        i -> a[i] || ' ' || a[i+1])) AS v(g))
+        |  GROUP BY id, n, g),
+        |cl AS (
+        |  SELECT cg.id, cg.n,
+        |         CAST(sum(least(cg.cc, COALESCE(rg.rc, 0))) AS BIGINT) AS m,
+        |         CAST(sum(cg.cc) AS BIGINT) AS t
+        |  FROM cg LEFT JOIN rg
+        |    ON cg.id = rg.id AND cg.n = rg.n AND cg.g = rg.g
+        |  GROUP BY cg.id, cg.n),
+        |wide AS (
+        |  SELECT p.id,
+        |    COALESCE(c1.m, 0) AS matched_1, COALESCE(c1.t, 0) AS total_1,
+        |    COALESCE(c2.m, 0) AS matched_2, COALESCE(c2.t, 0) AS total_2
+        |  FROM pairs p
+        |  LEFT JOIN cl c1 ON c1.id = p.id AND c1.n = 1
+        |  LEFT JOIN cl c2 ON c2.id = p.id AND c2.n = 2)
+        |SELECT id AS cand_id,
+        |  CAST(matched_1 AS BIGINT) AS matched_1,
+        |  CAST(total_1 AS BIGINT) AS total_1,
+        |  CAST(matched_2 AS BIGINT) AS matched_2,
+        |  CAST(total_2 AS BIGINT) AS total_2,
+        |  round(CASE WHEN total_1 > 0
+        |        THEN CAST(matched_1 AS DOUBLE) / total_1
+        |        ELSE 0.0 END, 6) + 0.0 AS p1,
+        |  round(CASE WHEN total_2 > 0
+        |        THEN CAST(matched_2 AS DOUBLE) / total_2
+        |        ELSE 0.0 END, 6) + 0.0 AS p2,
+        |  round(sqrt((CASE WHEN total_1 > 0
+        |              THEN CAST(matched_1 AS DOUBLE) / total_1
+        |              ELSE 0.0 END)
+        |           * (CASE WHEN total_2 > 0
+        |              THEN CAST(matched_2 AS DOUBLE) / total_2
+        |              ELSE 0.0 END)), 6) + 0.0 AS bleu2
+        |FROM wide ORDER BY cand_id""".stripMargin,
     "profile_table_columns" -> profileOracleSql("orders",
       Seq(("o_orderkey", false), ("o_custkey", false),
         ("o_orderstatus", false), ("o_orderpriority", false),

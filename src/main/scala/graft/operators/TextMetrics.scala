@@ -128,4 +128,72 @@ object TextMetrics {
           round(lit(0.39) * ws + lit(11.8) * sylw - lit(15.59), 4)
             + lit(0.0)))
   }
+
+  /** BLEU-2 overlap counts between paired texts (Papineni et al., ACL
+    * 2002) — the eval-side cousin of the decontamination gates: score a
+    * model output (or a suspected near-copy) against its reference with
+    * modified n-gram precision. Expects one row per pair with the two
+    * texts side by side; returns per pair, for n = 1 and 2:
+    * `matched_n` = Σ_g min(count_cand(g), count_ref(g)) (the CLIPPED
+    * matches — a candidate repeating a reference word scores it at most
+    * as often as the reference has it), `total_n` = candidate n-grams,
+    * `p1`/`p2` the rounded precisions, and `bleu2` =
+    * round(√(p1_raw·p2_raw), 6) — the geometric mean of the raw ratios
+    * (no brevity penalty: its `e^{1−r/c}` is not reproducible across
+    * engines digit-for-digit; the ratio inputs are all present for a
+    * caller that wants it).
+    *
+    * All counts are exact integers; the only doubles are two divisions,
+    * one multiply, one sqrt, one final round — the same IEEE sequence in
+    * any engine. Pairs whose candidate has no tokens (or no bigrams for
+    * n=2) report zero totals and 0.0 precisions.
+    *
+    * Scale shape: n-gram extraction is map-side (zip-with-tail, no
+    * positional self-join); the clip join is keyed on (pair id, gram) —
+    * a plain shuffled equi-join, no broadcast needed at any corpus
+    * size. */
+  def bleuCounts(pairs: DataFrame, idCol: String, candCol: String,
+                 refCol: String): DataFrame = {
+    def toks(c: String) =
+      filter(split(lower(col(c)), "[^a-z]+"), t => t =!= "")
+    def grams(side: String, c: String) = {
+      val arr = toks(c).as("__a")
+      val base = pairs.select(col(idCol).as("__id"), arr)
+      val uni = base.select(col("__id"), explode(col("__a")).as("__g"))
+      val bi = base.filter(size(col("__a")) >= 2)
+        .select(col("__id"), explode(zip_with(
+          slice(col("__a"), lit(1), size(col("__a")) - 1),
+          slice(col("__a"), lit(2), size(col("__a")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("__g"))
+      uni.withColumn("__n", lit(1)).union(bi.withColumn("__n", lit(2)))
+        .groupBy(col("__id"), col("__n"), col("__g"))
+        .agg(count(lit(1)).as(s"__c_$side"))
+    }
+    val clipped = grams("cand", candCol)
+      .join(grams("ref", refCol), Seq("__id", "__n", "__g"), "left")
+      .groupBy(col("__id"), col("__n"))
+      .agg(sum(least(col("__c_cand"), coalesce(col("__c_ref"), lit(0L))))
+        .as("__m"), sum(col("__c_cand")).as("__t"))
+    val wide = pairs.select(col(idCol).as("__id"))
+      .join(clipped.filter(col("__n") === 1)
+        .select(col("__id"), col("__m").as("matched_1"),
+          col("__t").as("total_1")), Seq("__id"), "left")
+      .join(clipped.filter(col("__n") === 2)
+        .select(col("__id"), col("__m").as("matched_2"),
+          col("__t").as("total_2")), Seq("__id"), "left")
+      .select(col("__id"),
+        coalesce(col("matched_1"), lit(0L)).as("matched_1"),
+        coalesce(col("total_1"), lit(0L)).as("total_1"),
+        coalesce(col("matched_2"), lit(0L)).as("matched_2"),
+        coalesce(col("total_2"), lit(0L)).as("total_2"))
+    def ratio(m: String, t: String) =
+      when(col(t) > 0L, col(m).cast("double") / col(t).cast("double"))
+        .otherwise(lit(0.0))
+    wide.select(col("__id").as(idCol), col("matched_1"), col("total_1"),
+        col("matched_2"), col("total_2"),
+        (round(ratio("matched_1", "total_1"), 6) + lit(0.0)).as("p1"),
+        (round(ratio("matched_2", "total_2"), 6) + lit(0.0)).as("p2"),
+        (round(sqrt(ratio("matched_1", "total_1") *
+          ratio("matched_2", "total_2")), 6) + lit(0.0)).as("bleu2"))
+  }
 }

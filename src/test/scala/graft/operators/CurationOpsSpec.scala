@@ -581,6 +581,26 @@ class TextMetricsSpec extends SparkSpec {
     // beau-ti-ful (eau/i/u groups = 3) + day (1) = 4 syllables, 1 sentence
     assert((out(2)._2, out(2)._3, out(2)._4) == ((2L, 1L, 4L)))
   }
+
+  test("bleuCounts: clipped matches, zero-gram edges, identity pair") {
+    val pairs = Seq(
+      // cand repeats "the cat": unigram clip the=2,cat=1,sat=1 -> 4/5;
+      // bigram clip "the cat"=1, "cat sat"=1 -> 2/4
+      (1L, "the cat the cat sat", "the cat sat on the mat"),
+      (2L, "x", "y z"),        // single token: no bigrams at all
+      (3L, "", "anything"),    // empty candidate: all zeros
+      (4L, "a b c", "a b c")   // identity: perfect precision
+    ).toDF("pid", "cand", "ref")
+    val out = TextMetrics.bleuCounts(pairs, "pid", "cand", "ref")
+      .orderBy($"pid")
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 5L, 2L, 4L, 0.8, 0.5, 0.632456), // sqrt(0.4)
+      (2L, 0L, 1L, 0L, 0L, 0.0, 0.0, 0.0),
+      (3L, 0L, 0L, 0L, 0L, 0.0, 0.0, 0.0),
+      (4L, 3L, 3L, 2L, 2L, 1.0, 1.0, 1.0)))
+  }
 }
 
 class MojibakeSpec extends SparkSpec {
