@@ -839,6 +839,15 @@ object SparkEntry {
         .select(col("node").as("c_custkey"), col("degree"),
           col("triangles"), col("coeff"))
     }),
+    "embedding_kmeans" -> ((s, dir) => {
+      // bit-reproducible Lloyd k-means (k=8, 2 updates + final assign)
+      // over micro-unit floor-quantized embeddings: integer distances,
+      // smaller-cid tie-break, floor-division centroid updates — the
+      // auditable-clustering sibling of IVF's float quantizer
+      operators.VectorStats.kmeansIntegers(
+        DbReader(conn(s, dir), "embeddings").run(),
+        "vec_id", "embedding", k = 8, iters = 2)
+    }),
     "eval_bleu_pairs" -> ((s, dir) => {
       // BLEU-2 of each even doc against its successor: clipped 1/2-gram
       // precision with exact integer counts, geometric mean without the
@@ -4184,6 +4193,53 @@ object SparkEntry {
       s"((($q1 >> $b) & 1) << ${2 * b})",
       s"((($q2 >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
 
+  /** Unrolled integer-Lloyd replay: floor-quantized components, exact
+    * long distances, row_number-argmin with the same (d2, cid) order,
+    * posmod-subtract floor division for the update — every value BIGINT
+    * until the end, so the replay is bit-exact by construction. */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val head =
+      s"""WITH q AS (
+         |  SELECT vec_id AS id, i,
+         |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+         |              AS BIGINT) AS qv
+         |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS g(i)),
+         |c0 AS (
+         |  SELECT id AS cid, i, qv AS cv FROM q
+         |  WHERE id IN (SELECT vec_id FROM embeddings
+         |               ORDER BY vec_id LIMIT $k))""".stripMargin
+    def assignCte(r: Int, cPrev: String) =
+      s"""a$r AS (
+         |  SELECT q.id, c.cid,
+         |         CAST(sum((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d2
+         |  FROM q JOIN $cPrev c ON q.i = c.i GROUP BY q.id, c.cid),
+         |s$r AS (
+         |  SELECT id, cid, d2 FROM (
+         |    SELECT id, cid, d2,
+         |           row_number() OVER (PARTITION BY id ORDER BY d2, cid)
+         |             AS rn
+         |    FROM a$r) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      assignCte(r, s"c${r - 1}") + ",\n" +
+        s"""u$r AS (
+           |  SELECT s$r.cid, q.i, CAST(sum(q.qv) AS BIGINT) AS sv,
+           |         CAST(count(*) AS BIGINT) AS n
+           |  FROM s$r JOIN q USING (id) GROUP BY s$r.cid, q.i),
+           |c$r AS (
+           |  SELECT p.cid, p.i,
+           |         COALESCE((u$r.sv - ((u$r.sv % u$r.n) + u$r.n) % u$r.n)
+           |                    // u$r.n, p.cv) AS cv
+           |  FROM c${r - 1} p
+           |  LEFT JOIN u$r ON p.cid = u$r.cid AND p.i = u$r.i)""".stripMargin
+    }
+    val fin = iters + 1
+    (head +: rounds).mkString(",\n") + ",\n" +
+      assignCte(fin, s"c$iters") +
+      s"\nSELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_members," +
+      s"\n       CAST(sum(d2) AS BIGINT) AS wcss" +
+      s"\nFROM s$fin GROUP BY cid ORDER BY cluster"
+  }
+
   /** Unrolled k-core peel for the DuckDB replay: `rounds` filtered
     * degree recomputations over the fuzzy-match adjacency. Peeling is
     * idempotent past its fixpoint, so any `rounds` ≥ the observed
@@ -4785,6 +4841,7 @@ object SparkEntry {
     // triangle replay: same canonical edges, (degree, id) orientation,
     // wedge join + EXISTS closure — exact integer counts
     "graph_kcore" -> kCoreOracleSql(k = 3, rounds = 8),
+    "embedding_kmeans" -> kmeansOracleSql(k = 8, iters = 2),
     // BLEU replay: same tokenization, bigrams via 1-indexed list window,
     // clipped matches through a (pair, n, gram) left join; the only
     // doubles are the two divisions + multiply + sqrt + round — one IEEE

@@ -211,4 +211,76 @@ object VectorStats {
     for (i <- a.indices; j <- a.indices) s += a(i)(j) * a(i)(j)
     math.sqrt(s)
   }
+
+  /** Lloyd k-means in scaled INTEGER arithmetic — the bit-reproducible
+    * sibling of the float k-means inside [[Similarity]]'s IVF coarse
+    * quantizer. Components are floor-quantized to `scale` units
+    * (`floor(x · scale)` — one double multiply + floor, identical in
+    * every engine; the established discipline from the drift family),
+    * distances are exact long sums of squares, the argmin breaks ties
+    * by smaller centroid id, and the centroid update is integer FLOOR
+    * division (`(s − posmod(s, n)) div n` — spelled out because Spark's
+    * `div` truncates toward zero while other engines floor; the posmod
+    * subtraction makes the dividend exactly divisible so every rounding
+    * mode agrees). Result: the same clustering on any engine, any
+    * partitioning, any run — which is what makes cluster ASSIGNMENTS
+    * auditable (SemDeDup-style keep/drop decisions can be replayed),
+    * where float Lloyd can only be checked by recall proxies.
+    *
+    * Seeding: the vectors of the `k` smallest ids (deterministic; pass a
+    * pre-shuffled/sampled frame for quality seeding). `iters` full
+    * Lloyd updates, then a final assignment under the settled centroids.
+    * Empty clusters keep their previous centroid.
+    *
+    * Returns (cluster = seed id, n_members long, wcss long — Σ of
+    * within-cluster squared distances in scale² units).
+    *
+    * Scale shape: vectors live in long form (id, dim, q) and never
+    * move — each round joins them against the k·d-row centroid frame
+    * (broadcast) on the dim index, aggregates (id, cid) partial sums
+    * map-side, and the update is one keyed groupBy(cid, dim). Driver
+    * holds nothing; lineage grows one join per round (bounded iters). */
+  def kmeansIntegers(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int,
+                     scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1 && iters <= 10, s"iters in [1,10], got $iters")
+    val q = df.select(col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      .select(col("__id"), col("__i"),
+        floor(col("__x").cast("double") * lit(scale.toDouble))
+          .cast("long").as("__q"))
+    val seedIds = df.select(col(idCol).as("__id"))
+      .orderBy(col("__id")).limit(k)
+    var cents = q.join(broadcast(seedIds), Seq("__id"), "left_semi")
+      .select(col("__id").as("__cid"), col("__i"), col("__q").as("__c"))
+    def assign(c: DataFrame) = {
+      val d2 = q.join(broadcast(c), Seq("__i"))
+        .groupBy(col("__id"), col("__cid"))
+        .agg(sum((col("__q") - col("__c")) * (col("__q") - col("__c")))
+          .as("__d2"))
+      d2.groupBy(col("__id"))
+        .agg(min(struct(col("__d2"), col("__cid"))).as("__m"))
+        .select(col("__id"), col("__m.__cid").as("__cid"),
+          col("__m.__d2").as("__d2"))
+    }
+    for (_ <- 1 to iters) {
+      val upd = assign(cents).select(col("__id"), col("__cid"))
+        .join(q, Seq("__id"))
+        .groupBy(col("__cid"), col("__i"))
+        .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__n"))
+        .select(col("__cid"), col("__i"),
+          call_function("div",
+            col("__s") - pmod(col("__s"), col("__n")), col("__n"))
+            .as("__cnew"))
+      cents = cents.join(upd, Seq("__cid", "__i"), "left")
+        .select(col("__cid"), col("__i"),
+          coalesce(col("__cnew"), col("__c")).as("__c"))
+        .localCheckpoint(false)
+    }
+    assign(cents)
+      .groupBy(col("__cid").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum(col("__d2")).as("wcss"))
+      .orderBy(col("cluster"))
+  }
 }

@@ -104,4 +104,32 @@ class VectorStatsSpec extends SparkSpec {
     val plan = proj.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("kmeansIntegers: seed migration, hand wcss, partitioning invariance") {
+    // two dyadic-coordinate blobs (exactly representable, so the micro-
+    // unit quantization is trivially exact): both seeds (ids 1, 2) start
+    // in blob A; Lloyd pulls centroid 2 across to blob B
+    val df = Seq(
+      (1L, Array(0.0, 0.0)), (2L, Array(0.25, 0.0)),
+      (3L, Array(0.0, 0.25)),
+      (10L, Array(8.0, 8.0)), (11L, Array(8.25, 8.0))).toDF("id", "v")
+    val out = VectorStats.kmeansIntegers(df, "id", "v", k = 2, iters = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    // final centroids (83333, 83333) and (8125000, 8000000) — wcss by
+    // hand: blob A 2*83333^2 + 2*(166667^2 + 83333^2); blob B 2*125000^2
+    assert(out == Seq((1L, 3L, 83333333334L), (2L, 2L, 31250000000L)))
+    // bit-identical under a different partitioning
+    val re = VectorStats.kmeansIntegers(df.repartition(7), "id", "v",
+      k = 2, iters = 2).as[(Long, Long, Long)].collect().toSeq
+    assert(re == out)
+    // duplicate seed points: round 1 ties everything into cluster 1
+    // (smaller-cid tie-break), cluster 2 keeps its (0,0) centroid while
+    // c1 drifts to the mean — the kept centroid then wins both origin
+    // points back in the final assignment
+    val dup = Seq((1L, Array(0.0, 0.0)), (2L, Array(0.0, 0.0)),
+      (3L, Array(0.5, 0.0))).toDF("id", "v")
+    val o2 = VectorStats.kmeansIntegers(dup, "id", "v", k = 2, iters = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(o2 == Seq((1L, 1L, 111111555556L), (2L, 2L, 0L)))
+  }
 }
