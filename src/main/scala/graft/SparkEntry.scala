@@ -839,6 +839,13 @@ object SparkEntry {
         .select(col("node").as("c_custkey"), col("degree"),
           col("triangles"), col("coeff"))
     }),
+    "corpus_heaps_law" -> ((s, dir) => {
+      // Heaps'-law vocabulary-growth fit: one (log N, log V) point per
+      // doc in id order off two globalRunningSums, decimal-exact
+      // regression — the tokenizer-sizing / dedup-forecast number
+      operators.Corpus.heapsLawFit(
+        DbReader(conn(s, dir), "documents").run(), "doc_id", "text")
+    }),
     "embedding_kmeans" -> ((s, dir) => {
       // bit-reproducible Lloyd k-means (k=8, 2 updates + final assign)
       // over micro-unit floor-quantized embeddings: integer distances,
@@ -4842,6 +4849,46 @@ object SparkEntry {
     // wedge join + EXISTS closure — exact integer counts
     "graph_kcore" -> kCoreOracleSql(k = 3, rounds = 8),
     "embedding_kmeans" -> kmeansOracleSql(k = 8, iters = 2),
+    // Heaps replay: same min-id first-occurrence attribution, window
+    // cumsums (fine in the oracle; Spark uses globalRunningSum), and
+    // the Zipf fit's decimal-exact regression sums
+    "corpus_heaps_law" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t FROM documents, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+        |    AS u(t)),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt
+        |       FROM toks GROUP BY doc_id),
+        |nv AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS nv
+        |       FROM (SELECT min(doc_id) AS fd FROM toks GROUP BY t)
+        |       GROUP BY fd),
+        |base AS (
+        |  SELECT d.doc_id, COALESCE(pd.nt, 0) AS nt, COALESCE(nv.nv, 0) AS nv
+        |  FROM documents d LEFT JOIN pd USING (doc_id)
+        |  LEFT JOIN nv USING (doc_id)),
+        |cum AS (SELECT doc_id,
+        |          CAST(sum(nt) OVER (ORDER BY doc_id) AS BIGINT) AS ct,
+        |          CAST(sum(nv) OVER (ORDER BY doc_id) AS BIGINT) AS cv
+        |        FROM base),
+        |pts AS (SELECT
+        |          CAST(round(ln(CAST(ct AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |          CAST(round(ln(CAST(cv AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        |        FROM cum WHERE ct > 0 AND cv > 0),
+        |agg AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |          CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |          CAST(sum(x*y) AS DOUBLE) AS sxy,
+        |          CAST(sum(x*x) AS DOUBLE) AS sxx,
+        |          CAST(count(*) AS BIGINT) AS np
+        |        FROM pts)
+        |SELECT np AS n_points,
+        |       CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+        |            ELSE round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) + 0.0
+        |       END AS beta,
+        |       CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+        |            ELSE round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx)
+        |                       / n, 6) + 0.0
+        |       END AS log_k
+        |FROM agg""".stripMargin,
     // BLEU replay: same tokenization, bigrams via 1-indexed list window,
     // clipped matches through a (pair, n, gram) left join; the only
     // doubles are the two divisions + multiply + sqrt + round — one IEEE

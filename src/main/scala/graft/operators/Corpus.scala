@@ -951,4 +951,54 @@ object Corpus {
           col("n_grams").cast("double"), 6) + lit(0.0)).as("novelty"))
       .orderBy(col(idCol))
   }
+
+  /** Heaps'-law fit V(N) ≈ K·N^β — the vocabulary-growth curve, the
+    * planning number behind tokenizer sizing and dedup-rate forecasts
+    * (β near 1 means the corpus keeps minting new words — OCR noise or
+    * boilerplate IDs; healthy natural text sits around 0.4–0.8; a β
+    * collapse means new ingests are re-treading old vocabulary). One
+    * (log N, log V) point per document in id order, least-squares slope
+    * through the same decimal-exact regression sums as the Zipf fit.
+    * Returns one row: (n_points, beta round(6), log_k round(6)).
+    *
+    * Scale shape: cumulative token and vocabulary counts come from
+    * [[Ranking.globalRunningSum]] (range-sort + per-partition offsets —
+    * no single-partition window); "new vocabulary per doc" is the
+    * min-id first-occurrence attribution shared with [[ngramNovelty]].
+    * The regression consumes exact DECIMAL(18,6) sums of rounded log
+    * points — order-free, bit-identical in any engine. */
+  def heapsLawFit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+      explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        t => t =!= "")).as("__t"))
+    val perDoc = toks.groupBy(col("__id")).agg(count(lit(1)).as("__nt"))
+    val newPerDoc = toks.groupBy(col("__t")).agg(min(col("__id")).as("__id"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__nv"))
+    val base = df.select(col(idCol).as("__id"))
+      .join(perDoc, Seq("__id"), "left")
+      .join(newPerDoc, Seq("__id"), "left")
+      .select(col("__id"), coalesce(col("__nt"), lit(0L)).as("__nt"),
+        coalesce(col("__nv"), lit(0L)).as("__nv"))
+    val cum = Ranking.globalRunningSum(
+      Ranking.globalRunningSum(base, Seq(col("__id")), "__nt", "__ct"),
+      Seq(col("__id")), "__nv", "__cv")
+    val pts = cum.filter(col("__ct") > 0L && col("__cv") > 0L)
+      .select(
+        round(log(col("__ct").cast("double")), 6)
+          .cast("decimal(18,6)").as("__x"),
+        round(log(col("__cv").cast("double")), 6)
+          .cast("decimal(18,6)").as("__y"))
+    val agg = pts.agg(count(lit(1)).cast("double").as("__n"),
+      sum(col("__x")).cast("double").as("__sx"),
+      sum(col("__y")).cast("double").as("__sy"),
+      sum(col("__x") * col("__y")).cast("double").as("__sxy"),
+      sum(col("__x") * col("__x")).cast("double").as("__sxx"))
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val slope = (col("__n") * col("__sxy") - col("__sx") * col("__sy")) / den
+    agg.select(col("__n").cast("long").as("n_points"),
+      when(den =!= 0.0, round(slope, 6) + lit(0.0)).as("beta"),
+      when(den =!= 0.0,
+        round((col("__sy") - slope * col("__sx")) / col("__n"), 6)
+          + lit(0.0)).as("log_k"))
+  }
 }

@@ -430,4 +430,28 @@ class CorpusSpec extends SparkSpec {
       (1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0),
       (5L, 2L, 1L, 0.5)))
   }
+
+  test("heapsLawFit: perfect power law, realistic band, empty corpus") {
+    // every doc mints exactly one new word and V(N) = N: the log-log
+    // points are collinear with slope 1 and intercept 0
+    val perfect = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val p = Corpus.heapsLawFit(perfect, "doc_id", "text")
+      .as[(Long, Option[Double], Option[Double])].collect().head
+    assert(p == ((3L, Some(1.0), Some(0.0))))
+    // sublinear growth: repeated vocabulary pushes beta below 1
+    val sub = Seq((1L, "a b"), (2L, "a c"), (3L, "a b c"), (4L, "a b c a"))
+      .toDF("doc_id", "text")
+    val s = Corpus.heapsLawFit(sub, "doc_id", "text")
+      .as[(Long, Option[Double], Option[Double])].collect().head
+    assert(s._1 == 4L && s._2.exists(b => b > 0.0 && b < 1.0), s)
+    // result is partitioning-invariant (globalRunningSum discipline)
+    val s2 = Corpus.heapsLawFit(sub.repartition(5), "doc_id", "text")
+      .as[(Long, Option[Double], Option[Double])].collect().head
+    assert(s2 == s)
+    // empty corpus: zero points, NULL fit
+    val e = Corpus.heapsLawFit(Seq((1L, "   ")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .as[(Long, Option[Double], Option[Double])].collect().head
+    assert(e == ((0L, None, None)))
+  }
 }
