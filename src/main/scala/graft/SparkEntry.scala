@@ -839,6 +839,14 @@ object SparkEntry {
         .select(col("node").as("c_custkey"), col("degree"),
           col("triangles"), col("coeff"))
     }),
+    "events_cusum_shift" -> ((s, dir) => {
+      // Page's one-sided CUSUM over daily event counts: first 7 days as
+      // the in-control baseline, deviations scaled by n_ref so the whole
+      // recurrence is exact integers; catches persistent small shifts a
+      // per-day z-score misses
+      operators.Drift.cusumDailyCounts(eventsMicros(s, dir), "ts",
+        refBuckets = 7, slackPerBucket = 0L, thresholdPerBucket = 100L)
+    }),
     "corpus_heaps_law" -> ((s, dir) => {
       // Heaps'-law vocabulary-growth fit: one (log N, log V) point per
       // doc in id order off two globalRunningSums, decimal-exact
@@ -4849,6 +4857,34 @@ object SparkEntry {
     // wedge join + EXISTS closure — exact integer counts
     "graph_kcore" -> kCoreOracleSql(k = 3, rounds = 8),
     "embedding_kmeans" -> kmeansOracleSql(k = 8, iters = 2),
+    // CUSUM replay: the max(0, ·) recurrence as a recursive CTE over the
+    // row-numbered monitored days; every quantity BIGINT (deviations are
+    // n_ref-scaled so mu0 is never divided)
+    "events_cusum_shift" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY bucket),
+        |o AS (SELECT bucket, x,
+        |        CAST(row_number() OVER (ORDER BY bucket) AS BIGINT) AS i
+        |      FROM b),
+        |ref AS (SELECT CAST(sum(x) AS BIGINT) AS sr,
+        |               CAST(count(*) AS BIGINT) AS nr
+        |        FROM o WHERE i <= 7),
+        |m AS (SELECT o.bucket, o.x, o.i - 7 AS j,
+        |             (o.x - 0) * ref.nr - ref.sr AS d, ref.nr AS nr
+        |      FROM o, ref WHERE o.i > 7),
+        |r(j, s) AS (
+        |  SELECT CAST(1 AS BIGINT), greatest(CAST(0 AS BIGINT), d)
+        |  FROM m WHERE j = 1
+        |  UNION ALL
+        |  SELECT r.j + 1, greatest(CAST(0 AS BIGINT), r.s + m.d)
+        |  FROM r JOIN m ON m.j = r.j + 1)
+        |SELECT m.bucket, m.x, r.s AS cusum,
+        |       CAST(CASE WHEN r.s > 100 * m.nr THEN 1 ELSE 0 END AS BIGINT)
+        |         AS alarm
+        |FROM m JOIN r ON m.j = r.j
+        |ORDER BY m.bucket""".stripMargin,
     // Heaps replay: same min-id first-occurrence attribution, window
     // cumsums (fine in the oracle; Spark uses globalRunningSum), and
     // the Zipf fit's decimal-exact regression sums

@@ -292,4 +292,50 @@ object Drift {
         round((p - q) * log(p / q), 6).as("contrib"))
       .orderBy(col("bucket"))
   }
+
+  /** One-sided CUSUM change detector (Page, Biometrika 1954) over daily
+    * event counts: the sequential scheme that catches a persistent mean
+    * SHIFT long before a per-bucket z-score fires — small daily excesses
+    * accumulate instead of resetting. The first `refBuckets` days are
+    * the in-control baseline μ0; each monitored day contributes its
+    * deviation from μ0 (minus `slackPerBucket`, CUSUM's allowance k) and
+    * the statistic is clamped at zero: S_b = max(0, S_{b−1} + d_b).
+    *
+    * EXACT INTEGER arithmetic throughout: μ0 = sum_ref / n_ref is never
+    * divided — deviations are scaled by n_ref
+    * (`d_b = (x_b − slack)·n_ref − sum_ref`), so S is in count·n_ref
+    * units and `alarm` fires when S > threshold·n_ref (threshold in
+    * per-bucket count units). Bit-identical in any engine.
+    *
+    * Returns one row per monitored (post-reference) day: (bucket date,
+    * x long, cusum long — scaled units, alarm long 0/1).
+    *
+    * Scale shape: the distributed work is one map-combinable count by
+    * calendar day; the recurrence folds driver-side over the bucket
+    * frame — bounded by CALENDAR DAYS, not data volume (a 100 TB year
+    * is 365 rows), the same bounded-sidecar discipline as hllEstimate. */
+  def cusumDailyCounts(df: DataFrame, tsCol: String, refBuckets: Int = 7,
+                       slackPerBucket: Long = 0L,
+                       thresholdPerBucket: Long = 100L): DataFrame = {
+    require(refBuckets >= 1, s"refBuckets must be >= 1, got $refBuckets")
+    val spark = df.sparkSession
+    val buckets = df.filter(col(tsCol).isNotNull)
+      .select(to_date(date_trunc("day", col(tsCol))).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("x"))
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getDate(0), r.getLong(1)))
+    require(buckets.length > refBuckets,
+      s"need more than $refBuckets buckets, got ${buckets.length}")
+    val ref = buckets.take(refBuckets)
+    val nRef = ref.length.toLong
+    val sumRef = ref.map(_._2).sum
+    var s = 0L
+    val rows = buckets.drop(refBuckets).map { case (b, x) =>
+      val d = (x - slackPerBucket) * nRef - sumRef
+      s = math.max(0L, s + d)
+      (b, x, s, if (s > thresholdPerBucket * nRef) 1L else 0L)
+    }.toSeq
+    import spark.implicits._
+    rows.toDF("bucket", "x", "cusum", "alarm").orderBy(col("bucket"))
+  }
 }

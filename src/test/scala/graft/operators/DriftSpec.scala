@@ -4,7 +4,7 @@ import graft.SparkSpec
 
 class DriftSpec extends SparkSpec {
   import spark.implicits._
-  import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.functions.{col, to_timestamp}
 
   test("identical slices: every bucket contributes ~0, counts match the deciles") {
     val ref = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
@@ -100,5 +100,28 @@ class DriftSpec extends SparkSpec {
       .as[(Int, Long, Long, Double)].collect().toSeq
     assert(out.length == 4 && out.map(_._2).sum == 4L && out.map(_._3).sum == 1L)
     assert(out.forall(r => !r._4.isNaN && !r._4.isInfinite))
+  }
+
+  test("cusumDailyCounts: planted shift accumulates, clamps at zero, alarms") {
+    def day(d: Int) = f"2024-01-$d%02d 12:00:00"
+    // 7 baseline days at 10/day, then 14, 2, 14: deviations in n_ref
+    // units are +28, -56 (clamped), +28
+    val counts = Seq.fill(7)(10) ++ Seq(14, 2, 14)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(day(i + 1)) }
+    val df = rows.toDF("t").select(to_timestamp($"t").as("ts"))
+    val out = Drift.cusumDailyCounts(df, "ts", refBuckets = 7,
+        thresholdPerBucket = 3L)
+      .as[(java.sql.Date, Long, Long, Long)].collect().toSeq
+      .map { case (b, x, s, a) => (b.toString, x, s, a) }
+    assert(out == Seq(
+      ("2024-01-08", 14L, 28L, 1L),
+      ("2024-01-09", 2L, 0L, 0L),
+      ("2024-01-10", 14L, 28L, 1L)))
+    // slack absorbs a small persistent excess entirely
+    val calm = Drift.cusumDailyCounts(df, "ts", refBuckets = 7,
+        slackPerBucket = 4L, thresholdPerBucket = 3L)
+      .as[(java.sql.Date, Long, Long, Long)].collect().toSeq
+    assert(calm.map(_._3) == Seq(0L, 0L, 0L))
   }
 }
