@@ -839,6 +839,18 @@ object SparkEntry {
         .select(col("node").as("c_custkey"), col("degree"),
           col("triangles"), col("coeff"))
     }),
+    "audit_benford_prices" -> ((s, dir) => {
+      // Benford leading-digit audit of order totals: observed vs
+      // log10(1+1/d) shares — the classic fabricated/truncated-value
+      // screen, exact counts + two rounded doubles per digit
+      operators.Profiling.benfordDigits(
+        DbReader(conn(s, dir), "orders").run(), "o_totalprice")
+    }),
+    "events_theilsen_trend" -> ((s, dir) => {
+      // Theil-Sen daily-volume trend: median of all pairwise slopes —
+      // 29% breakdown, so outage days can't swing it like least squares
+      operators.Drift.theilSenDailyTrend(eventsMicros(s, dir), "ts")
+    }),
     "events_cusum_shift" -> ((s, dir) => {
       // Page's one-sided CUSUM over daily event counts: first 7 days as
       // the in-control baseline, deviations scaled by n_ref so the whole
@@ -4857,6 +4869,46 @@ object SparkEntry {
     // wedge join + EXISTS closure — exact integer counts
     "graph_kcore" -> kCoreOracleSql(k = 3, rounds = 8),
     "embedding_kmeans" -> kmeansOracleSql(k = 8, iters = 2),
+    // Benford replay: same floor(x / 10^floor(log10 x)) digit (pure
+    // double ops, decade-boundary safe), 9-row shape via range; the two
+    // rounded shares cannot straddle a 6-dp boundary from a 1-ulp log
+    // difference (the values are irrational)
+    "audit_benford_prices" ->
+      """WITH d AS (
+        |  SELECT CAST(floor(o_totalprice
+        |           / pow(10, floor(log10(o_totalprice)))) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+        |      FROM d GROUP BY digit),
+        |t AS (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS total FROM c),
+        |shape AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit)
+        |SELECT shape.digit, COALESCE(c.n, 0) AS n,
+        |       round(CASE WHEN t.total = 0 THEN 0.0
+        |             ELSE CAST(COALESCE(c.n, 0) AS DOUBLE) / t.total END, 6)
+        |         + 0.0 AS p_obs,
+        |       round(log10(1 + 1.0 / shape.digit), 6) + 0.0 AS p_benford
+        |FROM shape LEFT JOIN c USING (digit), t
+        |ORDER BY shape.digit""".stripMargin,
+    // Theil-Sen replay: day-indexed counts, every pairwise slope one
+    // double division of small exact integers, explicit order-statistic
+    // median (sum/count over the one-or-two middle rows — commutative)
+    "events_theilsen_trend" ->
+      """WITH b AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY bucket),
+        |o AS (SELECT y, CAST(row_number() OVER (ORDER BY bucket) AS BIGINT)
+        |        AS i FROM b),
+        |p AS (SELECT CAST(b2.y - b1.y AS DOUBLE) / (b2.i - b1.i) AS sl
+        |      FROM o b1 JOIN o b2 ON b2.i > b1.i),
+        |r AS (SELECT sl, row_number() OVER (ORDER BY sl) AS rn,
+        |             count(*) OVER () AS cnt FROM p),
+        |sel AS (SELECT sl, cnt FROM r
+        |        WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM b)
+        |SELECT nd.n_days, CAST(any_value(sel.cnt) AS BIGINT) AS n_pairs,
+        |       round(sum(sel.sl) / count(*), 6) + 0.0 AS slope_per_day
+        |FROM sel, nd GROUP BY nd.n_days""".stripMargin,
     // CUSUM replay: the max(0, ·) recurrence as a recursive CTE over the
     // row-numbered monitored days; every quantity BIGINT (deviations are
     // n_ref-scaled so mu0 is never divided)

@@ -338,4 +338,41 @@ object Drift {
     import spark.implicits._
     rows.toDF("bucket", "x", "cusum", "alarm").orderBy(col("bucket"))
   }
+
+  /** Theil–Sen trend over daily event counts — the median of all
+    * pairwise slopes (Theil 1950, Sen 1968): breakdown point 29%, so a
+    * handful of outage days or backfill spikes cannot swing the trend
+    * the way least squares would. Days are indexed 1..n in date order;
+    * each slope is one double division of two small exact integers, the
+    * median is the explicit order statistic (middle element, or the
+    * exact mean of the two middles — commutative, so engine sort-tie
+    * order is irrelevant).
+    *
+    * Returns one row: (n_days, n_pairs, slope_per_day round(6)).
+    *
+    * Scale shape: one count-by-day aggregate distributed; the O(days²)
+    * pair enumeration folds over the calendar-bounded sidecar (a year
+    * is 365 days → 66k slopes on the driver — trivial), the same
+    * discipline as [[cusumDailyCounts]]. */
+  def theilSenDailyTrend(df: DataFrame, tsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val ys = df.filter(col(tsCol).isNotNull)
+      .select(to_date(date_trunc("day", col(tsCol))).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("y"))
+      .orderBy(col("bucket"))
+      .collect().map(_.getLong(1))
+    require(ys.length >= 2, s"need >= 2 buckets, got ${ys.length}")
+    val slopes = (for {
+      i <- ys.indices; j <- (i + 1) until ys.length
+    } yield (ys(j) - ys(i)).toDouble / (j - i).toDouble).sorted
+    val n = slopes.length
+    val med =
+      if (n % 2 == 1) slopes(n / 2)
+      else (slopes(n / 2 - 1) + slopes(n / 2)) / 2.0
+    val r6 = BigDecimal(med)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    import spark.implicits._
+    Seq((ys.length.toLong, n.toLong, r6))
+      .toDF("n_days", "n_pairs", "slope_per_day")
+  }
 }

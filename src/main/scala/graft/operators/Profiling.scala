@@ -61,4 +61,38 @@ object Profiling {
     out.toDF("column_name", "n_rows", "n_nulls", "n_distinct",
       "min_str", "max_str").orderBy(col("column_name"))
   }
+
+  /** Benford first-digit audit (Benford 1938; Nigrini's fraud screen):
+    * the leading-digit distribution of a naturally-spread positive
+    * measure follows log10(1 + 1/d) — fabricated, truncated, or
+    * unit-capped values don't. One row per digit 1–9: observed count,
+    * observed share, Benford share (both round(6)).
+    *
+    * The leading digit is floor(x / 10^floor(log10 x)) — pure double
+    * ops that every engine evaluates identically (log10/pow are exact
+    * on powers of ten, and a one-ulp log10 wobble at a decade boundary
+    * cannot move the floor across a digit). Non-positive and NULL
+    * values are excluded and reported via the counts. One
+    * map-combinable aggregate; the 9-row shape fill + share division
+    * happen on a collected 9-row sidecar. */
+  def benfordDigits(df: DataFrame, valCol: String): DataFrame = {
+    val x = col(valCol).cast("double")
+    val counts = df.filter(x.isNotNull && x > 0.0)
+      .select(floor(x / pow(lit(10.0), floor(log10(x))))
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val total = counts.values.sum
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0
+    val rows = (1L to 9L).map { d =>
+      val n = counts.getOrElse(d, 0L)
+      val pObs = if (total == 0L) 0.0 else n.toDouble / total.toDouble
+      (d, n, r6(pObs), r6(math.log10(1.0 + 1.0 / d.toDouble)))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("digit", "n", "p_obs", "p_benford").orderBy(col("digit"))
+  }
 }

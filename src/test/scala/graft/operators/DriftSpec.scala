@@ -124,4 +124,17 @@ class DriftSpec extends SparkSpec {
       .as[(java.sql.Date, Long, Long, Long)].collect().toSeq
     assert(calm.map(_._3) == Seq(0L, 0L, 0L))
   }
+
+  test("theilSenDailyTrend: exact slope on linear data, immune to an outlier") {
+    def mk(counts: Seq[Int]) = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(f"2024-02-${i + 1}%02d 06:00:00")
+    }.toDF("t").select(to_timestamp($"t").as("ts"))
+    val lin = Drift.theilSenDailyTrend(mk(Seq(10, 12, 14, 16)), "ts")
+      .as[(Long, Long, Double)].collect().head
+    assert(lin == ((4L, 6L, 2.0)))
+    // one spiked day: least squares would move, the slope median doesn't
+    val spiked = Drift.theilSenDailyTrend(mk(Seq(10, 12, 50, 16, 18)), "ts")
+      .as[(Long, Long, Double)].collect().head
+    assert(spiked == ((5L, 10L, 2.0)))
+  }
 }

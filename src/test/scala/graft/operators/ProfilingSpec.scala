@@ -34,4 +34,20 @@ class ProfilingSpec extends SparkSpec {
       Profiling.profileColumns(df, Seq("missing"))
     }
   }
+
+  test("benfordDigits: leading digits across magnitudes; exclusions; shape") {
+    val df = Seq(Some(1.0), Some(23.0), Some(0.5), Some(999.0), Some(100.0),
+      Some(0.0012), Some(-5.0), Some(0.0), None).toDF("v")
+    val out = Profiling.benfordDigits(df, "v")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == (1L to 9L))
+    // digits: 1, 2, 5, 9, 1, 1 -> six positive values counted
+    assert(out.map(r => r._1 -> r._2).toMap ==
+      Map(1L -> 3L, 2L -> 1L, 5L -> 1L, 9L -> 1L) ++
+        Seq(3L, 4L, 6L, 7L, 8L).map(_ -> 0L).toMap)
+    assert(out.map(_._2).sum == 6L)
+    assert(out.head._3 == 0.5)                 // 3/6 observed share
+    assert(out.head._4 == 0.30103)             // log10(2)
+    assert(out.last._4 == 0.045757)            // log10(10/9)
+  }
 }
