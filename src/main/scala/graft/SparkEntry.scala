@@ -839,6 +839,28 @@ object SparkEntry {
         .select(col("node").as("c_custkey"), col("degree"),
           col("triangles"), col("coeff"))
     }),
+    "audit_referential" -> ((s, dir) => {
+      // post-ingest referential integrity: FK orphan rates across the
+      // star schema joins + PK duplicate excess — left-anti counts, only
+      // scalars leave the cluster
+      val c = conn(s, dir)
+      import operators.Profiling.{fkOrphanAudit, pkDuplicateAudit}
+      val li = DbReader(c, "lineitem").run()
+      val ord = DbReader(c, "orders").run()
+      Seq(
+        fkOrphanAudit(li, "l_orderkey", ord, "o_orderkey",
+          "fk_lineitem_orders"),
+        fkOrphanAudit(li, "l_partkey", DbReader(c, "part").run(),
+          "p_partkey", "fk_lineitem_part"),
+        fkOrphanAudit(li, "l_suppkey", DbReader(c, "supplier").run(),
+          "s_suppkey", "fk_lineitem_supplier"),
+        fkOrphanAudit(ord, "o_custkey", DbReader(c, "customer").run(),
+          "c_custkey", "fk_orders_customer"),
+        pkDuplicateAudit(ord, "o_orderkey", "pk_orders"),
+        pkDuplicateAudit(DbReader(c, "customer").run(), "c_custkey",
+          "pk_customer")
+      ).reduce(_ unionByName _).orderBy(col("check_name"))
+    }),
     "audit_benford_prices" -> ((s, dir) => {
       // Benford leading-digit audit of order totals: observed vs
       // log10(1+1/d) shares — the classic fabricated/truncated-value
@@ -4869,6 +4891,50 @@ object SparkEntry {
     // wedge join + EXISTS closure — exact integer counts
     "graph_kcore" -> kCoreOracleSql(k = 3, rounds = 8),
     "embedding_kmeans" -> kmeansOracleSql(k = 8, iters = 2),
+    // referential replay: per-check scalar subqueries, BIGINT counts,
+    // one rounded division each
+    "audit_referential" ->
+      """WITH checks AS (
+        |  SELECT 'fk_lineitem_orders' AS check_name,
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL)
+        |      AS n_rows,
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        |     AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+        |                            WHERE o_orderkey IS NOT NULL)) AS n_bad
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_part',
+        |    (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL),
+        |    (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL
+        |     AND l_partkey NOT IN (SELECT p_partkey FROM part
+        |                           WHERE p_partkey IS NOT NULL))
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_supplier',
+        |    (SELECT count(*) FROM lineitem WHERE l_suppkey IS NOT NULL),
+        |    (SELECT count(*) FROM lineitem WHERE l_suppkey IS NOT NULL
+        |     AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                           WHERE s_suppkey IS NOT NULL))
+        |  UNION ALL
+        |  SELECT 'fk_orders_customer',
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL),
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+        |     AND o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                           WHERE c_custkey IS NOT NULL))
+        |  UNION ALL
+        |  SELECT 'pk_orders',
+        |    (SELECT count(*) FROM orders WHERE o_orderkey IS NOT NULL),
+        |    (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders
+        |     WHERE o_orderkey IS NOT NULL)
+        |  UNION ALL
+        |  SELECT 'pk_customer',
+        |    (SELECT count(*) FROM customer WHERE c_custkey IS NOT NULL),
+        |    (SELECT count(*) - count(DISTINCT c_custkey) FROM customer
+        |     WHERE c_custkey IS NOT NULL))
+        |SELECT check_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(n_bad AS BIGINT) AS n_bad,
+        |       round(CASE WHEN n_rows = 0 THEN 0.0
+        |             ELSE CAST(n_bad AS DOUBLE) / n_rows END, 6) + 0.0
+        |         AS bad_rate
+        |FROM checks ORDER BY check_name""".stripMargin,
     // Benford replay: same floor(x / 10^floor(log10 x)) digit (pure
     // double ops, decade-boundary safe), 9-row shape via range; the two
     // rounded shares cannot straddle a 6-dp boundary from a 1-ulp log

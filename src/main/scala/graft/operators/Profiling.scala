@@ -95,4 +95,42 @@ object Profiling {
     import spark.implicits._
     rows.toDF("digit", "n", "p_obs", "p_benford").orderBy(col("digit"))
   }
+
+  /** One FK-orphan check: non-null child keys with no matching parent
+    * row. Returns one row (check, n_rows long — non-null child keys,
+    * n_bad long, bad_rate double round(6)). The count is a LEFT ANTI
+    * join — broadcast or shuffled as the optimizer sees fit, never a
+    * row-level verdict frame (at 100 TB only the two counts move). */
+  def fkOrphanAudit(child: DataFrame, childKey: String, parent: DataFrame,
+                    parentKey: String, check: String): DataFrame = {
+    val keys = child.filter(col(childKey).isNotNull)
+      .select(col(childKey).as("__k"))
+    val n = keys.count()
+    val bad = keys
+      .join(parent.select(col(parentKey).as("__k")), Seq("__k"), "left_anti")
+      .count()
+    auditRow(child.sparkSession, check, n, bad)
+  }
+
+  /** One PK-uniqueness check: `n_bad` is the duplicate EXCESS
+    * (n_rows − distinct keys), so a clean table reports 0 and each extra
+    * copy counts once. NULL keys are excluded from both sides. */
+  def pkDuplicateAudit(df: DataFrame, key: String,
+                       check: String): DataFrame = {
+    val keys = df.filter(col(key).isNotNull).select(col(key).as("__k"))
+    val n = keys.count()
+    val distinct = keys.distinct().count()
+    auditRow(df.sparkSession, check, n, n - distinct)
+  }
+
+  private def auditRow(spark: org.apache.spark.sql.SparkSession,
+                       check: String, n: Long, bad: Long): DataFrame = {
+    import spark.implicits._
+    val rate =
+      if (n == 0L) 0.0
+      else BigDecimal(bad.toDouble / n.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    Seq((check, n, bad, rate))
+      .toDF("check_name", "n_rows", "n_bad", "bad_rate")
+  }
 }

@@ -50,4 +50,20 @@ class ProfilingSpec extends SparkSpec {
     assert(out.head._4 == 0.30103)             // log10(2)
     assert(out.last._4 == 0.045757)            // log10(10/9)
   }
+
+  test("fkOrphanAudit / pkDuplicateAudit: planted orphan, duplicate excess, NULLs out") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")
+    val fk = Profiling.fkOrphanAudit(child, "fk", parent, "pk", "c")
+      .as[(String, Long, Long, Double)].collect().head
+    assert(fk == (("c", 3L, 1L, 0.333333)))
+    val pk = Profiling.pkDuplicateAudit(
+        Seq(Some(1L), Some(1L), Some(2L), None).toDF("k"), "k", "p")
+      .as[(String, Long, Long, Double)].collect().head
+    assert(pk == (("p", 3L, 1L, 0.333333)))
+    // clean relation: zero bad, zero rate
+    val clean = Profiling.fkOrphanAudit(parent, "pk", parent, "pk", "self")
+      .as[(String, Long, Long, Double)].collect().head
+    assert(clean == (("self", 3L, 0L, 0.0)))
+  }
 }
