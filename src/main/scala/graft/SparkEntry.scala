@@ -868,6 +868,12 @@ object SparkEntry {
       operators.Profiling.benfordDigits(
         DbReader(conn(s, dir), "orders").run(), "o_totalprice")
     }),
+    "events_mannkendall" -> ((s, dir) => {
+      // Mann-Kendall monotone-trend test on daily volumes: exact integer
+      // S and tie-corrected variance numerator, continuity-corrected z —
+      // the significance partner of the Theil-Sen slope
+      operators.Drift.mannKendallDailyTrend(eventsMicros(s, dir), "ts")
+    }),
     "events_theilsen_trend" -> ((s, dir) => {
       // Theil-Sen daily-volume trend: median of all pairwise slopes —
       // 29% breakdown, so outage days can't swing it like least squares
@@ -4955,6 +4961,34 @@ object SparkEntry {
         |       round(log10(1 + 1.0 / shape.digit), 6) + 0.0 AS p_benford
         |FROM shape LEFT JOIN c USING (digit), t
         |ORDER BY shape.digit""".stripMargin,
+    // Mann-Kendall replay: pairwise sign sum and the tie-corrected
+    // integer variance numerator; z is three double ops
+    "events_mannkendall" ->
+      """WITH b AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY bucket),
+        |o AS (SELECT y, CAST(row_number() OVER (ORDER BY bucket) AS BIGINT)
+        |        AS i FROM b),
+        |p AS (SELECT CASE WHEN b2.y > b1.y THEN 1
+        |                  WHEN b2.y < b1.y THEN -1 ELSE 0 END AS sg
+        |      FROM o b1 JOIN o b2 ON b2.i > b1.i),
+        |s AS (SELECT CAST(COALESCE(sum(sg), 0) AS BIGINT) AS st FROM p),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM o),
+        |t AS (SELECT CAST(COALESCE(sum(c * (c - 1) * (2 * c + 5)), 0)
+        |               AS BIGINT) AS tt
+        |      FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM o
+        |            GROUP BY y HAVING count(*) > 1)),
+        |v AS (SELECT n.nd * (n.nd - 1) * (2 * n.nd + 5) - t.tt AS num
+        |      FROM n, t)
+        |SELECT n.nd AS n_days, s.st AS s_stat,
+        |       round(CAST(v.num AS DOUBLE) / 18.0, 6) + 0.0 AS var_s,
+        |       round(CASE WHEN s.st > 0 THEN (s.st - 1)
+        |                    / sqrt(CAST(v.num AS DOUBLE) / 18.0)
+        |                  WHEN s.st < 0 THEN (s.st + 1)
+        |                    / sqrt(CAST(v.num AS DOUBLE) / 18.0)
+        |                  ELSE 0.0 END, 6) + 0.0 AS z
+        |FROM s, n, v""".stripMargin,
     // Theil-Sen replay: day-indexed counts, every pairwise slope one
     // double division of small exact integers, explicit order-statistic
     // median (sum/count over the one-or-two middle rows — commutative)

@@ -375,4 +375,38 @@ object Drift {
     Seq((ys.length.toLong, n.toLong, r6))
       .toDF("n_days", "n_pairs", "slope_per_day")
   }
+
+  /** Mann–Kendall trend test over daily event counts — the
+    * significance-test partner of [[theilSenDailyTrend]]: S = Σ_{i<j}
+    * sign(y_j − y_i) is an EXACT integer, the tie-corrected variance
+    * numerator n(n−1)(2n+5) − Σ t(t−1)(2t+5) is an exact integer, and
+    * the continuity-corrected z = (S ∓ 1)/√(num/18) is three double ops.
+    * Returns one row: (n_days, s_stat long, var_s round(6), z round(6)).
+    * Same calendar-bounded-sidecar shape as the other daily monitors. */
+  def mannKendallDailyTrend(df: DataFrame, tsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val ys = df.filter(col(tsCol).isNotNull)
+      .select(to_date(date_trunc("day", col(tsCol))).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("y"))
+      .orderBy(col("bucket"))
+      .collect().map(_.getLong(1))
+    val n = ys.length.toLong
+    require(n >= 3, s"need >= 3 buckets, got $n")
+    var s = 0L
+    for (i <- ys.indices; j <- (i + 1) until ys.length)
+      s += java.lang.Long.signum(ys(j) - ys(i)).toLong
+    val tieTerm = ys.groupBy(identity).values.map(_.size.toLong)
+      .filter(_ > 1L).map(t => t * (t - 1L) * (2L * t + 5L)).sum
+    val num = n * (n - 1L) * (2L * n + 5L) - tieTerm
+    val varS = num.toDouble / 18.0
+    val z =
+      if (s > 0L) (s - 1L).toDouble / math.sqrt(varS)
+      else if (s < 0L) (s + 1L).toDouble / math.sqrt(varS)
+      else 0.0
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0
+    import spark.implicits._
+    Seq((n, s, r6(varS), r6(z))).toDF("n_days", "s_stat", "var_s", "z")
+  }
 }

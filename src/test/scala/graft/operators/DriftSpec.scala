@@ -137,4 +137,18 @@ class DriftSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().head
     assert(spiked == ((5L, 10L, 2.0)))
   }
+
+  test("mannKendallDailyTrend: hand S/var/z, tie correction") {
+    def mk(counts: Seq[Int]) = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(f"2024-03-${i + 1}%02d 06:00:00")
+    }.toDF("t").select(to_timestamp($"t").as("ts"))
+    // strictly increasing 4 days: S = 6, num = 4*3*13 = 156
+    val up = Drift.mannKendallDailyTrend(mk(Seq(10, 11, 12, 13)), "ts")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(up == ((4L, 6L, 8.666667, 1.698416)))
+    // tie pair: S = 2, num = 3*2*11 - 2*1*9 = 48
+    val tied = Drift.mannKendallDailyTrend(mk(Seq(5, 5, 7)), "ts")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(tied == ((3L, 2L, 2.666667, 0.612372)))
+  }
 }
