@@ -868,6 +868,13 @@ object SparkEntry {
       operators.Profiling.benfordDigits(
         DbReader(conn(s, dir), "orders").run(), "o_totalprice")
     }),
+    "events_attribution" -> ((s, dir) => {
+      // last-touch attribution of purchases: the most recent prior
+      // non-purchase event per user gets credit; ignore-nulls carry over
+      // a strictly-preceding per-user frame, 'none' for cold conversions
+      operators.Sessions.lastTouchAttribution(eventsMicros(s, dir),
+        "user_id", "ts", "event_id", "event_type", target = "purchase")
+    }),
     "events_mannkendall" -> ((s, dir) => {
       // Mann-Kendall monotone-trend test on daily volumes: exact integer
       // S and tie-corrected variance numerator, continuity-corrected z —
@@ -4961,6 +4968,22 @@ object SparkEntry {
         |       round(log10(1 + 1.0 / shape.digit), 6) + 0.0 AS p_benford
         |FROM shape LEFT JOIN c USING (digit), t
         |ORDER BY shape.digit""".stripMargin,
+    // attribution replay: identical ignore-nulls carry window (strictly
+    // preceding frame, (ts, event_id) order), then a count by channel
+    "events_attribution" ->
+      """WITH lt AS (
+        |  SELECT event_type,
+        |         last_value(CASE WHEN event_type <> 'purchase'
+        |                         THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT COALESCE(touch, 'none') AS attributed,
+        |       CAST(count(*) AS BIGINT) AS n_conversions
+        |FROM lt WHERE event_type = 'purchase'
+        |GROUP BY COALESCE(touch, 'none')
+        |ORDER BY attributed""".stripMargin,
     // Mann-Kendall replay: pairwise sign sum and the tie-corrected
     // integer variance numerator; z is three double ops
     "events_mannkendall" ->

@@ -134,4 +134,30 @@ object Sessions {
       .select(col("prev_type"), col("next_type"), col("n"),
         round(col("n").cast("double") / col("__tot"), 6).as("p"))
   }
+
+  /** Last-touch conversion attribution: for every `target` event, the
+    * most recent PRIOR event of the same user that isn't itself a
+    * target — the channel that "gets credit". Carried with one
+    * ignore-nulls `last` over a per-user (ts, tiebreak)-ordered window
+    * with a strictly-preceding frame, so a conversion with no prior
+    * touch attributes to 'none' and back-to-back conversions don't
+    * credit each other. Returns (attributed, n_conversions long).
+    *
+    * Scale shape: one keyed per-user window (no global ordering) + one
+    * map-combinable count by channel — the |channels|-row result is the
+    * only thing that leaves the shuffle. */
+  def lastTouchAttribution(df: DataFrame, keyCol: String, tsCol: String,
+                           tiebreakCol: String, typeCol: String,
+                           target: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__lt",
+        last(when(col(typeCol) =!= target, col(typeCol)),
+          ignoreNulls = true).over(w))
+      .filter(col(typeCol) === target)
+      .groupBy(coalesce(col("__lt"), lit("none")).as("attributed"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy(col("attributed"))
+  }
 }

@@ -256,6 +256,26 @@ class JoinsSpec extends SparkSpec {
     assert(sums.forall(s => math.abs(s - 1.0) < 1e-9))
   }
 
+  test("lastTouchAttribution: prior touch credited, cold conversion is " +
+       "'none', back-to-back conversions don't credit each other") {
+    import java.sql.Timestamp
+    def t(s: Int) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      // user 1: view -> purchase -> purchase  => view credited TWICE
+      (1L, 10L, "view", t(10)), (1L, 11L, "purchase", t(20)),
+      (1L, 12L, "purchase", t(30)),
+      // user 2: cold purchase, then click, error, purchase => none + error
+      (2L, 20L, "purchase", t(5)), (2L, 21L, "click", t(10)),
+      (2L, 22L, "error", t(15)), (2L, 23L, "purchase", t(20)),
+      // user 3: no purchase at all — contributes nothing
+      (3L, 30L, "view", t(1))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val out = Sessions.lastTouchAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", target = "purchase")
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("error", 1L), ("none", 1L), ("view", 2L)))
+  }
+
   test("cohortRetention: offset 0 equals cohort size, gaps don't break " +
        "offsets, multiple same-period events count once") {
     import java.sql.Timestamp
