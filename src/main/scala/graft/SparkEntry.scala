@@ -868,6 +868,14 @@ object SparkEntry {
       operators.Profiling.benfordDigits(
         DbReader(conn(s, dir), "orders").run(), "o_totalprice")
     }),
+    "q_trimmed_mean" -> ((s, dir) => {
+      // 10%-trimmed mean of order totals per priority: exact-rank trim
+      // with (value, key) tiebreak, micro-unit integer sums — robust
+      // location without a driver collect
+      operators.Ranking.trimmedMeanByGroup(
+        DbReader(conn(s, dir), "orders").run(),
+        "o_orderpriority", "o_totalprice", "o_orderkey", trim = 0.1)
+    }),
     "events_attribution" -> ((s, dir) => {
       // last-touch attribution of purchases: the most recent prior
       // non-purchase event per user gets credit; ignore-nulls carry over
@@ -4968,6 +4976,24 @@ object SparkEntry {
         |       round(log10(1 + 1.0 / shape.digit), 6) + 0.0 AS p_benford
         |FROM shape LEFT JOIN c USING (digit), t
         |ORDER BY shape.digit""".stripMargin,
+    // trimmed-mean replay: same (value, key) rank, same floor(n*0.1)
+    // cut, micro-unit BIGINT sums, identical division order
+    "q_trimmed_mean" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS g,
+        |         CAST(floor(o_totalprice * 1000000.0) AS BIGINT) AS q,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice, o_orderkey) AS r,
+        |         count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |t AS (SELECT g, q, n, CAST(floor(n * 0.1) AS BIGINT) AS cut
+        |      FROM v WHERE r > CAST(floor(n * 0.1) AS BIGINT)
+        |        AND r <= n - CAST(floor(n * 0.1) AS BIGINT))
+        |SELECT g AS o_orderpriority, CAST(any_value(n) AS BIGINT) AS n,
+        |       CAST(any_value(cut) AS BIGINT) AS n_trimmed,
+        |       round((CAST(sum(q) AS DOUBLE) / 1000000.0) / count(*), 6)
+        |         + 0.0 AS trimmed_mean
+        |FROM t GROUP BY g ORDER BY g""".stripMargin,
     // attribution replay: identical ignore-nulls carry window (strictly
     // preceding frame, (ts, event_id) order), then a count by channel
     "events_attribution" ->

@@ -406,4 +406,40 @@ object Ranking {
           .otherwise(lit(null).cast("double")))
       .drop("__zs_mean", "__zs_sd")
   }
+
+  /** Per-group trimmed mean — the robust location estimate between the
+    * mean (breakdown 0) and the median (information-discarding): drop
+    * the lowest and highest `floor(n·trim)` values by EXACT rank and
+    * average the middle. Values are floor-quantized to micro-units
+    * (the established cross-engine discipline — double sums don't
+    * commute, micro-unit long sums do), ranked per group by (value, a
+    * caller-supplied tiebreak) so the trimmed SET is deterministic, and
+    * the mean is one integer sum + two double ops.
+    *
+    * Returns per group: (groupCol, n long, n_trimmed long — per side,
+    * trimmed_mean double round(6)).
+    *
+    * Scale shape: one keyed per-group window (rank) + one map-combinable
+    * aggregate; no global ordering, no driver collection. */
+  def trimmedMeanByGroup(df: DataFrame, groupCol: String, valCol: String,
+                         tiebreakCol: String, trim: Double = 0.1,
+                         scale: Long = 1000000L): DataFrame = {
+    require(trim >= 0.0 && trim < 0.5, s"trim in [0, 0.5), got $trim")
+    import org.apache.spark.sql.expressions.Window
+    val q = floor(col(valCol).cast("double") * lit(scale.toDouble))
+      .cast("long")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valCol), col(tiebreakCol))
+    val ranked = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol), q.as("__q"),
+        row_number().over(w).as("__r"),
+        count(lit(1)).over(Window.partitionBy(col(groupCol))).as("__n"))
+    val cut = floor(col("__n") * lit(trim)).cast("long")
+    ranked.filter(col("__r") > cut && col("__r") <= col("__n") - cut)
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n"), max(cut).as("n_trimmed"),
+        (round((sum(col("__q")).cast("double") / lit(scale.toDouble)) /
+          count(lit(1)).cast("double"), 6) + lit(0.0)).as("trimmed_mean"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -220,4 +220,18 @@ class RankingSpec extends SparkSpec {
     assert(out.length == 2) // 2 non-null rows -> 2 atoms -> 2 buckets
     assert(out.map(_._4).sum == 2L && out.forall(_._7 == 0.0))
   }
+
+  test("trimmedMeanByGroup: exact-rank trim, outlier immunity, small-n no-op") {
+    val rows =
+      (1 to 10).map(i => ("a", i.toLong, i.toDouble)) ++
+        Seq(("b", 1L, 1.0), ("b", 2L, 100.0), ("b", 3L, 2.0)) ++
+        ((1 to 9).map(i => ("c", i.toLong, i.toDouble)) :+ ("c", 10L, 1000.0))
+    val df = rows.toDF("g", "id", "v")
+    val out = Ranking.trimmedMeanByGroup(df, "g", "v", "id", trim = 0.1)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", 10L, 1L, 5.5),            // keep 2..9
+      ("b", 3L, 0L, 34.333333),       // floor(0.3) = 0: nothing trimmed
+      ("c", 10L, 1L, 5.5)))           // the 1000 outlier is cut away
+  }
 }
