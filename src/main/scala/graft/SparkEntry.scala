@@ -883,6 +883,18 @@ object SparkEntry {
       operators.Sessions.lastTouchAttribution(eventsMicros(s, dir),
         "user_id", "ts", "event_id", "event_type", target = "purchase")
     }),
+    "events_dow_profile" -> ((s, dir) => {
+      // day-of-week seasonality: per weekday events-per-day vs overall,
+      // as ONE division of exact integer cross-products — the
+      // deseasonalization denominator
+      operators.Drift.dayOfWeekProfile(eventsMicros(s, dir), "ts")
+    }),
+    "events_autocorr" -> ((s, dir) => {
+      // lag 1..7 autocorrelation of daily volume in N-scaled integer
+      // form: both correlation sums exact longs, one division per lag —
+      // the weekly-cycle fingerprint
+      operators.Drift.autocorrDaily(eventsMicros(s, dir), "ts", maxLag = 7)
+    }),
     "events_mannkendall" -> ((s, dir) => {
       // Mann-Kendall monotone-trend test on daily volumes: exact integer
       // S and tie-corrected variance numerator, continuity-corrected z —
@@ -5010,6 +5022,48 @@ object SparkEntry {
         |FROM lt WHERE event_type = 'purchase'
         |GROUP BY COALESCE(touch, 'none')
         |ORDER BY attributed""".stripMargin,
+    // DOW replay: dayofweek(d)+1 matches Spark's 1=Sunday convention;
+    // ratio as one division of exact integer cross-products
+    "events_dow_profile" ->
+      """WITH byday AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY d),
+        |bydow AS (
+        |  SELECT CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+        |         CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(y) AS BIGINT) AS n_events
+        |  FROM byday GROUP BY dow),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS td,
+        |               CAST(sum(y) AS BIGINT) AS te FROM byday)
+        |SELECT dow, n_days, n_events,
+        |       round(CAST(n_events * td AS DOUBLE)
+        |             / CAST(n_days * te AS DOUBLE), 6) + 0.0 AS ratio
+        |FROM bydow, tot ORDER BY dow""".stripMargin,
+    // ACF replay: N-scaled integer centering (c = N*y - S), exact
+    // integer numerator/denominator per lag, one division
+    "events_autocorr" ->
+      """WITH b AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY bucket),
+        |o AS (SELECT y, CAST(row_number() OVER (ORDER BY bucket) AS BIGINT)
+        |        AS i FROM b),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(y) AS BIGINT) AS s FROM o),
+        |c AS (SELECT i, st.n * y - st.s AS cv FROM o, st),
+        |den AS (SELECT CAST(sum(cv * cv) AS BIGINT) AS d FROM c),
+        |lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+        |num AS (
+        |  SELECT lags.lag,
+        |         CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(COALESCE(sum(c1.cv * c2.cv), 0) AS BIGINT) AS nm
+        |  FROM lags JOIN c c1 ON TRUE JOIN c c2 ON c2.i = c1.i + lags.lag
+        |  GROUP BY lags.lag)
+        |SELECT num.lag, num.n_pairs,
+        |       round(CASE WHEN den.d = 0 THEN 0.0
+        |             ELSE CAST(num.nm AS DOUBLE) / den.d END, 6) + 0.0 AS r
+        |FROM num, den ORDER BY num.lag""".stripMargin,
     // Mann-Kendall replay: pairwise sign sum and the tie-corrected
     // integer variance numerator; z is three double ops
     "events_mannkendall" ->

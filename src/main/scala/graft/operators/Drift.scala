@@ -409,4 +409,64 @@ object Drift {
     import spark.implicits._
     Seq((n, s, r6(varS), r6(z))).toDF("n_days", "s_stat", "var_s", "z")
   }
+
+  /** Day-of-week seasonality profile: per weekday (1=Sunday … 7, the
+    * Spark `dayofweek` convention), the distinct-day count, event total,
+    * and the RATIO of that weekday's events-per-day to the overall
+    * events-per-day — computed as one division of two exact integer
+    * products ((events_d · total_days) / (days_d · total_events)), so
+    * the per-day means are never materialized as doubles. Ratio > 1 =
+    * busier-than-typical weekday; the profile is the denominator for
+    * deseasonalized monitoring. Fully distributed: a count by calendar
+    * day, a 7-group rollup, and a broadcast 1-row total. */
+  def dayOfWeekProfile(df: DataFrame, tsCol: String): DataFrame = {
+    val byDay = df.filter(col(tsCol).isNotNull)
+      .select(to_date(date_trunc("day", col(tsCol))).as("__d"))
+      .groupBy(col("__d")).agg(count(lit(1)).as("__y"))
+    val byDow = byDay
+      .groupBy(dayofweek(col("__d")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("__y")).as("n_events"))
+    val tot = byDay.agg(count(lit(1)).as("__td"), sum(col("__y")).as("__te"))
+    byDow.join(broadcast(tot))
+      .select(col("dow"), col("n_days"), col("n_events"),
+        (round((col("n_events") * col("__td")).cast("double") /
+          (col("n_days") * col("__te")).cast("double"), 6) + lit(0.0))
+          .as("ratio"))
+      .orderBy(col("dow"))
+  }
+
+  /** Lag-k autocorrelation of the daily series, k = 1..`maxLag` — the
+    * seasonality/stickiness fingerprint (a weekly cycle shows as a
+    * positive spike at lag 7). Computed in the N-scaled integer form:
+    * with S = Σy, both Σ(N·y_t − S)(N·y_{t+k} − S) and the lag-0
+    * denominator are EXACT integers; r_k is one double division.
+    * Returns (lag, n_pairs, r round(6)) per lag; same calendar-bounded
+    * sidecar fold as the other daily monitors. Exactness bound: the
+    * c² terms are longs, so daily counts must stay below ~3·10⁹/N —
+    * rescale the series (e.g. to thousands) for volumes beyond that. */
+  def autocorrDaily(df: DataFrame, tsCol: String,
+                    maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val spark = df.sparkSession
+    val ys = df.filter(col(tsCol).isNotNull)
+      .select(to_date(date_trunc("day", col(tsCol))).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("y"))
+      .orderBy(col("bucket"))
+      .collect().map(_.getLong(1))
+    val n = ys.length
+    require(n > maxLag, s"need > $maxLag buckets, got $n")
+    val s = ys.sum
+    val c = ys.map(y => n * y - s) // N-scaled centering, exact longs
+    val den = c.map(v => v * v).sum
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0
+    val rows = (1 to maxLag).map { k =>
+      val num = (0 until n - k).map(i => c(i) * c(i + k)).sum
+      val r = if (den == 0L) 0.0 else num.toDouble / den.toDouble
+      (k.toLong, (n - k).toLong, r6(r))
+    }
+    import spark.implicits._
+    rows.toDF("lag", "n_pairs", "r").orderBy(col("lag"))
+  }
 }

@@ -56,6 +56,9 @@ class QueryPlanSweepSpec extends AnyFunSuite {
                               // (all-pairs small-N); LSH is the scale path
     "q22_dormant_customers",  // deliberate: 1-row global-aggregate scalar
                               // broadcast as the acctbal threshold
+    "events_dow_profile",     // deliberate: 1-row (total_days, total
+                              // events) broadcast onto the 7-row DOW
+                              // rollup (Drift.dayOfWeekProfile)
     "quality_unigram_nll",    // deliberate: 1-row corpus-total N broadcast
                               // cross the token stream (Corpus.unigramNll);
                               // O(n) with a single-row build side

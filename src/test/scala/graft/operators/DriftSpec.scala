@@ -151,4 +151,25 @@ class DriftSpec extends SparkSpec {
       .as[(Long, Long, Double, Double)].collect().head
     assert(tied == ((3L, 2L, 2.666667, 0.612372)))
   }
+
+  test("dayOfWeekProfile: hand ratios on a Monday/Tuesday split") {
+    // 2024-01-01 is a Monday (Spark dayofweek = 2)
+    val df = (Seq.fill(2)("2024-01-01 10:00:00") ++
+      Seq.fill(4)("2024-01-02 10:00:00"))
+      .toDF("t").select(to_timestamp($"t").as("ts"))
+    val out = Drift.dayOfWeekProfile(df, "ts")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // ratios: (2*2)/(1*6) and (4*2)/(1*6)
+    assert(out == Seq((2L, 1L, 2L, 0.666667), (3L, 1L, 4L, 1.333333)))
+  }
+
+  test("autocorrDaily: period-2 series alternates sign; exact integers") {
+    val df = Seq(1, 3, 1, 3, 1, 3).zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(f"2024-04-${i + 1}%02d 09:00:00")
+    }.toDF("t").select(to_timestamp($"t").as("ts"))
+    val out = Drift.autocorrDaily(df, "ts", maxLag = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    // c = 6y-12 = ±6: r1 = -180/216, r2 = 144/216
+    assert(out == Seq((1L, 5L, -0.833333), (2L, 4L, 0.666667)))
+  }
 }
