@@ -107,6 +107,11 @@ object SparkEntry {
   private val chi2LandingCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged document-range batches for streaming_sketch_fold (same
+    * INPUT-only contract as [[landingCache]]). */
+  private val sketchLandingCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Landing dir of staged PNG-payload batches for
     * streaming_image_dedup (same INPUT-only contract as
     * [[docsLandingCache]]). */
@@ -1006,6 +1011,56 @@ object SparkEntry {
           .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
           .filter(col("w") =!= ""),
         "w", p = 8))
+    }),
+    "streaming_sketch_fold" -> ((s, dir) => {
+      // Count-Min maintenance on ingest: three doc-id-range micro-batches
+      // each append their d×w counter frame (exactly-once ledger — cell
+      // SUMS double-count under replay, so the ledger is load-bearing);
+      // the fold equals whole-corpus counters EXACTLY, checked by the
+      // same probe oracle as the batch gate
+      import org.apache.spark.sql.types._
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), col("text"))
+      val mx = docs.agg(max(col("doc_id"))).first.getLong(0)
+      val (h1, h2) = (mx / 3, 2 * mx / 3)
+      val landing = sketchLandingCache.synchronized {
+        sketchLandingCache.getOrElseUpdate(dir, {
+          val ld = java.nio.file.Files.createTempDirectory("graft_skf_in")
+          Seq(docs.filter(col("doc_id") <= h1),
+            docs.filter(col("doc_id") > h1 && col("doc_id") <= h2),
+            docs.filter(col("doc_id") > h2)).zipWithIndex.foreach {
+            case (b, i) =>
+              b.coalesce(1).write.mode("append").parquet(ld.toString)
+              graft.streaming.FileStreamReader.stampBatchMtime(ld.toString, i)
+          }
+          ld.toString
+        })
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val stream = graft.streaming.FileStreamReader.read(
+          s, graft.filedf.Parquet(), landing, schema,
+          maxFilesPerTrigger = Some(1))
+        .select(explode(filter(split(lower(col("text")), "[^a-z]+"),
+          t => t =!= "")).as("w"))
+      val ck = java.nio.file.Files.createTempDirectory("graft_skf_ck").toString
+      val tab = java.nio.file.Files.createTempDirectory("graft_skf_cm")
+        .toString + "/counters"
+      graft.streaming.StreamRunner.runIncrementalSketchFold(
+        stream, "w", tab, depth = 4, width = 512, ck,
+        new graft.core.InMemoryHwmStore, s"cm@$ck")
+      val counters = operators.Sketch.cmMerge(s.read.parquet(tab))
+      val words = docs.select(explode(filter(split(lower(col("text")),
+        "[^a-z]+"), t => t =!= "")).as("w"))
+      val probes = words.groupBy(col("w")).agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("w")).limit(20)
+      operators.Sketch.cmEstimate(
+          counters, probes.select(col("w")), "w", depth = 4, width = 512)
+        .join(broadcast(probes), Seq("w"))
+        .select(col("w"), col("true_cnt"), col("est_cnt"),
+          (col("est_cnt") - col("true_cnt")).as("overcount"))
+        .orderBy(col("w"))
+        .localCheckpoint()
     }),
     "sketch_countmin_words" -> ((s, dir) => {
       // Count-Min counters (d=4, w=512) over the word stream, probed at
@@ -4369,6 +4424,35 @@ object SparkEntry {
          |FROM $table""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
 
+  /** Count-Min probe replay — shared by the batch gate and the
+    * streaming fold gate (the fold equals whole-corpus counters
+    * exactly, so one oracle gates both). */
+  private val countMinOracle: String =
+    """WITH toks AS (
+      |  SELECT t FROM documents, UNNEST(list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+      |    AS u(t)),
+      |freq AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS c
+      |         FROM toks GROUP BY t),
+      |cells AS (
+      |  SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || w),
+      |           1, 15) AS BIGINT) % 512 AS cell, c
+      |  FROM freq, (SELECT unnest(range(4)) AS r)),
+      |counters AS (SELECT r, cell, CAST(sum(c) AS BIGINT) AS cnt
+      |             FROM cells GROUP BY r, cell),
+      |probes AS (SELECT w, c FROM freq ORDER BY c DESC, w LIMIT 20),
+      |pc AS (
+      |  SELECT w, c, r, CAST('0x' || substr(md5(CAST(r AS VARCHAR)
+      |           || ':' || w), 1, 15) AS BIGINT) % 512 AS cell
+      |  FROM probes, (SELECT unnest(range(4)) AS r)),
+      |est AS (SELECT pc.w, any_value(pc.c) AS true_cnt,
+      |               CAST(min(counters.cnt) AS BIGINT) AS est_cnt
+      |        FROM pc JOIN counters
+      |          ON pc.r = counters.r AND pc.cell = counters.cell
+      |        GROUP BY pc.w)
+      |SELECT w, true_cnt, est_cnt, est_cnt - true_cnt AS overcount
+      |FROM est ORDER BY w""".stripMargin
+
   private val jaccardOracle: String =
     """WITH docs AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
@@ -5357,31 +5441,11 @@ object SparkEntry {
     // first 15 hex chars as a 60-bit long, % 512 — positive dividend so
     // % == pmod), per-cell BIGINT sums, min over the 4 rows. All-integer
     // output; est - true stays BIGINT (no sum in the subtraction).
-    "sketch_countmin_words" ->
-      """WITH toks AS (
-        |  SELECT t FROM documents, UNNEST(list_filter(
-        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
-        |    AS u(t)),
-        |freq AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS c
-        |         FROM toks GROUP BY t),
-        |cells AS (
-        |  SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || w),
-        |           1, 15) AS BIGINT) % 512 AS cell, c
-        |  FROM freq, (SELECT unnest(range(4)) AS r)),
-        |counters AS (SELECT r, cell, CAST(sum(c) AS BIGINT) AS cnt
-        |             FROM cells GROUP BY r, cell),
-        |probes AS (SELECT w, c FROM freq ORDER BY c DESC, w LIMIT 20),
-        |pc AS (
-        |  SELECT w, c, r, CAST('0x' || substr(md5(CAST(r AS VARCHAR)
-        |           || ':' || w), 1, 15) AS BIGINT) % 512 AS cell
-        |  FROM probes, (SELECT unnest(range(4)) AS r)),
-        |est AS (SELECT pc.w, any_value(pc.c) AS true_cnt,
-        |               CAST(min(counters.cnt) AS BIGINT) AS est_cnt
-        |        FROM pc JOIN counters
-        |          ON pc.r = counters.r AND pc.cell = counters.cell
-        |        GROUP BY pc.w)
-        |SELECT w, true_cnt, est_cnt, est_cnt - true_cnt AS overcount
-        |FROM est ORDER BY w""".stripMargin,
+    "sketch_countmin_words" -> countMinOracle,
+    // the streaming fold equals whole-corpus counters exactly (cell sums
+    // commute), so the SAME oracle gates it — any double-count or lost
+    // batch breaks the hash
+    "streaming_sketch_fold" -> countMinOracle,
     // KMV replay: distinct 60-bit hashes, k=128 smallest, estimator
     // 127 * 2^60 / h_k (both operands exactly representable doubles);
     // round(4)+0.0 as everywhere. n < k means the register set IS the

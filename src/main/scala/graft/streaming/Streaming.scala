@@ -274,6 +274,28 @@ object StreamRunner {
       sink(report, id)
     }
 
+  /** Streaming Count-Min maintenance: each micro-batch's d×w counter
+    * frame ([[graft.operators.Sketch.cmCounters]] — O(batch) to compute,
+    * 2048 rows to write) APPENDS to the counter table; readers fold the
+    * appended frames with [[graft.operators.Sketch.cmMerge]] (per-cell
+    * sum). Counter sums are NOT idempotent under redelivery — unlike an
+    * HLL max-fold, a replayed batch would double-count — so the
+    * exactly-once ledger is load-bearing here, not belt-and-braces.
+    * Append-only keeps the crash story simple: a torn write is either
+    * invisible to parquet or re-skipped by the ledger. The folded table
+    * equals the whole-corpus counters EXACTLY (cell sums commute), so
+    * the stream never degrades the estimate. */
+  def runIncrementalSketchFold(stream: DataFrame, valCol: String,
+                               counterTable: String, depth: Int, width: Int,
+                               checkpoint: String,
+                               store: graft.core.HwmStore,
+                               ledgerName: String): Unit =
+    runAvailableNowForeachBatchExactlyOnce(stream, checkpoint, store,
+      ledgerName) { (batch, _) =>
+      graft.operators.Sketch.cmCounters(batch, valCol, depth, width)
+        .write.mode("append").parquet(counterTable)
+    }
+
   def runIncrementalDedup(stream: DataFrame, idCol: String, textCol: String,
                           indexTable: String, checkpoint: String,
                           store: graft.core.HwmStore, ledgerName: String,

@@ -164,6 +164,40 @@ class StreamingSpec extends SparkSpec {
     assert(reports.isEmpty, "replayed batches re-emitted drift reports")
   }
 
+  test("streaming sketch fold: folded counters == whole-corpus counters, replay-safe") {
+    import graft.operators.Sketch
+    val src = tmpDir("stream-cm-src")
+    val b0 = Seq((1L, "alpha beta beta"), (2L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, "beta beta delta"), (4L, "alpha"))
+      .toDF("doc_id", "text")
+    b0.coalesce(1).write.mode("append").parquet(src)
+    FileStreamReader.stampBatchMtime(src, 0)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    FileStreamReader.stampBatchMtime(src, 1)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val store = new graft.core.InMemoryHwmStore
+    val tab = tmpDir("stream-cm-tab") + "/counters"
+    def words(df: org.apache.spark.sql.DataFrame) = df.select(
+      explode(split($"text", " ")).as("w"))
+    def run(ck: String): Unit = StreamRunner.runIncrementalSketchFold(
+      words(FileStreamReader.read(spark, Parquet(), src, schema,
+        maxFilesPerTrigger = Some(1))),
+      "w", tab, depth = 4, width = 64, ck, store, "cm_ledger")
+    run(tmpDir("stream-cm-ck1"))
+    val folded = Sketch.cmMerge(spark.read.parquet(tab))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = Sketch.cmCounters(words(b0.union(b1)), "w", 4, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(folded == direct, "streamed fold diverged from batch counters")
+    // replay (fresh checkpoint, same ledger): sums must NOT double
+    run(tmpDir("stream-cm-ck2"))
+    val replayed = Sketch.cmMerge(spark.read.parquet(tab))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(replayed == direct, "replayed batches double-counted cells")
+  }
+
   test("streaming categorical drift monitor: per-batch chi2 vs fixed counts, replay-safe") {
     import graft.operators.Drift
     val src = tmpDir("stream-chi2-src")
