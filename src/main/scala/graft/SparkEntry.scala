@@ -1080,6 +1080,25 @@ object SparkEntry {
           (col("est_cnt") - col("true_cnt")).as("overcount"))
         .orderBy(col("w"))
     }),
+    "sketch_join_size" -> ((s, dir) => {
+      // CM inner product: estimate |lineitem ⋈ orders| from two key
+      // sketches without running the join (min over rows of the cell
+      // dot products — never undercounts; the overcount is the
+      // documented n_a·n_b/w collision mass), vs the true join count
+      val c = conn(s, dir)
+      val li = DbReader(c, "lineitem").run()
+      val ord = DbReader(c, "orders").run()
+      val ca = operators.Sketch.cmCounters(
+        li.select(col("l_orderkey").as("k")), "k", depth = 4, width = 4096)
+      val cb = operators.Sketch.cmCounters(
+        ord.select(col("o_orderkey").as("k")), "k", depth = 4, width = 4096)
+      val est = operators.Sketch.cmInnerProduct(ca, cb)
+      val truth = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .count()
+      est.select(col("est_inner").as("est_join_size"),
+        lit(truth).as("true_join_size"),
+        (col("est_inner") - lit(truth)).as("overcount"))
+    }),
     "sketch_kmv_distinct" -> ((s, dir) => {
       // bottom-k distinct sketch (k=128) over the word stream: the k
       // smallest md5 hashes + the (k-1)*2^60/h_k estimate, with the
@@ -5446,6 +5465,32 @@ object SparkEntry {
     // commute), so the SAME oracle gates it — any double-count or lost
     // batch breaks the hash
     "streaming_sketch_fold" -> countMinOracle,
+    // join-size replay: both key sketches with the same salted cells,
+    // per-row dot products, min — all BIGINT
+    "sketch_join_size" ->
+      """WITH fa AS (SELECT CAST(l_orderkey AS VARCHAR) AS k,
+        |              CAST(count(*) AS BIGINT) AS c
+        |            FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |fb AS (SELECT CAST(o_orderkey AS VARCHAR) AS k,
+        |         CAST(count(*) AS BIGINT) AS c
+        |       FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |ca AS (SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+        |           || k), 1, 15) AS BIGINT) % 4096 AS cell,
+        |         CAST(sum(c) AS BIGINT) AS cnt
+        |       FROM fa, (SELECT unnest(range(4)) AS r) GROUP BY r, cell),
+        |cb AS (SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+        |           || k), 1, 15) AS BIGINT) % 4096 AS cell,
+        |         CAST(sum(c) AS BIGINT) AS cnt
+        |       FROM fb, (SELECT unnest(range(4)) AS r) GROUP BY r, cell),
+        |dot AS (SELECT ca.r, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS d
+        |        FROM ca JOIN cb ON ca.r = cb.r AND ca.cell = cb.cell
+        |        GROUP BY ca.r),
+        |est AS (SELECT CAST(min(d) AS BIGINT) AS e FROM dot),
+        |tr AS (SELECT CAST(count(*) AS BIGINT) AS t
+        |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT e AS est_join_size, t AS true_join_size,
+        |       e - t AS overcount
+        |FROM est, tr""".stripMargin,
     // KMV replay: distinct 60-bit hashes, k=128 smallest, estimator
     // 127 * 2^60 / h_k (both operands exactly representable doubles);
     // round(4)+0.0 as everywhere. n < k means the register set IS the

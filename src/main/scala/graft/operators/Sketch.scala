@@ -158,6 +158,23 @@ object Sketch {
       .agg(min(col("cnt")).as("est_cnt"))
   }
 
+  /** Count-Min inner product — the classic sketch estimate of an
+    * equi-join SIZE (Cormode & Muthukrishnan §4.2): for counter tables
+    * built over the two join columns with the SAME (depth, width),
+    * est = min over rows of Σ_cell a[cell]·b[cell]. Never undercounts;
+    * the overcount is the collision mass (expected n_a·n_b/width —
+    * size the width to the key cardinality product when the bias
+    * matters). The input counters are d·w-row sidecars, so the
+    * estimate costs one tiny join — the point: plan a 100 TB join's
+    * output size WITHOUT running it, from sketches each side maintains
+    * incrementally. Returns one row: (est_inner long). */
+  def cmInnerProduct(countersA: DataFrame, countersB: DataFrame): DataFrame =
+    countersA.select(col("row"), col("cell"), col("cnt").as("__ca"))
+      .join(countersB.select(col("row"), col("cell"),
+        col("cnt").as("__cb")), Seq("row", "cell"))
+      .groupBy(col("row")).agg(sum(col("__ca") * col("__cb")).as("__dot"))
+      .agg(min(col("__dot")).as("est_inner"))
+
   // --- KMV / bottom-k distinct sketch (Bar-Yossef et al., RANDOM'02) ---
 
   /** The k smallest DISTINCT 60-bit md5 hash values of a column — a

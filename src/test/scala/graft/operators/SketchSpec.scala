@@ -72,6 +72,25 @@ class SketchSpec extends SparkSpec {
       r.getAs[Long]("est_cnt") == r.getAs[Long]("true_cnt")))
   }
 
+  test("cmInnerProduct: join-size estimate, exact when collision-free") {
+    val a = Seq("1", "1", "2").toDF("k")            // counts 1:2, 2:1
+    val b = Seq("1", "2", "2", "3").toDF("k")       // counts 1:1, 2:2, 3:1
+    // true equi-join size = 2*1 + 1*2 = 4
+    val est = Sketch.cmInnerProduct(
+      Sketch.cmCounters(a, "k", 4, 512), Sketch.cmCounters(b, "k", 4, 512))
+      .collect().head.getLong(0)
+    // never undercounts; 4 keys in 512 cells leave some row
+    // collision-free, so the min is exact here
+    assert(est == 4L)
+    // disjoint key sets: estimate is 0 unless cells collide — and with
+    // 2 keys it cannot
+    val z = Sketch.cmInnerProduct(
+      Sketch.cmCounters(Seq("x").toDF("k"), "k", 4, 512),
+      Sketch.cmCounters(Seq("y").toDF("k"), "k", 4, 512))
+      .collect().head.getLong(0)
+    assert(z == 0L)
+  }
+
   test("kmvRegisters: k smallest distinct hashes; merge == union; exact under k") {
     val a = spark.range(1000).select(col("id").cast("string").as("v"))
     val b = spark.range(500, 1500).select(col("id").cast("string").as("v"))
