@@ -957,6 +957,26 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
           "o_orderdate"))
     }),
+    "linkage_fellegi_sunter" -> ((s, dir) => {
+      // Fellegi-Sunter scoring over the blocked fuzzy candidates:
+      // nation/segment equality + an acctbal band, decimal-exact
+      // log2(m/u) weights, three-way link/possible/non-link cut
+      val cust = DbReader(conn(s, dir), "customer").run()
+      val pairs = operators.Joins.fuzzySelfPairs(cust, "c_custkey",
+        "c_name", expr("substring(c_name, 1, length(c_name)-2)"),
+        maxDist = 1)
+      val a = cust.select(col("c_custkey").as("id_a"),
+        col("c_nationkey").as("na"), col("c_mktsegment").as("ma"),
+        col("c_acctbal").as("ba"))
+      val b = cust.select(col("c_custkey").as("id_b"),
+        col("c_nationkey").as("nb"), col("c_mktsegment").as("mb"),
+        col("c_acctbal").as("bb"))
+      operators.Joins.fellegiSunterScore(
+        pairs.join(a, Seq("id_a")).join(b, Seq("id_b")), "id_a", "id_b",
+        Seq(("nation", col("na") === col("nb"), 0.95, 0.04),
+          ("segment", col("ma") === col("mb"), 0.9, 0.2),
+          ("acctbal", abs(col("ba") - col("bb")) < lit(100.0), 0.85, 0.05)))
+    }),
     "graph_kcore" -> ((s, dir) => {
       // 3-core of the fuzzy-match graph: iterative peel to fixpoint —
       // dense template families survive with their within-core degrees,
@@ -4349,6 +4369,49 @@ object SparkEntry {
       s"((($q1 >> $b) & 1) << ${2 * b})",
       s"((($q2 >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
 
+  /** Fellegi–Sunter replay: the SAME driver-computed 6-dp weights are
+    * injected into both engines as DECIMAL(18,6) literals, so the score
+    * is an order-free exact-decimal sum in each. */
+  private def fsWeights(m: Double, u: Double): (String, String) = {
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+    (r6(math.log(m / u) / math.log(2.0)),
+      r6(math.log((1 - m) / (1 - u)) / math.log(2.0)))
+  }
+
+  private def fellegiSunterOracleSql(): String = {
+    val (na, nd) = fsWeights(0.95, 0.04)
+    val (sa, sd) = fsWeights(0.9, 0.2)
+    val (ba, bd) = fsWeights(0.85, 0.05)
+    s"""WITH c AS (
+       |  SELECT c_custkey AS id, c_name AS s,
+       |         substr(c_name, 1, length(c_name) - 2) AS blk,
+       |         c_nationkey AS nk, c_mktsegment AS seg, c_acctbal AS bal
+       |  FROM customer WHERE c_name IS NOT NULL AND c_custkey IS NOT NULL),
+       |e AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |         a.nk AS nka, b.nk AS nkb, a.seg AS sga, b.seg AS sgb,
+       |         a.bal AS bla, b.bal AS blb
+       |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+       |  WHERE levenshtein(a.s, b.s) <= 1),
+       |sc AS (
+       |  SELECT id_a, id_b, CAST(
+       |      (CASE WHEN nka = nkb THEN CAST($na AS DECIMAL(18,6))
+       |            ELSE CAST($nd AS DECIMAL(18,6)) END)
+       |    + (CASE WHEN sga = sgb THEN CAST($sa AS DECIMAL(18,6))
+       |            ELSE CAST($sd AS DECIMAL(18,6)) END)
+       |    + (CASE WHEN abs(bla - blb) < 100.0
+       |            THEN CAST($ba AS DECIMAL(18,6))
+       |            ELSE CAST($bd AS DECIMAL(18,6)) END) AS DOUBLE)
+       |      AS score
+       |  FROM e)
+       |SELECT id_a, id_b, score,
+       |       CASE WHEN score >= 2.0 THEN 'link'
+       |            WHEN score >= 0.0 THEN 'possible'
+       |            ELSE 'non_link' END AS verdict
+       |FROM sc ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Unrolled integer-Lloyd replay: floor-quantized components, exact
     * long distances, row_number-argmin with the same (d2, cid) order,
     * posmod-subtract floor division for the update — every value BIGINT
@@ -5026,6 +5089,7 @@ object SparkEntry {
     // triangle replay: same canonical edges, (degree, id) orientation,
     // wedge join + EXISTS closure — exact integer counts
     "graph_kcore" -> kCoreOracleSql(k = 3, rounds = 8),
+    "linkage_fellegi_sunter" -> fellegiSunterOracleSql(),
     "embedding_kmeans" -> kmeansOracleSql(k = 8, iters = 2),
     // referential replay: per-check scalar subqueries, BIGINT counts,
     // one rounded division each

@@ -414,4 +414,45 @@ object Joins {
       .filter(col("dist") >= 0L && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Fellegi–Sunter probabilistic record linkage (JASA 1969) over a
+    * blocked candidate-pair frame: each field contributes
+    * log2(m/u) on agreement and log2((1−m)/(1−u)) on disagreement
+    * (m = P(agree | match), u = P(agree | non-match)), the pair's score
+    * is the sum, and the decision is the classic three-way
+    * link / possible / non-link cut.
+    *
+    * Cross-engine exactness: the two weights per field are computed
+    * ONCE driver-side, rounded to 6 dp, and injected as DECIMAL(18,6)
+    * literals — the per-pair score is a sum of exact decimals (order-
+    * free), cast to double at the end. A NULL in either field value
+    * scores as disagreement (the conservative choice).
+    *
+    * `fields` = (name, agreement predicate, m, u) — the predicate is any
+    * Column (equality, a band like |a−b| < 100, a phonetic match), so
+    * the model composes with the blocking/fuzzy machinery above.
+    * Map-only over the pair frame; nothing shuffles. */
+  def fellegiSunterScore(pairs: DataFrame, idA: String, idB: String,
+                         fields: Seq[(String, org.apache.spark.sql.Column,
+                           Double, Double)],
+                         upper: Double = 2.0,
+                         lower: Double = 0.0): DataFrame = {
+    require(fields.nonEmpty, "fellegiSunterScore needs at least one field")
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val score = fields.map { case (name, agree, m, u) =>
+      require(m > 0 && m < 1 && u > 0 && u < 1 && m > u,
+        s"field $name needs 0 < u < m < 1, got m=$m u=$u")
+      val wa = r6(math.log(m / u) / math.log(2.0))
+      val wd = r6(math.log((1 - m) / (1 - u)) / math.log(2.0))
+      when(agree, lit(wa.bigDecimal)).otherwise(lit(wd.bigDecimal))
+    }.reduce(_ + _)
+    pairs
+      .select(col(idA), col(idB), score.cast("double").as("score"))
+      .withColumn("verdict",
+        when(col("score") >= upper, lit("link"))
+          .when(col("score") >= lower, lit("possible"))
+          .otherwise(lit("non_link")))
+      .orderBy(col(idA), col(idB))
+  }
 }

@@ -276,6 +276,26 @@ class JoinsSpec extends SparkSpec {
     assert(out == Seq(("error", 1L), ("none", 1L), ("view", 2L)))
   }
 
+  test("fellegiSunterScore: agreement weights sum, NULL disagrees, three-way cut") {
+    // weights: log2(.9/.1) = 3.169925, log2(.1/.9) = -3.169925
+    val pairs = Seq(
+      (1L, 2L, Some("x"), Some("x"), Some("p"), Some("p")), // both agree
+      (3L, 4L, Some("x"), Some("y"), Some("p"), Some("p")), // one agrees
+      (5L, 6L, Some("x"), Some("y"), Some("p"), Some("q")), // none
+      (7L, 8L, None, Some("x"), Some("p"), Some("p"))       // NULL = disagree
+    ).toDF("id_a", "id_b", "f1a", "f1b", "f2a", "f2b")
+    val out = Joins.fellegiSunterScore(pairs, "id_a", "id_b",
+        Seq(("f1", col("f1a") === col("f1b"), 0.9, 0.1),
+          ("f2", col("f2a") === col("f2b"), 0.9, 0.1)),
+        upper = 3.0, lower = 0.0)
+      .as[(Long, Long, Double, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 6.33985, "link"),
+      (3L, 4L, 0.0, "possible"),
+      (5L, 6L, -6.33985, "non_link"),
+      (7L, 8L, 0.0, "possible")))
+  }
+
   test("cohortRetention: offset 0 equals cohort size, gaps don't break " +
        "offsets, multiple same-period events count once") {
     import java.sql.Timestamp
