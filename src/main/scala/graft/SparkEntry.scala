@@ -957,6 +957,32 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
           "o_orderdate"))
     }),
+    "linkage_blocking_stats" -> ((s, dir) => {
+      // blocking-scheme audit BEFORE paying for comparisons: candidate
+      // pair mass, reduction ratio vs C(n,2), monster-block watch — one
+      // word-count-shaped aggregate
+      operators.Joins.blockingStats(
+        DbReader(conn(s, dir), "customer").run(), "c_custkey",
+        expr("substring(c_name, 1, length(c_name)-2)"))
+    }),
+    "linkage_sorted_neighborhood" -> ((s, dir) => {
+      // sorted-neighborhood blocking (SIGMOD'95): compare only records
+      // within 2 ranks of the name order — O(n·w) candidates via keyed
+      // (rank+δ) joins on distributed ranks; per-δ match yield
+      val cust = DbReader(conn(s, dir), "customer").run()
+      val pairs = operators.Joins.sortedNeighborhoodPairs(
+        cust, "c_custkey", col("c_name"), window = 3)
+      val a = cust.select(col("c_custkey").as("id_a"),
+        col("c_name").as("sa"))
+      val b = cust.select(col("c_custkey").as("id_b"),
+        col("c_name").as("sb"))
+      pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .groupBy(col("delta"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(levenshtein(col("sa"), col("sb")) <= 1, 1L)
+            .otherwise(0L)).as("n_matches"))
+        .orderBy(col("delta"))
+    }),
     "linkage_fellegi_sunter" -> ((s, dir) => {
       // Fellegi-Sunter scoring over the blocked fuzzy candidates:
       // nation/segment equality + an acctbal band, decimal-exact
@@ -5090,6 +5116,41 @@ object SparkEntry {
     // wedge join + EXISTS closure — exact integer counts
     "graph_kcore" -> kCoreOracleSql(k = 3, rounds = 8),
     "linkage_fellegi_sunter" -> fellegiSunterOracleSql(),
+    // blocking-stats replay: same null filters, exact integer pair mass
+    // (c·(c−1) is even so // 2 is exact), identical rr op order
+    "linkage_blocking_stats" ->
+      """WITH b AS (
+        |  SELECT substr(c_name, 1, length(c_name) - 2) AS blk,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM customer WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+        |  GROUP BY blk),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |             CAST(count(*) AS BIGINT) AS nb,
+        |             CAST(sum(c * (c - 1) // 2) AS BIGINT) AS np,
+        |             CAST(max(c) AS BIGINT) AS mb FROM b)
+        |SELECT n AS n_records, nb AS n_blocks, np AS n_candidate_pairs,
+        |       round(CASE WHEN n >= 2
+        |             THEN 1.0 - CAST(np AS DOUBLE)
+        |                  / CAST(n * (n - 1) AS DOUBLE) * 2.0
+        |             ELSE 1.0 END, 6) + 0.0 AS reduction_ratio,
+        |       mb AS max_block
+        |FROM a""".stripMargin,
+    // sorted-neighborhood replay: same (name, id) rank order, (rank+δ)
+    // joins, levenshtein match yield per δ
+    "linkage_sorted_neighborhood" ->
+      """WITH r AS (
+        |  SELECT c_custkey AS id, c_name AS s,
+        |         CAST(row_number() OVER (ORDER BY c_name, c_custkey)
+        |              AS BIGINT) AS rn
+        |  FROM customer WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL),
+        |p AS (SELECT d.d AS delta, a.s AS sa, b.s AS sb
+        |      FROM (SELECT unnest(range(1, 3)) AS d) d
+        |      JOIN r a ON TRUE JOIN r b ON b.rn = a.rn + d.d)
+        |SELECT CAST(delta AS BIGINT) AS delta,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(CASE WHEN levenshtein(sa, sb) <= 1 THEN 1 ELSE 0
+        |                END) AS BIGINT) AS n_matches
+        |FROM p GROUP BY delta ORDER BY delta""".stripMargin,
     "embedding_kmeans" -> kmeansOracleSql(k = 8, iters = 2),
     // referential replay: per-check scalar subqueries, BIGINT counts,
     // one rounded division each

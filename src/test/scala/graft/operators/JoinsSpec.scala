@@ -296,6 +296,28 @@ class JoinsSpec extends SparkSpec {
       (7L, 8L, 0.0, "possible")))
   }
 
+  test("blockingStats: pair mass, reduction ratio, monster block") {
+    val df = Seq((1L, "aa1"), (2L, "aa2"), (3L, "aa3"), (4L, "bb1"))
+      .toDF("id", "name")
+    val out = Joins.blockingStats(df, "id",
+        org.apache.spark.sql.functions.expr("substring(name, 1, 2)"))
+      .as[(Long, Long, Long, Double, Long)].collect().head
+    // blocks {aa:3, bb:1}: pairs = 3, C(4,2) = 6 -> rr = 0.5
+    assert(out == ((4L, 2L, 3L, 0.5, 3L)))
+  }
+
+  test("sortedNeighborhoodPairs: adjacent ranks only, window widens, " +
+       "lower rank is id_a") {
+    val df = Seq((10L, "b"), (20L, "a"), (30L, "c")).toDF("id", "k")
+    val w2 = Joins.sortedNeighborhoodPairs(df, "id", col("k"), window = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // rank order by k: 20(a), 10(b), 30(c)
+    assert(w2 == Set((20L, 10L, 1L), (10L, 30L, 1L)))
+    val w3 = Joins.sortedNeighborhoodPairs(df, "id", col("k"), window = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(w3 == w2 + ((20L, 30L, 2L)))
+  }
+
   test("cohortRetention: offset 0 equals cohort size, gaps don't break " +
        "offsets, multiple same-period events count once") {
     import java.sql.Timestamp
