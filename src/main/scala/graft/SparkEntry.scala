@@ -888,6 +888,33 @@ object SparkEntry {
       operators.Sessions.lastTouchAttribution(eventsMicros(s, dir),
         "user_id", "ts", "event_id", "event_type", target = "purchase")
     }),
+    "pack_padding_waste" -> ((s, dir) => {
+      // padding-waste accounting at batch=32 over n_chars: natural vs
+      // length-sorted batch order — the measured case for
+      // length-bucketed batching, exact integers end to end
+      operators.Packing.paddingWasteStats(
+        DbReader(conn(s, dir), "documents").run(),
+        "doc_id", "n_chars", batchSize = 32)
+    }),
+    "events_time_to_convert" -> ((s, dir) => {
+      // first-view -> first-subsequent-purchase latency per user, as an
+      // equi-depth 5-tile histogram over exact integer seconds — the
+      // conversion-latency distribution without a single-task window
+      val ev = eventsMicros(s, dir)
+      val tv = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("__tv"))
+      val lat = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("__tp"))
+        .join(tv, Seq("user_id"))
+        .filter(col("__tp") > col("__tv"))
+        .groupBy(col("user_id"))
+        .agg(min(col("__tp")).as("__tp"), min(col("__tv")).as("__tv"))
+        .select(call_function("div", col("__tp") - col("__tv"),
+          lit(1000000L)).as("latency_sec"))
+      operators.Ranking.equiDepthHistogram(lat, "latency_sec", 5)
+        .orderBy(col("tile"))
+    }),
     "events_dow_profile" -> ((s, dir) => {
       // day-of-week seasonality: per weekday events-per-day vs overall,
       // as ONE division of exact integer cross-products — the
@@ -5250,6 +5277,57 @@ object SparkEntry {
         |FROM lt WHERE event_type = 'purchase'
         |GROUP BY COALESCE(touch, 'none')
         |ORDER BY attributed""".stripMargin,
+    // padding-waste replay: same (order) -> row_number -> (rn-1)//32
+    // batches, exact integer waste sums, identical ratio division
+    "pack_padding_waste" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS l
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |nat AS (
+        |  SELECT (row_number() OVER (ORDER BY id) - 1) // 32 AS b, l
+        |  FROM base),
+        |natb AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+        |                CAST(max(l) AS BIGINT) AS m,
+        |                CAST(sum(l) AS BIGINT) AS s FROM nat GROUP BY b),
+        |nata AS (SELECT CAST(sum(n * m - s) AS BIGINT) AS w,
+        |                CAST(sum(s) AS BIGINT) AS t,
+        |                CAST(count(*) AS BIGINT) AS nb FROM natb),
+        |srt AS (
+        |  SELECT (row_number() OVER (ORDER BY l, id) - 1) // 32 AS b, l
+        |  FROM base),
+        |srtb AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+        |                CAST(max(l) AS BIGINT) AS m,
+        |                CAST(sum(l) AS BIGINT) AS s FROM srt GROUP BY b),
+        |srta AS (SELECT CAST(sum(n * m - s) AS BIGINT) AS w FROM srtb),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+        |SELECT cnt.n AS n_docs, nata.nb AS n_batches, nata.t AS total_len,
+        |       nata.w AS natural_waste, srta.w AS sorted_waste,
+        |       round(CASE WHEN nata.t + nata.w = 0 THEN 0.0
+        |             ELSE CAST(nata.w AS DOUBLE) / (nata.t + nata.w) END, 6)
+        |         + 0.0 AS natural_ratio,
+        |       round(CASE WHEN nata.t + srta.w = 0 THEN 0.0
+        |             ELSE CAST(srta.w AS DOUBLE) / (nata.t + srta.w) END, 6)
+        |         + 0.0 AS sorted_ratio
+        |FROM nata, srta, cnt""".stripMargin,
+    // time-to-convert replay: same first-view/first-later-purchase
+    // definition, micro-epoch integer diff, floor-div seconds, ntile(5)
+    "events_time_to_convert" ->
+      """WITH tv AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |tp AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN tv ON e.user_id = tv.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > tv.t
+        |  GROUP BY e.user_id),
+        |lat AS (SELECT (tp.t - tv.t) // 1000000 AS latency_sec
+        |        FROM tp JOIN tv ON tp.user_id = tv.user_id)
+        |SELECT tile::BIGINT AS tile, count(*) AS n,
+        |       CAST(min(latency_sec) AS BIGINT) AS lo,
+        |       CAST(max(latency_sec) AS BIGINT) AS hi
+        |FROM (SELECT latency_sec, ntile(5) OVER (ORDER BY latency_sec)
+        |        AS tile FROM lat) t
+        |GROUP BY tile ORDER BY tile""".stripMargin,
     // DOW replay: dayofweek(d)+1 matches Spark's 1=Sunday convention;
     // ratio as one division of exact integer cross-products
     "events_dow_profile" ->

@@ -169,4 +169,50 @@ object Packing {
         when(col(textCol).isNull, lit(0L))
           .otherwise(least(n.cast("long"), lit(budget.toLong))))
   }
+
+  /** Padding-waste accounting for fixed-size training batches: when a
+    * batch pads every sequence to its longest member, the waste is
+    * Σ_batches (|batch|·max_len − Σ len). Reported for BOTH batch
+    * orders — natural (id) and length-sorted — because the gap IS the
+    * business case for length-bucketed batching (sorted batches put
+    * similar lengths together, so max_len ≈ every len). One row:
+    * (n_docs, n_batches, total_len, natural_waste, sorted_waste,
+    * natural_ratio, sorted_ratio) with ratio = waste / (total + waste),
+    * the padded-compute fraction, round(6).
+    *
+    * Exact integers end to end; batch assignment is
+    * (globalRowNumber − 1) div batchSize off a range exchange — no
+    * single-task window; the two 1-row aggregates are collected
+    * sidecars. */
+  def paddingWasteStats(df: DataFrame, idCol: String, lenCol: String,
+                        batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val base = df.select(col(idCol).as("__id"),
+        col(lenCol).cast("long").as("__l"))
+      .filter(col("__l").isNotNull)
+    def waste(order: Seq[org.apache.spark.sql.Column]): (Long, Long, Long) = {
+      val r = Ranking.globalRowNumber(base, order, "__r")
+        .withColumn("__b", call_function("div", col("__r") - 1L,
+          lit(batchSize.toLong)))
+        .groupBy(col("__b"))
+        .agg(count(lit(1)).as("__n"), max(col("__l")).as("__m"),
+          sum(col("__l")).as("__s"))
+        .agg(sum(col("__n") * col("__m") - col("__s")).as("w"),
+          sum(col("__s")).as("t"), count(lit(1)).as("nb"))
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (nw, total, nb) = waste(Seq(col("__id")))
+    val (sw, _, _) = waste(Seq(col("__l"), col("__id")))
+    val n = base.count()
+    def ratio(w: Long) =
+      if (total + w == 0L) 0.0
+      else BigDecimal(w.toDouble / (total + w).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, nb, total, nw, sw, ratio(nw), ratio(sw)))
+      .toDF("n_docs", "n_batches", "total_len", "natural_waste",
+        "sorted_waste", "natural_ratio", "sorted_ratio")
+  }
 }

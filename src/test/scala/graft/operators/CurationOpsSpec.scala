@@ -7,6 +7,17 @@ import org.apache.spark.sql.functions._
 class PackingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("paddingWasteStats: sorted batching eliminates the planted waste") {
+    // id-order lengths 10,1,10,1,10,1 at batch=3: natural batches
+    // (10,1,10) and (1,10,1) waste 9 + 18 = 27; sorted batches
+    // (1,1,1) and (10,10,10) waste 0
+    val df = Seq((1L, 10L), (2L, 1L), (3L, 10L), (4L, 1L), (5L, 10L),
+      (6L, 1L)).toDF("id", "len")
+    val out = Packing.paddingWasteStats(df, "id", "len", batchSize = 3)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().head
+    assert(out == ((6L, 2L, 33L, 27L, 0L, 0.45, 0.0)))
+  }
+
   test("chunk assignment: exclusive prefix sum, doc counted where it starts") {
     // source A: tokens 300, 300, 300 with chunk size 512:
     //   doc 1 starts at 0   -> chunk 0
