@@ -984,6 +984,26 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
           "o_orderdate"))
     }),
+    "scd2_versions" -> ((s, dir) => {
+      // SCD Type-2 version build from three planted dimension snapshots:
+      // unchanged re-observations collapse, a value changing BACK opens
+      // a fresh version; two keyed windows, no global ordering
+      Scd2Fixture.versions(s, dir)
+        // open versions carry the Kimball high-date sentinel in the
+        // OUTPUT (nullable-date columns render None-vs-NaT across the
+        // parquet/pandas bridges; the operator itself keeps NULL)
+        .withColumn("valid_to",
+          coalesce(col("valid_to"), lit("9999-12-31").cast("date")))
+        .orderBy(col("c_custkey"), col("valid_from"))
+    }),
+    "scd2_asof" -> ((s, dir) => {
+      // point-in-time read mid-history: segment mix as of Feb 15 —
+      // PROMO applied, the March reverts/VIPs invisible
+      operators.Scd.scd2AsOf(Scd2Fixture.versions(s, dir),
+          lit("2024-02-15").cast("date"))
+        .groupBy(col("seg")).agg(count(lit(1)).as("n"))
+        .orderBy(col("seg"))
+    }),
     "linkage_blocking_stats" -> ((s, dir) => {
       // blocking-scheme audit BEFORE paying for comparisons: candidate
       // pair mass, reduction ratio vs C(n,2), monster-block watch — one
@@ -4422,6 +4442,48 @@ object SparkEntry {
       s"((($q1 >> $b) & 1) << ${2 * b})",
       s"((($q2 >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
 
+  /** Shared three-snapshot dimension change log + its SCD2 versions —
+    * Jan: original segments; Feb: every custkey%3==0 goes PROMO; Mar:
+    * %6==0 reverts to original (re-change path), remaining %3==0 stay
+    * PROMO, %5==1 goes VIP. */
+  private object Scd2Fixture {
+    def versions(s: SparkSession, dir: String): DataFrame = {
+      val cust = DbReader(conn(s, dir), "customer").run()
+        .select(col("c_custkey"), col("c_mktsegment"))
+      def snap(seg: org.apache.spark.sql.Column, ts: String) = cust
+        .select(col("c_custkey"), seg.as("seg"),
+          lit(ts).cast("date").as("ts"))
+      val log = snap(col("c_mktsegment"), "2024-01-01")
+        .unionByName(snap(
+          when(pmod(col("c_custkey"), lit(3L)) === 0, lit("PROMO"))
+            .otherwise(col("c_mktsegment")), "2024-02-01"))
+        .unionByName(snap(
+          when(pmod(col("c_custkey"), lit(6L)) === 0, col("c_mktsegment"))
+            .when(pmod(col("c_custkey"), lit(3L)) === 0, lit("PROMO"))
+            .when(pmod(col("c_custkey"), lit(5L)) === 1, lit("VIP"))
+            .otherwise(col("c_mktsegment")), "2024-03-01"))
+      operators.Scd.scd2Build(log, "c_custkey", Seq("seg"), "ts")
+    }
+  }
+
+  /** The SCD2 gates' shared change-log CTE (mirrors [[Scd2Fixture]]). */
+  private val scd2HistSql: String =
+    """WITH hist AS (
+      |  SELECT c_custkey, c_mktsegment AS seg, DATE '2024-01-01' AS ts
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey,
+      |         CASE WHEN c_custkey % 3 = 0 THEN 'PROMO'
+      |              ELSE c_mktsegment END, DATE '2024-02-01'
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey,
+      |         CASE WHEN c_custkey % 6 = 0 THEN c_mktsegment
+      |              WHEN c_custkey % 3 = 0 THEN 'PROMO'
+      |              WHEN c_custkey % 5 = 1 THEN 'VIP'
+      |              ELSE c_mktsegment END, DATE '2024-03-01'
+      |  FROM customer)""".stripMargin
+
   /** Fellegi–Sunter replay: the SAME driver-computed 6-dp weights are
     * injected into both engines as DECIMAL(18,6) literals, so the score
     * is an order-free exact-decimal sum in each. */
@@ -5143,6 +5205,52 @@ object SparkEntry {
     // wedge join + EXISTS closure — exact integer counts
     "graph_kcore" -> kCoreOracleSql(k = 3, rounds = 8),
     "linkage_fellegi_sunter" -> fellegiSunterOracleSql(),
+    // SCD2 replay: same snapshots, rn=1-or-changed survivor filter
+    // (exactly Spark's lag-struct null semantics for a single attr),
+    // lead() closes intervals
+    "scd2_versions" ->
+      (scd2HistSql +
+        """,
+          |chg AS (
+          |  SELECT c_custkey, seg, ts FROM (
+          |    SELECT c_custkey, seg, ts,
+          |           lag(seg) OVER (PARTITION BY c_custkey ORDER BY ts)
+          |             AS prev,
+          |           row_number() OVER (PARTITION BY c_custkey
+          |                              ORDER BY ts) AS rn
+          |    FROM hist)
+          |  WHERE rn = 1 OR prev IS DISTINCT FROM seg),
+          |v AS (
+          |  SELECT c_custkey, seg, ts AS valid_from,
+          |         lead(ts) OVER (PARTITION BY c_custkey ORDER BY ts)
+          |           AS valid_to
+          |  FROM chg)
+          |SELECT c_custkey, seg, valid_from,
+          |       COALESCE(valid_to, DATE '9999-12-31') AS valid_to,
+          |       valid_to IS NULL AS is_current
+          |FROM v ORDER BY c_custkey, valid_from""".stripMargin),
+    "scd2_asof" ->
+      (scd2HistSql +
+        """,
+          |chg AS (
+          |  SELECT c_custkey, seg, ts FROM (
+          |    SELECT c_custkey, seg, ts,
+          |           lag(seg) OVER (PARTITION BY c_custkey ORDER BY ts)
+          |             AS prev,
+          |           row_number() OVER (PARTITION BY c_custkey
+          |                              ORDER BY ts) AS rn
+          |    FROM hist)
+          |  WHERE rn = 1 OR prev IS DISTINCT FROM seg),
+          |v AS (
+          |  SELECT c_custkey, seg, ts AS valid_from,
+          |         lead(ts) OVER (PARTITION BY c_custkey ORDER BY ts)
+          |           AS valid_to
+          |  FROM chg)
+          |SELECT seg, CAST(count(*) AS BIGINT) AS n
+          |FROM v
+          |WHERE valid_from <= DATE '2024-02-15'
+          |  AND (valid_to IS NULL OR DATE '2024-02-15' < valid_to)
+          |GROUP BY seg ORDER BY seg""".stripMargin),
     // blocking-stats replay: same null filters, exact integer pair mass
     // (c·(c−1) is even so // 2 is exact), identical rr op order
     "linkage_blocking_stats" ->
