@@ -984,6 +984,35 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
           "o_orderdate"))
     }),
+    "audit_join_skew" -> ((s, dir) => {
+      // hot-key histogram before the join: per top key, n_left·n_right
+      // = that key's share of the output landing on ONE reducer — the
+      // salting/AQE-skew-split cue, from two word-count aggregates
+      val c = conn(s, dir)
+      operators.Joins.joinSkewAudit(
+        DbReader(c, "lineitem").run(), "l_partkey",
+        DbReader(c, "part").run(), "p_partkey", topK = 10)
+    }),
+    "scd1_cdc_apply" -> ((s, dir) => {
+      // last-writer-wins CDC fold into the customer snapshot: planted
+      // updates, deletes, and a later re-insert that must beat its
+      // delete; one keyed window + one outer join
+      val cust = DbReader(conn(s, dir), "customer").run()
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      def chg(pred: org.apache.spark.sql.Column,
+              seg: org.apache.spark.sql.Column, ts: Int, op: String) =
+        cust.filter(pred).select(col("c_custkey"), seg.as("seg"),
+          lit(ts).as("ts"), lit(op).as("op"))
+      val changes = chg(pmod(col("c_custkey"), lit(4L)) === 0,
+          lit("UPDATED"), 2, "U")
+        .unionByName(chg(pmod(col("c_custkey"), lit(7L)) === 0,
+          lit(null).cast("string"), 3, "D"))
+        .unionByName(chg(pmod(col("c_custkey"), lit(28L)) === 0,
+          lit("REBORN"), 4, "U"))
+      operators.Scd.applyCdc(cust, changes, "c_custkey", Seq("seg"),
+          "ts", "op")
+        .orderBy(col("c_custkey"))
+    }),
     "scd2_versions" -> ((s, dir) => {
       // SCD Type-2 version build from three planted dimension snapshots:
       // unchanged re-observations collapse, a value changing BACK opens
@@ -5205,6 +5234,50 @@ object SparkEntry {
     // wedge join + EXISTS closure — exact integer counts
     "graph_kcore" -> kCoreOracleSql(k = 3, rounds = 8),
     "linkage_fellegi_sunter" -> fellegiSunterOracleSql(),
+    // join-skew replay: two count frames, deterministic (n desc, key)
+    // top-10 each side, UNION-dedup'd hot set, products all BIGINT
+    "audit_join_skew" ->
+      """WITH lc AS (SELECT l_partkey AS key,
+        |              CAST(count(*) AS BIGINT) AS n_left
+        |            FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |rc AS (SELECT p_partkey AS key,
+        |         CAST(count(*) AS BIGINT) AS n_right
+        |       FROM part WHERE p_partkey IS NOT NULL GROUP BY 1),
+        |hot AS (
+        |  (SELECT key FROM lc ORDER BY n_left DESC, key LIMIT 10)
+        |  UNION
+        |  (SELECT key FROM rc ORDER BY n_right DESC, key LIMIT 10))
+        |SELECT hot.key,
+        |       COALESCE(lc.n_left, 0) AS n_left,
+        |       COALESCE(rc.n_right, 0) AS n_right,
+        |       COALESCE(lc.n_left, 0) * COALESCE(rc.n_right, 0)
+        |         AS out_rows
+        |FROM hot LEFT JOIN lc ON hot.key = lc.key
+        |LEFT JOIN rc ON hot.key = rc.key
+        |ORDER BY out_rows DESC, hot.key""".stripMargin,
+    // CDC replay: same change stream, latest-per-key window, outer
+    // merge with delete filter and coalesced key
+    "scd1_cdc_apply" ->
+      """WITH chg AS (
+        |  SELECT c_custkey AS k, 'UPDATED' AS seg, 2 AS ts, 'U' AS op
+        |  FROM customer WHERE c_custkey % 4 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, NULL, 3, 'D' FROM customer
+        |  WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'REBORN', 4, 'U' FROM customer
+        |  WHERE c_custkey % 28 = 0),
+        |latest AS (
+        |  SELECT k, seg, op FROM (
+        |    SELECT k, seg, op, row_number() OVER (
+        |      PARTITION BY k ORDER BY ts DESC, op DESC, seg DESC) AS rn
+        |    FROM chg) WHERE rn = 1)
+        |SELECT COALESCE(b.c_custkey, l.k) AS c_custkey,
+        |       CASE WHEN l.op IS NOT NULL THEN l.seg
+        |            ELSE b.c_mktsegment END AS seg
+        |FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.k
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
     // SCD2 replay: same snapshots, rn=1-or-changed survivor filter
     // (exactly Spark's lag-struct null semantics for a single attr),
     // lead() closes intervals

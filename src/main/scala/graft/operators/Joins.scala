@@ -469,6 +469,35 @@ object Joins {
     }.reduce(_ unionByName _)
   }
 
+  /** Join-skew pre-check: the hot-key histogram that predicts a shuffle
+    * join's straggler BEFORE running it. Takes the top-k most frequent
+    * keys of each side (count desc, key — deterministic), unions the
+    * key sets, and reports per key (n_left, n_right, out_rows =
+    * n_left·n_right — that key's share of the join output, the number
+    * that lands on ONE reducer in a plain shuffle join). A key whose
+    * out_rows dwarfs the rest is the cue for salting or an AQE skew
+    * split. Two word-count aggregates + two TakeOrdered top-ks; the
+    * report is ≤ 2k rows. */
+  def joinSkewAudit(left: DataFrame, leftKey: String, right: DataFrame,
+                    rightKey: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val lc = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("n_left"))
+    val rc = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("n_right"))
+    val hot = lc.orderBy(col("n_left").desc, col("key")).limit(topK)
+      .select(col("key"))
+      .unionByName(rc.orderBy(col("n_right").desc, col("key")).limit(topK)
+        .select(col("key")))
+      .distinct()
+    hot.join(lc, Seq("key"), "left").join(rc, Seq("key"), "left")
+      .select(col("key"),
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"))
+      .withColumn("out_rows", col("n_left") * col("n_right"))
+      .orderBy(col("out_rows").desc, col("key"))
+  }
+
   /** Fellegi–Sunter probabilistic record linkage (JASA 1969) over a
     * blocked candidate-pair frame: each field contributes
     * log2(m/u) on agreement and log2((1−m)/(1−u)) on disagreement

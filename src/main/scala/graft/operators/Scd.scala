@@ -51,4 +51,34 @@ object Scd {
   def scd2AsOf(versions: DataFrame, asOf: Column): DataFrame =
     versions.filter(col("valid_from") <= asOf &&
       (col("valid_to").isNull || asOf < col("valid_to")))
+
+  /** Last-writer-wins CDC apply (the Type-1 sibling of [[scd2Build]]):
+    * fold a change stream of upserts ('U'/'I' with the full attribute
+    * tuple) and deletes ('D') into a base snapshot. Per key, the change
+    * with the greatest `ts` wins (ties break by op then attributes —
+    * document one row per (key, ts) upstream for a clean contract);
+    * a winning delete removes the key, a winning upsert replaces the
+    * attributes, untouched base rows pass through.
+    *
+    * One keyed window over the changes (latest-per-key) + one outer
+    * join against the base — the standard merge shape; at 100 TB both
+    * sides shuffle once on the key and nothing collects. */
+  def applyCdc(base: DataFrame, changes: DataFrame, keyCol: String,
+               attrCols: Seq[String], tsCol: String,
+               opCol: String): DataFrame = {
+    require(attrCols.nonEmpty, "applyCdc needs at least one attribute")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(opCol).desc,
+        struct(attrCols.map(col): _*).desc)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(keyCol) +: col(opCol).as("__op") +:
+        attrCols.map(c => col(c).as(s"__c_$c")): _*)
+    base.join(latest, Seq(keyCol), "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(col(keyCol) +: attrCols.map(c =>
+        when(col("__op").isNotNull, col(s"__c_$c"))
+          .otherwise(col(c)).as(c)): _*)
+  }
 }

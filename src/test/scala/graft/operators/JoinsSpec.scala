@@ -296,6 +296,19 @@ class JoinsSpec extends SparkSpec {
       (7L, 8L, 0.0, "possible")))
   }
 
+  test("joinSkewAudit: hot keys from both sides, products, one-sided keys") {
+    val l = Seq(1L, 1L, 1L, 2L, 3L).toDF("lk")
+    val r = Seq(1L, 2L, 2L, 9L).toDF("rk")
+    val out = Joins.joinSkewAudit(l, "lk", r, "rk", topK = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // hot set: left top-2 {1, 2}; right top-2 {2, 1} -> {1, 2}
+    assert(out == Seq((1L, 3L, 1L, 3L), (2L, 1L, 2L, 2L)))
+    // widen: key 9 only on the right contributes 0 output rows
+    val w = Joins.joinSkewAudit(l, "lk", r, "rk", topK = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(w.contains((9L, 0L, 1L, 0L)) && w.contains((3L, 1L, 0L, 0L)))
+  }
+
   test("blockingStats: pair mass, reduction ratio, monster block") {
     val df = Seq((1L, "aa1"), (2L, "aa2"), (3L, "aa3"), (4L, "bb1"))
       .toDF("id", "name")

@@ -43,4 +43,24 @@ class ScdSpec extends SparkSpec {
     assert(Scd.scd2AsOf(Scd.scd2Build(log, "k", Seq("a"), "ts"),
       lit("2023-12-31").cast("date")).count() == 0L)
   }
+
+  test("applyCdc: latest change wins, deletes remove, inserts add, " +
+       "untouched rows pass through") {
+    val base = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("k", "a")
+    val changes = Seq(
+      (2L, Some("X"), 1, "U"),   // update, later deleted
+      (3L, Option.empty[String], 1, "D"),
+      (4L, Some("N"), 1, "U"),   // insert of a new key
+      (2L, Option.empty[String], 2, "D")  // the delete wins on ts
+    ).toDF("k", "a", "ts", "op")
+    val out = Scd.applyCdc(base, changes, "k", Seq("a"), "ts", "op")
+      .orderBy($"k").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "A"), (4L, "N")))
+    // a re-insert after a delete resurrects the key
+    val redo = changes.union(Seq((3L, Some("C2"), 5, "U"))
+      .toDF("k", "a", "ts", "op"))
+    val out2 = Scd.applyCdc(base, redo, "k", Seq("a"), "ts", "op")
+      .orderBy($"k").as[(Long, String)].collect().toSeq
+    assert(out2 == Seq((1L, "A"), (3L, "C2"), (4L, "N")))
+  }
 }
