@@ -1221,6 +1221,42 @@ object SparkEntry {
         lit(truth).as("true_join_size"),
         (col("est_inner") - lit(truth)).as("overcount"))
     }),
+    "shard_rendezvous" -> ((s, dir) => {
+      // rendezvous (HRW) sharding at N=8 vs N=9: per shard, how many
+      // docs sit there and how many would MOVE when a ninth shard
+      // arrives — the ~1/9 stability property mod-sharding lacks
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"))
+      val both = operators.Layout.rendezvousShard(
+        operators.Layout.rendezvousShard(docs, "doc_id", 8, "shard8"),
+        "doc_id", 9, "shard9")
+      both.groupBy(col("shard8"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .orderBy(col("shard8"))
+    }),
+    "events_top_paths" -> ((s, dir) => {
+      // most common 3-step per-user event paths: the multi-step flow
+      // n-grams the memoryless transition matrix can't see
+      operators.Sessions.topEventPaths(eventsMicros(s, dir),
+        "user_id", "ts", "event_id", "event_type", k = 10)
+    }),
+    "sketch_hll_by_source" -> ((s, dir) => {
+      // per-source vocabulary estimates from GROUPED sparse HLL
+      // registers (|groups|·256-row sidecar), exact distinct alongside
+      val words = DbReader(conn(s, dir), "documents").run()
+        .select(col("source"), explode(filter(split(lower(col("text")),
+          "[^a-z]+"), t => t =!= "")).as("w"))
+      val est = operators.Sketch.hllEstimateByGroup(
+        operators.Sketch.hllRegistersByGroup(words, "source", "w", p = 8),
+        p = 8)
+      val exact = words.groupBy(col("source"))
+        .agg(countDistinct(col("w")).as("n_exact"))
+      est.withColumnRenamed("grp", "source")
+        .join(exact, Seq("source"))
+        .orderBy(col("source"))
+    }),
     "sketch_kmv_distinct" -> ((s, dir) => {
       // bottom-k distinct sketch (k=128) over the word stream: the k
       // smallest md5 hashes + the (k-1)*2^60/h_k estimate, with the
@@ -4495,6 +4531,22 @@ object SparkEntry {
     }
   }
 
+  /** Rendezvous replay (mirrors Layout.rendezvousShard's h·16+shard
+    * encoding): a variadic `greatest` of BIGINTs per shard count. */
+  private val rendezvousOracleSql: String = {
+    def enc(n: Int) = (0 until n).map(i =>
+      s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$i'), " +
+        s"1, 14) AS BIGINT) * 16 + $i").mkString("greatest(", ", ", ") % 16")
+    s"""WITH enc AS (
+       |  SELECT doc_id, ${enc(8)} AS shard8, ${enc(9)} AS shard9
+       |  FROM documents)
+       |SELECT CAST(shard8 AS BIGINT) AS shard8,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_moved
+       |FROM enc GROUP BY shard8 ORDER BY shard8""".stripMargin
+  }
+
   /** The SCD2 gates' shared change-log CTE (mirrors [[Scd2Fixture]]). */
   private val scd2HistSql: String =
     """WITH hist AS (
@@ -5875,6 +5927,61 @@ object SparkEntry {
         |SELECT e AS est_join_size, t AS true_join_size,
         |       e - t AS overcount
         |FROM est, tr""".stripMargin,
+    // rendezvous replay: 56-bit md5 weight encoded h*16+shard, winner =
+    // greatest % 16 — variadic max of BIGINTs, tie-free by construction
+    "shard_rendezvous" -> rendezvousOracleSql,
+    // top-paths replay: two lags over the same per-user order, count,
+    // (n desc, path) top-10
+    "events_top_paths" ->
+      """WITH p AS (
+        |  SELECT lag(event_type, 2) OVER w AS p2,
+        |         lag(event_type, 1) OVER w AS p1, event_type AS cur
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT p2 || '>' || p1 || '>' || cur AS path,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE p1 IS NOT NULL AND p2 IS NOT NULL
+        |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    // grouped-HLL replay: same 60-bit hash/rank split per source,
+    // integer harmonic fold with absent buckets contributing 2^53
+    "sketch_hll_by_source" ->
+      """WITH toks AS (
+        |  SELECT source, t FROM documents, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+        |    AS u(t) WHERE source IS NOT NULL),
+        |h AS (SELECT source,
+        |        CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+        |      FROM toks),
+        |r AS (SELECT source, h >> 52 AS bucket,
+        |        CASE WHEN (h & ((CAST(1 AS BIGINT) << 52) - 1)) = 0 THEN 53
+        |             ELSE strpos(lpad(bin(
+        |               h & ((CAST(1 AS BIGINT) << 52) - 1)), 52, '0'), '1')
+        |        END AS rk
+        |      FROM h),
+        |regs AS (SELECT source, bucket, CAST(max(rk) AS BIGINT) AS mr
+        |         FROM r GROUP BY source, bucket),
+        |s AS (SELECT source,
+        |        CAST(sum(CAST(1 AS BIGINT) << CAST(53 - mr AS INTEGER))
+        |          AS BIGINT)
+        |          + (256 - CAST(count(*) AS BIGINT))
+        |            * (CAST(1 AS BIGINT) << 53) AS si,
+        |        256 - CAST(count(*) AS BIGINT) AS v
+        |      FROM regs GROUP BY source),
+        |e AS (SELECT source, v,
+        |        0.7213 / (1 + 1.079 / 256.0) * 65536.0
+        |          * 9007199254740992.0 / CAST(si AS DOUBLE) AS raw
+        |      FROM s),
+        |x AS (SELECT source AS src,
+        |        round(CASE WHEN raw <= 640.0 AND v > 0
+        |              THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+        |              ELSE raw END, 4) + 0.0 AS estimate,
+        |        CAST(v AS BIGINT) AS v_zero
+        |      FROM e),
+        |ex AS (SELECT source, CAST(count(DISTINCT t) AS BIGINT) AS n_exact
+        |       FROM toks GROUP BY source)
+        |SELECT ex.source, x.estimate, x.v_zero, ex.n_exact
+        |FROM x JOIN ex ON x.src = ex.source
+        |ORDER BY ex.source""".stripMargin,
     // KMV replay: distinct 60-bit hashes, k=128 smallest, estimator
     // 127 * 2^60 / h_k (both operands exactly representable doubles);
     // round(4)+0.0 as everywhere. n < k means the register set IS the

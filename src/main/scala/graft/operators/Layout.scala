@@ -106,4 +106,29 @@ object Layout {
   def rowsPerFile(df: DataFrame): DataFrame =
     df.groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"))
+
+  /** Rendezvous / highest-random-weight shard assignment (Thaler &
+    * Ravishankar 1996): each key goes to the shard with the highest
+    * per-(key, shard) hash. The property mod-sharding lacks: growing
+    * N → N+1 shards moves only the ~1/(N+1) of keys whose new shard
+    * wins — no mass reshuffle of a 100 TB layout on a topology change.
+    *
+    * Cross-engine trick: the per-shard weight is the 56-bit md5 long of
+    * `"<key>:<shard>"` ENCODED as `h·16 + shard`, so the winning shard
+    * is just `greatest(...) % 16` — a variadic max of longs, identical
+    * everywhere (ties impossible: the low 4 bits differ by shard).
+    * Supports up to 16 shards; map-only, no shuffle. */
+  def rendezvousShard(df: DataFrame, keyCol: String, nShards: Int,
+                      out: String = "shard"): DataFrame = {
+    require(nShards >= 1 && nShards <= 16,
+      s"nShards must be in [1,16], got $nShards")
+    val encs = (0 until nShards).map { i =>
+      conv(substring(md5(concat(col(keyCol).cast("string"), lit(s":$i"))
+        .cast("binary")), 1, 14), 16, 10).cast("long") * 16L + i
+    }
+    val win =
+      if (encs.length == 1) encs.head
+      else greatest(encs: _*)
+    df.withColumn(out, pmod(win, lit(16L)))
+  }
 }

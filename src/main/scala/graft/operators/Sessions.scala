@@ -135,6 +135,27 @@ object Sessions {
         round(col("n").cast("double") / col("__tot"), 6).as("p"))
   }
 
+  /** Top-k 3-step event paths: the most common `a>b>c` trigrams of the
+    * per-user event stream — the n-gram extension of
+    * [[transitionMatrix]] that surfaces multi-step flows (view>click>
+    * purchase vs view>error>view) instead of memoryless hops. Two lags
+    * over the per-user (ts, tiebreak) order, one count, a deterministic
+    * (n desc, path) top-k. Keyed windows only. */
+  def topEventPaths(df: DataFrame, keyCol: String, tsCol: String,
+                    tiebreakCol: String, typeCol: String,
+                    k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    df.withColumn("__p1", lag(col(typeCol), 1).over(w))
+      .withColumn("__p2", lag(col(typeCol), 2).over(w))
+      .filter(col("__p1").isNotNull && col("__p2").isNotNull)
+      .select(concat_ws(">", col("__p2"), col("__p1"), col(typeCol))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(k)
+  }
+
   /** Last-touch conversion attribution: for every `target` event, the
     * most recent PRIOR event of the same user that isn't itself a
     * target — the channel that "gets credit". Carried with one

@@ -93,6 +93,51 @@ object Sketch {
     Seq((r4, m.toLong, vZero)).toDF("estimate", "n_buckets", "v_zero")
   }
 
+  /** Per-group SPARSE HLL registers: (grp, bucket, max_rank) for
+    * buckets some value hashed into — the grouped cardinality sidecar
+    * (vocab per source, users per day) at ≤ |groups|·2^p rows, still
+    * mergeable by per-(grp, bucket) max. */
+  def hllRegistersByGroup(df: DataFrame, groupCol: String, valCol: String,
+                          p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 12, s"p must be in [4,12], got $p")
+    val (bucket, rank) = hashParts(col(valCol), p)
+    df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), bucket.as("bucket"), rank.as("__r"))
+      .groupBy(col("grp"), col("bucket")).agg(max(col("__r")).as("max_rank"))
+  }
+
+  /** Per-group estimates off [[hllRegistersByGroup]] — same integer-
+    * exact harmonic fold as [[hllEstimate]] (absent buckets contribute
+    * 2^53 each), folded driver-side over the bounded register sidecar.
+    * Returns (grp, estimate round(4), v_zero). */
+  def hllEstimateByGroup(registers: DataFrame, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val maxRank = 53L
+    val rows = registers
+      .select(col("grp").cast("string"), col("bucket"), col("max_rank"))
+      .collect()
+    val spark = registers.sparkSession
+    import spark.implicits._
+    val out = rows.groupBy(_.getString(0)).toSeq.map { case (g, rs) =>
+      require(rs.forall(r => r.getLong(2) >= 1L && r.getLong(2) <= maxRank),
+        s"group $g has a rank outside [1, $maxRank]")
+      val present = rs.length
+      val sInt = rs.map(r => 1L << (maxRank - r.getLong(2))).sum +
+        (m - present).toLong * (1L << maxRank)
+      val vZero = (m - present).toLong
+      val alpha = 0.7213 / (1 + 1.079 / m.toDouble)
+      val raw = alpha * (m.toLong * m).toDouble * 9007199254740992.0 /
+        sInt.toDouble
+      val est =
+        if (raw <= 2.5 * m.toDouble && vZero > 0)
+          m.toDouble * math.log(m.toDouble / vZero.toDouble)
+        else raw
+      (g, BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0, vZero)
+    }.sortBy(_._1)
+    out.toDF("grp", "estimate", "v_zero")
+  }
+
   // --- Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) ---
 
   /** Cell index of value `v` in depth-row `row`: the row number salts the

@@ -331,6 +331,22 @@ class JoinsSpec extends SparkSpec {
     assert(w3 == w2 + ((20L, 30L, 2L)))
   }
 
+  test("topEventPaths: 3-step trigrams per user, short histories skipped") {
+    import java.sql.Timestamp
+    def t(s: Int) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, 10L, "a", t(1)), (1L, 11L, "b", t(2)), (1L, 12L, "c", t(3)),
+      (1L, 13L, "c", t(4)),                     // paths a>b>c, b>c>c
+      (2L, 20L, "a", t(1)), (2L, 21L, "b", t(2)),
+      (2L, 22L, "c", t(3)),                     // path a>b>c again
+      (3L, 30L, "z", t(1)), (3L, 31L, "z", t(2)) // too short: none
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val out = Sessions.topEventPaths(ev, "user_id", "ts", "event_id",
+        "event_type", k = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a>b>c", 2L), ("b>c>c", 1L)))
+  }
+
   test("cohortRetention: offset 0 equals cohort size, gaps don't break " +
        "offsets, multiple same-period events count once") {
     import java.sql.Timestamp

@@ -87,4 +87,25 @@ class LayoutSpec extends SparkSpec {
     // this audit exists to catch
     assert(counts.max - counts.min <= 4, counts.mkString(","))
   }
+
+  test("rendezvousShard: range, determinism, minimal movement on growth") {
+    val df = spark.range(1000).toDF("k")
+    val s8 = Layout.rendezvousShard(df, "k", 8, "s8")
+    val both = Layout.rendezvousShard(s8, "k", 9, "s9")
+      .select($"k", $"s8", $"s9").as[(Long, Long, Long)].collect()
+    assert(both.forall(r => r._2 >= 0 && r._2 < 8 && r._3 >= 0 && r._3 < 9))
+    // deterministic under recomputation and repartitioning
+    val again = Layout.rendezvousShard(
+      Layout.rendezvousShard(df.repartition(7), "k", 8, "s8"), "k", 9, "s9")
+      .select($"k", $"s8", $"s9").as[(Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == both.sortBy(_._1).toSeq)
+    // HRW property: only keys won by the NEW shard move — every mover
+    // lands on shard 8, and the moved fraction is near 1/9, nowhere
+    // near mod-resharding's ~8/9
+    val moved = both.filter(r => r._2 != r._3)
+    assert(moved.forall(_._3 == 8L))
+    assert(moved.length > 50 && moved.length < 250, moved.length)
+    // spread: every shard is populated on 1000 keys
+    assert(both.groupBy(_._2).size == 8)
+  }
 }

@@ -72,6 +72,27 @@ class SketchSpec extends SparkSpec {
       r.getAs[Long]("est_cnt") == r.getAs[Long]("true_cnt")))
   }
 
+  test("hllRegistersByGroup + hllEstimateByGroup: per-group == per-subset") {
+    val df = spark.range(3000).select(
+      when(col("id") % 3 === 0, "a").otherwise("b").as("g"),
+      col("id").cast("string").as("v"))
+    val grouped = Sketch.hllEstimateByGroup(
+      Sketch.hllRegistersByGroup(df, "g", "v"), p = 8)
+      .as[(String, Double, Long)].collect()
+      .map { case (g, e, z) => g -> ((e, z)) }.toMap
+    // each group's estimate must equal the single-group pipeline run on
+    // just that slice — grouping changes bookkeeping, not math
+    for (g <- Seq("a", "b")) {
+      val solo = Sketch.hllEstimate(
+        Sketch.hllRegisters(df.filter(col("g") === g), "v"))
+        .as[(Double, Long, Long)].collect().head
+      assert(grouped(g) == ((solo._1, solo._3)), g)
+    }
+    // p=8 -> ~6.5% relative error at 1 sigma; 15% is a 2+ sigma band
+    assert(math.abs(grouped("a")._1 - 1000.0) / 1000.0 < 0.15)
+    assert(math.abs(grouped("b")._1 - 2000.0) / 2000.0 < 0.15)
+  }
+
   test("cmInnerProduct: join-size estimate, exact when collision-free") {
     val a = Seq("1", "1", "2").toDF("k")            // counts 1:2, 2:1
     val b = Seq("1", "2", "2", "3").toDF("k")       // counts 1:1, 2:2, 3:1
