@@ -112,6 +112,11 @@ object SparkEntry {
   private val sketchLandingCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged change batches for streaming_cdc_apply (same INPUT-only
+    * contract as [[landingCache]]). */
+  private val cdcLandingCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Landing dir of staged PNG-payload batches for
     * streaming_image_dedup (same INPUT-only contract as
     * [[docsLandingCache]]). */
@@ -992,6 +997,48 @@ object SparkEntry {
       operators.Joins.joinSkewAudit(
         DbReader(c, "lineitem").run(), "l_partkey",
         DbReader(c, "part").run(), "p_partkey", topK = 10)
+    }),
+    "streaming_cdc_apply" -> ((s, dir) => {
+      // the SAME planted change stream as scd1_cdc_apply, delivered as
+      // three mtime-ordered micro-batches folding into versioned
+      // snapshots (exactly-once ledger; a replayed delete would
+      // otherwise destroy the later re-insert) — gated by the batch
+      // gate's oracle, so any double-apply or lost batch breaks the hash
+      import org.apache.spark.sql.types._
+      val cust = DbReader(conn(s, dir), "customer").run()
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      def chg(pred: org.apache.spark.sql.Column,
+              seg: org.apache.spark.sql.Column, ts: Int, op: String) =
+        cust.filter(pred).select(col("c_custkey"), seg.as("seg"),
+          lit(ts).as("ts"), lit(op).as("op"))
+      val landing = cdcLandingCache.synchronized {
+        cdcLandingCache.getOrElseUpdate(dir, {
+          val ld = java.nio.file.Files.createTempDirectory("graft_cdc_in")
+          Seq(chg(pmod(col("c_custkey"), lit(4L)) === 0,
+              lit("UPDATED"), 2, "U"),
+            chg(pmod(col("c_custkey"), lit(7L)) === 0,
+              lit(null).cast("string"), 3, "D"),
+            chg(pmod(col("c_custkey"), lit(28L)) === 0,
+              lit("REBORN"), 4, "U")).zipWithIndex.foreach { case (b, i) =>
+            b.coalesce(1).write.mode("append").parquet(ld.toString)
+            graft.streaming.FileStreamReader.stampBatchMtime(ld.toString, i)
+          }
+          ld.toString
+        })
+      }
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("seg", StringType),
+        StructField("ts", IntegerType), StructField("op", StringType)))
+      val stream = graft.streaming.FileStreamReader.read(
+        s, graft.filedf.Parquet(), landing, schema,
+        maxFilesPerTrigger = Some(1))
+      val ck = java.nio.file.Files.createTempDirectory("graft_cdc_ck").toString
+      val st = java.nio.file.Files.createTempDirectory("graft_cdc_st").toString
+      graft.streaming.StreamRunner.runIncrementalCdcApply(
+        stream, cust, st, "c_custkey", Seq("seg"), "ts", "op", ck,
+        new graft.core.InMemoryHwmStore, s"cdc@$ck")
+      graft.streaming.StreamRunner.latestCdcSnapshot(s, st).get
+        .orderBy(col("c_custkey")).localCheckpoint()
     }),
     "scd1_cdc_apply" -> ((s, dir) => {
       // last-writer-wins CDC fold into the customer snapshot: planted
@@ -4547,6 +4594,30 @@ object SparkEntry {
        |FROM enc GROUP BY shard8 ORDER BY shard8""".stripMargin
   }
 
+  /** The CDC gates' shared replay (batch LWW == sequential streaming
+    * fold because batch order equals ts order). */
+  private val cdcApplyOracle: String =
+    """WITH chg AS (
+        |  SELECT c_custkey AS k, 'UPDATED' AS seg, 2 AS ts, 'U' AS op
+        |  FROM customer WHERE c_custkey % 4 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, NULL, 3, 'D' FROM customer
+        |  WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'REBORN', 4, 'U' FROM customer
+        |  WHERE c_custkey % 28 = 0),
+        |latest AS (
+        |  SELECT k, seg, op FROM (
+        |    SELECT k, seg, op, row_number() OVER (
+        |      PARTITION BY k ORDER BY ts DESC, op DESC, seg DESC) AS rn
+        |    FROM chg) WHERE rn = 1)
+        |SELECT COALESCE(b.c_custkey, l.k) AS c_custkey,
+        |       CASE WHEN l.op IS NOT NULL THEN l.seg
+        |            ELSE b.c_mktsegment END AS seg
+        |FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.k
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY c_custkey""".stripMargin
+
   /** The SCD2 gates' shared change-log CTE (mirrors [[Scd2Fixture]]). */
   private val scd2HistSql: String =
     """WITH hist AS (
@@ -5308,28 +5379,12 @@ object SparkEntry {
         |LEFT JOIN rc ON hot.key = rc.key
         |ORDER BY out_rows DESC, hot.key""".stripMargin,
     // CDC replay: same change stream, latest-per-key window, outer
-    // merge with delete filter and coalesced key
-    "scd1_cdc_apply" ->
-      """WITH chg AS (
-        |  SELECT c_custkey AS k, 'UPDATED' AS seg, 2 AS ts, 'U' AS op
-        |  FROM customer WHERE c_custkey % 4 = 0
-        |  UNION ALL
-        |  SELECT c_custkey, NULL, 3, 'D' FROM customer
-        |  WHERE c_custkey % 7 = 0
-        |  UNION ALL
-        |  SELECT c_custkey, 'REBORN', 4, 'U' FROM customer
-        |  WHERE c_custkey % 28 = 0),
-        |latest AS (
-        |  SELECT k, seg, op FROM (
-        |    SELECT k, seg, op, row_number() OVER (
-        |      PARTITION BY k ORDER BY ts DESC, op DESC, seg DESC) AS rn
-        |    FROM chg) WHERE rn = 1)
-        |SELECT COALESCE(b.c_custkey, l.k) AS c_custkey,
-        |       CASE WHEN l.op IS NOT NULL THEN l.seg
-        |            ELSE b.c_mktsegment END AS seg
-        |FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.k
-        |WHERE l.op IS NULL OR l.op <> 'D'
-        |ORDER BY c_custkey""".stripMargin,
+    // merge with delete filter and coalesced key; the STREAMING fold
+    // applies the same batches sequentially (batch order == ts order),
+    // so one oracle gates both
+    "scd1_cdc_apply" -> cdcApplyOracle,
+    "streaming_cdc_apply" -> cdcApplyOracle,
+
     // SCD2 replay: same snapshots, rn=1-or-changed survivor filter
     // (exactly Spark's lag-struct null semantics for a single attr),
     // lead() closes intervals

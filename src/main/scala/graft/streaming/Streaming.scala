@@ -296,6 +296,46 @@ object StreamRunner {
         .write.mode("append").parquet(counterTable)
     }
 
+  /** Streaming CDC maintenance: each micro-batch of change rows
+    * (upserts/deletes with a ts) folds into the maintained snapshot via
+    * [[graft.operators.Scd.applyCdc]], and the result lands in a fresh
+    * `v<batchId>` dir under `statePath` — the previous version is never
+    * overwritten while being read, a replayed batch rewrites its own
+    * version dir idempotently, and the exactly-once ledger keeps a
+    * re-delivered batch from double-applying (a delete replayed onto an
+    * already-resurrected key would otherwise destroy it). Readers take
+    * the highest committed version ([[latestCdcSnapshot]]). Per-batch
+    * cost: one keyed window over the batch + one outer join against the
+    * current snapshot — O(snapshot + batch), the standard merge shape. */
+  def runIncrementalCdcApply(stream: DataFrame, base: DataFrame,
+                             statePath: String, keyCol: String,
+                             attrCols: Seq[String], tsCol: String,
+                             opCol: String, checkpoint: String,
+                             store: graft.core.HwmStore,
+                             ledgerName: String): Unit =
+    runAvailableNowForeachBatchExactlyOnce(stream, checkpoint, store,
+      ledgerName) { (batch, id) =>
+      val spark = batch.sparkSession
+      val current = latestCdcSnapshot(spark, statePath).getOrElse(base)
+      graft.operators.Scd
+        .applyCdc(current, batch, keyCol, attrCols, tsCol, opCol)
+        .localCheckpoint() // materialize BEFORE writing under statePath
+        .write.mode("overwrite").parquet(s"$statePath/v$id")
+    }
+
+  /** The highest committed snapshot version under `statePath`, if any. */
+  def latestCdcSnapshot(spark: SparkSession,
+                        statePath: String): Option[DataFrame] = {
+    val dir = new java.io.File(statePath)
+    val versions = Option(dir.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption
+        .map(_ -> f))
+    if (versions.isEmpty) None
+    else Some(spark.read.parquet(versions.maxBy(_._1)._2.getPath))
+  }
+
   def runIncrementalDedup(stream: DataFrame, idCol: String, textCol: String,
                           indexTable: String, checkpoint: String,
                           store: graft.core.HwmStore, ledgerName: String,
