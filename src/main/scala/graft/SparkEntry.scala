@@ -1676,6 +1676,18 @@ object SparkEntry {
           DbReader(conn(s, dir), "documents").run(), "doc_id", "text", 3)
         .orderBy(col("doc_id"), col("rank"))
     }),
+    "retrieval_rocchio_terms" -> ((s, dir) => {
+      // pseudo-relevance feedback: top-5 expansion terms per query from
+      // the BM25 top-10 docs, tf·idf-weighted, original terms excluded;
+      // rounded-before-rank so the expansion set replays exactly
+      import s.implicits._
+      val queries = Seq((0L, "dup merge"), (1L, "spark window sort"),
+        (2L, "slow scan filter vector")).toDF("qid", "qtext")
+      operators.Retrieval.rocchioExpansionTerms(
+          DbReader(conn(s, dir), "documents").run(), "doc_id", "text",
+          queries, "qid", "qtext", kDocs = 10, mTerms = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
     "retrieval_bm25" -> ((s, dir) => {
       // lexical top-k over the corpus (operators.Retrieval.bm25TopK) —
       // the keyword sibling of the embedding-ANN gates. Queries anchor
@@ -7889,6 +7901,53 @@ object SparkEntry {
     // full BM25 replay: same tokenization, Lucene-style idf, rounding
     // BEFORE ranking with doc-id tiebreak (the sf0.01 top-2 for qid 0
     // tie at 4.3712 — the tiebreak is load-bearing, not decorative)
+    // Rocchio replay: the BM25 pipeline's CTEs + a candidate pass over
+    // the top-10 docs; weight = one double multiply against ln(N/df),
+    // rounded before the (weight desc, term) rank
+    "retrieval_rocchio_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |q(qid, qtext) AS (VALUES (CAST(0 AS BIGINT), 'dup merge'),
+        |  (1, 'spark window sort'), (2, 'slow scan filter vector')),
+        |qt AS (SELECT DISTINCT qid, t FROM
+        |  (SELECT qid, unnest(list_filter(
+        |     string_split_regex(lower(qtext), '[^a-z]+'), t -> t <> '')) AS t
+        |   FROM q)),
+        |dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |scored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |         round(sum( ln((n - df + 0.5)/(df + 0.5) + 1)
+        |           * tf * 2.2 / (tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl)) ), 4) AS score
+        |  FROM qt JOIN tf USING (t) JOIN dfreq USING (t)
+        |       JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY qt.qid, tf.doc_id),
+        |ranked AS (SELECT qid, doc_id, score,
+        |                  CAST(row_number() OVER (PARTITION BY qid
+        |                    ORDER BY score DESC, doc_id) AS INT) AS rank
+        |           FROM scored),
+        |top AS (SELECT qid, doc_id FROM ranked WHERE rank <= 10),
+        |cand AS (
+        |  SELECT top.qid, tf.t, CAST(sum(tf.tf) AS BIGINT) AS stf
+        |  FROM top JOIN tf USING (doc_id)
+        |  GROUP BY top.qid, tf.t),
+        |cexp AS (
+        |  SELECT cand.qid, cand.t,
+        |         round(CAST(stf AS DOUBLE)
+        |               * ln(CAST(n AS DOUBLE) / df), 4) + 0.0 AS weight
+        |  FROM cand JOIN dfreq USING (t) CROSS JOIN stats
+        |  WHERE NOT EXISTS (SELECT 1 FROM qt
+        |                    WHERE qt.qid = cand.qid AND qt.t = cand.t)),
+        |rexp AS (SELECT qid, t, weight,
+        |                CAST(row_number() OVER (PARTITION BY qid
+        |                  ORDER BY weight DESC, t) AS INT) AS rank
+        |         FROM cexp)
+        |SELECT qid, rank, t AS term, weight
+        |FROM rexp WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "retrieval_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

@@ -86,6 +86,54 @@ object Retrieval {
         col("__id").as(idCol), col("score"))
   }
 
+  /** Rocchio-style pseudo-relevance-feedback expansion terms (Rocchio
+    * 1971; Buckley TREC-3 practice): take each query's BM25 top-k
+    * documents as pseudo-relevant, score every term they contain by
+    * Σ_docs tf(t,d) · ln(N/df(t)), drop the original query terms, and
+    * keep the top-m — the terms you'd OR into the query for recall.
+    * Weights round(4) BEFORE ranking with (weight desc, term) ties, so
+    * the expansion set is engine-reproducible.
+    *
+    * Returns (qidCol, rank int 1-based, term, weight). Scale shape: the
+    * feedback set is |queries|·k doc ids (broadcast), so the candidate
+    * pass is one keyed join of the tf stream against it; df joins on
+    * the term; N rides a 1-row broadcast — same discipline as
+    * [[bm25TopK]], nothing O(corpus²). */
+  def rocchioExpansionTerms(docs: DataFrame, idCol: String, textCol: String,
+                            queries: DataFrame, qidCol: String,
+                            qtextCol: String, kDocs: Int = 10,
+                            mTerms: Int = 5): DataFrame = {
+    require(mTerms >= 1, "mTerms must be >= 1")
+    val toks = docs.select(col(idCol).as("__id"),
+      explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        t => t =!= "")).as("__t"))
+    val tf = toks.groupBy(col("__id"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val stats = toks.select(col("__id")).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val qterms = queries.select(col(qidCol).as("__qid"),
+      explode(array_distinct(filter(split(lower(col(qtextCol)),
+        "[^a-z]+"), t => t =!= ""))).as("__t"))
+    val top = bm25TopK(docs, idCol, textCol, queries, qidCol, qtextCol,
+        k = kDocs)
+      .select(col(qidCol).as("__qid"), col(idCol).as("__id"))
+    val cand = broadcast(top).join(tf, Seq("__id"))
+      .groupBy(col("__qid"), col("__t")).agg(sum(col("__tf")).as("__stf"))
+      .join(broadcast(qterms), Seq("__qid", "__t"), "left_anti")
+    val weighted = cand.join(dfreq, Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .withColumn("weight",
+        round(col("__stf").cast("double") *
+          log(col("__n").cast("double") / col("__df")), 4) + lit(0.0))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("weight").desc, col("__t"))
+    weighted.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= mTerms)
+      .select(col("__qid").as(qidCol), col("rank"),
+        col("__t").as("term"), col("weight"))
+  }
+
   /** TF-IDF keyword extraction: the k most distinctive terms of EVERY
     * document — `tf(t,d) · ln(N / df(t))`, the classic smoothing-free
     * form (df ≥ 1 always holds for a term being scored, so the ln is

@@ -65,6 +65,9 @@ class QueryPlanSweepSpec extends AnyFunSuite {
     "quality_bigram_nll",     // same shape: 1-row N cross the bigram stream
     "retrieval_bm25",         // deliberate: 1-row (N, avgdl) stats broadcast
                               // cross the candidate stream (Retrieval)
+    "retrieval_rocchio_terms", // same shapes: bm25's 1-row stats cross +
+                              // the expansion pass's own 1-row N cross
+                              // (Retrieval.rocchioExpansionTerms)
     "sample_temperature_mix", // deliberate: 1-row normalizer Z broadcast
                               // cross the |sources|-row count frame
                               // (Sampling.temperatureSampleBySource)

@@ -88,4 +88,17 @@ class RetrievalSpec extends SparkSpec {
       .as[Double].collect()
     assert(scores.forall(_ == 0.0))
   }
+
+  test("rocchioExpansionTerms: feedback-doc terms only, query terms " +
+       "excluded, tf·idf order") {
+    val docs = Seq((1L, "apple banana banana"), (2L, "apple cherry"),
+      (3L, "dog emu")).toDF("doc_id", "text")
+    val q = Seq((0L, "apple")).toDF("qid", "qtext")
+    val out = Retrieval.rocchioExpansionTerms(docs, "doc_id", "text",
+        q, "qid", "qtext", kDocs = 2, mTerms = 5)
+      .as[(Long, Int, String, Double)].collect().toSeq
+    // feedback docs = {1, 2}; apple excluded; banana 2·ln3, cherry ln3;
+    // dog/emu never appear (doc 3 is outside the feedback set)
+    assert(out == Seq((0L, 1, "banana", 2.1972), (0L, 2, "cherry", 1.0986)))
+  }
 }
