@@ -1345,6 +1345,27 @@ object SparkEntry {
           DbReader(conn(s, dir), "documents").run(), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "feature_isotonic_fit" -> ((s, dir) => {
+      // PAV isotonic calibration of the same scorer via the max-min
+      // closed form (no iterative pooling): the monotone step function
+      // the raw bin rates snap to
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val toks = docs.select(
+        explode(filter(split(lower(col("text")), "[^a-z]+"),
+          t => t =!= "")).as("word"))
+      val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= 50)
+        .select(col("word"),
+          (conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long")
+            % 2001 - 1000).cast("double").as("weight"))
+      val scored = operators.Corpus.fastTextStyleScore(docs, "doc_id",
+          "text", vocab, bias = 0.0, scale = 1000.0)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .join(docs.filter(col("lang").isNotNull)
+          .select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          "doc_id")
+      operators.Features.isotonicCalibration(scored, "score", "is_en")
+    }),
     "feature_calibration_bins" -> ((s, dir) => {
       // reliability diagram of the fastText-style quality scorer against
       // the is-English label: decile bins of predicted score vs
@@ -6137,6 +6158,58 @@ object SparkEntry {
         |FROM c ORDER BY doc_id""".stripMargin,
     // calibration replay: the classifier-score CTE verbatim, then
     // decile bins with DECIMAL(18,6) score sums and rounded-value gaps
+    // isotonic replay: same scorer + binning, then the PAV closed form
+    // fitted(i) = max_{l<=i} min_{j>=i} mean(l..j) over interval means
+    // from prefix sums — min/max over doubles is order-free
+    "feature_isotonic_fit" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS t
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT t, CAST(('0x' || substr(md5(t), 1, 15))::UBIGINT AS BIGINT)
+        |           % 2001 - 1000 AS wi
+        |  FROM (SELECT t FROM toks GROUP BY t HAVING count(*) >= 50)),
+        |s AS (
+        |  SELECT doc_id, count(*) AS n_toks,
+        |         CAST(sum(COALESCE(v.wi, 0)) AS BIGINT) AS sw
+        |  FROM toks LEFT JOIN vocab v USING (t)
+        |  GROUP BY doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, (d.lang = 'en') AS l,
+        |         CASE WHEN s.doc_id IS NULL THEN 0.5
+        |              ELSE round(1.0 / (1.0 +
+        |                exp(-(sw / (n_toks * 1000.0)))), 4) END AS score
+        |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        |  WHERE d.lang IS NOT NULL),
+        |agg AS (
+        |  SELECT least(9, CAST(floor(score * 10) AS BIGINT)) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS pp
+        |  FROM scored GROUP BY bin),
+        |idx AS (SELECT bin, n, pp,
+        |          CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS i
+        |        FROM agg),
+        |pre AS (SELECT i, CAST(sum(n) OVER (ORDER BY i) AS BIGINT) AS cn,
+        |               CAST(sum(pp) OVER (ORDER BY i) AS BIGINT) AS cp
+        |        FROM idx),
+        |iv AS (
+        |  SELECT l.i AS l, j.i AS j,
+        |         CAST(pj.cp - COALESCE(pl.cp, 0) AS DOUBLE)
+        |           / (pj.cn - COALESCE(pl.cn, 0)) AS m
+        |  FROM idx l JOIN idx j ON j.i >= l.i
+        |  JOIN pre pj ON pj.i = j.i
+        |  LEFT JOIN pre pl ON pl.i = l.i - 1),
+        |inner_min AS (
+        |  SELECT iv.l, x.i, min(iv.m) AS mn
+        |  FROM idx x JOIN iv ON iv.l <= x.i AND iv.j >= x.i
+        |  GROUP BY iv.l, x.i),
+        |fit AS (SELECT i, max(mn) AS f FROM inner_min GROUP BY i)
+        |SELECT idx.bin, idx.n,
+        |       round(CAST(idx.pp AS DOUBLE) / idx.n, 6) + 0.0 AS frac_pos,
+        |       round(fit.f, 6) + 0.0 AS fitted
+        |FROM idx JOIN fit ON idx.i = fit.i
+        |ORDER BY idx.bin""".stripMargin,
     "feature_calibration_bins" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

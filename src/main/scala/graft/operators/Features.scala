@@ -256,4 +256,54 @@ object Features {
         "left")
       .drop("__ec", "__ef", "__fold")
   }
+
+  /** Isotonic calibration over score bins — the pool-adjacent-violators
+    * fit (Ayer et al. 1955) computed via its CLOSED FORM
+    * `fitted(i) = max_{l ≤ i} min_{j ≥ i} mean(l..j)`: no iterative
+    * pooling, so the fit is trivially engine-replayable — the interval
+    * means are single divisions of exact integer sums and max/min over
+    * a set of doubles is order-free. Output is the monotone
+    * non-decreasing step function a scorer's raw bin rates get snapped
+    * to — the standard post-hoc calibrator when Platt's sigmoid shape
+    * doesn't hold.
+    *
+    * Uses [[calibrationBins]]' fixed-width binning (scores in [0,1],
+    * bin = min(bins−1, ⌊score·bins⌋)); empty bins simply don't appear
+    * (the closed form runs over the observed bins in order). Returns
+    * (bin, n, frac_pos round(6), fitted round(6)) with fitted
+    * non-decreasing in bin.
+    *
+    * Scale shape: one map-combinable aggregate to the ≤`bins`-row
+    * frame, then an O(bins²) driver fold — a bounded sidecar. */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+                          labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val agg = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(
+        least(lit((bins - 1).toLong),
+          floor(col(scoreCol) * lit(bins)).cast("long")).as("bin"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__p"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__p")).as("__pp"))
+      .orderBy(col("bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val k = agg.length
+    // prefix sums over the observed-bin order for O(1) interval means
+    val cn = agg.scanLeft(0L)(_ + _._2).toArray
+    val cp = agg.scanLeft(0L)(_ + _._3).toArray
+    def mean(l: Int, j: Int): Double =
+      (cp(j + 1) - cp(l)).toDouble / (cn(j + 1) - cn(l)).toDouble
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val rows = agg.zipWithIndex.map { case ((b, n, p), i) =>
+      val fitted = (0 to i).map { l =>
+        (i until k).map(j => mean(l, j)).min
+      }.max
+      (b, n, r6(p.toDouble / n.toDouble), r6(fitted))
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("bin", "n", "frac_pos", "fitted").orderBy(col("bin"))
+  }
 }

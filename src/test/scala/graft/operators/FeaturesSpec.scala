@@ -156,4 +156,28 @@ class FeaturesSpec extends SparkSpec {
     assert(Features.applyTargetEncoding(fresh, enc, "cat", "id", k = 3)
       .filter(col("cat_enc").isNull).count() == 1)
   }
+
+  test("isotonicCalibration: violators pool to their mean, monotone " +
+       "input passes through") {
+    def mk(spec: Seq[(Double, Int)]) = spec.zipWithIndex.flatMap {
+      case ((score, pos), _) =>
+        (0 until 10).map(i => (score, i < pos))
+    }.toDF("score", "label")
+    // bin rates 0.1, 0.5, 0.3, 0.9: PAV pools the (0.5, 0.3) violation
+    // to their weighted mean 0.4
+    val out = Features.isotonicCalibration(
+        mk(Seq((0.05, 1), (0.15, 5), (0.25, 3), (0.35, 9))),
+        "score", "label")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 10L, 0.1, 0.1), (1L, 10L, 0.5, 0.4),
+      (2L, 10L, 0.3, 0.4), (3L, 10L, 0.9, 0.9)))
+    // already-monotone rates: the fit is the identity
+    val mono = Features.isotonicCalibration(
+        mk(Seq((0.05, 1), (0.15, 3), (0.25, 7))), "score", "label")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(mono.forall(r => r._3 == r._4))
+    // fitted is always non-decreasing
+    assert(out.map(_._4) == out.map(_._4).sorted)
+  }
 }
