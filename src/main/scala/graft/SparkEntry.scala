@@ -980,6 +980,14 @@ object SparkEntry {
           pairs, "cand_id", "cand_text", "ref_text")
         .orderBy(col("cand_id"))
     }),
+    "profile_dataset_card" -> ((s, dir) => {
+      // per-source dataset card: volume, mean length, language spread,
+      // dominant language with deterministic tiebreak — the corpus
+      // README summary as a gate
+      operators.Profiling.datasetCardBySource(
+        DbReader(conn(s, dir), "documents").run(),
+        "source", "n_chars", "lang")
+    }),
     "profile_table_columns" -> ((s, dir) => {
       // post-ingest column profile of orders: null density, exact
       // cardinality, native-typed min/max envelope rendered to strings —
@@ -5872,6 +5880,29 @@ object SparkEntry {
         |              THEN CAST(matched_2 AS DOUBLE) / total_2
         |              ELSE 0.0 END)), 6) + 0.0 AS bleu2
         |FROM wide ORDER BY cand_id""".stripMargin,
+    // dataset-card replay: same aggregates, same (count desc, lang)
+    // dominant tiebreak, one rounded division
+    "profile_dataset_card" ->
+      """WITH main AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(COALESCE(n_chars, 0)) AS BIGINT) AS total_chars,
+        |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |  FROM documents WHERE source IS NOT NULL GROUP BY source),
+        |tl AS (
+        |  SELECT source, top_lang, c FROM (
+        |    SELECT source, lang AS top_lang,
+        |           CAST(count(*) AS BIGINT) AS c,
+        |           row_number() OVER (PARTITION BY source
+        |                              ORDER BY count(*) DESC, lang) AS rn
+        |    FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |    GROUP BY source, lang) WHERE rn = 1)
+        |SELECT main.source, main.n_docs, main.total_chars,
+        |       round(CAST(main.total_chars AS DOUBLE) / main.n_docs, 2)
+        |         + 0.0 AS mean_chars,
+        |       main.n_langs, tl.top_lang,
+        |       COALESCE(tl.c, 0) AS top_lang_n
+        |FROM main LEFT JOIN tl ON main.source = tl.source
+        |ORDER BY main.source""".stripMargin,
     "profile_table_columns" -> profileOracleSql("orders",
       Seq(("o_orderkey", false), ("o_custkey", false),
         ("o_orderstatus", false), ("o_orderpriority", false),

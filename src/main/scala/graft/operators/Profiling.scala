@@ -96,6 +96,39 @@ object Profiling {
     rows.toDF("digit", "n", "p_obs", "p_benford").orderBy(col("digit"))
   }
 
+  /** Per-source dataset card: the one-row-per-source summary a corpus
+    * README carries — volume (docs, chars), mean length, language
+    * spread (exact distinct) and the dominant language with its share.
+    * Dominant-language ties break (count desc, lang asc) so the card is
+    * deterministic. Two word-count-shaped aggregates + one keyed
+    * window over the |sources|·|langs| frame. */
+  def datasetCardBySource(df: DataFrame, sourceCol: String,
+                          textLenCol: String, langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(sourceCol).isNotNull)
+    val main = base.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col(textLenCol).cast("long"), lit(0L)))
+          .as("total_chars"),
+        countDistinct(col(langCol)).as("n_langs"))
+      .withColumn("mean_chars",
+        round(col("total_chars").cast("double") /
+          col("n_docs").cast("double"), 2) + lit(0.0))
+    val topLang = base.filter(col(langCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"), col(langCol).as("top_lang"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__rn", row_number().over(Window
+        .partitionBy(col("source"))
+        .orderBy(col("__c").desc, col("top_lang"))))
+      .filter(col("__rn") === 1)
+      .select(col("source"), col("top_lang"), col("__c").as("top_lang_n"))
+    main.join(topLang, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("mean_chars"), col("n_langs"), col("top_lang"),
+        coalesce(col("top_lang_n"), lit(0L)).as("top_lang_n"))
+      .orderBy(col("source"))
+  }
+
   /** One FK-orphan check: non-null child keys with no matching parent
     * row. Returns one row (check, n_rows long — non-null child keys,
     * n_bad long, bad_rate double round(6)). The count is a LEFT ANTI

@@ -66,4 +66,20 @@ class ProfilingSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect().head
     assert(clean == (("self", 3L, 0L, 0.0)))
   }
+
+  test("datasetCardBySource: volumes, dominant-language tiebreak, null langs") {
+    val df = Seq(
+      ("a", 10L, Some("en")), ("a", 20L, Some("de")), ("a", 30L, Some("en")),
+      // source b: en and fr tie at 1 -> lexicographic winner 'en'
+      ("b", 5L, Some("fr")), ("b", 7L, Some("en")),
+      ("c", 4L, None)) // only null langs: no top_lang, 0 distinct
+      .toDF("src", "len", "lang")
+    val out = Profiling.datasetCardBySource(df, "src", "len", "lang")
+      .as[(String, Long, Long, Double, Long, Option[String], Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("a", 3L, 60L, 20.0, 2L, Some("en"), 2L),
+      ("b", 2L, 12L, 6.0, 2L, Some("en"), 1L),
+      ("c", 1L, 4L, 4.0, 0L, None, 0L)))
+  }
 }
