@@ -285,8 +285,11 @@ object Drift {
     val p = (col("n_ref").cast("double") + lit(0.5)) / lit(nR + 0.5 * k)
     val q = (coalesce(col("n_cur"), lit(0L)).cast("double") + lit(0.5)) /
       lit(nC + 0.5 * k)
-    broadcast(shape)
-      .join(counted, Seq("bucket"), "left")
+    // hint the RIGHT (non-preserved) side: `counted` is the ≤k-row
+    // bucket aggregate; a broadcast hint on the preserved side of a
+    // left join is unsupported and only logged a warning
+    shape
+      .join(broadcast(counted), Seq("bucket"), "left")
       .select(col("bucket"), col("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"),
         round((p - q) * log(p / q), 6).as("contrib"))

@@ -258,7 +258,9 @@ object Ranking {
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
     import spark.implicits._
     val shape = (-1 to buckets).toDF("bucket")
-    broadcast(shape).join(counted, Seq("bucket"), "left")
+    // broadcast the non-preserved side (the ≤buckets-row aggregate);
+    // hinting the preserved side of a left join is unsupported
+    shape.join(broadcast(counted), Seq("bucket"), "left")
       .select(col("bucket"),
         when(col("bucket") === -1, lit(Double.NegativeInfinity))
           .when(col("bucket") === buckets, lit(hi))
