@@ -980,6 +980,24 @@ object SparkEntry {
           pairs, "cand_id", "cand_text", "ref_text")
         .orderBy(col("cand_id"))
     }),
+    "profile_snapshot_drift" -> ((s, dir) => {
+      // profile diff between the even/odd order-key halves: cardinality
+      // and null-density deltas per column — the cross-snapshot
+      // schema-health check, two one-pass profiles joined on column
+      val ord = DbReader(conn(s, dir), "orders").run()
+      val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority")
+      def prof(p: Int, suffix: String) = operators.Profiling
+        .profileColumns(
+          ord.filter(pmod(col("o_orderkey"), lit(2L)) === p), cols)
+        .select(col("column_name"),
+          col("n_rows").as(s"n_rows_$suffix"),
+          col("n_nulls").as(s"n_nulls_$suffix"),
+          col("n_distinct").as(s"n_distinct_$suffix"))
+      prof(0, "a").join(prof(1, "b"), Seq("column_name"))
+        .withColumn("distinct_delta",
+          col("n_distinct_b") - col("n_distinct_a"))
+        .orderBy(col("column_name"))
+    }),
     "profile_dataset_card" -> ((s, dir) => {
       // per-source dataset card: volume, mean length, language spread,
       // dominant language with deterministic tiebreak — the corpus
@@ -5880,6 +5898,25 @@ object SparkEntry {
         |              THEN CAST(matched_2 AS DOUBLE) / total_2
         |              ELSE 0.0 END)), 6) + 0.0 AS bleu2
         |FROM wide ORDER BY cand_id""".stripMargin,
+    // snapshot-drift replay: one branch per (column, half), BIGINT
+    // counts, joined on column
+    "profile_snapshot_drift" -> {
+      def half(p: Int, s: String) =
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority").map { c =>
+          s"""SELECT '$c' AS column_name,
+             |  CAST(count(*) AS BIGINT) AS n_rows_$s,
+             |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls_$s,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct_$s
+             |FROM orders WHERE o_orderkey % 2 = $p""".stripMargin
+        }.mkString("(", "\nUNION ALL\n", ")")
+      s"""WITH a AS ${half(0, "a")},
+         |b AS ${half(1, "b")}
+         |SELECT a.column_name, a.n_rows_a, a.n_nulls_a, a.n_distinct_a,
+         |       b.n_rows_b, b.n_nulls_b, b.n_distinct_b,
+         |       b.n_distinct_b - a.n_distinct_a AS distinct_delta
+         |FROM a JOIN b ON a.column_name = b.column_name
+         |ORDER BY a.column_name""".stripMargin
+    },
     // dataset-card replay: same aggregates, same (count desc, lang)
     // dominant tiebreak, one rounded division
     "profile_dataset_card" ->
