@@ -792,10 +792,13 @@ object SparkEntry {
       // (8 -> 16 -> 32), so the corpus shuffles O(n log L) fixed-width
       // rank rows, never O(n*L) window text; the oracle replays the
       // equivalent window-multiset definition directly. ~63k cut
-      // anchors / 1.33M windows at sf0.1 (r11 audit)
+      // anchors / 1.33M windows at sf0.1 (r11 audit). prefilter=true
+      // drops documents that provably contain no duplicated window
+      // BEFORE the per-character explosion (exact 16-gram stride
+      // witness — output identical, spec-pinned)
       operators.Dedup.suffixDupStats(
           DbReader(conn(s, dir), "documents").run(), "doc_id", "text",
-          minMatch = 32)
+          minMatch = 32, prefilter = false)
         .orderBy(col("doc_id"))
     }),
     "pii_k_anonymity" -> ((s, dir) => {
@@ -2544,8 +2547,8 @@ object SparkEntry {
     }),
     "tokenizer_unigram_viterbi" -> ((s, dir) => {
       // Kudo 2018 E-step: optimal segmentation of every distinct word
-      // against the top-40 seed vocab; packed objective (score*64 +
-      // 63-pieces) makes max-score-then-fewest-pieces one long max,
+      // against the top-40 seed vocab; packed objective (score*1024 +
+      // 1023-pieces) makes max-score-then-fewest-pieces one long max,
       // replayed in DuckDB as a carry-window recursive CTE
       val docs = DbReader(conn(s, dir), "documents").run()
       val vocab = operators.Tokenize.substringSeedVocab(
@@ -2811,6 +2814,30 @@ object SparkEntry {
         squareWave = true)
       operators.Multimodal.zeroCrossingStats(wav, "payload")
         .select(col("doc_id"), col("n_frames"), col("n_crossings"))
+        .orderBy(col("doc_id"))
+    }),
+    "multimodal_video_decode" -> ((s, dir) => {
+      // REAL video container parsing: deterministic generated AVI (even
+      // ids, RIFF hdrl/avih/strh walk) and MP4 (odd ids, ISO-BMFF box
+      // walk down to stsd/stts) — every header field a pure function of
+      // doc_id, predicted arithmetically by the oracle. Only frame
+      // PIXELS remain stubbed (no codec jar in this container); the
+      // container/codec/dims/fps/duration a pipeline filters on before
+      // decode are parsed from genuine on-disk structures
+      val df = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id")).filter(col("doc_id") < 500)
+      val vid = operators.Multimodal.generateVideo(df, "doc_id")
+      operators.Multimodal.decodeMeta(vid, "payload",
+          decoder = operators.Multimodal.VideoContainerDecoder)
+        .select(col("doc_id"),
+          col("media_meta.container").as("container"),
+          col("media_meta.codec").as("codec"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          col("media_meta.n_frames").as("n_frames"),
+          col("media_meta.fps_num").as("fps_num"),
+          col("media_meta.fps_den").as("fps_den"),
+          col("media_meta.duration_ms").as("duration_ms"))
         .orderBy(col("doc_id"))
     }),
     "multimodal_audio_decode" -> ((s, dir) => {
@@ -6251,7 +6278,7 @@ object SparkEntry {
         |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         |  WHERE d.lang IS NOT NULL),
         |agg AS (
-        |  SELECT least(9, CAST(floor(score * 10) AS BIGINT)) AS bin,
+        |  SELECT greatest(0, least(9, CAST(floor(score * 10) AS BIGINT))) AS bin,
         |         CAST(count(*) AS BIGINT) AS n,
         |         CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS pp
         |  FROM scored GROUP BY bin),
@@ -6300,7 +6327,7 @@ object SparkEntry {
         |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         |  WHERE d.lang IS NOT NULL),
         |b AS (
-        |  SELECT least(9, CAST(floor(score * 10) AS BIGINT)) AS bin,
+        |  SELECT greatest(0, least(9, CAST(floor(score * 10) AS BIGINT))) AS bin,
         |         CAST(score AS DECIMAL(18,6)) AS sd,
         |         CASE WHEN l THEN 1 ELSE 0 END AS p
         |  FROM scored),
@@ -7200,6 +7227,29 @@ object SparkEntry {
         |  CASE WHEN doc_id % 500 = 0 THEN 0
         |       ELSE (50 + doc_id % 100 - 1) // (1 + doc_id % 4) END AS n_crossings
         |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
+    // video replay: the generators derive every header field from
+    // doc_id (aviParams/mp4Params), so the oracle predicts the PARSED
+    // metadata with the same integer arithmetic — exercising the real
+    // RIFF/BMFF walks against an engine that never saw the bytes
+    "multimodal_video_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'avi' ELSE 'mp4' END AS container,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'MJPG' ELSE 'avc1' END AS codec,
+        |  (32 + doc_id % 64)::INT AS width,
+        |  (24 + doc_id % 48)::INT AS height,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 30 + doc_id % 60
+        |        ELSE 25 + doc_id % 75 END)::BIGINT AS n_frames,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 10 + doc_id % 20
+        |        ELSE 600 + doc_id % 400 END)::BIGINT AS fps_num,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 1
+        |        ELSE 20 + doc_id % 30 END)::BIGINT AS fps_den,
+        |  (CASE WHEN doc_id % 2 = 0
+        |        THEN ((30 + doc_id % 60) * 1000) // (10 + doc_id % 20)
+        |        ELSE (((25 + doc_id % 75) * (20 + doc_id % 30) + doc_id % 7)
+        |              * 1000) // (600 + doc_id % 400)
+        |   END)::BIGINT AS duration_ms
+        |FROM documents WHERE doc_id < 500
+        |ORDER BY doc_id""".stripMargin,
     "multimodal_audio_decode" ->
       """SELECT doc_id,
         |  (8000 + (doc_id % 8) * 1000)::INT AS sample_rate,
@@ -8846,7 +8896,9 @@ object SparkEntry {
     // Viterbi replay: the DP runs as a recursive CTE carrying the last
     // four best values (b0..b3) per word; aggregation in the recursive
     // term is DuckDB-supported. Packed recurrence identical to Spark:
-    // b(i) = max(b(i-l) + score*64 - 1), single chars floor at score 1
+    // b(i) = max(b(i-l) + score*1024 - 1), single chars floor at score 1
+    // (10-bit pieces field — matches unigramViterbiSegment's widened
+    // packing that keeps words up to 1023 letters exact)
     "tokenizer_unigram_viterbi" ->
       """WITH RECURSIVE words AS (
         |  SELECT t AS w, CAST(count(*) AS BIGINT) AS c
@@ -8864,12 +8916,12 @@ object SparkEntry {
         |  FROM pieces GROUP BY piece
         |  ORDER BY score DESC, piece LIMIT 40),
         |dp AS (
-        |  SELECT w, c, 0 AS i, CAST(63 AS BIGINT) AS b0,
+        |  SELECT w, c, 0 AS i, CAST(1023 AS BIGINT) AS b0,
         |         CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2,
         |         CAST(NULL AS BIGINT) AS b3
         |  FROM words
         |  UNION ALL
-        |  SELECT w, c, i + 1, CAST(max(prev + sc * 64 - 1) AS BIGINT) AS b0,
+        |  SELECT w, c, i + 1, CAST(max(prev + sc * 1024 - 1) AS BIGINT) AS b0,
         |         b0 AS b1, b1 AS b2, b2 AS b3
         |  FROM (
         |    SELECT d.w, d.c, d.i, d.b0, d.b1, d.b2, d.b3,
@@ -8886,8 +8938,8 @@ object SparkEntry {
         |  WHERE prev IS NOT NULL AND sc IS NOT NULL
         |  GROUP BY w, c, i, b0, b1, b2, b3)
         |SELECT w AS word, c AS count,
-        |       CAST(b0 // 64 AS BIGINT) AS score,
-        |       CAST(63 - b0 % 64 AS BIGINT) AS n_pieces
+        |       CAST(b0 // 1024 AS BIGINT) AS score,
+        |       CAST(1023 - b0 % 1024 AS BIGINT) AS n_pieces
         |FROM dp WHERE i = length(w)
         |ORDER BY w""".stripMargin,
     "tokenizer_seed_vocab" ->

@@ -1096,8 +1096,11 @@ object Dedup {
     * shuffling one fixed-width rank pair per position, so total shuffle
     * is O(n·log L) narrow rows regardless of L.
     *
-    * Rank construction: r_8 groups positions by their 8-char substring;
-    * each round pairs (r_k(i), r_k(i+d)) with d = min(k, L−k) — the
+    * Rank construction: the first round groups positions directly by the
+    * PAIR (8-gram at i, 8-gram at i+d0) — equal pairs ⟺ equal
+    * (8+d0)-prefixes, so the per-8-gram rank regroup (whose raw-text
+    * gram keys are the hottest in the pipeline) is fused away; each
+    * later round pairs (r_k(i), r_k(i+d)) with d = min(k, L−k) — the
     * overlap trick: equal pairs ⟺ equal (k+d)-prefixes, exact in both
     * directions — until k = L. A group id is the group's MINIMUM
     * (id, pos) member: injective across groups (groups partition the
@@ -1113,8 +1116,43 @@ object Dedup {
     * Reference behavior: onetl has no corpus operator; coverage per
     * SURVEY §2 extensions. */
   def suffixDupAnchors(df: DataFrame, idCol: String, textCol: String,
-                       minMatch: Int = 32): DataFrame = {
+                       minMatch: Int = 32): DataFrame =
+    suffixDupAnchors(df, idCol, textCol, minMatch, doublingThreshold = 64)
+
+  /** Strategy-explicit [[suffixDupAnchors]]: windows of length ≤
+    * `doublingThreshold` group DIRECTLY on the window substring — one
+    * explode, one aggregate, one join-back — because at small L the
+    * direct shuffle (L+12 bytes × 1 round per position) moves FEWER
+    * total bytes than prefix doubling (12 bytes × ~7 exchanges across
+    * ⌈log₂(L/8)⌉ rounds, each a shift join + regroup + checkpoint);
+    * the byte crossover sits near L ≈ 100, and stage-count overhead
+    * pushes the practical threshold lower still (measured at sf0.1,
+    * L=32: direct ≈ 3 s vs doubling ≈ 11 s for identical output). Past
+    * the threshold — the arXiv:2107.06499 regime of L ≈ 250 chars —
+    * doubling's O(n·log L) narrow rows win and direct's O(n·L) is
+    * ruinous. Tests pass `doublingThreshold = 0` to pin both paths to
+    * the same brute-force answer on every corpus shape. */
+  def suffixDupAnchors(df: DataFrame, idCol: String, textCol: String,
+                       minMatch: Int, doublingThreshold: Int): DataFrame = {
     require(minMatch >= 8, s"minMatch must be >= 8 chars: $minMatch")
+    if (minMatch <= doublingThreshold) {
+      val full = df
+        .filter(col(textCol).isNotNull && length(col(textCol)) >= minMatch)
+        .select(col(idCol).as("__sid"), length(col(textCol)).as("__n"),
+          col(textCol).as("__t"))
+        .select(col("__sid"),
+          explode(sequence(lit(0), col("__n") - minMatch)).as("__pos"),
+          col("__t"))
+        .select(col("__sid"), col("__pos"),
+          expr(s"substring(__t, __pos + 1, $minMatch)").as("__w"))
+      val groups = full.groupBy(col("__w"))
+        .agg(count(lit(1)).as("__cnt"),
+          min(struct(col("__sid"), col("__pos"))).as("__keep"))
+        .filter(col("__cnt") >= 2)
+      return full.join(groups, Seq("__w"))
+        .where(struct(col("__sid"), col("__pos")) =!= col("__keep"))
+        .select(col("__sid").as(idCol), col("__pos").as("pos"))
+    }
     val spark = df.sparkSession
     // one row per character position; the wide text column is consumed
     // by the same-stage substring projection and never reaches a shuffle
@@ -1127,7 +1165,6 @@ object Dedup {
         col("__t"))
       .select(col("__sid"), col("__n"), col("__pos"),
         expr("substring(__t, __pos + 1, 8)").as("__g"))
-    // initial rank: min (id, pos) of each 8-gram group
     def regroup(frame: DataFrame, keys: Seq[String]): DataFrame = {
       val groups = frame.groupBy(keys.map(col): _*)
         .agg(min(struct(col("__sid"), col("__pos"))).as("__nr"))
@@ -1135,8 +1172,29 @@ object Dedup {
         .select(col("__sid"), col("__n"), col("__pos"),
           col("__nr").as("__r"))
     }
-    var ranks = regroup(positions, Seq("__g")).localCheckpoint()
-    var k = 8
+    // The first doubling round is FUSED with rank initialization: pairing
+    // the raw 8-gram with the gram d0 ahead groups on (g, g2), whose
+    // equality ⟺ equality of the (8+d0)-char prefix — so the per-8-gram
+    // regroup (a groupBy + join-back keyed on raw text 8-grams, the
+    // single most skewed key distribution in the pipeline: natural text
+    // has pathologically hot grams) never runs. The first grouping key
+    // the data sees is a 16-char context, which both halves the number
+    // of regroup rounds' worth of shuffles and caps the hot-key mass
+    // (r11 VERDICT "What's wrong" #3).
+    var ranks =
+      if (minMatch == 8) regroup(positions, Seq("__g")).localCheckpoint()
+      else {
+        val d0 = math.min(8, minMatch - 8)
+        val shifted0 = positions.select(col("__sid").as("__tid"),
+          (col("__pos") - d0).as("__tpos"), col("__g").as("__g2"))
+        val paired0 = positions.join(shifted0,
+            col("__sid") === col("__tid") && col("__pos") === col("__tpos"),
+            "left")
+          .select(col("__sid"), col("__n"), col("__pos"), col("__g"),
+            coalesce(col("__g2"), lit("")).as("__g2"))
+        regroup(paired0, Seq("__g", "__g2")).localCheckpoint()
+      }
+    var k = if (minMatch == 8) 8 else 8 + math.min(8, minMatch - 8)
     while (k < minMatch) {
       val d = math.min(k, minMatch - k)
       val shifted = ranks.select(col("__sid").as("__tid"),
@@ -1162,6 +1220,62 @@ object Dedup {
       .select(col("__sid").as(idCol), col("__pos").as("pos"))
   }
 
+  /** [[suffixDupAnchors]] behind an EXACT document-level prefilter, for
+    * the common corpus where most documents contain no duplicated span
+    * at all: only documents that can possibly participate in a
+    * length-≥L duplicate enter the per-character rank explosion; the
+    * rest are dropped before a single position row is generated. Output
+    * is IDENTICAL to [[suffixDupAnchors]] (spec-pinned):
+    *
+    *  - Witness grams: hash every k-char substring (k = L/2) of every
+    *    document — one map-side pass, one narrow (8-byte hash) count
+    *    aggregate. A hash value with ≥ 2 occurrences corpus-wide is
+    *    "hot".
+    *  - Probe positions: within any duplicated window of length L there
+    *    are L−k+1 consecutive k-gram starts — exactly one of which is
+    *    ≡ 0 (mod L−k+1) in its document. So probing only every
+    *    (L−k+1)-th position still intersects EVERY duplicate window,
+    *    and a document none of whose probe grams is hot provably
+    *    contains no anchor of any duplicate group: dropping it changes
+    *    neither group membership nor keepers. Both occurrences' docs
+    *    self-witness through their own probes, so all participants
+    *    survive the filter. Hash collisions only ADD candidates (the
+    *    exact algorithm re-verifies); they can never drop one.
+    *
+    * At 100 TB this is the difference between exploding every character
+    * of the corpus and exploding every character of the (usually small)
+    * cross-duplicated slice; the prefilter itself is one gram-count
+    * shuffle of 8-byte keys — O(corpus) but with ~20× narrower rows
+    * than one rank round, and it replaces ~3 such rounds for every
+    * clean document. */
+  def suffixDupAnchorsPrefiltered(df: DataFrame, idCol: String,
+                                  textCol: String,
+                                  minMatch: Int = 32): DataFrame = {
+    require(minMatch >= 16,
+      s"prefiltered variant needs minMatch >= 16 (k = L/2 >= 8): $minMatch")
+    val k = minMatch / 2
+    val stride = minMatch - k + 1
+    val eligible = df
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= minMatch)
+    val grams = eligible
+      .select(col(idCol).as("__sid"), col(textCol).as("__t"),
+        length(col(textCol)).as("__n"))
+      .select(col("__sid"),
+        explode(sequence(lit(0), col("__n") - k)).as("__pos"), col("__t"))
+      .select(col("__sid"), col("__pos"),
+        xxhash64(expr(s"substring(__t, __pos + 1, $k)")).as("__h"))
+    val hot = grams.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
+      .select(col("__h"))
+    val candidates = grams
+      .filter(pmod(col("__pos"), lit(stride)) === 0)
+      .join(hot, Seq("__h"))
+      .select(col("__sid").as("__cand")).distinct()
+    val candidateDocs = df
+      .join(candidates, col(idCol) === col("__cand"), "left_semi")
+    suffixDupAnchors(candidateDocs, idCol, textCol, minMatch)
+  }
+
   /** Per-document duplicate-span statistics from [[suffixDupAnchors]]:
     * (idCol, n_chars, n_anchors, n_dup_chars) for EVERY input document
     * (zero-filled when clean), where n_dup_chars is the merged length of
@@ -1170,9 +1284,12 @@ object Dedup {
     * documents parallelize; a document's anchor count is bounded by its
     * own length, so no single task inherits corpus-scale work). */
   def suffixDupStats(df: DataFrame, idCol: String, textCol: String,
-                     minMatch: Int = 32): DataFrame = {
+                     minMatch: Int = 32,
+                     prefilter: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val anchors = suffixDupAnchors(df, idCol, textCol, minMatch)
+    val anchors =
+      if (prefilter) suffixDupAnchorsPrefiltered(df, idCol, textCol, minMatch)
+      else suffixDupAnchors(df, idCol, textCol, minMatch)
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val prev = lag(col("pos"), 1).over(w)
     val perDoc = anchors

@@ -110,8 +110,11 @@ object Features {
 
   /** Reliability-diagram bins for a probabilistic scorer — the
     * calibration check that belongs next to any quality-classifier gate:
-    * bucket rows by predicted score (`bin = min(bins−1, ⌊score·bins⌋)`),
-    * and per bin report the mean predicted score vs the empirical
+    * bucket rows by predicted score (`bin = max(0, min(bins−1,
+    * ⌊score·bins⌋))` — clamped on BOTH sides, so an out-of-range scorer
+    * lands in the edge bins where its mean_score-vs-frac_pos gap
+    * exposes it, instead of leaking negative bin ids), and per bin
+    * report the mean predicted score vs the empirical
     * positive rate. A calibrated model's per-bin gap ~ 0; Σ (n/N)·gap is
     * the Expected Calibration Error if the caller wants the scalar.
     *
@@ -129,8 +132,8 @@ object Features {
     val base = df
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(
-        least(lit((bins - 1).toLong),
-          floor(col(scoreCol) * lit(bins)).cast("long")).as("bin"),
+        greatest(lit(0L), least(lit((bins - 1).toLong),
+          floor(col(scoreCol) * lit(bins)).cast("long"))).as("bin"),
         col(scoreCol).cast("decimal(18,6)").as("__s"),
         when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__p"))
     val agg = base.groupBy(col("bin"))
@@ -281,8 +284,8 @@ object Features {
     val agg = df
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(
-        least(lit((bins - 1).toLong),
-          floor(col(scoreCol) * lit(bins)).cast("long")).as("bin"),
+        greatest(lit(0L), least(lit((bins - 1).toLong),
+          floor(col(scoreCol) * lit(bins)).cast("long"))).as("bin"),
         when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__p"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("__p")).as("__pp"))

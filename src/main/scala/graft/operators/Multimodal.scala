@@ -617,4 +617,264 @@ object Multimodal {
         when(length(col(binCol)) > 0,
           conv(substring(hex(col(binCol)), 1, 2), 16, 10).cast("int"))
           .otherwise(lit(-1)))
+
+  // ---------------------------------------------------------------------
+  // Video containers: REAL header parsing (AVI/RIFF chunk walk and MP4/
+  // ISO-BMFF box walk, both pure JDK byte arithmetic — no codec jar
+  // involved). What stays stubbed is only FRAME PIXEL decode, which
+  // needs an actual video codec absent from this container; everything a
+  // curation pipeline filters on BEFORE decoding — container, codec
+  // fourcc, dimensions, frame count, frame rate, duration — is read
+  // from the genuine on-disk structures here.
+  // ---------------------------------------------------------------------
+
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("container", StringType, nullable = true),
+    StructField("codec", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("fps_num", LongType, nullable = true),
+    StructField("fps_den", LongType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  private def u32le(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  private def u32be(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Parse an AVI (RIFF) header: walks `RIFF/AVI LIST hdrl` for the
+    * `avih` main header (total frames, width, height) and the first
+    * video stream's `strh` (handler fourcc, dwRate/dwScale — the exact
+    * rational frame rate) per the public AVI RIFF spec (msdn
+    * AVIMAINHEADER/AVISTREAMHEADER layouts). Returns null when the
+    * payload is not a well-formed AVI. duration_ms =
+    * n_frames·1000·scale/rate in exact long arithmetic. */
+  private def parseAvi(b: Array[Byte]): Row = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+      return null
+    var totalFrames = -1L; var w = -1; var h = -1
+    var codec: String = null; var rate = -1L; var scale = -1L
+    // flat chunk walk: LIST headers are descended into (skip the 4-byte
+    // list type), plain chunks are inspected or skipped; chunk sizes are
+    // word-aligned per RIFF
+    def walk(start: Int, end: Int): Unit = {
+      var o = start
+      while (o + 8 <= end) {
+        val id = fourcc(b, o)
+        val sz = u32le(b, o + 4).toInt
+        val body = o + 8
+        if (body + sz > end || sz < 0) return
+        id match {
+          case "LIST" => if (sz >= 4) walk(body + 4, body + sz)
+          case "avih" if sz >= 40 =>
+            totalFrames = u32le(b, body + 16)
+            w = u32le(b, body + 32).toInt
+            h = u32le(b, body + 36).toInt
+          case "strh" if sz >= 36 && fourcc(b, body) == "vids" =>
+            if (codec == null) {
+              codec = fourcc(b, body + 4)
+              scale = u32le(b, body + 20)
+              rate = u32le(b, body + 24)
+            }
+          case _ => ()
+        }
+        o = body + sz + (sz & 1)
+      }
+    }
+    walk(12, math.min(b.length, 12 + u32le(b, 4).toInt - 4))
+    if (totalFrames < 0 || rate <= 0 || scale <= 0) null
+    else Row("avi", codec, w, h, totalFrames, rate, scale,
+      totalFrames * 1000L * scale / rate)
+  }
+
+  /** Parse an MP4 (ISO base media) header: walks the `moov` box tree for
+    * `mvhd` (movie timescale + duration), the first video `trak`'s
+    * `tkhd` (16.16 fixed-point width/height), its `mdia/mdhd` media
+    * timescale, `stbl/stsd` sample-entry fourcc, and `stbl/stts`
+    * (n_frames = Σ sample counts; fps = media_timescale / first delta)
+    * per ISO/IEC 14496-12. Returns null for non-BMFF payloads.
+    * duration_ms = mvhd duration·1000/timescale in exact longs. */
+  private def parseMp4(b: Array[Byte]): Row = {
+    if (b.length < 8 || fourcc(b, 4) != "ftyp") return null
+    var timescale = -1L; var duration = -1L
+    var w = -1; var h = -1; var codec: String = null
+    var mediaTimescale = -1L; var nFrames = -1L; var firstDelta = -1L
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    def walk(start: Int, end: Int): Unit = {
+      var o = start
+      while (o + 8 <= end) {
+        val sz = u32be(b, o).toInt
+        val tp = fourcc(b, o + 4)
+        if (sz < 8 || o + sz > end) return
+        val body = o + 8
+        tp match {
+          case t if containers(t) => walk(body, o + sz)
+          case "mvhd" if sz >= 8 + 24 =>
+            // version 0 layout: ver/flags(4) ctime(4) mtime(4)
+            // timescale(4) duration(4)
+            timescale = u32be(b, body + 12)
+            duration = u32be(b, body + 16)
+          case "tkhd" if sz >= 8 + 84 && w < 0 =>
+            // v0: width/height are the LAST two 16.16 fields of the box
+            w = (u32be(b, o + sz - 8) >> 16).toInt
+            h = (u32be(b, o + sz - 4) >> 16).toInt
+          case "mdhd" if sz >= 8 + 24 && mediaTimescale < 0 =>
+            mediaTimescale = u32be(b, body + 12)
+          case "stsd" if sz >= 8 + 16 && codec == null =>
+            // ver/flags(4) entry_count(4) then first sample entry:
+            // size(4) fourcc(4)
+            codec = fourcc(b, body + 12)
+          case "stts" if sz >= 8 + 8 && nFrames < 0 =>
+            val n = u32be(b, body + 4).toInt
+            if (8 + 8 + n * 8 <= sz) {
+              var i = 0; var total = 0L
+              while (i < n) {
+                total += u32be(b, body + 8 + i * 8)
+                if (i == 0) firstDelta = u32be(b, body + 12)
+                i += 1
+              }
+              nFrames = total
+            }
+          case _ => ()
+        }
+        o += sz
+      }
+    }
+    walk(0, b.length)
+    if (timescale <= 0 || duration < 0) null
+    else Row("mp4", codec, w, h, nFrames,
+      if (mediaTimescale > 0) mediaTimescale else -1L,
+      if (firstDelta > 0) firstDelta else -1L,
+      duration * 1000L / timescale)
+  }
+
+  /** Container-sniffing video header decoder: real AVI and MP4 parsing
+    * behind the standard [[BinaryDecoder]] seam (null meta for payloads
+    * that are neither). Frame PIXELS are the only thing this container
+    * cannot decode — pair with [[frameSample]]'s byte-slice stub until a
+    * real codec is attached off-container. */
+  object VideoContainerDecoder extends BinaryDecoder {
+    override def schema: StructType = videoMetaSchema
+    def decode(bytes: Array[Byte]): Row = {
+      val avi = parseAvi(bytes)
+      if (avi != null) avi else parseMp4(bytes)
+    }
+  }
+
+  /** Deterministic REAL-container video fixtures: even ids get an AVI
+    * (RIFF hdrl/avih/strl/strh/strf + empty movi) with MJPG fourcc, odd
+    * ids an MP4 (ftyp + moov[mvhd,trak[tkhd,mdia[mdhd,minf[stbl[stsd,
+    * stts]]]]] + mdat) with avc1 — every header field a pure function
+    * of the id, so a SQL oracle predicts the parsed metadata
+    * arithmetically while the bytes exercise the genuine parsers. */
+  def generateVideo(df: DataFrame, idCol: String,
+                    outCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.get(idIdx) match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case other => other.toString.toLong
+        }
+        val bytes =
+          if (id % 2 == 0) aviBytes(id) else mp4Bytes(id)
+        Row.fromSeq(row.toSeq :+ bytes)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def ascii(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Header parameters for the generated AVI of `id` (see
+    * [[generateVideo]]); the oracle mirrors these expressions. */
+  def aviParams(id: Long): (Int, Int, Long, Long) =
+    (32 + (id % 64).toInt, 24 + (id % 48).toInt, // w, h
+      30 + id % 60, 10 + id % 20) // frames, fps (scale 1)
+
+  private def aviBytes(id: Long): Array[Byte] = {
+    val (w, h, frames, rate) = aviParams(id)
+    def chunk(id4: String, body: Array[Byte]): Array[Byte] =
+      ascii(id4) ++ le32(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(tp: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", ascii(tp) ++ body)
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(1000000L / rate), 0, avih, 0, 4) // usec/frame
+    System.arraycopy(le32(frames), 0, avih, 16, 4)
+    System.arraycopy(le32(1L), 0, avih, 24, 4) // one stream
+    System.arraycopy(le32(w.toLong), 0, avih, 32, 4)
+    System.arraycopy(le32(h.toLong), 0, avih, 36, 4)
+    val strh = new Array[Byte](56)
+    System.arraycopy(ascii("vids"), 0, strh, 0, 4)
+    System.arraycopy(ascii("MJPG"), 0, strh, 4, 4)
+    System.arraycopy(le32(1L), 0, strh, 20, 4) // dwScale
+    System.arraycopy(le32(rate), 0, strh, 24, 4) // dwRate
+    System.arraycopy(le32(frames), 0, strh, 32, 4) // dwLength
+    val strf = new Array[Byte](40) // BITMAPINFOHEADER
+    System.arraycopy(le32(40L), 0, strf, 0, 4)
+    System.arraycopy(le32(w.toLong), 0, strf, 4, 4)
+    System.arraycopy(le32(h.toLong), 0, strf, 8, 4)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", chunk("00dc", le32(id))) // one token frame chunk
+    val payload = ascii("AVI ") ++ hdrl ++ movi
+    ascii("RIFF") ++ le32(payload.length.toLong) ++ payload
+  }
+
+  /** Header parameters for the generated MP4 of `id` (see
+    * [[generateVideo]]); the oracle mirrors these expressions. */
+  def mp4Params(id: Long): (Int, Int, Long, Long, Long, Long) = {
+    val timescale = 600 + id % 400
+    val nFrames = 25 + id % 75
+    val delta = 20 + id % 30
+    (32 + (id % 64).toInt, 24 + (id % 48).toInt, // w, h
+      timescale, nFrames * delta + id % 7, // mvhd duration (non-round)
+      nFrames, delta)
+  }
+
+  private def mp4Bytes(id: Long): Array[Byte] = {
+    val (w, h, timescale, duration, nFrames, delta) = mp4Params(id)
+    def box(tp: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ ascii(tp) ++ body
+    val ftyp = box("ftyp", ascii("isom") ++ be32(512L) ++ ascii("isomiso2"))
+    val mvhd = box("mvhd", new Array[Byte](12) ++ be32(timescale) ++
+      be32(duration) ++ new Array[Byte](80))
+    val tkhd = {
+      val body = new Array[Byte](84)
+      be32((w.toLong << 16)).copyToArray(body, 76)
+      be32((h.toLong << 16)).copyToArray(body, 80)
+      box("tkhd", body)
+    }
+    val mdhd = box("mdhd", new Array[Byte](12) ++ be32(timescale) ++
+      be32(duration) ++ new Array[Byte](4))
+    val stsd = box("stsd", new Array[Byte](4) ++ be32(1L) ++
+      be32(16L) ++ ascii("avc1") ++ new Array[Byte](8))
+    val stts = box("stts", new Array[Byte](4) ++ be32(1L) ++
+      be32(nFrames) ++ be32(delta))
+    val stbl = box("stbl", stsd ++ stts)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    val mdat = box("mdat", le32(id))
+    ftyp ++ moov ++ mdat
+  }
 }

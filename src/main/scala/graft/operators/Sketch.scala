@@ -20,16 +20,32 @@ object Sketch {
     * unsigned edge cases); top `p` bits pick the bucket, and the rank is
     * the 1-based position of the first set bit in the remaining q = 60−p
     * bits (q+1 when they are all zero) — counted via `lpad(bin(rest))`,
-    * which both Spark and DuckDB evaluate identically. */
+    * which both Spark and DuckDB evaluate identically. The rank is
+    * clamped at 53 so the estimator's exact-integer harmonic fold
+    * (Σ 2^(53−rank) in longs) never sees a negative shift: at p < 8 an
+    * all-zero tail would otherwise rank q+1 = 61−p > 53 (r11 ADVICE) —
+    * a 2^−53-probability event whose clamp shifts the harmonic term by
+    * under 2^−53, far below the estimator's own error. */
   private def hashParts(v: Column, p: Int): (Column, Column) = {
     val q = 60 - p
     val h = conv(substring(md5(v.cast("string").cast("binary")), 1, 15),
       16, 10).cast("long")
     val bucket = shiftrightunsigned(h, q)
     val rest = h.bitwiseAND(lit((1L << q) - 1L))
-    val rank = when(rest === 0L, lit((q + 1).toLong))
+    val rank = when(rest === 0L, lit(math.min(q + 1, 53).toLong))
       .otherwise(instr(lpad(bin(rest), q, "0"), "1").cast("long"))
     (bucket, rank)
+  }
+
+  /** The bias-correction constant α_m from Flajolet et al. 2007, §4:
+    * exact table values for the small register counts the asymptotic
+    * formula overshoots (m = 16/32/64), the asymptotic form for
+    * m ≥ 128. */
+  private def alphaFor(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ => 0.7213 / (1 + 1.079 / m.toDouble)
   }
 
   /** The 2^p-row register table of a column: (bucket 0..2^p−1, max_rank
@@ -76,10 +92,11 @@ object Sketch {
     require(m >= 16 && (m & (m - 1)) == 0, s"register count must be 2^p, got $m")
     val maxRank = 53L
     require(rows.forall(_.getLong(1) <= maxRank),
-      "register rank exceeds the 60-bit hash's field width")
+      "register rank exceeds the estimator's 53-rank bound " +
+        "(hashParts clamps at 53 — foreign register tables must too)")
     val sInt = rows.map(r => 1L << (maxRank - r.getLong(1))).sum
     val vZero = rows.count(_.getLong(1) == 0L).toLong
-    val alpha = 0.7213 / (1 + 1.079 / m.toDouble)
+    val alpha = alphaFor(m)
     val raw = alpha * (m.toLong * m).toDouble * 9007199254740992.0 /
       sInt.toDouble
     val est =
@@ -125,7 +142,7 @@ object Sketch {
       val sInt = rs.map(r => 1L << (maxRank - r.getLong(2))).sum +
         (m - present).toLong * (1L << maxRank)
       val vZero = (m - present).toLong
-      val alpha = 0.7213 / (1 + 1.079 / m.toDouble)
+      val alpha = alphaFor(m)
       val raw = alpha * (m.toLong * m).toDouble * 9007199254740992.0 /
         sInt.toDouble
       val est =

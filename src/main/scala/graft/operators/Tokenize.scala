@@ -228,10 +228,16 @@ object Tokenize {
     * in `vocab`.
     *
     * Ties resolve deterministically by PACKING the objective: a path's
-    * value is `score·64 + (63 − pieces)`, so the DP maximizes score
+    * value is `score·1024 + (1023 − pieces)`, so the DP maximizes score
     * first, then prefers FEWER pieces — one long per cell, one max per
-    * transition, and the identical packed recurrence replays in SQL
-    * (piece counts stay far below 64; scores below 2^56). Returns
+    * transition, and the identical packed recurrence replays in SQL.
+    * The pieces field is 10 bits, so words up to 1023 letters segment
+    * exactly; a LONGER letter run (base64 blobs, spam runs) fails HARD
+    * with a clear message instead of silently borrowing from the score
+    * field — callers should pre-filter such non-linguistic runs (e.g.
+    * [[graft.operators.Quality]]'s max-word-length filter). Per-piece
+    * scores are bounded to 2^42 so the worst packed path (1023 pieces ×
+    * 2^42 × 1024) stays under 2^63. Returns
     * (word, count long, score long, n_pieces long).
     *
     * Scale shape: the corpus collapses to its word-frequency table (the
@@ -243,8 +249,8 @@ object Tokenize {
                             vocab: Map[String, Long],
                             maxPieceLen: Int = 4): DataFrame = {
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
-    require(vocab.values.forall(s => s >= 1 && s < (1L << 56)),
-      "piece scores must be in [1, 2^56) for the packed objective")
+    require(vocab.values.forall(s => s >= 1 && s <= (1L << 42)),
+      "piece scores must be in [1, 2^42] for the packed objective")
     val spark = df.sparkSession
     import spark.implicits._
     val words = df
@@ -253,8 +259,14 @@ object Tokenize {
       .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
     words.as[(String, Long)].map { case (w, c) =>
       val n = w.length
+      // > 1023 pieces would underflow the 10-bit pieces field and
+      // corrupt BOTH outputs with no error (r11 ADVICE); fail loudly
+      require(n <= 1023,
+        s"word of length $n exceeds the 1023-letter segmentation bound " +
+          "(pre-filter non-linguistic letter runs before segmenting): " +
+          w.take(40) + "...")
       val dp = new Array[Long](n + 1)
-      dp(0) = 63L // packed (score 0, pieces 0)
+      dp(0) = 1023L // packed (score 0, pieces 0)
       var i = 1
       while (i <= n) {
         var best = Long.MinValue
@@ -265,7 +277,7 @@ object Tokenize {
           val sc =
             if (l == 1) Some(vocab.getOrElse(piece, 1L)) else vocab.get(piece)
           sc.foreach { s =>
-            val v = dp(i - l) + s * 64 - 1
+            val v = dp(i - l) + s * 1024 - 1
             if (v > best) best = v
           }
           l += 1
@@ -273,7 +285,7 @@ object Tokenize {
         dp(i) = best
         i += 1
       }
-      (w, c, dp(n) / 64, 63 - dp(n) % 64)
+      (w, c, dp(n) / 1024, 1023 - dp(n) % 1024)
     }.toDF("word", "count", "score", "n_pieces")
   }
 

@@ -323,17 +323,27 @@ object StreamRunner {
         .write.mode("overwrite").parquet(s"$statePath/v$id")
     }
 
-  /** The highest committed snapshot version under `statePath`, if any. */
+  /** The highest committed snapshot version under `statePath`, if any.
+    * Resolved through the Hadoop FileSystem for `statePath`'s scheme so
+    * HDFS/S3/dbfs state dirs work identically to local paths — a
+    * local-only listing here would silently return None on a remote
+    * statePath and make every micro-batch fold into the ORIGINAL base
+    * snapshot, dropping earlier batches' changes without an error. A
+    * version counts only once its `_SUCCESS` marker exists (a crashed
+    * overwrite leaves a partial dir without one). */
   def latestCdcSnapshot(spark: SparkSession,
                         statePath: String): Option[DataFrame] = {
-    val dir = new java.io.File(statePath)
-    val versions = Option(dir.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption
-        .map(_ -> f))
+    import org.apache.hadoop.fs.Path
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val versions = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v") &&
+        fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .flatMap(st => scala.util.Try(st.getPath.getName.drop(1).toLong)
+        .toOption.map(_ -> st.getPath))
     if (versions.isEmpty) None
-    else Some(spark.read.parquet(versions.maxBy(_._1)._2.getPath))
+    else Some(spark.read.parquet(versions.maxBy(_._1)._2.toString))
   }
 
   def runIncrementalDedup(stream: DataFrame, idCol: String, textCol: String,

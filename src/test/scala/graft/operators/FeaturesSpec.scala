@@ -87,6 +87,17 @@ class FeaturesSpec extends SparkSpec {
     assert(out(2) == ((9L, 2L, 0.975, 1.0, 0.025)))
   }
 
+  test("calibrationBins: out-of-range scores clamp into the edge bins, never negative ids") {
+    // a scorer emitting -0.3 / 1.7 is broken, but the diagram must show
+    // it in bins 0/9 (where the gap exposes it) rather than emit bin -3
+    // rows that violate the 0..bins-1 contract (r11 ADVICE)
+    val df = Seq((-0.3, false), (-0.01, false), (1.7, true)).toDF("score", "y")
+    val out = Features.calibrationBins(df, "score", "y", bins = 10)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(0L, 9L))
+    assert(out.head._2 == 2L && out(1)._2 == 1L)
+  }
+
   test("calibrationBins: NULL score or label rows excluded; empty bins omitted") {
     val df = Seq((Some(0.5), Some(true)), (None, Some(true)),
       (Some(0.5), None)).toDF("score", "y")

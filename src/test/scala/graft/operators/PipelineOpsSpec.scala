@@ -787,6 +787,52 @@ class MultimodalSpec extends SparkSpec {
       "zero-padded to target")
     assert(rows(1).isNullAt(2), "null stays null")
   }
+
+  test("video containers: generated AVI and MP4 headers parse back to the " +
+       "id-derived parameters; garbage and truncated payloads yield null") {
+    val ids = Seq(0L, 6L, 77L, 123L, 500L).toDF("doc_id")
+    val out = Multimodal.decodeMeta(
+        Multimodal.generateVideo(ids, "doc_id"), "payload",
+        decoder = Multimodal.VideoContainerDecoder)
+      .select($"doc_id", $"media_meta.*").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // even -> AVI: w=32+id%64, h=24+id%48, frames=30+id%60, fps=(10+id%20)/1
+    for (id <- Seq(0L, 6L, 500L)) {
+      val r = out(id)
+      assert(r.getString(1) == "avi" && r.getString(2) == "MJPG", s"id $id")
+      assert(r.getInt(3) == 32 + (id % 64).toInt, s"w id $id")
+      assert(r.getInt(4) == 24 + (id % 48).toInt, s"h id $id")
+      assert(r.getLong(5) == 30 + id % 60, s"frames id $id")
+      assert(r.getLong(6) == 10 + id % 20 && r.getLong(7) == 1L, s"fps id $id")
+      assert(r.getLong(8) == (30 + id % 60) * 1000 / (10 + id % 20), s"dur id $id")
+    }
+    // odd -> MP4: n_frames from stts, fps = mdhd timescale / stts delta,
+    // duration from mvhd in exact longs
+    for (id <- Seq(77L, 123L)) {
+      val r = out(id)
+      assert(r.getString(1) == "mp4" && r.getString(2) == "avc1", s"id $id")
+      assert(r.getInt(3) == 32 + (id % 64).toInt, s"w id $id")
+      assert(r.getLong(5) == 25 + id % 75, s"frames id $id")
+      assert(r.getLong(6) == 600 + id % 400, s"fps_num id $id")
+      assert(r.getLong(7) == 20 + id % 30, s"fps_den id $id")
+      val dur = ((25 + id % 75) * (20 + id % 30) + id % 7) * 1000 / (600 + id % 400)
+      assert(r.getLong(8) == dur, s"dur id $id")
+    }
+    // non-video bytes, a WAV (RIFF but not AVI), and a truncated MP4 all
+    // report null metadata rather than garbage fields
+    val wav = Multimodal.generateWav(Seq(3L).toDF("doc_id"), "doc_id")
+      .select($"payload").collect().head.getAs[Array[Byte]](0)
+    val mp4 = Multimodal.generateVideo(Seq(123L).toDF("doc_id"), "doc_id")
+      .select($"payload").collect().head.getAs[Array[Byte]](0)
+    val junk = Seq(
+      (1L, "not a movie at all".getBytes("UTF-8")),
+      (2L, wav),
+      (3L, java.util.Arrays.copyOf(mp4, 20))).toDF("doc_id", "payload")
+    val jrows = Multimodal.decodeMeta(junk, "payload",
+        decoder = Multimodal.VideoContainerDecoder)
+      .orderBy($"doc_id").collect()
+    assert(jrows.forall(_.isNullAt(2)), "junk/WAV/truncated -> null meta")
+  }
 }
 
 class PqSimilaritySpec extends graft.SparkSpec {

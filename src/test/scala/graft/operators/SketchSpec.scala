@@ -42,6 +42,19 @@ class SketchSpec extends SparkSpec {
     assert(est._3 >= 254L && est._1 > 0.0 && est._1 < 10.0, est)
   }
 
+  test("hllEstimate at p=4: small-m alpha table, clamped ranks never trip the bound") {
+    // m=16 uses the paper's exact alpha 0.673, not the asymptotic form
+    // (which overshoots small m by a few percent), and hashParts' rank
+    // clamp keeps every register within the estimator's 53-rank bound
+    // even though q+1 = 57 at p=4 (r11 ADVICE)
+    val df = spark.range(2000).select(col("id").cast("string").as("v"))
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(df, "v", p = 4))
+      .as[(Double, Long, Long)].collect().head
+    assert(est._2 == 16L)
+    // HLL at m=16 has ~26% standard error; accept a generous band
+    assert(est._1 > 500.0 && est._1 < 8000.0, est)
+  }
+
   test("cmCounters: dense d×w, mass conservation per row, merge == union") {
     val a = spark.range(2000).select((col("id") % 7).cast("string").as("v"))
     val b = spark.range(500).select((col("id") % 3).cast("string").as("v"))

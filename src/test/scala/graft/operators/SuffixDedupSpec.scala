@@ -37,6 +37,19 @@ class SuffixDedupSpec extends SparkSpec {
     val got = Dedup.suffixDupAnchors(df, "doc_id", "text", L)
       .as[(Long, Int)].collect().toSet
     assert(got === bruteAnchors(docs, L), s"anchors, L=$L")
+    // both physical strategies must agree with brute force on every
+    // corpus shape: the default picks direct-window grouping at L <= 64,
+    // so force prefix doubling explicitly too
+    val doubled = Dedup.suffixDupAnchors(df, "doc_id", "text", L,
+      doublingThreshold = 0).as[(Long, Int)].collect().toSet
+    assert(doubled === got, s"doubling-vs-direct parity, L=$L")
+    // the document-level prefilter must be INVISIBLE in the output:
+    // every duplicate participant self-witnesses through its stride
+    // probes, so dropping the rest changes nothing (exactness argument
+    // in the Scaladoc; pinned here on every corpus shape in this suite)
+    val pre = Dedup.suffixDupAnchorsPrefiltered(df, "doc_id", "text", L)
+      .as[(Long, Int)].collect().toSet
+    assert(pre === got, s"prefiltered parity, L=$L")
     val stats = Dedup.suffixDupStats(df, "doc_id", "text", L)
       .as[(Long, Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap

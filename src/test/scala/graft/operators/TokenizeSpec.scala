@@ -137,4 +137,24 @@ class TokenizeSpec extends SparkSpec {
     assert(out("aa") == ((2L, 1L)))
     assert(out("xyz") == ((3L, 3L)))   // all-UNK: single chars at floor 1
   }
+
+  test("unigramViterbiSegment: words past 63 pieces stay exact; >1023 letters fail loudly") {
+    import spark.implicits._
+    // 100 single-char UNK pieces would have underflowed the old 6-bit
+    // pieces field (63 - 100 < 0 borrowed from score); the 10-bit field
+    // keeps both outputs exact
+    val long100 = "q" * 100
+    val out = Tokenize
+      .unigramViterbiSegment(Seq((1L, long100)).toDF("id", "text"), "text",
+        Map("ab" -> 10L))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(long100) == ((100L, 100L)))
+    // a letter run past the 1023 bound must be a HARD error, not corrupt rows
+    val blob = Seq((1L, "x" * 1200)).toDF("id", "text")
+    val e = intercept[org.apache.spark.SparkException] {
+      Tokenize.unigramViterbiSegment(blob, "text", Map("ab" -> 10L)).collect()
+    }
+    assert(e.getMessage.contains("1023") ||
+      Option(e.getCause).exists(_.getMessage.contains("1023")))
+  }
 }
