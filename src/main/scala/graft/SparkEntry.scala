@@ -107,10 +107,39 @@ object SparkEntry {
   private val chi2LandingCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Staged document-range batches for streaming_sketch_fold (same
-    * INPUT-only contract as [[landingCache]]). */
+  /** Staged document-range batches for the streaming sketch-maintenance
+    * gates — streaming_sketch_fold, streaming_hll_fold,
+    * streaming_kmv_fold share one staging (same INPUT-only contract as
+    * [[landingCache]]). */
   private val sketchLandingCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The word-exploded file stream over three staged doc-id-range
+    * batches — the shared source of the streaming sketch gates. */
+  private def stagedDocWordStream(s: SparkSession, dir: String,
+      docs: DataFrame, h1: Long, h2: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    val landing = sketchLandingCache.synchronized {
+      sketchLandingCache.getOrElseUpdate(dir, {
+        val ld = java.nio.file.Files.createTempDirectory("graft_skf_in")
+        Seq(docs.filter(col("doc_id") <= h1),
+          docs.filter(col("doc_id") > h1 && col("doc_id") <= h2),
+          docs.filter(col("doc_id") > h2)).zipWithIndex.foreach {
+          case (b, i) =>
+            b.coalesce(1).write.mode("append").parquet(ld.toString)
+            graft.streaming.FileStreamReader.stampBatchMtime(ld.toString, i)
+        }
+        ld.toString
+      })
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    graft.streaming.FileStreamReader.read(
+        s, graft.filedf.Parquet(), landing, schema,
+        maxFilesPerTrigger = Some(1))
+      .select(explode(filter(split(lower(col("text")), "[^a-z]+"),
+        t => t =!= "")).as("w"))
+  }
 
   /** Staged change batches for streaming_cdc_apply (same INPUT-only
     * contract as [[landingCache]]). */
@@ -1155,6 +1184,29 @@ object SparkEntry {
           ("segment", col("ma") === col("mb"), 0.9, 0.2),
           ("acctbal", abs(col("ba") - col("bb")) < lit(100.0), 0.85, 0.05)))
     }),
+    "linkage_fs_em" -> ((s, dir) => {
+      // Winkler EM estimation of the Fellegi-Sunter m/u/p parameters
+      // from UNLABELED pairs (neighbor pairs at key distance 1..3):
+      // pair frame collapses to the <=2^3-row agreement-pattern table in
+      // one aggregate, EM runs driver-side over it with 6-dp quantized
+      // doubles; the oracle replays 2 unrolled iterations
+      val cust = DbReader(conn(s, dir), "customer").run()
+      val a = cust.select(col("c_custkey").as("ka"),
+        col("c_nationkey").as("na"), col("c_mktsegment").as("ma"),
+        col("c_acctbal").as("ba"))
+      val b = cust.select(col("c_custkey").as("kb"),
+        col("c_nationkey").as("nb"), col("c_mktsegment").as("mb"),
+        col("c_acctbal").as("bb"))
+      val pairs = a
+        .withColumn("__d", explode(lit(Array(1L, 2L, 3L))))
+        .join(b, col("kb") === col("ka") + col("__d"))
+      operators.Joins.fellegiSunterEm(pairs, Seq(
+          ("nation", col("na") === col("nb")),
+          ("segment", col("ma") === col("mb")),
+          ("acctbal", abs(col("ba") - col("bb")) < lit(100.0))),
+          p0 = 0.1, m0 = 0.9, u0 = 0.1, iterations = 2)
+        .orderBy(col("field"))
+    }),
     "graph_kcore" -> ((s, dir) => {
       // 3-core of the fuzzy-match graph: iterative peel to fixpoint —
       // dense template families survive with their within-core degrees,
@@ -1221,26 +1273,7 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val mx = docs.agg(max(col("doc_id"))).first.getLong(0)
       val (h1, h2) = (mx / 3, 2 * mx / 3)
-      val landing = sketchLandingCache.synchronized {
-        sketchLandingCache.getOrElseUpdate(dir, {
-          val ld = java.nio.file.Files.createTempDirectory("graft_skf_in")
-          Seq(docs.filter(col("doc_id") <= h1),
-            docs.filter(col("doc_id") > h1 && col("doc_id") <= h2),
-            docs.filter(col("doc_id") > h2)).zipWithIndex.foreach {
-            case (b, i) =>
-              b.coalesce(1).write.mode("append").parquet(ld.toString)
-              graft.streaming.FileStreamReader.stampBatchMtime(ld.toString, i)
-          }
-          ld.toString
-        })
-      }
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType)))
-      val stream = graft.streaming.FileStreamReader.read(
-          s, graft.filedf.Parquet(), landing, schema,
-          maxFilesPerTrigger = Some(1))
-        .select(explode(filter(split(lower(col("text")), "[^a-z]+"),
-          t => t =!= "")).as("w"))
+      val stream = stagedDocWordStream(s, dir, docs, h1, h2)
       val ck = java.nio.file.Files.createTempDirectory("graft_skf_ck").toString
       val tab = java.nio.file.Files.createTempDirectory("graft_skf_cm")
         .toString + "/counters"
@@ -1258,6 +1291,44 @@ object SparkEntry {
         .select(col("w"), col("true_cnt"), col("est_cnt"),
           (col("est_cnt") - col("true_cnt")).as("overcount"))
         .orderBy(col("w"))
+        .localCheckpoint()
+    }),
+    "streaming_hll_fold" -> ((s, dir) => {
+      // HLL maintenance on ingest: each doc-range micro-batch appends
+      // its dense 2^8 register frame; the per-bucket MAX fold equals the
+      // whole-corpus registers exactly (max commutes), so the estimate
+      // is gated by the SAME oracle as the batch sketch_hll_estimate.
+      // Unlike CM sums the fold is replay-idempotent (spec-forged)
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), col("text"))
+      val mx = docs.agg(max(col("doc_id"))).first.getLong(0)
+      val stream = stagedDocWordStream(s, dir, docs, mx / 3, 2 * mx / 3)
+      val ck = java.nio.file.Files.createTempDirectory("graft_hllf_ck").toString
+      val tab = java.nio.file.Files.createTempDirectory("graft_hllf_t")
+        .toString + "/regs"
+      graft.streaming.StreamRunner.runIncrementalHllMaintain(
+        stream, "w", tab, p = 8, ck,
+        new graft.core.InMemoryHwmStore, s"hll@$ck")
+      operators.Sketch.hllEstimate(operators.Sketch.hllFoldTable(s, tab))
+        .localCheckpoint()
+    }),
+    "streaming_kmv_fold" -> ((s, dir) => {
+      // bottom-k maintenance on ingest: each micro-batch appends its
+      // <=128 smallest distinct hashes; distinct-union + bottom-k equals
+      // the whole-corpus registers exactly, same estimator oracle as the
+      // batch kmv gate
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), col("text"))
+      val mx = docs.agg(max(col("doc_id"))).first.getLong(0)
+      val stream = stagedDocWordStream(s, dir, docs, mx / 3, 2 * mx / 3)
+      val ck = java.nio.file.Files.createTempDirectory("graft_kmvf_ck").toString
+      val tab = java.nio.file.Files.createTempDirectory("graft_kmvf_t")
+        .toString + "/regs"
+      graft.streaming.StreamRunner.runIncrementalKmvMaintain(
+        stream, "w", tab, k = 128, ck,
+        new graft.core.InMemoryHwmStore, s"kmv@$ck")
+      operators.Sketch.kmvEstimate(
+          operators.Sketch.kmvFoldTable(s, tab, k = 128), k = 128)
         .localCheckpoint()
     }),
     "sketch_countmin_words" -> ((s, dir) => {
@@ -4765,6 +4836,79 @@ object SparkEntry {
        |FROM sc ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Unrolled 2-iteration EM replay for [[Joins.fellegiSunterEm]]: the
+    * agreement-pattern CTE mirrors the operator's one aggregate; each
+    * iteration's E-step weight is the identical fixed-order double
+    * expression rounded to 6 dp, the M-step sums run in exact
+    * DECIMAL(28,6) (order-free), and every ratio is
+    * round-then-clamp exactly as the Scala loop — so 2 unrolled
+    * iterations replay the driver-side EM bit-for-bit. */
+  private def fsEmOracleSql(): String = {
+    // iteration-1 parameters are the gate's literals; iteration-2
+    // parameters are the p1 CTE's columns
+    def eStep(p: String, ms: Seq[String], us: Seq[String]): String = {
+      def prod(first: String, fs: Seq[String]) =
+        fs.zipWithIndex.foldLeft(first) { case (acc, (f, i)) =>
+          s"$acc * (CASE WHEN g${i + 1} = 1 THEN $f " +
+            s"ELSE CAST(1 AS DOUBLE) - $f END)"
+        }
+      val num = prod(p, ms)
+      val alt = prod(s"(CAST(1 AS DOUBLE) - $p)", us)
+      s"round(($num) / (($num) + ($alt)), 6)"
+    }
+    def mStep: String =
+      (1 to 3).map { i =>
+        s"""|  least(greatest(round(CAST(w$i AS DOUBLE) / CAST(wd AS DOUBLE), 6),
+            |    0.000001), 0.999999) AS m$i,
+            |  least(greatest(round(CAST(c$i - w$i AS DOUBLE)
+            |    / CAST(n - wd AS DOUBLE), 6), 0.000001), 0.999999) AS u$i,""".stripMargin
+      }.mkString("\n") +
+        """
+          |  least(greatest(round(CAST(wd AS DOUBLE) / CAST(n AS DOUBLE), 6),
+          |    0.000001), 0.999999) AS p""".stripMargin
+    def sums(src: String): String =
+      s"""SELECT sum(CAST(w AS DECIMAL(28,6)) * cnt) AS wd, sum(cnt) AS n,
+         |${(1 to 3).map(i =>
+            s"  coalesce(sum(CASE WHEN g$i = 1 THEN CAST(w AS DECIMAL(28,6)) * cnt END), 0) AS w$i,\n" +
+            s"  coalesce(sum(CASE WHEN g$i = 1 THEN cnt END), 0) AS c$i").mkString(",\n")}
+         |FROM $src""".stripMargin
+    val lit01 = "CAST(0.1 AS DOUBLE)"
+    val lit09 = "CAST(0.9 AS DOUBLE)"
+    s"""WITH c AS (
+       |  SELECT c_custkey AS k, c_nationkey AS n, c_mktsegment AS s,
+       |         c_acctbal AS b FROM customer),
+       |pairs AS (
+       |  SELECT CASE WHEN a.n = t.n THEN 1 ELSE 0 END AS g1,
+       |         CASE WHEN a.s = t.s THEN 1 ELSE 0 END AS g2,
+       |         CASE WHEN abs(a.b - t.b) < 100.0 THEN 1 ELSE 0 END AS g3
+       |  FROM c a
+       |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS d) d
+       |  JOIN c t ON t.k = a.k + d.d),
+       |pat AS (
+       |  SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM pairs GROUP BY 1, 2, 3),
+       |e1 AS (
+       |  SELECT g1, g2, g3, cnt,
+       |    ${eStep(lit01, Seq(lit09, lit09, lit09), Seq(lit01, lit01, lit01))} AS w
+       |  FROM pat),
+       |s1 AS (${sums("e1")}),
+       |p1 AS (SELECT
+       |$mStep
+       |FROM s1),
+       |e2 AS (
+       |  SELECT g1, g2, g3, cnt,
+       |    ${eStep("p", Seq("m1", "m2", "m3"), Seq("u1", "u2", "u3"))} AS w
+       |  FROM pat CROSS JOIN p1),
+       |s2 AS (${sums("e2")}),
+       |p2 AS (SELECT
+       |$mStep
+       |FROM s2)
+       |SELECT 'acctbal' AS field, m3 AS m, u3 AS u, p FROM p2
+       |UNION ALL SELECT 'nation' AS field, m1 AS m, u1 AS u, p FROM p2
+       |UNION ALL SELECT 'segment' AS field, m2 AS m, u2 AS u, p FROM p2
+       |ORDER BY field""".stripMargin
+  }
+
   /** Unrolled integer-Lloyd replay: floor-quantized components, exact
     * long distances, row_number-argmin with the same (d2, cid) order,
     * posmod-subtract floor division for the update — every value BIGINT
@@ -4921,6 +5065,43 @@ object SparkEntry {
     *    PMI, JS terms, embedding means) is normalized with `+ 0.0`
     *    (IEEE: -0.0 + 0.0 = +0.0; a no-op for every other value).
     * tools/check_oracle.py enforces both classes bit-exactly. */
+  /** The batch HLL-estimate replay — shared verbatim by
+    * sketch_hll_estimate and streaming_hll_fold (the streaming max-fold
+    * equals the batch registers exactly). */
+  private def hllEstimateOracle: String =
+    """WITH toks AS (
+        |  SELECT t FROM documents, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+        |    AS u(t)),
+        |h AS (SELECT CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+        |      FROM toks),
+        |r AS (SELECT h >> 52 AS bucket,
+        |             CASE WHEN (h & ((CAST(1 AS BIGINT) << 52) - 1)) = 0
+        |                  THEN 53
+        |                  ELSE strpos(lpad(bin(
+        |                    h & ((CAST(1 AS BIGINT) << 52) - 1)), 52, '0'),
+        |                    '1') END AS r
+        |      FROM h),
+        |regs AS (SELECT bucket, CAST(max(r) AS BIGINT) AS max_rank
+        |         FROM r GROUP BY bucket),
+        |shape AS (SELECT CAST(unnest(range(256)) AS BIGINT) AS bucket),
+        |allr AS (SELECT shape.bucket, COALESCE(regs.max_rank, 0) AS max_rank
+        |         FROM shape LEFT JOIN regs ON regs.bucket = shape.bucket),
+        |s AS (SELECT CAST(sum(CAST(1 AS BIGINT) << CAST(53 - max_rank
+        |               AS INTEGER)) AS BIGINT) AS si,
+        |             CAST(sum(CASE WHEN max_rank = 0 THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS v,
+        |             CAST(count(*) AS BIGINT) AS m FROM allr)
+        |SELECT round(CASE WHEN 0.7213 / (1 + 1.079 / 256.0) * 65536.0
+        |                       * 9007199254740992.0 / CAST(si AS DOUBLE)
+        |                     <= 640.0 AND v > 0
+        |                  THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+        |                  ELSE 0.7213 / (1 + 1.079 / 256.0) * 65536.0
+        |                       * 9007199254740992.0 / CAST(si AS DOUBLE)
+        |             END, 4) + 0.0 AS estimate,
+        |       m AS n_buckets, v AS v_zero
+        |FROM s""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "reader_snapshot_projection" ->
       """SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
@@ -5443,6 +5624,7 @@ object SparkEntry {
     // wedge join + EXISTS closure — exact integer counts
     "graph_kcore" -> kCoreOracleSql(k = 3, rounds = 8),
     "linkage_fellegi_sunter" -> fellegiSunterOracleSql(),
+    "linkage_fs_em" -> fsEmOracleSql(),
     // join-skew replay: two count frames, deterministic (n desc, key)
     // top-10 each side, UNION-dedup'd hot set, products all BIGINT
     "audit_join_skew" ->
@@ -6042,39 +6224,27 @@ object SparkEntry {
         |ORDER BY shape.bucket""".stripMargin,
     // estimate replay: integer S = sum 2^(53-rank), then the one fixed
     // double sequence alpha*m^2*2^53/S (+ linear-counting branch)
-    "sketch_hll_estimate" ->
+    "sketch_hll_estimate" -> hllEstimateOracle,
+    // identical oracle: the streaming per-bucket max fold equals the
+    // batch registers exactly, so the same replay gates both
+    "streaming_hll_fold" -> hllEstimateOracle,
+    "streaming_kmv_fold" ->
       """WITH toks AS (
         |  SELECT t FROM documents, UNNEST(list_filter(
         |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
         |    AS u(t)),
-        |h AS (SELECT CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
-        |      FROM toks),
-        |r AS (SELECT h >> 52 AS bucket,
-        |             CASE WHEN (h & ((CAST(1 AS BIGINT) << 52) - 1)) = 0
-        |                  THEN 53
-        |                  ELSE strpos(lpad(bin(
-        |                    h & ((CAST(1 AS BIGINT) << 52) - 1)), 52, '0'),
-        |                    '1') END AS r
-        |      FROM h),
-        |regs AS (SELECT bucket, CAST(max(r) AS BIGINT) AS max_rank
-        |         FROM r GROUP BY bucket),
-        |shape AS (SELECT CAST(unnest(range(256)) AS BIGINT) AS bucket),
-        |allr AS (SELECT shape.bucket, COALESCE(regs.max_rank, 0) AS max_rank
-        |         FROM shape LEFT JOIN regs ON regs.bucket = shape.bucket),
-        |s AS (SELECT CAST(sum(CAST(1 AS BIGINT) << CAST(53 - max_rank
-        |               AS INTEGER)) AS BIGINT) AS si,
-        |             CAST(sum(CASE WHEN max_rank = 0 THEN 1 ELSE 0 END)
-        |               AS BIGINT) AS v,
-        |             CAST(count(*) AS BIGINT) AS m FROM allr)
-        |SELECT round(CASE WHEN 0.7213 / (1 + 1.079 / 256.0) * 65536.0
-        |                       * 9007199254740992.0 / CAST(si AS DOUBLE)
-        |                     <= 640.0 AND v > 0
-        |                  THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
-        |                  ELSE 0.7213 / (1 + 1.079 / 256.0) * 65536.0
-        |                       * 9007199254740992.0 / CAST(si AS DOUBLE)
-        |             END, 4) + 0.0 AS estimate,
-        |       m AS n_buckets, v AS v_zero
+        |dh AS (SELECT DISTINCT CAST('0x' || substr(md5(t), 1, 15)
+        |         AS BIGINT) AS h FROM toks),
+        |reg AS (SELECT h FROM dh ORDER BY h LIMIT 128),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_regs,
+        |             CAST(max(h) AS BIGINT) AS kth_hash FROM reg)
+        |SELECT n_regs, kth_hash,
+        |       round(CASE WHEN n_regs < 128 THEN CAST(n_regs AS DOUBLE)
+        |             ELSE 127.0 * 1152921504606846976.0
+        |                  / CAST(kth_hash AS DOUBLE) END, 4) + 0.0
+        |         AS estimate
         |FROM s""".stripMargin,
+
     // Count-Min replay: identical row-salted md5 cells ("<row>:" || w,
     // first 15 hex chars as a 60-bit long, % 512 — positive dividend so
     // % == pmod), per-cell BIGINT sums, min over the 4 rows. All-integer

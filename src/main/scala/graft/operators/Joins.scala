@@ -538,4 +538,93 @@ object Joins {
           .otherwise(lit("non_link")))
       .orderBy(col(idA), col(idB))
   }
+
+  /** Unsupervised EM estimation of the Fellegi–Sunter parameters (m_f,
+    * u_f, p) from an UNLABELED candidate-pair frame — the Winkler 1988
+    * procedure that [[fellegiSunterScore]]'s caller-supplied weights
+    * normally come from when no labeled pairs exist.
+    *
+    * Scale shape: the pair frame collapses to its DISTINCT AGREEMENT
+    * PATTERN table (≤ 2^F rows for F fields — a provably bounded
+    * sidecar) in ONE map-combinable aggregate; the EM loop then runs
+    * driver-side over that table, so a trillion-pair frame costs one
+    * word-count-shaped pass regardless of `iterations`.
+    *
+    * Cross-engine exactness (every step SQL-replayable): all per-pattern
+    * arithmetic is IEEE-754 double ops in a FIXED left-to-right order
+    * (E-step weight w = p·Π t_f / (p·Π t_f + (1−p)·Π s_f), t/s chosen
+    * by the γ bit), each weight and each M-step ratio is rounded
+    * HALF_UP to 6 dp (the repo's proven cross-engine quantum), and the
+    * M-step sums run over the 6-dp weights × integer counts in exact
+    * decimals — order-free, so neither engine's
+    * aggregation order matters. Estimates clamp to
+    * [1e-6, 0.999999] after each round (EM can push m→1 / u→0 on
+    * degenerate patterns; an unclamped log-weight would be ±∞).
+    *
+    * NULL agreement evaluates as disagreement, matching the scorer.
+    * Returns one row per field, input order: (field, m, u, p — the
+    * match proportion repeated per row for a flat schema). */
+  def fellegiSunterEm(pairs: DataFrame,
+                      fields: Seq[(String, org.apache.spark.sql.Column)],
+                      p0: Double = 0.1, m0: Double = 0.9, u0: Double = 0.1,
+                      iterations: Int = 2): DataFrame = {
+    require(fields.nonEmpty && fields.size <= 16,
+      s"need 1..16 fields, got ${fields.size}")
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val spark = pairs.sparkSession
+    val f = fields.size
+    val gCols = fields.map { case (n, pred) =>
+      when(coalesce(pred, lit(false)), 1).otherwise(0).as(s"__g_$n") }
+    val pat = pairs.select(gCols: _*)
+      .groupBy(fields.map(fd => col(s"__g_${fd._1}")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .collect()
+    val patterns = pat.map(r =>
+      (Array.tabulate(f)(i => r.getInt(i)), r.getLong(f)))
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def clamp(x: Double): Double = math.max(1e-6, math.min(0.999999, x))
+    var p = p0
+    val m = Array.fill(f)(m0)
+    val u = Array.fill(f)(u0)
+    var iter = 0
+    while (iter < iterations) {
+      var bigW = BigDecimal(0)
+      var n = 0L
+      val wf = Array.fill(f)(BigDecimal(0))
+      val cf = Array.fill(f)(0L)
+      patterns.foreach { case (g, cnt) =>
+        var num = p
+        var alt = 1.0 - p
+        var i = 0
+        while (i < f) {
+          num *= (if (g(i) == 1) m(i) else 1.0 - m(i))
+          alt *= (if (g(i) == 1) u(i) else 1.0 - u(i))
+          i += 1
+        }
+        val w = r6(num / (num + alt))
+        bigW += w * cnt
+        n += cnt
+        i = 0
+        while (i < f) {
+          if (g(i) == 1) { wf(i) += w * cnt; cf(i) += cnt }
+          i += 1
+        }
+      }
+      p = clamp(r6(bigW.toDouble / n.toDouble).toDouble)
+      val bigV = BigDecimal(n) - bigW
+      var i = 0
+      while (i < f) {
+        m(i) = clamp(r6(wf(i).toDouble / bigW.toDouble).toDouble)
+        u(i) = clamp(r6((BigDecimal(cf(i)) - wf(i)).toDouble /
+          bigV.toDouble).toDouble)
+        i += 1
+      }
+      iter += 1
+    }
+    import spark.implicits._
+    fields.zipWithIndex
+      .map { case ((name, _), i) => (name, m(i), u(i), p) }
+      .toDF("field", "m", "u", "p")
+  }
 }

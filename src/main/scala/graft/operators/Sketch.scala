@@ -258,6 +258,22 @@ object Sketch {
     regs.reduce(_ unionByName _).distinct().orderBy(col("h")).limit(k)
   }
 
+  /** Fold a streaming-maintained HLL register table
+    * ([[graft.streaming.StreamRunner.runIncrementalHllMaintain]] appends
+    * one dense 2^p frame per batch): per-bucket max over all appended
+    * frames == the whole-history registers exactly. */
+  def hllFoldTable(spark: org.apache.spark.sql.SparkSession,
+                   table: String): DataFrame =
+    hllMerge(spark.read.parquet(table))
+
+  /** Fold a streaming-maintained bottom-k table
+    * ([[graft.streaming.StreamRunner.runIncrementalKmvMaintain]]):
+    * distinct-union of the appended batch registers, keep the k
+    * smallest == the whole-history registers exactly. */
+  def kmvFoldTable(spark: org.apache.spark.sql.SparkSession,
+                   table: String, k: Int): DataFrame =
+    kmvMerge(k, spark.read.parquet(table))
+
   /** Distinct-count estimate from a bottom-k register table — one row:
     * (n_regs, kth_hash, estimate round(4)). With fewer than k distinct
     * hashes the register set IS the distinct set (estimate = n, exact);

@@ -296,6 +296,49 @@ object StreamRunner {
         .write.mode("append").parquet(counterTable)
     }
 
+  /** Streaming HyperLogLog maintenance — the max-fold sibling of
+    * [[runIncrementalSketchFold]]: each micro-batch appends its dense
+    * 2^p register frame ([[graft.operators.Sketch.hllRegisters]], one
+    * O(batch) map-combinable aggregate, 2^p rows to write); readers fold
+    * the appended frames with a per-bucket MAX
+    * ([[graft.operators.Sketch.hllFoldTable]]), which equals the
+    * whole-history registers EXACTLY because max commutes with max.
+    * Unlike the Count-Min cell SUMS, the max-fold is IDEMPOTENT under
+    * redelivery — a replayed batch's registers fold to the same answer —
+    * so here the exactly-once ledger only prevents wasted duplicate
+    * appends; it is belt-and-braces, not load-bearing (spec-pinned by a
+    * forged replay). */
+  def runIncrementalHllMaintain(stream: DataFrame, valCol: String,
+                                registerTable: String, p: Int,
+                                checkpoint: String,
+                                store: graft.core.HwmStore,
+                                ledgerName: String): Unit =
+    runAvailableNowForeachBatchExactlyOnce(stream, checkpoint, store,
+      ledgerName) { (batch, _) =>
+      graft.operators.Sketch.hllRegisters(batch, valCol, p)
+        .write.mode("append").parquet(registerTable)
+    }
+
+  /** Streaming bottom-k (KMV) maintenance: each micro-batch appends its
+    * ≤ k smallest distinct hashes
+    * ([[graft.operators.Sketch.kmvRegisters]] — a
+    * TakeOrderedAndProject, never a sort); readers fold with
+    * distinct-union + bottom-k ([[graft.operators.Sketch.kmvFoldTable]]),
+    * which equals the whole-history registers EXACTLY (smallest-k of a
+    * union is smallest-k of the per-shard smallest-k). Idempotent under
+    * redelivery like the HLL fold — duplicate hashes vanish in the
+    * distinct — so the ledger is again belt-and-braces. */
+  def runIncrementalKmvMaintain(stream: DataFrame, valCol: String,
+                                registerTable: String, k: Int,
+                                checkpoint: String,
+                                store: graft.core.HwmStore,
+                                ledgerName: String): Unit =
+    runAvailableNowForeachBatchExactlyOnce(stream, checkpoint, store,
+      ledgerName) { (batch, _) =>
+      graft.operators.Sketch.kmvRegisters(batch, valCol, k)
+        .write.mode("append").parquet(registerTable)
+    }
+
   /** Streaming CDC maintenance: each micro-batch of change rows
     * (upserts/deletes with a ts) folds into the maintained snapshot via
     * [[graft.operators.Scd.applyCdc]], and the result lands in a fresh

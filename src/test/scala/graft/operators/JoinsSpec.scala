@@ -296,6 +296,64 @@ class JoinsSpec extends SparkSpec {
       (7L, 8L, 0.0, "possible")))
   }
 
+  test("fellegiSunterEm: one-iteration M-step matches the hand-computed " +
+       "pattern-table update exactly") {
+    // patterns over 2 fields: 4×(1,1), 4×(0,0), 2×(1,0); p0=.5, m0=.8,
+    // u0=.2. E-step (6-dp HALF_UP): w(1,1)=.32/.34=0.941176,
+    // w(0,0)=.02/.34=0.058824, w(1,0)=.08/.16=0.5. Sums: W=4·.941176 +
+    // 4·.058824 + 2·.5 = 5 exactly; N=10 → p=.5.
+    // f1: W1=4·.941176+2·.5=4.764704 → m1=.952941 (r6 of .9529408);
+    //     C1=6, u1=(6−4.764704)/5=.247059
+    // f2: W2=3.764704 → m2=.752941; C2=4, u2=.235296/5=.047059
+    val pairs = (
+      Seq.fill(4)(("x", "x", "y", "y")) ++
+      Seq.fill(4)(("x", "z", "y", "w")) ++
+      Seq.fill(2)(("x", "x", "y", "w"))
+    ).zipWithIndex.map { case ((a, b, c, d), i) => (i.toLong, a, b, c, d) }
+      .toDF("id", "f1a", "f1b", "f2a", "f2b")
+    val out = Joins.fellegiSunterEm(pairs,
+        Seq(("f1", col("f1a") === col("f1b")),
+          ("f2", col("f2a") === col("f2b"))),
+        p0 = 0.5, m0 = 0.8, u0 = 0.2, iterations = 1)
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("f1") == (("f1", 0.952941, 0.247059, 0.5)))
+    assert(out("f2") == (("f2", 0.752941, 0.047059, 0.5)))
+  }
+
+  test("fellegiSunterEm: converges toward the planted match structure; " +
+       "NULL disagrees; degenerate fields clamp instead of exploding") {
+    // 30 'match' pairs agree on both fields, 300 'non-match' pairs agree
+    // on nothing; a few iterations should push m up and u down for both
+    val pairs = (
+      (1 to 30).map(i => (i.toLong, "a", "a", "b", "b")) ++
+      (31 to 330).map(i => (i.toLong, "a", "z", "b", "w"))
+    ).toDF("id", "f1a", "f1b", "f2a", "f2b")
+    val est = Joins.fellegiSunterEm(pairs,
+        Seq(("f1", col("f1a") === col("f1b")),
+          ("f2", col("f2a") === col("f2b"))),
+        iterations = 10)
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(est("f1")._2 > 0.9 && est("f1")._3 < 0.05, est("f1"))
+    assert(est("f2")._2 > 0.9 && est("f2")._3 < 0.05, est("f2"))
+    assert(est("f1")._4 > 0.05 && est("f1")._4 < 0.2, "p near 30/330")
+    // all pairs agree on a constant field -> EM drives u toward 1; the
+    // clamp must cap it at 0.999999 (and never emit NaN/Inf)
+    val const = (1 to 20).map(i => (i.toLong, "c", "c")).toDF("id", "ga", "gb")
+    val c = Joins.fellegiSunterEm(const,
+        Seq(("g", col("ga") === col("gb"))), iterations = 5)
+      .as[(String, Double, Double, Double)].collect().head
+    assert(c._2 <= 0.999999 && c._3 <= 0.999999 && !c._2.isNaN && !c._3.isNaN)
+    // NULL predicate counts as disagreement, not a dropped row
+    val withNull = Seq((1L, Some("a"), Some("a")), (2L, None, Some("a")))
+      .toDF("id", "ga", "gb")
+    val n = Joins.fellegiSunterEm(withNull,
+        Seq(("g", col("ga") === col("gb"))), iterations = 1)
+      .as[(String, Double, Double, Double)].collect().head
+    assert(n._2 > 0.0 && n._2 < 1.0)
+  }
+
   test("joinSkewAudit: hot keys from both sides, products, one-sided keys") {
     val l = Seq(1L, 1L, 1L, 2L, 3L).toDF("lk")
     val r = Seq(1L, 2L, 2L, 9L).toDF("rk")

@@ -198,6 +198,64 @@ class StreamingSpec extends SparkSpec {
     assert(replayed == direct, "replayed batches double-counted cells")
   }
 
+  test("streaming HLL + KMV maintenance: fold == whole-corpus registers, " +
+       "replay-idempotent; a FORGED ledger-bypassing re-append still folds " +
+       "to the same answer (max/distinct commute)") {
+    import graft.operators.Sketch
+    val src = tmpDir("stream-hll-src")
+    val b0 = Seq((1L, "alpha beta beta"), (2L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, "beta beta delta"), (4L, "alpha epsilon"))
+      .toDF("doc_id", "text")
+    b0.coalesce(1).write.mode("append").parquet(src)
+    FileStreamReader.stampBatchMtime(src, 0)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    FileStreamReader.stampBatchMtime(src, 1)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def words(df: org.apache.spark.sql.DataFrame) = df.select(
+      explode(split($"text", " ")).as("w"))
+    val store = new graft.core.InMemoryHwmStore
+    val hllTab = tmpDir("stream-hll-tab") + "/regs"
+    def runHll(ck: String): Unit = StreamRunner.runIncrementalHllMaintain(
+      words(FileStreamReader.read(spark, Parquet(), src, schema,
+        maxFilesPerTrigger = Some(1))),
+      "w", hllTab, p = 8, ck, store, "hll_ledger")
+    runHll(tmpDir("stream-hll-ck1"))
+    def hllFolded() = Sketch.hllFoldTable(spark, hllTab)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hllDirect = Sketch.hllRegisters(words(b0.union(b1)), "w", p = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hllFolded() == hllDirect, "streamed HLL fold diverged from batch")
+    // ledger replay: skipped batches append nothing
+    runHll(tmpDir("stream-hll-ck2"))
+    assert(hllFolded() == hllDirect)
+    // FORGE a ledger bypass: append batch 0's registers AGAIN directly —
+    // unlike CM sums, the max-fold must absorb the duplicate
+    Sketch.hllRegisters(words(b0), "w", p = 8)
+      .write.mode("append").parquet(hllTab)
+    assert(hllFolded() == hllDirect, "duplicate register frame changed the max-fold")
+    // same contract for bottom-k
+    val kmvTab = tmpDir("stream-kmv-tab") + "/regs"
+    def runKmv(ck: String): Unit = StreamRunner.runIncrementalKmvMaintain(
+      words(FileStreamReader.read(spark, Parquet(), src, schema,
+        maxFilesPerTrigger = Some(1))),
+      "w", kmvTab, k = 16, ck, store, "kmv_ledger")
+    runKmv(tmpDir("stream-kmv-ck1"))
+    def kmvFolded() = Sketch.kmvFoldTable(spark, kmvTab, 16)
+      .as[Long].collect().toSeq
+    val kmvDirect = Sketch.kmvRegisters(words(b0.union(b1)), "w", 16)
+      .as[Long].collect().toSeq
+    assert(kmvFolded() == kmvDirect, "streamed KMV fold diverged from batch")
+    Sketch.kmvRegisters(words(b1), "w", 16)
+      .write.mode("append").parquet(kmvTab)
+    assert(kmvFolded() == kmvDirect, "duplicate KMV frame changed the fold")
+    // estimates off the folded registers run (and are finite/positive)
+    val est = Sketch.hllEstimate(Sketch.hllFoldTable(spark, hllTab))
+      .as[(Double, Long, Long)].collect().head
+    assert(est._1 > 0 && est._2 == 256L)
+  }
+
   test("streaming CDC apply: sequential fold == batch LWW, replay-safe") {
     import graft.operators.Scd
     val src = tmpDir("stream-cdc-src")
