@@ -2063,6 +2063,32 @@ object SparkEntry {
           (coalesce(col("hits"), lit(0L)) >= 3).as("recall_ok"))
         .orderBy(col("query_id"))
     }),
+    "similarity_nsw_graph" -> ((s, dir) => {
+      // NSW base-layer adjacency at nLists=1: every pair shares the one
+      // cell, so the build IS the exact global kNN graph (m=4) and the
+      // brute-force pair SQL is a true oracle — the same
+      // make-the-approximation-exact device as similarity_topk_ivf;
+      // multi-list candidate generation + recall is spec-covered
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      operators.Similarity.nswGraph(emb, "vec_id", "embedding",
+          m = 4, nLists = 1, nProbe = 1)
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy(col("id"), col("rank"))
+    }),
+    "similarity_nsw_search" -> ((s, dir) => {
+      // beam search over that adjacency: 3 expand-score-prune rounds,
+      // beam 8, from the 4 smallest ids as deterministic entry points —
+      // every round is a join against the persisted adjacency + one
+      // per-query top-beam window, replayed round-by-round by the oracle
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      val adj = operators.Similarity.nswGraph(emb, "vec_id", "embedding",
+        m = 4, nLists = 1, nProbe = 1)
+      operators.Similarity.nswBeamSearch(adj, emb,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, beam = 8, rounds = 3, entries = 4)
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "similarity_topk_ivf" -> ((s, dir) => {
       // IVF scale path with full probes: nProbe == nLists makes the result
       // exact, so the brute-force SQL is a true oracle; pruned-probe recall
@@ -2605,6 +2631,18 @@ object SparkEntry {
       // no positional self-join), round(4) for cross-engine parity
       operators.Corpus.bigramNll(
           DbReader(conn(s, dir), "documents").run(), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    "quality_trigram_backoff_nll" -> ((s, dir) => {
+      // trigram stupid backoff (Brants 2007) — the CCNet-style
+      // perplexity rung above the bigram gate, trained on even docs and
+      // scored on odd docs so unseen trigrams actually walk the backoff
+      // chain (c3/c2 -> 0.4*c2/c1 -> 0.4^2 Laplace unigram floor)
+      val docs = DbReader(conn(s, dir), "documents").run()
+      operators.Corpus.trigramNllBackoff(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1),
+          "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
     "tokenizer_bpe_pairs" -> ((s, dir) => {
@@ -4834,6 +4872,57 @@ object SparkEntry {
        |            WHEN score >= 0.0 THEN 'possible'
        |            ELSE 'non_link' END AS verdict
        |FROM sc ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Unrolled beam-search replay for [[Similarity.nswBeamSearch]] over
+    * the exact (nLists=1) adjacency: directed top-m edges symmetrized
+    * (out ∪ reversed, distinct — the operator's undirected-NSW walk),
+    * seed beam from the 4 smallest ids, then `rounds`
+    * expand-score-prune CTE pairs (frontier = beam ∪ neighbors-of-beam,
+    * distinct; score vs query; top-8 by round6 cosine desc, id), final
+    * per-query top-5 — every tiebreak the same total order the Scala
+    * walk uses, so the replay is exact. */
+  private def nswSearchOracleSql(rounds: Int): String = {
+    def scoreCte(name: String, from: String): String =
+      s"""$name AS (SELECT query_id, id, cos FROM (
+         |    SELECT f.query_id, f.id,
+         |           round(list_cosine_similarity(q.qv, e2.v), 6) + 0.0 AS cos,
+         |           row_number() OVER (PARTITION BY f.query_id
+         |             ORDER BY round(list_cosine_similarity(q.qv, e2.v), 6)
+         |               DESC, f.id) AS rn
+         |    FROM $from f JOIN e e2 ON e2.id = f.id
+         |      JOIN q ON q.query_id = f.query_id
+         |    WHERE f.id != f.query_id) t WHERE rn <= 8)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""f$r AS (SELECT DISTINCT query_id, id FROM (
+         |    SELECT s.query_id, adj.nb AS id
+         |    FROM s${r - 1} s JOIN adj ON adj.id = s.id
+         |    UNION ALL SELECT query_id, id FROM s${r - 1}) u),
+         |${scoreCte(s"s$r", s"f$r")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |adj0 AS (
+       |  SELECT id, nb FROM (
+       |    SELECT a.id, b.id AS nb,
+       |           row_number() OVER (PARTITION BY a.id
+       |             ORDER BY round(list_cosine_similarity(a.v, b.v), 6)
+       |               DESC, b.id) AS rn
+       |    FROM e a JOIN e b ON a.id != b.id) t WHERE rn <= 4),
+       |adj AS (SELECT DISTINCT id, nb FROM (
+       |  SELECT id, nb FROM adj0
+       |  UNION ALL SELECT nb AS id, id AS nb FROM adj0) u),
+       |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 10),
+       |f0 AS (SELECT q.query_id, x.id
+       |       FROM q CROSS JOIN (SELECT id FROM e ORDER BY id LIMIT 4) x),
+       |${scoreCte("s0", "f0")},
+       |$roundCtes
+       |SELECT query_id, rn::INTEGER AS rank, id, cos AS cosine FROM (
+       |  SELECT query_id, id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, id) AS rn
+       |  FROM s$rounds) t
+       |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   /** Unrolled 2-iteration EM replay for [[Joins.fellegiSunterEm]]: the
@@ -7083,6 +7172,20 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
     // full-probe IVF (nProbe == nLists) is exact, so it shares the
     // brute-force top-k oracle
+    // exact-kNN-graph replay (nLists=1 makes the build exact): brute
+    // pairs + per-node top-m window, tiebreak (round6 cosine desc, id)
+    "similarity_nsw_graph" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        |           FROM embeddings)
+        |SELECT id, rn::INTEGER AS rank, nb AS neighbor, cos AS cosine FROM (
+        |  SELECT a.id, b.id AS nb,
+        |         round(list_cosine_similarity(a.v, b.v), 6) + 0.0 AS cos,
+        |         row_number() OVER (PARTITION BY a.id
+        |           ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+        |                    b.id) AS rn
+        |  FROM e a JOIN e b ON a.id != b.id) t
+        |WHERE rn <= 4 ORDER BY id, rank""".stripMargin,
+    "similarity_nsw_search" -> nswSearchOracleSql(rounds = 3),
     "similarity_topk_ivf" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS id,
@@ -8786,6 +8889,60 @@ object SparkEntry {
         |  GROUP BY b.doc_id)
         |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.nll
         |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // trigram stupid-backoff replay: counts from even docs, scoring of
+    // odd docs; the three CASE rungs mirror the Spark expression with
+    // explicit DOUBLE casts so 0.4*0.4 is the same binary double in
+    // both engines (a plain 0.4*0.4 literal would be exact DECIMAL 0.16
+    // in DuckDB — one ulp off the double product)
+    "quality_trigram_backoff_nll" ->
+      """WITH tr AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS a
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |te AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS a
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |uni AS (SELECT t, count(*) AS c1
+        |        FROM (SELECT unnest(a) AS t FROM tr) GROUP BY t),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n,
+        |               CAST(count(*) AS BIGINT) AS v FROM uni),
+        |bi AS (SELECT w1, w2, count(*) AS c2 FROM (
+        |    SELECT unnest(list_slice(a, 1, len(a)-1)) AS w1,
+        |           unnest(list_slice(a, 2, len(a))) AS w2
+        |    FROM tr WHERE len(a) >= 2) GROUP BY w1, w2),
+        |tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM (
+        |    SELECT a[i] AS w1, a[i+1] AS w2, a[i+2] AS w3
+        |    FROM tr, UNNEST(range(1, len(a) - 1)) AS g(i)
+        |    WHERE len(a) >= 3) GROUP BY w1, w2, w3),
+        |tst AS (
+        |  SELECT doc_id, a[i] AS w1, a[i+1] AS w2, a[i+2] AS w3
+        |  FROM te, UNNEST(range(1, len(a) - 1)) AS g(i) WHERE len(a) >= 3),
+        |sc AS (
+        |  SELECT t.doc_id, count(*) AS n_trigrams,
+        |    round(avg(-ln(
+        |      CASE WHEN tri.c3 IS NOT NULL
+        |             THEN CAST(tri.c3 AS DOUBLE) / b1.c2uv
+        |           WHEN b2.c2vw IS NOT NULL
+        |             THEN CAST(0.4 AS DOUBLE) * CAST(b2.c2vw AS DOUBLE)
+        |                  / u1.c1v
+        |           ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+        |                * CAST(COALESCE(u2.c1w, 0) + 1 AS DOUBLE)
+        |                / CAST(n + v AS DOUBLE) END)), 4) + 0.0 AS nll
+        |  FROM tst t
+        |  LEFT JOIN tri ON t.w1 = tri.w1 AND t.w2 = tri.w2 AND t.w3 = tri.w3
+        |  LEFT JOIN (SELECT w1, w2, c2 AS c2uv FROM bi) b1
+        |    ON t.w1 = b1.w1 AND t.w2 = b1.w2
+        |  LEFT JOIN (SELECT w1 AS w2, w2 AS w3, c2 AS c2vw FROM bi) b2
+        |    ON t.w2 = b2.w2 AND t.w3 = b2.w3
+        |  LEFT JOIN (SELECT t AS w2, c1 AS c1v FROM uni) u1 ON t.w2 = u1.w2
+        |  LEFT JOIN (SELECT t AS w3, c1 AS c1w FROM uni) u2 ON t.w3 = u2.w3
+        |  CROSS JOIN tot
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id, COALESCE(s.n_trigrams, 0) AS n_trigrams, s.nll
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        |LEFT JOIN sc s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     // corpus-as-LM unigram NLL: p(w) = count(w)/N over lowercased
     // ASCII-letter runs; round(4) absorbs sub-ulp ln/summation-order

@@ -305,6 +305,88 @@ object Corpus {
         col("nll"))
   }
 
+  /** Trigram language-model NLL with STUPID BACKOFF (Brants et al.,
+    * EMNLP 2007) — the web-scale backoff scheme: no discounting, no
+    * normalization, just counts and a fixed backoff factor, which is
+    * exactly what survives at 100 TB (every table is a word-count-shaped
+    * aggregate; Kneser-Ney's continuation counts need another full pass
+    * and buy little at this corpus size — the paper's point). This is
+    * the CCNet-style perplexity rung above [[bigramNll]]: score test
+    * documents against a TRAIN corpus, so unseen trigrams actually
+    * exercise the backoff chain:
+    *
+    *   S(w₃|w₁w₂) = c₃(w₁w₂w₃)/c₂(w₁w₂)            if c₃ > 0
+    *              = α · c₂(w₂w₃)/c₁(w₂)             else if c₂(w₂w₃) > 0
+    *              = α² · (c₁(w₃)+1)/(N+V)           otherwise
+    *
+    * (the last rung is Laplace-floored so OOV words score finitely; α =
+    * 0.4 per the paper). Returns one row per test doc: (idCol,
+    * n_trigrams long — 0 for docs under 3 tokens, nll double round(4) —
+    * mean −ln S, NULL when nothing scored).
+    *
+    * Scale shape: three count tables (uni/bi/tri) are map-combinable
+    * aggregates over train; scoring is the test trigram frame
+    * left-joined against them on narrow ngram keys — no driver state,
+    * no windows. round(4) absorbs sub-ulp ln/summation-order drift
+    * between engines, the family's established device. */
+  def trigramNllBackoff(train: DataFrame, test: DataFrame, idCol: String,
+                        textCol: String, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    def toks(df: DataFrame) = df.select(col(idCol).as("__id"),
+      filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= "").as("__a"))
+    def trigrams(arr: DataFrame) = arr
+      .filter(size(col("__a")) >= 3)
+      .select(col("__id"), explode(expr(
+        "transform(sequence(0, size(__a) - 3), " +
+          "i -> struct(__a[i] AS w1, __a[i+1] AS w2, __a[i+2] AS w3))"))
+        .as("__t3"))
+      .select(col("__id"), col("__t3.w1").as("__w1"),
+        col("__t3.w2").as("__w2"), col("__t3.w3").as("__w3"))
+    val trArr = toks(train)
+    val uni = trArr.select(explode(col("__a")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c1"))
+    val totals = uni.agg(sum(col("__c1")).as("__n"),
+      count(lit(1)).as("__v"))
+    val bi = trArr.filter(size(col("__a")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__a"), lit(1), size(col("__a")) - 1),
+        slice(col("__a"), lit(2), size(col("__a")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .groupBy(col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+      .agg(count(lit(1)).as("__c2"))
+    val tri = trigrams(trArr)
+      .groupBy(col("__w1"), col("__w2"), col("__w3"))
+      .agg(count(lit(1)).as("__c3"))
+    val teArr = toks(test)
+    val score =
+      when(col("__c3").isNotNull,
+        col("__c3").cast("double") / col("__c2uv"))
+      .when(col("__c2vw").isNotNull,
+        lit(alpha) * col("__c2vw").cast("double") / col("__c1v"))
+      .otherwise(lit(alpha * alpha) *
+        (coalesce(col("__c1w"), lit(0L)) + lit(1L)).cast("double") /
+        (col("__n") + col("__v")).cast("double"))
+    val scored = trigrams(teArr)
+      .join(tri, Seq("__w1", "__w2", "__w3"), "left")
+      .join(bi.select(col("__w1"), col("__w2"), col("__c2").as("__c2uv")),
+        Seq("__w1", "__w2"), "left")
+      .join(bi.select(col("__w1").as("__w2"), col("__w2").as("__w3"),
+        col("__c2").as("__c2vw")), Seq("__w2", "__w3"), "left")
+      .join(uni.select(col("__t").as("__w2"), col("__c1").as("__c1v")),
+        Seq("__w2"), "left")
+      .join(uni.select(col("__t").as("__w3"), col("__c1").as("__c1w")),
+        Seq("__w3"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        (round(avg(-log(score)), 4) + lit(0.0)).as("nll"))
+    test.select(col(idCol).as("__id"))
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("nll"))
+  }
+
   /** Snapshot delta between two corpus versions — the report an
     * incremental pipeline keys on ("what changed since the last crawl"):
     * every id is classified added / removed / changed / unchanged by

@@ -832,4 +832,127 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id"), col("cosine"))
   }
+
+  // --- Navigable-small-world graph ANN (Malkov & Yashunin's NSW layer,
+  // re-expressed as batch joins: the graph is a persisted table, search
+  // is a fixed number of expand-score-prune rounds) -----------------------
+
+  /** Batch-build a k-NN adjacency graph — the NSW base layer: every
+    * vector keeps its `m` nearest neighbors among candidates proposed by
+    * shared IVF cells. Each vector multi-assigns to its `nProbe` nearest
+    * of `nLists` centroids (multi-probe is the long-link device: border
+    * vectors join the neighboring cell's candidates, which is what makes
+    * greedy search cross cell boundaries), candidate pairs generate only
+    * WITHIN a shared cell — the SemDeDup shape, never a cartesian — and
+    * per-node top-m is one window over (cosine round6 desc, id).
+    *
+    * `nLists = 1` degenerates to the EXACT global kNN graph (all pairs
+    * share the one cell) — O(n²) scoring, which is the oracle-able gate
+    * configuration; at scale use nLists ≈ √n so candidate volume is
+    * ~n²·nProbe/nLists. Returns (id, rank 1..m, neighbor, cosine
+    * round6) — a bucketed-table-friendly persisted adjacency. */
+  def nswGraph(corpus: DataFrame, idCol: String, vecCol: String,
+               m: Int = 8, nLists: Int = 16, nProbe: Int = 2,
+               iters: Int = 2, seed: Long = 42L): DataFrame = {
+    require(m >= 1 && nProbe >= 1 && nProbe <= nLists)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cells: DataFrame =
+      if (nLists == 1) c.withColumn("cid", lit(0))
+      else {
+        val cents = ivfCentroids(corpus, idCol, vecCol, nLists, iters, seed)
+        val centLit = typedlit(cents.toSeq.zipWithIndex.map {
+          case (v, i) => (i, v.toSeq)
+        })
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("ccos").desc, col("cid").asc)
+        c.select(col("id"), col("v"), explode(centLit).as("c"))
+          .select(col("id"), col("v"), col("c._1").as("cid"),
+            GraftExpressions.cosineSimilarity(col("c._2"), col("v")).as("ccos"))
+          .withColumn("pr", row_number().over(w))
+          .filter(col("pr") <= nProbe)
+          .select(col("id"), col("v"), col("cid"))
+      }
+    val a = cells.select(col("cid"), col("id"), col("v"))
+    val b = cells.select(col("cid"), col("id").as("nb"), col("v").as("nv"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter(col("id") =!= col("nb"))
+      .select(col("id"), col("nb"),
+        round(GraftExpressions.cosineSimilarity(col("v"), col("nv")), 6)
+          .as("cosine"))
+      // two shared cells must not duplicate a candidate pair; dedup the
+      // NARROW scored rows (same pair → same rounded cosine), not the
+      // vector-carrying frame
+      .distinct()
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cosine").desc, col("nb").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= m)
+      .select(col("id"), col("rank"), col("nb").as("neighbor"), col("cosine"))
+  }
+
+  /** Beam search over a [[nswGraph]] adjacency — greedy graph descent as
+    * `rounds` expand-score-prune iterations, each a join against the
+    * persisted adjacency plus one per-query top-`beam` window:
+    *
+    *  1. seed: the `entries` smallest corpus ids (deterministic, no RNG)
+    *     scored against every query, pruned to the beam;
+    *  2. round: frontier = beam ∪ neighbors-of-beam (one equi-join on
+    *     the adjacency's node id), dedup, score vs the query, keep
+    *     top-beam by (cosine round6 desc, id);
+    *  3. answer: top-k of the final beam.
+    *
+    * The adjacency is SYMMETRIZED before walking (out-edges ∪ reversed
+    * in-edges, distinct) — NSW's graph is undirected, and on
+    * concentrated high-dim data a directed kNN graph strands the walk
+    * in sink neighborhoods (measured: 66% → 84% recall on the gate
+    * corpus from this alone).
+    *
+    * Per-round cost is |queries|·beam·m narrow rows — independent of
+    * corpus size, which is the point: the corpus is touched only through
+    * the adjacency table and the id-keyed vector lookups. All tiebreaks
+    * are total orders, so the walk is deterministic and SQL-replayable
+    * round by round. The query's own vector (same id) is excluded from
+    * every beam, matching [[bruteForceTopK]]. */
+  def nswBeamSearch(adj: DataFrame, corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    beam: Int = 8, rounds: Int = 3,
+                    entries: Int = 4): DataFrame = {
+    require(k >= 1 && beam >= k && rounds >= 0 && entries >= 1)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val ent = c.orderBy(col("id").asc).limit(entries).select(col("id"))
+    def score(ids: DataFrame): DataFrame = ids
+      .join(c, Seq("id"))
+      .join(q, Seq("query_id"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        round(GraftExpressions.cosineSimilarity(col("qv"), col("v")), 6)
+          .as("cosine"))
+    def topB(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam)
+        .select(col("query_id"), col("id"), col("cosine"))
+    }
+    val adjOut = adj.select(col("id"), col("neighbor"))
+    val adjN = adjOut
+      .unionByName(adjOut.select(col("neighbor").as("id"),
+        col("id").as("neighbor")))
+      .distinct()
+    var beamDf = topB(score(
+        q.select(col("query_id")).crossJoin(broadcast(ent))))
+      .localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val frontier = beamDf.select(col("query_id"), col("id"))
+        .join(adjN, Seq("id"))
+        .select(col("query_id"), col("neighbor").as("id"))
+        .unionByName(beamDf.select(col("query_id"), col("id")))
+        .distinct()
+      beamDf = topB(score(frontier)).localCheckpoint()
+      r += 1
+    }
+    topK(beamDf, k)
+  }
 }

@@ -85,8 +85,17 @@ class QueryPlanSweepSpec extends AnyFunSuite {
                               // (Similarity.robustScaleVectors)
     "quality_curriculum",     // unigramNll's 1-row corpus-total N
                               // broadcast (same shape as quality_unigram_nll)
-    "quality_ccnet_buckets"   // bigramNll's 1-row corpus-total N broadcast
+    "quality_ccnet_buckets",  // bigramNll's 1-row corpus-total N broadcast
                               // (Corpus.ccnetPerplexityBuckets composes it)
+    "quality_trigram_backoff_nll", // same shape: 1-row (N, V) Laplace-floor
+                              // totals broadcast cross the test trigram
+                              // frame (Corpus.trigramNllBackoff)
+    "similarity_nsw_graph"    // deliberate: nLists=1 is the EXACT-graph
+                              // oracle configuration — every pair shares
+                              // the one cell, the constant-key join folds
+                              // to BNLJ (same device as similarity_topk_
+                              // ivf's full-probe gate); multi-list builds
+                              // plan a real equi-join on cid
   )
 
   /** Global `OVER (ORDER BY ...)` windows with no PARTITION BY run the

@@ -102,6 +102,28 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("trigramNllBackoff: each backoff rung hand-checked; short docs " +
+       "keep a (id, 0, NULL) row") {
+    // train "a b c a b d": c1 a=2 b=2 c=1 d=1 (N=6, V=4);
+    // c2 (a,b)=2 (b,c)=1 (c,a)=1 (b,d)=1; c3 abc/bca/cab/abd = 1
+    val train = Seq((0L, "a b c a b d")).toDF("doc_id", "text")
+    val test_ = Seq((1L, "a b c x"), (3L, "x a b"), (5L, "ab"))
+      .toDF("doc_id", "text")
+    val out = Corpus.trigramNllBackoff(train, test_, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    // doc 1: (a,b,c) hits rung 1 -> c3/c2(a,b) = 1/2;
+    //        (b,c,x) falls to rung 3 -> 0.4^2 * (0+1)/(6+4)
+    val s1 = -math.log(1.0 / 2.0)
+    val s2 = -math.log(0.4 * 0.4 * 1.0 / 10.0)
+    assert(out(1L) == (2L, Some(r4((s1 + s2) / 2))))
+    // doc 3: (x,a,b) hits rung 2 -> 0.4 * c2(a,b)/c1(a) = 0.4*2/2
+    assert(out(3L) == (1L, Some(r4(-math.log(0.4 * 2.0 / 2.0)))))
+    // doc 5: one token, nothing to score
+    assert(out(5L) == (0L, None))
+  }
+
   test("unigramJsDivergence: hand-computed JS on crafted corpora; " +
        "identical corpora score 0; disjoint corpora score ln 2; an " +
        "empty side is NULL, not 0 or NaN") {

