@@ -3879,6 +3879,74 @@ object SparkEntry {
       }
     }),
 
+    "streaming_linkage_ingest" -> ((s, dir) => {
+      // Fellegi-Sunter ENTITY RESOLUTION on ingest: two mtime-ordered
+      // micro-batches of customer records stream against the bucketed
+      // reference (custkey < 300, blocked on the name prefix). Planted
+      // exact copies of reference rows must link to them; in-batch twins
+      // resolve to the smaller batch id instead of both entering the
+      // reference; batch-2 copies of batch-1 newcomers link against the
+      // APPENDED entities. One decision row per record
+      // (matched_id, score, verdict); non-link records grow the
+      // reference. The oracle replays both batches CTE-by-CTE with the
+      // identical decimal weight literals and (score desc, id) tiebreak.
+      import org.apache.spark.sql.types._
+      val blkE = expr("substring(c_name, 1, length(c_name) - 2)")
+      val cust = DbReader(conn(s, dir), "customer").run()
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_mktsegment"), col("c_acctbal"))
+      def copies(from: Int, until: Int, shift: Long) =
+        cust.filter(col("c_custkey") >= from && col("c_custkey") < until)
+          .withColumn("c_custkey", col("c_custkey") + shift)
+      val attrs = Seq("c_nationkey", "c_mktsegment", "c_acctbal")
+      val table = "lnk_ref_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      operators.Joins.buildLinkageRefTable(
+        cust.filter(col("c_custkey") < 300).withColumn("blk", blkE),
+        "c_custkey", "blk", attrs, table)
+      try {
+        val ld = java.nio.file.Files.createTempDirectory("graft_lnk_in").toString
+        val batches = Seq(
+          cust.filter(col("c_custkey") >= 300 && col("c_custkey") < 400)
+            .unionByName(copies(0, 20, 1000000L))     // link vs reference
+            .unionByName(copies(300, 310, 1500000L)), // in-batch twins
+          cust.filter(col("c_custkey") >= 400 && col("c_custkey") < 500)
+            .unionByName(copies(300, 320, 2000000L))  // vs batch-1 APPENDED
+            .unionByName(copies(20, 30, 3000000L)))   // link vs reference
+        batches.zipWithIndex.foreach { case (b, i) =>
+          b.coalesce(1).write.mode("append").parquet(ld)
+          graft.streaming.FileStreamReader.stampBatchMtime(ld, i)
+        }
+        val schema = StructType(Seq(
+          StructField("c_custkey", LongType), StructField("c_name", StringType),
+          StructField("c_nationkey", IntegerType),
+          StructField("c_mktsegment", StringType),
+          StructField("c_acctbal", DoubleType)))
+        val stream = graft.streaming.FileStreamReader.read(
+            s, graft.filedf.Parquet(), ld, schema,
+            maxFilesPerTrigger = Some(1))
+          .withColumn("blk", blkE)
+        val ck = java.nio.file.Files.createTempDirectory("graft_lnk_ck").toString
+        val out = java.nio.file.Files.createTempDirectory("graft_lnk_out").toString
+        val ledger = new graft.core.InMemoryHwmStore
+        graft.streaming.StreamRunner.runIncrementalLinkage(
+          stream, "c_custkey", "blk", attrs, Seq(
+            ("nation", col("c_nationkey_a") === col("c_nationkey_b"),
+              0.95, 0.04),
+            ("segment", col("c_mktsegment_a") === col("c_mktsegment_b"),
+              0.9, 0.2),
+            ("acctbal",
+              abs(col("c_acctbal_a") - col("c_acctbal_b")) < lit(100.0),
+              0.85, 0.05)),
+          table, ck, ledger, s"lnk@$ck") {
+          (decisions, _) => decisions.write.mode("append").parquet(out)
+        }
+        s.read.parquet(out)
+          .orderBy(col("c_custkey"))
+          .localCheckpoint()
+      } finally s.sql(s"DROP TABLE IF EXISTS $table")
+    }),
+
     "q_event_transitions" -> ((s, dir) => {
       // first-order Markov transition matrix over per-user event
       // sequences: lag window ordered by (ts, event_id) for
@@ -4874,6 +4942,77 @@ object SparkEntry {
        |FROM sc ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Batch-by-batch replay of [[graft.streaming.StreamRunner
+    * .runIncrementalLinkage]]'s two micro-batches: per batch, candidates
+    * = reference-as-of-batch (block equality) ∪ smaller-id in-batch rows,
+    * the identical decimal weight literals score them, best match by
+    * (score desc, id), three-way verdict + `new`, and the non-`link`
+    * rows fold into the next batch's reference — every step the same
+    * total order the Scala runner uses, so the replay is exact. */
+  private def streamingLinkageOracleSql(): String = {
+    val (na, nd) = fsWeights(0.95, 0.04)
+    val (sa, sd) = fsWeights(0.9, 0.2)
+    val (ba, bd) = fsWeights(0.85, 0.05)
+    def scoreExpr(a: String, m: String): String =
+      s"""CAST(
+         |      (CASE WHEN $a.nk = $m.nk THEN CAST($na AS DECIMAL(18,6))
+         |            ELSE CAST($nd AS DECIMAL(18,6)) END)
+         |    + (CASE WHEN $a.seg = $m.seg THEN CAST($sa AS DECIMAL(18,6))
+         |            ELSE CAST($sd AS DECIMAL(18,6)) END)
+         |    + (CASE WHEN abs($a.bal - $m.bal) < 100.0
+         |            THEN CAST($ba AS DECIMAL(18,6))
+         |            ELSE CAST($bd AS DECIMAL(18,6)) END) AS DOUBLE)""".stripMargin
+    def round(n: Int, batch: String, ref: String): String =
+      s"""sc$n AS (
+         |  SELECT a.id, m.id AS mid, ${scoreExpr("a", "m")} AS score
+         |  FROM $batch a JOIN $ref m ON m.blk = a.blk
+         |  UNION ALL
+         |  SELECT a.id, m.id AS mid, ${scoreExpr("a", "m")} AS score
+         |  FROM $batch a JOIN $batch m ON m.blk = a.blk AND m.id < a.id),
+         |best$n AS (
+         |  SELECT id, mid, score FROM (
+         |    SELECT id, mid, score, row_number() OVER (PARTITION BY id
+         |      ORDER BY score DESC, mid) AS rn FROM sc$n) t WHERE rn = 1),
+         |d$n AS (
+         |  SELECT i.id, b.mid AS matched_id, b.score,
+         |         CASE WHEN b.score IS NULL THEN 'new'
+         |              WHEN b.score >= 2.0 THEN 'link'
+         |              WHEN b.score >= 0.0 THEN 'possible'
+         |              ELSE 'non_link' END AS verdict
+         |  FROM (SELECT DISTINCT id FROM $batch) i
+         |  LEFT JOIN best$n b ON b.id = i.id)""".stripMargin
+    s"""WITH c AS (
+       |  SELECT c_custkey AS id, substr(c_name, 1, length(c_name) - 2) AS blk,
+       |         c_nationkey AS nk, c_mktsegment AS seg, c_acctbal AS bal
+       |  FROM customer),
+       |ref0 AS (SELECT id, blk, nk, seg, bal FROM c WHERE id < 300),
+       |b0 AS (
+       |  SELECT id, blk, nk, seg, bal FROM c WHERE id >= 300 AND id < 400
+       |  UNION ALL
+       |  SELECT id + 1000000, blk, nk, seg, bal FROM c WHERE id < 20
+       |  UNION ALL
+       |  SELECT id + 1500000, blk, nk, seg, bal FROM c
+       |  WHERE id >= 300 AND id < 310),
+       |${round(0, "b0", "ref0")},
+       |ref1 AS (
+       |  SELECT id, blk, nk, seg, bal FROM ref0
+       |  UNION ALL
+       |  SELECT r.id, r.blk, r.nk, r.seg, r.bal FROM b0 r
+       |  JOIN d0 ON d0.id = r.id AND d0.verdict <> 'link'),
+       |b1 AS (
+       |  SELECT id, blk, nk, seg, bal FROM c WHERE id >= 400 AND id < 500
+       |  UNION ALL
+       |  SELECT id + 2000000, blk, nk, seg, bal FROM c
+       |  WHERE id >= 300 AND id < 320
+       |  UNION ALL
+       |  SELECT id + 3000000, blk, nk, seg, bal FROM c
+       |  WHERE id >= 20 AND id < 30),
+       |${round(1, "b1", "ref1")}
+       |SELECT id AS c_custkey, matched_id, score, verdict FROM (
+       |  SELECT * FROM d0 UNION ALL SELECT * FROM d1) u
+       |ORDER BY c_custkey""".stripMargin
+  }
+
   /** Unrolled beam-search replay for [[Similarity.nswBeamSearch]] over
     * the exact (nLists=1) adjacency: directed top-m edges symmetrized
     * (out ∪ reversed, distinct — the operator's undirected-NSW walk),
@@ -5714,6 +5853,7 @@ object SparkEntry {
     "graph_kcore" -> kCoreOracleSql(k = 3, rounds = 8),
     "linkage_fellegi_sunter" -> fellegiSunterOracleSql(),
     "linkage_fs_em" -> fsEmOracleSql(),
+    "streaming_linkage_ingest" -> streamingLinkageOracleSql(),
     // join-skew replay: two count frames, deterministic (n desc, key)
     // top-10 each side, UNION-dedup'd hot set, products all BIGINT
     "audit_join_skew" ->

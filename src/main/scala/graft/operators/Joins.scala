@@ -520,16 +520,7 @@ object Joins {
                            Double, Double)],
                          upper: Double = 2.0,
                          lower: Double = 0.0): DataFrame = {
-    require(fields.nonEmpty, "fellegiSunterScore needs at least one field")
-    def r6(v: Double) = BigDecimal(v)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-    val score = fields.map { case (name, agree, m, u) =>
-      require(m > 0 && m < 1 && u > 0 && u < 1 && m > u,
-        s"field $name needs 0 < u < m < 1, got m=$m u=$u")
-      val wa = r6(math.log(m / u) / math.log(2.0))
-      val wd = r6(math.log((1 - m) / (1 - u)) / math.log(2.0))
-      when(agree, lit(wa.bigDecimal)).otherwise(lit(wd.bigDecimal))
-    }.reduce(_ + _)
+    val score = fsScoreColumn(fields)
     pairs
       .select(col(idA), col(idB), score.cast("double").as("score"))
       .withColumn("verdict",
@@ -538,6 +529,117 @@ object Joins {
           .otherwise(lit("non_link")))
       .orderBy(col(idA), col(idB))
   }
+
+  /** The Fellegi–Sunter pair score as a Column: per field, log2(m/u) on
+    * agreement and log2((1−m)/(1−u)) on disagreement, weights computed
+    * once driver-side, rounded to 6 dp, and injected as DECIMAL(18,6)
+    * literals so the sum is exact and order-free in any engine. Shared
+    * by [[fellegiSunterScore]] and [[linkAgainstReference]]. */
+  private[graft] def fsScoreColumn(
+      fields: Seq[(String, org.apache.spark.sql.Column, Double, Double)])
+      : org.apache.spark.sql.Column = {
+    require(fields.nonEmpty, "Fellegi-Sunter needs at least one field")
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    fields.map { case (name, agree, m, u) =>
+      require(m > 0 && m < 1 && u > 0 && u < 1 && m > u,
+        s"field $name needs 0 < u < m < 1, got m=$m u=$u")
+      val wa = r6(math.log(m / u) / math.log(2.0))
+      val wd = r6(math.log((1 - m) / (1 - u)) / math.log(2.0))
+      when(agree, lit(wa.bigDecimal)).otherwise(lit(wd.bigDecimal))
+    }.reduce(_ + _)
+  }
+
+  /** One micro-batch (or one daily increment) of ENTITY RESOLUTION
+    * against a growing reference: every batch record is blocked against
+    * the reference on `blockCol` equality, Fellegi–Sunter-scored against
+    * its candidates, and resolved to its BEST match — the incremental
+    * linkage step a master-data / identity pipeline runs on ingest.
+    *
+    * Candidates for batch record `a` are (1) every reference row sharing
+    * `a`'s block, and (2) every EARLIER batch row (id < a's id) sharing
+    * the block — without (2), two copies of a brand-new entity arriving
+    * in one batch would both be declared `new` and both enter the
+    * reference permanently (the same in-batch wrinkle
+    * [[graft.streaming.StreamRunner.runIncrementalNearDedup]] handles).
+    * Ids must therefore be globally unique across batch and reference —
+    * spec-enforced by a require on the caller's contract, not scanned.
+    *
+    * Decision per batch record: max score, ties to the smallest
+    * matched id (a total order — the walk is deterministic and
+    * SQL-replayable); the [[fellegiSunterScore]] three-way cut on that
+    * best score, plus `new` when the block has no candidate at all.
+    * Returns one row per batch record: (idCol, matched_id long nullable,
+    * score double nullable, verdict link|possible|non_link|new).
+    *
+    * Scale shape: one equi-join on the block key (reference side read
+    * from its BUCKETED table — no Exchange on ten years of entities)
+    * plus one window partitioned by batch id; per-batch cost is
+    * O(batch · block-fan-out), independent of reference size. Blocking
+    * quality is the caller's lever and [[blockingStats]] audits it. */
+  def linkAgainstReference(batch: DataFrame, ref: DataFrame, idCol: String,
+                           blockCol: String, attrCols: Seq[String],
+                           fields: Seq[(String, org.apache.spark.sql.Column,
+                             Double, Double)],
+                           upper: Double = 2.0,
+                           lower: Double = 0.0): DataFrame = {
+    require(attrCols.nonEmpty, "linkAgainstReference needs attribute columns")
+    val score = fsScoreColumn(fields)
+    def side(df: DataFrame, idAs: String, suffix: String) = df.select(
+      col(idCol).cast("long").as(idAs) +: col(blockCol).as("__blk") +:
+        attrCols.map(a => col(a).as(s"${a}$suffix")): _*)
+    val a = side(batch, "__ida", "_a")
+    val cands = side(ref, "matched_id", "_b")
+        .withColumn("__from_batch", lit(false))
+      .unionByName(side(batch, "matched_id", "_b")
+        .withColumn("__from_batch", lit(true)))
+    val scored = a.join(cands, Seq("__blk"))
+      .filter(!col("__from_batch") || col("matched_id") < col("__ida"))
+      // a replayed reference append stores byte-identical duplicate rows
+      // (exactly-once reads over at-least-once storage); collapse them
+      // so the rank-1 window below cannot see the same candidate twice
+      .select(col("__ida"), col("matched_id"),
+        score.cast("double").as("score"))
+      .distinct()
+    val w = Window.partitionBy(col("__ida"))
+      .orderBy(col("score").desc, col("matched_id").asc)
+    val best = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__ida"), col("matched_id"), col("score"))
+    batch.select(col(idCol).cast("long").as("__ida")).distinct()
+      .join(best, Seq("__ida"), "left")
+      .select(col("__ida").as(idCol), col("matched_id"), col("score"),
+        when(col("score").isNull, lit("new"))
+          .when(col("score") >= upper, lit("link"))
+          .when(col("score") >= lower, lit("possible"))
+          .otherwise(lit("non_link")).as("verdict"))
+      .orderBy(col(idCol))
+  }
+
+  /** Persist the linkage reference as a bucketed table keyed on the
+    * block column: the per-batch candidate join then has NO Exchange on
+    * the reference side at any history size — the same index contract as
+    * the dedup fingerprint tables. */
+  def buildLinkageRefTable(ref: DataFrame, idCol: String, blockCol: String,
+                           attrCols: Seq[String], table: String,
+                           buckets: Int = 32): Unit =
+    Bucketing.writeBucketed(
+      ref.select(col(idCol).cast("long").as(idCol) +: col(blockCol) +:
+        attrCols.map(col): _*),
+      table, buckets, Seq(blockCol))
+
+  /** Append newly-resolved entities (a batch's non-`link` records) to
+    * the bucketed reference. Replays append byte-identical duplicates,
+    * which [[linkAgainstReference]]'s candidate `distinct()` collapses —
+    * the fingerprint-index idempotency contract. */
+  def appendToLinkageRefTable(newRows: DataFrame, idCol: String,
+                              blockCol: String, attrCols: Seq[String],
+                              table: String, buckets: Int = 32): Unit =
+    Bucketing.writeBucketed(
+      newRows.select(col(idCol).cast("long").as(idCol) +: col(blockCol) +:
+        attrCols.map(col): _*),
+      table, buckets, Seq(blockCol),
+      org.apache.spark.sql.SaveMode.Append)
 
   /** Unsupervised EM estimation of the Fellegi–Sunter parameters (m_f,
     * u_f, p) from an UNLABELED candidate-pair frame — the Winkler 1988

@@ -543,6 +543,51 @@ object StreamRunner {
     * shift any query result: exactly-once semantics on READS over
     * at-least-once storage, with compaction optional rather than
     * required for correctness. */
+  /** Fellegi–Sunter record linkage ON INGEST — the entity-resolution
+    * sibling of [[runIncrementalDedup]]: each micro-batch is blocked and
+    * scored against the persisted bucketed reference
+    * ([[graft.operators.Joins.linkAgainstReference]] — candidate join
+    * with no Exchange on the reference side, plus the in-batch
+    * smaller-id candidate pass so twin new entities in ONE batch resolve
+    * to each other instead of both entering the reference), the per-
+    * record decisions (matched_id, score, verdict) go to `sink`, and the
+    * batch's non-`link` records — genuinely new entities, plus
+    * `possible`s (conservative: a clerical-review candidate must not be
+    * auto-merged, so it keeps its own identity) — append to the
+    * reference so later batches (and runs) link against them.
+    *
+    * Same exactly-once ledger and sink-before-append ordering as the
+    * dedup family. The one open window (sink + append done, ledger not
+    * yet) re-appends byte-identical reference rows on replay, which the
+    * candidate `distinct()` collapses — a replayed append cannot shift
+    * any later decision (spec-pinned by a forged replay). Batch and
+    * reference ids must be globally unique across the whole stream. */
+  def runIncrementalLinkage(stream: DataFrame, idCol: String,
+                            blockCol: String, attrCols: Seq[String],
+                            fields: Seq[(String, org.apache.spark.sql.Column,
+                              Double, Double)],
+                            refTable: String, checkpoint: String,
+                            store: graft.core.HwmStore, ledgerName: String,
+                            upper: Double = 2.0, lower: Double = 0.0,
+                            indexBuckets: Int = 32)
+                           (sink: (DataFrame, Long) => Unit): Unit =
+    runAvailableNowForeachBatchExactlyOnce(stream, checkpoint, store,
+        ledgerName) { (batch, id) =>
+      import org.apache.spark.sql.functions.col
+      val spark = batch.sparkSession
+      val decisions = graft.operators.Joins
+        .linkAgainstReference(batch, spark.table(refTable), idCol,
+          blockCol, attrCols, fields, upper, lower)
+        .localCheckpoint() // materialize BEFORE mutating the reference
+      sink(decisions, id)
+      val newcomers = batch.join(
+        decisions.filter(col("verdict") =!= "link")
+          .select(col(idCol).cast("long").as(idCol)),
+        Seq(idCol), "left_semi")
+      graft.operators.Joins.appendToLinkageRefTable(newcomers, idCol,
+        blockCol, attrCols, refTable, indexBuckets)
+    }
+
   def runIncrementalAnnIngest(stream: DataFrame, idCol: String,
                               vecCol: String, indexPath: String,
                               checkpoint: String,

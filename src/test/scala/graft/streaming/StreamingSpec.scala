@@ -476,6 +476,84 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming linkage ingest: hand-computed verdicts, in-batch twins " +
+       "resolve to the smaller id, non-links grow the reference, replay-safe") {
+    // reference entities (blocked on blk); weights: nation (0.95,0.04) ->
+    // +4.569856/-4.263034, segment (0.9,0.2) -> +2.169925/-3.0,
+    // bal band <100 (0.85,0.05) -> +4.087463/-2.663034; cut 2.0/0.0
+    val ref = Seq(
+      (1L, "B1", 5, "AUTO", 100.0),
+      (2L, "B1", 7, "SHIP", 900.0),
+      (3L, "B2", 9, "HOME", 500.0))
+      .toDF("id", "blk", "nation", "segment", "bal")
+    val table = "graft_lnk_spec"
+    val attrs = Seq("nation", "segment", "bal")
+    val fields = Seq(
+      ("nation", col("nation_a") === col("nation_b"), 0.95, 0.04),
+      ("segment", col("segment_a") === col("segment_b"), 0.9, 0.2),
+      ("bal", abs(col("bal_a") - col("bal_b")) < lit(100.0), 0.85, 0.05))
+    graft.operators.Joins.buildLinkageRefTable(
+      ref, "id", "blk", attrs, table, buckets = 4)
+    try {
+      val src = tmpDir("stream-lnk-src")
+      val batches = Seq(
+        Seq((10L, "B1", 5, "AUTO", 150.0), // all agree vs 1 -> link
+          (11L, "B1", 7, "AUTO", 850.0),   // best vs 2: 5.657319 link
+          (12L, "B2", 4, "HOME", 550.0),   // vs 3: 1.994354 -> possible
+          (13L, "B9", 1, "BLDG", 10.0),    // no candidate -> new
+          (14L, "B9", 1, "BLDG", 20.0)),   // in-batch twin -> link to 13
+        Seq((20L, "B9", 1, "BLDG", 15.0),  // vs APPENDED 13 -> link
+          (21L, "B2", 4, "HOME", 560.0),   // vs APPENDED possible 12 -> link
+          (22L, "B1", 7, "SHIP", 901.0)))  // all agree vs 2 -> link
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        rows.toDF("id", "blk", "nation", "segment", "bal").coalesce(1)
+          .write.mode("append").parquet(src)
+        FileStreamReader.stampBatchMtime(src, i, epochBaseSeconds = 100L)
+      }
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("blk", StringType),
+        StructField("nation", IntegerType), StructField("segment", StringType),
+        StructField("bal", DoubleType)))
+      val store = new graft.core.InMemoryHwmStore
+      val out = tmpDir("stream-lnk-out")
+      def run(ck: String): Unit = StreamRunner.runIncrementalLinkage(
+        FileStreamReader.read(spark, Parquet(), src, schema,
+          maxFilesPerTrigger = Some(1)),
+        "id", "blk", attrs, fields, table, ck, store, "lnk_ledger",
+        indexBuckets = 4) {
+        (decisions, _) => decisions.write.mode("append").parquet(out)
+      }
+      run(tmpDir("stream-lnk-ck1"))
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6
+      val got = spark.read.parquet(out)
+        .select($"id", $"matched_id", $"score", $"verdict")
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+            Option(r.get(2)).map(v => r6(v.asInstanceOf[Double])),
+            r.getString(3)))).toMap
+      val full = r6(4.569856 + 2.169925 + 4.087463) // 10.827244
+      assert(got(10L) == ((Some(1L), Some(full), "link")))
+      assert(got(11L) == ((Some(2L), Some(r6(4.569856 - 3.0 + 4.087463)),
+        "link"))) // 5.657319 beats -4.756143 vs 1
+      assert(got(12L) == ((Some(3L), Some(r6(-4.263034 + 2.169925 + 4.087463)),
+        "possible"))) // 1.994354: >= 0, < 2
+      assert(got(13L) == ((None, None, "new")))
+      assert(got(14L) == ((Some(13L), Some(full), "link")))
+      assert(got(20L) == ((Some(13L), Some(full), "link")))
+      assert(got(21L) == ((Some(12L), Some(full), "link")))
+      assert(got(22L) == ((Some(2L), Some(full), "link")))
+      // only non-links entered the reference: 3 seed + 12 (possible) +
+      // 13 (new); the linked twin 14 and every batch-1 record did NOT
+      assert(spark.table(table).select($"id").as[Long].collect().sorted
+        .toSeq === Seq(1L, 2L, 3L, 12L, 13L))
+      // forged replay: fresh checkpoint, same ledger -> sink and
+      // reference unchanged
+      run(tmpDir("stream-lnk-ck2"))
+      assert(spark.read.parquet(out).count() === 8L)
+      assert(spark.table(table).count() === 5L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("streaming ANN ingest: O(batch) appends, replay-safe; a LOST ledger " +
        "double-appends storage but cannot shift any query result") {
     val rnd = new scala.util.Random(61)
