@@ -2654,6 +2654,16 @@ object SparkEntry {
       operators.Tokenize.bpePairCounts(
           DbReader(conn(s, dir), "documents").run(), "text", topK = 30)
     }),
+    "tokenizer_bpe_train" -> ((s, dir) => {
+      // the FULL Sennrich merge loop (5 merges) on the word-frequency
+      // table: per round one vocab aggregate, a total-ordered argmax,
+      // and the doubled-space replace-chain merge application — the
+      // oracle unrolls the identical 5 rounds CTE-by-CTE, so every
+      // chosen pair and its count replay exactly
+      operators.Tokenize.bpeTrainMerges(
+          DbReader(conn(s, dir), "documents").run(), "text", nMerges = 5)
+        .orderBy(col("step"))
+    }),
     "tokenizer_unigram_viterbi" -> ((s, dir) => {
       // Kudo 2018 E-step: optimal segmentation of every distinct word
       // against the top-40 seed vocab; packed objective (score*1024 +
@@ -4940,6 +4950,48 @@ object SparkEntry {
        |            WHEN score >= 0.0 THEN 'possible'
        |            ELSE 'non_link' END AS verdict
        |FROM sc ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Unrolled replay of [[graft.operators.Tokenize.bpeTrainMerges]]:
+    * per round, adjacent-pair counts over the split segmentations
+    * (aligned generate_subscripts/unnest + an i+1 self-join on the
+    * word key), the (cnt desc, sym1, sym2) argmax, and the SAME
+    * doubled-space replace-chain merge application — `replace` is
+    * sequential non-overlapping left-to-right in both engines, which
+    * is what makes the rewrite byte-identical. */
+  private def bpeTrainOracleSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { k =>
+      s"""ex$k AS (
+         |  SELECT word, c, generate_subscripts(l, 1) AS i, unnest(l) AS s
+         |  FROM (SELECT word, c, string_split(seg, ' ') AS l
+         |        FROM seg${k - 1})),
+         |p$k AS (
+         |  SELECT a.s AS s1, b.s AS s2, CAST(sum(a.c) AS BIGINT) AS cnt
+         |  FROM ex$k a JOIN ex$k b ON b.word = a.word AND b.i = a.i + 1
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT s1, s2, cnt FROM p$k
+         |        ORDER BY cnt DESC, s1, s2 LIMIT 1),
+         |seg$k AS (
+         |  SELECT word, c, trim(replace(replace(
+         |      ' ' || replace(seg, ' ', '  ') || ' ',
+         |      (SELECT ' ' || s1 || '  ' || s2 || ' ' FROM b$k),
+         |      (SELECT ' ' || s1 || s2 || ' ' FROM b$k)), '  ', ' ')) AS seg
+         |  FROM seg${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to nMerges)
+      .map(k => s"SELECT $k::INTEGER AS step, s1 AS sym1, s2 AS sym2, cnt FROM b$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w AS (
+       |  SELECT w AS word, count(*) AS c FROM (
+       |    SELECT unnest(list_filter(
+       |      string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w
+       |    FROM documents) GROUP BY 1),
+       |seg0 AS (
+       |  SELECT word, c, array_to_string(list_filter(
+       |    string_split(word, ''), x -> x <> ''), ' ') AS seg FROM w),
+       |$rounds
+       |$out
+       |ORDER BY step""".stripMargin
   }
 
   /** Batch-by-batch replay of [[graft.streaming.StreamRunner
@@ -9357,6 +9409,7 @@ object SparkEntry {
         |SELECT sym1, sym2, CAST(sum(c) AS BIGINT) AS cnt
         |FROM pairs GROUP BY sym1, sym2
         |ORDER BY cnt DESC, sym1, sym2 LIMIT 30""".stripMargin,
+    "tokenizer_bpe_train" -> bpeTrainOracleSql(5),
     // unigram-seed vocabulary: substrings of length 2..4 over unique
     // words, scored occurrences x length; lateral range() bounds mirror
     // the Spark sequence() bounds exactly

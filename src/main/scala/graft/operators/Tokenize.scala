@@ -55,6 +55,76 @@ object Tokenize {
     pairs.orderBy(col("cnt").desc, col("sym1"), col("sym2")).limit(topK)
   }
 
+  /** The FULL BPE merge-training loop (Sennrich et al. 2016, Algorithm
+    * 1), completing [[bpePairCounts]]'s single step: `nMerges`
+    * iterations of count-pairs → argmax → apply-merge, run entirely on
+    * the word-frequency TABLE — the corpus is scanned exactly once and
+    * collapses to its Zipf-bounded vocabulary; every iteration is one
+    * map-combinable aggregate + one map-only rewrite of that table, so
+    * the per-merge cost is O(vocab), never O(corpus).
+    *
+    * Segmentations are space-joined symbol strings, and a merge (a, b)
+    * applies as the three-step replace chain
+    * `' '+double-space+' '  →  ' a  b ' ⇒ ' ab '  →  collapse '  '` —
+    * sequential non-overlapping left-to-right replacement, which IS the
+    * greedy simultaneous merge of the paper (the doubled spaces stop one
+    * match from consuming its neighbour's boundary), and which behaves
+    * byte-identically in Spark's `replace` and DuckDB's `replace`, so
+    * the unrolled SQL oracle replays every round exactly. Argmax ties
+    * break on (sym1, sym2) — a total order, engine-independent.
+    *
+    * Returns (step int 1..nMerges, sym1, sym2, cnt long — the pair's
+    * frequency when it was chosen), fewer rows if the corpus runs dry.
+    * At production merge counts (50k) the standard refinement is
+    * delta-maintenance of the pair counts between merges; this
+    * formulation recounts per merge, trading O(nMerges) vocab passes
+    * for exact replayability and zero driver state beyond the merge
+    * list itself. */
+  def bpeTrainMerges(df: DataFrame, textCol: String,
+                     nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 4096,
+      s"nMerges must be in [1, 4096], got $nMerges")
+    val spark = df.sparkSession
+    var seg = df
+      .select(explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        t => t =!= "")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .select(col("__c"), expr(
+        "array_join(transform(sequence(1, length(__w)), " +
+          "i -> substring(__w, i, 1)), ' ')").as("__seg"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var dry = false
+    while (step <= nMerges && !dry) {
+      val best = seg
+        .select(col("__c"), split(col("__seg"), " ").as("__l"))
+        .filter(size(col("__l")) >= 2)
+        .select(col("__c"), explode(expr(
+          "transform(sequence(0, size(__l) - 2), " +
+            "i -> struct(__l[i] AS s1, __l[i + 1] AS s2))")).as("__p"))
+        .groupBy(col("__p.s1").as("s1"), col("__p.s2").as("s2"))
+        .agg(sum(col("__c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("s1"), col("s2"))
+        .limit(1).collect()
+      if (best.isEmpty) dry = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((step, a, b, c))
+        // symbols are [a-z]+ by construction (the tokenizer regex), so
+        // inlining them into the replace literals is injection-safe
+        seg = seg.select(col("__c"), expr(
+          s"trim(replace(replace(concat(' ', replace(__seg, ' ', '  '), ' ')," +
+            s" ' $a  $b ', ' $a$b '), '  ', ' '))").as("__seg"))
+          .localCheckpoint() // flat lineage: one frame per merge round
+        step += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "sym1", "sym2", "cnt")
+  }
+
   /** Frequency-of-frequencies spectrum ("count of counts"): how many
     * distinct tokens occur exactly f times, for f = 1..`maxF`, plus one
     * overflow row (f = maxF+1 aggregating everything rarer than common).

@@ -37,6 +37,38 @@ class TokenizeSpec extends SparkSpec {
     }
   }
 
+  test("bpeTrainMerges: five hand-computed Sennrich merges; ties break " +
+       "on (sym1, sym2); encoder parity with the learned table") {
+    // word freqs: low x5, lower x2, newest x6, widest x3 — the paper's
+    // example corpus (no end-of-word marker in this formulation)
+    val docs = Seq(
+      (1L, "low low low low low lower lower"),
+      (2L, "newest newest newest newest newest newest"),
+      (3L, "widest widest widest")).toDF("id", "text")
+    val got = Tokenize.bpeTrainMerges(docs, "text", nMerges = 5)
+      .orderBy($"step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // r1: (e,s)=9 ties (s,t)=9, sym1 breaks; r2: (es,t)=9;
+    // r3: (l,o)=7 ties (o,w); r4: (lo,w)=7; r5: (e,w)=6 ties (n,e),(w,est)
+    assert(got.toSeq === Seq((1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L), (5, "e", "w", 6L)))
+    // the learned table drives the encoder to the expected subwords
+    val merges = got.map(m => (m._2, m._3)).toSeq
+    assert(Tokenize.bpeEncodeWord("newest", merges) === Seq("n", "ew", "est"))
+    assert(Tokenize.bpeEncodeWord("lower", merges) === Seq("low", "e", "r"))
+  }
+
+  test("bpeTrainMerges: same-symbol overlaps merge greedily left-to-right " +
+       "and the loop stops when the corpus runs dry") {
+    val docs = Seq((1L, "aaa aaa")).toDF("id", "text")
+    val got = Tokenize.bpeTrainMerges(docs, "text", nMerges = 5)
+      .orderBy($"step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // r1: (a,a)=4 -> 'a a a' merges to 'aa a' (greedy, no overlap);
+    // r2: (aa,a)=2 -> 'aaa'; r3: no pairs left -> dry stop at 2 rows
+    assert(got.toSeq === Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
+  }
+
   test("substringSeedVocab: all 2..4-grams of unique words, scored " +
        "occurrences x length") {
     val docs = Seq((1L, "abc abc")).toDF("id", "text") // freq abc=2
