@@ -2959,6 +2959,23 @@ object SparkEntry {
           col("media_meta.duration_ms").as("duration_ms"))
         .orderBy(col("doc_id"))
     }),
+    "multimodal_video_frames" -> ((s, dir) => {
+      // REAL video FRAME decode (retires the frame-pixel stub): each
+      // doc's AVI carries n solid-color uncompressed BGR24 `00db` DIB
+      // frames; decodeAviFrames walks the RIFF `movi` list and computes
+      // exact per-channel pixel sums, so every output cell is a pure
+      // integer function of (doc_id, frame_idx) the oracle replays.
+      // The MJPG (real ImageIO JPEG) path of the same decoder is
+      // spec-gated (quantization is codec-defined, not arithmetic).
+      val df = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id")).filter(col("doc_id") < 300)
+      val vid = operators.Multimodal.generateVideoFrames(df, "doc_id")
+      operators.Multimodal.decodeAviFrames(vid, "payload")
+        .select(col("doc_id"), col("frame_idx"), col("codec"),
+          col("width"), col("height"),
+          col("sum_b"), col("sum_g"), col("sum_r"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
     "multimodal_audio_decode" -> ((s, dir) => {
       // REAL audio codec path: deterministic generated WAVs (rate,
       // channels, frame count and the constant PCM amplitude are pure
@@ -7715,6 +7732,19 @@ object SparkEntry {
         |   END)::BIGINT AS duration_ms
         |FROM documents WHERE doc_id < 500
         |ORDER BY doc_id""".stripMargin,
+    "multimodal_video_frames" ->
+      """SELECT doc_id, CAST(f.f AS INT) AS frame_idx, 'DIB ' AS codec,
+        |  (8 + (doc_id % 16) * 2)::INT AS width,
+        |  (6 + doc_id % 12)::INT AS height,
+        |  (((7 * doc_id + 13 * f.f) % 256)
+        |    * (8 + (doc_id % 16) * 2) * (6 + doc_id % 12))::BIGINT AS sum_b,
+        |  (((11 * doc_id + 17 * f.f) % 256)
+        |    * (8 + (doc_id % 16) * 2) * (6 + doc_id % 12))::BIGINT AS sum_g,
+        |  (((5 * doc_id + 19 * f.f) % 256)
+        |    * (8 + (doc_id % 16) * 2) * (6 + doc_id % 12))::BIGINT AS sum_r
+        |FROM documents, unnest(range(3 + doc_id % 5)) AS f(f)
+        |WHERE doc_id < 300
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "multimodal_audio_decode" ->
       """SELECT doc_id,
         |  (8000 + (doc_id % 8) * 1000)::INT AS sample_rate,

@@ -877,4 +877,223 @@ object Multimodal {
     val mdat = box("mdat", le32(id))
     ftyp ++ moov ++ mdat
   }
+
+  // ---------------------------------------------------------------------
+  // REAL video frame decode. Two genuine codec paths, both pure JDK:
+  //  - "DIB " (BI_RGB): AVI `00db` chunks carry uncompressed bottom-up
+  //    BGR24 rows (4-byte-aligned) — the raw-video AVI layout; pixel
+  //    sums are exact integer arithmetic over the chunk bytes.
+  //  - "MJPG": AVI `00dc` chunks carry real JPEG images, decoded by
+  //    javax.imageio (the JDK ships a JPEG codec) — Motion-JPEG is a
+  //    first-class capture/CCTV format, not a toy.
+  // This retires the frame-pixel stub for these two codecs; only
+  // inter-frame codecs (H.264 etc.) remain off-container.
+  // ---------------------------------------------------------------------
+
+  val frameStatsSchema: StructType = StructType(Seq(
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("codec", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false)))
+
+  /** Decode every video frame of an AVI payload: walks `LIST movi`,
+    * decodes each `..db` chunk as an uncompressed bottom-up BGR24 DIB
+    * (row stride padded to 4 bytes per the DIB spec — padding excluded
+    * from the sums) and each `..dc` chunk with the JDK's ImageIO JPEG
+    * reader (Motion-JPEG), and emits one row per frame:
+    * input ++ (frame_idx, codec, width, height, sum_b, sum_g, sum_r)
+    * where sum_c is the exact per-channel pixel sum. Chunks that are
+    * neither decodable DIB nor ImageIO-readable are skipped (count
+    * preserved in frame_idx gaps is NOT the contract — idx is dense
+    * over decoded frames). Per-partition batch decode, bounded memory:
+    * one frame buffer at a time, never the whole movi list. */
+  def decodeAviFrames(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ frameStatsSchema.fields)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Iterator.empty
+        else aviFrameStats(bytes).iterator.map { fr =>
+          Row.fromSeq(row.toSeq ++ fr.toSeq)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Frame-stat rows for one AVI payload (see [[decodeAviFrames]]). */
+  private def aviFrameStats(b: Array[Byte]): Seq[Row] = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+      return Nil
+    var codec: String = null
+    var w = -1; var h = -1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var idx = 0
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var o = start
+      while (o + 8 <= end) {
+        val id = fourcc(b, o)
+        val sz = u32le(b, o + 4).toInt
+        val body = o + 8
+        if (body + sz > end || sz < 0) return
+        id match {
+          case "LIST" if sz >= 4 =>
+            walk(body + 4, body + sz, inMovi || fourcc(b, body) == "movi")
+          case "strh" if sz >= 36 && fourcc(b, body) == "vids" =>
+            if (codec == null) codec = fourcc(b, body + 4)
+          case "strf" if sz >= 12 && w < 0 =>
+            w = u32le(b, body + 4).toInt
+            h = u32le(b, body + 8).toInt
+          case c if inMovi && c.length == 4 && c.endsWith("db") && w > 0 =>
+            decodeDib(b, body, sz, w, h).foreach { r =>
+              out += Row(idx, "DIB ", w, h, r._1, r._2, r._3); idx += 1
+            }
+          case c if inMovi && c.length == 4 && c.endsWith("dc") && sz > 0 =>
+            val payload = java.util.Arrays.copyOfRange(b, body, body + sz)
+            readImage(payload).foreach { case (_, img) =>
+              var sb = 0L; var sg = 0L; var sr = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  sb += p & 0xff; sg += (p >> 8) & 0xff; sr += (p >> 16) & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              out += Row(idx, if (codec == null) "MJPG" else codec,
+                img.getWidth, img.getHeight, sb, sg, sr)
+              idx += 1
+            }
+          case _ => ()
+        }
+        o = body + sz + (sz & 1)
+      }
+    }
+    walk(12, math.min(b.length, 12 + u32le(b, 4).toInt - 4), inMovi = false)
+    out.toSeq
+  }
+
+  /** Exact per-channel sums of one uncompressed bottom-up BGR24 DIB
+    * frame chunk; None if the chunk is smaller than stride·h. */
+  private def decodeDib(b: Array[Byte], off: Int, sz: Int,
+                        w: Int, h: Int): Option[(Long, Long, Long)] = {
+    val stride = (w * 3 + 3) & ~3
+    if (sz < stride * h) return None
+    var sb = 0L; var sg = 0L; var sr = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      val rowOff = off + y * stride
+      while (x < w) {
+        val p = rowOff + x * 3
+        sb += b(p) & 0xff; sg += b(p + 1) & 0xff; sr += b(p + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    Some((sb, sg, sr))
+  }
+
+  /** Frame parameters of the generated frame-bearing AVI of `id` (see
+    * [[generateVideoFrames]]): (w, h, n_frames). The oracle mirrors
+    * these expressions, plus the solid frame colors
+    * b=(7·id+13·f)%256, g=(11·id+17·f)%256, r=(5·id+19·f)%256. */
+  def aviFrameParams(id: Long): (Int, Int, Int) =
+    (8 + (id % 16).toInt * 2, 6 + (id % 12).toInt, 3 + (id % 5).toInt)
+
+  /** Deterministic REAL-frame AVI fixtures: each id's AVI carries
+    * `n_frames` solid-color frames in its `movi` list — uncompressed
+    * BGR24 `00db` chunks by default (exact arithmetic oracle), or real
+    * ImageIO-encoded JPEG `00dc` chunks with `mjpeg = true` (true
+    * Motion-JPEG; JPEG quantization makes decoded pixels near-but-not-
+    * exactly the input color, so the MJPEG path is spec-gated on
+    * dimensions/count/approximate color rather than oracle-hashed). */
+  def generateVideoFrames(df: DataFrame, idCol: String, mjpeg: Boolean = false,
+                          outCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.get(idIdx) match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case other => other.toString.toLong
+        }
+        Row.fromSeq(row.toSeq :+ aviFrameBytes(id, mjpeg))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  private def aviFrameBytes(id: Long, mjpeg: Boolean): Array[Byte] = {
+    val (w, h, nFrames) = aviFrameParams(id)
+    def chunk(id4: String, body: Array[Byte]): Array[Byte] =
+      ascii(id4) ++ le32(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(tp: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", ascii(tp) ++ body)
+    val codec = if (mjpeg) "MJPG" else "DIB "
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(100000L), 0, avih, 0, 4) // 10 fps
+    System.arraycopy(le32(nFrames.toLong), 0, avih, 16, 4)
+    System.arraycopy(le32(1L), 0, avih, 24, 4)
+    System.arraycopy(le32(w.toLong), 0, avih, 32, 4)
+    System.arraycopy(le32(h.toLong), 0, avih, 36, 4)
+    val strh = new Array[Byte](56)
+    System.arraycopy(ascii("vids"), 0, strh, 0, 4)
+    System.arraycopy(ascii(codec), 0, strh, 4, 4)
+    System.arraycopy(le32(1L), 0, strh, 20, 4)
+    System.arraycopy(le32(10L), 0, strh, 24, 4)
+    System.arraycopy(le32(nFrames.toLong), 0, strh, 32, 4)
+    val strf = new Array[Byte](40)
+    System.arraycopy(le32(40L), 0, strf, 0, 4)
+    System.arraycopy(le32(w.toLong), 0, strf, 4, 4)
+    System.arraycopy(le32(h.toLong), 0, strf, 8, 4)
+    val frames = (0 until nFrames).map { f =>
+      val cb = ((7 * id + 13 * f) % 256).toInt
+      val cg = ((11 * id + 17 * f) % 256).toInt
+      val cr = ((5 * id + 19 * f) % 256).toInt
+      if (mjpeg) chunk("00dc", jpegBytes(w, h, cr, cg, cb))
+      else {
+        val stride = (w * 3 + 3) & ~3
+        val pix = new Array[Byte](stride * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = y * stride + x * 3
+            pix(p) = cb.toByte; pix(p + 1) = cg.toByte; pix(p + 2) = cr.toByte
+            x += 1
+          }
+          y += 1
+        }
+        chunk("00db", pix)
+      }
+    }.reduce(_ ++ _)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames)
+    val payload = ascii("AVI ") ++ hdrl ++ movi
+    ascii("RIFF") ++ le32(payload.length.toLong) ++ payload
+  }
+
+  /** A real JPEG encoding of a solid-color w×h image via ImageIO. */
+  private def jpegBytes(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
 }

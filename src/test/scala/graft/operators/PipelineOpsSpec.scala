@@ -898,6 +898,62 @@ class MultimodalSpec extends SparkSpec {
       .orderBy($"doc_id").collect()
     assert(jrows.forall(_.isNullAt(2)), "junk/WAV/truncated -> null meta")
   }
+
+  test("decodeAviFrames: uncompressed DIB frames decode to exact " +
+       "per-channel pixel sums for every frame; junk skipped") {
+    val ids = Seq(0L, 5L, 17L, 123L).toDF("doc_id")
+    val out = Multimodal.decodeAviFrames(
+        Multimodal.generateVideoFrames(ids, "doc_id"), "payload")
+      .select($"doc_id", $"frame_idx", $"codec", $"width", $"height",
+        $"sum_b", $"sum_g", $"sum_r")
+      .orderBy($"doc_id", $"frame_idx").collect()
+    val expected = for {
+      id <- Seq(0L, 5L, 17L, 123L)
+      (w, h, n) = Multimodal.aviFrameParams(id)
+      f <- 0 until n
+    } yield (id, f, w, h,
+      ((7 * id + 13 * f) % 256) * w * h,
+      ((11 * id + 17 * f) % 256) * w * h,
+      ((5 * id + 19 * f) % 256) * w * h)
+    assert(out.length == expected.length)
+    out.zip(expected).foreach { case (r, (id, f, w, h, sb, sg, sr)) =>
+      assert(r.getLong(0) == id && r.getInt(1) == f, s"key $id/$f")
+      assert(r.getString(2) == "DIB ", s"codec $id/$f")
+      assert(r.getInt(3) == w && r.getInt(4) == h, s"dims $id/$f")
+      assert(r.getLong(5) == sb && r.getLong(6) == sg && r.getLong(7) == sr,
+        s"sums $id/$f")
+    }
+    // junk / null payloads yield zero frame rows, not garbage
+    val junk = Seq((1L, "no video".getBytes("UTF-8")),
+      (2L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload")
+    assert(Multimodal.decodeAviFrames(junk, "payload").count() == 0L)
+  }
+
+  test("decodeAviFrames: real Motion-JPEG frames decode via ImageIO " +
+       "with exact dims/count and near-input mean color") {
+    val ids = Seq(4L, 29L).toDF("doc_id")
+    val out = Multimodal.decodeAviFrames(
+        Multimodal.generateVideoFrames(ids, "doc_id", mjpeg = true), "payload")
+      .select($"doc_id", $"frame_idx", $"codec", $"width", $"height",
+        $"sum_b", $"sum_g", $"sum_r")
+      .orderBy($"doc_id", $"frame_idx").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    for (id <- Seq(4L, 29L)) {
+      val (w, h, n) = Multimodal.aviFrameParams(id)
+      val rows = byDoc(id)
+      assert(rows.length == n, s"frame count id $id")
+      rows.foreach { r =>
+        val f = r.getInt(1)
+        assert(r.getString(2) == "MJPG" && r.getInt(3) == w && r.getInt(4) == h)
+        // JPEG of a solid color decodes near the input: mean channel
+        // within ±3 of the encoded solid value
+        def mean(i: Int) = r.getLong(i).toDouble / (w * h)
+        assert(math.abs(mean(5) - (7 * id + 13 * f) % 256) <= 3.0, s"b $id/$f")
+        assert(math.abs(mean(6) - (11 * id + 17 * f) % 256) <= 3.0, s"g $id/$f")
+        assert(math.abs(mean(7) - (5 * id + 19 * f) % 256) <= 3.0, s"r $id/$f")
+      }
+    }
+  }
 }
 
 class PqSimilaritySpec extends graft.SparkSpec {
