@@ -881,6 +881,18 @@ object SparkEntry {
         .select(col("node").as("c_custkey"), col("degree"),
           col("triangles"), col("coeff"))
     }),
+    "graph_label_propagation" -> ((s, dir) => {
+      // community detection by synchronous label propagation over the
+      // fuzzy-match graph: 3 deterministic rounds (majority label among
+      // neighbors, ties to the smallest), bit-replayable because updates
+      // are synchronous and the tie-break is a total order
+      val pairs = operators.Joins.fuzzySelfPairs(
+        DbReader(conn(s, dir), "customer").run(),
+        "c_custkey", "c_name",
+        expr("substring(c_name, 1, length(c_name)-2)"), maxDist = 1)
+      operators.Graph.labelPropagation(pairs, "id_a", "id_b", rounds = 3)
+        .select(col("node").as("c_custkey"), col("community"))
+    }),
     "audit_referential" -> ((s, dir) => {
       // post-ingest referential integrity: FK orphan rates across the
       // star schema joins + PK duplicate excess — left-anti counts, only
@@ -1891,6 +1903,14 @@ object SparkEntry {
             .select(col("n_chars")), "n_chars", 10)
         .orderBy(col("tile"))
     }),
+    "rank_exact_quantiles" -> ((s, dir) => {
+      // EXACT ventiles of lineitem price — value at rank
+      // max(1, (j*n) div 20), j=1..20, from one range-partitioned sort
+      // (no single-task window, no approx sketch): reproducible curation
+      // cut points, values pass through untouched so hashes are bit-exact
+      operators.Ranking.exactQuantiles(
+        DbReader(conn(s, dir), "lineitem").run(), "l_extendedprice", q = 20)
+    }),
     "similarity_topk_rp" -> ((s, dir) => {
       // random-projection pre-filter (64 -> 32 dims, Achlioptas JL) with
       // exact re-rank: the shortlist compare runs at half the arithmetic
@@ -2373,6 +2393,19 @@ object SparkEntry {
           Seq(("a", "b"), ("ab", "ab")))
         .orderBy(col("doc_id"))
     }),
+    "tokenizer_wordpiece_encode" -> ((s, dir) => {
+      // real WordPiece greedy longest-match-first over the REAL document
+      // text with a fixed vocab chosen to exercise every branch: 1-3
+      // piece splits, position-0 deaths ('the', 'dup'), a mid-word death
+      // ('join'), and the greedy trap ('column': head 'col' beats 'co'
+      // and strands 'mn' -> UNK even though co+##lumn segments). The
+      // oracle replays the byte-identical greedy state machine unrolled
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), col("text"))
+      operators.Tokenize.wordPieceTokenCounts(docs, "doc_id", "text",
+          wordPieceVocab, maxWordLen = 12)
+        .orderBy(col("doc_id"))
+    }),
     "text_char_entropy" -> ((s, dir) => {
       // gibberish detector: per-doc Shannon entropy of the character
       // distribution — row-local higher-order array functions, no
@@ -2807,6 +2840,18 @@ object SparkEntry {
           .select(col("o_orderkey"), col("o_custkey")),
         Seq("o_custkey", "o_orderkey"), bits = 8)
       operators.Layout.clusterStats(z, "__z", zBits = 16, bucketBits = 4,
+        cols = Seq("o_custkey", "o_orderkey"))
+    }),
+    "layout_hilbert_stats" -> ((s, dir) => {
+      // Hilbert-curve layout clustering on the same columns as the
+      // Z-order gate: the no-jump curve gives tighter bucket envelopes
+      // at quadrant seams; all-integer rotate-reflect walk, so the
+      // bucket stats are bit-identical in any engine
+      val h = operators.Layout.hilbertBy(
+        DbReader(conn(s, dir), "orders").run()
+          .select(col("o_orderkey"), col("o_custkey")),
+        "o_custkey", "o_orderkey", bits = 8)
+      operators.Layout.clusterStats(h, "__h", zBits = 16, bucketBits = 4,
         cols = Seq("o_custkey", "o_orderkey"))
     }),
     "length_bucket_batch" -> ((s, dir) => {
@@ -4844,6 +4889,32 @@ object SparkEntry {
       s"((($q1 >> $b) & 1) << ${2 * b})",
       s"((($q2 >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
 
+  /** Hilbert xy2d replay: one CTE per level running the identical
+    * rotate-reflect-accumulate step as Layout.hilbertSteps (the xor
+    * reflection form), from a CTE named `from` holding (keep..., x, y,
+    * d). Returns the chained CTE bodies; the final level is `h<bits>`. */
+  private def hilbertStepsSql(from: String, bits: Int,
+                              keep: String): String = {
+    val steps = (1 to bits).map { i =>
+      val s = 1L << (bits - i)
+      val prev = if (i == 1) from else s"h${i - 1}"
+      s"""h$i AS (
+         |  SELECT $keep,
+         |    CASE WHEN ry = 0 THEN
+         |           CASE WHEN rx = 1 THEN xor(y, ${s - 1}) ELSE y END
+         |         ELSE x END AS x,
+         |    CASE WHEN ry = 0 THEN
+         |           CASE WHEN rx = 1 THEN xor(x, ${s - 1}) ELSE x END
+         |         ELSE y END AS y,
+         |    d + ${s * s} * xor(3 * rx, ry) AS d
+         |  FROM (SELECT *,
+         |          CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |          CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |        FROM $prev) t)""".stripMargin
+    }
+    steps.mkString(",\n")
+  }
+
   /** Shared three-snapshot dimension change log + its SCD2 versions —
     * Jan: original segments; Feb: every custkey%3==0 goes PROMO; Mar:
     * %6==0 reverts to original (re-change path), remaining %3==0 stay
@@ -5279,6 +5350,110 @@ object SparkEntry {
     }
     (head +: steps).mkString(",\n") +
       s"\nSELECT node AS c_custkey, CAST(degree AS BIGINT) AS degree" +
+      s"\nFROM l$rounds ORDER BY node"
+  }
+
+  /** The WordPiece gate's vocabulary — `##`-prefixed pieces are
+    * continuations. Shared between the Spark gate and the SQL oracle so
+    * the two can never drift. */
+  private val wordPieceVocab: Seq[String] = Seq(
+    "s", "sc", "scan", "sp", "spark", "so", "sort", "st", "co", "col",
+    "cu", "tab", "table", "val", "win", "q", "qu", "f", "fast", "b",
+    "big", "me", "a", "agg", "da", "k", "key", "j", "o", "or", "li",
+    "line", "h", "ha", "r", "row", "gr", "pa", "part", "sm", "v", "ve",
+    "w",
+    "##an", "##ark", "##l", "##lumn", "##stomer", "##ue", "##dow",
+    "##y", "##er", "##eam", "##ast", "##ig", "##rge", "##u", "##ream",
+    "##ta", "##in", "##ow", "##art", "##der", "##oup", "##alue", "##sh",
+    "##atch", "##ilter", "##all", "##ctor", "##ash", "##le", "##ine",
+    "##indow", "##ata")
+
+  /** WordPiece greedy-encode replay: the per-word state machine
+    * (pos, toks; pos = −1 marks a dead/UNK word) unrolled `steps` times
+    * — each step one correlated longest-match lookup against the head
+    * or continuation piece table by position — over DISTINCT words,
+    * then joined back to the (doc, word) stream. `steps` must be ≥
+    * `maxWordLen` so every live word finishes. */
+  private def wordPieceOracleSql(vocab: Seq[String], steps: Int,
+                                 maxWordLen: Int): String = {
+    require(steps >= maxWordLen, "unroll must cover the longest live word")
+    val hv = vocab.filterNot(_.startsWith("##"))
+      .map(p => s"('$p')").mkString(", ")
+    val cv = vocab.filter(_.startsWith("##")).map(_.drop(2))
+      .map(p => s"('$p')").mkString(", ")
+    val head =
+      s"""WITH dw AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w
+         |  FROM documents),
+         |words AS (SELECT DISTINCT w FROM dw),
+         |vh AS (SELECT p, length(p) AS l FROM (VALUES $hv) t(p)),
+         |vc AS (SELECT p, length(p) AS l FROM (VALUES $cv) t(p)),
+         |s0 AS (SELECT w,
+         |  CASE WHEN length(w) > $maxWordLen THEN -1 ELSE 0 END AS pos,
+         |  0 AS toks FROM words)""".stripMargin
+    val stepCtes = (1 to steps).map { i =>
+      s"""m$i AS (
+         |  SELECT s.w, s.pos, s.toks,
+         |    CASE WHEN s.pos = 0 THEN
+         |           (SELECT max(h.l) FROM vh h WHERE substr(s.w, 1, h.l) = h.p)
+         |         WHEN s.pos > 0 AND s.pos < length(s.w) THEN
+         |           (SELECT max(c.l) FROM vc c
+         |            WHERE substr(s.w, s.pos + 1, c.l) = c.p)
+         |         ELSE NULL END AS ml
+         |  FROM s${i - 1} s),
+         |s$i AS (
+         |  SELECT w,
+         |    CASE WHEN pos < 0 OR pos >= length(w) THEN pos
+         |         WHEN ml IS NULL THEN -1 ELSE pos + ml END AS pos,
+         |    CASE WHEN pos >= 0 AND pos < length(w) AND ml IS NOT NULL
+         |         THEN toks + 1 ELSE toks END AS toks
+         |  FROM m$i)""".stripMargin
+    }
+    (head +: stepCtes).mkString(",\n") +
+      s""",
+         |wt AS (SELECT w, CASE WHEN pos < 0 THEN 1 ELSE toks END AS nt,
+         |              CASE WHEN pos < 0 THEN 1 ELSE 0 END AS unk
+         |       FROM s$steps),
+         |agg AS (
+         |  SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |         CAST(sum(wt.nt) AS BIGINT) AS n_tokens,
+         |         CAST(sum(wt.unk) AS BIGINT) AS n_unk
+         |  FROM dw JOIN wt ON dw.w = wt.w GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
+         |       COALESCE(a.n_tokens, 0) AS n_tokens,
+         |       COALESCE(a.n_unk, 0) AS n_unk
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Synchronous label-propagation replay: unrolled rounds, each one
+    * a (node, label) neighbor-vote count + argmax with min-label
+    * tie-break (max count via a per-node max join, then MIN label) —
+    * exactly the engine's `max(struct(c, -lab))` pick. */
+  private def labelPropOracleSql(rounds: Int): String = {
+    val head =
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name AS s,
+        |         substr(c_name, 1, length(c_name) - 2) AS blk
+        |  FROM customer WHERE c_name IS NOT NULL AND c_custkey IS NOT NULL),
+        |e AS (
+        |  SELECT a.id AS a, b.id AS b
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.s, b.s) <= 1),
+        |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |l0 AS (SELECT DISTINCT u AS node, CAST(u AS BIGINT) AS lab FROM adj)"""
+        .stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""v$i AS (SELECT adj.u, l.lab, count(*) AS c
+         |  FROM adj JOIN l${i - 1} l ON adj.v = l.node GROUP BY 1, 2),
+         |m$i AS (SELECT u, max(c) AS mc FROM v$i GROUP BY u),
+         |l$i AS (SELECT v$i.u AS node, CAST(min(v$i.lab) AS BIGINT) AS lab
+         |  FROM v$i JOIN m$i ON v$i.u = m$i.u AND v$i.c = m$i.mc
+         |  GROUP BY 1)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node AS c_custkey, lab AS community" +
       s"\nFROM l$rounds ORDER BY node"
   }
 
@@ -5920,6 +6095,7 @@ object SparkEntry {
     // triangle replay: same canonical edges, (degree, id) orientation,
     // wedge join + EXISTS closure — exact integer counts
     "graph_kcore" -> kCoreOracleSql(k = 3, rounds = 8),
+    "graph_label_propagation" -> labelPropOracleSql(rounds = 3),
     "linkage_fellegi_sunter" -> fellegiSunterOracleSql(),
     "linkage_fs_em" -> fsEmOracleSql(),
     "streaming_linkage_ingest" -> streamingLinkageOracleSql(),
@@ -7337,6 +7513,18 @@ object SparkEntry {
         |  SELECT n_chars, ntile(10) OVER (ORDER BY n_chars) AS tile
         |  FROM documents WHERE n_chars IS NOT NULL) t
         |GROUP BY tile ORDER BY tile""".stripMargin,
+    // exact-quantile replay: same rank arithmetic over a full sort;
+    // ties don't matter because only the value AT each rank is output
+    "rank_exact_quantiles" ->
+      """WITH s AS (
+        |  SELECT l_extendedprice AS v,
+        |         row_number() OVER (ORDER BY l_extendedprice) AS rn
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM s),
+        |ks AS (SELECT CAST(unnest(range(1, 21)) AS BIGINT) AS q_idx),
+        |t AS (SELECT q_idx, greatest(1, (q_idx * c) // 20) AS r FROM ks, n)
+        |SELECT t.q_idx, s.v AS value FROM t JOIN s ON s.rn = t.r
+        |ORDER BY q_idx""".stripMargin,
     // hard-negative replay: same brute scoring restricted to rows whose
     // label differs from the anchor's, ranked after the filter
     "similarity_hard_negatives" ->
@@ -8758,6 +8946,8 @@ object SparkEntry {
       """SELECT doc_id,
         |       CAST(ceil((doc_id % 20 + 1) / 2.0) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tokenizer_wordpiece_encode" ->
+      wordPieceOracleSql(wordPieceVocab, steps = 12, maxWordLen = 12),
     // entropy replay via the grouped-sum form (mathematically identical,
     // round(4) bridges the summation-order difference)
     "text_char_entropy" ->
@@ -9673,6 +9863,23 @@ object SparkEntry {
         |       CAST(min(o_orderkey) AS BIGINT) AS min_o_orderkey,
         |       CAST(max(o_orderkey) AS BIGINT) AS max_o_orderkey
         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "layout_hilbert_stats" ->
+      s"""WITH stats AS (
+        |  SELECT min(o_custkey) AS c0, max(o_custkey) AS c1,
+        |         min(o_orderkey) AS k0, max(o_orderkey) AS k1 FROM orders),
+        |q AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         ((o_custkey - c0) * 255) // GREATEST(c1 - c0, 1) AS x,
+        |         ((o_orderkey - k0) * 255) // GREATEST(k1 - k0, 1) AS y,
+        |         CAST(0 AS BIGINT) AS d
+        |  FROM orders CROSS JOIN stats),
+        |${hilbertStepsSql("q", 8, "o_custkey, o_orderkey")}
+        |SELECT (d >> 12) AS bucket, count(*) AS n,
+        |       CAST(min(o_custkey) AS BIGINT) AS min_o_custkey,
+        |       CAST(max(o_custkey) AS BIGINT) AS max_o_custkey,
+        |       CAST(min(o_orderkey) AS BIGINT) AS min_o_orderkey,
+        |       CAST(max(o_orderkey) AS BIGINT) AS max_o_orderkey
+        |FROM h8 GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders o

@@ -224,4 +224,64 @@ object Graph {
     adj.unpersist()
     live.orderBy(col("node"))
   }
+
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan,
+    * Albert & Kumara, Phys. Rev. E 2007) with a deterministic tie-break:
+    * every node starts labeled with its own id; each round, every node
+    * simultaneously adopts the label that is most frequent among its
+    * neighbors, ties broken by the SMALLEST label. Synchronous updates +
+    * total-order tie-break make the run bit-reproducible in any engine
+    * and at any partitioning — the paper's asynchronous random-order
+    * variant converges faster but is non-deterministic, which would
+    * break replay; a fixed `rounds` bound (labels in a clique-ish
+    * community settle in 2-3 rounds) replaces its stopping rule.
+    * On a near-duplicate graph the stable labels name template families
+    * without the full connected-components fixpoint machinery, and
+    * unlike CC they DON'T leak across a single weak bridge edge — the
+    * bridge endpoint keeps its denser side's majority label.
+    *
+    * Edges are symmetrized/deduplicated, self-loops dropped; nodes are
+    * endpoints of ≥ 1 edge (isolated nodes have no neighbors to vote).
+    * Labels must be orderable numerics (node ids). Returns
+    * (node, community) ordered by node.
+    *
+    * Scale shape: per round, one keyed equi-join of the symmetrized edge
+    * list against the (node, label) frame, a map-combinable
+    * (node, label) count, then an argmax-by-struct aggregate — two
+    * shuffles on node, NO window sort and NO driver collect; frames are
+    * persisted per round and the previous released, so lineage stays
+    * flat for any round count. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    import org.apache.spark.storage.StorageLevel
+    val canon = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val adj = canon.select(col("a").as("u"), col("b").as("v"))
+      .union(canon.select(col("b"), col("a")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lab = adj.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").cast("long").as("lab"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to rounds) {
+      val votes = adj.join(lab, col("v") === col("node"))
+        .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("c"))
+      // argmax c, then MIN label: max of (c, -lab) picks the largest
+      // count and among those the smallest label, in one aggregate
+      val next = votes
+        .groupBy(col("u").as("node"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lab"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before releasing the previous frame
+      lab.unpersist()
+      lab = next
+    }
+    adj.unpersist()
+    lab.select(col("node"), col("lab").as("community")).orderBy(col("node"))
+  }
 }

@@ -79,6 +79,81 @@ object Layout {
     withZ.repartitionByRange(parts, col(out)).sortWithinPartitions(col(out))
   }
 
+  /** Hilbert-curve index of two already-quantized coordinates — the
+    * stronger locality cousin of [[zValue]]: the Hilbert curve never
+    * jumps (consecutive indices are grid neighbors — verified for every
+    * point at bits ≤ 8 in the spec suite), so bucket min/max envelopes
+    * are tighter than Morton's at the quadrant seams, which is why
+    * modern lakehouse OPTIMIZE implementations offer it beside Z-order.
+    *
+    * Algorithm: the classic per-level rotate-and-reflect walk (Hilbert
+    * 1891; iterative xy2d form) from the top bit down:
+    * `d += s²·((3·rx) xor ry)`, then for ry = 0 swap x/y, reflecting
+    * both via `xor (s−1)` when rx = 1 — the xor only touches bits below
+    * s, which are the only bits later levels read, so it equals the
+    * textbook `n−1−x` reflection while staying branch-light and
+    * SQL-replayable. All-integer, bit-identical in any engine.
+    *
+    * Returns d in [0, 4^bits). The step columns are materialized per
+    * level (not nested into one expression), keeping the Catalyst tree
+    * linear in `bits` — and every step is codegen-friendly bitwise
+    * arithmetic. */
+  def hilbertSteps(df: DataFrame, xq: Column, yq: Column, bits: Int,
+                   out: String): DataFrame = {
+    require(bits >= 1 && bits <= 15, s"bits in [1,15], got $bits")
+    var cur = df.withColumn("__hx", xq).withColumn("__hy", yq)
+      .withColumn(out, lit(0L))
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val x = col("__hx"); val y = col("__hy")
+      cur = cur
+        .withColumn("__rx",
+          when(x.bitwiseAND(lit(s)) > lit(0L), lit(1L)).otherwise(lit(0L)))
+        .withColumn("__ry",
+          when(y.bitwiseAND(lit(s)) > lit(0L), lit(1L)).otherwise(lit(0L)))
+      cur = cur
+        .withColumn(out, col(out) +
+          lit(s * s) * (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+        .withColumn("__nx",
+          when(col("__ry") === 0L,
+            when(col("__rx") === 1L, y.bitwiseXOR(lit(s - 1))).otherwise(y))
+            .otherwise(x))
+        .withColumn("__ny",
+          when(col("__ry") === 0L,
+            when(col("__rx") === 1L, x.bitwiseXOR(lit(s - 1))).otherwise(x))
+            .otherwise(y))
+        .drop("__hx", "__hy", "__rx", "__ry")
+        .withColumnRenamed("__nx", "__hx")
+        .withColumnRenamed("__ny", "__hy")
+      s >>= 1
+    }
+    cur.drop("__hx", "__hy")
+  }
+
+  /** Hilbert-cluster the frame on two integral columns: quantize each
+    * onto [0, 2^bits) (same 1-row broadcast min/max as [[zorderBy]]),
+    * append the Hilbert index as `out`, range-partition + locally sort
+    * on it. Same two-phase scale shape as [[zorderBy]] — one tiny
+    * aggregate, one map-only index computation, one range exchange. */
+  def hilbertBy(df: DataFrame, xCol: String, yCol: String, bits: Int = 8,
+                numPartitions: Int = 0, out: String = "__h"): DataFrame = {
+    val stats = df.agg(
+      min(col(xCol)).cast("long").as("__mn_x"),
+      max(col(xCol)).cast("long").as("__mx_x"),
+      min(col(yCol)).cast("long").as("__mn_y"),
+      max(col(yCol)).cast("long").as("__mx_y"))
+    val withStats = df.crossJoin(broadcast(stats))
+    val qx = quantizeMinMax(col(xCol).cast("long"),
+      col("__mn_x"), col("__mx_x"), bits)
+    val qy = quantizeMinMax(col(yCol).cast("long"),
+      col("__mn_y"), col("__mx_y"), bits)
+    val indexed = hilbertSteps(withStats, qx, qy, bits, out)
+      .drop("__mn_x", "__mx_x", "__mn_y", "__mx_y")
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    indexed.repartitionByRange(parts, col(out)).sortWithinPartitions(col(out))
+  }
+
   /** Pruning-statistics audit for a (z-)clustered layout: bucket rows by
     * the top `bucketBits` of `zCol` (a proxy for "file"), and report each
     * bucket's row count and per-column min/max envelope — the numbers a

@@ -444,4 +444,48 @@ object Ranking {
           count(lit(1)).cast("double"), 6) + lit(0.0)).as("trimmed_mean"))
       .orderBy(col(groupCol))
   }
+
+  /** EXACT q-quantiles of a column — the discrete (type-1) quantile: for
+    * j in 1..q the value whose 1-based rank in the ascending order is
+    * `max(1, (j·n) div q)`, so j = q is the maximum and j = q/2 the
+    * lower median. `approxQuantile` answers "roughly where"; training-
+    * data curation cuts (length caps, score floors, per-bucket budgets)
+    * want the exact cut point, reproducibly, which approx sketches are
+    * not.
+    *
+    * Value-at-rank is invariant under tie order — equal values may be
+    * numbered either way across partitions but the value AT each rank is
+    * the same — so sorting by value alone is deterministic here even
+    * though [[globalRowNumber]] normally demands a tiebreak column.
+    *
+    * Returns (q_idx 1..q long, value) ordered by q_idx; NULLs excluded.
+    * Rows with rank hit by several j (n < q) appear once per j.
+    *
+    * Scale shape: ONE range-partitioned sort of the (single-column,
+    * pruned) projection + zipWithIndex — the same exchange a global sort
+    * already costs, with no single-partition window — then a broadcast
+    * join of the q-row rank table against the rank-filtered (q rows
+    * survive the pushed `isin`) numbered frame. The q target ranks are
+    * pure driver arithmetic on one count. */
+  def exactQuantiles(df: DataFrame, valueCol: String, q: Int,
+                     out: String = "value"): DataFrame = {
+    require(q >= 1, s"quantile count must be >= 1, got $q")
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as(out))
+    val n = vals.count()
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (n == 0)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("q_idx"), lit(null).cast(vals.schema.head.dataType).as(out))
+        .limit(0)
+    val targets = (1 to q).map(j => (j.toLong, math.max(1L, j * n / q)))
+    val ranks = targets.map(_._2).distinct
+    val numbered = globalRowNumber(vals, Seq(col(out)), out = "__rank")
+      .filter(col("__rank").isin(ranks: _*))
+    numbered
+      .join(broadcast(targets.toDF("q_idx", "__rank")), Seq("__rank"))
+      .select(col("q_idx"), col(out))
+      .orderBy(col("q_idx"))
+  }
 }

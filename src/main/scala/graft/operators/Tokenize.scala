@@ -278,6 +278,92 @@ object Tokenize {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
 
+  /** Greedy longest-match-first WordPiece encoding of one word (Wu et
+    * al. 2016, arXiv:1609.08144 §4.1; the BERT tokenizer's algorithm):
+    * at position 0 match the longest vocabulary piece WITHOUT the `##`
+    * continuation marker; at later positions the longest piece WITH it;
+    * if any position has no match — or the word exceeds `maxWordLen` —
+    * the ENTIRE word becomes one unknown token (BERT's semantics: no
+    * partial emissions). Greedy is the spec, not a shortcut: WordPiece
+    * deliberately differs from optimal segmentation (a longer head
+    * piece can strand the tail — e.g. vocab {col, ##u} beats {co,
+    * ##lumn} to "column" and then dies), and that trap is pinned by the
+    * specs. Returns (n_tokens, isUnk). */
+  def wordPieceEncodeWord(word: String, heads: Set[String],
+                          conts: Set[String], maxWordLen: Int): (Int, Boolean) = {
+    if (word.length > maxWordLen) return (1, true)
+    val maxH = if (heads.isEmpty) 0 else heads.iterator.map(_.length).max
+    val maxC = if (conts.isEmpty) 0 else conts.iterator.map(_.length).max
+    var pos = 0
+    var toks = 0
+    while (pos < word.length) {
+      val cand = if (pos == 0) heads else conts
+      val cap = math.min(word.length - pos, if (pos == 0) maxH else maxC)
+      var l = cap
+      var hit = 0
+      while (l >= 1 && hit == 0) {
+        if (cand.contains(word.substring(pos, pos + l))) hit = l
+        l -= 1
+      }
+      if (hit == 0) return (1, true)
+      pos += hit
+      toks += 1
+    }
+    (toks, false)
+  }
+
+  /** Distributed WordPiece encoding against a fixed vocabulary (pieces
+    * with a `##` prefix are continuations), on the [[bpeEncode]]
+    * discipline: the corpus collapses to its word-frequency table (the
+    * only full scan, map-side combined) and each UNIQUE word encodes
+    * once in a typed map with the KB-scale vocab riding the closure — a
+    * word seen a billion times costs one greedy match. Returns
+    * (word string, count long, n_tokens int, is_unk boolean). */
+  def wordPieceEncode(df: DataFrame, textCol: String, vocab: Seq[String],
+                      maxWordLen: Int = 100): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val heads = vocab.filterNot(_.startsWith("##")).toSet
+    val conts = vocab.filter(_.startsWith("##")).map(_.drop(2)).toSet
+    require(conts.forall(_.nonEmpty), "a bare '##' piece matches nothing")
+    val words = df
+      .select(explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        t => t =!= "")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    words.as[(String, Long)].map { case (w, c) =>
+      val (nt, unk) = wordPieceEncodeWord(w, heads, conts, maxWordLen)
+      (w, c, nt, unk)
+    }.toDF("word", "count", "n_tokens", "is_unk")
+  }
+
+  /** Per-document WordPiece budget columns: (idCol, n_words long,
+    * n_tokens long, n_unk long) — word count, token count under the
+    * vocab (an unknown word costs 1 token), and how many words fell to
+    * UNK (the coverage signal a tokenizer build iterates on). Same join
+    * shape as [[bpeTokenCounts]]; documents with no words keep a zero
+    * row. */
+  def wordPieceTokenCounts(df: DataFrame, idCol: String, textCol: String,
+                           vocab: Seq[String],
+                           maxWordLen: Int = 100): DataFrame = {
+    val docWords = df.select(col(idCol).as("__id"),
+      explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        t => t =!= "")).as("__w"))
+    val encoded = wordPieceEncode(df, textCol, vocab, maxWordLen)
+      .select(col("word").as("__w"), col("n_tokens").as("__nt"),
+        col("is_unk").cast("long").as("__unk"))
+    val summed = docWords.join(encoded, Seq("__w"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__nt")).cast("long").as("n_tokens"),
+        sum(col("__unk")).as("n_unk"))
+    df.select(col(idCol).as("__id"))
+      .join(summed, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk"))
+  }
+
   /** Unigram-tokenizer seed vocabulary (Kudo 2018, arXiv:1804.10959
     * §3.2 seeds from frequent substrings): every substring of length
     * `minLen..maxLen` occurring in the corpus, scored by

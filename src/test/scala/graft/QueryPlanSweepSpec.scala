@@ -80,6 +80,8 @@ class QueryPlanSweepSpec extends AnyFunSuite {
     "layout_zorder_stats",    // deliberate: 1-row global min/max envelope
                               // broadcast cross the table being clustered
                               // (Layout.zorderBy)
+    "layout_hilbert_stats",   // same shape: 1-row min/max envelope
+                              // broadcast cross the table (Layout.hilbertBy)
     "embedding_robust_scale", // deliberate: 1-row (meds, iqrs) stats
                               // broadcast cross the vectors
                               // (Similarity.robustScaleVectors)

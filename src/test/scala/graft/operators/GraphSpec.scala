@@ -91,4 +91,33 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCoreNodes(messy, "x", "y", k = 1)
       .as[(Long, Long)].collect().toSeq == Seq((1L, 1L), (2L, 1L)))
   }
+
+  test("labelPropagation: two cliques joined by one bridge keep distinct " +
+       "communities; tie-break is the smallest label; synchronous rounds " +
+       "replay by hand") {
+    // K4 {1..4} — bridge 4-10 — K4 {10..13}: LPA must NOT merge across
+    // the bridge (unlike connected components)
+    def k4(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val g = (k4(Seq(1L, 2L, 3L, 4L)) ++ k4(Seq(10L, 11L, 12L, 13L)) :+
+      ((4L, 10L))).toDF("x", "y")
+    val out = Graph.labelPropagation(g, "x", "y", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // round 1: every clique node sees all-distinct neighbor labels ->
+    // min neighbor label wins: {1,2,3}->min other = 1 or 2; replay:
+    // node 1 nbrs {2,3,4} -> 2; nodes 2,3,4 see 1 -> 1; 4 also sees 10.
+    // By round 3 the left clique is all-1, right clique all-10, and the
+    // bridge endpoints keep their own side's majority label
+    assert(Seq(1L, 2L, 3L, 4L).map(out).toSet == Set(1L))
+    assert(Seq(10L, 11L, 12L, 13L).map(out).toSet == Set(10L))
+    // a triangle alone settles to its min id in 2 rounds
+    val tri = Seq((7L, 8L), (8L, 9L), (9L, 7L)).toDF("x", "y")
+    val t = Graph.labelPropagation(tri, "x", "y", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(t == Map(7L -> 7L, 8L -> 7L, 9L -> 7L))
+    // determinism: same input, same output across runs
+    val again = Graph.labelPropagation(g, "x", "y", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(again == out)
+  }
 }

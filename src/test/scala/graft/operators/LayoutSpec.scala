@@ -108,4 +108,57 @@ class LayoutSpec extends SparkSpec {
     // spread: every shard is populated on 1000 keys
     assert(both.groupBy(_._2).size == 8)
   }
+
+  test("hilbertSteps: the canonical 4x4 xy2d table; bijective and " +
+       "NO-JUMP (adjacent d = grid neighbors) exhaustively at bits=5") {
+    import spark.implicits._
+    // the classic order-2 Hilbert curve, x right / y up
+    val expect4 = Map(
+      (0, 0) -> 0L, (1, 0) -> 1L, (1, 1) -> 2L, (0, 1) -> 3L,
+      (0, 2) -> 4L, (0, 3) -> 5L, (1, 3) -> 6L, (1, 2) -> 7L,
+      (2, 2) -> 8L, (2, 3) -> 9L, (3, 3) -> 10L, (3, 2) -> 11L,
+      (3, 1) -> 12L, (2, 1) -> 13L, (2, 0) -> 14L, (3, 0) -> 15L)
+    val pts4 = (for (x <- 0 to 3; y <- 0 to 3) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val got4 = Layout.hilbertSteps(pts4, $"x", $"y", bits = 2, out = "d")
+      .as[(Long, Long, Long)].collect()
+      .map { case (x, y, d) => (x.toInt, y.toInt) -> d }.toMap
+    assert(got4 == expect4)
+    // bits=5 (32x32 = 1024 points): a bijection onto [0, 4^bits) whose
+    // consecutive indices are Manhattan-distance-1 neighbors — the
+    // property that separates Hilbert from Morton (Morton jumps at
+    // every quadrant seam)
+    val n = 32
+    val pts = (for (x <- 0 until n; y <- 0 until n)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val got = Layout.hilbertSteps(pts, $"x", $"y", bits = 5, out = "d")
+      .as[(Long, Long, Long)].collect()
+    val byD = got.map { case (x, y, d) => d -> (x, y) }.toMap
+    assert(byD.size == n * n && byD.keys.min == 0L &&
+      byD.keys.max == (n * n - 1).toLong)
+    (0L until (n * n - 1).toLong).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1L,
+        s"jump between d=$d ($x1,$y1) and d=${d + 1} ($x2,$y2)")
+    }
+  }
+
+  test("hilbertBy: one range exchange on the index; envelopes at least " +
+       "as tight as unclustered on both columns") {
+    import spark.implicits._
+    val df = (0 until 4096).map { i =>
+      (i.toLong, ((i * 2654435761L) % 4096).toLong)
+    }.toDF("a", "b")
+    val h = Layout.hilbertBy(df, "a", "b", bits = 8)
+    val plan = h.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") ||
+      plan.toLowerCase.contains("range"), plan.take(400))
+    val stats = Layout.clusterStats(h, "__h", zBits = 16, bucketBits = 4,
+      cols = Seq("a", "b")).collect()
+    // 16 buckets, each bucket's envelope must cover well under the full
+    // domain on column a (clustering must actually localize)
+    assert(stats.length == 16)
+    val spans = stats.map(r => r.getLong(2 + 1) - r.getLong(2))
+    assert(spans.count(_ < 2048L) >= 12, spans.mkString(","))
+  }
 }

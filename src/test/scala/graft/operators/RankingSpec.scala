@@ -234,4 +234,28 @@ class RankingSpec extends SparkSpec {
       ("b", 3L, 0L, 34.333333),       // floor(0.3) = 0: nothing trimmed
       ("c", 10L, 1L, 5.5)))           // the 1000 outlier is cut away
   }
+
+  test("exactQuantiles: hand-checked ranks, n<q duplication, ties, NULLs") {
+    import spark.implicits._
+    // n=10, q=4: ranks max(1,(j*10)/4) = 2,5,7,10 -> values 20,50,70,100
+    val df = (1 to 10).map(i => (i.toLong, i * 10.0)).toDF("id", "v")
+    val out = Ranking.exactQuantiles(df, "v", q = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 20.0), (2L, 50.0), (3L, 70.0), (4L, 100.0)))
+    // q=1 is the max; NULLs are excluded before counting
+    val withNull = Seq(Some(3.0), None, Some(1.0)).toDF("v")
+    assert(Ranking.exactQuantiles(withNull, "v", q = 1)
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 3.0)))
+    // n < q: several j hit the same rank and each reports its row;
+    // n=2, q=4 -> ranks 1,1,1,2
+    val small = Seq(7.0, 9.0).toDF("v")
+    assert(Ranking.exactQuantiles(small, "v", q = 4)
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 7.0), (2L, 7.0), (3L, 7.0), (4L, 9.0)))
+    // all-equal values: every quantile is that value, no nondeterminism
+    val ties = Seq.fill(5)(2.5).toDF("v")
+    assert(Ranking.exactQuantiles(ties, "v", q = 3)
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 2.5), (2L, 2.5), (3L, 2.5)))
+  }
 }

@@ -189,4 +189,35 @@ class TokenizeSpec extends SparkSpec {
     assert(e.getMessage.contains("1023") ||
       Option(e.getCause).exists(_.getMessage.contains("1023")))
   }
+
+  test("wordPieceEncodeWord: greedy longest-match, continuation marker, " +
+       "greedy trap, position-0 and mid-word UNK, length cap") {
+    val heads = Set("un", "u", "col", "co", "run")
+    val conts = Set("able", "n", "nable", "lumn", "u")
+    def enc(w: String, cap: Int = 100) =
+      Tokenize.wordPieceEncodeWord(w, heads, conts, cap)
+    assert(enc("unable") == ((2, false)))   // un + ##able (longest head first)
+    assert(enc("runnable") == ((2, false))) // run + ##nable beats ##n+##able
+    assert(enc("uu") == ((2, false)))       // u + ##u
+    // the greedy trap: col + ##u strands "mn" -> whole word UNK,
+    // although co + ##lumn would have segmented it
+    assert(enc("column") == ((1, true)))
+    assert(enc("xyz") == ((1, true)))       // no head at position 0
+    assert(enc("unx") == ((1, true)))       // dies mid-word
+    assert(enc("runnable", cap = 4) == ((1, true))) // over maxWordLen
+  }
+
+  test("wordPieceTokenCounts: per-doc sums, zero-row keep, unk words cost 1") {
+    import spark.implicits._
+    val vocab = Seq("un", "run", "##able", "##nable")
+    val df = Seq(
+      (1L, "unable runnable zzz"), // 2 + 2 + UNK(1) = 5 tokens, 1 unk
+      (2L, "UNABLE un-able"),      // case-fold + split: unable, un, able
+      (3L, "123 .,!")              // no a-z words at all -> zero row
+    ).toDF("id", "text")
+    val out = Tokenize.wordPieceTokenCounts(df, "id", "text", vocab)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 2: unable -> un+##able (2), un -> 1, able -> UNK (no head)
+    assert(out == Seq((1L, 3L, 5L, 1L), (2L, 3L, 4L, 1L), (3L, 0L, 0L, 0L)))
+  }
 }
