@@ -1838,6 +1838,15 @@ object SparkEntry {
           queries, "qid", "qtext", k = 10)
         .orderBy(col("qid"), col("rank"))
     }),
+    "retrieval_rake_keywords" -> ((s, dir) => {
+      // RAKE corpus keywords: stopword-free runs ('a'/'the' delimit),
+      // word score = (degree*1e6) div freq in exact micro-units, phrase
+      // score = integer sum of member word scores — multi-word phrases
+      // outrank their member singletons, which is RAKE's point
+      operators.Retrieval.rakeKeywords(
+        DbReader(conn(s, dir), "documents").run(),
+        "doc_id", "text", stopwords = Seq("a", "the"), k = 25)
+    }),
     "similarity_topk_brute" -> ((s, dir) => {
       val emb = DbReader(conn(s, dir), "embeddings").run()
       operators.Similarity.bruteForceTopK(
@@ -1882,6 +1891,17 @@ object SparkEntry {
           "label", 5)
         .withColumn("rank", col("rank").cast("int"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+    "similarity_bitext_margin" -> ((s, dir) => {
+      // margin-based bitext mining (the LASER objective): label-0
+      // vectors vs label-1 vectors, cosine normalized by each side's
+      // 4-NN average (exact integer micro-unit sums -> one double
+      // division), mutual-best pairs above margin 1.0 — raw-cosine
+      // hubness cancels, which is the whole point of the margin
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      operators.Similarity.mineBitext(
+        emb.filter(col("label") === 0), emb.filter(col("label") === 1),
+        "vec_id", "embedding", k = 4, minMargin = 1.0)
     }),
     "similarity_triplets" -> ((s, dir) => {
       // metric-learning triplet mining: per anchor, hardest same-label
@@ -7525,6 +7545,42 @@ object SparkEntry {
         |t AS (SELECT q_idx, greatest(1, (q_idx * c) // 20) AS r FROM ks, n)
         |SELECT t.q_idx, s.v AS value FROM t JOIN s ON s.rn = t.r
         |ORDER BY q_idx""".stripMargin,
+    // bitext-margin replay: identical micro-unit quantization, k-NN
+    // integer sums, one double division, mutual-best windows
+    "similarity_bitext_margin" ->
+      """WITH l AS (SELECT vec_id AS left_id, embedding AS lv
+        |           FROM embeddings WHERE label = 0),
+        |r AS (SELECT vec_id AS right_id, embedding AS rv
+        |      FROM embeddings WHERE label = 1),
+        |s AS (SELECT left_id, right_id,
+        |        CAST(round(round(list_cosine_similarity(
+        |          lv::DOUBLE[], rv::DOUBLE[]), 6) * 1e6) AS BIGINT) AS cm
+        |      FROM l CROSS JOIN r),
+        |fk AS (SELECT left_id, sum(cm) AS sl FROM (
+        |         SELECT left_id, cm, row_number() OVER (
+        |           PARTITION BY left_id ORDER BY cm DESC, right_id) AS rn
+        |         FROM s) t WHERE rn <= 4 GROUP BY left_id),
+        |bk AS (SELECT right_id, sum(cm) AS sr FROM (
+        |         SELECT right_id, cm, row_number() OVER (
+        |           PARTITION BY right_id ORDER BY cm DESC, left_id) AS rn
+        |         FROM s) t WHERE rn <= 4 GROUP BY right_id),
+        |m AS (SELECT s.left_id, s.right_id,
+        |        round((8.0 * s.cm) / (fk.sl + bk.sr), 6) + 0.0 AS margin
+        |      FROM s JOIN fk USING (left_id) JOIN bk USING (right_id)),
+        |bl AS (SELECT left_id, right_id FROM (
+        |         SELECT left_id, right_id, row_number() OVER (
+        |           PARTITION BY left_id ORDER BY margin DESC, right_id) AS rn
+        |         FROM m) t WHERE rn = 1),
+        |br AS (SELECT left_id, right_id FROM (
+        |         SELECT left_id, right_id, row_number() OVER (
+        |           PARTITION BY right_id ORDER BY margin DESC, left_id) AS rn
+        |         FROM m) t WHERE rn = 1)
+        |SELECT m.left_id, m.right_id, m.margin
+        |FROM m
+        |JOIN bl ON m.left_id = bl.left_id AND m.right_id = bl.right_id
+        |JOIN br ON m.left_id = br.left_id AND m.right_id = br.right_id
+        |WHERE m.margin >= 1.0
+        |ORDER BY m.left_id""".stripMargin,
     // hard-negative replay: same brute scoring restricted to rows whose
     // label differs from the anchor's, ranked after the filter
     "similarity_hard_negatives" ->
@@ -8822,6 +8878,36 @@ object SparkEntry {
         |         FROM cexp)
         |SELECT qid, rank, t AS term, weight
         |FROM rexp WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "retrieval_rake_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w
+        |  FROM (SELECT doc_id, list_filter(
+        |          string_split_regex(lower(text), '[^a-z]+'),
+        |          x -> x <> '') AS l FROM documents)),
+        |ph AS (
+        |  SELECT doc_id, pos, w, stop,
+        |         sum(CASE WHEN stop THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos) AS phid
+        |  FROM (SELECT doc_id, pos, w, w IN ('a', 'the') AS stop
+        |        FROM toks) t),
+        |body AS (SELECT doc_id, phid, pos, w FROM ph WHERE NOT stop),
+        |occ AS (SELECT doc_id, phid,
+        |          string_agg(w, ' ' ORDER BY pos) AS phrase,
+        |          count(*) AS len
+        |        FROM body GROUP BY doc_id, phid),
+        |mem AS (SELECT body.w, occ.len
+        |        FROM body JOIN occ USING (doc_id, phid)),
+        |ws AS (SELECT w, (sum(len) * 1000000) // count(*) AS ws
+        |       FROM mem GROUP BY w),
+        |dp AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+        |       FROM occ GROUP BY phrase),
+        |ps AS (SELECT dp.phrase, dp.n_occurrences,
+        |         CAST(sum(ws.ws) AS BIGINT) AS score_micro
+        |       FROM dp, unnest(string_split(dp.phrase, ' ')) AS t(w)
+        |       JOIN ws ON t.w = ws.w
+        |       GROUP BY dp.phrase, dp.n_occurrences)
+        |SELECT phrase, n_occurrences, score_micro FROM ps
+        |ORDER BY score_micro DESC, phrase LIMIT 25""".stripMargin,
     "retrieval_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

@@ -177,4 +177,69 @@ object Retrieval {
       .select(col("__id").as(idCol), col("rank"), col("__t").as("term"),
         col("score"))
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"), corpus-level: candidate
+    * phrases are maximal stopword-free word runs; each word scores
+    * `degree/freq` where freq counts its phrase occurrences and degree
+    * sums the lengths of the phrases it occurs in (co-occurrence
+    * including self — the paper's deg(w)); a phrase scores the sum of
+    * its member words' scores. Multi-word phrases whose members each
+    * also appear alone outrank the singletons — RAKE's point.
+    *
+    * Determinism: word scores quantize to exact micro-units
+    * (`(degree·10^6) div freq` — one integer division), phrase scores
+    * are integer SUMS of those, and the top-k cut is total-ordered by
+    * (score desc, phrase). No float summation anywhere. Returns
+    * (phrase, n_occurrences long, score_micro long) — score_micro is
+    * the phrase score in millionths — top `k` phrases.
+    *
+    * Scale shape: one corpus scan posexplodes to (doc, pos, word); the
+    * phrase id is a per-DOC running stopword count (keyed window, never
+    * global); phrase texts rebuild from bounded sort_array collects
+    * (phrases are sentence fragments, not documents); word stats are
+    * map-combinable counts over the member stream; the final cut is
+    * TakeOrderedAndProject. Nothing is O(corpus²), nothing collects. */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val stops = stopwords.map(_.toLowerCase).toSet
+    val words = docs.select(col(idCol).as("__id"),
+        posexplode(filter(split(lower(col(textCol)), "[^a-z]+"),
+          t => t =!= "")).as(Seq("__pos", "__w")))
+      .withColumn("__stop", col("__w").isInCollection(stops))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    val withPhrase = words
+      .withColumn("__ph", sum(col("__stop").cast("long")).over(w))
+      .filter(!col("__stop"))
+    // one row per phrase OCCURRENCE: its text and length
+    val occurrences = withPhrase
+      .groupBy(col("__id"), col("__ph"))
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("__pos"), col("__w")))),
+          s => s.getField("__w")), " ").as("phrase"),
+        count(lit(1)).as("__len"))
+    // member stream: every (word, phrase length) occurrence
+    val members = withPhrase
+      .join(occurrences.select(col("__id"), col("__ph"), col("__len")),
+        Seq("__id", "__ph"))
+      .select(col("__w"), col("__len"))
+    val wordScores = members.groupBy(col("__w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .select(col("__w"),
+        call_function("div", col("__deg") * lit(1000000L), col("__freq"))
+          .as("__ws"))
+    // score each DISTINCT phrase once: re-explode its words, sum scores
+    val distinctPhrases = occurrences.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val phraseScores = distinctPhrases
+      .select(col("phrase"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).as("__w"))
+      .join(wordScores, Seq("__w"))
+      .groupBy(col("phrase"), col("n_occurrences"))
+      .agg(sum(col("__ws")).as("score_micro"))
+    phraseScores
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(k)
+  }
 }

@@ -955,4 +955,72 @@ object Similarity {
     }
     topK(beamDf, k)
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    * LASER mining objective): score a candidate pair by its cosine
+    * NORMALIZED by how similar each side is to its own neighborhood —
+    * `margin(x,y) = cos(x,y) / ((avgK(x→R) + avgK(y→L)) / 2)` — then
+    * keep pairs that are each other's best margin (mutual-best) above
+    * `minMargin`. Raw-cosine thresholds fail on hubness (some vectors
+    * are close to everything); the margin cancels it, which is why this
+    * is the standard mined-parallel-corpus objective.
+    *
+    * Determinism: cosines quantize to exact micro-units (round(6)·1e6
+    * longs), each side's k-NN denominator is an integer SUM over a
+    * total-ordered top-k (ties by neighbor id), and the margin is ONE
+    * double division of exact longs — bit-identical in any engine, no
+    * float-summation-order drift. Both sides must have ≥ k rows (hard
+    * error otherwise: a padded average would silently skew margins).
+    *
+    * Returns (left_id, right_id, margin round(6)) for mutual-best pairs
+    * with margin ≥ minMargin, ordered by left_id.
+    *
+    * Scale shape: this exact variant broadcasts the RIGHT side (mine a
+    * query batch / one shard pair at a time — the [[bruteForceTopK]]
+    * discipline); the cross score is map-only, then two per-side top-k
+    * windows (keyed, never global) and keyed equi-joins. For unbounded
+    * sides, compose with IVF: assign both sides to coarse lists and
+    * mine within probed cells, same recall story as [[ivfTopK]]. */
+  def mineBitext(left: DataFrame, right: DataFrame,
+                 idCol: String, vecCol: String, k: Int,
+                 minMargin: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val l = left.select(col(idCol).as("left_id"), col(vecCol).as("lv"))
+    val r = right.select(col(idCol).as("right_id"), col(vecCol).as("rv"))
+    val nL = l.count(); val nR = r.count()
+    require(nL >= k && nR >= k,
+      s"both sides need >= k=$k rows for the k-NN margin; got $nL x $nR")
+    val scored = l.crossJoin(broadcast(r))
+      .select(col("left_id"), col("right_id"),
+        round(round(GraftExpressions.cosineSimilarity(col("lv"), col("rv")), 6)
+          * lit(1e6)).cast("long").as("cm"))
+    val wf = Window.partitionBy(col("left_id"))
+      .orderBy(col("cm").desc, col("right_id").asc)
+    val fwd = scored.withColumn("__rn", row_number().over(wf))
+      .filter(col("__rn") <= k)
+      .groupBy(col("left_id")).agg(sum(col("cm")).as("sl"))
+    val wb = Window.partitionBy(col("right_id"))
+      .orderBy(col("cm").desc, col("left_id").asc)
+    val bwd = scored.withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") <= k)
+      .groupBy(col("right_id")).agg(sum(col("cm")).as("sr"))
+    val margins = scored
+      .join(fwd, Seq("left_id")).join(bwd, Seq("right_id"))
+      .select(col("left_id"), col("right_id"),
+        (round((lit(2.0 * k) * col("cm")) / (col("sl") + col("sr")), 6)
+          + lit(0.0)).as("margin"))
+    val bestL = margins.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("left_id"))
+          .orderBy(col("margin").desc, col("right_id").asc)))
+      .filter(col("__rn") === 1).select(col("left_id"), col("right_id"))
+    val bestR = margins.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("right_id"))
+          .orderBy(col("margin").desc, col("left_id").asc)))
+      .filter(col("__rn") === 1).select(col("left_id"), col("right_id"))
+    margins
+      .join(bestL, Seq("left_id", "right_id"), "left_semi")
+      .join(bestR, Seq("left_id", "right_id"), "left_semi")
+      .filter(col("margin") >= minMargin)
+      .orderBy(col("left_id"))
+  }
 }

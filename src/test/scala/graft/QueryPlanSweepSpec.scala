@@ -28,6 +28,9 @@ class QueryPlanSweepSpec extends AnyFunSuite {
                               // queries) cross truncated corpus
     "similarity_hard_negatives", // same shape: broadcast(anchors) cross
                               // corpus scan (Similarity.mineHardNegatives)
+    "similarity_bitext_margin", // deliberate: broadcast(right shard)
+                              // cross the left scan (Similarity.mineBitext
+                              // — the bruteForceTopK discipline)
     "similarity_triplets",    // same shape: broadcast(anchors) cross the
                               // corpus scan, split by label (mineTriplets)
     "pii_t_closeness",        // deliberate: m-row global-support broadcast

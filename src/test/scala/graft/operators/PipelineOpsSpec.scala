@@ -547,6 +547,44 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSet
     assert(a == b, "identical inputs must walk identically")
   }
+
+  test("mineBitext: planted translations mine as mutual-best pairs, a " +
+       "polluted left vector pairs nowhere, margins deterministic, " +
+       "undersized side fails hard") {
+    // 4 planted pairs along distinct directions: left i and right 100+i
+    // are near-identical; left 5 points where NO right vector lives
+    def v(a: Float, b: Float, c: Float, d: Float) = Array(a, b, c, d)
+    val left = Seq(
+      (1L, v(1f, 0.1f, 0f, 0f)), (2L, v(0f, 1f, 0.1f, 0f)),
+      (3L, v(0f, 0f, 1f, 0.1f)), (4L, v(0.1f, 0f, 0f, 1f)),
+      (5L, v(-1f, -1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val right = Seq(
+      (101L, v(1f, 0.12f, 0f, 0f)), (102L, v(0f, 1f, 0.12f, 0f)),
+      (103L, v(0f, 0f, 1f, 0.12f)), (104L, v(0.12f, 0f, 0f, 1f)),
+      (105L, v(0.5f, 0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.mineBitext(left, right, "vec_id", "embedding",
+        k = 3, minMargin = 1.0)
+      .select($"left_id", $"right_id", $"margin")
+      .as[(Long, Long, Double)].collect().toSeq
+    val pairs = out.map(t => t._1 -> t._2).toMap
+    assert((1L to 4L).forall(i => pairs.get(i).contains(100L + i)),
+      s"planted pairs missing: $out")
+    assert(!pairs.contains(5L), "the matchless vector must not pair")
+    // mutual-best: every left and right id appears at most once
+    assert(out.map(_._1).distinct.size == out.size)
+    assert(out.map(_._2).distinct.size == out.size)
+    assert(out.forall(_._3 >= 1.0))
+    val again = Similarity.mineBitext(left, right, "vec_id", "embedding",
+        k = 3, minMargin = 1.0)
+      .select($"left_id", $"right_id", $"margin")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(again == out, "margins must be bit-identical across runs")
+    // k larger than a side: hard error, not a silently padded average
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mineBitext(left, right, "vec_id", "embedding", k = 9)
+    }
+    assert(e.getMessage.contains("k=9"))
+  }
 }
 
 class TopKSketchSpec extends SparkSpec {

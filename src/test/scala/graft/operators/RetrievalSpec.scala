@@ -101,4 +101,27 @@ class RetrievalSpec extends SparkSpec {
     // dog/emu never appear (doc 3 is outside the feedback set)
     assert(out == Seq((0L, 1, "banana", 2.1972), (0L, 2, "cherry", 1.0986)))
   }
+
+  test("rakeKeywords: hand-computed degree/freq micro-scores; multi-word " +
+       "phrases outrank member singletons; stopwords delimit and never " +
+       "score; occurrence counts collapse duplicates") {
+    val docs = Seq(
+      (1L, "deep learning of deep models"),
+      (2L, "deep of deep")).toDF("doc_id", "text")
+    val out = Retrieval.rakeKeywords(docs, "doc_id", "text",
+        stopwords = Seq("of"), k = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    // phrases: "deep learning", "deep models", "deep"×2
+    // deep: freq 4 (2 two-word + 2 singleton occurrences), degree 2+2+1+1
+    //   -> ws = 6e6 div 4 = 1_500_000
+    // learning/models: freq 1, degree 2 -> ws = 2_000_000
+    assert(out == Seq(
+      ("deep learning", 1L, 3500000L),
+      ("deep models", 1L, 3500000L),
+      ("deep", 2L, 1500000L)))
+    // a stopword-only document contributes no phrases; 'of' never scores
+    val noPhrase = Seq((1L, "of of of")).toDF("doc_id", "text")
+    assert(Retrieval.rakeKeywords(noPhrase, "doc_id", "text",
+      Seq("of"), k = 5).count() == 0L)
+  }
 }
