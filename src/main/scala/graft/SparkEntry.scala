@@ -1416,6 +1416,17 @@ object SparkEntry {
         .join(exact, Seq("source"))
         .orderBy(col("source"))
     }),
+    "sketch_kmv_setops" -> ((s, dir) => {
+      // overlap of two corpora from two KB sidecars: bottom-256
+      // registers of the ordering customers vs ALL customers -> union /
+      // intersection / Jaccard estimates, never joining the tables
+      val ord = DbReader(conn(s, dir), "orders").run()
+      val cust = DbReader(conn(s, dir), "customer").run()
+      operators.Sketch.kmvSetEstimates(
+        operators.Sketch.kmvRegisters(ord, "o_custkey", k = 256),
+        operators.Sketch.kmvRegisters(cust, "c_custkey", k = 256),
+        k = 256)
+    }),
     "sketch_kmv_distinct" -> ((s, dir) => {
       // bottom-k distinct sketch (k=128) over the word stream: the k
       // smallest md5 hashes + the (k-1)*2^60/h_k estimate, with the
@@ -1930,6 +1941,36 @@ object SparkEntry {
       // cut points, values pass through untouched so hashes are bit-exact
       operators.Ranking.exactQuantiles(
         DbReader(conn(s, dir), "lineitem").run(), "l_extendedprice", q = 20)
+    }),
+    "rank_group_quantiles" -> ((s, dir) => {
+      // per-GROUP exact deciles (order priority x total price): the same
+      // rank arithmetic behind a KEYED window plus an equi-join against
+      // the exploded (group, j, target-rank) table — per-segment cut
+      // points with no global sort and no nested-loop rank predicate
+      operators.Ranking.exactQuantilesByGroup(
+        DbReader(conn(s, dir), "orders").run(),
+        "o_orderpriority", "o_totalprice", q = 10)
+    }),
+    "feature_youden_threshold" -> ((s, dir) => {
+      // optimal quality-filter cut by Youden's J over the fastText-style
+      // scorer vs the is-English label (the roc_auc fixture): argmax of
+      // the exact integer tp*N - fp*P, ties to the larger threshold
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val toks = docs.select(
+        explode(filter(split(lower(col("text")), "[^a-z]+"),
+          t => t =!= "")).as("word"))
+      val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= 50)
+        .select(col("word"),
+          (conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long")
+            % 2001 - 1000).cast("double").as("weight"))
+      val scored = operators.Corpus.fastTextStyleScore(docs, "doc_id",
+          "text", vocab, bias = 0.0, scale = 1000.0)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .join(docs.filter(col("lang").isNotNull)
+          .select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          "doc_id")
+      operators.Features.youdenThreshold(scored, "score", "is_en")
     }),
     "similarity_topk_rp" -> ((s, dir) => {
       // random-projection pre-filter (64 -> 32 dims, Achlioptas JL) with
@@ -7045,6 +7086,52 @@ object SparkEntry {
         |         + 0.0 AS auc,
         |       np AS n_pos, nn AS n_neg
         |FROM t""".stripMargin,
+    // Youden replay: same scorer fixture as roc_auc; suffix sums from
+    // ascending prefixes, integer argmax tp*N - fp*P, larger-threshold
+    // tie-break via the ORDER BY, one double division at the end
+    "feature_youden_threshold" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS t
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT t, CAST(('0x' || substr(md5(t), 1, 15))::UBIGINT AS BIGINT)
+        |           % 2001 - 1000 AS wi
+        |  FROM (SELECT t FROM toks GROUP BY t HAVING count(*) >= 50)),
+        |s AS (
+        |  SELECT doc_id, count(*) AS n_toks,
+        |         CAST(sum(COALESCE(v.wi, 0)) AS BIGINT) AS sw
+        |  FROM toks LEFT JOIN vocab v USING (t)
+        |  GROUP BY doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, (d.lang = 'en') AS l,
+        |         CASE WHEN s.doc_id IS NULL THEN 0.5
+        |              ELSE round(1.0 / (1.0 +
+        |                exp(-(sw / (n_toks * 1000.0)))), 4) END AS v
+        |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        |  WHERE d.lang IS NOT NULL),
+        |g AS (SELECT v,
+        |        CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |        CAST(sum(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        |      FROM scored GROUP BY v),
+        |c AS (SELECT v, pos, neg,
+        |        CAST(sum(pos) OVER (ORDER BY v) AS BIGINT) AS cp,
+        |        CAST(sum(neg) OVER (ORDER BY v) AS BIGINT) AS cn
+        |      FROM g),
+        |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS np,
+        |               CAST(sum(neg) AS BIGINT) AS nn FROM g),
+        |jt AS (SELECT v, (np - cp + pos) AS tp, (nn - cn + neg) AS fp,
+        |         CAST((np - cp + pos) AS DECIMAL(38,0)) * nn
+        |           - CAST((nn - cn + neg) AS DECIMAL(38,0)) * np AS jn
+        |       FROM c, tot),
+        |b AS (SELECT * FROM jt ORDER BY jn DESC, v DESC LIMIT 1)
+        |SELECT b.v AS threshold, CAST(b.tp AS BIGINT) AS tp,
+        |       CAST(b.fp AS BIGINT) AS fp,
+        |       round(CAST(b.jn AS DOUBLE)
+        |             / (CAST(tot.np AS DOUBLE) * CAST(tot.nn AS DOUBLE)), 6)
+        |         + 0.0 AS j,
+        |       tot.np AS n_pos, tot.nn AS n_neg
+        |FROM b, tot""".stripMargin,
     // MI replay: same contingency counts, DECIMAL(38,0) products inside
     // the one log argument, (c_xy/N)*ln(...) double sequence, round+0.0
     "feature_mutual_info" ->
@@ -7533,6 +7620,56 @@ object SparkEntry {
         |  SELECT n_chars, ntile(10) OVER (ORDER BY n_chars) AS tile
         |  FROM documents WHERE n_chars IS NOT NULL) t
         |GROUP BY tile ORDER BY tile""".stripMargin,
+    // per-group quantile replay: keyed window ranks + the identical
+    // (group, j, target-rank) table
+    "rank_group_quantiles" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority AS g, o_totalprice AS v,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice) AS rn
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY g),
+        |t AS (SELECT n.g, CAST(j.j AS BIGINT) AS q_idx,
+        |             greatest(1, (j.j * n.c) // 10) AS r
+        |      FROM n, unnest(range(1, 11)) AS j(j))
+        |SELECT t.g AS o_orderpriority, t.q_idx, s.v AS value
+        |FROM t JOIN s ON s.g = t.g AND s.rn = t.r
+        |ORDER BY o_orderpriority, q_idx""".stripMargin,
+    // KMV set-operation replay: identical 60-bit hashes, combined
+    // bottom-k, membership in both registers, same estimator arithmetic
+    "sketch_kmv_setops" ->
+      """WITH ha AS (
+        |  SELECT h FROM (SELECT DISTINCT
+        |      CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+        |        AS BIGINT) AS h
+        |    FROM orders WHERE o_custkey IS NOT NULL) t
+        |  ORDER BY h LIMIT 256),
+        |hb AS (
+        |  SELECT h FROM (SELECT DISTINCT
+        |      CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)
+        |        AS BIGINT) AS h
+        |    FROM customer WHERE c_custkey IS NOT NULL) t
+        |  ORDER BY h LIMIT 256),
+        |u AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb) t
+        |      ORDER BY h LIMIT 256),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS ku,
+        |              CAST(max(h) AS BIGINT) AS hk,
+        |              CAST(sum(CASE WHEN h IN (SELECT h FROM ha)
+        |                            AND h IN (SELECT h FROM hb)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        |       FROM u)
+        |SELECT ku AS k_used, nc AS n_common, hk AS kth_hash,
+        |       round(CAST(nc AS DOUBLE) / CAST(ku AS DOUBLE), 6) + 0.0
+        |         AS jaccard,
+        |       round(CASE WHEN ku < 256 THEN CAST(ku AS DOUBLE)
+        |             ELSE 255.0 * 1152921504606846976.0
+        |                  / CAST(hk AS DOUBLE) END, 4) + 0.0 AS union_est,
+        |       round((CAST(nc AS DOUBLE) / CAST(ku AS DOUBLE))
+        |             * (CASE WHEN ku < 256 THEN CAST(ku AS DOUBLE)
+        |                ELSE 255.0 * 1152921504606846976.0
+        |                     / CAST(hk AS DOUBLE) END), 4) + 0.0
+        |         AS intersection_est
+        |FROM st""".stripMargin,
     // exact-quantile replay: same rank arithmetic over a full sort;
     // ties don't matter because only the value AT each rank is output
     "rank_exact_quantiles" ->

@@ -197,6 +197,64 @@ object Features {
     Seq((r6, nPos, nNeg)).toDF("auc", "n_pos", "n_neg")
   }
 
+  /** Optimal classification threshold by Youden's J statistic
+    * (Youden, Cancer 1950): over candidate thresholds t (the distinct
+    * scores; predict positive iff score ≥ t), maximize
+    * `J(t) = TPR − FPR`. This is where a quality-filter cut ACTUALLY
+    * comes from once a scorer exists — the threshold that best
+    * separates the classes, not an eyeballed 0.5.
+    *
+    * Cross-engine exactness: J is ranked by the INTEGER numerator
+    * `tp·N − fp·P` (exact DECIMAL(38) products — tpr/fpr fractions
+    * share the denominator P·N, so the argmax is identical), ties break
+    * to the LARGER threshold (the conservative cut); the reported j is
+    * one double division, round(6). Returns one row
+    * (threshold double, tp, fp long, j double, n_pos, n_neg long).
+    *
+    * Scale shape: same as [[rocAuc]] — one map-combinable groupBy on
+    * the distinct score, prefix sums via the range-partitioned
+    * [[Ranking.globalRunningSum]] (never a single-task window), one
+    * tiny argmax aggregate. */
+  def youdenThreshold(df: DataFrame, scoreCol: String,
+                      labelCol: String): DataFrame = {
+    val counts = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__v"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__p"))
+      .groupBy(col("__v"))
+      .agg(sum(col("__p")).as("__pos"),
+        (count(lit(1)) - sum(col("__p"))).as("__neg"))
+    val tot = counts.agg(coalesce(sum(col("__pos")), lit(0L)),
+      coalesce(sum(col("__neg")), lit(0L))).first
+    val nPos = tot.getLong(0); val nNeg = tot.getLong(1)
+    require(nPos > 0 && nNeg > 0,
+      s"youdenThreshold needs both classes, got pos=$nPos neg=$nNeg")
+    // suffix sums (scores >= t) from ascending-inclusive prefix sums
+    val c1 = Ranking.globalRunningSum(counts, Seq(col("__v")), "__pos",
+      out = "__cumPos")
+    val c2 = Ranking.globalRunningSum(c1, Seq(col("__v")), "__neg",
+      out = "__cumNeg")
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val scored = c2.select(col("__v"),
+        (lit(nPos) - col("__cumPos") + col("__pos")).as("__tp"),
+        (lit(nNeg) - col("__cumNeg") + col("__neg")).as("__fp"))
+      .select(col("__v"), col("__tp"), col("__fp"),
+        (d(col("__tp")) * lit(nNeg) - d(col("__fp")) * lit(nPos))
+          .as("__jn"))
+    val best = scored
+      .agg(max(struct(col("__jn"), col("__v"), col("__tp"), col("__fp")))
+        .as("m")).first.getStruct(0)
+    val j = best.getDecimal(0).doubleValue /
+      (nPos.toDouble * nNeg.toDouble)
+    val r6 = BigDecimal(j)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((best.getDouble(1), best.getLong(2), best.getLong(3), r6,
+        nPos, nNeg))
+      .toDF("threshold", "tp", "fp", "j", "n_pos", "n_neg")
+  }
+
   /** Cohen's kappa between two categorical columns — chance-corrected
     * agreement, the number to quote when comparing a cheap classifier
     * against gold labels (or two labeling runs against each other):

@@ -488,4 +488,38 @@ object Ranking {
       .select(col("q_idx"), col(out))
       .orderBy(col("q_idx"))
   }
+
+  /** Per-GROUP exact q-quantiles — [[exactQuantiles]]'s rank arithmetic
+    * (value at 1-based rank `max(1, (j·n_g) div q)` within each group's
+    * ascending order) behind a KEYED window: per-language length cuts,
+    * per-source score floors, per-bucket budgets. The window partitions
+    * by the group, so no single-task stage — the scale bound is the
+    * LARGEST group, same as any per-group sort, and groups here are
+    * languages/sources (thousands of rows each at most, by construction
+    * of the use cases). Returns (groupCol, q_idx 1..q, value) ordered. */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String,
+                            valueCol: String, q: Int,
+                            out: String = "value"): DataFrame = {
+    require(q >= 1, s"quantile count must be >= 1, got $q")
+    import org.apache.spark.sql.expressions.Window
+    def idiv(a: Column, b: Column) = call_function("div", a, b)
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).as(out))
+    val ranked = vals.withColumn("__rank", row_number().over(
+      Window.partitionBy(col(groupCol)).orderBy(col(out))))
+    // (group, q_idx, target rank) — |groups|·q rows, an EQUI-join key
+    // (a rank predicate against a j-table would plan a nested loop);
+    // the j list explodes from a literal array, so there is no join at
+    // all on this side
+    val targets = vals.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(groupCol), col("__n"),
+        explode(lit((1 to q).map(_.toLong).toArray)).as("q_idx"))
+      .select(col(groupCol), col("q_idx"),
+        greatest(lit(1L),
+          idiv(col("q_idx") * col("__n"), lit(q.toLong))).as("__rank"))
+    ranked.join(targets, Seq(groupCol, "__rank"))
+      .select(col(groupCol), col("q_idx"), col(out))
+      .orderBy(col(groupCol), col("q_idx"))
+  }
 }

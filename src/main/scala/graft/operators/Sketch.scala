@@ -295,6 +295,45 @@ object Sketch {
     Seq((n, hk, r4)).toDF("n_regs", "kth_hash", "estimate")
   }
 
+  /** Set-operation estimates from TWO bottom-k register tables (Beyer
+    * et al., SIGMOD 2007 "On Synopses for Distinct-Value Estimation
+    * under Multiset Operations"): combine both registers into the
+    * union's bottom-k K; the Jaccard estimate is the fraction of K
+    * present in BOTH input registers, the union estimate is the
+    * standard (k−1)·2^60/h_(k) on K, and the intersection estimate is
+    * their product — how two 100 TB corpora's overlap is sized from two
+    * KB-scale sidecars, no join of the corpora anywhere.
+    *
+    * When the combined registers hold fewer than k hashes the sketches
+    * ARE the distinct sets and every figure is exact. Returns one row
+    * (k_used, n_common, kth_hash long, jaccard round(6), union_est,
+    * intersection_est round(4)). Driver work is bounded by 2k longs —
+    * the [[kmvEstimate]] discipline. */
+  def kmvSetEstimates(regsA: DataFrame, regsB: DataFrame,
+                      k: Int): DataFrame = {
+    val a = regsA.select(col("h")).collect().map(_.getLong(0)).toSet
+    val b = regsB.select(col("h")).collect().map(_.getLong(0)).toSet
+    require(a.size <= k && b.size <= k,
+      s"register tables exceed k=$k: ${a.size} x ${b.size}")
+    val union = (a ++ b).toSeq.sorted.take(k)
+    val kU = union.size.toLong
+    require(kU > 0, "both register tables are empty")
+    val hk = union.last
+    val nCommon = union.count(h => a.contains(h) && b.contains(h)).toLong
+    val unionEst =
+      if (kU < k) kU.toDouble
+      else (k - 1).toDouble * 1152921504606846976.0 / hk.toDouble
+    val jaccard = nCommon.toDouble / kU.toDouble
+    def r(v: Double, s: Int) = BigDecimal(v)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val spark = regsA.sparkSession
+    import spark.implicits._
+    Seq((kU, nCommon, hk, r(jaccard, 6), r(unionEst, 4),
+        r(jaccard * unionEst, 4)))
+      .toDF("k_used", "n_common", "kth_hash", "jaccard", "union_est",
+        "intersection_est")
+  }
+
   // --- Bloom filter as an explicit bit-position set (Bloom, CACM 1970) --
 
   /** The set bit positions of an m-bit, k-hash Bloom filter over a

@@ -191,4 +191,29 @@ class FeaturesSpec extends SparkSpec {
     // fitted is always non-decreasing
     assert(out.map(_._4) == out.map(_._4).sorted)
   }
+
+  test("youdenThreshold: hand argmax of tp*N - fp*P, larger-threshold " +
+       "tie-break, single-class hard error") {
+    import spark.implicits._
+    // P=3, N=4; J-numerators by threshold: .9->4 .8->8 .7->5 .4->9(max)
+    // .3->6 .2->3 .1->0
+    val df = Seq((0.9, true), (0.8, true), (0.4, true),
+      (0.7, false), (0.3, false), (0.2, false), (0.1, false))
+      .toDF("score", "label")
+    val out = Features.youdenThreshold(df, "score", "label")
+      .as[(Double, Long, Long, Double, Long, Long)].collect().head
+    assert(out == ((0.4, 3L, 1L, 0.75, 3L, 4L)))
+    // tie on the numerator (1.0 and 0.6 both score 2): larger wins
+    val tie = Seq((1.0, true), (0.8, false), (0.6, true), (0.4, false))
+      .toDF("score", "label")
+    val t = Features.youdenThreshold(tie, "score", "label")
+      .as[(Double, Long, Long, Double, Long, Long)].collect().head
+    assert(t._1 == 1.0 && t._2 == 1L && t._3 == 0L && t._4 == 0.5)
+    val e = intercept[IllegalArgumentException] {
+      Features.youdenThreshold(
+        Seq((0.9, true), (0.1, true)).toDF("score", "label"),
+        "score", "label")
+    }
+    assert(e.getMessage.contains("both classes"))
+  }
 }

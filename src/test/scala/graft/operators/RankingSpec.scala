@@ -258,4 +258,18 @@ class RankingSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq ==
       Seq((1L, 2.5), (2L, 2.5), (3L, 2.5)))
   }
+
+  test("exactQuantilesByGroup: per-group ranks, tiny-group duplication, " +
+       "NULLs excluded, no cross-group leakage") {
+    import spark.implicits._
+    val rows = (1 to 10).map(i => ("a", Some(i * 10.0))) ++
+      Seq(("b", Some(1.0)), ("b", Some(2.0)), ("b", None))
+    val out = Ranking.exactQuantilesByGroup(
+        rows.toDF("g", "v"), "g", "v", q = 4)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", 1L, 20.0), ("a", 2L, 50.0), ("a", 3L, 70.0), ("a", 4L, 100.0),
+      // n=2, q=4: ranks 1,1,1,2
+      ("b", 1L, 1.0), ("b", 2L, 1.0), ("b", 3L, 1.0), ("b", 4L, 2.0)))
+  }
 }

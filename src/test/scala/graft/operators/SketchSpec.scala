@@ -165,4 +165,33 @@ class SketchSpec extends SparkSpec {
     val fm = Sketch.bloomMightContain(bits, far, "v", 2048, 5).collect()
     assert(fm.length == 20 && fm.forall(r => Set(0L, 1L)(r.getLong(1))))
   }
+
+  test("kmvSetEstimates: exact when registers cover the sets; estimator " +
+       "within sketch tolerance on a planted overlap; oversize rejected") {
+    import spark.implicits._
+    // tiny sets, k=64 -> the sketches ARE the sets: everything exact
+    val a = Seq("a", "b", "c").toDF("v")
+    val b = Seq("b", "c", "d").toDF("v")
+    val exact = Sketch.kmvSetEstimates(
+        Sketch.kmvRegisters(a, "v", 64), Sketch.kmvRegisters(b, "v", 64), 64)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(exact._1 == 4L && exact._2 == 2L)      // |union|=4, common=2
+    assert(exact._4 == 0.5 && exact._5 == 4.0 && exact._6 == 2.0)
+    // planted overlap 500 of 1500: k=64 estimates land in sketch range
+    val big1 = spark.range(1, 1001).select(col("id").cast("string").as("v"))
+    val big2 = spark.range(501, 1501).select(col("id").cast("string").as("v"))
+    val est = Sketch.kmvSetEstimates(
+        Sketch.kmvRegisters(big1, "v", 64), Sketch.kmvRegisters(big2, "v", 64), 64)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(est._1 == 64L)
+    assert(est._5 > 1000.0 && est._5 < 2200.0, s"union_est ${est._5}")
+    assert(est._6 > 150.0 && est._6 < 900.0, s"inter_est ${est._6}")
+    assert(est._4 > 0.1 && est._4 < 0.6, s"jaccard ${est._4}")
+    // a register table larger than k is a corrupt input, not a clamp
+    val e = intercept[IllegalArgumentException] {
+      Sketch.kmvSetEstimates(Sketch.kmvRegisters(big1, "v", 128),
+        Sketch.kmvRegisters(big2, "v", 64), 64)
+    }
+    assert(e.getMessage.contains("exceed"))
+  }
 }
