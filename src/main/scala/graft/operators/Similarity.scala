@@ -874,15 +874,28 @@ object Similarity {
       }
     val a = cells.select(col("cid"), col("id"), col("v"))
     val b = cells.select(col("cid"), col("id").as("nb"), col("v").as("nv"))
-    val pairs = a.join(b, Seq("cid"))
-      .filter(col("id") =!= col("nb"))
+    // cosine is symmetric: score each unordered pair ONCE (id < nb) and
+    // mirror it — half the fused-cosine work and half the rows into the
+    // dedup, with the mirror a map-side union, no extra exchange
+    val half = a.join(b, Seq("cid"))
+      .filter(col("id") < col("nb"))
       .select(col("id"), col("nb"),
         round(GraftExpressions.cosineSimilarity(col("v"), col("nv")), 6)
           .as("cosine"))
-      // two shared cells must not duplicate a candidate pair; dedup the
-      // NARROW scored rows (same pair → same rounded cosine), not the
-      // vector-carrying frame
-      .distinct()
+    // two shared cells must not duplicate a candidate pair; dedup the
+    // NARROW scored rows (same pair → same rounded cosine), not the
+    // vector-carrying frame. At nProbe = 1 every node lives in exactly
+    // one cell, a pair can only meet once, and the distinct would be a
+    // pure full-shuffle tax on the widest frame of the build — skip it.
+    val dedupedHalf = if (nProbe > 1) half.distinct() else half
+    // mirror by exploding both directions out of ONE row — a self-union
+    // would recompute the scored-join subtree for the second branch
+    val pairs = dedupedHalf.select(explode(array(
+        struct(col("id"), col("nb"), col("cosine")),
+        struct(col("nb").as("id"), col("id").as("nb"), col("cosine"))))
+        .as("p"))
+      .select(col("p.id").as("id"), col("p.nb").as("nb"),
+        col("p.cosine").as("cosine"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("cosine").desc, col("nb").asc)
     pairs.withColumn("rank", row_number().over(w))
@@ -936,10 +949,15 @@ object Similarity {
         .select(col("query_id"), col("id"), col("cosine"))
     }
     val adjOut = adj.select(col("id"), col("neighbor"))
+    // materialize the symmetrized adjacency ONCE: it is joined every
+    // round, and when `adj` arrives as a lazy build plan (the common
+    // call shape) each round would otherwise re-run the whole k-NN
+    // construction. The frame is narrow and bounded (<= 2·m·n rows).
     val adjN = adjOut
       .unionByName(adjOut.select(col("neighbor").as("id"),
         col("id").as("neighbor")))
       .distinct()
+      .localCheckpoint()
     var beamDf = topB(score(
         q.select(col("query_id")).crossJoin(broadcast(ent))))
       .localCheckpoint()
