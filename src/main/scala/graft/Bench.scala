@@ -84,6 +84,22 @@ object Bench {
     // per-chunk records and runs the experiments in its own session.
     // ONLY-mode and fork failure fall back to the in-process path.
     val fork = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") == "1"
+    // experiments-only mode: iterate on an experiment without paying the
+    // full gate sequence (prints each experiment's JSON to stderr)
+    if (sys.env.contains("SPARK_GRAFT_BENCH_EXPERIMENTS_ONLY")) {
+      val spark = buildSession()
+      for ((name, f) <- Seq[(String, (SparkSession, String) => String)](
+          ("skew", skewExperiment),
+          ("incremental_dedup_vs_stateless", incrementalDedupExperiment),
+          ("multipattern_vs_contains", multiPatternExperiment))) {
+        val out = try f(spark, sfDir) catch { case e: Throwable =>
+          e.printStackTrace(); s"""{"error":"$e"}"""
+        }
+        System.err.println(s"[experiment] $name -> $out")
+      }
+      spark.stop()
+      return
+    }
     if (only.isEmpty && fork) runForked(sfDir, runsPerQuery, fullOut)
     else runInProcess(sfDir, runsPerQuery, fullOut, only)
   }
@@ -167,9 +183,16 @@ object Bench {
         System.err.println(s"[bench] incr experiment FAILED: ${e.getMessage}")
         "{}"
       }
+    val acJson =
+      try multiPatternExperiment(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] multipattern experiment FAILED: $e")
+        e.printStackTrace()
+        "{}"
+      }
     val entries = mapper.writeValueAsString(queries)
     writeFullMerged(fullOut, sfDir, runsPerQuery, entries, failed, skewJson,
-      incrJson, total, chunks.size)
+      incrJson, acJson, total, chunks.size)
     parts.foreach(p =>
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
     spark.stop()
@@ -258,8 +281,15 @@ object Bench {
         System.err.println(s"[bench] incr experiment FAILED: ${e.getMessage}")
         "{}"
       }
+    val acJson = if (only.isDefined) "{}" else
+      try multiPatternExperiment(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] multipattern experiment FAILED: $e")
+        e.printStackTrace()
+        "{}"
+      }
     writeFull(fullOut, sfDir, runsPerQuery, results, failed, skewJson,
-      incrJson, total)
+      incrJson, acJson, total)
     // stop Spark BEFORE printing: the driver keeps only a ~4 KB stdout
     // TAIL, and shutdown logging emitted after the JSON line is what
     // pushed it out of the capture window in rounds 3-5 (parsed: null).
@@ -323,7 +353,8 @@ object Bench {
 
   private def writeFull(path: String, sfDir: String, runsPerQuery: Int,
       results: Map[String, Vector[(Double, Boolean)]], failed: List[String],
-      skewJson: String, incrJson: String, total: Double): Unit = {
+      skewJson: String, incrJson: String, acJson: String,
+      total: Double): Unit = {
     val noiseNote =
       "Single-run local[32] timings on this sandbox drift up to 4x per " +
       "query and ~1.6x at the median on identical code (measured " +
@@ -344,12 +375,12 @@ object Bench {
       s""""$name":{"runs":$runsJson,"min":${num(min, 3)},"noise":${num(noise, 2)}$failedPart}"""
     }.mkString("{", ",", "}")
     writeFullBody(path, sfDir, runsPerQuery, entries, failed, skewJson,
-      incrJson, total, noiseNote, forkedChunks = 0)
+      incrJson, acJson, total, noiseNote, forkedChunks = 0)
   }
 
   private def writeFullMerged(path: String, sfDir: String,
       runsPerQuery: Int, entries: String, failed: List[String],
-      skewJson: String, incrJson: String, total: Double,
+      skewJson: String, incrJson: String, acJson: String, total: Double,
       chunks: Int): Unit = {
     val note =
       "Forked bench: gates ran in " + chunks + " per-chunk child JVMs " +
@@ -360,12 +391,12 @@ object Bench {
       "chunk; 'noise' is max/min across successful runs; queries whose " +
       "noise exceeded 2 were rerun adaptively. Compare rounds on 'min'."
     writeFullBody(path, sfDir, runsPerQuery, entries, failed, skewJson,
-      incrJson, total, note, forkedChunks = chunks)
+      incrJson, acJson, total, note, forkedChunks = chunks)
   }
 
   private def writeFullBody(path: String, sfDir: String, runsPerQuery: Int,
       entries: String, failed: List[String], skewJson: String,
-      incrJson: String, total: Double, note: String,
+      incrJson: String, acJson: String, total: Double, note: String,
       forkedChunks: Int): Unit = {
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
@@ -375,6 +406,7 @@ object Bench {
          |"failed":$failedJson,
          |"skew":$skewJson,
          |"incremental_dedup_vs_stateless":$incrJson,
+         |"multipattern_vs_contains":$acJson,
          |"queries":$entries}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -391,6 +423,55 @@ object Bench {
     * Emits wall seconds plus max/median shuffle-read ratio of the worst
     * stage so the JSON shows BOTH that skew existed and that the cures
     * flatten it. */
+  /** Aho–Corasick vs contains-any at bench scale: the same
+    * distinct-patterns-present question answered by (a) ONE automaton
+    * pass per document ([[graft.expressions.MultiPatternDistinct]],
+    * O(len + hits) regardless of list size) and (b) the naive
+    * formulation — one `instr` per pattern per document,
+    * O(patterns·len). The pattern list is two-word phrases built from
+    * the corpus's own most frequent words, so matches actually fire.
+    * At a few hundred patterns the naive plan is already an order of
+    * magnitude slower; production blocklists are 10-100x larger, so the
+    * measured gap is the floor of the win. min-of-2 per side, identical
+    * input scan. */
+  private def multiPatternExperiment(spark: SparkSession,
+      sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("text"))
+      .withColumn("rep", explode(lit((0 until 4).toArray)))
+      .drop("rep")
+    val top = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(filter(split(lower(col("text")), "[^a-z]+"),
+        t => t =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(32)
+      .select(col("w")).collect().map(_.getString(0)).toSeq
+    val pats = (for (a <- top; b <- top if a != b) yield s"$a $b").take(1000)
+    def timeMin(df: => org.apache.spark.sql.DataFrame): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        df.count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val acSec = timeMin(docs.select(
+      graft.expressions.GraftExpressions
+        .multiPatternDistinct(col("text"), pats).as("d")))
+    // balanced addition tree: a left-nested 300-term reduce overflows
+    // the column-node converter's recursion (and would be a 300-deep
+    // codegen expression besides)
+    def balancedSum(cs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      if (cs.size == 1) cs.head
+      else balancedSum(cs.grouped(2)
+        .map(g => if (g.size == 2) g(0) + g(1) else g(0)).toSeq)
+    val containsSec = timeMin(docs.select(balancedSum(
+      pats.map(p => when(instr(col("text"), p) > 0L, 1L).otherwise(0L)))
+      .as("d")))
+    s"""{"n_patterns":${pats.size},"ac_sec":${num(acSec, 3)},""" +
+      s""""contains_any_sec":${num(containsSec, 3)},""" +
+      s""""speedup":${num(containsSec / math.max(acSec, 1e-9), 2)}}"""
+  }
+
   private def skewExperiment(spark: SparkSession, sfDir: String): String = {
     import org.apache.spark.sql.functions._
     import graft.metrics.SkewAudit

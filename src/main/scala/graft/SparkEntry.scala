@@ -893,6 +893,22 @@ object SparkEntry {
       operators.Graph.labelPropagation(pairs, "id_a", "id_b", rounds = 3)
         .select(col("node").as("c_custkey"), col("community"))
     }),
+    "audit_constraints" -> ((s, dir) => {
+      // declarative constraint suite (the dbt-test vocabulary) over
+      // lineitem in ONE scan: every check is a conditional-sum aggregate
+      // on the same pass, so a 50-check nightly audit costs one read;
+      // the discount range is set to actually catch violations
+      import operators.Profiling._
+      constraintAudit(DbReader(conn(s, dir), "lineitem").run(), Seq(
+        NotNull("l_orderkey"),
+        InSet("l_returnflag", Seq("A", "N", "R")),
+        InRange("l_quantity", 1.0, 50.0),
+        InRange("l_discount", 0.0, 0.08),
+        MatchesRegex("l_linestatus", "^[OF]$"),
+        Satisfies("disc_price_le_price",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            <= col("l_extendedprice"))))
+    }),
     "audit_referential" -> ((s, dir) => {
       // post-ingest referential integrity: FK orphan rates across the
       // star schema joins + PK duplicate excess — left-anti counts, only
@@ -2465,6 +2481,20 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       operators.Tokenize.wordPieceTokenCounts(docs, "doc_id", "text",
           wordPieceVocab, maxWordLen = 12)
+        .orderBy(col("doc_id"))
+    }),
+    "text_multipattern_hits" -> ((s, dir) => {
+      // one-pass Aho-Corasick phrase blocklist (custom codegen'd
+      // expression): overlapping occurrences of nested patterns ('an'
+      // inside 'scan' inside 'table scan') counted at every end
+      // position — O(len + hits) per doc regardless of list size, where
+      // contains-any pays O(patterns·len) and token joins miss phrases
+      val pats = Seq("scan", "table scan", "fast sort", "a", "slow", "an")
+      import graft.expressions.GraftExpressions.{multiPatternCount, multiPatternDistinct}
+      DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"),
+          multiPatternCount(col("text"), pats).as("n_matches"),
+          multiPatternDistinct(col("text"), pats).as("n_patterns_hit"))
         .orderBy(col("doc_id"))
     }),
     "text_char_entropy" -> ((s, dir) => {
@@ -6272,6 +6302,37 @@ object SparkEntry {
     "embedding_kmeans" -> kmeansOracleSql(k = 8, iters = 2),
     // referential replay: per-check scalar subqueries, BIGINT counts,
     // one rounded division each
+    "audit_constraints" ->
+      """WITH t AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN l_discount IS NOT NULL
+        |      AND (l_discount < 0.0 OR l_discount > 0.08)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS b_disc,
+        |    CAST(sum(CASE WHEN l_quantity IS NOT NULL
+        |      AND (l_quantity < 1.0 OR l_quantity > 50.0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS b_qty,
+        |    CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+        |      AND l_returnflag NOT IN ('A', 'N', 'R')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS b_rf,
+        |    CAST(sum(CASE WHEN l_linestatus IS NOT NULL
+        |      AND NOT regexp_matches(l_linestatus, '^[OF]$')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS b_ls,
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b_ok,
+        |    CAST(sum(CASE WHEN NOT COALESCE(
+        |        l_extendedprice * (1.0 - l_discount) <= l_extendedprice,
+        |        false) THEN 1 ELSE 0 END) AS BIGINT) AS b_sat
+        |  FROM lineitem),
+        |rows_out AS (
+        |  SELECT 'in_range(l_discount,0.0,0.08)' AS check_name, b_disc AS n_bad FROM t
+        |  UNION ALL SELECT 'in_range(l_quantity,1.0,50.0)', b_qty FROM t
+        |  UNION ALL SELECT 'in_set(l_returnflag)', b_rf FROM t
+        |  UNION ALL SELECT 'matches_regex(l_linestatus)', b_ls FROM t
+        |  UNION ALL SELECT 'not_null(l_orderkey)', b_ok FROM t
+        |  UNION ALL SELECT 'satisfies(disc_price_le_price)', b_sat FROM t)
+        |SELECT r.check_name, CAST(t.n AS BIGINT) AS n_rows, r.n_bad,
+        |       round(CAST(r.n_bad AS DOUBLE) / t.n, 6) + 0.0 AS bad_rate
+        |FROM rows_out r, t ORDER BY check_name""".stripMargin,
     "audit_referential" ->
       """WITH checks AS (
         |  SELECT 'fk_lineitem_orders' AS check_name,
@@ -9171,6 +9232,24 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "tokenizer_wordpiece_encode" ->
       wordPieceOracleSql(wordPieceVocab, steps = 12, maxWordLen = 12),
+    // multi-pattern replay: every (position, pattern) prefix compare —
+    // the quadratic formulation the automaton replaces, same overlapping
+    // semantics
+    "text_multipattern_hits" ->
+      """WITH pats AS (SELECT * FROM (VALUES ('scan'), ('table scan'),
+        |    ('fast sort'), ('a'), ('slow'), ('an')) p(p)),
+        |pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |        FROM documents WHERE text IS NOT NULL),
+        |hits AS (SELECT doc_id, p, count(*) AS c
+        |         FROM pos JOIN pats ON substr(text, i, length(p)) = p
+        |         GROUP BY doc_id, p),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_matches,
+        |               CAST(count(*) AS BIGINT) AS n_patterns_hit
+        |        FROM hits GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_matches, 0) AS n_matches,
+        |       COALESCE(a.n_patterns_hit, 0) AS n_patterns_hit
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // entropy replay via the grouped-sum form (mathematically identical,
     // round(4) bridges the summation-order difference)
     "text_char_entropy" ->

@@ -781,6 +781,10 @@ object GraftExpressions {
   def randomProject(v: Column, outDim: Int, seed: Long = 42L): Column =
     col(RandomProject(expr(v), outDim, seed))
   def simhash64Md5(c: Column): Column = col(SimHash64Md5(expr(c)))
+  def multiPatternCount(c: Column, patterns: Seq[String]): Column =
+    col(MultiPatternCount(expr(c), patterns))
+  def multiPatternDistinct(c: Column, patterns: Seq[String]): Column =
+    col(MultiPatternDistinct(expr(c), patterns))
   def cosineSimilarity(a: Column, b: Column): Column =
     col(CosineSimilarity(expr(a), expr(b)))
   def int8Scale(v: Column): Column = col(Int8Scale(expr(v)))

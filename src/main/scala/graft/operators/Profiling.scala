@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 
@@ -154,6 +154,80 @@ object Profiling {
     val n = keys.count()
     val distinct = keys.distinct().count()
     auditRow(df.sparkSession, check, n, n - distinct)
+  }
+
+  /** A declarative row-level data constraint — the dbt-test /
+    * expectation-suite vocabulary. Each constraint yields a violation
+    * PREDICATE; the audit evaluates all of them in ONE pass. */
+  sealed trait Constraint {
+    def name: String
+    /** true where the row VIOLATES the constraint */
+    def violated: Column
+  }
+  /** Column must be non-null. */
+  final case class NotNull(c: String) extends Constraint {
+    val name = s"not_null($c)"
+    def violated: Column = col(c).isNull
+  }
+  /** Non-null values must be one of `values`. */
+  final case class InSet(c: String, values: Seq[String]) extends Constraint {
+    val name = s"in_set($c)"
+    def violated: Column =
+      col(c).isNotNull && !col(c).cast("string").isInCollection(values)
+  }
+  /** Non-null values must lie in [lo, hi]. */
+  final case class InRange(c: String, lo: Double, hi: Double)
+      extends Constraint {
+    val name = s"in_range($c,$lo,$hi)"
+    def violated: Column = col(c).isNotNull &&
+      (col(c).cast("double") < lo || col(c).cast("double") > hi)
+  }
+  /** Non-null values must match the (Java/RE2-common subset) regex. */
+  final case class MatchesRegex(c: String, pattern: String)
+      extends Constraint {
+    val name = s"matches_regex($c)"
+    def violated: Column =
+      col(c).isNotNull && !col(c).cast("string").rlike(pattern)
+  }
+  /** Cross-column predicate must hold (violated where it is FALSE;
+    * null-valued predicates count as violations — an unknowable check
+    * is a failed check). */
+  final case class Satisfies(label: String, predicate: Column)
+      extends Constraint {
+    val name = s"satisfies($label)"
+    def violated: Column = !coalesce(predicate, lit(false))
+  }
+
+  /** Run a constraint suite over the frame in ONE scan: every
+    * constraint becomes a conditional-sum aggregate, so the audit costs
+    * one map-combinable pass regardless of how many checks ride it —
+    * the shape a nightly 100 TB data-quality job needs (per-check scans
+    * would multiply the read N times). Returns one row per constraint:
+    * (check_name, n_rows long — all rows, n_bad long, bad_rate double
+    * round(6)) ordered by check_name; compose with [[fkOrphanAudit]] /
+    * [[pkDuplicateAudit]] (which need joins, not predicates) by union. */
+  def constraintAudit(df: DataFrame,
+                      constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "empty constraint suite")
+    require(constraints.map(_.name).distinct.size == constraints.size,
+      "duplicate constraint names")
+    val aggs = count(lit(1)).as("__n") +:
+      constraints.zipWithIndex.map { case (k, i) =>
+        sum(when(k.violated, 1L).otherwise(0L)).as(s"__bad_$i")
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    val n = row.getLong(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    constraints.zipWithIndex.map { case (k, i) =>
+      val bad = if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)
+      val rate =
+        if (n == 0L) 0.0
+        else BigDecimal(bad.toDouble / n.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      (k.name, n, bad, rate)
+    }.sortBy(_._1)
+      .toDF("check_name", "n_rows", "n_bad", "bad_rate")
   }
 
   private def auditRow(spark: org.apache.spark.sql.SparkSession,

@@ -26,6 +26,35 @@ class TextFunctionsSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("multiPatternCount/Distinct: Aho-Corasick overlapping and nested " +
+       "matches, fail-link crossover, nulls, bad pattern lists rejected") {
+    import graft.expressions.GraftExpressions.{multiPatternCount, multiPatternDistinct}
+    def run(texts: Seq[String], pats: Seq[String]): Seq[(Long, Long)] =
+      texts.toDF("t").select(
+        multiPatternCount($"t", pats).as("c"),
+        multiPatternDistinct($"t", pats).as("d"))
+        .as[(Long, Long)].collect().toSeq
+    // overlapping: 'aa' ends at positions 2,3,4 of 'aaaa'
+    assert(run(Seq("aaaa"), Seq("aa")) == Seq((3L, 1L)))
+    // nested closure: 'scan' hits a@3, an@4, scan@4 -> 3 matches, 3 pats
+    assert(run(Seq("scan"), Seq("a", "an", "scan")) == Seq((3L, 3L)))
+    // the classic fail-link crossover: 'ab' then 'bc' share the 'b'
+    assert(run(Seq("abc"), Seq("ab", "bc")) == Seq((2L, 2L)))
+    // phrase across token boundary + no-match text + empty text
+    assert(run(Seq("a table scan here", "nothing", ""),
+        Seq("table scan", "zzz")) ==
+      Seq((1L, 1L), (0L, 0L), (0L, 0L)))
+    // null text -> null counts (not zero)
+    val n = Seq[String](null).toDF("t")
+      .select(multiPatternCount($"t", Seq("x")).as("c")).collect().head
+    assert(n.isNullAt(0))
+    // bad lists fail construction, not silently
+    intercept[IllegalArgumentException] {
+      run(Seq("x"), Seq("a", "a"))
+    }
+    intercept[IllegalArgumentException] { run(Seq("x"), Seq("")) }
+  }
+
   test("langId: script blocks + latin stopwords") {
     val cases = Seq(
       "the cat and the hat is here" -> "en",

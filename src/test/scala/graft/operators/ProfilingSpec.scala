@@ -82,4 +82,40 @@ class ProfilingSpec extends SparkSpec {
       ("b", 2L, 12L, 6.0, 2L, Some("en"), 1L),
       ("c", 1L, 4L, 4.0, 0L, None, 0L)))
   }
+
+  test("constraintAudit: one-pass suite — null/set/range/regex/predicate " +
+       "semantics, null-predicate counts as violation, name collisions " +
+       "rejected") {
+    import Profiling._
+    val df = Seq(
+      (Some(1L), Some("A"), Some(5.0), Some("ok_1")),
+      (Some(2L), Some("X"), Some(99.0), Some("bad!")),   // set + range + regex
+      (None, Some("N"), None, None),                     // null key
+      (Some(4L), None, Some(-1.0), Some("ok_2")))        // range low
+      .toDF("k", "flag", "qty", "tag")
+    val out = Profiling.constraintAudit(df, Seq(
+        NotNull("k"),
+        InSet("flag", Seq("A", "N", "R")),
+        InRange("qty", 0.0, 50.0),
+        MatchesRegex("tag", "^ok_[0-9]$"),
+        Satisfies("qty_vs_key", col("qty") > col("k").cast("double"))))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // nulls never violate set/range/regex (only not_null counts them);
+    // the Satisfies rows with null operands DO violate (unknowable=fail):
+    // row1 5>1 ok; row2 99>2 ok; row3 null fail; row4 -1>4 fail -> 2
+    assert(out == Seq(
+      ("in_range(qty,0.0,50.0)", 4L, 2L, 0.5),
+      ("in_set(flag)", 4L, 1L, 0.25),
+      ("matches_regex(tag)", 4L, 1L, 0.25),
+      ("not_null(k)", 4L, 1L, 0.25),
+      ("satisfies(qty_vs_key)", 4L, 2L, 0.5)))
+    intercept[IllegalArgumentException] {
+      Profiling.constraintAudit(df, Seq(NotNull("k"), NotNull("k")))
+    }
+    // empty frame: zero rows, zero violations, rate 0 (not NaN)
+    val empty = Profiling.constraintAudit(
+        df.filter(col("k") === -99L), Seq(NotNull("k")))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(empty == Seq(("not_null(k)", 0L, 0L, 0.0)))
+  }
 }
