@@ -2172,6 +2172,24 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("int"))
         .orderBy(col("id"), col("rank"))
     }),
+    "similarity_nsw_append" -> ((s, dir) => {
+      // HNSW insert, batch-ified: odd-id vectors join the even-id graph
+      // by the SAME beam walk queries use (k = m), existing lists never
+      // rewrite (symmetrized edges make new nodes reachable) — the
+      // daily-batch cost is O(batch·beam·m), independent of graph size.
+      // Output = the appended adjacency rows; the oracle replays the
+      // walk round-by-round over the even-side exact graph
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      val old = emb.filter(col("vec_id") % 2 === 0)
+      val batch = emb.filter(col("vec_id") % 2 === 1 && col("vec_id") < 20)
+      val adj = operators.Similarity.nswGraph(old, "vec_id", "embedding",
+        m = 4, nLists = 1, nProbe = 1)
+      operators.Similarity.appendToNswGraph(adj, old, batch,
+          "vec_id", "embedding", m = 4)
+        .join(batch.select(col("vec_id").as("id")), Seq("id"), "left_semi")
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy(col("id"), col("rank"))
+    }),
     "similarity_nsw_search" -> ((s, dir) => {
       // beam search over that adjacency: 3 expand-score-prune rounds,
       // beam 8, from the 4 smallest ids as deterministic entry points —
@@ -2787,6 +2805,18 @@ object SparkEntry {
       operators.Tokenize.bpeTrainMerges(
           DbReader(conn(s, dir), "documents").run(), "text", nMerges = 5)
         .orderBy(col("step"))
+    }),
+    "tokenizer_unigram_em" -> ((s, dir) => {
+      // Kudo 2018 M-step (completes the unigram trainer loop: seed ->
+      // Viterbi -> EM re-score): backtrace the packed DP per distinct
+      // word (smallest-piece tie-break — the oracle's min(l) argmin),
+      // count chosen pieces weighted by word frequency, re-score as
+      // exact micro-unit frequency shares
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val vocab = operators.Tokenize.substringSeedVocab(
+          docs, "text", minLen = 2, maxLen = 4, topK = 40)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      operators.Tokenize.unigramEmStep(docs, "text", vocab)
     }),
     "tokenizer_unigram_viterbi" -> ((s, dir) => {
       // Kudo 2018 E-step: optimal segmentation of every distinct word
@@ -5293,6 +5323,55 @@ object SparkEntry {
        |           ORDER BY cos DESC, id) AS rn
        |  FROM s$rounds) t
        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Unrolled replay of the NSW APPEND walk: same shape as
+    * [[nswSearchOracleSql]] but the graph side is the EVEN-id vectors
+    * (exact top-4 adjacency), the queries are the odd-id batch, and the
+    * final cut is top-m(4) renamed to the adjacency schema. */
+  private def nswAppendOracleSql(rounds: Int): String = {
+    def scoreCte(name: String, from: String): String =
+      s"""$name AS (SELECT query_id, id, cos FROM (
+         |    SELECT f.query_id, f.id,
+         |           round(list_cosine_similarity(q.qv, e2.v), 6) + 0.0 AS cos,
+         |           row_number() OVER (PARTITION BY f.query_id
+         |             ORDER BY round(list_cosine_similarity(q.qv, e2.v), 6)
+         |               DESC, f.id) AS rn
+         |    FROM $from f JOIN e e2 ON e2.id = f.id
+         |      JOIN q ON q.query_id = f.query_id
+         |    WHERE f.id != f.query_id) t WHERE rn <= 8)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""f$r AS (SELECT DISTINCT query_id, id FROM (
+         |    SELECT s.query_id, adj.nb AS id
+         |    FROM s${r - 1} s JOIN adj ON adj.id = s.id
+         |    UNION ALL SELECT query_id, id FROM s${r - 1}) u),
+         |${scoreCte(s"s$r", s"f$r")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |           FROM embeddings WHERE vec_id % 2 = 0),
+       |adj0 AS (
+       |  SELECT id, nb FROM (
+       |    SELECT a.id, b.id AS nb,
+       |           row_number() OVER (PARTITION BY a.id
+       |             ORDER BY round(list_cosine_similarity(a.v, b.v), 6)
+       |               DESC, b.id) AS rn
+       |    FROM e a JOIN e b ON a.id != b.id) t WHERE rn <= 4),
+       |adj AS (SELECT DISTINCT id, nb FROM (
+       |  SELECT id, nb FROM adj0
+       |  UNION ALL SELECT nb AS id, id AS nb FROM adj0) u),
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 20),
+       |f0 AS (SELECT q.query_id, x.id
+       |       FROM q CROSS JOIN (SELECT id FROM e ORDER BY id LIMIT 4) x),
+       |${scoreCte("s0", "f0")},
+       |$roundCtes
+       |SELECT query_id AS id, rn::INTEGER AS rank, nbr AS neighbor,
+       |       cos AS cosine FROM (
+       |  SELECT query_id, id AS nbr, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, id) AS rn
+       |  FROM s$rounds) t
+       |WHERE rn <= 4 ORDER BY id, rank""".stripMargin
   }
 
   /** Unrolled 2-iteration EM replay for [[Joins.fellegiSunterEm]]: the
@@ -7825,6 +7904,7 @@ object SparkEntry {
     // brute-force top-k oracle
     // exact-kNN-graph replay (nLists=1 makes the build exact): brute
     // pairs + per-node top-m window, tiebreak (round6 cosine desc, id)
+    "similarity_nsw_append" -> nswAppendOracleSql(rounds = 3),
     "similarity_nsw_graph" ->
       """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
         |           FROM embeddings)
@@ -9941,6 +10021,77 @@ object SparkEntry {
     // b(i) = max(b(i-l) + score*1024 - 1), single chars floor at score 1
     // (10-bit pieces field — matches unigramViterbiSegment's widened
     // packing that keeps words up to 1023 letters exact)
+    // EM-step replay: the SAME forward DP kept at every i, then a second
+    // recursive backtrace picking min(l) among candidates that achieve
+    // dp(i) exactly — the engine's smallest-piece tie-break — and the
+    // integer micro-share M-step on the collected pieces
+    "tokenizer_unigram_em" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT t AS w, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents,
+        |    UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+        |  WHERE t <> '' GROUP BY t),
+        |pieces AS (
+        |  SELECT substring(w, i, n) AS piece, c
+        |  FROM words,
+        |    UNNEST(range(1, length(w) - 2 + 2)) AS g(i),
+        |    UNNEST(range(2, least(4, length(w) - i + 1) + 1)) AS h(n)
+        |  WHERE length(w) >= 2),
+        |vocab AS (
+        |  SELECT piece, CAST(sum(c * length(piece)) AS BIGINT) AS score
+        |  FROM pieces GROUP BY piece
+        |  ORDER BY score DESC, piece LIMIT 40),
+        |dp AS (
+        |  SELECT w, c, 0 AS i, CAST(1023 AS BIGINT) AS b0,
+        |         CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2,
+        |         CAST(NULL AS BIGINT) AS b3
+        |  FROM words
+        |  UNION ALL
+        |  SELECT w, c, i + 1, CAST(max(prev + sc * 1024 - 1) AS BIGINT) AS b0,
+        |         b0 AS b1, b1 AS b2, b2 AS b3
+        |  FROM (
+        |    SELECT d.w, d.c, d.i, d.b0, d.b1, d.b2, d.b3,
+        |           CASE l.l WHEN 1 THEN d.b0 WHEN 2 THEN d.b1
+        |                    WHEN 3 THEN d.b2 ELSE d.b3 END AS prev,
+        |           CASE WHEN l.l = 1 THEN COALESCE(v.score, 1)
+        |                ELSE v.score END AS sc
+        |    FROM dp d
+        |    JOIN (SELECT unnest([1, 2, 3, 4]) AS l) l ON l.l <= d.i + 1
+        |    LEFT JOIN vocab v
+        |      ON v.piece = substring(d.w, d.i + 2 - l.l, l.l)
+        |    WHERE d.i < length(d.w)
+        |  ) cand
+        |  WHERE prev IS NOT NULL AND sc IS NOT NULL
+        |  GROUP BY w, c, i, b0, b1, b2, b3),
+        |dpt AS (SELECT w, i, b0 AS v FROM dp),
+        |bt AS (
+        |  SELECT w, c, CAST(length(w) AS INTEGER) AS i,
+        |         CAST(NULL AS VARCHAR) AS piece
+        |  FROM words
+        |  UNION ALL
+        |  SELECT w, c, i - pickl AS i,
+        |         substring(w, i - pickl + 1, pickl) AS piece
+        |  FROM (
+        |    SELECT b.w, b.c, b.i, CAST(min(l.l) AS INTEGER) AS pickl
+        |    FROM bt b
+        |    JOIN (SELECT unnest([1, 2, 3, 4]) AS l) l ON l.l <= b.i
+        |    JOIN dpt dc ON dc.w = b.w AND dc.i = b.i
+        |    JOIN dpt dn ON dn.w = b.w AND dn.i = b.i - l.l
+        |    LEFT JOIN vocab v
+        |      ON v.piece = substring(b.w, b.i - l.l + 1, l.l)
+        |    WHERE b.i > 0
+        |      AND (CASE WHEN l.l = 1 THEN COALESCE(v.score, 1)
+        |           ELSE v.score END) IS NOT NULL
+        |      AND dn.v + (CASE WHEN l.l = 1 THEN COALESCE(v.score, 1)
+        |           ELSE v.score END) * 1024 - 1 = dc.v
+        |    GROUP BY b.w, b.c, b.i
+        |  ) t),
+        |cnt AS (SELECT piece, CAST(sum(c) AS BIGINT) AS n_occurrences
+        |        FROM bt WHERE piece IS NOT NULL GROUP BY piece),
+        |tot AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS t FROM cnt)
+        |SELECT piece, n_occurrences,
+        |       CAST((n_occurrences * 1000000) // t AS BIGINT) AS score_micro
+        |FROM cnt, tot ORDER BY piece""".stripMargin,
     "tokenizer_unigram_viterbi" ->
       """WITH RECURSIVE words AS (
         |  SELECT t AS w, CAST(count(*) AS BIGINT) AS c

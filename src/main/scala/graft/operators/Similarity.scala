@@ -974,6 +974,37 @@ object Similarity {
     topK(beamDf, k)
   }
 
+  /** Incremental NSW maintenance — the HNSW INSERT step (Malkov &
+    * Yashunin 2018 §4, batch-ified): each new vector finds its `m`
+    * nearest graph members by the SAME beam walk queries use
+    * ([[nswBeamSearch]] with k = m), and joins the graph with edges to
+    * them. Existing nodes' stored lists never rewrite — the walk
+    * symmetrizes edges, so a new node is reachable through its
+    * neighbors' reversed edges immediately (the undirected-NSW
+    * discipline this module's search already uses; HNSW's reverse-list
+    * pruning exists to bound stored degree, which symmetrization makes
+    * unnecessary here). Returns the grown adjacency in [[nswGraph]]'s
+    * schema (id, rank, neighbor, cosine) — old rows verbatim plus one
+    * row per (new node, rank ≤ m).
+    *
+    * Scale shape: the batch pays |batch| beam walks against the
+    * EXISTING graph — per round one equi-join with the (materialized)
+    * adjacency and a per-query top-beam window — and never touches
+    * corpus pairs; the append itself is a union. This is the daily-batch
+    * cost being O(batch · beam · m), independent of graph size — the
+    * same contract as the IVF-PQ map-only append and the incremental
+    * dedup indexes. Batch ids must be disjoint from graph ids. */
+  def appendToNswGraph(adj: DataFrame, corpus: DataFrame, batch: DataFrame,
+                       idCol: String, vecCol: String, m: Int = 4,
+                       beam: Int = 8, rounds: Int = 3,
+                       entries: Int = 4): DataFrame = {
+    val found = nswBeamSearch(adj, corpus, batch, idCol, vecCol,
+      k = m, beam = beam, rounds = rounds, entries = entries)
+    adj.select(col("id"), col("rank"), col("neighbor"), col("cosine"))
+      .unionByName(found.select(col("query_id").as("id"), col("rank"),
+        col("id").as("neighbor"), col("cosine")))
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
     * LASER mining objective): score a candidate pair by its cosine
     * NORMALIZED by how similar each side is to its own neighborhood —

@@ -421,28 +421,112 @@ object Tokenize {
         s"word of length $n exceeds the 1023-letter segmentation bound " +
           "(pre-filter non-linguistic letter runs before segmenting): " +
           w.take(40) + "...")
-      val dp = new Array[Long](n + 1)
-      dp(0) = 1023L // packed (score 0, pieces 0)
-      var i = 1
-      while (i <= n) {
-        var best = Long.MinValue
-        var l = 1
-        val lMax = math.min(maxPieceLen, i)
-        while (l <= lMax) {
-          val piece = w.substring(i - l, i)
-          val sc =
-            if (l == 1) Some(vocab.getOrElse(piece, 1L)) else vocab.get(piece)
-          sc.foreach { s =>
-            val v = dp(i - l) + s * 1024 - 1
-            if (v > best) best = v
-          }
-          l += 1
-        }
-        dp(i) = best
-        i += 1
-      }
+      val dp = viterbiDp(w, vocab, maxPieceLen)
       (w, c, dp(n) / 1024, 1023 - dp(n) % 1024)
     }.toDF("word", "count", "score", "n_pieces")
+  }
+
+  /** The packed-objective Viterbi forward table shared by
+    * [[unigramViterbiSegment]] and [[unigramEmStep]]: dp(i) is the best
+    * packed value over segmentations of the first i letters. */
+  private def viterbiDp(w: String, vocab: Map[String, Long],
+                        maxPieceLen: Int): Array[Long] = {
+    val n = w.length
+    val dp = new Array[Long](n + 1)
+    dp(0) = 1023L // packed (score 0, pieces 0)
+    var i = 1
+    while (i <= n) {
+      var best = Long.MinValue
+      var l = 1
+      val lMax = math.min(maxPieceLen, i)
+      while (l <= lMax) {
+        val piece = w.substring(i - l, i)
+        val sc =
+          if (l == 1) Some(vocab.getOrElse(piece, 1L)) else vocab.get(piece)
+        sc.foreach { s =>
+          val v = dp(i - l) + s * 1024 - 1
+          if (v > best) best = v
+        }
+        l += 1
+      }
+      dp(i) = best
+      i += 1
+    }
+    dp
+  }
+
+  /** Backtrace of the packed DP: the chosen pieces, ties resolved to the
+    * SHORTEST piece at each step (a tie in the PACKED value — same score
+    * and same piece count via different pieces — is rare but must pick
+    * deterministically, and "smallest l" is what the SQL replay's
+    * `min(l)` argmin reproduces). */
+  private def viterbiPieces(w: String, vocab: Map[String, Long],
+                            maxPieceLen: Int): List[String] = {
+    val dp = viterbiDp(w, vocab, maxPieceLen)
+    var pieces = List.empty[String]
+    var i = w.length
+    while (i > 0) {
+      var picked = -1
+      var l = 1
+      val lMax = math.min(maxPieceLen, i)
+      while (l <= lMax && picked < 0) {
+        val piece = w.substring(i - l, i)
+        val sc =
+          if (l == 1) Some(vocab.getOrElse(piece, 1L)) else vocab.get(piece)
+        if (sc.exists(s => dp(i - l) + s * 1024 - 1 == dp(i))) picked = l
+        l += 1
+      }
+      assert(picked > 0, s"backtrace hole at $i in '$w'") // unreachable
+      pieces ::= w.substring(i - picked, i)
+      i -= picked
+    }
+    pieces
+  }
+
+  /** ONE EM iteration of the unigram-LM tokenizer trainer (Kudo 2018,
+    * arXiv:1804.10959 §3.1 — the step [[substringSeedVocab]] seeds and
+    * [[unigramViterbiSegment]] scores): E-step segments every DISTINCT
+    * word under the current scores (identical packed DP, smallest-piece
+    * tie-break) and counts the chosen pieces weighted by word frequency;
+    * M-step re-scores each piece as its frequency share in exact
+    * micro-units — `score' = (count(piece)·10^6) div total_pieces`.
+    * Pieces the Viterbi never chooses simply don't appear (EM's pruning:
+    * their count is zero, so the next vocab drops them); single-letter
+    * fallback pieces DO appear — their mass is the UNK pressure the
+    * trainer watches. Returns (piece, n_occurrences long, score_micro
+    * long) ordered by piece; iterate by feeding score_micro back in as
+    * the next round's vocab.
+    *
+    * Scale shape: the corpus collapses to its word-frequency table (the
+    * only full scan); each unique word runs the DP + backtrace once in a
+    * typed flatMap; piece counts are one map-combinable aggregate and
+    * the total is a single collected long. */
+  def unigramEmStep(df: DataFrame, textCol: String,
+                    vocab: Map[String, Long],
+                    maxPieceLen: Int = 4): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(vocab.values.forall(s => s >= 1 && s <= (1L << 42)),
+      "piece scores must be in [1, 2^42] for the packed objective")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        t => t =!= "")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val counts = words.as[(String, Long)].flatMap { case (w, c) =>
+      require(w.length <= 1023,
+        s"word of length ${w.length} exceeds the 1023-letter bound: " +
+          w.take(40) + "...")
+      viterbiPieces(w, vocab, maxPieceLen).map(p => (p, c))
+    }.toDF("piece", "__c")
+      .groupBy(col("piece")).agg(sum(col("__c")).as("n_occurrences"))
+    val total = counts
+      .agg(coalesce(sum(col("n_occurrences")), lit(0L))).first.getLong(0)
+    require(total > 0, "no pieces segmented — empty corpus?")
+    counts.select(col("piece"), col("n_occurrences"),
+        call_function("div", col("n_occurrences") * lit(1000000L),
+          lit(total)).as("score_micro"))
+      .orderBy(col("piece"))
   }
 
   def substringSeedVocab(df: DataFrame, textCol: String,

@@ -101,6 +101,9 @@ class QueryPlanSweepSpec extends AnyFunSuite {
                               // to BNLJ (same device as similarity_topk_
                               // ivf's full-probe gate); multi-list builds
                               // plan a real equi-join on cid
+    , "similarity_nsw_append" // same device: the appended batch walks the
+                              // nLists=1 exact graph (build's constant-key
+                              // join + the walk's tiny entries×queries seed)
   )
 
   /** Global `OVER (ORDER BY ...)` windows with no PARTITION BY run the

@@ -577,6 +577,56 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b, "identical inputs must walk identically")
   }
 
+  test("appendToNswGraph: batch nodes join by the beam walk — old rows " +
+       "verbatim, m edges per new node with near-brute recall, and new " +
+       "nodes are REACHABLE by search over the grown graph") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val old = emb.filter($"vec_id" % 2 === 0)
+    val batch = emb.filter($"vec_id" % 2 === 1 && $"vec_id" < 12)
+    val adj = Similarity.nswGraph(old, "vec_id", "embedding",
+      m = 4, nLists = 1, nProbe = 1).localCheckpoint()
+    // ~25-node graph: beam 12 x 4 rounds makes the walk near-exhaustive
+    // so the recall assertion tests the APPEND plumbing, not the walk's
+    // inherent recall on random high-dim vectors (covered by the search
+    // specs)
+    val grown = Similarity.appendToNswGraph(adj, old, batch,
+      "vec_id", "embedding", m = 4, beam = 12, rounds = 4).localCheckpoint()
+    val oldRows = adj.select($"id", $"rank", $"neighbor").collect().toSet
+    val grownRows = grown.select($"id", $"rank", $"neighbor").collect().toSet
+    assert(oldRows.subsetOf(grownRows), "old adjacency must ride verbatim")
+    val appended = grown.join(batch.select($"vec_id".as("id")), Seq("id"),
+      "left_semi")
+    val perNode = appended.groupBy($"id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perNode.size == 6 && perNode.values.forall(_ == 4L), perNode)
+    // neighbor quality: >= 3 of brute-force top-4 per new node
+    val brute = Similarity.bruteForceTopK(old, batch,
+      "vec_id", "embedding", 4)
+    val hits = appended.select($"id".as("query_id"), $"neighbor".as("id"))
+      .join(brute, Seq("query_id", "id"), "left_semi")
+      .groupBy($"query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the 25-node exact-kNN graph on random vectors can fragment, so
+    // one node's true neighborhood may sit across a component boundary:
+    // require every node >= 2/4 and >= 18/24 overall
+    assert(hits.values.forall(_ >= 2L) && hits.values.sum >= 18L,
+      s"append recall: $hits")
+    // reachability: a probe carrying a NEW node's exact vector (fresh
+    // id, so the self-exclusion doesn't hide it) searched over the
+    // GROWN graph must surface that new node at rank 1 with cosine 1 —
+    // only the symmetrized appended edges can get the walk there
+    val newRow = batch.orderBy($"vec_id").select($"vec_id", $"embedding")
+      .collect().head
+    val probe = Seq((99999L, newRow.getAs[Seq[Float]](1).toArray))
+      .toDF("vec_id", "embedding")
+    val corpus = emb // ids resolve against the full table
+    val top = Similarity.nswBeamSearch(grown, corpus, probe,
+        "vec_id", "embedding", k = 1)
+      .collect().head
+    assert(top.getLong(2) == newRow.getLong(0) && top.getDouble(3) == 1.0,
+      s"new node ${newRow.getLong(0)} not reached: $top")
+  }
+
   test("mineBitext: planted translations mine as mutual-best pairs, a " +
        "polluted left vector pairs nowhere, margins deterministic, " +
        "undersized side fails hard") {

@@ -190,6 +190,27 @@ class TokenizeSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("1023")))
   }
 
+  test("unigramEmStep: hand-computed piece counts and micro-shares; " +
+       "packed-value tie resolves to the SHORTEST piece; EM prunes " +
+       "never-chosen vocab") {
+    import spark.implicits._
+    // words: abab x2, ab x1; vocab scores make whole-word 'abab' win
+    val df = Seq((1L, "abab ab"), (2L, "abab")).toDF("id", "text")
+    val out = Tokenize.unigramEmStep(df, "text",
+        Map("ab" -> 10L, "abab" -> 30L))
+      .as[(String, Long, Long)].collect().toSeq
+    // abab(c=2) -> [abab]; ab(c=1) -> [ab]; total 3 pieces
+    // 'ab' vocab entry survives, nothing else chosen
+    assert(out == Seq(("ab", 1L, 333333L), ("abab", 2L, 666666L)))
+    // TIE: 'abc' under {ab:2, bc:2} — ab+c and a+bc both pack to the
+    // same value; the backtrace must take the SHORTEST final piece,
+    // giving [ab, c] (the oracle's min(l) argmin)
+    val tie = Tokenize.unigramEmStep(Seq((1L, "abc")).toDF("id", "text"),
+        "text", Map("ab" -> 2L, "bc" -> 2L))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(tie == Seq(("ab", 1L, 500000L), ("c", 1L, 500000L)))
+  }
+
   test("wordPieceEncodeWord: greedy longest-match, continuation marker, " +
        "greedy trap, position-0 and mid-word UNK, length cap") {
     val heads = Set("un", "u", "col", "co", "run")
