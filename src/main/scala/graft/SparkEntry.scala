@@ -1712,6 +1712,18 @@ object SparkEntry {
           "doc_id", "text", shingleSize = 3, threshold = 0.9)
         .orderBy(col("src_id"), col("dst_id"))
     }),
+    "dedup_medoid" -> ((s, dir) => {
+      // exact medoid per fuzzy-match cluster: the member minimizing the
+      // SUM of Levenshtein distances to its component (ties -> smallest
+      // id) — pairwise work stays WITHIN components (equi-join on comp,
+      // never cartesian), exact integer sums
+      val cust = DbReader(conn(s, dir), "customer").run()
+      val pairs = operators.Joins.fuzzySelfPairs(cust,
+        "c_custkey", "c_name",
+        expr("substring(c_name, 1, length(c_name)-2)"), maxDist = 1)
+      operators.Dedup.medoidPerCluster(cust, "c_custkey", "c_name",
+        pairs, (a, b) => levenshtein(a, b), "id_a", "id_b")
+    }),
     "dedup_keep_latest" -> ((s, dir) => {
       // changelog compaction: one max_by aggregate per key, no window
       // sort a hot key could serialize. lineitem as the changelog:
@@ -7608,6 +7620,35 @@ object SparkEntry {
         |GROUP BY b.doc_id, a.doc_id
         |HAVING jaccard >= 0.7
         |ORDER BY bench_id, corpus_id""".stripMargin,
+    // medoid replay: same fuzzy edges, transitive-closure components,
+    // within-component pairwise Levenshtein sums, min-(sum, id) argmin
+    "dedup_medoid" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT c_custkey AS id, c_name AS s,
+        |         substr(c_name, 1, length(c_name) - 2) AS blk
+        |  FROM customer WHERE c_name IS NOT NULL AND c_custkey IS NOT NULL),
+        |e AS (
+        |  SELECT a.id AS a, b.id AS b
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.s, b.s) <= 1),
+        |edges AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |walk(id, reach) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT w.id, e2.b FROM walk w JOIN edges e2 ON w.reach = e2.a),
+        |comp AS (SELECT id, CAST(min(reach) AS BIGINT) AS comp
+        |         FROM walk GROUP BY id),
+        |mem AS (SELECT comp.comp, comp.id, c.s
+        |        FROM comp JOIN c ON c.id = comp.id),
+        |d AS (SELECT x.comp, x.id,
+        |        CAST(sum(levenshtein(x.s, y.s)) AS BIGINT) AS sum_dist
+        |      FROM mem x JOIN mem y ON x.comp = y.comp AND x.id != y.id
+        |      GROUP BY x.comp, x.id),
+        |m AS (SELECT comp, min(sum_dist) AS ms FROM d GROUP BY comp)
+        |SELECT d.comp, CAST(min(d.id) AS BIGINT) AS medoid_id,
+        |       CAST(m.ms AS BIGINT) AS sum_dist
+        |FROM d JOIN m ON d.comp = m.comp AND d.sum_dist = m.ms
+        |GROUP BY d.comp, m.ms ORDER BY d.comp""".stripMargin,
     "dedup_components" ->
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),

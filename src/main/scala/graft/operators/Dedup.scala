@@ -779,6 +779,47 @@ object Dedup {
     untouched.unionByName(winners)
   }
 
+  /** Exact MEDOID representative per duplicate cluster: within each
+    * connected component of the pairs graph, the member minimizing the
+    * SUM of pairwise distances to the other members (ties → smallest
+    * id) — the principled "which copy is the canonical one" answer when
+    * no quality score exists ([[keepBestPerCluster]]'s input): the
+    * medoid is the least-mutated member of a template family, where
+    * min-id or max-length picks are arbitrary. `distance` must yield an
+    * INTEGER distance (levenshtein, hamming, |lenA−lenB|) so sums are
+    * exact and the argmin replays engine-identically.
+    *
+    * Returns (comp, medoid_id, sum_dist long) ordered by comp — one row
+    * per component (components have ≥ 2 members by construction).
+    *
+    * Scale shape: pairwise distances run WITHIN components only (the
+    * SemDeDup discipline — an equi-join on the component id, never a
+    * cartesian); near-dup families are small by nature, and the argmin
+    * is one map-combinable min-of-struct aggregate. */
+  def medoidPerCluster(items: DataFrame, idCol: String, valueCol: String,
+                       pairs: DataFrame,
+                       distance: (Column, Column) => Column,
+                       pairCol1: String = "id1",
+                       pairCol2: String = "id2"): DataFrame = {
+    val comps = connectedComponents(pairs, pairCol1, pairCol2)
+    val members = items
+      .select(col(idCol).cast("long").as("id"), col(valueCol).as("__v"))
+      .join(comps, Seq("id"))
+    val other = members.select(col("comp"), col("id").as("__id2"),
+      col("__v").as("__v2"))
+    val sums = members.join(other, Seq("comp"))
+      .filter(col("id") =!= col("__id2"))
+      .select(col("comp"), col("id"),
+        distance(col("__v"), col("__v2")).cast("long").as("__d"))
+      .groupBy(col("comp"), col("id"))
+      .agg(sum(col("__d")).as("sum_dist"))
+    sums.groupBy(col("comp"))
+      .agg(min(struct(col("sum_dist"), col("id"))).as("m"))
+      .select(col("comp"), col("m.id").as("medoid_id"),
+        col("m.sum_dist").as("sum_dist"))
+      .orderBy(col("comp"))
+  }
+
   /** Sub-document (paragraph-style) exact dedup and reassembly: split each
     * document into `chunkTokens`-token chunks, keep only the globally
     * FIRST occurrence of each distinct chunk (ordered by doc id, then

@@ -127,6 +127,22 @@ class DedupSpec extends SparkSpec {
     (6L, "short text")
   ).toDF("doc_id", "text")
 
+  test("medoidPerCluster: the least-total-distance member wins, ties go " +
+       "to the smallest id, unclustered rows don't appear") {
+    val items = Seq(
+      (1L, "aaaa"), (2L, "aaab"), (3L, "aabb"),   // chain: 2 is the middle
+      (10L, "xy"), (11L, "xz"),                    // pair: tie -> min id 10
+      (99L, "lonely")                              // no pairs -> no row
+    ).toDF("id", "v")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val out = Dedup.medoidPerCluster(items, "id", "v", pairs,
+        (a, b) => org.apache.spark.sql.functions.levenshtein(a, b))
+      .as[(Long, Long, Long)].collect().toSeq
+    // cluster 1: sums 1->1+2=3, 2->1+1=2, 3->2+1=3 -> medoid 2
+    // cluster 10: both sum 1 -> tie -> 10
+    assert(out == Seq((1L, 2L, 2L), (10L, 10L, 1L)))
+  }
+
   test("exact dedup: normalized duplicates collapse to smallest id") {
     val ids = Dedup.exactDedup(docs, "doc_id", "text")
       .select($"doc_id").as[Long].collect().sorted.toSeq
