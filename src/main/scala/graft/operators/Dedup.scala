@@ -794,14 +794,65 @@ object Dedup {
     *
     * Scale shape: pairwise distances run WITHIN components only (the
     * SemDeDup discipline — an equi-join on the component id, never a
-    * cartesian); near-dup families are small by nature, and the argmin
-    * is one map-combinable min-of-struct aggregate. */
+    * cartesian); near-dup families are USUALLY small, but that is an
+    * observation, not a guarantee: one templated-spam mega-component of
+    * 10^6 members would yield 10^12 join rows under a single key. So the
+    * component sizes are pre-counted (one cheap map-combinable
+    * aggregate) and any component larger than `maxComponentSize` is a
+    * HARD ERROR unless `sampleOversized` is set, in which case its
+    * members are down-sampled to exactly `maxComponentSize` by Knuth
+    * multiplicative hash rank (ties → smallest id) — deterministic
+    * across runs and engines, so the sampled medoid is still a
+    * principled, replayable representative (the medoid of a uniform
+    * member sample; both sides of the distance sum see the same
+    * sample). Per-component pairwise work is thereby bounded by
+    * maxComponentSize² regardless of corpus skew. The sampling window
+    * partitions by component and runs ONLY over the oversized
+    * components (left-semi against the tiny oversized-comp list), so
+    * the common case pays one extra broadcast anti-join and nothing
+    * else. */
   def medoidPerCluster(items: DataFrame, idCol: String, valueCol: String,
                        pairs: DataFrame,
                        distance: (Column, Column) => Column,
                        pairCol1: String = "id1",
-                       pairCol2: String = "id2"): DataFrame = {
-    val comps = connectedComponents(pairs, pairCol1, pairCol2)
+                       pairCol2: String = "id2",
+                       maxComponentSize: Int = 4096,
+                       sampleOversized: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxComponentSize >= 2,
+      s"maxComponentSize must be >= 2, got $maxComponentSize")
+    val allComps = connectedComponents(pairs, pairCol1, pairCol2)
+    // bounded sidecar: one row (count + max of component sizes)
+    val sizes = allComps.groupBy(col("comp"))
+      .agg(count(lit(1)).as("__n"))
+    val comps =
+      if (!sampleOversized) {
+        val bad = sizes.agg(
+          sum(when(col("__n") > maxComponentSize, 1L).otherwise(0L))
+            .as("n_over"),
+          max(col("__n")).as("max_n")).head()
+        val nOver = if (bad.isNullAt(0)) 0L else bad.getLong(0)
+        require(nOver == 0L,
+          s"medoidPerCluster: $nOver component(s) exceed " +
+            s"maxComponentSize=$maxComponentSize (largest has " +
+            s"${bad.get(1)} members); pairwise distances within such a " +
+            "component are quadratic in its size. Raise " +
+            "maxComponentSize only if size^2 join rows are affordable, " +
+            "or pass sampleOversized=true for a deterministic " +
+            "Knuth-hash member sample.")
+        allComps
+      } else {
+        val overComps = sizes.filter(col("__n") > maxComponentSize)
+          .select(col("comp"))
+        val small = allComps.join(overComps, Seq("comp"), "left_anti")
+        val sampled = allComps.join(overComps, Seq("comp"), "left_semi")
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy(col("comp"))
+              .orderBy(Sampling.knuthHash32(col("id")), col("id"))))
+          .filter(col("__rk") <= maxComponentSize)
+          .drop("__rk")
+        small.unionByName(sampled)
+      }
     val members = items
       .select(col(idCol).cast("long").as("id"), col(valueCol).as("__v"))
       .join(comps, Seq("id"))

@@ -143,6 +143,37 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 2L), (10L, 10L, 1L)))
   }
 
+  test("medoidPerCluster: oversized component is a hard error by default " +
+       "and a deterministic Knuth-hash sample with sampleOversized") {
+    // component {1..5} (chain) is oversized at maxComponentSize=3;
+    // component {10,11} is small and must pass through untouched
+    val items = Seq(
+      (1L, "a"), (2L, "bb"), (3L, "ccc"), (4L, "dddd"), (5L, "ffffffff"),
+      (10L, "x"), (11L, "yyy")
+    ).toDF("id", "v")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id1", "id2")
+    val dist = (a: org.apache.spark.sql.Column,
+                b: org.apache.spark.sql.Column) =>
+      abs(length(a) - length(b))
+    // error path: pre-count rejects the 5-member component loudly
+    val err = intercept[IllegalArgumentException] {
+      Dedup.medoidPerCluster(items, "id", "v", pairs, dist,
+        maxComponentSize = 3)
+    }
+    assert(err.getMessage.contains("maxComponentSize=3") &&
+      err.getMessage.contains("5 members"))
+    // sampled path: knuthHash32(id) = (id * 2654435761) mod 2^32 ranks
+    // 5 (387276917) < 2 (1013904226) < 4 (2027808452) < 1 < 3,
+    // so the kept sample is {2,4,5} with lengths {2,4,8}:
+    // sums 2 -> 2+6=8, 4 -> 2+4=6, 5 -> 6+4=10 -> medoid 4 (sum 6).
+    // small component {10,11}: lengths {1,3}, both sum 2 -> tie -> 10
+    val out = Dedup.medoidPerCluster(items, "id", "v", pairs, dist,
+        maxComponentSize = 3, sampleOversized = true)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 4L, 6L), (10L, 10L, 2L)))
+  }
+
   test("exact dedup: normalized duplicates collapse to smallest id") {
     val ids = Dedup.exactDedup(docs, "doc_id", "text")
       .select($"doc_id").as[Long].collect().sorted.toSeq
