@@ -116,7 +116,7 @@ object SparkEntry {
 
   /** The word-exploded file stream over three staged doc-id-range
     * batches — the shared source of the streaming sketch gates. */
-  private def stagedDocWordStream(s: SparkSession, dir: String,
+  private def stagedDocBatchStream(s: SparkSession, dir: String,
       docs: DataFrame, h1: Long, h2: Long): DataFrame = {
     import org.apache.spark.sql.types._
     val landing = sketchLandingCache.synchronized {
@@ -135,11 +135,15 @@ object SparkEntry {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     graft.streaming.FileStreamReader.read(
-        s, graft.filedf.Parquet(), landing, schema,
-        maxFilesPerTrigger = Some(1))
+      s, graft.filedf.Parquet(), landing, schema,
+      maxFilesPerTrigger = Some(1))
+  }
+
+  private def stagedDocWordStream(s: SparkSession, dir: String,
+      docs: DataFrame, h1: Long, h2: Long): DataFrame =
+    stagedDocBatchStream(s, dir, docs, h1, h2)
       .select(explode(filter(split(lower(col("text")), "[^a-z]+"),
         t => t =!= "")).as("w"))
-  }
 
   /** Staged change batches for streaming_cdc_apply (same INPUT-only
     * contract as [[landingCache]]). */
@@ -1358,6 +1362,51 @@ object SparkEntry {
       operators.Sketch.kmvEstimate(
           operators.Sketch.kmvFoldTable(s, tab, k = 128), k = 128)
         .localCheckpoint()
+    }),
+    "sketch_kll_quantiles" -> ((s, dir) => {
+      // KLL-style mergeable quantile sketch over document lengths:
+      // ONE range-partitioned sort + a deterministic md5-coin modular
+      // rank filter (exactly equal to the unrolled conditional
+      // compaction rounds the oracle replays) -> <=256 registers; the
+      // 20-quantile read-out is driver arithmetic over the bounded
+      // sidecar. Estimated ranks provably within 2n/cap of exact.
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), length(col("text")).as("len"))
+      val regs = operators.Sketch
+        .kllRegisters(docs, "len", "doc_id", k = 128)
+        .localCheckpoint() // <=256 rows; stats + quantiles reread it
+      val st = regs.agg(count(lit(1)).as("n"), sum(col("w")).as("tw")).head()
+      operators.Sketch.kllQuantiles(regs, 20)
+        .withColumn("n_regs", lit(st.getLong(0)))
+        .withColumn("total_w", lit(st.getLong(1)))
+        .orderBy(col("q_idx"))
+    }),
+    "streaming_kll_fold" -> ((s, dir) => {
+      // KLL maintenance on ingest: each doc-range micro-batch appends
+      // its <=256-row register frame (one O(batch log batch) sort of
+      // the BATCH, never the history); the fold is the KLL merge over
+      // the appended frames — deterministic md5-coin compaction, so the
+      // oracle replays builds AND merge verbatim. NOT replay-idempotent
+      // (weights would inflate), so the exactly-once ledger is
+      // load-bearing, like the Count-Min sums (spec-forged).
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), col("text"))
+      val mx = docs.agg(max(col("doc_id"))).first.getLong(0)
+      val stream = stagedDocBatchStream(s, dir, docs, mx / 3, 2 * mx / 3)
+        .select(col("doc_id"), length(col("text")).as("len"))
+      val ck = java.nio.file.Files.createTempDirectory("graft_kllf_ck").toString
+      val tab = java.nio.file.Files.createTempDirectory("graft_kllf_t")
+        .toString + "/regs"
+      graft.streaming.StreamRunner.runIncrementalKllMaintain(
+        stream, "len", "doc_id", tab, k = 128, ck,
+        new graft.core.InMemoryHwmStore, s"kll@$ck")
+      val regs = operators.Sketch.kllFoldTable(s, tab, k = 128)
+        .localCheckpoint()
+      val st = regs.agg(count(lit(1)).as("n"), sum(col("w")).as("tw")).head()
+      operators.Sketch.kllQuantiles(regs, 20)
+        .withColumn("n_regs", lit(st.getLong(0)))
+        .withColumn("total_w", lit(st.getLong(1)))
+        .orderBy(col("q_idx"))
     }),
     "sketch_countmin_words" -> ((s, dir) => {
       // Count-Min counters (d=4, w=512) over the word stream, probed at
@@ -5756,6 +5805,89 @@ object SparkEntry {
         |       m AS n_buckets, v AS v_zero
         |FROM s""".stripMargin
 
+  /** `layers` unrolled KLL conditional-compaction layers over the CTE
+    * named `first` (columns value DOUBLE, tb BIGINT, w BIGINT), writing
+    * CTEs `<pfx>0 .. <pfx>{layers-1}`: each layer decimates the lowest
+    * weight class by md5-coin rank parity IF the frame still exceeds
+    * `cap` — the exact semantics of [[graft.operators.Sketch
+    * .kllSchedule]] (build: all weights equal, so the class is the whole
+    * frame) and [[graft.operators.Sketch.kllMerge]] (mixed weights).
+    * Extra layers past convergence are identities, which is what makes
+    * ONE fixed SQL text replay any input size up to cap·2^layers. Coin
+    * literals are [[graft.operators.Sketch.kllCoin]](coinStart+i),
+    * inlined so the replaying engine needs no md5-parity for the coin
+    * itself. */
+  private def kllLayersSql(first: String, pfx: String, layers: Int,
+                           cap: Int, coinStart: Int): String =
+    (0 until layers).map { i =>
+      val coin = operators.Sketch.kllCoin(coinStart + i)
+      val prev = if (i == 0) first else s"$pfx${i - 1}"
+      s"""$pfx$i AS (
+         |  SELECT value, tb,
+         |         CASE WHEN n > $cap AND w = wmin THEN w * 2 ELSE w END AS w
+         |  FROM (SELECT value, tb, w,
+         |               CAST(count(*) OVER () AS BIGINT) AS n,
+         |               CAST(min(w) OVER () AS BIGINT) AS wmin,
+         |               CAST(row_number() OVER (PARTITION BY w
+         |                 ORDER BY value, tb) AS BIGINT) AS rn
+         |        FROM $prev)
+         |  WHERE n <= $cap OR w <> wmin OR rn % 2 = $coin)""".stripMargin
+    }.mkString(",\n")
+
+  /** The quantile read-out over a final KLL register CTE `fin`:
+    * (q_idx 1..q, value = first register whose exact cumulative weight
+    * reaches max(1, (j·W) div q), n_regs, total_w) — pure integer
+    * arithmetic, mirroring [[graft.operators.Sketch.kllQuantiles]]. */
+  private def kllQuantileTailSql(fin: String, q: Int): String =
+    s"""stats AS (SELECT CAST(count(*) AS BIGINT) AS n_regs,
+       |                 CAST(sum(w) AS BIGINT) AS total_w FROM $fin),
+       |cumx AS (SELECT value, tb,
+       |                CAST(sum(w) OVER (ORDER BY value, tb
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |                  AS BIGINT) AS cw FROM $fin),
+       |probes AS (SELECT CAST(unnest(range(1, ${q + 1})) AS BIGINT) AS q_idx)
+       |SELECT p.q_idx,
+       |       (SELECT min(value) FROM cumx
+       |        WHERE cw >= greatest(CAST(1 AS BIGINT),
+       |                             (p.q_idx * s.total_w) // $q)) AS value,
+       |       s.n_regs, s.total_w
+       |FROM probes p, stats s
+       |ORDER BY p.q_idx""".stripMargin
+
+  /** sketch_kll_quantiles replay: 12 conditional layers (handles any
+    * corpus up to 256·2^12 rows) + the quantile tail. */
+  private def kllQuantilesOracle: String =
+    s"""WITH kb AS (SELECT CAST(length(text) AS DOUBLE) AS value,
+       |                   doc_id AS tb, CAST(1 AS BIGINT) AS w
+       |            FROM documents WHERE length(text) IS NOT NULL),
+       |${kllLayersSql("kb", "kl", 12, 256, 0)},
+       |${kllQuantileTailSql("kl11", 20)}""".stripMargin
+
+  /** streaming_kll_fold replay: three per-batch builds (10 conditional
+    * layers each — per-batch schedules all start at coin 0, exactly as
+    * [[graft.operators.Sketch.kllRegisters]] does per micro-batch) over
+    * the mtime-ordered doc-id ranges, then the merge layers with coins
+    * from 48 (the [[graft.operators.Sketch.kllMerge]] coin offset). */
+  private def kllFoldOracle: String = {
+    val base = (b: Int, where: String) =>
+      s"""b${b}_in AS (SELECT CAST(length(text) AS DOUBLE) AS value,
+         |                    doc_id AS tb, CAST(1 AS BIGINT) AS w
+         |             FROM documents
+         |             WHERE length(text) IS NOT NULL AND $where)""".stripMargin
+    s"""WITH mxq AS (SELECT max(doc_id) AS m FROM documents),
+       |${base(1, "doc_id <= (SELECT m // 3 FROM mxq)")},
+       |${kllLayersSql("b1_in", "b1l", 10, 256, 0)},
+       |${base(2, "doc_id > (SELECT m // 3 FROM mxq) AND doc_id <= (SELECT (2 * m) // 3 FROM mxq)")},
+       |${kllLayersSql("b2_in", "b2l", 10, 256, 0)},
+       |${base(3, "doc_id > (SELECT (2 * m) // 3 FROM mxq)")},
+       |${kllLayersSql("b3_in", "b3l", 10, 256, 0)},
+       |mg AS (SELECT value, tb, w FROM b1l9
+       |       UNION ALL SELECT value, tb, w FROM b2l9
+       |       UNION ALL SELECT value, tb, w FROM b3l9),
+       |${kllLayersSql("mg", "mgl", 10, 256, 48)},
+       |${kllQuantileTailSql("mgl9", 20)}""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "reader_snapshot_projection" ->
       """SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
@@ -6932,6 +7064,12 @@ object SparkEntry {
         |         AS estimate
         |FROM s""".stripMargin,
 
+    // KLL replay: unrolled conditional compaction layers (md5-coin
+    // literals inlined) + integer quantile tail; the fold oracle replays
+    // the three batch builds AND the merge's coin-48 schedule, so a
+    // double-applied batch or a wrong merge order breaks the hash
+    "sketch_kll_quantiles" -> kllQuantilesOracle,
+    "streaming_kll_fold" -> kllFoldOracle,
     // Count-Min replay: identical row-salted md5 cells ("<row>:" || w,
     // first 15 hex chars as a 60-bit long, % 512 — positive dividend so
     // % == pmod), per-cell BIGINT sums, min over the 4 rows. All-integer

@@ -30,23 +30,29 @@ final class AhoCorasick(patterns: Seq[String]) extends Serializable {
   require(patterns.distinct.size == patterns.size,
     "duplicate patterns would double-count; dedup the list first")
 
-  // --- trie ------------------------------------------------------------
+  // --- trie over UTF-8 BYTES -------------------------------------------
+  // The automaton walks the row's UTF8String bytes in place
+  // (getByte(i)) — no per-row toString/UTF-16 copy in the hot path the
+  // class exists to optimize — and byte-level matching is exact for ANY
+  // Unicode pattern (non-BMP included): UTF-8 is self-synchronizing, so
+  // a valid pattern's first byte (ASCII or lead) can never align with a
+  // continuation byte mid-codepoint.
   private val children =
     scala.collection.mutable.ArrayBuffer(
-      new java.util.HashMap[Character, Integer]())
+      new java.util.HashMap[java.lang.Byte, Integer]())
   private val endCounts = scala.collection.mutable.ArrayBuffer(0)
   private val endIds =
     scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
   patterns.zipWithIndex.foreach { case (p, pid) =>
     var node = 0
-    p.foreach { ch =>
-      val next = children(node).get(ch)
+    p.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      val next = children(node).get(b)
       if (next != null) node = next
       else {
-        children += new java.util.HashMap[Character, Integer]()
+        children += new java.util.HashMap[java.lang.Byte, Integer]()
         endCounts += 0
         endIds += Nil
-        children(node).put(ch, children.size - 1)
+        children(node).put(b, children.size - 1)
         node = children.size - 1
       }
     }
@@ -79,12 +85,12 @@ final class AhoCorasick(patterns: Seq[String]) extends Serializable {
     ids
   }
 
-  private def step(state: Int, ch: Char): Int = {
+  private def step(state: Int, b: Byte): Int = {
     var s = state
-    var next = children(s).get(ch)
+    var next = children(s).get(b)
     while (next == null && s != 0) {
       s = fail(s)
-      next = children(s).get(ch)
+      next = children(s).get(b)
     }
     if (next != null) next else 0
   }
@@ -92,12 +98,12 @@ final class AhoCorasick(patterns: Seq[String]) extends Serializable {
   /** Total count of (pattern, end-position) matches — overlapping. */
   def countMatches(text: UTF8String): Long = {
     if (text == null) return 0L
-    val s = text.toString
+    val n = text.numBytes()
     var state = 0
     var total = 0L
     var i = 0
-    while (i < s.length) {
-      state = step(state, s.charAt(i))
+    while (i < n) {
+      state = step(state, text.getByte(i))
       total += cumOut(state)
       i += 1
     }
@@ -107,12 +113,12 @@ final class AhoCorasick(patterns: Seq[String]) extends Serializable {
   /** How many DISTINCT patterns occur at least once. */
   def distinctMatches(text: UTF8String): Long = {
     if (text == null) return 0L
-    val s = text.toString
+    val n = text.numBytes()
     val seen = new java.util.BitSet(patterns.size)
     var state = 0
     var i = 0
-    while (i < s.length) {
-      state = step(state, s.charAt(i))
+    while (i < n) {
+      state = step(state, text.getByte(i))
       if (cumOut(state) > 0) {
         val ids = closureIds(state)
         var j = 0

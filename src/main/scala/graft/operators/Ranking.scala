@@ -466,7 +466,13 @@ object Ranking {
     * already costs, with no single-partition window — then a broadcast
     * join of the q-row rank table against the rank-filtered (q rows
     * survive the pushed `isin`) numbered frame. The q target ranks are
-    * pure driver arithmetic on one count. */
+    * pure driver arithmetic on one count.
+    *
+    * STABLE-INPUT requirement: the source is evaluated twice (the count,
+    * then the ranking scan). A nondeterministic input — a sample without
+    * a fixed seed, a non-snapshot read — can make `n` disagree with the
+    * numbered frame, yielding missing or duplicated quantile rows.
+    * Materialize such inputs (localCheckpoint/write) first. */
   def exactQuantiles(df: DataFrame, valueCol: String, q: Int,
                      out: String = "value"): DataFrame = {
     require(q >= 1, s"quantile count must be >= 1, got $q")

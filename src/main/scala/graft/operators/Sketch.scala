@@ -274,6 +274,17 @@ object Sketch {
                    table: String, k: Int): DataFrame =
     kmvMerge(k, spark.read.parquet(table))
 
+  /** Fold a streaming-maintained KLL register table
+    * ([[graft.streaming.StreamRunner.runIncrementalKllMaintain]] appends
+    * one ≤ 2k-row register frame per batch): one [[kllMerge]] over all
+    * appended frames. NOT replay-idempotent — a re-delivered batch's
+    * registers would compact in twice and inflate every weight — so the
+    * exactly-once ledger is load-bearing here, like the Count-Min sums
+    * and unlike the HLL max-fold (spec-forged). */
+  def kllFoldTable(spark: org.apache.spark.sql.SparkSession,
+                   table: String, k: Int): DataFrame =
+    kllMerge(k, spark.read.parquet(table))
+
   /** Distinct-count estimate from a bottom-k register table — one row:
     * (n_regs, kth_hash, estimate round(4)). With fewer than k distinct
     * hashes the register set IS the distinct set (estimate = n, exact);
@@ -332,6 +343,145 @@ object Sketch {
         r(jaccard * unionEst, 4)))
       .toDF("k_used", "n_common", "kth_hash", "jaccard", "union_est",
         "intersection_est")
+  }
+
+  // --- KLL-style mergeable quantile sketch ---------------------------------
+  // (Karnin, Lang & Liberty, "Optimal Quantile Approximation in Streams",
+  // FOCS 2016 — the level/compaction discipline; here in the house
+  // deterministic-replay dress: the compaction coin is an md5 bit, so the
+  // register table is bit-reproducible in any engine.)
+
+  /** Parity coin for compaction round `r`: the low bit of the 60-bit
+    * md5-derived hash of the string "kll:r" — the same value any engine
+    * computes, so a replay unrolls the compaction schedule verbatim.
+    * Driver-side (the rounds are driver-scheduled; the per-row work never
+    * sees the coin). */
+  def kllCoin(r: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"kll:$r".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) & 1L).toInt
+  }
+
+  /** Compaction-round arithmetic, driver-side: starting from `n` rows of
+    * equal weight, run conditional rounds — "while count > cap, sort by
+    * (value, tiebreak), keep the ranks whose parity equals kllCoin(r),
+    * double the weight" — WITHOUT touching the data: round r keeps
+    * original positions p ≡ t (mod 2^r) for a t determined by the coins
+    * alone, so the whole schedule collapses to one modular filter.
+    * Returns (rounds R, keep-offset t in [0, 2^R), surviving count m):
+    * survivors are positions p in 1..n with p ≡ t (mod 2^R), each of
+    * weight 2^R. Deterministic rank error: any original rank is
+    * reconstructed from the survivors within 2^R − 1 < 2·n/cap. */
+  def kllSchedule(n: Long, cap: Int): (Int, Long, Long) = {
+    require(cap >= 2, s"cap must be >= 2, got $cap")
+    var m = n; var a = 0L; var r = 0
+    while (m > cap) {
+      require(r < 48, s"kll compaction did not converge (n=$n, cap=$cap)")
+      if (kllCoin(r) == 1) { a += (1L << r); m = (m + 1) / 2 }
+      else m = m / 2
+      r += 1
+    }
+    val w = 1L << r
+    ((r, ((w - (a % w)) % w + w) % w, m))
+  }
+
+  /** The KLL register table of a numeric column: at most `2k` rows
+    * (value double, tb long — the caller's unique tiebreak id, w long —
+    * the power-of-two weight this register carries). Built by the
+    * deterministic compaction schedule above: ONE range-partitioned sort
+    * + zipWithIndex (the [[Ranking.globalRowNumber]] shape — no
+    * single-partition window) and a modular rank filter; the n rows in
+    * cost exactly one exact-quantile-style sort, and what comes out is a
+    * BOUNDED, MERGEABLE summary a 100 TB profiler can keep per
+    * shard/day/source and fold at read time ([[kllMerge]]), which the
+    * exact sort can never be. NULL values are excluded. `tiebreakCol`
+    * must be unique per row (register identity and the replay's sort
+    * order both ride on it). STABLE-INPUT requirement as in
+    * [[Ranking.exactQuantiles]]: the source evaluates twice (count +
+    * ranking scan) — materialize nondeterministic inputs first. */
+  def kllRegisters(df: DataFrame, valCol: String, tiebreakCol: String,
+                   k: Int = 200): DataFrame = {
+    require(k >= 8, s"k must be >= 8, got $k")
+    val cap = 2 * k
+    val vals = df.filter(col(valCol).isNotNull)
+      .select(col(valCol).cast("double").as("value"),
+        col(tiebreakCol).cast("long").as("tb"))
+    val n = vals.count()
+    val (rounds, t, _) = kllSchedule(n, cap)
+    val w = 1L << rounds
+    val numbered = Ranking.globalRowNumber(vals,
+      Seq(col("value"), col("tb")), out = "__p")
+    numbered.filter(pmod(col("__p"), lit(w)) === lit(t))
+      .select(col("value"), col("tb"), lit(w).as("w"))
+  }
+
+  /** Fold KLL register tables from several shards/days into one table of
+    * at most `2k` rows — the KLL merge: union the registers, then
+    * conditionally compact the LOWEST weight class (sort it by (value,
+    * tb), keep the md5-coin parity, double its weight) until the total
+    * fits. Register tables are bounded sidecars (≤ 2k rows each), so the
+    * fold is driver-side over collected rows — the [[kmvEstimate]]
+    * discipline — and bit-deterministic: coins continue the round
+    * numbering at 48 (disjoint from any build schedule, so a replay
+    * can't confuse build coins with merge coins). */
+  def kllMerge(k: Int, regs: DataFrame*): DataFrame = {
+    require(regs.nonEmpty, "kllMerge needs at least one register table")
+    val cap = 2 * k
+    val spark = regs.head.sparkSession
+    import spark.implicits._
+    var rows = regs.map { rg =>
+      val v = rg.select(col("value").cast("double"), col("tb"), col("w"))
+        .as[(Double, Long, Long)].collect().toVector
+      require(v.size <= 16L * cap,
+        s"a register table has ${v.size} rows — not a bounded KLL " +
+          s"sidecar for k=$k (cap $cap)")
+      v
+    }.reduce(_ ++ _)
+    var r = 48 // merge coins live above any build schedule's rounds
+    while (rows.size > cap) {
+      require(r < 96, "kll merge compaction did not converge")
+      val wmin = rows.map(_._3).min
+      val (cls, rest) = rows.partition(_._3 == wmin)
+      val sorted = cls.sortBy(x => (x._1, x._2))
+      val coin = kllCoin(r)
+      val kept = sorted.zipWithIndex.collect {
+        case ((v, tb, w), i) if (i + 1) % 2 == coin => (v, tb, w * 2)
+      }
+      rows = rest ++ kept
+      r += 1
+    }
+    rows.sortBy(x => (x._1, x._2)).toDF("value", "tb", "w")
+  }
+
+  /** Quantile estimates from a KLL register table — [[Ranking
+    * .exactQuantiles]]'s contract (q_idx 1..q, the value whose estimated
+    * 1-based rank reaches max(1, (j·W) div q), W = total weight) at
+    * sketch cost: the registers collect driver-side (bounded ≤ 2k rows),
+    * cumulative weights are exact long sums in (value, tb) order, and
+    * quantile j is the first register whose cumulative weight reaches
+    * the target — pure integer arithmetic, identical in any engine.
+    * Estimated ranks differ from true ranks by < max register weight
+    * (≤ 2n/cap deterministically), so with the default k the cut points
+    * land within n/k ranks of the exact ones. */
+  def kllQuantiles(registers: DataFrame, q: Int): DataFrame = {
+    require(q >= 1, s"quantile count must be >= 1, got $q")
+    val rows = registers.select(col("value").cast("double"), col("tb"),
+        col("w")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    val spark = registers.sparkSession
+    import spark.implicits._
+    if (rows.isEmpty)
+      return Seq.empty[(Long, Double)].toDF("q_idx", "value")
+    val totalW = rows.map(_._3).sum
+    val cum = rows.scanLeft(0L)(_ + _._3).tail // cum(i) = Σ w(0..i)
+    val out = (1 to q).map { j =>
+      val target = math.max(1L, j.toLong * totalW / q)
+      val i = cum.indexWhere(_ >= target)
+      (j.toLong, rows(if (i < 0) rows.length - 1 else i)._1)
+    }
+    out.toDF("q_idx", "value")
   }
 
   // --- Bloom filter as an explicit bit-position set (Bloom, CACM 1970) --

@@ -339,6 +339,29 @@ object StreamRunner {
         .write.mode("append").parquet(registerTable)
     }
 
+  /** Streaming KLL quantile-sketch maintenance: each micro-batch appends
+    * its ≤ 2k-row register frame
+    * ([[graft.operators.Sketch.kllRegisters]] — one range-partitioned
+    * sort of the BATCH, O(batch log batch), never the history); readers
+    * fold the appended frames with [[graft.operators.Sketch
+    * .kllFoldTable]] (the KLL merge). Like the Count-Min sums and unlike
+    * the HLL max-fold, the fold is NOT idempotent under redelivery — a
+    * replayed batch's registers would compact in twice and inflate the
+    * weights — so the exactly-once ledger is load-bearing (spec-forged).
+    * This is how a 100 TB profiler keeps live quantiles: per-day bounded
+    * register frames, a driver-side fold over a KB-scale sidecar at read
+    * time. */
+  def runIncrementalKllMaintain(stream: DataFrame, valCol: String,
+                                tiebreakCol: String, registerTable: String,
+                                k: Int, checkpoint: String,
+                                store: graft.core.HwmStore,
+                                ledgerName: String): Unit =
+    runAvailableNowForeachBatchExactlyOnce(stream, checkpoint, store,
+      ledgerName) { (batch, _) =>
+      graft.operators.Sketch.kllRegisters(batch, valCol, tiebreakCol, k)
+        .write.mode("append").parquet(registerTable)
+    }
+
   /** Streaming CDC maintenance: each micro-batch of change rows
     * (upserts/deletes with a ts) folds into the maintained snapshot via
     * [[graft.operators.Scd.applyCdc]], and the result lands in a fresh

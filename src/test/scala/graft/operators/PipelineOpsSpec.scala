@@ -44,6 +44,14 @@ class TextFunctionsSpec extends SparkSpec {
     assert(run(Seq("a table scan here", "nothing", ""),
         Seq("table scan", "zzz")) ==
       Seq((1L, 1L), (0L, 0L), (0L, 0L)))
+    // multibyte + non-BMP: the byte-level automaton matches UTF-8
+    // exactly (emoji are surrogate PAIRS in UTF-16 — the old char walk
+    // only assumed BMP; the byte walk is correct for all of Unicode)
+    assert(run(Seq("café 😀 café"),
+        Seq("café", "😀")) == Seq((3L, 2L)))
+    // and a continuation byte never starts a false match: U+0101 is
+    // 0xC4 0x81, U+0141 is 0xC5 0x81 — shared second byte, no match
+    assert(run(Seq("ā"), Seq("Ł")) == Seq((0L, 0L)))
     // null text -> null counts (not zero)
     val n = Seq[String](null).toDF("t")
       .select(multiPatternCount($"t", Seq("x")).as("c")).collect().head

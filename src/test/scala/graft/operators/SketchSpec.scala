@@ -194,4 +194,89 @@ class SketchSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("exceed"))
   }
+
+  test("kllSchedule: the modular collapse equals the naive sequential " +
+       "conditional compaction, position for position") {
+    def naive(n: Long, cap: Int): (Vector[Long], Int) = {
+      var pos = (1L to n).toVector; var r = 0
+      while (pos.size > cap) {
+        val coin = Sketch.kllCoin(r)
+        pos = pos.zipWithIndex.collect {
+          case (p, i) if (i + 1) % 2 == coin => p
+        }
+        r += 1
+      }
+      (pos, r)
+    }
+    for (n <- Seq(0L, 1L, 7L, 16L, 100L, 999L, 12345L);
+         cap <- Seq(2, 16, 100)) {
+      val (rounds, t, m) = Sketch.kllSchedule(n, cap)
+      val (pos, rN) = naive(n, cap)
+      val w = 1L << rounds
+      assert(rounds == rN, s"rounds n=$n cap=$cap")
+      assert(m == pos.size.toLong, s"count n=$n cap=$cap")
+      assert(pos == (1L to n).filter(p => p % w == t).toVector,
+        s"positions n=$n cap=$cap")
+    }
+  }
+
+  test("kllRegisters: deterministic register table; quantile rank error " +
+       "within the 2^R bound; exact when the input fits the cap") {
+    val n = 5000L
+    val df = spark.range(1, n + 1)
+      .select(col("id").as("tb"), col("id").cast("double").as("v"))
+    val regs = Sketch.kllRegisters(df, "v", "tb", k = 32) // cap 64
+    val rows = regs.as[(Double, Long, Long)].collect().sortBy(_._1)
+    val (rounds, t, m) = Sketch.kllSchedule(n, 64)
+    val w = 1L << rounds
+    assert(rows.length.toLong == m && rows.forall(_._3 == w))
+    // values 1..n sorted by themselves: survivor positions == values
+    assert(rows.map(_._1.toLong).toVector ==
+      (1L to n).filter(p => p % w == t).toVector)
+    // quantile read-out: |returned value - ideal rank| < 3w
+    // (estimated rank within w of true, target within |W-n| <= w of j*n/q)
+    val qs = Sketch.kllQuantiles(regs, 10).as[(Long, Double)].collect()
+    assert(qs.map(_._1).toSeq == (1L to 10L))
+    qs.foreach { case (j, v) =>
+      val ideal = math.max(1L, j * n / 10)
+      assert(math.abs(v.toLong - ideal) < 3 * w, s"q$j: $v vs $ideal")
+    }
+    // under the cap the sketch IS the data: quantiles == exact
+    val small = spark.range(1, 51)
+      .select(col("id").as("tb"), col("id").cast("double").as("v"))
+    val exact = Ranking.exactQuantiles(small, "v", 10)
+      .as[(Long, Double)].collect().toSeq
+    val viaKll = Sketch.kllQuantiles(
+      Sketch.kllRegisters(small, "v", "tb", k = 32), 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaKll == exact)
+  }
+
+  test("kllMerge: folding shard sketches stays bounded and within the " +
+       "rank-error band; duplicate register frames INFLATE the fold " +
+       "(the non-idempotence the streaming ledger exists to prevent)") {
+    val n = 5000L
+    def half(lo: Long, hi: Long) = spark.range(lo, hi + 1)
+      .select(col("id").as("tb"), col("id").cast("double").as("v"))
+    val r1 = Sketch.kllRegisters(half(1, n / 2), "v", "tb", k = 32)
+    val r2 = Sketch.kllRegisters(half(n / 2 + 1, n), "v", "tb", k = 32)
+    val merged = Sketch.kllMerge(32, r1, r2)
+    val mrows = merged.as[(Double, Long, Long)].collect()
+    assert(mrows.length <= 64, s"merge exceeded cap: ${mrows.length}")
+    val totalW = mrows.map(_._3).sum
+    // total weight conserved within a few compaction weights (each
+    // build loses <= w to rounding, each merge round <= wmin)
+    assert(math.abs(totalW - n) <= 3 * mrows.map(_._3).max,
+      s"weight drifted: $totalW vs $n")
+    val qs = Sketch.kllQuantiles(merged, 10).as[(Long, Double)].collect()
+    qs.foreach { case (j, v) =>
+      val ideal = math.max(1L, j * n / 10)
+      assert(math.abs(v.toLong - ideal) < 600, s"q$j: $v vs $ideal")
+    }
+    // duplicate frame: weight roughly doubles -> fold is NOT idempotent
+    val forged = Sketch.kllMerge(32, r1, r2, r1)
+      .as[(Double, Long, Long)].collect()
+    assert(forged.map(_._3).sum > totalW + n / 4,
+      "a duplicated register frame should inflate the folded weight")
+  }
 }

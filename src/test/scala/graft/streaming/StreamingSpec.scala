@@ -256,6 +256,48 @@ class StreamingSpec extends SparkSpec {
     assert(est._1 > 0 && est._2 == 256L)
   }
 
+  test("streaming KLL maintenance: fold == merge of per-batch sketches, " +
+       "ledger-replay safe; a FORGED ledger-bypassing re-append INFLATES " +
+       "the fold (non-idempotent, so the ledger is load-bearing)") {
+    import graft.operators.Sketch
+    val src = tmpDir("stream-kll-src")
+    val b0 = spark.range(1, 501)
+      .select($"id".as("doc_id"), ($"id" * 3).cast("double").as("len"))
+    val b1 = spark.range(501, 1001)
+      .select($"id".as("doc_id"), ($"id" * 3).cast("double").as("len"))
+    b0.coalesce(1).write.mode("append").parquet(src)
+    FileStreamReader.stampBatchMtime(src, 0)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    FileStreamReader.stampBatchMtime(src, 1)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("len", DoubleType)))
+    val store = new graft.core.InMemoryHwmStore
+    val tab = tmpDir("stream-kll-tab") + "/regs"
+    def run(ck: String): Unit = StreamRunner.runIncrementalKllMaintain(
+      FileStreamReader.read(spark, Parquet(), src, schema,
+        maxFilesPerTrigger = Some(1)),
+      "len", "doc_id", tab, k = 32, ck, store, "kll_ledger")
+    run(tmpDir("stream-kll-ck1"))
+    def folded() = Sketch.kllFoldTable(spark, tab, 32)
+      .as[(Double, Long, Long)].collect().toSeq
+    // fold == the explicit merge of the two per-batch sketches
+    val direct = Sketch.kllMerge(32,
+      Sketch.kllRegisters(b0, "len", "doc_id", 32),
+      Sketch.kllRegisters(b1, "len", "doc_id", 32))
+      .as[(Double, Long, Long)].collect().toSeq
+    val first = folded()
+    assert(first == direct, "streamed KLL fold diverged from batch merge")
+    // ledger replay (fresh checkpoint, same ledger): nothing re-appends
+    run(tmpDir("stream-kll-ck2"))
+    assert(folded() == direct, "replayed batches re-appended registers")
+    // forged bypass: append batch 0's registers AGAIN -> weights inflate
+    Sketch.kllRegisters(b0, "len", "doc_id", 32)
+      .write.mode("append").parquet(tab)
+    val forgedW = folded().map(_._3).sum
+    assert(forgedW > direct.map(_._3).sum + 200,
+      s"duplicate register frame should inflate the fold: $forgedW")
+  }
+
   test("streaming CDC apply: sequential fold == batch LWW, replay-safe") {
     import graft.operators.Scd
     val src = tmpDir("stream-cdc-src")
