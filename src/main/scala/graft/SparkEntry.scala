@@ -1363,6 +1363,20 @@ object SparkEntry {
           operators.Sketch.kmvFoldTable(s, tab, k = 128), k = 128)
         .localCheckpoint()
     }),
+    "eval_ranking_metrics" -> ((s, dir) => {
+      // retrieval-eval triple (recall@10 / MRR@10 / nDCG@10) over a
+      // deterministic judgment set: query = nation, candidates ranked
+      // by account balance (doc-asc tiebreak), relevant = the nation's
+      // BUILDING-segment customers. log2 discounts pre-quantized to
+      // integer micro-units so DCG sums are exact longs in any engine
+      val cust = DbReader(conn(s, dir), "customer").run()
+      val ranked = cust.select(col("c_nationkey").cast("long").as("q"),
+        col("c_custkey").as("d"), col("c_acctbal").as("s"))
+      val rel = cust.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_nationkey").cast("long").as("q"),
+          col("c_custkey").as("d"))
+      operators.Retrieval.rankingMetrics(ranked, rel, "q", "d", "s", k = 10)
+    }),
     "sketch_kll_quantiles" -> ((s, dir) => {
       // KLL-style mergeable quantile sketch over document lengths:
       // ONE range-partitioned sort + a deterministic md5-coin modular
@@ -5854,6 +5868,55 @@ object SparkEntry {
        |FROM probes p, stats s
        |ORDER BY p.q_idx""".stripMargin
 
+  /** eval_ranking_metrics replay: the SAME micro-unit discount
+    * constants [[graft.operators.Retrieval.rankingMetrics]] ships as a
+    * literal array are inlined here as VALUES rows — DCG is an exact
+    * integer sum in both engines, divided once at the end. */
+  private def rankingMetricsOracle: String = {
+    val discounts = (1 to 10).map(i =>
+      math.floor(1e9 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+    val prefix = discounts.scanLeft(0L)(_ + _).tail
+    val discVals = discounts.zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
+    val prefVals = prefix.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+    s"""WITH ranked AS (SELECT CAST(c_nationkey AS BIGINT) AS q,
+       |    c_custkey AS d,
+       |    CAST(row_number() OVER (PARTITION BY c_nationkey
+       |      ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rk
+       |  FROM customer),
+       |topk AS (SELECT q, d, rk FROM ranked WHERE rk <= 10),
+       |rel AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS q,
+       |               c_custkey AS d
+       |        FROM customer WHERE c_mktsegment = 'BUILDING'),
+       |nrel AS (SELECT q, CAST(count(*) AS BIGINT) AS n_rel
+       |         FROM rel GROUP BY q),
+       |disc(rk, dv) AS (VALUES $discVals),
+       |pref(j, pv) AS (VALUES $prefVals),
+       |marked AS (SELECT t.q, t.rk,
+       |                  CAST(CASE WHEN r.d IS NOT NULL THEN 1 ELSE 0 END
+       |                    AS BIGINT) AS relv,
+       |                  CAST(disc.dv AS BIGINT) AS dv
+       |           FROM topk t
+       |           LEFT JOIN rel r ON r.q = t.q AND r.d = t.d
+       |           JOIN disc ON disc.rk = t.rk),
+       |agg AS (SELECT q, CAST(sum(relv) AS BIGINT) AS hits_k,
+       |               CAST(sum(relv * dv) AS BIGINT) AS dcg,
+       |               min(CASE WHEN relv = 1 THEN rk END) AS first
+       |        FROM marked GROUP BY q)
+       |SELECT a.q, n.n_rel, a.hits_k,
+       |       round(CAST(a.hits_k AS DOUBLE) / CAST(n.n_rel AS DOUBLE), 6)
+       |         + 0.0 AS recall_k,
+       |       COALESCE(round(1.0 / CAST(a.first AS DOUBLE), 6), 0.0) + 0.0
+       |         AS mrr_k,
+       |       round(CAST(a.dcg AS DOUBLE) / CAST(p.pv AS DOUBLE), 6) + 0.0
+       |         AS ndcg_k
+       |FROM agg a
+       |JOIN nrel n ON n.q = a.q
+       |JOIN pref p ON p.j = least(n.n_rel, 10)
+       |ORDER BY a.q""".stripMargin
+  }
+
   /** sketch_kll_quantiles replay: 12 conditional layers (handles any
     * corpus up to 256·2^12 rows) + the quantile tail. */
   private def kllQuantilesOracle: String =
@@ -7064,6 +7127,7 @@ object SparkEntry {
         |         AS estimate
         |FROM s""".stripMargin,
 
+    "eval_ranking_metrics" -> rankingMetricsOracle,
     // KLL replay: unrolled conditional compaction layers (md5-coin
     // literals inlined) + integer quantile tail; the fold oracle replays
     // the three batch builds AND the merge's coin-48 schedule, so a

@@ -124,4 +124,29 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.rakeKeywords(noPhrase, "doc_id", "text",
       Seq("of"), k = 5).count() == 0L)
   }
+
+  test("rankingMetrics: hand-computed recall@k / MRR@k / nDCG@k, score " +
+       "ties broken by doc asc, miss-everything query scores zeros, " +
+       "judgment-free query excluded") {
+    // q1: tie at the top (d1/d2 both 5.0 -> doc asc puts d1 first);
+    //     relevant {d2, d4, d99}; k=3 top = d1,d2,d3 -> 1 hit at rank 2
+    // q2: relevant d12 never retrieved -> all-zero metrics, n_rel 1
+    // q3: no judgments at all -> not in the output
+    val ranked = Seq(
+      (1L, 1L, 5.0), (1L, 2L, 5.0), (1L, 3L, 3.0), (1L, 4L, 2.0),
+      (2L, 10L, 9.0), (2L, 11L, 8.0),
+      (3L, 20L, 1.0)
+    ).toDF("q", "d", "s")
+    val rel = Seq((1L, 2L), (1L, 4L), (1L, 99L), (2L, 12L)).toDF("q", "d")
+    val out = Retrieval.rankingMetrics(ranked, rel, "q", "d", "s", k = 3)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    // expected from first principles (micro-unit discounts)
+    def disc(i: Int) = math.floor(1e9 / (math.log(i + 1.0) / math.log(2.0)))
+    val idcg3 = disc(1) + disc(2) + disc(3)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Seq(
+      (1L, 3L, 1L, r6(1.0 / 3.0), 0.5, r6(disc(2) / idcg3)),
+      (2L, 1L, 0L, 0.0, 0.0, 0.0)))
+  }
 }
