@@ -1261,6 +1261,18 @@ object SparkEntry {
       operators.Graph.triangleCounts(pairs, "id_a", "id_b")
         .select(col("node").as("c_custkey"), col("triangles"))
     }),
+    "graph_adamic_adar" -> ((s, dir) => {
+      // link prediction over the fuzzy-match graph: non-adjacent pairs
+      // sharing neighbors, scored Σ 1/ln(deg z) in exact micro-units
+      // (one ln+floor per distinct degree, integer sums — order-free),
+      // hub intermediaries excluded by construction; the top-50 cut is
+      // total-ordered on (aa_micro desc, node_a, node_b)
+      val pairs = operators.Joins.fuzzySelfPairs(
+        DbReader(conn(s, dir), "customer").run(),
+        "c_custkey", "c_name",
+        expr("substring(c_name, 1, length(c_name)-2)"), maxDist = 1)
+      operators.Graph.adamicAdar(pairs, "id_a", "id_b", topK = 50)
+    }),
     "fuzzy_name_matches" -> ((s, dir) => {
       // blocked fuzzy self-match on customer names: block = name minus
       // last 2 chars (names differing only there are candidates), pairs
@@ -2279,6 +2291,23 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("int"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "similarity_hnsw_search" -> ((s, dir) => {
+      // hierarchical NSW descent: geometric md5-trailing-ones levels
+      // (maxLevel=2), exact per-layer graphs at nLists=1, entry = the 2
+      // smallest top-layer ids, one expand-score-prune round per upper
+      // layer, then the full 3-round walk on the base layer — the
+      // oracle recomputes the level arithmetic and replays every layer's
+      // rounds CTE-by-CTE
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      val adj = operators.Similarity.hnswGraph(emb, "vec_id", "embedding",
+        m = 4, maxLevel = 2, nLists = 1, nProbe = 1)
+      operators.Similarity.hnswSearch(adj, emb,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, maxLevel = 2, beam = 8, rounds = 3, upperRounds = 1,
+          entries = 2)
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "similarity_topk_ivf" -> ((s, dir) => {
       // IVF scale path with full probes: nProbe == nLists makes the result
       // exact, so the brute-force SQL is a true oracle; pruned-probe recall
@@ -2879,6 +2908,16 @@ object SparkEntry {
       // chosen pair and its count replay exactly
       operators.Tokenize.bpeTrainMerges(
           DbReader(conn(s, dir), "documents").run(), "text", nMerges = 5)
+        .orderBy(col("step"))
+    }),
+    "tokenizer_bpe_bytes" -> ((s, dir) => {
+      // GPT-2-style byte-level BPE training (3 merges): pretokens keep
+      // one leading space attached and case intact, UTF-8 bytes escape
+      // through the byte-unicode map (pure arithmetic — the oracle
+      // recomputes it as a CASE over hex-pair instr values), then the
+      // same total-ordered merge loop as tokenizer_bpe_train
+      operators.Tokenize.bpeTrainMergesBytes(
+          DbReader(conn(s, dir), "documents").run(), "text", nMerges = 3)
         .orderBy(col("step"))
     }),
     "tokenizer_unigram_em" -> ((s, dir) => {
@@ -4488,6 +4527,17 @@ object SparkEntry {
         ev.filter(col("event_id") <= half),
         ev.filter(col("event_id") > half), "value")
     }),
+    "events_wasserstein_drift" -> ((s, dir) => {
+      // exact 1-D Wasserstein over the same half-split: ∫|F_ref−F_cur|
+      // — micro-unit value grid, exact integer |cr·nC−cc·nR|·gap terms
+      // summed in DECIMAL(38,0), ONE final double division; the
+      // whole-distribution complement of the KS max-gap
+      val ev = DbReader(conn(s, dir), "events").run()
+      val half = ev.agg(max(col("event_id"))).first.getLong(0) / 2
+      operators.Drift.wasserstein1d(
+        ev.filter(col("event_id") <= half),
+        ev.filter(col("event_id") > half), "value")
+    }),
     "embedding_mean_drift" -> ((s, dir) => {
       // per-dimension mean shift between the two vec_id halves —
       // DECIMAL(28,9)-exact per-dim sums, map-combined into 64 cells
@@ -5243,7 +5293,14 @@ object SparkEntry {
     * doubled-space replace-chain merge application — `replace` is
     * sequential non-overlapping left-to-right in both engines, which
     * is what makes the rewrite byte-identical. */
-  private def bpeTrainOracleSql(nMerges: Int): String = {
+  /** The shared merge-round CTE chain: for k in 1..nMerges, explode
+    * seg(k-1) into (word, position, symbol), count adjacent pairs, pick
+    * the (cnt desc, s1, s2) argmax, and apply it via the doubled-space
+    * replace chain — the identical loop body
+    * [[graft.operators.Tokenize.trainMergesOnSeg]] runs, so char and
+    * byte alphabets replay through the same SQL. Returns (rounds CTEs,
+    * UNION-ALL select of the chosen merges). */
+  private def bpeMergeRoundsSql(nMerges: Int): (String, String) = {
     val rounds = (1 to nMerges).map { k =>
       s"""ex$k AS (
          |  SELECT word, c, generate_subscripts(l, 1) AS i, unnest(l) AS s
@@ -5265,6 +5322,11 @@ object SparkEntry {
     val out = (1 to nMerges)
       .map(k => s"SELECT $k::INTEGER AS step, s1 AS sym1, s2 AS sym2, cnt FROM b$k")
       .mkString("\n  UNION ALL ")
+    (rounds, out)
+  }
+
+  private def bpeTrainOracleSql(nMerges: Int): String = {
+    val (rounds, out) = bpeMergeRoundsSql(nMerges)
     s"""WITH w AS (
        |  SELECT w AS word, count(*) AS c FROM (
        |    SELECT unnest(list_filter(
@@ -5273,6 +5335,37 @@ object SparkEntry {
        |seg0 AS (
        |  SELECT word, c, array_to_string(list_filter(
        |    string_split(word, ''), x -> x <> ''), ' ') AS seg FROM w),
+       |$rounds
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
+  /** Byte-alphabet replay of [[graft.operators.Tokenize
+    * .bpeTrainMergesBytes]]: pretokens via `' ?[^ ]+'` (leading space
+    * kept, case preserved), each pretoken's UTF-8 bytes recovered as
+    * hex-pair `instr` arithmetic over `hex(encode(word))`, escaped
+    * through the recomputed GPT-2 byte-unicode CASE map (printables to
+    * themselves, controls/space to 256+rank — the identical arithmetic
+    * to `Tokenize.byteUnicode`), then the same merge-round CTEs as the
+    * char oracle. */
+  private def bpeBytesOracleSql(nMerges: Int): String = {
+    val (rounds, out) = bpeMergeRoundsSql(nMerges)
+    s"""WITH w AS (
+       |  SELECT w AS word, count(*) AS c FROM (
+       |    SELECT unnest(regexp_extract_all(text, ' ?[^ ]+')) AS w
+       |    FROM documents) GROUP BY 1),
+       |seg0 AS (
+       |  SELECT word, c, array_to_string(list_transform(
+       |    list_transform(range(1, length(h) // 2 + 1),
+       |      i -> (instr('0123456789ABCDEF', h[2*i-1]) - 1) * 16
+       |           + instr('0123456789ABCDEF', h[2*i]) - 1),
+       |    b -> chr(CAST(CASE WHEN (b BETWEEN 33 AND 126)
+       |                    OR (b BETWEEN 161 AND 172)
+       |                    OR (b BETWEEN 174 AND 255) THEN b
+       |                  WHEN b <= 32 THEN 256 + b
+       |                  WHEN b <= 160 THEN 162 + b
+       |                  ELSE 323 END AS INTEGER))), ' ') AS seg
+       |  FROM (SELECT word, c, hex(encode(word)) AS h FROM w)),
        |$rounds
        |$out
        |ORDER BY step""".stripMargin
@@ -5447,6 +5540,71 @@ object SparkEntry {
        |           ORDER BY cos DESC, id) AS rn
        |  FROM s$rounds) t
        |WHERE rn <= 4 ORDER BY id, rank""".stripMargin
+  }
+
+  /** Unrolled replay of the HNSW descent ([[Similarity.hnswSearch]],
+    * maxLevel = 2): levels recomputed as trailing-1-bits arithmetic on
+    * the 60-bit md5 of `'hnsw:'||id` (the `('0x'||substr(md5,1,15))
+    * ::UBIGINT` ≡ `conv(md5,16,10)` bridge), one exact symmetrized
+    * top-m adjacency per layer over its members, entry = 2 smallest
+    * top-layer ids, then the layer-2 and layer-1 single rounds and the
+    * base layer's `rounds0` rounds — each the identical
+    * frontier/score/top-beam CTE pair as the flat NSW replay, with the
+    * round's adjacency swapped per layer. */
+  private def hnswSearchOracleSql(rounds0: Int): String = {
+    def scoreCte(name: String, from: String): String =
+      s"""$name AS (SELECT query_id, id, cos FROM (
+         |    SELECT f.query_id, f.id,
+         |           round(list_cosine_similarity(q.qv, e2.v), 6) + 0.0 AS cos,
+         |           row_number() OVER (PARTITION BY f.query_id
+         |             ORDER BY round(list_cosine_similarity(q.qv, e2.v), 6)
+         |               DESC, f.id) AS rn
+         |    FROM $from f JOIN e e2 ON e2.id = f.id
+         |      JOIN q ON q.query_id = f.query_id
+         |    WHERE f.id != f.query_id) t WHERE rn <= 8)""".stripMargin
+    def roundCtes(idx: Int, adjName: String): String =
+      s"""f$idx AS (SELECT DISTINCT query_id, id FROM (
+         |    SELECT s.query_id, adj.nb AS id
+         |    FROM s${idx - 1} s JOIN $adjName adj ON adj.id = s.id
+         |    UNION ALL SELECT query_id, id FROM s${idx - 1}) u),
+         |${scoreCte(s"s$idx", s"f$idx")}""".stripMargin
+    def layerCtes(l: Int): String =
+      s"""m$l AS (SELECT id, v FROM lv WHERE lvl >= $l),
+         |a${l}0 AS (SELECT id, nb FROM (
+         |    SELECT a.id, b.id AS nb,
+         |           row_number() OVER (PARTITION BY a.id
+         |             ORDER BY round(list_cosine_similarity(a.v, b.v), 6)
+         |               DESC, b.id) AS rn
+         |    FROM m$l a JOIN m$l b ON a.id != b.id) t WHERE rn <= 4),
+         |adj$l AS (SELECT DISTINCT id, nb FROM (
+         |  SELECT id, nb FROM a${l}0
+         |  UNION ALL SELECT nb AS id, id AS nb FROM a${l}0) u)""".stripMargin
+    // layer 2 then layer 1 get one round each; the base layer rounds0
+    val descent = (roundCtes(1, "adj2") +: roundCtes(2, "adj1") +:
+      (3 until 3 + rounds0).map(i => roundCtes(i, "adj0"))).mkString(",\n")
+    val last = 2 + rounds0
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |lv AS (SELECT id, v,
+       |         CASE WHEN h % 4 = 3 THEN 2
+       |              WHEN h % 2 = 1 THEN 1 ELSE 0 END AS lvl
+       |       FROM (SELECT id, v,
+       |         ('0x' || substr(md5('hnsw:' || CAST(id AS VARCHAR)),
+       |           1, 15))::UBIGINT AS h FROM e)),
+       |${layerCtes(2)},
+       |${layerCtes(1)},
+       |${layerCtes(0)},
+       |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 10),
+       |f0 AS (SELECT q.query_id, x.id
+       |       FROM q CROSS JOIN (SELECT id FROM m2 ORDER BY id LIMIT 2) x),
+       |${scoreCte("s0", "f0")},
+       |$descent
+       |SELECT query_id, rn::INTEGER AS rank, id, cos AS cosine FROM (
+       |  SELECT query_id, id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, id) AS rn
+       |  FROM s$last) t
+       |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   /** Unrolled 2-iteration EM replay for [[Joins.fellegiSunterEm]]: the
@@ -6471,6 +6629,34 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     // triangle replay: same canonical edges, (degree, id) orientation,
     // wedge join + EXISTS closure — exact integer counts
+    // Adamic–Adar replay: the kcore oracle's fuzzy-edge CTE, per-z
+    // micro-weight floor(1e6/ln(deg)) with the same hub/deg-1 guards,
+    // wedge self-join, integer sums, anti-join on existing edges, and
+    // the identical (aa_micro desc, u, v) top-50 cut
+    "graph_adamic_adar" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name AS s,
+        |         substr(c_name, 1, length(c_name) - 2) AS blk
+        |  FROM customer WHERE c_name IS NOT NULL AND c_custkey IS NOT NULL),
+        |e AS (
+        |  SELECT a.id AS a, b.id AS b
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.s, b.s) <= 1),
+        |adj AS (SELECT a AS z, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+        |w AS (SELECT z, CAST(floor(1000000.0 / ln(count(*))) AS BIGINT) AS wt
+        |      FROM adj GROUP BY z
+        |      HAVING count(*) >= 2 AND count(*) <= 10000),
+        |wedge AS (SELECT l.nb AS u, r.nb AS v, w.wt
+        |          FROM adj l JOIN adj r ON l.z = r.z AND l.nb < r.nb
+        |          JOIN w ON w.z = l.z),
+        |p AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
+        |        CAST(sum(wt) AS BIGINT) AS aa_micro
+        |      FROM wedge GROUP BY u, v),
+        |np AS (SELECT p.* FROM p LEFT JOIN e ON e.a = p.u AND e.b = p.v
+        |       WHERE e.a IS NULL)
+        |SELECT u AS node_a, v AS node_b, common_neighbors, aa_micro,
+        |       CAST(aa_micro AS DOUBLE) / 1000000.0 AS score
+        |FROM np ORDER BY aa_micro DESC, u, v LIMIT 50""".stripMargin,
     "graph_kcore" -> kCoreOracleSql(k = 3, rounds = 8),
     "graph_label_propagation" -> labelPropOracleSql(rounds = 3),
     "linkage_fellegi_sunter" -> fellegiSunterOracleSql(),
@@ -8160,6 +8346,7 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.id != b.id) t
         |WHERE rn <= 4 ORDER BY id, rank""".stripMargin,
     "similarity_nsw_search" -> nswSearchOracleSql(rounds = 3),
+    "similarity_hnsw_search" -> hnswSearchOracleSql(rounds0 = 3),
     "similarity_topk_ivf" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS id,
@@ -9071,6 +9258,41 @@ object SparkEntry {
         |FROM cdf CROSS JOIN tot
         |ORDER BY abs(CAST(cr AS DOUBLE) / tr - CAST(cc AS DOUBLE) / tc) DESC, v
         |LIMIT 1""".stripMargin,
+    // Wasserstein replay: same micro-unit floor quantization, windowed
+    // integer CDFs and lead() for the gap, |cr·tc − cc·tr| through
+    // DECIMAL(38,0) before the sum (mirrors the operator's cast order),
+    // one scalar-subquery sum so a degenerate single-value support still
+    // yields the one w1=0 row the operator emits
+    "events_wasserstein_drift" ->
+      """WITH mx AS (SELECT CAST(max(event_id) // 2 AS BIGINT) AS h FROM events),
+        |r AS (SELECT CAST(floor(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+        |      FROM events CROSS JOIN mx
+        |      WHERE value IS NOT NULL AND event_id <= h),
+        |c AS (SELECT CAST(floor(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+        |      FROM events CROSS JOIN mx
+        |      WHERE value IS NOT NULL AND event_id > h),
+        |g AS (SELECT vq,
+        |        CAST(sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+        |        CAST(sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        |      FROM (SELECT vq, 'r' AS side FROM r
+        |            UNION ALL SELECT vq, 'c' FROM c)
+        |      GROUP BY vq),
+        |tot AS (SELECT CAST(sum(nr) AS BIGINT) AS tr,
+        |               CAST(sum(nc) AS BIGINT) AS tc FROM g),
+        |cdf AS (SELECT vq,
+        |          CAST(sum(nr) OVER (ORDER BY vq) AS BIGINT) AS cr,
+        |          CAST(sum(nc) OVER (ORDER BY vq) AS BIGINT) AS cc,
+        |          lead(vq) OVER (ORDER BY vq) AS vn
+        |        FROM g)
+        |SELECT round(CAST((SELECT COALESCE(sum(
+        |           abs(CAST(cr AS DECIMAL(38,0)) * tc
+        |               - CAST(cc AS DECIMAL(38,0)) * tr)
+        |           * CAST(vn - vq AS DECIMAL(38,0))), 0)
+        |         FROM cdf CROSS JOIN tot WHERE vn IS NOT NULL) AS DOUBLE)
+        |         / (CAST(tr AS DOUBLE) * CAST(tc AS DOUBLE) * 1000000.0), 6)
+        |         + 0.0 AS w1,
+        |       tr AS n_ref, tc AS n_cur
+        |FROM tot""".stripMargin,
     // embedding-drift replay: float components through DECIMAL(28,9)
     // (same 9-dp rounding of the same binary value), exact sums, one
     // division per mean, drifts off the rounded means
@@ -10255,6 +10477,7 @@ object SparkEntry {
         |FROM pairs GROUP BY sym1, sym2
         |ORDER BY cnt DESC, sym1, sym2 LIMIT 30""".stripMargin,
     "tokenizer_bpe_train" -> bpeTrainOracleSql(5),
+    "tokenizer_bpe_bytes" -> bpeBytesOracleSql(3),
     // unigram-seed vocabulary: substrings of length 2..4 over unique
     // words, scored occurrences x length; lateral range() bounds mirror
     // the Spark sequence() bounds exactly

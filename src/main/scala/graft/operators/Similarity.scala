@@ -934,33 +934,58 @@ object Similarity {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val ent = c.orderBy(col("id").asc).limit(entries).select(col("id"))
-    def score(ids: DataFrame): DataFrame = ids
-      .join(c, Seq("id"))
-      .join(q, Seq("query_id"))
-      .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id"),
-        round(GraftExpressions.cosineSimilarity(col("qv"), col("v")), 6)
-          .as("cosine"))
-    def topB(scored: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("id").asc)
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= beam)
-        .select(col("query_id"), col("id"), col("cosine"))
-    }
+    val adjN = symmetrized(adj)
+    val seed = topBeam(scoreIds(
+      q.select(col("query_id")).crossJoin(broadcast(ent)), c, q), beam)
+      .localCheckpoint()
+    topK(beamWalk(adjN, c, q, seed, beam, rounds), k)
+  }
+
+  /** Score (query_id, id) candidate rows against the corpus vectors:
+    * one id-keyed lookup join for the vector, one query join, round-6
+    * cosine; the query's own id is excluded (matches
+    * [[bruteForceTopK]]). */
+  private def scoreIds(ids: DataFrame, c: DataFrame,
+                       q: DataFrame): DataFrame = ids
+    .join(c, Seq("id"))
+    .join(q, Seq("query_id"))
+    .filter(col("id") =!= col("query_id"))
+    .select(col("query_id"), col("id"),
+      round(GraftExpressions.cosineSimilarity(col("qv"), col("v")), 6)
+        .as("cosine"))
+
+  /** Per-query top-`beam` prune by (cosine desc, id) — the walk's one
+    * total-ordered tiebreak. */
+  private def topBeam(scored: DataFrame, beam: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= beam)
+      .select(col("query_id"), col("id"), col("cosine"))
+  }
+
+  /** Materialize the symmetrized (undirected) adjacency ONCE: it is
+    * joined every round, and when the build arrives as a lazy plan (the
+    * common call shape) each round would otherwise re-run the whole
+    * k-NN construction. The frame is narrow and bounded (<= 2·m·n
+    * rows). */
+  private def symmetrized(adj: DataFrame): DataFrame = {
     val adjOut = adj.select(col("id"), col("neighbor"))
-    // materialize the symmetrized adjacency ONCE: it is joined every
-    // round, and when `adj` arrives as a lazy build plan (the common
-    // call shape) each round would otherwise re-run the whole k-NN
-    // construction. The frame is narrow and bounded (<= 2·m·n rows).
-    val adjN = adjOut
+    adjOut
       .unionByName(adjOut.select(col("neighbor").as("id"),
         col("id").as("neighbor")))
       .distinct()
       .localCheckpoint()
-    var beamDf = topB(score(
-        q.select(col("query_id")).crossJoin(broadcast(ent))))
-      .localCheckpoint()
+  }
+
+  /** `rounds` expand-score-prune iterations from an already-scored beam:
+    * frontier = beam ∪ neighbors-of-beam (one equi-join on the
+    * symmetrized adjacency), dedup, score, keep per-query top-`beam`.
+    * The engine behind [[nswBeamSearch]] (one flat layer) and
+    * [[hnswSearch]] (one call per descending layer). */
+  private def beamWalk(adjN: DataFrame, c: DataFrame, q: DataFrame,
+                       seed: DataFrame, beam: Int, rounds: Int): DataFrame = {
+    var beamDf = seed
     var r = 0
     while (r < rounds) {
       val frontier = beamDf.select(col("query_id"), col("id"))
@@ -968,10 +993,10 @@ object Similarity {
         .select(col("query_id"), col("neighbor").as("id"))
         .unionByName(beamDf.select(col("query_id"), col("id")))
         .distinct()
-      beamDf = topB(score(frontier)).localCheckpoint()
+      beamDf = topBeam(scoreIds(frontier, c, q), beam).localCheckpoint()
       r += 1
     }
-    topK(beamDf, k)
+    beamDf
   }
 
   /** Incremental NSW maintenance — the HNSW INSERT step (Malkov &
@@ -1003,6 +1028,94 @@ object Similarity {
     adj.select(col("id"), col("rank"), col("neighbor"), col("cosine"))
       .unionByName(found.select(col("query_id").as("id"), col("rank"),
         col("id").as("neighbor"), col("cosine")))
+  }
+
+  // --- Hierarchical NSW (Malkov & Yashunin 2018, the H in HNSW): a
+  // geometric layer hierarchy over the flat NSW graph so search crosses
+  // the corpus in O(log n) hops from a fixed entry instead of the flat
+  // walk's O(diameter) rounds ---------------------------------------------
+
+  /** Deterministic hash-geometric HNSW level of a node id (the paper's
+    * `floor(-ln(unif) · mL)` draw, replayed as arithmetic): level =
+    * number of trailing 1-bits of the 60-bit md5 hash of `"hnsw:" + id`,
+    * capped at `maxLevel` — P(level ≥ l) = 2^-l, the paper's geometric
+    * distribution at mL = 1/ln 2. No RNG: the same id lands on the same
+    * level in any engine (`('0x'||substr(md5(...),1,15))::UBIGINT` in
+    * DuckDB ≡ `conv(substring(md5(...),1,15),16,10)` here), and levels
+    * NEST — membership at l implies membership at every l' < l — which
+    * is what lets a descent reuse the upper beam as the lower seed. */
+  def hnswLevel(id: Column, maxLevel: Int): Column = {
+    require(maxLevel >= 1 && maxLevel <= 30,
+      s"maxLevel must be in [1, 30], got $maxLevel")
+    val h = conv(substring(md5(concat(lit("hnsw:"), id.cast("string"))
+      .cast("binary")), 1, 15), 16, 10).cast("long")
+    (1 to maxLevel).foldLeft(lit(0)) { (acc, l) =>
+      when(pmod(h, lit(1L << l)) === lit((1L << l) - 1), lit(l))
+        .otherwise(acc)
+    }
+  }
+
+  /** Build the HNSW layer stack: for each level 0..`maxLevel`, the nodes
+    * whose [[hnswLevel]] reaches it form a layer, and the layer's
+    * adjacency is a [[nswGraph]] over just those members. Levels are
+    * geometric, so layer l has ~n/2^l nodes and the whole stack costs
+    * < 2× the base layer; layers above 0 are small enough for exact
+    * (nLists = 1) builds — only the base layer needs IVF cells at scale.
+    * Returns [[nswGraph]]'s schema plus `level`; one persisted table
+    * serves every layer (filter on `level` is a cheap scan). */
+  def hnswGraph(corpus: DataFrame, idCol: String, vecCol: String,
+                m: Int = 8, maxLevel: Int = 2, nLists: Int = 16,
+                nProbe: Int = 2, iters: Int = 2,
+                seed: Long = 42L): DataFrame = {
+    val withL = corpus.withColumn("__lvl", hnswLevel(col(idCol), maxLevel))
+    (0 to maxLevel).map { l =>
+      val members = withL.filter(col("__lvl") >= l)
+      val (nl, np) = if (l == 0) (nLists, nProbe) else (1, 1)
+      nswGraph(members, idCol, vecCol, m, nl, np, iters, seed)
+        .withColumn("level", lit(l))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** HNSW search (Malkov & Yashunin 2018 §4 SEARCH-LAYER descent,
+    * batch-ified): seed from the `entries` smallest ids of the TOP
+    * layer, walk `upperRounds` expand-score-prune rounds per layer from
+    * `maxLevel` down to 1 — each layer's final beam seeds the next,
+    * sound because levels nest — then run the full `rounds` walk on the
+    * base layer and cut top-k. Against the flat [[nswBeamSearch]] the
+    * upper layers replace long base-layer crossings: layer l hops span
+    * ~2^l base hops, so a fixed entry reaches any neighborhood in
+    * O(log n) rounds total instead of O(graph diameter).
+    *
+    * The full adjacency localCheckpoints ONCE (a lazy [[hnswGraph]]
+    * plan must not rebuild per layer filter), then each layer
+    * symmetrizes its own narrow slice. Per-round cost stays
+    * |queries|·beam·m rows, corpus touched only via id-keyed lookups;
+    * every tiebreak is the same total order the flat walk uses, so the
+    * descent is deterministic and SQL-replayable layer by layer. */
+  def hnswSearch(adj: DataFrame, corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int, maxLevel: Int,
+                 beam: Int = 8, rounds: Int = 3, upperRounds: Int = 1,
+                 entries: Int = 2): DataFrame = {
+    require(k >= 1 && beam >= k && rounds >= 0 && upperRounds >= 0 &&
+      entries >= 1 && maxLevel >= 1)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val adjAll = adj.select(col("level"), col("id"), col("neighbor"))
+      .localCheckpoint()
+    def layer(l: Int): DataFrame =
+      symmetrized(adjAll.filter(col("level") === l))
+    val entTop = c
+      .filter(hnswLevel(col("id"), maxLevel) >= maxLevel)
+      .orderBy(col("id").asc).limit(entries).select(col("id"))
+    var beamDf = topBeam(scoreIds(
+      q.select(col("query_id")).crossJoin(broadcast(entTop)), c, q), beam)
+      .localCheckpoint()
+    var l = maxLevel
+    while (l >= 1) {
+      beamDf = beamWalk(layer(l), c, q, beamDf, beam, upperRounds)
+      l -= 1
+    }
+    topK(beamWalk(layer(0), c, q, beamDf, beam, rounds), k)
   }
 
   /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the

@@ -82,17 +82,28 @@ object Tokenize {
     * list itself. */
   def bpeTrainMerges(df: DataFrame, textCol: String,
                      nMerges: Int): DataFrame = {
-    require(nMerges >= 1 && nMerges <= 4096,
-      s"nMerges must be in [1, 4096], got $nMerges")
-    val spark = df.sparkSession
-    var seg = df
+    val seg0 = df
       .select(explode(filter(split(lower(col(textCol)), "[^a-z]+"),
         t => t =!= "")).as("__w"))
       .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
       .select(col("__c"), expr(
         "array_join(transform(sequence(1, length(__w)), " +
           "i -> substring(__w, i, 1)), ' ')").as("__seg"))
-      .localCheckpoint()
+    trainMergesOnSeg(df.sparkSession, seg0, nMerges)
+  }
+
+  /** The shared Sennrich merge loop over a (`__c` count, `__seg`
+    * space-joined symbols) frame — the engine behind [[bpeTrainMerges]]
+    * (character alphabet) and [[bpeTrainMergesBytes]] (escaped-byte
+    * alphabet). Symbols may be ANY space-free strings: the merge applies
+    * through `functions.replace` column literals, never interpolated
+    * SQL, so apostrophes/backslashes in byte-mode symbols cannot inject.
+    */
+  private def trainMergesOnSeg(spark: org.apache.spark.sql.SparkSession,
+                               seg0: DataFrame, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 4096,
+      s"nMerges must be in [1, 4096], got $nMerges")
+    var seg = seg0.localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var dry = false
@@ -112,11 +123,13 @@ object Tokenize {
         val (a, b, c) = (best(0).getString(0), best(0).getString(1),
           best(0).getLong(2))
         merges += ((step, a, b, c))
-        // symbols are [a-z]+ by construction (the tokenizer regex), so
-        // inlining them into the replace literals is injection-safe
-        seg = seg.select(col("__c"), expr(
-          s"trim(replace(replace(concat(' ', replace(__seg, ' ', '  '), ' ')," +
-            s" ' $a  $b ', ' $a$b '), '  ', ' '))").as("__seg"))
+        // the doubled-space replace chain: ' a  b ' => ' ab ', then
+        // collapse — greedy simultaneous merge, literal-safe via lit()
+        seg = seg.select(col("__c"), trim(replace(replace(
+            concat(lit(" "), replace(col("__seg"), lit(" "), lit("  ")),
+              lit(" ")),
+            lit(s" $a  $b "), lit(s" $a$b ")), lit("  "), lit(" ")))
+            .as("__seg"))
           .localCheckpoint() // flat lineage: one frame per merge round
         step += 1
       }
@@ -124,6 +137,88 @@ object Tokenize {
     import spark.implicits._
     merges.toSeq.toDF("step", "sym1", "sym2", "cnt")
   }
+
+  /** The GPT-2 byte→printable-unicode escape table (Radford et al. 2019,
+    * `bytes_to_unicode` in the released encoder; openai/gpt-2
+    * src/encoder.py): every byte that is printable and non-space —
+    * 33..126, 161..172, 174..255 — maps to its own codepoint; the 68
+    * excluded bytes (controls, space, DEL..NBSP region, soft hyphen 173)
+    * map to 256 + their rank among the excluded, ascending. Pure
+    * arithmetic, no RNG — so a SQL oracle recomputes the identical
+    * mapping with a CASE over the byte value. All targets are < 0x250,
+    * single UTF-16 chars, printable, and space-free — which is the
+    * point: byte-level segmentations stay space-joinable strings and the
+    * merge replace-chain needs no escaping beyond this map. */
+  val byteUnicode: IndexedSeq[String] = (0 until 256).map { b =>
+    val cp =
+      if ((b >= 33 && b <= 126) || (b >= 161 && b <= 172) ||
+          (b >= 174 && b <= 255)) b
+      else if (b <= 32) 256 + b        // controls + space: ranks 0..32
+      else if (b <= 160) 162 + b       // 127..160: ranks 33..66
+      else 323                         // 173 (soft hyphen): rank 67
+    new String(Character.toChars(cp))
+  }
+
+  /** Byte-level pretoken frequency table + escaped-byte segmentations —
+    * the GPT-2 pretokenization discipline, simplified to its replayable
+    * core: pretokens are space-split with ONE leading space kept
+    * attached (`' ?[^ ]+'` — the Ġ-prefix behavior that lets merges
+    * learn word boundaries), case is PRESERVED (byte level has no
+    * canonical lowercase), and every pretoken's UTF-8 bytes escape
+    * through [[byteUnicode]] into a space-joined symbol string. The
+    * byte walk runs as hex-pair arithmetic (`hex(encode(w,'UTF-8'))`,
+    * then `instr` on the hex alphabet) — 1-based, engine-identical, so
+    * DuckDB replays the segmentation exactly; the escape table itself
+    * is a broadcast 256-slot array literal indexed by byte value.
+    * Returns (`__c` count, `__seg`). */
+  private def byteSegments(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(regexp_extract_all(col(textCol), lit(" ?[^ ]+"),
+        lit(0))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .withColumn("__bm", typedlit(byteUnicode))
+      .withColumn("__h", hex(encode(col("__w"), "UTF-8")))
+      .select(col("__c"), expr(
+        "array_join(transform(sequence(1, length(__h) div 2), " +
+          "i -> element_at(__bm, " +
+          "(instr('0123456789ABCDEF', substring(__h, 2*i-1, 1)) - 1) * 16" +
+          " + instr('0123456789ABCDEF', substring(__h, 2*i, 1)))), ' ')")
+        .as("__seg"))
+
+  /** [[bpePairCounts]] in byte-alphabet mode: adjacent escaped-byte pair
+    * statistics over the byte-level pretoken table ([[byteSegments]]).
+    * Same scale shape as the char mode — the corpus collapses to its
+    * pretoken-frequency table first, pairs explode over unique pretokens
+    * only — but the alphabet is the full 256-symbol byte map, so
+    * punctuation, digits, whitespace prefixes, and multibyte UTF-8 all
+    * participate. Returns (sym1, sym2, cnt) top-`topK` by
+    * (cnt desc, sym1, sym2) — symbol order is raw UTF-8 byte order in
+    * both Spark and DuckDB, so the cut replays. */
+  def bpeBytePairCounts(df: DataFrame, textCol: String,
+                        topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val pairs = byteSegments(df, textCol)
+      .select(col("__c"), split(col("__seg"), " ").as("__l"))
+      .filter(size(col("__l")) >= 2)
+      .select(col("__c"), explode(expr(
+        "transform(sequence(0, size(__l) - 2), " +
+          "i -> struct(__l[i] AS s1, __l[i + 1] AS s2))")).as("__p"))
+      .groupBy(col("__p.s1").as("sym1"), col("__p.s2").as("sym2"))
+      .agg(sum(col("__c")).as("cnt"))
+    pairs.orderBy(col("cnt").desc, col("sym1"), col("sym2")).limit(topK)
+  }
+
+  /** [[bpeTrainMerges]] in byte-alphabet mode — GPT-2-style byte-level
+    * BPE training: the identical Sennrich merge loop
+    * ([[trainMergesOnSeg]]) runs over [[byteSegments]]' escaped-byte
+    * pretoken table. Merged symbols are concatenations of
+    * [[byteUnicode]] chars (e.g. `Ġt` = space+t), exactly the tokens a
+    * GPT-2 vocabulary file contains. Merge literals pass through
+    * `functions.replace` as column literals — byte-mode symbols can
+    * contain quotes and backslashes, which MUST NOT reach interpolated
+    * SQL. Returns (step, sym1, sym2, cnt). */
+  def bpeTrainMergesBytes(df: DataFrame, textCol: String,
+                          nMerges: Int): DataFrame =
+    trainMergesOnSeg(df.sparkSession, byteSegments(df, textCol), nMerges)
 
   /** Frequency-of-frequencies spectrum ("count of counts"): how many
     * distinct tokens occur exactly f times, for f = 1..`maxF`, plus one
@@ -207,10 +302,25 @@ object Tokenize {
     * word (leftmost on rank ties) until no listed pair remains. This is
     * the reference BPE inference loop, exposed for specs and driver-side
     * use; the distributed path is [[bpeEncode]]. */
-  def bpeEncodeWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
+  def bpeEncodeWord(word: String, merges: Seq[(String, String)]): Seq[String] =
+    bpeEncodeSymbols(word.map(_.toString), merges)
+
+  /** [[bpeEncodeWord]] in byte-alphabet mode: the pretoken's UTF-8
+    * bytes escape through [[byteUnicode]] first, then the same ranked
+    * greedy merge loop fuses them — GPT-2 inference over a
+    * [[bpeTrainMergesBytes]] merge list. */
+  def bpeEncodeBytesWord(word: String,
+                         merges: Seq[(String, String)]): Seq[String] =
+    bpeEncodeSymbols(word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .toIndexedSeq.map(b => byteUnicode(b & 0xff)), merges)
+
+  /** The greedy ranked-merge fuse loop shared by the char and byte
+    * encoders: repeatedly fuse the adjacent pair with the LOWEST merge
+    * rank (leftmost on rank ties) until no listed pair remains. */
+  def bpeEncodeSymbols(symbols: Seq[String],
+                       merges: Seq[(String, String)]): Seq[String] = {
     val rank = merges.zipWithIndex.toMap
-    val toks = scala.collection.mutable.ArrayBuffer(
-      word.map(_.toString): _*)
+    val toks = scala.collection.mutable.ArrayBuffer(symbols: _*)
     var done = toks.length < 2
     while (!done) {
       var best = -1
@@ -251,6 +361,27 @@ object Tokenize {
       .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
     words.as[(String, Long)].map { case (w, c) =>
       val toks = bpeEncodeWord(w, merges)
+      (w, c, toks, toks.length)
+    }.toDF("word", "count", "tokens", "n_tokens")
+  }
+
+  /** [[bpeEncode]] in byte-alphabet mode: the corpus collapses to its
+    * byte-level PRETOKEN frequency table (space-split, leading space
+    * attached, case preserved — [[byteSegments]]' pretokenization), each
+    * unique pretoken encodes ONCE against the ranked merge list via
+    * [[bpeEncodeBytesWord]], and consumers join back by pretoken. Tokens
+    * are [[byteUnicode]]-escaped strings — a GPT-2 vocabulary's surface
+    * form. Returns (word, count, tokens array<string>, n_tokens). */
+  def bpeEncodeBytes(df: DataFrame, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(regexp_extract_all(col(textCol), lit(" ?[^ ]+"),
+        lit(0))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    words.as[(String, Long)].map { case (w, c) =>
+      val toks = bpeEncodeBytesWord(w, merges)
       (w, c, toks, toks.length)
     }.toDF("word", "count", "tokens", "n_tokens")
   }

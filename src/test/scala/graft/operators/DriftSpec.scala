@@ -172,4 +172,36 @@ class DriftSpec extends SparkSpec {
     // c = 6y-12 = ±6: r1 = -180/216, r2 = 144/216
     assert(out == Seq((1L, 5L, -0.833333), (2L, 4L, 0.666667)))
   }
+
+  test("wasserstein1d: hand-computed shift-by-one is exactly 1.0; " +
+       "fractional grid; empty slice fails hard; deterministic") {
+    val ref = Seq(0.0, 1.0, 1.0, 2.0).toDF("v")
+    val cur = Seq(1.0, 2.0, 2.0, 3.0).toDF("v")
+    val out = Drift.wasserstein1d(ref, cur, "v")
+      .as[(Double, Long, Long)].collect().head
+    // every mass unit moves exactly 1: terms 4·1e6 + 8·1e6 + 4·1e6
+    // over nR·nC·1e6 = 16e6
+    assert(out == ((1.0, 4L, 4L)))
+    // sub-integer support: W1({0.5}, {0.75}) = 0.25 on the micro grid
+    val frac = Drift.wasserstein1d(
+      Seq(0.5).toDF("v"), Seq(0.75).toDF("v"), "v")
+      .as[(Double, Long, Long)].collect().head
+    assert(frac == ((0.25, 1L, 1L)))
+    // identical slices: zero distance (also exercises the last-value
+    // term dropping out by construction)
+    val same = Drift.wasserstein1d(ref, ref, "v")
+      .as[(Double, Long, Long)].collect().head
+    assert(same == ((0.0, 4L, 4L)))
+    // asymmetric sizes: ref {0,0}, cur {3} -> mean shift 3.0 exactly
+    val asym = Drift.wasserstein1d(
+      Seq(0.0, 0.0).toDF("v"), Seq(3.0).toDF("v"), "v")
+      .as[(Double, Long, Long)].collect().head
+    assert(asym == ((3.0, 2L, 1L)))
+    intercept[IllegalArgumentException] {
+      Drift.wasserstein1d(ref.filter($"v" < -10), cur, "v").collect()
+    }
+    val again = Drift.wasserstein1d(ref, cur, "v")
+      .as[(Double, Long, Long)].collect().head
+    assert(again == out)
+  }
 }

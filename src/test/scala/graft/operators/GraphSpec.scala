@@ -120,4 +120,37 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(again == out)
   }
+
+  test("adamicAdar: star wedges score floor(1e6/ln deg), adjacent pairs " +
+       "are excluded, hub guard silences the star center, duplicates " +
+       "and reversed edges collapse") {
+    // star 1-{2,3,4} plus edge 2-3; duplicate + reversed noise rows
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (3L, 2L), (1L, 2L)).toDF("x", "y")
+    val out = Graph.adamicAdar(g, "x", "y", topK = 10)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // deg(1)=3, deg(2)=deg(3)=2, deg(4)=1. Wedges through z=1 give
+    // (2,3),(2,4),(3,4); through z=2/z=3 give (1,3)/(1,2) — all
+    // adjacent except (2,4) and (3,4), each scoring floor(1e6/ln 3)
+    val w3 = math.floor(1e6 / math.log(3.0)).toLong
+    assert(out == Seq(
+      (2L, 4L, 1L, w3, w3 / 1e6),
+      (3L, 4L, 1L, w3, w3 / 1e6)))
+    // hub guard: maxHubDegree=2 removes z=1, the only wedge center
+    assert(Graph.adamicAdar(g, "x", "y", topK = 10, maxHubDegree = 2)
+      .collect().isEmpty)
+    // two wedge centers accumulate: square 1-2-3-4-1 predicts both
+    // diagonals with TWO common neighbors each
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("x", "y")
+    val w2 = math.floor(1e6 / math.log(2.0)).toLong
+    val d = Graph.adamicAdar(sq, "x", "y", topK = 10)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(d == Seq(
+      (1L, 3L, 2L, 2 * w2, 2 * w2 / 1e6),
+      (2L, 4L, 2L, 2 * w2, 2 * w2 / 1e6)))
+    // the topK cut is total-ordered: topK=1 keeps (1,3)
+    assert(Graph.adamicAdar(sq, "x", "y", topK = 1)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq ==
+      Seq((1L, 3L, 2L, 2 * w2, 2 * w2 / 1e6)))
+  }
 }

@@ -682,6 +682,93 @@ class SimilaritySpec extends SparkSpec {
       s"new node ${newRow.getLong(0)} not reached: $top")
   }
 
+  test("hnswLevel: deterministic trailing-ones md5 arithmetic — matches " +
+       "a driver-side replica, caps at maxLevel, levels nest, and the " +
+       "distribution is geometric-ish") {
+    // driver-side replica of the identical hash + trailing-1-bits math
+    def replica(id: Long, maxLevel: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"hnsw:$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+      var l = 0
+      while (l < maxLevel && h % (1L << (l + 1)) == (1L << (l + 1)) - 1)
+        l += 1
+      l
+    }
+    val ids = (0L until 1000L).toDF("id")
+    val got = ids.select($"id",
+        Similarity.hnswLevel($"id", 3).as("lvl"))
+      .as[(Long, Int)].collect().toMap
+    assert((0L until 1000L).forall(i => got(i) == replica(i, 3)))
+    // nesting + cap: level-2 at maxLevel=1 collapses to 1, never higher
+    val capped = ids.select($"id",
+        Similarity.hnswLevel($"id", 1).as("lvl"))
+      .as[(Long, Int)].collect().toMap
+    assert((0L until 1000L).forall(i => capped(i) == math.min(got(i), 1)))
+    // P(level >= l) = 2^-l: loose banding on 1000 draws
+    val atLeast1 = got.values.count(_ >= 1)
+    val atLeast2 = got.values.count(_ >= 2)
+    assert(atLeast1 > 400 && atLeast1 < 600, s"level>=1 count $atLeast1")
+    assert(atLeast2 > 175 && atLeast2 < 325, s"level>=2 count $atLeast2")
+  }
+
+  test("hnswGraph: one nswGraph per level over nested member sets; " +
+       "upper layers exact; level col dense 0..maxLevel") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val adj = Similarity.hnswGraph(emb, "vec_id", "embedding",
+      m = 4, maxLevel = 2, nLists = 1, nProbe = 1).localCheckpoint()
+    val levels = adj.select($"level").distinct().as[Int].collect().sorted
+    assert(levels.toSeq == Seq(0, 1, 2))
+    // each layer's adjacency equals nswGraph over exactly its members
+    val lvls = emb.select($"vec_id",
+        Similarity.hnswLevel($"vec_id", 2).as("lvl"))
+      .as[(Long, Int)].collect().toMap
+    for (l <- 0 to 2) {
+      val memberIds = lvls.filter(_._2 >= l).keySet
+      val layerIds = adj.filter($"level" === l).select($"id")
+        .distinct().as[Long].collect().toSet
+      assert(layerIds.subsetOf(memberIds),
+        s"layer $l contains non-members")
+      val expected = Similarity.nswGraph(
+          emb.filter(Similarity.hnswLevel($"vec_id", 2) >= l),
+          "vec_id", "embedding", m = 4, nLists = 1, nProbe = 1)
+        .select($"id", $"rank", $"neighbor").as[(Long, Int, Long)]
+        .collect().toSet
+      val gotL = adj.filter($"level" === l)
+        .select($"id", $"rank", $"neighbor").as[(Long, Int, Long)]
+        .collect().toSet
+      assert(gotL == expected, s"layer $l adjacency differs")
+    }
+  }
+
+  test("hnswSearch: recall >= flat NSW at equal beam on the gate " +
+       "corpus; descent is deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select($"query_id", $"id").as[(Long, Long)].collect().toSet
+    // flat gate config: m=4 graph, beam 8, 3 rounds, 4 entries
+    val flatAdj = Similarity.nswGraph(emb, "vec_id", "embedding",
+      m = 4, nLists = 1, nProbe = 1).localCheckpoint()
+    val flat = Similarity.nswBeamSearch(flatAdj, emb, q,
+        "vec_id", "embedding", k = 5, beam = 8, rounds = 3, entries = 4)
+      .select($"query_id", $"id").as[(Long, Long)].collect().toSet
+    // hnsw gate config: same m and beam, 2 upper layers at 1 round each
+    val hAdj = Similarity.hnswGraph(emb, "vec_id", "embedding",
+      m = 4, maxLevel = 2, nLists = 1, nProbe = 1).localCheckpoint()
+    def runH() = Similarity.hnswSearch(hAdj, emb, q,
+        "vec_id", "embedding", k = 5, maxLevel = 2, beam = 8, rounds = 3,
+        upperRounds = 1, entries = 2)
+      .select($"query_id", $"id").as[(Long, Long)].collect().toSet
+    val h = runH()
+    val flatRecall = flat.count(brute.contains)
+    val hRecall = h.count(brute.contains)
+    assert(hRecall >= flatRecall,
+      s"hnsw recall $hRecall/${brute.size} < flat $flatRecall/${brute.size}")
+    assert(runH() == h, "identical inputs must descend identically")
+  }
+
   test("mineBitext: planted translations mine as mutual-best pairs, a " +
        "polluted left vector pairs nowhere, margins deterministic, " +
        "undersized side fails hard") {

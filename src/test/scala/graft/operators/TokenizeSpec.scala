@@ -241,4 +241,80 @@ class TokenizeSpec extends SparkSpec {
     // doc 2: unable -> un+##able (2), un -> 1, able -> UNK (no head)
     assert(out == Seq((1L, 3L, 5L, 1L), (2L, 3L, 4L, 1L), (3L, 0L, 0L, 0L)))
   }
+
+  test("byteUnicode: the GPT-2 escape map — 256 distinct printable " +
+       "space-free symbols, deterministic arithmetic") {
+    val bm = Tokenize.byteUnicode
+    assert(bm.length == 256)
+    assert(bm.distinct.length == 256)          // injective
+    assert(bm.forall(s => s.length == 1 && !s.contains(" ")))
+    // printable bytes map to themselves
+    assert(bm(65) == "A" && bm(126) == "~" && bm(33) == "!")
+    assert(bm(195).codePointAt(0) == 195)      // 0xC3 'Ã' keeps itself
+    // excluded bytes shift by rank: space=32 -> 288 'Ġ', \n=10 -> 266,
+    // DEL=127 -> 289 (rank 33), NBSP=160 -> 322, soft hyphen 173 -> 323
+    assert(bm(32).codePointAt(0) == 288 && bm(32) == "Ġ")
+    assert(bm(10).codePointAt(0) == 266)
+    assert(bm(9).codePointAt(0) == 265)
+    assert(bm(127).codePointAt(0) == 289)
+    assert(bm(160).codePointAt(0) == 322)
+    assert(bm(173).codePointAt(0) == 323)
+  }
+
+  test("bpeBytePairCounts: multibyte UTF-8 splits into per-byte symbols " +
+       "and the leading space rides the pretoken as Ġ") {
+    // "né né né né" pretokenizes to "né" x1 and " né" x3; é = C3 A9
+    // escapes to "Ã"+"©", space to "Ġ"
+    val docs = Seq((1L, "né né né né")).toDF("id", "text")
+    val out = Tokenize.bpeBytePairCounts(docs, "text", topK = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("n", "Ã")) == 4L)         // both pretokens
+    assert(out(("Ã", "©")) == 4L)
+    assert(out(("Ġ", "n")) == 3L)         // only the spaced ones
+    assert(out.size == 3)
+  }
+
+  test("bpeTrainMergesBytes: hand-computed byte merges — UTF-8 ties " +
+       "break on raw byte order, whitespace and case survive; encoder " +
+       "parity via bpeEncodeBytesWord") {
+    val docs = Seq((1L, "né né né né")).toDF("id", "text")
+    val got = Tokenize.bpeTrainMergesBytes(docs, "text", nMerges = 3)
+      .orderBy($"step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (n,Ã)=4 ties (Ã,©)=4; "n" (6E) < "Ã" (C3 83) in UTF-8
+    // byte order, so (n,Ã) wins. round 2: (nÃ,©)=4. round 3: (Ġ,nÃ©)=3.
+    assert(got.toSeq === Seq(
+      (1, "n", "Ã", 4L),
+      (2, "nÃ", "©", 4L),
+      (3, "Ġ", "nÃ©", 3L)))
+    val merges = got.map(m => (m._2, m._3)).toSeq
+    assert(Tokenize.bpeEncodeBytesWord("né", merges) === Seq("nÃ©"))
+    assert(Tokenize.bpeEncodeBytesWord(" né", merges) ===
+      Seq("ĠnÃ©"))
+    // an unseen pretoken falls back to raw escaped bytes
+    assert(Tokenize.bpeEncodeBytesWord("ox", merges) === Seq("o", "x"))
+  }
+
+  test("bpeTrainMergesBytes: case is preserved and control bytes escape " +
+       "— 'The' and ' the' stay distinct pretokens; tab rides as chr(265)") {
+    val docs = Seq((1L, "The the a\tb")).toDF("id", "text")
+    val pairs = Tokenize.bpeBytePairCounts(docs, "text", topK = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(pairs(("T", "h")) == 1L)            // only the capitalized one
+    assert(pairs(("t", "h")) == 1L)            // only " the"
+    assert(pairs(("a", "ĉ")) == 1L)       // tab byte 9 -> chr(265)
+    assert(pairs(("ĉ", "b")) == 1L)
+  }
+
+  test("bpeEncodeBytes: unique-pretoken encode with counts over the " +
+       "vocab table") {
+    val docs = Seq((1L, "né né né né")).toDF("id", "text")
+    val merges = Seq(("n", "Ã"), ("nÃ", "©"))
+    val out = Tokenize.bpeEncodeBytes(docs, "text", merges)
+      .as[(String, Long, Seq[String], Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("né") == ((1L, Seq("nÃ©"), 1)))
+    assert(out(" né") == ((3L, Seq("Ġ", "nÃ©"), 2)))
+  }
 }
