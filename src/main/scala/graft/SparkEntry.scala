@@ -990,6 +990,15 @@ object SparkEntry {
       // deseasonalization denominator
       operators.Drift.dayOfWeekProfile(eventsMicros(s, dir), "ts")
     }),
+    "profile_mutual_information" -> ((s, dir) => {
+      // is event type independent of weekday? — per-cell MI
+      // decomposition on exact integer counts, one fixed IEEE
+      // contribution per cell (round 6), marginals derived from the
+      // joint frame, never a rescan
+      operators.Profiling.mutualInformation(
+        eventsMicros(s, dir).withColumn("dow", dayofweek(col("ts"))),
+        "event_type", "dow")
+    }),
     "events_autocorr" -> ((s, dir) => {
       // lag 1..7 autocorrelation of daily volume in N-scaled integer
       // form: both correlation sums exact longs, one division per lag —
@@ -4538,6 +4547,16 @@ object SparkEntry {
         ev.filter(col("event_id") <= half),
         ev.filter(col("event_id") > half), "value")
     }),
+    "embedding_mahalanobis" -> ((s, dir) => {
+      // diagonal Mahalanobis outlier score per vector: nano-quantized
+      // components, DECIMAL-exact per-dim moment sums, one fixed double
+      // μ/σ² per dimension, per-dim terms micro-quantized so the
+      // per-vector total is an exact integer sum — map-only scoring
+      // against an O(d) broadcast sidecar
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      operators.VectorStats.mahalanobisScores(emb, "vec_id", "embedding")
+        .orderBy(col("vec_id"))
+    }),
     "embedding_mean_drift" -> ((s, dir) => {
       // per-dimension mean shift between the two vec_id halves —
       // DECIMAL(28,9)-exact per-dim sums, map-combined into 64 cells
@@ -6954,6 +6973,25 @@ object SparkEntry {
         |GROUP BY tile ORDER BY tile""".stripMargin,
     // DOW replay: dayofweek(d)+1 matches Spark's 1=Sunday convention;
     // ratio as one division of exact integer cross-products
+    // MI replay: joint counts, marginals off the joint, the identical
+    // (n_ab/N)·ln(n_ab·N/(n_a·n_b)) per-cell expression round(6); dow
+    // bridges as dayofweek(ts)+1 (DuckDB is 0-based, Spark 1-based)
+    "profile_mutual_information" ->
+      """WITH j AS (
+        |  SELECT event_type AS a, CAST(dayofweek(ts) + 1 AS VARCHAR) AS b,
+        |         CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM j GROUP BY a),
+        |mb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM j GROUP BY b),
+        |tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM j)
+        |SELECT j.a, j.b, j.n_ab, ma.n_a, mb.n_b,
+        |       round((CAST(j.n_ab AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |         ln(CAST(j.n_ab AS DOUBLE) * CAST(n AS DOUBLE) /
+        |           (CAST(ma.n_a AS DOUBLE) * CAST(mb.n_b AS DOUBLE))), 6)
+        |         + 0.0 AS contrib
+        |FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+        |ORDER BY a, b""".stripMargin,
     "events_dow_profile" ->
       """WITH byday AS (
         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
@@ -9293,6 +9331,33 @@ object SparkEntry {
         |         + 0.0 AS w1,
         |       tr AS n_ref, tc AS n_cur
         |FROM tot""".stripMargin,
+    // Mahalanobis replay: the identical nano-quantization, DECIMAL-exact
+    // per-dim moment sums, the same fixed μ/σ² double expressions, and
+    // per-dim micro-quantized terms summed as exact integers per vector
+    "embedding_mahalanobis" ->
+      """WITH x AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+        |                    * 1000000000.0) AS BIGINT) AS xq
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |st AS (SELECT d, count(*) AS n,
+        |         sum(CAST(xq AS DECIMAL(38,0))) AS sx,
+        |         sum(CAST(xq AS DECIMAL(38,0)) * xq) AS sx2
+        |       FROM x GROUP BY d),
+        |ms AS (SELECT d,
+        |         CAST(sx AS DOUBLE) / n AS mu,
+        |         CAST(sx2 AS DOUBLE) / n
+        |           - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+        |           AS va
+        |       FROM st),
+        |t AS (SELECT x.vec_id,
+        |        CASE WHEN ms.va > 0 THEN
+        |          CAST(floor(1000000.0 * (x.xq - ms.mu) * (x.xq - ms.mu)
+        |                     / ms.va) AS BIGINT)
+        |        ELSE 0 END AS tn
+        |      FROM x JOIN ms ON ms.d = x.d)
+        |SELECT vec_id, CAST(sum(tn) AS DOUBLE) / 1000000.0 AS score
+        |FROM t GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // embedding-drift replay: float components through DECIMAL(28,9)
     // (same 9-dp rounding of the same binary value), exact sums, one
     // division per mean, drifts off the rounded means

@@ -96,6 +96,48 @@ object Profiling {
     rows.toDF("digit", "n", "p_obs", "p_benford").orderBy(col("digit"))
   }
 
+  /** Mutual information between two CATEGORICAL columns, reported as
+    * the per-cell decomposition `I(A;B) = Σ_ab p_ab · ln(p_ab/(p_a·p_b))`
+    * — the feature-relevance / redundancy check a dataset card wants
+    * ("does source predict language?", "is event type independent of
+    * weekday?") that correlation can't answer for categoricals. Cells
+    * where the joint beats independence contribute positively, cells
+    * suppressed below independence negatively; Σ contrib ≥ 0 is the MI
+    * in nats.
+    *
+    * Every count is an exact integer; each cell's contribution is ONE
+    * fixed IEEE sequence `(n_ab/N)·ln(n_ab·N/(n_a·n_b))` rounded to 6 dp
+    * — no cross-row float accumulation anywhere, the [[chiSquareDrift]]
+    * contract, so the frame replays across engines. Rows with a NULL on
+    * either side are excluded (they'd need their own category to carry
+    * information). Returns one row per OBSERVED (a, b) cell: (a, b,
+    * n_ab, n_a, n_b, contrib double round(6)), ordered (a, b).
+    *
+    * Scale shape: one joint groupBy-count; the two marginals derive
+    * from the JOINT frame (|A|·|B| rows, already tiny), not from
+    * rescanning the input; N is a driver-bounded scalar. Joins are on
+    * the single category keys. */
+  def mutualInformation(df: DataFrame, colA: String,
+                        colB: String): DataFrame = {
+    val joint = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(colA).cast("string").as("a"),
+        col(colB).cast("string").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val margA = joint.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+    val margB = joint.groupBy(col("b")).agg(sum(col("n_ab")).as("n_b"))
+    val total = joint.agg(coalesce(sum(col("n_ab")), lit(0L)))
+      .first.getLong(0)
+    require(total > 0, "mutualInformation needs non-null rows")
+    joint.join(margA, Seq("a")).join(margB, Seq("b"))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        (round((col("n_ab").cast("double") / lit(total.toDouble)) *
+          log(col("n_ab").cast("double") * lit(total.toDouble) /
+            (col("n_a").cast("double") * col("n_b").cast("double"))), 6)
+          + lit(0.0)).as("contrib"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Per-source dataset card: the one-row-per-source summary a corpus
     * README carries — volume (docs, chars), mean length, language
     * spread (exact distinct) and the dominant language with its share.

@@ -40,6 +40,72 @@ object VectorStats {
           (col("__n") - ddof)).as("cov"))
   }
 
+  /** Diagonal-covariance Mahalanobis outlier score per vector:
+    * `score(x) = Σ_d (x_d − μ_d)²/σ²_d` — the classic embedding-space
+    * anomaly number ("how many standard deviations is this vector from
+    * the corpus center, per axis, summed"), the multivariate rung above
+    * the per-feature robust z-scores. The full-covariance variant wants
+    * [[whiten]]; the diagonal form is the standard first cut and is
+    * exactly replayable.
+    *
+    * Exactness device: components quantize to nano-units
+    * (`floor(x·1e9)` on the float→double cast, [[graft.operators.Drift
+    * .embeddingMeanDrift]]'s bridge); per-dimension Σx and Σx² are
+    * EXACT DECIMAL sums, so μ and σ² are each ONE fixed double
+    * expression; each dimension's term quantizes to micro-units before
+    * the per-vector total, which is therefore an exact integer SUM —
+    * no float accumulation across dimensions or rows anywhere.
+    * Zero-variance dimensions contribute 0 (a constant axis carries no
+    * outlier signal — and would otherwise divide by zero). Population
+    * variance (ddof = 0). NULL vectors are excluded.
+    *
+    * Returns (idCol, score double = score_micro/1e6 exact, round-free).
+    * Scale shape: one explode+groupBy pass for the d-row stats frame
+    * (map-combinable; d rows total), stats collect as a bounded O(d)
+    * sidecar, and scoring is MAP-ONLY — an aggregate() fold over the
+    * vector against two broadcast literal arrays; no join, no shuffle,
+    * no window. */
+  def mahalanobisScores(df: DataFrame, idCol: String,
+                        vecCol: String): DataFrame = {
+    val stats = df.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .select(col("__d"),
+        floor(col("__x").cast("double") * lit(1e9)).cast("long").as("__xq"))
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__xq").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("__sx"),
+        sum((col("__xq").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("__xq")).as("__xq2")).as("__sx2"))
+      .collect().map { r =>
+        val n = r.getLong(1).toDouble
+        val sx = r.getDecimal(2).doubleValue()
+        val sx2 = r.getDecimal(3).doubleValue()
+        val mu = sx / n
+        (r.getInt(0), mu, sx2 / n - mu * mu)
+      }.sortBy(_._1)
+    require(stats.nonEmpty, "mahalanobisScores needs non-null vectors")
+    require(stats.map(_._1).toSeq == stats.indices.toSeq,
+      "ragged vector dimensions")
+    val mus = stats.map(_._2).toSeq
+    val vas = stats.map(_._3).toSeq
+    df.filter(col(vecCol).isNotNull)
+      .withColumn("__mu", typedlit(mus))
+      .withColumn("__va", typedlit(vas))
+      .withColumn("__sm", expr(
+        s"aggregate(transform(transform(`$vecCol`, " +
+          // nano-quantized component minus the dimension's mean...
+          "(x, i) -> CAST(floor(CAST(x AS DOUBLE) * 1000000000.0) AS DOUBLE)" +
+          " - __mu[i]), " + // [] is 0-based, matching the lambda index
+          // ...squared over the variance, micro-quantized per dimension
+          "(dv, i) -> CASE WHEN __va[i] > 0D THEN " +
+          "CAST(floor(1000000.0 * dv * dv / __va[i]) AS BIGINT) " +
+          "ELSE 0L END), " +
+          "0L, (acc, t) -> acc + t)"))
+      .select(col(idCol),
+        (col("__sm").cast("double") / lit(1e6)).as("score"))
+  }
+
   /** Top-k principal components: (eigenvalue desc, eigenvector) pairs of
     * the sample covariance, solved on the DRIVER by cyclic Jacobi — the
     * matrix is d×d (an embedding dim, not a data size), so the O(d³)

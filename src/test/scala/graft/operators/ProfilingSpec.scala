@@ -118,4 +118,40 @@ class ProfilingSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect().toSeq
     assert(empty == Seq(("not_null(k)", 0L, 0L, 0.0)))
   }
+
+  test("mutualInformation: independent columns score 0 per cell, a " +
+       "deterministic pairing sums to ln 2, nulls drop, empty fails") {
+    import org.apache.spark.sql.functions.col
+    // perfectly independent 2x2: every cell contrib is 0.25*ln(1) = 0
+    val ind = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
+      .toDF("a", "b")
+    val indOut = Profiling.mutualInformation(ind, "a", "b")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(indOut.map(_._6).forall(_ == 0.0) && indOut.size == 4)
+    // deterministic pairing: each cell 0.5*ln 2, MI = ln 2
+    val dep = Seq(("x", "u"), ("x", "u"), ("y", "v"), ("y", "v"))
+      .toDF("a", "b")
+    val depOut = Profiling.mutualInformation(dep, "a", "b")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    val half = BigDecimal(0.5 * math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(depOut == Seq(("x", "u", 2L, 2L, 2L, half),
+      ("y", "v", 2L, 2L, 2L, half)))
+    // a suppressed cell contributes NEGATIVELY: 3:1 within-row split
+    val mix = Seq(("x", "u"), ("x", "u"), ("x", "u"), ("x", "v"),
+      ("y", "v"), ("y", "v"), ("y", "v"), ("y", "u")).toDF("a", "b")
+    val mixOut = Profiling.mutualInformation(mix, "a", "b")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._6).toMap
+    assert(mixOut(("x", "u")) > 0 && mixOut(("x", "v")) < 0)
+    // nulls on either side are excluded from all counts
+    val withNull = Seq((Some("x"), Some("u")), (None, Some("u")),
+      (Some("x"), None), (Some("x"), Some("u"))).toDF("a", "b")
+    val nOut = Profiling.mutualInformation(withNull, "a", "b")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(nOut == Seq(("x", "u", 2L, 2L, 2L, 0.0)))
+    intercept[IllegalArgumentException] {
+      Profiling.mutualInformation(ind.filter(col("a") === "zz"), "a", "b")
+    }
+  }
 }

@@ -132,4 +132,61 @@ class VectorStatsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(o2 == Seq((1L, 1L, 111111555556L), (2L, 2L, 0L)))
   }
+
+  test("mahalanobisScores: hand-computed diagonal scores; zero-variance " +
+       "dims contribute nothing; null vectors drop; deterministic") {
+    // driver-side replica of the operator's exact IEEE sequence
+    // (nano-quantize, DECIMAL-exact sums are integer-exact at this
+    // size, fixed mu/var doubles, micro-floor per dim): scores ARE
+    // floor-quantized, so 1.5-in-the-reals lands at 1.499999 — that
+    // boundary is the point of pinning the replica, not a blemish
+    def replica(corpus: Seq[Seq[Float]], x: Seq[Float]): Double = {
+      val dims = corpus.head.length
+      var total = 0L
+      for (d <- 0 until dims) {
+        val xq = corpus.map(v => math.floor(v(d).toDouble * 1e9))
+        val n = xq.length.toDouble
+        val mu = xq.sum / n
+        val va = xq.map(q => q * q).sum / n - mu * mu
+        if (va > 0) {
+          val dv = math.floor(x(d).toDouble * 1e9) - mu
+          total += math.floor(1e6 * dv * dv / va).toLong
+        }
+      }
+      total / 1e6
+    }
+    val c1 = Seq(Seq(0.0f), Seq(2.0f), Seq(4.0f))
+    val d1 = Seq((1L, Array(0.0f)), (2L, Array(2.0f)), (3L, Array(4.0f)))
+      .toDF("id", "v")
+    val o1 = VectorStats.mahalanobisScores(d1, "id", "v")
+      .orderBy($"id").as[(Long, Double)].collect().toSeq
+    assert(o1 == Seq((1L, replica(c1, c1(0))), (2L, replica(c1, c1(1))),
+      (3L, replica(c1, c1(2)))))
+    assert(o1(1)._2 == 0.0 && o1(0)._2 == o1(2)._2 &&
+      math.abs(o1(0)._2 - 1.5) < 2e-6) // ~1.5 sigma^2, floor-quantized
+    // constant dim 0 is skipped, live dim 1 gives ~1 sigma^2 each
+    val c2 = Seq(Seq(1.0f, 5.0f), Seq(1.0f, 7.0f))
+    val d2 = Seq((1L, Array(1.0f, 5.0f)), (2L, Array(1.0f, 7.0f)))
+      .toDF("id", "v")
+    val o2 = VectorStats.mahalanobisScores(d2, "id", "v")
+      .orderBy($"id").as[(Long, Double)].collect().toSeq
+    assert(o2 == Seq((1L, replica(c2, c2(0))), (2L, replica(c2, c2(1)))))
+    assert(math.abs(o2(0)._2 - 1.0) < 2e-6)
+    // null vectors are excluded from stats AND output
+    val d3 = Seq((1L, Some(Array(0.0f))), (2L, Some(Array(2.0f))),
+      (3L, None), (4L, Some(Array(4.0f)))).toDF("id", "v")
+    val o3 = VectorStats.mahalanobisScores(d3, "id", "v")
+      .orderBy($"id").as[(Long, Double)].collect().toSeq
+    assert(o3.map(_._1) == Seq(1L, 2L, 4L) &&
+      o3.map(_._2) == o1.map(_._2))
+    // determinism on real gate data (64-dim floats)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = VectorStats.mahalanobisScores(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val b = VectorStats.mahalanobisScores(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(a == b && a.size == 500)
+    // the corpus-mean vector scores lowest-ish: outliers exist
+    assert(a.values.max > a.values.min)
+  }
 }
