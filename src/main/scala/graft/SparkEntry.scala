@@ -2003,6 +2003,21 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("int"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "retrieval_rrf_fusion" -> ((s, dir) => {
+      // hybrid-consensus ranking: fuse the exact brute-force cosine
+      // top-20 with the sign-bit-pruned top-20 via RRF — pure integer
+      // 1e9 div (60 + rank) weights, order-free sums, total-ordered cut
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = operators.Similarity.bruteForceTopK(
+        emb, q, "vec_id", "embedding", 20)
+      val signbit = operators.Similarity.signBitTopK(
+        emb, q, "vec_id", "embedding", k = 20, rerank = 40)
+      operators.Retrieval.reciprocalRankFusion(
+          Seq(brute, signbit), "query_id", "id", "rank", k = 10)
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "similarity_hard_negatives" -> ((s, dir) => {
       // contrastive-training negative mining: per anchor, the 5 most
       // cosine-similar vectors with a DIFFERENT label (label-filter
@@ -2370,6 +2385,16 @@ object SparkEntry {
         .select(col("doc_id"),
           sentenceCount(col("text")).as("n_sent"),
           md5(encode(element_at(sentences(col("text")), 1), "UTF-8")).as("first_md5"))
+        .orderBy(col("doc_id"))
+    }),
+    "text_char_entropy" -> ((s, dir) => {
+      // per-doc Shannon character entropy — the doc-internal randomness
+      // gauge beside the corpus-level zlib ratio: one term per distinct
+      // (doc, char), per-doc sum round(6) (the JS-divergence tolerance;
+      // per-term floor-quantize was rejected — p = 1/2 class terms land
+      // exactly on floor boundaries)
+      operators.TextMetrics.charEntropy(
+          DbReader(conn(s, dir), "documents").run(), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
     "text_compression_ratio" -> ((s, dir) => {
@@ -8197,6 +8222,56 @@ object SparkEntry {
         |           ORDER BY cosine DESC, id) AS rank
         |  FROM rr) t WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // RRF replay: the brute top-20 CTE + the signbit hamming-pool
+    // rerank top-20 CTE, then integer 1e9 // (60 + rank) weights summed
+    // per (query, id) and the identical (rrf_nano desc, id) top-10 cut
+    "retrieval_rrf_fusion" ->
+      """WITH brute AS (
+        |  SELECT query_id, id, rank FROM (
+        |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+        |             ORDER BY cosine DESC, id) AS rank
+        |    FROM (SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |            round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |              c.embedding::DOUBLE[]), 6) + 0.0 AS cosine
+        |          FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        |          WHERE q.vec_id < 10) s) t WHERE rank <= 20),
+        |codes AS (
+        |  SELECT vec_id,
+        |         list_sum(list_transform(range(0, 64),
+        |           b -> CASE WHEN embedding[b + 1] < 0 THEN 0::BIGINT
+        |                WHEN b = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |                ELSE 1::BIGINT << b END))::BIGINT AS code,
+        |         embedding
+        |  FROM embeddings),
+        |pool AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |         bit_count(xor(q.code, c.code))::INTEGER AS hamming,
+        |         q.embedding AS qv, c.embedding AS cv
+        |  FROM codes q JOIN codes c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id < 10),
+        |surv AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hamming, id) AS hr FROM pool) t
+        |  WHERE hr <= 40),
+        |sb AS (
+        |  SELECT query_id, id, rank FROM (
+        |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+        |             ORDER BY round(list_cosine_similarity(qv::DOUBLE[],
+        |               cv::DOUBLE[]), 6) DESC, id) AS rank
+        |    FROM surv) t WHERE rank <= 20),
+        |u AS (SELECT query_id, id, rank FROM brute
+        |      UNION ALL SELECT query_id, id, rank FROM sb),
+        |f AS (SELECT query_id, id, CAST(count(*) AS BIGINT) AS n_lists,
+        |        CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_nano
+        |      FROM u GROUP BY query_id, id)
+        |SELECT query_id, rn::INTEGER AS rank, id, n_lists, rrf_nano,
+        |       CAST(rrf_nano AS DOUBLE) / 1000000000.0 AS score FROM (
+        |  SELECT query_id, id, n_lists, rrf_nano,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY rrf_nano DESC, id) AS rn
+        |  FROM f) t WHERE rn <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     // triplet replay: per-anchor top-1 on each side of the label split,
     // inner join drops unusable anchors
     "similarity_triplets" ->
@@ -9845,6 +9920,31 @@ object SparkEntry {
     // multi-pattern replay: every (position, pattern) prefix compare —
     // the quadratic formulation the automaton replaces, same overlapping
     // semantics
+    // char-entropy replay: per-(doc, char) counts, the identical
+    // (n/t)·ln(t/n)/ln(2) term, per-doc sum round(6); empty/NULL docs
+    // keep their zero row through the left join
+    "text_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ''),
+        |           x -> x <> '')) AS c
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
+        |cnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+        |        FROM ch GROUP BY doc_id, c),
+        |tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS t,
+        |               CAST(count(*) AS BIGINT) AS d
+        |        FROM cnt GROUP BY doc_id),
+        |s AS (SELECT cnt.doc_id, min(t) AS n_chars, min(d) AS n_distinct,
+        |        round(sum((CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+        |          * ln(CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / ln(2.0)), 6) + 0.0 AS h
+        |      FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id
+        |      GROUP BY cnt.doc_id)
+        |SELECT doc.doc_id,
+        |       CAST(COALESCE(s.n_chars, 0) AS BIGINT) AS n_chars,
+        |       CAST(COALESCE(s.n_distinct, 0) AS BIGINT) AS n_distinct,
+        |       COALESCE(s.h, 0.0) AS entropy
+        |FROM documents doc LEFT JOIN s ON s.doc_id = doc.doc_id
+        |ORDER BY doc.doc_id""".stripMargin,
     "text_multipattern_hits" ->
       """WITH pats AS (SELECT * FROM (VALUES ('scan'), ('table scan'),
         |    ('fast sort'), ('a'), ('slow'), ('an')) p(p)),

@@ -266,6 +266,51 @@ object Retrieval {
       .orderBy(col(queryCol))
   }
 
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    * fuse any number of per-query rankings into one consensus list by
+    * `RRF(d) = Σ_lists 1/(k0 + rank_list(d))` — the standard hybrid-
+    * retrieval combiner (BM25 ∪ dense ANN) precisely because it needs
+    * NO score calibration between lists, only ranks. A document missing
+    * from a list simply contributes nothing.
+    *
+    * Exactness device: each list's weight is the INTEGER division
+    * `1e9 div (k0 + rank)` — no floats anywhere until the cosmetic
+    * final `score = rrf_nano/1e9` — so per-document sums are order-free
+    * exact and the (rrf_nano desc, id) top-k cut is total-ordered and
+    * engine-identical.
+    *
+    * Returns per query the fused top `k`: (query_id, rank 1..k, id,
+    * n_lists long — how many input lists carried the doc, rrf_nano
+    * long, score double exact). Scale shape: a map-only union of the
+    * (already small, top-k-sized) ranked lists, one keyed aggregate,
+    * one per-query WindowGroupLimit-able window — nothing corpus-sized
+    * anywhere. */
+  def reciprocalRankFusion(rankings: Seq[DataFrame], queryCol: String,
+                           idCol: String, rankCol: String, k: Int,
+                           k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k0 >= 0, s"k0 must be >= 0, got $k0")
+    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("div", a, b)
+    val all = rankings
+      .map(_.select(col(queryCol).as("query_id"), col(idCol).as("id"),
+        col(rankCol).cast("long").as("__r")))
+      .reduce(_.unionByName(_))
+    val agg = all
+      .select(col("query_id"), col("id"),
+        idiv(lit(1000000000L), lit(k0.toLong) + col("__r")).as("__s"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("__s")).as("rrf_nano"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_nano").desc, col("id").asc)
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("n_lists"),
+        col("rrf_nano"),
+        (col("rrf_nano").cast("double") / lit(1e9)).as("score"))
+  }
+
   def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
                    stopwords: Seq[String], k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")

@@ -129,6 +129,58 @@ object TextMetrics {
             + lit(0.0)))
   }
 
+  /** Per-document Shannon character entropy `H = Σ_c (n_c/N)·log₂(N/n_c)`
+    * — the doc-internal randomness gauge that pairs with the corpus-level
+    * compression-ratio gate: near-zero H flags single-character padding
+    * and template spam, unusually HIGH H (≈ log₂ alphabet) flags
+    * base64/hex blobs and mojibake masquerading as text. C4-style
+    * pipelines cut both tails.
+    *
+    * Determinism: one term per DISTINCT (doc, char) —
+    * `(n_c/N)·ln(N/n_c)/ln 2` as a fixed IEEE sequence (`ln 2` spelled
+    * as the explicit division; log2() implementations may differ across
+    * engines) — then the per-doc sum rounds to 6 dp, the
+    * [[graft.operators.Corpus.unigramJsDivergence]] tolerance: at most
+    * |alphabet| terms of magnitude ≤ log₂|alphabet| accumulate ~1e-15
+    * error, far inside the rounding grid. A floor-quantize-per-term
+    * scheme was rejected here: rational probabilities (p = 1/2, 1/4)
+    * land terms EXACTLY on floor boundaries, where a 1-ulp ln
+    * difference flips the micro-unit — rounding the small-sum total is
+    * strictly safer for this operator.
+    *
+    * Returns one row per input doc: (idCol, n_chars long, n_distinct
+    * long, entropy double round(6)); docs with NULL or empty text keep
+    * a (id, 0, 0, 0.0) row.
+    *
+    * Scale shape: the char explode map-combines into the (doc, char)
+    * count frame — per-doc distinct chars are alphabet-bounded, so the
+    * shuffled frame is |docs|·|alphabet|, not corpus characters; one
+    * keyed aggregate after, no windows, no driver state. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= 1)
+      .select(col(idCol).as("__id"), explode(expr(
+        s"transform(sequence(1, length(`$textCol`)), " +
+          s"i -> substring(`$textCol`, i, 1))")).as("__c"))
+      .groupBy(col("__id"), col("__c")).agg(count(lit(1)).as("__n"))
+    val totals = counts.groupBy(col("__id"))
+      .agg(sum(col("__n")).as("__t"), count(lit(1)).as("__d"))
+    val scored = counts.join(totals, Seq("__id"))
+      .select(col("__id"), col("__t"), col("__d"),
+        ((col("__n").cast("double") / col("__t").cast("double")) *
+          log(col("__t").cast("double") / col("__n").cast("double")) /
+          log(lit(2.0))).as("__e"))
+      .groupBy(col("__id"))
+      .agg(first(col("__t")).as("n_chars"), first(col("__d")).as("n_distinct"),
+        (round(sum(col("__e")), 6) + lit(0.0)).as("__h"))
+    df.select(col(idCol).as("__id"))
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("__h"), lit(0.0)).as("entropy"))
+  }
+
   /** BLEU-2 overlap counts between paired texts (Papineni et al., ACL
     * 2002) — the eval-side cousin of the decontamination gates: score a
     * model output (or a suspected near-copy) against its reference with

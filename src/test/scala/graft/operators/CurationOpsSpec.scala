@@ -612,6 +612,34 @@ class TextMetricsSpec extends SparkSpec {
       (3L, 0L, 0L, 0L, 0L, 0.0, 0.0, 0.0),
       (4L, 3L, 3L, 2L, 2L, 1.0, 1.0, 1.0)))
   }
+
+  test("charEntropy: hand values — uniform pairs give 1 bit, constant " +
+       "text gives 0, uniform 4-alphabet gives 2 bits, empty/null keep " +
+       "zero rows; both tails separate template from noise") {
+    val df = Seq(
+      (1L, "aabb"),          // H = 1 bit exactly
+      (2L, "aaaa"),          // H = 0
+      (3L, "abcd"),          // H = 2 bits
+      (4L, ""),              // empty -> zero row
+      (5L, null.asInstanceOf[String]),
+      (6L, "aaaaaaab")       // low-entropy template-ish: 1/8 vs 7/8
+    ).toDF("id", "text")
+    val out = TextMetrics.charEntropy(df, "id", "text")
+      .orderBy($"id").as[(Long, Long, Long, Double)].collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val h6 = r6((7.0 / 8) * math.log(8.0 / 7) / math.log(2.0)
+      + (1.0 / 8) * math.log(8.0) / math.log(2.0))
+    assert(out == Seq(
+      (1L, 4L, 2L, 1.0),
+      (2L, 4L, 1L, 0.0),
+      (3L, 4L, 4L, 2.0),
+      (4L, 0L, 0L, 0.0),
+      (5L, 0L, 0L, 0.0),
+      (6L, 8L, 2L, h6)))
+    // low-entropy template sits strictly between constant and 1 bit
+    assert(out(5)._4 > 0.0 && out(5)._4 < 1.0)
+  }
 }
 
 class MojibakeSpec extends SparkSpec {

@@ -149,4 +149,42 @@ class RetrievalSpec extends SparkSpec {
       (1L, 3L, 1L, r6(1.0 / 3.0), 0.5, r6(disc(2) / idcg3)),
       (2L, 1L, 0L, 0.0, 0.0, 0.0)))
   }
+
+  test("reciprocalRankFusion: integer 1e9 div (k0+rank) weights, " +
+       "consensus docs rise, single-list docs keep one share, ties " +
+       "break on id, per-query isolation, k cut") {
+    def w(r: Int, k0: Int = 60) = 1000000000L / (k0 + r)
+    val l1 = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 30L, 1)).toDF("query_id", "id", "rank")
+    val l2 = Seq((1L, 11L, 1), (1L, 13L, 2),
+      (2L, 31L, 1)).toDF("query_id", "id", "rank")
+    val out = Retrieval.reciprocalRankFusion(
+        Seq(l1, l2), "query_id", "id", "rank", k = 10)
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Int, Long, Long, Long, Double)].collect().toSeq
+    // q1: 11 is in both lists (w2 + w1), 10 only first (w1), 13 (w2),
+    // 12 (w3); q2: 30 and 31 tie exactly at w1 -> id order
+    assert(out == Seq(
+      (1L, 1, 11L, 2L, w(2) + w(1), (w(2) + w(1)) / 1e9),
+      (1L, 2, 10L, 1L, w(1), w(1) / 1e9),
+      (1L, 3, 13L, 1L, w(2), w(2) / 1e9),
+      (1L, 4, 12L, 1L, w(3), w(3) / 1e9),
+      (2L, 1, 30L, 1L, w(1), w(1) / 1e9),
+      (2L, 2, 31L, 1L, w(1), w(1) / 1e9)))
+    // the k cut is per query and total-ordered
+    val cut = Retrieval.reciprocalRankFusion(
+        Seq(l1, l2), "query_id", "id", "rank", k = 1)
+      .orderBy($"query_id")
+      .as[(Long, Int, Long, Long, Long, Double)].collect().toSeq
+    assert(cut.map(r => (r._1, r._3)) == Seq((1L, 11L), (2L, 30L)))
+    // k0 = 0: rank 1 weighs exactly 1e9
+    val k0out = Retrieval.reciprocalRankFusion(
+        Seq(l2), "query_id", "id", "rank", k = 1, k0 = 0)
+      .as[(Long, Int, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(k0out == Map(1L -> 1000000000L, 2L -> 1000000000L))
+    intercept[IllegalArgumentException] {
+      Retrieval.reciprocalRankFusion(Seq.empty, "query_id", "id", "rank", 5)
+    }
+  }
 }
