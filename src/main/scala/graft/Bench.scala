@@ -91,7 +91,8 @@ object Bench {
       for ((name, f) <- Seq[(String, (SparkSession, String) => String)](
           ("skew", skewExperiment),
           ("incremental_dedup_vs_stateless", incrementalDedupExperiment),
-          ("multipattern_vs_contains", multiPatternExperiment))) {
+          ("multipattern_vs_contains", multiPatternExperiment),
+          ("hnsw_vs_flat", hnswVsFlatExperiment))) {
         val out = try f(spark, sfDir) catch { case e: Throwable =>
           e.printStackTrace()
           // jackson-escape the message: a quote/backslash in the
@@ -194,9 +195,15 @@ object Bench {
         e.printStackTrace()
         "{}"
       }
+    val annJson =
+      try hnswVsFlatExperiment(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] hnsw_vs_flat experiment FAILED: $e")
+        "{}"
+      }
     val entries = mapper.writeValueAsString(queries)
     writeFullMerged(fullOut, sfDir, runsPerQuery, entries, failed, skewJson,
-      incrJson, acJson, total, chunks.size)
+      incrJson, acJson, annJson, total, chunks.size)
     parts.foreach(p =>
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
     spark.stop()
@@ -308,8 +315,14 @@ object Bench {
         e.printStackTrace()
         "{}"
       }
+    val annJson = if (only.isDefined) "{}" else
+      try hnswVsFlatExperiment(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] hnsw_vs_flat experiment FAILED: $e")
+        "{}"
+      }
     writeFull(fullOut, sfDir, runsPerQuery, results, failed, skewJson,
-      incrJson, acJson, total)
+      incrJson, acJson, annJson, total)
     // stop Spark BEFORE printing: the driver keeps only a ~4 KB stdout
     // TAIL, and shutdown logging emitted after the JSON line is what
     // pushed it out of the capture window in rounds 3-5 (parsed: null).
@@ -373,7 +386,7 @@ object Bench {
 
   private def writeFull(path: String, sfDir: String, runsPerQuery: Int,
       results: Map[String, Vector[(Double, Boolean)]], failed: List[String],
-      skewJson: String, incrJson: String, acJson: String,
+      skewJson: String, incrJson: String, acJson: String, annJson: String,
       total: Double): Unit = {
     val noiseNote =
       "Single-run local[32] timings on this sandbox drift up to 4x per " +
@@ -395,13 +408,13 @@ object Bench {
       s""""$name":{"runs":$runsJson,"min":${num(min, 3)},"noise":${num(noise, 2)}$failedPart}"""
     }.mkString("{", ",", "}")
     writeFullBody(path, sfDir, runsPerQuery, entries, failed, skewJson,
-      incrJson, acJson, total, noiseNote, forkedChunks = 0)
+      incrJson, acJson, annJson, total, noiseNote, forkedChunks = 0)
   }
 
   private def writeFullMerged(path: String, sfDir: String,
       runsPerQuery: Int, entries: String, failed: List[String],
-      skewJson: String, incrJson: String, acJson: String, total: Double,
-      chunks: Int): Unit = {
+      skewJson: String, incrJson: String, acJson: String, annJson: String,
+      total: Double, chunks: Int): Unit = {
     val note =
       "Forked bench: gates ran in " + chunks + " per-chunk child JVMs " +
       "(fresh SparkSession + JIT/codegen state each) because a single " +
@@ -420,13 +433,13 @@ object Bench {
       "successful runs; queries whose noise exceeded 2 were rerun " +
       "adaptively. Compare rounds on 'min'."
     writeFullBody(path, sfDir, runsPerQuery, entries, failed, skewJson,
-      incrJson, acJson, total, note, forkedChunks = chunks)
+      incrJson, acJson, annJson, total, note, forkedChunks = chunks)
   }
 
   private def writeFullBody(path: String, sfDir: String, runsPerQuery: Int,
       entries: String, failed: List[String], skewJson: String,
-      incrJson: String, acJson: String, total: Double, note: String,
-      forkedChunks: Int): Unit = {
+      incrJson: String, acJson: String, annJson: String, total: Double,
+      note: String, forkedChunks: Int): Unit = {
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"sf":"$sfDir","runs_per_query":$runsPerQuery,"total_min_sec":${num(total, 3)},
@@ -436,6 +449,7 @@ object Bench {
          |"skew":$skewJson,
          |"incremental_dedup_vs_stateless":$incrJson,
          |"multipattern_vs_contains":$acJson,
+         |"hnsw_vs_flat":$annJson,
          |"queries":$entries}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -463,6 +477,62 @@ object Bench {
     * magnitude slower; production blocklists are 10-100x larger, so the
     * measured gap is the floor of the win. min-of-2 per side, identical
     * input scan. */
+  /** HNSW vs flat NSW at bench scale: the hierarchy's claim is that a
+    * fixed entry reaches any neighborhood in O(log n) hops where the
+    * flat walk needs O(diameter) rounds — this produces the numbers on
+    * an 8000-vector corpus (the sf embeddings replicated 4x with a
+    * deterministic per-copy perturbation). Both graphs build with the
+    * SAME base-layer m/IVF settings and are materialized BEFORE timing,
+    * so the measured seconds are search-only. Reports recall@10 vs
+    * brute force and min-of-2 seconds for the flat walk at 3 and at 5
+    * rounds against the HNSW descent (1 round per upper layer + 3 base
+    * rounds) at the same beam. */
+  private def hnswVsFlatExperiment(spark: SparkSession,
+      sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("rep", explode(lit((0 until 4).toArray)))
+      .select((col("vec_id") * 4 + col("rep")).as("vec_id"), expr(
+        // deterministic perturbation: copy r shifts dim r by 0.05 and
+        // every dim by 0.001*r, so replicas are distinct but clustered
+        "transform(embedding, (x, i) -> x + CAST(rep AS FLOAT) * " +
+          "(CASE WHEN i = rep THEN CAST(0.05 AS FLOAT) " +
+          "ELSE CAST(0.001 AS FLOAT) END))").as("embedding"))
+      .localCheckpoint()
+    val q = corpus.filter(col("vec_id") % 163 === 0).limit(50)
+      .localCheckpoint()
+    val n = corpus.count()
+    val brute = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding",
+        10).select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flatAdj = Similarity.nswGraph(corpus, "vec_id", "embedding",
+      m = 8, nLists = 64, nProbe = 2).localCheckpoint()
+    val hAdj = Similarity.hnswGraph(corpus, "vec_id", "embedding",
+      m = 8, maxLevel = 2, nLists = 64, nProbe = 2).localCheckpoint()
+    def measure(run: => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      var found: Set[(Long, Long)] = Set.empty
+      val sec = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        found = run.select(col("query_id"), col("id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      (sec, found.count(brute.contains).toDouble / brute.size)
+    }
+    val (f3s, f3r) = measure(Similarity.nswBeamSearch(flatAdj, corpus, q,
+      "vec_id", "embedding", k = 10, beam = 16, rounds = 3, entries = 4))
+    val (f5s, f5r) = measure(Similarity.nswBeamSearch(flatAdj, corpus, q,
+      "vec_id", "embedding", k = 10, beam = 16, rounds = 5, entries = 4))
+    val (hs, hr) = measure(Similarity.hnswSearch(hAdj, corpus, q,
+      "vec_id", "embedding", k = 10, maxLevel = 2, beam = 16, rounds = 3,
+      upperRounds = 1, entries = 4))
+    s"""{"n_vectors":$n,"n_queries":50,"beam":16,""" +
+      s""""flat_r3_sec":${num(f3s, 3)},"flat_r3_recall":${num(f3r, 3)},""" +
+      s""""flat_r5_sec":${num(f5s, 3)},"flat_r5_recall":${num(f5r, 3)},""" +
+      s""""hnsw_sec":${num(hs, 3)},"hnsw_recall":${num(hr, 3)}}"""
+  }
+
   private def multiPatternExperiment(spark: SparkSession,
       sfDir: String): String = {
     import org.apache.spark.sql.functions._

@@ -2332,6 +2332,24 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("int"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "similarity_hnsw_append" -> ((s, dir) => {
+      // hierarchical HNSW insert: odd-id vectors draw their md5 level,
+      // share ONE descent over the even-id layer stack, and connect
+      // top-m at every layer at-or-below their level — cost
+      // O(batch·beam·m·levels), graph-size-independent. Output = the
+      // appended rows; the oracle replays the descent and per-layer
+      // connection cuts CTE-by-CTE
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      val old = emb.filter(col("vec_id") % 2 === 0)
+      val batch = emb.filter(col("vec_id") % 2 === 1 && col("vec_id") < 20)
+      val adj = operators.Similarity.hnswGraph(old, "vec_id", "embedding",
+        m = 4, maxLevel = 2, nLists = 1, nProbe = 1)
+      operators.Similarity.appendToHnswGraph(adj, old, batch,
+          "vec_id", "embedding", m = 4, maxLevel = 2)
+        .join(batch.select(col("vec_id").as("id")), Seq("id"), "left_semi")
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy(col("level").desc, col("id"), col("rank"))
+    }),
     "similarity_topk_ivf" -> ((s, dir) => {
       // IVF scale path with full probes: nProbe == nLists makes the result
       // exact, so the brute-force SQL is a true oracle; pruned-probe recall
@@ -5651,6 +5669,84 @@ object SparkEntry {
        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Unrolled replay of the HNSW APPEND descent
+    * ([[Similarity.appendToHnswGraph]]): the even-id graph side gets
+    * the same level/layer/adjacency CTEs as the search replay, the
+    * odd-id batch descends with the same per-layer round CTEs, and at
+    * each layer l the queries whose own md5 level reaches l cut their
+    * top-m as that layer's new edges. */
+  private def hnswAppendOracleSql(rounds0: Int): String = {
+    def scoreCte(name: String, from: String): String =
+      s"""$name AS (SELECT query_id, id, cos FROM (
+         |    SELECT f.query_id, f.id,
+         |           round(list_cosine_similarity(q.qv, e2.v), 6) + 0.0 AS cos,
+         |           row_number() OVER (PARTITION BY f.query_id
+         |             ORDER BY round(list_cosine_similarity(q.qv, e2.v), 6)
+         |               DESC, f.id) AS rn
+         |    FROM $from f JOIN e e2 ON e2.id = f.id
+         |      JOIN q ON q.query_id = f.query_id
+         |    WHERE f.id != f.query_id) t WHERE rn <= 8)""".stripMargin
+    def roundCtes(idx: Int, adjName: String): String =
+      s"""f$idx AS (SELECT DISTINCT query_id, id FROM (
+         |    SELECT s.query_id, adj.nb AS id
+         |    FROM s${idx - 1} s JOIN $adjName adj ON adj.id = s.id
+         |    UNION ALL SELECT query_id, id FROM s${idx - 1}) u),
+         |${scoreCte(s"s$idx", s"f$idx")}""".stripMargin
+    def layerCtes(l: Int): String =
+      s"""m$l AS (SELECT id, v FROM lv WHERE lvl >= $l),
+         |a${l}0 AS (SELECT id, nb FROM (
+         |    SELECT a.id, b.id AS nb,
+         |           row_number() OVER (PARTITION BY a.id
+         |             ORDER BY round(list_cosine_similarity(a.v, b.v), 6)
+         |               DESC, b.id) AS rn
+         |    FROM m$l a JOIN m$l b ON a.id != b.id) t WHERE rn <= 4),
+         |adj$l AS (SELECT DISTINCT id, nb FROM (
+         |  SELECT id, nb FROM a${l}0
+         |  UNION ALL SELECT nb AS id, id AS nb FROM a${l}0) u)""".stripMargin
+    def connect(l: Int, s: String): String =
+      s"""SELECT query_id AS id, rn::INTEGER AS rank, nbr AS neighbor,
+         |       cos AS cosine, $l AS level FROM (
+         |  SELECT query_id, id AS nbr, cos,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, id) AS rn
+         |  FROM $s) t
+         |WHERE rn <= 4 AND query_id IN
+         |  (SELECT query_id FROM qlv WHERE lvl >= $l)""".stripMargin
+    val descent = (roundCtes(1, "adj2") +: roundCtes(2, "adj1") +:
+      (3 until 3 + rounds0).map(i => roundCtes(i, "adj0"))).mkString(",\n")
+    val last = 2 + rounds0
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |           FROM embeddings WHERE vec_id % 2 = 0),
+       |lv AS (SELECT id, v,
+       |         CASE WHEN h % 4 = 3 THEN 2
+       |              WHEN h % 2 = 1 THEN 1 ELSE 0 END AS lvl
+       |       FROM (SELECT id, v,
+       |         ('0x' || substr(md5('hnsw:' || CAST(id AS VARCHAR)),
+       |           1, 15))::UBIGINT AS h FROM e)),
+       |${layerCtes(2)},
+       |${layerCtes(1)},
+       |${layerCtes(0)},
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 20),
+       |qlv AS (SELECT query_id,
+       |          CASE WHEN h % 4 = 3 THEN 2
+       |               WHEN h % 2 = 1 THEN 1 ELSE 0 END AS lvl
+       |        FROM (SELECT query_id,
+       |          ('0x' || substr(md5('hnsw:' || CAST(query_id AS VARCHAR)),
+       |            1, 15))::UBIGINT AS h FROM q)),
+       |f0 AS (SELECT q.query_id, x.id
+       |       FROM q CROSS JOIN (SELECT id FROM m2 ORDER BY id LIMIT 2) x),
+       |${scoreCte("s0", "f0")},
+       |$descent
+       |SELECT * FROM (
+       |${connect(2, "s1")}
+       |UNION ALL
+       |${connect(1, "s2")}
+       |UNION ALL
+       |${connect(0, s"s$last")}) u
+       |ORDER BY level DESC, id, rank""".stripMargin
+  }
+
   /** Unrolled 2-iteration EM replay for [[Joins.fellegiSunterEm]]: the
     * agreement-pattern CTE mirrors the operator's one aggregate; each
     * iteration's E-step weight is the identical fixed-order double
@@ -8460,6 +8556,7 @@ object SparkEntry {
         |WHERE rn <= 4 ORDER BY id, rank""".stripMargin,
     "similarity_nsw_search" -> nswSearchOracleSql(rounds = 3),
     "similarity_hnsw_search" -> hnswSearchOracleSql(rounds0 = 3),
+    "similarity_hnsw_append" -> hnswAppendOracleSql(rounds0 = 3),
     "similarity_topk_ivf" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS id,

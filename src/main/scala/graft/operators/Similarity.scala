@@ -1118,6 +1118,60 @@ object Similarity {
     topK(beamWalk(layer(0), c, q, beamDf, beam, rounds), k)
   }
 
+  /** HNSW INSERT, batch-ified (Malkov & Yashunin 2018 §4 Alg. 1): each
+    * new vector draws its deterministic [[hnswLevel]], every batch
+    * vector descends from the top entry exactly as [[hnswSearch]] does,
+    * and at each layer l ≤ its level it records the top-`m` of its
+    * current beam as its layer-l edges — existing nodes' lists never
+    * rewrite (the undirected-walk symmetrization makes new nodes
+    * reachable through reversed edges immediately, the
+    * [[appendToNswGraph]] discipline lifted to the hierarchy). Batch
+    * ids must be disjoint from graph ids.
+    *
+    * Returns the grown adjacency in [[hnswGraph]]'s schema (id, rank,
+    * neighbor, cosine, level) — old rows verbatim plus one row per
+    * (new node, layer ≤ its level, rank ≤ m). Scale shape: the whole
+    * batch pays ONE shared descent (per layer, one adjacency equi-join
+    * + one per-query top-beam window on |batch|·beam·m rows) — cost
+    * O(batch·beam·m·levels), independent of graph size; the level draw
+    * is pure map-side hash arithmetic. */
+  def appendToHnswGraph(adj: DataFrame, corpus: DataFrame, batch: DataFrame,
+                        idCol: String, vecCol: String, m: Int = 4,
+                        maxLevel: Int = 2, beam: Int = 8, rounds: Int = 3,
+                        upperRounds: Int = 1, entries: Int = 2): DataFrame = {
+    require(m >= 1 && beam >= m && rounds >= 0 && upperRounds >= 0 &&
+      entries >= 1 && maxLevel >= 1)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val q = batch.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val adjAll = adj.select(col("level"), col("id"), col("neighbor"))
+      .localCheckpoint()
+    def layer(l: Int): DataFrame =
+      symmetrized(adjAll.filter(col("level") === l))
+    val entTop = c
+      .filter(hnswLevel(col("id"), maxLevel) >= maxLevel)
+      .orderBy(col("id").asc).limit(entries).select(col("id"))
+    val qLvl = batch.select(col(idCol).as("query_id"),
+      hnswLevel(col(idCol), maxLevel).as("__lvl"))
+    var beamDf = topBeam(scoreIds(
+      q.select(col("query_id")).crossJoin(broadcast(entTop)), c, q), beam)
+      .localCheckpoint()
+    var edges: DataFrame = null
+    var l = maxLevel
+    while (l >= 0) {
+      beamDf = beamWalk(layer(l), c, q, beamDf, beam,
+        if (l == 0) rounds else upperRounds)
+      val connect = topK(beamDf, m)
+        .join(qLvl.filter(col("__lvl") >= l), Seq("query_id"), "left_semi")
+        .select(col("query_id").as("id"), col("rank"),
+          col("id").as("neighbor"), col("cosine"), lit(l).as("level"))
+      edges = if (edges == null) connect else edges.unionByName(connect)
+      l -= 1
+    }
+    adj.select(col("id"), col("rank"), col("neighbor"), col("cosine"),
+        col("level"))
+      .unionByName(edges)
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
     * LASER mining objective): score a candidate pair by its cosine
     * NORMALIZED by how similar each side is to its own neighborhood —

@@ -769,6 +769,57 @@ class SimilaritySpec extends SparkSpec {
     assert(runH() == h, "identical inputs must descend identically")
   }
 
+  test("appendToHnswGraph: old rows verbatim; each batch node gets m " +
+       "edges at every layer at-or-below its md5 level, neighbors are " +
+       "layer members; new nodes reachable by hnswSearch") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val old = emb.filter($"vec_id" % 2 === 0)
+    val batch = emb.filter($"vec_id" % 2 === 1 && $"vec_id" < 12)
+    val adj = Similarity.hnswGraph(old, "vec_id", "embedding",
+      m = 4, maxLevel = 2, nLists = 1, nProbe = 1).localCheckpoint()
+    val grown = Similarity.appendToHnswGraph(adj, old, batch,
+      "vec_id", "embedding", m = 4, maxLevel = 2, beam = 12, rounds = 4)
+      .localCheckpoint()
+    val oldRows = adj.select($"level", $"id", $"rank", $"neighbor")
+      .collect().toSet
+    assert(oldRows.subsetOf(
+      grown.select($"level", $"id", $"rank", $"neighbor").collect().toSet),
+      "old adjacency must ride verbatim")
+    val appended = grown.join(batch.select($"vec_id".as("id")), Seq("id"),
+      "left_semi")
+    // per (node, layer <= level): exactly m edges, dense ranks
+    val lvls = batch.select($"vec_id",
+        Similarity.hnswLevel($"vec_id", 2).as("lvl"))
+      .as[(Long, Int)].collect().toMap
+    val byNodeLayer = appended.select($"id", $"level", $"rank")
+      .as[(Long, Int, Int)].collect().groupBy(t => (t._1, t._2))
+    for ((id, lvl) <- lvls; l <- 0 to 2) {
+      if (l <= lvl)
+        assert(byNodeLayer((id, l)).map(_._3).sorted.toSeq == (1 to 4),
+          s"node $id layer $l")
+      else assert(!byNodeLayer.contains((id, l)),
+        s"node $id must have no layer-$l edges (level $lvl)")
+    }
+    // neighbors at layer l are layer-l members of the OLD graph
+    val oldLvls = old.select($"vec_id",
+        Similarity.hnswLevel($"vec_id", 2).as("lvl"))
+      .as[(Long, Int)].collect().toMap
+    appended.select($"level", $"neighbor").as[(Int, Long)].collect()
+      .foreach { case (l, nb) =>
+        assert(oldLvls(nb) >= l, s"neighbor $nb below layer $l") }
+    // reachability: probe with a new node's exact vector over the
+    // grown stack surfaces it at rank 1, cosine 1
+    val newRow = batch.orderBy($"vec_id").select($"vec_id", $"embedding")
+      .collect().head
+    val probe = Seq((99999L, newRow.getAs[Seq[Float]](1).toArray))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.hnswSearch(grown, emb, probe,
+        "vec_id", "embedding", k = 1, maxLevel = 2, beam = 12, rounds = 4)
+      .collect().head
+    assert(top.getLong(2) == newRow.getLong(0) && top.getDouble(3) == 1.0,
+      s"new node ${newRow.getLong(0)} not reached: $top")
+  }
+
   test("mineBitext: planted translations mine as mutual-best pairs, a " +
        "polluted left vector pairs nowhere, margins deterministic, " +
        "undersized side fails hard") {
