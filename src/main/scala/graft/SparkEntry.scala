@@ -2003,6 +2003,22 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("int"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "eval_rank_biased_overlap" -> ((s, dir) => {
+      // RBO@20 between the exact brute ranking and the sign-bit-pruned
+      // ranking: per-item closed weights precomputed in nano-units (the
+      // identical literals ride the oracle), so per-query RBO is an
+      // exact integer sum — the "how closely does the approximate
+      // ranker track the exact one" number, order-aware
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = operators.Similarity.bruteForceTopK(
+        emb, q, "vec_id", "embedding", 20)
+      val signbit = operators.Similarity.signBitTopK(
+        emb, q, "vec_id", "embedding", k = 20, rerank = 40)
+      operators.Retrieval.rankBiasedOverlap(brute, signbit,
+          "query_id", "id", "rank", k = 20, p = 0.9)
+        .orderBy(col("query_id"))
+    }),
     "retrieval_rrf_fusion" -> ((s, dir) => {
       // hybrid-consensus ranking: fuse the exact brute-force cosine
       // top-20 with the sign-bit-pruned top-20 via RRF — pure integer
@@ -5604,6 +5620,70 @@ object SparkEntry {
        |WHERE rn <= 4 ORDER BY id, rank""".stripMargin
   }
 
+  /** The two ranker CTEs shared by the RRF-fusion and RBO oracles: the
+    * exact brute-force cosine top-20 and the sign-bit hamming-pool
+    * (rerank 40) cosine top-20, both per query, identical tiebreaks to
+    * the Scala operators. */
+  private def bruteSbCtes: String =
+    """brute AS (
+      |  SELECT query_id, id, rank FROM (
+      |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+      |             ORDER BY cosine DESC, id) AS rank
+      |    FROM (SELECT q.vec_id AS query_id, c.vec_id AS id,
+      |            round(list_cosine_similarity(q.embedding::DOUBLE[],
+      |              c.embedding::DOUBLE[]), 6) + 0.0 AS cosine
+      |          FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      |          WHERE q.vec_id < 10) s) t WHERE rank <= 20),
+      |codes AS (
+      |  SELECT vec_id,
+      |         list_sum(list_transform(range(0, 64),
+      |           b -> CASE WHEN embedding[b + 1] < 0 THEN 0::BIGINT
+      |                WHEN b = 63 THEN (-9223372036854775807 - 1)::BIGINT
+      |                ELSE 1::BIGINT << b END))::BIGINT AS code,
+      |         embedding
+      |  FROM embeddings),
+      |pool AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+      |         bit_count(xor(q.code, c.code))::INTEGER AS hamming,
+      |         q.embedding AS qv, c.embedding AS cv
+      |  FROM codes q JOIN codes c ON c.vec_id != q.vec_id
+      |  WHERE q.vec_id < 10),
+      |surv AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY hamming, id) AS hr FROM pool) t
+      |  WHERE hr <= 40),
+      |sb AS (
+      |  SELECT query_id, id, rank FROM (
+      |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+      |             ORDER BY round(list_cosine_similarity(qv::DOUBLE[],
+      |               cv::DOUBLE[]), 6) DESC, id) AS rank
+      |    FROM surv) t WHERE rank <= 20)""".stripMargin
+
+  /** RBO replay: the same two ranker CTEs, the k inlined nano-weight
+    * literals from [[graft.operators.Retrieval.rboWeightsNano]] (shared
+    * computation — the oracle and the operator can never drift), the
+    * per-item greatest-rank lookup, integer sums, zero rows kept. */
+  private def rboOracleSql(k: Int, p: Double): String = {
+    val w = graft.operators.Retrieval.rboWeightsNano(k, p)
+    val vals = w.zipWithIndex
+      .map { case (n, i) => s"(${i + 1}, ${n}::BIGINT)" }.mkString(", ")
+    s"""WITH $bruteSbCtes,
+       |w(m, n) AS (VALUES $vals),
+       |j AS (SELECT b.query_id, greatest(b.rank, s.rank) AS mx
+       |      FROM brute b JOIN sb s
+       |        ON s.query_id = b.query_id AND s.id = b.id),
+       |f AS (SELECT query_id, CAST(count(*) AS BIGINT) AS overlap_k,
+       |        CAST(sum(w.n) AS BIGINT) AS sn
+       |      FROM j JOIN w ON w.m = j.mx GROUP BY query_id)
+       |SELECT q.query_id,
+       |       COALESCE(f.overlap_k, 0) AS overlap_k,
+       |       CAST(COALESCE(f.sn, 0) AS DOUBLE) / 1000000000.0 AS rbo
+       |FROM (SELECT DISTINCT query_id FROM brute) q
+       |LEFT JOIN f ON f.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
+  }
+
   /** Unrolled replay of the HNSW descent ([[Similarity.hnswSearch]],
     * maxLevel = 2): levels recomputed as trailing-1-bits arithmetic on
     * the 60-bit md5 of `'hnsw:'||id` (the `('0x'||substr(md5,1,15))
@@ -8318,46 +8398,15 @@ object SparkEntry {
         |           ORDER BY cosine DESC, id) AS rank
         |  FROM rr) t WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "eval_rank_biased_overlap" -> rboOracleSql(k = 20, p = 0.9),
     // RRF replay: the brute top-20 CTE + the signbit hamming-pool
     // rerank top-20 CTE, then integer 1e9 // (60 + rank) weights summed
     // per (query, id) and the identical (rrf_nano desc, id) top-10 cut
     "retrieval_rrf_fusion" ->
-      """WITH brute AS (
-        |  SELECT query_id, id, rank FROM (
-        |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
-        |             ORDER BY cosine DESC, id) AS rank
-        |    FROM (SELECT q.vec_id AS query_id, c.vec_id AS id,
-        |            round(list_cosine_similarity(q.embedding::DOUBLE[],
-        |              c.embedding::DOUBLE[]), 6) + 0.0 AS cosine
-        |          FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
-        |          WHERE q.vec_id < 10) s) t WHERE rank <= 20),
-        |codes AS (
-        |  SELECT vec_id,
-        |         list_sum(list_transform(range(0, 64),
-        |           b -> CASE WHEN embedding[b + 1] < 0 THEN 0::BIGINT
-        |                WHEN b = 63 THEN (-9223372036854775807 - 1)::BIGINT
-        |                ELSE 1::BIGINT << b END))::BIGINT AS code,
-        |         embedding
-        |  FROM embeddings),
-        |pool AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
-        |         bit_count(xor(q.code, c.code))::INTEGER AS hamming,
-        |         q.embedding AS qv, c.embedding AS cv
-        |  FROM codes q JOIN codes c ON c.vec_id != q.vec_id
-        |  WHERE q.vec_id < 10),
-        |surv AS (
-        |  SELECT * FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY hamming, id) AS hr FROM pool) t
-        |  WHERE hr <= 40),
-        |sb AS (
-        |  SELECT query_id, id, rank FROM (
-        |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
-        |             ORDER BY round(list_cosine_similarity(qv::DOUBLE[],
-        |               cv::DOUBLE[]), 6) DESC, id) AS rank
-        |    FROM surv) t WHERE rank <= 20),
+      (s"""WITH $bruteSbCtes,
         |u AS (SELECT query_id, id, rank FROM brute
-        |      UNION ALL SELECT query_id, id, rank FROM sb),
+        |      UNION ALL SELECT query_id, id, rank FROM sb),""".stripMargin +
+      """
         |f AS (SELECT query_id, id, CAST(count(*) AS BIGINT) AS n_lists,
         |        CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_nano
         |      FROM u GROUP BY query_id, id)
@@ -8367,7 +8416,7 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id
         |           ORDER BY rrf_nano DESC, id) AS rn
         |  FROM f) t WHERE rn <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+        |ORDER BY query_id, rank""".stripMargin),
     // triplet replay: per-anchor top-1 on each side of the label split,
     // inner join drops unusable anchors
     "similarity_triplets" ->

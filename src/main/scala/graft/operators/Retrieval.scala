@@ -311,6 +311,65 @@ object Retrieval {
         (col("rrf_nano").cast("double") / lit(1e9)).as("score"))
   }
 
+  /** Rank-biased overlap at depth k (Webber, Moffat & Zobel, TOIS 2010
+    * — "A similarity measure for indefinite rankings"): how much two
+    * per-query rankings agree, weighted toward the top —
+    * `RBO@k = (1−p)·Σ_{d=1..k} (X_d/d)·p^{d−1}` with `X_d` the overlap
+    * of the two depth-d prefixes. THE standard number for "how closely
+    * does the approximate ranker track the exact one" (brute vs IVF vs
+    * HNSW), where plain set overlap ignores order and Kendall's τ
+    * overweights the tail.
+    *
+    * Exactness device: an item ranked (a, b) by the two lists enters
+    * every prefix pair from depth `max(a,b)` on, so its total
+    * contribution is the CLOSED weight `(1−p)·Σ_{d=max(a,b)}^{k}
+    * p^{d−1}/d` — precomputed driver-side for the k possible depths,
+    * quantized to nano-units ONCE, and looked up per item from a
+    * broadcast literal array. Per-query RBO is then an exact integer
+    * SUM of nano-weights: no float accumulation, total-ordered,
+    * engine-replayable (the oracle inlines the same k literals).
+    *
+    * Returns one row per query of `a`: (query_id, overlap_k long —
+    * |top-k(a) ∩ top-k(b)|, rbo double = nano-sum/1e9 exact). Queries
+    * absent from `b` report (0, 0.0). Scale shape: two rank filters,
+    * one keyed equi-join on (query, id), one map-combinable sum —
+    * the frames are top-k-sized, nothing corpus-shaped. */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, queryCol: String,
+                        idCol: String, rankCol: String, k: Int,
+                        p: Double = 0.9): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1,1000], got $k")
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    val wNano = rboWeightsNano(k, p)
+    def side(df: DataFrame, as: String) = df
+      .select(col(queryCol).as("query_id"), col(idCol).as("id"),
+        col(rankCol).cast("int").as(as))
+      .filter(col(as) >= 1 && col(as) <= k)
+    val joined = side(a, "__ra").join(side(b, "__rb"), Seq("query_id", "id"))
+      .select(col("query_id"),
+        element_at(lit(wNano), greatest(col("__ra"), col("__rb")))
+          .as("__w"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("overlap_k"), sum(col("__w")).as("__s"))
+    a.select(col(queryCol).as("query_id")).distinct()
+      .join(joined, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("overlap_k"), lit(0L)).as("overlap_k"),
+        (coalesce(col("__s"), lit(0L)).cast("double") / lit(1e9))
+          .as("rbo"))
+  }
+
+  /** The k closed per-depth RBO weights in nano-units:
+    * `wNano(m) = floor(1e9·(1−p)·Σ_{d=m}^{k} p^{d−1}/d)` — shared with
+    * the SQL oracle, which inlines these exact literals. */
+  def rboWeightsNano(k: Int, p: Double): Array[Long] =
+    Array.tabulate(k) { i =>
+      val m = i + 1
+      var s = 0.0
+      var d = m
+      while (d <= k) { s += math.pow(p, d - 1.0) / d; d += 1 }
+      math.floor(1e9 * (1 - p) * s).toLong
+    }
+
   def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
                    stopwords: Seq[String], k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")

@@ -104,6 +104,17 @@ class QueryPlanSweepSpec extends AnyFunSuite {
     , "similarity_nsw_append" // same device: the appended batch walks the
                               // nLists=1 exact graph (build's constant-key
                               // join + the walk's tiny entries×queries seed)
+    , "similarity_hnsw_append" // same device again: the output unions the
+                              // LAZY hnswGraph layer stack, whose nLists=1
+                              // exact-oracle builds fold their constant-key
+                              // joins to BNLJ (hnsw_search escapes the sweep
+                              // only because its output roots at the final
+                              // checkpointed beam)
+    , "retrieval_rrf_fusion"  // deliberate: the fused brute ranking is
+                              // bruteForceTopK's tiny-query-side broadcast
+                              // cross (the similarity_topk_brute device)
+    , "eval_rank_biased_overlap" // same two ranker inputs as rrf_fusion:
+                              // brute's query broadcast cross by design
   )
 
   /** Global `OVER (ORDER BY ...)` windows with no PARTITION BY run the

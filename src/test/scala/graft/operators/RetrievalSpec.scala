@@ -187,4 +187,39 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.reciprocalRankFusion(Seq.empty, "query_id", "id", "rank", 5)
     }
   }
+
+  test("rankBiasedOverlap: identical lists score ~1-p^k, reversed lists " +
+       "pay max-rank weights, disjoint and missing queries score 0, " +
+       "ranks beyond k are ignored") {
+    val w = Retrieval.rboWeightsNano(3, 0.5)
+    def nano(ms: Int*) = ms.map(m => w(m - 1)).sum
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2),
+      (3L, 30L, 1),
+      (4L, 40L, 1)).toDF("query_id", "id", "rank")
+    val b = Seq((1L, 12L, 1), (1L, 11L, 2), (1L, 10L, 3), // reversed
+      (2L, 20L, 1), (2L, 21L, 2),                          // identical
+      (3L, 99L, 1))                                        // disjoint
+      .toDF("query_id", "id", "rank")
+    val out = Retrieval.rankBiasedOverlap(a, b, "query_id", "id", "rank",
+        k = 3, p = 0.5)
+      .orderBy($"query_id").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, nano(3, 2, 3) / 1e9),  // maxes: 10->3, 11->2, 12->3
+      (2L, 2L, nano(1, 2) / 1e9),     // identical prefix of length 2
+      (3L, 0L, 0.0),                  // no shared items
+      (4L, 0L, 0.0)))                 // query absent from b entirely
+    // identical full-depth lists approach 1 - p^k (floor-quantized)
+    val full = nano(1, 2, 3) / 1e9
+    assert(math.abs(full - (1 - 0.125)) < 1e-8)
+    // rank rows beyond k must not contribute
+    val aDeep = a.unionByName(
+      Seq((3L, 31L, 4)).toDF("query_id", "id", "rank"))
+    val bDeep = b.unionByName(
+      Seq((3L, 31L, 4)).toDF("query_id", "id", "rank"))
+    val deep = Retrieval.rankBiasedOverlap(aDeep, bDeep, "query_id", "id",
+        "rank", k = 3, p = 0.5)
+      .filter($"query_id" === 3L).as[(Long, Long, Double)].collect().head
+    assert(deep == ((3L, 0L, 0.0)))
+  }
 }
