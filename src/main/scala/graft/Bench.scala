@@ -273,6 +273,13 @@ object Bench {
     def interGateCleanup(): Unit = if (gateGc) {
       try spark.catalog.clearCache() catch { case _: Throwable => () }
       System.gc() // feeds the async ContextCleaner the dead RDD/broadcast refs
+      // ...and let the cleaner DRAIN before the next gate starts: the
+      // block/broadcast removal the gc just queued runs on background
+      // threads, and without this window that churn lands inside the
+      // NEXT gate's timed runs — measured on streaming_dedup (wall-clock
+      // micro-batch gate): 6.6 s billed with no drain window vs 2.0 s
+      // with the gc disabled; the pause itself is untimed.
+      Thread.sleep(3000)
     }
     val results: Map[String, Vector[(Double, Boolean)]] =
       selected.map { case (name, fn) =>

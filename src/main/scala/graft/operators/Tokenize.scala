@@ -75,11 +75,17 @@ object Tokenize {
     *
     * Returns (step int 1..nMerges, sym1, sym2, cnt long — the pair's
     * frequency when it was chosen), fewer rows if the corpus runs dry.
-    * At production merge counts (50k) the standard refinement is
-    * delta-maintenance of the pair counts between merges; this
-    * formulation recounts per merge, trading O(nMerges) vocab passes
-    * for exact replayability and zero driver state beyond the merge
-    * list itself. */
+    *
+    * Production note — where the cluster/driver boundary really sits: a
+    * 32k-merge production train does NOT belong in per-merge cluster
+    * jobs. The corpus-collapse to the (word, freq) table is the
+    * distributed work; that table is Zipf-bounded (a few million rows
+    * even at 100 TB) and FITS ON THE DRIVER, where the classic
+    * delta-maintained merge loop runs the 32k merges in seconds. This
+    * method keeps the loop on the cluster only because that makes every
+    * round an oracle-replayable aggregate (and is capped at 4096 merges
+    * accordingly); compose `bpePairCounts`-style collection with a
+    * driver-local loop for real tokenizer training. */
   def bpeTrainMerges(df: DataFrame, textCol: String,
                      nMerges: Int): DataFrame = {
     val seg0 = df
