@@ -66,11 +66,31 @@ object BenchSummary {
 object Bench {
   private def num(v: Double, dp: Int): String = BenchSummary.num(v, dp)
 
+  /** Experiments (skew, incremental-dedup, multipattern, hnsw_vs_flat)
+    * run ONLY when SPARK_GRAFT_BENCH_EXPERIMENTS=1 (or in EXPERIMENTS_ONLY
+    * mode). The driver's per-round bench has a hard wall-clock budget and
+    * BENCH_r13 was its first rc-124 timeout in 13 rounds — the experiments
+    * (three ANN index builds + three skew plans + two dedup shapes) are
+    * builder-side quality meters, not part of the driver's gate contract,
+    * so they now cost the driver run nothing. */
+  private def experimentsEnabled: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_EXPERIMENTS", "0") == "1"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runsPerQuery =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    // The record file: any bench invocation used to overwrite the
+    // committed BENCH_FULL.json in place, so a killed/partial run (the
+    // r13 driver timeout) left a corrupt working tree shadowing the real
+    // record. Now a run writes BENCH_FULL.candidate.json unless the
+    // builder explicitly opts into a record refresh with
+    // SPARK_GRAFT_BENCH_COMMIT=1 (or names a path via
+    // SPARK_GRAFT_BENCH_FULL, which always wins).
+    val fullOut = sys.env.get("SPARK_GRAFT_BENCH_FULL").getOrElse(
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_COMMIT", "0") == "1")
+        "BENCH_FULL.json"
+      else "BENCH_FULL.candidate.json")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // One shared SparkSession across 276 gates accumulates JVM state
@@ -128,6 +148,29 @@ object Bench {
     val jvmArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments
     val cp = sys.props("java.class.path")
+    // merge the chunk records verbatim (Jackson rides in Spark's jars)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def mergeParts(parts: Seq[String])
+        : (String, List[String], Double, Map[String, Double]) = {
+      val queries = mapper.createObjectNode()
+      var failed = List.empty[String]
+      var total = 0.0
+      val mins = scala.collection.mutable.Map.empty[String, Double]
+      parts.foreach { part =>
+        val node = mapper.readTree(new java.io.File(part))
+        node.get("queries").properties().forEach { e =>
+          // NOTE: no `: Unit` ascription — set[T] would infer T=BoxedUnit
+          // and CCE at runtime
+          val _ = queries.set[com.fasterxml.jackson.databind.JsonNode](
+            e.getKey, e.getValue)
+          mins(e.getKey) = e.getValue.get("min").asDouble()
+        }
+        node.get("failed").forEach(f => failed ::= f.asText())
+        total += node.get("total_min_sec").asDouble()
+      }
+      (mapper.writeValueAsString(queries), failed, total, mins.toMap)
+    }
+    val donePartsBuf = scala.collection.mutable.ArrayBuffer.empty[String]
     val parts = chunks.zipWithIndex.map { case (chunk, i) =>
       val part = s"$fullOut.part$i"
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(part))
@@ -155,59 +198,56 @@ object Bench {
         System.err.println(s"[bench] chunk $i: falling back in-process")
         runInProcess(sfDir, runsPerQuery, part, Some(chunk.toSet))
       }
+      donePartsBuf += part
+      // incremental record write after EVERY chunk: a timeout killing the
+      // run mid-sequence (BENCH_r13) still leaves a parseable merged
+      // record on disk with everything that finished
+      val (entriesSoFar, failedSoFar, totalSoFar, _) =
+        mergeParts(donePartsBuf.toSeq)
+      writeFullMerged(fullOut, sfDir, runsPerQuery, entriesSoFar,
+        failedSoFar, "{}", "{}", "{}", "{}", totalSoFar, donePartsBuf.size)
       part
     }
-    // merge the chunk records verbatim (Jackson rides in Spark's jars)
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val queries = mapper.createObjectNode()
-    var failed = List.empty[String]
-    var total = 0.0
-    val mins = scala.collection.mutable.Map.empty[String, Double]
-    parts.foreach { part =>
-      val node = mapper.readTree(new java.io.File(part))
-      node.get("queries").properties().forEach { e =>
-        // NOTE: no `: Unit` ascription — set[T] would infer T=BoxedUnit
-        // and CCE at runtime
-        val _ = queries.set[com.fasterxml.jackson.databind.JsonNode](
-          e.getKey, e.getValue)
-        mins(e.getKey) = e.getValue.get("min").asDouble()
+    val (entries, failed, total, mins) = mergeParts(parts)
+    // experiments (opt-in) run AFTER all children so they see a quiet
+    // machine; with the flag off the parent never even builds a session
+    val (skewJson, incrJson, acJson, annJson) =
+      if (!experimentsEnabled) ("{}", "{}", "{}", "{}")
+      else {
+        val spark = buildSession()
+        try {
+          val skew =
+            try skewExperiment(spark, sfDir) catch { case e: Throwable =>
+              System.err.println(s"[bench] skew experiment FAILED: ${e.getMessage}")
+              "{}"
+            }
+          val incr =
+            try incrementalDedupExperiment(spark, sfDir)
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] incr experiment FAILED: ${e.getMessage}")
+              "{}"
+            }
+          val ac =
+            try multiPatternExperiment(spark, sfDir)
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] multipattern experiment FAILED: $e")
+              e.printStackTrace()
+              "{}"
+            }
+          val ann =
+            try hnswVsFlatExperiment(spark, sfDir)
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] hnsw_vs_flat experiment FAILED: $e")
+              "{}"
+            }
+          (skew, incr, ac, ann)
+        } finally spark.stop()
       }
-      node.get("failed").forEach(f => failed ::= f.asText())
-      total += node.get("total_min_sec").asDouble()
-    }
-    // experiments run AFTER all children so they see a quiet machine
-    val spark = buildSession()
-    val skewJson =
-      try skewExperiment(spark, sfDir) catch { case e: Throwable =>
-        System.err.println(s"[bench] skew experiment FAILED: ${e.getMessage}")
-        "{}"
-      }
-    val incrJson =
-      try incrementalDedupExperiment(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] incr experiment FAILED: ${e.getMessage}")
-        "{}"
-      }
-    val acJson =
-      try multiPatternExperiment(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] multipattern experiment FAILED: $e")
-        e.printStackTrace()
-        "{}"
-      }
-    val annJson =
-      try hnswVsFlatExperiment(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] hnsw_vs_flat experiment FAILED: $e")
-        "{}"
-      }
-    val entries = mapper.writeValueAsString(queries)
     writeFullMerged(fullOut, sfDir, runsPerQuery, entries, failed, skewJson,
       incrJson, acJson, annJson, total, chunks.size)
     parts.foreach(p =>
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
-    spark.stop()
-    println(BenchSummary.stdoutLine(total, mins.toMap, failed, fullOut, sfDir))
+    println(BenchSummary.stdoutLine(total, mins, failed, fullOut, sfDir))
     System.out.flush()
   }
 
@@ -270,59 +310,96 @@ object Bench {
     // those blocks deterministically instead of whenever the JVM gets
     // around to it, making per-gate numbers position-independent.
     val gateGc = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_GC", "1") == "1"
+    // Let the async ContextCleaner DRAIN before the next gate starts: the
+    // block/broadcast removal the gc queues runs on background threads,
+    // and without a drain window that churn lands inside the NEXT gate's
+    // timed runs — measured on streaming_dedup (wall-clock micro-batch
+    // gate): 6.6 s billed with no drain window vs 2.0 s with the gc off.
+    // The r13 fixed 3 s sleep solved that but cost 312 × 3 s ≈ 936 s of
+    // wall-clock, which timed out the driver's budget (BENCH_r13 rc 124).
+    // Event-driven instead: poll the public RDD storage listing until the
+    // cleaner has removed the dead gate's blocks (count hits zero or
+    // stops shrinking — a deliberately-shared memoized block stays put
+    // and must not stall the cap), hard cap 3 s. Gates that leave no
+    // blocks behind — the vast majority — pay ~0 instead of 3 s.
     def interGateCleanup(): Unit = if (gateGc) {
       try spark.catalog.clearCache() catch { case _: Throwable => () }
       System.gc() // feeds the async ContextCleaner the dead RDD/broadcast refs
-      // ...and let the cleaner DRAIN before the next gate starts: the
-      // block/broadcast removal the gc just queued runs on background
-      // threads, and without this window that churn lands inside the
-      // NEXT gate's timed runs — measured on streaming_dedup (wall-clock
-      // micro-batch gate): 6.6 s billed with no drain window vs 2.0 s
-      // with the gc disabled; the pause itself is untimed.
-      Thread.sleep(3000)
-    }
-    val results: Map[String, Vector[(Double, Boolean)]] =
-      selected.map { case (name, fn) =>
-        def once(): (Double, Boolean) = {
-          val t0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
-              if (!failed.contains(name)) failed ::= name
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              false
-            }
-          ((System.nanoTime() - t0) / 1e9, ok)
+      def blocks(): Int =
+        try spark.sparkContext.getRDDStorageInfo.length
+        catch { case _: Throwable => 0 }
+      var n = blocks()
+      if (n > 0) {
+        val deadline = System.nanoTime() + 3_000_000_000L
+        var stable = 0
+        while (n > 0 && stable < 2 && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          val m = blocks()
+          if (m == n) stable += 1 else stable = 0
+          n = m
         }
-        var runs = (1 to runsPerQuery).toVector.map(_ => once())
-        while (runs.size < maxRuns && BenchSummary.needsRerun(runs))
-          runs :+= once()
-        interGateCleanup()
-        name -> runs
+        // small settle for the broadcast-removal tail the RDD listing
+        // can't see; only paid by the gates that actually had blocks
+        Thread.sleep(200)
       }
+    }
+    val acc =
+      scala.collection.mutable.Map.empty[String, Vector[(Double, Boolean)]]
+    var gatesSinceWrite = 0
+    selected.foreach { case (name, fn) =>
+      def once(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+            if (!failed.contains(name)) failed ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      var runs = (1 to runsPerQuery).toVector.map(_ => once())
+      while (runs.size < maxRuns && BenchSummary.needsRerun(runs))
+        runs :+= once()
+      interGateCleanup()
+      acc(name) = runs
+      gatesSinceWrite += 1
+      // checkpoint the record every 10 gates so a wall-clock kill
+      // (BENCH_r13's driver timeout) loses at most 10 gates of this
+      // process's numbers, not the whole chunk
+      if (gatesSinceWrite >= 10) {
+        gatesSinceWrite = 0
+        val partialMins = acc.map { case (k, v) => BenchSummary.minOf(v) }
+        writeFull(fullOut, sfDir, runsPerQuery, acc.toMap, failed,
+          "{}", "{}", "{}", "{}", partialMins.sum)
+      }
+    }
+    val results: Map[String, Vector[(Double, Boolean)]] = acc.toMap
     val mins = results.map { case (k, v) => k -> BenchSummary.minOf(v) }
     val total = if (mins.nonEmpty) mins.values.sum else 0.0
-    // experiments are skipped in ONLY mode — an A/B run wants a quiet JVM
-    val skewJson = if (only.isDefined) "{}" else
+    // experiments are opt-in (SPARK_GRAFT_BENCH_EXPERIMENTS=1) and always
+    // skipped in ONLY mode — an A/B run wants a quiet JVM
+    val runExps = experimentsEnabled && only.isEmpty
+    val skewJson = if (!runExps) "{}" else
       try skewExperiment(spark, sfDir) catch { case e: Throwable =>
         System.err.println(s"[bench] skew experiment FAILED: ${e.getMessage}")
         "{}"
       }
     // full-file-only experiment (the stdout line is budgeted against the
     // driver's ~4 KB tail; BENCH_FULL has room for more evidence)
-    val incrJson = if (only.isDefined) "{}" else
+    val incrJson = if (!runExps) "{}" else
       try incrementalDedupExperiment(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] incr experiment FAILED: ${e.getMessage}")
         "{}"
       }
-    val acJson = if (only.isDefined) "{}" else
+    val acJson = if (!runExps) "{}" else
       try multiPatternExperiment(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] multipattern experiment FAILED: $e")
         e.printStackTrace()
         "{}"
       }
-    val annJson = if (only.isDefined) "{}" else
+    val annJson = if (!runExps) "{}" else
       try hnswVsFlatExperiment(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] hnsw_vs_flat experiment FAILED: $e")
@@ -433,9 +510,14 @@ object Bench {
       "prior gates' localCheckpoint/cached blocks awaiting the async " +
       "ContextCleaner — A/B at the production 8g heap, the flagged " +
       "gates recover to at-or-below their isolated floors with the " +
-      "inter-gate GC (events_psi_drift 1.44 -> 0.76 s) at ~2 s total " +
-      "cost per 70-gate chunk, so per-gate numbers are now " +
-      "position-independent. 'min' is the minimum over successful " +
+      "inter-gate GC (events_psi_drift 1.44 -> 0.76 s), so per-gate " +
+      "numbers are position-independent. Since round 14 the post-GC " +
+      "ContextCleaner drain is event-driven (poll the RDD storage " +
+      "listing until the dead blocks are gone, 3 s cap) instead of a " +
+      "fixed 3 s sleep, and experiments run only under " +
+      "SPARK_GRAFT_BENCH_EXPERIMENTS=1 — the r13 fixed sleep cost " +
+      "312 x 3 s and timed out the driver's wall-clock budget " +
+      "(BENCH_r13 rc 124). 'min' is the minimum over successful " +
       "'runs' within the owning chunk; 'noise' is max/min across " +
       "successful runs; queries whose noise exceeded 2 were rerun " +
       "adaptively. Compare rounds on 'min'."

@@ -1847,6 +1847,29 @@ object SparkEntry {
           "doc_id", "text", shingleSize = 3, threshold = 0.7)
         .orderBy(col("bench_id"), col("corpus_id"))
     }),
+    "decontaminate_semantic" -> ((s, dir) => {
+      // paraphrase-level train/eval leak detection — the semantic rung
+      // above decontaminate_overlap's verbatim n-grams: eval = 10 vectors
+      // PLANTED as perturbed copies of corpus vectors (every component
+      // +0.01 in double: cos ≈ 0.9968, a paraphrase stand-in) plus 10
+      // organic vectors (top cosine ≤ 0.5 — clean). Flag rule: top-1
+      // cosine ≥ 0.9 AND margin over the k-NN background mean ≥ 0.2 (the
+      // mineBitext anti-hubness device); the oracle replays the
+      // perturbation and the micro-exact margin arithmetic verbatim
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      val corpus = emb.filter(col("vec_id") >= 20)
+      val leaked = emb.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE) + 0.01D)")
+            .as("embedding"))
+      val clean = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+            .as("embedding"))
+      operators.Dedup.decontaminateSemantic(corpus,
+        leaked.unionByName(clean), "vec_id", "embedding",
+        k = 8, minCosine = 0.9, minMargin = 0.2)
+    }),
 
     "dedup_winnow_pairs" -> ((s, dir) => {
       // MOSS winnowing (SIGMOD 2003): rolling-min fingerprint selection
@@ -2334,7 +2357,9 @@ object SparkEntry {
     "similarity_hnsw_search" -> ((s, dir) => {
       // hierarchical NSW descent: geometric md5-trailing-ones levels
       // (maxLevel=2), exact per-layer graphs at nLists=1, entry = the 2
-      // smallest top-layer ids, one expand-score-prune round per upper
+      // ids ranked (level DESC, id ASC) — the smallest top-layer ids
+      // when that layer is populated, never empty otherwise — one
+      // expand-score-prune round per upper
       // layer, then the full 3-round walk on the base layer — the
       // oracle recomputes the level arithmetic and replays every layer's
       // rounds CTE-by-CTE
@@ -2432,19 +2457,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "text_compression_ratio" -> ((s, dir) => {
-      // deflate-ratio repetitiveness signal (Gopher-style quality cut).
-      // No SQL engine replicates zlib byte-for-byte, so this gate has no
-      // oracle entry — the driver records the weaker rows-only check;
-      // ordering/determinism properties are spec-pinned
-      // (CompressionRatioSpec)
+      // deflate-ratio repetitiveness signal (Gopher-style quality cut),
+      // ORACLE-GATED since r14 (it was the one no-oracle gate for three
+      // rounds): no SQL engine replicates zlib byte-for-byte, so the
+      // gate splits the claim — (a) the REAL deflate ratio still runs
+      // over every doc, range-checked into n_zlib_valid (0 < r ≤ 2
+      // holds for any ≥ 11-byte input: deflate's worst case is
+      // raw + 5 B/16 KiB block + 11 B zlib framing; corpus min is 44 B),
+      // which the oracle pins to n_docs; (b) the ratio/bucketing
+      // AGGREGATION arithmetic is verified hash-exactly over a
+      // deterministic md5-derived surrogate length both engines compute
+      // identically (integer-division micro-units, exact sums). Exact
+      // deflate VALUES stay spec-pinned (CompressionRatioSpec).
       import graft.expressions.GraftExpressions._
-      DbReader(conn(s, dir), "documents").run()
-        .select(col("doc_id"), col("source"),
-          compressionRatio(col("text")).as("r"))
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .filter(col("text").isNotNull && length(col("text")) >= 1)
+      docs.select(col("source"),
+          compressionRatio(col("text")).as("r"),
+          call_function("div",
+            lit(1000000L) * (pmod(
+              conv(substring(md5(col("text").cast("binary")), 1, 15),
+                16, 10).cast("long"),
+              length(col("text")).cast("long")) + lit(1L)),
+            length(col("text")).cast("long")).as("srm"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          round(avg(col("r")), 4).as("mean_ratio"),
-          count(when(col("r") < 0.25, 1)).as("n_below_25"))
+          count(when(col("r") > 0.0 && col("r") <= 2.0, 1))
+            .as("n_zlib_valid"),
+          (round(sum(col("srm")).cast("double") /
+            (count(lit(1)).cast("double") * lit(1e6)), 4) + lit(0.0))
+            .as("mean_sr"),
+          count(when(col("srm") < 250000L, 1)).as("n_below_25"))
         .orderBy(col("source"))
     }),
     "text_strip_html" -> ((s, dir) => {
@@ -5688,8 +5731,8 @@ object SparkEntry {
     * maxLevel = 2): levels recomputed as trailing-1-bits arithmetic on
     * the 60-bit md5 of `'hnsw:'||id` (the `('0x'||substr(md5,1,15))
     * ::UBIGINT` ≡ `conv(md5,16,10)` bridge), one exact symmetrized
-    * top-m adjacency per layer over its members, entry = 2 smallest
-    * top-layer ids, then the layer-2 and layer-1 single rounds and the
+    * top-m adjacency per layer over its members, entry = 2 ids ranked
+    * (level DESC, id ASC), then the layer-2 and layer-1 single rounds and the
     * base layer's `rounds0` rounds — each the identical
     * frontier/score/top-beam CTE pair as the flat NSW replay, with the
     * round's adjacency swapped per layer. */
@@ -5738,7 +5781,8 @@ object SparkEntry {
        |${layerCtes(0)},
        |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 10),
        |f0 AS (SELECT q.query_id, x.id
-       |       FROM q CROSS JOIN (SELECT id FROM m2 ORDER BY id LIMIT 2) x),
+       |       FROM q CROSS JOIN
+       |         (SELECT id FROM lv ORDER BY lvl DESC, id LIMIT 2) x),
        |${scoreCte("s0", "f0")},
        |$descent
        |SELECT query_id, rn::INTEGER AS rank, id, cos AS cosine FROM (
@@ -5815,7 +5859,8 @@ object SparkEntry {
        |          ('0x' || substr(md5('hnsw:' || CAST(query_id AS VARCHAR)),
        |            1, 15))::UBIGINT AS h FROM q)),
        |f0 AS (SELECT q.query_id, x.id
-       |       FROM q CROSS JOIN (SELECT id FROM m2 ORDER BY id LIMIT 2) x),
+       |       FROM q CROSS JOIN
+       |         (SELECT id FROM lv ORDER BY lvl DESC, id LIMIT 2) x),
        |${scoreCte("s0", "f0")},
        |$descent
        |SELECT * FROM (
@@ -8247,6 +8292,39 @@ object SparkEntry {
         |GROUP BY b.doc_id, a.doc_id
         |HAVING jaccard >= 0.7
         |ORDER BY bench_id, corpus_id""".stripMargin,
+    // semantic-decontamination replay: the same +0.01-in-double planted
+    // perturbation, micro-quantized cosines, posmod-floored background
+    // mean, and long-compared thresholds
+    "decontaminate_semantic" ->
+      """WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id >= 20),
+        |q AS (
+        |  SELECT vec_id + 1000000 AS query_id,
+        |         list_transform(embedding::DOUBLE[], x -> x + 0.01) AS qv
+        |  FROM embeddings WHERE vec_id >= 20 AND vec_id < 30
+        |  UNION ALL
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |sc AS (SELECT q.query_id, c.id,
+        |         CAST(round(round(list_cosine_similarity(q.qv, c.v), 6)
+        |                    * 1000000.0) AS BIGINT) AS cm,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY round(list_cosine_similarity(q.qv, c.v), 6)
+        |             DESC, c.id) AS rn
+        |       FROM q CROSS JOIN c WHERE c.id != q.query_id),
+        |f AS (SELECT query_id, id AS corpus_id, cm AS cm1
+        |      FROM sc WHERE rn = 1),
+        |r AS (SELECT query_id, sum(cm) AS s, count(*) AS n
+        |      FROM sc WHERE rn > 1 AND rn <= 8 GROUP BY query_id),
+        |m AS (SELECT f.query_id, corpus_id, cm1,
+        |        (s - ((s % n) + n) % n) // n AS bgm
+        |      FROM f JOIN r ON r.query_id = f.query_id)
+        |SELECT query_id AS eval_id, corpus_id,
+        |       CAST(cm1 AS DOUBLE) / 1000000.0 AS cos,
+        |       CAST(bgm AS DOUBLE) / 1000000.0 AS bg,
+        |       CAST(cm1 - bgm AS DOUBLE) / 1000000.0 AS margin
+        |FROM m WHERE cm1 >= 900000 AND cm1 - bgm >= 200000
+        |ORDER BY eval_id""".stripMargin,
     // medoid replay: same fuzzy edges, transitive-closure components,
     // within-component pairwise Levenshtein sums, min-(sum, id) argmin
     "dedup_medoid" ->
@@ -8689,6 +8767,25 @@ object SparkEntry {
         |  END::BIGINT AS n_sent,
         |  md5(regexp_extract_all(text, '[^.!?]+[.!?]*')[1]) AS first_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // compression-ratio replay: zlib lengths cannot be recomputed in SQL,
+    // so the oracle pins the deflate RANGE invariant (n_zlib_valid =
+    // n_docs) and replays the surrogate-length aggregation arithmetic
+    // (md5-60bit mod length + 1, micro-units by integer division, exact
+    // long sums) hash-exactly
+    "text_compression_ratio" ->
+      """WITH d AS (SELECT source, text FROM documents
+        |           WHERE text IS NOT NULL AND length(text) >= 1),
+        |s AS (SELECT source,
+        |        (1000000 * ((CAST(('0x' || substr(md5(text), 1, 15))
+        |                     ::UBIGINT AS BIGINT) % length(text)) + 1))
+        |          // length(text) AS srm
+        |      FROM d)
+        |SELECT source, count(*) AS n_docs, count(*) AS n_zlib_valid,
+        |       round(CAST(sum(srm) AS DOUBLE)
+        |             / (CAST(count(*) AS DOUBLE) * 1000000.0), 4) + 0.0
+        |         AS mean_sr,
+        |       count(CASE WHEN srm < 250000 THEN 1 END) AS n_below_25
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
     "text_strip_html" ->
       """WITH h AS (
         |  SELECT doc_id,
@@ -9567,9 +9664,9 @@ object SparkEntry {
         |       FROM x GROUP BY d),
         |ms AS (SELECT d,
         |         CAST(sx AS DOUBLE) / n AS mu,
-        |         CAST(sx2 AS DOUBLE) / n
-        |           - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
-        |           AS va
+        |         CAST(CAST(sx2 AS HUGEINT) * n
+        |              - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+        |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS va
         |       FROM st),
         |t AS (SELECT x.vec_id,
         |        CASE WHEN ms.va > 0 THEN

@@ -1028,6 +1028,66 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Semantic train/eval decontamination — the embedding-space sibling
+    * of [[crossNgramJaccardPairs]] (which catches verbatim n-gram leaks
+    * but misses PARAPHRASES): flag eval/benchmark items whose nearest
+    * training-corpus neighbor is both ABSOLUTELY close (cosine ≥
+    * `minCosine`) and RELATIVELY close — `margin` = top-1 cosine minus
+    * the mean of the next k−1 cosines ≥ `minMargin`. The margin term is
+    * the anti-hubness device from bitext mining (Artetxe & Schwenk,
+    * ACL 2019, [[Similarity.mineBitext]]): an eval item that sits in a
+    * dense generic neighborhood scores high cosine against EVERYTHING,
+    * and only the gap between its best match and its background
+    * separates a real leak from a hub.
+    *
+    * Determinism: cosines quantize to exact micro-units (round(6)·1e6
+    * longs), the background mean is the integer floor division
+    * `(Σ − posmod(Σ, n)) div n` (posmod-adjusted so truncating and
+    * flooring engines agree on negative sums), and both thresholds
+    * compare as longs — bit-identical in any engine.
+    *
+    * Returns one row per FLAGGED eval item: (eval_id, corpus_id — its
+    * top-1 corpus neighbor, cos, bg, margin — doubles, micro-exact),
+    * ordered by eval_id. Requires corpus rows ≥ k (a padded background
+    * mean would silently skew margins) and eval ids disjoint from
+    * corpus ids.
+    *
+    * Scale shape: this exact variant is [[Similarity.bruteForceTopK]]
+    * — eval broadcasts (benchmarks are small by construction), the
+    * corpus streams map-only, one per-eval top-k window. For repeated
+    * sweeps over a growing corpus, run the same arithmetic over
+    * [[Similarity.hnswSearch]]/[[Similarity.ivfTopK]] candidates
+    * instead — recall-approximate, identical flag rule. */
+  def decontaminateSemantic(corpus: DataFrame, eval: DataFrame,
+                            idCol: String, vecCol: String, k: Int,
+                            minCosine: Double,
+                            minMargin: Double): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (the background needs k-1 ranks), got $k")
+    val nC = corpus.count()
+    require(nC >= k, s"corpus needs >= k=$k rows for the background, got $nC")
+    val minCm = math.round(minCosine * 1e6)
+    val minMm = math.round(minMargin * 1e6)
+    val top = Similarity.bruteForceTopK(corpus, eval, idCol, vecCol, k)
+      .select(col("query_id"), col("rank"), col("id"),
+        round(round(col("cosine"), 6) * lit(1e6)).cast("long").as("cm"))
+    val best = top.filter(col("rank") === 1)
+      .select(col("query_id"), col("id").as("corpus_id"),
+        col("cm").as("cm1"))
+    val bg = top.filter(col("rank") > 1)
+      .groupBy(col("query_id"))
+      .agg(sum(col("cm")).as("__s"), count(lit(1)).as("__n"))
+      .select(col("query_id"),
+        call_function("div",
+          col("__s") - pmod(col("__s"), col("__n")), col("__n")).as("bgm"))
+    best.join(bg, Seq("query_id"))
+      .filter(col("cm1") >= minCm && col("cm1") - col("bgm") >= minMm)
+      .select(col("query_id").as("eval_id"), col("corpus_id"),
+        (col("cm1").cast("double") / lit(1e6)).as("cos"),
+        (col("bgm").cast("double") / lit(1e6)).as("bg"),
+        ((col("cm1") - col("bgm")).cast("double") / lit(1e6)).as("margin"))
+      .orderBy(col("eval_id"))
+  }
+
   /** ExactSubstr-style duplicated-SPAN removal (Lee et al. 2021,
     * arXiv:2107.06499 — "Deduplicating Training Data Makes Language
     * Models Better", the suffix-array ExactSubstr dedup; the reference's

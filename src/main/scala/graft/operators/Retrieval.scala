@@ -284,7 +284,14 @@ object Retrieval {
     * long, score double exact). Scale shape: a map-only union of the
     * (already small, top-k-sized) ranked lists, one keyed aggregate,
     * one per-query WindowGroupLimit-able window — nothing corpus-sized
-    * anywhere. */
+    * anywhere.
+    *
+    * Input hygiene (hard errors, not silence): a rank < 1 raises — with
+    * k0 = 0 a rank-0 row would divide by zero into a NULL weight that
+    * sum() silently drops, corrupting the fused score without any
+    * signal. A (query, id) duplicated WITHIN one list collapses to its
+    * best (smallest) rank so it can't inflate n_lists or double-count
+    * its weight. */
   def reciprocalRankFusion(rankings: Seq[DataFrame], queryCol: String,
                            idCol: String, rankCol: String, k: Int,
                            k0: Int = 60): DataFrame = {
@@ -293,11 +300,20 @@ object Retrieval {
     require(k0 >= 0, s"k0 must be >= 0, got $k0")
     def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       call_function("div", a, b)
-    val all = rankings
-      .map(_.select(col(queryCol).as("query_id"), col(idCol).as("id"),
-        col(rankCol).cast("long").as("__r")))
+    val all = rankings.zipWithIndex
+      .map { case (df, i) =>
+        df.select(col(queryCol).as("query_id"), col(idCol).as("id"),
+          col(rankCol).cast("long").as("__r"), lit(i).as("__list"))
+      }
       .reduce(_.unionByName(_))
-    val agg = all
+      .select(col("query_id"), col("id"), col("__list"),
+        when(col("__r") >= 1L, col("__r")).otherwise(raise_error(concat(
+          lit("reciprocalRankFusion: ranks must be >= 1, got "),
+          col("__r").cast("string")))).as("__r"))
+    val perList = all
+      .groupBy(col("query_id"), col("id"), col("__list"))
+      .agg(min(col("__r")).as("__r"))
+    val agg = perList
       .select(col("query_id"), col("id"),
         idiv(lit(1000000000L), lit(k0.toLong) + col("__r")).as("__s"))
       .groupBy(col("query_id"), col("id"))

@@ -1077,8 +1077,13 @@ object Similarity {
   }
 
   /** HNSW search (Malkov & Yashunin 2018 §4 SEARCH-LAYER descent,
-    * batch-ified): seed from the `entries` smallest ids of the TOP
-    * layer, walk `upperRounds` expand-score-prune rounds per layer from
+    * batch-ified): seed from the `entries` ids ranked by (level DESC,
+    * id ASC) — identical to "the smallest top-layer ids" whenever the
+    * top layer has ≥ `entries` members, and a deterministic non-empty
+    * fallback to lower layers when the geometric draw left the top
+    * layer sparse or empty (small corpora / large maxLevel: P(no node
+    * at maxLevel) = (1−2^−maxLevel)^n — a silent empty result
+    * otherwise). Walk `upperRounds` expand-score-prune rounds per layer from
     * `maxLevel` down to 1 — each layer's final beam seeds the next,
     * sound because levels nest — then run the full `rounds` walk on the
     * base layer and cut top-k. Against the flat [[nswBeamSearch]] the
@@ -1104,9 +1109,7 @@ object Similarity {
       .localCheckpoint()
     def layer(l: Int): DataFrame =
       symmetrized(adjAll.filter(col("level") === l))
-    val entTop = c
-      .filter(hnswLevel(col("id"), maxLevel) >= maxLevel)
-      .orderBy(col("id").asc).limit(entries).select(col("id"))
+    val entTop = hnswEntries(c, maxLevel, entries)
     var beamDf = topBeam(scoreIds(
       q.select(col("query_id")).crossJoin(broadcast(entTop)), c, q), beam)
       .localCheckpoint()
@@ -1117,6 +1120,19 @@ object Similarity {
     }
     topK(beamWalk(layer(0), c, q, beamDf, beam, rounds), k)
   }
+
+  /** Descent entry points: the `entries` corpus ids ranked by
+    * ([[hnswLevel]] DESC, id ASC). Equal to "the `entries` smallest
+    * top-layer ids" whenever the top layer is populated, but NEVER
+    * empty for a non-empty corpus — a top-layer-only filter silently
+    * returned zero search rows (and appended unreachable nodes) when no
+    * node drew the top level. One TakeOrderedAndProject over (id,
+    * level) — map-side top-n, no shuffle. */
+  private def hnswEntries(c: DataFrame, maxLevel: Int,
+                          entries: Int): DataFrame =
+    c.select(col("id"), hnswLevel(col("id"), maxLevel).as("__lvl"))
+      .orderBy(col("__lvl").desc, col("id").asc).limit(entries)
+      .select(col("id"))
 
   /** HNSW INSERT, batch-ified (Malkov & Yashunin 2018 §4 Alg. 1): each
     * new vector draws its deterministic [[hnswLevel]], every batch
@@ -1147,9 +1163,7 @@ object Similarity {
       .localCheckpoint()
     def layer(l: Int): DataFrame =
       symmetrized(adjAll.filter(col("level") === l))
-    val entTop = c
-      .filter(hnswLevel(col("id"), maxLevel) >= maxLevel)
-      .orderBy(col("id").asc).limit(entries).select(col("id"))
+    val entTop = hnswEntries(c, maxLevel, entries)
     val qLvl = batch.select(col(idCol).as("query_id"),
       hnswLevel(col(idCol), maxLevel).as("__lvl"))
     var beamDf = topBeam(scoreIds(

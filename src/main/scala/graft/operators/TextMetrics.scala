@@ -157,11 +157,15 @@ object TextMetrics {
     * shuffled frame is |docs|·|alphabet|, not corpus characters; one
     * keyed aggregate after, no windows, no driver state. */
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // split-once, not substring-per-position: substring(t, i, 1) seeks
+    // from the string START for non-ASCII UTF-8, making a
+    // transform(sequence(1, length)) explode O(len²) per document —
+    // split(t, "") emits exactly one element per code point (no empty
+    // strings, verified incl. non-BMP) in one linear pass
     val counts = df
       .filter(col(textCol).isNotNull && length(col(textCol)) >= 1)
-      .select(col(idCol).as("__id"), explode(expr(
-        s"transform(sequence(1, length(`$textCol`)), " +
-          s"i -> substring(`$textCol`, i, 1))")).as("__c"))
+      .select(col(idCol).as("__id"),
+        explode(split(col(textCol), "")).as("__c"))
       .groupBy(col("__id"), col("__c")).agg(count(lit(1)).as("__n"))
     val totals = counts.groupBy(col("__id"))
       .agg(sum(col("__n")).as("__t"), count(lit(1)).as("__d"))

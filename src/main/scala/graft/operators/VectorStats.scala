@@ -51,8 +51,10 @@ object VectorStats {
     * Exactness device: components quantize to nano-units
     * (`floor(x·1e9)` on the float→double cast, [[graft.operators.Drift
     * .embeddingMeanDrift]]'s bridge); per-dimension Σx and Σx² are
-    * EXACT DECIMAL sums, so μ and σ² are each ONE fixed double
-    * expression; each dimension's term quantizes to micro-units before
+    * EXACT DECIMAL sums, μ is one double division, and σ² is the
+    * centered form (n·Σx² − (Σx)²)/n² with an EXACT integer numerator
+    * (E[x²]−μ² in doubles cancels catastrophically on large-magnitude
+    * low-variance dims); each dimension's term quantizes to micro-units before
     * the per-vector total, which is therefore an exact integer SUM —
     * no float accumulation across dimensions or rows anywhere.
     * Zero-variance dimensions contribute 0 (a constant axis carries no
@@ -78,11 +80,20 @@ object VectorStats {
         sum((col("__xq").cast(org.apache.spark.sql.types.DecimalType(38, 0))
           * col("__xq")).as("__xq2")).as("__sx2"))
       .collect().map { r =>
-        val n = r.getLong(1).toDouble
-        val sx = r.getDecimal(2).doubleValue()
-        val sx2 = r.getDecimal(3).doubleValue()
-        val mu = sx / n
-        (r.getInt(0), mu, sx2 / n - mu * mu)
+        val n = r.getLong(1)
+        val sx = r.getDecimal(2)
+        val sx2 = r.getDecimal(3)
+        val mu = sx.doubleValue() / n
+        // variance as (n·Σx² − (Σx)²)/n² with the numerator EXACT in
+        // BigDecimal integer arithmetic before the one double division:
+        // the naive E[x²]−μ² double subtraction cancels catastrophically
+        // for large-magnitude low-variance dimensions (nano-quantized
+        // sums pass 2^53 at ~1e6 rows of |x|≈100), leaving σ² noise-
+        // dominated; the exact numerator can't cancel
+        val nBd = java.math.BigDecimal.valueOf(n)
+        val num = sx2.multiply(nBd).subtract(sx.multiply(sx))
+        val va = num.doubleValue() / (n.toDouble * n.toDouble)
+        (r.getInt(0), mu, va)
       }.sortBy(_._1)
     require(stats.nonEmpty, "mahalanobisScores needs non-null vectors")
     require(stats.map(_._1).toSeq == stats.indices.toSeq,

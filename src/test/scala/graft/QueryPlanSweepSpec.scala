@@ -115,6 +115,11 @@ class QueryPlanSweepSpec extends AnyFunSuite {
                               // cross (the similarity_topk_brute device)
     , "eval_rank_biased_overlap" // same two ranker inputs as rrf_fusion:
                               // brute's query broadcast cross by design
+    , "decontaminate_semantic" // deliberate: the exact leak check IS
+                              // bruteForceTopK (eval side broadcast,
+                              // corpus streamed map-only); the scale
+                              // path swaps in hnswSearch/ivfTopK
+                              // candidates per the operator scaladoc
   )
 
   /** Global `OVER (ORDER BY ...)` windows with no PARTITION BY run the

@@ -820,6 +820,44 @@ class SimilaritySpec extends SparkSpec {
       s"new node ${newRow.getLong(0)} not reached: $top")
   }
 
+  test("hnswSearch/appendToHnswGraph: empty top layer falls back to " +
+       "lower-level entries instead of silently returning zero rows") {
+    // pick corpus ids whose md5 level is BELOW maxLevel=2 (P=3/4 each),
+    // so the top layer is empty — the old top-layer-only entry filter
+    // returned an empty search frame and appended edge-less nodes here
+    val lowIds = spark.range(0, 60)
+      .select($"id", Similarity.hnswLevel($"id", 2).as("lvl"))
+      .filter($"lvl" < 2).limit(8)
+      .as[(Long, Int)].collect().map(_._1).toSeq
+    assert(lowIds.size == 8)
+    val emb = lowIds.zipWithIndex.map { case (id, i) =>
+      (id, Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val adj = Similarity.hnswGraph(emb, "vec_id", "embedding",
+      m = 2, maxLevel = 2, nLists = 1, nProbe = 1).localCheckpoint()
+    assert(adj.filter($"level" === 2).count() == 0, "top layer not empty")
+    val q = emb.limit(2)
+    val found = Similarity.hnswSearch(adj, emb, q, "vec_id", "embedding",
+        k = 2, maxLevel = 2, beam = 4, rounds = 2, entries = 2)
+      .collect()
+    assert(found.nonEmpty, "search must not silently return zero rows")
+    assert(found.length == 4, s"expected 2 queries x k=2: ${found.toSeq}")
+    // append through the same empty top layer: new nodes must get edges
+    val batchIds = spark.range(100, 160)
+      .select($"id", Similarity.hnswLevel($"id", 2).as("lvl"))
+      .filter($"lvl" < 2).limit(2)
+      .as[(Long, Int)].collect().map(_._1).toSeq
+    val batch = batchIds.zipWithIndex.map { case (id, i) =>
+      (id, Array(math.cos(i * 1.1).toFloat, math.sin(i * 1.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val grown = Similarity.appendToHnswGraph(adj, emb, batch,
+      "vec_id", "embedding", m = 2, maxLevel = 2)
+    val newEdges = grown.join(
+      batch.select($"vec_id".as("id")), Seq("id"), "left_semi")
+    assert(newEdges.count() > 0,
+      "appended nodes must connect (not become unreachable)")
+  }
+
   test("mineBitext: planted translations mine as mutual-best pairs, a " +
        "polluted left vector pairs nowhere, margins deterministic, " +
        "undersized side fails hard") {

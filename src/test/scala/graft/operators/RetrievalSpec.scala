@@ -188,6 +188,37 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("reciprocalRankFusion input hygiene: rank < 1 raises (k0=0 would " +
+       "divide by zero into a silently-dropped NULL weight); a (query,id) " +
+       "duplicated within one list collapses to its best rank") {
+    def w(r: Int, k0: Int = 60) = 1000000000L / (k0 + r)
+    // rank 0 with k0 = 0 used to produce a null weight sum() dropped
+    val bad = Seq((1L, 10L, 0)).toDF("query_id", "id", "rank")
+    val e = intercept[Exception] {
+      Retrieval.reciprocalRankFusion(Seq(bad), "query_id", "id", "rank",
+        k = 5, k0 = 0).collect()
+    }
+    assert(e.getMessage.contains("ranks must be >= 1"))
+    // same doc twice in ONE list: best (smallest) rank wins, n_lists
+    // stays 1, the weight is counted once
+    val dup = Seq((1L, 10L, 3), (1L, 10L, 1), (1L, 11L, 2))
+      .toDF("query_id", "id", "rank")
+    val out = Retrieval.reciprocalRankFusion(Seq(dup), "query_id", "id",
+        "rank", k = 5)
+      .orderBy($"rank")
+      .as[(Long, Int, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1, 10L, 1L, w(1), w(1) / 1e9),
+      (1L, 2, 11L, 1L, w(2), w(2) / 1e9)))
+    // ...but the same doc in TWO lists still counts both shares
+    val l1 = Seq((1L, 10L, 1)).toDF("query_id", "id", "rank")
+    val l2 = Seq((1L, 10L, 2)).toDF("query_id", "id", "rank")
+    val both = Retrieval.reciprocalRankFusion(Seq(l1, l2), "query_id",
+        "id", "rank", k = 5)
+      .as[(Long, Int, Long, Long, Long, Double)].collect().toSeq
+    assert(both == Seq((1L, 1, 10L, 2L, w(1) + w(2), (w(1) + w(2)) / 1e9)))
+  }
+
   test("rankBiasedOverlap: identical lists score ~1-p^k, reversed lists " +
        "pay max-rank weights, disjoint and missing queries score 0, " +
        "ranks beyond k are ignored") {

@@ -85,4 +85,54 @@ class SemanticDedupSpec extends SparkSpec {
     assert(keyed.nonEmpty,
       s"expected the pair join keyed on the cluster id:\n$plan")
   }
+
+  test("decontaminateSemantic: planted paraphrase flags; a hub with " +
+       "high cosine but no margin stays clean; near-miss below the " +
+       "cosine bar stays clean; thresholds are micro-exact") {
+    import org.apache.spark.sql.functions.col
+    // 8-dim corpus: 4 distinct directions + a dense generic neighborhood
+    // around axis 3 (the hub background)
+    def u(axis: Int, scale: Float, eps: Float) =
+      Array.tabulate(8)(i => if (i == axis) scale else eps)
+    val corpus = Seq(
+      (101L, u(0, 1.0f, 0.0f)), (102L, u(1, 1.0f, 0.0f)),
+      (103L, u(2, 1.0f, 0.0f)),
+      // the dense neighborhood: five near-parallel axis-3 vectors
+      (104L, u(3, 1.0f, 0.02f)), (105L, u(3, 1.0f, 0.03f)),
+      (106L, u(3, 1.0f, 0.04f)), (107L, u(3, 1.0f, 0.05f)),
+      (108L, u(3, 1.0f, 0.06f))).toDF("id", "v")
+    val eval = Seq(
+      // planted paraphrase: near-copy of 101 -> cos ~0.999, background
+      // (everything else) near-orthogonal -> huge margin -> FLAGGED
+      (1L, u(0, 1.05f, 0.01f)),
+      // hub: parallel to the dense axis-3 neighborhood -> top cosine
+      // ~0.999 BUT every background neighbor is also ~0.99 -> margin
+      // fails -> clean (this is what the margin term exists to catch)
+      (2L, u(3, 1.0f, 0.04f)),
+      // near-miss: moderately similar to 102 (cos ~0.8) -> below the
+      // 0.9 cosine bar -> clean
+      (3L, Array.tabulate(8)(i =>
+        if (i == 1) 1.0f else if (i == 2) 0.75f else 0.0f))
+    ).toDF("id", "v")
+    val out = Dedup.decontaminateSemantic(corpus, eval, "id", "v",
+        k = 5, minCosine = 0.9, minMargin = 0.2)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 101L)),
+      s"only the planted paraphrase must flag: $out")
+    assert(out.head._3 >= 0.99 && out.head._5 >= 0.2)
+    // determinism: identical inputs -> identical micro-exact rows
+    val again = Dedup.decontaminateSemantic(corpus, eval, "id", "v",
+        k = 5, minCosine = 0.9, minMargin = 0.2)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(again == out)
+    // corpus smaller than k: hard error, not a padded background
+    val e = intercept[IllegalArgumentException] {
+      Dedup.decontaminateSemantic(corpus.limit(3), eval, "id", "v",
+        k = 5, minCosine = 0.9, minMargin = 0.2)
+    }
+    assert(e.getMessage.contains("k=5"))
+    // no-eval and no-flag inputs return empty, not error
+    assert(Dedup.decontaminateSemantic(corpus, eval.filter(col("id") === 3L),
+      "id", "v", k = 5, minCosine = 0.9, minMargin = 0.2).count() == 0)
+  }
 }

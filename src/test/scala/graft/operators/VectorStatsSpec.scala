@@ -136,18 +136,22 @@ class VectorStatsSpec extends SparkSpec {
   test("mahalanobisScores: hand-computed diagonal scores; zero-variance " +
        "dims contribute nothing; null vectors drop; deterministic") {
     // driver-side replica of the operator's exact IEEE sequence
-    // (nano-quantize, DECIMAL-exact sums are integer-exact at this
-    // size, fixed mu/var doubles, micro-floor per dim): scores ARE
-    // floor-quantized, so 1.5-in-the-reals lands at 1.499999 — that
-    // boundary is the point of pinning the replica, not a blemish
+    // (nano-quantize, DECIMAL-exact sums, mu one double division, va the
+    // CENTERED (n·Σx²−(Σx)²)/n² with an exact integer numerator — the
+    // E[x²]−μ² double form cancels catastrophically at scale and its
+    // 1-ulp σ² error even landed this spec's 1.5-in-the-reals score on
+    // the floor boundary as 1.499999; the exact numerator yields 1.5),
+    // then micro-floor per dim
     def replica(corpus: Seq[Seq[Float]], x: Seq[Float]): Double = {
       val dims = corpus.head.length
       var total = 0L
       for (d <- 0 until dims) {
-        val xq = corpus.map(v => math.floor(v(d).toDouble * 1e9))
-        val n = xq.length.toDouble
-        val mu = xq.sum / n
-        val va = xq.map(q => q * q).sum / n - mu * mu
+        val xq = corpus.map(v => math.floor(v(d).toDouble * 1e9).toLong)
+        val n = xq.length
+        val mu = xq.sum.toDouble / n
+        val num = xq.map(q => BigInt(q) * BigInt(q)).sum * n -
+          BigInt(xq.sum) * BigInt(xq.sum)
+        val va = num.toDouble / (n.toDouble * n.toDouble)
         if (va > 0) {
           val dv = math.floor(x(d).toDouble * 1e9) - mu
           total += math.floor(1e6 * dv * dv / va).toLong
