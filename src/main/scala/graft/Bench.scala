@@ -107,12 +107,19 @@ object Bench {
     // experiments-only mode: iterate on an experiment without paying the
     // full gate sequence (prints each experiment's JSON to stderr)
     if (sys.env.contains("SPARK_GRAFT_BENCH_EXPERIMENTS_ONLY")) {
+      // value "1" runs all four; a comma-separated list of names runs
+      // just those (the sweep loop for one experiment's knobs)
+      val sel = sys.env("SPARK_GRAFT_BENCH_EXPERIMENTS_ONLY")
+      val wanted: String => Boolean =
+        if (sel == "1" || sel.isEmpty) _ => true
+        else sel.split(",").map(_.trim).toSet
       val spark = buildSession()
       for ((name, f) <- Seq[(String, (SparkSession, String) => String)](
           ("skew", skewExperiment),
           ("incremental_dedup_vs_stateless", incrementalDedupExperiment),
           ("multipattern_vs_contains", multiPatternExperiment),
-          ("hnsw_vs_flat", hnswVsFlatExperiment))) {
+          ("hnsw_vs_flat", hnswVsFlatExperiment))
+          if wanted(name)) {
         val out = try f(spark, sfDir) catch { case e: Throwable =>
           e.printStackTrace()
           // jackson-escape the message: a quote/backslash in the
@@ -580,6 +587,24 @@ object Bench {
       sfDir: String): String = {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity
+    // operating point (r14, from the sweep recorded in PERF_NOTES): the
+    // r13 point (m=8, nLists=64, nProbe=2, beam=16, rounds=3) measured
+    // recall 0.316@10 — the base "kNN" graph built from 2/64 IVF cells
+    // per node was mostly wrong on near-uniform 64-dim vectors, and no
+    // beam can walk a graph whose edges don't point at true neighbors.
+    // Build-side quality (nProbe, m) is the lever that matters; it is
+    // paid ONCE, untimed (the index persists in production), while the
+    // timed search cost only grows with rounds/beam. Env knobs
+    // (SPARK_GRAFT_ANN_*) exist for sweeping without a recompile.
+    def knob(name: String, dflt: Int): Int =
+      sys.env.get(s"SPARK_GRAFT_ANN_$name").map(_.toInt).getOrElse(dflt)
+    val m = knob("M", 16)
+    val nLists = knob("NLISTS", 64)
+    val nProbe = knob("NPROBE", 8)
+    val beam = knob("BEAM", 32)
+    val rounds = knob("ROUNDS", 4)
+    val entries = knob("ENTRIES", 8)
+    val upper = knob("UPPER", 1)
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .withColumn("rep", explode(lit((0 until 4).toArray)))
       .select((col("vec_id") * 4 + col("rep")).as("vec_id"), expr(
@@ -596,9 +621,10 @@ object Bench {
         10).select(col("query_id"), col("id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val flatAdj = Similarity.nswGraph(corpus, "vec_id", "embedding",
-      m = 8, nLists = 64, nProbe = 2).localCheckpoint()
+      m = m, nLists = nLists, nProbe = nProbe).localCheckpoint()
     val hAdj = Similarity.hnswGraph(corpus, "vec_id", "embedding",
-      m = 8, maxLevel = 2, nLists = 64, nProbe = 2).localCheckpoint()
+      m = m, maxLevel = 2, nLists = nLists, nProbe = nProbe)
+      .localCheckpoint()
     def measure(run: => org.apache.spark.sql.DataFrame): (Double, Double) = {
       var found: Set[(Long, Long)] = Set.empty
       val sec = (1 to 2).map { _ =>
@@ -610,13 +636,17 @@ object Bench {
       (sec, found.count(brute.contains).toDouble / brute.size)
     }
     val (f3s, f3r) = measure(Similarity.nswBeamSearch(flatAdj, corpus, q,
-      "vec_id", "embedding", k = 10, beam = 16, rounds = 3, entries = 4))
+      "vec_id", "embedding", k = 10, beam = beam, rounds = 3,
+      entries = entries))
     val (f5s, f5r) = measure(Similarity.nswBeamSearch(flatAdj, corpus, q,
-      "vec_id", "embedding", k = 10, beam = 16, rounds = 5, entries = 4))
+      "vec_id", "embedding", k = 10, beam = beam, rounds = 5,
+      entries = entries))
     val (hs, hr) = measure(Similarity.hnswSearch(hAdj, corpus, q,
-      "vec_id", "embedding", k = 10, maxLevel = 2, beam = 16, rounds = 3,
-      upperRounds = 1, entries = 4))
-    s"""{"n_vectors":$n,"n_queries":50,"beam":16,""" +
+      "vec_id", "embedding", k = 10, maxLevel = 2, beam = beam,
+      rounds = rounds, upperRounds = upper, entries = entries))
+    s"""{"n_vectors":$n,"n_queries":50,"m":$m,"n_lists":$nLists,""" +
+      s""""n_probe":$nProbe,"beam":$beam,"rounds":$rounds,""" +
+      s""""entries":$entries,"upper_rounds":$upper,""" +
       s""""flat_r3_sec":${num(f3s, 3)},"flat_r3_recall":${num(f3r, 3)},""" +
       s""""flat_r5_sec":${num(f5s, 3)},"flat_r5_recall":${num(f5r, 3)},""" +
       s""""hnsw_sec":${num(hs, 3)},"hnsw_recall":${num(hr, 3)}}"""
