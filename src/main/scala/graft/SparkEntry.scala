@@ -852,6 +852,23 @@ object SparkEntry {
           minMatch = 32, prefilter = false)
         .orderBy(col("doc_id"))
     }),
+    "pii_pseudonymize" -> ((s, dir) => {
+      // keyed md5 surrogate tokens (GDPR pseudonymization, not
+      // redaction): names tokenize whole, synthesized emails keep their
+      // DOMAIN; one salt → join-consistent tokens across tables;
+      // map-only, zero shuffle
+      val c = DbReader(conn(s, dir), "customer").run()
+        .withColumn("email",
+          concat(lower(regexp_replace(col("c_name"), " ", ".")),
+            lit("@example.com")))
+      operators.Privacy.pseudonymize(c, "graft-release-2026",
+          Seq("c_name"))
+        .withColumn("email_pn", operators.Privacy.pseudonymizeEmail(
+          col("email"), "graft-release-2026"))
+        .select(col("c_custkey"), col("c_name").as("name_pn"),
+          col("email_pn"))
+        .orderBy(col("c_custkey"))
+    }),
     "pii_k_anonymity" -> ((s, dir) => {
       // k-anonymity audit (Sweeney 2002) on (lang, source, length
       // centile): combos shared by < 5 docs are re-identification risk.
@@ -1041,6 +1058,23 @@ object SparkEntry {
       // per-day z-score misses
       operators.Drift.cusumDailyCounts(eventsMicros(s, dir), "ts",
         refBuckets = 7, slackPerBucket = 0L, thresholdPerBucket = 100L)
+    }),
+    "events_ewma_band" -> ((s, dir) => {
+      // Roberts' EWMA control chart over daily counts: α=1/4 smoothing
+      // on a ×n_ref integer grid (truncating division — identical in
+      // both engines), 7-day baseline, alarm when the smoothed stat
+      // leaves the ±50/day band — the geometric-memory monitor between
+      // the z-score and CUSUM
+      operators.Drift.ewmaDailyBand(eventsMicros(s, dir), "ts",
+        refBuckets = 7, alphaBits = 2, thresholdPerBucket = 50L)
+    }),
+    "events_holt_forecast" -> ((s, dir) => {
+      // Holt double-exponential level+trend (α=1/4, β=1/8) on a ×1e6
+      // integer grid: one-step-ahead forecasts + residual alarms that
+      // stay quiet under steady growth where flat-baseline monitors
+      // fire daily
+      operators.Drift.holtDailyForecast(eventsMicros(s, dir), "ts",
+        alphaBits = 2, betaBits = 3, thresholdPerBucket = 50L)
     }),
     "corpus_heaps_law" -> ((s, dir) => {
       // Heaps'-law vocabulary-growth fit: one (log N, log V) point per
@@ -1300,6 +1334,43 @@ object SparkEntry {
         expr("substring(c_name, 1, length(c_name)-2)"), maxDist = 1)
       operators.Graph.adamicAdar(pairs, "id_a", "id_b", topK = 50)
     }),
+    "graph_ppr" -> ((s, dir) => {
+      // personalized PageRank over the fuzzy-match graph: teleport mass
+      // restarts at the SEED nodes (every 10th customer id) instead of
+      // uniformly — random-walk-with-restart proximity, integer floor
+      // arithmetic end-to-end (bit-exact replay), 3 iterations, top-20
+      // on (pr desc, node)
+      val pairs = operators.Joins.fuzzySelfPairs(
+        DbReader(conn(s, dir), "customer").run(),
+        "c_custkey", "c_name",
+        expr("substring(c_name, 1, length(c_name)-2)"), maxDist = 1)
+      val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
+        .union(pairs.select(col("id_b"), col("id_a")))
+      val seeds = edges.select(col("s").as("node")).distinct()
+        .filter(pmod(col("node"), lit(10L)) === 0L)
+      operators.Graph.personalizedPageRank(edges, "s", "d",
+          seeds, "node", iterations = 3)
+        .orderBy(col("pr").desc, col("node"))
+        .limit(20)
+        .select(col("node").as("c_custkey"), col("pr"))
+    }),
+    "graph_bfs_reach" -> ((s, dir) => {
+      // multi-source BFS over the fuzzy-match graph: min hops from the
+      // seed set (every 10th customer id), frontier-expanded — the
+      // "contamination radius" query; pure integer hop counts
+      val pairs = operators.Joins.fuzzySelfPairs(
+        DbReader(conn(s, dir), "customer").run(),
+        "c_custkey", "c_name",
+        expr("substring(c_name, 1, length(c_name)-2)"), maxDist = 1)
+      val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
+        .union(pairs.select(col("id_b"), col("id_a")))
+      val seeds = edges.select(col("s").as("node")).distinct()
+        .filter(pmod(col("node"), lit(10L)) === 0L)
+      operators.Graph.bfsDistances(edges, "s", "d", seeds, "node",
+          maxHops = 3)
+        .select(col("node").as("c_custkey"), col("dist"))
+        .orderBy(col("c_custkey"))
+    }),
     "fuzzy_name_matches" -> ((s, dir) => {
       // blocked fuzzy self-match on customer names: block = name minus
       // last 2 chars (names differing only there are candidates), pairs
@@ -1459,6 +1530,52 @@ object SparkEntry {
       operators.Sketch.kllQuantiles(regs, 20)
         .withColumn("n_regs", lit(st.getLong(0)))
         .withColumn("total_w", lit(st.getLong(1)))
+        .orderBy(col("q_idx"))
+    }),
+    "streaming_loghist_fold" -> ((s, dir) => {
+      // log-histogram maintenance on ingest: each doc-range micro-batch
+      // appends its bounded register frame (one count aggregate of the
+      // BATCH — no sort, the cheapest live profile); the fold is a plain
+      // keyed sum, so the folded registers equal the WHOLE-corpus build
+      // register for register and the oracle replays the single-pass
+      // build directly. Counts would double on redelivery — the
+      // exactly-once ledger is load-bearing (spec-forged for the merge).
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), col("text"))
+      val mx = docs.agg(max(col("doc_id"))).first.getLong(0)
+      val stream = stagedDocBatchStream(s, dir, docs, mx / 3, 2 * mx / 3)
+        .select(col("doc_id"), length(col("text")).as("len"))
+      val ck = java.nio.file.Files.createTempDirectory("graft_lhf_ck").toString
+      val tab = java.nio.file.Files.createTempDirectory("graft_lhf_t")
+        .toString + "/regs"
+      graft.streaming.StreamRunner.runIncrementalLogHistMaintain(
+        stream, "len", tab, unitScale = 1L, subBits = 3, ck,
+        new graft.core.InMemoryHwmStore, s"loghist@$ck")
+      val regs = operators.Sketch.logHistFoldTable(s, tab).localCheckpoint()
+      val st = regs.agg(count(lit(1)).as("n"), sum(col("cnt")).as("tn"))
+        .head()
+      operators.Sketch.logHistQuantiles(regs, 20, unitScale = 1L)
+        .withColumn("n_regs", lit(st.getLong(0)))
+        .withColumn("total_n", lit(st.getLong(1)))
+        .orderBy(col("q_idx"))
+    }),
+    "sketch_loghist_quantiles" -> ((s, dir) => {
+      // DDSketch-style RELATIVE-error quantiles (Masson et al., VLDB
+      // 2019) on a base-2 integer grid: bucket = top 4 bits of
+      // floor(price·100) — pure integer arithmetic, so registers are
+      // bit-identical in any engine (no log() boundary ulps). ONE
+      // map-combinable count aggregate (no sort — contrast KLL), a
+      // ≤ 63·8-row mergeable sidecar, estimates within 12.5% of every
+      // value in their bucket by construction.
+      val li = DbReader(conn(s, dir), "lineitem").run()
+        .select(col("l_extendedprice"))
+      val regs = operators.Sketch.logHistRegisters(li, "l_extendedprice",
+        unitScale = 100L, subBits = 3).localCheckpoint() // bounded rows
+      val st = regs.agg(count(lit(1)).as("n"), sum(col("cnt")).as("tn"))
+        .head()
+      operators.Sketch.logHistQuantiles(regs, 20, unitScale = 100L)
+        .withColumn("n_regs", lit(st.getLong(0)))
+        .withColumn("total_n", lit(st.getLong(1)))
         .orderBy(col("q_idx"))
     }),
     "sketch_countmin_words" -> ((s, dir) => {
@@ -2030,6 +2147,20 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("int"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "similarity_topk_sq8" -> ((s, dir) => {
+      // int8 scalar-quantized ANN: one global max-abs scale, codes
+      // c = (floor(x*1e6)*127) div S, candidates by EXACT INTEGER dot
+      // product (no float in the hot loop, 4x less memory traffic),
+      // exact cosine re-rank on the rerank=20 pool
+      // (Similarity.sq8TopK); the oracle recomputes codes and integer
+      // dots verbatim
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      operators.Similarity.sq8TopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, rerank = 20)
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "similarity_topk_signbit" -> ((s, dir) => {
       // 1-bit binary-quantized ANN: sign-pack to 64-bit words (32x
       // smaller than float32), candidates by popcount-XOR Hamming with
@@ -2073,6 +2204,17 @@ object SparkEntry {
       operators.Retrieval.reciprocalRankFusion(
           Seq(brute, signbit), "query_id", "id", "rank", k = 10)
         .withColumn("rank", col("rank").cast("int"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "retrieval_mmr_diversify" -> ((s, dir) => {
+      // MMR diversified top-5 out of the relevance top-20 (λ=1/2):
+      // greedy marginal-relevance selection over exact integer dot
+      // products of micro-quantized vectors — every pick and its score
+      // bit-reproducible; the anti-near-duplicate re-ranker
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      operators.Retrieval.mmrDiversify(
+          emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          poolK = 20, k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
     "similarity_hard_negatives" -> ((s, dir) => {
@@ -6060,6 +6202,140 @@ object SparkEntry {
       s"\nFROM l$rounds ORDER BY node"
   }
 
+  /** Personalized-PageRank replay: the fuzzy-match adjacency, seed set =
+    * nodes ≡ 0 (mod 10), then `rounds` unrolled integer-floor power
+    * steps — `pr' = [seed]·(15·(scale div |S|)) div 100 +
+    * (85·Σ_in (pr div deg)) div 100`. All positive integers, so
+    * DuckDB's truncating `//` equals Spark's long division. */
+  /** MMR replay: the integer-dot relevance pool, pairwise integer sims
+    * among pool members, then the greedy selection UNROLLED — step i is
+    * one CTE ranking the not-yet-selected pool rows by
+    * `lamNum·rel − (lamDen−lamNum)·max(sim to selected)` with the
+    * smaller-id tiebreak, exactly the operator's arithmetic. */
+  private def mmrOracleSql(poolK: Int, k: Int, lamNum: Long,
+                           lamDen: Long): String = {
+    val mu = lamDen - lamNum
+    val head =
+      s"""WITH vm AS (
+         |  SELECT vec_id, list_transform(embedding, x ->
+         |    CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
+         |  FROM embeddings),
+         |p0 AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |           i -> q.m[i] * c.m[i])) AS BIGINT) AS rel,
+         |         c.m AS cm
+         |  FROM vm q JOIN vm c ON c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 8),
+         |pool AS (SELECT query_id, id, rel, cm FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, id) AS r FROM p0) t WHERE r <= $poolK),
+         |sims AS (
+         |  SELECT a.query_id, a.id, b.id AS other,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |           i -> a.cm[i] * b.cm[i])) AS BIGINT) AS sim
+         |  FROM pool a JOIN pool b
+         |    ON a.query_id = b.query_id AND a.id != b.id),
+         |s1 AS (SELECT query_id, id, rel, 1 AS rank,
+         |              $lamNum * rel AS score FROM (
+         |    SELECT query_id, id, rel, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY rel DESC, id) AS r
+         |    FROM pool) t WHERE r = 1),
+         |sel1 AS (SELECT query_id, id FROM s1)""".stripMargin
+    val steps = (2 to k).map { i =>
+      val p = i - 1
+      s"""s$i AS (SELECT query_id, id, rel, $i AS rank, score FROM (
+         |    SELECT p.query_id, p.id, p.rel,
+         |           $lamNum * p.rel - $mu * COALESCE(mx.ms, 0) AS score,
+         |           row_number() OVER (PARTITION BY p.query_id
+         |             ORDER BY $lamNum * p.rel - $mu * COALESCE(mx.ms, 0)
+         |               DESC, p.id) AS r
+         |    FROM pool p
+         |    LEFT JOIN (SELECT s.query_id, s.id, max(s.sim) AS ms
+         |               FROM sims s JOIN sel$p v
+         |                 ON v.query_id = s.query_id AND v.id = s.other
+         |               GROUP BY s.query_id, s.id) mx
+         |      ON mx.query_id = p.query_id AND mx.id = p.id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel$p v
+         |      WHERE v.query_id = p.query_id AND v.id = p.id)
+         |  ) t WHERE r = 1),
+         |sel$i AS (SELECT query_id, id FROM sel$p
+         |          UNION ALL SELECT query_id, id FROM s$i)""".stripMargin
+    }
+    val union = (1 to k).map(i => s"SELECT * FROM s$i")
+      .mkString(" UNION ALL ")
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT query_id, rank, id, rel, score FROM ($union) u" +
+      "\nORDER BY query_id, rank"
+  }
+
+  /** Multi-source BFS replay: the fuzzy-match adjacency, seeds ≡ 0
+    * (mod 10) at dist 0, then `hops` unrolled frontier steps — each a
+    * distinct-neighbors join minus the already-reached set. */
+  private def bfsOracleSql(hops: Int): String = {
+    val head =
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name AS s,
+        |         substr(c_name, 1, length(c_name) - 2) AS blk
+        |  FROM customer WHERE c_name IS NOT NULL AND c_custkey IS NOT NULL),
+        |e AS (
+        |  SELECT a.id AS a, b.id AS b
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.s, b.s) <= 1),
+        |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |d0 AS (SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist
+        |       FROM adj WHERE u % 10 = 0)""".stripMargin
+    val steps = (1 to hops).map { i =>
+      val p = i - 1
+      s"""f$i AS (SELECT DISTINCT a.v AS node
+         |  FROM adj a JOIN d$p r ON r.node = a.u
+         |  WHERE NOT EXISTS (SELECT 1 FROM d$p x WHERE x.node = a.v)),
+         |d$i AS (SELECT node, dist FROM d$p
+         |        UNION ALL SELECT node, CAST($i AS BIGINT) FROM f$i)"""
+        .stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node AS c_custkey, dist FROM d$hops ORDER BY c_custkey"
+  }
+
+  private def pprOracleSql(rounds: Int): String = {
+    val scale = "1000000000000"
+    val head =
+      s"""WITH c AS (
+         |  SELECT c_custkey AS id, c_name AS s,
+         |         substr(c_name, 1, length(c_name) - 2) AS blk
+         |  FROM customer WHERE c_name IS NOT NULL AND c_custkey IS NOT NULL),
+         |e AS (
+         |  SELECT a.id AS a, b.id AS b
+         |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+         |  WHERE levenshtein(a.s, b.s) <= 1),
+         |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+         |nodes AS (SELECT DISTINCT u AS node FROM adj),
+         |ns AS (SELECT count(*) AS n FROM nodes WHERE node % 10 = 0),
+         |deg AS (SELECT u, count(*) AS dg FROM adj GROUP BY u),
+         |p0 AS (SELECT node,
+         |         CASE WHEN node % 10 = 0 THEN $scale // (SELECT n FROM ns)
+         |              ELSE 0 END AS pr
+         |       FROM nodes)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""p$i AS (
+         |  SELECT n.node,
+         |    CASE WHEN n.node % 10 = 0
+         |         THEN (15 * ($scale // (SELECT n FROM ns))) // 100
+         |         ELSE 0 END
+         |    + (85 * COALESCE(f.inf, 0)) // 100 AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT a.v AS node, sum(p.pr // d.dg) AS inf
+         |    FROM adj a JOIN p${i - 1} p ON p.node = a.u
+         |    JOIN deg d ON d.u = a.u
+         |    GROUP BY a.v) f ON f.node = n.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT node AS c_custkey, CAST(pr AS BIGINT) AS pr
+         |FROM p$rounds ORDER BY pr DESC, node LIMIT 20""".stripMargin
+  }
+
   /** The WordPiece gate's vocabulary — `##`-prefixed pieces are
     * continuations. Shared between the Spark gate and the SQL oracle so
     * the two can never drift. */
@@ -6861,6 +7137,16 @@ object SparkEntry {
         |FROM s2 ORDER BY doc_id""".stripMargin,
     // k-anonymity: plain grouped count; n_chars // 100 on BIGINT stays
     // BIGINT (HUGEINT audit: count cast anyway)
+    // pseudonymize replay: same salt-keyed md5 prefix; the email local
+    // part is tokenized and the domain re-attached verbatim
+    "pii_pseudonymize" ->
+      """SELECT c_custkey,
+        |  'pn_' || substr(md5('graft-release-2026:' || c_name), 1, 16)
+        |    AS name_pn,
+        |  'pn_' || substr(md5('graft-release-2026:'
+        |      || lower(replace(c_name, ' ', '.'))), 1, 16)
+        |    || '@example.com' AS email_pn
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "pii_k_anonymity" ->
       """SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
         |       CAST(count(*) AS BIGINT) AS n,
@@ -6963,6 +7249,8 @@ object SparkEntry {
         |FROM np ORDER BY aa_micro DESC, u, v LIMIT 50""".stripMargin,
     "graph_kcore" -> kCoreOracleSql(k = 3, rounds = 8),
     "graph_label_propagation" -> labelPropOracleSql(rounds = 3),
+    "graph_ppr" -> pprOracleSql(rounds = 3),
+    "graph_bfs_reach" -> bfsOracleSql(hops = 3),
     "linkage_fellegi_sunter" -> fellegiSunterOracleSql(),
     "linkage_fs_em" -> fsEmOracleSql(),
     "streaming_linkage_ingest" -> streamingLinkageOracleSql(),
@@ -7393,6 +7681,67 @@ object SparkEntry {
         |         AS alarm
         |FROM m JOIN r ON m.j = r.j
         |ORDER BY m.bucket""".stripMargin,
+    // EWMA replay: identical ×n_ref grid, z_0 = sum_ref, each step one
+    // truncating // — DuckDB's recursive CTE IS the recurrence
+    "events_ewma_band" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY bucket),
+        |o AS (SELECT bucket, x,
+        |        CAST(row_number() OVER (ORDER BY bucket) AS BIGINT) AS i
+        |      FROM b),
+        |ref AS (SELECT CAST(sum(x) AS BIGINT) AS sr,
+        |               CAST(count(*) AS BIGINT) AS nr
+        |        FROM o WHERE i <= 7),
+        |m AS (SELECT o.bucket, o.x, o.i - 7 AS j, ref.nr, ref.sr
+        |      FROM o, ref WHERE o.i > 7),
+        |r(j, z) AS (
+        |  SELECT CAST(1 AS BIGINT), (x * nr + 3 * sr) // 4
+        |  FROM m WHERE j = 1
+        |  UNION ALL
+        |  SELECT r.j + 1, (m.x * m.nr + 3 * r.z) // 4
+        |  FROM r JOIN m ON m.j = r.j + 1)
+        |SELECT m.bucket, m.x, r.z AS ewma, abs(r.z - m.sr) AS dev,
+        |       CAST(CASE WHEN abs(r.z - m.sr) > 50 * m.nr
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+        |FROM m JOIN r ON m.j = r.j
+        |ORDER BY m.bucket""".stripMargin,
+    // Holt replay: l/b state on the ×1e6 grid threads through the
+    // recursive CTE; the l-update expression repeats inside the b-update
+    // (SQL can't reference a sibling alias) — byte-identical arithmetic
+    "events_holt_forecast" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY bucket),
+        |o AS (SELECT bucket, x,
+        |        CAST(row_number() OVER (ORDER BY bucket) AS BIGINT) AS i
+        |      FROM b),
+        |i0 AS (SELECT
+        |    (SELECT x FROM o WHERE i = 1) * 1000000 AS l0,
+        |    ((SELECT x FROM o WHERE i = 2)
+        |      - (SELECT x FROM o WHERE i = 1)) * 1000000 AS b0),
+        |m AS (SELECT bucket, x, i - 2 AS j FROM o WHERE i > 2),
+        |r(j, l, tb, f, x, bucket) AS (
+        |  SELECT CAST(1 AS BIGINT),
+        |         (m.x * 1000000 + 3 * (i0.l0 + i0.b0)) // 4,
+        |         (((m.x * 1000000 + 3 * (i0.l0 + i0.b0)) // 4 - i0.l0)
+        |           + 7 * i0.b0) // 8,
+        |         i0.l0 + i0.b0, m.x, m.bucket
+        |  FROM m, i0 WHERE m.j = 1
+        |  UNION ALL
+        |  SELECT r.j + 1,
+        |         (m.x * 1000000 + 3 * (r.l + r.tb)) // 4,
+        |         (((m.x * 1000000 + 3 * (r.l + r.tb)) // 4 - r.l)
+        |           + 7 * r.tb) // 8,
+        |         r.l + r.tb, m.x, m.bucket
+        |  FROM r JOIN m ON m.j = r.j + 1)
+        |SELECT bucket, x, f AS forecast, l AS level, tb AS trend,
+        |       x * 1000000 - f AS resid,
+        |       CAST(CASE WHEN abs(x * 1000000 - f) > 50 * 1000000
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+        |FROM r ORDER BY bucket""".stripMargin,
     // Heaps replay: same min-id first-occurrence attribution, window
     // cumsums (fine in the oracle; Spark uses globalRunningSum), and
     // the Zipf fit's decimal-exact regression sums
@@ -7643,6 +7992,71 @@ object SparkEntry {
     // double-applied batch or a wrong merge order breaks the hash
     "sketch_kll_quantiles" -> kllQuantilesOracle,
     "streaming_kll_fold" -> kllFoldOracle,
+    // streaming loghist replay: the keyed-sum fold equals the
+    // WHOLE-corpus single-pass build register for register, so the
+    // oracle is simply that build over length(text) — if a batch were
+    // dropped or double-applied the counts (and so the quantile picks
+    // and total_n) would move
+    "streaming_loghist_fold" ->
+      """WITH v AS (SELECT CAST(length(text) AS BIGINT) AS u
+        |           FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT u, length(bin(u)) - 1 AS e FROM v WHERE u >= 1),
+        |b AS (SELECT u, e, CAST(power(2, CASE WHEN e > 3 THEN e - 3
+        |                                      ELSE 0 END) AS BIGINT) AS un
+        |      FROM p),
+        |r AS (SELECT e, u // un AS top, any_value(un) AS un,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |      FROM b GROUP BY e, u // un),
+        |s AS (SELECT top * un AS lo, cnt,
+        |             CAST(sum(cnt) OVER (ORDER BY top * un) AS BIGINT)
+        |               AS cum
+        |      FROM r),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tn,
+        |               CAST(count(*) AS BIGINT) AS nr FROM r),
+        |t AS (SELECT j AS q_idx,
+        |             greatest(1, (j * (SELECT tn FROM tot)) // 20)
+        |               AS target
+        |      FROM generate_series(1, 20) g(j)),
+        |q AS (SELECT t.q_idx, min(s.lo) AS lo
+        |      FROM t JOIN s ON s.cum >= t.target GROUP BY t.q_idx)
+        |SELECT CAST(q_idx AS BIGINT) AS q_idx, lo,
+        |       CAST(lo AS DOUBLE) / 1.0 AS value,
+        |       (SELECT nr FROM tot) AS n_regs,
+        |       (SELECT tn FROM tot) AS total_n
+        |FROM q ORDER BY q_idx""".stripMargin,
+    // log-histogram replay: the same integer grid (floor(price·100),
+    // bucket = top 4 bits via length(bin(u)) and power-of-two division —
+    // both engines evaluate these identically), register counts, then
+    // the cumulative-count quantile pick; // on positive ints == Spark's
+    // long division
+    "sketch_loghist_quantiles" ->
+      """WITH v AS (SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE)
+        |                 * 100.0) AS BIGINT) AS u
+        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |p AS (SELECT u, length(bin(u)) - 1 AS e FROM v WHERE u >= 1),
+        |b AS (SELECT u, e, CAST(power(2, CASE WHEN e > 3 THEN e - 3
+        |                                      ELSE 0 END) AS BIGINT) AS un
+        |      FROM p),
+        |r AS (SELECT e, u // un AS top, any_value(un) AS un,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |      FROM b GROUP BY e, u // un),
+        |s AS (SELECT top * un AS lo, cnt,
+        |             CAST(sum(cnt) OVER (ORDER BY top * un) AS BIGINT)
+        |               AS cum
+        |      FROM r),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tn,
+        |               CAST(count(*) AS BIGINT) AS nr FROM r),
+        |t AS (SELECT j AS q_idx,
+        |             greatest(1, (j * (SELECT tn FROM tot)) // 20)
+        |               AS target
+        |      FROM generate_series(1, 20) g(j)),
+        |q AS (SELECT t.q_idx, min(s.lo) AS lo
+        |      FROM t JOIN s ON s.cum >= t.target GROUP BY t.q_idx)
+        |SELECT CAST(q_idx AS BIGINT) AS q_idx, lo,
+        |       CAST(lo AS DOUBLE) / 100.0 AS value,
+        |       (SELECT nr FROM tot) AS n_regs,
+        |       (SELECT tn FROM tot) AS total_n
+        |FROM q ORDER BY q_idx""".stripMargin,
     // Count-Min replay: identical row-salted md5 cells ("<row>:" || w,
     // first 15 hex chars as a 60-bit long, % 512 — positive dividend so
     // % == pmod), per-cell BIGINT sums, min over the 4 rows. All-integer
@@ -8445,6 +8859,45 @@ object SparkEntry {
         |       round(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127, 6) AS scale,
         |       len(embedding) AS dims, TRUE AS err_ok
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // sq8 replay: same micro-floor quantization, one global max-abs
+    // scale, (x*127)//S codes (// truncates toward zero in DuckDB,
+    // matching Spark's div — verified incl. negatives), exact integer
+    // dot via indexed list walk, cosine re-rank on the top-20 pool
+    "similarity_topk_sq8" ->
+      """WITH vm AS (
+        |  SELECT vec_id, embedding,
+        |         list_transform(embedding, x ->
+        |           CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+        |           AS m
+        |  FROM embeddings),
+        |sc AS (SELECT max(list_aggregate(
+        |         list_transform(m, x -> abs(x)), 'max')) AS s FROM vm),
+        |cd AS (SELECT vec_id, embedding,
+        |         list_transform(m, x -> (x * 127) // sc.s) AS c
+        |       FROM vm CROSS JOIN sc),
+        |pool AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |         CAST(list_sum(list_transform(range(1, 65),
+        |           i -> q.c[i] * c.c[i])) AS BIGINT) AS dot8,
+        |         q.embedding AS qv, c.embedding AS cv
+        |  FROM cd q JOIN cd c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id < 10),
+        |surv AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot8 DESC, id) AS dr FROM pool) t
+        |  WHERE dr <= 20),
+        |rr AS (
+        |  SELECT query_id, id, dot8,
+        |         round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]),
+        |           6) + 0.0 AS cosine
+        |  FROM surv)
+        |SELECT query_id, rank::INTEGER AS rank, id, dot8, cosine FROM (
+        |  SELECT query_id, id, dot8, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, id) AS rank
+        |  FROM rr) t WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "similarity_topk_brute" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS id,
@@ -8519,6 +8972,8 @@ object SparkEntry {
     // RRF replay: the brute top-20 CTE + the signbit hamming-pool
     // rerank top-20 CTE, then integer 1e9 // (60 + rank) weights summed
     // per (query, id) and the identical (rrf_nano desc, id) top-10 cut
+    "retrieval_mmr_diversify" ->
+      mmrOracleSql(poolK = 20, k = 5, lamNum = 1L, lamDen = 2L),
     "retrieval_rrf_fusion" ->
       (s"""WITH $bruteSbCtes,
         |u AS (SELECT query_id, id, rank FROM brute

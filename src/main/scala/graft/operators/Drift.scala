@@ -531,4 +531,101 @@ object Drift {
     import spark.implicits._
     rows.toDF("lag", "n_pairs", "r").orderBy(col("lag"))
   }
+
+  /** EWMA control chart (Roberts, Technometrics 1959) over daily event
+    * counts — the monitor between the per-bucket z-score (memoryless)
+    * and CUSUM (infinite memory): the smoothed statistic
+    * `z_t = α·x_t + (1−α)·z_{t−1}` forgets geometrically, so it catches
+    * SMALL persistent shifts a z-score misses without CUSUM's
+    * never-resets behavior. α = 1/2^`alphaBits`, and the recurrence is
+    * EXACT INTEGER floor arithmetic on a ×`nRef` grid:
+    * `z_t = (x_t·nRef + (2^a−1)·z_{t−1}) div 2^a` with
+    * `z_0 = sum_ref` (= μ0·nRef), alarm when |z_t − sum_ref| >
+    * `thresholdPerBucket`·nRef. Truncating division on both engines
+    * (Spark `div`, DuckDB `//`, Scala `/` all truncate toward zero),
+    * so a run is bit-reproducible.
+    *
+    * Returns one row per monitored (post-reference) day: (bucket, x,
+    * ewma long — ×nRef units, dev long — |z−μ0·nRef|, alarm 0/1).
+    *
+    * Scale shape: identical to [[cusumDailyCounts]] — one
+    * map-combinable count-by-day distributed; the recurrence folds over
+    * the calendar-bounded sidecar (a 100 TB year is 365 rows). */
+  def ewmaDailyBand(df: DataFrame, tsCol: String, refBuckets: Int = 7,
+                    alphaBits: Int = 2,
+                    thresholdPerBucket: Long = 50L): DataFrame = {
+    require(refBuckets >= 1, s"refBuckets must be >= 1, got $refBuckets")
+    require(alphaBits >= 1 && alphaBits <= 8,
+      s"alphaBits must be in [1,8], got $alphaBits")
+    val spark = df.sparkSession
+    val buckets = df.filter(col(tsCol).isNotNull)
+      .select(to_date(date_trunc("day", col(tsCol))).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("x"))
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getDate(0), r.getLong(1)))
+    require(buckets.length > refBuckets,
+      s"need more than $refBuckets buckets, got ${buckets.length}")
+    val ref = buckets.take(refBuckets)
+    val nRef = ref.length.toLong
+    val sumRef = ref.map(_._2).sum
+    val twoA = 1L << alphaBits
+    var z = sumRef // μ0 · nRef
+    val rows = buckets.drop(refBuckets).map { case (b, x) =>
+      z = (x * nRef + (twoA - 1L) * z) / twoA
+      val dev = math.abs(z - sumRef)
+      (b, x, z, dev, if (dev > thresholdPerBucket * nRef) 1L else 0L)
+    }.toSeq
+    import spark.implicits._
+    rows.toDF("bucket", "x", "ewma", "dev", "alarm").orderBy(col("bucket"))
+  }
+
+  /** Holt double-exponential smoothing (Holt 1957; the linear-trend
+    * member the daily-monitor family lacked): level `l` and trend `b`
+    * evolve as `l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1})`,
+    * `b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}`, and the one-step-ahead
+    * forecast `f_t = l_{t−1}+b_{t−1}` yields residuals that stay small
+    * under a steady TREND — where EWMA/CUSUM against a flat μ0 alarm on
+    * every growing series. α = 1/2^`alphaBits`, β = 1/2^`betaBits`, all
+    * state on a ×`scale` integer grid with truncating division
+    * (identical in Spark/DuckDB/Scala), initialized textbook-style from
+    * the first two buckets: l = x_1·scale, b = (x_2−x_1)·scale.
+    *
+    * Returns one row per bucket from the third on: (bucket, x,
+    * forecast/level/trend longs — ×scale units, resid long — x·scale −
+    * forecast, alarm 0/1 when |resid| > thresholdPerBucket·scale).
+    *
+    * Same calendar-bounded-sidecar shape as [[cusumDailyCounts]]. */
+  def holtDailyForecast(df: DataFrame, tsCol: String, alphaBits: Int = 2,
+                        betaBits: Int = 3, thresholdPerBucket: Long = 50L,
+                        scale: Long = 1000000L): DataFrame = {
+    require(alphaBits >= 1 && alphaBits <= 8,
+      s"alphaBits must be in [1,8], got $alphaBits")
+    require(betaBits >= 1 && betaBits <= 8,
+      s"betaBits must be in [1,8], got $betaBits")
+    require(scale >= 1000L, s"scale too coarse: $scale")
+    val spark = df.sparkSession
+    val buckets = df.filter(col(tsCol).isNotNull)
+      .select(to_date(date_trunc("day", col(tsCol))).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("x"))
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getDate(0), r.getLong(1)))
+    require(buckets.length >= 3,
+      s"need >= 3 buckets, got ${buckets.length}")
+    val twoA = 1L << alphaBits
+    val twoB = 1L << betaBits
+    var l = buckets(0)._2 * scale
+    var b = (buckets(1)._2 - buckets(0)._2) * scale
+    val rows = buckets.drop(2).map { case (d, x) =>
+      val f = l + b
+      val lPrev = l
+      l = (x * scale + (twoA - 1L) * f) / twoA
+      b = ((l - lPrev) + (twoB - 1L) * b) / twoB
+      val resid = x * scale - f
+      (d, x, f, l, b, resid,
+        if (math.abs(resid) > thresholdPerBucket * scale) 1L else 0L)
+    }.toSeq
+    import spark.implicits._
+    rows.toDF("bucket", "x", "forecast", "level", "trend", "resid", "alarm")
+      .orderBy(col("bucket"))
+  }
 }

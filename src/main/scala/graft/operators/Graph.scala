@@ -72,6 +72,138 @@ object Graph {
     pr
   }
 
+  /** PERSONALIZED PageRank in the same scaled-integer arithmetic as
+    * [[pageRankIntegers]] (Page et al. 1999 §6; the random-walk-with-
+    * restart form): the teleport mass returns to a SEED set instead of
+    * the uniform distribution, so scores measure proximity to the seeds
+    * — "which near-duplicate cluster members sit closest to the known
+    * contaminated documents", "which URLs are most reachable from the
+    * trusted domains". Probabilities are `p · scale` longs; every step
+    * is integer floor division, so a run is bit-reproducible across
+    * engines and partitionings.
+    *
+    * `seeds` is a one-column frame of node ids; seeds not present in the
+    * edge set still teleport (they are added to the node set), and the
+    * initial mass is `scale div |seeds|` on each seed, 0 elsewhere.
+    * Update: `pr'(v) = [v ∈ S]·(15·(scale div |S|)) div 100 +
+    * (85 · Σ_{u→v} (pr_u div deg_u)) div 100`. Edges are DIRECTED and
+    * deduplicated (symmetrize upstream for undirected graphs); dangling
+    * mass leaks, as in the uniform variant.
+    *
+    * Returns (node, pr long). Scale shape: identical to
+    * [[pageRankIntegers]] — per iteration ONE keyed equi-join of edges
+    * against the pr frame + one map-combinable sum, the seed flag rides
+    * as a broadcast-joinable column; nothing collects to the driver. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iterations: Int,
+                           scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(scale >= 1000000L, s"scale too coarse to rank: $scale")
+    import org.apache.spark.storage.StorageLevel
+    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("div", a, b)
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("__seed", lit(1L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSeeds = seedSet.count()
+    require(nSeeds >= 1, "personalizedPageRank needs at least one seed")
+    val nodes = e.select(col("__s").as("node"))
+      .union(e.select(col("__d")))
+      .union(seedSet.select(col("node"))).distinct()
+      .join(seedSet.select(col("node"), col("__seed")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(0L)).as("__seed"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+    val base = scale / nSeeds
+    val b15 = 15L * base / 100L
+    val deg = e.groupBy(col("__s")).agg(count(lit(1)).as("__deg"))
+    val contribSrc = e.join(deg, "__s")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var pr = nodes.select(col("node"), col("__seed"),
+        (col("__seed") * lit(base)).as("pr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to iterations) {
+      val inflow = contribSrc.join(pr, col("__s") === col("node"))
+        .select(col("__d"), idiv(col("pr"), col("__deg")).as("__c"))
+        .groupBy(col("__d")).agg(sum(col("__c")).as("__in"))
+      val next = nodes.join(inflow, col("node") === col("__d"), "left")
+        .select(col("node"), col("__seed"),
+          (col("__seed") * lit(b15) +
+            idiv(lit(85L) * coalesce(col("__in"), lit(0L)), lit(100L)))
+            .as("pr"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      pr.unpersist()
+      pr = next
+    }
+    e.unpersist(); contribSrc.unpersist(); nodes.unpersist()
+    seedSet.unpersist()
+    pr.select(col("node"), col("pr"))
+  }
+
+  /** Multi-source BFS hop distances: the minimum number of edges from
+    * ANY source node — "how far does contamination spread from the
+    * known-bad documents through the near-duplicate graph", "which
+    * records sit within 2 fuzzy-match hops of a flagged entity". Pure
+    * integer hop counts, so the result is bit-identical in any engine.
+    *
+    * Frontier-expanded: hop h joins the edge set against only the nodes
+    * FIRST REACHED at hop h−1 (not the whole reached set), and stops
+    * early when a frontier comes back empty — per round one keyed
+    * equi-join of edges against the frontier + one anti-join against
+    * the reached set, the textbook distributed BFS shape (Pregel's
+    * message step as DataFrame joins). Edges are DIRECTED (symmetrize
+    * upstream for undirected reachability). Sources absent from the
+    * edge set still report dist 0. Returns (node, dist long 0..maxHops)
+    * for REACHED nodes only.
+    *
+    * Scale shape: cost per hop is O(edges out of the frontier), total
+    * O(edges within maxHops of the sources) — never O(nodes²); the
+    * reached set is persisted per round and released after. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   sources: DataFrame, sourceCol: String,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 16,
+      s"maxHops must be in [1,16], got $maxHops")
+    import org.apache.spark.storage.StorageLevel
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var reached = sources.select(col(sourceCol).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    reached.count()
+    var frontier = reached
+    var h = 1L
+    var done = false
+    while (h <= maxHops && !done) {
+      val fresh = e.join(frontier.select(col("node")),
+          col("__s") === col("node"))
+        .select(col("__d").as("node")).distinct()
+        .join(reached.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(h))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (fresh.isEmpty) {
+        fresh.unpersist()
+        done = true
+      } else {
+        val next = reached.unionByName(fresh)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        reached.unpersist()
+        if (frontier ne reached) frontier.unpersist()
+        reached = next
+        frontier = fresh
+        h += 1L
+      }
+    }
+    e.unpersist()
+    if (frontier ne reached) frontier.unpersist()
+    reached.select(col("node"), col("dist"))
+  }
+
   /** Per-node triangle counts of an UNDIRECTED graph — the local
     * clustering signal over a near-duplicate / fuzzy-match graph: a
     * document in many triangles sits inside a dense template family

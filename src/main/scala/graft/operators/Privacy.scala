@@ -164,4 +164,44 @@ object Privacy {
         (round(col("__s").cast("double") / denom, 6) + lit(0.0)).as("emd")): _*)
       .withColumn("at_risk", col("emd") > t)
   }
+
+  /** Deterministic keyed pseudonymization (GDPR Art. 4(5) discipline):
+    * each value of the listed columns is replaced by the stable
+    * surrogate `pn_` + first 16 hex chars of `md5(salt || ":" || value)`.
+    * SAME salt + SAME value → SAME token, so referential integrity
+    * survives — two tables pseudonymized with one salt still join on
+    * the token — while recovery requires the salt (keep it out of the
+    * released data; rotate it to break linkage between releases).
+    * Contrast [[graft.functions.TextFunctions]]'s scrubbing, which
+    * REDACTS and destroys joinability. NULLs stay NULL (absent ≠
+    * identifying here, unlike the k-anonymity audit's grouping).
+    *
+    * Scale shape: MAP-ONLY — one codegen'd md5 per cell, no shuffle, no
+    * driver state; the cheapest possible 100 TB transform. */
+  def pseudonymize(df: DataFrame, salt: String,
+                   cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to pseudonymize")
+    require(salt.nonEmpty, "empty salt defeats pseudonymization")
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, when(col(c).isNull, lit(null)).otherwise(
+        concat(lit("pn_"),
+          substring(md5(concat(lit(salt), lit(":"),
+            col(c).cast("string"))), 1, 16))))
+    }
+  }
+
+  /** Format-preserving email pseudonymization: `local@domain` keeps its
+    * DOMAIN (per-provider aggregates stay computable) while the local
+    * part becomes the keyed token; strings without `@` tokenize whole.
+    * Same salt-keyed md5 surrogate as [[pseudonymize]]. */
+  def pseudonymizeEmail(c: Column, salt: String): Column = {
+    require(salt.nonEmpty, "empty salt defeats pseudonymization")
+    val at = instr(c, "@")
+    def token(s: Column) =
+      concat(lit("pn_"), substring(md5(concat(lit(salt), lit(":"), s)), 1, 16))
+    when(c.isNull, lit(null))
+      .when(at > 0, concat(token(c.substr(lit(1), at - 1)),
+        c.substr(at, length(c) - at + 1)))
+      .otherwise(token(c))
+  }
 }

@@ -428,4 +428,87 @@ object Retrieval {
       .orderBy(col("score_micro").desc, col("phrase"))
       .limit(k)
   }
+
+  /** Maximal Marginal Relevance diversified top-k (Carbonell &
+    * Goldstein, SIGIR 1998): greedily select `k` results from a
+    * relevance pool of `poolK`, each step maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` — the re-ranker that
+    * keeps a near-duplicate-heavy corpus from returning k copies of the
+    * same document. λ = `lamNum`/`lamDen` rational, and both rel and sim
+    * are EXACT integer dot products of micro-floor-quantized vectors
+    * (the [[Similarity.sq8TopK]] grid), so the reported
+    * `score = lamNum·rel − (lamDen−lamNum)·maxsim` and every selection
+    * is bit-reproducible in any engine; ties break on the smaller id.
+    * Step 1 has an empty selected set — its score is `lamNum·rel`.
+    *
+    * Returns (query_id, rank int 1..k, id, rel long, score long).
+    *
+    * Scale shape: pass 1 is the brute-pool discipline — broadcast(query
+    * codes) cross the corpus scan, WindowGroupLimit-pruned to poolK per
+    * query (swap in any ANN pool upstream; the greedy stage only needs
+    * (id, rel, vector) rows). Everything after runs on pool-sized
+    * frames: the pairwise-sim self-join is |Q|·poolK² rows keyed by
+    * query, and each of the k−1 greedy steps is one keyed join + one
+    * per-query window over those — corpus size never appears again. */
+  def mmrDiversify(corpus: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String,
+                   poolK: Int, k: Int,
+                   lamNum: Long = 1L, lamDen: Long = 2L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(poolK >= k, s"poolK ($poolK) must cover k ($k)")
+    require(lamDen >= 1L && lamNum >= 0L && lamNum <= lamDen,
+      s"need 0 <= lamNum <= lamDen, got $lamNum/$lamDen")
+    def micro(c: org.apache.spark.sql.Column) = transform(c,
+      x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+    def doti(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val c = corpus.select(col(idCol).as("id"), micro(col(vecCol)).as("m"))
+    val q = queries.select(col(idCol).as("query_id"),
+      micro(col(vecCol)).as("qm"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("id").asc)
+    val pool = c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), doti(col("qm"), col("m")).as("rel"),
+        col("m"))
+      .withColumn("__r", row_number().over(pw))
+      .filter(col("__r") <= poolK).drop("__r")
+      .localCheckpoint()
+    val sims = pool.select(col("query_id"), col("id"), col("m"))
+      .join(pool.select(col("query_id"), col("id").as("other"),
+          col("m").as("om")), Seq("query_id"))
+      .filter(col("id") =!= col("other"))
+      .select(col("query_id"), col("id"), col("other"),
+        doti(col("m"), col("om")).as("sim"))
+      .localCheckpoint()
+    val pv = pool.select(col("query_id"), col("id"), col("rel"))
+    var selected = pv.withColumn("__r", row_number().over(pw))
+      .filter(col("__r") === 1).drop("__r")
+      .select(col("query_id"), col("id"), col("rel"),
+        lit(1).as("rank"), (lit(lamNum) * col("rel")).as("score"))
+    for (step <- 2 to k) {
+      val maxsim = sims
+        .join(selected.select(col("query_id"), col("id").as("other")),
+          Seq("query_id", "other"))
+        .groupBy(col("query_id"), col("id"))
+        .agg(max(col("sim")).as("__ms"))
+      val pick = pv
+        .join(selected.select(col("query_id"), col("id")),
+          Seq("query_id", "id"), "left_anti")
+        .join(maxsim, Seq("query_id", "id"), "left")
+        .select(col("query_id"), col("id"), col("rel"),
+          (lit(lamNum) * col("rel") -
+            lit(lamDen - lamNum) * coalesce(col("__ms"), lit(0L)))
+            .as("score"))
+        .withColumn("__r", row_number().over(Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("id").asc)))
+        .filter(col("__r") === 1).drop("__r")
+        .select(col("query_id"), col("id"), col("rel"),
+          lit(step).as("rank"), col("score"))
+      selected = selected.unionByName(pick)
+    }
+    selected.select(col("query_id"), col("rank"), col("id"),
+      col("rel"), col("score"))
+  }
 }

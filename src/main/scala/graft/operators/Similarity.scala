@@ -823,6 +823,65 @@ object Similarity {
         col("trunc_cosine"), col("cosine"))
   }
 
+  /** Scalar-quantized int8 two-stage retrieval — the fourth compression
+    * lever next to sign bits ([[signBitTopK]]), prefix truncation
+    * ([[matryoshkaTopK]]) and PQ codebooks: vectors quantize to 8-bit
+    * codes `c_d = (⌊x_d·10⁶⌋ · 127) div S` with ONE global scale
+    * `S = max |⌊x·10⁶⌋|` over the corpus (per-dim scales would buy
+    * little on whitened embeddings and cost an extra join per scan), and
+    * candidates rank by the EXACT INTEGER dot product of the codes — no
+    * float in the hot loop, bit-identical in any engine, 4× less memory
+    * traffic than f32 scans. Survivors (`rerank` per query) get the
+    * exact full-precision cosine; final rank (cosine desc, id).
+    *
+    * Scale shape: identical to [[signBitTopK]] — pass 1 moves only
+    * (query_id, id, dot8) longs through the per-query window over a
+    * map-only scan of the code table (in production the codes persist
+    * as a column; here they derive in the scan), pass 2 broadcasts the
+    * tiny survivor set back at the corpus. The scale S is a single
+    * scalar aggregate collected once. Output (query_id, rank, id, dot8,
+    * cosine). */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank pool ($rerank) must cover k ($k)")
+    def micro(c: Column) = transform(c,
+      x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+    val s = corpus.select(
+        aggregate(micro(col(vecCol)), lit(0L),
+          (acc, x) => greatest(acc, abs(x))).as("__m"))
+      .agg(max(col("__m"))).head().getLong(0)
+    require(s >= 1L, s"corpus max |component| quantized to $s — all-zero?")
+    def codes(c: Column) = transform(micro(c),
+      x => call_function("div", x * lit(127L), lit(s)))
+    val c = corpus.select(col(idCol).as("id"), codes(col(vecCol)).as("code"))
+    val q = queries.select(col(idCol).as("query_id"),
+      codes(col(vecCol)).as("qcode"))
+    val pool = c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        aggregate(zip_with(col("qcode"), col("code"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot8"))
+    val dw = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot8").desc, col("id").asc)
+    val survivors = pool.withColumn("__dr", row_number().over(dw))
+      .filter(col("__dr") <= rerank)
+      .drop("__dr")
+    val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("__cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val rescored = cv.join(broadcast(survivors), Seq("id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("id"), col("dot8"),
+        round(GraftExpressions.cosineSimilarity(col("__qv"), col("__cv")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("dot8"),
+        col("cosine"))
+  }
+
   /** Deterministic per-query top-k: rank on (cosine desc, id asc) so ties
     * are stable across engines. */
   private def topK(scored: DataFrame, k: Int): DataFrame = {

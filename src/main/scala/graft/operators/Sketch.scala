@@ -285,6 +285,17 @@ object Sketch {
                    table: String, k: Int): DataFrame =
     kllMerge(k, spark.read.parquet(table))
 
+  /** Fold a streaming-maintained log-histogram register table
+    * ([[graft.streaming.StreamRunner.runIncrementalLogHistMaintain]]
+    * appends one bounded frame per batch): one [[logHistMerge]] keyed
+    * sum — equal to the whole-history build register for register,
+    * which is why this is the cheapest live quantile profile of the
+    * family. NOT replay-idempotent (counts would double), so the
+    * exactly-once ledger is load-bearing, like the Count-Min sums. */
+  def logHistFoldTable(spark: org.apache.spark.sql.SparkSession,
+                       table: String): DataFrame =
+    logHistMerge(spark.read.parquet(table))
+
   /** Distinct-count estimate from a bottom-k register table — one row:
     * (n_regs, kth_hash, estimate round(4)). With fewer than k distinct
     * hashes the register set IS the distinct set (estimate = n, exact);
@@ -515,5 +526,107 @@ object Sketch {
       .groupBy(col("__v").as(valCol))
       .agg((sum(coalesce(col("__hit"), lit(0L))) === lit(k.toLong))
         .cast("long").as("maybe_in"))
+  }
+
+  // --- Log-bucketed relative-error quantile histogram ----------------------
+  // (the DDSketch discipline — Masson, Rim & Lee, VLDB 2019: fixed
+  // RELATIVE-error buckets, counts mergeable by plain addition — but on a
+  // base-2 grid built from pure integer arithmetic, so the registers are
+  // bit-identical in any engine: no log() whose last ulp could move a
+  // boundary value between buckets.)
+
+  /** The log-histogram register table of a positive numeric column:
+    * values are quantized to the integer grid `u = floor(value ·
+    * unitScale)` (exact double multiply + floor, the house cross-engine
+    * idiom), and bucket identity is the top `subBits + 1` BITS of `u` —
+    * key `(e, top)` with `e = ⌊log₂ u⌋ = length(bin(u)) − 1` and
+    * `top = u div 2^max(e−subBits, 0)`. Every step is integer arithmetic
+    * both Spark and DuckDB evaluate identically.
+    *
+    * Returns (e int, top long, lo long, cnt long) where `lo = top ·
+    * 2^max(e−subBits,0)` is the bucket's inclusive lower bound on the
+    * `unitScale` grid. Bucket width is 2^−subBits of its magnitude, so
+    * any value is within a factor (1 + 2^−subBits) of its bucket's `lo`
+    * — a guaranteed RELATIVE error, where an equi-width histogram's
+    * error explodes on heavy-tailed data. Rows with NULL or
+    * non-positive quantized values are excluded (log buckets need
+    * positive support; offset upstream for signed data).
+    *
+    * Scale shape: ONE map-combinable count aggregate over the rows — no
+    * sort, no window, no driver state (contrast [[kllRegisters]], which
+    * pays a full range sort for its tighter RANK guarantee). The table
+    * is bounded by 63·2^subBits + subBits rows regardless of input
+    * size, and [[logHistMerge]] is a plain keyed sum — the per-shard/
+    * per-day profile sidecar a 100 TB pipeline folds at read time
+    * without ever touching the data again. */
+  def logHistRegisters(df: DataFrame, valCol: String,
+                       unitScale: Long = 100L, subBits: Int = 3): DataFrame = {
+    require(unitScale >= 1L, s"unitScale must be >= 1, got $unitScale")
+    require(subBits >= 1 && subBits <= 6,
+      s"subBits must be in [1,6], got $subBits")
+    val u = floor(col(valCol).cast("double") * lit(unitScale.toDouble))
+      .cast("long")
+    val e = (length(bin(col("__u"))) - 1).cast("int")
+    df.filter(col(valCol).isNotNull)
+      .select(u.as("__u")).filter(col("__u") >= 1L)
+      .select(col("__u"), e.as("e"))
+      .select(col("__u"), col("e"),
+        greatest(col("e") - lit(subBits), lit(0)).as("__sh"))
+      .select(col("e"),
+        pow(lit(2.0), col("__sh")).cast("long").as("__unit"), col("__u"))
+      .select(col("e"),
+        call_function("div", col("__u"), col("__unit")).as("top"),
+        col("__unit"))
+      .groupBy(col("e"), col("top"))
+      .agg(first(col("__unit")).as("__unit"), count(lit(1)).as("cnt"))
+      .select(col("e"), col("top"), (col("top") * col("__unit")).as("lo"),
+        col("cnt"))
+  }
+
+  /** Fold log-histogram register tables from several shards/days/sources
+    * into one: union + keyed sum — fully DISTRIBUTED (no driver collect,
+    * unlike the KLL merge's coin rounds), associative, and idempotent to
+    * re-aggregation, which is what makes this the cheapest mergeable
+    * quantile profile in the family. */
+  def logHistMerge(regs: DataFrame*): DataFrame = {
+    require(regs.nonEmpty, "logHistMerge needs at least one register table")
+    regs.map(_.select(col("e"), col("top"), col("lo"), col("cnt")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("e"), col("top"))
+      .agg(first(col("lo")).as("lo"), sum(col("cnt")).as("cnt"))
+      .select(col("e"), col("top"), col("lo"), col("cnt"))
+  }
+
+  /** Quantile estimates from a log-histogram register table —
+    * [[Ranking.exactQuantiles]]'s contract (q_idx 1..q; the bucket whose
+    * cumulative count reaches max(1, (j·N) div q)) at histogram cost.
+    * Registers collect driver-side (bounded ≤ 63·2^subBits rows, the
+    * sidecar discipline), cumulative counts are exact long sums in `lo`
+    * order (bucket keys order exactly as their lower bounds — the (e,
+    * top) lexicographic order IS numeric order), and the estimate
+    * reported is the bucket's lower bound mapped back through
+    * `unitScale` — within a factor (1 + 2^−subBits) of every value the
+    * bucket holds, the sketch's guarantee. Pure integer rank arithmetic;
+    * identical in any engine. */
+  def logHistQuantiles(registers: DataFrame, q: Int,
+                       unitScale: Long = 100L): DataFrame = {
+    require(q >= 1, s"quantile count must be >= 1, got $q")
+    val rows = registers.select(col("lo").cast("long"),
+        col("cnt").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val spark = registers.sparkSession
+    import spark.implicits._
+    if (rows.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("q_idx", "lo", "value")
+    val totalN = rows.map(_._2).sum
+    val cum = rows.scanLeft(0L)(_ + _._2).tail
+    val out = (1 to q).map { j =>
+      val target = math.max(1L, j.toLong * totalN / q)
+      val i = cum.indexWhere(_ >= target)
+      val lo = rows(if (i < 0) rows.length - 1 else i)._1
+      (j.toLong, lo, lo.toDouble / unitScale.toDouble)
+    }
+    out.toDF("q_idx", "lo", "value")
   }
 }

@@ -362,6 +362,28 @@ object StreamRunner {
         .write.mode("append").parquet(registerTable)
     }
 
+  /** Streaming log-histogram (DDSketch-style) maintenance: each
+    * micro-batch appends its bounded register frame
+    * ([[graft.operators.Sketch.logHistRegisters]] — ONE map-combinable
+    * count aggregate of the BATCH, no sort at all, the cheapest sketch
+    * in the family); readers fold with [[graft.operators.Sketch
+    * .logHistFoldTable]], a plain keyed sum that equals the
+    * whole-history build REGISTER FOR REGISTER. Like the Count-Min sums
+    * (and unlike the HLL max-fold), the fold is NOT idempotent under
+    * redelivery — a replayed batch's counts would add twice — so the
+    * exactly-once ledger is load-bearing. */
+  def runIncrementalLogHistMaintain(stream: DataFrame, valCol: String,
+                                    registerTable: String, unitScale: Long,
+                                    subBits: Int, checkpoint: String,
+                                    store: graft.core.HwmStore,
+                                    ledgerName: String): Unit =
+    runAvailableNowForeachBatchExactlyOnce(stream, checkpoint, store,
+      ledgerName) { (batch, _) =>
+      graft.operators.Sketch.logHistRegisters(batch, valCol, unitScale,
+          subBits)
+        .write.mode("append").parquet(registerTable)
+    }
+
   /** Streaming CDC maintenance: each micro-batch of change rows
     * (upserts/deletes with a ts) folds into the maintained snapshot via
     * [[graft.operators.Scd.applyCdc]], and the result lands in a fresh

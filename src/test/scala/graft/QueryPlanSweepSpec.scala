@@ -26,6 +26,12 @@ class QueryPlanSweepSpec extends AnyFunSuite {
                               // corpus codes — 8 bytes/row, the point
     "similarity_topk_matryoshka", // deliberate: broadcast(truncated
                               // queries) cross truncated corpus
+    "similarity_topk_sq8",    // deliberate: broadcast(query int8 codes)
+                              // cross corpus codes (Similarity.sq8TopK
+                              // pass 1 — the signbit discipline)
+    "retrieval_mmr_diversify", // deliberate: broadcast(query codes)
+                              // cross corpus for the relevance pool
+                              // (Retrieval.mmrDiversify pass 1)
     "similarity_hard_negatives", // same shape: broadcast(anchors) cross
                               // corpus scan (Similarity.mineHardNegatives)
     "similarity_bitext_margin", // deliberate: broadcast(right shard)

@@ -204,4 +204,56 @@ class DriftSpec extends SparkSpec {
       .as[(Double, Long, Long)].collect().head
     assert(again == out)
   }
+
+  test("ewmaDailyBand: hand-computed geometric approach; alarm crosses band") {
+    def day(d: Int) = f"2024-03-$d%02d 12:00:00"
+    // 7 baseline days at 10/day (z0 = 70 on the ×7 grid), then 14/day:
+    // z = 77, 82, 86 — dev 7, 12, 16; threshold 2/day = 14 on the grid
+    val counts = Seq.fill(7)(10) ++ Seq(14, 14, 14)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(day(i + 1)) }
+    val df = rows.toDF("t").select(to_timestamp($"t").as("ts"))
+    val out = Drift.ewmaDailyBand(df, "ts", refBuckets = 7,
+        alphaBits = 2, thresholdPerBucket = 2L)
+      .as[(java.sql.Date, Long, Long, Long, Long)].collect().toSeq
+      .map { case (b, x, z, d, a) => (b.toString, x, z, d, a) }
+    assert(out == Seq(
+      ("2024-03-08", 14L, 77L, 7L, 0L),
+      ("2024-03-09", 14L, 82L, 12L, 0L),
+      ("2024-03-10", 14L, 86L, 16L, 1L)))
+    // partitioning invariance: recurrence folds a sorted sidecar
+    val rep = Drift.ewmaDailyBand(df.repartition(9), "ts", refBuckets = 7,
+        alphaBits = 2, thresholdPerBucket = 2L)
+      .as[(java.sql.Date, Long, Long, Long, Long)].collect().toSeq
+      .map { case (b, x, z, d, a) => (b.toString, x, z, d, a) }
+    assert(rep == out)
+  }
+
+  test("holtDailyForecast: hand state on linear growth; residuals shrink " +
+      "where a flat-baseline monitor would alarm daily") {
+    def day(d: Int) = f"2024-04-$d%02d 12:00:00"
+    // 10,12,14,16,18: l0=10e6, b0=2e6; day 3 f=12e6, l=12.5e6,
+    // b=(2.5e6+14e6)/8=2062500, resid=2e6
+    val counts = Seq(10, 12, 14, 16, 18)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(day(i + 1)) }
+    val df = rows.toDF("t").select(to_timestamp($"t").as("ts"))
+    val out = Drift.holtDailyForecast(df, "ts", alphaBits = 2,
+        betaBits = 3, thresholdPerBucket = 3L)
+      .as[(java.sql.Date, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+      .map { case (b, x, f, l, tr, r, a) => (b.toString, x, f, l, tr, r, a) }
+    assert(out.head ==
+      ("2024-04-03", 14L, 12000000L, 12500000L, 2062500L, 2000000L, 0L))
+    val resids = out.map(_._6)
+    assert(resids == resids.sortBy(-_),
+      s"residuals must shrink under a steady trend, got $resids")
+    assert(out.forall(_._7 == 0L), "no alarms under the tracked trend")
+    // the same series alarms EWMA's flat baseline on every monitored day
+    // (5-day toy: baseline = first 2 days via refBuckets=2)
+    val ew = Drift.ewmaDailyBand(df, "ts", refBuckets = 2,
+        alphaBits = 1, thresholdPerBucket = 1L)
+      .as[(java.sql.Date, Long, Long, Long, Long)].collect().toSeq
+    assert(ew.forall(_._5 == 1L))
+  }
 }

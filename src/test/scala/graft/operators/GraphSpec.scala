@@ -153,4 +153,73 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect().toSeq ==
       Seq((1L, 3L, 2L, 2 * w2, 2 * w2 / 1e6)))
   }
+
+  test("personalizedPageRank: hand-computed path with one seed; exact integers") {
+    // undirected path a-b-c, seed {a}: base = 1e12, b15 = 15e10.
+    // p0 = (1e12, 0, 0); deg = (1, 2, 1)
+    // p1: a = b15 + 85*(0//2)//100        = 150000000000
+    //     b = 0   + 85*(1e12//1)//100     = 850000000000
+    //     c = 0
+    // p2: a = b15 + 85*(850e9//2)//100    = 511250000000
+    //     b = 0   + 85*(150e9//1)//100    = 127500000000
+    //     c = 0   + 85*(850e9//2)//100    = 361250000000
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("s", "d")
+    val seeds = Seq("a").toDF("node")
+    val out = Graph.personalizedPageRank(edges, "s", "d", seeds, "node", 2)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map(
+      "a" -> 511250000000L, "b" -> 127500000000L, "c" -> 361250000000L))
+  }
+
+  test("personalizedPageRank: all-seeds degenerates to uniform PageRank; " +
+      "partitioning-invariant; isolated seed keeps teleport mass only") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("c", "a"), ("a", "c")).toDF("s", "d")
+    val allSeeds = Seq("a", "b", "c").toDF("node")
+    val ppr = Graph.personalizedPageRank(edges, "s", "d", allSeeds, "node", 3)
+      .as[(String, Long)].collect().toMap
+    val pr = Graph.pageRankIntegers(edges, "s", "d", 3)
+      .as[(String, Long)].collect().toMap
+    assert(ppr == pr, "all-node seed set must equal the uniform variant")
+    val rep = Graph.personalizedPageRank(
+        edges.repartition(7), "s", "d", allSeeds, "node", 3)
+      .as[(String, Long)].collect().toMap
+    assert(rep == ppr)
+    // a seed with no edges teleports but never receives inflow:
+    // pr = b15 = (15 * (1e12/2)) / 100 every iteration
+    val iso = Graph.personalizedPageRank(edges, "s", "d",
+        Seq("a", "z").toDF("node"), "node", 3)
+      .as[(String, Long)].collect().toMap
+    assert(iso("z") == 75000000000L)
+    assert(iso.contains("a") && iso("a") > iso("z"))
+  }
+
+  test("bfsDistances: min hops from any source; maxHops caps reach; " +
+      "early-stop on an exhausted frontier; isolated seed reports 0") {
+    // path a-b-c-d-e (undirected) plus isolated z; sources {a, z}
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    val edges = (und ++ und.map(_.swap)).toDF("s", "d")
+    val out = Graph.bfsDistances(edges, "s", "d",
+        Seq("a", "z").toDF("node"), "node", maxHops = 10)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 0L, "z" -> 0L, "b" -> 1L, "c" -> 2L,
+      "d" -> 3L, "e" -> 4L))
+    // two sources: distances are the MIN over sources
+    val two = Graph.bfsDistances(edges, "s", "d",
+        Seq("a", "e").toDF("node"), "node", maxHops = 10)
+      .as[(String, Long)].collect().toMap
+    assert(two == Map("a" -> 0L, "e" -> 0L, "b" -> 1L, "d" -> 1L,
+      "c" -> 2L))
+    // maxHops caps the reach: d and e unreported at 2 hops
+    val capped = Graph.bfsDistances(edges, "s", "d",
+        Seq("a").toDF("node"), "node", maxHops = 2)
+      .as[(String, Long)].collect().toMap
+    assert(capped == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    // partitioning invariance
+    val rep = Graph.bfsDistances(edges.repartition(7), "s", "d",
+        Seq("a", "z").toDF("node"), "node", maxHops = 10)
+      .as[(String, Long)].collect().toMap
+    assert(rep == out)
+  }
 }

@@ -90,4 +90,47 @@ class PrivacySpec extends SparkSpec {
       assert(!p.contains("Join"), p)
     }
   }
+
+  test("pseudonymize: stable keyed tokens, join-consistency across frames, " +
+      "NULL passthrough, salt rotation breaks linkage") {
+    val a = Seq((1L, Some("alice")), (2L, Some("bob")), (3L, None))
+      .toDF("id", "name")
+    val out = Privacy.pseudonymize(a, "s1", Seq("name"))
+      .as[(Long, Option[String])].collect().toMap
+    val md5alice = java.security.MessageDigest.getInstance("MD5")
+      .digest("s1:alice".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    assert(out(1L).contains(s"pn_$md5alice"))
+    assert(out(3L).isEmpty, "NULL must stay NULL")
+    // same salt on another frame → identical token (joins survive)
+    val b = Seq((9L, "alice")).toDF("k", "name")
+    val tok = Privacy.pseudonymize(b, "s1", Seq("name"))
+      .as[(Long, String)].collect().head._2
+    assert(tok == out(1L).get)
+    // rotated salt → different token (linkage between releases broken)
+    val rot = Privacy.pseudonymize(b, "s2", Seq("name"))
+      .as[(Long, String)].collect().head._2
+    assert(rot != tok)
+    // map-only plan: no shuffle, no join
+    val plan = Privacy.pseudonymize(a, "s1", Seq("name"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
+  test("pseudonymizeEmail: domain preserved, local tokenized; no-@ strings " +
+      "tokenize whole") {
+    val df = Seq((1L, Some("alice@corp.example")), (2L, Some("not-an-email")),
+      (3L, None)).toDF("id", "e")
+    val out = df.select($"id",
+        Privacy.pseudonymizeEmail($"e", "s1").as("pn"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L).get.endsWith("@corp.example"))
+    assert(out(1L).get.startsWith("pn_"))
+    val md5local = java.security.MessageDigest.getInstance("MD5")
+      .digest("s1:alice".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    assert(out(1L).get == s"pn_$md5local@corp.example")
+    assert(out(2L).get.startsWith("pn_") && !out(2L).get.contains("@"))
+    assert(out(3L).isEmpty)
+  }
 }

@@ -253,4 +253,30 @@ class RetrievalSpec extends SparkSpec {
       .filter($"query_id" === 3L).as[(Long, Long, Double)].collect().head
     assert(deep == ((3L, 0L, 0.0)))
   }
+
+  test("mmrDiversify: hand-computed greedy picks skip the near-duplicate; " +
+      "poolK caps the candidate set; exact integer scores") {
+    // q=(1,0.2); a=(1,0) dominates, b=(0.98,0.05) near-dups a,
+    // c=(0.2,1) is diverse. Micro-dots: rel a/b/c = 1e12, 9.9e11, 4e11;
+    // sim(a,b)=9.8e11, sim(a,c)=2e11, sim(b,c)=2.46e11. λ=1/2 greedy:
+    // a (1e12), then c (4e11−2e11=2e11 beats b's 9.9e11−9.8e11=1e10),
+    // then b — where pure relevance would return a, b, c.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.98f, 0.05f)),
+      (3L, Array(0.2f, 1.0f))).toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(1.0f, 0.2f))).toDF("vec_id", "embedding")
+    val out = Retrieval.mmrDiversify(corpus, q, "vec_id", "embedding",
+        poolK = 3, k = 3)
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(out == Seq(
+      (100L, 1, 1L, 1000000000000L, 1000000000000L),
+      (100L, 2, 3L, 400000000000L, 200000000000L),
+      (100L, 3, 2L, 990000000000L, 10000000000L)))
+    // poolK=2 keeps only the top-2 relevance pool → c never considered
+    val capped = Retrieval.mmrDiversify(corpus, q, "vec_id", "embedding",
+        poolK = 2, k = 2)
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(capped.map(_._3) == Seq(1L, 2L))
+  }
 }

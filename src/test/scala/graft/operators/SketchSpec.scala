@@ -279,4 +279,57 @@ class SketchSpec extends SparkSpec {
     assert(forged.map(_._3).sum > totalW + n / 4,
       "a duplicated register frame should inflate the folded weight")
   }
+
+  /** The log-histogram bucket key of a positive grid value, mirrored in
+    * plain Scala: e = floor(log2 u), top = u >> max(e - subBits, 0). */
+  private def lhKey(u: Long, subBits: Int): (Int, Long) = {
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(u)
+    (e, u >> math.max(e - subBits, 0))
+  }
+
+  test("logHistRegisters: buckets match the bit arithmetic exactly; " +
+      "counts conserve; non-positive and NULL excluded") {
+    val vals: Seq[java.lang.Double] =
+      (1L to 300L).map(v => java.lang.Double.valueOf(v.toDouble)) ++
+        Seq(java.lang.Double.valueOf(0.0),
+          java.lang.Double.valueOf(-7.0), null)
+    val df = vals.toDF("v")
+    val regs = Sketch.logHistRegisters(df, "v", unitScale = 1L, subBits = 2)
+      .as[(Int, Long, Long, Long)].collect().toSeq.sortBy(_._3)
+    val expected = (1L to 300L).groupBy(u => lhKey(u, 2))
+      .map { case ((e, top), us) =>
+        (e, top, top << math.max(e - 2, 0), us.size.toLong) }
+      .toSeq.sortBy(_._3)
+    assert(regs == expected)
+    assert(regs.map(_._4).sum == 300L, "counts must conserve the rows")
+    // bound: at most 63 * 2^subBits + subBits registers, data-independent
+    assert(regs.size <= 63 * 4 + 2)
+  }
+
+  test("logHistMerge: distributed fold over shards equals the whole-corpus " +
+      "build; quantile estimates carry the relative-error guarantee") {
+    val n = 5000
+    // heavy-tailed: u = i^2 spans ~24 doubling ranges
+    val us = (1 to n).map(i => i.toLong * i)
+    val df = us.map(_.toDouble).toDF("v")
+    val whole = Sketch.logHistRegisters(df, "v", unitScale = 1L, subBits = 3)
+    val shards = us.grouped(1700).map(g =>
+      Sketch.logHistRegisters(g.map(_.toDouble).toDF("v"),
+        "v", unitScale = 1L, subBits = 3)).toSeq
+    val folded = Sketch.logHistMerge(shards: _*)
+    assert(folded.as[(Int, Long, Long, Long)].collect().sortBy(_._3).toSeq ==
+      whole.as[(Int, Long, Long, Long)].collect().sortBy(_._3).toSeq,
+      "merge must equal the single-pass build register for register")
+    val sorted = us.sorted
+    Sketch.logHistQuantiles(whole, 10, unitScale = 1L)
+      .as[(Long, Long, Double)].collect().foreach { case (j, lo, v) =>
+        val target = math.max(1L, j * n.toLong / 10)
+        val exact = sorted((target - 1).toInt)
+        val e = 63 - java.lang.Long.numberOfLeadingZeros(lo)
+        val unit = 1L << math.max(e - 3, 0)
+        assert(lo <= exact && exact < lo + unit,
+          s"q$j: exact $exact outside bucket [$lo, ${lo + unit})")
+        assert(v == lo.toDouble)
+      }
+  }
 }
