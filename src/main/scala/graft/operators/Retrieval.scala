@@ -441,15 +441,18 @@ object Retrieval {
     * is bit-reproducible in any engine; ties break on the smaller id.
     * Step 1 has an empty selected set — its score is `lamNum·rel`.
     *
-    * Returns (query_id, rank int 1..k, id, rel long, score long).
+    * Returns (query_id long, rank int 1..k, id long, rel long, score
+    * long) — ids must be integral (they cast to long for the typed
+    * greedy stage).
     *
     * Scale shape: pass 1 is the brute-pool discipline — broadcast(query
     * codes) cross the corpus scan, WindowGroupLimit-pruned to poolK per
     * query (swap in any ANN pool upstream; the greedy stage only needs
-    * (id, rel, vector) rows). Everything after runs on pool-sized
-    * frames: the pairwise-sim self-join is |Q|·poolK² rows keyed by
-    * query, and each of the k−1 greedy steps is one keyed join + one
-    * per-query window over those — corpus size never appears again. */
+    * (id, rel, vector) rows). The greedy stage is ONE groupByKey
+    * shuffle of the |Q|·poolK pool rows; the k selection steps run
+    * locally per query group (O(k·poolK·d) integer ops, state bounded
+    * by poolK) — corpus size never appears again, and queries
+    * distribute across executors. */
   def mmrDiversify(corpus: DataFrame, queries: DataFrame,
                    idCol: String, vecCol: String,
                    poolK: Int, k: Int,
@@ -473,42 +476,62 @@ object Retrieval {
         col("m"))
       .withColumn("__r", row_number().over(pw))
       .filter(col("__r") <= poolK).drop("__r")
-      .localCheckpoint()
-    val sims = pool.select(col("query_id"), col("id"), col("m"))
-      .join(pool.select(col("query_id"), col("id").as("other"),
-          col("m").as("om")), Seq("query_id"))
-      .filter(col("id") =!= col("other"))
-      .select(col("query_id"), col("id"), col("other"),
-        doti(col("m"), col("om")).as("sim"))
-      .localCheckpoint()
-    val pv = pool.select(col("query_id"), col("id"), col("rel"))
-    var selected = pv.withColumn("__r", row_number().over(pw))
-      .filter(col("__r") === 1).drop("__r")
-      .select(col("query_id"), col("id"), col("rel"),
-        lit(1).as("rank"), (lit(lamNum) * col("rel")).as("score"))
-    for (step <- 2 to k) {
-      val maxsim = sims
-        .join(selected.select(col("query_id"), col("id").as("other")),
-          Seq("query_id", "other"))
-        .groupBy(col("query_id"), col("id"))
-        .agg(max(col("sim")).as("__ms"))
-      val pick = pv
-        .join(selected.select(col("query_id"), col("id")),
-          Seq("query_id", "id"), "left_anti")
-        .join(maxsim, Seq("query_id", "id"), "left")
-        .select(col("query_id"), col("id"), col("rel"),
-          (lit(lamNum) * col("rel") -
-            lit(lamDen - lamNum) * coalesce(col("__ms"), lit(0L)))
-            .as("score"))
-        .withColumn("__r", row_number().over(Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("id").asc)))
-        .filter(col("__r") === 1).drop("__r")
-        .select(col("query_id"), col("id"), col("rel"),
-          lit(step).as("rank"), col("score"))
-      selected = selected.unionByName(pick)
-    }
-    selected.select(col("query_id"), col("rank"), col("id"),
-      col("rel"), col("score"))
+    // greedy stage: ONE shuffle groups each query's ≤ poolK pool rows,
+    // then the k selection steps run LOCALLY per group (O(k·poolK·d)
+    // integer ops — ~100k per query). The iterative-join formulation
+    // (k rounds × join+window) pays ~4 shuffle stage barriers per step
+    // for frames of a few hundred rows; grouping once is both the
+    // faster and the 100 TB shape — queries distribute, the per-query
+    // state is bounded by poolK.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val mu = lamDen - lamNum
+    val kk = k
+    pool.select(col("query_id").cast("long"), col("id").cast("long"),
+        col("rel"), col("m"))
+      .as[(Long, Long, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Seq[Long])]) =>
+        val rows = it.toArray
+        val n = rows.length
+        val vecs = rows.map(_._4.toArray)
+        val taken = new Array[Boolean](n)
+        val maxSim = new Array[Long](n)
+        val out = Seq.newBuilder[(Long, Int, Long, Long, Long)]
+        var rank = 1
+        while (rank <= math.min(kk, n)) {
+          var best = -1
+          var bestScore = 0L
+          var i = 0
+          while (i < n) {
+            if (!taken(i)) {
+              val ms = if (rank == 1) 0L else maxSim(i)
+              val score = lamNum * rows(i)._3 - mu * ms
+              if (best == -1 || score > bestScore ||
+                  (score == bestScore && rows(i)._2 < rows(best)._2)) {
+                best = i; bestScore = score
+              }
+            }
+            i += 1
+          }
+          out += ((qid, rank, rows(best)._2, rows(best)._3, bestScore))
+          taken(best) = true
+          val bv = vecs(best)
+          var j = 0
+          while (j < n) {
+            if (!taken(j)) {
+              var d = 0
+              var dot = 0L
+              val vj = vecs(j)
+              while (d < bv.length) { dot += bv(d) * vj(d); d += 1 }
+              if (rank == 1 || dot > maxSim(j)) maxSim(j) = dot
+            }
+            j += 1
+          }
+          rank += 1
+        }
+        out.result()
+      }
+      .toDF("query_id", "rank", "id", "rel", "score")
   }
 }
