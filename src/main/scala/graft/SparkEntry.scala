@@ -1011,6 +1011,30 @@ object SparkEntry {
         DbReader(conn(s, dir), "documents").run(),
         "doc_id", "n_chars", batchSize = 32)
     }),
+    "events_kaplan_meier" -> ((s, dir) => {
+      // censoring-correct conversion curve: first view → first
+      // subsequent purchase in integer days, users who never purchase
+      // CENSORED at the study end instead of silently dropped (the bias
+      // events_time_to_convert's converters-only histogram cannot see);
+      // product-limit survival on a ×1e12 integer grid
+      val ev = eventsMicros(s, dir)
+      val endMicros = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+      val tv = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("__tv"))
+      val tp = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("__tp"))
+        .join(tv, Seq("user_id"))
+        .filter(col("__tp") > col("__tv"))
+        .groupBy(col("user_id")).agg(min(col("__tp")).as("__tp"))
+      val durs = tv.join(tp, Seq("user_id"), "left")
+        .select(call_function("div",
+            coalesce(col("__tp"), lit(endMicros)) - col("__tv"),
+            lit(86400000000L)).as("dur"),
+          col("__tp").isNotNull.as("observed"))
+      operators.Drift.kaplanMeier(durs, "dur", "observed")
+        .orderBy(col("t"))
+    }),
     "events_time_to_convert" -> ((s, dir) => {
       // first-view -> first-subsequent-purchase latency per user, as an
       // equi-depth 5-tile histogram over exact integer seconds — the
@@ -1736,6 +1760,28 @@ object SparkEntry {
           "doc_id")
       operators.Features.calibrationBins(scored, "score", "is_en")
     }),
+    "feature_brier_decomposition" -> ((s, dir) => {
+      // Murphy decomposition of the same scorer-vs-is-English Brier
+      // score: miscalibration (fixable by recalibration) split from
+      // missing discrimination (not fixable) over the base-rate floor;
+      // micro-exact BS numerator, nano-quantized order-free bin terms
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val toks = docs.select(
+        explode(filter(split(lower(col("text")), "[^a-z]+"),
+          t => t =!= "")).as("word"))
+      val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= 50)
+        .select(col("word"),
+          (conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long")
+            % 2001 - 1000).cast("double").as("weight"))
+      val scored = operators.Corpus.fastTextStyleScore(docs, "doc_id",
+          "text", vocab, bias = 0.0, scale = 1000.0)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .join(docs.filter(col("lang").isNotNull)
+          .select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          "doc_id")
+      operators.Features.brierDecomposition(scored, "score", "is_en")
+    }),
     "feature_roc_auc" -> ((s, dir) => {
       // ranking quality of the quality scorer vs the is-English label:
       // Mann-Whitney AUC with exact integer tie credit over the
@@ -1902,6 +1948,17 @@ object SparkEntry {
     }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       operators.Dedup.ngramJaccardDupPairs(
+          DbReader(conn(s, dir), "documents").run(), "doc_id", "text",
+          shingleSize = 3, threshold = 0.7)
+        .orderBy(col("id1"), col("id2"))
+    }),
+    "dedup_jaccard_prefix" -> ((s, dir) => {
+      // the PPJoin path to the SAME pair set: candidates only where the
+      // globally-rarest prefix shingles collide (lossless by the prefix
+      // principle), exact array-intersect verify — the formulation whose
+      // shuffle volume survives boilerplate-heavy corpora; identical
+      // oracle as dedup_ngram_jaccard, two algorithms cross-checking
+      operators.Dedup.ngramJaccardPrefixPairs(
           DbReader(conn(s, dir), "documents").run(), "doc_id", "text",
           shingleSize = 3, threshold = 0.7)
         .orderBy(col("id1"), col("id2"))
@@ -2135,6 +2192,16 @@ object SparkEntry {
           k = 5, dims = 16, rerank = 20)
         .withColumn("rank", col("rank").cast("int"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+    "sample_kcenter_coreset" -> ((s, dir) => {
+      // Gonzalez farthest-point traversal, k=8 over the embedding
+      // corpus: the corpus-global diverse-subset pick (eval panels,
+      // annotation budgets) — exact integer squared L2 on the micro
+      // grid, smallest-id seed, per-pick one map-only fold
+      operators.Sampling.kCenterCoreset(
+          DbReader(conn(s, dir), "embeddings").run(),
+          "vec_id", "embedding", k = 8)
+        .orderBy(col("rank"))
     }),
     "similarity_topk_sq8" -> ((s, dir) => {
       // int8 scalar-quantized ANN: one global max-abs scale, codes
@@ -2615,7 +2682,11 @@ object SparkEntry {
           md5(encode(element_at(sentences(col("text")), 1), "UTF-8")).as("first_md5"))
         .orderBy(col("doc_id"))
     }),
-    "text_char_entropy" -> ((s, dir) => {
+    // NOTE renamed from text_char_entropy: that key was silently
+    // SHADOWED by the later same-named gate (Scala Map keeps the last
+    // duplicate) — this richer (n_chars, n_distinct, entropy) variant
+    // was dead code until round 14 gave it its own key
+    "text_char_entropy_dist" -> ((s, dir) => {
       // per-doc Shannon character entropy — the doc-internal randomness
       // gauge beside the corpus-level zlib ratio: one term per distinct
       // (doc, char), per-doc sum round(6) (the JS-divergence tolerance;
@@ -2898,6 +2969,21 @@ object SparkEntry {
           multiPatternCount(col("text"), pats).as("n_matches"),
           multiPatternDistinct(col("text"), pats).as("n_patterns_hit"))
         .orderBy(col("doc_id"))
+    }),
+    "text_confusable_spoofs" -> ((s, dir) => {
+      // homoglyph-spoof detection (UTS #39 confusable-skeleton subset):
+      // docs < 30 get a Cyrillic-swapped copy planted at id+200000;
+      // pairs = equal skeleton, differing raw text — what byte-exact
+      // dedup structurally misses; join key is the skeleton's xxhash64
+      val docs = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+      val spoofed = docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          translate(col("text"), "aeopc", "аеорс")
+            .as("text"))
+      operators.TextMetrics.confusableSpoofPairs(
+          docs.unionByName(spoofed), "doc_id", "text")
+        .orderBy(col("id1"), col("id2"))
     }),
     "text_char_entropy" -> ((s, dir) => {
       // gibberish detector: per-doc Shannon entropy of the character
@@ -6258,6 +6344,40 @@ object SparkEntry {
       "\nORDER BY query_id, rank"
   }
 
+  /** k-center replay: the farthest-point traversal UNROLLED — step i is
+    * one argmax-of-running-min CTE over the previous step's distance
+    * frame, the same exact integer squared L2 and (best DESC, id)
+    * tie-break as the operator. */
+  private def kcenterOracleSql(k: Int): String = {
+    def d2(v: String, c: String) =
+      s"CAST(list_sum(list_transform(range(1, 65), i -> " +
+        s"($v.m[i] - $c.m[i]) * ($v.m[i] - $c.m[i]))) AS BIGINT)"
+    val head =
+      """WITH vm AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x ->
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |c1 AS (SELECT id, m FROM vm ORDER BY id LIMIT 1),""".stripMargin +
+      s"""
+         |m1 AS (SELECT v.id, v.m, ${d2("v", "c")} AS best
+         |       FROM vm v, c1 c)""".stripMargin
+    val steps = (2 to k).map { i =>
+      val p = i - 1
+      val excl = (1 until i).map(j => s"SELECT id FROM c$j")
+        .mkString(" UNION ALL ")
+      s"""c$i AS (SELECT id, m, best FROM m$p
+         |  WHERE id NOT IN ($excl)
+         |  ORDER BY best DESC, id LIMIT 1),
+         |m$i AS (SELECT v.id, v.m,
+         |  least(v.best, ${d2("v", "c")}) AS best
+         |  FROM m$p v, c$i c)""".stripMargin
+    }
+    val out = (s"SELECT 1 AS rank, id, CAST(0 AS BIGINT) AS radius2 FROM c1"
+      +: (2 to k).map(i => s"SELECT $i, id, best FROM c$i"))
+      .mkString(" UNION ALL ")
+    (head +: steps).mkString(",\n") + s"\n$out\nORDER BY rank"
+  }
+
   /** Multi-source BFS replay: the fuzzy-match adjacency, seeds ≡ 0
     * (mod 10) at dist 0, then `hops` unrolled frontier steps — each a
     * distinct-neighbors join minus the already-reached set. */
@@ -7240,6 +7360,7 @@ object SparkEntry {
     "graph_label_propagation" -> labelPropOracleSql(rounds = 3),
     "graph_ppr" -> pprOracleSql(rounds = 3),
     "graph_bfs_reach" -> bfsOracleSql(hops = 3),
+    "sample_kcenter_coreset" -> kcenterOracleSql(k = 8),
     "linkage_fellegi_sunter" -> fellegiSunterOracleSql(),
     "linkage_fs_em" -> fsEmOracleSql(),
     "streaming_linkage_ingest" -> streamingLinkageOracleSql(),
@@ -7516,6 +7637,47 @@ object SparkEntry {
         |FROM nata, srta, cnt""".stripMargin,
     // time-to-convert replay: same first-view/first-later-purchase
     // definition, micro-epoch integer diff, floor-div seconds, ntile(5)
+    // KM replay: same first-view/first-purchase duration algebra with
+    // never-converters censored at max(ts); the product-limit recurrence
+    // threads the ×1e12 grid through a recursive CTE, risk set as an
+    // exact cumulative-count window — censor-only days multiply by n//n
+    // (exactly 1), so both engines walk identical grids
+    "events_kaplan_meier" ->
+      """WITH RECURSIVE tv AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |tp AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN tv ON e.user_id = tv.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > tv.t
+        |  GROUP BY e.user_id),
+        |fin AS (SELECT max(epoch_us(ts)) AS e FROM events),
+        |durs AS (
+        |  SELECT (COALESCE(tp.t, fin.e) - tv.t) // 86400000000 AS t,
+        |         CASE WHEN tp.t IS NULL THEN 0 ELSE 1 END AS o
+        |  FROM tv LEFT JOIN tp USING (user_id), fin),
+        |day AS (SELECT t, CAST(sum(o) AS BIGINT) AS d,
+        |               CAST(count(*) AS BIGINT) AS al
+        |        FROM durs GROUP BY t),
+        |o AS (SELECT t, d, al,
+        |        CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i,
+        |        (SELECT CAST(count(*) AS BIGINT) FROM durs)
+        |          - CAST(COALESCE(sum(al) OVER (ORDER BY t
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |              0) AS BIGINT) AS nr
+        |      FROM day),
+        |r(i, s) AS (
+        |  SELECT CAST(1 AS BIGINT), (1000000000000 * (nr - d)) // nr
+        |  FROM o WHERE i = 1
+        |  UNION ALL
+        |  SELECT r.i + 1, (r.s * (o.nr - o.d)) // o.nr
+        |  FROM r JOIN o ON o.i = r.i + 1)
+        |SELECT o.t, o.nr AS n_risk, o.d AS n_events,
+        |       CAST(r.s AS BIGINT) AS surv_grid,
+        |       round(CAST(r.s AS DOUBLE) / 1000000000000.0, 6) + 0.0
+        |         AS survival
+        |FROM o JOIN r ON o.i = r.i
+        |WHERE o.d > 0 ORDER BY o.t""".stripMargin,
     "events_time_to_convert" ->
       """WITH tv AS (
         |  SELECT user_id, min(epoch_us(ts)) AS t FROM events
@@ -8312,6 +8474,71 @@ object SparkEntry {
         |SELECT bin, n, mean_score, frac_pos,
         |       round(abs(mean_score - frac_pos), 6) + 0.0 AS gap
         |FROM agg ORDER BY bin""".stripMargin,
+    // Brier replay: the same scorer CTEs, micro-quantized scores, exact
+    // HUGEINT BS numerator, and the two nano bin terms with the IDENTICAL
+    // left-to-right float division tree the Scala fold uses
+    "feature_brier_decomposition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS t
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT t, CAST(('0x' || substr(md5(t), 1, 15))::UBIGINT AS BIGINT)
+        |           % 2001 - 1000 AS wi
+        |  FROM (SELECT t FROM toks GROUP BY t HAVING count(*) >= 50)),
+        |s AS (
+        |  SELECT doc_id, count(*) AS n_toks,
+        |         CAST(sum(COALESCE(v.wi, 0)) AS BIGINT) AS sw
+        |  FROM toks LEFT JOIN vocab v USING (t)
+        |  GROUP BY doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, (d.lang = 'en') AS l,
+        |         CASE WHEN s.doc_id IS NULL THEN 0.5
+        |              ELSE round(1.0 / (1.0 +
+        |                exp(-(sw / (n_toks * 1000.0)))), 4) END AS score
+        |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        |  WHERE d.lang IS NOT NULL),
+        |b AS (
+        |  SELECT CAST(floor(CAST(score AS DOUBLE) * 1000000.0) AS BIGINT)
+        |           AS m,
+        |         CASE WHEN l THEN 1 ELSE 0 END AS y,
+        |         greatest(0, least(9, CAST(floor(score * 10) AS BIGINT)))
+        |           AS bin
+        |  FROM scored),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(y) AS BIGINT) AS p,
+        |             sum((m - 1000000 * y) * (m - 1000000 * y)) AS sq
+        |      FROM b),
+        |pb AS (SELECT bin, CAST(count(*) AS BIGINT) AS nk,
+        |              CAST(sum(m) AS BIGINT) AS sk,
+        |              CAST(sum(y) AS BIGINT) AS pk
+        |       FROM b GROUP BY bin),
+        |terms AS (
+        |  SELECT
+        |    CAST(floor(CAST(sk - 1000000 * pk AS DOUBLE)
+        |      * CAST(sk - 1000000 * pk AS DOUBLE)
+        |      / nk / g.n / 1000.0) AS BIGINT) AS reln,
+        |    CAST(floor(CAST(pk * g.n - g.p * nk AS DOUBLE)
+        |      * CAST(pk * g.n - g.p * nk AS DOUBLE)
+        |      / nk / g.n / g.n / g.n * 1000000000.0) AS BIGINT) AS resn
+        |  FROM pb, g),
+        |t AS (SELECT CAST(sum(reln) AS BIGINT) AS rel,
+        |             CAST(sum(resn) AS BIGINT) AS res FROM terms)
+        |SELECT n, brier, reliability, resolution, uncertainty,
+        |       round(brier - (reliability - resolution + uncertainty), 6)
+        |         + 0.0 AS residual
+        |FROM (
+        |  SELECT g.n,
+        |    round(CAST(g.sq AS DOUBLE)
+        |      / (CAST(g.n AS DOUBLE) * 1000000000000.0), 6) + 0.0 AS brier,
+        |    round(CAST(t.rel AS DOUBLE) / 1000000000.0, 6) + 0.0
+        |      AS reliability,
+        |    round(CAST(t.res AS DOUBLE) / 1000000000.0, 6) + 0.0
+        |      AS resolution,
+        |    round(CAST(g.p AS DOUBLE) * CAST(g.n - g.p AS DOUBLE)
+        |      / (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE)), 6) + 0.0
+        |      AS uncertainty
+        |  FROM g, t) z""".stripMargin,
     // AUC replay: distinct-score counts, window prefix of negatives,
     // integer 2U through DECIMAL(38,0), one division
     "feature_roc_auc" ->
@@ -8622,6 +8849,10 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT doc_id FROM dups)
         |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle,
+    // the prefix-filtered formulation must land on the IDENTICAL pair
+    // set — the filter is lossless by the prefix principle, so the two
+    // gates share one oracle and cross-check each other's algebra
+    "dedup_jaccard_prefix" -> jaccardOracle,
     // containment replay: same raw-string shingles as jaccardOracle plus
     // the planted prefix excerpts; directed rows from the undirected
     // intersection
@@ -10649,7 +10880,7 @@ object SparkEntry {
     // char-entropy replay: per-(doc, char) counts, the identical
     // (n/t)·ln(t/n)/ln(2) term, per-doc sum round(6); empty/NULL docs
     // keep their zero row through the left join
-    "text_char_entropy" ->
+    "text_char_entropy_dist" ->
       """WITH ch AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ''),
         |           x -> x <> '')) AS c
@@ -10671,6 +10902,30 @@ object SparkEntry {
         |       COALESCE(s.h, 0.0) AS entropy
         |FROM documents doc LEFT JOIN s ON s.doc_id = doc.doc_id
         |ORDER BY doc.doc_id""".stripMargin,
+    // confusable replay: identical skeleton table (the operator's own
+    // from/to constants interpolate into the SQL so the two can never
+    // drift), same planted Cyrillic swaps, pairs on skeleton equality
+    "text_confusable_spoofs" ->
+      (s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id + 200000, translate(text, 'aeopc', 'аеорс')
+         |  FROM documents WHERE doc_id < 30 AND text IS NOT NULL),
+         |sk AS (SELECT doc_id, text,
+         |         translate(text, '${operators.TextMetrics.confusableFrom}',
+         |                   '${operators.TextMetrics.confusableTo}') AS s,
+         |         CAST(length(text) - length(translate(text,
+         |           '${operators.TextMetrics.confusableFrom}', ''))
+         |           AS BIGINT) AS n
+         |       FROM base),""".stripMargin +
+      """
+        |d AS (SELECT * FROM sk WHERE n > 0),
+        |p AS (SELECT least(d.doc_id, b.doc_id) AS id1,
+        |             greatest(d.doc_id, b.doc_id) AS id2,
+        |             d.n + b.n AS ns
+        |      FROM d JOIN sk b ON d.s = b.s AND d.text != b.text)
+        |SELECT id1, id2, CAST(max(ns) AS BIGINT) AS n_swapped
+        |FROM p GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin),
     "text_multipattern_hits" ->
       """WITH pats AS (SELECT * FROM (VALUES ('scan'), ('table scan'),
         |    ('fast sort'), ('a'), ('slow'), ('an')) p(p)),

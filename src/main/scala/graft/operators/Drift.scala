@@ -579,6 +579,62 @@ object Drift {
     rows.toDF("bucket", "x", "ewma", "dev", "alarm").orderBy(col("bucket"))
   }
 
+  /** Kaplan–Meier product-limit survival estimate (Kaplan & Meier,
+    * JASA 1958) over INTEGER durations with right censoring — the
+    * censoring-correct answer to "what fraction of users have not yet
+    * converted by day t", where a naive conversion-rate-by-day silently
+    * treats the not-yet-converted as never-converting. Input: one row
+    * per subject, `durCol` = integer duration units, `observedCol` =
+    * 1/true if the event happened at that duration, 0/false if the
+    * subject was CENSORED there (study ended, still at risk).
+    *
+    * Product-limit on a ×`scale` integer grid: at each distinct
+    * duration t in order, `S' ← (S' · (n_t − d_t)) div n_t` with n_t =
+    * subjects still at risk (duration ≥ t; same-day censorings count AS
+    * at-risk, the standard events-before-censorings convention) and
+    * d_t = events at t. Censoring-only days multiply by n/n — EXACTLY 1
+    * in integer division, so they cannot drift the grid. Truncating
+    * division both engines share ⇒ bit-reproducible; each step's floor
+    * loses < 1 grid unit (1e−12), negligible against the estimator's
+    * own variance.
+    *
+    * Returns one row per EVENT day: (t, n_risk, n_events, surv_grid
+    * long, survival double round 6). Scale shape: one map-combinable
+    * (duration → counts) aggregate distributed; the recurrence folds
+    * over the duration-bounded sidecar (a year of days = 365 rows), the
+    * [[cusumDailyCounts]] discipline. */
+  def kaplanMeier(df: DataFrame, durCol: String, observedCol: String,
+                  scale: Long = 1000000000000L): DataFrame = {
+    require(scale >= 1000000L, s"scale too coarse: $scale")
+    val spark = df.sparkSession
+    val days = df.filter(col(durCol).isNotNull && col(observedCol).isNotNull)
+      .select(col(durCol).cast("long").as("t"),
+        col(observedCol).cast("boolean").cast("long").as("o"))
+      .groupBy(col("t"))
+      .agg(sum(col("o")).as("d"), count(lit(1)).as("all"))
+      .orderBy(col("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(days.nonEmpty, "kaplanMeier needs at least one subject")
+    var atRisk = days.map(_._3).sum
+    require(atRisk < Long.MaxValue / scale,
+      s"risk set $atRisk too large for the $scale grid (S·n must fit a " +
+        "long); shrink scale or pre-aggregate")
+    var s = scale
+    val out = Seq.newBuilder[(Long, Long, Long, Long, Double)]
+    days.foreach { case (t, d, all) =>
+      s = s * (atRisk - d) / atRisk
+      if (d >= 1L) {
+        val r6 = BigDecimal(s.toDouble / scale.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+        out += ((t, atRisk, d, s, r6))
+      }
+      atRisk -= all
+    }
+    import spark.implicits._
+    out.result().toDF("t", "n_risk", "n_events", "surv_grid", "survival")
+      .orderBy(col("t"))
+  }
+
   /** Holt double-exponential smoothing (Holt 1957; the linear-trend
     * member the daily-monitor family lacked): level `l` and trend `b`
     * evolve as `l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1})`,

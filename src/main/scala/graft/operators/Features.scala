@@ -367,4 +367,80 @@ object Features {
     import spark.implicits._
     rows.toDF("bin", "n", "frac_pos", "fitted").orderBy(col("bin"))
   }
+
+  /** Murphy decomposition of the Brier score (Murphy, J. Appl. Met.
+    * 1973): `BS = reliability − resolution + uncertainty (+ within-bin
+    * variance)` over [[calibrationBins]]' fixed-width bins —
+    * reliability is the calibration error a recalibration could remove,
+    * resolution the discrimination the scorer actually has, uncertainty
+    * the base-rate floor no scorer can beat, and the residual is the
+    * binning remainder (within-bin forecast variance MINUS twice the
+    * within-bin forecast–outcome covariance — zero when forecasts are
+    * constant per bin, NEGATIVE when scores still rank outcomes inside
+    * a bin, i.e. discrimination the bin grid is too coarse to credit).
+    * The single-number
+    * companion to the reliability DIAGRAM: "is this quality scorer bad
+    * because it is miscalibrated (fixable) or because it cannot
+    * discriminate (not fixable)".
+    *
+    * Exactness: scores quantize to micro-units (floor(s·1e6)); BS's
+    * numerator Σ(m − 1e6·y)² is an exact DECIMAL integer; per-bin sums
+    * (n_k, Σm, Σy) are exact longs, and each bin's reliability /
+    * resolution term is ONE fixed left-to-right IEEE expression
+    * floor-quantized to nano-units before the (order-free) long sum —
+    * both engines evaluate the identical operation tree. One division +
+    * round(6) per reported figure.
+    *
+    * Returns one row: (n, brier, reliability, resolution, uncertainty,
+    * residual — all round 6). Scale shape: one map-combinable grouped
+    * aggregate (≤ bins rows) + one global aggregate; the decomposition
+    * folds over the bounded bin sidecar on the driver. */
+  def brierDecomposition(df: DataFrame, scoreCol: String, labelCol: String,
+                         bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(
+        greatest(lit(0L), least(lit((bins - 1).toLong),
+          floor(col(scoreCol) * lit(bins)).cast("long"))).as("bin"),
+        floor(col(scoreCol).cast("double") * lit(1000000.0)).cast("long")
+          .as("__m"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+    val g = base.agg(count(lit(1)).as("n"), sum(col("__y")).as("p"),
+        sum(((col("__m") - lit(1000000L) * col("__y")) *
+          (col("__m") - lit(1000000L) * col("__y"))).cast(dec)).as("sq"))
+      .head()
+    val n = g.getLong(0)
+    require(n >= 1, "brierDecomposition needs at least one scored row")
+    val p = g.getLong(1)
+    val sq = g.getDecimal(2)
+    val perBin = base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("nk"), sum(col("__m")).as("sk"),
+        sum(col("__y")).as("pk"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // nano-unit bin terms: rel_k = D²/(n_k·1e12·N)·1e9, D = Σm − 1e6·Σy;
+    // res_k = E²/(n_k·N³)·1e9, E = Σy·N − P·n_k — D, E exact longs, the
+    // float tree is division-by-division left to right in BOTH engines
+    val relNano = perBin.map { case (nk, sk, pk) =>
+      val d = (sk - 1000000L * pk).toDouble
+      math.floor(d * d / nk / n / 1000.0).toLong
+    }.sum
+    val resNano = perBin.map { case (nk, _, pk) =>
+      val e = (pk * n - p * nk).toDouble
+      math.floor(e * e / nk / n / n / n * 1000000000.0).toLong
+    }.sum
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val brier = r6(sq.doubleValue() / (n.toDouble * 1.0e12))
+    val rel = r6(relNano.toDouble / 1.0e9)
+    val res = r6(resNano.toDouble / 1.0e9)
+    val unc = r6(p.toDouble * (n - p).toDouble / (n.toDouble * n.toDouble))
+    val resid = r6(brier - (rel - res + unc))
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, brier, rel, res, unc, resid))
+      .toDF("n", "brier", "reliability", "resolution", "uncertainty",
+        "residual")
+  }
 }

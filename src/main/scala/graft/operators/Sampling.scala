@@ -641,4 +641,73 @@ object Sampling {
     spark.createDataFrame(rows.toSeq)
       .toDF(sourceCol, "avail", "alloc")
   }
+
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-point traversal —
+    * a 2-approximation of the optimal k-center cover): pick the
+    * smallest-id vector, then k−1 times the point FARTHEST from the
+    * chosen set (ties to the smaller id) — the corpus-global "maximum
+    * coverage" subset selection that complements query-relative MMR:
+    * seed sets for clustering, diverse eval panels, annotation budgets.
+    * Distances are exact integer squared L2 over micro-floor-quantized
+    * components (the [[graft.operators.Retrieval.mmrDiversify]] grid),
+    * so every pick is bit-reproducible; ids must be integral.
+    *
+    * Returns (rank int 1..k, id long, radius2 long) — radius2 is the
+    * point's squared distance to the set that EXCLUDES it (its max-min
+    * score when chosen; 0 for the seed), a monotone non-increasing
+    * sequence = the cover radius curve k-center is chosen to minimize.
+    *
+    * Scale shape: per pick ONE map-only pass folds the new center
+    * (a broadcast literal) into each row's running min-distance, plus a
+    * TakeOrdered(1) for the argmax — k passes total, no pairwise
+    * materialization anywhere; driver state is the k chosen vectors
+    * (the bounded-sidecar discipline). */
+  def kCenterCoreset(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.storage.StorageLevel
+    def micro(c: Column) = transform(c,
+      x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+    def dist2(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    val base = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), micro(col(vecCol)).as("m"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = base.count()
+    require(n >= 1, "kCenterCoreset needs at least one vector")
+    val firstId = base.agg(min(col("id"))).head().getLong(0)
+    def vecOf(id: Long): Seq[Long] =
+      base.filter(col("id") === id).head().getSeq[Long](1)
+    val picks = Seq.newBuilder[(Int, Long, Long)]
+    picks += ((1, firstId, 0L))
+    var state = base
+      .withColumn("best", dist2(col("m"), typedlit(vecOf(firstId))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lastState = state
+    var chosen = Set(firstId)
+    var rank = 2
+    while (rank <= math.min(k.toLong, n).toInt) {
+      val top = state.filter(!col("id").isInCollection(chosen))
+        .orderBy(col("best").desc, col("id").asc).limit(1)
+        .head()
+      val pid = top.getLong(0)
+      picks += ((rank, pid, top.getLong(2)))
+      chosen += pid
+      val next = state
+        .withColumn("best",
+          least(col("best"), dist2(col("m"), typedlit(vecOf(pid)))))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      lastState.unpersist()
+      state = next
+      lastState = next
+      rank += 1
+    }
+    state.unpersist()
+    base.unpersist()
+    val spark = df.sparkSession
+    import spark.implicits._
+    picks.result().toDF("rank", "id", "radius2")
+  }
 }

@@ -252,4 +252,62 @@ object TextMetrics {
         (round(sqrt(ratio("matched_1", "total_1") *
           ratio("matched_2", "total_2")), 6) + lit(0.0)).as("bleu2"))
   }
+
+  // --- Unicode confusable (homoglyph) detection ---------------------------
+
+  /** Latin-lookalike table — a deterministic subset of Unicode TR #39's
+    * confusables (the Cyrillic and Greek letters visually identical to
+    * ASCII in most fonts, both cases): the characters an attacker swaps
+    * in to slip a spoofed domain / handle / document past an exact-match
+    * filter. Kept single-codepoint → single-codepoint so the skeleton is
+    * one `translate` call (codegen'd in Spark, built-in in DuckDB). */
+  private[graft] val confusableFrom: String =
+    "аеорсухіѕјԁɡաονυρκ" + "АВЕКМНОРСТХЅІЈ" + "αγ" + "ΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"
+  private[graft] val confusableTo: String =
+    "aeopcyxisjdgwovupk" + "ABEKMHOPCTXSIJ" + "ay" + "ABEZHIKMNOPTYX"
+
+  /** The confusable SKELETON of a string: every homoglyph mapped to its
+    * ASCII target — two strings that render alike get EQUAL skeletons.
+    * Map-only, one translate. */
+  def confusableSkeleton(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    translate(c, confusableFrom, confusableTo)
+
+  /** Homoglyph-spoof pairs: documents whose confusable skeletons are
+    * EQUAL while the raw texts differ — the catch that byte-exact dedup
+    * structurally misses (a Cyrillic 'о' swapped into an English doc
+    * defeats md5 dedup while reading identically). Returns (id1, id2,
+    * n_swapped long — confusable codepoints in the pair's non-ASCII
+    * side(s), > 0 by construction) with id1 < id2.
+    *
+    * Scale shape: the join KEY is the skeleton's xxhash64 — an 8-byte,
+    * skew-safe hash key (the skeleton and text ride the row for
+    * verification) — and docs with ZERO confusable characters can only
+    * match each other trivially (skeleton == raw ⇒ texts equal ⇒
+    * excluded), so one side of the join is pre-filtered to the docs
+    * containing at least one homoglyph: the clean majority is scanned
+    * once and joined only against that small dirty side. */
+  def confusableSpoofPairs(df: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("__t"),
+        confusableSkeleton(col(textCol)).as("__sk"))
+      .withColumn("__n",
+        (length(col("__t")) -
+          length(translate(col("__t"), confusableFrom, ""))).cast("long"))
+    // a pair needs at least one side with a homoglyph; keep clean docs
+    // only as JOIN TARGETS of dirty ones by unioning roles — cheaper:
+    // dirty side joins the full table, pairs dedup on (id1, id2)
+    val dirty = base.filter(col("__n") > 0L)
+      .select(col("id").as("__di"), col("__sk").as("__dsk"),
+        col("__t").as("__dt"), col("__n").as("__dn"))
+    dirty.join(base,
+        xxhash64(col("__dsk")) === xxhash64(col("__sk")) &&
+          col("__dsk") === col("__sk") && col("__dt") =!= col("__t"))
+      .select(least(col("__di"), col("id")).as("id1"),
+        greatest(col("__di"), col("id")).as("id2"),
+        (col("__dn") + col("__n")).as("n_swapped"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(max(col("n_swapped")).as("n_swapped"))
+  }
 }

@@ -528,6 +528,28 @@ class SamplingSpec extends SparkSpec {
     val df = Seq(Some(1L), None, Some(2L)).toDF("id")
     assert(Sampling.sampleByKey(df, "id", 1.0).count() == 2L)
   }
+
+  test("kCenterCoreset: farthest-point traversal on a 1-D line; radius " +
+      "curve non-increasing; duplicate points tie to the smaller id") {
+    // micro points 0, 1e6, 1e7, 4e6 from seed id 1: picks 3 (1e14),
+    // then 4 (1.6e13), then 2 (1e12)
+    val df = Seq((1L, Array(0.0f)), (2L, Array(1.0f)), (3L, Array(10.0f)),
+      (4L, Array(4.0f))).toDF("vec_id", "embedding")
+    val out = Sampling.kCenterCoreset(df, "vec_id", "embedding", k = 4)
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1, 1L, 0L), (2, 3L, 100000000000000L),
+      (3, 4L, 16000000000000L), (4, 2L, 1000000000000L)))
+    assert(out.map(_._3).drop(1) == out.map(_._3).drop(1).sortBy(-_))
+    // duplicates: both at 10.0 — the smaller id wins the argmax tie
+    val dup = Seq((1L, Array(0.0f)), (7L, Array(10.0f)), (5L, Array(10.0f)))
+      .toDF("vec_id", "embedding")
+    val picks = Sampling.kCenterCoreset(dup, "vec_id", "embedding", k = 2)
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1).map(_._2)
+    assert(picks == Seq(1L, 5L))
+    // k beyond the corpus stops at n picks
+    assert(Sampling.kCenterCoreset(dup, "vec_id", "embedding", k = 9)
+      .count() == 3)
+  }
 }
 
 class TextMetricsSpec extends SparkSpec {
@@ -639,6 +661,28 @@ class TextMetricsSpec extends SparkSpec {
       (6L, 8L, 2L, h6)))
     // low-entropy template sits strictly between constant and 1 bit
     assert(out(5)._4 > 0.0 && out(5)._4 < 1.0)
+  }
+
+  test("confusableSpoofPairs: planted Cyrillic swap caught, clean docs " +
+      "and exact duplicates excluded, n_swapped counts the homoglyphs") {
+    val docs = Seq(
+      (1L, "the cat sat"),                 // clean original
+      (2L, "the cаt sаt"),       // Cyrillic а twice -> spoof of 1
+      (3L, "the dog ran"),                 // clean, no pair
+      (4L, "the dog ran"),                 // exact duplicate of 3: equal
+                                           // skeleton but equal TEXT too
+      (5L, "тhe cat sat")             // Cyrillic т: skeleton differs
+                                           // (т not in the table) -> no pair
+    ).toDF("doc_id", "text")
+    val out = TextMetrics.confusableSpoofPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(out == Seq((1L, 2L, 2L)))
+    // skeleton is idempotent when no TABLE character appears (docs
+    // 1/3/4 are ASCII; doc 5's Cyrillic т is deliberately unmapped)
+    val sk = docs.select(
+        TextMetrics.confusableSkeleton($"text") === $"text")
+      .as[Boolean].collect()
+    assert(sk.count(identity) == 4)
   }
 }
 

@@ -205,6 +205,30 @@ class DriftSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("kaplanMeier: textbook product-limit with censoring; censor-only " +
+      "days leave the grid untouched; floor grid on a 1/3 step") {
+    // events at t=1 (2 of 5), censored at t=2, event at t=3, censored
+    // at t=4: S(1) = 3/5 = 0.6, S(3) = 0.6·1/2 = 0.3 — the censored
+    // subject at t=2 stays in no row but shrinks the t=3 risk set
+    val df = Seq((1L, true), (1L, true), (2L, false), (3L, true),
+      (4L, false)).toDF("dur", "obs")
+    val out = Drift.kaplanMeier(df, "dur", "obs")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 5L, 2L, 600000000000L, 0.6),
+      (3L, 2L, 1L, 300000000000L, 0.3)))
+    // non-terminating fraction floors on the grid
+    val thirds = Seq((1L, true), (2L, false), (2L, false))
+      .toDF("dur", "obs")
+    val t = Drift.kaplanMeier(thirds, "dur", "obs")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(t == ((1L, 3L, 1L, 666666666666L, 0.666667)))
+    // partitioning invariance (sidecar fold)
+    val rep = Drift.kaplanMeier(df.repartition(5), "dur", "obs")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(rep == out)
+  }
+
   test("ewmaDailyBand: hand-computed geometric approach; alarm crosses band") {
     def day(d: Int) = f"2024-03-$d%02d 12:00:00"
     // 7 baseline days at 10/day (z0 = 70 on the ×7 grid), then 14/day:

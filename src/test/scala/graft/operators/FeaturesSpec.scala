@@ -216,4 +216,24 @@ class FeaturesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("both classes"))
   }
+
+  test("brierDecomposition: hand-computed Murphy split; residual 0 on " +
+      "constant-forecast bins, negative under within-bin ranking") {
+    // (0.1,0) (0.1,1) (0.9,1) (0.9,1), bins=2: BS = 0.84/4 = 0.21,
+    // rel = 0.08 + 0.005, res = 2·0.03125, unc = 0.75·0.25 — and
+    // rel − res + unc = 0.21 exactly (constant forecast per bin)
+    val df = Seq((0.1, false), (0.1, true), (0.9, true), (0.9, true))
+      .toDF("score", "label")
+    val out = Features.brierDecomposition(df, "score", "label", bins = 2)
+      .as[(Long, Double, Double, Double, Double, Double)].collect().head
+    assert(out == ((4L, 0.21, 0.085, 0.0625, 0.1875, 0.0)))
+    // spread scores inside bin 0 (0.05→neg, 0.15→pos): the bin sums are
+    // unchanged, BS drops to 0.745/4, and the residual goes NEGATIVE —
+    // within-bin ranking the coarse grid cannot credit (WBV − 2·WBC)
+    val spread = Seq((0.05, false), (0.15, true), (0.9, true), (0.9, true))
+      .toDF("score", "label")
+    val r = Features.brierDecomposition(spread, "score", "label", bins = 2)
+      .as[(Long, Double, Double, Double, Double, Double)].collect().head
+    assert(r == ((4L, 0.18625, 0.085, 0.0625, 0.1875, -0.02375)))
+  }
 }

@@ -250,6 +250,30 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, s"LSH $lsh vs exact $exact")
   }
 
+  test("prefix-filtered jaccard == full inverted-index jaccard (pairs AND " +
+      "values); the prefix index is strictly smaller") {
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val full = Dedup.ngramJaccardDupPairs(docs, "doc_id", "text", 3, t)
+        .select($"id1", $"id2", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.ngramJaccardPrefixPairs(docs, "doc_id", "text", 3, t)
+        .select($"id1", $"id2", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref == full, s"t=$t: prefix $pref vs full $full")
+    }
+    // boilerplate-heavy corpus: a shingle shared by EVERY doc never
+    // enters any prefix, so candidate pairs collapse vs the full join
+    val boiler = (1L to 40L).map(i =>
+      (i, s"common header boilerplate line unique$i tail$i word$i"))
+      .toDF("doc_id", "text")
+    val (p, f) = Dedup.prefixFilterStats(boiler, "doc_id", "text", 3, 0.8)
+    assert(p < f / 10,
+      s"prefix candidates $p should be far below the full join's $f")
+    // and the survivors still verify exactly (no near-dups planted → none)
+    assert(Dedup.ngramJaccardPrefixPairs(boiler, "doc_id", "text", 3, 0.8)
+      .isEmpty)
+  }
+
   test("minhash jaccard values match the exact computation") {
     val lsh = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.5)
       .select($"id1", $"id2", $"jaccard").as[(Long, Long, Double)].collect().toSet
