@@ -1547,6 +1547,23 @@ object SparkEntry {
         .withColumn("total_w", lit(st.getLong(1)))
         .orderBy(col("q_idx"))
     }),
+    "streaming_ewma_monitor" -> ((s, dir) => {
+      // daily-count register maintenance on ingest + the EWMA control
+      // band at read time: each micro-batch appends one (bucket, x)
+      // count frame; the keyed-sum fold equals the whole-history daily
+      // series exactly, so the oracle replays the batch-free recurrence
+      // (identical to events_ewma_band) — a dropped or double-applied
+      // batch moves the counts and every downstream z
+      val stream = stagedEventsStream(s, dir, sentinels = false)
+      val ck = java.nio.file.Files.createTempDirectory("graft_ewm_ck").toString
+      val tab = java.nio.file.Files.createTempDirectory("graft_ewm_t")
+        .toString + "/regs"
+      graft.streaming.StreamRunner.runIncrementalDailyCountMaintain(
+        stream, "ts", tab, ck, new graft.core.InMemoryHwmStore, s"ewma@$ck")
+      operators.Drift.ewmaOverDailyCounts(s.read.parquet(tab),
+          refBuckets = 7, alphaBits = 2, thresholdPerBucket = 50L)
+        .orderBy(col("bucket"))
+    }),
     "streaming_loghist_fold" -> ((s, dir) => {
       // log-histogram maintenance on ingest: each doc-range micro-batch
       // appends its bounded register frame (one count aggregate of the
@@ -2261,6 +2278,22 @@ object SparkEntry {
           Seq(brute, signbit), "query_id", "id", "rank", k = 10)
         .withColumn("rank", col("rank").cast("int"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+    "eval_kendall_tau" -> ((s, dir) => {
+      // pairwise rank agreement of the sign-bit-quantized ranking
+      // against the exact brute-force cosine ranking (top-20, shared
+      // items): exact integer concordant/discordant counts, τ-b tie
+      // correction — the "every swap counts" meter beside RBO's
+      // head-weighted overlap
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = operators.Similarity.bruteForceTopK(
+        emb, q, "vec_id", "embedding", 20)
+      val signbit = operators.Similarity.signBitTopK(
+        emb, q, "vec_id", "embedding", k = 20, rerank = 40)
+      operators.Retrieval.kendallTauB(brute, signbit,
+          "query_id", "id", "rank")
+        .orderBy(col("query_id"))
     }),
     "retrieval_mmr_diversify" -> ((s, dir) => {
       // MMR diversified top-5 out of the relevance top-20 (λ=1/2):
@@ -6378,6 +6411,35 @@ object SparkEntry {
     (head +: steps).mkString(",\n") + s"\n$out\nORDER BY rank"
   }
 
+  /** EWMA control-band replay — shared by `events_ewma_band` and the
+    * streaming maintenance gate (whose keyed-sum fold equals the
+    * whole-history daily counts exactly). */
+  private val ewmaBandOracle: String =
+      """WITH RECURSIVE b AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY bucket),
+        |o AS (SELECT bucket, x,
+        |        CAST(row_number() OVER (ORDER BY bucket) AS BIGINT) AS i
+        |      FROM b),
+        |ref AS (SELECT CAST(sum(x) AS BIGINT) AS sr,
+        |               CAST(count(*) AS BIGINT) AS nr
+        |        FROM o WHERE i <= 7),
+        |m AS (SELECT o.bucket, o.x, o.i - 7 AS j, ref.nr, ref.sr
+        |      FROM o, ref WHERE o.i > 7),
+        |r(j, z) AS (
+        |  SELECT CAST(1 AS BIGINT), (x * nr + 3 * sr) // 4
+        |  FROM m WHERE j = 1
+        |  UNION ALL
+        |  SELECT r.j + 1, (m.x * m.nr + 3 * r.z) // 4
+        |  FROM r JOIN m ON m.j = r.j + 1)
+        |SELECT m.bucket, m.x, r.z AS ewma, abs(r.z - m.sr) AS dev,
+        |       CAST(CASE WHEN abs(r.z - m.sr) > 50 * m.nr
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+        |FROM m JOIN r ON m.j = r.j
+        |ORDER BY m.bucket""".stripMargin
+
+
   /** Multi-source BFS replay: the fuzzy-match adjacency, seeds ≡ 0
     * (mod 10) at dist 0, then `hops` unrolled frontier steps — each a
     * distinct-neighbors join minus the already-reached set. */
@@ -7834,30 +7896,10 @@ object SparkEntry {
         |ORDER BY m.bucket""".stripMargin,
     // EWMA replay: identical ×n_ref grid, z_0 = sum_ref, each step one
     // truncating // — DuckDB's recursive CTE IS the recurrence
-    "events_ewma_band" ->
-      """WITH RECURSIVE b AS (
-        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket,
-        |         CAST(count(*) AS BIGINT) AS x
-        |  FROM events WHERE ts IS NOT NULL GROUP BY bucket),
-        |o AS (SELECT bucket, x,
-        |        CAST(row_number() OVER (ORDER BY bucket) AS BIGINT) AS i
-        |      FROM b),
-        |ref AS (SELECT CAST(sum(x) AS BIGINT) AS sr,
-        |               CAST(count(*) AS BIGINT) AS nr
-        |        FROM o WHERE i <= 7),
-        |m AS (SELECT o.bucket, o.x, o.i - 7 AS j, ref.nr, ref.sr
-        |      FROM o, ref WHERE o.i > 7),
-        |r(j, z) AS (
-        |  SELECT CAST(1 AS BIGINT), (x * nr + 3 * sr) // 4
-        |  FROM m WHERE j = 1
-        |  UNION ALL
-        |  SELECT r.j + 1, (m.x * m.nr + 3 * r.z) // 4
-        |  FROM r JOIN m ON m.j = r.j + 1)
-        |SELECT m.bucket, m.x, r.z AS ewma, abs(r.z - m.sr) AS dev,
-        |       CAST(CASE WHEN abs(r.z - m.sr) > 50 * m.nr
-        |                 THEN 1 ELSE 0 END AS BIGINT) AS alarm
-        |FROM m JOIN r ON m.j = r.j
-        |ORDER BY m.bucket""".stripMargin,
+    "events_ewma_band" -> ewmaBandOracle,
+    // the streaming maintenance path folds to the identical whole-history
+    // daily series, so it shares the recurrence replay verbatim
+    "streaming_ewma_monitor" -> ewmaBandOracle,
     // Holt replay: l/b state on the ×1e6 grid threads through the
     // recursive CTE; the l-update expression repeats inside the b-update
     // (SQL can't reference a sibling alias) — byte-identical arithmetic
@@ -9194,6 +9236,46 @@ object SparkEntry {
     // per (query, id) and the identical (rrf_nano desc, id) top-10 cut
     "retrieval_mmr_diversify" ->
       mmrOracleSql(poolK = 20, k = 5, lamNum = 1L, lamDen = 2L),
+    // τ-b replay: the shared brute+signbit ranking CTEs, pair sign
+    // products, exact counts, one sqrt+division
+    "eval_kendall_tau" ->
+      (s"""WITH $bruteSbCtes,""".stripMargin +
+      """
+        |m AS (SELECT b.query_id, b.id, b.rank AS ra, s.rank AS rb
+        |      FROM brute b JOIN sb s
+        |        ON s.query_id = b.query_id AND s.id = b.id),
+        |p AS (SELECT x.query_id,
+        |        CAST(sign(x.ra - y.ra) AS BIGINT) AS da,
+        |        CAST(sign(x.rb - y.rb) AS BIGINT) AS db
+        |      FROM m x JOIN m y
+        |        ON x.query_id = y.query_id AND x.id < y.id),
+        |c AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |        CAST(sum(CASE WHEN da * db = 1 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS concordant,
+        |        CAST(sum(CASE WHEN da * db = -1 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS discordant,
+        |        CAST(sum(CASE WHEN da = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS ties_a,
+        |        CAST(sum(CASE WHEN db = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS ties_b
+        |      FROM p GROUP BY query_id),
+        |ni AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_items
+        |       FROM m GROUP BY query_id)
+        |SELECT ni.query_id, ni.n_items,
+        |       COALESCE(c.n_pairs, 0) AS n_pairs,
+        |       COALESCE(c.concordant, 0) AS concordant,
+        |       COALESCE(c.discordant, 0) AS discordant,
+        |       COALESCE(c.ties_a, 0) AS ties_a,
+        |       COALESCE(c.ties_b, 0) AS ties_b,
+        |       COALESCE(CASE WHEN (c.n_pairs - c.ties_a)
+        |                       * (c.n_pairs - c.ties_b) > 0
+        |         THEN round(CAST(c.concordant - c.discordant AS DOUBLE)
+        |           / sqrt(CAST((c.n_pairs - c.ties_a)
+        |                       * (c.n_pairs - c.ties_b) AS DOUBLE)), 6)
+        |           + 0.0
+        |         END, 0.0) AS tau
+        |FROM ni LEFT JOIN c USING (query_id)
+        |ORDER BY ni.query_id""".stripMargin),
     "retrieval_rrf_fusion" ->
       (s"""WITH $bruteSbCtes,
         |u AS (SELECT query_id, id, rank FROM brute

@@ -553,14 +553,28 @@ object Drift {
     * the calendar-bounded sidecar (a 100 TB year is 365 rows). */
   def ewmaDailyBand(df: DataFrame, tsCol: String, refBuckets: Int = 7,
                     alphaBits: Int = 2,
-                    thresholdPerBucket: Long = 50L): DataFrame = {
+                    thresholdPerBucket: Long = 50L): DataFrame =
+    ewmaOverDailyCounts(
+      df.filter(col(tsCol).isNotNull)
+        .select(to_date(date_trunc("day", col(tsCol))).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("x")),
+      refBuckets, alphaBits, thresholdPerBucket)
+
+  /** [[ewmaDailyBand]] over a PRE-AGGREGATED (bucket date, x long)
+    * frame — the entry point for maintained count registers (the
+    * streaming sidecar: per-batch daily-count frames fold by keyed sum,
+    * which equals the whole-history counts exactly, then this
+    * recurrence runs over the bounded calendar series). Duplicate
+    * bucket rows sum (shard/batch frames fold associatively). */
+  def ewmaOverDailyCounts(counts: DataFrame, refBuckets: Int = 7,
+                          alphaBits: Int = 2,
+                          thresholdPerBucket: Long = 50L): DataFrame = {
     require(refBuckets >= 1, s"refBuckets must be >= 1, got $refBuckets")
     require(alphaBits >= 1 && alphaBits <= 8,
       s"alphaBits must be in [1,8], got $alphaBits")
-    val spark = df.sparkSession
-    val buckets = df.filter(col(tsCol).isNotNull)
-      .select(to_date(date_trunc("day", col(tsCol))).as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("x"))
+    val spark = counts.sparkSession
+    val buckets = counts
+      .groupBy(col("bucket")).agg(sum(col("x")).as("x"))
       .orderBy(col("bucket"))
       .collect().map(r => (r.getDate(0), r.getLong(1)))
     require(buckets.length > refBuckets,

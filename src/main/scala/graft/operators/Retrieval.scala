@@ -429,6 +429,62 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Kendall τ-b rank correlation between two per-query rankings
+    * (Kendall 1938; the τ-b tie correction) — the pairwise-agreement
+    * companion to [[rankBiasedOverlap]]: RBO weights the HEAD of the
+    * lists, τ-b counts every discordant swap equally, which is the
+    * right meter for "how faithfully does the quantized/approximate
+    * ranking preserve the exact ordering" (sq8 vs brute, IVF vs flat).
+    * Computed over the items present in BOTH lists for a query;
+    * C/D/tie counts are EXACT integers from sign products, and
+    * `τ = (C−D)/√((n₀−T_a)(n₀−T_b))` is two exact-integer products, one
+    * IEEE sqrt and one division, round(6) — identical in any engine.
+    * Queries with no comparable pair (n < 2 shared items, or all tied)
+    * report τ = 0 with their counts.
+    *
+    * Returns (query_id, n_items, n_pairs, concordant, discordant,
+    * ties_a, ties_b, tau). Scale shape: one keyed equi-join of the two
+    * lists + a per-query pair self-join — |Q|·k² rows for top-k lists,
+    * the [[rankingMetrics]] family's bounded-frame discipline; corpus
+    * size never appears. */
+  def kendallTauB(a: DataFrame, b: DataFrame, queryCol: String,
+                  idCol: String, rankCol: String): DataFrame = {
+    val l = a.select(col(queryCol).as("query_id"), col(idCol).as("id"),
+      col(rankCol).cast("long").as("__ra"))
+    val r = b.select(col(queryCol).as("query_id"), col(idCol).as("id"),
+      col(rankCol).cast("long").as("__rb"))
+    val m = l.join(r, Seq("query_id", "id"))
+    val pairs = m.as("x").join(m.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.query_id").as("query_id"),
+        signum(col("x.__ra") - col("y.__ra")).cast("long").as("__da"),
+        signum(col("x.__rb") - col("y.__rb")).cast("long").as("__db"))
+    val counts = pairs.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("__da") * col("__db") === 1L).cast("long"))
+          .as("concordant"),
+        sum((col("__da") * col("__db") === -1L).cast("long"))
+          .as("discordant"),
+        sum((col("__da") === 0L).cast("long")).as("ties_a"),
+        sum((col("__db") === 0L).cast("long")).as("ties_b"))
+    val nItems = m.groupBy(col("query_id")).agg(count(lit(1)).as("n_items"))
+    val den = sqrt(((col("n_pairs") - col("ties_a")) *
+      (col("n_pairs") - col("ties_b"))).cast("double"))
+    nItems.join(counts, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_items"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("concordant"), lit(0L)).as("concordant"),
+        coalesce(col("discordant"), lit(0L)).as("discordant"),
+        coalesce(col("ties_a"), lit(0L)).as("ties_a"),
+        coalesce(col("ties_b"), lit(0L)).as("ties_b"))
+      .withColumn("tau",
+        coalesce(when(den > 0.0,
+            round((col("concordant") - col("discordant")).cast("double") /
+              den, 6) + lit(0.0)),
+          lit(0.0)))
+  }
+
   /** Maximal Marginal Relevance diversified top-k (Carbonell &
     * Goldstein, SIGIR 1998): greedily select `k` results from a
     * relevance pool of `poolK`, each step maximizing

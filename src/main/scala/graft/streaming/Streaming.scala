@@ -384,6 +384,27 @@ object StreamRunner {
         .write.mode("append").parquet(registerTable)
     }
 
+  /** Streaming daily-count register maintenance — the sidecar under the
+    * EWMA/CUSUM/Holt monitor family: each micro-batch appends its
+    * (bucket, x) day counts (one map-combinable aggregate of the
+    * BATCH); the fold is a keyed sum equal to the whole-history counts,
+    * over which [[graft.operators.Drift.ewmaOverDailyCounts]] (or any
+    * calendar-bounded recurrence) runs at read time. NOT
+    * replay-idempotent (counts add twice) — the exactly-once ledger is
+    * load-bearing, as for the Count-Min and log-histogram sums. */
+  def runIncrementalDailyCountMaintain(stream: DataFrame, tsCol: String,
+                                       registerTable: String,
+                                       checkpoint: String,
+                                       store: graft.core.HwmStore,
+                                       ledgerName: String): Unit =
+    runAvailableNowForeachBatchExactlyOnce(stream, checkpoint, store,
+      ledgerName) { (batch, _) =>
+      batch.filter(col(tsCol).isNotNull)
+        .select(to_date(date_trunc("day", col(tsCol))).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("x"))
+        .write.mode("append").parquet(registerTable)
+    }
+
   /** Streaming CDC maintenance: each micro-batch of change rows
     * (upserts/deletes with a ts) folds into the maintained snapshot via
     * [[graft.operators.Scd.applyCdc]], and the result lands in a fresh

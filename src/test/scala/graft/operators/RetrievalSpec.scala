@@ -254,6 +254,31 @@ class RetrievalSpec extends SparkSpec {
     assert(deep == ((3L, 0L, 0.0)))
   }
 
+  test("kendallTauB: one swap costs 2/n0; ties correct the denominator; " +
+      "items in only one list are excluded; pairless queries report 0") {
+    def lst(q: Long, rs: Seq[(Long, Long)]) =
+      rs.map { case (id, r) => (q, id, r) }.toDF("query_id", "id", "rank")
+    // B swaps ranks of ids 1,2: 5 concordant, 1 discordant → 4/6
+    val a = lst(7L, Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
+    val b = lst(7L, Seq((1L, 2L), (2L, 1L), (3L, 3L), (4L, 4L)))
+    val out = Retrieval.kendallTauB(a, b, "query_id", "id", "rank")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().head
+    assert(out == ((7L, 4L, 6L, 5L, 1L, 0L, 0L, 0.666667)))
+    // B ties ids 1,2 at rank 1: τ-b = 5/√(6·5) = 0.912871
+    val bt = lst(7L, Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L)))
+    val tied = Retrieval.kendallTauB(a, bt, "query_id", "id", "rank")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().head
+    assert(tied == ((7L, 4L, 6L, 5L, 0L, 0L, 1L, 0.912871)))
+    // one shared item → no pairs → τ reported as 0 with the counts
+    val b1 = lst(7L, Seq((1L, 1L), (9L, 2L)))
+    val none = Retrieval.kendallTauB(a, b1, "query_id", "id", "rank")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().head
+    assert(none == ((7L, 1L, 0L, 0L, 0L, 0L, 0L, 0.0)))
+  }
+
   test("mmrDiversify: hand-computed greedy picks skip the near-duplicate; " +
       "poolK caps the candidate set; exact integer scores") {
     // q=(1,0.2); a=(1,0) dominates, b=(0.98,0.05) near-dups a,

@@ -298,6 +298,48 @@ class StreamingSpec extends SparkSpec {
       s"duplicate register frame should inflate the fold: $forgedW")
   }
 
+  test("streaming daily-count maintenance: fold == whole-history counts, " +
+       "ledger-replay safe; a forged re-append doubles a day (the EWMA " +
+       "monitor's load-bearing exactly-once)") {
+    import graft.operators.Drift
+    val src = tmpDir("stream-dc-src")
+    def day(d: Int) = f"2024-05-$d%02d 08:00:00"
+    // 7 baseline days at 10/day, then three 14-days, split in 2 batches
+    val all = ((1 to 7).flatMap(d => Seq.fill(10)(day(d))) ++
+      (8 to 10).flatMap(d => Seq.fill(14)(day(d))))
+    val (r0, r1) = all.splitAt(75)
+    val b0 = r0.toDF("t").select(to_timestamp($"t").as("ts"))
+    val b1 = r1.toDF("t").select(to_timestamp($"t").as("ts"))
+    b0.coalesce(1).write.mode("append").parquet(src)
+    FileStreamReader.stampBatchMtime(src, 0)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    FileStreamReader.stampBatchMtime(src, 1)
+    val schema = StructType(Seq(StructField("ts", TimestampType)))
+    val store = new graft.core.InMemoryHwmStore
+    val tab = tmpDir("stream-dc-tab") + "/regs"
+    def run(ck: String): Unit = StreamRunner.runIncrementalDailyCountMaintain(
+      FileStreamReader.read(spark, Parquet(), src, schema,
+        maxFilesPerTrigger = Some(1)),
+      "ts", tab, ck, store, "dc_ledger")
+    run(tmpDir("stream-dc-ck1"))
+    def monitor() = Drift.ewmaOverDailyCounts(spark.read.parquet(tab),
+        refBuckets = 7, alphaBits = 2, thresholdPerBucket = 2L)
+      .as[(java.sql.Date, Long, Long, Long, Long)].collect().toSeq
+    val direct = Drift.ewmaDailyBand(b0.union(b1), "ts", refBuckets = 7,
+        alphaBits = 2, thresholdPerBucket = 2L)
+      .as[(java.sql.Date, Long, Long, Long, Long)].collect().toSeq
+    assert(monitor() == direct, "streamed fold diverged from the batch band")
+    // ledger replay: fresh checkpoint, same ledger -> nothing re-appends
+    run(tmpDir("stream-dc-ck2"))
+    assert(monitor() == direct)
+    // forged ledger bypass: re-append batch 1's counts -> days double and
+    // the band moves (non-idempotent; the ledger is what prevents this)
+    b1.select(to_date(date_trunc("day", $"ts")).as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("x"))
+      .write.mode("append").parquet(tab)
+    assert(monitor() != direct, "duplicate count frame must move the fold")
+  }
+
   test("streaming CDC apply: sequential fold == batch LWW, replay-safe") {
     import graft.operators.Scd
     val src = tmpDir("stream-cdc-src")
