@@ -122,20 +122,32 @@ object Graph {
     val deg = e.groupBy(col("__s")).agg(count(lit(1)).as("__deg"))
     val contribSrc = e.join(deg, "__s")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // iteration state: persist+count per round (cheap — blocks reused,
+    // no extra write), but TRUNCATE lineage via localCheckpoint every
+    // 5th round and at the end. Persist alone leaves the full join tree
+    // nested k-deep in every later plan (observed: a 650 KB explain at
+    // k = 3 — a plan-compile scale hazard at PageRank-style k = 20+),
+    // while checkpointing every round doubles the wall cost; the
+    // interval buys O(1) final plans at persist-level speed.
     var pr = nodes.select(col("node"), col("__seed"),
         (col("__seed") * lit(base)).as("pr"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val inflow = contribSrc.join(pr, col("__s") === col("node"))
         .select(col("__d"), idiv(col("pr"), col("__deg")).as("__c"))
         .groupBy(col("__d")).agg(sum(col("__c")).as("__in"))
-      val next = nodes.join(inflow, col("node") === col("__d"), "left")
+      val nextRaw = nodes.join(inflow, col("node") === col("__d"), "left")
         .select(col("node"), col("__seed"),
           (col("__seed") * lit(b15) +
             idiv(lit(85L) * coalesce(col("__in"), lit(0L)), lit(100L)))
             .as("pr"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
+      val next =
+        if (i % 5 == 0 || i == iterations) nextRaw.localCheckpoint()
+        else {
+          val p = nextRaw.persist(StorageLevel.MEMORY_AND_DISK)
+          p.count()
+          p
+        }
       pr.unpersist()
       pr = next
     }
@@ -171,10 +183,12 @@ object Graph {
     import org.apache.spark.storage.StorageLevel
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // per-round state is localCheckpointed (lineage-truncating), not
+    // persisted — see personalizedPageRank: persisted lineage nests a
+    // copy of every prior round's join tree into each later plan
     var reached = sources.select(col(sourceCol).as("node")).distinct()
       .withColumn("dist", lit(0L))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    reached.count()
+      .localCheckpoint()
     var frontier = reached
     var h = 1L
     var done = false
@@ -184,23 +198,16 @@ object Graph {
         .select(col("__d").as("node")).distinct()
         .join(reached.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(h))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       if (fresh.isEmpty) {
-        fresh.unpersist()
         done = true
       } else {
-        val next = reached.unionByName(fresh)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        reached.unpersist()
-        if (frontier ne reached) frontier.unpersist()
-        reached = next
+        reached = reached.unionByName(fresh).localCheckpoint()
         frontier = fresh
         h += 1L
       }
     }
     e.unpersist()
-    if (frontier ne reached) frontier.unpersist()
     reached.select(col("node"), col("dist"))
   }
 
