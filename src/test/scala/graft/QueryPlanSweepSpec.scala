@@ -121,6 +121,9 @@ class QueryPlanSweepSpec extends AnyFunSuite {
                               // cross (the similarity_topk_brute device)
     , "eval_rank_biased_overlap" // same two ranker inputs as rrf_fusion:
                               // brute's query broadcast cross by design
+    , "eval_kendall_tau"      // same two ranker inputs again (brute +
+                              // signbit pools): the tau comparison itself
+                              // is pair joins over the k-row lists
     , "decontaminate_semantic" // deliberate: the exact leak check IS
                               // bruteForceTopK (eval side broadcast,
                               // corpus streamed map-only); the scale
