@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Seeded-random differential tests: each distributed operator is run
+  * against a straightforward LOCAL model of the same math on the same
+  * randomized input (fixed seeds — deterministic CI). The hand-computed
+  * specs pin the semantics on crafted corners; these pin the
+  * DISTRIBUTED implementation (joins, windows, groupByKey, iteration
+  * plumbing) to the math on inputs nobody hand-picked — partitioning
+  * bugs, tie-break drift, and lost-row bugs surface here first. */
+class RandomizedDifferentialSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bfsDistances == local multi-source BFS on a random digraph") {
+    val rnd = new scala.util.Random(0xBF5)
+    val n = 150
+    val edges = Seq.fill(600)(
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val sources = Seq(0L, 7L, 33L, 149L)
+    val out = Graph.bfsDistances(edges.toDF("s", "d"), "s", "d",
+        sources.toDF("node"), "node", maxHops = 12)
+      .as[(Long, Long)].collect().toMap
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var dist = sources.map(_ -> 0L).toMap
+    var frontier = sources.toSet
+    var h = 1L
+    while (frontier.nonEmpty && h <= 12) {
+      val nxt = frontier.flatMap(u => adj.getOrElse(u, Nil))
+        .filterNot(dist.contains)
+      dist ++= nxt.map(_ -> h)
+      frontier = nxt
+      h += 1
+    }
+    assert(out == dist)
+  }
+
+  test("personalizedPageRank == local integer iteration on a random digraph") {
+    val rnd = new scala.util.Random(0x994)
+    val n = 80
+    val edges = Seq.fill(400)(
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val seeds = (0L until n.toLong).filter(_ % 7 == 0)
+    val iters = 4
+    val scale = 1000000000000L
+    val out = Graph.personalizedPageRank(edges.toDF("s", "d"), "s", "d",
+        seeds.toDF("node"), "node", iterations = iters)
+      .as[(Long, Long)].collect().toMap
+    // local model: the same floor-division update, dense maps
+    val nodes = (edges.map(_._1) ++ edges.map(_._2) ++ seeds).distinct
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val outAdj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val seedSet = seeds.toSet
+    val base = scale / seeds.size
+    val b15 = 15L * base / 100L
+    var pr = nodes.map(v => v -> (if (seedSet(v)) base else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((u, ds) <- outAdj; c = pr(u) / deg(u); d <- ds) in(d) += c
+      pr = nodes.map { v =>
+        v -> ((if (seedSet(v)) b15 else 0L) + 85L * in(v) / 100L)
+      }.toMap
+    }
+    assert(out == pr)
+  }
+
+  test("sq8TopK == local quantize-dot-rerank on random float vectors") {
+    val rnd = new scala.util.Random(0x508)
+    val d = 24
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(d)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.sq8TopK(emb, emb.filter($"vec_id" < 5),
+        "vec_id", "embedding", k = 4, rerank = 10)
+      .as[(Long, Int, Long, Long, Double)].collect().toSet
+    // local mirror of the documented arithmetic
+    val micro = vecs.map { case (i, v) =>
+      i -> v.map(x => math.floor(x.toDouble * 1e6).toLong)
+    }.toMap
+    val s = micro.values.flatten.map(math.abs).max
+    val codes = micro.map { case (i, m) => i -> m.map(x => x * 127L / s) }
+    def dot8(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val c = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0
+    }
+    val raw = vecs.toMap
+    val local = (0L until 5L).flatMap { q =>
+      val pool = vecs.map(_._1).filter(_ != q)
+        .map(c => (c, dot8(codes(q), codes(c))))
+        .sortBy { case (c, dt) => (-dt, c) }.take(10)
+      pool.map { case (c, dt) => (c, dt, cosine(raw(q), raw(c))) }
+        .sortBy { case (c, _, cs) => (-cs, c) }.take(4).zipWithIndex
+        .map { case ((c, dt, cs), r) => (q, r + 1, c, dt, cs) }
+    }.toSet
+    assert(out == local)
+  }
+
+  test("kCenterCoreset == local farthest-point traversal on random vectors") {
+    val rnd = new scala.util.Random(0xACE)
+    val vecs = (0L until 70L).map(i =>
+      (i, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val out = Sampling.kCenterCoreset(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 6)
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    val micro = vecs.map { case (i, v) =>
+      i -> v.map(x => math.floor(x.toDouble * 1e6).toLong)
+    }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val first = vecs.map(_._1).min
+    var picks = Vector((1, first, 0L))
+    var best = vecs.map(_._1).map(i => i -> d2(micro(i), micro(first))).toMap
+    for (r <- 2 to 6) {
+      val chosen = picks.map(_._2).toSet
+      val (pid, rad) = best.filterNot { case (i, _) => chosen(i) }
+        .toSeq.sortBy { case (i, v) => (-v, i) }.head
+      picks :+= ((r, pid, rad))
+      best = best.map { case (i, v) =>
+        i -> math.min(v, d2(micro(i), micro(pid)))
+      }
+    }
+    assert(out == picks)
+  }
+
+  test("kendallTauB == local O(n^2) pair counting on random tied rankings") {
+    val rnd = new scala.util.Random(0x7AB)
+    val qs = (1L to 6L)
+    def mk() = qs.flatMap { q =>
+      val ids = rnd.shuffle((1L to 15L).toList).take(10)
+      ids.map(id => (q, id, (rnd.nextInt(6) + 1).toLong)) // ranks with ties
+    }
+    val a = mk(); val b = mk()
+    val out = Retrieval.kendallTauB(a.toDF("query_id", "id", "rank"),
+        b.toDF("query_id", "id", "rank"), "query_id", "id", "rank")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    for (q <- qs) {
+      val am = a.filter(_._1 == q).map(t => t._2 -> t._3).toMap
+      val bm = b.filter(_._1 == q).map(t => t._2 -> t._3).toMap
+      val shared = (am.keySet & bm.keySet).toSeq.sorted
+      var c = 0L; var dd = 0L; var ta = 0L; var tb = 0L; var np = 0L
+      for (i <- shared.indices; j <- (i + 1) until shared.size) {
+        val (x, y) = (shared(i), shared(j))
+        val da = java.lang.Long.signum(am(x) - am(y))
+        val db = java.lang.Long.signum(bm(x) - bm(y))
+        np += 1
+        if (da * db == 1) c += 1
+        if (da * db == -1) dd += 1
+        if (da == 0) ta += 1
+        if (db == 0) tb += 1
+      }
+      val den = math.sqrt(((np - ta) * (np - tb)).toDouble)
+      val tau = if (den > 0.0)
+        BigDecimal((c - dd).toDouble / den)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      else 0.0
+      assert(out(q) == ((q, shared.size.toLong, np, c, dd, ta, tb, tau)),
+        s"query $q: ${out(q)}")
+    }
+  }
+
+  test("prefix-filtered Jaccard == full inverted-index Jaccard on random docs") {
+    val rnd = new scala.util.Random(0x94C)
+    val words = (1 to 40).map(i => s"w$i")
+    // random base docs + planted near-dups (one word swapped) so pairs
+    // exist at both thresholds; the random remainder exercises the
+    // no-pair bulk
+    val bases = (1L to 40L).map(i =>
+      (i, Seq.fill(12)(words(rnd.nextInt(words.size)))))
+    val dups = bases.take(12).map { case (i, ws) =>
+      (i + 1000L, ws.updated(rnd.nextInt(ws.size), "swapped").mkString(" "))
+    }
+    val docs = (bases.map { case (i, ws) => (i, ws.mkString(" ")) } ++ dups)
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.4, 0.6)) {
+      val full = Dedup.ngramJaccardDupPairs(docs, "doc_id", "text", 2, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.ngramJaccardPrefixPairs(docs, "doc_id", "text", 2, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref == full, s"t=$t")
+      assert(full.nonEmpty, s"t=$t fixture must produce pairs")
+    }
+  }
+}
