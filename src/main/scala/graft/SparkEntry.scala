@@ -2234,6 +2234,18 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("int"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "similarity_topk_asym" -> ((s, dir) => {
+      // asymmetric sign-bit ANN: 1-bit corpus (same 32× memory cut as
+      // the Hamming gate) but the QUERY keeps full precision — exact
+      // integer Σ q_micro·sign(c) candidates, cosine re-rank; the
+      // magnitude-aware upgrade symmetric Hamming can't express
+      val emb = DbReader(conn(s, dir), "embeddings").run()
+      operators.Similarity.asymmetricSignTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, rerank = 20)
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "similarity_topk_signbit" -> ((s, dir) => {
       // 1-bit binary-quantized ANN: sign-pack to 64-bit words (32x
       // smaller than float32), candidates by popcount-XOR Hamming with
@@ -9121,6 +9133,42 @@ object SparkEntry {
         |       round(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127, 6) AS scale,
         |       len(embedding) AS dims, TRUE AS err_ok
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // asymmetric replay: corpus signs + full-precision micro query, the
+    // exact integer Σ q·sign candidate ordering, cosine re-rank
+    "similarity_topk_asym" ->
+      """WITH vm AS (
+        |  SELECT vec_id, embedding,
+        |         list_transform(embedding, x ->
+        |           CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+        |           AS m,
+        |         list_transform(embedding, x ->
+        |           CASE WHEN CAST(x AS DOUBLE) >= 0.0 THEN 1 ELSE -1 END)
+        |           AS sg
+        |  FROM embeddings),
+        |pool AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |         CAST(list_sum(list_transform(range(1, 65),
+        |           i -> q.m[i] * c.sg[i])) AS BIGINT) AS asym_score,
+        |         q.embedding AS qv, c.embedding AS cv
+        |  FROM vm q JOIN vm c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id < 10),
+        |surv AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY asym_score DESC, id) AS dr FROM pool) t
+        |  WHERE dr <= 20),
+        |rr AS (
+        |  SELECT query_id, id, asym_score,
+        |         round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]),
+        |           6) + 0.0 AS cosine
+        |  FROM surv)
+        |SELECT query_id, rank::INTEGER AS rank, id, asym_score, cosine
+        |FROM (
+        |  SELECT query_id, id, asym_score, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, id) AS rank
+        |  FROM rr) t WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // sq8 replay: same micro-floor quantization, one global max-abs
     // scale, (x*127)//S codes (// truncates toward zero in DuckDB,
     // matching Spark's div — verified incl. negatives), exact integer

@@ -882,6 +882,60 @@ object Similarity {
         col("cosine"))
   }
 
+  /** Asymmetric sign-bit retrieval — the "asymmetric hashing" upgrade
+    * of [[signBitTopK]] (Gordo et al., TPAMI 2014 asymmetric distances;
+    * the RaBitQ/ADC discipline): the CORPUS stays 1-bit (sign per
+    * dimension — the same 32× memory cut), but the QUERY keeps its full
+    * precision, scoring candidates by `Σ_d q_d · sign(c_d)` instead of
+    * popcount-Hamming. Magnitude information in the query survives —
+    * dimensions where the query is strong dominate the score — which is
+    * exactly what symmetric Hamming throws away; same memory, strictly
+    * better candidate ordering. The score is an EXACT integer
+    * (micro-floor query components × ±1), bit-identical in any engine;
+    * survivors get the exact full-precision cosine.
+    *
+    * Scale shape: identical to [[signBitTopK]]/[[sq8TopK]] — pass 1
+    * broadcasts the micro query rows across the corpus sign scan with a
+    * partial WindowGroupLimit (≤ rerank rows per query leave the map
+    * side; in production the signs persist as the stored column), pass
+    * 2 re-ranks the broadcast survivor set. Output (query_id, rank, id,
+    * asym_score, cosine). */
+  def asymmetricSignTopK(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank pool ($rerank) must cover k ($k)")
+    def micro(c: Column) = transform(c,
+      x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+    def signs(c: Column) = transform(c,
+      x => when(x.cast("double") >= 0.0, lit(1L)).otherwise(lit(-1L)))
+    val cs = corpus.select(col(idCol).as("id"), signs(col(vecCol)).as("sg"))
+    val q = queries.select(col(idCol).as("query_id"),
+      micro(col(vecCol)).as("qm"))
+    val pool = cs.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        aggregate(zip_with(col("qm"), col("sg"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("asym_score"))
+    val dw = Window.partitionBy(col("query_id"))
+      .orderBy(col("asym_score").desc, col("id").asc)
+    val survivors = pool.withColumn("__dr", row_number().over(dw))
+      .filter(col("__dr") <= rerank)
+      .drop("__dr")
+    val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("__cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val rescored = cv.join(broadcast(survivors), Seq("id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("id"), col("asym_score"),
+        round(GraftExpressions.cosineSimilarity(col("__qv"), col("__cv")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("asym_score"),
+        col("cosine"))
+  }
+
   /** Deterministic per-query top-k: rank on (cosine desc, id asc) so ties
     * are stable across engines. */
   private def topK(scored: DataFrame, k: Int): DataFrame = {

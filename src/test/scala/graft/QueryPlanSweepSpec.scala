@@ -32,6 +32,9 @@ class QueryPlanSweepSpec extends AnyFunSuite {
     "retrieval_mmr_diversify", // deliberate: broadcast(query codes)
                               // cross corpus for the relevance pool
                               // (Retrieval.mmrDiversify pass 1)
+    "similarity_topk_asym",   // deliberate: broadcast(micro queries)
+                              // cross the corpus sign scan
+                              // (Similarity.asymmetricSignTopK pass 1)
     "similarity_hard_negatives", // same shape: broadcast(anchors) cross
                               // corpus scan (Similarity.mineHardNegatives)
     "similarity_bitext_margin", // deliberate: broadcast(right shard)

@@ -142,4 +142,29 @@ class SignBitSpec extends SparkSpec {
       .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(viaMrl == viaBrute)
   }
+
+  test("asymmetricSignTopK: exact integer scores; magnitude-aware ordering " +
+      "where symmetric Hamming would tie; cosine re-rank wins") {
+    // q = (1.0, -0.01): signs (+,-). Corpus: 1 sign-identical,
+    // 2 and 3 each ONE bit off — Hamming ties them, the asymmetric
+    // score splits them by 2e6 (2 disagrees only on the weak dim)
+    val corpus = Seq(
+      (1L, Array(0.5f, -0.5f)),
+      (2L, Array(0.1f, 0.9f)),
+      (3L, Array(-0.9f, -0.01f))).toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(1.0f, -0.01f))).toDF("vec_id", "embedding")
+    val out = Similarity.asymmetricSignTopK(corpus, q, "vec_id",
+        "embedding", k = 3, rerank = 3)
+      .as[(Long, Int, Long, Long, Double)].collect().toSeq.sortBy(_._2)
+    assert(out.map(r => r._3 -> r._4).toMap ==
+      Map(1L -> 1010000L, 2L -> 990000L, 3L -> -990000L))
+    assert(out.map(_._3) == Seq(1L, 2L, 3L), s"cosine order: $out")
+    // symmetric Hamming cannot order 2 vs 3 (both distance 1)
+    val ham = corpus.select($"vec_id",
+        hammingDistance(signPack($"embedding"),
+          signPack(typedlit(Array(1.0f, -0.01f))))
+          .as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(ham(2L) == ham(3L) && ham(1L) == 0L)
+  }
 }
