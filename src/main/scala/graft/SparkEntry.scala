@@ -1375,6 +1375,22 @@ object SparkEntry {
         .limit(20)
         .select(col("node").as("c_custkey"), col("pr"))
     }),
+    "graph_harmonic_centrality" -> ((s, dir) => {
+      // sampled-source harmonic centrality over the fuzzy-match graph:
+      // Σ 1e6 div d(u,v) from every 100th customer id within 3 hops —
+      // the disconnection-tolerant closeness; per-source BFS keyed on
+      // (source, node), exact integer micro terms
+      val pairs = fuzzyPairs(s, dir)
+      val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
+        .union(pairs.select(col("id_b"), col("id_a")))
+      val seeds = edges.select(col("s").as("node")).distinct()
+        .filter(pmod(col("node"), lit(100L)) === 0L)
+      operators.Graph.harmonicCentrality(edges, "s", "d", seeds, "node",
+          maxHops = 3)
+        .select(col("node").as("c_custkey"), col("n_reached"),
+          col("h_micro"))
+        .orderBy(col("c_custkey"))
+    }),
     "graph_bfs_reach" -> ((s, dir) => {
       // multi-source BFS over the fuzzy-match graph: min hops from the
       // seed set (every 10th customer id), frontier-expanded — the
@@ -6452,6 +6468,41 @@ object SparkEntry {
         |ORDER BY m.bucket""".stripMargin
 
 
+  /** Harmonic-centrality replay: per-source BFS unrolled over the
+    * (source, node) key space, then the exact integer Σ 1e6 div d
+    * grouped by node. Sources ≡ 0 (mod 100). */
+  private def harmonicOracleSql(hops: Int): String = {
+    val head =
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name AS s,
+        |         substr(c_name, 1, length(c_name) - 2) AS blk
+        |  FROM customer WHERE c_name IS NOT NULL AND c_custkey IS NOT NULL),
+        |e AS (
+        |  SELECT a.id AS a, b.id AS b
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.s, b.s) <= 1),
+        |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |d0 AS (SELECT DISTINCT u AS source, u AS node,
+        |              CAST(0 AS BIGINT) AS dist
+        |       FROM adj WHERE u % 100 = 0)""".stripMargin
+    val steps = (1 to hops).map { i =>
+      val p = i - 1
+      s"""f$i AS (SELECT DISTINCT r.source, a.v AS node
+         |  FROM adj a JOIN d$p r ON r.node = a.u
+         |  WHERE NOT EXISTS (SELECT 1 FROM d$p x
+         |    WHERE x.source = r.source AND x.node = a.v)),
+         |d$i AS (SELECT source, node, dist FROM d$p
+         |        UNION ALL SELECT source, node, CAST($i AS BIGINT)
+         |        FROM f$i)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT node AS c_custkey, CAST(count(*) AS BIGINT) AS n_reached,
+         |       CAST(sum(1000000 // dist) AS BIGINT) AS h_micro
+         |FROM d$hops WHERE dist >= 1 GROUP BY node
+         |ORDER BY c_custkey""".stripMargin
+  }
+
   /** Multi-source BFS replay: the fuzzy-match adjacency, seeds ≡ 0
     * (mod 10) at dist 0, then `hops` unrolled frontier steps — each a
     * distinct-neighbors join minus the already-reached set. */
@@ -7434,6 +7485,7 @@ object SparkEntry {
     "graph_label_propagation" -> labelPropOracleSql(rounds = 3),
     "graph_ppr" -> pprOracleSql(rounds = 3),
     "graph_bfs_reach" -> bfsOracleSql(hops = 3),
+    "graph_harmonic_centrality" -> harmonicOracleSql(hops = 3),
     "sample_kcenter_coreset" -> kcenterOracleSql(k = 8),
     "linkage_fellegi_sunter" -> fellegiSunterOracleSql(),
     "linkage_fs_em" -> fsEmOracleSql(),

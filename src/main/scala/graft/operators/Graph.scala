@@ -211,6 +211,69 @@ object Graph {
     reached.select(col("node"), col("dist"))
   }
 
+  /** Per-SOURCE BFS hop distances — [[bfsDistances]] lifted to the
+    * (source, node) key space: every source keeps its OWN distance
+    * frontier instead of folding into a min, which is what centrality
+    * computations need. Same frontier-expanded shape; per round one
+    * keyed equi-join of edges against the frontier + one anti-join
+    * against the reached set, cost O(Σ_s edges within maxHops of s).
+    * Returns (source, node, dist long 0..maxHops) for reached pairs. */
+  def bfsDistancesPerSource(edges: DataFrame, srcCol: String,
+                            dstCol: String, sources: DataFrame,
+                            sourceCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 16,
+      s"maxHops must be in [1,16], got $maxHops")
+    import org.apache.spark.storage.StorageLevel
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var reached = sources.select(col(sourceCol).as("source")).distinct()
+      .select(col("source"), col("source").as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = reached
+    var h = 1L
+    var done = false
+    while (h <= maxHops && !done) {
+      val fresh = e.join(frontier.select(col("source"), col("node")),
+          col("__s") === col("node"))
+        .select(col("source"), col("__d").as("node")).distinct()
+        .join(reached.select(col("source"), col("node")),
+          Seq("source", "node"), "left_anti")
+        .withColumn("dist", lit(h))
+        .localCheckpoint()
+      if (fresh.isEmpty) {
+        done = true
+      } else {
+        reached = reached.unionByName(fresh).localCheckpoint()
+        frontier = fresh
+        h += 1L
+      }
+    }
+    e.unpersist()
+    reached.select(col("source"), col("node"), col("dist"))
+  }
+
+  /** Harmonic centrality (Boldi & Vigna 2014, "Axioms for Centrality" —
+    * the closeness variant that handles disconnection gracefully):
+    * `H(v) = Σ_{u ≠ v reaching v} 1/d(u, v)`, here over a SAMPLED
+    * source set within `maxHops` — the standard estimator at graph
+    * scale, since exact all-pairs is quadratic. Each term is the exact
+    * integer `1e6 div d` (micro-units), so sums are order-free and
+    * bit-reproducible.
+    *
+    * Returns (node, n_reached long — sources at dist ≥ 1, h_micro
+    * long). Scale shape: one [[bfsDistancesPerSource]] sweep (cost
+    * bounded by sources × hop-bounded neighborhoods, NOT nodes²) + one
+    * map-combinable grouped sum. */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                         sources: DataFrame, sourceCol: String,
+                         maxHops: Int): DataFrame =
+    bfsDistancesPerSource(edges, srcCol, dstCol, sources, sourceCol,
+        maxHops)
+      .filter(col("dist") >= 1L)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(call_function("div", lit(1000000L), col("dist"))).as("h_micro"))
+
   /** Per-node triangle counts of an UNDIRECTED graph — the local
     * clustering signal over a near-duplicate / fuzzy-match graph: a
     * document in many triangles sits inside a dense template family

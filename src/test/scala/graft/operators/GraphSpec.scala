@@ -195,6 +195,28 @@ class GraphSpec extends SparkSpec {
     assert(iso.contains("a") && iso("a") > iso("z"))
   }
 
+  test("harmonicCentrality: hand path graph; per-source distances, not " +
+      "the min fold; disconnected pairs contribute nothing") {
+    // undirected path a-b-c-d plus isolated z; sources {a, d, z}.
+    // Distances TO b: a→1, d→2 ⇒ H(b) = 1e6 + 5e5; TO c symmetric;
+    // a: d→3 ⇒ 333333; d: a→3; z reaches nobody, nobody reaches z.
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+    val edges = (und ++ und.map(_.swap)).toDF("s", "d")
+    val out = Graph.harmonicCentrality(edges, "s", "d",
+        Seq("a", "d", "z").toDF("node"), "node", maxHops = 5)
+      .as[(String, Long, Long)].collect()
+      .map { case (n, r, h) => n -> ((r, h)) }.toMap
+    assert(out == Map(
+      "a" -> ((1L, 333333L)), "b" -> ((2L, 1500000L)),
+      "c" -> ((2L, 1500000L)), "d" -> ((1L, 333333L))))
+    // maxHops=1 keeps only direct neighbors
+    val capped = Graph.harmonicCentrality(edges, "s", "d",
+        Seq("a", "d").toDF("node"), "node", maxHops = 1)
+      .as[(String, Long, Long)].collect()
+      .map { case (n, r, h) => n -> ((r, h)) }.toMap
+    assert(capped == Map("b" -> ((1L, 1000000L)), "c" -> ((1L, 1000000L))))
+  }
+
   test("bfsDistances: min hops from any source; maxHops caps reach; " +
       "early-stop on an exhausted frontier; isolated seed reports 0") {
     // path a-b-c-d-e (undirected) plus isolated z; sources {a, z}
