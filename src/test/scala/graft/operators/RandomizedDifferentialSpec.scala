@@ -136,6 +136,39 @@ class RandomizedDifferentialSpec extends SparkSpec {
     assert(out == picks)
   }
 
+  test("harmonicCentrality == local per-source BFS sum on a random digraph") {
+    val rnd = new scala.util.Random(0x4A2)
+    val n = 100
+    val edges = Seq.fill(450)(
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val sources = (0L until n.toLong).filter(_ % 9 == 0)
+    val out = Graph.harmonicCentrality(edges.toDF("s", "d"), "s", "d",
+        sources.toDF("node"), "node", maxHops = 6)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    for (s0 <- sources) {
+      var dist = Map(s0 -> 0L)
+      var frontier = Set(s0)
+      var h = 1L
+      while (frontier.nonEmpty && h <= 6) {
+        val nxt = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .filterNot(dist.contains)
+        dist ++= nxt.map(_ -> h)
+        frontier = nxt
+        h += 1
+      }
+      for ((v, d) <- dist if d >= 1) {
+        val (r, hm) = acc(v)
+        acc(v) = (r + 1, hm + 1000000L / d)
+      }
+    }
+    assert(out == acc.toMap)
+  }
+
   test("kendallTauB == local O(n^2) pair counting on random tied rankings") {
     val rnd = new scala.util.Random(0x7AB)
     val qs = (1L to 6L)
