@@ -1111,6 +1111,14 @@ object SparkEntry {
       operators.Drift.holtDailyForecast(eventsMicros(s, dir), "ts",
         alphaBits = 2, betaBits = 3, thresholdPerBucket = 50L)
     }),
+    "events_seasonal_decompose" -> ((s, dir) => {
+      // classical additive decomposition of the daily count series:
+      // centered 7-day MA trend (full windows only, explode-shift —
+      // no global window), per-weekday seasonal means of the detrended
+      // series, integer micro arithmetic end-to-end; the remainder is
+      // the deseasonalized anomaly channel the EWMA/Holt monitors lack
+      operators.Drift.seasonalDecompose(eventsMicros(s, dir), "ts")
+    }),
     "corpus_heaps_law" -> ((s, dir) => {
       // Heaps'-law vocabulary-growth fit: one (log N, log V) point per
       // doc in id order off two globalRunningSums, decimal-exact
@@ -1139,6 +1147,49 @@ object SparkEntry {
       operators.TextMetrics.bleuCounts(
           pairs, "cand_id", "cand_text", "ref_text")
         .orderBy(col("cand_id"))
+    }),
+    "eval_rouge_pairs" -> ((s, dir) => {
+      // ROUGE-1/2 of each even doc against its successor: the
+      // recall-oriented complement of eval_bleu_pairs — clipped
+      // overlaps over BOTH gram totals, recall/precision/F1 per n,
+      // exact integer counts under one IEEE round(·,6) per score
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val pairs = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+        .select(col("doc_id").as("cand_id"), col("text").as("cand_text"))
+        .join(docs.select((col("doc_id") - 1).as("cand_id"),
+          col("text").as("ref_text")), Seq("cand_id"))
+      operators.TextMetrics.rougeCounts(
+          pairs, "cand_id", "cand_text", "ref_text")
+        .orderBy(col("cand_id"))
+    }),
+    "linkage_deletion_edit_join" -> ((s, dir) => {
+      // spelling-variant mining over the corpus vocabulary: FastSS
+      // deletion-neighborhood candidates (no blocking key, linear
+      // index) + bounded levenshtein verify; the 50 highest-traffic
+      // variant pairs by combined frequency, total-ordered. The
+      // synthetic vocab is typo-free, so the gate plants its own OCR
+      // noise deterministically: every token in a doc on the 13-grid
+      // gets its 2nd character smudged to 'q' — oracle-replayable,
+      // and the miner must link each smudge back to its source word
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val raw = docs.select(col("doc_id"), explode(filter(
+        split(lower(col("text")), "[^a-z]+"), t => t =!= "")).as("w0"))
+      val freq = raw.select(
+          when(pmod(col("doc_id"), lit(13L)) === 0 &&
+            length(col("w0")) >= 4,
+            concat(col("w0").substr(lit(1), lit(1)), lit("q"),
+              col("w0").substr(lit(3), length(col("w0")))))
+            .otherwise(col("w0")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      operators.Joins.deletionEditPairs(freq, "w")
+        .join(freq.select(col("w").as("w_a"), col("n").as("n_a")),
+          Seq("w_a"))
+        .join(freq.select(col("w").as("w_b"), col("n").as("n_b")),
+          Seq("w_b"))
+        .orderBy((col("n_a") + col("n_b")).desc, col("w_a"), col("w_b"))
+        .limit(50)
+        .select(col("w_a"), col("w_b"), col("dist"),
+          col("n_a"), col("n_b"))
     }),
     "profile_snapshot_drift" -> ((s, dir) => {
       // profile diff between the even/odd order-key halves: cardinality
@@ -1357,6 +1408,15 @@ object SparkEntry {
       // total-ordered on (aa_micro desc, node_a, node_b)
       val pairs = fuzzyPairs(s, dir)
       operators.Graph.adamicAdar(pairs, "id_a", "id_b", topK = 50)
+    }),
+    "graph_neighbor_jaccard" -> ((s, dir) => {
+      // size-normalized link prediction over the fuzzy-match graph:
+      // non-adjacent pairs scored |N∩|/|N∪| as ONE integer floor-div
+      // per pair (micro units), hub intermediaries excluded from the
+      // wedge join, FULL degrees in the denominator; the top-50 cut is
+      // total-ordered on (jac_micro desc, node_a, node_b)
+      val pairs = fuzzyPairs(s, dir)
+      operators.Graph.neighborJaccard(pairs, "id_a", "id_b", topK = 50)
     }),
     "graph_ppr" -> ((s, dir) => {
       // personalized PageRank over the fuzzy-match graph: teleport mass
@@ -7481,6 +7541,37 @@ object SparkEntry {
         |SELECT u AS node_a, v AS node_b, common_neighbors, aa_micro,
         |       CAST(aa_micro AS DOUBLE) / 1000000.0 AS score
         |FROM np ORDER BY aa_micro DESC, u, v LIMIT 50""".stripMargin,
+    // neighbor-Jaccard replay: same fuzzy-edge CTE + hub-filtered wedge
+    // join as adamic_adar, FULL degrees in the denominator, one
+    // floor(1e6·common/union) per pair, identical top-50 cut
+    "graph_neighbor_jaccard" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name AS s,
+        |         substr(c_name, 1, length(c_name) - 2) AS blk
+        |  FROM customer WHERE c_name IS NOT NULL AND c_custkey IS NOT NULL),
+        |e AS (
+        |  SELECT a.id AS a, b.id AS b
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.s, b.s) <= 1),
+        |adj AS (SELECT a AS z, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY z),
+        |mid AS (SELECT adj.z, adj.nb FROM adj JOIN deg ON deg.z = adj.z
+        |        WHERE deg.d >= 2 AND deg.d <= 10000),
+        |p AS (SELECT l.nb AS u, r.nb AS v,
+        |        CAST(count(*) AS BIGINT) AS common_neighbors
+        |      FROM mid l JOIN mid r ON l.z = r.z AND l.nb < r.nb
+        |      GROUP BY u, v),
+        |np AS (SELECT p.* FROM p LEFT JOIN e ON e.a = p.u AND e.b = p.v
+        |       WHERE e.a IS NULL),
+        |j AS (SELECT np.u, np.v, np.common_neighbors,
+        |        CAST(floor(1000000 * np.common_neighbors
+        |          / (du.d + dv.d - np.common_neighbors)) AS BIGINT)
+        |          AS jac_micro
+        |      FROM np JOIN deg du ON du.z = np.u
+        |              JOIN deg dv ON dv.z = np.v)
+        |SELECT u AS node_a, v AS node_b, common_neighbors, jac_micro,
+        |       CAST(jac_micro AS DOUBLE) / 1000000.0 AS score
+        |FROM j ORDER BY jac_micro DESC, u, v LIMIT 50""".stripMargin,
     "graph_kcore" -> kCoreOracleSql(k = 3, rounds = 8),
     "graph_label_propagation" -> labelPropOracleSql(rounds = 3),
     "graph_ppr" -> pprOracleSql(rounds = 3),
@@ -7489,6 +7580,40 @@ object SparkEntry {
     "sample_kcenter_coreset" -> kcenterOracleSql(k = 8),
     "linkage_fellegi_sunter" -> fellegiSunterOracleSql(),
     "linkage_fs_em" -> fsEmOracleSql(),
+    // FastSS replay: per-word deletion-variant lists (self + each
+    // single-char deletion, list_distinct), bucket cap 1000, variant
+    // equi-join, levenshtein <= 1 verify, frequency-weighted top-50
+    "linkage_deletion_edit_join" ->
+      """WITH toks AS (
+        |  SELECT CASE WHEN doc_id % 13 = 0 AND length(t) >= 4
+        |         THEN substr(t, 1, 1) || 'q' || substr(t, 3, length(t))
+        |         ELSE t END AS w
+        |  FROM (SELECT doc_id, t FROM documents, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+        |    AS u(t))),
+        |freq AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+        |         FROM toks GROUP BY w),
+        |vars AS (
+        |  SELECT w, v FROM (
+        |    SELECT w, list_distinct(list_append(
+        |      list_transform(range(1, length(w) + 1),
+        |        i -> substr(w, 1, i - 1) || substr(w, i + 1, length(w))),
+        |      w)) AS vs
+        |    FROM freq WHERE length(w) >= 4),
+        |  UNNEST(vs) AS u(v)),
+        |small AS (SELECT v FROM vars GROUP BY v
+        |          HAVING count(*) <= 1000),
+        |sv AS (SELECT vars.w, vars.v FROM vars JOIN small USING (v)),
+        |cand AS (SELECT DISTINCT a.w AS w_a, b.w AS w_b
+        |         FROM sv a JOIN sv b ON a.v = b.v AND a.w < b.w),
+        |ver AS (SELECT w_a, w_b,
+        |          CAST(levenshtein(w_a, w_b) AS BIGINT) AS dist
+        |        FROM cand WHERE levenshtein(w_a, w_b) <= 1)
+        |SELECT ver.w_a, ver.w_b, ver.dist, fa.n AS n_a, fb.n AS n_b
+        |FROM ver JOIN freq fa ON fa.w = ver.w_a
+        |         JOIN freq fb ON fb.w = ver.w_b
+        |ORDER BY fa.n + fb.n DESC, ver.w_a, ver.w_b
+        |LIMIT 50""".stripMargin,
     "streaming_linkage_ingest" -> streamingLinkageOracleSql(),
     // join-skew replay: two count frames, deterministic (n desc, key)
     // top-10 each side, UNION-dedup'd hot set, products all BIGINT
@@ -7858,6 +7983,43 @@ object SparkEntry {
         |       round(CAST(n_events * td AS DOUBLE)
         |             / CAST(n_days * te AS DOUBLE), 6) + 0.0 AS ratio
         |FROM bydow, tot ORDER BY dow""".stripMargin,
+    // seasonal-decomposition replay: daily counts on the epoch-day
+    // grid, explode-shift centered MA (generate_series ±3, full
+    // windows only), floordiv written (a − pmod)/b so negative
+    // detrended sums floor identically, weekday = epoch_day mod 7
+    "events_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+        |           CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS d,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |shift AS (
+        |  SELECT d + o AS t, x
+        |  FROM daily, UNNEST(range(-3, 4)) AS u(o)),
+        |tr AS (
+        |  SELECT t AS d,
+        |         CAST((1000000 * s - ((((1000000 * s) % 7) + 7) % 7)) / 7
+        |           AS BIGINT) AS trend_micro
+        |  FROM (SELECT t, CAST(sum(x) AS BIGINT) AS s,
+        |               count(*) AS n FROM shift GROUP BY t)
+        |  WHERE n = 7),
+        |det AS (
+        |  SELECT daily.d, daily.x, tr.trend_micro,
+        |         1000000 * daily.x - tr.trend_micro AS dt,
+        |         ((daily.d % 7) + 7) % 7 AS season
+        |  FROM daily JOIN tr ON tr.d = daily.d),
+        |seas AS (
+        |  SELECT season,
+        |         CAST((sum(dt) - (((sum(dt) % count(*)) + count(*))
+        |           % count(*))) / count(*) AS BIGINT) AS seasonal_micro
+        |  FROM det GROUP BY season)
+        |SELECT DATE '1970-01-01' + CAST(det.d AS INT) AS bucket,
+        |       det.x, CAST(det.season AS BIGINT) AS season,
+        |       det.trend_micro, seas.seasonal_micro,
+        |       CAST(det.dt - seas.seasonal_micro AS BIGINT)
+        |         AS remainder_micro
+        |FROM det JOIN seas ON seas.season = det.season
+        |ORDER BY bucket""".stripMargin,
     // ACF replay: N-scaled integer centering (c = N*y - S), exact
     // integer numerator/denominator per lag, one division
     "events_autocorr" ->
@@ -8103,6 +8265,104 @@ object SparkEntry {
         |           * (CASE WHEN total_2 > 0
         |              THEN CAST(matched_2 AS DOUBLE) / total_2
         |              ELSE 0.0 END)), 6) + 0.0 AS bleu2
+        |FROM wide ORDER BY cand_id""".stripMargin,
+    // ROUGE replay: the BLEU gram CTEs with a FULL OUTER clip join so
+    // reference grams the candidate missed still count; recall /
+    // precision / F1 as the same raw-ratio IEEE sequence Spark runs
+    "eval_rouge_pairs" ->
+      """WITH pairs AS (
+        |  SELECT a.doc_id AS id, a.text AS ct, b.text AS rt
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 2 = 0),
+        |cg AS (
+        |  SELECT id, n, g, CAST(count(*) AS BIGINT) AS cc FROM (
+        |    SELECT id, 1 AS n, t AS g
+        |    FROM pairs, UNNEST(list_filter(string_split_regex(lower(ct),
+        |      '[^a-z]+'), x -> x <> '')) AS u(t)
+        |    UNION ALL
+        |    SELECT id, 2 AS n, g FROM (
+        |      SELECT id, list_filter(string_split_regex(lower(ct),
+        |        '[^a-z]+'), x -> x <> '') AS a FROM pairs),
+        |      UNNEST(list_transform(range(1, len(a)),
+        |        i -> a[i] || ' ' || a[i+1])) AS v(g))
+        |  GROUP BY id, n, g),
+        |rg AS (
+        |  SELECT id, n, g, CAST(count(*) AS BIGINT) AS rc FROM (
+        |    SELECT id, 1 AS n, t AS g
+        |    FROM pairs, UNNEST(list_filter(string_split_regex(lower(rt),
+        |      '[^a-z]+'), x -> x <> '')) AS u(t)
+        |    UNION ALL
+        |    SELECT id, 2 AS n, g FROM (
+        |      SELECT id, list_filter(string_split_regex(lower(rt),
+        |        '[^a-z]+'), x -> x <> '') AS a FROM pairs),
+        |      UNNEST(list_transform(range(1, len(a)),
+        |        i -> a[i] || ' ' || a[i+1])) AS v(g))
+        |  GROUP BY id, n, g),
+        |cl AS (
+        |  SELECT COALESCE(cg.id, rg.id) AS id, COALESCE(cg.n, rg.n) AS n,
+        |         CAST(sum(least(COALESCE(cg.cc, 0), COALESCE(rg.rc, 0)))
+        |           AS BIGINT) AS m,
+        |         CAST(sum(COALESCE(cg.cc, 0)) AS BIGINT) AS tc,
+        |         CAST(sum(COALESCE(rg.rc, 0)) AS BIGINT) AS tr
+        |  FROM cg FULL OUTER JOIN rg
+        |    ON cg.id = rg.id AND cg.n = rg.n AND cg.g = rg.g
+        |  GROUP BY 1, 2),
+        |wide AS (
+        |  SELECT p.id,
+        |    COALESCE(c1.m, 0) AS matched_1, COALESCE(c1.tc, 0) AS cand_1,
+        |    COALESCE(c1.tr, 0) AS ref_1,
+        |    COALESCE(c2.m, 0) AS matched_2, COALESCE(c2.tc, 0) AS cand_2,
+        |    COALESCE(c2.tr, 0) AS ref_2
+        |  FROM pairs p
+        |  LEFT JOIN cl c1 ON c1.id = p.id AND c1.n = 1
+        |  LEFT JOIN cl c2 ON c2.id = p.id AND c2.n = 2)
+        |SELECT id AS cand_id,
+        |  CAST(matched_1 AS BIGINT) AS matched_1,
+        |  CAST(cand_1 AS BIGINT) AS cand_1,
+        |  CAST(ref_1 AS BIGINT) AS ref_1,
+        |  CAST(matched_2 AS BIGINT) AS matched_2,
+        |  CAST(cand_2 AS BIGINT) AS cand_2,
+        |  CAST(ref_2 AS BIGINT) AS ref_2,
+        |  round(CASE WHEN ref_1 > 0
+        |        THEN CAST(matched_1 AS DOUBLE) / ref_1
+        |        ELSE 0.0 END, 6) + 0.0 AS r1,
+        |  round(CASE WHEN cand_1 > 0
+        |        THEN CAST(matched_1 AS DOUBLE) / cand_1
+        |        ELSE 0.0 END, 6) + 0.0 AS p1,
+        |  round(CASE WHEN (CASE WHEN cand_1 > 0
+        |              THEN CAST(matched_1 AS DOUBLE) / cand_1 ELSE 0.0 END)
+        |           + (CASE WHEN ref_1 > 0
+        |              THEN CAST(matched_1 AS DOUBLE) / ref_1 ELSE 0.0 END)
+        |           > 0.0
+        |        THEN 2.0 * (CASE WHEN cand_1 > 0
+        |               THEN CAST(matched_1 AS DOUBLE) / cand_1 ELSE 0.0 END)
+        |             * (CASE WHEN ref_1 > 0
+        |               THEN CAST(matched_1 AS DOUBLE) / ref_1 ELSE 0.0 END)
+        |             / ((CASE WHEN cand_1 > 0
+        |               THEN CAST(matched_1 AS DOUBLE) / cand_1 ELSE 0.0 END)
+        |             + (CASE WHEN ref_1 > 0
+        |               THEN CAST(matched_1 AS DOUBLE) / ref_1 ELSE 0.0 END))
+        |        ELSE 0.0 END, 6) + 0.0 AS f1_1,
+        |  round(CASE WHEN ref_2 > 0
+        |        THEN CAST(matched_2 AS DOUBLE) / ref_2
+        |        ELSE 0.0 END, 6) + 0.0 AS r2,
+        |  round(CASE WHEN cand_2 > 0
+        |        THEN CAST(matched_2 AS DOUBLE) / cand_2
+        |        ELSE 0.0 END, 6) + 0.0 AS p2,
+        |  round(CASE WHEN (CASE WHEN cand_2 > 0
+        |              THEN CAST(matched_2 AS DOUBLE) / cand_2 ELSE 0.0 END)
+        |           + (CASE WHEN ref_2 > 0
+        |              THEN CAST(matched_2 AS DOUBLE) / ref_2 ELSE 0.0 END)
+        |           > 0.0
+        |        THEN 2.0 * (CASE WHEN cand_2 > 0
+        |               THEN CAST(matched_2 AS DOUBLE) / cand_2 ELSE 0.0 END)
+        |             * (CASE WHEN ref_2 > 0
+        |               THEN CAST(matched_2 AS DOUBLE) / ref_2 ELSE 0.0 END)
+        |             / ((CASE WHEN cand_2 > 0
+        |               THEN CAST(matched_2 AS DOUBLE) / cand_2 ELSE 0.0 END)
+        |             + (CASE WHEN ref_2 > 0
+        |               THEN CAST(matched_2 AS DOUBLE) / ref_2 ELSE 0.0 END))
+        |        ELSE 0.0 END, 6) + 0.0 AS f1_2
         |FROM wide ORDER BY cand_id""".stripMargin,
     // snapshot-drift replay: one branch per (column, half), BIGINT
     // counts, joined on column

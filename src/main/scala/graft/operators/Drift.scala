@@ -698,4 +698,68 @@ object Drift {
     rows.toDF("bucket", "x", "forecast", "level", "trend", "resid", "alarm")
       .orderBy(col("bucket"))
   }
+
+  /** Additive seasonal decomposition of a daily event-count series —
+    * the classical moving-average method (the first pass of STL /
+    * census X-11, Cleveland et al. 1990 §2): `count = trend + seasonal
+    * + remainder`, with trend the CENTERED 7-day moving average,
+    * seasonal the per-weekday mean of the detrended series, and
+    * remainder what neither explains. This is the monitor-side
+    * decomposition the [[ewmaDailyBand]]/[[holtDailyForecast]] family
+    * lacks: those smooth THROUGH weekly shape, this names it — a
+    * weekend dip stops eating alarm budget and the remainder becomes
+    * the clean anomaly channel.
+    *
+    * Exactness device: everything is micro-unit integer arithmetic —
+    * `trend_micro = floordiv(1e6·Σ_{±3} count, 7)` (only days with all
+    * 7 calendar neighbors present), `detrended = 1e6·count − trend`,
+    * `seasonal_micro(s) = floordiv(Σ detrended over weekday s, n_s)`,
+    * remainder the integer difference — with floordiv written
+    * `(a − pmod(a, b)) / b` so negative detrended sums floor
+    * identically in any engine. Weekday index = `epoch_day mod 7`
+    * (0 = Thursday): calendar-stable, timezone-free, no engine
+    * dayofweek convention to reconcile.
+    *
+    * Scale shape: after the one map-combinable daily count, every step
+    * runs on |distinct days| rows. The centered window is an explode of
+    * the 7 target days each count contributes to + a keyed re-sum — a
+    * shuffle on the day key, NO single-partition global window — so
+    * calendar gaps self-exclude (their neighbor count < 7) instead of
+    * silently averaging over a shorter span. */
+  def seasonalDecompose(df: DataFrame, tsCol: String,
+                        halfWindow: Int = 3): DataFrame = {
+    require(halfWindow >= 1, s"halfWindow must be >= 1, got $halfWindow")
+    val span = 2 * halfWindow + 1
+    val daily = df.filter(col(tsCol).isNotNull)
+      .select(datediff(to_date(date_trunc("day", col(tsCol))),
+        lit("1970-01-01").cast("date")).cast("long").as("__d"))
+      .groupBy(col("__d")).agg(count(lit(1)).as("x"))
+    def floordiv(a: Column, b: Column): Column = (a - pmod(a, b)) / b
+    // each day's count contributes to the centered windows of its
+    // ±halfWindow calendar neighbors; a full window re-sums exactly span
+    val trend = daily
+      .select(col("x"), explode(sequence(col("__d") - halfWindow,
+        col("__d") + halfWindow)).as("__t"))
+      .groupBy(col("__t")).agg(sum(col("x")).as("__s"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") === span)
+      .select(col("__t").as("__d"),
+        floordiv(lit(1000000L) * col("__s"), lit(span.toLong))
+          .cast("long").as("trend_micro"))
+    val det = daily.join(trend, Seq("__d"))
+      .select(col("__d"), col("x"), col("trend_micro"),
+        (lit(1000000L) * col("x") - col("trend_micro")).as("__det"),
+        pmod(col("__d"), lit(7L)).as("season"))
+    val seasonal = det.groupBy(col("season"))
+      .agg(floordiv(sum(col("__det")), count(lit(1)))
+        .cast("long").as("seasonal_micro"))
+    det.join(seasonal, Seq("season"))
+      .select(
+        date_add(lit("1970-01-01").cast("date"),
+          col("__d").cast("int")).as("bucket"),
+        col("x"), col("season"), col("trend_micro"), col("seasonal_micro"),
+        (col("__det") - col("seasonal_micro")).cast("long")
+          .as("remainder_micro"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -415,6 +415,61 @@ object Joins {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Edit-distance-1 self-join over a word set via DELETION
+    * neighborhoods (the FastSS device — Bocek, Hunt & Stiller 2007,
+    * "Fast similarity search in large dictionaries"): each word emits
+    * itself plus its |w| one-character deletions as join keys; two
+    * words at edit distance ≤ 1 ALWAYS share a key (identity for d=0,
+    * the deleted form for an insert/delete, the common deletion at the
+    * substituted position for a substitution), so a keyed equi-join +
+    * one bounded `levenshtein(·,·,1)` verify per candidate replaces the
+    * quadratic all-pairs scan — no blocking key needed, which is what
+    * makes it THE spelling-variant miner for a corpus vocabulary
+    * (typo mining, OCR-noise linking, tokenizer-vocab collapsing).
+    *
+    * Scale shape: |w|+1 index rows per word (linear in total
+    * characters), one shuffle on the variant key. The quadratic hazard
+    * is a variant bucket shared by many words (short words collapse
+    * onto few strings), guarded twice by construction: `minLen` drops
+    * words shorter than 4 by default, and buckets above `maxBucket`
+    * variants are EXCLUDED (a pair losing its only shared bucket that
+    * way would have to route ≥ |maxBucket| − 2 coincident words through
+    * one deleted form — document the cap, don't assume the vocab).
+    * False candidates from d=2 pairs sharing an unpositioned deletion
+    * (e.g. "ab"/"ba" both deleting to "a") are removed by the verify.
+    *
+    * Returns one row per verified pair: `w_a < w_b` (lexicographic),
+    * `dist` ∈ {0 impossible, 1} as long — distinct words, so always 1,
+    * kept as a column for the audit trail. */
+  def deletionEditPairs(words: DataFrame, wordCol: String,
+                        minLen: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val base = words
+      .filter(col(wordCol).isNotNull && length(col(wordCol)) >= minLen)
+      .select(col(wordCol).as("__w")).distinct()
+    // the word itself + each single-character deletion as join keys;
+    // array_union dedups within a word ("aab" deletes to "ab" twice),
+    // so no candidate pair is emitted twice through one word's list
+    val variants = base.select(col("__w"), explode(array_union(
+      array(col("__w")),
+      transform(sequence(lit(1), length(col("__w"))),
+        i => concat(col("__w").substr(lit(1), i - lit(1)),
+          col("__w").substr(i + lit(1), length(col("__w")))))))
+      .as("__v"))
+    val small = variants.join(
+      variants.groupBy(col("__v")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucket).select(col("__v")),
+      Seq("__v"))
+    small.select(col("__v"), col("__w").as("w_a"))
+      .join(small.select(col("__v"), col("__w").as("w_b")), Seq("__v"))
+      .filter(col("w_a") < col("w_b"))
+      .select(col("w_a"), col("w_b")).distinct()
+      .withColumn("dist",
+        levenshtein(col("w_a"), col("w_b"), 1).cast("long"))
+      .filter(col("dist") >= 0L && col("dist") <= 1L)
+  }
+
   /** Blocking-scheme quality report — the numbers that decide whether a
     * blocking key is usable BEFORE paying for the pair comparisons: one
     * row (n_records, n_blocks, n_candidate_pairs = Σ c·(c−1)/2,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document-level repetition metrics — the "repetitious text" family of
@@ -251,6 +251,71 @@ object TextMetrics {
         (round(ratio("matched_2", "total_2"), 6) + lit(0.0)).as("p2"),
         (round(sqrt(ratio("matched_1", "total_1") *
           ratio("matched_2", "total_2")), 6) + lit(0.0)).as("bleu2"))
+  }
+
+  /** ROUGE-1/2 overlap counts between paired texts (Lin, ACL 2004
+    * "ROUGE: a package for automatic evaluation of summaries") — the
+    * RECALL-oriented complement of [[bleuCounts]]: where BLEU asks
+    * "what fraction of the candidate is in the reference", ROUGE asks
+    * "what fraction of the reference did the candidate cover" — the
+    * right direction for summarization / coverage eval. Per pair, for
+    * n = 1 and 2: `matched_n` = Σ_g min(count_cand(g), count_ref(g))
+    * (clipped, same as BLEU), `cand_n` / `ref_n` the two gram totals,
+    * recall `rN` = matched/ref, precision `pN` = matched/cand, and
+    * `f1_N` = 2pr/(p+r) — each a round(·,6) over at most two divisions
+    * (the same IEEE sequence in any engine). Empty sides report zero
+    * totals and 0.0 scores.
+    *
+    * Scale shape: identical to [[bleuCounts]] — n-gram extraction is
+    * map-side (zip-with-tail), the clip join is keyed on
+    * (pair id, n, gram); ref totals fold out of the same join with a
+    * full-outer so grams the candidate missed still count. */
+  def rougeCounts(pairs: DataFrame, idCol: String, candCol: String,
+                  refCol: String): DataFrame = {
+    def toks(c: String) =
+      filter(split(lower(col(c)), "[^a-z]+"), t => t =!= "")
+    def grams(side: String, c: String) = {
+      val arr = toks(c).as("__a")
+      val base = pairs.select(col(idCol).as("__id"), arr)
+      val uni = base.select(col("__id"), explode(col("__a")).as("__g"))
+      val bi = base.filter(size(col("__a")) >= 2)
+        .select(col("__id"), explode(zip_with(
+          slice(col("__a"), lit(1), size(col("__a")) - 1),
+          slice(col("__a"), lit(2), size(col("__a")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("__g"))
+      uni.withColumn("__n", lit(1)).union(bi.withColumn("__n", lit(2)))
+        .groupBy(col("__id"), col("__n"), col("__g"))
+        .agg(count(lit(1)).as(s"__c_$side"))
+    }
+    val joined = grams("cand", candCol)
+      .join(grams("ref", refCol), Seq("__id", "__n", "__g"), "full_outer")
+      .groupBy(col("__id"), col("__n"))
+      .agg(
+        sum(least(coalesce(col("__c_cand"), lit(0L)),
+          coalesce(col("__c_ref"), lit(0L)))).as("__m"),
+        sum(coalesce(col("__c_cand"), lit(0L))).as("__tc"),
+        sum(coalesce(col("__c_ref"), lit(0L))).as("__tr"))
+    def side(n: Int) = joined.filter(col("__n") === n)
+      .select(col("__id"), col("__m").as(s"matched_$n"),
+        col("__tc").as(s"cand_$n"), col("__tr").as(s"ref_$n"))
+    val wide = pairs.select(col(idCol).as("__id"))
+      .join(side(1), Seq("__id"), "left")
+      .join(side(2), Seq("__id"), "left")
+    def z(c: String) = coalesce(col(c), lit(0L))
+    def ratio(m: Column, t: Column) =
+      when(t > 0L, m.cast("double") / t.cast("double")).otherwise(lit(0.0))
+    def scores(n: Int) = {
+      val r = ratio(z(s"matched_$n"), z(s"ref_$n"))
+      val p = ratio(z(s"matched_$n"), z(s"cand_$n"))
+      Seq((round(r, 6) + lit(0.0)).as(s"r$n"),
+        (round(p, 6) + lit(0.0)).as(s"p$n"),
+        (round(when(p + r > 0.0, lit(2.0) * p * r / (p + r))
+          .otherwise(lit(0.0)), 6) + lit(0.0)).as(s"f1_$n"))
+    }
+    wide.select(Seq(col("__id").as(idCol)) ++
+      Seq(1, 2).flatMap(n => Seq(z(s"matched_$n").as(s"matched_$n"),
+        z(s"cand_$n").as(s"cand_$n"), z(s"ref_$n").as(s"ref_$n"))) ++
+      scores(1) ++ scores(2): _*)
   }
 
   // --- Unicode confusable (homoglyph) detection ---------------------------

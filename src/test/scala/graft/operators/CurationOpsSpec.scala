@@ -635,6 +635,34 @@ class TextMetricsSpec extends SparkSpec {
       (4L, 3L, 3L, 2L, 2L, 1.0, 1.0, 1.0)))
   }
 
+  test("rougeCounts: recall against the reference, clipped matches, " +
+       "ref totals count grams the candidate missed, zero-gram edges, " +
+       "identity pair is perfect") {
+    val pairs = Seq(
+      // uni: cand the2 cat2 sat1 (5), ref the2 cat1 sat1 on1 mat1 (6),
+      // clip 4 -> r=4/6 p=4/5; bi: clip "the cat"1 + "cat sat"1 = 2,
+      // cand 4, ref 5 -> r=2/5 p=2/4
+      (1L, "the cat the cat sat", "the cat sat on the mat"),
+      (2L, "x", "y z"),        // no cand bigrams; ref bigram still counts
+      (3L, "", "anything"),    // empty candidate: zero recall, ref_1 = 1
+      (4L, "a b c", "a b c")   // identity: all scores 1.0
+    ).toDF("pid", "cand", "ref")
+    val out = TextMetrics.rougeCounts(pairs, "pid", "cand", "ref")
+      .orderBy($"pid")
+      .as[(Long, Long, Long, Long, Long, Long, Long,
+        Double, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    def f1(p: Double, r: Double) =
+      BigDecimal(2 * p * r / (p + r))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Seq(
+      (1L, 4L, 5L, 6L, 2L, 4L, 5L,
+        0.666667, 0.8, f1(4.0 / 5, 4.0 / 6), 0.4, 0.5, f1(0.5, 0.4)),
+      (2L, 0L, 1L, 2L, 0L, 0L, 1L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      (3L, 0L, 0L, 1L, 0L, 0L, 0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      (4L, 3L, 3L, 3L, 2L, 2L, 2L, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)))
+  }
+
   test("charEntropy: hand values — uniform pairs give 1 bit, constant " +
        "text gives 0, uniform 4-alphabet gives 2 bits, empty/null keep " +
        "zero rows; both tails separate template from noise") {

@@ -280,4 +280,32 @@ class DriftSpec extends SparkSpec {
       .as[(java.sql.Date, Long, Long, Long, Long)].collect().toSeq
     assert(ew.forall(_._5 == 1L))
   }
+
+  test("seasonalDecompose: pure weekly signal decomposes exactly — " +
+       "flat trend, seasonal = the weekday offsets, zero remainder; " +
+       "calendar gaps exclude every window they touch") {
+    // 14 days from epoch, count(d) = 10 + d%7: every full 7-day window
+    // sums to 91 -> trend = 13e6 exactly; seasonal(s) = (s-3)e6
+    val rows = for {
+      d <- 0 to 13
+      i <- 0 until 10 + d % 7
+    } yield (d, f"1970-01-${d + 1}%02d 0${i % 9}:01:00")
+    def decompose(days: Seq[(Int, String)]) = Drift.seasonalDecompose(
+        days.map(_._2).toDF("t").select(to_timestamp($"t").as("ts")), "ts")
+      .as[(java.sql.Date, Long, Long, Long, Long, Long)].collect().toSeq
+    val out = decompose(rows)
+    // full windows exist for d = 3..10 only
+    assert(out.map(_._1.toLocalDate.toEpochDay) == (3L to 10L))
+    out.foreach { case (d, x, season, trend, seasonal, rem) =>
+      val day = d.toLocalDate.toEpochDay
+      assert(x == 10 + day % 7)
+      assert(season == day % 7)
+      assert(trend == 13000000L)
+      assert(seasonal == (day % 7 - 3) * 1000000L)
+      assert(rem == 0L)
+    }
+    // drop day 5: every window containing it (d = 2..8) disappears
+    val g = decompose(rows.filter(_._1 != 5))
+    assert(g.map(_._1.toLocalDate.toEpochDay) == Seq(9L, 10L))
+  }
 }

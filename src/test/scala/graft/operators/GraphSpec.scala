@@ -154,6 +154,36 @@ class GraphSpec extends SparkSpec {
       Seq((1L, 3L, 2L, 2 * w2, 2 * w2 / 1e6)))
   }
 
+  test("neighborJaccard: star wedges score common/union in micro units, " +
+       "adjacent pairs are excluded, hub guard silences the star center, " +
+       "full degrees stay in the denominator") {
+    // star 1-{2,3,4} plus edge 2-3 (the adamicAdar fixture):
+    // deg(1)=3, deg(2)=deg(3)=2, deg(4)=1
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (3L, 2L), (1L, 2L)).toDF("x", "y")
+    val out = Graph.neighborJaccard(g, "x", "y", topK = 10)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // non-adjacent with a shared neighbor: (2,4) and (3,4), both via
+    // z=1 only -> J = 1/(2+1-1) = 1/2
+    assert(out == Seq(
+      (2L, 4L, 1L, 500000L, 0.5),
+      (3L, 4L, 1L, 500000L, 0.5)))
+    // hub guard: maxHubDegree=2 removes z=1, the only wedge center
+    assert(Graph.neighborJaccard(g, "x", "y", topK = 10, maxHubDegree = 2)
+      .collect().isEmpty)
+    // square 1-2-3-4-1: each diagonal's neighborhoods coincide -> J=1
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("x", "y")
+    val d = Graph.neighborJaccard(sq, "x", "y", topK = 10)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(d == Seq(
+      (1L, 3L, 2L, 1000000L, 1.0),
+      (2L, 4L, 2L, 1000000L, 1.0)))
+    // the topK cut is total-ordered: topK=1 keeps (1,3)
+    assert(Graph.neighborJaccard(sq, "x", "y", topK = 1)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq ==
+      Seq((1L, 3L, 2L, 1000000L, 1.0)))
+  }
+
   test("personalizedPageRank: hand-computed path with one seed; exact integers") {
     // undirected path a-b-c, seed {a}: base = 1e12, b15 = 15e10.
     // p0 = (1e12, 0, 0); deg = (1, 2, 1)

@@ -540,4 +540,39 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("deletionEditPairs: finds substitution/insert/delete neighbors " +
+       "without a blocking key; d=2 candidates are verified away; " +
+       "minLen drops short words; bucket cap excludes mass collisions") {
+    val words = Seq("house", "mouse", "houses", "horse", "table", "cat")
+      .toDF("w")
+    val out = Joins.deletionEditPairs(words, "w")
+      .as[(String, String, Long)].collect().toSet
+    // house~mouse (sub), house~houses (insert), house~horse (sub);
+    // mouse~horse is d=2 and shares no deletion variant; cat < minLen
+    assert(out == Set(("house", "mouse", 1L), ("house", "houses", 1L),
+      ("horse", "house", 1L)))
+    // aaaa/baaa/abaa all delete to "aaa" (bucket of 3); abaa~baaa also
+    // share "baa" (bucket of 2) but verify rejects them at d=2
+    val aa = Seq("aaaa", "baaa", "abaa").toDF("w")
+    assert(Joins.deletionEditPairs(aa, "w")
+      .as[(String, String, Long)].collect().toSet ==
+      Set(("aaaa", "baaa", 1L), ("aaaa", "abaa", 1L)))
+    // maxBucket=2 excludes the "aaa" bucket; the surviving "baa"
+    // candidate fails the levenshtein verify -> empty
+    assert(Joins.deletionEditPairs(aa, "w", maxBucket = 2)
+      .collect().isEmpty)
+    // duplicate input words collapse (distinct), null words drop
+    val dup = Seq("house", "house", null, "mouse").toDF("w")
+    assert(Joins.deletionEditPairs(dup, "w")
+      .as[(String, String, Long)].collect().toSet ==
+      Set(("house", "mouse", 1L)))
+  }
+
+  test("deletionEditPairs plan: equi-join on the variant key, no cartesian") {
+    val plan = Joins.deletionEditPairs(Seq("abcd").toDF("w"), "w")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
