@@ -1119,6 +1119,33 @@ object SparkEntry {
       // the deseasonalized anomaly channel the EWMA/Holt monitors lack
       operators.Drift.seasonalDecompose(eventsMicros(s, dir), "ts")
     }),
+    "events_stl_anomaly" -> ((s, dir) => {
+      // anomaly flags on the DESEASONALIZED channel: robust median/MAD
+      // z per weekday over the decomposition's remainder — a spike
+      // judged against its own weekday's noise floor, not the weekly
+      // shape (the composition seasonal decomposition exists for)
+      val dec = operators.Drift.seasonalDecompose(
+        eventsMicros(s, dir), "ts")
+      operators.Ranking.groupRobustZScores(
+          dec.select(col("bucket"), col("x"), col("season"),
+            col("remainder_micro")),
+          Seq("season"), "remainder_micro")
+        .select(col("bucket"), col("x"), col("season"),
+          col("remainder_micro"),
+          (round(col("rz"), 4) + lit(0.0)).as("rz"))
+        .orderBy(col("bucket"))
+    }),
+    "pii_dp_counts" -> ((s, dir) => {
+      // ε=1 Laplace release of the per-(event type, day) counts:
+      // hash-uniform inverse-CDF noise (replayable release, salt is
+      // the secret), one micro floor, true counts never emitted
+      val ev = eventsMicros(s, dir)
+        .select(col("event_type"),
+          to_date(date_trunc("day", col("ts"))).as("day"))
+      operators.Privacy.dpNoisyCounts(ev, Seq("event_type", "day"),
+          salt = "graft-dp-v1", epsilonMicro = 1000000L)
+        .orderBy(col("event_type"), col("day"))
+    }),
     "corpus_heaps_law" -> ((s, dir) => {
       // Heaps'-law vocabulary-growth fit: one (log N, log V) point per
       // doc in id order off two globalRunningSums, decimal-exact
@@ -1451,6 +1478,25 @@ object SparkEntry {
           col("h_micro"))
         .orderBy(col("c_custkey"))
     }),
+    "graph_betweenness" -> ((s, dir) => {
+      // sampled bounded-distance Brandes betweenness over the
+      // fuzzy-match graph: forward σ-carrying BFS from every 100th
+      // customer id (3 hops), backward dependency accumulation with
+      // per-DAG-edge micro floors — exact integer sums, the
+      // broker/bridge ranking beside harmonic's closeness; nodes with
+      // traffic only (bc > 0), top-50 total-ordered
+      val pairs = fuzzyPairs(s, dir)
+      val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
+        .union(pairs.select(col("id_b"), col("id_a")))
+      val seeds = edges.select(col("s").as("node")).distinct()
+        .filter(pmod(col("node"), lit(100L)) === 0L)
+      operators.Graph.betweennessCentrality(edges, "s", "d", seeds,
+          "node", maxHops = 3)
+        .filter(col("bc_micro") > 0L)
+        .orderBy(col("bc_micro").desc, col("node"))
+        .limit(50)
+        .select(col("node").as("c_custkey"), col("bc_micro"))
+    }),
     "graph_bfs_reach" -> ((s, dir) => {
       // multi-source BFS over the fuzzy-match graph: min hops from the
       // seed set (every 10th customer id), frontier-expanded — the
@@ -1770,6 +1816,30 @@ object SparkEntry {
         operators.Sketch.kmvRegisters(cust, "c_custkey", k = 256),
         k = 256)
     }),
+    "sketch_ams_f2" -> ((s, dir) => {
+      // AMS tug-of-war F2 (self-join size / skew) over the corpus
+      // token frequencies: 64 deterministic ±1 md5-sign counters,
+      // median-of-8-means estimate, exact integer arithmetic
+      // end-to-end beside the exact Σf² for calibration
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val toks = docs.select(explode(filter(
+        split(lower(col("text")), "[^a-z]+"), t => t =!= "")).as("w"))
+      operators.Sketch.amsF2(toks, "w")
+    }),
+    "sample_poisson_bootstrap" -> ((s, dir) => {
+      // Poisson(1) bootstrap of mean quantity per return flag: 32
+      // replicates as map-side hash weights (no data resample), exact
+      // micro-integer replicate means and across-replicate variance —
+      // the uncertainty number a 100 TB mean can actually afford
+      val li = DbReader(conn(s, dir), "lineitem").run()
+        .select(col("l_returnflag"),
+          concat_ws("#", col("l_orderkey"), col("l_linenumber"))
+            .as("rid"),
+          (col("l_quantity") * lit(1000000)).cast("long").as("q_micro"))
+      operators.Sampling.poissonBootstrap(li, "l_returnflag", "rid",
+          "q_micro", reps = 32)
+        .orderBy(col("l_returnflag"))
+    }),
     "sketch_kmv_distinct" -> ((s, dir) => {
       // bottom-k distinct sketch (k=128) over the word stream: the k
       // smallest md5 hashes + the (k-1)*2^60/h_k estimate, with the
@@ -1895,6 +1965,36 @@ object SparkEntry {
           .select(col("doc_id"), (col("lang") === "en").as("is_en")),
           "doc_id")
       operators.Features.rocAuc(scored, "score", "is_en")
+    }),
+    "feature_assoc_rules" -> ((s, dir) => {
+      // market-basket association rules over brands co-ordered in one
+      // order: support / directed confidences / lift, every ratio ONE
+      // integer floor to micro units; basket-size guard on the
+      // per-basket self-join, top-50 total-ordered on lift
+      val li = DbReader(conn(s, dir), "lineitem").run()
+      val part = DbReader(conn(s, dir), "part").run()
+      val baskets = li.join(part,
+        li("l_partkey") === part("p_partkey"))
+      operators.Features.associationRules(baskets, "l_orderkey",
+        "p_brand", minPairCount = 3L, topK = 50)
+    }),
+    "feature_spearman_rho" -> ((s, dir) => {
+      // monotone association between account balance and lifetime
+      // spend per market segment: total-order ranks (id tie-break),
+      // exact Σd², one DECIMAL floordiv to micro units — the
+      // displacement-weighted complement of eval_kendall_tau
+      val cust = DbReader(conn(s, dir), "customer").run()
+      val spend = DbReader(conn(s, dir), "orders").run()
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice")).as("__spend"))
+      val base = cust.join(spend,
+          cust("c_custkey") === spend("o_custkey"), "left")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          coalesce(col("__spend"), lit(0).cast("decimal(12,2)"))
+            .as("spend"))
+      operators.Features.spearmanRho(base, "c_mktsegment",
+          "c_acctbal", "spend", "c_custkey")
+        .orderBy(col("c_mktsegment"))
     }),
     "feature_mutual_info" -> ((s, dir) => {
       // per-cell MI contributions between source and lang: integer
@@ -6563,6 +6663,96 @@ object SparkEntry {
          |ORDER BY c_custkey""".stripMargin
   }
 
+  /** Shared CTE body for the seasonal-decomposition replays: daily
+    * counts on the epoch-day grid → explode-shift centered 7-day MA
+    * (full windows only) → detrended frame with weekday index →
+    * per-weekday seasonal floor-means. Used by both
+    * events_seasonal_decompose and events_stl_anomaly. */
+  private val seasonalDecomposeCtes: String =
+    """daily AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+      |           CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS d,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      |shift AS (
+      |  SELECT d + o AS t, x
+      |  FROM daily, UNNEST(range(-3, 4)) AS u(o)),
+      |tr AS (
+      |  SELECT t AS d,
+      |         CAST((1000000 * s - ((((1000000 * s) % 7) + 7) % 7)) / 7
+      |           AS BIGINT) AS trend_micro
+      |  FROM (SELECT t, CAST(sum(x) AS BIGINT) AS s,
+      |               count(*) AS n FROM shift GROUP BY t)
+      |  WHERE n = 7),
+      |det AS (
+      |  SELECT daily.d, daily.x, tr.trend_micro,
+      |         1000000 * daily.x - tr.trend_micro AS dt,
+      |         ((daily.d % 7) + 7) % 7 AS season
+      |  FROM daily JOIN tr ON tr.d = daily.d),
+      |seas AS (
+      |  SELECT season,
+      |         CAST((sum(dt) - (((sum(dt) % count(*)) + count(*))
+      |           % count(*))) / count(*) AS BIGINT) AS seasonal_micro
+      |  FROM det GROUP BY season)""".stripMargin
+
+  /** Sampled-Brandes replay: the fuzzy-match adjacency, seeds ≡ 0
+    * (mod 100) carrying σ=1, `hops` unrolled σ-summing frontier steps,
+    * then the backward dependency recurrence with the identical
+    * per-DAG-edge micro floor, summed per node over sources/layers. */
+  private def betweennessOracleSql(hops: Int): String = {
+    val head =
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name AS s,
+        |         substr(c_name, 1, length(c_name) - 2) AS blk
+        |  FROM customer WHERE c_name IS NOT NULL AND c_custkey IS NOT NULL),
+        |e AS (
+        |  SELECT a.id AS a, b.id AS b
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.s, b.s) <= 1),
+        |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |l0 AS (SELECT DISTINCT u AS source, u AS node,
+        |              CAST(1 AS BIGINT) AS sigma
+        |       FROM adj WHERE u % 100 = 0),
+        |r0 AS (SELECT source, node FROM l0)""".stripMargin
+    val fwd = (1 to hops).map { i =>
+      val p = i - 1
+      s"""l$i AS (SELECT r.source, a.v AS node,
+         |          CAST(sum(r.sigma) AS BIGINT) AS sigma
+         |        FROM adj a JOIN l$p r ON r.node = a.u
+         |        WHERE NOT EXISTS (SELECT 1 FROM r$p x
+         |          WHERE x.source = r.source AND x.node = a.v)
+         |        GROUP BY r.source, a.v),
+         |r$i AS (SELECT source, node FROM r$p
+         |        UNION ALL SELECT source, node FROM l$i)""".stripMargin
+    }
+    val blTop =
+      s"""bl$hops AS (SELECT source, node, sigma,
+         |  CAST(0 AS BIGINT) AS delta FROM l$hops)""".stripMargin
+    val back = (hops - 1 to 1 by -1).map { i =>
+      s"""b$i AS (SELECT vv.source, vv.node,
+         |  CAST(sum((vv.sigma * (1000000 + ww.delta)
+         |    - (vv.sigma * (1000000 + ww.delta)) % ww.sigma)
+         |    / ww.sigma) AS BIGINT) AS delta
+         |  FROM l$i vv JOIN adj a ON a.u = vv.node
+         |       JOIN bl${i + 1} ww
+         |         ON ww.source = vv.source AND ww.node = a.v
+         |  GROUP BY vv.source, vv.node),
+         |bl$i AS (SELECT l.source, l.node, l.sigma,
+         |  COALESCE(b.delta, 0) AS delta
+         |  FROM l$i l LEFT JOIN b$i b
+         |    ON b.source = l.source AND b.node = l.node)""".stripMargin
+    }
+    val union = (1 to hops)
+      .map(i => s"SELECT source, node, delta FROM bl$i")
+      .mkString("\nUNION ALL\n")
+    ((head +: fwd) ++ (blTop +: back)).mkString(",\n") +
+      s"""
+         |SELECT node AS c_custkey, CAST(sum(delta) AS BIGINT) AS bc_micro
+         |FROM ($union)
+         |GROUP BY node HAVING sum(delta) > 0
+         |ORDER BY bc_micro DESC, node LIMIT 50""".stripMargin
+  }
+
   /** Multi-source BFS replay: the fuzzy-match adjacency, seeds ≡ 0
     * (mod 10) at dist 0, then `hops` unrolled frontier steps — each a
     * distinct-neighbors join minus the already-reached set. */
@@ -7577,6 +7767,7 @@ object SparkEntry {
     "graph_ppr" -> pprOracleSql(rounds = 3),
     "graph_bfs_reach" -> bfsOracleSql(hops = 3),
     "graph_harmonic_centrality" -> harmonicOracleSql(hops = 3),
+    "graph_betweenness" -> betweennessOracleSql(hops = 3),
     "sample_kcenter_coreset" -> kcenterOracleSql(k = 8),
     "linkage_fellegi_sunter" -> fellegiSunterOracleSql(),
     "linkage_fs_em" -> fsEmOracleSql(),
@@ -7988,31 +8179,7 @@ object SparkEntry {
     // windows only), floordiv written (a − pmod)/b so negative
     // detrended sums floor identically, weekday = epoch_day mod 7
     "events_seasonal_decompose" ->
-      """WITH daily AS (
-        |  SELECT CAST(date_diff('day', DATE '1970-01-01',
-        |           CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS d,
-        |         CAST(count(*) AS BIGINT) AS x
-        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
-        |shift AS (
-        |  SELECT d + o AS t, x
-        |  FROM daily, UNNEST(range(-3, 4)) AS u(o)),
-        |tr AS (
-        |  SELECT t AS d,
-        |         CAST((1000000 * s - ((((1000000 * s) % 7) + 7) % 7)) / 7
-        |           AS BIGINT) AS trend_micro
-        |  FROM (SELECT t, CAST(sum(x) AS BIGINT) AS s,
-        |               count(*) AS n FROM shift GROUP BY t)
-        |  WHERE n = 7),
-        |det AS (
-        |  SELECT daily.d, daily.x, tr.trend_micro,
-        |         1000000 * daily.x - tr.trend_micro AS dt,
-        |         ((daily.d % 7) + 7) % 7 AS season
-        |  FROM daily JOIN tr ON tr.d = daily.d),
-        |seas AS (
-        |  SELECT season,
-        |         CAST((sum(dt) - (((sum(dt) % count(*)) + count(*))
-        |           % count(*))) / count(*) AS BIGINT) AS seasonal_micro
-        |  FROM det GROUP BY season)
+      s"""WITH $seasonalDecomposeCtes
         |SELECT DATE '1970-01-01' + CAST(det.d AS INT) AS bucket,
         |       det.x, CAST(det.season AS BIGINT) AS season,
         |       det.trend_micro, seas.seasonal_micro,
@@ -8020,6 +8187,52 @@ object SparkEntry {
         |         AS remainder_micro
         |FROM det JOIN seas ON seas.season = det.season
         |ORDER BY bucket""".stripMargin,
+    // STL-anomaly replay: the seasonal CTEs + per-weekday median/MAD
+    // robust z on the remainder channel (the events_robust_zscore
+    // device over the decomposed series)
+    "events_stl_anomaly" ->
+      s"""WITH $seasonalDecomposeCtes,
+        |rem AS (
+        |  SELECT DATE '1970-01-01' + CAST(det.d AS INT) AS bucket,
+        |         det.x, CAST(det.season AS BIGINT) AS season,
+        |         CAST(det.dt - seas.seasonal_micro AS BIGINT) AS r
+        |  FROM det JOIN seas ON seas.season = det.season),
+        |med AS (SELECT season, median(r::DOUBLE) AS m
+        |        FROM rem GROUP BY season),
+        |mad AS (SELECT rem.season, median(abs(rem.r - med.m)) AS dd
+        |        FROM rem JOIN med USING (season) GROUP BY rem.season)
+        |SELECT rem.bucket, rem.x, rem.season, rem.r AS remainder_micro,
+        |       CASE WHEN dd > 0
+        |            THEN round((rem.r - m) / (1.4826 * dd), 4) + 0
+        |       END AS rz
+        |FROM rem JOIN med USING (season) JOIN mad USING (season)
+        |ORDER BY rem.bucket""".stripMargin,
+    // DP-counts replay: per-(type, day) counts + the same md5-uniform
+    // inverse-CDF Laplace draw — identical IEEE multiply order, one
+    // micro floor; true counts never in the output
+    "pii_dp_counts" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |x AS (
+        |  SELECT event_type, day, n,
+        |    (CAST(CAST('0x' || substr(md5('graft-dp-v1#' || event_type
+        |       || '#' || CAST(day AS VARCHAR)), 1, 15) AS BIGINT)
+        |       % 1000000000 AS DOUBLE) + 0.5) / 1000000000.0 - 0.5 AS d
+        |  FROM g),
+        |y AS (
+        |  SELECT event_type, day,
+        |    CAST(1000000 * n + floor((CASE WHEN d >= 0 THEN -1.0
+        |        ELSE 1.0 END) * ln(1.0 - 2.0 * abs(d))
+        |      * (1000000.0 / 1000000.0) * 1000000.0) AS BIGINT)
+        |      AS dp_count_micro
+        |  FROM x)
+        |SELECT event_type, day, dp_count_micro,
+        |       round(CAST(dp_count_micro AS DOUBLE) / 1000000.0, 6)
+        |         + 0.0 AS dp_count
+        |FROM y ORDER BY event_type, day""".stripMargin,
     // ACF replay: N-scaled integer centering (c = N*y - S), exact
     // integer numerator/denominator per lag, one division
     "events_autocorr" ->
@@ -8668,6 +8881,71 @@ object SparkEntry {
     // 127 * 2^60 / h_k (both operands exactly representable doubles);
     // round(4)+0.0 as everywhere. n < k means the register set IS the
     // distinct set — estimate = n exactly.
+    // AMS replay: same token stream, ±1 sign from bit 0 of the 60-bit
+    // md5 prefix of value#j, 64 counters, squares, 8 group means and
+    // the even-median — exact integer floors throughout
+    "sketch_ams_f2" ->
+      """WITH toks AS (
+        |  SELECT t FROM documents, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+        |    AS u(t)),
+        |freq AS (SELECT t AS v, CAST(count(*) AS BIGINT) AS f
+        |         FROM toks GROUP BY t),
+        |cj AS (
+        |  SELECT j, CAST(sum(CASE WHEN
+        |      CAST('0x' || substr(md5(v || '#' || CAST(j AS VARCHAR)),
+        |        1, 15) AS BIGINT) % 2 = 1
+        |      THEN f ELSE -f END) AS BIGINT) AS c
+        |  FROM freq, range(0, 64) r(j) GROUP BY j),
+        |means AS (
+        |  SELECT CAST((j - j % 8) / 8 AS BIGINT) AS grp,
+        |         CAST((sum(c * c) - sum(c * c) % 8) / 8 AS BIGINT)
+        |           AS mean_c2
+        |  FROM cj GROUP BY 1),
+        |ord AS (SELECT grp, mean_c2,
+        |          row_number() OVER (ORDER BY mean_c2, grp) AS r
+        |        FROM means),
+        |est AS (SELECT CAST((sum(mean_c2) - sum(mean_c2) % 2) / 2
+        |          AS BIGINT) AS f2_estimate
+        |        FROM ord WHERE r IN (4, 5)),
+        |ex AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact FROM freq)
+        |SELECT means.grp, means.mean_c2, est.f2_estimate, ex.f2_exact
+        |FROM means, est, ex ORDER BY grp""".stripMargin,
+    // Poisson-bootstrap replay: 32 hash replicates, k = inverse-CDF
+    // walk of the md5-nano uniform against the quantized Poisson(1)
+    // CDF, micro-integer replicate means, exact variance identity
+    "sample_poisson_bootstrap" ->
+      """WITH w AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(l_quantity * 1000000 AS BIGINT) AS v, r.rep,
+        |         len(list_filter([367879441, 735758882, 919698602,
+        |             981011843, 996340153, 999405815, 999916758,
+        |             999989750],
+        |           t -> CAST('0x' || substr(md5(l_orderkey || '#' ||
+        |             l_linenumber || '#' || r.rep), 1, 15) AS BIGINT)
+        |             % 1000000000 >= t)) AS k
+        |  FROM lineitem, range(0, 32) r(rep)),
+        |pr AS (SELECT g, rep, CAST(sum(k * v) AS BIGINT) AS sv,
+        |              CAST(sum(k) AS BIGINT) AS sk
+        |       FROM w GROUP BY g, rep),
+        |m AS (SELECT g, CAST((sv - sv % sk) / sk AS BIGINT) AS m
+        |      FROM pr WHERE sk > 0),
+        |f AS (SELECT g, CAST(count(*) AS BIGINT) AS n_reps,
+        |             CAST(sum(m) AS BIGINT) AS sm,
+        |             CAST(sum(m * m) AS BIGINT) AS sm2
+        |      FROM m GROUP BY g),
+        |v AS (SELECT g, n_reps,
+        |        CAST((sm - sm % n_reps) / n_reps AS BIGINT)
+        |          AS boot_mean_micro,
+        |        CAST(((n_reps * sm2 - sm * sm)
+        |          - (n_reps * sm2 - sm * sm) % (n_reps * n_reps))
+        |          / (n_reps * n_reps) AS BIGINT) AS boot_var_micro2
+        |      FROM f)
+        |SELECT g AS l_returnflag, n_reps, boot_mean_micro,
+        |       boot_var_micro2,
+        |       round(sqrt(CAST(boot_var_micro2 AS DOUBLE)) / 1000000.0,
+        |         6) + 0.0 AS boot_se
+        |FROM v ORDER BY l_returnflag""".stripMargin,
     "sketch_kmv_distinct" ->
       """WITH toks AS (
         |  SELECT t FROM documents, UNNEST(list_filter(
@@ -8991,6 +9269,65 @@ object SparkEntry {
         |         + 0.0 AS j,
         |       tot.np AS n_pos, tot.nn AS n_neg
         |FROM b, tot""".stripMargin,
+    // association-rules replay: distinct (order, brand) presence,
+    // basket-size cap, per-basket self-join pair counts, micro floors
+    // for support/confidence/lift, identical (lift desc, a, b) top-50
+    "feature_assoc_rules" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS b, p_brand AS i
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_orderkey IS NOT NULL AND p_brand IS NOT NULL),
+        |kept AS (
+        |  SELECT it.* FROM it JOIN (
+        |    SELECT b FROM it GROUP BY b HAVING count(*) <= 1000) ok
+        |  USING (b)),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM kept),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c
+        |       FROM kept GROUP BY i),
+        |p AS (SELECT a.i AS item_a, b.i AS item_b,
+        |        CAST(count(*) AS BIGINT) AS pair_count
+        |      FROM kept a JOIN kept b ON a.b = b.b AND a.i < b.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT item_a, item_b, pair_count,
+        |       ca.c AS count_a, cb.c AS count_b,
+        |       CAST((1000000 * pair_count - (1000000 * pair_count)
+        |         % nb.n) / nb.n AS BIGINT) AS support_micro,
+        |       CAST((1000000 * pair_count - (1000000 * pair_count)
+        |         % ca.c) / ca.c AS BIGINT) AS conf_a_to_b_micro,
+        |       CAST((1000000 * pair_count - (1000000 * pair_count)
+        |         % cb.c) / cb.c AS BIGINT) AS conf_b_to_a_micro,
+        |       CAST((1000000 * pair_count * nb.n
+        |         - (1000000 * pair_count * nb.n) % (ca.c * cb.c))
+        |         / (ca.c * cb.c) AS BIGINT) AS lift_micro
+        |FROM p JOIN ic ca ON ca.i = p.item_a
+        |       JOIN ic cb ON cb.i = p.item_b, nb
+        |ORDER BY lift_micro DESC, item_a, item_b LIMIT 50""".stripMargin,
+    // Spearman replay: same total-order row_number ranks (value, id),
+    // exact Σd², the identical signed floordiv to micro units
+    "feature_spearman_rho" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS s
+        |  FROM orders GROUP BY o_custkey),
+        |base AS (
+        |  SELECT c_mktsegment AS g, c_custkey AS id, c_acctbal AS x,
+        |         COALESCE(s, 0) AS y
+        |  FROM customer LEFT JOIN spend ON o_custkey = c_custkey),
+        |r AS (SELECT g,
+        |        row_number() OVER (PARTITION BY g ORDER BY x, id) AS rx,
+        |        row_number() OVER (PARTITION BY g ORDER BY y, id) AS ry
+        |      FROM base),
+        |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+        |        FROM r GROUP BY g HAVING count(*) >= 2),
+        |c AS (SELECT g, n, sum_d2, n * (n * n - 1) AS den,
+        |        1000000 * (n * (n * n - 1) - 6 * sum_d2) AS num
+        |      FROM agg)
+        |SELECT g AS c_mktsegment, n, sum_d2,
+        |       CAST((num - ((num % den) + den) % den) / den AS BIGINT)
+        |         AS rho_micro,
+        |       CAST(CAST((num - ((num % den) + den) % den) / den
+        |         AS BIGINT) AS DOUBLE) / 1000000.0 AS rho
+        |FROM c ORDER BY c_mktsegment""".stripMargin,
     // MI replay: same contingency counts, DECIMAL(38,0) products inside
     // the one log argument, (c_xy/N)*ln(...) double sequence, round+0.0
     "feature_mutual_info" ->

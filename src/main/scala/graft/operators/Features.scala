@@ -443,4 +443,114 @@ object Features {
       .toDF("n", "brier", "reliability", "resolution", "uncertainty",
         "residual")
   }
+
+  /** Spearman rank correlation per group — `ρ = 1 − 6Σd²/(n(n²−1))`
+    * (Spearman 1904) over TOTAL-ORDER ranks: monotone-association
+    * strength between two columns, robust to any monotone transform —
+    * the complement of [[graft.operators.Retrieval.kendallTauB]]
+    * (τ counts pairwise swaps; ρ weights displacement DISTANCE, so one
+    * element far out of place moves ρ much more than τ).
+    *
+    * Tie policy: ranks are `row_number` over (value, id) — a
+    * deterministic TOTAL order, not midranks — so the classical
+    * no-ties identity above is exact; with heavy ties this measures
+    * "order by (value, id)" agreement, stated plainly rather than
+    * approximated (midrank ρ needs Pearson-on-ranks, a different
+    * estimator). Exactness: Σd² is an exact integer; the score is one
+    * DECIMAL(38,0) floordiv to micro units — `rho_micro =
+    * floordiv(1e6·(n(n²−1) − 6Σd²), n(n²−1))` — overflow-safe to
+    * n ≈ 10⁹ rows per group.
+    *
+    * Scale shape: two per-group rank windows (one shuffle each on the
+    * group key) + one aggregate; groups distribute, the window sorts
+    * within a group — the [[Retrieval]] ranking discipline. */
+  def spearmanRho(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(groupCol).isNotNull && col(idCol).isNotNull &&
+      col(xCol).isNotNull && col(yCol).isNotNull)
+    val rx = Window.partitionBy(col(groupCol))
+      .orderBy(col(xCol), col(idCol))
+    val ry = Window.partitionBy(col(groupCol))
+      .orderBy(col(yCol), col(idCol))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val ranked = base.select(col(groupCol).as("__g"),
+        row_number().over(rx).cast("long").as("__rx"),
+        row_number().over(ry).cast("long").as("__ry"))
+      .select(col("__g"),
+        ((col("__rx") - col("__ry")) * (col("__rx") - col("__ry")))
+          .as("__d2"))
+    ranked.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__d2")).as("sum_d2"))
+      .filter(col("n") >= 2L)
+      .select(col("__g").as(groupCol), col("n"), col("sum_d2"),
+        {
+          val denom = dec(col("n")) * (dec(col("n")) * dec(col("n")) - 1)
+          val num = dec(lit(1000000L)) * (denom - dec(col("sum_d2")) * 6)
+          ((num - pmod(num, denom)) / denom).cast("long").as("rho_micro")
+        })
+      .withColumn("rho", col("rho_micro").cast("double") / lit(1e6))
+  }
+
+  /** Pairwise association rules over baskets (Agrawal & Srikant, VLDB
+    * 1994 — the Apriori support/confidence frame, plus lift): for every
+    * co-occurring item pair, `support = P(a,b)`, the two directed
+    * confidences `P(b|a)` / `P(a|b)`, and `lift = P(a,b)/(P(a)·P(b))` —
+    * the co-occurrence miner behind "docs containing X also contain Y"
+    * curation rules and feature-cross candidates.
+    *
+    * Exactness device: presence counts are exact integers (items dedup
+    * within a basket first), and every ratio is ONE floor to micro
+    * units — `lift_micro = floordiv(1e6·c_ab·N, c_a·c_b)` — so the
+    * (lift desc, a, b) top-k cut is total-ordered and replayable.
+    *
+    * Scale shape: the pair join is per-basket self-join — Σ|basket|²,
+    * the wedge-bomb shape — so baskets larger than `maxBasketSize`
+    * items are EXCLUDED by construction (the [[graft.operators.Graph
+    * .adamicAdar]] hub-guard lesson; N counts only surviving baskets,
+    * keeping every probability consistent). `minPairCount` prunes the
+    * pair tail BEFORE the stats joins; item counts broadcast onto the
+    * surviving pairs. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minPairCount: Long = 2L, topK: Int = 100,
+                       maxBasketSize: Int = 1000): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val items = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val kept = items.join(
+      items.groupBy(col("__b")).agg(count(lit(1)).as("__sz"))
+        .filter(col("__sz") <= maxBasketSize).select(col("__b")),
+      Seq("__b"))
+      .localCheckpoint() // reused three times below; cut the lineage
+    val nB = kept.select(col("__b")).distinct().count()
+    val itemCnt = kept.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
+    val pairs = kept.select(col("__b"), col("__i").as("item_a"))
+      .join(kept.select(col("__b"), col("__i").as("item_b")), Seq("__b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minPairCount)
+    def fdiv(a: Column, b: Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    pairs
+      .join(broadcast(itemCnt.select(col("__i").as("item_a"),
+        col("__c").as("count_a"))), Seq("item_a"))
+      .join(broadcast(itemCnt.select(col("__i").as("item_b"),
+        col("__c").as("count_b"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("pair_count"),
+        col("count_a"), col("count_b"),
+        fdiv(lit(1000000L) * col("pair_count"), lit(nB))
+          .as("support_micro"),
+        fdiv(lit(1000000L) * col("pair_count"), col("count_a"))
+          .as("conf_a_to_b_micro"),
+        fdiv(lit(1000000L) * col("pair_count"), col("count_b"))
+          .as("conf_b_to_a_micro"),
+        fdiv(lit(1000000L) * col("pair_count") * lit(nB),
+          col("count_a") * col("count_b")).as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
 }

@@ -553,6 +553,111 @@ object Graph {
         (col("aa_micro").cast("double") / lit(1e6)).as("score"))
   }
 
+  /** Sampled bounded-distance betweenness centrality (Brandes, J. Math.
+    * Sociology 2001 "A faster algorithm for betweenness centrality",
+    * restricted to the sampled-source / k-bounded estimator of Brandes
+    * & Pich 2007): how much shortest-path traffic flows THROUGH each
+    * node — the broker/bridge detector on an entity-match or citation
+    * graph, where harmonic centrality ranks "close to everything" and
+    * betweenness ranks "on the way between everything".
+    *
+    * Per source: a forward per-source BFS that carries σ (shortest-path
+    * COUNTS — layer h's σ_v = Σ σ_u over dist-(h−1) predecessors), then
+    * Brandes' backward dependency accumulation over the implicit DAG
+    * (an edge u→v is a DAG edge iff dist v = dist u + 1, recovered by
+    * joining adjacent layers — predecessor lists are never stored).
+    *
+    * Determinism device: the backward recurrence δ_v = Σ_w σ_v·(1 +
+    * δ_w)/σ_w floors EVERY per-edge term to micro units —
+    * `floordiv(σ_v·(1e6 + δ_w), σ_w)` — so layer sums are order-free
+    * integer SUMS and the whole accumulation replays digit-for-digit in
+    * SQL. The micro floor truncates ≤ 1e-6 per DAG edge (one-sided,
+    * documented estimator bias); σ·(1e6+δ) must fit a long — hop-bounded
+    * path counts keep that true everywhere a 3–4 hop sample is sane.
+    *
+    * Returns (node, bc_micro long) for every node reached at dist ≥ 1
+    * from some source (sources score 0 for their own BFS by
+    * construction — Brandes' s ≠ v ≠ t). Scale shape: maxHops forward +
+    * maxHops−1 backward rounds, each ONE keyed equi-join + grouped sum
+    * on (source, node) frames bounded by the sampled neighborhoods;
+    * per-round state localCheckpoints (the bfsDistancesPerSource
+    * lineage discipline); nothing collects. */
+  def betweennessCentrality(edges: DataFrame, srcCol: String,
+                            dstCol: String, sources: DataFrame,
+                            sourceCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 2 && maxHops <= 8,
+      s"maxHops must be in [2,8], got $maxHops")
+    import org.apache.spark.storage.StorageLevel
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // ---- forward: per-source layers with shortest-path counts σ ----
+    var layers = Vector(
+      sources.select(col(sourceCol).as("source")).distinct()
+        .select(col("source"), col("source").as("node"),
+          lit(1L).as("sigma"))
+        .localCheckpoint())
+    var reached = layers(0).select(col("source"), col("node"))
+      .localCheckpoint()
+    var h = 1
+    var done = false
+    while (h <= maxHops && !done) {
+      val fresh = e.join(layers(h - 1),
+          col("__s") === col("node"))
+        .select(col("source"), col("__d").as("node"), col("sigma"))
+        .join(reached, Seq("source", "node"), "left_anti")
+        .groupBy(col("source"), col("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .localCheckpoint()
+      if (fresh.isEmpty) done = true
+      else {
+        reached = reached
+          .unionByName(fresh.select(col("source"), col("node")))
+          .localCheckpoint()
+        layers = layers :+ fresh
+        h += 1
+      }
+    }
+    // ---- backward: dependency accumulation, deepest layer first ----
+    val maxL = layers.length - 1
+    if (maxL == 0) {
+      e.unpersist()
+      return layers(0).filter(lit(false))
+        .select(col("node"), lit(0L).as("bc_micro"))
+    }
+    var down = layers(maxL).withColumn("delta", lit(0L))
+    var parts = Vector(down.select(col("source"), col("node"),
+      col("delta")))
+    var i = maxL - 1
+    while (i >= 1) {
+      val succ = down.select(col("source").as("__wsrc"),
+        col("node").as("__w"), col("sigma").as("__ws"),
+        col("delta").as("__wd"))
+      val contrib = layers(i)
+        .join(e, col("__s") === col("node"))
+        .join(succ, col("source") === col("__wsrc") &&
+          col("__d") === col("__w"))
+        .select(col("source"), col("node"), {
+          val p = col("sigma") * (lit(1000000L) + col("__wd"))
+          (((p - pmod(p, col("__ws"))) / col("__ws")).cast("long"))
+            .as("__t")
+        })
+        .groupBy(col("source"), col("node"))
+        .agg(sum(col("__t")).as("delta"))
+      down = layers(i)
+        .join(contrib, Seq("source", "node"), "left")
+        .select(col("source"), col("node"), col("sigma"),
+          coalesce(col("delta"), lit(0L)).as("delta"))
+        .localCheckpoint()
+      parts = parts :+ down.select(col("source"), col("node"),
+        col("delta"))
+      i -= 1
+    }
+    e.unpersist()
+    parts.reduce(_ unionByName _)
+      .groupBy(col("node"))
+      .agg(sum(col("delta")).as("bc_micro"))
+  }
+
   /** Neighbor-Jaccard link prediction (Liben-Nowell & Kleinberg, CIKM
     * 2003 "The link prediction problem for social networks"): score
     * every NON-adjacent pair sharing at least one neighbor by

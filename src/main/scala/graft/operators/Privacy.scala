@@ -178,6 +178,54 @@ object Privacy {
     *
     * Scale shape: MAP-ONLY — one codegen'd md5 per cell, no shuffle, no
     * driver state; the cheapest possible 100 TB transform. */
+  /** Differentially-private noisy counts — the Laplace mechanism
+    * (Dwork, McSherry, Nissim & Smith, TCC 2006): release per-group
+    * counts with additive Laplace(1/ε) noise so any single row's
+    * presence changes each released number's distribution by at most
+    * e^ε (count queries have sensitivity 1). The release-side
+    * complement of the [[kAnonymityAudit]]/[[tClosenessAudit]] family:
+    * those audit a table you intend to publish, this publishes only
+    * noised aggregates.
+    *
+    * Determinism device (this is an ENGINE, not an RNG service): the
+    * Laplace draw is the inverse-CDF transform of a hash uniform —
+    * `u = (h60 mod 1e9 + 0.5)/1e9`, `noise = −(1/ε)·sign(u−½)·
+    * ln(1 − 2|u−½|)` — one md5 + the same four IEEE double ops in any
+    * engine, then ONE floor to micro units. Runs are replayable (same
+    * groups → same noise), which is what a pipeline needs to audit or
+    * re-emit a release; PRIVACY therefore rests on the salt staying
+    * secret and per-release (a public salt lets anyone re-derive the
+    * noise — the scaladoc contract, stated plainly).
+    *
+    * Returns (groupCols…, dp_count_micro long, dp_count double
+    * round(6)); true counts are NOT in the output. Negative releases
+    * are kept (clamping is caller post-processing and costs bias).
+    * Scale shape: one map-combinable count + map-only noise — nothing
+    * about the mechanism touches row data beyond the count. */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String], salt: String,
+                    epsilonMicro: Long = 1000000L): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(epsilonMicro >= 1000L && epsilonMicro <= 100000000L,
+      s"epsilonMicro must be in [1e3,1e8], got $epsilonMicro")
+    val key = concat_ws("#",
+      (lit(salt) +: groupCols.map(c => col(c).cast("string"))): _*)
+    val uNano = pmod(conv(substring(md5(key), 1, 15), 16, 10)
+      .cast("long"), lit(1000000000L))
+    val d = (uNano.cast("double") + lit(0.5)) / lit(1e9) - lit(0.5)
+    val noise = when(d >= 0, lit(-1.0)).otherwise(lit(1.0)) *
+      log(lit(1.0) - lit(2.0) * abs(d)) *
+      (lit(1e6) / lit(epsilonMicro.toDouble))
+    df.filter(groupCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .select(groupCols.map(col) ++ Seq(
+        (lit(1000000L) * col("__n") +
+          floor(noise * lit(1e6)).cast("long")).as("dp_count_micro")): _*)
+      .withColumn("dp_count",
+        round(col("dp_count_micro").cast("double") / lit(1e6), 6)
+          + lit(0.0))
+  }
+
   def pseudonymize(df: DataFrame, salt: String,
                    cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to pseudonymize")

@@ -710,4 +710,79 @@ object Sampling {
     import spark.implicits._
     picks.result().toDF("rank", "id", "radius2")
   }
+
+  /** Poisson(1) CDF on the nano grid, cumulative P(X ≤ k) for k = 0..7,
+    * floor-quantized to integer billionths: a hash-uniform u ∈ [0, 1e9)
+    * draws `k = #{i : u ≥ cdf_i}` replicate multiplicities — the
+    * inverse-CDF walk as a literal array both engines index
+    * identically. P(X > 7) ≈ 1e-5 collapses into k = 8. */
+  private[graft] val poissonOneCdfNano: Seq[Long] = Seq(
+    367879441L, 735758882L, 919698602L, 981011843L,
+    996340153L, 999405815L, 999916758L, 999989750L)
+
+  /** Poisson bootstrap of a per-group mean (Oza & Russell, AISTATS
+    * 2001 online bagging; Chamandy et al. 2012 "Estimating uncertainty
+    * for massive data streams" — the Google poisson-bootstrap paper):
+    * each of `reps` replicates re-weights every row by an independent
+    * Poisson(1) count, turning resampling-with-replacement into ONE
+    * map-side weight draw per (row, replicate) — no per-replicate
+    * shuffle of the data, THE bootstrap that works at 100 TB (classical
+    * resampling would shuffle the dataset `reps` times).
+    *
+    * Determinism device: the multiplicity is the inverse-CDF walk of a
+    * 60-bit md5 hash of `id#rep` against [[poissonOneCdfNano]] — exact
+    * integer compares, replayable anywhere. Replicate means are
+    * floor-quantized micro integers (`floordiv(Σ k·v_micro, Σ k)`), and
+    * the across-replicate spread is the exact integer identity
+    * `var = floordiv(B·Σm² − (Σm)², B²)`; the only double is the final
+    * `boot_se = round(√var / 1e6, 6)`.
+    *
+    * Returns one row per group: n_reps, boot_mean_micro (floordiv of
+    * replicate-mean sum), boot_var_micro2, boot_se. A replicate whose
+    * group draws zero total weight drops out of that group's fold
+    * (P ≈ e^{−n}: real only for near-empty groups, and the n_reps
+    * column exposes it).
+    *
+    * Scale shape: explode ×reps on the row side (map-local), one
+    * (group, rep) aggregate, one group aggregate — two shuffles of
+    * frames that SHRINK at each step; no collect, no data resample. */
+  def poissonBootstrap(df: DataFrame, groupCol: String, idCol: String,
+                       valueMicroCol: String, reps: Int = 32): DataFrame = {
+    require(reps >= 2 && reps <= 1000, s"reps must be in [2,1000], got $reps")
+    val cdf = array(poissonOneCdfNano.map(lit): _*)
+    val weighted = df
+      .filter(col(groupCol).isNotNull && col(idCol).isNotNull &&
+        col(valueMicroCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueMicroCol).as("__v"),
+        explode(sequence(lit(0), lit(reps - 1))).as("__rep"),
+        col(idCol).cast("string").as("__id"))
+      .select(col("__g"), col("__v"), col("__rep"),
+        size(filter(cdf, t => pmod(conv(substring(md5(concat(
+          col("__id"), lit("#"), col("__rep").cast("string"))), 1, 15),
+          16, 10).cast("long"), lit(1000000000L)) >= t))
+          .cast("long").as("__k"))
+    val perRep = weighted
+      .groupBy(col("__g"), col("__rep"))
+      .agg(sum(col("__k") * col("__v")).as("__sv"), sum(col("__k")).as("__sk"))
+      .filter(col("__sk") > 0L)
+      // values arrive micro-quantized, so the replicate mean is already
+      // a micro integer: floordiv(Σ k·v_micro, Σ k), no re-scaling
+      .select(col("__g"),
+        ((col("__sv") - pmod(col("__sv"), col("__sk"))) / col("__sk"))
+          .cast("long").as("__m"))
+    perRep.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_reps"), sum(col("__m")).as("__sm"),
+        sum(col("__m") * col("__m")).as("__sm2"))
+      .select(col("__g").as(groupCol), col("n_reps"),
+        ((col("__sm") - pmod(col("__sm"), col("n_reps"))) / col("n_reps"))
+          .cast("long").as("boot_mean_micro"),
+        ((col("n_reps") * col("__sm2") - col("__sm") * col("__sm") -
+          pmod(col("n_reps") * col("__sm2") - col("__sm") * col("__sm"),
+            col("n_reps") * col("n_reps")))
+          / (col("n_reps") * col("n_reps")))
+          .cast("long").as("boot_var_micro2"))
+      .withColumn("boot_se",
+        round(sqrt(col("boot_var_micro2").cast("double")) / lit(1e6), 6)
+          + lit(0.0))
+  }
 }

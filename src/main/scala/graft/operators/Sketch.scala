@@ -629,4 +629,70 @@ object Sketch {
     }
     out.toDF("q_idx", "lo", "value")
   }
+
+  /** AMS "tug-of-war" second-moment sketch (Alon, Matias & Szegedy,
+    * STOC 1996): estimate `F2 = Σ_v f_v²` — the self-join size / skew
+    * number — from `counters` independent ±1 projections. Each counter
+    * j holds `c_j = Σ_v s_j(v)·f_v` with `s_j(v) ∈ {−1,+1}` a
+    * deterministic hash sign; `E[c_j²] = F2`, so the estimate is the
+    * median of `groups` group-means of the `c_j²` (median-of-means —
+    * the variance/confidence trade the paper's §2.2 construction).
+    * Where [[cmCells]]-based join-size estimation answers "how big is
+    * A ⋈ B", F2 answers "how big is A ⋈ A" — the skew early-warning
+    * before a self-join family (wedges, minhash bands) is attempted.
+    *
+    * Determinism device: the sign is bit 0 of the 60-bit md5 prefix of
+    * `value#j` (the [[kmvRegisters]] hash idiom — hex prefix arithmetic
+    * any engine reproduces); counters, squares, group sums and the
+    * even-`groups` median (mean of the two middle order statistics,
+    * floor) are exact integer arithmetic end-to-end.
+    *
+    * Scale shape: one map-combinable frequency aggregate, then
+    * `counters` rows per DISTINCT value (not per row), one keyed re-sum
+    * to `counters` rows, and an O(groups) driver-free final fold over a
+    * frame of `groups` rows. `c_j` is bounded by total row count N, so
+    * `c_j²` needs N ≤ ~3·10⁹ to stay in a long — the require guards the
+    * square, sized for any per-shard sketch (merge shards by SUMMING
+    * counter vectors before squaring, the mergeable-sketch discipline:
+    * signs depend only on (value, j)). */
+  def amsF2(df: DataFrame, valCol: String, counters: Int = 64,
+            groups: Int = 8): DataFrame = {
+    require(counters >= 2 && counters % (2 * groups) == 0,
+      s"counters must be a multiple of 2*groups, got $counters/$groups")
+    val freq = df.filter(col(valCol).isNotNull)
+      .groupBy(col(valCol).cast("string").as("__v"))
+      .agg(count(lit(1)).as("__f"))
+    val perGroup = counters / groups
+    val cj = freq
+      .select(col("__v"), col("__f"),
+        explode(sequence(lit(0), lit(counters - 1))).as("__j"))
+      .select(col("__j"),
+        (when(pmod(conv(substring(md5(concat(col("__v"), lit("#"),
+            col("__j").cast("string"))), 1, 15), 16, 10).cast("long"),
+          lit(2L)) === 1L, lit(1L)).otherwise(lit(-1L)) * col("__f"))
+          .as("__s"))
+      .groupBy(col("__j")).agg(sum(col("__s")).as("__c"))
+    val means = cj
+      .select((col("__j") - pmod(col("__j"), lit(perGroup.toLong)))
+        .divide(lit(perGroup.toLong)).cast("long").as("grp"),
+        (col("__c") * col("__c")).as("__c2"))
+      .groupBy(col("grp"))
+      .agg(((sum(col("__c2")) - pmod(sum(col("__c2")),
+        lit(perGroup.toLong))) / lit(perGroup.toLong))
+        .cast("long").as("mean_c2"))
+    // median of the group means: mean of the two middle order stats
+    // (groups is even by the require), exact integer floor
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_c2"), col("grp"))
+    val mid = means.select(col("grp"), col("mean_c2"),
+        row_number().over(w).as("__r"))
+      .filter(col("__r") === groups / 2 || col("__r") === groups / 2 + 1)
+      .agg(((sum(col("mean_c2")) - pmod(sum(col("mean_c2")), lit(2L)))
+        / lit(2L)).cast("long").as("f2_estimate"))
+    val exact = freq.agg(sum(col("__f") * col("__f")).as("f2_exact"))
+    means.crossJoin(broadcast(mid)).crossJoin(broadcast(exact))
+      .select(col("grp"), col("mean_c2"), col("f2_estimate"),
+        col("f2_exact"))
+      .orderBy(col("grp"))
+  }
 }

@@ -132,6 +132,10 @@ class QueryPlanSweepSpec extends AnyFunSuite {
                               // corpus streamed map-only); the scale
                               // path swaps in hnswSearch/ivfTopK
                               // candidates per the operator scaladoc
+    , "sketch_ams_f2"         // deliberate: 1-row median estimate and
+                              // 1-row exact-F2 broadcasts cross the
+                              // 8-row group-means frame (Sketch.amsF2
+                              // — the events_dow_profile device)
   )
 
   /** Global `OVER (ORDER BY ...)` windows with no PARTITION BY run the
@@ -141,7 +145,9 @@ class QueryPlanSweepSpec extends AnyFunSuite {
     * Everything else must use Ranking.globalRowNumber/globalNtile.
     */
   private val partitionlessWindowAllowed = Set(
-    "q15_top_supplier" // rank() over |supplier| aggregated rows (bounded)
+    "q15_top_supplier", // rank() over |supplier| aggregated rows (bounded)
+    "sketch_ams_f2"     // median row_number over the GROUPS-row (8) means
+                        // frame — bounded by the sketch width, never data
   )
 
   test("no query plans a CartesianProduct; nested-loop only where designed") {

@@ -236,4 +236,52 @@ class FeaturesSpec extends SparkSpec {
       .as[(Long, Double, Double, Double, Double, Double)].collect().head
     assert(r == ((4L, 0.18625, 0.085, 0.0625, 0.1875, -0.02375)))
   }
+
+  test("associationRules: hand-computed support/confidence/lift, " +
+       "in-basket duplicates dedup, minPairCount prunes, basket-size " +
+       "guard excludes the big basket AND shrinks N") {
+    // b1{x,y} b2{x,y} b3{x,z} b4{y} b5{x,y,z}; (b1,x) duplicated
+    val rows = Seq(("b1", "x"), ("b1", "x"), ("b1", "y"), ("b2", "x"),
+      ("b2", "y"), ("b3", "x"), ("b3", "z"), ("b4", "y"),
+      ("b5", "x"), ("b5", "y"), ("b5", "z")).toDF("b", "i")
+    val out = Features.associationRules(rows, "b", "i",
+        minPairCount = 2L, topK = 10)
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // (x,z): c=2, cx=4, cz=2, N=5 -> lift floor(2e6*5/8) = 1250000
+    // (x,y): c=3, cx=4, cy=4     -> lift floor(3e6*5/16) = 937500
+    assert(out == Seq(
+      ("x", "z", 2L, 4L, 2L, 400000L, 500000L, 1000000L, 1250000L),
+      ("x", "y", 3L, 4L, 4L, 600000L, 750000L, 750000L, 937500L)))
+    // maxBasketSize=2 drops b5 entirely: N=4, x=3, y=3, (x,y)=2
+    val g = Features.associationRules(rows, "b", "i",
+        minPairCount = 2L, topK = 10, maxBasketSize = 2)
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(g == Seq(
+      ("x", "y", 2L, 3L, 3L, 500000L, 666666L, 666666L, 888888L)))
+  }
+
+  test("spearmanRho: +1/-1 on perfect monotone/reverse groups, exact " +
+       "micro value on a one-swap case, id tie-break totalizes ties, " +
+       "singleton groups drop") {
+    val rows = Seq(
+      ("up", 1L, 1.0, 10.0), ("up", 2L, 2.0, 20.0), ("up", 3L, 3.0, 30.0),
+      ("dn", 1L, 1.0, 30.0), ("dn", 2L, 2.0, 20.0), ("dn", 3L, 3.0, 10.0),
+      ("sw", 1L, 1.0, 1.0), ("sw", 2L, 2.0, 3.0),
+      ("sw", 3L, 3.0, 2.0), ("sw", 4L, 4.0, 4.0),
+      ("tie", 1L, 5.0, 7.0), ("tie", 2L, 5.0, 9.0),
+      ("one", 1L, 1.0, 1.0)
+    ).toDF("g", "id", "x", "y")
+    val out = Features.spearmanRho(rows, "g", "x", "y", "id")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("up") == ((3L, 0L, 1000000L, 1.0)))
+    assert(out("dn") == ((3L, 8L, -1000000L, -1.0)))
+    // one swap of 4: d2=2, denom=60 -> floor(1e6*48/60) = 800000
+    assert(out("sw") == ((4L, 2L, 800000L, 0.8)))
+    // equal x ranks by id; y agrees with id order -> perfect
+    assert(out("tie") == ((2L, 0L, 1000000L, 1.0)))
+    assert(!out.contains("one"))
+  }
 }

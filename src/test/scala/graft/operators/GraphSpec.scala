@@ -154,6 +154,42 @@ class GraphSpec extends SparkSpec {
       Seq((1L, 3L, 2L, 2 * w2, 2 * w2 / 1e6)))
   }
 
+  test("betweennessCentrality: path puts all traffic on the middle, " +
+       "star on the center; split shortest paths halve σ-weights; " +
+       "partitioning-invariant") {
+    def sym(pairs: Seq[(Long, Long)]) =
+      (pairs ++ pairs.map(_.swap)).toDF("s", "d")
+    def all(edges: org.apache.spark.sql.DataFrame) =
+      edges.select($"s".as("node")).distinct()
+    // path a(1)-b(2)-c(3), all sources: only b carries traffic (a->c)
+    val path = sym(Seq((1L, 2L), (2L, 3L)))
+    val bc = Graph.betweennessCentrality(path, "s", "d", all(path),
+      "node", maxHops = 3).as[(Long, Long)].collect().toMap
+    assert(bc == Map(1L -> 0L, 2L -> 2000000L, 3L -> 0L))
+    // star 1-{2,3,4}: center carries one unit per ordered leaf pair
+    val star = sym(Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+    val sc = Graph.betweennessCentrality(star, "s", "d", all(star),
+      "node", maxHops = 3).as[(Long, Long)].collect().toMap
+    assert(sc == Map(1L -> 6000000L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    // square 1-2-4-3-1: two shortest 1~4 paths split σ, each inner
+    // node gets 1/2 from each far endpoint -> 1e6 everywhere
+    val sq = sym(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)))
+    val qc = Graph.betweennessCentrality(sq, "s", "d", all(sq),
+      "node", maxHops = 3).as[(Long, Long)].collect().toMap
+    assert(qc == Map(1L -> 1000000L, 2L -> 1000000L,
+      3L -> 1000000L, 4L -> 1000000L))
+    val rep = Graph.betweennessCentrality(sq.repartition(7), "s", "d",
+      all(sq), "node", maxHops = 3).as[(Long, Long)].collect().toMap
+    assert(rep == qc)
+    // hop truncation: maxHops=2 on the path sees no a->c pair... the
+    // pair IS at dist 2; cut to sources {a} only and maxHops=2 keeps
+    // b's half of the traffic from a alone
+    val one = Seq(1L).toDF("node")
+    val t = Graph.betweennessCentrality(path, "s", "d", one, "node",
+      maxHops = 2).as[(Long, Long)].collect().toMap
+    assert(t == Map(2L -> 1000000L, 3L -> 0L))
+  }
+
   test("neighborJaccard: star wedges score common/union in micro units, " +
        "adjacent pairs are excluded, hub guard silences the star center, " +
        "full degrees stay in the denominator") {

@@ -133,4 +133,38 @@ class PrivacySpec extends SparkSpec {
     assert(out(2L).get.startsWith("pn_") && !out(2L).get.contains("@"))
     assert(out(3L).isEmpty)
   }
+
+  test("dpNoisyCounts: noise depends only on (salt, group) — not the " +
+       "data; Laplace(1/eps) tail bound holds; null groups drop; " +
+       "partitioning-invariant") {
+    import org.apache.spark.sql.functions.col
+    def counts(n: Int, g: String) = (1 to n).map(i => (g, s"r$i"))
+    val small = (counts(5, "a") ++ counts(7, "b")).toDF("g", "id")
+    val big = (counts(50, "a") ++ counts(70, "b") ++
+      Seq((null.asInstanceOf[String], "x"))).toDF("g", "id")
+    def run(df: org.apache.spark.sql.DataFrame, epsMicro: Long = 1000000L) =
+      Privacy.dpNoisyCounts(df, Seq("g"), "spec-salt", epsMicro)
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val s5 = run(small); val s50 = run(big)
+    // same key -> identical noise term regardless of the true count
+    assert(s5("a")._1 - 5000000L == s50("a")._1 - 50000000L)
+    assert(s5("b")._1 - 7000000L == s50("b")._1 - 70000000L)
+    assert(!s50.contains(null))
+    // |noise| <= (1/eps)·ln(1e9) micro ≈ 20.8e6 (u is 1e-9-grid bounded)
+    val noiseA = s5("a")._1 - 5000000L
+    val noiseB = s5("b")._1 - 7000000L
+    assert(math.abs(noiseA) <= 21000000L && math.abs(noiseB) <= 21000000L)
+    // fixed input: the two groups draw distinct noise (pinned)
+    assert(noiseA != noiseB)
+    // dp_count is the rounded micro value
+    assert(s5("a")._2 == BigDecimal(s5("a")._1.toDouble / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // partitioning-invariant
+    assert(run(small.repartition(5)) == s5)
+    // tighter epsilon -> weaker noise, same sign
+    val e2 = run(small, epsMicro = 2000000L)
+    val n2 = e2("a")._1 - 5000000L
+    assert(math.abs(n2) <= math.abs(noiseA) && n2 * noiseA >= 0)
+  }
 }

@@ -332,4 +332,27 @@ class SketchSpec extends SparkSpec {
         assert(v == lo.toDouble)
       }
   }
+
+  test("amsF2: exact F2 column, estimate = floor-median of the group " +
+       "means, partitioning-invariant, in the right ballpark on a " +
+       "fixed corpus") {
+    val rows = (0 until 100).flatMap(i => Seq.fill(i % 10 + 1)(s"w$i"))
+    val out = Sketch.amsF2(rows.toDF("w"), "w")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == (0L to 7L))
+    val f2 = (0 until 100).map { i =>
+      val f = (i % 10 + 1).toLong; f * f
+    }.sum
+    assert(out.forall(_._4 == f2))
+    // the estimate is the floor-mean of the two middle group means
+    val ms = out.map(_._2).sorted
+    val med = (ms(3) + ms(4)) / 2
+    assert(out.forall(_._3 == med))
+    // signs depend only on (value, counter): any partitioning agrees
+    val rep = Sketch.amsF2(rows.toDF("w").repartition(7), "w")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rep == out)
+    // deterministic fixed-input quality: within 4x of exact (E[c²]=F2)
+    assert(med > f2 / 4 && med < f2 * 4, s"estimate $med vs exact $f2")
+  }
 }
