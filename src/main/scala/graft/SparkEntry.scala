@@ -8911,20 +8911,24 @@ object SparkEntry {
         |ex AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact FROM freq)
         |SELECT means.grp, means.mean_c2, est.f2_estimate, ex.f2_exact
         |FROM means, est, ex ORDER BY grp""".stripMargin,
-    // Poisson-bootstrap replay: 32 hash replicates, k = inverse-CDF
-    // walk of the md5-nano uniform against the quantized Poisson(1)
-    // CDF, micro-integer replicate means, exact variance identity
+    // Poisson-bootstrap replay: one md5 per row folded to the nano
+    // grid, golden-ratio Weyl rotation per replicate, k = inverse-CDF
+    // walk against the quantized Poisson(1) CDF, micro-integer
+    // replicate means, exact variance identity
     "sample_poisson_bootstrap" ->
-      """WITH w AS (
+      """WITH base AS (
         |  SELECT l_returnflag AS g,
-        |         CAST(l_quantity * 1000000 AS BIGINT) AS v, r.rep,
+        |         CAST(l_quantity * 1000000 AS BIGINT) AS v,
+        |         CAST('0x' || substr(md5(l_orderkey || '#' ||
+        |           l_linenumber), 1, 15) AS BIGINT) % 1000000000 AS h
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT g, v, r.rep,
         |         len(list_filter([367879441, 735758882, 919698602,
         |             981011843, 996340153, 999405815, 999916758,
         |             999989750],
-        |           t -> CAST('0x' || substr(md5(l_orderkey || '#' ||
-        |             l_linenumber || '#' || r.rep), 1, 15) AS BIGINT)
-        |             % 1000000000 >= t)) AS k
-        |  FROM lineitem, range(0, 32) r(rep)),
+        |           t -> (h + r.rep * 618033988) % 1000000000 >= t)) AS k
+        |  FROM base, range(0, 32) r(rep)),
         |pr AS (SELECT g, rep, CAST(sum(k * v) AS BIGINT) AS sv,
         |              CAST(sum(k) AS BIGINT) AS sk
         |       FROM w GROUP BY g, rep),

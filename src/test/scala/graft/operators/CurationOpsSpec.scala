@@ -234,6 +234,31 @@ class SamplingSpec extends SparkSpec {
 
   private def ids = (0L until 4000L).toDF("id")
 
+  test("poissonBootstrap: constant group has zero bootstrap variance, " +
+       "mixed group's mean stays in range with positive spread, " +
+       "deterministic under repartition") {
+    val rows = (1 to 200).map(i => ("c", s"a$i", 5000000L)) ++
+      (1 to 200).map(i =>
+        ("m", s"b$i", if (i <= 100) 1000000L else 3000000L))
+    val df = rows.toDF("g", "id", "v")
+    val out = Sampling.poissonBootstrap(df, "g", "id", "v", reps = 16)
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._1)
+    val Seq(c, m) = out.toSeq
+    // every replicate of a constant column means exactly the constant
+    assert(c == (("c", 16L, 5000000L, 0L, 0.0)))
+    assert(m._2 == 16L)
+    assert(m._3 >= 1000000L && m._3 <= 3000000L)
+    assert(m._4 > 0L)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m._5 == r6(math.sqrt(m._4.toDouble) / 1e6))
+    // the row hash + Weyl rotation ignores partitioning: exact replay
+    val rep = Sampling.poissonBootstrap(df.repartition(9), "g", "id",
+        "v", reps = 16)
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rep.toSeq == out.toSeq)
+  }
+
   test("capPerKey keeps exactly maxPerKey best rows per key, deterministic ties") {
     // domain a: 10 docs, quality == id%3 (ties resolved by ascending id);
     // domain b: 2 docs (below the cap, all survive)
@@ -1319,30 +1344,5 @@ class SpanDedupSpec extends SparkSpec {
       .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
     assert(exact == hashed)
     assert(exact.exists(_._3 > 0), "fixture must exercise real cuts")
-  }
-
-  test("poissonBootstrap: constant group has zero bootstrap variance, " +
-       "mixed group's mean stays in range with positive spread, " +
-       "deterministic under repartition") {
-    val rows = (1 to 200).map(i => ("c", s"a$i", 5000000L)) ++
-      (1 to 200).map(i =>
-        ("m", s"b$i", if (i <= 100) 1000000L else 3000000L))
-    val df = rows.toDF("g", "id", "v")
-    val out = Sampling.poissonBootstrap(df, "g", "id", "v", reps = 16)
-      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._1)
-    val Seq(c, m) = out.toSeq
-    // every replicate of a constant column means exactly the constant
-    assert(c == (("c", 16L, 5000000L, 0L, 0.0)))
-    assert(m._2 == 16L)
-    assert(m._3 >= 1000000L && m._3 <= 3000000L)
-    assert(m._4 > 0L)
-    def r6(x: Double) = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(m._5 == r6(math.sqrt(m._4.toDouble) / 1e6))
-    // weights hash (id, rep) only: any partitioning agrees exactly
-    val rep = Sampling.poissonBootstrap(df.repartition(9), "g", "id",
-        "v", reps = 16)
-      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._1)
-    assert(rep.toSeq == out.toSeq)
   }
 }
