@@ -1146,6 +1146,23 @@ object SparkEntry {
           salt = "graft-dp-v1", epsilonMicro = 1000000L)
         .orderBy(col("event_type"), col("day"))
     }),
+    "corpus_good_turing" -> ((s, dir) => {
+      // Good–Turing frequency-of-frequencies over orders-per-customer:
+      // N_r for r ≤ 10, observed mass share r·N_r/N, Turing adjusted
+      // count (r+1)·N_{r+1}/N_r — the r=1 share IS the unseen-mass
+      // estimate; exact integer counts + one micro floor per ratio
+      operators.Corpus.goodTuringProfile(
+        DbReader(conn(s, dir), "orders").run().select(col("o_custkey")),
+        "o_custkey", maxR = 10)
+    }),
+    "events_periodogram" -> ((s, dir) => {
+      // Schuster periodogram of the daily count series at k = 1..12
+      // cycles: quantize-then-sum micro-trig products (exact integer
+      // C/S), power as one double sequence — the period DETECTOR
+      // beside events_seasonal_decompose's fixed-7 assumption
+      operators.Drift.dailyPeriodogram(eventsMicros(s, dir), "ts",
+        maxK = 12)
+    }),
     "corpus_heaps_law" -> ((s, dir) => {
       // Heaps'-law vocabulary-growth fit: one (log N, log V) point per
       // doc in id order off two globalRunningSums, decimal-exact
@@ -8207,6 +8224,53 @@ object SparkEntry {
         |       END AS rz
         |FROM rem JOIN med USING (season) JOIN mad USING (season)
         |ORDER BY rem.bucket""".stripMargin,
+    // Good–Turing replay: orders-per-customer counts, count-of-counts,
+    // 1-row total, the r+1 self-join, all-positive plain-% floors
+    "corpus_good_turing" ->
+      """WITH freq AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS f
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |nr AS (SELECT f AS r, CAST(count(*) AS BIGINT) AS n_r
+        |       FROM freq GROUP BY 1),
+        |t AS (SELECT CAST(sum(f) AS BIGINT) AS n FROM freq)
+        |SELECT nr.r, nr.n_r,
+        |  CAST((1000000 * nr.r * nr.n_r
+        |    - (1000000 * nr.r * nr.n_r) % t.n) / t.n AS BIGINT)
+        |    AS share_micro,
+        |  COALESCE(CAST((1000000 * (nr.r + 1) * p.n_r
+        |    - (1000000 * (nr.r + 1) * p.n_r) % nr.n_r) / nr.n_r
+        |    AS BIGINT), 0) AS rstar_micro
+        |FROM nr LEFT JOIN nr p ON p.r = nr.r + 1, t
+        |WHERE nr.r <= 10 ORDER BY nr.r""".stripMargin,
+    // periodogram replay: daily counts, (min day, span) scalar, the
+    // same 2π·k·t/n angle doubles, floor(trig·1e6) BEFORE the count
+    // multiply, integer sums, one double power sequence
+    "events_periodogram" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+        |           CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS d,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |sp AS (SELECT CAST(min(d) AS BIGINT) AS d0,
+        |              CAST(count(*) AS BIGINT) AS n FROM daily),
+        |terms AS (
+        |  SELECT k.k, sp.n,
+        |    x * CAST(floor(cos(2.0 * pi() * CAST(k.k AS DOUBLE)
+        |      * CAST(d - d0 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS c,
+        |    x * CAST(floor(sin(2.0 * pi() * CAST(k.k AS DOUBLE)
+        |      * CAST(d - d0 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS s
+        |  FROM daily, sp, range(1, 13) k(k))
+        |SELECT CAST(k AS INT) AS k, CAST(max(n) AS BIGINT) AS n_days,
+        |       CAST(sum(c) AS BIGINT) AS c_micro,
+        |       CAST(sum(s) AS BIGINT) AS s_micro,
+        |       round((CAST(sum(c) AS DOUBLE) / 1000000.0)
+        |           * (CAST(sum(c) AS DOUBLE) / 1000000.0)
+        |           + (CAST(sum(s) AS DOUBLE) / 1000000.0)
+        |           * (CAST(sum(s) AS DOUBLE) / 1000000.0), 6) + 0.0
+        |         AS power
+        |FROM terms GROUP BY k ORDER BY k""".stripMargin,
     // DP-counts replay: per-(type, day) counts + the same md5-uniform
     // inverse-CDF Laplace draw — identical IEEE multiply order, one
     // micro floor; true counts never in the output

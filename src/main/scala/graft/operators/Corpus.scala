@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-frequency curation operators: signals that need a statistic of
@@ -1082,5 +1082,50 @@ object Corpus {
       when(den =!= 0.0,
         round((col("__sy") - slope * col("__sx")) / col("__n"), 6)
           + lit(0.0)).as("log_k"))
+  }
+
+  /** Good–Turing frequency-of-frequencies profile (Good, Biometrika
+    * 1953; Gale & Sampson 1995 "Good-Turing frequency estimation
+    * without tears"): `N_r` = how many distinct values occur exactly r
+    * times, the observed mass share `r·N_r/N`, and Turing's adjusted
+    * count `r* = (r+1)·N_{r+1}/N_r`. The r = 1 share IS the estimated
+    * UNSEEN mass `P₀ = N₁/N` — the "how much of this distribution have
+    * we not sampled yet" number that sizes vocabulary coverage,
+    * dedup-false-negative forecasts, and whether another crawl epoch is
+    * worth the money ([[heapsLawFit]]'s cousin: Heaps extrapolates
+    * vocabulary GROWTH, GT prices the probability mass still missing).
+    *
+    * Exactness: every column is integer counts plus one micro floor per
+    * ratio. Rows are emitted only for r ≤ maxR with N_r > 0;
+    * `rstar_micro` is 0 when N_{r+1} = 0 (the raw GT estimator is
+    * undefined there — Gale-Sampson smooth over log N_r instead; at
+    * corpus scale the low-r rows this operator bounds to are dense).
+    *
+    * Scale shape: two map-combinable aggregates (value counts →
+    * count-of-counts) + a 1-row total broadcast + a keyed self-join on
+    * r+1 over a ≤ maxR-row frame. */
+  def goodTuringProfile(df: DataFrame, valCol: String,
+                        maxR: Int = 10): DataFrame = {
+    require(maxR >= 1 && maxR <= 1000, s"maxR must be in [1,1000], got $maxR")
+    val freq = df.filter(col(valCol).isNotNull)
+      .groupBy(col(valCol).as("__v"))
+      .agg(count(lit(1)).as("__f"))
+    val nr = freq.groupBy(col("__f").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+    val total = freq.agg(sum(col("__f")).as("__n"))
+    def fdiv(a: Column, b: Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    nr.filter(col("r") <= maxR)
+      .join(nr.select((col("r") - 1).as("r"), col("n_r").as("__n_r1")),
+        Seq("r"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("r"), col("n_r"),
+        fdiv(lit(1000000L) * col("r") * col("n_r"), col("__n"))
+          .as("share_micro"),
+        coalesce(
+          fdiv(lit(1000000L) * (col("r") + 1) * col("__n_r1"),
+            col("n_r")),
+          lit(0L)).as("rstar_micro"))
+      .orderBy(col("r"))
   }
 }

@@ -762,4 +762,55 @@ object Drift {
           .as("remainder_micro"))
       .orderBy(col("bucket"))
   }
+
+  /** Discrete periodogram of the daily count series — the Schuster
+    * power spectrum at integer frequencies k = 1..maxK cycles over the
+    * observed span: `P(k) = C_k² + S_k²` with `C_k = Σ_t x_t·cos(2πkt/n)`
+    * (Schuster 1898; the detection side of [[seasonalDecompose]] —
+    * decomposition ASSUMES period 7, the periodogram shows which
+    * periods are actually in the data, seasonal or injected: a weekly
+    * rhythm on a 28-day span peaks at k = 4).
+    *
+    * Determinism device: each cosine/sine QUANTIZES before it touches
+    * data — `floor(cos(angle)·1e6)` — so C/S are exact integer sums of
+    * (count × micro-trig) products, order-free across partitions and
+    * engines; the only cross-engine float surface is the libm cos/sin
+    * of identical angle doubles (the adamicAdar ln discipline: one
+    * IEEE call per (k, t), then integers). Power is reported as the
+    * double `(C/1e6)² + (S/1e6)²`, round(6).
+    *
+    * Scale shape: one map-combinable daily count, a 1-row (min day,
+    * span) broadcast to index t, an explode ×maxK (days × maxK rows —
+    * thousands), one grouped integer sum. */
+  def dailyPeriodogram(df: DataFrame, tsCol: String,
+                       maxK: Int = 12): DataFrame = {
+    require(maxK >= 1 && maxK <= 64, s"maxK must be in [1,64], got $maxK")
+    val daily = df.filter(col(tsCol).isNotNull)
+      .select(datediff(to_date(date_trunc("day", col(tsCol))),
+        lit("1970-01-01").cast("date")).cast("long").as("__d"))
+      .groupBy(col("__d")).agg(count(lit(1)).as("x"))
+    val span = daily.agg(min(col("__d")).as("__d0"),
+      count(lit(1)).as("__n"))
+    val terms = daily.crossJoin(broadcast(span))
+      .select(col("x"), (col("__d") - col("__d0")).as("__t"), col("__n"),
+        explode(sequence(lit(1), lit(maxK))).as("k"))
+      .select(col("k"), col("__n"), {
+        val angle = lit(2.0) * lit(math.Pi) * col("k").cast("double") *
+          col("__t").cast("double") / col("__n").cast("double")
+        (col("x") * floor(cos(angle) * lit(1e6)).cast("long")).as("__c")
+      }, {
+        val angle = lit(2.0) * lit(math.Pi) * col("k").cast("double") *
+          col("__t").cast("double") / col("__n").cast("double")
+        (col("x") * floor(sin(angle) * lit(1e6)).cast("long")).as("__s")
+      })
+    terms.groupBy(col("k"))
+      .agg(max(col("__n")).as("n_days"),
+        sum(col("__c")).as("c_micro"), sum(col("__s")).as("s_micro"))
+      .withColumn("power",
+        round((col("c_micro").cast("double") / lit(1e6)) *
+          (col("c_micro").cast("double") / lit(1e6)) +
+          (col("s_micro").cast("double") / lit(1e6)) *
+          (col("s_micro").cast("double") / lit(1e6)), 6) + lit(0.0))
+      .orderBy(col("k"))
+  }
 }

@@ -136,6 +136,12 @@ class QueryPlanSweepSpec extends AnyFunSuite {
                               // 1-row exact-F2 broadcasts cross the
                               // 8-row group-means frame (Sketch.amsF2
                               // — the events_dow_profile device)
+    , "corpus_good_turing"    // deliberate: 1-row token-total N
+                              // broadcast cross the ≤ maxR-row
+                              // count-of-counts frame (goodTuringProfile)
+    , "events_periodogram"    // deliberate: 1-row (min day, span)
+                              // broadcast cross the daily-count frame
+                              // (Drift.dailyPeriodogram)
   )
 
   /** Global `OVER (ORDER BY ...)` windows with no PARTITION BY run the

@@ -476,4 +476,23 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Option[Double], Option[Double])].collect().head
     assert(e == ((0L, None, None)))
   }
+
+  test("goodTuringProfile: hand N_r table, mass shares and Turing " +
+       "adjusted counts; missing N_{r+1} reports 0; maxR cuts") {
+    // a×1 b×1 c×2 d×3 e×3 f×3 -> N=13, N1=2, N2=1, N3=3
+    val vals = (Seq("a", "b") ++ Seq.fill(2)("c") ++
+      Seq.fill(3)("d") ++ Seq.fill(3)("e") ++ Seq.fill(3)("f"))
+      .toDF("v")
+    val out = Corpus.goodTuringProfile(vals, "v")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      // r, N_r, floor(1e6·r·N_r/13), floor(1e6·(r+1)·N_{r+1}/N_r)
+      (1L, 2L, 153846L, 1000000L),   // r*=2·1/2
+      (2L, 1L, 153846L, 9000000L),   // r*=3·3/1
+      (3L, 3L, 692307L, 0L)))        // N_4 = 0 -> raw GT undefined
+    assert(Corpus.goodTuringProfile(vals, "v", maxR = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq == out.take(2))
+    // unseen-mass headline: share at r=1 is N1/N in micro
+    assert(out.head._3 == 1000000L * 1 * 2 / 13)
+  }
 }

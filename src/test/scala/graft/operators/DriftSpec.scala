@@ -308,4 +308,27 @@ class DriftSpec extends SparkSpec {
     val g = decompose(rows.filter(_._1 != 5))
     assert(g.map(_._1.toLocalDate.toEpochDay) == Seq(9L, 10L))
   }
+
+  test("dailyPeriodogram: a weekly comb over 28 days peaks at its " +
+       "harmonics k=4,8,12 and is near-silent elsewhere; " +
+       "partitioning-invariant") {
+    // x(d) = 10 + 5·[d ≡ 0 (mod 7)]: period-7 comb, 4 cycles in span
+    val rows = for {
+      d <- 0 until 28
+      i <- 0 until (if (d % 7 == 0) 15 else 10)
+    } yield f"1970-01-${d + 1}%02d 0${i % 9}:01:00"
+    val df = rows.toDF("t").select(to_timestamp($"t").as("ts"))
+    val out = Drift.dailyPeriodogram(df, "ts")
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == (1 to 12))
+    assert(out.forall(_._2 == 28L))
+    val p = out.map(r => r._1 -> r._5).toMap
+    // comb harmonics carry ~400 units² of power; off-harmonics ~0
+    for (k <- Seq(4, 8, 12)) assert(p(k) > 100.0, s"k=$k ${p(k)}")
+    for (k <- Seq(1, 2, 3, 5, 6, 9, 10, 11))
+      assert(p(k) < 1.0, s"k=$k ${p(k)}")
+    val rep = Drift.dailyPeriodogram(df.repartition(9), "ts")
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    assert(rep == out)
+  }
 }
