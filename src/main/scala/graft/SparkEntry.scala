@@ -1703,6 +1703,23 @@ object SparkEntry {
           refBuckets = 7, alphaBits = 2, thresholdPerBucket = 50L)
         .orderBy(col("bucket"))
     }),
+    "streaming_seasonal_fold" -> ((s, dir) => {
+      // daily-count register maintenance on ingest + the full
+      // trend/seasonal/remainder decomposition at read time: the keyed
+      // fold equals the whole-history daily series exactly, so the
+      // oracle replays the batch-free decomposition — the streaming
+      // sibling of events_seasonal_decompose (one more consumer of the
+      // SAME maintained register the EWMA monitor reads)
+      val stream = stagedEventsStream(s, dir, sentinels = false)
+      val ck = java.nio.file.Files.createTempDirectory("graft_ssd_ck").toString
+      val tab = java.nio.file.Files.createTempDirectory("graft_ssd_t")
+        .toString + "/regs"
+      graft.streaming.StreamRunner.runIncrementalDailyCountMaintain(
+        stream, "ts", tab, ck, new graft.core.InMemoryHwmStore, s"ssd@$ck")
+      operators.Drift.seasonalDecomposeOverDailyCounts(
+          s.read.parquet(tab))
+        .orderBy(col("bucket"))
+    }),
     "streaming_loghist_fold" -> ((s, dir) => {
       // log-histogram maintenance on ingest: each doc-range micro-batch
       // appends its bounded register frame (one count aggregate of the
@@ -8403,6 +8420,18 @@ object SparkEntry {
     // the streaming maintenance path folds to the identical whole-history
     // daily series, so it shares the recurrence replay verbatim
     "streaming_ewma_monitor" -> ewmaBandOracle,
+    // streaming seasonal fold replay: the maintained register fold
+    // equals the whole-history daily counts, so the batch-free
+    // decomposition CTEs replay it exactly
+    "streaming_seasonal_fold" ->
+      s"""WITH $seasonalDecomposeCtes
+        |SELECT DATE '1970-01-01' + CAST(det.d AS INT) AS bucket,
+        |       det.x, CAST(det.season AS BIGINT) AS season,
+        |       det.trend_micro, seas.seasonal_micro,
+        |       CAST(det.dt - seas.seasonal_micro AS BIGINT)
+        |         AS remainder_micro
+        |FROM det JOIN seas ON seas.season = det.season
+        |ORDER BY bucket""".stripMargin,
     // Holt replay: l/b state on the ×1e6 grid threads through the
     // recursive CTE; the l-update expression repeats inside the b-update
     // (SQL can't reference a sibling alias) — byte-identical arithmetic

@@ -727,13 +727,27 @@ object Drift {
     * calendar gaps self-exclude (their neighbor count < 7) instead of
     * silently averaging over a shorter span. */
   def seasonalDecompose(df: DataFrame, tsCol: String,
-                        halfWindow: Int = 3): DataFrame = {
+                        halfWindow: Int = 3): DataFrame =
+    seasonalDecomposeOverDailyCounts(
+      df.filter(col(tsCol).isNotNull)
+        .select(to_date(date_trunc("day", col(tsCol))).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("x")),
+      halfWindow)
+
+  /** [[seasonalDecompose]] over a PRE-AGGREGATED (bucket date, x long)
+    * frame — the entry point for maintained count registers (the
+    * [[ewmaOverDailyCounts]] streaming-sidecar contract): per-batch
+    * daily-count frames fold by keyed sum, which equals the
+    * whole-history counts exactly, then the decomposition runs over
+    * the bounded calendar series. Duplicate bucket rows sum. */
+  def seasonalDecomposeOverDailyCounts(counts: DataFrame,
+                                       halfWindow: Int = 3): DataFrame = {
     require(halfWindow >= 1, s"halfWindow must be >= 1, got $halfWindow")
     val span = 2 * halfWindow + 1
-    val daily = df.filter(col(tsCol).isNotNull)
-      .select(datediff(to_date(date_trunc("day", col(tsCol))),
-        lit("1970-01-01").cast("date")).cast("long").as("__d"))
-      .groupBy(col("__d")).agg(count(lit(1)).as("x"))
+    val daily = counts
+      .groupBy(col("bucket")).agg(sum(col("x")).as("x"))
+      .select(datediff(col("bucket"),
+        lit("1970-01-01").cast("date")).cast("long").as("__d"), col("x"))
     def floordiv(a: Column, b: Column): Column = (a - pmod(a, b)) / b
     // each day's count contributes to the centered windows of its
     // ±halfWindow calendar neighbors; a full window re-sums exactly span

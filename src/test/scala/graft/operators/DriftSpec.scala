@@ -309,6 +309,21 @@ class DriftSpec extends SparkSpec {
     assert(g.map(_._1.toLocalDate.toEpochDay) == Seq(9L, 10L))
   }
 
+  test("seasonalDecomposeOverDailyCounts: sharded per-batch count " +
+       "frames fold to the whole-history decomposition exactly") {
+    val days = (0 to 13).map(d =>
+      (java.sql.Date.valueOf(f"1970-01-${d + 1}%02d"), 10L + d % 7))
+    val whole = days.toDF("bucket", "x")
+    // shard every day's count across three "batches": 3 + 4 + rest
+    val shards = days.flatMap { case (b, x) =>
+      Seq((b, 3L), (b, 4L), (b, x - 7L)) }.toDF("bucket", "x")
+    val a = Drift.seasonalDecomposeOverDailyCounts(whole)
+      .as[(java.sql.Date, Long, Long, Long, Long, Long)].collect().toSeq
+    val b = Drift.seasonalDecomposeOverDailyCounts(shards)
+      .as[(java.sql.Date, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("dailyPeriodogram: a weekly comb over 28 days peaks at its " +
        "harmonics k=4,8,12 and is near-silent elsewhere; " +
        "partitioning-invariant") {
