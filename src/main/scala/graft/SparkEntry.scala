@@ -1146,6 +1146,15 @@ object SparkEntry {
           salt = "graft-dp-v1", epsilonMicro = 1000000L)
         .orderBy(col("event_type"), col("day"))
     }),
+    "corpus_burrows_delta" -> ((s, dir) => {
+      // Burrows' Delta between sources: per-word cross-source z of
+      // top-30 relative frequencies (zero-completed grid), mean |Δz|
+      // per pair, one round(4) — who WRITES alike, not who shares
+      // vocabulary (that's corpus_drift_js)
+      operators.Corpus.burrowsDelta(
+        DbReader(conn(s, dir), "documents").run(), "source", "text",
+        topWords = 30)
+    }),
     "corpus_good_turing" -> ((s, dir) => {
       // Good–Turing frequency-of-frequencies over orders-per-customer:
       // N_r for r ≤ 10, observed mass share r·N_r/N, Turing adjusted
@@ -4884,6 +4893,17 @@ object SparkEntry {
           eventsMicros(s, dir), "user_id", "ts", "event_type", "event_id")
         .orderBy(col("prev_type"), col("next_type"))
     }),
+    "events_markov_stationary" -> ((s, dir) => {
+      // where the event chain spends its time: power iteration on the
+      // micro-quantized transition matrix, mass on a 1e12 grid,
+      // products bounded at 1e18 regardless of count magnitude;
+      // dangling types keep their mass — bit-exact replay
+      val counts = operators.Sessions.transitionMatrix(
+        eventsMicros(s, dir), "user_id", "ts", "event_type", "event_id")
+      operators.Sessions.markovStationary(counts, "prev_type",
+          "next_type", "n", iterations = 3)
+        .select(col("node").as("event_type"), col("pi_pico"))
+    }),
     "q_events_sessionize" -> ((s, dir) => {
       // event-time windowed aggregation over the events table.
       // eventsMicros normalizes whatever ts layout the file declares to
@@ -6729,6 +6749,48 @@ object SparkEntry {
       |           % count(*))) / count(*) AS BIGINT) AS seasonal_micro
       |  FROM det GROUP BY season)""".stripMargin
 
+  /** Markov-stationary replay: the q_event_transitions lag CTEs, micro
+    * row-normalization, then `rounds` unrolled pushes of 1e12-grid mass
+    * through `(π·p) // 1e6` with dangling types keeping their mass. */
+  private def markovOracleSql(rounds: Int): String = {
+    val head =
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev AS i, event_type AS j,
+        |        CAST(count(*) AS BIGINT) AS c
+        |      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT i, CAST(sum(c) AS BIGINT) AS t FROM c GROUP BY 1),
+        |p AS (SELECT c.i, c.j, (1000000 * c.c) // tot.t AS pm
+        |      FROM c JOIN tot USING (i)),
+        |nodes AS (SELECT i AS node FROM c UNION SELECT j FROM c),
+        |nn AS (SELECT count(*) AS k FROM nodes),
+        |pi0 AS (SELECT node,
+        |          1000000000000 // (SELECT k FROM nn) AS pi
+        |        FROM nodes)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      val q = i - 1
+      s"""pi$i AS (
+         |  SELECT n.node,
+         |    COALESCE(f.fx, 0)
+         |    + CASE WHEN t.i IS NULL THEN q$i.pi ELSE 0 END AS pi
+         |  FROM nodes n
+         |  JOIN pi$q q$i ON q$i.node = n.node
+         |  LEFT JOIN (
+         |    SELECT p.j AS node,
+         |           CAST(sum((q2.pi * p.pm) // 1000000) AS BIGINT) AS fx
+         |    FROM p JOIN pi$q q2 ON q2.node = p.i GROUP BY 1) f
+         |    ON f.node = n.node
+         |  LEFT JOIN tot t ON t.i = n.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT node AS event_type, CAST(pi AS BIGINT) AS pi_pico
+         |FROM pi$rounds ORDER BY node""".stripMargin
+  }
+
   /** Sampled-Brandes replay: the fuzzy-match adjacency, seeds ≡ 0
     * (mod 100) carrying σ=1, `hops` unrolled σ-summing frontier steps,
     * then the backward dependency recurrence with the identical
@@ -7802,6 +7864,7 @@ object SparkEntry {
     "graph_bfs_reach" -> bfsOracleSql(hops = 3),
     "graph_harmonic_centrality" -> harmonicOracleSql(hops = 3),
     "graph_betweenness" -> betweennessOracleSql(hops = 3),
+    "events_markov_stationary" -> markovOracleSql(rounds = 3),
     "sample_kcenter_coreset" -> kcenterOracleSql(k = 8),
     "linkage_fellegi_sunter" -> fellegiSunterOracleSql(),
     "linkage_fs_em" -> fsEmOracleSql(),
@@ -8241,6 +8304,37 @@ object SparkEntry {
         |       END AS rz
         |FROM rem JOIN med USING (season) JOIN mad USING (season)
         |ORDER BY rem.bucket""".stripMargin,
+    // Burrows replay: same top-30 (count desc, word) cut, CROSS JOIN
+    // grid with zero fill, avg/stddev_samp doubles under one round(4)
+    "corpus_burrows_delta" ->
+      """WITH toks AS (
+        |  SELECT source AS s, t AS w
+        |  FROM (SELECT source, text FROM documents
+        |        WHERE source IS NOT NULL AND text IS NOT NULL),
+        |  UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |    x -> x <> '')) AS u(t)),
+        |top AS (SELECT w FROM (SELECT w, count(*) AS c
+        |                       FROM toks GROUP BY w)
+        |        ORDER BY c DESC, w LIMIT 30),
+        |ps AS (SELECT s, CAST(count(*) AS BIGINT) AS tt
+        |       FROM toks GROUP BY s),
+        |cell AS (SELECT s, w, CAST(count(*) AS BIGINT) AS c
+        |         FROM toks JOIN top USING (w) GROUP BY s, w),
+        |grid AS (
+        |  SELECT ps.s, top.w,
+        |         CAST(COALESCE(cell.c, 0) AS DOUBLE)
+        |           / CAST(ps.tt AS DOUBLE) AS f
+        |  FROM ps CROSS JOIN top
+        |  LEFT JOIN cell ON cell.s = ps.s AND cell.w = top.w),
+        |st AS (SELECT w, avg(f) AS mu, stddev_samp(f) AS sd
+        |       FROM grid GROUP BY w HAVING stddev_samp(f) > 0),
+        |z AS (SELECT grid.s, grid.w, (grid.f - st.mu) / st.sd AS z
+        |      FROM grid JOIN st USING (w))
+        |SELECT a.s AS source_a, b.s AS source_b,
+        |       CAST(count(*) AS BIGINT) AS n_words,
+        |       round(avg(abs(a.z - b.z)), 4) + 0.0 AS delta
+        |FROM z a JOIN z b ON a.w = b.w AND a.s < b.s
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Good–Turing replay: orders-per-customer counts, count-of-counts,
     // 1-row total, the r+1 self-join, all-positive plain-% floors
     "corpus_good_turing" ->

@@ -1084,6 +1084,65 @@ object Corpus {
           + lit(0.0)).as("log_k"))
   }
 
+  /** Burrows' Delta stylometric distance between sources (Burrows,
+    * LLC 2002 "'Delta': a measure of stylistic difference"; Evert et
+    * al. 2017 for the standardization analysis): z-score each source's
+    * relative frequency of the corpus' top function words (across
+    * sources, per word), then `Δ(a,b) = mean_w |z_aw − z_bw|`. THE
+    * authorship/style-profiling number — on a training corpus it
+    * answers "which sources write alike" (template families, mirrored
+    * sites, machine-generated clusters) where token-overlap measures
+    * ([[unigramJsDivergence]]) see only vocabulary, not USAGE RATE of
+    * the shared words.
+    *
+    * Numeric device: counts and totals are exact integers; relative
+    * frequencies, the per-word mean/stddev_samp across sources, z and
+    * the final mean run as doubles with ONE round(4) at the end — the
+    * [[graft.operators.Drift]] z-family's established cross-engine
+    * contract (sums span ≤ |sources| terms). Missing (source, word)
+    * cells COUNT AS ZERO (the grid completes before standardization —
+    * a source that never uses "the" is stylometric signal, not a null);
+    * words with zero variance across sources drop.
+    *
+    * Scale shape: one token count, a (count desc, word) top-`topWords`
+    * cut, then everything runs on the |sources|×topWords grid — the
+    * corpus is touched once. */
+  def burrowsDelta(df: DataFrame, sourceCol: String, textCol: String,
+                   topWords: Int = 30): DataFrame = {
+    require(topWords >= 2 && topWords <= 1000,
+      s"topWords must be in [2,1000], got $topWords")
+    val toks = df.filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
+      .select(col(sourceCol).as("__s"),
+        explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+          t => t =!= "")).as("__w"))
+    val top = toks.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w")).limit(topWords)
+      .select(col("__w"))
+    val perSrc = toks.groupBy(col("__s")).agg(count(lit(1)).as("__t"))
+    val cell = toks.join(top, Seq("__w"))
+      .groupBy(col("__s"), col("__w")).agg(count(lit(1)).as("__c"))
+    val grid = perSrc.crossJoin(broadcast(top))
+      .join(cell, Seq("__s", "__w"), "left")
+      .select(col("__s"), col("__w"),
+        (coalesce(col("__c"), lit(0L)).cast("double") /
+          col("__t").cast("double")).as("__f"))
+    val stats = grid.groupBy(col("__w"))
+      .agg(avg(col("__f")).as("__mu"), stddev_samp(col("__f")).as("__sd"))
+      .filter(col("__sd") > 0.0)
+    val z = grid.join(stats, Seq("__w"))
+      .select(col("__s"), col("__w"),
+        ((col("__f") - col("__mu")) / col("__sd")).as("__z"))
+    z.select(col("__s").as("source_a"), col("__w"), col("__z").as("__za"))
+      .join(z.select(col("__s").as("source_b"), col("__w"),
+        col("__z").as("__zb")), Seq("__w"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_words"),
+        (round(avg(abs(col("__za") - col("__zb"))), 4) + lit(0.0))
+          .as("delta"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Good–Turing frequency-of-frequencies profile (Good, Biometrika
     * 1953; Gale & Sampson 1995 "Good-Turing frequency estimation
     * without tears"): `N_r` = how many distinct values occur exactly r

@@ -135,6 +135,73 @@ object Sessions {
         round(col("n").cast("double") / col("__tot"), 6).as("p"))
   }
 
+  /** Stationary distribution of the first-order transition chain —
+    * where the [[transitionMatrix]] process SPENDS ITS TIME in the
+    * long run (π = πP by power iteration): the behavioral base-rate
+    * vector that turns "view→click is 30%" rows into "the system is in
+    * `click` 12% of the time", the reference against which funnel and
+    * drift monitors read deviations.
+    *
+    * Integer-exact device (the [[Graph.personalizedPageRank]] grid
+    * discipline, made SCALE-INDEPENDENT): transition probabilities
+    * quantize ONCE to micro units (`p = floordiv(1e6·c_ij, Σ_j c_ij)`),
+    * mass lives on a 1e12 grid, and each push is
+    * `floordiv(π_i·p_ij, 1e6)` — products bounded by 1e18 REGARDLESS
+    * of the raw counts, so no count magnitude can overflow the grid.
+    * Each floor leaks ≤ 1 pico per (edge, round) — one-sided, bounded,
+    * and replayed exactly by the oracle. Nodes with no out-edges keep
+    * their mass in place (self-loop semantics, documented).
+    *
+    * Scale shape: per round ONE keyed equi-join of the edge frame
+    * against π + one grouped sum; state localCheckpoints per round
+    * (the iterative-graph lineage discipline). k×k edge frames
+    * distribute; nothing collects but the node count. */
+  def markovStationary(counts: DataFrame, prevCol: String,
+                       nextCol: String, cntCol: String,
+                       iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 16,
+      s"iterations must be in [1,16], got $iterations")
+    def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    val c = counts
+      .select(col(prevCol).as("__i"), col(nextCol).as("__j"),
+        col(cntCol).cast("long").as("__c"))
+      .filter(col("__i").isNotNull && col("__j").isNotNull &&
+        col("__c") > 0L)
+      .localCheckpoint() // upstream is typically a window over raw events
+    val tot = c.groupBy(col("__i")).agg(sum(col("__c")).as("__t"))
+    val p = c.join(tot, Seq("__i"))
+      .select(col("__i"), col("__j"),
+        fdiv(lit(1000000L) * col("__c"), col("__t")).as("__p"))
+      .localCheckpoint()
+    val nodes = c.select(col("__i").as("node"))
+      .union(c.select(col("__j")))
+      .distinct().localCheckpoint()
+    val k = nodes.count()
+    val dangling = nodes.join(tot.select(col("__i").as("node")),
+      Seq("node"), "left_anti").withColumn("__dang", lit(1L))
+    var pi = nodes.withColumn("pi", lit(1000000000000L / k))
+      .localCheckpoint()
+    var r = 0
+    while (r < iterations) {
+      val influx = p
+        .join(pi.select(col("node").as("__i"), col("pi")), Seq("__i"))
+        .select(col("__j").as("node"),
+          fdiv(col("pi") * col("__p"), lit(1000000L)).as("__f"))
+        .groupBy(col("node")).agg(sum(col("__f")).as("__f"))
+      pi = pi
+        .join(influx, Seq("node"), "left")
+        .join(dangling, Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("__f"), lit(0L)) +
+            when(col("__dang") === 1L, col("pi")).otherwise(lit(0L)))
+            .as("pi"))
+        .localCheckpoint()
+      r += 1
+    }
+    pi.select(col("node"), col("pi").as("pi_pico")).orderBy(col("node"))
+  }
+
   /** Top-k 3-step event paths: the most common `a>b>c` trigrams of the
     * per-user event stream — the n-gram extension of
     * [[transitionMatrix]] that surfaces multi-step flows (view>click>

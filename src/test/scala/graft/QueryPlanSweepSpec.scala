@@ -142,6 +142,9 @@ class QueryPlanSweepSpec extends AnyFunSuite {
     , "events_periodogram"    // deliberate: 1-row (min day, span)
                               // broadcast cross the daily-count frame
                               // (Drift.dailyPeriodogram)
+    , "corpus_burrows_delta"  // deliberate: 30-row top-words broadcast
+                              // cross the |sources|-row totals frame —
+                              // the zero-completed stylometry grid
   )
 
   /** Global `OVER (ORDER BY ...)` windows with no PARTITION BY run the

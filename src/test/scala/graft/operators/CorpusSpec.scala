@@ -477,6 +477,26 @@ class CorpusSpec extends SparkSpec {
     assert(e == ((0L, None, None)))
   }
 
+  test("burrowsDelta: two sources give delta sqrt(2) on every varying " +
+       "word; identical sources score 0; constant words drop") {
+    // two-source algebra: z = ±1/sqrt(2) around the mean for any word
+    // whose rates differ, so |za-zb| = sqrt(2) and delta = sqrt(2)
+    val two = Seq(("A", "the cat the dog"), ("B", "the the the bird"))
+      .toDF("src", "text")
+    val d2 = Corpus.burrowsDelta(two, "src", "text", topWords = 3)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(d2 == Seq(("A", "B", 3L, 1.4142)))
+    // A == B exactly; C differs. Words equal across all three sources
+    // would drop (sd = 0), but here every top word varies via C
+    val tri = Seq(("A", "x x y z"), ("B", "x x y z"), ("C", "x y y y"))
+      .toDF("src", "text")
+    val d3 = Corpus.burrowsDelta(tri, "src", "text", topWords = 3)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(d3(("A", "B")) == 0.0)
+    assert(d3(("A", "C")) == d3(("B", "C")) && d3(("A", "C")) > 0.0)
+  }
+
   test("goodTuringProfile: hand N_r table, mass shares and Turing " +
        "adjusted counts; missing N_{r+1} reports 0; maxR cuts") {
     // a×1 b×1 c×2 d×3 e×3 f×3 -> N=13, N1=2, N2=1, N3=3

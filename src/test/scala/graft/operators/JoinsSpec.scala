@@ -541,6 +541,31 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("markovStationary: symmetric 2-cycle is the fixed point; a sink " +
+       "absorbs all mass; one asymmetric push matches hand floors") {
+    // a<->b: uniform is stationary on the grid exactly
+    val cyc = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("i", "j", "c")
+    val s2 = Sessions.markovStationary(cyc, "i", "j", "c", iterations = 3)
+      .as[(String, Long)].collect().toMap
+    assert(s2 == Map("a" -> 500000000000L, "b" -> 500000000000L))
+    // a->b only: b is dangling and keeps its mass -> everything at b
+    val sink = Seq(("a", "b", 1L)).toDF("i", "j", "c")
+    val s1 = Sessions.markovStationary(sink, "i", "j", "c", iterations = 2)
+      .as[(String, Long)].collect().toMap
+    assert(s1 == Map("a" -> 0L, "b" -> 1000000000000L))
+    // a->{b:3, c:1}, b->a, c->a; one push from uniform 1e12/3
+    val tri = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L),
+      ("c", "a", 1L)).toDF("i", "j", "c")
+    val s3 = Sessions.markovStationary(tri, "i", "j", "c", iterations = 1)
+      .as[(String, Long)].collect().toMap
+    assert(s3 == Map("a" -> 666666666666L, "b" -> 249999999999L,
+      "c" -> 83333333333L))
+    // partitioning-invariant
+    val rep = Sessions.markovStationary(tri.repartition(5), "i", "j",
+      "c", iterations = 1).as[(String, Long)].collect().toMap
+    assert(rep == s3)
+  }
+
   test("deletionEditPairs: finds substitution/insert/delete neighbors " +
        "without a blocking key; d=2 candidates are verified away; " +
        "minLen drops short words; bucket cap excludes mass collisions") {
