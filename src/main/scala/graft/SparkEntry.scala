@@ -2026,18 +2026,45 @@ object SparkEntry {
       // spend per market segment: total-order ranks (id tie-break),
       // exact Σd², one DECIMAL floordiv to micro units — the
       // displacement-weighted complement of eval_kendall_tau
+      // totalprice is a physical double: per-row DECIMAL(18,2) casts
+      // before the sum keep rank order engine-identical (a raw double
+      // sum is accumulation-order-dependent across engines)
       val cust = DbReader(conn(s, dir), "customer").run()
       val spend = DbReader(conn(s, dir), "orders").run()
         .groupBy(col("o_custkey"))
-        .agg(sum(col("o_totalprice")).as("__spend"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .as("__spend"))
       val base = cust.join(spend,
           cust("c_custkey") === spend("o_custkey"), "left")
         .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
-          coalesce(col("__spend"), lit(0).cast("decimal(12,2)"))
+          coalesce(col("__spend"), lit(0).cast("decimal(18,2)"))
             .as("spend"))
       operators.Features.spearmanRho(base, "c_mktsegment",
           "c_acctbal", "spend", "c_custkey")
         .orderBy(col("c_mktsegment"))
+    }),
+    "q_skyline_pareto" -> ((s, dir) => {
+      // the Pareto front of (account balance, lifetime spend) in exact
+      // cents: distributed dominance sweep — per-x best, strict-prefix
+      // running max in x-desc order (range-partitioned, no global
+      // window), survivors joined back; full-tie rows all survive
+      // money columns are physical doubles: per-ROW DECIMAL(18,2)
+      // casts before any sum/multiply (the q1 convention) keep the
+      // cents exact and engine-identical
+      val cust = DbReader(conn(s, dir), "customer").run()
+      val spend = DbReader(conn(s, dir), "orders").run()
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .as("__spend"))
+      val base = cust.join(spend,
+          cust("c_custkey") === spend("o_custkey"), "left")
+        .select(col("c_custkey"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+            .as("bal_cents"),
+          coalesce((col("__spend") * 100).cast("long"), lit(0L))
+            .as("spend_cents"))
+      operators.Ranking.skyline2D(base, "bal_cents", "spend_cents")
+        .orderBy(col("c_custkey"))
     }),
     "feature_mutual_info" -> ((s, dir) => {
       // per-cell MI contributions between source and lang: integer
@@ -9493,11 +9520,33 @@ object SparkEntry {
         |FROM p JOIN ic ca ON ca.i = p.item_a
         |       JOIN ic cb ON cb.i = p.item_b, nb
         |ORDER BY lift_micro DESC, item_a, item_b LIMIT 50""".stripMargin,
+    // skyline replay: the textbook NOT-EXISTS dominance definition —
+    // the distributed sweep must reproduce it row for row
+    "q_skyline_pareto" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+        |  FROM orders GROUP BY o_custkey),
+        |base AS (
+        |  SELECT c_custkey,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS bal_cents,
+        |         CAST(COALESCE(s, 0) * 100 AS BIGINT) AS spend_cents
+        |  FROM customer LEFT JOIN spend ON o_custkey = c_custkey
+        |  WHERE c_acctbal IS NOT NULL),
+        |sky AS (
+        |  SELECT b.* FROM base b WHERE NOT EXISTS (
+        |    SELECT 1 FROM base s
+        |    WHERE s.bal_cents >= b.bal_cents
+        |      AND s.spend_cents >= b.spend_cents
+        |      AND (s.bal_cents > b.bal_cents
+        |        OR s.spend_cents > b.spend_cents)))
+        |SELECT c_custkey, bal_cents, spend_cents
+        |FROM sky ORDER BY c_custkey""".stripMargin,
     // Spearman replay: same total-order row_number ranks (value, id),
     // exact Σd², the identical signed floordiv to micro units
     "feature_spearman_rho" ->
       """WITH spend AS (
-        |  SELECT o_custkey, sum(o_totalprice) AS s
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
         |  FROM orders GROUP BY o_custkey),
         |base AS (
         |  SELECT c_mktsegment AS g, c_custkey AS id, c_acctbal AS x,

@@ -113,6 +113,77 @@ object Ranking {
       .drop("__grs_v")
   }
 
+  /** Append the global running MAX of `valueCol` in the total order of
+    * `sortCols` — [[globalRunningSum]]'s sibling (same two-pass range
+    * sort + per-partition offsets; max instead of sum), plus an
+    * `inclusive = false` mode returning the STRICT-prefix max (the
+    * value BEFORE this row folds in; Long.MinValue for the first row) —
+    * what a dominance sweep needs. NULL values count Long.MinValue. */
+  def globalRunningMax(df: DataFrame, sortCols: Seq[Column],
+                       valueCol: String, out: String = "running_max",
+                       inclusive: Boolean = true): DataFrame = {
+    require(sortCols.nonEmpty, "globalRunningMax needs at least one sort column")
+    val spark = df.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      df.rdd.getNumPartitions)
+    val sorted = df
+      .withColumn("__grm_v",
+        coalesce(col(valueCol).cast("long"), lit(Long.MinValue)))
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val vIdx = sorted.schema.fieldIndex("__grm_v")
+    val rdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partMaxes = rdd.mapPartitionsWithIndex { (i, it) =>
+      var m = Long.MinValue
+      it.foreach(r => m = math.max(m, r.getLong(vIdx)))
+      Iterator((i, m))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(
+      partMaxes.scanLeft(Long.MinValue)(math.max))
+    val maxed = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets.value(i)
+      it.map { r =>
+        val v = r.getLong(vIdx)
+        val pre = acc
+        acc = math.max(acc, v)
+        Row.fromSeq(r.toSeq :+ (if (inclusive) acc else pre))
+      }
+    }
+    spark.createDataFrame(maxed,
+        sorted.schema.add(out, LongType, nullable = false))
+      .drop("__grm_v")
+  }
+
+  /** 2-D skyline (Pareto front) maximizing (x, y) — Börzsönyi, Kossmann
+    * & Stocker, ICDE 2001 "The Skyline operator": the rows no other row
+    * beats-or-ties on BOTH axes while strictly beating on one. The
+    * multi-objective selection primitive (quality vs length, balance vs
+    * spend, score vs freshness) that single-key top-k cannot express.
+    *
+    * Distributed sweep, not the quadratic NOT-EXISTS: collapse to one
+    * `(x, max y)` row per distinct x (map-combinable), take the
+    * STRICT-prefix running max of y in x-descending order
+    * ([[globalRunningMax]] exclusive mode — range-partitioned, no
+    * single-task window), keep x-groups whose best y strictly exceeds
+    * every better-x group's best, and join the survivors back to the
+    * input keyed on (x, y). Exact-duplicate (x, y) rows all survive
+    * (neither dominates), matching the NOT-EXISTS definition row for
+    * row. `xCol`/`yCol` read as LONG — micro-quantize upstream. */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val best = base.groupBy(col(xCol))
+      .agg(max(col(yCol).cast("long")).as("__gy"))
+    val survivors = globalRunningMax(best,
+        Seq(col(xCol).desc), "__gy", out = "__pre", inclusive = false)
+      .filter(col("__gy") > col("__pre"))
+      .select(col(xCol), col("__gy"))
+    base.join(survivors,
+      base(xCol) === survivors(xCol) &&
+        base(yCol).cast("long") === col("__gy"))
+      .select(base.columns.map(base(_)): _*)
+  }
+
   /** Cost-balanced shard assignment — "write the corpus into shards of
     * ~`budget` tokens each", the packing step before a training run
     * materializes its shuffled dataset: rows take their place in the

@@ -272,4 +272,36 @@ class RankingSpec extends SparkSpec {
       // n=2, q=4: ranks 1,1,1,2
       ("b", 1L, 1.0), ("b", 2L, 1.0), ("b", 3L, 1.0), ("b", 4L, 2.0)))
   }
+
+  test("globalRunningMax: inclusive and strict-prefix modes match the " +
+       "sequential scan across any partitioning") {
+    val df = Seq((1L, 3L), (2L, 1L), (3L, 4L), (4L, 1L), (5L, 5L))
+      .toDF("id", "v").repartition(4)
+    val inc = Ranking.globalRunningMax(df, Seq(col("id")), "v")
+      .orderBy($"id").select($"id", $"running_max")
+      .as[(Long, Long)].collect().toSeq
+    assert(inc == Seq((1L, 3L), (2L, 3L), (3L, 4L), (4L, 4L), (5L, 5L)))
+    val exc = Ranking.globalRunningMax(df, Seq(col("id")), "v",
+        out = "pre", inclusive = false)
+      .orderBy($"id").select($"id", $"pre")
+      .as[(Long, Long)].collect().toSeq
+    assert(exc == Seq((1L, Long.MinValue), (2L, 3L), (3L, 3L),
+      (4L, 4L), (5L, 4L)))
+  }
+
+  test("skyline2D: matches the NOT-EXISTS dominance definition — " +
+       "within-x losers drop, full-tie duplicates both survive, the " +
+       "best-x row always survives") {
+    val pts = Seq((10L, 0L, 9L), (11L, 1L, 5L), (12L, 2L, 4L),
+      (13L, 2L, 4L), (14L, 2L, 3L), (15L, 3L, 1L))
+      .toDF("id", "x", "y")
+    val out = Ranking.skyline2D(pts.repartition(5), "x", "y")
+      .select($"id").as[Long].collect().toSet
+    // (2,3) is dominated by (2,4); everything else is on the front
+    assert(out == Set(10L, 11L, 12L, 13L, 15L))
+    // a fully dominated interior point also drops
+    val dom = pts.union(Seq((16L, 1L, 4L)).toDF("id", "x", "y"))
+    assert(!Ranking.skyline2D(dom, "x", "y")
+      .select($"id").as[Long].collect().toSet.contains(16L))
+  }
 }
