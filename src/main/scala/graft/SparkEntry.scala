@@ -43,6 +43,16 @@ object SparkEntry {
     * frame, and the bench bills each gate for its graph OPERATOR
     * instead of re-billing the identical blocked levenshtein join ten
     * times (the HNSW layer-stack discipline, r13 verdict #4). */
+  /** The 3-round label-propagation communities over [[fuzzyPairs]] —
+    * shared by the partition gate and the modularity score (both
+    * oracles replay the full LP recurrence in SQL, so nothing about
+    * correctness depends on this memo). */
+  private def lpCommunities(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "lp_communities") {
+      operators.Graph.labelPropagation(fuzzyPairs(s, dir),
+        "id_a", "id_b", rounds = 3).localCheckpoint()
+    }
+
   private def fuzzyPairs(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "fuzzy_pairs") {
       operators.Joins.fuzzySelfPairs(
@@ -939,9 +949,30 @@ object SparkEntry {
       // fuzzy-match graph: 3 deterministic rounds (majority label among
       // neighbors, ties to the smallest), bit-replayable because updates
       // are synchronous and the tie-break is a total order
-      val pairs = fuzzyPairs(s, dir)
-      operators.Graph.labelPropagation(pairs, "id_a", "id_b", rounds = 3)
+      lpCommunities(s, dir)
         .select(col("node").as("c_custkey"), col("community"))
+    }),
+    "graph_modularity" -> ((s, dir) => {
+      // Newman modularity of the 3-round label-propagation partition:
+      // one exact DECIMAL rational Q_micro = floordiv(1e6·(4m·Σe_c −
+      // Σd_c²), 4m²) — the acceptance number for trusting those
+      // communities; the gate scores the SAME labels the LP gate emits
+      operators.Graph.modularity(fuzzyPairs(s, dir), "id_a", "id_b",
+        lpCommunities(s, dir), "node", "community")
+    }),
+    "pii_dp_median" -> ((s, dir) => {
+      // ε=1 exponential-mechanism median of event value cents per
+      // type: integer rank utilities, salted Gumbel-max argmax —
+      // the selection-query DP primitive beside pii_dp_counts'
+      // additive Laplace
+      val ev = eventsMicros(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+            .as("v_cents"))
+      operators.Privacy.dpMedian(ev, Seq("event_type"), "v_cents",
+          salt = "graft-dpm-v1", epsilonMicro = 1000000L)
+        .orderBy(col("event_type"))
     }),
     "audit_constraints" -> ((s, dir) => {
       // declarative constraint suite (the dbt-test vocabulary) over
@@ -7047,6 +7078,41 @@ object SparkEntry {
       s"\nFROM l$rounds ORDER BY node"
   }
 
+  /** Modularity replay: the label-propagation CTEs, both-endpoint
+    * label joins, exact integer e_c/d_c/m, the identical signed micro
+    * floordiv. */
+  private def modularityOracleSql(rounds: Int): String = {
+    val lp = labelPropOracleSql(rounds)
+    val ctes = lp.substring(0, lp.indexOf("\nSELECT node AS c_custkey"))
+    ctes +
+      s""",
+        |lbl AS (SELECT node, lab FROM l$rounds),
+        |le AS (SELECT e.a, e.b, la.lab AS la, lb.lab AS lb
+        |       FROM e JOIN lbl la ON la.node = e.a
+        |              JOIN lbl lb ON lb.node = e.b),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM le),
+        |ec AS (SELECT la AS lab, CAST(count(*) AS BIGINT) AS ec
+        |       FROM le WHERE la = lb GROUP BY 1),
+        |dc AS (SELECT lab, CAST(count(*) AS BIGINT) AS dc
+        |       FROM (SELECT la AS lab FROM le
+        |             UNION ALL SELECT lb FROM le) GROUP BY 1),
+        |per AS (SELECT dc.lab, COALESCE(ec.ec, 0) AS ec, dc.dc
+        |        FROM dc LEFT JOIN ec USING (lab)),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+        |               CAST(sum(ec) AS BIGINT) AS se,
+        |               CAST(sum(dc * dc) AS BIGINT) AS sd2 FROM per),
+        |fin AS (SELECT agg.n_communities, mm.m, agg.se,
+        |               1000000 * (4 * mm.m * agg.se - agg.sd2) AS num,
+        |               4 * mm.m * mm.m AS den
+        |        FROM agg, mm)
+        |SELECT n_communities, m AS m_edges, se AS intra_edges,
+        |       CAST((num - (((num % den) + den) % den)) / den AS BIGINT)
+        |         AS q_micro,
+        |       CAST(CAST((num - (((num % den) + den) % den)) / den
+        |         AS BIGINT) AS DOUBLE) / 1000000.0 AS q
+        |FROM fin""".stripMargin
+  }
+
   /** Column-profile replay: one UNION ALL branch per column — nulls as
     * `count(*) − count(c)` (BIGINT in every engine, no CASE-sum HUGEINT),
     * exact `count(DISTINCT c)`, min/max on the native type rendered to
@@ -7887,6 +7953,40 @@ object SparkEntry {
         |FROM j ORDER BY jac_micro DESC, u, v LIMIT 50""".stripMargin,
     "graph_kcore" -> kCoreOracleSql(k = 3, rounds = 8),
     "graph_label_propagation" -> labelPropOracleSql(rounds = 3),
+    "graph_modularity" -> modularityOracleSql(rounds = 3),
+    // DP-median replay: distinct-value counts, partitioned rank sums,
+    // the same integer utility, salted Gumbel-max argmax with the
+    // identical (score desc, v) tie-break
+    "pii_dp_median" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |c AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+        |      FROM ev GROUP BY 1, 2),
+        |r AS (SELECT event_type, v, c,
+        |        sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS upto,
+        |        sum(c) OVER (PARTITION BY event_type) AS n
+        |      FROM c),
+        |s AS (SELECT event_type, v,
+        |        -abs(2 * (upto - c) + c - n) AS u,
+        |        (CAST(CAST('0x' || substr(md5('graft-dpm-v1#'
+        |           || event_type || '#' || CAST(v AS VARCHAR)), 1, 15)
+        |           AS BIGINT) % 1000000000 AS DOUBLE) + 0.5)
+        |          / 1000000000.0 AS u01
+        |      FROM r),
+        |sc AS (SELECT event_type, v,
+        |         1.0 * CAST(u AS DOUBLE) / 4.0 - ln(-ln(u01)) AS score
+        |       FROM s),
+        |p AS (SELECT event_type, v,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY score DESC, v) AS rk
+        |      FROM sc)
+        |SELECT event_type, v AS dp_median FROM p WHERE rk = 1
+        |ORDER BY event_type""".stripMargin,
     "graph_ppr" -> pprOracleSql(rounds = 3),
     "graph_bfs_reach" -> bfsOracleSql(hops = 3),
     "graph_harmonic_centrality" -> harmonicOracleSql(hops = 3),

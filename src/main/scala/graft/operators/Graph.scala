@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics on edge lists. The corpus-curation uses:
@@ -551,6 +551,69 @@ object Graph {
       .select(col("u").as("node_a"), col("v").as("node_b"),
         col("common_neighbors"), col("aa_micro"),
         (col("aa_micro").cast("double") / lit(1e6)).as("score"))
+  }
+
+  /** Newman modularity of a node partition (Newman & Girvan 2004,
+    * PRE 69 "Finding and evaluating community structure in networks"):
+    * `Q = Σ_c [e_c/m − (d_c/2m)²]` — how much denser the communities
+    * are than a degree-preserving random rewiring. THE number that
+    * turns [[labelPropagation]]'s labels from "an assignment" into "a
+    * good/bad assignment" (Q ≈ 0: no structure; 0.3+: real communities)
+    * — the acceptance gate before a dedup pipeline trusts cluster
+    * representatives.
+    *
+    * Exactness: with integer `m` (canonical undirected edges), `e_c`
+    * (intra-community edges) and `d_c` (community degree sums), Q is
+    * ONE exact rational — `Q_micro = floordiv(1e6·(4m·Σe_c − Σd_c²),
+    * 4m²)` in DECIMAL(38,0) (signed floordiv via pmod; Σd_c² ≤ 4m²
+    * keeps 1e6·4m² well inside 38 digits to m ≈ 10¹⁴ edges).
+    *
+    * Scale shape: symmetrize/dedup once, two keyed label joins onto
+    * the edge list, two map-combinable grouped sums, one 1-row
+    * aggregate × 1-row m broadcast. Nodes missing from `labels` drop
+    * with their edges (stated: Q is OF the labeled subgraph). */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, nodeCol: String,
+                 labelCol: String): DataFrame = {
+    val canon = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val lab = labels.select(col(nodeCol).as("node"),
+      col(labelCol).as("__lab"))
+    val labeled = canon
+      .join(lab.select(col("node").as("a"), col("__lab").as("__la")),
+        Seq("a"))
+      .join(lab.select(col("node").as("b"), col("__lab").as("__lb")),
+        Seq("b"))
+    val mFrame = labeled.agg(count(lit(1)).as("__m"))
+    val eC = labeled.filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("__lab"))
+      .agg(count(lit(1)).as("__ec"))
+    val dC = labeled.select(col("__la").as("__lab"))
+      .union(labeled.select(col("__lb")))
+      .groupBy(col("__lab")).agg(count(lit(1)).as("__dc"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val per = dC.join(eC, Seq("__lab"), "left")
+      .select(col("__lab"), coalesce(col("__ec"), lit(0L)).as("__ec"),
+        col("__dc"))
+    per.agg(count(lit(1)).as("n_communities"),
+        sum(col("__ec")).as("__se"),
+        sum(dec(col("__dc")) * dec(col("__dc"))).as("__sd2"))
+      .crossJoin(broadcast(mFrame))
+      .select(col("n_communities"), col("__m").as("m_edges"),
+        col("__se").as("intra_edges"),
+        {
+          val m = dec(col("__m"))
+          val denom = dec(lit(4L)) * m * m
+          val num = dec(lit(1000000L)) *
+            (dec(lit(4L)) * m * dec(col("__se")) - dec(col("__sd2")))
+          ((num - pmod(num, denom)) / denom).cast("long").as("q_micro")
+        })
+      .withColumn("q", col("q_micro").cast("double") / lit(1e6))
   }
 
   /** Sampled bounded-distance betweenness centrality (Brandes, J. Math.

@@ -226,6 +226,66 @@ object Privacy {
           + lit(0.0))
   }
 
+  /** Differentially-private median — the EXPONENTIAL mechanism
+    * (McSherry & Talwar, FOCS 2007), the second DP primitive beside
+    * [[dpNoisyCounts]]' Laplace: additive noise suits counts, but a
+    * median must come FROM the data, so instead every observed value
+    * competes with utility `u(v) = −|#below(v)·2 + #eq(v) − n|` (twice
+    * the rank distance to the middle; sensitivity 2) and the release
+    * is the argmax of `ε·u/4 + Gumbel(hash)` — the Gumbel-max trick
+    * makes "sample ∝ exp(ε·u/2Δ)" a deterministic hash argmax.
+    *
+    * Determinism device: per candidate, u is exact integer rank
+    * arithmetic (one partitioned running sum); the Gumbel draw is
+    * `−ln(−ln(u01))` of the salted md5 nano-uniform of the (group,
+    * value) pair — the [[dpNoisyCounts]] hash discipline; the argmax
+    * tie-breaks on (score desc, value asc). Values must arrive as
+    * LONGS (quantize floats upstream): hashing a float's string is
+    * engine-dependent, a long's is not. Replayable release — the salt
+    * staying secret and per-release IS the privacy boundary, as
+    * documented on [[dpNoisyCounts]].
+    *
+    * Scale shape: one distinct-value count frame per group, one
+    * partitioned cumulative window over it (bounded by distinct
+    * values, not rows), one max_by per group. */
+  def dpMedian(df: DataFrame, groupCols: Seq[String], valCol: String,
+               salt: String, epsilonMicro: Long = 1000000L): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(epsilonMicro >= 1000L && epsilonMicro <= 100000000L,
+      s"epsilonMicro must be in [1e3,1e8], got $epsilonMicro")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val counts = df
+      .filter(groupCols.map(c => col(c).isNotNull).reduce(_ && _) &&
+        col(valCol).isNotNull)
+      .groupBy(g :+ col(valCol).cast("long").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(g: _*)
+    val ranked = counts
+      .withColumn("__upto", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(wn))
+      .select(g ++ Seq(col("__v"), col("__c"),
+        (lit(2L) * (col("__upto") - col("__c")) + col("__c") -
+          col("__n")).as("__d")): _*)
+      .withColumn("__u", -abs(col("__d")))
+    val key = concat_ws("#",
+      (lit(salt) +: g.map(_.cast("string"))) :+
+        col("__v").cast("string"): _*)
+    val uNano = pmod(conv(substring(md5(key), 1, 15), 16, 10)
+      .cast("long"), lit(1000000000L))
+    val u01 = (uNano.cast("double") + lit(0.5)) / lit(1e9)
+    val scored = ranked.withColumn("__score",
+      lit(epsilonMicro.toDouble / 1e6) * col("__u").cast("double") /
+        lit(4.0) - log(-log(u01)))
+    val pick = Window.partitionBy(g: _*)
+      .orderBy(col("__score").desc, col("__v"))
+    scored.withColumn("__r", row_number().over(pick))
+      .filter(col("__r") === 1)
+      .select(g :+ col("__v").as("dp_median"): _*)
+  }
+
   def pseudonymize(df: DataFrame, salt: String,
                    cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to pseudonymize")

@@ -145,6 +145,9 @@ class QueryPlanSweepSpec extends AnyFunSuite {
     , "corpus_burrows_delta"  // deliberate: 30-row top-words broadcast
                               // cross the |sources|-row totals frame —
                               // the zero-completed stylometry grid
+    , "graph_modularity"      // deliberate: 1-row edge-total m broadcast
+                              // cross the 1-row community aggregate
+                              // (Graph.modularity)
   )
 
   /** Global `OVER (ORDER BY ...)` windows with no PARTITION BY run the

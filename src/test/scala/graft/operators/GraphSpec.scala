@@ -154,6 +154,27 @@ class GraphSpec extends SparkSpec {
       Seq((1L, 3L, 2L, 2 * w2, 2 * w2 / 1e6)))
   }
 
+  test("modularity: two bridged triangles split 5/14 exactly, the " +
+       "trivial one-community partition scores 0, singletons go " +
+       "negative with a true floor") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("x", "y")
+    def part(f: Long => Long) =
+      (1L to 6L).map(n => (n, f(n))).toDF("node", "community")
+    def q(labels: org.apache.spark.sql.DataFrame) =
+      Graph.modularity(g, "x", "y", labels, "node", "community")
+        .as[(Long, Long, Long, Long, Double)].collect().head
+    // triangles as communities: Q = 2*(3/7 - 1/4) = 5/14
+    val good = q(part(n => if (n <= 3) 1L else 2L))
+    assert(good == ((2L, 7L, 6L, 357142L, 0.357142)))
+    // everything in one community: Q = 1 - 1 = 0
+    assert(q(part(_ => 1L)) == ((1L, 7L, 7L, 0L, 0.0)))
+    // all singletons: num = -34e6, den = 196 -> floor is -173470,
+    // NOT the truncation -173469 (the signed-floordiv device)
+    val single = q(part(identity))
+    assert(single._1 == 6L && single._4 == -173470L)
+  }
+
   test("betweennessCentrality: path puts all traffic on the middle, " +
        "star on the center; split shortest paths halve σ-weights; " +
        "partitioning-invariant") {

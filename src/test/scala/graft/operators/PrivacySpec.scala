@@ -167,4 +167,30 @@ class PrivacySpec extends SparkSpec {
     val n2 = e2("a")._1 - 5000000L
     assert(math.abs(n2) <= math.abs(noiseA) && n2 * noiseA >= 0)
   }
+
+  test("dpMedian: utility dominates at large epsilon (the true median " +
+       "comes back), tiny epsilon still returns an observed value, " +
+       "deterministic under repartition") {
+    val df = (1L to 9L).map(v => ("g", v))
+      .toDF("g", "v")
+    // eps = 100: the 25-point utility gap per rank step dwarfs the
+    // Gumbel band (~[-3, 21]) -> exact median 5 wins surely
+    val big = Privacy.dpMedian(df, Seq("g"), "v", "s", 100000000L)
+      .as[(String, Long)].collect().toMap
+    assert(big("g") == 5L)
+    // eps = 0.001: pure hash lottery, but still one of the inputs and
+    // stable across partitionings
+    val tiny = Privacy.dpMedian(df, Seq("g"), "v", "s", 1000L)
+      .as[(String, Long)].collect().toMap
+    assert((1L to 9L).contains(tiny("g")))
+    val rep = Privacy.dpMedian(df.repartition(5), Seq("g"), "v", "s",
+      1000L).as[(String, Long)].collect().toMap
+    assert(rep == tiny)
+    // two groups release independently
+    val two = df.union(Seq(("h", 100L), ("h", 200L), ("h", 300L))
+      .toDF("g", "v"))
+    val out = Privacy.dpMedian(two, Seq("g"), "v", "s", 100000000L)
+      .as[(String, Long)].collect().toMap
+    assert(out("g") == 5L && out("h") == 200L)
+  }
 }
