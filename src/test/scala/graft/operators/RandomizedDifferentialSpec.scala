@@ -228,4 +228,122 @@ class RandomizedDifferentialSpec extends SparkSpec {
       assert(full.nonEmpty, s"t=$t fixture must produce pairs")
     }
   }
+
+  test("betweennessCentrality == local Brandes with the same micro " +
+       "floors on a random undirected graph") {
+    val rnd = new scala.util.Random(0xBC14)
+    val n = 60
+    val und = Seq.fill(140)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val edges = (und ++ und.map(_.swap)).toDF("s", "d")
+    val sources = (0L until n.toLong).filter(_ % 5 == 0)
+    val maxHops = 4
+    val out = Graph.betweennessCentrality(edges, "s", "d",
+        sources.toDF("node"), "node", maxHops)
+      .as[(Long, Long)].collect().toMap
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).distinct }
+    val bc = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for (s <- sources) {
+      // forward: layered sigma (BFS with shortest-path counts)
+      var layers = Vector(Map(s -> 1L))
+      var seen = Set(s)
+      var done = false
+      while (layers.length <= maxHops && !done) {
+        val nxt = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        for ((u, sig) <- layers.last; v <- adj.getOrElse(u, Nil)
+             if !seen.contains(v)) nxt(v) += sig
+        if (nxt.isEmpty) done = true
+        else { layers = layers :+ nxt.toMap; seen ++= nxt.keySet }
+      }
+      // backward: per-edge floored dependency, one delta map PER layer
+      val maxL = layers.length - 1
+      val deltas = Array.fill(layers.length)(Map.empty[Long, Long])
+      if (maxL >= 1) {
+        deltas(maxL) = layers(maxL).map { case (v, _) => v -> 0L }
+        for (i <- maxL - 1 to 1 by -1) {
+          val below = layers(i + 1)
+          deltas(i) = layers(i).map { case (v, sig) =>
+            v -> adj.getOrElse(v, Nil).collect {
+              case w if below.contains(w) =>
+                sig * (1000000L + deltas(i + 1)(w)) / below(w)
+            }.sum
+          }
+        }
+        for (i <- 1 to maxL; (v, d) <- deltas(i)) bc(v) += d
+      }
+    }
+    assert(out == bc.toMap && out.nonEmpty)
+  }
+
+  test("skyline2D == local NOT-EXISTS dominance on random ties-heavy " +
+       "points") {
+    val rnd = new scala.util.Random(0x5C1)
+    val pts = (0L until 300L).map(i =>
+      (i, rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    val out = Ranking.skyline2D(pts.toDF("id", "x", "y"), "x", "y")
+      .select($"id").as[Long].collect().toSet
+    val local = pts.filter { p =>
+      !pts.exists(q => q._2 >= p._2 && q._3 >= p._3 &&
+        (q._2 > p._2 || q._3 > p._3))
+    }.map(_._1).toSet
+    assert(out == local && local.nonEmpty)
+  }
+
+  test("markovStationary == local micro/pico iteration on a random " +
+       "weighted chain") {
+    val rnd = new scala.util.Random(0x3A7)
+    val k = 12
+    val edges = (for {
+      i <- 0 until k; j <- 0 until k
+      if i != j && rnd.nextInt(3) == 0
+    } yield (i.toLong, j.toLong, rnd.nextInt(5).toLong + 1L)).toSeq
+    val out = Sessions.markovStationary(edges.toDF("i", "j", "c"),
+        "i", "j", "c", iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    val tot = edges.groupBy(_._1).map { case (a, v) => a -> v.map(_._3).sum }
+    val p = edges.map { case (i, j, c) => (i, j) -> 1000000L * c / tot(i) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var pi = nodes.map(_ -> 1000000000000L / nodes.size).toMap
+    for (_ <- 1 to 4) {
+      val in = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for (((i, j), pm) <- p) in(j) += pi(i) * pm / 1000000L
+      pi = nodes.map(v =>
+        v -> (in(v) + (if (tot.contains(v)) 0L else pi(v)))).toMap
+    }
+    assert(out == pi)
+  }
+
+  test("seasonalDecomposeOverDailyCounts == local formulas on a gappy " +
+       "random series") {
+    val rnd = new scala.util.Random(0x5EA)
+    val days = (0 to 40).filter(_ => rnd.nextInt(8) > 0) // ~12% gaps
+      .map(d => (d.toLong, rnd.nextInt(50).toLong + 1L))
+    val df = days.map { case (d, x) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d)), x)
+    }.toDF("bucket", "x")
+    val out = Drift.seasonalDecomposeOverDailyCounts(df)
+      .as[(java.sql.Date, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1.toLocalDate.toEpochDay ->
+        ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val cnt = days.toMap
+    def fd(a: Long, b: Long) = { val m = ((a % b) + b) % b; (a - m) / b }
+    val trend = days.map(_._1).flatMap { d =>
+      val w = (-3L to 3L).map(o => cnt.get(d + o))
+      if (w.forall(_.isDefined)) Some(d -> fd(1000000L * w.flatten.sum, 7L))
+      else None
+    }.toMap
+    val det = trend.map { case (d, t) => d -> (1000000L * cnt(d) - t) }
+    val seas = det.groupBy { case (d, _) => ((d % 7) + 7) % 7 }
+      .map { case (s, m) => s -> fd(m.values.sum, m.size.toLong) }
+    val local = trend.keys.map { d =>
+      val s = ((d % 7) + 7) % 7
+      d -> ((cnt(d), s, trend(d), seas(s), det(d) - seas(s)))
+    }.toMap
+    assert(out == local && local.nonEmpty)
+  }
 }
