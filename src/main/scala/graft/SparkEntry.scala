@@ -5247,6 +5247,16 @@ object SparkEntry {
       operators.VectorStats.mahalanobisScores(emb, "vec_id", "embedding")
         .orderBy(col("vec_id"))
     }),
+    "embedding_pca_power" -> ((s, dir) => {
+      // top principal component by integer-grid power iteration: one
+      // DECIMAL-exact moment pass to the micro covariance, 3 exact
+      // mat-vec/normalize rounds, eigenvalue + explained-variance
+      // share — "is this embedding space basically one axis?",
+      // bit-replayable
+      operators.VectorStats.pcaPowerIteration(
+        DbReader(conn(s, dir), "embeddings").run(),
+        "vec_id", "embedding", rounds = 3)
+    }),
     "embedding_mean_drift" -> ((s, dir) => {
       // per-dimension mean shift between the two vec_id halves —
       // DECIMAL(28,9)-exact per-dim sums, map-combined into 64 cells
@@ -6806,6 +6816,63 @@ object SparkEntry {
       |         CAST((sum(dt) - (((sum(dt) % count(*)) + count(*))
       |           % count(*))) / count(*) AS BIGINT) AS seasonal_micro
       |  FROM det GROUP BY season)""".stripMargin
+
+  /** PCA power-iteration replay: nano components, HUGEINT moment sums,
+    * the identical signed floordiv to the micro covariance (num − pmod
+    * then `//` — exactly divisible, so truncation equals floor), then
+    * `rounds` unrolled mat-vec / sqrt-norm / renormalize steps. */
+  private def pcaOracleSql(rounds: Int): String = {
+    def sfdiv(num: String, den: String) =
+      s"($num - ((($num % $den) + $den) % $den)) // $den"
+    val head =
+      s"""WITH comps AS (
+         |  SELECT vec_id AS r, i,
+         |         CAST(floor(CAST(embedding[i] AS DOUBLE)
+         |           * 1000000000.0) AS BIGINT) AS v
+         |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS g(i)
+         |  WHERE embedding IS NOT NULL),
+         |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n
+         |       FROM embeddings WHERE embedding IS NOT NULL),
+         |s AS (SELECT i, CAST(sum(v) AS HUGEINT) AS si
+         |      FROM comps GROUP BY i),
+         |p AS (SELECT a.i, b.i AS j,
+         |        CAST(sum(CAST(a.v AS HUGEINT) * b.v) AS HUGEINT) AS sxy
+         |      FROM comps a JOIN comps b ON a.r = b.r GROUP BY 1, 2),
+         |c AS (SELECT p.i, p.j, CAST(
+         |        ${sfdiv("(nn.n * p.sxy - sa.si * sb.si)",
+                          "(nn.n * nn.n * 1000000000000)")}
+         |        AS BIGINT) AS c
+         |      FROM p JOIN s sa ON sa.i = p.i
+         |             JOIN s sb ON sb.i = p.j, nn),
+         |v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v
+         |       FROM comps)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      val q = r - 1
+      s"""w$r AS (SELECT c.i,
+         |  CAST(sum(CAST(c.c AS HUGEINT) * v.v) AS HUGEINT) AS raw
+         |  FROM c JOIN v$q v ON v.i = c.j GROUP BY 1),
+         |ww$r AS (SELECT i,
+         |  CAST(${sfdiv("raw", "1000000")} AS BIGINT) AS w FROM w$r),
+         |n$r AS (SELECT CAST(floor(sqrt(CAST(
+         |    sum(CAST(w AS HUGEINT) * w) AS DOUBLE))) AS BIGINT) AS nrm
+         |  FROM ww$r),
+         |v$r AS (SELECT i, CASE WHEN nrm > 0 THEN CAST(
+         |    ${sfdiv("(1000000 * CAST(w AS HUGEINT))", "nrm")}
+         |    AS BIGINT) ELSE 0 END AS v
+         |  FROM ww$r, n$r)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s""",
+         |tr AS (SELECT CAST(sum(c) AS BIGINT) AS trace_micro
+         |       FROM c WHERE i = j)
+         |SELECT CAST(v.i AS BIGINT) AS i, v.v AS v_micro,
+         |       n$rounds.nrm AS lambda_micro, tr.trace_micro,
+         |       CASE WHEN tr.trace_micro > 0 THEN CAST(
+         |         (1000000 * n$rounds.nrm
+         |           - (1000000 * n$rounds.nrm) % tr.trace_micro)
+         |           / tr.trace_micro AS BIGINT) ELSE 0 END AS share_micro
+         |FROM v$rounds v, n$rounds, tr ORDER BY i""".stripMargin
+  }
 
   /** Markov-stationary replay: the q_event_transitions lag CTEs, micro
     * row-normalization, then `rounds` unrolled pushes of 1e12-grid mass
@@ -11482,6 +11549,7 @@ object SparkEntry {
         |         + 0.0 AS w1,
         |       tr AS n_ref, tc AS n_cur
         |FROM tot""".stripMargin,
+    "embedding_pca_power" -> pcaOracleSql(rounds = 3),
     // Mahalanobis replay: the identical nano-quantization, DECIMAL-exact
     // per-dim moment sums, the same fixed μ/σ² double expressions, and
     // per-dim micro-quantized terms summed as exact integers per vector

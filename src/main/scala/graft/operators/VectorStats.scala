@@ -360,4 +360,96 @@ object VectorStats {
       .agg(count(lit(1)).as("n_members"), sum(col("__d2")).as("wcss"))
       .orderBy(col("cluster"))
   }
+
+  /** Top principal component by POWER ITERATION on an integer grid
+    * (von Mises & Pollaczek-Geiringer 1929; the PCA pass every
+    * embedding pipeline wants before whitening/compression decisions):
+    * the dominant eigenvector of the population covariance, its
+    * eigenvalue, and the explained-variance share λ₁/trace — "is this
+    * embedding space basically one axis?" answered distributedly and
+    * bit-reproducibly.
+    *
+    * Exactness device: components nano-quantize on the float→double
+    * bridge; the covariance matrix is DECIMAL-exact moment sums folded
+    * by ONE signed micro floordiv per cell (`C = (n·Σxy − Σx·Σy) /
+    * (n²·1e12)` in micro units); each iteration is an exact integer
+    * mat-vec (`w = floordiv(C·v, 1e6)`), ONE norm per round
+    * (`floor(√Σw²)` — the DECIMAL→DOUBLE cast and sqrt are correctly
+    * rounded in any engine), and a renormalization floordiv back to
+    * the 1e6 grid. Convergence is the standard power-iteration rate
+    * (λ₂/λ₁ per round); `rounds` defaults to 3 — a spectrum audit, not
+    * a solver. Sign is pinned by the all-positive start vector.
+    *
+    * Scale shape: the pair-moment build is the only heavy pass — a
+    * per-row self-join of the exploded components, O(rows·d²) products
+    * map-combined into d² cells (the [[covarianceMatrix]] moment
+    * shape); afterwards everything runs on d- and d²-row frames.
+    * Returns d rows: (i 1-based, v_micro, lambda_micro, trace_micro,
+    * share_micro). */
+  def pcaPowerIteration(df: DataFrame, idCol: String, vecCol: String,
+                        rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 10,
+      s"rounds must be in [1,10], got $rounds")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def fdiv(a: org.apache.spark.sql.Column,
+             b: org.apache.spark.sql.Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    val base = df.filter(col(vecCol).isNotNull)
+    val comps = base
+      .select(col(idCol).as("__r"),
+        posexplode(col(vecCol)).as(Seq("__p", "__x")))
+      .select(col("__r"), (col("__p") + 1).cast("long").as("__i"),
+        floor(col("__x").cast("double") * lit(1e9)).cast("long")
+          .as("__v"))
+      .localCheckpoint() // feeds sums AND the d²-cell self-join
+    val nF = base.agg(count(lit(1)).as("__n"))
+    val sums = comps.groupBy(col("__i"))
+      .agg(sum(dec(col("__v"))).as("__s"))
+    val cMat = comps
+      .join(comps.select(col("__r"), col("__i").as("__j"),
+        col("__v").as("__w")), Seq("__r"))
+      .groupBy(col("__i"), col("__j"))
+      .agg(sum(dec(col("__v")) * dec(col("__w"))).as("__sxy"))
+      .join(sums.select(col("__i"), col("__s").as("__si")), Seq("__i"))
+      .join(sums.select(col("__i").as("__j"), col("__s").as("__sj")),
+        Seq("__j"))
+      .crossJoin(broadcast(nF))
+      .select(col("__i"), col("__j"),
+        fdiv(dec(col("__n")) * col("__sxy") - col("__si") * col("__sj"),
+          dec(col("__n")) * dec(col("__n")) *
+            dec(lit(1000000000000L))).as("__c"))
+      .localCheckpoint()
+    var v = cMat.select(col("__i")).distinct()
+      .withColumn("__v", lit(1000000L))
+    var lambda = nF.select(lit(0L).as("__nrm")) // replaced each round
+    var r = 0
+    while (r < rounds) {
+      val w = cMat
+        .join(v.select(col("__i").as("__j"), col("__v")), Seq("__j"))
+        .groupBy(col("__i"))
+        .agg(sum(dec(col("__c")) * dec(col("__v"))).as("__raw"))
+        .select(col("__i"),
+          fdiv(col("__raw"), dec(lit(1000000L))).as("__w"))
+      val nrm = w.agg(floor(sqrt(
+        sum(dec(col("__w")) * dec(col("__w"))).cast("double")))
+        .cast("long").as("__nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("__i"),
+          when(col("__nrm") > 0L,
+            fdiv(dec(lit(1000000L)) * dec(col("__w")),
+              dec(col("__nrm")))).otherwise(lit(0L)).as("__v"))
+        .localCheckpoint()
+      lambda = nrm
+      r += 1
+    }
+    val trace = cMat.filter(col("__i") === col("__j"))
+      .agg(sum(col("__c")).cast("long").as("trace_micro"))
+    v.crossJoin(broadcast(lambda)).crossJoin(broadcast(trace))
+      .select(col("__i").as("i"), col("__v").as("v_micro"),
+        col("__nrm").as("lambda_micro"), col("trace_micro"),
+        when(col("trace_micro") > 0L,
+          fdiv(lit(1000000L) * col("__nrm"), col("trace_micro")))
+          .otherwise(lit(0L)).as("share_micro"))
+      .orderBy(col("i"))
+  }
 }

@@ -148,6 +148,10 @@ class QueryPlanSweepSpec extends AnyFunSuite {
     , "graph_modularity"      // deliberate: 1-row edge-total m broadcast
                               // cross the 1-row community aggregate
                               // (Graph.modularity)
+    , "embedding_pca_power"   // deliberate: 1-row n / norm / eigenvalue
+                              // / trace broadcasts cross the d- and
+                              // d²-row frames (VectorStats
+                              // .pcaPowerIteration)
   )
 
   /** Global `OVER (ORDER BY ...)` windows with no PARTITION BY run the

@@ -193,4 +193,31 @@ class VectorStatsSpec extends SparkSpec {
     // the corpus-mean vector scores lowest-ish: outliers exist
     assert(a.values.max > a.values.min)
   }
+
+  test("pcaPowerIteration: a rank-1 cloud recovers its axis — v2 = 2*v1, " +
+       "dead dim exactly 0, share ~ 1, lambda = the axis variance; " +
+       "partitioning-invariant; positive-start sign pin") {
+    // x(t) = (t, 2t, 0): population covariance = Var(t)*[[1,2,0],[2,4,0],0]
+    // Var(t) over -5..5 = 10 -> eigenvalue 50, eigvec (1,2,0)/sqrt(5)
+    val rows = (-5 to 5).map(t =>
+      (t.toLong + 5L, Array(t.toFloat, 2f * t, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = VectorStats.pcaPowerIteration(df, "vec_id", "embedding")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L))
+    val v = out.map(_._2)
+    assert(v(2) == 0L)
+    assert(math.abs(v(1) - 2 * v(0)) <= 3, s"v=$v") // integer-grid slack
+    assert(v(0) > 0L) // all-positive start pins the sign
+    // |v| = 1e6 up to grid loss
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1e6) < 5)
+    val (lam, tr, share) = (out.head._3, out.head._4, out.head._5)
+    assert(math.abs(lam - 50000000L) < 50000L, s"lambda=$lam")
+    assert(math.abs(tr - 50000000L) < 50000L, s"trace=$tr")
+    assert(share >= 999000L, s"share=$share")
+    val rep = VectorStats.pcaPowerIteration(df.repartition(5), "vec_id",
+        "embedding").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rep == out)
+  }
 }
