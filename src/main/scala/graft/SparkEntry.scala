@@ -4951,6 +4951,33 @@ object SparkEntry {
           eventsMicros(s, dir), "user_id", "ts", "event_type", "event_id")
         .orderBy(col("prev_type"), col("next_type"))
     }),
+    "graph_assortativity" -> ((s, dir) => {
+      // hub-to-hub vs hub-to-leaf mixing of the fuzzy-match graph:
+      // Pearson of remaining degrees across edge endpoints as ONE
+      // exact DECIMAL rational, signed micro floordiv — template
+      // families read disassortative, mirrored clusters assortative
+      operators.Graph.degreeAssortativity(fuzzyPairs(s, dir),
+        "id_a", "id_b")
+    }),
+    "events_fano_factor" -> ((s, dir) => {
+      // burstiness triage per event type: Var/Mean of daily counts as
+      // one exact integer floordiv — Poisson ≈ 1, bursts ≫ 1,
+      // scheduler-regular ≪ 1
+      operators.Drift.fanoFactorDaily(eventsMicros(s, dir),
+          "event_type", "ts")
+        .orderBy(col("event_type"))
+    }),
+    "events_interval_coverage" -> ((s, dir) => {
+      // interval-UNION exposure per user: each event opens a 10-minute
+      // half-open window; overlaps merge via the prior-end running max
+      // (touching merges), islands sum exactly in integer micros —
+      // raw duration sums double-count every overlap
+      val ev = eventsMicros(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) + lit(600000000L)).as("e_us"))
+      operators.Sessions.intervalCoverage(ev, "user_id", "s_us", "e_us")
+        .orderBy(col("user_id"))
+    }),
     "events_markov_stationary" -> ((s, dir) => {
       // where the event chain spends its time: power iteration on the
       // micro-quantized transition matrix, mass on a 1e12 grid,
@@ -8059,6 +8086,91 @@ object SparkEntry {
     "graph_harmonic_centrality" -> harmonicOracleSql(hops = 3),
     "graph_betweenness" -> betweennessOracleSql(hops = 3),
     "events_markov_stationary" -> markovOracleSql(rounds = 3),
+    // assortativity replay: fuzzy edges, remaining degrees on the
+    // symmetrized list, the single exact rational under a signed floor
+    "graph_assortativity" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name AS s,
+        |         substr(c_name, 1, length(c_name) - 2) AS blk
+        |  FROM customer WHERE c_name IS NOT NULL AND c_custkey IS NOT NULL),
+        |e AS (
+        |  SELECT a.id AS a, b.id AS b
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.s, b.s) <= 1),
+        |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+        |        FROM adj GROUP BY u),
+        |jk AS (SELECT (du.d - 1) AS j, (dv.d - 1) AS k
+        |       FROM adj JOIN deg du ON du.u = adj.u
+        |               JOIN deg dv ON dv.u = adj.v),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS M,
+        |               CAST(sum(j * k) AS BIGINT) AS sjk,
+        |               CAST(sum(j) AS BIGINT) AS sj,
+        |               CAST(sum(j * j) AS BIGINT) AS sjj FROM jk),
+        |f AS (SELECT M, 1000000 * (M * sjk - sj * sj) AS num,
+        |             M * sjj - sj * sj AS den FROM agg)
+        |SELECT CAST(M / 2 AS BIGINT) AS m_edges,
+        |       CASE WHEN den <> 0 THEN CAST(
+        |         (num - (((num % den) + den) % den)) / den AS BIGINT)
+        |       END AS r_micro,
+        |       CASE WHEN den <> 0 THEN CAST(CAST(
+        |         (num - (((num % den) + den) % den)) / den AS BIGINT)
+        |         AS DOUBLE) / 1000000.0 END AS r
+        |FROM f""".stripMargin,
+    // Fano replay: per-type daily counts, the exact integer
+    // dispersion-index floordiv
+    "events_fano_factor" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |               CAST(sum(x) AS BIGINT) AS total,
+        |               CAST(sum(x * x) AS BIGINT) AS sx2
+        |        FROM daily GROUP BY 1),
+        |f AS (SELECT event_type, n_days, total,
+        |             1000000 * (n_days * sx2 - total * total) AS num,
+        |             n_days * total AS den
+        |      FROM agg)
+        |SELECT event_type, n_days, total,
+        |       CASE WHEN total > 0 THEN CAST(
+        |         (num - (((num % den) + den) % den)) / den AS BIGINT)
+        |       END AS fano_micro,
+        |       CASE WHEN total > 0 THEN CAST(CAST(
+        |         (num - (((num % den) + den) % den)) / den AS BIGINT)
+        |         AS DOUBLE) / 1000000.0 END AS fano
+        |FROM f ORDER BY event_type""".stripMargin,
+    // interval-coverage replay: the same prior-end running max sweep,
+    // island running sum, exact micro island lengths
+    "events_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |         CASE WHEN max(e) OVER (PARTITION BY user_id
+        |             ORDER BY s, e
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           IS NULL THEN 1
+        |         WHEN s > max(e) OVER (PARTITION BY user_id
+        |             ORDER BY s, e
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           THEN 1 ELSE 0 END AS nw
+        |  FROM iv),
+        |isf AS (
+        |  SELECT user_id, s, e,
+        |         sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS isl
+        |  FROM m),
+        |g AS (SELECT user_id, isl, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(max(e) - min(s) AS BIGINT) AS len
+        |      FROM isf GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+        |       CAST(count(*) AS BIGINT) AS n_islands,
+        |       CAST(sum(len) AS BIGINT) AS covered_micros
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "sample_kcenter_coreset" -> kcenterOracleSql(k = 8),
     "linkage_fellegi_sunter" -> fellegiSunterOracleSql(),
     "linkage_fs_em" -> fsEmOracleSql(),

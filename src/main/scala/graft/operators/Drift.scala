@@ -777,6 +777,37 @@ object Drift {
       .orderBy(col("bucket"))
   }
 
+  /** Fano factor (index of dispersion) of the per-type daily count
+    * series — `F = Var/Mean` (Fano 1947): a Poisson-like arrival
+    * process sits at F ≈ 1; F ≫ 1 is burst clustering (retries,
+    * batch backfills, bot storms), F ≪ 1 is suspicious regularity
+    * (schedulers, dedup artifacts). The one-number burstiness triage
+    * BEFORE reaching for [[cusumShift]]/[[ewmaDailyBand]].
+    *
+    * Exactness: population variance over mean collapses to
+    * `F_micro = floordiv(1e6·(n·Σx² − (Σx)²), n·Σx)` — exact integer
+    * counts in, one floor out. Types with zero total report NULL. */
+  def fanoFactorDaily(df: DataFrame, typeCol: String,
+                      tsCol: String): DataFrame = {
+    val daily = df.filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .groupBy(col(typeCol), to_date(date_trunc("day", col(tsCol)))
+        .as("__day"))
+      .agg(count(lit(1)).as("__x"))
+    daily.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_days"), sum(col("__x")).as("total"),
+        sum(col("__x") * col("__x")).as("__sx2"))
+      .select(col(typeCol), col("n_days"), col("total"),
+        {
+          val num = lit(1000000L) *
+            (col("n_days") * col("__sx2") - col("total") * col("total"))
+          val den = col("n_days") * col("total")
+          when(col("total") > 0L,
+            ((num - pmod(num, den)) / den).cast("long"))
+            .otherwise(lit(null).cast("long")).as("fano_micro")
+        })
+      .withColumn("fano", col("fano_micro").cast("double") / lit(1e6))
+  }
+
   /** Discrete periodogram of the daily count series — the Schuster
     * power spectrum at integer frequencies k = 1..maxK cycles over the
     * observed span: `P(k) = C_k² + S_k²` with `C_k = Σ_t x_t·cos(2πkt/n)`

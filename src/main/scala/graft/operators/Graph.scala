@@ -553,6 +553,57 @@ object Graph {
         (col("aa_micro").cast("double") / lit(1e6)).as("score"))
   }
 
+  /** Degree assortativity (Newman, PRL 2002 "Assortative mixing in
+    * networks"): the Pearson correlation of REMAINING degrees (deg−1)
+    * across edge endpoints — do hubs link to hubs (r > 0, social
+    * graphs) or to leaves (r < 0, webby/biological graphs)? On a
+    * near-dup graph, strong disassortativity means template families
+    * with satellite variants; assortativity means mirrored clusters —
+    * different dedup strategies.
+    *
+    * Exactness: over the SYMMETRIZED directed edge list (M = 2m rows,
+    * each canonical edge contributing (j,k) and (k,j)), Pearson
+    * collapses to ONE exact rational — `r = (M·Σjk − (Σj)²) /
+    * (M·Σj² − (Σj)²)` — computed in DECIMAL(38,0) and floored once to
+    * micro units (signed pmod floordiv). A degree-regular graph has a
+    * zero denominator: r is undefined and reported NULL, stated
+    * plainly rather than coerced.
+    *
+    * Scale shape: one degree count + one keyed join of degrees onto
+    * edges + one 1-row aggregate; nothing quadratic anywhere. */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val canon = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val adj = canon.select(col("a").as("u"), col("b").as("v"))
+      .union(canon.select(col("b"), col("a")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("__d"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    adj
+      .join(deg.select(col("u"), (col("__d") - 1).as("__j")), Seq("u"))
+      .join(deg.select(col("u").as("v"), (col("__d") - 1).as("__k")),
+        Seq("v"))
+      .agg(count(lit(1)).as("__M"),
+        sum(dec(col("__j")) * dec(col("__k"))).as("__sjk"),
+        sum(dec(col("__j"))).as("__sj"),
+        sum(dec(col("__j")) * dec(col("__j"))).as("__sjj"))
+      .select((col("__M") / 2).cast("long").as("m_edges"),
+        {
+          val num = dec(lit(1000000L)) *
+            (dec(col("__M")) * col("__sjk") - col("__sj") * col("__sj"))
+          val den = dec(col("__M")) * col("__sjj") -
+            col("__sj") * col("__sj")
+          when(den =!= 0,
+            ((num - pmod(num, den)) / den).cast("long"))
+            .otherwise(lit(null).cast("long")).as("r_micro")
+        })
+      .withColumn("r", col("r_micro").cast("double") / lit(1e6))
+  }
+
   /** Newman modularity of a node partition (Newman & Girvan 2004,
     * PRE 69 "Finding and evaluating community structure in networks"):
     * `Q = Σ_c [e_c/m − (d_c/2m)²]` — how much denser the communities

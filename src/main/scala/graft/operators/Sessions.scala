@@ -135,6 +135,42 @@ object Sessions {
         round(col("n").cast("double") / col("__tot"), 6).as("p"))
   }
 
+  /** Interval-union coverage per key — merge overlapping/touching
+    * half-open intervals and report how much of the timeline each key
+    * actually covers (the gaps-and-islands UNION, where [[assign]]
+    * sessionizes by inactivity gaps): the "real exposure time" number
+    * behind ad-viewability, on-call coverage, sensor uptime, and
+    * dwell-time dedup — summing raw durations double-counts every
+    * overlap.
+    *
+    * Sweep device: in (start, end) order per key, an interval starts a
+    * new island iff its start exceeds the running max of all PRIOR
+    * ends (strict: touching half-open intervals merge); island length
+    * is `max(end) − min(start)` — exact integer micros end-to-end, one
+    * partitioned window + one grouped aggregate, keys distribute. */
+  def intervalCoverage(df: DataFrame, keyCol: String, startCol: String,
+                       endCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = df
+      .filter(col(keyCol).isNotNull && col(startCol).isNotNull &&
+        col(endCol).isNotNull)
+      .withColumn("__new",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    marked.groupBy(col(keyCol), col("__isl"))
+      .agg(count(lit(1)).as("__n"),
+        (max(col(endCol)) - min(col(startCol))).as("__len"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("n_events"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__len")).as("covered_micros"))
+  }
+
   /** Stationary distribution of the first-order transition chain —
     * where the [[transitionMatrix]] process SPENDS ITS TIME in the
     * long run (π = πP by power iteration): the behavioral base-rate

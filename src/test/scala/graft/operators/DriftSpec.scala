@@ -324,6 +324,24 @@ class DriftSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("fanoFactorDaily: hand dispersion — (2,4,6) days give 2/3, a " +
+       "constant series gives exactly 0") {
+    val rows =
+      (0 until 2).map(i => ("A", f"1970-01-01 0$i:00:00")) ++
+      (0 until 4).map(i => ("A", f"1970-01-02 0$i:00:00")) ++
+      (0 until 6).map(i => ("A", f"1970-01-03 0$i:00:00")) ++
+      (0 until 5).map(i => ("B", f"1970-01-01 0$i:00:00")) ++
+      (0 until 5).map(i => ("B", f"1970-01-02 0$i:00:00"))
+    val df = rows.toDF("t", "ts0")
+      .select($"t", to_timestamp($"ts0").as("ts"))
+    val out = Drift.fanoFactorDaily(df, "t", "ts")
+      .as[(String, Long, Long, Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // A: n=3, S=12, Sx2=56 -> floor(1e6*(168-144)/36) = 666666
+    assert(out("A") == (("A", 3L, 12L, Some(666666L), Some(0.666666))))
+    assert(out("B") == (("B", 2L, 10L, Some(0L), Some(0.0))))
+  }
+
   test("dailyPeriodogram: a weekly comb over 28 days peaks at its " +
        "harmonics k=4,8,12 and is near-silent elsewhere; " +
        "partitioning-invariant") {

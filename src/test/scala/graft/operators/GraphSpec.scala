@@ -154,6 +154,19 @@ class GraphSpec extends SparkSpec {
       Seq((1L, 3L, 2L, 2 * w2, 2 * w2 / 1e6)))
   }
 
+  test("degreeAssortativity: star is perfectly disassortative (-1), " +
+       "the 4-path lands on the textbook -1/2, regular graphs are NULL") {
+    def r(pairs: Seq[(Long, Long)]) =
+      Graph.degreeAssortativity(pairs.toDF("x", "y"), "x", "y")
+        .as[(Long, Option[Long], Option[Double])].collect().head
+    assert(r(Seq((1L, 2L), (1L, 3L), (1L, 4L))) ==
+      ((3L, Some(-1000000L), Some(-1.0))))
+    assert(r(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ==
+      ((3L, Some(-500000L), Some(-0.5))))
+    // triangle: all remaining degrees equal -> undefined, NULL
+    assert(r(Seq((1L, 2L), (2L, 3L), (1L, 3L))) == ((3L, None, None)))
+  }
+
   test("modularity: two bridged triangles split 5/14 exactly, the " +
        "trivial one-community partition scores 0, singletons go " +
        "negative with a true floor") {

@@ -541,6 +541,22 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("intervalCoverage: overlaps merge, half-open touches merge, " +
+       "gaps split islands, per-key totals are exact micros") {
+    val iv = Seq(
+      ("u", 0L, 10L), ("u", 5L, 15L),   // overlap -> one island
+      ("u", 15L, 25L),                  // touches: [0,25) continues
+      ("u", 30L, 40L),                  // gap -> second island
+      ("v", 0L, 100L), ("v", 10L, 20L)  // fully contained interval
+    ).toDF("k", "s", "e")
+    val out = Sessions.intervalCoverage(iv, "k", "s", "e")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("u") == ((4L, 2L, 35L)))
+    assert(out("v") == ((2L, 1L, 100L)))
+    // summing raw durations would have said 40 and 110
+  }
+
   test("markovStationary: symmetric 2-cycle is the fixed point; a sink " +
        "absorbs all mass; one asymmetric push matches hand floors") {
     // a<->b: uniform is stationary on the grid exactly
