@@ -5121,6 +5121,22 @@ object SparkEntry {
         .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("event_id"))
     }),
+    "q_asof_join_nearest" -> ((s, dir) => {
+      // for each event: the customer's CLOSEST order either side of
+      // the event (pandas merge_asof direction='nearest'); same
+      // union-sort-carry shape with a forward carry added, distance
+      // ties resolve backward — the sensor-alignment mode beside the
+      // causal backward-only q_asof_join
+      val events = eventsMicros(s, dir)
+      val orders = DbReader(conn(s, dir), "orders").run()
+      operators.Joins.asofJoinNearest(events, orders,
+          leftTime = "ts", rightTime = "o_orderdate",
+          leftBy = Seq("user_id"), rightBy = Seq("o_custkey"),
+          rightCols = Seq("o_orderkey", "o_totalprice"),
+          tiebreak = Some("o_orderkey"), how = "inner")
+        .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    }),
     "dedup_by_canonical_url" -> ((s, dir) => {
       // crawl dedup by canonical URL: messy variants (case, default
       // port, utm_ noise, fragments) of the same page collapse once
@@ -11440,6 +11456,22 @@ object SparkEntry {
         |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e JOIN orders o
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, o_orderkey, o_totalprice FROM cand WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+    // nearest-asof replay: rank ALL candidate orders per event by
+    // (abs micro distance, backward-first, per-side key tiebreak) —
+    // equivalent to the two-carry pick row for row
+    "q_asof_join_nearest" ->
+      """WITH cand AS (
+        |  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+        |         row_number() OVER (PARTITION BY e.event_id ORDER BY
+        |           abs(epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+        |             - epoch_us(e.ts)),
+        |           CASE WHEN CAST(o.o_orderdate AS TIMESTAMP) <= e.ts
+        |                THEN 0 ELSE 1 END,
+        |           CASE WHEN CAST(o.o_orderdate AS TIMESTAMP) <= e.ts
+        |                THEN -o.o_orderkey ELSE o.o_orderkey END) AS rn
+        |  FROM events e JOIN orders o ON o.o_custkey = e.user_id)
         |SELECT event_id, o_orderkey, o_totalprice FROM cand WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
     // the oracle BUILDS the expected canonical URL rather than re-running

@@ -154,6 +154,84 @@ object Joins {
         rightCols.map(c => col(s"__asof_match.$c").as(c)): _*)
   }
 
+  /** NEAREST-direction as-of join (pandas `merge_asof
+    * direction='nearest'`): each left row takes the right row with the
+    * SMALLEST absolute time distance, either side of it — sensor
+    * alignment, quote-to-trade matching, "closest snapshot" enrichment
+    * — where [[asofJoin]]'s backward-only carry is the causal/leakage-
+    * safe mode (training pipelines should keep using it; nearest looks
+    * into the future by construction, stated plainly).
+    *
+    * Same union–sort–carry shape, two carries instead of one: in the
+    * (time, side, tiebreak) order, the backward candidate is the last
+    * right payload at-or-before (greatest tiebreak on equal times) and
+    * the forward candidate the first strictly-after right payload
+    * (smallest tiebreak) — each side's deterministic pick; distance
+    * ties resolve BACKWARD. One shuffle per side, no inequality join,
+    * no broadcast. Timestamp distances compare in exact micros (the
+    * values are < 2⁵³, so the double compare is exact); numeric time
+    * columns compare as doubles directly. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame,
+                      leftTime: String, rightTime: String,
+                      leftBy: Seq[String], rightBy: Seq[String],
+                      rightCols: Seq[String],
+                      tiebreak: Option[String] = None,
+                      how: String = "left"): DataFrame = {
+    require(leftBy.length == rightBy.length && leftBy.nonEmpty,
+      "asofJoinNearest needs matching non-empty key column lists")
+    require(Seq("left", "inner").contains(how),
+      s"how must be left|inner, got $how")
+    val collisions = rightCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"right columns collide with left: $collisions")
+    val keyNames = leftBy.indices.map(i => s"__asof_k$i")
+    val payloadCols = (rightCols :+ rightTime).distinct ++
+      tiebreak.filterNot(rightCols.contains).filterNot(_ == rightTime)
+    val payloadType = StructType(
+      right.select(payloadCols.map(col): _*).schema.fields)
+    val leftPrep = left.select(
+      leftBy.zip(keyNames).map { case (c, k) => col(c).as(k) } ++ Seq(
+        col(leftTime).as("__asof_t"),
+        lit(1).as("__asof_side"),
+        struct(left.columns.map(col): _*).as("__asof_l"),
+        lit(null).cast(payloadType).as("__asof_r")): _*)
+    val rightPrep = right.select(
+      rightBy.zip(keyNames).map { case (c, k) => col(c).as(k) } ++ Seq(
+        col(rightTime).cast(leftPrep.schema("__asof_t").dataType)
+          .as("__asof_t"),
+        lit(0).as("__asof_side"),
+        lit(null).cast(leftPrep.schema("__asof_l").dataType).as("__asof_l"),
+        struct(payloadCols.map(col): _*).as("__asof_r")): _*)
+    val order = Seq(col("__asof_t").asc, col("__asof_side").asc) ++
+      tiebreak.map(tb => col(s"__asof_r.$tb").asc_nulls_first)
+    val wAll = Window.partitionBy(keyNames.map(col): _*).orderBy(order: _*)
+    val isTs = leftPrep.schema("__asof_t").dataType
+      .isInstanceOf[org.apache.spark.sql.types.TimestampType]
+    def tn(c: org.apache.spark.sql.Column) =
+      if (isTs) unix_micros(c.cast("timestamp")).cast("double")
+      else c.cast("double")
+    val both = leftPrep.unionByName(rightPrep)
+      .withColumn("__asof_back", last(col("__asof_r"), ignoreNulls = true)
+        .over(wAll.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("__asof_fwd", first(col("__asof_r"), ignoreNulls = true)
+        .over(wAll.rowsBetween(1, Window.unboundedFollowing)))
+      .filter(col("__asof_side") === 1)
+    val bd = abs(tn(col(s"__asof_back.$rightTime")) - tn(col("__asof_t")))
+    val fd = abs(tn(col(s"__asof_fwd.$rightTime")) - tn(col("__asof_t")))
+    val matched = both.withColumn("__asof_match",
+      when(col("__asof_back").isNull, col("__asof_fwd"))
+        .when(col("__asof_fwd").isNull, col("__asof_back"))
+        .when(fd < bd, col("__asof_fwd"))
+        .otherwise(col("__asof_back"))) // distance ties resolve backward
+    val filtered = how match {
+      case "inner" => matched.filter(col("__asof_match").isNotNull)
+      case _ => matched
+    }
+    filtered.select(
+      left.columns.map(c => col(s"__asof_l.$c").as(c)) ++
+        rightCols.map(c => col(s"__asof_match.$c").as(c)): _*)
+  }
+
   /** Salted equi-join for skewed keys: the big side gets a uniform salt in
     * [0, factor), the small side is replicated once per salt value, and the
     * join key becomes (keys, salt) — a hot key's rows now spread over

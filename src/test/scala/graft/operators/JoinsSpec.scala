@@ -541,6 +541,30 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("asofJoinNearest: picks the closer side, distance ties resolve " +
+       "backward, per-side tiebreaks are deterministic, left rows " +
+       "before all rights match forward, how=left keeps unmatched") {
+    val left = Seq(("u", -5L, 1L), ("u", 10L, 2L), ("u", 11L, 3L),
+      ("u", 100L, 4L), ("w", 7L, 5L)).toDF("k", "t", "lid")
+    val right = Seq(("u", 0L, 10L), ("u", 8L, 20L),
+      ("u", 12L, 30L), ("u", 12L, 31L), ("u", 200L, 40L))
+      .toDF("k", "rt", "rid")
+    def run(how: String) = Joins.asofJoinNearest(left, right,
+        "t", "rt", Seq("k"), Seq("k"), Seq("rid"),
+        tiebreak = Some("rid"), how = how)
+      .select($"lid", $"rid").as[(Long, Option[Long])]
+      .collect().toMap
+    val out = run("left")
+    assert(out(1L) == Some(10L)) // nothing before: forward rt=0
+    assert(out(2L) == Some(20L)) // d=2 both sides: backward wins
+    assert(out(3L) == Some(30L)) // fwd d=1 beats back d=3; min-key tie
+    assert(out(4L) == Some(31L)) // back rt=12 (greatest-rid carry,
+                                 // d=88) beats fwd rt=200 (d=100)
+    assert(out(5L) == None)      // key w has no rights
+    val inner = run("inner")
+    assert(!inner.contains(5L) && inner.size == 4)
+  }
+
   test("intervalCoverage: overlaps merge, half-open touches merge, " +
        "gaps split islands, per-key totals are exact micros") {
     val iv = Seq(
