@@ -1177,6 +1177,14 @@ object SparkEntry {
           salt = "graft-dp-v1", epsilonMicro = 1000000L)
         .orderBy(col("event_type"), col("day"))
     }),
+    "corpus_ctfidf_terms" -> ((s, dir) => {
+      // what each source is ABOUT: class-based TF-IDF over sources as
+      // pseudo-documents (the BERTopic labeling step), one double
+      // sequence floored to micro, integer-ordered top-5 per source
+      operators.Corpus.cTfIdfTerms(
+        DbReader(conn(s, dir), "documents").run(), "source", "text",
+        topK = 5)
+    }),
     "corpus_burrows_delta" -> ((s, dir) => {
       // Burrows' Delta between sources: per-word cross-source z of
       // top-30 relative frequencies (zero-completed grid), mean |Δz|
@@ -8626,6 +8634,35 @@ object SparkEntry {
         |       END AS rz
         |FROM rem JOIN med USING (season) JOIN mad USING (season)
         |ORDER BY rem.bucket""".stripMargin,
+    // c-TF-IDF replay: same counts, the identical (c/T)·ln(1+S/df)
+    // double sequence under one micro floor, integer-ordered top-5
+    "corpus_ctfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT source AS s, t AS w
+        |  FROM (SELECT source, text FROM documents
+        |        WHERE source IS NOT NULL AND text IS NOT NULL),
+        |  UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |    x -> x <> '')) AS u(t)),
+        |tf AS (SELECT s, w, CAST(count(*) AS BIGINT) AS c
+        |       FROM toks GROUP BY s, w HAVING count(*) >= 2),
+        |tot AS (SELECT s, CAST(count(*) AS BIGINT) AS t
+        |        FROM toks GROUP BY s),
+        |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+        |          FROM (SELECT DISTINCT s, w FROM toks) GROUP BY w),
+        |ns AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n FROM toks),
+        |scored AS (
+        |  SELECT tf.s, tf.w, tf.c,
+        |         CAST(floor((CAST(tf.c AS DOUBLE) / CAST(tot.t AS DOUBLE))
+        |           * ln(1.0 + CAST(ns.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+        |           * 1000000.0) AS BIGINT) AS score_micro
+        |  FROM tf JOIN tot USING (s) JOIN dfreq USING (w), ns),
+        |r AS (SELECT s, w, c, score_micro,
+        |        row_number() OVER (PARTITION BY s
+        |          ORDER BY score_micro DESC, w) AS rank
+        |      FROM scored)
+        |SELECT s AS source, CAST(rank AS INT) AS rank, w AS word,
+        |       c AS n, score_micro
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     // Burrows replay: same top-30 (count desc, word) cut, CROSS JOIN
     // grid with zero fill, avg/stddev_samp doubles under one round(4)
     "corpus_burrows_delta" ->

@@ -1084,6 +1084,57 @@ object Corpus {
           + lit(0.0)).as("log_k"))
   }
 
+  /** Class-based TF-IDF (c-TF-IDF — Grootendorst 2022, BERTopic §2.3):
+    * treat each SOURCE as one concatenated pseudo-document and score
+    * `(c_sw/T_s)·ln(1 + S/df(w))` — the words that make a source what
+    * it is, rather than the words it merely contains. The labeling
+    * step behind topic/cluster naming and per-domain corpus cards;
+    * [[burrowsDelta]] asks "who writes alike", this asks "what is each
+    * one about".
+    *
+    * Numeric device: counts are exact integers; the score is one
+    * double sequence `(c/T)·ln(1 + S/df)` floored ONCE to micro units,
+    * and the per-source top-k cut orders on the floored INTEGER with a
+    * word tiebreak — total-ordered, replayable. Words below `minCount`
+    * per source drop (hapax noise).
+    *
+    * Scale shape: two word-count aggregates (term counts, document
+    * frequencies over sources), a 1-row source-count broadcast, one
+    * keyed window for the cut. */
+  def cTfIdfTerms(df: DataFrame, sourceCol: String, textCol: String,
+                  topK: Int = 5, minCount: Long = 2L): DataFrame = {
+    require(topK >= 1 && topK <= 1000, s"topK must be in [1,1000], got $topK")
+    val toks = df.filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
+      .select(col(sourceCol).as("__s"),
+        explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+          t => t =!= "")).as("__w"))
+    val tf = toks.groupBy(col("__s"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+    val tot = toks.groupBy(col("__s")).agg(count(lit(1)).as("__t"))
+    val dfreq = toks.select(col("__s"), col("__w")).distinct()
+      .groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+    val nSrc = toks.select(col("__s")).distinct()
+      .agg(count(lit(1)).as("__ns"))
+    val scored = tf
+      .join(tot, Seq("__s"))
+      .join(dfreq, Seq("__w"))
+      .crossJoin(broadcast(nSrc))
+      .select(col("__s"), col("__w"), col("__c"),
+        floor((col("__c").cast("double") / col("__t").cast("double")) *
+          log(lit(1.0) + col("__ns").cast("double") /
+            col("__df").cast("double")) * lit(1e6))
+          .cast("long").as("score_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__s"))
+      .orderBy(col("score_micro").desc, col("__w"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("__s").as("source"), col("rank"), col("__w").as("word"),
+        col("__c").as("n"), col("score_micro"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** Burrows' Delta stylometric distance between sources (Burrows,
     * LLC 2002 "'Delta': a measure of stylistic difference"; Evert et
     * al. 2017 for the standardization analysis): z-score each source's

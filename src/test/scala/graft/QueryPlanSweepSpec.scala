@@ -152,6 +152,9 @@ class QueryPlanSweepSpec extends AnyFunSuite {
                               // / trace broadcasts cross the d- and
                               // d²-row frames (VectorStats
                               // .pcaPowerIteration)
+    , "corpus_ctfidf_terms"   // deliberate: 1-row source-count broadcast
+                              // cross the per-source term frame
+                              // (Corpus.cTfIdfTerms)
   )
 
   /** Global `OVER (ORDER BY ...)` windows with no PARTITION BY run the

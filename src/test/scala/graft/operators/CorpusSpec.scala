@@ -497,6 +497,20 @@ class CorpusSpec extends SparkSpec {
     assert(d3(("A", "C")) == d3(("B", "C")) && d3(("A", "C")) > 0.0)
   }
 
+  test("cTfIdfTerms: hand scores — shared words discount by source df, " +
+       "hapax drops via minCount, per-source ranks are integer-ordered") {
+    val docs = Seq(("A", "x x x y"), ("B", "y y z z")).toDF("src", "text")
+    val out = Corpus.cTfIdfTerms(docs, "src", "text", topK = 5)
+      .as[(String, Int, String, Long, Long)].collect().toSeq
+    def m(v: Double) = math.floor(v * 1e6).toLong
+    assert(out == Seq(
+      ("A", 1, "x", 3L, m(0.75 * math.log(3.0))),
+      ("B", 1, "z", 2L, m(0.5 * math.log(3.0))),
+      ("B", 2, "y", 2L, m(0.5 * math.log(2.0)))))
+    // y appears in both sources (df=2): discounted below z's df=1
+    assert(out(2)._5 < out(1)._5)
+  }
+
   test("goodTuringProfile: hand N_r table, mass shares and Turing " +
        "adjusted counts; missing N_{r+1} reports 0; maxR cuts") {
     // a×1 b×1 c×2 d×3 e×3 f×3 -> N=13, N1=2, N2=1, N3=3
