@@ -1768,6 +1768,20 @@ object SparkEntry {
           s.read.parquet(tab))
         .orderBy(col("bucket"))
     }),
+    "streaming_periodogram_fold" -> ((s, dir) => {
+      // live spectrum over the SAME maintained daily register the EWMA
+      // and seasonal folds read: the keyed count fold equals the
+      // whole-history series, so the batch periodogram oracle replays
+      // it unchanged — three monitors, one register, one ingest cost
+      val stream = stagedEventsStream(s, dir, sentinels = false)
+      val ck = java.nio.file.Files.createTempDirectory("graft_spg_ck").toString
+      val tab = java.nio.file.Files.createTempDirectory("graft_spg_t")
+        .toString + "/regs"
+      graft.streaming.StreamRunner.runIncrementalDailyCountMaintain(
+        stream, "ts", tab, ck, new graft.core.InMemoryHwmStore, s"spg@$ck")
+      operators.Drift.periodogramOverDailyCounts(s.read.parquet(tab),
+        maxK = 12)
+    }),
     "streaming_loghist_fold" -> ((s, dir) => {
       // log-histogram maintenance on ingest: each doc-range micro-batch
       // appends its bounded register frame (one count aggregate of the
@@ -6967,6 +6981,36 @@ object SparkEntry {
          |FROM pi$rounds ORDER BY node""".stripMargin
   }
 
+  /** Periodogram replay, shared by the batch gate and the streaming
+    * register fold (whose keyed count fold equals the whole-history
+    * daily series exactly). */
+  private val periodogramOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+      |           CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS d,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      |sp AS (SELECT CAST(min(d) AS BIGINT) AS d0,
+      |              CAST(count(*) AS BIGINT) AS n FROM daily),
+      |terms AS (
+      |  SELECT k.k, sp.n,
+      |    x * CAST(floor(cos(2.0 * pi() * CAST(k.k AS DOUBLE)
+      |      * CAST(d - d0 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) AS c,
+      |    x * CAST(floor(sin(2.0 * pi() * CAST(k.k AS DOUBLE)
+      |      * CAST(d - d0 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) AS s
+      |  FROM daily, sp, range(1, 13) k(k))
+      |SELECT CAST(k AS INT) AS k, CAST(max(n) AS BIGINT) AS n_days,
+      |       CAST(sum(c) AS BIGINT) AS c_micro,
+      |       CAST(sum(s) AS BIGINT) AS s_micro,
+      |       round((CAST(sum(c) AS DOUBLE) / 1000000.0)
+      |           * (CAST(sum(c) AS DOUBLE) / 1000000.0)
+      |           + (CAST(sum(s) AS DOUBLE) / 1000000.0)
+      |           * (CAST(sum(s) AS DOUBLE) / 1000000.0), 6) + 0.0
+      |         AS power
+      |FROM terms GROUP BY k ORDER BY k""".stripMargin
+
   /** Sampled-Brandes replay: the fuzzy-match adjacency, seeds ≡ 0
     * (mod 100) carrying σ=1, `hops` unrolled σ-summing frontier steps,
     * then the backward dependency recurrence with the identical
@@ -8715,32 +8759,10 @@ object SparkEntry {
     // periodogram replay: daily counts, (min day, span) scalar, the
     // same 2π·k·t/n angle doubles, floor(trig·1e6) BEFORE the count
     // multiply, integer sums, one double power sequence
-    "events_periodogram" ->
-      """WITH daily AS (
-        |  SELECT CAST(date_diff('day', DATE '1970-01-01',
-        |           CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS d,
-        |         CAST(count(*) AS BIGINT) AS x
-        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
-        |sp AS (SELECT CAST(min(d) AS BIGINT) AS d0,
-        |              CAST(count(*) AS BIGINT) AS n FROM daily),
-        |terms AS (
-        |  SELECT k.k, sp.n,
-        |    x * CAST(floor(cos(2.0 * pi() * CAST(k.k AS DOUBLE)
-        |      * CAST(d - d0 AS DOUBLE) / CAST(n AS DOUBLE))
-        |      * 1000000.0) AS BIGINT) AS c,
-        |    x * CAST(floor(sin(2.0 * pi() * CAST(k.k AS DOUBLE)
-        |      * CAST(d - d0 AS DOUBLE) / CAST(n AS DOUBLE))
-        |      * 1000000.0) AS BIGINT) AS s
-        |  FROM daily, sp, range(1, 13) k(k))
-        |SELECT CAST(k AS INT) AS k, CAST(max(n) AS BIGINT) AS n_days,
-        |       CAST(sum(c) AS BIGINT) AS c_micro,
-        |       CAST(sum(s) AS BIGINT) AS s_micro,
-        |       round((CAST(sum(c) AS DOUBLE) / 1000000.0)
-        |           * (CAST(sum(c) AS DOUBLE) / 1000000.0)
-        |           + (CAST(sum(s) AS DOUBLE) / 1000000.0)
-        |           * (CAST(sum(s) AS DOUBLE) / 1000000.0), 6) + 0.0
-        |         AS power
-        |FROM terms GROUP BY k ORDER BY k""".stripMargin,
+    "events_periodogram" -> periodogramOracle,
+    // streaming periodogram fold: the maintained register fold equals
+    // the whole-history daily counts, so the batch spectrum replays it
+    "streaming_periodogram_fold" -> periodogramOracle,
     // DP-counts replay: per-(type, day) counts + the same md5-uniform
     // inverse-CDF Laplace draw — identical IEEE multiply order, one
     // micro floor; true counts never in the output

@@ -828,12 +828,24 @@ object Drift {
     * span) broadcast to index t, an explode ×maxK (days × maxK rows —
     * thousands), one grouped integer sum. */
   def dailyPeriodogram(df: DataFrame, tsCol: String,
-                       maxK: Int = 12): DataFrame = {
+                       maxK: Int = 12): DataFrame =
+    periodogramOverDailyCounts(
+      df.filter(col(tsCol).isNotNull)
+        .select(to_date(date_trunc("day", col(tsCol))).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("x")),
+      maxK)
+
+  /** [[dailyPeriodogram]] over a PRE-AGGREGATED (bucket date, x long)
+    * frame — the [[seasonalDecomposeOverDailyCounts]] register
+    * contract: per-batch daily-count frames fold by keyed sum, then
+    * the spectrum reads the bounded series. Duplicate buckets sum. */
+  def periodogramOverDailyCounts(counts: DataFrame,
+                                 maxK: Int = 12): DataFrame = {
     require(maxK >= 1 && maxK <= 64, s"maxK must be in [1,64], got $maxK")
-    val daily = df.filter(col(tsCol).isNotNull)
-      .select(datediff(to_date(date_trunc("day", col(tsCol))),
-        lit("1970-01-01").cast("date")).cast("long").as("__d"))
-      .groupBy(col("__d")).agg(count(lit(1)).as("x"))
+    val daily = counts
+      .groupBy(col("bucket")).agg(sum(col("x")).as("x"))
+      .select(datediff(col("bucket"),
+        lit("1970-01-01").cast("date")).cast("long").as("__d"), col("x"))
     val span = daily.agg(min(col("__d")).as("__d0"),
       count(lit(1)).as("__n"))
     val terms = daily.crossJoin(broadcast(span))

@@ -155,6 +155,9 @@ class QueryPlanSweepSpec extends AnyFunSuite {
     , "corpus_ctfidf_terms"   // deliberate: 1-row source-count broadcast
                               // cross the per-source term frame
                               // (Corpus.cTfIdfTerms)
+    , "streaming_periodogram_fold" // events_periodogram's 1-row
+                              // (min day, span) broadcast, read off the
+                              // maintained register instead of raw ts
   )
 
   /** Global `OVER (ORDER BY ...)` windows with no PARTITION BY run the

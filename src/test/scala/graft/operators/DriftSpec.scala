@@ -309,6 +309,21 @@ class DriftSpec extends SparkSpec {
     assert(g.map(_._1.toLocalDate.toEpochDay) == Seq(9L, 10L))
   }
 
+  test("periodogramOverDailyCounts: sharded per-batch count frames " +
+       "fold to the whole-history spectrum exactly") {
+    val days = (0 to 27).map(d =>
+      (java.sql.Date.valueOf(f"1970-01-${d + 1}%02d"),
+        10L + (if (d % 7 == 0) 5L else 0L)))
+    val whole = days.toDF("bucket", "x")
+    val shards = days.flatMap { case (b, x) =>
+      Seq((b, 3L), (b, x - 3L)) }.toDF("bucket", "x")
+    val a = Drift.periodogramOverDailyCounts(whole)
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    val b = Drift.periodogramOverDailyCounts(shards)
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("seasonalDecomposeOverDailyCounts: sharded per-batch count " +
        "frames fold to the whole-history decomposition exactly") {
     val days = (0 to 13).map(d =>
