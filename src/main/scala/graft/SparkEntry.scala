@@ -273,8 +273,29 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
+  /** Hard gate-registry integrity check: Scala's `Map(...)` literal
+    * keeps the LAST duplicate key, so a fat-fingered duplicate silently
+    * shadows an earlier gate — the scoreboard stays green with a row
+    * missing (exactly how `text_char_entropy` never ran for a full
+    * round). Both registries are therefore built from `Seq` literals
+    * and refuse duplicates at first use. */
+  private[graft] def requireDistinctKeys(keys: Seq[String],
+                                         what: String): Unit = {
+    val dups = keys.groupBy(identity)
+      .collect { case (k, vs) if vs.size > 1 => k }.toSeq.sorted
+    require(dups.isEmpty,
+      s"duplicate $what keys would silently shadow earlier entries: " +
+        dups.mkString(", "))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    requireDistinctKeys(querySeq.map(_._1), "gate")
+    querySeq.toMap
+  }
+
+  private[graft] lazy val querySeq
+      : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // --- DBReader pushdown surface (SURVEY §2.1/§2.2) --------------------
     "reader_snapshot_projection" -> ((s, dir) => {
       DbReader(conn(s, dir), "lineitem",
@@ -972,6 +993,21 @@ object SparkEntry {
             .as("v_cents"))
       operators.Privacy.dpMedian(ev, Seq("event_type"), "v_cents",
           salt = "graft-dpm-v1", epsilonMicro = 1000000L)
+        .orderBy(col("event_type"))
+    }),
+    "pii_dp_median_grid" -> ((s, dir) => {
+      // the formally-DP variant: candidates are the FIXED public grid
+      // 0, 250, …, 50000 cents (data-independent support — the
+      // exponential mechanism's requirement), values clamped into the
+      // range; one union–sort–carry window prices every grid point
+      val ev = eventsMicros(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+            .as("v_cents"))
+      operators.Privacy.dpMedianGrid(ev, Seq("event_type"), "v_cents",
+          salt = "graft-dpmg-v1", lo = 0L, hi = 50000L, step = 250L,
+          epsilonMicro = 1000000L)
         .orderBy(col("event_type"))
     }),
     "audit_constraints" -> ((s, dir) => {
@@ -6991,14 +7027,15 @@ object SparkEntry {
       |         CAST(count(*) AS BIGINT) AS x
       |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
       |sp AS (SELECT CAST(min(d) AS BIGINT) AS d0,
-      |              CAST(count(*) AS BIGINT) AS n FROM daily),
+      |              CAST(count(*) AS BIGINT) AS n,
+      |              CAST(max(d) - min(d) + 1 AS BIGINT) AS span FROM daily),
       |terms AS (
       |  SELECT k.k, sp.n,
       |    x * CAST(floor(cos(2.0 * pi() * CAST(k.k AS DOUBLE)
-      |      * CAST(d - d0 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * CAST(d - d0 AS DOUBLE) / CAST(span AS DOUBLE))
       |      * 1000000.0) AS BIGINT) AS c,
       |    x * CAST(floor(sin(2.0 * pi() * CAST(k.k AS DOUBLE)
-      |      * CAST(d - d0 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * CAST(d - d0 AS DOUBLE) / CAST(span AS DOUBLE))
       |      * 1000000.0) AS BIGINT) AS s
       |  FROM daily, sp, range(1, 13) k(k))
       |SELECT CAST(k AS INT) AS k, CAST(max(n) AS BIGINT) AS n_days,
@@ -7524,7 +7561,12 @@ object SparkEntry {
        |${kllQuantileTailSql("mgl9", 20)}""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = {
+    requireDistinctKeys(oracleSeq.map(_._1), "oracle")
+    oracleSeq.toMap
+  }
+
+  private[graft] lazy val oracleSeq: Seq[(String, String)] = Seq(
     "reader_snapshot_projection" ->
       """SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
         |WHERE l_returnflag = 'A' AND l_quantity <= 25
@@ -8140,6 +8182,47 @@ object SparkEntry {
         |           AS BIGINT) % 1000000000 AS DOUBLE) + 0.5)
         |          / 1000000000.0 AS u01
         |      FROM r),
+        |sc AS (SELECT event_type, v,
+        |         1.0 * CAST(u AS DOUBLE) / 4.0 - ln(-ln(u01)) AS score
+        |       FROM s),
+        |p AS (SELECT event_type, v,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY score DESC, v) AS rk
+        |      FROM sc)
+        |SELECT event_type, v AS dp_median FROM p WHERE rk = 1
+        |ORDER BY event_type""".stripMargin,
+    // grid-DP-median replay: clamp to [0, 50000], union the fixed grid
+    // (grid rows sort after data rows at equal v), one cumulative window
+    // prices 2·upto − eq − n per grid point, salted Gumbel-max argmax
+    "pii_dp_median_grid" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         greatest(least(CAST(floor(value * 100 + 0.5) AS BIGINT),
+        |                        50000), 0) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |c AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c,
+        |             0 AS grid
+        |      FROM ev GROUP BY 1, 2),
+        |gt AS (SELECT DISTINCT event_type FROM ev),
+        |gr AS (SELECT event_type, CAST(k AS BIGINT) AS v,
+        |              CAST(0 AS BIGINT) AS c, 1 AS grid
+        |       FROM gt, range(0, 50001, 250) t(k)),
+        |a AS (SELECT * FROM c UNION ALL SELECT * FROM gr),
+        |r AS (SELECT event_type, v, grid,
+        |        sum(c) OVER (PARTITION BY event_type ORDER BY v, grid
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS upto,
+        |        sum(c) OVER (PARTITION BY event_type, v) AS eq,
+        |        sum(c) OVER (PARTITION BY event_type) AS n
+        |      FROM a),
+        |s AS (SELECT event_type, v,
+        |        -abs(2 * upto - eq - n) AS u,
+        |        (CAST(CAST('0x' || substr(md5('graft-dpmg-v1#'
+        |           || event_type || '#' || CAST(v AS VARCHAR)), 1, 15)
+        |           AS BIGINT) % 1000000000 AS DOUBLE) + 0.5)
+        |          / 1000000000.0 AS u01
+        |      FROM r WHERE grid = 1),
         |sc AS (SELECT event_type, v,
         |         1.0 * CAST(u AS DOUBLE) / 4.0 - ln(-ln(u01)) AS score
         |       FROM s),

@@ -798,9 +798,15 @@ object Drift {
         sum(col("__x") * col("__x")).as("__sx2"))
       .select(col(typeCol), col("n_days"), col("total"),
         {
-          val num = lit(1000000L) *
-            (col("n_days") * col("__sx2") - col("total") * col("total"))
-          val den = col("n_days") * col("total")
+          // DECIMAL(38,0) end-to-end like the sibling exact rationals
+          // (degreeAssortativity, spearmanRho): raw Long arithmetic
+          // would wrap once 1e6*total^2 exceeds Long.MaxValue (~3e6
+          // total events per type).
+          def d(c: Column) = c.cast("decimal(38,0)")
+          val num = d(lit(1000000L)) *
+            (d(col("n_days")) * d(col("__sx2")) -
+              d(col("total")) * d(col("total")))
+          val den = d(col("n_days")) * d(col("total"))
           when(col("total") > 0L,
             ((num - pmod(num, den)) / den).cast("long"))
             .otherwise(lit(null).cast("long")).as("fano_micro")
@@ -810,7 +816,8 @@ object Drift {
 
   /** Discrete periodogram of the daily count series — the Schuster
     * power spectrum at integer frequencies k = 1..maxK cycles over the
-    * observed span: `P(k) = C_k² + S_k²` with `C_k = Σ_t x_t·cos(2πkt/n)`
+    * observed CALENDAR span (max − min + 1 days, gap-safe):
+    * `P(k) = C_k² + S_k²` with `C_k = Σ_t x_t·cos(2πkt/span)`
     * (Schuster 1898; the detection side of [[seasonalDecompose]] —
     * decomposition ASSUMES period 7, the periodogram shows which
     * periods are actually in the data, seasonal or injected: a weekly
@@ -846,18 +853,24 @@ object Drift {
       .groupBy(col("bucket")).agg(sum(col("x")).as("x"))
       .select(datediff(col("bucket"),
         lit("1970-01-01").cast("date")).cast("long").as("__d"), col("x"))
+    // the angle denominator is the CALENDAR span (max − min + 1), not
+    // the count of observed days: t indexes by calendar offset, so on a
+    // gappy series t can exceed the day count — span keeps "k cycles
+    // over the observed span" true with or without gaps (on a gap-free
+    // series the two coincide)
     val span = daily.agg(min(col("__d")).as("__d0"),
+      (max(col("__d")) - min(col("__d")) + lit(1L)).as("__span"),
       count(lit(1)).as("__n"))
     val terms = daily.crossJoin(broadcast(span))
       .select(col("x"), (col("__d") - col("__d0")).as("__t"), col("__n"),
-        explode(sequence(lit(1), lit(maxK))).as("k"))
+        col("__span"), explode(sequence(lit(1), lit(maxK))).as("k"))
       .select(col("k"), col("__n"), {
         val angle = lit(2.0) * lit(math.Pi) * col("k").cast("double") *
-          col("__t").cast("double") / col("__n").cast("double")
+          col("__t").cast("double") / col("__span").cast("double")
         (col("x") * floor(cos(angle) * lit(1e6)).cast("long")).as("__c")
       }, {
         val angle = lit(2.0) * lit(math.Pi) * col("k").cast("double") *
-          col("__t").cast("double") / col("__n").cast("double")
+          col("__t").cast("double") / col("__span").cast("double")
         (col("x") * floor(sin(angle) * lit(1e6)).cast("long")).as("__s")
       })
     terms.groupBy(col("k"))

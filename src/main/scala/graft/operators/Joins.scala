@@ -201,6 +201,10 @@ object Joins {
         lit(0).as("__asof_side"),
         lit(null).cast(leftPrep.schema("__asof_l").dataType).as("__asof_l"),
         struct(payloadCols.map(col): _*).as("__asof_r")): _*)
+      // a right row with a NULL time can never be a nearest match:
+      // unfiltered it sorts first (asc nulls-first), gets carried as the
+      // backward candidate and its NULL distance poisons `fd < bd`
+      .filter(col("__asof_t").isNotNull)
     val order = Seq(col("__asof_t").asc, col("__asof_side").asc) ++
       tiebreak.map(tb => col(s"__asof_r.$tb").asc_nulls_first)
     val wAll = Window.partitionBy(keyNames.map(col): _*).orderBy(order: _*)
@@ -219,7 +223,9 @@ object Joins {
     val bd = abs(tn(col(s"__asof_back.$rightTime")) - tn(col("__asof_t")))
     val fd = abs(tn(col(s"__asof_fwd.$rightTime")) - tn(col("__asof_t")))
     val matched = both.withColumn("__asof_match",
-      when(col("__asof_back").isNull, col("__asof_fwd"))
+      // a left row with a NULL time has no defined distance — no match
+      when(col("__asof_t").isNull, lit(null).cast(payloadType))
+        .when(col("__asof_back").isNull, col("__asof_fwd"))
         .when(col("__asof_fwd").isNull, col("__asof_back"))
         .when(fd < bd, col("__asof_fwd"))
         .otherwise(col("__asof_back"))) // distance ties resolve backward

@@ -226,14 +226,22 @@ object Privacy {
           + lit(0.0))
   }
 
-  /** Differentially-private median — the EXPONENTIAL mechanism
-    * (McSherry & Talwar, FOCS 2007), the second DP primitive beside
-    * [[dpNoisyCounts]]' Laplace: additive noise suits counts, but a
-    * median must come FROM the data, so instead every observed value
-    * competes with utility `u(v) = −|#below(v)·2 + #eq(v) − n|` (twice
-    * the rank distance to the middle; sensitivity 2) and the release
-    * is the argmax of `ε·u/4 + Gumbel(hash)` — the Gumbel-max trick
-    * makes "sample ∝ exp(ε·u/2Δ)" a deterministic hash argmax.
+  /** Exponential-mechanism median HEURISTIC (McSherry & Talwar, FOCS
+    * 2007 scoring), the selection primitive beside [[dpNoisyCounts]]'
+    * Laplace: every observed value competes with utility
+    * `u(v) = −|#below(v)·2 + #eq(v) − n|` (twice the rank distance to
+    * the middle; sensitivity 2) and the release is the argmax of
+    * `ε·u/4 + Gumbel(hash)` — the Gumbel-max trick makes
+    * "sample ∝ exp(ε·u/2Δ)" a deterministic hash argmax.
+    *
+    * NOT formally ε-DP: candidates are drawn from the OBSERVED
+    * distinct values, so the output support is data-dependent — a
+    * value contributed by a single individual has probability 0 under
+    * the neighboring dataset that drops them, which is unbounded
+    * privacy loss on that outcome. Treat this as a deterministic
+    * exponential-mechanism heuristic; for the formal guarantee use
+    * [[dpMedianGrid]], which scores a FIXED caller-supplied candidate
+    * grid independent of the data.
     *
     * Determinism device: per candidate, u is exact integer rank
     * arithmetic (one partitioned running sum); the Gumbel draw is
@@ -270,6 +278,79 @@ object Privacy {
         (lit(2L) * (col("__upto") - col("__c")) + col("__c") -
           col("__n")).as("__d")): _*)
       .withColumn("__u", -abs(col("__d")))
+    val key = concat_ws("#",
+      (lit(salt) +: g.map(_.cast("string"))) :+
+        col("__v").cast("string"): _*)
+    val uNano = pmod(conv(substring(md5(key), 1, 15), 16, 10)
+      .cast("long"), lit(1000000000L))
+    val u01 = (uNano.cast("double") + lit(0.5)) / lit(1e9)
+    val scored = ranked.withColumn("__score",
+      lit(epsilonMicro.toDouble / 1e6) * col("__u").cast("double") /
+        lit(4.0) - log(-log(u01)))
+    val pick = Window.partitionBy(g: _*)
+      .orderBy(col("__score").desc, col("__v"))
+    scored.withColumn("__r", row_number().over(pick))
+      .filter(col("__r") === 1)
+      .select(g :+ col("__v").as("dp_median"): _*)
+  }
+
+  /** [[dpMedian]] over a FIXED, data-independent candidate grid — the
+    * variant whose ε-DP claim formally holds: the candidate set is
+    * `lo, lo+step, …, ≤ hi` regardless of the data (the public-domain
+    * requirement of the exponential mechanism), values are CLAMPED
+    * into [lo, hi] before ranking (bounding the utility's sensitivity
+    * at 2), and every grid point gets the same integer rank utility
+    * `u(v) = −|2·#below(v) + #eq(v) − n|` and salted Gumbel score as
+    * [[dpMedian]]. The release is always a grid point, so an outlier
+    * contributed by one individual can shift scores but never mint a
+    * new candidate.
+    *
+    * Shape: the grid joins the distinct-value count frame by a
+    * union–sort–carry (the as-of idiom), NOT a range join — one
+    * cumulative window over (values + grid markers) prices every
+    * candidate's rank in a single shuffle. Grid rows sort AFTER data
+    * rows at equal value, so a grid point's running sum already
+    * includes ties. Scale shape: distinct values + |grid|·|groups|
+    * rows through one window — bounded by cardinality, not row count.
+    * Same one-release-per-salt caveat as [[dpNoisyCounts]]. */
+  def dpMedianGrid(df: DataFrame, groupCols: Seq[String], valCol: String,
+                   salt: String, lo: Long, hi: Long, step: Long = 1L,
+                   epsilonMicro: Long = 1000000L): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(epsilonMicro >= 1000L && epsilonMicro <= 100000000L,
+      s"epsilonMicro must be in [1e3,1e8], got $epsilonMicro")
+    require(step >= 1L && hi >= lo, s"need hi >= lo and step >= 1")
+    val m = (hi - lo) / step + 1
+    require(m <= 65536L,
+      s"grid has $m candidates; keep it <= 65536 (widen step)")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val groupsNonNull = groupCols.map(c => col(c).isNotNull).reduce(_ && _)
+    val data = df
+      .filter(groupsNonNull && col(valCol).isNotNull)
+      .select(g :+ greatest(least(col(valCol).cast("long"), lit(hi)),
+        lit(lo)).as("__v"): _*)
+      .groupBy(g :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__grid", lit(0))
+    val grid = df.filter(groupsNonNull && col(valCol).isNotNull)
+      .select(g: _*).distinct()
+      .select(g :+ explode(sequence(lit(lo), lit(hi), lit(step)))
+        .as("__v"): _*)
+      .withColumn("__c", lit(0L)).withColumn("__grid", lit(1))
+    val wCum = Window.partitionBy(g: _*)
+      .orderBy(col("__v").asc, col("__grid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wEq = Window.partitionBy(g :+ col("__v"): _*)
+    val wN = Window.partitionBy(g: _*)
+    val ranked = data.unionByName(grid)
+      .withColumn("__upto", sum(col("__c")).over(wCum))
+      .withColumn("__eq", sum(col("__c")).over(wEq))
+      .withColumn("__n", sum(col("__c")).over(wN))
+      .filter(col("__grid") === 1)
+      // d = 2·#below + #eq − n with #below = upto − eq
+      .withColumn("__u",
+        -abs(lit(2L) * col("__upto") - col("__eq") - col("__n")))
     val key = concat_ws("#",
       (lit(salt) +: g.map(_.cast("string"))) :+
         col("__v").cast("string"): _*)

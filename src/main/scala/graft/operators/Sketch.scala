@@ -657,6 +657,9 @@ object Sketch {
     * signs depend only on (value, j)). */
   def amsF2(df: DataFrame, valCol: String, counters: Int = 64,
             groups: Int = 8): DataFrame = {
+    require(groups >= 2 && groups % 2 == 0,
+      s"groups must be even and >= 2 (the median is the mean of the two " +
+        s"middle group means), got $groups")
     require(counters >= 2 && counters % (2 * groups) == 0,
       s"counters must be a multiple of 2*groups, got $counters/$groups")
     val freq = df.filter(col(valCol).isNotNull)

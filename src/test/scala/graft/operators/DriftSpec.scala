@@ -379,4 +379,26 @@ class DriftSpec extends SparkSpec {
       .as[(Int, Long, Long, Long, Double)].collect().toSeq
     assert(rep == out)
   }
+
+  test("dailyPeriodogram: calendar gaps do not shift the peak — the " +
+       "angle denominator is the SPAN, so a missing off-comb day " +
+       "keeps the weekly harmonic at k=4 (a day-count denominator " +
+       "would smear it)") {
+    // same period-7 comb over 28 calendar days but day 10 (off-comb)
+    // has no events at all: n_days = 27, span = 28
+    val rows = for {
+      d <- 0 until 28 if d != 10
+      i <- 0 until (if (d % 7 == 0) 15 else 10)
+    } yield f"1970-01-${d + 1}%02d 0${i % 9}:01:00"
+    val df = rows.toDF("t").select(to_timestamp($"t").as("ts"))
+    val out = Drift.dailyPeriodogram(df, "ts")
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    assert(out.forall(_._2 == 27L)) // n_days still reports the count
+    val p = out.map(r => r._1 -> r._5).toMap
+    // the comb harmonic (~400 units²) survives the gap; the gap itself
+    // is a single removed 10-count day = a flat |10|² ≈ 100 units² of
+    // leakage at every k — peak stays 2.5x above it
+    assert(p(4) > 250.0, s"k=4 ${p(4)}")
+    assert(p(1) < 150.0 && p(2) < 150.0, s"leakage ${p(1)} ${p(2)}")
+  }
 }

@@ -565,6 +565,27 @@ class JoinsSpec extends SparkSpec {
     assert(!inner.contains(5L) && inner.size == 4)
   }
 
+  test("asofJoinNearest: NULL times never match — a null-time right " +
+       "row is not carried as a candidate, a null-time left row gets " +
+       "no match (left keeps it, inner drops it)") {
+    val left = Seq(("u", Some(10L), 1L), ("u", None, 2L))
+      .toDF("k", "t", "lid")
+    val right = Seq(("u", None, 99L), ("u", Some(50L), 20L))
+      .toDF("k", "rt", "rid")
+    def run(how: String) = Joins.asofJoinNearest(left, right,
+        "t", "rt", Seq("k"), Seq("k"), Seq("rid"),
+        tiebreak = Some("rid"), how = how)
+      .select($"lid", $"rid").as[(Long, Option[Long])]
+      .collect().toMap
+    val out = run("left")
+    // lid=1 must match rid=20, NOT the null-time rid=99 (which would
+    // sort first and be carried as the poisoning backward candidate)
+    assert(out(1L) == Some(20L))
+    assert(out(2L) == None) // null left time: no defined distance
+    val inner = run("inner")
+    assert(inner == Map(1L -> Some(20L)))
+  }
+
   test("intervalCoverage: overlaps merge, half-open touches merge, " +
        "gaps split islands, per-key totals are exact micros") {
     val iv = Seq(

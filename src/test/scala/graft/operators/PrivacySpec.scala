@@ -193,4 +193,40 @@ class PrivacySpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(out("g") == 5L && out("h") == 200L)
   }
+
+  test("dpMedianGrid: release is ALWAYS a grid point (data-independent " +
+       "support), large epsilon snaps to the grid point nearest the " +
+       "true median, out-of-range values clamp, repartition-invariant") {
+    // data 1..9 (median 5) but the grid is 0, 10, 20, ..., 100: the
+    // observed values can never be released
+    val df = (1L to 9L).map(v => ("g", v)).toDF("g", "v")
+    val big = Privacy.dpMedianGrid(df, Seq("g"), "v", "s",
+        lo = 0L, hi = 100L, step = 10L, epsilonMicro = 100000000L)
+      .as[(String, Long)].collect().toMap
+    // every grid point >= 10 has all 9 values below it (|d| = 9), grid
+    // point 0 has all above (|d| = 9): utilities tie, Gumbel decides —
+    // but the release MUST be on the grid
+    assert(big("g") % 10L == 0L && big("g") <= 100L)
+    // a grid that brackets the data tightly: median 5 sits at d = ±1
+    // for candidates 5 (2*5-1-9=0) vs others — eps=100 makes rank win
+    val fine = Privacy.dpMedianGrid(df, Seq("g"), "v", "s",
+        lo = 0L, hi = 10L, step = 1L, epsilonMicro = 100000000L)
+      .as[(String, Long)].collect().toMap
+    assert(fine("g") == 5L)
+    // outliers clamp into [lo, hi] instead of minting candidates
+    val out = df.union(Seq(("g", 1000000L)).toDF("g", "v"))
+    val cl = Privacy.dpMedianGrid(out, Seq("g"), "v", "s",
+        lo = 0L, hi = 10L, step = 1L, epsilonMicro = 100000000L)
+      .as[(String, Long)].collect().toMap
+    assert(cl("g") == 5L || cl("g") == 6L) // n=10: 5 and 6 both center
+    val rep = Privacy.dpMedianGrid(out.repartition(5), Seq("g"), "v",
+        "s", lo = 0L, hi = 10L, step = 1L, epsilonMicro = 100000000L)
+      .as[(String, Long)].collect().toMap
+    assert(rep == cl)
+    // oversized grids are refused loudly
+    intercept[IllegalArgumentException] {
+      Privacy.dpMedianGrid(df, Seq("g"), "v", "s",
+        lo = 0L, hi = 100000000L, step = 1L)
+    }
+  }
 }

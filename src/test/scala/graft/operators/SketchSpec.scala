@@ -354,5 +354,14 @@ class SketchSpec extends SparkSpec {
     assert(rep == out)
     // deterministic fixed-input quality: within 4x of exact (E[c²]=F2)
     assert(med > f2 / 4 && med < f2 * 4, s"estimate $med vs exact $f2")
+    // the median-of-means needs an even group count >= 2: groups=1
+    // (counters=2 passes the old multiple-of-2g check but halves the
+    // estimate) and odd groups are refused loudly
+    intercept[IllegalArgumentException] {
+      Sketch.amsF2(rows.toDF("w"), "w", counters = 2, groups = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.amsF2(rows.toDF("w"), "w", counters = 30, groups = 3)
+    }
   }
 }
