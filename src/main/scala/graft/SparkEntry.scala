@@ -1972,6 +1972,20 @@ object SparkEntry {
           "q_micro", reps = 32)
         .orderBy(col("l_returnflag"))
     }),
+    "sample_poisson_bootstrap_indep" -> ((s, dir) => {
+      // independent-replicates mode: one md5 per (row, replicate)
+      // outside any lambda — statistically independent draws for when
+      // the SE itself is the deliverable (the Weyl default is a
+      // quasi-MC lattice that understates small-group variance)
+      val li = DbReader(conn(s, dir), "lineitem").run()
+        .select(col("l_returnflag"),
+          concat_ws("#", col("l_orderkey"), col("l_linenumber"))
+            .as("rid"),
+          (col("l_quantity") * lit(1000000)).cast("long").as("q_micro"))
+      operators.Sampling.poissonBootstrap(li, "l_returnflag", "rid",
+          "q_micro", reps = 32, independentReps = true)
+        .orderBy(col("l_returnflag"))
+    }),
     "sketch_kmv_distinct" -> ((s, dir) => {
       // bottom-k distinct sketch (k=128) over the word stream: the k
       // smallest md5 hashes + the (k-1)*2^60/h_k estimate, with the
@@ -9579,6 +9593,44 @@ object SparkEntry {
         |             981011843, 996340153, 999405815, 999916758,
         |             999989750],
         |           t -> (h + r.rep * 618033988) % 1000000000 >= t)) AS k
+        |  FROM base, range(0, 32) r(rep)),
+        |pr AS (SELECT g, rep, CAST(sum(k * v) AS BIGINT) AS sv,
+        |              CAST(sum(k) AS BIGINT) AS sk
+        |       FROM w GROUP BY g, rep),
+        |m AS (SELECT g, CAST((sv - sv % sk) / sk AS BIGINT) AS m
+        |      FROM pr WHERE sk > 0),
+        |f AS (SELECT g, CAST(count(*) AS BIGINT) AS n_reps,
+        |             CAST(sum(m) AS BIGINT) AS sm,
+        |             CAST(sum(m * m) AS BIGINT) AS sm2
+        |      FROM m GROUP BY g),
+        |v AS (SELECT g, n_reps,
+        |        CAST((sm - sm % n_reps) / n_reps AS BIGINT)
+        |          AS boot_mean_micro,
+        |        CAST(((n_reps * sm2 - sm * sm)
+        |          - (n_reps * sm2 - sm * sm) % (n_reps * n_reps))
+        |          / (n_reps * n_reps) AS BIGINT) AS boot_var_micro2
+        |      FROM f)
+        |SELECT g AS l_returnflag, n_reps, boot_mean_micro,
+        |       boot_var_micro2,
+        |       round(sqrt(CAST(boot_var_micro2 AS DOUBLE)) / 1000000.0,
+        |         6) + 0.0 AS boot_se
+        |FROM v ORDER BY l_returnflag""".stripMargin,
+    // independent-replicates bootstrap replay: one md5 per (row, rep)
+    // over 'id rep', same CDF walk and exact fold
+    "sample_poisson_bootstrap_indep" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(l_quantity * 1000000 AS BIGINT) AS v,
+        |         l_orderkey || '#' || l_linenumber AS id
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT g, v, r.rep,
+        |         len(list_filter([367879441, 735758882, 919698602,
+        |             981011843, 996340153, 999405815, 999916758,
+        |             999989750],
+        |           t -> CAST('0x' || substr(md5(id || ' ' ||
+        |                  CAST(r.rep AS VARCHAR)), 1, 15) AS BIGINT)
+        |                % 1000000000 >= t)) AS k
         |  FROM base, range(0, 32) r(rep)),
         |pr AS (SELECT g, rep, CAST(sum(k * v) AS BIGINT) AS sv,
         |              CAST(sum(k) AS BIGINT) AS sk

@@ -13,6 +13,14 @@ import org.apache.spark.sql.types.DecimalType
   * numeric column's shape.
   */
 object Drift {
+  import graft.util.DriverBound.collectBounded
+
+  /** Hard bound for the daily-calendar sidecars every daily monitor
+    * folds on the driver: 20 000 days is 54+ years of daily data —
+    * anything larger means the timestamp column isn't daily-bucketed
+    * data (or the bucketing upstream broke), and collecting it would
+    * OOM the driver silently. */
+  private val MaxCalendarDays = 20000
 
   /** Population Stability Index per reference-decile bucket: cut the
     * reference into `k` equal-count buckets (quantile boundaries from
@@ -155,14 +163,20 @@ object Drift {
                      catCol: String): DataFrame =
     chiSquareAgainstReference(cur, catCol, categoryCounts(ref, catCol))
 
-  /** The reference slice's per-category counts as a driver sidecar
-    * (bounded by |categories|) — compute ONCE, then score any number of
-    * slices or micro-batches with [[chiSquareAgainstReference]]. */
-  def categoryCounts(df: DataFrame, catCol: String): Seq[(String, Long)] =
-    df.filter(col(catCol).isNotNull)
-      .select(col(catCol).cast("string").as("category"))
-      .groupBy(col("category")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+  /** The reference slice's per-category counts as a driver sidecar —
+    * compute ONCE, then score any number of slices or micro-batches
+    * with [[chiSquareAgainstReference]]. The |categories| bound is
+    * ENFORCED, not documented: `limit(cap+1)` caps what can reach the
+    * driver, so passing an id/URL column by mistake fails loudly
+    * instead of OOMing the driver at scale. */
+  def categoryCounts(df: DataFrame, catCol: String,
+                     maxCategories: Int = 65536): Seq[(String, Long)] =
+    graft.util.DriverBound.collectBounded(
+        df.filter(col(catCol).isNotNull)
+          .select(col(catCol).cast("string").as("category"))
+          .groupBy(col("category")).agg(count(lit(1)).as("n")),
+        maxCategories, s"categoryCounts($catCol)")
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
       .sortBy(_._1)
 
   /** Score one slice against a PRECOMPUTED reference — the scoring half
@@ -291,11 +305,13 @@ object Drift {
     require(k >= 2, s"need at least 2 buckets, got $k")
     val r = ref.filter(col(valCol).isNotNull)
       .select(col(valCol).cast("double").as("__v"), col(idCol).as("__id"))
-    val bounds = Ranking.globalNtile(r, k, Seq(col("__v"), col("__id")),
-        out = "__tile")
-      .filter(col("__tile") < k)
-      .groupBy(col("__tile")).agg(max(col("__v")).as("__b"))
-      .collect().map(_.getDouble(1)).sorted
+    val bounds = collectBounded(
+        Ranking.globalNtile(r, k, Seq(col("__v"), col("__id")),
+          out = "__tile")
+          .filter(col("__tile") < k)
+          .groupBy(col("__tile")).agg(max(col("__v")).as("__b")),
+        k, "referenceBoundaries")
+      .map(_.getDouble(1)).sorted
     require(bounds.nonEmpty, "psi needs a non-empty reference slice")
     bounds
   }
@@ -313,11 +329,13 @@ object Drift {
     * array indexed by bucket−1 (zero for empty buckets). */
   def bucketCounts(df: DataFrame, valCol: String, bounds: Array[Double],
                    k: Int): Array[Long] = {
-    val rows = df.filter(col(valCol).isNotNull)
-      .select(col(valCol).cast("double").as("__v"))
-      .select(bucketOf(bounds, k).as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val rows = collectBounded(
+        df.filter(col(valCol).isNotNull)
+          .select(col(valCol).cast("double").as("__v"))
+          .select(bucketOf(bounds, k).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n")),
+        k + 1, "bucketCounts")
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
     Array.tabulate(k)(i => rows.getOrElse(i + 1, 0L))
   }
 
@@ -381,11 +399,13 @@ object Drift {
                        thresholdPerBucket: Long = 100L): DataFrame = {
     require(refBuckets >= 1, s"refBuckets must be >= 1, got $refBuckets")
     val spark = df.sparkSession
-    val buckets = df.filter(col(tsCol).isNotNull)
-      .select(to_date(date_trunc("day", col(tsCol))).as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("x"))
-      .orderBy(col("bucket"))
-      .collect().map(r => (r.getDate(0), r.getLong(1)))
+    val buckets = collectBounded(
+        df.filter(col(tsCol).isNotNull)
+          .select(to_date(date_trunc("day", col(tsCol))).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("x"))
+          .orderBy(col("bucket")),
+        MaxCalendarDays, "cusumDailyCounts")
+      .map(r => (r.getDate(0), r.getLong(1)))
     require(buckets.length > refBuckets,
       s"need more than $refBuckets buckets, got ${buckets.length}")
     val ref = buckets.take(refBuckets)
@@ -418,11 +438,15 @@ object Drift {
     * discipline as [[cusumDailyCounts]]. */
   def theilSenDailyTrend(df: DataFrame, tsCol: String): DataFrame = {
     val spark = df.sparkSession
-    val ys = df.filter(col(tsCol).isNotNull)
-      .select(to_date(date_trunc("day", col(tsCol))).as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("y"))
-      .orderBy(col("bucket"))
-      .collect().map(_.getLong(1))
+    // tighter cap than the other daily monitors: the slope fold is
+    // O(days²) driver memory (4096 days is already 8.4M slopes)
+    val ys = collectBounded(
+        df.filter(col(tsCol).isNotNull)
+          .select(to_date(date_trunc("day", col(tsCol))).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("y"))
+          .orderBy(col("bucket")),
+        4096, "theilSenDailyTrend")
+      .map(_.getLong(1))
     require(ys.length >= 2, s"need >= 2 buckets, got ${ys.length}")
     val slopes = (for {
       i <- ys.indices; j <- (i + 1) until ys.length
@@ -447,11 +471,13 @@ object Drift {
     * Same calendar-bounded-sidecar shape as the other daily monitors. */
   def mannKendallDailyTrend(df: DataFrame, tsCol: String): DataFrame = {
     val spark = df.sparkSession
-    val ys = df.filter(col(tsCol).isNotNull)
-      .select(to_date(date_trunc("day", col(tsCol))).as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("y"))
-      .orderBy(col("bucket"))
-      .collect().map(_.getLong(1))
+    val ys = collectBounded(
+        df.filter(col(tsCol).isNotNull)
+          .select(to_date(date_trunc("day", col(tsCol))).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("y"))
+          .orderBy(col("bucket")),
+        MaxCalendarDays, "mannKendallDailyTrend")
+      .map(_.getLong(1))
     val n = ys.length.toLong
     require(n >= 3, s"need >= 3 buckets, got $n")
     var s = 0L
@@ -510,11 +536,13 @@ object Drift {
                     maxLag: Int = 7): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
     val spark = df.sparkSession
-    val ys = df.filter(col(tsCol).isNotNull)
-      .select(to_date(date_trunc("day", col(tsCol))).as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("y"))
-      .orderBy(col("bucket"))
-      .collect().map(_.getLong(1))
+    val ys = collectBounded(
+        df.filter(col(tsCol).isNotNull)
+          .select(to_date(date_trunc("day", col(tsCol))).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("y"))
+          .orderBy(col("bucket")),
+        MaxCalendarDays, "autocorrDaily")
+      .map(_.getLong(1))
     val n = ys.length
     require(n > maxLag, s"need > $maxLag buckets, got $n")
     val s = ys.sum
@@ -573,10 +601,11 @@ object Drift {
     require(alphaBits >= 1 && alphaBits <= 8,
       s"alphaBits must be in [1,8], got $alphaBits")
     val spark = counts.sparkSession
-    val buckets = counts
-      .groupBy(col("bucket")).agg(sum(col("x")).as("x"))
-      .orderBy(col("bucket"))
-      .collect().map(r => (r.getDate(0), r.getLong(1)))
+    val buckets = collectBounded(
+        counts.groupBy(col("bucket")).agg(sum(col("x")).as("x"))
+          .orderBy(col("bucket")),
+        MaxCalendarDays, "ewmaOverDailyCounts")
+      .map(r => (r.getDate(0), r.getLong(1)))
     require(buckets.length > refBuckets,
       s"need more than $refBuckets buckets, got ${buckets.length}")
     val ref = buckets.take(refBuckets)
@@ -621,13 +650,18 @@ object Drift {
                   scale: Long = 1000000000000L): DataFrame = {
     require(scale >= 1000000L, s"scale too coarse: $scale")
     val spark = df.sparkSession
-    val days = df.filter(col(durCol).isNotNull && col(observedCol).isNotNull)
-      .select(col(durCol).cast("long").as("t"),
-        col(observedCol).cast("boolean").cast("long").as("o"))
-      .groupBy(col("t"))
-      .agg(sum(col("o")).as("d"), count(lit(1)).as("all"))
-      .orderBy(col("t"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // distinct DURATIONS drive this sidecar — a micro-resolution
+    // duration column would explode it, so the bound is enforced:
+    // pre-bucket durations (days, hours) before calling
+    val days = collectBounded(
+        df.filter(col(durCol).isNotNull && col(observedCol).isNotNull)
+          .select(col(durCol).cast("long").as("t"),
+            col(observedCol).cast("boolean").cast("long").as("o"))
+          .groupBy(col("t"))
+          .agg(sum(col("o")).as("d"), count(lit(1)).as("all"))
+          .orderBy(col("t")),
+        65536, "kaplanMeier")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     require(days.nonEmpty, "kaplanMeier needs at least one subject")
     var atRisk = days.map(_._3).sum
     require(atRisk < Long.MaxValue / scale,
@@ -674,11 +708,13 @@ object Drift {
       s"betaBits must be in [1,8], got $betaBits")
     require(scale >= 1000L, s"scale too coarse: $scale")
     val spark = df.sparkSession
-    val buckets = df.filter(col(tsCol).isNotNull)
-      .select(to_date(date_trunc("day", col(tsCol))).as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("x"))
-      .orderBy(col("bucket"))
-      .collect().map(r => (r.getDate(0), r.getLong(1)))
+    val buckets = collectBounded(
+        df.filter(col(tsCol).isNotNull)
+          .select(to_date(date_trunc("day", col(tsCol))).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("x"))
+          .orderBy(col("bucket")),
+        MaxCalendarDays, "holtDailyForecast")
+      .map(r => (r.getDate(0), r.getLong(1)))
     require(buckets.length >= 3,
       s"need >= 3 buckets, got ${buckets.length}")
     val twoA = 1L << alphaBits

@@ -272,12 +272,15 @@ object Features {
     * Scale shape: one groupBy on the label pair; the |A|·|B| cell frame
     * is a driver-bounded sidecar. */
   def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cells = df
-      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
-      .select(col(aCol).cast("string").as("a"),
-        col(bCol).cast("string").as("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // |A|·|B| label-pair cells — enforced, not documented: two id-like
+    // columns here would otherwise OOM the driver
+    val cells = graft.util.DriverBound.collectBounded(
+        df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+          .select(col(aCol).cast("string").as("a"),
+            col(bCol).cast("string").as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c")),
+        65536, s"cohensKappa($aCol, $bCol)")
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val n = cells.map(_._3).sum
     require(n > 0, "cohensKappa needs non-null label pairs")
     val diag = cells.filter(c => c._1 == c._2).map(_._3).sum

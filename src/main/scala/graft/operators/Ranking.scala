@@ -406,13 +406,14 @@ object Ranking {
     val spark = df.sparkSession
     val vals = df.filter(col(valCol).isNotNull)
       .select(col(valCol).cast("long").as("__v"), col(idCol).as("__id"))
-    val stats = globalNtile(vals, atoms, Seq(col("__v"), col("__id")),
-        out = "__t")
-      .groupBy(col("__t"))
-      .agg(count(lit(1)).as("n"), sum(col("__v")).as("s"),
-        sum(col("__v") * col("__v")).as("s2"),
-        min(col("__v")).as("lo"), max(col("__v")).as("hi"))
-      .collect()
+    val stats = graft.util.DriverBound.collectBounded(
+        globalNtile(vals, atoms, Seq(col("__v"), col("__id")),
+          out = "__t")
+          .groupBy(col("__t"))
+          .agg(count(lit(1)).as("n"), sum(col("__v")).as("s"),
+            sum(col("__v") * col("__v")).as("s2"),
+            min(col("__v")).as("lo"), max(col("__v")).as("hi")),
+        atoms, "vOptimalHistogram")
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))
       .sortBy(_._1)

@@ -556,12 +556,13 @@ object Sampling {
                        k: Int): DataFrame = {
     require(k >= 0, s"budget must be >= 0, got $k")
     val spark = df.sparkSession
-    val stats = df.groupBy(col(stratumCol))
-      .agg(count(lit(1)).as("__n"),
-        sum(coalesce(col(valCol).cast("long"), lit(0L))).as("__c"),
-        sum(coalesce(col(valCol).cast("long"), lit(0L))
-          * coalesce(col(valCol).cast("long"), lit(0L))).as("__s2"))
-      .collect()
+    val stats = graft.util.DriverBound.collectBounded(
+        df.groupBy(col(stratumCol))
+          .agg(count(lit(1)).as("__n"),
+            sum(coalesce(col(valCol).cast("long"), lit(0L))).as("__c"),
+            sum(coalesce(col(valCol).cast("long"), lit(0L))
+              * coalesce(col(valCol).cast("long"), lit(0L))).as("__s2")),
+        65536, s"neymanAllocation($stratumCol)")
       .map { r =>
         require(!r.isNullAt(0),
           s"neymanAllocation: NULL $stratumCol — repair or filter upstream")
@@ -620,9 +621,10 @@ object Sampling {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
     val spark = df.sparkSession
-    val avail = df.groupBy(col(sourceCol))
-      .agg(sum(coalesce(col(costCol).cast("long"), lit(0L))).as("__a"))
-      .collect()
+    val avail = graft.util.DriverBound.collectBounded(
+        df.groupBy(col(sourceCol))
+          .agg(sum(coalesce(col(costCol).cast("long"), lit(0L))).as("__a")),
+        65536, s"unimaxAllocation($sourceCol)")
       .map { r =>
         require(!r.isNullAt(0),
           s"unimaxAllocation: NULL $sourceCol — repair or filter upstream")
@@ -732,10 +734,20 @@ object Sampling {
     * Determinism device: ONE 60-bit md5 per row (not per replicate —
     * measured 10× on the hash bill), folded to the 1e-9 grid; replicate
     * j's uniform is the golden-ratio Weyl rotation `(h + j·618033988)
-    * mod 1e9` — Weyl shifts are equidistributed, so each replicate's
-    * weights are uniform marginally, and replicate MEANS decorrelate by
-    * mixing over rows (the approximate-independence argument the
-    * streaming-bootstrap literature leans on); the multiplicity is the
+    * mod 1e9`. BE AWARE WHAT THAT BUYS AND COSTS: Weyl shifts are
+    * equidistributed, so each replicate's weights are uniform
+    * MARGINALLY — but across replicates a row's uniforms are a
+    * deterministic lattice (perfectly dependent: u_{j+1} − u_j is the
+    * same constant for every row), so the draws are quasi-Monte-Carlo,
+    * not independent. Replicate means decorrelate only by mixing over
+    * many rows; for SMALL groups the across-replicate variance
+    * systematically UNDERSTATES true sampling noise. Pass
+    * `independentReps = true` to draw one md5 per (row, replicate)
+    * instead — statistically independent replicates at ~9× the hash
+    * bill (still outside any lambda, still whole-stage codegen; the
+    * measured shapes are 1.6 s Weyl vs 14.4 s independent at sf0.1) —
+    * the right mode when the SE itself is the deliverable and groups
+    * may be small. The multiplicity is the
     * inverse-CDF walk against [[poissonOneCdfNano]] — exact integer
     * compares, replayable anywhere. Replicate means are
     * floor-quantized micro integers (`floordiv(Σ k·v_micro, Σ k)`), and
@@ -753,23 +765,38 @@ object Sampling {
     * (group, rep) aggregate, one group aggregate — two shuffles of
     * frames that SHRINK at each step; no collect, no data resample. */
   def poissonBootstrap(df: DataFrame, groupCol: String, idCol: String,
-                       valueMicroCol: String, reps: Int = 32): DataFrame = {
+                       valueMicroCol: String, reps: Int = 32,
+                       independentReps: Boolean = false): DataFrame = {
     require(reps >= 2 && reps <= 1000, s"reps must be in [2,1000], got $reps")
-    val weighted = df
+    val base = df
       .filter(col(groupCol).isNotNull && col(idCol).isNotNull &&
         col(valueMicroCol).isNotNull)
-      // ONE md5 per row, BEFORE the replicate explode
-      .select(col(groupCol).as("__g"), col(valueMicroCol).as("__v"),
-        pmod(conv(substring(md5(col(idCol).cast("string")), 1, 15),
-          16, 10).cast("long"), lit(1000000000L)).as("__h"))
-      .select(col("__g"), col("__v"), col("__h"),
-        explode(sequence(lit(0), lit(reps - 1))).as("__rep"))
-      // per-replicate uniform = golden-ratio Weyl rotation of the row
-      // hash; CDF walk as a sum of plain comparisons — the whole stage
-      // stays codegen'd (an md5-per-(row,rep) inside an array-filter
-      // lambda measured 135 s at sf0.1; this shape runs in ~2 s)
-      .withColumn("__u", pmod(col("__h") +
-        col("__rep").cast("long") * lit(618033988L), lit(1000000000L)))
+    val withU =
+      if (independentReps)
+        // one md5 per (row, replicate) — independent draws; the hash is
+        // a PLAIN column after the explode (outside any lambda), so the
+        // stage stays whole-stage codegen'd: measured 14.4 s at sf0.1
+        // vs 135 s for the same hash inside an array-filter lambda
+        base.select(col(groupCol).as("__g"), col(valueMicroCol).as("__v"),
+            col(idCol).cast("string").as("__id"))
+          .select(col("__g"), col("__v"), col("__id"),
+            explode(sequence(lit(0), lit(reps - 1))).as("__rep"))
+          .withColumn("__u", pmod(conv(substring(
+            md5(concat_ws(" ", col("__id"), col("__rep").cast("string"))),
+            1, 15), 16, 10).cast("long"), lit(1000000000L)))
+      else
+        // ONE md5 per row, BEFORE the replicate explode; per-replicate
+        // uniform = golden-ratio Weyl rotation of the row hash (the
+        // quasi-MC lattice trade documented above) — ~2 s at sf0.1
+        base.select(col(groupCol).as("__g"), col(valueMicroCol).as("__v"),
+            pmod(conv(substring(md5(col(idCol).cast("string")), 1, 15),
+              16, 10).cast("long"), lit(1000000000L)).as("__h"))
+          .select(col("__g"), col("__v"), col("__h"),
+            explode(sequence(lit(0), lit(reps - 1))).as("__rep"))
+          .withColumn("__u", pmod(col("__h") +
+            col("__rep").cast("long") * lit(618033988L), lit(1000000000L)))
+    // CDF walk as a sum of plain comparisons — codegen-friendly
+    val weighted = withU
       .select(col("__g"), col("__v"), col("__rep"),
         poissonOneCdfNano
           .map(t => (col("__u") >= lit(t)).cast("long"))

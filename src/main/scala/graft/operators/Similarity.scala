@@ -219,6 +219,9 @@ object Similarity {
                    nLists: Int, iters: Int = 2,
                    seed: Long = 42L): Array[Array[Double]] = {
     require(nLists > 0 && iters >= 0)
+    require(nLists <= 65536,
+      s"nLists=$nLists centroids would be a driver-side array, not a " +
+        "sidecar; IVF fanout above 65536 lists wants a 2-level quantizer")
     val c = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     var cents: Array[Array[Double]] =
@@ -584,10 +587,13 @@ object Similarity {
   private def loadIndexSidecars(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val cents: Array[Array[Double]] =
-      spark.read.parquet(s"$indexPath/centroids")
-        .orderBy(col("cid")).collect()
+      graft.util.DriverBound.collectBounded(
+          spark.read.parquet(s"$indexPath/centroids").orderBy(col("cid")),
+          65536, s"index centroids at $indexPath")
         .map(_.getAs[Seq[Double]]("v").toArray)
-    val books = spark.read.parquet(s"$indexPath/codebooks").collect()
+    val books = graft.util.DriverBound.collectBounded(
+      spark.read.parquet(s"$indexPath/codebooks"),
+      8 * 256, s"index codebooks at $indexPath")
       .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
         r.getAs[Seq[Double]]("v").toArray))
     val m = books.map(_._1).max + 1

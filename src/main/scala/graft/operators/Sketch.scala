@@ -87,7 +87,9 @@ object Sketch {
     * estimate ≤ 2.5m and empty registers exist) uses one log — the same
     * double in both engines. */
   def hllEstimate(registers: DataFrame): DataFrame = {
-    val rows = registers.select(col("bucket"), col("max_rank")).collect()
+    val rows = graft.util.DriverBound.collectBounded(
+      registers.select(col("bucket"), col("max_rank")),
+      65536, "hllEstimate registers (max p = 16)")
     val m = rows.length
     require(m >= 16 && (m & (m - 1)) == 0, s"register count must be 2^p, got $m")
     val maxRank = 53L
@@ -130,9 +132,12 @@ object Sketch {
   def hllEstimateByGroup(registers: DataFrame, p: Int = 8): DataFrame = {
     val m = 1 << p
     val maxRank = 53L
-    val rows = registers
-      .select(col("grp").cast("string"), col("bucket"), col("max_rank"))
-      .collect()
+    // groups × m rows: the group column's cardinality is enforced here
+    // (8192 groups at p=8), not assumed
+    val rows = graft.util.DriverBound.collectBounded(
+      registers
+        .select(col("grp").cast("string"), col("bucket"), col("max_rank")),
+      m * 8192, "hllEstimateByGroup registers")
     val spark = registers.sparkSession
     import spark.implicits._
     val out = rows.groupBy(_.getString(0)).toSeq.map { case (g, rs) =>
@@ -303,7 +308,10 @@ object Sketch {
     * [0, 2^60) hash space. The division is one double op on two exactly-
     * representable operands — identical in any engine. */
   def kmvEstimate(registers: DataFrame, k: Int): DataFrame = {
-    val hs = registers.select(col("h")).collect().map(_.getLong(0))
+    // limit(k+1) bounds driver memory even when a non-register frame is
+    // passed by mistake; the require then names the contract violation
+    val hs = registers.select(col("h")).limit(k + 1).collect()
+      .map(_.getLong(0))
     require(hs.length <= k, s"register table has ${hs.length} rows > k=$k")
     val n = hs.length.toLong
     val hk = if (hs.isEmpty) 0L else hs.max
@@ -333,8 +341,10 @@ object Sketch {
     * the [[kmvEstimate]] discipline. */
   def kmvSetEstimates(regsA: DataFrame, regsB: DataFrame,
                       k: Int): DataFrame = {
-    val a = regsA.select(col("h")).collect().map(_.getLong(0)).toSet
-    val b = regsB.select(col("h")).collect().map(_.getLong(0)).toSet
+    val a = regsA.select(col("h")).limit(k + 1).collect()
+      .map(_.getLong(0)).toSet
+    val b = regsB.select(col("h")).limit(k + 1).collect()
+      .map(_.getLong(0)).toSet
     require(a.size <= k && b.size <= k,
       s"register tables exceed k=$k: ${a.size} x ${b.size}")
     val union = (a ++ b).toSeq.sorted.take(k)
@@ -442,7 +452,9 @@ object Sketch {
     val spark = regs.head.sparkSession
     import spark.implicits._
     var rows = regs.map { rg =>
+      // limit() bounds the fetch itself; the require names the contract
       val v = rg.select(col("value").cast("double"), col("tb"), col("w"))
+        .limit(16 * cap + 1)
         .as[(Double, Long, Long)].collect().toVector
       require(v.size <= 16L * cap,
         s"a register table has ${v.size} rows — not a bounded KLL " +
@@ -477,8 +489,10 @@ object Sketch {
     * land within n/k ranks of the exact ones. */
   def kllQuantiles(registers: DataFrame, q: Int): DataFrame = {
     require(q >= 1, s"quantile count must be >= 1, got $q")
-    val rows = registers.select(col("value").cast("double"), col("tb"),
-        col("w")).collect()
+    val rows = graft.util.DriverBound.collectBounded(
+        registers.select(col("value").cast("double"), col("tb"),
+          col("w")),
+        262144, "kllQuantiles registers")
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
       .sortBy(x => (x._1, x._2))
     val spark = registers.sparkSession
@@ -611,8 +625,9 @@ object Sketch {
   def logHistQuantiles(registers: DataFrame, q: Int,
                        unitScale: Long = 100L): DataFrame = {
     require(q >= 1, s"quantile count must be >= 1, got $q")
-    val rows = registers.select(col("lo").cast("long"),
-        col("cnt").cast("long")).collect()
+    val rows = graft.util.DriverBound.collectBounded(
+        registers.select(col("lo").cast("long"), col("cnt").cast("long")),
+        65536, "logHistQuantiles registers")
       .map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
     val spark = registers.sparkSession

@@ -69,17 +69,24 @@ object VectorStats {
     * no window. */
   def mahalanobisScores(df: DataFrame, idCol: String,
                         vecCol: String): DataFrame = {
-    val stats = df.filter(col(vecCol).isNotNull)
-      .select(posexplode(col(vecCol)).as(Seq("__d", "__x")))
-      .select(col("__d"),
-        floor(col("__x").cast("double") * lit(1e9)).cast("long").as("__xq"))
-      .groupBy(col("__d"))
-      .agg(count(lit(1)).as("__n"),
-        sum(col("__xq").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-          .as("__sx"),
-        sum((col("__xq").cast(org.apache.spark.sql.types.DecimalType(38, 0))
-          * col("__xq")).as("__xq2")).as("__sx2"))
-      .collect().map { r =>
+    // per-DIMENSION sidecar: bounded by embedding width, enforced (a
+    // 65k-wide "embedding" is a data bug, not a model)
+    val stats = graft.util.DriverBound.collectBounded(
+        df.filter(col(vecCol).isNotNull)
+          .select(posexplode(col(vecCol)).as(Seq("__d", "__x")))
+          .select(col("__d"),
+            floor(col("__x").cast("double") * lit(1e9)).cast("long")
+              .as("__xq"))
+          .groupBy(col("__d"))
+          .agg(count(lit(1)).as("__n"),
+            sum(col("__xq")
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .as("__sx"),
+            sum((col("__xq")
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              * col("__xq")).as("__xq2")).as("__sx2")),
+        65536, s"mahalanobisScores($vecCol)")
+      .map { r =>
         val n = r.getLong(1)
         val sx = r.getDecimal(2)
         val sx2 = r.getDecimal(3)

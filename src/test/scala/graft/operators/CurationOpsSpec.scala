@@ -259,6 +259,34 @@ class SamplingSpec extends SparkSpec {
     assert(rep.toSeq == out.toSeq)
   }
 
+  test("poissonBootstrap independentReps: on tiny groups the Weyl " +
+       "lattice understates spread — independent per-(row,rep) draws " +
+       "give at least the Weyl variance; both modes deterministic") {
+    // 2-row groups are the worst case for the Weyl rotation: the two
+    // rows' uniforms shift by the SAME constant per replicate, so their
+    // multiplicities walk in lockstep and replicate means barely move
+    val rows = (1 to 40).map(i => (s"g${i % 8}", s"id$i",
+      if (i % 2 == 0) 1000000L else 9000000L))
+    val df = rows.toDF("g", "id", "v")
+    def run(indep: Boolean) =
+      Sampling.poissonBootstrap(df, "g", "id", "v", reps = 200,
+          independentReps = indep)
+        .as[(String, Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> r._4).toMap
+    val weyl = run(indep = false)
+    val ind = run(indep = true)
+    // aggregate over groups: independent replicates must show at least
+    // as much across-replicate variance as the quasi-MC lattice
+    assert(ind.values.sum >= weyl.values.sum,
+      s"independent ${ind.values.sum} < weyl ${weyl.values.sum}")
+    // determinism under repartition holds for the independent mode too
+    val rep2 = Sampling.poissonBootstrap(df.repartition(7), "g", "id",
+        "v", reps = 200, independentReps = true)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(rep2 == ind)
+  }
+
   test("capPerKey keeps exactly maxPerKey best rows per key, deterministic ties") {
     // domain a: 10 docs, quality == id%3 (ties resolved by ascending id);
     // domain b: 2 docs (below the cap, all survive)
