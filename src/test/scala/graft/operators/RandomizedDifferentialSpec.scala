@@ -346,4 +346,146 @@ class RandomizedDifferentialSpec extends SparkSpec {
     }.toMap
     assert(out == local && local.nonEmpty)
   }
+
+  // ---- streaming-fold differentials: per-batch register frames under
+  // RANDOMIZED batch splits must fold to the whole-corpus build — the
+  // property every runIncremental*Maintain runner leans on, pinned here
+  // on splits nobody hand-picked (the crafted specs use fixed thirds).
+
+  /** Random batch assignment: value i goes to batch hash(seed, i) mod n. */
+  private def randSplit[T](rows: Seq[T], n: Int, seed: Int): Seq[Seq[T]] = {
+    val rnd = new scala.util.Random(seed)
+    val tag = rows.map(r => (r, rnd.nextInt(n)))
+    (0 until n).map(b => tag.filter(_._2 == b).map(_._1))
+  }
+
+  test("cm fold == whole-corpus counters under a random 4-way batch split") {
+    val rnd = new scala.util.Random(0xC41)
+    val words = Seq.fill(3000)(s"w${math.abs(rnd.nextGaussian() * 40).toInt}")
+    val whole = Sketch.cmCounters(words.toDF("w"), "w", depth = 4, width = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    val parts = randSplit(words, 4, 0xC42)
+    assert(parts.forall(_.nonEmpty))
+    val folded = Sketch.cmMerge(
+        parts.map(p => Sketch.cmCounters(p.toDF("w"), "w", 4, 64)): _*)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(folded == whole && whole.nonEmpty)
+  }
+
+  test("hll max-fold == whole-corpus registers under a random 5-way " +
+       "split; estimate identical") {
+    val rnd = new scala.util.Random(0x411)
+    val words = Seq.fill(4000)(s"u${rnd.nextInt(1500)}")
+    val whole = Sketch.hllRegisters(words.toDF("w"), "w", p = 8)
+    val parts = randSplit(words, 5, 0x412)
+    val folded = Sketch.hllMerge(
+      parts.filter(_.nonEmpty)
+        .map(p => Sketch.hllRegisters(p.toDF("w"), "w", p = 8)): _*)
+    val a = whole.as[(Long, Long)].collect().toSet
+    val b = folded.as[(Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+    val ea = Sketch.hllEstimate(whole).collect().toSeq
+    val eb = Sketch.hllEstimate(folded).collect().toSeq
+    assert(ea.toString == eb.toString)
+  }
+
+  test("kmv bottom-k fold == whole-corpus registers under a random " +
+       "3-way split") {
+    val rnd = new scala.util.Random(0x3A7)
+    val words = Seq.fill(2500)(s"t${rnd.nextInt(900)}")
+    val whole = Sketch.kmvRegisters(words.toDF("w"), "w", k = 64)
+      .as[Long].collect().toSet
+    val parts = randSplit(words, 3, 0x3A8)
+    val folded = Sketch.kmvMerge(64,
+        parts.filter(_.nonEmpty)
+          .map(p => Sketch.kmvRegisters(p.toDF("w"), "w", k = 64)): _*)
+      .as[Long].collect().toSet
+    assert(folded == whole && whole.size == 64)
+  }
+
+  test("loghist keyed-sum fold == whole-corpus registers under a random " +
+       "4-way split; quantile read-out identical") {
+    val rnd = new scala.util.Random(0x106)
+    val vals = Seq.fill(3000)(1L + math.abs(rnd.nextGaussian() * 500).toLong)
+    val whole = Sketch.logHistRegisters(vals.toDF("v"), "v",
+      unitScale = 1L, subBits = 3)
+    val parts = randSplit(vals, 4, 0x107)
+    val folded = Sketch.logHistMerge(
+      parts.filter(_.nonEmpty).map(p =>
+        Sketch.logHistRegisters(p.toDF("v"), "v", 1L, 3)): _*)
+    val a = whole.as[(Int, Long, Long, Long)].collect().toSet
+    val b = folded.as[(Int, Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+    val qa = Sketch.logHistQuantiles(whole, 10, unitScale = 1L)
+      .collect().toSeq
+    val qb = Sketch.logHistQuantiles(folded, 10, unitScale = 1L)
+      .collect().toSeq
+    assert(qa.toString == qb.toString)
+  }
+
+  test("kll merge-fold under a random 3-way split: deterministic under " +
+       "repartition, every quantile within the documented rank bound " +
+       "of the exact order statistics") {
+    val rnd = new scala.util.Random(0x511)
+    val n = 4000
+    val vals = (0 until n).map(i => (i.toLong, rnd.nextInt(100000).toLong))
+    val k = 128
+    val parts = randSplit(vals, 3, 0x512)
+    def regsOf(p: Seq[(Long, Long)]) =
+      Sketch.kllRegisters(p.toDF("id", "v"), "v", "id", k = k)
+    val folded = Sketch.kllMerge(k, parts.map(regsOf): _*)
+      .localCheckpoint()
+    // (a) determinism: the merge result ignores input partitioning
+    val folded2 = Sketch.kllMerge(k,
+      parts.map(p => Sketch.kllRegisters(
+        p.toDF("id", "v").repartition(7), "v", "id", k = k)): _*)
+    assert(folded.collect().toSeq == folded2.collect().toSeq)
+    // (b) rank accuracy vs the EXACT local order statistics: each
+    // register-weighted quantile estimate must sit within a few max
+    // register weights (<= 2n/cap per merge depth) of its target rank
+    val q = 10
+    val est = Sketch.kllQuantiles(folded, q)
+      .as[(Long, Double)].collect().toMap
+    val sorted = vals.map(_._2).sorted
+    val tol = 6 * n / (2 * k) // 6 max-weight registers of slack
+    for (i <- 1 to q) {
+      val target = (i.toLong * n) / q - 1
+      val v = est(i.toLong)
+      // rank window of the estimate value in the exact ordering
+      val loRank = sorted.indexWhere(_ >= v)
+      val hiRank = sorted.lastIndexWhere(_ <= v)
+      val dist = math.min(math.abs(loRank - target),
+        math.abs(hiRank - target))
+      assert(dist <= tol, s"q$i: est $v rank-dist $dist > tol $tol")
+    }
+  }
+
+  test("daily-count keyed-sum fold == whole-series periodogram under a " +
+       "random per-day shard split") {
+    val rnd = new scala.util.Random(0x9E1)
+    val days = (0 to 40).map(d =>
+      (java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d)),
+        5L + rnd.nextInt(50)))
+    val whole = days.toDF("bucket", "x")
+    // each day's count splits into 1-3 random positive parts, shuffled
+    val shards = days.flatMap { case (b, x) =>
+      val n = 1 + rnd.nextInt(math.min(3, x.toInt))
+      val cuts = Seq.fill(n - 1)(1L + rnd.nextInt(x.toInt - 1).toLong)
+        .sorted.distinct
+      val bounds = 0L +: cuts :+ x
+      bounds.sliding(2).map { case Seq(a, c) => (b, c - a) }
+        .filter(_._2 > 0).toSeq
+    }
+    val foldedPg = Drift.periodogramOverDailyCounts(
+        shards.toDF("bucket", "x"), maxK = 8)
+      .collect().toSeq
+    val wholePg = Drift.periodogramOverDailyCounts(whole, maxK = 8)
+      .collect().toSeq
+    assert(foldedPg.toString == wholePg.toString && wholePg.nonEmpty)
+    val foldedSd = Drift.seasonalDecomposeOverDailyCounts(
+        shards.toDF("bucket", "x")).collect().toSeq
+    val wholeSd = Drift.seasonalDecomposeOverDailyCounts(whole)
+      .collect().toSeq
+    assert(foldedSd.toString == wholeSd.toString && wholeSd.nonEmpty)
+  }
 }
