@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The full training-data curation RECIPE — the eight-stage composition
+  * a real pretraining-data run executes, wired end to end from the
+  * library's individually-gated stages:
+  *
+  *   1. normalize      — crawl HTML → text ([[TextFunctions.stripHtml]])
+  *   2. quality cut    — token-count band ([[TextFunctions.tokenCount]])
+  *   3. exact dedup    — first occurrence per normalized fingerprint
+  *                       ([[Dedup.exactDedup]] semantics, min id wins)
+  *   4. near dedup     — WITHIN-source MinHash-LSH pairs; the larger id
+  *                       of every verified pair drops ([[Dedup
+  *                       .minhashDupPairs]]; cross-source overlap is the
+  *                       next stage's job)
+  *   5. decontaminate  — (a) verbatim: corpus docs with n-gram Jaccard ≥
+  *                       threshold against ANY benchmark-source doc drop,
+  *                       and the benchmark source itself leaves the
+  *                       training corpus ([[Dedup.crossNgramJaccardPairs]]);
+  *                       (b) semantic: paraphrase-level leaks flagged by
+  *                       [[Dedup.decontaminateSemantic]] drop
+  *   6. temperature mix— per-source share ∝ n^τ under a document budget
+  *                       ([[Sampling.temperatureSampleBySource]])
+  *   7. leak-free split— chunk FAMILIES (same source, id div familySize —
+  *                       the provenance cluster of one crawl record)
+  *                       split as a unit ([[Sampling.leakFreeSplit]] over
+  *                       star pairs to the family's smallest kept id)
+  *   8. pack + shard   — head+tail truncation to the context window
+  *                       ([[Packing.truncateHeadTail]]) and cost-balanced
+  *                       shard assignment over the deterministic training
+  *                       order ([[Ranking.shardByCostBudget]])
+  *
+  * Every stage rule is deterministic and SQL-replayable, so ONE oracle
+  * can replay the whole chain — the point is pinning the STAGE HANDOFFS
+  * (schemas, column contracts, drop rules) that the per-stage gates
+  * cannot see. The incremental-index dedup variants (batch resume,
+  * streaming ingest) are gated separately; the recipe uses the batch
+  * forms, which compute identical keep-sets on a full corpus.
+  *
+  * Scale shape: every stage is the already-audited operator — no new
+  * shuffles beyond their documented ones; the only all-pairs surface is
+  * LSH-candidate verification (stage 4/5a), bounded by band collisions,
+  * and the semantic brute-force top-k (stage 5b), bounded by |eval|·|corpus|
+  * with k-row state per query.
+  *
+  * Returns one row per SURVIVING document:
+  * (idCol, sourceCol, n_tokens, split, truncated, n_tokens_kept, shard).
+  */
+object Recipe {
+
+  def curate(docs: DataFrame, idCol: String, sourceCol: String,
+             textCol: String,
+             benchmarkSource: String,
+             semanticCorpus: Option[DataFrame] = None,
+             semanticEval: Option[DataFrame] = None,
+             semanticVecCol: String = "embedding",
+             semanticK: Int = 8,
+             semanticMinCosine: Double = 0.9,
+             semanticMinMargin: Double = 0.2,
+             minTokens: Long = 35L, maxTokens: Long = 100L,
+             nearThreshold: Double = 0.85,
+             contaminationThreshold: Double = 0.7,
+             tau: Double = 0.5, budgetDocs: Long = 300L,
+             familySize: Long = 50L,
+             splits: Seq[(String, Double)] =
+               Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+             headTokens: Int = 20, tailTokens: Int = 10,
+             shardBudget: Long = 2000L): DataFrame = {
+    require(minTokens >= 1 && maxTokens >= minTokens,
+      s"need 1 <= minTokens <= maxTokens, got [$minTokens, $maxTokens]")
+    require(familySize >= 1, s"familySize must be >= 1, got $familySize")
+    require(semanticCorpus.isDefined == semanticEval.isDefined,
+      "semantic decontamination needs BOTH a corpus and an eval vector set")
+
+    // 1. normalize + 2. quality cut
+    val qual = docs
+      .withColumn("__t", TextFunctions.stripHtml(col(textCol)))
+      .withColumn("n_tokens",
+        TextFunctions.tokenCount(col("__t")).cast("long"))
+      .filter(col("n_tokens").between(minTokens, maxTokens))
+      .select(col(idCol), col(sourceCol), col("__t"), col("n_tokens"))
+      // stage-boundary materialization: every stage below references
+      // its upstream 2-3 times (dedup pairs join back to the corpus,
+      // anti-joins reuse both sides), so an unchecked lineage doubles
+      // per stage — the iterative-operator plan-growth lesson applied
+      // to a LINEAR pipeline. At real scale swap localCheckpoint for a
+      // persisted staging table per stage (also your recovery points).
+      .localCheckpoint()
+
+    // 3. exact dedup — smallest id per normalized fingerprint survives
+    val exact = qual.join(
+      Dedup.exactDedupIds(qual, idCol, "__t").select(col(idCol)),
+      Seq(idCol), "left_semi")
+      .localCheckpoint()
+
+    // 4. near dedup WITHIN source — the larger id of every verified
+    // same-source pair drops (greedy smaller-id-wins; chained families
+    // keep exactly their smallest member)
+    val pairs = Dedup.minhashDupPairs(exact, idCol, "__t",
+      shingleSize = 3, bands = 32, rowsPerBand = 4,
+      threshold = nearThreshold)
+    val srcOf = exact.select(col(idCol), col(sourceCol))
+    val nearDrop = pairs
+      .join(srcOf.withColumnRenamed(idCol, "id1")
+        .withColumnRenamed(sourceCol, "__s1"), Seq("id1"))
+      .join(srcOf.withColumnRenamed(idCol, "id2")
+        .withColumnRenamed(sourceCol, "__s2"), Seq("id2"))
+      .filter(col("__s1") === col("__s2"))
+      .select(col("id2").as(idCol)).distinct()
+    val near = exact.join(nearDrop, Seq(idCol), "left_anti")
+      .localCheckpoint()
+
+    // 5a. verbatim decontamination — benchmark leaves the corpus; any
+    // corpus doc overlapping a benchmark doc at n-gram Jaccard ≥ the
+    // threshold leaves with it
+    val bench = near.filter(col(sourceCol) === benchmarkSource)
+    val corpus = near.filter(col(sourceCol) =!= benchmarkSource)
+    val contaminated = Dedup.crossNgramJaccardPairs(corpus, bench,
+        idCol, "__t", shingleSize = 3, threshold = contaminationThreshold)
+      .select(col("corpus_id").as(idCol)).distinct()
+    val decon1 = corpus.join(contaminated, Seq(idCol), "left_anti")
+
+    // 5b. semantic decontamination — paraphrase leaks by embedding
+    val decon = ((semanticCorpus, semanticEval) match {
+      case (Some(cEmb), Some(eEmb)) =>
+        val flagged = Dedup.decontaminateSemantic(cEmb, eEmb,
+            idCol, semanticVecCol, k = semanticK,
+            minCosine = semanticMinCosine, minMargin = semanticMinMargin)
+          .select(col("corpus_id").as(idCol)).distinct()
+        decon1.join(flagged, Seq(idCol), "left_anti")
+      case _ => decon1
+    }).localCheckpoint()
+
+    // 6. temperature mix — on a SALTED md5 surrogate key, NOT the raw
+    // id: both the mix-keep rule and the split bands below are
+    // knuthHash32 thresholds, and keying two independent decisions on
+    // the SAME hash correlates them perfectly (the mix keeps exactly
+    // the ids whose hash is small, which the split would then send
+    // 100% to the first band — every sampled doc in 'train'; this
+    // recipe gate caught that live). The md5 surrogate decorrelates.
+    val mixed = Sampling.temperatureSampleBySource(
+        decon.withColumn("__mix", pmod(conv(substring(
+          md5(concat(lit("recipemix#"), col(idCol).cast("string"))),
+          1, 15), 16, 10).cast("long"), lit(1000000000L))),
+        "__mix", sourceCol, tau = tau, budgetDocs = budgetDocs)
+      .drop("__mix")
+      .localCheckpoint()
+
+    // 7. leak-free split over chunk families: star pairs to the
+    // family's smallest KEPT id make each family one component
+    val fam = mixed.select(col(idCol), col(sourceCol))
+      .withColumn("__fam", call_function("div", col(idCol).cast("long"),
+        lit(familySize)))
+    val famMin = fam.groupBy(col(sourceCol), col("__fam"))
+      .agg(min(col(idCol)).as("__fmin"))
+    val famPairs = fam.join(famMin, Seq(sourceCol, "__fam"))
+      .filter(col(idCol) =!= col("__fmin"))
+      .select(col("__fmin").as("id1"), col(idCol).as("id2"))
+    val split = Sampling.leakFreeSplit(mixed, idCol, famPairs, splits)
+
+    // 8. pack to the context window + cost-balanced shards over the
+    // deterministic (Knuth-hash, id) training order
+    val packed = Packing.truncateHeadTail(split, "__t",
+      headTokens = headTokens, tailTokens = tailTokens)
+    Ranking.shardByCostBudget(packed,
+        Seq(Sampling.knuthHash32(col(idCol)), col(idCol)),
+        "n_tokens_kept", budget = shardBudget)
+      .select(col(idCol), col(sourceCol), col("n_tokens"), col("split"),
+        col("truncated"), col("n_tokens_kept"), col("shard"))
+  }
+}
