@@ -3901,6 +3901,22 @@ object SparkEntry {
           sum(col("doc_id")).as("id_sum"))
         .orderBy(col("shard"))
     }),
+    "shard_manifest" -> ((s, dir) => {
+      // the delivery artifact a trainer consumes: cost-balanced shard
+      // DIRECTORIES plus a manifest (counts, cost totals, order-free
+      // sha256-xor content checksum, source mix) — and the gate output
+      // is the manifest RE-DERIVED FROM THE WRITTEN FILES, so the
+      // oracle compare certifies the landed bytes, not the plan
+      val docs = DbReader(conn(s, dir), "documents").run()
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_shardw").toString
+      operators.ShardWriter.writeShardsWithManifest(docs, "doc_id",
+          "text", "n_chars", "source",
+          Seq(operators.Sampling.knuthHash32(col("doc_id")),
+            col("doc_id")),
+          budget = 30000L, outDir = out)
+        .localCheckpoint()
+    }),
     "sample_epoch_mix" -> ((s, dir) => {
       // deterministic epoch replication (the oversampling half of a
       // data recipe): src0 runs 2.5 epochs, src1 exactly 1, src2 0.25;
@@ -13693,6 +13709,37 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM ordered GROUP BY shard ORDER BY shard""".stripMargin,
+    // manifest replay from the SOURCE table: same exclusive-prefix
+    // shard rule, per-row 60-bit sha256 prefix of 'id|text' xor-folded
+    // per shard (order-free), source mix sorted by its rendered string
+    // (matching array_sort on "source:count")
+    "shard_manifest" ->
+      """WITH ordered AS (
+        |  SELECT doc_id, source, text, n_chars,
+        |    sum(n_chars) OVER (
+        |      ORDER BY (doc_id % 2147483648) * 2654435761 % 4294967296,
+        |               doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_chars AS pre
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(pre // 30000 AS BIGINT) AS shard,
+        |    CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)
+        |      || '|' || text), 1, 15) AS BIGINT) AS h
+        |  FROM ordered),
+        |mix AS (SELECT shard, source, count(*) AS n FROM sh GROUP BY 1, 2),
+        |mixs AS (
+        |  SELECT shard,
+        |    string_agg(source || ':' || CAST(n AS VARCHAR), ','
+        |      ORDER BY source || ':' || CAST(n AS VARCHAR)) AS source_mix
+        |  FROM mix GROUP BY shard)
+        |SELECT s.shard, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_cost,
+        |       bit_xor(h) AS content_xor,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |       any_value(source_mix) AS source_mix
+        |FROM sh s JOIN mixs USING (shard)
+        |GROUP BY s.shard ORDER BY s.shard""".stripMargin,
     // epoch replication: whole copies + a Knuth-hashed extra-epoch
     // slice (thresholds are the exact integers floor(frac * 2^32):
     // 0.5 -> 2147483648, 0.25 -> 1073741824); unlisted sources get 1
