@@ -2040,8 +2040,12 @@ object SparkEntry {
       // independent-replicates mode: one md5 per (row, replicate)
       // outside any lambda — statistically independent draws for when
       // the SE itself is the deliverable (the Weyl default is a
-      // quasi-MC lattice that understates small-group variance)
+      // quasi-MC lattice that understates small-group variance).
+      // Quarter subset (orderkey mod 4): the mode costs ~9x the Weyl
+      // hash bill by design — the gate proves the mode, not bulk
+      // throughput, and the subset keeps it scale-proportional
       val li = DbReader(conn(s, dir), "lineitem").run()
+        .filter(pmod(col("l_orderkey"), lit(4)) === 0)
         .select(col("l_returnflag"),
           concat_ws("#", col("l_orderkey"), col("l_linenumber"))
             .as("rid"),
@@ -9803,7 +9807,7 @@ object SparkEntry {
         |  SELECT l_returnflag AS g,
         |         CAST(l_quantity * 1000000 AS BIGINT) AS v,
         |         l_orderkey || '#' || l_linenumber AS id
-        |  FROM lineitem),
+        |  FROM lineitem WHERE l_orderkey % 4 = 0),
         |w AS (
         |  SELECT g, v, r.rep,
         |         len(list_filter([367879441, 735758882, 919698602,
