@@ -47,6 +47,54 @@ object SparkEntry {
     * shared by the partition gate and the modularity score (both
     * oracles replay the full LP recurrence in SQL, so nothing about
     * correctness depends on this memo). */
+  /** The recipe gate pair's shared run (survivors, drop ledger) —
+    * memoized per (session, sfDir) like [[fuzzyPairs]]: both gates'
+    * oracles recompute the whole chain in SQL, so correctness never
+    * depends on the memo; the bench bills the 8-stage run once. */
+  private val recipeCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+
+  private def recipeOutputs(s: SparkSession,
+                            dir: String): (DataFrame, DataFrame) =
+    recipeCache.synchronized {
+      recipeCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$dir", {
+        val base = DbReader(conn(s, dir), "documents").run()
+          .select(col("doc_id"), col("source"), col("text"))
+        def slice(from: Int, until: Int) =
+          base.filter(col("doc_id") >= from && col("doc_id") < until)
+        val planted = base
+          .unionByName(slice(0, 40)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+          .unionByName(slice(50, 90)
+            .withColumn("doc_id", col("doc_id") + 2000000L)
+            .withColumn("text", concat(col("text"), lit(" q"))))
+          .unionByName(base
+            .filter(col("source") === "src0" && col("doc_id") < 30)
+            .withColumn("doc_id", col("doc_id") + 4000000L)
+            .withColumn("source", lit("srcx")))
+        val wrapped = planted.withColumn("text", concat(
+          lit("<html><head><script type=\"a\">var x = 1 < 2;</script>" +
+            "<style>p { color: red; }</style></head><body><h1>Title</h1><p>"),
+          col("text"),
+          lit("</p><!-- hidden --><br/>Tom &amp; Jerry &lt;3&nbsp;end</body></html>")))
+        val emb = DbReader(conn(s, dir), "embeddings").run()
+        val corpusEmb = emb.filter(col("vec_id") >= 20)
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        val evalEmb = emb.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+          .select((col("vec_id") + 1000000L).as("doc_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE) + 0.01D)")
+              .as("embedding"))
+          .unionByName(emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("doc_id"),
+              expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                .as("embedding")))
+        val (surv, audit) = operators.Recipe.curateWithAudit(wrapped,
+          "doc_id", "source", "text", benchmarkSource = "src0",
+          semanticCorpus = Some(corpusEmb), semanticEval = Some(evalEmb))
+        (surv.localCheckpoint(), audit.localCheckpoint())
+      })
+    }
+
   private def lpCommunities(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "lp_communities") {
       operators.Graph.labelPropagation(fuzzyPairs(s, dir),
@@ -3156,45 +3204,25 @@ object SparkEntry {
       // same-source near-dups (stage 4, J = (m-2)/(m+3) >= 0.85 inside
       // the quality band), +4e6 re-sourced copies of benchmark docs
       // (stage 5a; cross-source, so stage 4 must NOT catch them), and
-      // the perturbed eval vectors of decontaminate_semantic (stage 5b)
-      val base = DbReader(conn(s, dir), "documents").run()
-        .select(col("doc_id"), col("source"), col("text"))
-      def slice(from: Int, until: Int) =
-        base.filter(col("doc_id") >= from && col("doc_id") < until)
-      val planted = base
-        .unionByName(slice(0, 40)
-          .withColumn("doc_id", col("doc_id") + 1000000L))
-        .unionByName(slice(50, 90)
-          .withColumn("doc_id", col("doc_id") + 2000000L)
-          .withColumn("text", concat(col("text"), lit(" q"))))
-        .unionByName(base
-          .filter(col("source") === "src0" && col("doc_id") < 30)
-          .withColumn("doc_id", col("doc_id") + 4000000L)
-          .withColumn("source", lit("srcx")))
-      val wrapped = planted.withColumn("text", concat(
-        lit("<html><head><script type=\"a\">var x = 1 < 2;</script>" +
-          "<style>p { color: red; }</style></head><body><h1>Title</h1><p>"),
-        col("text"),
-        lit("</p><!-- hidden --><br/>Tom &amp; Jerry &lt;3&nbsp;end</body></html>")))
-      val emb = DbReader(conn(s, dir), "embeddings").run()
-      val corpusEmb = emb.filter(col("vec_id") >= 20)
-        .select(col("vec_id").as("doc_id"), col("embedding"))
-      val evalEmb = emb.filter(col("vec_id") >= 20 && col("vec_id") < 30)
-        .select((col("vec_id") + 1000000L).as("doc_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE) + 0.01D)")
-            .as("embedding"))
-        .unionByName(emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("doc_id"),
-            expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-              .as("embedding")))
-      operators.Recipe.curate(wrapped, "doc_id", "source", "text",
-          benchmarkSource = "src0",
-          semanticCorpus = Some(corpusEmb), semanticEval = Some(evalEmb))
+      // the perturbed eval vectors of decontaminate_semantic (stage 5b).
+      // The run is memoized with its audit consumer (recipeOutputs).
+      recipeOutputs(s, dir)._1
         .groupBy(col("shard"), col("split"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens_kept")).as("sum_tokens"),
           sum(col("doc_id")).as("id_sum"))
         .orderBy(col("shard"), col("split"))
+    }),
+    "pipeline_recipe_audit" -> ((s, dir) => {
+      // the recipe's DROP LEDGER — the funnel report ("why did my doc
+      // disappear"): one row per dropped document tagged with the FIRST
+      // stage that dropped it; the gate audits the funnel per stage by
+      // count + id checksum. Shares the memoized recipe run; the oracle
+      // recomputes every stage set independently in SQL
+      recipeOutputs(s, dir)._2
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("stage"))
     }),
     "text_sentences" -> ((s, dir) => {
       // regex sentence segmentation, replayed verbatim by the oracle:
@@ -7759,6 +7787,126 @@ object SparkEntry {
        |${kllQuantileTailSql("mgl9", 20)}""".stripMargin
   }
 
+  /** Shared CTE chain of the recipe pair's oracles: plants -> strip ->
+    * band -> exact dedup -> same-source near pairs -> cross-source +
+    * semantic flags -> temperature mix. The e2e oracle appends the
+    * split/pack/shard tail; the audit oracle appends the per-stage
+    * drop-set union. */
+  private val recipeOracleCtes: String =
+      """WITH base AS (SELECT doc_id, source, text FROM documents),
+        |pl AS (
+        |  SELECT doc_id, source, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, text FROM base WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, source, text || ' q' FROM base
+        |  WHERE doc_id >= 50 AND doc_id < 90
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, 'srcx', text FROM base
+        |  WHERE source = 'src0' AND doc_id < 30),
+        |h AS (
+        |  SELECT doc_id, source,
+        |    '<html><head><script type="a">var x = 1 < 2;</script><style>p { color: red; }</style></head><body><h1>Title</h1><p>'
+        |    || text ||
+        |    '</p><!-- hidden --><br/>Tom &amp; Jerry &lt;3&nbsp;end</body></html>' AS t
+        |  FROM pl)
+        |, s0 AS (SELECT doc_id, source, regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h)
+        |, s1 AS (SELECT doc_id, source, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s0)
+        |, s2 AS (SELECT doc_id, source, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1)
+        |, s3 AS (SELECT doc_id, source, regexp_replace(t, '</?[a-zA-Z!][^>]{0,1000}>', ' ', 'g') AS t FROM s2)
+        |, s4 AS (SELECT doc_id, source, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM s3)
+        |, s5 AS (SELECT doc_id, source, regexp_replace(t, '&lt;', '<', 'g') AS t FROM s4)
+        |, s6 AS (SELECT doc_id, source, regexp_replace(t, '&gt;', '>', 'g') AS t FROM s5)
+        |, s7 AS (SELECT doc_id, source, regexp_replace(t, '&quot;', '"', 'g') AS t FROM s6)
+        |, s8 AS (SELECT doc_id, source, regexp_replace(t, '&#39;', chr(39), 'g') AS t FROM s7)
+        |, s9 AS (SELECT doc_id, source, regexp_replace(t, '&apos;', chr(39), 'g') AS t FROM s8)
+        |, s10 AS (SELECT doc_id, source, regexp_replace(t, '&amp;', '&', 'g') AS t FROM s9)
+        |, clean AS (SELECT doc_id, source, trim(regexp_replace(t, '\s+', ' ', 'g')) AS t FROM s10)
+        |, band AS (
+        |  SELECT doc_id, source, t FROM (
+        |    SELECT doc_id, source, t,
+        |      CASE WHEN length(trim(t)) = 0 THEN 0
+        |           ELSE len(string_split_regex(trim(t), '\s+'))
+        |      END::BIGINT AS n_tokens
+        |    FROM clean)
+        |  WHERE n_tokens BETWEEN 35 AND 100)
+        |, exk AS (
+        |  SELECT b.doc_id, b.source, b.t FROM band b
+        |  JOIN (SELECT regexp_replace(lower(trim(t)), '\s+', ' ', 'g') AS nt,
+        |               min(doc_id) AS k
+        |        FROM band GROUP BY 1) e ON b.doc_id = e.k)
+        |, shg AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, len(toks)-1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, source,
+        |          string_split_regex(trim(t), '\s+') AS toks FROM exk)
+        |  WHERE len(toks) >= 3)
+        |, inv AS (SELECT doc_id, source, unnest(sh) AS s, len(sh) AS n
+        |          FROM shg)
+        |, p4 AS (
+        |  SELECT b.doc_id AS id2
+        |  FROM inv a JOIN inv b
+        |    ON a.s = b.s AND a.doc_id < b.doc_id AND a.source = b.source
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING round(count(*)::DOUBLE /
+        |    (any_value(a.n) + any_value(b.n) - count(*)), 6) >= 0.85)
+        |, nk AS (SELECT * FROM exk
+        |         WHERE doc_id NOT IN (SELECT id2 FROM p4))
+        |, p5 AS (
+        |  SELECT c.doc_id AS cid
+        |  FROM inv b JOIN inv c ON b.s = c.s
+        |  WHERE b.source = 'src0' AND c.source <> 'src0'
+        |    AND b.doc_id IN (SELECT doc_id FROM nk)
+        |    AND c.doc_id IN (SELECT doc_id FROM nk)
+        |  GROUP BY b.doc_id, c.doc_id
+        |  HAVING round(count(*)::DOUBLE /
+        |    (any_value(b.n) + any_value(c.n) - count(*)), 6) >= 0.7)
+        |, semc AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id >= 20)
+        |, semq AS (
+        |  SELECT vec_id + 1000000 AS query_id,
+        |         list_transform(embedding::DOUBLE[], x -> x + 0.01) AS qv
+        |  FROM embeddings WHERE vec_id >= 20 AND vec_id < 30
+        |  UNION ALL
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10)
+        |, semsc AS (SELECT q.query_id, c.id,
+        |    CAST(round(round(list_cosine_similarity(q.qv, c.v), 6)
+        |               * 1000000.0) AS BIGINT) AS cm,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY round(list_cosine_similarity(q.qv, c.v), 6)
+        |        DESC, c.id) AS rn
+        |  FROM semq q CROSS JOIN semc c WHERE c.id != q.query_id)
+        |, semf AS (SELECT query_id, id AS corpus_id, cm AS cm1
+        |           FROM semsc WHERE rn = 1)
+        |, semr AS (SELECT query_id, sum(cm) AS sm, count(*) AS n
+        |           FROM semsc WHERE rn > 1 AND rn <= 8 GROUP BY query_id)
+        |, semdrop AS (
+        |  SELECT corpus_id FROM (
+        |    SELECT f.query_id, corpus_id, cm1,
+        |           (sm - ((sm % n) + n) % n) // n AS bgm
+        |    FROM semf f JOIN semr r ON r.query_id = f.query_id)
+        |  WHERE cm1 >= 900000 AND cm1 - bgm >= 200000)
+        |, dk AS (
+        |  SELECT * FROM nk
+        |  WHERE source <> 'src0'
+        |    AND doc_id NOT IN (SELECT cid FROM p5)
+        |    AND doc_id NOT IN (SELECT corpus_id FROM semdrop))
+        |, cnt AS (SELECT source, count(*) AS n FROM dk GROUP BY source)
+        |, z AS (SELECT sum(pow(n, 0.5)) AS z FROM cnt)
+        |, thr AS (SELECT source,
+        |    CAST(floor(least(1.0, 300 * pow(n, 0.5) / z / n)
+        |      * 4294967296) AS BIGINT) AS thr
+        |  FROM cnt CROSS JOIN z)
+        |, mix AS (
+        |  SELECT d.* FROM dk d JOIN thr USING (source)
+        |  WHERE ((CAST('0x' || substr(md5('recipemix#'
+        |            || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |          % 1000000000) % 2147483648)
+        |        * 2654435761 % 4294967296 < thr)
+        |""".stripMargin
+
   lazy val oracleSql: Map[String, String] = {
     requireDistinctKeys(oracleSeq.map(_._1), "oracle")
     oracleSeq.toMap
@@ -11172,120 +11320,8 @@ object SparkEntry {
     // larger-id drop (== LSH at these params) -> cross-source >= 0.7
     // flags + semantic flags -> temperature thresholds -> family-min
     // split bands -> head+tail token budget -> exclusive-prefix shards
-    "pipeline_recipe_e2e" ->
-      """WITH base AS (SELECT doc_id, source, text FROM documents),
-        |pl AS (
-        |  SELECT doc_id, source, text FROM base
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, source, text FROM base WHERE doc_id < 40
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, source, text || ' q' FROM base
-        |  WHERE doc_id >= 50 AND doc_id < 90
-        |  UNION ALL
-        |  SELECT doc_id + 4000000, 'srcx', text FROM base
-        |  WHERE source = 'src0' AND doc_id < 30),
-        |h AS (
-        |  SELECT doc_id, source,
-        |    '<html><head><script type="a">var x = 1 < 2;</script><style>p { color: red; }</style></head><body><h1>Title</h1><p>'
-        |    || text ||
-        |    '</p><!-- hidden --><br/>Tom &amp; Jerry &lt;3&nbsp;end</body></html>' AS t
-        |  FROM pl)
-        |, s0 AS (SELECT doc_id, source, regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h)
-        |, s1 AS (SELECT doc_id, source, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s0)
-        |, s2 AS (SELECT doc_id, source, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1)
-        |, s3 AS (SELECT doc_id, source, regexp_replace(t, '</?[a-zA-Z!][^>]{0,1000}>', ' ', 'g') AS t FROM s2)
-        |, s4 AS (SELECT doc_id, source, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM s3)
-        |, s5 AS (SELECT doc_id, source, regexp_replace(t, '&lt;', '<', 'g') AS t FROM s4)
-        |, s6 AS (SELECT doc_id, source, regexp_replace(t, '&gt;', '>', 'g') AS t FROM s5)
-        |, s7 AS (SELECT doc_id, source, regexp_replace(t, '&quot;', '"', 'g') AS t FROM s6)
-        |, s8 AS (SELECT doc_id, source, regexp_replace(t, '&#39;', chr(39), 'g') AS t FROM s7)
-        |, s9 AS (SELECT doc_id, source, regexp_replace(t, '&apos;', chr(39), 'g') AS t FROM s8)
-        |, s10 AS (SELECT doc_id, source, regexp_replace(t, '&amp;', '&', 'g') AS t FROM s9)
-        |, clean AS (SELECT doc_id, source, trim(regexp_replace(t, '\s+', ' ', 'g')) AS t FROM s10)
-        |, band AS (
-        |  SELECT doc_id, source, t FROM (
-        |    SELECT doc_id, source, t,
-        |      CASE WHEN length(trim(t)) = 0 THEN 0
-        |           ELSE len(string_split_regex(trim(t), '\s+'))
-        |      END::BIGINT AS n_tokens
-        |    FROM clean)
-        |  WHERE n_tokens BETWEEN 35 AND 100)
-        |, exk AS (
-        |  SELECT b.doc_id, b.source, b.t FROM band b
-        |  JOIN (SELECT regexp_replace(lower(trim(t)), '\s+', ' ', 'g') AS nt,
-        |               min(doc_id) AS k
-        |        FROM band GROUP BY 1) e ON b.doc_id = e.k)
-        |, shg AS (
-        |  SELECT doc_id, source,
-        |    list_distinct(list_transform(range(1, len(toks)-1),
-        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
-        |  FROM (SELECT doc_id, source,
-        |          string_split_regex(trim(t), '\s+') AS toks FROM exk)
-        |  WHERE len(toks) >= 3)
-        |, inv AS (SELECT doc_id, source, unnest(sh) AS s, len(sh) AS n
-        |          FROM shg)
-        |, p4 AS (
-        |  SELECT b.doc_id AS id2
-        |  FROM inv a JOIN inv b
-        |    ON a.s = b.s AND a.doc_id < b.doc_id AND a.source = b.source
-        |  GROUP BY a.doc_id, b.doc_id
-        |  HAVING round(count(*)::DOUBLE /
-        |    (any_value(a.n) + any_value(b.n) - count(*)), 6) >= 0.85)
-        |, nk AS (SELECT * FROM exk
-        |         WHERE doc_id NOT IN (SELECT id2 FROM p4))
-        |, p5 AS (
-        |  SELECT c.doc_id AS cid
-        |  FROM inv b JOIN inv c ON b.s = c.s
-        |  WHERE b.source = 'src0' AND c.source <> 'src0'
-        |    AND b.doc_id IN (SELECT doc_id FROM nk)
-        |    AND c.doc_id IN (SELECT doc_id FROM nk)
-        |  GROUP BY b.doc_id, c.doc_id
-        |  HAVING round(count(*)::DOUBLE /
-        |    (any_value(b.n) + any_value(c.n) - count(*)), 6) >= 0.7)
-        |, semc AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
-        |           FROM embeddings WHERE vec_id >= 20)
-        |, semq AS (
-        |  SELECT vec_id + 1000000 AS query_id,
-        |         list_transform(embedding::DOUBLE[], x -> x + 0.01) AS qv
-        |  FROM embeddings WHERE vec_id >= 20 AND vec_id < 30
-        |  UNION ALL
-        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-        |  FROM embeddings WHERE vec_id < 10)
-        |, semsc AS (SELECT q.query_id, c.id,
-        |    CAST(round(round(list_cosine_similarity(q.qv, c.v), 6)
-        |               * 1000000.0) AS BIGINT) AS cm,
-        |    row_number() OVER (PARTITION BY q.query_id
-        |      ORDER BY round(list_cosine_similarity(q.qv, c.v), 6)
-        |        DESC, c.id) AS rn
-        |  FROM semq q CROSS JOIN semc c WHERE c.id != q.query_id)
-        |, semf AS (SELECT query_id, id AS corpus_id, cm AS cm1
-        |           FROM semsc WHERE rn = 1)
-        |, semr AS (SELECT query_id, sum(cm) AS sm, count(*) AS n
-        |           FROM semsc WHERE rn > 1 AND rn <= 8 GROUP BY query_id)
-        |, semdrop AS (
-        |  SELECT corpus_id FROM (
-        |    SELECT f.query_id, corpus_id, cm1,
-        |           (sm - ((sm % n) + n) % n) // n AS bgm
-        |    FROM semf f JOIN semr r ON r.query_id = f.query_id)
-        |  WHERE cm1 >= 900000 AND cm1 - bgm >= 200000)
-        |, dk AS (
-        |  SELECT * FROM nk
-        |  WHERE source <> 'src0'
-        |    AND doc_id NOT IN (SELECT cid FROM p5)
-        |    AND doc_id NOT IN (SELECT corpus_id FROM semdrop))
-        |, cnt AS (SELECT source, count(*) AS n FROM dk GROUP BY source)
-        |, z AS (SELECT sum(pow(n, 0.5)) AS z FROM cnt)
-        |, thr AS (SELECT source,
-        |    CAST(floor(least(1.0, 300 * pow(n, 0.5) / z / n)
-        |      * 4294967296) AS BIGINT) AS thr
-        |  FROM cnt CROSS JOIN z)
-        |, mix AS (
-        |  SELECT d.* FROM dk d JOIN thr USING (source)
-        |  WHERE ((CAST('0x' || substr(md5('recipemix#'
-        |            || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
-        |          % 1000000000) % 2147483648)
-        |        * 2654435761 % 4294967296 < thr)
-        |, fmin AS (
+    "pipeline_recipe_e2e" -> (recipeOracleCtes + "\n" +
+      """|, fmin AS (
         |  SELECT source, doc_id // 50 AS f, min(doc_id) AS skey
         |  FROM mix GROUP BY 1, 2)
         |, spl AS (
@@ -11312,7 +11348,37 @@ object SparkEntry {
         |SELECT CAST(pre // 2000 AS BIGINT) AS shard, split,
         |       count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS sum_tokens,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
-        |FROM ord GROUP BY shard, split ORDER BY shard, split""".stripMargin,
+        |FROM ord GROUP BY shard, split ORDER BY shard, split""".stripMargin),
+    // the drop-ledger replay: every stage set recomputed independently
+    // (quality = plants minus band, exact = band minus keepers, near =
+    // the same-source pair larger ids, benchmark = the held-out source,
+    // contamination/semantic = the flag sets, mix = the budget cut)
+    "pipeline_recipe_audit" -> (recipeOracleCtes + "\n" +
+      """, aud AS (
+        |  SELECT 'quality' AS stage, doc_id FROM pl
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM band)
+        |  UNION ALL
+        |  SELECT 'exact_dup', doc_id FROM band
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM exk)
+        |  UNION ALL
+        |  SELECT 'near_dup', doc_id FROM exk
+        |  WHERE doc_id IN (SELECT id2 FROM p4)
+        |  UNION ALL
+        |  SELECT 'benchmark', doc_id FROM nk WHERE source = 'src0'
+        |  UNION ALL
+        |  SELECT 'contaminated', doc_id FROM nk
+        |  WHERE source <> 'src0' AND doc_id IN (SELECT cid FROM p5)
+        |  UNION ALL
+        |  SELECT 'semantic', doc_id FROM nk
+        |  WHERE source <> 'src0'
+        |    AND doc_id NOT IN (SELECT cid FROM p5)
+        |    AND doc_id IN (SELECT corpus_id FROM semdrop)
+        |  UNION ALL
+        |  SELECT 'mix_budget', doc_id FROM dk
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM mix))
+        |SELECT stage, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM aud GROUP BY stage ORDER BY stage""".stripMargin),
+
     "text_sentences" ->
       """SELECT doc_id,
         |  CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0

@@ -68,7 +68,42 @@ object Recipe {
              splits: Seq[(String, Double)] =
                Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
              headTokens: Int = 20, tailTokens: Int = 10,
-             shardBudget: Long = 2000L): DataFrame = {
+             shardBudget: Long = 2000L): DataFrame =
+    curateWithAudit(docs, idCol, sourceCol, textCol, benchmarkSource,
+      semanticCorpus, semanticEval, semanticVecCol, semanticK,
+      semanticMinCosine, semanticMinMargin, minTokens, maxTokens,
+      nearThreshold, contaminationThreshold, tau, budgetDocs, familySize,
+      splits, headTokens, tailTokens, shardBudget)._1
+
+  /** [[curate]] plus the DROP LEDGER — the funnel report that answers
+    * the first question every real curation run gets: "why did my
+    * document disappear?". Returns (survivors, audit) where audit has
+    * one row per dropped document: (idCol, sourceCol, stage), stage ∈
+    * quality | exact_dup | near_dup | benchmark | contaminated |
+    * semantic | mix_budget. A document appears in the audit exactly
+    * once (the FIRST stage that dropped it) or in the survivors —
+    * never both, never neither (spec-pinned conservation). The ledger
+    * derives from the already-materialized stage boundaries, so the
+    * marginal cost over [[curate]] is a handful of anti-joins on
+    * bounded frames. */
+  def curateWithAudit(docs: DataFrame, idCol: String, sourceCol: String,
+             textCol: String,
+             benchmarkSource: String,
+             semanticCorpus: Option[DataFrame] = None,
+             semanticEval: Option[DataFrame] = None,
+             semanticVecCol: String = "embedding",
+             semanticK: Int = 8,
+             semanticMinCosine: Double = 0.9,
+             semanticMinMargin: Double = 0.2,
+             minTokens: Long = 35L, maxTokens: Long = 100L,
+             nearThreshold: Double = 0.85,
+             contaminationThreshold: Double = 0.7,
+             tau: Double = 0.5, budgetDocs: Long = 300L,
+             familySize: Long = 50L,
+             splits: Seq[(String, Double)] =
+               Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+             headTokens: Int = 20, tailTokens: Int = 10,
+             shardBudget: Long = 2000L): (DataFrame, DataFrame) = {
     require(minTokens >= 1 && maxTokens >= minTokens,
       s"need 1 <= minTokens <= maxTokens, got [$minTokens, $maxTokens]")
     require(familySize >= 1, s"familySize must be >= 1, got $familySize")
@@ -165,10 +200,27 @@ object Recipe {
     // deterministic (Knuth-hash, id) training order
     val packed = Packing.truncateHeadTail(split, "__t",
       headTokens = headTokens, tailTokens = tailTokens)
-    Ranking.shardByCostBudget(packed,
+    val survivors = Ranking.shardByCostBudget(packed,
         Seq(Sampling.knuthHash32(col(idCol)), col(idCol)),
         "n_tokens_kept", budget = shardBudget)
       .select(col(idCol), col(sourceCol), col("n_tokens"), col("split"),
         col("truncated"), col("n_tokens_kept"), col("shard"))
+
+    // the drop ledger: each document lands in exactly one stage row —
+    // the FIRST stage that dropped it — or in the survivors. All the
+    // operands below are the materialized stage boundaries, so this
+    // costs anti-joins on bounded frames, not a pipeline re-run.
+    def ids(f: DataFrame) = f.select(col(idCol), col(sourceCol))
+    def drop(from: DataFrame, kept: DataFrame, stage: String) =
+      ids(from).join(kept.select(col(idCol)), Seq(idCol), "left_anti")
+        .withColumn("stage", lit(stage))
+    val audit = drop(docs, qual, "quality")
+      .unionByName(drop(qual, exact, "exact_dup"))
+      .unionByName(drop(exact, near, "near_dup"))
+      .unionByName(ids(bench).withColumn("stage", lit("benchmark")))
+      .unionByName(drop(corpus, decon1, "contaminated"))
+      .unionByName(drop(decon1, decon, "semantic"))
+      .unionByName(drop(decon, mixed, "mix_budget"))
+    (survivors, audit)
   }
 }

@@ -49,5 +49,5 @@ class GateRegistrySpec extends AnyFunSuite {
 
 object GateRegistrySpec {
   /** Update on every deliberate gate addition/removal. */
-  val ExpectedGateCount = 362
+  val ExpectedGateCount = 363
 }

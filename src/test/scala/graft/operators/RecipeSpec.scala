@@ -68,6 +68,32 @@ class RecipeSpec extends SparkSpec {
     tau = 0.5, budgetDocs = 100L, familySize = 10L,
     headTokens = 20, tailTokens = 10, shardBudget = 100L)
 
+  test("the drop ledger names each planted defect's stage, and every " +
+       "input document lands in exactly one of survivors/audit") {
+    val (surv, audit) = Recipe.curateWithAudit(corpus(), "doc_id",
+      "source", "text", benchmarkSource = "bench",
+      semanticCorpus = Some(vecs()), semanticEval = Some(evalVecs()),
+      semanticK = 2, minTokens = 5L, maxTokens = 100L,
+      nearThreshold = 0.85, contaminationThreshold = 0.7,
+      tau = 0.5, budgetDocs = 100L, familySize = 10L,
+      headTokens = 20, tailTokens = 10, shardBudget = 100L)
+    val led = audit.select($"doc_id", $"stage").as[(Long, String)]
+      .collect().toMap
+    assert(led(2L) == "quality" && led(3L) == "quality")
+    assert(led(10L) == "exact_dup")  // markup variant of id 0
+    assert(led(11L) == "near_dup")   // same-source " q" copy
+    assert(led(30L) == "benchmark" && led(31L) == "benchmark")
+    assert(led(13L) == "contaminated")
+    assert(led(4L) == "semantic")
+    // conservation: survivors ⊎ audit == the input, no overlap
+    val s = surv.select($"doc_id").as[Long].collect().toSet
+    val a = led.keySet
+    assert((s & a).isEmpty)
+    assert((s ++ a) == corpus().select($"doc_id").as[Long].collect().toSet)
+    // audit lists each doc once (first dropping stage only)
+    assert(audit.count() == a.size)
+  }
+
   test("every stage catches exactly its planted defect and nothing else") {
     val out = run().collect().map(r =>
       r.getAs[Long]("doc_id") -> r).toMap
