@@ -177,9 +177,8 @@ object Recipe {
     // 100% to the first band — every sampled doc in 'train'; this
     // recipe gate caught that live). The md5 surrogate decorrelates.
     val mixed = Sampling.temperatureSampleBySource(
-        decon.withColumn("__mix", pmod(conv(substring(
-          md5(concat(lit("recipemix#"), col(idCol).cast("string"))),
-          1, 15), 16, 10).cast("long"), lit(1000000000L))),
+        decon.withColumn("__mix",
+          Sampling.surrogateKey(col(idCol), "recipemix")),
         "__mix", sourceCol, tau = tau, budgetDocs = budgetDocs)
       .drop("__mix")
       .localCheckpoint()

@@ -24,9 +24,33 @@ object Sampling {
   /** `(key mod 2^31) * 2654435761 mod 2^32`, uniform on [0, 2^32).
     * The key is folded to 31 bits first so the product stays below 2^63
     * (no silent long overflow here, and the same expression stays exact
-    * in engines where BIGINT overflow is an error). */
+    * in engines where BIGINT overflow is an error).
+    *
+    * COMPOSITION WARNING: this hash is AFFINE — `knuthHash32(x + s)`
+    * equals `knuthHash32(x) + s·K (mod 2^32)`, so salting the input
+    * does NOT decorrelate it, and two independent DECISIONS keyed on
+    * the same column (a sample-keep threshold and a split band, a fold
+    * assignment and a shard) are PERFECTLY correlated: the sample keeps
+    * exactly the ids whose hash is small, which a downstream split then
+    * sends 100% to its first band (observed live: every
+    * temperature-sampled doc landed in 'train'). When composing two
+    * hash decisions on one key, re-key one of them with
+    * [[surrogateKey]]. */
   def knuthHash32(key: Column): Column =
     pmod(pmod(key.cast("long"), lit(M32 / 2)) * lit(Knuth), lit(M32))
+
+  /** A salted md5-derived numeric surrogate for `key` — the
+    * decorrelation device for composing two hash decisions on the same
+    * column (see the [[knuthHash32]] composition warning): uniform on
+    * [0, 1e9), deterministic, engine-replayable as
+    * `CAST('0x' || substr(md5(salt || '#' || key), 1, 15) AS BIGINT)
+    * % 1000000000`. Distinct salts give independent surrogates. */
+  def surrogateKey(key: Column, salt: String): Column = {
+    require(salt.nonEmpty, "surrogateKey needs a non-empty salt")
+    pmod(conv(substring(
+      md5(concat_ws("#", lit(salt), key.cast("string"))), 1, 15),
+      16, 10).cast("long"), lit(1000000000L))
+  }
 
   /** Every operator hashing a key column must reject non-numeric keys
     * LOUDLY: knuthHash32 casts to long, so a string key hashes to NULL

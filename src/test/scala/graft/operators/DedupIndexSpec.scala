@@ -314,4 +314,40 @@ class SpanGramIndexSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $table")
     }
   }
+
+  test("batch ≡ incremental: when batches arrive in id order, the " +
+       "incremental-index sequence keeps exactly the global batch " +
+       "dedup's survivor set (seeded-random corpus with planted dups)") {
+    // the equivalence Recipe.curate's scaladoc leans on: global exact
+    // dedup keeps the MIN id per text; id-ordered incremental ingestion
+    // keeps the FIRST ARRIVAL — identical sets when arrival order is id
+    // order. Randomized corpus so the batch boundaries are arbitrary.
+    val rnd = new scala.util.Random(0xD1F)
+    val base = (0L until 120L).map(i =>
+      (i, s"doc body ${rnd.nextInt(40)} tail ${rnd.nextInt(7)}"))
+    // ~40 distinct texts over 120 ids -> plenty of natural duplicates
+    val all = base.toDF("doc_id", "text")
+    val globalKeep = Dedup.exactDedup(all, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    val table = "graft_fp_equiv_" + System.currentTimeMillis()
+    // history = first 30 ids; two id-ordered batches cover the rest
+    Dedup.buildFingerprintIndexTable(
+      all.filter($"doc_id" < 30), "text", table, buckets = 4)
+    try {
+      val kept = scala.collection.mutable.Set.empty[Long]
+      kept ++= Dedup.exactDedup(all.filter($"doc_id" < 30), "doc_id",
+        "text").select($"doc_id").as[Long].collect()
+      Seq((30L, 75L), (75L, 120L)).foreach { case (lo, hi) =>
+        val batch = all.filter($"doc_id" >= lo && $"doc_id" < hi)
+        val surv = Dedup
+          .exactDedupAgainstIndexTable(batch, "doc_id", "text", table)
+          .localCheckpoint()
+        Dedup.appendToFingerprintIndexTable(surv, "text", table,
+          buckets = 4)
+        kept ++= surv.select($"doc_id").as[Long].collect()
+      }
+      assert(kept.toSet == globalKeep,
+        s"incremental ${kept.size} vs global ${globalKeep.size}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }

@@ -380,6 +380,18 @@ class DriftSpec extends SparkSpec {
     assert(rep == out)
   }
 
+  test("theilSenDailyTrend: more than 4096 observed days fails loudly " +
+       "(its slope fold is O(days^2) driver memory) instead of OOMing") {
+    val rows = (0 until 4200).map(d =>
+      java.sql.Timestamp.valueOf(java.time.LocalDate.of(2000, 1, 1)
+        .plusDays(d).atStartOfDay()))
+    val df = rows.toDF("ts")
+    val e = intercept[IllegalArgumentException] {
+      Drift.theilSenDailyTrend(df, "ts")
+    }
+    assert(e.getMessage.contains("theilSenDailyTrend"))
+  }
+
   test("dailyPeriodogram: calendar gaps do not shift the peak — the " +
        "angle denominator is the SPAN, so a missing off-comb day " +
        "keeps the weekly harmonic at k=4 (a day-count denominator " +
