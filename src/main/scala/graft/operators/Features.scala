@@ -128,7 +128,9 @@ object Features {
     * NULL scores/labels excluded. One map-combinable groupBy. */
   def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
                       bins: Int = 10): DataFrame = {
-    require(bins >= 2, s"need at least 2 bins, got $bins")
+    require(bins >= 2 && bins <= 65536,
+      s"bins must be in [2, 65536] (the bin frame is a driver-bounded " +
+        s"sidecar), got $bins")
     val base = df
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(
@@ -341,7 +343,9 @@ object Features {
     * frame, then an O(bins²) driver fold — a bounded sidecar. */
   def isotonicCalibration(df: DataFrame, scoreCol: String,
                           labelCol: String, bins: Int = 10): DataFrame = {
-    require(bins >= 2, s"need at least 2 bins, got $bins")
+    require(bins >= 2 && bins <= 65536,
+      s"bins must be in [2, 65536] (the bin frame is a driver-bounded " +
+        s"sidecar), got $bins")
     val agg = df
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(
@@ -400,7 +404,9 @@ object Features {
     * folds over the bounded bin sidecar on the driver. */
   def brierDecomposition(df: DataFrame, scoreCol: String, labelCol: String,
                          bins: Int = 10): DataFrame = {
-    require(bins >= 2, s"need at least 2 bins, got $bins")
+    require(bins >= 2 && bins <= 65536,
+      s"bins must be in [2, 65536] (the bin frame is a driver-bounded " +
+        s"sidecar), got $bins")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val base = df
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
