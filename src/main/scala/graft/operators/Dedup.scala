@@ -122,13 +122,26 @@ object Dedup {
     *
     * Storage is ~8·shingles + 24·bands bytes per historical doc — far
     * below the text — and both tables append per batch like the
-    * fingerprint index. */
+    * fingerprint index.
+    *
+    * `partitionCols` scopes the index's near-dup relation WITHIN those
+    * columns (the recipe's within-source policy): they salt the bucket
+    * hash exactly as in [[minhashDupPairs]], so a batch banded with the
+    * same `partitionCols` collides with history only inside its own
+    * partition — the table schema and the dedup join plan are unchanged
+    * (the salt is baked into the stored bucket values; cross-partition
+    * "candidates" would need a 2^-64 xxhash64 collision AND a genuine
+    * Jaccard match to drop anything). Build, append and dedup calls
+    * must agree on `partitionCols` like they must on bands/seed. */
   def buildMinHashIndexTable(df: DataFrame, idCol: String, textCol: String,
                              table: String, shingleSize: Int = 3,
                              bands: Int = 32, rowsPerBand: Int = 4,
-                             seed: Long = 42L, buckets: Int = 32): Unit = {
-    val docs = shingleDocs(df, idCol, textCol, shingleSize)
-    Bucketing.writeBucketed(bandRows(docs, bands, rowsPerBand, seed),
+                             seed: Long = 42L, buckets: Int = 32,
+                             partitionCols: Seq[String] = Nil): Unit = {
+    val docs = shingleDocs(df, idCol, textCol, shingleSize, partitionCols)
+    Bucketing.writeBucketed(
+      bandRows(docs, bands, rowsPerBand, seed, partitionCols)
+        .select(col("id"), col("band"), col("bucket")),
       s"${table}_bands", buckets, Seq("band", "bucket"))
     Bucketing.writeBucketed(docs.select(col("id"), col("n_sh"), col("shingles")),
       s"${table}_shingles", buckets, Seq("id"))
@@ -142,9 +155,13 @@ object Dedup {
                                 textCol: String, table: String,
                                 shingleSize: Int = 3, bands: Int = 32,
                                 rowsPerBand: Int = 4, seed: Long = 42L,
-                                buckets: Int = 32): Unit = {
-    val docs = shingleDocs(newDocs, idCol, textCol, shingleSize)
-    Bucketing.writeBucketed(bandRows(docs, bands, rowsPerBand, seed),
+                                buckets: Int = 32,
+                                partitionCols: Seq[String] = Nil): Unit = {
+    val docs = shingleDocs(newDocs, idCol, textCol, shingleSize,
+      partitionCols)
+    Bucketing.writeBucketed(
+      bandRows(docs, bands, rowsPerBand, seed, partitionCols)
+        .select(col("id"), col("band"), col("bucket")),
       s"${table}_bands", buckets, Seq("band", "bucket"),
       org.apache.spark.sql.SaveMode.Append)
     Bucketing.writeBucketed(docs.select(col("id"), col("n_sh"), col("shingles")),
@@ -177,10 +194,19 @@ object Dedup {
                                     shingleSize: Int = 3, bands: Int = 32,
                                     rowsPerBand: Int = 4,
                                     threshold: Double = 0.8,
-                                    seed: Long = 42L): DataFrame = {
-    val docs = shingleDocs(batch, idCol, textCol, shingleSize)
-    val banded = bandRows(docs, bands, rowsPerBand, seed)
-    minhashDedupVsIndexPre(batch, idCol, docs, banded, table, threshold)
+                                    seed: Long = 42L,
+                                    partitionCols: Seq[String] = Nil
+                                   ): DataFrame = {
+    val docs = shingleDocs(batch, idCol, textCol, shingleSize,
+      partitionCols)
+    // the partition scoping is entirely in the salted bucket values
+    // (must match the index build's partitionCols); the vs-index join
+    // itself is unchanged, so the no-Exchange-on-index-side plan holds
+    val banded = bandRows(docs, bands, rowsPerBand, seed, partitionCols)
+      .select(col("id"), col("band"), col("bucket"))
+    minhashDedupVsIndexPre(batch, idCol,
+      docs.select(col("id"), col("n_sh"), col("shingles")), banded, table,
+      threshold)
   }
 
   /** [[minhashDedupAgainstIndexTable]] over PRE-computed shingle/band
@@ -312,14 +338,24 @@ object Dedup {
       org.apache.spark.sql.SaveMode.Append)
   }
 
-  /** [[minhashDupPairs]] over PRE-computed shingle/band frames. */
+  /** [[minhashDupPairs]] over PRE-computed shingle/band frames. When
+    * `partitionCols` is non-empty the banded frame carries those
+    * columns and the self-join requires them EQUAL — candidates never
+    * form across partitions (the bucket hash is additionally salted
+    * with them in [[bandRows]], so even the band shuffle keys separate
+    * by partition). */
   private[graft] def minhashDupPairsPre(docs: DataFrame, banded: DataFrame,
-                                        threshold: Double): DataFrame = {
+                                        threshold: Double,
+                                        partitionCols: Seq[String] = Nil
+                                       ): DataFrame = {
+    val pcEq = partitionCols
+      .map(c => col(s"l.$c") === col(s"r.$c"))
+      .foldLeft(lit(true))(_ && _)
     val candidateIds = banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") &&
           col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
+          col("l.id") < col("r.id") && pcEq)
       .select(col("l.id").as("id1"), col("r.id").as("id2"))
       .dropDuplicates("id1", "id2")
     val shingleSets = docs.select(col("id"), col("shingles"))
@@ -331,34 +367,75 @@ object Dedup {
     verifyJaccard(candidates, threshold)
   }
 
+  /** Diagnostic: the number of LSH candidate pairs [[minhashDupPairs]]
+    * would exact-verify with these parameters — the pre-verification
+    * surface whose size `partitionCols` exists to cut (spec-pinned on a
+    * planted cross-source-dup fixture). */
+  private[graft] def minhashCandidateCount(df: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3, bands: Int = 32,
+      rowsPerBand: Int = 4, seed: Long = 42L,
+      partitionCols: Seq[String] = Nil): Long = {
+    val docs = shingleDocs(df, idCol, textCol, shingleSize, partitionCols)
+    val banded = bandRows(docs, bands, rowsPerBand, seed, partitionCols)
+    val pcEq = partitionCols.map(c => col(s"l.$c") === col(s"r.$c"))
+      .foldLeft(lit(true))(_ && _)
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id") && pcEq)
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .dropDuplicates("id1", "id2")
+      .count()
+  }
+
   private def shingleDocs(df: DataFrame, idCol: String, textCol: String,
-                          shingleSize: Int): DataFrame =
+                          shingleSize: Int,
+                          extraCols: Seq[String] = Nil): DataFrame = {
+    require(!extraCols.exists(Set("id", "shingles", "n_sh")),
+      s"extra columns $extraCols collide with the shingle frame's own names")
     graft.util.SparkUtils.widen(df).select(
-        col(idCol).as("id"),
-        array_distinct(GraftExpressions.wordShingleHashes(col(textCol), shingleSize))
-          .as("shingles"))
+        col(idCol).as("id") +: extraCols.map(col) :+
+          array_distinct(
+            GraftExpressions.wordShingleHashes(col(textCol), shingleSize))
+            .as("shingles"): _*)
       .filter(size(col("shingles")) > 0)
       .withColumn("n_sh", size(col("shingles")))
+  }
 
   /** Inverted index rows (id, n_sh, sh) from [[shingleDocs]] output. */
   private def invertedIndex(docs: DataFrame): DataFrame =
     docs.select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
 
-  /** (id, band, bucket) LSH rows from [[shingleDocs]] output: MinHash the
-    * shingles, then hash each band's slice of the signature into a bucket
-    * key. Only 24 bytes/row ride any downstream shuffle — not the shingle
-    * array (which the explode would otherwise replicate once per band);
-    * shingles rejoin by id AFTER candidates are deduplicated. Shared by
-    * [[minhashDupPairs]] and the persisted band index so banding can
-    * never diverge between the inline and incremental paths. */
+  /** (id, [partitionCols...], band, bucket) LSH rows from [[shingleDocs]]
+    * output: MinHash the shingles, then hash each band's slice of the
+    * signature into a bucket key. Only ~24 bytes/row ride any downstream
+    * shuffle — not the shingle array (which the explode would otherwise
+    * replicate once per band); shingles rejoin by id AFTER candidates are
+    * deduplicated. Shared by [[minhashDupPairs]] and the persisted band
+    * index so banding can never diverge between the inline and
+    * incremental paths.
+    *
+    * `partitionCols` (when non-empty; `docs` must carry them — pass the
+    * same list to [[shingleDocs]]) SALT the bucket hash, so two docs in
+    * different partitions land in one bucket only on a 2^-64 xxhash64
+    * collision: within-partition dedup (the recipe's within-source
+    * stage) never forms cross-partition candidates, instead of forming
+    * and exact-verifying them only to discard the pairs afterwards —
+    * at 100 TB with heavy cross-source mirroring that discarded verify
+    * work dominates the stage. With `partitionCols` empty the bucket
+    * values are bit-identical to every earlier round's. */
   private def bandRows(docs: DataFrame, bands: Int, rowsPerBand: Int,
-                       seed: Long): DataFrame = {
+                       seed: Long,
+                       partitionCols: Seq[String] = Nil): DataFrame = {
     val sigs = docs.withColumn("sig",
       GraftExpressions.minhashSignature(col("shingles"), bands * rowsPerBand, seed))
-    sigs.select(col("id"),
+    sigs.select(col("id") +: partitionCols.map(col) :+
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)),
-                      b.cast("string")))).as(Seq("band", "bucket")))
+        b => xxhash64(
+          Seq(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)),
+            b.cast("string")) ++ partitionCols.map(col): _*)))
+        .as(Seq("band", "bucket")): _*)
   }
 
   /** jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|): any pair whose sizes fall
@@ -458,15 +535,23 @@ object Dedup {
     * band with p = 1-(1-s^rows)^bands (default 32×4: s=0.8 → p≈1-4e-8,
     * s=0.4 → p≈0.56 then verified away). Returns (id1, id2, jaccard)
     * with id1 < id2.
+    *
+    * `partitionCols` restricts pairing to docs agreeing on those
+    * columns (e.g. the recipe's within-source near dedup): the columns
+    * salt the LSH bucket AND gate the candidate self-join, so
+    * cross-partition candidates never form — same verified pair set as
+    * filtering the output afterwards, minus the wasted exact-verify
+    * work on pairs a caller would discard.
     */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3,
                       bands: Int = 32, rowsPerBand: Int = 4,
                       threshold: Double = 0.8,
-                      seed: Long = 42L): DataFrame = {
-    val docs = shingleDocs(df, idCol, textCol, shingleSize)
-    val banded = bandRows(docs, bands, rowsPerBand, seed)
-    minhashDupPairsPre(docs, banded, threshold)
+                      seed: Long = 42L,
+                      partitionCols: Seq[String] = Nil): DataFrame = {
+    val docs = shingleDocs(df, idCol, textCol, shingleSize, partitionCols)
+    val banded = bandRows(docs, bands, rowsPerBand, seed, partitionCols)
+    minhashDupPairsPre(docs, banded, threshold, partitionCols)
   }
 
   /** Cross-lingual near-dup pairs: fold BEFORE MinHash. Diacritic,
@@ -713,6 +798,66 @@ object Dedup {
       .groupBy(b("id").as("bench_id"), c("id").as("corpus_id"),
         b("n_sh").as("nb"), c("n_sh").as("nc"))
       .agg(count(lit(1)).as("inter"))
+    jaccardFromCounts(joined, threshold, "nb", "nc")
+      .select(col("bench_id"), col("corpus_id"), col("jaccard"))
+  }
+
+  /** Persist a benchmark/eval corpus's inverted shingle index — one row
+    * per (doc, distinct shingle hash): (id, n_sh, sh), BUCKETED by `sh`
+    * so every later batch's contamination check
+    * ([[crossNgramJaccardAgainstIndexTable]]) joins it without an
+    * Exchange on the index side. The incremental complement of
+    * [[crossNgramJaccardPairs]]: a daily ingest re-shingles only its
+    * batch, never the accumulated benchmark history. Storage is
+    * ~16 bytes per (doc, shingle) — the benchmark side of
+    * decontamination is tiny next to the corpus, so the whole index is
+    * typically megabytes. */
+  def buildNgramInvertedIndexTable(benchmark: DataFrame, idCol: String,
+                                   textCol: String, table: String,
+                                   shingleSize: Int = 3,
+                                   buckets: Int = 32): Unit =
+    Bucketing.writeBucketed(
+      invertedIndex(shingleDocs(benchmark, idCol, textCol, shingleSize))
+        .select(col("id"), col("n_sh"), col("sh")),
+      table, buckets, Seq("sh"))
+
+  /** Append newly-arrived benchmark docs to the inverted index — same
+    * replay-idempotency contract as [[appendToFingerprintIndexTable]]:
+    * a replayed append duplicates (id, n_sh, sh) rows, which
+    * [[crossNgramJaccardAgainstIndexTable]] tolerates by counting
+    * DISTINCT shared shingles per pair (never a full-index distinct —
+    * that would re-shuffle all of history every batch); compact with
+    * [[Bucketing.compactBucketed]](dropDuplicates) to reclaim bytes. */
+  def appendToNgramInvertedIndexTable(newBenchmark: DataFrame,
+                                      idCol: String, textCol: String,
+                                      table: String, shingleSize: Int = 3,
+                                      buckets: Int = 32): Unit =
+    Bucketing.writeBucketed(
+      invertedIndex(shingleDocs(newBenchmark, idCol, textCol, shingleSize))
+        .select(col("id"), col("n_sh"), col("sh")),
+      table, buckets, Seq("sh"),
+      org.apache.spark.sql.SaveMode.Append)
+
+  /** [[crossNgramJaccardPairs]] with the benchmark side read from the
+    * persisted inverted index: returns (bench_id, corpus_id, jaccard)
+    * for every corpus doc whose exact n-gram Jaccard against ANY
+    * indexed benchmark doc reaches `threshold`. Only the batch is
+    * shingled; the index side of the shingle join has no Exchange
+    * (bucketed by sh). `shingleSize` must match the build call. */
+  def crossNgramJaccardAgainstIndexTable(corpus: DataFrame, idCol: String,
+                                         textCol: String, table: String,
+                                         shingleSize: Int = 3,
+                                         threshold: Double = 0.8
+                                        ): DataFrame = {
+    val c = invertedIndex(shingleDocs(corpus, idCol, textCol, shingleSize))
+    val b = corpus.sparkSession.table(table)
+    val joined = b.join(c, b("sh") === c("sh") &&
+        lengthBound(threshold, b("n_sh"), c("n_sh")))
+      .groupBy(b("id").as("bench_id"), c("id").as("corpus_id"),
+        b("n_sh").as("nb"), c("n_sh").as("nc"))
+      // DISTINCT shared shingles: a replayed index append duplicates
+      // (id, sh) rows, and a plain count would inflate the intersection
+      .agg(countDistinct(b("sh")).as("inter"))
     jaccardFromCounts(joined, threshold, "nb", "nc")
       .select(col("bench_id"), col("corpus_id"), col("jaccard"))
   }

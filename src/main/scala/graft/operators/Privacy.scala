@@ -195,7 +195,10 @@ object Privacy {
     * groups → same noise), which is what a pipeline needs to audit or
     * re-emit a release; PRIVACY therefore rests on the salt staying
     * secret and per-release (a public salt lets anyone re-derive the
-    * noise — the scaladoc contract, stated plainly).
+    * noise — the scaladoc contract, stated plainly). Budget
+    * composition across releases is the caller's: ε sums over releases
+    * touching the same individuals (see [[dpMedianGrid]]'s composition
+    * paragraph — it governs all three DP release functions here).
     *
     * Returns (groupCols…, dp_count_micro long, dp_count double
     * round(6)); true counts are NOT in the output. Negative releases
@@ -295,15 +298,28 @@ object Privacy {
   }
 
   /** [[dpMedian]] over a FIXED, data-independent candidate grid — the
-    * variant whose ε-DP claim formally holds: the candidate set is
+    * variant that is ε-DP WHEN the salt is a uniformly random, secret,
+    * SINGLE-USE seed (the same framing as [[dpNoisyCounts]]: the
+    * Gumbel draw is a deterministic function of the salt, so the
+    * mechanism's randomness IS the salt's; a public, guessed, or
+    * reused salt voids the guarantee). Mechanically everything the
+    * exponential mechanism needs holds: the candidate set is
     * `lo, lo+step, …, ≤ hi` regardless of the data (the public-domain
-    * requirement of the exponential mechanism), values are CLAMPED
-    * into [lo, hi] before ranking (bounding the utility's sensitivity
-    * at 2), and every grid point gets the same integer rank utility
+    * requirement), values are CLAMPED into [lo, hi] before ranking
+    * (bounding the utility's sensitivity at 2), and every grid point
+    * gets the same integer rank utility
     * `u(v) = −|2·#below(v) + #eq(v) − n|` and salted Gumbel score as
     * [[dpMedian]]. The release is always a grid point, so an outlier
     * contributed by one individual can shift scores but never mint a
     * new candidate.
+    *
+    * PRIVACY BUDGET IS YOURS TO COMPOSE: each release over data
+    * containing the same individuals spends its own ε, and the total
+    * loss is the SUM across releases (sequential composition) — this
+    * library prices one release; nothing here tracks or enforces a
+    * cumulative budget, and re-releasing under a fresh salt does not
+    * reset it. The same paragraph governs [[dpNoisyCounts]] and the
+    * [[dpMedian]] heuristic.
     *
     * Shape: the grid joins the distinct-value count frame by a
     * union–sort–carry (the as-of idiom), NOT a range join — one

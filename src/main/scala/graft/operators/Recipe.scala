@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   *   2. quality cut    — token-count band ([[TextFunctions.tokenCount]])
   *   3. exact dedup    — first occurrence per normalized fingerprint
   *                       ([[Dedup.exactDedup]] semantics, min id wins)
-  *   4. near dedup     — WITHIN-source MinHash-LSH pairs; the larger id
-  *                       of every verified pair drops ([[Dedup
-  *                       .minhashDupPairs]]; cross-source overlap is the
-  *                       next stage's job)
+  *   4. near dedup     — WITHIN-source MinHash-LSH pairs, with the
+  *                       source IN the band key ([[Dedup.minhashDupPairs]]
+  *                       partitionCols — cross-source candidates never
+  *                       form or verify; cross-source overlap is the
+  *                       next stage's job); the larger id of every
+  *                       verified pair drops
   *   5. decontaminate  — (a) verbatim: corpus docs with n-gram Jaccard ≥
   *                       threshold against ANY benchmark-source doc drop,
   *                       and the benchmark source itself leaves the
@@ -36,9 +38,10 @@ import org.apache.spark.sql.functions._
   * Every stage rule is deterministic and SQL-replayable, so ONE oracle
   * can replay the whole chain — the point is pinning the STAGE HANDOFFS
   * (schemas, column contracts, drop rules) that the per-stage gates
-  * cannot see. The incremental-index dedup variants (batch resume,
-  * streaming ingest) are gated separately; the recipe uses the batch
-  * forms, which compute identical keep-sets on a full corpus.
+  * cannot see. [[curate]]/[[curateWithAudit]] are the BATCH forms (one
+  * full-corpus run); [[curateIncremental]] is the daily-ingest form,
+  * where the dedup/decontamination stages consult the persisted
+  * bucketed indexes instead and append to them.
   *
   * Scale shape: every stage is the already-audited operator — no new
   * shuffles beyond their documented ones; the only all-pairs surface is
@@ -133,17 +136,14 @@ object Recipe {
 
     // 4. near dedup WITHIN source — the larger id of every verified
     // same-source pair drops (greedy smaller-id-wins; chained families
-    // keep exactly their smallest member)
-    val pairs = Dedup.minhashDupPairs(exact, idCol, "__t",
-      shingleSize = 3, bands = 32, rowsPerBand = 4,
-      threshold = nearThreshold)
-    val srcOf = exact.select(col(idCol), col(sourceCol))
-    val nearDrop = pairs
-      .join(srcOf.withColumnRenamed(idCol, "id1")
-        .withColumnRenamed(sourceCol, "__s1"), Seq("id1"))
-      .join(srcOf.withColumnRenamed(idCol, "id2")
-        .withColumnRenamed(sourceCol, "__s2"), Seq("id2"))
-      .filter(col("__s1") === col("__s2"))
+    // keep exactly their smallest member). The source is IN the LSH
+    // band key (partitionCols): cross-source candidates never form or
+    // exact-verify, instead of being verified corpus-wide and filtered
+    // afterwards — at 100 TB with heavy cross-source mirroring the
+    // discarded verification would dominate the stage.
+    val nearDrop = Dedup.minhashDupPairs(exact, idCol, "__t",
+        shingleSize = 3, bands = 32, rowsPerBand = 4,
+        threshold = nearThreshold, partitionCols = Seq(sourceCol))
       .select(col("id2").as(idCol)).distinct()
     val near = exact.join(nearDrop, Seq(idCol), "left_anti")
       .localCheckpoint()
@@ -185,8 +185,14 @@ object Recipe {
 
     // 7. leak-free split over chunk families: star pairs to the
     // family's smallest KEPT id make each family one component
+    // FLOOR division (id − pmod(id, size) is always a multiple of size,
+    // so the div is exact): bare `div` truncates toward zero, which for
+    // a NEGATIVE doc id disagrees with the oracle's `//` floor — the id
+    // would join the wrong family and silently straddle the split
     val fam = mixed.select(col(idCol), col(sourceCol))
-      .withColumn("__fam", call_function("div", col(idCol).cast("long"),
+      .withColumn("__fam", call_function("div",
+        col(idCol).cast("long") - pmod(col(idCol).cast("long"),
+          lit(familySize)),
         lit(familySize)))
     val famMin = fam.groupBy(col(sourceCol), col("__fam"))
       .agg(min(col(idCol)).as("__fmin"))
@@ -220,6 +226,226 @@ object Recipe {
       .unionByName(drop(corpus, decon1, "contaminated"))
       .unionByName(drop(decon1, decon, "semantic"))
       .unionByName(drop(decon, mixed, "mix_budget"))
+    (survivors, audit)
+  }
+
+  /** Create the EMPTY persisted indexes [[curateIncremental]] resumes
+    * from, so batch 1 takes exactly the same code path as batch N (an
+    * anti-join against an empty index keeps everything). Four bucketed
+    * tables: the exact-dedup fingerprint set, the MinHash band/shingle
+    * pair (bucket-salted by source — the within-source policy), and the
+    * benchmark inverted shingle index. Ids are pinned LONG — the type
+    * every later append must match. */
+  def initRecipeIndexes(spark: org.apache.spark.sql.SparkSession,
+                        fingerprintTable: String, minhashTable: String,
+                        benchNgramTable: String, buckets: Int = 8): Unit = {
+    import org.apache.spark.sql.types._
+    def empty(fields: (String, DataType)*) =
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(fields.map { case (n, t) => StructField(n, t) }))
+    Bucketing.writeBucketed(empty("fp" -> LongType),
+      fingerprintTable, buckets, Seq("fp"))
+    Bucketing.writeBucketed(
+      empty("id" -> LongType, "band" -> IntegerType, "bucket" -> LongType),
+      s"${minhashTable}_bands", buckets, Seq("band", "bucket"))
+    Bucketing.writeBucketed(
+      empty("id" -> LongType, "n_sh" -> IntegerType,
+        "shingles" -> ArrayType(LongType)),
+      s"${minhashTable}_shingles", buckets, Seq("id"))
+    Bucketing.writeBucketed(
+      empty("id" -> LongType, "n_sh" -> IntegerType, "sh" -> LongType),
+      benchNgramTable, buckets, Seq("sh"))
+  }
+
+  /** The INCREMENTAL form of [[curateWithAudit]] — the shape a real
+    * daily ingest of a 100 TB corpus actually executes: one batch flows
+    * through the same eight stages, but every dedup/decontamination
+    * decision consults the PERSISTED bucketed indexes accumulated from
+    * all prior batches instead of re-scanning history ([[Dedup
+    * .exactDedupAgainstIndexTable]], [[Dedup
+    * .minhashDedupAgainstIndexTable]] with the source in the band salt,
+    * [[Dedup.crossNgramJaccardAgainstIndexTable]]), and — when
+    * `appendIndexes` — appends its own survivors so the NEXT batch
+    * resumes where this one ended. Per-batch cost is O(batch), never
+    * O(history): the index sides of every anti-join are bucketed and
+    * exchange-free.
+    *
+    * Stage semantics per batch (create the tables once with
+    * [[initRecipeIndexes]]; batch 1 against empty indexes behaves like
+    * the batch form modulo the split/mix notes below):
+    *   3. exact    — in-batch first occurrence (min id per fingerprint)
+    *                 AND fingerprint absent from the index. Index gains
+    *                 this stage's survivors: "seen" is the dedup
+    *                 relation, so a doc sampled away at stage 6 still
+    *                 blocks tomorrow's identical copy.
+    *   4. near     — a doc drops if it has a verified same-source
+    *                 near-dup in HISTORY (the index = prior batches'
+    *                 stage-4 survivors), or is the larger id of an
+    *                 in-batch same-source pair over this stage's INPUT
+    *                 (so a doc that near-dups a history-duplicate also
+    *                 drops — greedy, deterministic, SQL-replayable).
+    *                 Index gains this stage's survivors.
+    *   5a. decon   — this batch's `benchmarkSource` docs leave the
+    *                 corpus and join the benchmark inverted index;
+    *                 corpus docs are checked against ALL benchmark
+    *                 history INCLUDING this batch's benchmark docs.
+    *   5b. semantic— unchanged: the eval vector set is a FIXED
+    *                 reference, naturally incremental (each batch's
+    *                 embeddings vs the same eval set).
+    *   6. mix      — temperature shares from THIS batch's source
+    *                 counts under a PER-BATCH `budgetDocs` (a daily
+    *                 budget — the incremental reading of the mix law).
+    *   7. split    — hash of the FAMILY KEY (source, floor(id /
+    *                 familySize)) via a salted surrogate, NOT the
+    *                 batch form's smallest-kept-id component label:
+    *                 family members arriving in different batches must
+    *                 land in the same split, and the component label is
+    *                 batch-dependent. Leak-free within a family by
+    *                 construction, stable across any batch order.
+    *   8. pack+shard — per batch; shard ids restart at 0 each batch
+    *                 (a daily delivery is its own shard set — tag
+    *                 outputs with a batch id downstream).
+    *
+    * Returns (survivors, audit) with the same schemas and stage names
+    * as [[curateWithAudit]]. Both returned frames are fully
+    * materialized (stage-boundary localCheckpoints) BEFORE the index
+    * appends run, so evaluating them after the appends never sees the
+    * batch's own index rows. */
+  def curateIncremental(batch: DataFrame, idCol: String, sourceCol: String,
+             textCol: String,
+             benchmarkSource: String,
+             fingerprintTable: String,
+             minhashTable: String,
+             benchNgramTable: String,
+             semanticEval: Option[DataFrame] = None,
+             batchEmb: Option[DataFrame] = None,
+             semanticVecCol: String = "embedding",
+             semanticK: Int = 8,
+             semanticMinCosine: Double = 0.9,
+             semanticMinMargin: Double = 0.2,
+             minTokens: Long = 35L, maxTokens: Long = 100L,
+             nearThreshold: Double = 0.85,
+             contaminationThreshold: Double = 0.7,
+             tau: Double = 0.5, budgetDocs: Long = 300L,
+             familySize: Long = 50L,
+             splits: Seq[(String, Double)] =
+               Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+             splitSalt: String = "recipesplit",
+             headTokens: Int = 20, tailTokens: Int = 10,
+             shardBudget: Long = 2000L,
+             appendIndexes: Boolean = true,
+             buckets: Int = 8): (DataFrame, DataFrame) = {
+    require(minTokens >= 1 && maxTokens >= minTokens,
+      s"need 1 <= minTokens <= maxTokens, got [$minTokens, $maxTokens]")
+    require(familySize >= 1, s"familySize must be >= 1, got $familySize")
+    require(batchEmb.isDefined == semanticEval.isDefined,
+      "semantic decontamination needs BOTH batch embeddings and an eval set")
+
+    // 1+2. normalize + quality cut (identical to the batch form)
+    val qual = batch
+      .withColumn("__t", TextFunctions.stripHtml(col(textCol)))
+      .withColumn("n_tokens",
+        TextFunctions.tokenCount(col("__t")).cast("long"))
+      .filter(col("n_tokens").between(minTokens, maxTokens))
+      .select(col(idCol), col(sourceCol), col("__t"), col("n_tokens"))
+      .localCheckpoint()
+
+    // 3. exact dedup: in-batch first occurrence + vs-history anti-join
+    val exact = Dedup.exactDedupAgainstIndexTable(qual, idCol, "__t",
+      fingerprintTable).localCheckpoint()
+
+    // 4. near dedup WITHIN source, vs history then in-batch
+    val vsHist = Dedup.minhashDedupAgainstIndexTable(exact, idCol, "__t",
+      minhashTable, shingleSize = 3, bands = 32, rowsPerBand = 4,
+      threshold = nearThreshold, partitionCols = Seq(sourceCol))
+    val inBatchDrop = Dedup.minhashDupPairs(exact, idCol, "__t",
+        shingleSize = 3, bands = 32, rowsPerBand = 4,
+        threshold = nearThreshold, partitionCols = Seq(sourceCol))
+      .select(col("id2").as(idCol)).distinct()
+    val near = vsHist.join(inBatchDrop, Seq(idCol), "left_anti")
+      .localCheckpoint()
+
+    // 5a. verbatim decontamination vs benchmark history ∪ this batch's
+    // benchmark docs (checked BEFORE the index append, so the union is
+    // explicit rather than a read-after-write)
+    val bench = near.filter(col(sourceCol) === benchmarkSource)
+    val corpus = near.filter(col(sourceCol) =!= benchmarkSource)
+    val contaminated = Dedup.crossNgramJaccardAgainstIndexTable(corpus,
+        idCol, "__t", benchNgramTable, shingleSize = 3,
+        threshold = contaminationThreshold)
+      .select(col("corpus_id").as(idCol))
+      .unionByName(Dedup.crossNgramJaccardPairs(corpus, bench, idCol,
+          "__t", shingleSize = 3, threshold = contaminationThreshold)
+        .select(col("corpus_id").as(idCol)))
+      .distinct()
+    val decon1 = corpus.join(contaminated, Seq(idCol), "left_anti")
+      .localCheckpoint()
+
+    // 5b. semantic decontamination vs the fixed eval set
+    val decon = ((batchEmb, semanticEval) match {
+      case (Some(cEmb), Some(eEmb)) =>
+        val flagged = Dedup.decontaminateSemantic(cEmb, eEmb,
+            idCol, semanticVecCol, k = semanticK,
+            minCosine = semanticMinCosine, minMargin = semanticMinMargin)
+          .select(col("corpus_id").as(idCol)).distinct()
+        decon1.join(flagged, Seq(idCol), "left_anti")
+      case _ => decon1
+    }).localCheckpoint()
+
+    // 6. per-batch temperature mix on the salted surrogate (see the
+    // batch form's hash-coupling note)
+    val mixed = Sampling.temperatureSampleBySource(
+        decon.withColumn("__mix",
+          Sampling.surrogateKey(col(idCol), "recipemix")),
+        "__mix", sourceCol, tau = tau, budgetDocs = budgetDocs)
+      .drop("__mix")
+      .localCheckpoint()
+
+    // 7. batch-stable leak-free split on the family KEY itself
+    val famCol = call_function("div",
+      col(idCol).cast("long") - pmod(col(idCol).cast("long"),
+        lit(familySize)),
+      lit(familySize))
+    val split = Sampling.splitByHash(
+        mixed.withColumn("__skey", Sampling.surrogateKey(
+          concat_ws("|", col(sourceCol), famCol), splitSalt)),
+        "__skey", splits)
+      .drop("__skey")
+
+    // 8. pack + shard (per batch)
+    val packed = Packing.truncateHeadTail(split, "__t",
+      headTokens = headTokens, tailTokens = tailTokens)
+    val survivors = Ranking.shardByCostBudget(packed,
+        Seq(Sampling.knuthHash32(col(idCol)), col(idCol)),
+        "n_tokens_kept", budget = shardBudget)
+      .select(col(idCol), col(sourceCol), col("n_tokens"), col("split"),
+        col("truncated"), col("n_tokens_kept"), col("shard"))
+      .localCheckpoint()
+
+    def ids(f: DataFrame) = f.select(col(idCol), col(sourceCol))
+    def drop(from: DataFrame, kept: DataFrame, stage: String) =
+      ids(from).join(kept.select(col(idCol)), Seq(idCol), "left_anti")
+        .withColumn("stage", lit(stage))
+    val audit = drop(batch, qual, "quality")
+      .unionByName(drop(qual, exact, "exact_dup"))
+      .unionByName(drop(exact, near, "near_dup"))
+      .unionByName(ids(bench).withColumn("stage", lit("benchmark")))
+      .unionByName(drop(corpus, decon1, "contaminated"))
+      .unionByName(drop(decon1, decon, "semantic"))
+      .unionByName(drop(decon, mixed, "mix_budget"))
+      .localCheckpoint()
+
+    // append AFTER every returned frame is materialized: the batch's
+    // own rows must never be in the index its own decisions read
+    if (appendIndexes) {
+      Dedup.appendToFingerprintIndexTable(exact, "__t", fingerprintTable,
+        buckets)
+      Dedup.appendToMinHashIndexTable(near, idCol, "__t", minhashTable,
+        shingleSize = 3, bands = 32, rowsPerBand = 4, seed = 42L,
+        buckets = buckets, partitionCols = Seq(sourceCol))
+      Dedup.appendToNgramInvertedIndexTable(bench, idCol, "__t",
+        benchNgramTable, shingleSize = 3, buckets = buckets)
+    }
     (survivors, audit)
   }
 }

@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * Manifest columns, one row per shard:
   *   - n_docs, total_cost        — plain sums
   *   - content_xor               — bit_xor of per-row 60-bit sha256
-  *                                 prefixes of `id|text`: ORDER-FREE
+  *                                 prefixes of `id|V<text>` (`id|N` for
+  *                                 NULL text — see rowHash): ORDER-FREE
   *                                 (xor commutes), so any engine reading
   *                                 the shard files in any order derives
   *                                 the identical checksum; one flipped
@@ -32,20 +33,33 @@ import org.apache.spark.sql.functions._
   */
 object ShardWriter {
 
-  /** 60-bit integer prefix of sha256(`id|text`) — the per-row content
-    * fingerprint both engines derive identically. */
+  /** 60-bit integer prefix of sha256(`id|V<text>`), with NULL text
+    * hashed as the bare presence tag `N` — the per-row content
+    * fingerprint both engines derive identically. The tag exists
+    * because the earlier `concat_ws(id, text)` silently SKIPPED a null
+    * operand, so `(5, NULL)` hashed like bare `(5)` — colliding a
+    * null-text row with string-prefix ids — while a SQL replay's `||`
+    * nulls the whole key and its bit_xor then skips the row entirely:
+    * delivered and re-derived checksums diverged exactly on corpora
+    * with NULL text. Tagged, NULL / empty / every real text hash
+    * distinctly and identically in both engines. */
   private def rowHash(idCol: String, textCol: String) =
     conv(substring(sha2(
-      concat_ws("|", col(idCol).cast("string"), col(textCol)), 256),
+      concat(col(idCol).cast("string"), lit("|"),
+        when(col(textCol).isNull, lit("N"))
+          .otherwise(concat(lit("V"), col(textCol)))), 256),
       1, 15), 16, 10).cast("long")
 
   /** Manifest aggregate over an already-shard-assigned frame. The shard
     * id is pinned to LONG: parquet partition-column inference narrows it
     * to int on re-read, which would silently fork the schema between
-    * the delivered and the re-derived manifest. */
+    * the delivered and the re-derived manifest. The content hash is
+    * derived HERE from (idCol, textCol) — callers hand over any frame
+    * with those columns plus `shard`; no hidden column contract. */
   def manifestOf(sharded0: DataFrame, idCol: String, textCol: String,
                  costCol: String, sourceCol: String): DataFrame = {
     val sharded = sharded0.withColumn("shard", col("shard").cast("long"))
+      .withColumn("__h", rowHash(idCol, textCol))
     val mix = sharded.groupBy(col("shard"), col(sourceCol))
       .agg(count(lit(1)).as("__n"))
       .groupBy(col("shard"))
@@ -89,8 +103,6 @@ object ShardWriter {
   def manifestFromShards(spark: SparkSession, outDir: String,
                          idCol: String, textCol: String, costCol: String,
                          sourceCol: String): DataFrame =
-    manifestOf(
-      spark.read.parquet(s"$outDir/shards")
-        .withColumn("__h", rowHash(idCol, textCol)),
+    manifestOf(spark.read.parquet(s"$outDir/shards"),
       idCol, textCol, costCol, sourceCol)
 }

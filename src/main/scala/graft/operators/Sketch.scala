@@ -341,12 +341,18 @@ object Sketch {
     * the [[kmvEstimate]] discipline. */
   def kmvSetEstimates(regsA: DataFrame, regsB: DataFrame,
                       k: Int): DataFrame = {
-    val a = regsA.select(col("h")).limit(k + 1).collect()
-      .map(_.getLong(0)).toSet
-    val b = regsB.select(col("h")).limit(k + 1).collect()
-      .map(_.getLong(0)).toSet
-    require(a.size <= k && b.size <= k,
-      s"register tables exceed k=$k: ${a.size} x ${b.size}")
+    // bound checked on the PRE-dedup row count: a register table with
+    // > k rows containing duplicates could dedup back under k, slip the
+    // size check, and silently estimate from an arbitrary truncated
+    // subset of the registers (limit has no order) — the limit(k+1)
+    // keeps the driver read bounded; the row-count require keeps it
+    // honest
+    val aRows = regsA.select(col("h")).limit(k + 1).collect()
+    val bRows = regsB.select(col("h")).limit(k + 1).collect()
+    require(aRows.length <= k && bRows.length <= k,
+      s"register tables exceed k=$k: ${aRows.length} x ${bRows.length} rows")
+    val a = aRows.map(_.getLong(0)).toSet
+    val b = bRows.map(_.getLong(0)).toSet
     val union = (a ++ b).toSeq.sorted.take(k)
     val kU = union.size.toLong
     require(kU > 0, "both register tables are empty")

@@ -39,6 +39,18 @@ class GateRegistrySpec extends AnyFunSuite {
         "gate on purpose, update ExpectedGateCount")
   }
 
+  test("memoFamilies: every member is a registered gate, no gate is in " +
+       "two families, and no family is a singleton (a singleton has no " +
+       "sibling to misbill to)") {
+    val all = SparkEntry.queries.keySet
+    val members = SparkEntry.memoFamilies.values.flatten.toSeq
+    assert((members.toSet -- all).isEmpty,
+      s"memo members not in the registry: ${(members.toSet -- all).toSeq.sorted}")
+    assert(members.distinct.size == members.size,
+      "a gate appears in two memo families")
+    assert(SparkEntry.memoFamilies.values.forall(_.size >= 2))
+  }
+
   test("a deliberately duplicated key fails loudly at registry build") {
     val e = intercept[IllegalArgumentException] {
       SparkEntry.requireDistinctKeys(Seq("a", "b", "a", "c", "b"), "test")
@@ -49,5 +61,5 @@ class GateRegistrySpec extends AnyFunSuite {
 
 object GateRegistrySpec {
   /** Update on every deliberate gate addition/removal. */
-  val ExpectedGateCount = 363
+  val ExpectedGateCount = 365
 }

@@ -274,6 +274,43 @@ class DedupSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("partitionCols: cross-source near-dups never become candidates; " +
+       "within-source pairs are identical to post-filtering the " +
+       "unpartitioned output") {
+    // planted fixture: every doc i in src0 has a near-copy (one token
+    // appended) in src1 — the mirror/syndication shape. Unpartitioned
+    // LSH must verify all cross-source pairs only to have a
+    // within-source caller discard them; partitioned banding must not
+    // even form them as candidates.
+    val base = (0L until 20L).map(i =>
+      (i, "src0", (0 until 30).map(j => s"w${i}_$j").mkString(" ")))
+    val mirror = base.map { case (i, _, t) => (i + 100L, "src1", t + " q") }
+    // plus one genuine within-source near-dup per source
+    val within = Seq(
+      (50L, "src0", base(0)._3 + " z"), (150L, "src1", mirror(0)._3 + " z"))
+    val docs3 = (base ++ mirror ++ within).toDF("doc_id", "source", "text")
+    val unpart = Dedup.minhashCandidateCount(docs3, "doc_id", "text")
+    val part = Dedup.minhashCandidateCount(docs3, "doc_id", "text",
+      partitionCols = Seq("source"))
+    assert(part <= unpart - 20,
+      s"partitioned candidates $part should drop the >= 20 planted " +
+        s"cross-source pairs from $unpart")
+    // verified pair set == the unpartitioned pairs restricted to
+    // same-source endpoints (the recipe's old post-filter), exactly
+    val src = docs3.select($"doc_id", $"source").as[(Long, String)]
+      .collect().toMap
+    val full = Dedup.minhashDupPairs(docs3, "doc_id", "text",
+        threshold = 0.7)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val fullWithin = full.filter(p => src(p._1) == src(p._2))
+    val scoped = Dedup.minhashDupPairs(docs3, "doc_id", "text",
+        threshold = 0.7, partitionCols = Seq("source"))
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(full.exists(p => src(p._1) != src(p._2)),
+      "fixture failed to produce cross-source pairs in the full run")
+    assert(scoped == fullWithin, s"scoped $scoped vs filtered $fullWithin")
+  }
+
   test("minhash jaccard values match the exact computation") {
     val lsh = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.5)
       .select($"id1", $"id2", $"jaccard").as[(Long, Long, Double)].collect().toSet

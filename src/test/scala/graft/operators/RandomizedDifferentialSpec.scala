@@ -488,4 +488,144 @@ class RandomizedDifferentialSpec extends SparkSpec {
       .collect().toSeq
     assert(foldedSd.toString == wholeSd.toString && wholeSd.nonEmpty)
   }
+
+  test("Recipe.curateWithAudit == a local model of the whole 8-stage " +
+       "chain on a seeded-random corpus with planted dup/leak rates — " +
+       "survivors, shards, splits, and the per-doc first-drop ledger") {
+    val rnd = new scala.util.Random(0x8EC1)
+    val trainSrcs = Seq("s0", "s1", "s2")
+    def mkText(len: Int): String =
+      Seq.fill(len)("t" + rnd.nextInt(500)).mkString(" ")
+    // base docs: random source, lengths straddling the [35,100] band
+    val baseDocs = (0L until 200L).map(i =>
+      (i, trainSrcs(rnd.nextInt(3)), mkText(25 + rnd.nextInt(86))))
+    val benchDocs = (200L until 210L).map(i =>
+      (i, "bench", mkText(40 + rnd.nextInt(40))))
+    def pick(n: Int, from: Seq[(Long, String, String)]) =
+      rnd.shuffle(from).take(n)
+    // planted exact dups (same text, bigger id), same-source near dups
+    // (one appended token), cross-source near dups (must NOT drop at
+    // stage 4), benchmark leaks into a training source
+    val exactPlants = pick(15, baseDocs).map { case (i, s, t) =>
+      (1000L + i, s, t) }
+    val nearPlants = pick(12, baseDocs).map { case (i, s, t) =>
+      (2000L + i, s, t + " zz") }
+    val crossPlants = pick(8, baseDocs).map { case (i, s, t) =>
+      (3000L + i, trainSrcs((trainSrcs.indexOf(s) + 1) % 3), t + " zz") }
+    val leakPlants = pick(5, benchDocs).map { case (i, _, t) =>
+      (4000L + i, "s0", t + " yy") }
+    val corpus =
+      baseDocs ++ benchDocs ++ exactPlants ++ nearPlants ++
+        crossPlants ++ leakPlants
+    val (minT, maxT, nearThr, conThr, budget, famSize, shardB) =
+      (35L, 100L, 0.85, 0.7, 120L, 10L, 200L)
+    val (surv, audit) = Recipe.curateWithAudit(
+      corpus.toDF("doc_id", "source", "text"), "doc_id", "source", "text",
+      benchmarkSource = "bench", minTokens = minT, maxTokens = maxT,
+      nearThreshold = nearThr, contaminationThreshold = conThr,
+      tau = 0.5, budgetDocs = budget, familySize = famSize,
+      headTokens = 20, tailTokens = 10, shardBudget = shardB)
+
+    // ---- the local model ----
+    def ntk(t: String) = t.trim.split("\\s+").length.toLong
+    def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    def sh3(t: String) =
+      t.trim.split("\\s+").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    def jac(a: Set[String], b: Set[String]): Double = {
+      val i = (a & b).size.toDouble
+      BigDecimal(i / (a.size + b.size - i))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def knuth(x: Long) = ((x % 2147483648L) * 2654435761L) % 4294967296L
+    def md5sur(salt: String, key: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt#$key".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.take(15), 16) % 1000000000L
+    }
+    val firstDrop = scala.collection.mutable.Map.empty[Long, String]
+    // 1+2. quality band
+    val qual = corpus.filter { case (i, _, t) =>
+      val n = ntk(t)
+      val ok = n >= minT && n <= maxT
+      if (!ok) firstDrop(i) = "quality"
+      ok
+    }
+    // 3. exact: min id per normalized text
+    val keepByNorm = qual.groupBy(d => norm(d._3))
+      .map { case (_, ds) => ds.map(_._1).min }.toSet
+    val exact = qual.filter { d =>
+      val ok = keepByNorm(d._1)
+      if (!ok) firstDrop(d._1) = "exact_dup"
+      ok
+    }
+    // 4. near within source: d drops iff some same-source smaller-id
+    // exact-survivor reaches the Jaccard threshold (the LSH pair set
+    // equals the exact pair set at these J values)
+    val shOf = exact.map(d => d._1 -> sh3(d._3)).toMap
+    val near = exact.filter { d =>
+      val dup = exact.exists(e => e._2 == d._2 && e._1 < d._1 &&
+        jac(shOf(e._1), shOf(d._1)) >= nearThr)
+      if (dup) firstDrop(d._1) = "near_dup"
+      !dup
+    }
+    // 5a. benchmark leaves; contamination vs surviving bench docs
+    val (benchKept, corpusKept) = near.partition(_._2 == "bench")
+    benchKept.foreach(d => firstDrop(d._1) = "benchmark")
+    val benchSh = benchKept.map(d => shOf(d._1))
+    val decon = corpusKept.filter { d =>
+      val bad = benchSh.exists(bs => jac(bs, shOf(d._1)) >= conThr)
+      if (bad) firstDrop(d._1) = "contaminated"
+      !bad
+    }
+    // 6. temperature mix: per-source doc-count thresholds, salted
+    // surrogate key through the knuth band
+    val cnt = decon.groupBy(_._2).map { case (s, ds) => s -> ds.size }
+    val z = cnt.values.map(n => math.pow(n, 0.5)).sum
+    val thr = cnt.map { case (s, n) =>
+      s -> math.floor(math.min(1.0,
+        budget.toDouble * math.pow(n, 0.5) / z / n) * 4294967296.0).toLong
+    }
+    val mixed = decon.filter { d =>
+      val keep = knuth(md5sur("recipemix", d._1.toString)) < thr(d._2)
+      if (!keep) firstDrop(d._1) = "mix_budget"
+      keep
+    }
+    // 7. split: every family member gets the family's min KEPT id's band
+    val famMin = mixed.groupBy(d => (d._2, d._1 / famSize))
+      .map { case (k, ds) => k -> ds.map(_._1).min }
+    def splitOf(d: (Long, String, String)): String = {
+      val h = knuth(famMin((d._2, d._1 / famSize)))
+      if (h < 3435973836L) "train"
+      else if (h < 3865470566L) "val" else "test"
+    }
+    // 8. pack + shard: exclusive-prefix running sum over (knuth(id), id)
+    val kept = mixed.map(d => d._1 -> math.min(ntk(d._3), 30L)).toMap
+    var pre = 0L
+    val shardOf = mixed.sortBy(d => (knuth(d._1), d._1)).map { d =>
+      val s = pre / shardB
+      pre += kept(d._1)
+      d._1 -> s
+    }.toMap
+    val expected = mixed.map(d =>
+      (d._1, d._2, ntk(d._3), splitOf(d), kept(d._1), shardOf(d._1))).toSet
+
+    val got = surv.select($"doc_id", $"source", $"n_tokens", $"split",
+        $"n_tokens_kept", $"shard")
+      .as[(Long, String, Long, String, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"survivor diff: extra=${got -- expected} missing=${expected -- got}")
+    // cross-source plants never dropped at stage 4
+    val ledger = audit.select($"doc_id", $"stage").as[(Long, String)]
+      .collect().toMap
+    crossPlants.foreach { case (i, _, _) =>
+      assert(!ledger.get(i).contains("near_dup"),
+        s"cross-source plant $i dropped at the within-source stage") }
+    // the drop ledger == the local first-drop map; conservation
+    assert(ledger == firstDrop.toMap,
+      s"ledger diff: extra=${ledger.toSet -- firstDrop.toSet} " +
+        s"missing=${firstDrop.toSet -- ledger.toSet}")
+    assert(got.map(_._1).intersect(ledger.keySet).isEmpty)
+    assert(got.map(_._1) ++ ledger.keySet == corpus.map(_._1).toSet)
+  }
 }

@@ -156,6 +156,91 @@ class RecipeSpec extends SparkSpec {
     assert(rep == kept)
   }
 
+  test("curateIncremental: batch 2 drops cross-batch duplicates via the " +
+       "appended indexes — one planted dup per index-backed stage — " +
+       "while within-source policy and family splits hold across " +
+       "batches; conservation holds per batch") {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+    val (fpT, mhT, bnT) = (s"rs_fp_$tag", s"rs_mh_$tag", s"rs_bn_$tag")
+    Recipe.initRecipeIndexes(spark, fpT, mhT, bnT, buckets = 2)
+    def go(df: org.apache.spark.sql.DataFrame) =
+      Recipe.curateIncremental(df, "doc_id", "source", "text",
+        benchmarkSource = "bench", fpT, mhT, bnT,
+        semanticEval = Some(evalVecs()),
+        batchEmb = Some(vecs()), semanticK = 2,
+        minTokens = 5L, maxTokens = 100L,
+        nearThreshold = 0.85, contaminationThreshold = 0.7,
+        tau = 0.5, budgetDocs = 100L, familySize = 10L,
+        headTokens = 20, tailTokens = 10, shardBudget = 100L,
+        buckets = 2)
+    try {
+      val b1 = Seq(
+        (0L, "A", s"<p>${toks(0)}</p>"),
+        (1L, "A", s"<p>${toks(1)}</p>"),
+        (5L, "A", s"<p>${toks(5)}</p>"),
+        (14L, "B", s"<p>${toks(14)}</p>"),
+        (15L, "B", s"<p>${toks(15)}</p>"),
+        (30L, "bench", s"<p>${toks(30)}</p>")
+      ).toDF("doc_id", "source", "text")
+      val (s1, a1) = go(b1)
+      val surv1 = s1.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      val led1 = a1.select($"doc_id", $"stage").as[(Long, String)]
+        .collect().toMap
+      // batch 1 against empty indexes: only the benchmark doc leaves
+      assert(surv1.keySet == Set(0L, 1L, 5L, 14L, 15L))
+      assert(led1 == Map(30L -> "benchmark"))
+
+      val b2 = Seq(
+        // exact cross-batch dup: batch 1's doc 0 text under new markup —
+        // only the FINGERPRINT INDEX can catch it (doc 0 is not here)
+        (100L, "A", s"<div><b>${toks(0)}</b></div>"),
+        // near cross-batch dup: ' q'-appended copy of batch 1's doc 1,
+        // SAME source — the MINHASH INDEX path
+        (101L, "A", s"<p>${toks(1)} q</p>"),
+        // the same near-copy CROSS-source: within-source policy must
+        // keep it even though the index knows the text
+        (102L, "B", s"<p>${toks(1)} r</p>"),
+        // contamination cross-batch: near-copy of batch 1's BENCHMARK
+        // doc 30; batch 2 has no benchmark docs, so only the BENCH
+        // NGRAM INDEX can catch it
+        (103L, "B", s"<p>${toks(30)} s</p>"),
+        // organic new doc, and a quality-cut plant
+        (104L, "B", s"<p>${toks(104)}</p>"),
+        (105L, "B", "<p>one two</p>"),
+        // family-split stability probe: (A, fam 0) like batch 1's 0/1/5
+        (6L, "A", s"<p>${toks(6)}</p>"),
+        // semantic plant: id 4's embedding is the leaked vector
+        (4L, "A", s"<p>${toks(4)}</p>")
+      ).toDF("doc_id", "source", "text")
+      val (s2, a2) = go(b2)
+      val surv2 = s2.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      val led2 = a2.select($"doc_id", $"stage").as[(Long, String)]
+        .collect().toMap
+      assert(led2(100L) == "exact_dup", s"ledger: $led2")
+      assert(led2(101L) == "near_dup", s"ledger: $led2")
+      assert(led2(103L) == "contaminated", s"ledger: $led2")
+      assert(led2(105L) == "quality", s"ledger: $led2")
+      assert(led2(4L) == "semantic", s"ledger: $led2")
+      assert(surv2.keySet == Set(102L, 104L, 6L))
+      // family (A, 0) split label agrees across batches
+      val splits1 = Set(0L, 1L, 5L).map(surv1(_).getAs[String]("split"))
+      assert(splits1.size == 1)
+      assert(surv2(6L).getAs[String]("split") == splits1.head,
+        "family (A, fam 0) straddled batches into different splits")
+      // conservation per batch
+      assert(surv2.keySet.intersect(led2.keySet).isEmpty)
+      assert(surv2.keySet ++ led2.keySet ==
+        b2.select($"doc_id").as[Long].collect().toSet)
+      // the indexes grew across batches
+      assert(spark.table(fpT).count() > 0)
+      assert(spark.table(s"${mhT}_bands").count() > 0)
+      assert(spark.table(bnT).count() > 0)
+    } finally {
+      Seq(fpT, s"${mhT}_bands", s"${mhT}_shingles", bnT).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("semantic decontamination is optional: omitting the vector sets " +
        "keeps the semantically-leaked doc") {
     val out = Recipe.curate(corpus(), "doc_id", "source", "text",

@@ -38,6 +38,37 @@ class ShardWriterSpec extends SparkSpec {
       .foreach(c => assert(c >= 100L - 16L && c < 100L + 16L, s"cost $c"))
   }
 
+  test("manifestOf is a complete public API: a plain (id, source, text, " +
+       "cost, shard) frame with NO internal columns manifests, NULL and " +
+       "empty text hash distinctly, and NULL text rows stay counted") {
+    // the r15 contract bug: manifestOf aggregated a hidden __h column
+    // that only manifestFromShards injected — the public path threw an
+    // unresolved-column AnalysisException naming an internal
+    val plain = Seq(
+      (1L, "a", "body one", 5L, 0L),
+      (2L, "a", null.asInstanceOf[String], 5L, 0L), // NULL text
+      (3L, "b", "", 5L, 0L),                        // empty text
+      (4L, "b", "body four", 5L, 1L)
+    ).toDF("doc_id", "source", "text", "cost", "shard")
+    val m = ShardWriter.manifestOf(plain, "doc_id", "text", "cost", "source")
+      .orderBy(col("shard")).collect()
+    assert(m.length == 2)
+    assert(m(0).getAs[Long]("n_docs") == 3L) // the NULL-text row counts
+    // NULL vs empty text must hash differently: swapping row 2's NULL
+    // for "" (and vice versa) changes the checksum
+    val swapped = Seq(
+      (1L, "a", "body one", 5L, 0L),
+      (2L, "a", "", 5L, 0L),
+      (3L, "b", null.asInstanceOf[String], 5L, 0L),
+      (4L, "b", "body four", 5L, 1L)
+    ).toDF("doc_id", "source", "text", "cost", "shard")
+    val s = ShardWriter.manifestOf(swapped, "doc_id", "text", "cost",
+      "source").orderBy(col("shard")).collect()
+    assert(m(0).getAs[Long]("content_xor") != s(0).getAs[Long]("content_xor"),
+      "NULL text and empty text hashed identically")
+    assert(m(1).toSeq == s(1).toSeq, "untouched shard changed")
+  }
+
   test("tampering with one written row flips that shard's checksum and " +
        "only that shard's") {
     val out = tmpDir("graft_shardw_tamper")
