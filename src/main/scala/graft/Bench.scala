@@ -216,6 +216,46 @@ object Bench {
       part
     }
     val (entries, failed, total, mins) = mergeParts(parts)
+    // memo_isolated (COMMIT-mode record refresh only): each memoized
+    // family's representative re-measured ALONE in a fresh JVM, so the
+    // record carries the family's true solo cost mechanically — the
+    // in-sequence mins above bill the shared build to whichever member
+    // ran first. One run per family; skipped in the driver's per-round
+    // bench (no COMMIT flag), which keeps its wall-clock budget intact.
+    val memoIsolatedJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_COMMIT", "0") != "1") "{}"
+      else SparkEntry.memoFamilies.toSeq.sortBy(_._1).flatMap {
+        case (fam, gates) =>
+          val rep = gates.head
+          val part = s"$fullOut.memo_$fam"
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(part))
+          val ok = try {
+            val cmd = new java.util.ArrayList[String]()
+            cmd.add(javaBin)
+            jvmArgs.forEach(a => cmd.add(a))
+            cmd.add("-cp"); cmd.add(cp); cmd.add("graft.Bench")
+            val pb = new ProcessBuilder(cmd)
+            pb.environment().put("SPARK_GRAFT_BENCH_ONLY", rep)
+            pb.environment().put("SPARK_GRAFT_BENCH_FULL", part)
+            pb.environment().put("SPARK_GRAFT_BENCH_FORK", "0")
+            pb.environment().put("SPARK_GRAFT_BENCH_RUNS", "1")
+            pb.environment().put("SPARK_GRAFT_BENCH_MAX_RUNS", "1")
+            pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+            pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+            pb.start().waitFor() == 0 &&
+              java.nio.file.Files.exists(java.nio.file.Paths.get(part))
+          } catch { case e: Exception =>
+            System.err.println(s"[bench] memo_isolated $fam FAILED: ${e.getMessage}")
+            false
+          }
+          val out = if (!ok) None else try {
+            val node = mapper.readTree(new java.io.File(part))
+            val sec = node.get("queries").get(rep).get("min").asDouble()
+            Some(s""""$fam":{"gate":"$rep","isolated_min_sec":${num(sec, 3)}}""")
+          } catch { case _: Exception => None }
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(part))
+          out
+      }.mkString("{", ",", "}")
     // experiments (opt-in) run AFTER all children so they see a quiet
     // machine; with the flag off the parent never even builds a session
     val (skewJson, incrJson, acJson, annJson) =
@@ -251,7 +291,7 @@ object Bench {
         } finally spark.stop()
       }
     writeFullMerged(fullOut, sfDir, runsPerQuery, entries, failed, skewJson,
-      incrJson, acJson, annJson, total, chunks.size)
+      incrJson, acJson, annJson, total, chunks.size, memoIsolatedJson)
     parts.foreach(p =>
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
     println(BenchSummary.stdoutLine(total, mins, failed, fullOut, sfDir))
@@ -496,7 +536,12 @@ object Bench {
       val min = BenchSummary.minOf(runs)
       val failedRuns = runs.count(!_._2)
       val failedPart = if (failedRuns > 0) s""","failed_runs":$failedRuns""" else ""
-      s""""$name":{"runs":$runsJson,"min":${num(min, 3)},"noise":${num(noise, 2)}$failedPart}"""
+      // memo tag: this gate's min shares its family's memoized block —
+      // the first family member to run in the JVM paid the build; see
+      // the record's memo_isolated block for the solo-JVM cost
+      val memoPart = SparkEntry.memoFamilyOf.get(name)
+        .map(f => s""","memo":"$f"""").getOrElse("")
+      s""""$name":{"runs":$runsJson,"min":${num(min, 3)},"noise":${num(noise, 2)}$failedPart$memoPart}"""
     }.mkString("{", ",", "}")
     writeFullBody(path, sfDir, runsPerQuery, entries, failed, skewJson,
       incrJson, acJson, annJson, total, noiseNote, forkedChunks = 0)
@@ -505,7 +550,8 @@ object Bench {
   private def writeFullMerged(path: String, sfDir: String,
       runsPerQuery: Int, entries: String, failed: List[String],
       skewJson: String, incrJson: String, acJson: String, annJson: String,
-      total: Double, chunks: Int): Unit = {
+      total: Double, chunks: Int,
+      memoIsolatedJson: String = "{}"): Unit = {
     val note =
       "Forked bench: gates ran in " + chunks + " per-chunk child JVMs " +
       "(fresh SparkSession + JIT/codegen state each) because a single " +
@@ -529,19 +575,22 @@ object Bench {
       "successful runs; queries whose noise exceeded 2 were rerun " +
       "adaptively. Compare rounds on 'min'."
     writeFullBody(path, sfDir, runsPerQuery, entries, failed, skewJson,
-      incrJson, acJson, annJson, total, note, forkedChunks = chunks)
+      incrJson, acJson, annJson, total, note, forkedChunks = chunks,
+      memoIsolatedJson = memoIsolatedJson)
   }
 
   private def writeFullBody(path: String, sfDir: String, runsPerQuery: Int,
       entries: String, failed: List[String], skewJson: String,
       incrJson: String, acJson: String, annJson: String, total: Double,
-      note: String, forkedChunks: Int): Unit = {
+      note: String, forkedChunks: Int,
+      memoIsolatedJson: String = "{}"): Unit = {
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"sf":"$sfDir","runs_per_query":$runsPerQuery,"total_min_sec":${num(total, 3)},
          |"forked_chunks":$forkedChunks,
          |"note":"$note",
          |"failed":$failedJson,
+         |"memo_isolated":$memoIsolatedJson,
          |"skew":$skewJson,
          |"incremental_dedup_vs_stateless":$incrJson,
          |"multipattern_vs_contains":$acJson,
