@@ -273,6 +273,19 @@ object SparkEntry {
   private val spanLandingCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged two-batch landing for streaming_recipe_ingest (same
+    * INPUT-only contract as [[landingCache]]); the per-invocation index
+    * tables and checkpoints stay fresh. */
+  private val recipeStreamLandingCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Pristine EMPTY recipe index set for streaming_recipe_ingest, built
+    * once per JVM: the gate appends, so each invocation clones the four
+    * empty tables (metastore LIKE + file copy of nothing — milliseconds)
+    * instead of paying four bucketed-write jobs per run. */
+  private val recipeStreamIdxCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String, String)]
+
   private val neardedupLandingCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -311,6 +324,9 @@ object SparkEntry {
   private def copyTree(src: String, dst: String): Unit = {
     val s0 = java.nio.file.Paths.get(src)
     val d0 = java.nio.file.Paths.get(dst)
+    // an empty bucketed table may own no directory yet (zero files
+    // written) — nothing to copy is a valid clone of it
+    if (!java.nio.file.Files.exists(s0)) return
     val it = java.nio.file.Files.walk(s0).iterator()
     while (it.hasNext) {
       val p = it.next()
@@ -3314,6 +3330,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
         .orderBy(col("stage"))
     }),
+    "pipeline_recipe_deliver" -> ((s, dir) => {
+      // the pipeline's LAST seam, composed: the memoized batch recipe's
+      // survivors delivered as cost-balanced shard FILES plus the
+      // certified manifest re-derived from the written bytes. The
+      // content checksum hashes the PACKED text a trainer receives, so
+      // this gate pins the exact truncated strings cross-engine —
+      // stronger than the e2e gate's token-count aggregates
+      val surv = recipeOutputs(s, dir)._1
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_recipe_deliver").toString
+      operators.ShardWriter.writeShardsWithManifest(surv, "doc_id",
+          "truncated", "n_tokens_kept", "source",
+          Seq(operators.Sampling.knuthHash32(col("doc_id")),
+            col("doc_id")),
+          budget = 2000L, outDir = out)
+        .localCheckpoint()
+    }),
     "pipeline_recipe_resume" -> ((s, dir) => {
       // the INCREMENTAL recipe (Recipe.curateIncremental), two-batch
       // resume: batch 1 builds the persisted fingerprint / within-source
@@ -5155,6 +5188,103 @@ object SparkEntry {
           .orderBy(col("doc_id"))
           .localCheckpoint()
       } finally s.sql(s"DROP TABLE IF EXISTS $table")
+    }),
+
+    "streaming_recipe_ingest" -> ((s, dir) => {
+      // the WHOLE eight-stage recipe as a STREAM: two mtime-ordered
+      // 125-doc micro-batches drive StreamRunner.runIncrementalRecipe
+      // (foreachBatch -> Recipe.curateIncrementalStaged, sink BEFORE
+      // index append, replay ledger). Batch 2's plants are copies of
+      // BATCH-1 docs (+1e6 exact, +2e6 same-source ' q' near, +4e6
+      // re-sourced benchmark), so only the indexes batch 1 appended can
+      // drop them; the oracle replays both batches through the same
+      // composed CTEs as pipeline_recipe_resume over this gate's
+      // smaller batch layout
+      import org.apache.spark.sql.types._
+      val base = DbReader(conn(s, dir), "documents").run()
+        .select(col("doc_id"), col("source"), col("text"))
+      def wrap(df: DataFrame) = df.withColumn("text", concat(
+        lit("<html><head><script type=\"a\">var x = 1 < 2;</script>" +
+          "<style>p { color: red; }</style></head><body><h1>Title</h1><p>"),
+        col("text"),
+        lit("</p><!-- hidden --><br/>Tom &amp; Jerry &lt;3&nbsp;end</body></html>")))
+      val landing = recipeStreamLandingCache.synchronized {
+        recipeStreamLandingCache.getOrElseUpdate(dir, {
+          val ld = java.nio.file.Files.createTempDirectory("graft_sri_in")
+          val b1 = wrap(base
+            .filter(col("doc_id") >= 250 && col("doc_id") < 375))
+          val plants = base
+              .filter(col("doc_id") >= 250 && col("doc_id") < 262)
+              .withColumn("doc_id", col("doc_id") + 1000000L)
+            .unionByName(base
+              .filter(col("doc_id") >= 262 && col("doc_id") < 286)
+              .withColumn("doc_id", col("doc_id") + 2000000L)
+              .withColumn("text", concat(col("text"), lit(" q"))))
+            .unionByName(base
+              .filter(col("source") === "src0" &&
+                col("doc_id") >= 250 && col("doc_id") < 375)
+              .withColumn("doc_id", col("doc_id") + 4000000L)
+              .withColumn("source", lit("srcx")))
+          val b2 = wrap(base
+            .filter(col("doc_id") >= 375 && col("doc_id") < 500)
+            .unionByName(plants))
+          Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+            b.coalesce(1).write.mode("append").parquet(ld.toString)
+            graft.streaming.FileStreamReader.stampBatchMtime(ld.toString, i)
+          }
+          ld.toString
+        })
+      }
+      val (pfp, pmh, pbn) = recipeStreamIdxCache.synchronized {
+        recipeStreamIdxCache.getOrElseUpdate("pristine", {
+          val p = java.util.UUID.randomUUID().toString
+            .replace("-", "").take(12)
+          val t = (s"sri_fp_p_$p", s"sri_mh_p_$p", s"sri_bn_p_$p")
+          operators.Recipe.initRecipeIndexes(s, t._1, t._2, t._3,
+            buckets = 8)
+          t
+        })
+      }
+      val tag = java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
+      val (fpT, mhT, bnT) =
+        (s"sri_fp_$tag", s"sri_mh_$tag", s"sri_bn_$tag")
+      cloneBucketedTable(s, pfp, fpT)
+      cloneBucketedTable(s, s"${pmh}_bands", s"${mhT}_bands")
+      cloneBucketedTable(s, s"${pmh}_shingles", s"${mhT}_shingles")
+      cloneBucketedTable(s, pbn, bnT)
+      try {
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("source", StringType),
+          StructField("text", StringType)))
+        val stream = graft.streaming.FileStreamReader.read(
+          s, graft.filedf.Parquet(), landing, schema,
+          maxFilesPerTrigger = Some(1))
+        val ck = java.nio.file.Files
+          .createTempDirectory("graft_sri_ck").toString
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_sri_out").toString
+        val ledger = new graft.core.InMemoryHwmStore
+        withShufflePartitions(s, 8) {
+          graft.streaming.StreamRunner.runIncrementalRecipe(stream,
+            "doc_id", "source", "text", benchmarkSource = "src0",
+            fpT, mhT, bnT, ck, ledger, s"sri@$ck", indexBuckets = 8) {
+            (surv, _, id) =>
+              surv.withColumn("batch", lit((id + 1L).toInt))
+                .write.mode("append").parquet(out)
+          }
+        }
+        s.read.parquet(out)
+          .groupBy(col("batch"), col("shard"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens_kept")).as("sum_tokens"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy(col("batch"), col("shard"), col("split"))
+          .localCheckpoint()
+      } finally {
+        Seq(fpT, s"${mhT}_bands", s"${mhT}_shingles", bnT).foreach(t =>
+          s.sql(s"DROP TABLE IF EXISTS $t"))
+      }
     }),
 
     "streaming_image_dedup" -> ((s, dir) => {
@@ -8067,21 +8197,25 @@ object SparkEntry {
     * index = exk1, within-source minhash index = nk1, benchmark n-gram
     * index = nk1's src0 docs ∪ batch 2's own). Split banding replays the
     * batch-stable family-key surrogate. */
-  private val resumeOracleCtes: String =
-      """WITH base AS (SELECT doc_id, source, text FROM documents),
-        |pl AS (
-        |  SELECT 1 AS b, doc_id, source, text FROM base WHERE doc_id < 250
-        |  UNION ALL
-        |  SELECT 2, doc_id, source, text FROM base WHERE doc_id >= 250
-        |  UNION ALL
-        |  SELECT 2, doc_id + 1000000, source, text FROM base WHERE doc_id < 40
-        |  UNION ALL
-        |  SELECT 2, doc_id + 2000000, source, text || ' q' FROM base
-        |  WHERE doc_id >= 50 AND doc_id < 90
-        |  UNION ALL
-        |  SELECT 2, doc_id + 4000000, 'srcx', text FROM base
-        |  WHERE source = 'src0' AND doc_id < 30),
-        |h AS (
+  private def incrementalRecipeOracleCtes(
+      b1Where: String, b2Where: String, exactPlantWhere: String,
+      nearPlantWhere: String, benchPlantWhere: String): String =
+    s"""WITH base AS (SELECT doc_id, source, text FROM documents),
+       |pl AS (
+       |  SELECT 1 AS b, doc_id, source, text FROM base WHERE $b1Where
+       |  UNION ALL
+       |  SELECT 2, doc_id, source, text FROM base WHERE $b2Where
+       |  UNION ALL
+       |  SELECT 2, doc_id + 1000000, source, text FROM base
+       |  WHERE $exactPlantWhere
+       |  UNION ALL
+       |  SELECT 2, doc_id + 2000000, source, text || ' q' FROM base
+       |  WHERE $nearPlantWhere
+       |  UNION ALL
+       |  SELECT 2, doc_id + 4000000, 'srcx', text FROM base
+       |  WHERE $benchPlantWhere),
+       |""".stripMargin +
+      """h AS (
         |  SELECT b, doc_id, source,
         |    '<html><head><script type="a">var x = 1 < 2;</script><style>p { color: red; }</style></head><body><h1>Title</h1><p>'
         |    || text ||
@@ -8208,6 +8342,55 @@ object SparkEntry {
         |        * 2654435761 % 4294967296 < thr)
         |""".stripMargin
 
+  /** The pipeline_recipe_resume batch layout: batch 1 = doc_id < 250,
+    * batch 2 = the rest, plants copied from batch-1 docs. */
+  private val resumeOracleCtes: String = incrementalRecipeOracleCtes(
+    "doc_id < 250", "doc_id >= 250", "doc_id < 40",
+    "doc_id >= 50 AND doc_id < 90", "source = 'src0' AND doc_id < 30")
+
+  /** The streaming_recipe_ingest batch layout — bounded at 125-doc
+    * micro-batches (the gate proves the streamed two-batch index
+    * evolution, not bulk throughput): batch 1 = [250, 375), batch 2 =
+    * [375, 500) plus plants copied from batch-1 docs. */
+  private val streamRecipeOracleCtes: String = incrementalRecipeOracleCtes(
+    "doc_id >= 250 AND doc_id < 375", "doc_id >= 375 AND doc_id < 500",
+    "doc_id >= 250 AND doc_id < 262", "doc_id >= 262 AND doc_id < 286",
+    "source = 'src0' AND doc_id >= 250 AND doc_id < 375")
+
+  /** The survivor-side tail shared by pipeline_recipe_resume and
+    * streaming_recipe_ingest: batch-stable family split, pack, per-batch
+    * exclusive-prefix shards, aggregated per (batch, shard, split). */
+  private val incrementalRecipeSurvivorTail: String =
+      """|, spl AS (
+        |  SELECT m.*,
+        |    CASE WHEN ((CAST('0x' || substr(md5('recipesplit#' || source
+        |               || '|' || CAST(doc_id // 50 AS VARCHAR)), 1, 15)
+        |               AS BIGINT) % 1000000000) % 2147483648)
+        |              * 2654435761 % 4294967296 < 3435973836 THEN 'train'
+        |         WHEN ((CAST('0x' || substr(md5('recipesplit#' || source
+        |               || '|' || CAST(doc_id // 50 AS VARCHAR)), 1, 15)
+        |               AS BIGINT) % 1000000000) % 2147483648)
+        |              * 2654435761 % 4294967296 < 3865470566 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT * FROM mix1 UNION ALL SELECT * FROM mix2) m)
+        |, pk AS (
+        |  SELECT b, doc_id, split,
+        |    least(len(list_filter(string_split_regex(t, '\s+'),
+        |      x -> x <> '')), 30)::BIGINT AS kept
+        |  FROM spl)
+        |, ord AS (
+        |  SELECT b, doc_id, split, kept,
+        |    sum(kept) OVER (PARTITION BY b
+        |      ORDER BY (doc_id % 2147483648) * 2654435761 % 4294967296,
+        |               doc_id
+        |      ROWS UNBOUNDED PRECEDING) - kept AS pre
+        |  FROM pk)
+        |SELECT b AS batch, CAST(pre // 2000 AS BIGINT) AS shard, split,
+        |       count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS sum_tokens,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM ord GROUP BY batch, shard, split
+        |ORDER BY batch, shard, split""".stripMargin
+
   /** Gates whose billed bench time shares a memoized block with the
     * other members of their family (the [[cached]]/[[recipeOutputs]]/
     * [[recipeResumeOutputs]] device): the FIRST member to run in a JVM
@@ -8227,7 +8410,8 @@ object SparkEntry {
       "graph_label_propagation", "graph_modularity",
       "graph_neighbor_jaccard", "graph_ppr", "graph_triangle_counts",
       "linkage_fellegi_sunter"),
-    "recipe" -> Seq("pipeline_recipe_e2e", "pipeline_recipe_audit"),
+    "recipe" -> Seq("pipeline_recipe_e2e", "pipeline_recipe_audit",
+      "pipeline_recipe_deliver"),
     "recipe_resume" -> Seq("pipeline_recipe_resume",
       "pipeline_recipe_resume_audit"))
 
@@ -11706,39 +11890,60 @@ object SparkEntry {
         |  WHERE doc_id NOT IN (SELECT doc_id FROM mix))
         |SELECT stage, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM aud GROUP BY stage ORDER BY stage""".stripMargin),
-    // the incremental two-batch replay: batch-stable family split
-    // (salted md5 surrogate of source|family), per-batch mix, pack and
-    // exclusive-prefix shards partitioned by batch
-    "pipeline_recipe_resume" -> (resumeOracleCtes + "\n" +
-      """|, spl AS (
-        |  SELECT m.*,
-        |    CASE WHEN ((CAST('0x' || substr(md5('recipesplit#' || source
-        |               || '|' || CAST(doc_id // 50 AS VARCHAR)), 1, 15)
-        |               AS BIGINT) % 1000000000) % 2147483648)
-        |              * 2654435761 % 4294967296 < 3435973836 THEN 'train'
-        |         WHEN ((CAST('0x' || substr(md5('recipesplit#' || source
-        |               || '|' || CAST(doc_id // 50 AS VARCHAR)), 1, 15)
-        |               AS BIGINT) % 1000000000) % 2147483648)
-        |              * 2654435761 % 4294967296 < 3865470566 THEN 'val'
-        |         ELSE 'test' END AS split
-        |  FROM (SELECT * FROM mix1 UNION ALL SELECT * FROM mix2) m)
-        |, pk AS (
-        |  SELECT b, doc_id, split,
-        |    least(len(list_filter(string_split_regex(t, '\s+'),
-        |      x -> x <> '')), 30)::BIGINT AS kept
-        |  FROM spl)
-        |, ord AS (
-        |  SELECT b, doc_id, split, kept,
-        |    sum(kept) OVER (PARTITION BY b
+    // delivery replay: reconstruct the PACKED text (head 20 + ' ... ' +
+    // tail 10 over the cleaned token array — string-exact in both
+    // engines since both rebuild from the token list), shard by the
+    // exclusive-prefix rule, then derive the manifest exactly as the
+    // shard_manifest oracle does, content hash over `id|V<trunc>`
+    "pipeline_recipe_deliver" -> (recipeOracleCtes + "\n" +
+      """|, pkd AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS toks
+        |  FROM mix)
+        |, trd AS (
+        |  SELECT doc_id, source,
+        |    least(len(toks), 30)::BIGINT AS kept,
+        |    CASE WHEN len(toks) <= 30 THEN array_to_string(toks, ' ')
+        |         ELSE array_to_string(toks[1:20], ' ') || ' ... '
+        |              || array_to_string(toks[len(toks)-9:len(toks)], ' ')
+        |    END AS trunc
+        |  FROM pkd)
+        |, ordd AS (
+        |  SELECT doc_id, source, kept, trunc,
+        |    sum(kept) OVER (
         |      ORDER BY (doc_id % 2147483648) * 2654435761 % 4294967296,
         |               doc_id
         |      ROWS UNBOUNDED PRECEDING) - kept AS pre
-        |  FROM pk)
-        |SELECT b AS batch, CAST(pre // 2000 AS BIGINT) AS shard, split,
-        |       count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS sum_tokens,
-        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
-        |FROM ord GROUP BY batch, shard, split
-        |ORDER BY batch, shard, split""".stripMargin),
+        |  FROM trd)
+        |, shd AS (
+        |  SELECT doc_id, source, kept, trunc,
+        |    CAST(pre // 2000 AS BIGINT) AS shard,
+        |    CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '|'
+        |      || 'V' || trunc), 1, 15) AS BIGINT) AS hh
+        |  FROM ordd)
+        |, mixsd AS (
+        |  SELECT shard,
+        |    string_agg(source || ':' || CAST(n AS VARCHAR), ','
+        |      ORDER BY source || ':' || CAST(n AS VARCHAR)) AS source_mix
+        |  FROM (SELECT shard, source, count(*) AS n FROM shd
+        |        GROUP BY 1, 2) GROUP BY shard)
+        |SELECT s.shard, count(*) AS n_docs,
+        |       CAST(sum(kept) AS BIGINT) AS total_cost,
+        |       bit_xor(hh) AS content_xor,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |       any_value(source_mix) AS source_mix
+        |FROM shd s JOIN mixsd USING (shard)
+        |GROUP BY s.shard ORDER BY s.shard""".stripMargin),
+    // the incremental two-batch replay: batch-stable family split
+    // (salted md5 surrogate of source|family), per-batch mix, pack and
+    // exclusive-prefix shards partitioned by batch
+    "pipeline_recipe_resume" ->
+      (resumeOracleCtes + "\n" + incrementalRecipeSurvivorTail),
+    // the STREAMED two-batch recipe shares the whole replay — same stage
+    // CTEs, same survivor tail — over its own (smaller) batch layout;
+    // the foreachBatch micro-batch ids map to the oracle's b column
+    "streaming_recipe_ingest" ->
+      (streamRecipeOracleCtes + "\n" + incrementalRecipeSurvivorTail),
     // the incremental drop ledger: every stage set of BOTH batches
     // recomputed independently (cross-batch drops land in near_dup /
     // exact_dup / contaminated of batch 2 via the replayed history sets)

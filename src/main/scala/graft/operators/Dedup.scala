@@ -315,13 +315,15 @@ object Dedup {
     * minhash entry point here uses. */
   private[graft] def shingleDocsOf(df: DataFrame, idCol: String,
                                    textCol: String,
-                                   shingleSize: Int = 3): DataFrame =
-    shingleDocs(df, idCol, textCol, shingleSize)
+                                   shingleSize: Int = 3,
+                                   extraCols: Seq[String] = Nil): DataFrame =
+    shingleDocs(df, idCol, textCol, shingleSize, extraCols)
 
   private[graft] def bandRowsOf(docs: DataFrame, bands: Int = 32,
                                 rowsPerBand: Int = 4,
-                                seed: Long = 42L): DataFrame =
-    bandRows(docs, bands, rowsPerBand, seed)
+                                seed: Long = 42L,
+                                partitionCols: Seq[String] = Nil): DataFrame =
+    bandRows(docs, bands, rowsPerBand, seed, partitionCols)
 
   /** Append PRE-computed shingle/band frames (restricted to the batch's
     * survivors) to the MinHash index — the streaming path's variant of

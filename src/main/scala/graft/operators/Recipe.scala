@@ -257,6 +257,25 @@ object Recipe {
       benchNgramTable, buckets, Seq("sh"))
   }
 
+  /** Offline maintenance for the [[curateIncremental]] index set: every
+    * batch APPENDS at least one file per written bucket, so a year of
+    * daily ingests leaves each bucket as ~365 small files and the
+    * per-batch scans pay per-file open cost (see
+    * [[Bucketing.compactBucketed]] for the crash-recovery contract).
+    * One call rewrites all four tables to one sorted file per bucket
+    * and collapses replay-duplicated rows. Run it from the same
+    * maintenance window that would VACUUM anything else — never
+    * concurrently with an ingest. */
+  def compactRecipeIndexes(spark: org.apache.spark.sql.SparkSession,
+                           fingerprintTable: String, minhashTable: String,
+                           benchNgramTable: String,
+                           buckets: Int = 8): Unit = {
+    Dedup.compactFingerprintIndexTable(spark, fingerprintTable, buckets)
+    Dedup.compactMinHashIndexTable(spark, minhashTable, buckets)
+    Bucketing.compactBucketed(spark, benchNgramTable, buckets, Seq("sh"),
+      dropDuplicates = true)
+  }
+
   /** The INCREMENTAL form of [[curateWithAudit]] — the shape a real
     * daily ingest of a 100 TB corpus actually executes: one batch flows
     * through the same eight stages, but every dedup/decontamination
@@ -307,10 +326,10 @@ object Recipe {
     *                 outputs with a batch id downstream).
     *
     * Returns (survivors, audit) with the same schemas and stage names
-    * as [[curateWithAudit]]. Both returned frames are fully
+    * as [[curateWithAudit]]. Every index-reading decision is
     * materialized (stage-boundary localCheckpoints) BEFORE the index
-    * appends run, so evaluating them after the appends never sees the
-    * batch's own index rows. */
+    * appends run, so evaluating either returned frame after the
+    * appends never sees the batch's own index rows. */
   def curateIncremental(batch: DataFrame, idCol: String, sourceCol: String,
              textCol: String,
              benchmarkSource: String,
@@ -335,6 +354,51 @@ object Recipe {
              shardBudget: Long = 2000L,
              appendIndexes: Boolean = true,
              buckets: Int = 8): (DataFrame, DataFrame) = {
+    val (survivors, audit, append) = curateIncrementalStaged(batch, idCol,
+      sourceCol, textCol, benchmarkSource, fingerprintTable, minhashTable,
+      benchNgramTable, semanticEval, batchEmb, semanticVecCol, semanticK,
+      semanticMinCosine, semanticMinMargin, minTokens, maxTokens,
+      nearThreshold, contaminationThreshold, tau, budgetDocs, familySize,
+      splits, splitSalt, headTokens, tailTokens, shardBudget, buckets)
+    if (appendIndexes) append()
+    (survivors, audit)
+  }
+
+  /** [[curateIncremental]] with the index appends returned as a closure
+    * instead of executed — the form a STREAMING caller needs: the
+    * documented crash-replay discipline of the incremental runners
+    * ([[graft.streaming.StreamRunner]]) is sink-commit BEFORE
+    * index-append (appending first would make a replayed batch
+    * anti-join its own rows away and LOSE them), and only the caller
+    * knows when its sink committed. Survivors are fully materialized;
+    * the audit is a lazy derivation of materialized stage boundaries
+    * plus the caller's input frame (never an index table), so both are
+    * safe to evaluate after `append`, which itself is idempotent-
+    * replayable (duplicate index rows are harmless in all three
+    * indexes). */
+  def curateIncrementalStaged(batch: DataFrame, idCol: String,
+             sourceCol: String, textCol: String,
+             benchmarkSource: String,
+             fingerprintTable: String,
+             minhashTable: String,
+             benchNgramTable: String,
+             semanticEval: Option[DataFrame] = None,
+             batchEmb: Option[DataFrame] = None,
+             semanticVecCol: String = "embedding",
+             semanticK: Int = 8,
+             semanticMinCosine: Double = 0.9,
+             semanticMinMargin: Double = 0.2,
+             minTokens: Long = 35L, maxTokens: Long = 100L,
+             nearThreshold: Double = 0.85,
+             contaminationThreshold: Double = 0.7,
+             tau: Double = 0.5, budgetDocs: Long = 300L,
+             familySize: Long = 50L,
+             splits: Seq[(String, Double)] =
+               Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+             splitSalt: String = "recipesplit",
+             headTokens: Int = 20, tailTokens: Int = 10,
+             shardBudget: Long = 2000L,
+             buckets: Int = 8): (DataFrame, DataFrame, () => Unit) = {
     require(minTokens >= 1 && maxTokens >= minTokens,
       s"need 1 <= minTokens <= maxTokens, got [$minTokens, $maxTokens]")
     require(familySize >= 1, s"familySize must be >= 1, got $familySize")
@@ -354,13 +418,22 @@ object Recipe {
     val exact = Dedup.exactDedupAgainstIndexTable(qual, idCol, "__t",
       fingerprintTable).localCheckpoint()
 
-    // 4. near dedup WITHIN source, vs history then in-batch
-    val vsHist = Dedup.minhashDedupAgainstIndexTable(exact, idCol, "__t",
-      minhashTable, shingleSize = 3, bands = 32, rowsPerBand = 4,
-      threshold = nearThreshold, partitionCols = Seq(sourceCol))
-    val inBatchDrop = Dedup.minhashDupPairs(exact, idCol, "__t",
-        shingleSize = 3, bands = 32, rowsPerBand = 4,
-        threshold = nearThreshold, partitionCols = Seq(sourceCol))
+    // 4. near dedup WITHIN source, vs history then in-batch. The batch
+    // is shingled and MinHash-signed exactly ONCE (the streaming
+    // runners' one-signing discipline): the vs-history join, the
+    // in-batch pair pass AND the deferred index append below all reuse
+    // these two frames — re-signing from raw text tripled the
+    // per-batch cost and let parameters silently diverge.
+    val docsSh = Dedup.shingleDocsOf(exact, idCol, "__t",
+      extraCols = Seq(sourceCol)).localCheckpoint()
+    val bandedSh = Dedup.bandRowsOf(docsSh,
+      partitionCols = Seq(sourceCol)).localCheckpoint()
+    val vsHist = Dedup.minhashDedupVsIndexPre(exact, idCol,
+      docsSh.select(col("id"), col("n_sh"), col("shingles")),
+      bandedSh.select(col("id"), col("band"), col("bucket")),
+      minhashTable, nearThreshold)
+    val inBatchDrop = Dedup.minhashDupPairsPre(docsSh, bandedSh,
+        nearThreshold, partitionCols = Seq(sourceCol))
       .select(col("id2").as(idCol)).distinct()
     val near = vsHist.join(inBatchDrop, Seq(idCol), "left_anti")
       .localCheckpoint()
@@ -381,16 +454,18 @@ object Recipe {
     val decon1 = corpus.join(contaminated, Seq(idCol), "left_anti")
       .localCheckpoint()
 
-    // 5b. semantic decontamination vs the fixed eval set
-    val decon = ((batchEmb, semanticEval) match {
+    // 5b. semantic decontamination vs the fixed eval set (when absent,
+    // decon IS the already-materialized decon1 — a second checkpoint of
+    // the identical frame would just burn a job per micro-batch)
+    val decon = (batchEmb, semanticEval) match {
       case (Some(cEmb), Some(eEmb)) =>
         val flagged = Dedup.decontaminateSemantic(cEmb, eEmb,
             idCol, semanticVecCol, k = semanticK,
             minCosine = semanticMinCosine, minMargin = semanticMinMargin)
           .select(col("corpus_id").as(idCol)).distinct()
-        decon1.join(flagged, Seq(idCol), "left_anti")
+        decon1.join(flagged, Seq(idCol), "left_anti").localCheckpoint()
       case _ => decon1
-    }).localCheckpoint()
+    }
 
     // 6. per-batch temperature mix on the salted surrogate (see the
     // batch form's hash-coupling note)
@@ -433,19 +508,31 @@ object Recipe {
       .unionByName(drop(corpus, decon1, "contaminated"))
       .unionByName(drop(decon1, decon, "semantic"))
       .unionByName(drop(decon, mixed, "mix_budget"))
-      .localCheckpoint()
+    // audit stays LAZY on purpose: every operand above is either a
+    // materialized stage boundary or the caller's own input frame —
+    // none reads an index table — so evaluating it after the appends is
+    // safe, and a caller that discards the ledger (a sink that only
+    // wants survivors) pays nothing for it.
 
-    // append AFTER every returned frame is materialized: the batch's
-    // own rows must never be in the index its own decisions read
-    if (appendIndexes) {
+    // appends run only AFTER every decision frame is materialized: the
+    // batch's own rows must never be in the index its own decisions
+    // read. bench is a filter over the checkpointed `near`, so the
+    // closure stays valid however late the caller invokes it.
+    val append = () => {
       Dedup.appendToFingerprintIndexTable(exact, "__t", fingerprintTable,
         buckets)
-      Dedup.appendToMinHashIndexTable(near, idCol, "__t", minhashTable,
-        shingleSize = 3, bands = 32, rowsPerBand = 4, seed = 42L,
-        buckets = buckets, partitionCols = Seq(sourceCol))
+      // reuse the stage-4 signing — restricted to the near survivors —
+      // instead of re-shingling the survivors from raw text
+      val keptIds = near.select(col(idCol).as("id"))
+      Dedup.appendToMinHashIndexTablePre(
+        docsSh.select(col("id"), col("n_sh"), col("shingles"))
+          .join(keptIds, Seq("id"), "left_semi"),
+        bandedSh.select(col("id"), col("band"), col("bucket"))
+          .join(keptIds, Seq("id"), "left_semi"),
+        minhashTable, buckets)
       Dedup.appendToNgramInvertedIndexTable(bench, idCol, "__t",
         benchNgramTable, shingleSize = 3, buckets = buckets)
     }
-    (survivors, audit)
+    (survivors, audit, append)
   }
 }

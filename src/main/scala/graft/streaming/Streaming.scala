@@ -593,6 +593,65 @@ object StreamRunner {
         indexTable, indexBuckets)
     }
 
+  /** The WHOLE curation recipe on ingest — the composition a daily
+    * 100 TB pipeline actually schedules, as one streaming query: every
+    * micro-batch flows through the eight-stage
+    * [[graft.operators.Recipe.curateIncrementalStaged]] chain
+    * (normalize → quality band → exact dedup vs the fingerprint index →
+    * within-source near dedup vs the MinHash index → benchmark n-gram +
+    * optional-elsewhere semantic decontamination → per-batch temperature
+    * mix → batch-stable family split → pack + shard), survivors AND the
+    * per-document drop ledger go to `sink`, and only then do the
+    * batch's survivors append to the three indexes so the next
+    * micro-batch (and the next run) resumes against them.
+    *
+    * Replay-protected by the committed-batch ledger in `store`. The one
+    * open window (sink done, ledger not yet recorded) is the same
+    * at-least-once corner every incremental runner here documents —
+    * with the recipe's sink-before-append ordering a replay in that
+    * window recomputes against the UNCHANGED indexes and re-delivers
+    * the identical batch (idempotent batch-id-keyed sinks absorb it);
+    * appending before the sink would instead make the replayed batch
+    * anti-join its own rows away and lose them, which is why the
+    * staged form exists. */
+  def runIncrementalRecipe(stream: DataFrame, idCol: String,
+                           sourceCol: String, textCol: String,
+                           benchmarkSource: String,
+                           fingerprintTable: String, minhashTable: String,
+                           benchNgramTable: String,
+                           checkpoint: String,
+                           store: graft.core.HwmStore, ledgerName: String,
+                           minTokens: Long = 35L, maxTokens: Long = 100L,
+                           nearThreshold: Double = 0.85,
+                           contaminationThreshold: Double = 0.7,
+                           tau: Double = 0.5, budgetDocs: Long = 300L,
+                           familySize: Long = 50L,
+                           splits: Seq[(String, Double)] =
+                             Seq("train" -> 0.8, "val" -> 0.1,
+                               "test" -> 0.1),
+                           splitSalt: String = "recipesplit",
+                           headTokens: Int = 20, tailTokens: Int = 10,
+                           shardBudget: Long = 2000L,
+                           indexBuckets: Int = 8)
+                          (sink: (DataFrame, DataFrame, Long) => Unit)
+                          : Unit =
+    runAvailableNowForeachBatchExactlyOnce(stream, checkpoint, store,
+        ledgerName) { (batch, id) =>
+      val (survivors, audit, append) =
+        graft.operators.Recipe.curateIncrementalStaged(batch, idCol,
+          sourceCol, textCol, benchmarkSource, fingerprintTable,
+          minhashTable, benchNgramTable,
+          minTokens = minTokens, maxTokens = maxTokens,
+          nearThreshold = nearThreshold,
+          contaminationThreshold = contaminationThreshold,
+          tau = tau, budgetDocs = budgetDocs, familySize = familySize,
+          splits = splits, splitSalt = splitSalt,
+          headTokens = headTokens, tailTokens = tailTokens,
+          shardBudget = shardBudget, buckets = indexBuckets)
+      sink(survivors, audit, id)
+      append()
+    }
+
   /** Continuous ANN-index ingestion — the embedding sibling of
     * [[runIncrementalDedup]]: each micro-batch of (id, vector) rows is
     * encoded with the persisted IVF-PQ index's EXISTING centroids and

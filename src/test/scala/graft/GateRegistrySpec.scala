@@ -61,5 +61,5 @@ class GateRegistrySpec extends AnyFunSuite {
 
 object GateRegistrySpec {
   /** Update on every deliberate gate addition/removal. */
-  val ExpectedGateCount = 365
+  val ExpectedGateCount = 367
 }

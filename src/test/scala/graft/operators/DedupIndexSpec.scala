@@ -125,6 +125,51 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("minhash index with partitionCols: within-source near-dups die " +
+       "vs history, the same text cross-source survives, and the " +
+       "index-side no-Exchange plan is unchanged") {
+    val hist = Seq(
+      (1L, "s0", "the quick brown fox jumps over the lazy dog near the old river bank"),
+      (2L, "s1", "completely different content about spark query engines and distributed joins today")
+    ).toDF("doc_id", "source", "text")
+    val table = "graft_mh_idx_pc_spec"
+    Dedup.buildMinHashIndexTable(hist, "doc_id", "text", table,
+      buckets = 4, partitionCols = Seq("source"))
+    try {
+      val batch = Seq(
+        // near-copy of history 1, SAME source -> killed via the index
+        (10L, "s0", "the quick brown fox jumps over the lazy dog near the old river bank zz"),
+        // the SAME near-copy under a DIFFERENT source -> survives (the
+        // source-salted buckets never collide across sources)
+        (11L, "s1", "the quick brown fox jumps over the lazy dog near the old river bank zz"),
+        (12L, "s0", "a totally fresh document with its own vocabulary and no overlap whatsoever here")
+      ).toDF("doc_id", "source", "text")
+      val s = Dedup.minhashDedupAgainstIndexTable(batch, "doc_id", "text",
+        table, threshold = 0.7, partitionCols = Seq("source"))
+      assert(s.select($"doc_id").as[Long].collect().sorted.toSeq ===
+        Seq(11L, 12L))
+      // plan shape identical to the unpartitioned path: the salt lives
+      // in the stored bucket VALUES, so the index side still never
+      // shuffles (sort-merge forced)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = Dedup.minhashDedupAgainstIndexTable(batch, "doc_id",
+          "text", table, threshold = 0.7, partitionCols = Seq("source"))
+        plan.count()
+        val ex = exchanges(plan.queryExecution.executedPlan)
+        def onlyLeafIs(e: Exchange, t: String): Boolean = {
+          val leaves = e.collectLeaves()
+          leaves.nonEmpty && leaves.forall(_.toString.contains(t))
+        }
+        assert(!ex.exists(onlyLeafIs(_, s"${table}_bands")))
+        assert(!ex.exists(onlyLeafIs(_, s"${table}_shingles")))
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_shingles")
+    }
+  }
+
   test("compactBucketed heals append fragmentation, keeps the bucketed layout") {
     val table = "graft_fp_idx_compact"
     Dedup.buildFingerprintIndexTable(hist, "text", table, buckets = 4)

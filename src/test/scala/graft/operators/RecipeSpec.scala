@@ -235,6 +235,23 @@ class RecipeSpec extends SparkSpec {
       assert(spark.table(fpT).count() > 0)
       assert(spark.table(s"${mhT}_bands").count() > 0)
       assert(spark.table(bnT).count() > 0)
+      // compaction preserves the whole dedup relation: batch 3 plants
+      // one cross-batch dup per index against BOTH earlier batches
+      Recipe.compactRecipeIndexes(spark, fpT, mhT, bnT, buckets = 2)
+      val b3 = Seq(
+        (300L, "A", s"<p>${toks(0)}</p>"),          // exact vs batch 1
+        (301L, "B", s"<p>${toks(104)}</p>"),        // exact vs batch 2
+        (302L, "A", s"<p>${toks(6)} zz</p>"),       // near vs batch 2 (A)
+        (303L, "A", s"<p>${toks(30)} tt</p>"),      // contaminated vs b1 bench
+        (304L, "A", s"<p>${toks(304)}</p>")         // organic
+      ).toDF("doc_id", "source", "text")
+      val (s3, a3) = go(b3)
+      val led3 = a3.select($"doc_id", $"stage").as[(Long, String)]
+        .collect().toMap
+      assert(led3(300L) == "exact_dup" && led3(301L) == "exact_dup")
+      assert(led3(302L) == "near_dup")
+      assert(led3(303L) == "contaminated")
+      assert(s3.select($"doc_id").as[Long].collect().toSet == Set(304L))
     } finally {
       Seq(fpT, s"${mhT}_bands", s"${mhT}_shingles", bnT).foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))

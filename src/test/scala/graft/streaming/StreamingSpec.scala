@@ -560,6 +560,78 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming incremental RECIPE: cross-batch dups die via the " +
+       "appended indexes (one per index-backed stage), within-source " +
+       "policy holds, replay-safe") {
+    def toks(i: Int, n: Int = 40): String =
+      (0 until n).map(j => s"w${i}_$j").mkString(" ")
+    val (fpT, mhT, bnT) =
+      ("graft_sri_fp_spec", "graft_sri_mh_spec", "graft_sri_bn_spec")
+    graft.operators.Recipe.initRecipeIndexes(spark, fpT, mhT, bnT,
+      buckets = 2)
+    try {
+      val src = tmpDir("stream-sri-src")
+      val batches = Seq(
+        Seq((0L, "A", s"<p>${toks(0)}</p>"),
+          (1L, "A", s"<p>${toks(1)}</p>"),
+          (14L, "B", s"<p>${toks(14)}</p>"),
+          (30L, "bench", s"<p>${toks(30)}</p>")),
+        Seq(
+          // exact copy of batch-0 doc 0 under new markup: only the
+          // APPENDED fingerprint index can catch it
+          (100L, "A", s"<div><b>${toks(0)}</b></div>"),
+          // same-source near-copy of batch-0 doc 1: the minhash index
+          (101L, "A", s"<p>${toks(1)} q</p>"),
+          // the same near-copy CROSS-source: must survive
+          (102L, "B", s"<p>${toks(1)} r</p>"),
+          // near-copy of batch-0 BENCHMARK doc: the bench n-gram index
+          (103L, "B", s"<p>${toks(30)} s</p>"),
+          (104L, "B", s"<p>${toks(104)}</p>")))
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        rows.toDF("doc_id", "source", "text").coalesce(1)
+          .write.mode("append").parquet(src)
+        FileStreamReader.stampBatchMtime(src, i, epochBaseSeconds = 100L)
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("text", StringType)))
+      val store = new graft.core.InMemoryHwmStore
+      val survOut = tmpDir("stream-sri-surv")
+      val audOut = tmpDir("stream-sri-aud")
+      def run(ck: String): Unit = StreamRunner.runIncrementalRecipe(
+        FileStreamReader.read(spark, Parquet(), src, schema,
+          maxFilesPerTrigger = Some(1)),
+        "doc_id", "source", "text", benchmarkSource = "bench",
+        fpT, mhT, bnT, ck, store, "sri_ledger",
+        minTokens = 5L, maxTokens = 100L, nearThreshold = 0.85,
+        contaminationThreshold = 0.7, tau = 0.5, budgetDocs = 100L,
+        familySize = 10L, shardBudget = 100L, indexBuckets = 2) {
+        (surv, audit, id) =>
+          surv.withColumn("b", lit(id)).write.mode("append").parquet(survOut)
+          audit.withColumn("b", lit(id)).write.mode("append").parquet(audOut)
+      }
+      run(tmpDir("stream-sri-ck1"))
+      val landed = spark.read.parquet(survOut)
+        .select($"b", $"doc_id").as[(Long, Long)].collect().toSet
+      assert(landed == Set((0L, 0L), (0L, 1L), (0L, 14L),
+        (1L, 102L), (1L, 104L)), s"landed $landed")
+      val ledger = spark.read.parquet(audOut)
+        .select($"doc_id", $"stage").as[(Long, String)].collect().toMap
+      assert(ledger == Map(30L -> "benchmark", 100L -> "exact_dup",
+        101L -> "near_dup", 103L -> "contaminated"), s"ledger $ledger")
+      // forged replay with a fresh checkpoint: the committed-batch
+      // ledger skips everything; sinks and indexes unchanged
+      val fpRows = spark.table(fpT).count()
+      run(tmpDir("stream-sri-ck2"))
+      assert(spark.read.parquet(survOut)
+        .select($"b", $"doc_id").as[(Long, Long)].collect().toSet == landed)
+      assert(spark.table(fpT).count() == fpRows)
+    } finally {
+      Seq(fpT, s"${mhT}_bands", s"${mhT}_shingles", bnT).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("streaming linkage ingest: hand-computed verdicts, in-batch twins " +
        "resolve to the smaller id, non-links grow the reference, replay-safe") {
     // reference entities (blocked on blk); weights: nation (0.95,0.04) ->
