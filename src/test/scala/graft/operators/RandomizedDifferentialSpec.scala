@@ -489,6 +489,148 @@ class RandomizedDifferentialSpec extends SparkSpec {
     assert(foldedSd.toString == wholeSd.toString && wholeSd.nonEmpty)
   }
 
+  test("Recipe.curateIncremental (two batches) == a local model of the " +
+       "incremental chain: history sets evolve exactly as the persisted " +
+       "indexes, splits are family-stable across batches") {
+    val rnd = new scala.util.Random(0x1C8E)
+    val srcs = Seq("s0", "s1", "bench")
+    def mkText(len: Int): String =
+      Seq.fill(len)("u" + rnd.nextInt(400)).mkString(" ")
+    val b1Docs = (0L until 90L).map(i =>
+      (i, srcs(rnd.nextInt(3)), mkText(30 + rnd.nextInt(80))))
+    // batch 2: organic docs + cross-batch plants copied from batch 1
+    val b2Base = (200L until 280L).map(i =>
+      (i, srcs(rnd.nextInt(2)), mkText(30 + rnd.nextInt(80))))
+    def pick(n: Int, from: Seq[(Long, String, String)]) =
+      rnd.shuffle(from).take(n)
+    val exactPlants = pick(10, b1Docs).map { case (i, s, t) =>
+      (1000L + i, s, t) }
+    val nearPlants = pick(8, b1Docs).map { case (i, s, t) =>
+      (2000L + i, s, t + " zz") }
+    val crossPlants = pick(6, b1Docs.filter(_._2 != "bench"))
+      .map { case (i, s, t) =>
+        (3000L + i, if (s == "s0") "s1" else "s0", t + " zz") }
+    val b2Docs = b2Base ++ exactPlants ++ nearPlants ++ crossPlants
+    val (minT, maxT, nearThr, conThr, budget, famSize, shardB) =
+      (35L, 100L, 0.85, 0.7, 500L, 10L, 150L)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+    val (fpT, mhT, bnT) = (s"rd_fp_$tag", s"rd_mh_$tag", s"rd_bn_$tag")
+    Recipe.initRecipeIndexes(spark, fpT, mhT, bnT, buckets = 2)
+    try {
+      def go(docs: Seq[(Long, String, String)]) =
+        Recipe.curateIncremental(docs.toDF("doc_id", "source", "text"),
+          "doc_id", "source", "text", benchmarkSource = "bench",
+          fpT, mhT, bnT, minTokens = minT, maxTokens = maxT,
+          nearThreshold = nearThr, contaminationThreshold = conThr,
+          tau = 0.5, budgetDocs = budget, familySize = famSize,
+          headTokens = 20, tailTokens = 10, shardBudget = shardB,
+          buckets = 2)
+      val (s1, a1) = go(b1Docs)
+      val (s2, a2) = go(b2Docs)
+
+      // ---- the local model, batch by batch ----
+      def ntk(t: String) = t.trim.split("\\s+").length.toLong
+      def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+      def sh3(t: String) =
+        t.trim.split("\\s+").toSeq.sliding(3).map(_.mkString(" ")).toSet
+      def jac(a: Set[String], b: Set[String]): Double = {
+        val i = (a & b).size.toDouble
+        BigDecimal(i / (a.size + b.size - i))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      def knuth(x: Long) = ((x % 2147483648L) * 2654435761L) % 4294967296L
+      def md5sur(salt: String, key: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$salt#$key".getBytes("UTF-8"))
+        java.lang.Long.parseLong(
+          d.map("%02x".format(_)).mkString.take(15), 16) % 1000000000L
+      }
+      // history accumulated across batches, exactly the index policies:
+      // fingerprint <- exact-stage survivors; minhash <- near-stage
+      // survivors (with source); bench ngrams <- benchmark docs
+      var histNorms = Set.empty[String]
+      var histNear = Seq.empty[(Long, String, Set[String])]
+      var histBench = Seq.empty[Set[String]]
+      def localBatch(docs: Seq[(Long, String, String)])
+          : (Set[(Long, String, Long, String, Long, Long)], Map[Long, String]) = {
+        val firstDrop = scala.collection.mutable.Map.empty[Long, String]
+        val qual = docs.filter { case (i, _, t) =>
+          val ok = ntk(t) >= minT && ntk(t) <= maxT
+          if (!ok) firstDrop(i) = "quality"; ok
+        }
+        val keepByNorm = qual.groupBy(d => norm(d._3))
+          .map { case (_, ds) => ds.map(_._1).min }.toSet
+        val exact = qual.filter { d =>
+          val ok = keepByNorm(d._1) && !histNorms.contains(norm(d._3))
+          if (!ok) firstDrop(d._1) = "exact_dup"; ok
+        }
+        val shOf = exact.map(d => d._1 -> sh3(d._3)).toMap
+        val near = exact.filter { d =>
+          val inBatch = exact.exists(e => e._2 == d._2 && e._1 < d._1 &&
+            jac(shOf(e._1), shOf(d._1)) >= nearThr)
+          val vsHist = histNear.exists { case (_, s, sh) =>
+            s == d._2 && jac(sh, shOf(d._1)) >= nearThr }
+          if (inBatch || vsHist) firstDrop(d._1) = "near_dup"
+          !(inBatch || vsHist)
+        }
+        val (benchKept, corpusKept) = near.partition(_._2 == "bench")
+        benchKept.foreach(d => firstDrop(d._1) = "benchmark")
+        val benchShAll = histBench ++ benchKept.map(d => shOf(d._1))
+        val decon = corpusKept.filter { d =>
+          val bad = benchShAll.exists(bs => jac(bs, shOf(d._1)) >= conThr)
+          if (bad) firstDrop(d._1) = "contaminated"; !bad
+        }
+        val cnt = decon.groupBy(_._2).map { case (s, ds) => s -> ds.size }
+        val z = cnt.values.map(n => math.pow(n, 0.5)).sum
+        val thr = cnt.map { case (s, n) => s -> math.floor(math.min(1.0,
+          budget.toDouble * math.pow(n, 0.5) / z / n) * 4294967296.0).toLong }
+        val mixed = decon.filter { d =>
+          val keep = knuth(md5sur("recipemix", d._1.toString)) < thr(d._2)
+          if (!keep) firstDrop(d._1) = "mix_budget"; keep
+        }
+        // batch-stable split: the FAMILY KEY surrogate, not the
+        // component label — identical families agree across batches
+        def splitOf(d: (Long, String, String)): String = {
+          val fam = math.floorDiv(d._1, famSize)
+          val h = knuth(md5sur("recipesplit", s"${d._2}|$fam"))
+          if (h < 3435973836L) "train"
+          else if (h < 3865470566L) "val" else "test"
+        }
+        val kept = mixed.map(d => d._1 -> math.min(ntk(d._3), 30L)).toMap
+        var pre = 0L
+        val shardOf = mixed.sortBy(d => (knuth(d._1), d._1)).map { d =>
+          val sh = pre / shardB; pre += kept(d._1); d._1 -> sh
+        }.toMap
+        // evolve history exactly like the appends
+        histNorms ++= exact.map(d => norm(d._3))
+        histNear ++= near.map(d => (d._1, d._2, shOf(d._1)))
+        histBench ++= benchKept.map(d => shOf(d._1))
+        (mixed.map(d => (d._1, d._2, ntk(d._3), splitOf(d), kept(d._1),
+          shardOf(d._1))).toSet, firstDrop.toMap)
+      }
+      val (exp1, led1) = localBatch(b1Docs)
+      val (exp2, led2) = localBatch(b2Docs)
+      def gotOf(df: org.apache.spark.sql.DataFrame) =
+        df.select($"doc_id", $"source", $"n_tokens", $"split",
+            $"n_tokens_kept", $"shard")
+          .as[(Long, String, Long, String, Long, Long)].collect().toSet
+      assert(gotOf(s1) == exp1,
+        s"b1 diff: extra=${gotOf(s1) -- exp1} missing=${exp1 -- gotOf(s1)}")
+      assert(gotOf(s2) == exp2,
+        s"b2 diff: extra=${gotOf(s2) -- exp2} missing=${exp2 -- gotOf(s2)}")
+      def ledOf(df: org.apache.spark.sql.DataFrame) =
+        df.select($"doc_id", $"stage").as[(Long, String)].collect().toMap
+      assert(ledOf(a1) == led1)
+      assert(ledOf(a2) == led2)
+      // cross-source plants must never die at the within-source stage
+      crossPlants.foreach { case (i, _, _) =>
+        assert(!led2.get(i).contains("near_dup"), s"plant $i") }
+    } finally {
+      Seq(fpT, s"${mhT}_bands", s"${mhT}_shingles", bnT).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("Recipe.curateWithAudit == a local model of the whole 8-stage " +
        "chain on a seeded-random corpus with planted dup/leak rates — " +
        "survivors, shards, splits, and the per-doc first-drop ledger") {
