@@ -336,8 +336,8 @@ object Recipe {
              fingerprintTable: String,
              minhashTable: String,
              benchNgramTable: String,
-             semanticEval: Option[DataFrame] = None,
              batchEmb: Option[DataFrame] = None,
+             semanticEval: Option[DataFrame] = None,
              semanticVecCol: String = "embedding",
              semanticK: Int = 8,
              semanticMinCosine: Double = 0.9,
@@ -356,7 +356,7 @@ object Recipe {
              buckets: Int = 8): (DataFrame, DataFrame) = {
     val (survivors, audit, append) = curateIncrementalStaged(batch, idCol,
       sourceCol, textCol, benchmarkSource, fingerprintTable, minhashTable,
-      benchNgramTable, semanticEval, batchEmb, semanticVecCol, semanticK,
+      benchNgramTable, batchEmb, semanticEval, semanticVecCol, semanticK,
       semanticMinCosine, semanticMinMargin, minTokens, maxTokens,
       nearThreshold, contaminationThreshold, tau, budgetDocs, familySize,
       splits, splitSalt, headTokens, tailTokens, shardBudget, buckets)
@@ -382,8 +382,8 @@ object Recipe {
              fingerprintTable: String,
              minhashTable: String,
              benchNgramTable: String,
-             semanticEval: Option[DataFrame] = None,
              batchEmb: Option[DataFrame] = None,
+             semanticEval: Option[DataFrame] = None,
              semanticVecCol: String = "embedding",
              semanticK: Int = 8,
              semanticMinCosine: Double = 0.9,
