@@ -2984,8 +2984,12 @@ object SparkEntry {
       // shortlist scales with the corpus (~10%): on random data the
       // projected ranking's noise floor sits near the true neighbor
       // gaps, so a fixed shortlist that holds at sf0.01 misses at sf0.1;
-      // 10% still removes 90% of the exact compares
-      val shortlist = (emb.count() / 10L).toInt.max(150)
+      // 10% still removes 90% of the exact compares. Floor 250, not 150:
+      // sf0.001's 500 near-random vectors (different draw than sf0.01's)
+      // put 3 of query 6's true top-5 below projected rank 150 — the
+      // recall bar needs half the corpus shortlisted at the tiny SFs,
+      // which is still a real cut and exactly why the shortlist SCALES
+      val shortlist = (emb.count() / 10L).toInt.max(250)
       val rp = operators.Similarity.projectedBruteForceTopK(
         emb, q, "vec_id", "embedding", 5, outDim = 32, shortlist = shortlist)
       val brute = operators.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
