@@ -991,7 +991,23 @@ object Similarity {
           .filter(col("pr") <= nProbe)
           .select(col("id"), col("v"), col("cid"))
       }
-    val a = cells.select(col("cid"), col("id"), col("v"))
+    // nLists == 1 constant-folds the cid equi-key away and the planner
+    // emits a BroadcastNestedLoopJoin whose STREAM side is the raw scan
+    // — one input split at gate scale, so the whole O(n²) scoring ran in
+    // ONE task while every other core idled (guide §2.5 input skew / §3
+    // exploding join; measured 4.1 s single-task at 2000 vectors).
+    // Hash-repartitioning the stream side by id spreads the quadratic
+    // work across the session's shuffle partitions (scale-adaptive: the
+    // conf, not a constant) — with an EXPLICIT partition count, because
+    // AQE's byte-based coalescing sees a sub-MB exchange and would fold
+    // it back to one partition, blind to the O(n²) join output behind
+    // it. The pair SET is unchanged. Real multi-list builds keep their
+    // equi-join shape and need no spread.
+    val shufflePartitions =
+      corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val a = (if (nLists == 1) cells.repartition(shufflePartitions, col("id"))
+             else cells)
+      .select(col("cid"), col("id"), col("v"))
     val b = cells.select(col("cid"), col("id").as("nb"), col("v").as("nv"))
     // cosine is symmetric: score each unordered pair ONCE (id < nb) and
     // mirror it — half the fused-cosine work and half the rows into the
