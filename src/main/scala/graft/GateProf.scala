@@ -31,7 +31,10 @@ object GateProf {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
-    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // (jobId, startMs, endMs, desc) — kept until the run prints, so the
+    // report can also show DRIVER GAPS: wall time where no job ran at
+    // all (plan/analysis/metastore/commit work between actions)
+    val ended = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val desc = Option(js.properties)
@@ -43,22 +46,38 @@ object GateProf {
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val (t0, desc) = starts.getOrDefault(je.jobId, (je.time, "?"))
-        lines.add(f"    job ${je.jobId}%4d  ${(je.time - t0) / 1000.0}%7.3f s  $desc")
+        ended.add((je.jobId, t0, je.time, desc))
       }
     })
     val names =
       if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       (1 to runs).foreach { r =>
-        lines.clear()
+        ended.clear()
+        val w0 = System.currentTimeMillis()
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
+        val w1 = System.currentTimeMillis()
         // drain the async listener bus before printing (private API —
         // a short sleep is enough for a profiler)
         Thread.sleep(300)
         println(f"==== $name run $r: $sec%.3f s ($n rows), jobs: ====")
-        lines.forEach(l => println(l))
+        val jobs = {
+          val b = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, String)]
+          ended.forEach(j => b += j)
+          b.sortBy(_._2).toSeq
+        }
+        var cursor = w0
+        jobs.foreach { case (id, s0, s1, desc) =>
+          val gap = s0 - cursor
+          if (gap > 80)
+            println(f"    --- driver gap ${gap / 1000.0}%7.3f s (before job $id)")
+          println(f"    job $id%4d  +${(s0 - w0) / 1000.0}%7.3f  ${(s1 - s0) / 1000.0}%7.3f s  $desc")
+          cursor = math.max(cursor, s1)
+        }
+        if (w1 - cursor > 80)
+          println(f"    --- driver gap ${(w1 - cursor) / 1000.0}%7.3f s (after last job)")
       }
     }
     spark.stop()

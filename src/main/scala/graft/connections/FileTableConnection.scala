@@ -36,9 +36,28 @@ class FileTableConnection(val spark: SparkSession,
     this
   }
 
+  /** Inferred schema per table path, cached for this connection's
+    * lifetime: every schema-less `load` pays a footer-read/inference
+    * pass (for parquet, a real Spark job even on one file), and a batch
+    * strategy constructs one frame per WINDOW through the same
+    * connection — 31 windows cost 31 identical inference jobs before
+    * this cache (measured on the 90-day batch-union gate). Invalidated
+    * by [[writeDfToTarget]] for the written table, so a replace-with-
+    * different-schema through THIS connection is seen; out-of-band
+    * writes to the same path need a fresh connection (the same contract
+    * as any metadata-caching catalog). */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
+
   private def load(source: String, dfSchema: Option[StructType]): DataFrame = {
-    val r = spark.read.format(format)
-    dfSchema.fold(r)(r.schema).load(tablePath(source))
+    val path = tablePath(source)
+    dfSchema.orElse(schemaCache.get(path)) match {
+      case Some(st) => spark.read.format(format).schema(st).load(path)
+      case None =>
+        val df = spark.read.format(format).load(path)
+        schemaCache.put(path, df.schema)
+        df
+    }
   }
 
   def readSourceAsDf(source: String, columns: Seq[String], where: Seq[String],
@@ -68,6 +87,7 @@ class FileTableConnection(val spark: SparkSession,
       case IfExists.Ignore => "append"
     }
     df.write.format(format).options(options).mode(mode).save(path)
+    schemaCache.remove(path) // the write may have changed the table's schema
   }
 
   def getDfSchema(source: String, columns: Seq[String]): StructType = {

@@ -747,7 +747,12 @@ object Corpus {
                           topM: Int = 200): DataFrame = {
     require(topM >= 1, s"topM must be >= 1, got $topM")
     import org.apache.spark.sql.expressions.Window
-    df.select(col(labelCol), normStream(col(textCol)).as("__s"))
+    // normalize + trigram-explode + partial count are map-side on the
+    // scan: widen spreads a narrow input across cores (guide §2.5),
+    // no-op when the scan is already parallel
+    graft.util.SparkUtils.widen(
+        df.select(col(labelCol), col(textCol).as("__raw")))
+      .select(col(labelCol), normStream(col("__raw")).as("__s"))
       .select(col(labelCol), explode(trigramsOf(col("__s"))).as("gram"))
       .groupBy(col(labelCol), col("gram")).agg(count(lit(1)).as("__c"))
       .withColumn("__rn", row_number().over(
@@ -772,8 +777,9 @@ object Corpus {
                                 textCol: String,
                                 profiles: DataFrame,
                                 labelCol: String = "lang"): DataFrame = {
-    val grams = df.select(col(idCol).as("__id"),
-        normStream(col(textCol)).as("__s"))
+    val grams = graft.util.SparkUtils.widen(
+        df.select(col(idCol).as("__id"), col(textCol).as("__raw")))
+      .select(col("__id"), normStream(col("__raw")).as("__s"))
       .select(col("__id"), explode(trigramsOf(col("__s"))).as("gram"))
     val prof = profiles.select(col(labelCol).as("__lbl"), col("gram"))
     val best = grams.join(broadcast(prof), Seq("gram"))
@@ -922,9 +928,13 @@ object Corpus {
   def fastTextStyleScore(df: DataFrame, idCol: String, textCol: String,
                          vocab: DataFrame, bias: Double = 0.0,
                          scale: Double = 1.0): DataFrame = {
-    val toks = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("__id"),
-        explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+    // tokenize + broadcast-join + partial agg are all map-side: on a
+    // narrow scan they serialize into one task (guide §2.5) — widen
+    // spreads the docs first, no-op when the input is already parallel
+    val toks = graft.util.SparkUtils.widen(df.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("__id"), col(textCol).as("__txt")))
+      .select(col("__id"),
+        explode(filter(split(lower(col("__txt")), "[^a-z]+"),
           t => t =!= "")).as("__t"))
     val v = vocab.select(col("word").as("__t"), col("weight").as("__w"))
     val scored = toks.join(broadcast(v), Seq("__t"), "left")

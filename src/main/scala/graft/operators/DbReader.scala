@@ -39,6 +39,21 @@ final case class DbReader(connection: DbConnection,
                           dfSchema: Option[StructType] = None,
                           hwm: Option[HwmColumn] = None) {
 
+  /** The detected HWM template, probed ONCE per reader instance: it is a
+    * pure function of (source, expression, source schema), and a batch
+    * strategy calls `run()` once per WINDOW — re-probing the schema each
+    * time cost one metadata round trip per window (a LIMIT-0 query on
+    * JDBC sources, a footer-read job on file sources; measured 27 extra
+    * Spark jobs on the 90-day batch-union gate). A mid-loop schema change
+    * would have broken the already-initialized window math anyway, so
+    * caching is semantics-preserving. */
+  @transient private lazy val hwmTemplate: graft.core.Hwm = {
+    val col = hwm.get
+    connection.dialect.detectHwmClass(
+      col.qualifiedName(source), source, col.expression,
+      connection.getDfSchema(source, Seq(col.expression)).fields.head)
+  }
+
   def run(): DataFrame =
     graft.util.SparkUtils.withJobDescription(connection.spark,
       s"${connection.getClass.getSimpleName} -> DbReader.run($source)") {
@@ -86,10 +101,7 @@ final case class DbReader(connection: DbConnection,
     }
     graft.hooks.GraftListeners.fireBeforeRead(source)
     val col = hwm.get
-    val template = connection.dialect.detectHwmClass(
-      col.qualifiedName(source), source, col.expression,
-      connection.getDfSchema(source, Seq(col.expression)).fields.head)
-    val bound = inc.fetchHwm(template)
+    val bound = inc.fetchHwm(hwmTemplate)
     val window = Window(col.expression, startFrom = inc.startEdge)
     val obs = Observation(s"graft_hwm_${source}_${col.expression}")
     val df = graft.hooks.GraftListeners
@@ -125,11 +137,8 @@ final case class DbReader(connection: DbConnection,
   def hasData: Boolean = {
     val strategy = checkStrategy()
     val window = strategy.map { s =>
-      val col = hwm.get
-      s.fetchHwm(connection.dialect.detectHwmClass(
-        col.qualifiedName(source), source, col.expression,
-        connection.getDfSchema(source, Seq(col.expression)).fields.head))
-      Window(col.expression, startFrom = s.startEdge)
+      s.fetchHwm(hwmTemplate)
+      Window(hwm.get.expression, startFrom = s.startEdge)
     }
     read(window, Some(1)).take(1).nonEmpty
   }
@@ -164,10 +173,7 @@ final case class DbReader(connection: DbConnection,
       strategyOpt: Option[HwmStrategy]): (Option[Window], Option[Int]) = {
     val strategy = strategyOpt.getOrElse(return (None, None))
     val col = hwm.get
-    val template = connection.dialect.detectHwmClass(
-      col.qualifiedName(source), source, col.expression,
-      connection.getDfSchema(source, Seq(col.expression)).fields.head)
-    val bound = strategy.fetchHwm(template)
+    val bound = strategy.fetchHwm(hwmTemplate)
     val expr = col.expression
 
     def align(v: Any): Any = bound.withValue(v).valueOpt.get

@@ -49,7 +49,14 @@ object Profiling {
         r(min(col(c))).as(s"__min_$c"),
         r(max(col(c))).as(s"__max_$c"))
     }
-    val row: Row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    // k exact countDistincts in one agg plan as an EXPAND (input ×(k+1)
+    // rows through the partial aggregate) — on a narrow scan (one
+    // parquet file) that whole expansion runs in ONE task (measured
+    // 2.5 s single-task on 5 columns of a 150k-row table while 31 cores
+    // idled; guide §2.5 input skew). widen() spreads the scan first and
+    // is a no-op once the input already carries ≥ parallelism splits.
+    val row: Row = graft.util.SparkUtils.widen(df.select(cols.map(col): _*))
+      .agg(aggs.head, aggs.tail: _*).collect().head
     val n = row.getAs[Long]("__n")
     val out = cols.map { c =>
       (c, n, n - row.getAs[Long](s"__nn_$c"), row.getAs[Long](s"__nd_$c"),

@@ -792,9 +792,26 @@ object Sampling {
                        valueMicroCol: String, reps: Int = 32,
                        independentReps: Boolean = false): DataFrame = {
     require(reps >= 2 && reps <= 1000, s"reps must be in [2,1000], got $reps")
-    val base = df
+    val base0 = df
       .filter(col(groupCol).isNotNull && col(idCol).isNotNull &&
         col(valueMicroCol).isNotNull)
+    // Everything up to the first (group, rep) aggregate — the ×reps
+    // explode, the md5 draws, the CDF walk — is map-side work that runs
+    // inside the SCAN's partitions. A small/unsplittable input (one
+    // parquet file under maxPartitionBytes) therefore serializes reps×
+    // the per-row hash bill into ONE task while every other core idles
+    // (guide §2.5 input skew: "one huge unsplittable file ...
+    // repartition immediately after the read"). Spread the PRE-explode
+    // frame by the deterministic id when the scan's parallelism is
+    // below the session's shuffle partitions: the shuffle moves 1/reps
+    // of the downstream row count, and at real scale (thousands of
+    // input splits) the condition is false and no exchange is added.
+    val shufflePartitions =
+      df.sparkSession.sessionState.conf.numShufflePartitions
+    val base =
+      if (base0.rdd.getNumPartitions < shufflePartitions)
+        base0.repartition(shufflePartitions, col(idCol))
+      else base0
     val withU =
       if (independentReps)
         // one md5 per (row, replicate) — independent draws; the hash is
