@@ -318,6 +318,28 @@ object SparkEntry {
     * invocation works on a fresh COPY of the pristine tree (a local
     * file copy is milliseconds; the PQ training it replaces is
     * seconds). */
+  /** Pristine IVF-PQ index tree for the similarity_topk_ivfpq_index /
+    * _append gates, built once per (JVM, sfDir) — the same input-only
+    * pristine-index contract as [[annIngestCache]] (r13 verdict #4:
+    * deterministic builds whose construction the oracle replays
+    * independently are built once and shared; bench repeats measure the
+    * gate's OWN semantics, not the shared build). The search gate reads
+    * it in place (never mutates); the append gate clones the tree per
+    * invocation (file copy — ms — so the pristine never mutates). */
+  private val ivfpqPristineCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def pristineIvfPq(s: SparkSession, dir: String): String =
+    ivfpqPristineCache.synchronized {
+      ivfpqPristineCache.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_pristine").toString
+        operators.Similarity.buildIvfPqIndex(
+          DbReader(conn(s, dir), "embeddings").run(),
+          "vec_id", "embedding", p, nLists = 8, ks = 32)
+        p
+      })
+    }
+
   private val annIngestCache =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
@@ -3066,10 +3088,12 @@ object SparkEntry {
       // invocation keeps the gate idempotent.
       val emb = DbReader(conn(s, dir), "embeddings").run()
       val q = emb.filter(col("vec_id") < 10)
+      // clone the memoized pristine build (deterministic, oracle-replayed
+      // independently) instead of re-training per run; the append below
+      // mutates only the fresh copy
       val idx = java.nio.file.Files
         .createTempDirectory("graft_ivfpq_app").toString
-      operators.Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", idx,
-        nLists = 8, ks = 32)
+      copyTree(pristineIvfPq(s, dir), idx)
       operators.Similarity.appendToIvfPqIndex(
         q.withColumn("vec_id", col("vec_id") + 10000),
         "vec_id", "embedding", idx)
@@ -3144,10 +3168,9 @@ object SparkEntry {
       // invocation keeps the gate idempotent across warm+timed runs.
       val emb = DbReader(conn(s, dir), "embeddings").run()
       val q = emb.filter(col("vec_id") < 10)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_ivfpq_idx").toString
-      operators.Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", idx,
-        nLists = 8, ks = 32)
+      // the memoized pristine build is read in place: this gate only
+      // SEARCHES (never mutates), and the oracle replays the build
+      val idx = pristineIvfPq(s, dir)
       val ann = operators.Similarity.ivfPqTopKFromIndex(idx, emb, q,
         "vec_id", "embedding", 5, nProbe = 8, shortlist = 100)
       val brute = operators.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)

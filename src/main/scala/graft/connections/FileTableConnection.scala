@@ -36,26 +36,13 @@ class FileTableConnection(val spark: SparkSession,
     this
   }
 
-  /** Inferred schema per table path, cached for this connection's
-    * lifetime: every schema-less `load` pays a footer-read/inference
-    * pass (for parquet, a real Spark job even on one file), and a batch
-    * strategy constructs one frame per WINDOW through the same
-    * connection — 31 windows cost 31 identical inference jobs before
-    * this cache (measured on the 90-day batch-union gate). Invalidated
-    * by [[writeDfToTarget]] for the written table, so a replace-with-
-    * different-schema through THIS connection is seen; out-of-band
-    * writes to the same path need a fresh connection (the same contract
-    * as any metadata-caching catalog). */
-  private val schemaCache =
-    scala.collection.concurrent.TrieMap.empty[String, StructType]
-
   private def load(source: String, dfSchema: Option[StructType]): DataFrame = {
     val path = tablePath(source)
-    dfSchema.orElse(schemaCache.get(path)) match {
+    dfSchema.orElse(FileTableConnection.cachedSchema(spark, path, format)) match {
       case Some(st) => spark.read.format(format).schema(st).load(path)
       case None =>
         val df = spark.read.format(format).load(path)
-        schemaCache.put(path, df.schema)
+        FileTableConnection.putSchema(spark, path, format, df.schema)
         df
     }
   }
@@ -87,7 +74,10 @@ class FileTableConnection(val spark: SparkSession,
       case IfExists.Ignore => "append"
     }
     df.write.format(format).options(options).mode(mode).save(path)
-    schemaCache.remove(path) // the write may have changed the table's schema
+    // the write may have changed the table's schema; drop the cached
+    // entry explicitly (the stat check would also catch it, but not a
+    // same-millisecond rewrite on a filesystem with coarse mtimes)
+    FileTableConnection.invalidate(path, format)
   }
 
   def getDfSchema(source: String, columns: Seq[String]): StructType = {
@@ -102,4 +92,46 @@ class FileTableConnection(val spark: SparkSession,
                      smax(expr(expression)).as("max")).head()
     (Option(row.get(0)), Option(row.get(1)))
   }
+}
+
+object FileTableConnection {
+  /** JVM-wide inferred-schema cache keyed by (path, format), validated
+    * against the file/dir's (modificationTime, length) on EVERY lookup
+    * — a stat (sub-ms) instead of a schema-inference pass (for parquet,
+    * a real Spark job even on one file). Every connection constructed
+    * over the same immutable input re-paid that job once per table per
+    * run before this cache; across a few hundred queries × min-of-N
+    * benchmark runs the inference jobs alone summed to tens of seconds.
+    * A write through ANY connection bumps the mtime (and
+    * [[FileTableConnection.invalidate]] drops the entry explicitly for
+    * same-millisecond rewrites), so stale hits require an out-of-band
+    * writer racing inside the mtime granularity — the standard contract
+    * of a stat-validated metadata cache. */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (Long, Long, StructType)]
+
+  private def statOf(spark: SparkSession, path: String): Option[(Long, Long)] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p)
+      Some((st.getModificationTime, st.getLen))
+    } catch { case _: java.io.IOException => None }
+
+  private[connections] def cachedSchema(spark: SparkSession, path: String,
+                                        format: String): Option[StructType] =
+    for {
+      (mtime, len, schema) <- schemaCache.get((path, format))
+      (m, l) <- statOf(spark, path) if m == mtime && l == len
+    } yield schema
+
+  private[connections] def putSchema(spark: SparkSession, path: String,
+                                     format: String,
+                                     schema: StructType): Unit =
+    statOf(spark, path).foreach { case (m, l) =>
+      schemaCache.put((path, format), (m, l, schema))
+    }
+
+  private[connections] def invalidate(path: String, format: String): Unit =
+    schemaCache.remove((path, format))
 }

@@ -64,8 +64,11 @@ object Drift {
       df.filter(col(valCol).isNotNull)
         .select(col(valCol).cast("double").as("__v"))
         .groupBy(col("__v")).agg(count(lit(1)).as(as))
-    val r = counted(ref, "__nr")
-    val c = counted(cur, "__nc")
+    // materialize the per-distinct-value count frames ONCE: the totals
+    // actions below and the running-sum passes are separate actions, and
+    // each would otherwise re-execute the caller's upstream pipeline
+    val r = counted(ref, "__nr").localCheckpoint()
+    val c = counted(cur, "__nc").localCheckpoint()
     val nR = r.agg(coalesce(sum(col("__nr")), lit(0L))).first.getLong(0)
     val nC = c.agg(coalesce(sum(col("__nc")), lit(0L))).first.getLong(0)
     require(nR > 0 && nC > 0, "ksStatistic needs non-empty slices")
@@ -112,8 +115,10 @@ object Drift {
         .select(floor(col(valCol).cast("double") * lit(1e6))
           .cast("long").as("__vq"))
         .groupBy(col("__vq")).agg(count(lit(1)).as(as))
-    val r = counted(ref, "__nr")
-    val c = counted(cur, "__nc")
+    // same multi-action recompute hazard as ksStatistic: materialize the
+    // small distinct-value count frames before the totals actions
+    val r = counted(ref, "__nr").localCheckpoint()
+    val c = counted(cur, "__nc").localCheckpoint()
     val nR = r.agg(coalesce(sum(col("__nr")), lit(0L))).first.getLong(0)
     val nC = c.agg(coalesce(sum(col("__nc")), lit(0L))).first.getLong(0)
     require(nR > 0 && nC > 0, "wasserstein1d needs non-empty slices")

@@ -177,6 +177,11 @@ object Features {
       .groupBy(col("__v"))
       .agg(sum(col("__p")).as("__pos"),
         (count(lit(1)) - sum(col("__p"))).as("__neg"))
+      // materialize ONCE: the totals action below and the running-sum
+      // pass are separate actions, and without this the caller's whole
+      // scoring pipeline upstream of `df` re-executes for each (the
+      // distinct-score frame is small by construction)
+      .localCheckpoint()
     val tot = counts.agg(coalesce(sum(col("__pos")), lit(0L)),
       coalesce(sum(col("__neg")), lit(0L))).first
     val nPos = tot.getLong(0); val nNeg = tot.getLong(1)
@@ -226,6 +231,8 @@ object Features {
       .groupBy(col("__v"))
       .agg(sum(col("__p")).as("__pos"),
         (count(lit(1)) - sum(col("__p"))).as("__neg"))
+      // materialize ONCE — same multi-action recompute hazard as rocAuc
+      .localCheckpoint()
     val tot = counts.agg(coalesce(sum(col("__pos")), lit(0L)),
       coalesce(sum(col("__neg")), lit(0L))).first
     val nPos = tot.getLong(0); val nNeg = tot.getLong(1)
@@ -416,18 +423,22 @@ object Features {
         floor(col(scoreCol).cast("double") * lit(1000000.0)).cast("long")
           .as("__m"),
         when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
-    val g = base.agg(count(lit(1)).as("n"), sum(col("__y")).as("p"),
-        sum(((col("__m") - lit(1000000L) * col("__y")) *
-          (col("__m") - lit(1000000L) * col("__y"))).cast(dec)).as("sq"))
-      .head()
-    val n = g.getLong(0)
-    require(n >= 1, "brierDecomposition needs at least one scored row")
-    val p = g.getLong(1)
-    val sq = g.getDecimal(2)
-    val perBin = base.groupBy(col("bin"))
+    // ONE pass: the global (n, p, sq) aggregate is the exact integer sum
+    // of the per-bin partials, so folding it driver-side from the
+    // ≤bins-row sidecar removes a second full scan of the caller's
+    // scoring pipeline (previously two separate actions over `base`)
+    val perBinRows = base.groupBy(col("bin"))
       .agg(count(lit(1)).as("nk"), sum(col("__m")).as("sk"),
-        sum(col("__y")).as("pk"))
-      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        sum(col("__y")).as("pk"),
+        sum(((col("__m") - lit(1000000L) * col("__y")) *
+          (col("__m") - lit(1000000L) * col("__y"))).cast(dec)).as("sqk"))
+      .collect()
+    val n = perBinRows.map(_.getLong(1)).sum
+    require(n >= 1, "brierDecomposition needs at least one scored row")
+    val p = perBinRows.map(_.getLong(3)).sum
+    val sq = perBinRows.map(_.getDecimal(4))
+      .foldLeft(new java.math.BigDecimal(0))(_.add(_))
+    val perBin = perBinRows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     // nano-unit bin terms: rel_k = D²/(n_k·1e12·N)·1e9, D = Σm − 1e6·Σy;
     // res_k = E²/(n_k·N³)·1e9, E = Σy·N − P·n_k — D, E exact longs, the
     // float tree is division-by-division left to right in BOTH engines

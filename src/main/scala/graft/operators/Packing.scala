@@ -190,7 +190,7 @@ object Packing {
     val base = df.select(col(idCol).as("__id"),
         col(lenCol).cast("long").as("__l"))
       .filter(col("__l").isNotNull)
-    def waste(order: Seq[org.apache.spark.sql.Column]): (Long, Long, Long) = {
+    def waste(order: Seq[org.apache.spark.sql.Column]): (Long, Long, Long, Long) = {
       val r = Ranking.globalRowNumber(base, order, "__r")
         .withColumn("__b", call_function("div", col("__r") - 1L,
           lit(batchSize.toLong)))
@@ -198,13 +198,16 @@ object Packing {
         .agg(count(lit(1)).as("__n"), max(col("__l")).as("__m"),
           sum(col("__l")).as("__s"))
         .agg(sum(col("__n") * col("__m") - col("__s")).as("w"),
-          sum(col("__s")).as("t"), count(lit(1)).as("nb"))
+          sum(col("__s")).as("t"), count(lit(1)).as("nb"),
+          // doc count folded into the same aggregate: a separate
+          // base.count() action re-scanned the caller's pipeline a
+          // third time for a number this pass already knows
+          sum(col("__n")).as("cnt"))
         .collect().head
-      (r.getLong(0), r.getLong(1), r.getLong(2))
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
-    val (nw, total, nb) = waste(Seq(col("__id")))
-    val (sw, _, _) = waste(Seq(col("__l"), col("__id")))
-    val n = base.count()
+    val (nw, total, nb, n) = waste(Seq(col("__id")))
+    val (sw, _, _, _) = waste(Seq(col("__l"), col("__id")))
     def ratio(w: Long) =
       if (total + w == 0L) 0.0
       else BigDecimal(w.toDouble / (total + w).toDouble)

@@ -91,9 +91,15 @@ object Sessions {
       "repeated stage types are ambiguous — rename or pre-tag them")
     val spark = df.sparkSession
     import spark.implicits._
+    // each stage's frame is materialized before its count: the per-stage
+    // count actions would otherwise re-execute the whole join chain up
+    // to that stage (O(stages²) scans instead of O(stages)); the state
+    // is one (key, first-ts) row per key still in the funnel, shrinking
+    // stage over stage
     var reached = df.filter(col(typeCol) === stages.head)
       .groupBy(col(keyCol).as("__fk"))
       .agg(min(col(tsCol)).as("__ft"))
+      .localCheckpoint()
     val counts = Seq.newBuilder[(Int, String, Long)]
     counts += ((1, stages.head, reached.count()))
     for ((st, i) <- stages.zipWithIndex.drop(1)) {
@@ -103,6 +109,7 @@ object Sessions {
         .filter(col("__ts") >= col("__ft"))
         .groupBy(col("__fk"))
         .agg(min(col("__ts")).as("__ft"))
+        .localCheckpoint()
       counts += ((i + 1, st, reached.count()))
     }
     counts.result().toDF("stage", "event_type", "n_keys")

@@ -1005,6 +1005,8 @@ object Similarity {
     // equi-join shape and need no spread.
     val shufflePartitions =
       corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val basePartitions =
+      if (nLists == 1) c.rdd.getNumPartitions.max(1) else 1
     val a = (if (nLists == 1) cells.repartition(shufflePartitions, col("id"))
              else cells)
       .select(col("cid"), col("id"), col("v"))
@@ -1033,9 +1035,20 @@ object Similarity {
         col("p.cosine").as("cosine"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("cosine").desc, col("nb").asc)
-    pairs.withColumn("rank", row_number().over(w))
+    val out = pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= m)
       .select(col("id"), col("rank"), col("nb").as("neighbor"), col("cosine"))
+    // The spread above parallelizes the O(n²) SCORING stage, but it also
+    // leaves the final n·m-row adjacency spread over shuffle-partitions
+    // many partitions — and the search/insert walks that consume a
+    // (checkpointed) adjacency then pay partitions-many tasks per
+    // expand round on frames of a few thousand rows (measured +1.7 s on
+    // the hnsw insert gate). Compact the SMALL result back to the
+    // input's own parallelism with an explicit (tiny: n·m narrow rows)
+    // exchange — NOT coalesce, which would collapse the ranking window's
+    // stage (the one that ranks all n²/2 scored pairs) into one task.
+    // The multi-list scale path is untouched.
+    if (nLists == 1) out.repartition(basePartitions) else out
   }
 
   /** Beam search over a [[nswGraph]] adjacency — greedy graph descent as

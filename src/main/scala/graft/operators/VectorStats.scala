@@ -402,9 +402,13 @@ object VectorStats {
              b: org.apache.spark.sql.Column) =
       ((a - pmod(a, b)) / b).cast("long")
     val base = df.filter(col(vecCol).isNotNull)
-    val comps = base
-      .select(col(idCol).as("__r"),
-        posexplode(col(vecCol)).as(Seq("__p", "__x")))
+    // widen BEFORE the explode/checkpoint: the d²-cell self-join below
+    // streams O(rows·d²) products out of comps' partitions, and a
+    // narrow scan (one parquet file) would run that whole pass in ONE
+    // task (guide §2.5); no-op when the input is already parallel
+    val comps = graft.util.SparkUtils.widen(
+        base.select(col(idCol).as("__r"), col(vecCol).as("__vec")))
+      .select(col("__r"), posexplode(col("__vec")).as(Seq("__p", "__x")))
       .select(col("__r"), (col("__p") + 1).cast("long").as("__i"),
         floor(col("__x").cast("double") * lit(1e9)).cast("long")
           .as("__v"))
