@@ -23,13 +23,26 @@ object Bucketing {
 
   /** Write `df` as a managed table bucketed (and per-bucket sorted) by
     * `keys`. `buckets` should be sized so one bucket of the LARGER table
-    * in the intended join fits an executor's sort budget. */
+    * in the intended join fits an executor's sort budget.
+    *
+    * The input is hash-repartitioned to `buckets` on the bucket keys
+    * first: `repartition(n, keys)` and the bucket-id expression are the
+    * SAME function (pmod(murmur3(keys), n)), so partition i holds
+    * exactly bucket i's rows. That makes the per-bucket sort+write
+    * parallel across `buckets` tasks instead of serial inside however
+    * many partitions the caller's frame happened to have (a one-file
+    * scan = ONE task sorting and writing every bucket), and it bounds
+    * the file count at exactly one file per bucket per write — without
+    * it every task writes a file per bucket it sees, so an append from
+    * t tasks leaves up to t·`buckets` files for every later scan to
+    * open. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
                     keys: Seq[String],
                     mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(keys.nonEmpty, "bucketing needs at least one key column")
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    df.write
+    df.repartition(buckets, keys.map(df.col): _*)
+      .write
       .mode(mode)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

@@ -540,10 +540,17 @@ object Features {
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .distinct()
-    val kept = items.join(
-      items.groupBy(col("__b")).agg(count(lit(1)).as("__sz"))
-        .filter(col("__sz") <= maxBasketSize).select(col("__b")),
-      Seq("__b"))
+    import org.apache.spark.sql.expressions.Window
+    // basket-size guard as a window over the distinct items, not a
+    // self-join: the join shape evaluated the caller's whole upstream
+    // (fact-dim join + distinct) TWICE — once per join side — and paid
+    // an extra shuffle; the window reuses the distinct's partitioning
+    // (same key, no second exchange) and keeps exactly the same rows
+    val kept = items
+      .withColumn("__sz",
+        count(lit(1)).over(Window.partitionBy(col("__b"))))
+      .filter(col("__sz") <= maxBasketSize)
+      .drop("__sz")
       .localCheckpoint() // reused three times below; cut the lineage
     val nB = kept.select(col("__b")).distinct().count()
     val itemCnt = kept.groupBy(col("__i")).agg(count(lit(1)).as("__c"))

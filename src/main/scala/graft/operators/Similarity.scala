@@ -1126,6 +1126,20 @@ object Similarity {
       .localCheckpoint()
   }
 
+  /** [[symmetrized]] for a layered adjacency, all levels in ONE
+    * materialized pass: the level is part of the distinct key, so
+    * filtering the result on `level === l` yields exactly the rows
+    * `symmetrized(adj.filter(level === l))` would — one checkpoint
+    * action instead of one per layer. */
+  private def symmetrizedByLevel(adj: DataFrame): DataFrame = {
+    val adjOut = adj.select(col("level"), col("id"), col("neighbor"))
+    adjOut
+      .unionByName(adjOut.select(col("level"),
+        col("neighbor").as("id"), col("id").as("neighbor")))
+      .distinct()
+      .localCheckpoint()
+  }
+
   /** `rounds` expand-score-prune iterations from an already-scored beam:
     * frontier = beam ∪ neighbors-of-beam (one equi-join on the
     * symmetrized adjacency), dedup, score, keep per-query top-`beam`.
@@ -1253,10 +1267,14 @@ object Similarity {
       entries >= 1 && maxLevel >= 1)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val adjAll = adj.select(col("level"), col("id"), col("neighbor"))
-      .localCheckpoint()
-    def layer(l: Int): DataFrame =
-      symmetrized(adjAll.filter(col("level") === l))
+    // symmetrize ALL layers in one materialized pass (level rides along
+    // in the distinct key): the per-layer shape paid one checkpoint
+    // action per layer — maxLevel+2 actions per search — for identical
+    // rows, since union+distinct commutes with the level filter. The
+    // walk's adjacency join ignores the extra level column.
+    val symAll = symmetrizedByLevel(
+      adj.select(col("level"), col("id"), col("neighbor")))
+    def layer(l: Int): DataFrame = symAll.filter(col("level") === l)
     val entTop = hnswEntries(c, maxLevel, entries)
     var beamDf = topBeam(scoreIds(
       q.select(col("query_id")).crossJoin(broadcast(entTop)), c, q), beam)
@@ -1307,10 +1325,10 @@ object Similarity {
       entries >= 1 && maxLevel >= 1)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val q = batch.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val adjAll = adj.select(col("level"), col("id"), col("neighbor"))
-      .localCheckpoint()
-    def layer(l: Int): DataFrame =
-      symmetrized(adjAll.filter(col("level") === l))
+    // one materialized all-layer symmetrization (see [[hnswSearch]])
+    val symAll = symmetrizedByLevel(
+      adj.select(col("level"), col("id"), col("neighbor")))
+    def layer(l: Int): DataFrame = symAll.filter(col("level") === l)
     val entTop = hnswEntries(c, maxLevel, entries)
     val qLvl = batch.select(col(idCol).as("query_id"),
       hnswLevel(col(idCol), maxLevel).as("__lvl"))
