@@ -6440,8 +6440,13 @@ object SparkEntry {
       // curriculum buckets: corpus-LM NLL deciles via the scale-safe
       // global ntile (no single-partition window), per-decile count +
       // mean score — the training-order artifact a curriculum run reads
+      // materialize the LM scoring once: globalNtile runs a count
+      // action AND the ranking pass — un-materialized, the whole
+      // unigram-NLL pipeline executed twice (the frame is one small
+      // row per doc)
       val scored = operators.Corpus.unigramNll(
         DbReader(conn(s, dir), "documents").run(), "doc_id", "text")
+        .localCheckpoint()
       operators.Ranking.globalNtile(scored, 10,
           Seq(col("nll").asc_nulls_last, col("doc_id")), out = "decile")
         .groupBy(col("decile"))

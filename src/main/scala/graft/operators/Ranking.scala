@@ -39,7 +39,12 @@ object Ranking {
       df.rdd.getNumPartitions)
     val sorted = df.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-    val numbered = sorted.rdd.zipWithIndex().map { case (row, i) =>
+    // persist between zipWithIndex's internal count job and the real
+    // pass — un-persisted, the range sort (and the caller's whole
+    // upstream) ran TWICE per action (the globalRunningSum discipline)
+    val rdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val numbered = rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ (i + 1L))
     }
     spark.createDataFrame(numbered, sorted.schema.add(out, LongType, nullable = false))

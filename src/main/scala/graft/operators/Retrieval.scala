@@ -107,9 +107,15 @@ object Retrieval {
     val toks = docs.select(col(idCol).as("__id"),
       explode(filter(split(lower(col(textCol)), "[^a-z]+"),
         t => t =!= "")).as("__t"))
+    // ONE corpus tokenize: tf feeds three separate actions below (the
+    // candidate sum, df, and N) — un-materialized, each re-ran the
+    // whole explode+count over the corpus. N = docs with >= 1 token is
+    // derivable from tf itself (distinct __id), identical to counting
+    // distinct ids of the raw token stream.
     val tf = toks.groupBy(col("__id"), col("__t"))
       .agg(count(lit(1)).as("__tf"))
-    val stats = toks.select(col("__id")).distinct()
+      .localCheckpoint()
+    val stats = tf.select(col("__id")).distinct()
       .agg(count(lit(1)).as("__n"))
     val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
     val qterms = queries.select(col(qidCol).as("__qid"),

@@ -53,9 +53,16 @@ object TextMetrics {
   def duplicateNgramStats(df: DataFrame, idCol: String, textCol: String,
                           ns: Seq[Int] = Seq(2, 3, 5)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 2), s"n-gram sizes must be >= 2: $ns")
+    // tokenize the corpus ONCE: the per-n branches below are unioned
+    // into one plan, and un-materialized each branch re-ran the whole
+    // scan+tokenize (|ns| passes over the corpus). The materialized
+    // frame holds one token array per doc — the same rows every branch
+    // starts from; at petabyte scale swap for a persisted staging table
+    // (the Recipe stage-boundary discipline).
     val toksDf = df
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) > 0)
+      .localCheckpoint()
     ns.map { n =>
       val docs = toksDf.where(size(col("__toks")) >= n)
       val perDoc = docs.select(col(idCol), size(col("__toks")).as("__ntok"))
