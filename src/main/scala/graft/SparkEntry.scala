@@ -8445,7 +8445,11 @@ object SparkEntry {
     "recipe" -> Seq("pipeline_recipe_e2e", "pipeline_recipe_audit",
       "pipeline_recipe_deliver"),
     "recipe_resume" -> Seq("pipeline_recipe_resume",
-      "pipeline_recipe_resume_audit"))
+      "pipeline_recipe_resume_audit"),
+    // both IVF-PQ gates share one memoized pristine index build (the
+    // append clones it per invocation; the search reads it in place)
+    "ivfpq_pristine" -> Seq("similarity_topk_ivfpq_append",
+      "similarity_topk_ivfpq_index"))
 
   /** gate name -> memo family, inverted from [[memoFamilies]]. */
   lazy val memoFamilyOf: Map[String, String] =

@@ -195,9 +195,13 @@ object Drift {
     // no broadcast hint: full outer joins can't broadcast-build, and the
     // ref frame is |categories| rows — the shuffle is trivial by design
     val r = refCounts.toDF("category", "n_ref")
+    // materialize the ≤|categories|-row count frame ONCE: the nC total
+    // below is a separate action, and un-materialized it re-scanned the
+    // whole slice (per MICRO-BATCH in the streaming monitor)
     val c = cur.filter(col(catCol).isNotNull)
       .select(col(catCol).cast("string").as("category"))
       .groupBy(col("category")).agg(count(lit(1)).as("n_cur"))
+      .localCheckpoint()
     val nC = c.agg(coalesce(sum(col("n_cur")), lit(0L))).first.getLong(0)
     require(nR > 0 && nC > 0, "chiSquareDrift needs non-empty slices")
     val n = (nR + nC).toDouble
@@ -358,12 +362,18 @@ object Drift {
     val c = cur.filter(col(valCol).isNotNull)
       .select(col(valCol).cast("double").as("__v"))
     val nR = refCounts.sum.toDouble
-    val nC = c.count().toDouble
     import spark.implicits._
     val shape = refCounts.zipWithIndex
       .map { case (n, i) => (i + 1, n) }.toSeq.toDF("bucket", "n_ref")
+    // ONE scan of the slice: every non-null value lands in exactly one
+    // bucket, so the slice total is the sum of the materialized ≤k-row
+    // bucket counts — the separate c.count() action re-scanned the
+    // whole slice (per MICRO-BATCH in the streaming monitor)
     val counted = c.select(bucketOf(bounds, k).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_cur"))
+      .localCheckpoint()
+    val nC = counted.agg(coalesce(sum(col("n_cur")), lit(0L)))
+      .first.getLong(0).toDouble
     val p = (col("n_ref").cast("double") + lit(0.5)) / lit(nR + 0.5 * k)
     val q = (coalesce(col("n_cur"), lit(0L)).cast("double") + lit(0.5)) /
       lit(nC + 0.5 * k)

@@ -519,19 +519,36 @@ object Recipe {
     // read. bench is a filter over the checkpointed `near`, so the
     // closure stays valid however late the caller invokes it.
     val append = () => {
-      Dedup.appendToFingerprintIndexTable(exact, "__t", fingerprintTable,
-        buckets)
       // reuse the stage-4 signing — restricted to the near survivors —
       // instead of re-shingling the survivors from raw text
       val keptIds = near.select(col(idCol).as("id"))
-      Dedup.appendToMinHashIndexTablePre(
-        docsSh.select(col("id"), col("n_sh"), col("shingles"))
-          .join(keptIds, Seq("id"), "left_semi"),
-        bandedSh.select(col("id"), col("band"), col("bucket"))
-          .join(keptIds, Seq("id"), "left_semi"),
-        minhashTable, buckets)
-      Dedup.appendToNgramInvertedIndexTable(bench, idCol, "__t",
-        benchNgramTable, shingleSize = 3, buckets = buckets)
+      // the three appends write three INDEPENDENT tables from already-
+      // materialized frames: submit them from a small pool so the next
+      // append's tasks back-fill executors freed by the previous one's
+      // tail (guide-style job overlap) — serial, each small write paid
+      // its full fixed cost end to end. Order among them never
+      // mattered (the sink-before-append discipline orders the GROUP,
+      // not its members); any failure still fails the whole append.
+      val work: Seq[() => Unit] = Seq(
+        () => Dedup.appendToFingerprintIndexTable(exact, "__t",
+          fingerprintTable, buckets),
+        () => Dedup.appendToMinHashIndexTablePre(
+          docsSh.select(col("id"), col("n_sh"), col("shingles"))
+            .join(keptIds, Seq("id"), "left_semi"),
+          bandedSh.select(col("id"), col("band"), col("bucket"))
+            .join(keptIds, Seq("id"), "left_semi"),
+          minhashTable, buckets),
+        () => Dedup.appendToNgramInvertedIndexTable(bench, idCol, "__t",
+          benchNgramTable, shingleSize = 3, buckets = buckets))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.traverse(work)(f =>
+          scala.concurrent.Future(f())),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+      ()
     }
     (survivors, audit, append)
   }

@@ -702,13 +702,16 @@ object Sampling {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = base.count()
     require(n >= 1, "kCenterCoreset needs at least one vector")
-    val firstId = base.agg(min(col("id"))).head().getLong(0)
-    def vecOf(id: Long): Seq[Long] =
-      base.filter(col("id") === id).head().getSeq[Long](1)
+    // each argmax row already CARRIES its vector — read it from the
+    // TakeOrdered result instead of a separate filter-by-id job (the
+    // old vecOf re-scanned the state once per pick, doubling the
+    // per-round job count)
+    val firstRow = base.orderBy(col("id").asc).limit(1).head()
+    val firstId = firstRow.getLong(0)
     val picks = Seq.newBuilder[(Int, Long, Long)]
     picks += ((1, firstId, 0L))
     var state = base
-      .withColumn("best", dist2(col("m"), typedlit(vecOf(firstId))))
+      .withColumn("best", dist2(col("m"), typedlit(firstRow.getSeq[Long](1))))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var lastState = state
     var chosen = Set(firstId)
@@ -722,7 +725,7 @@ object Sampling {
       chosen += pid
       val next = state
         .withColumn("best",
-          least(col("best"), dist2(col("m"), typedlit(vecOf(pid)))))
+          least(col("best"), dist2(col("m"), typedlit(top.getSeq[Long](1)))))
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
       lastState.unpersist()
