@@ -44,7 +44,8 @@ object BenchSummary {
     String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
 
   def stdoutLine(total: Double, mins: Map[String, Double],
-                 failed: List[String], fullOut: String, sfDir: String): String = {
+                 failed: List[String], fullOut: String, sfDir: String,
+                 nMemoized: Int = 0, memoBuildSec: Double = 0.0): String = {
     // Per-query times live ONLY in BENCH_FULL.json: at 130 gates the
     // inline map alone is ~3.9 KB (r9 measured 3987 B total), which
     // pushed the line past the driver's ~4 KB stdout tail and produced
@@ -59,7 +60,13 @@ object BenchSummary {
     val FailedCap = 100
     val failedJson = failed.sorted.take(FailedCap)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":{},"n_queries":${mins.size},"n_failed":${failed.size},"failed":$failedJson,"full":"$fullOut","sf":"$sfDir"}"""
+    // n_memoized / memo_build_sec (r16 verdict #2): `value` now INCLUDES
+    // the memoized families' isolated build costs (measured solo every
+    // forked run, not just COMMIT refreshes) so a memoized ~21 s gate can
+    // never print as 0.1 s in the total the driver sees; the two fields
+    // say how many gates share memos and how much of the total is that
+    // one-time build cost.
+    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":{},"n_queries":${mins.size},"n_failed":${failed.size},"n_memoized":$nMemoized,"memo_build_sec":${num(memoBuildSec, 3)},"failed":$failedJson,"full":"$fullOut","sf":"$sfDir"}"""
   }
 }
 
@@ -216,15 +223,18 @@ object Bench {
       part
     }
     val (entries, failed, total, mins) = mergeParts(parts)
-    // memo_isolated (COMMIT-mode record refresh only): each memoized
-    // family's representative re-measured ALONE in a fresh JVM, so the
-    // record carries the family's true solo cost mechanically — the
-    // in-sequence mins above bill the shared build to whichever member
-    // ran first. One run per family; skipped in the driver's per-round
-    // bench (no COMMIT flag), which keeps its wall-clock budget intact.
-    val memoIsolatedJson =
-      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_COMMIT", "0") != "1") "{}"
-      else SparkEntry.memoFamilies.toSeq.sortBy(_._1).flatMap {
+    // memo_isolated (EVERY forked run since r17; r16 verdict #2): each
+    // memoized family's representative re-measured ALONE in a fresh JVM,
+    // so the record carries the family's true solo cost mechanically —
+    // the in-sequence mins above bill the shared build to whichever
+    // member ran first, and min-of-N then EXCLUDES it (run 1 pays the
+    // build, later runs reuse the memo), so without this block the build
+    // is billed to nobody. The measured costs are SUMMED INTO the total
+    // the driver sees (below), closing the "memoized ~21 s gate prints
+    // as 0.1 s" gap; ~4 solo runs ≈ 2 min of wall-clock, well inside the
+    // driver's budget.
+    val memoIsolated: Seq[(String, String, Double)] =
+      SparkEntry.memoFamilies.toSeq.sortBy(_._1).flatMap {
         case (fam, gates) =>
           val rep = gates.head
           val part = s"$fullOut.memo_$fam"
@@ -250,12 +260,18 @@ object Bench {
           }
           val out = if (!ok) None else try {
             val node = mapper.readTree(new java.io.File(part))
-            val sec = node.get("queries").get(rep).get("min").asDouble()
-            Some(s""""$fam":{"gate":"$rep","isolated_min_sec":${num(sec, 3)}}""")
+            Some((fam, rep,
+              node.get("queries").get(rep).get("min").asDouble()))
           } catch { case _: Exception => None }
           java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(part))
           out
-      }.mkString("{", ",", "}")
+      }
+    val memoIsolatedJson = memoIsolated.map { case (fam, rep, sec) =>
+      s""""$fam":{"gate":"$rep","isolated_min_sec":${num(sec, 3)}}"""
+    }.mkString("{", ",", "}")
+    val memoBuildSec = memoIsolated.map(_._3).sum
+    val nMemoized = SparkEntry.memoFamilyOf.size
+    val grandTotal = total + memoBuildSec
     // experiments (opt-in) run AFTER all children so they see a quiet
     // machine; with the flag off the parent never even builds a session
     val (skewJson, incrJson, acJson, annJson) =
@@ -291,10 +307,12 @@ object Bench {
         } finally spark.stop()
       }
     writeFullMerged(fullOut, sfDir, runsPerQuery, entries, failed, skewJson,
-      incrJson, acJson, annJson, total, chunks.size, memoIsolatedJson)
+      incrJson, acJson, annJson, grandTotal, chunks.size, memoIsolatedJson,
+      memoBuildSec)
     parts.foreach(p =>
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
-    println(BenchSummary.stdoutLine(total, mins, failed, fullOut, sfDir))
+    println(BenchSummary.stdoutLine(grandTotal, mins, failed, fullOut, sfDir,
+      nMemoized, memoBuildSec))
     System.out.flush()
   }
 
@@ -551,7 +569,8 @@ object Bench {
       runsPerQuery: Int, entries: String, failed: List[String],
       skewJson: String, incrJson: String, acJson: String, annJson: String,
       total: Double, chunks: Int,
-      memoIsolatedJson: String = "{}"): Unit = {
+      memoIsolatedJson: String = "{}",
+      memoBuildSec: Double = 0.0): Unit = {
     val note =
       "Forked bench: gates ran in " + chunks + " per-chunk child JVMs " +
       "(fresh SparkSession + JIT/codegen state each) because a single " +
@@ -573,20 +592,27 @@ object Bench {
       "(BENCH_r13 rc 124). 'min' is the minimum over successful " +
       "'runs' within the owning chunk; 'noise' is max/min across " +
       "successful runs; queries whose noise exceeded 2 were rerun " +
-      "adaptively. Compare rounds on 'min'."
+      "adaptively. Compare rounds on 'min'. Since r17 'total_min_sec' " +
+      "INCLUDES 'memo_build_sec' — the summed isolated solo-JVM costs " +
+      "of the memoized families' shared builds (memo_isolated block), " +
+      "measured every forked run — because min-of-N billed those builds " +
+      "to nobody (run 1 pays, later runs reuse, the min excludes it). " +
+      "For apples-to-apples with pre-r17 records subtract memo_build_sec."
     writeFullBody(path, sfDir, runsPerQuery, entries, failed, skewJson,
       incrJson, acJson, annJson, total, note, forkedChunks = chunks,
-      memoIsolatedJson = memoIsolatedJson)
+      memoIsolatedJson = memoIsolatedJson, memoBuildSec = memoBuildSec)
   }
 
   private def writeFullBody(path: String, sfDir: String, runsPerQuery: Int,
       entries: String, failed: List[String], skewJson: String,
       incrJson: String, acJson: String, annJson: String, total: Double,
       note: String, forkedChunks: Int,
-      memoIsolatedJson: String = "{}"): Unit = {
+      memoIsolatedJson: String = "{}",
+      memoBuildSec: Double = 0.0): Unit = {
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"sf":"$sfDir","runs_per_query":$runsPerQuery,"total_min_sec":${num(total, 3)},
+         |"memo_build_sec":${num(memoBuildSec, 3)},
          |"forked_chunks":$forkedChunks,
          |"note":"$note",
          |"failed":$failedJson,

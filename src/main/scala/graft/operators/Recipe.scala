@@ -54,6 +54,18 @@ import org.apache.spark.sql.functions._
   */
 object Recipe {
 
+  /** Label the jobs an eager materialization runs (guide §1.5): stage
+    * attribution in the UI and in GateProf, at zero plan cost. Job
+    * descriptions are thread-local; the previous value is restored so a
+    * caller's own label survives. */
+  private def labeled[T](spark: org.apache.spark.sql.SparkSession,
+                         tag: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val old = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"recipe: $tag")
+    try body finally sc.setJobDescription(old)
+  }
+
   def curate(docs: DataFrame, idCol: String, sourceCol: String,
              textCol: String,
              benchmarkSource: String,
@@ -405,18 +417,21 @@ object Recipe {
     require(batchEmb.isDefined == semanticEval.isDefined,
       "semantic decontamination needs BOTH batch embeddings and an eval set")
 
+    val session = batch.sparkSession
+
     // 1+2. normalize + quality cut (identical to the batch form)
-    val qual = batch
+    val qual = labeled(session, "qual ckpt")(batch
       .withColumn("__t", TextFunctions.stripHtml(col(textCol)))
       .withColumn("n_tokens",
         TextFunctions.tokenCount(col("__t")).cast("long"))
       .filter(col("n_tokens").between(minTokens, maxTokens))
       .select(col(idCol), col(sourceCol), col("__t"), col("n_tokens"))
-      .localCheckpoint()
+      .localCheckpoint())
 
     // 3. exact dedup: in-batch first occurrence + vs-history anti-join
-    val exact = Dedup.exactDedupAgainstIndexTable(qual, idCol, "__t",
-      fingerprintTable).localCheckpoint()
+    val exact = labeled(session, "exact ckpt")(
+      Dedup.exactDedupAgainstIndexTable(qual, idCol, "__t",
+        fingerprintTable).localCheckpoint())
 
     // 4. near dedup WITHIN source, vs history then in-batch. The batch
     // is shingled and MinHash-signed exactly ONCE (the streaming
@@ -424,10 +439,12 @@ object Recipe {
     // in-batch pair pass AND the deferred index append below all reuse
     // these two frames — re-signing from raw text tripled the
     // per-batch cost and let parameters silently diverge.
-    val docsSh = Dedup.shingleDocsOf(exact, idCol, "__t",
-      extraCols = Seq(sourceCol)).localCheckpoint()
-    val bandedSh = Dedup.bandRowsOf(docsSh,
-      partitionCols = Seq(sourceCol)).localCheckpoint()
+    val docsSh = labeled(session, "shingle ckpt")(
+      Dedup.shingleDocsOf(exact, idCol, "__t",
+        extraCols = Seq(sourceCol)).localCheckpoint())
+    val bandedSh = labeled(session, "band ckpt")(
+      Dedup.bandRowsOf(docsSh,
+        partitionCols = Seq(sourceCol)).localCheckpoint())
     val vsHist = Dedup.minhashDedupVsIndexPre(exact, idCol,
       docsSh.select(col("id"), col("n_sh"), col("shingles")),
       bandedSh.select(col("id"), col("band"), col("bucket")),
@@ -435,8 +452,9 @@ object Recipe {
     val inBatchDrop = Dedup.minhashDupPairsPre(docsSh, bandedSh,
         nearThreshold, partitionCols = Seq(sourceCol))
       .select(col("id2").as(idCol)).distinct()
-    val near = vsHist.join(inBatchDrop, Seq(idCol), "left_anti")
-      .localCheckpoint()
+    val near = labeled(session, "near ckpt")(
+      vsHist.join(inBatchDrop, Seq(idCol), "left_anti")
+        .localCheckpoint())
 
     // 5a. verbatim decontamination vs benchmark history ∪ this batch's
     // benchmark docs (checked BEFORE the index append, so the union is
@@ -451,8 +469,9 @@ object Recipe {
           "__t", shingleSize = 3, threshold = contaminationThreshold)
         .select(col("corpus_id").as(idCol)))
       .distinct()
-    val decon1 = corpus.join(contaminated, Seq(idCol), "left_anti")
-      .localCheckpoint()
+    val decon1 = labeled(session, "decon ckpt")(
+      corpus.join(contaminated, Seq(idCol), "left_anti")
+        .localCheckpoint())
 
     // 5b. semantic decontamination vs the fixed eval set (when absent,
     // decon IS the already-materialized decon1 — a second checkpoint of
@@ -463,18 +482,25 @@ object Recipe {
             idCol, semanticVecCol, k = semanticK,
             minCosine = semanticMinCosine, minMargin = semanticMinMargin)
           .select(col("corpus_id").as(idCol)).distinct()
-        decon1.join(flagged, Seq(idCol), "left_anti").localCheckpoint()
+        labeled(session, "semantic ckpt")(
+          decon1.join(flagged, Seq(idCol), "left_anti").localCheckpoint())
       case _ => decon1
     }
 
     // 6. per-batch temperature mix on the salted surrogate (see the
-    // batch form's hash-coupling note)
+    // batch form's hash-coupling note). NOT checkpointed: the mix frame
+    // has exactly one eager consumer (the survivor chain below — the
+    // audit is lazy and rarely evaluated), it reads no index table
+    // (decon, its checkpointed upstream, is the last index-reading
+    // frame), and the mix itself is a groupBy + broadcast join on an
+    // already-bounded frame — a checkpoint here bought one extra job
+    // per micro-batch and nothing else. An audit consumer recomputes
+    // the cheap mix from the decon checkpoint.
     val mixed = Sampling.temperatureSampleBySource(
         decon.withColumn("__mix",
           Sampling.surrogateKey(col(idCol), "recipemix")),
         "__mix", sourceCol, tau = tau, budgetDocs = budgetDocs)
       .drop("__mix")
-      .localCheckpoint()
 
     // 7. batch-stable leak-free split on the family KEY itself
     val famCol = call_function("div",
@@ -490,12 +516,13 @@ object Recipe {
     // 8. pack + shard (per batch)
     val packed = Packing.truncateHeadTail(split, "__t",
       headTokens = headTokens, tailTokens = tailTokens)
-    val survivors = Ranking.shardByCostBudget(packed,
-        Seq(Sampling.knuthHash32(col(idCol)), col(idCol)),
-        "n_tokens_kept", budget = shardBudget)
-      .select(col(idCol), col(sourceCol), col("n_tokens"), col("split"),
-        col("truncated"), col("n_tokens_kept"), col("shard"))
-      .localCheckpoint()
+    val survivors = labeled(session, "pack+shard ckpt")(
+      Ranking.shardByCostBudget(packed,
+          Seq(Sampling.knuthHash32(col(idCol)), col(idCol)),
+          "n_tokens_kept", budget = shardBudget)
+        .select(col(idCol), col(sourceCol), col("n_tokens"), col("split"),
+          col("truncated"), col("n_tokens_kept"), col("shard"))
+        .localCheckpoint())
 
     def ids(f: DataFrame) = f.select(col(idCol), col(sourceCol))
     def drop(from: DataFrame, kept: DataFrame, stage: String) =
@@ -530,16 +557,19 @@ object Recipe {
       // mattered (the sink-before-append discipline orders the GROUP,
       // not its members); any failure still fails the whole append.
       val work: Seq[() => Unit] = Seq(
-        () => Dedup.appendToFingerprintIndexTable(exact, "__t",
-          fingerprintTable, buckets),
-        () => Dedup.appendToMinHashIndexTablePre(
-          docsSh.select(col("id"), col("n_sh"), col("shingles"))
-            .join(keptIds, Seq("id"), "left_semi"),
-          bandedSh.select(col("id"), col("band"), col("bucket"))
-            .join(keptIds, Seq("id"), "left_semi"),
-          minhashTable, buckets),
-        () => Dedup.appendToNgramInvertedIndexTable(bench, idCol, "__t",
-          benchNgramTable, shingleSize = 3, buckets = buckets))
+        () => labeled(session, "append fp")(
+          Dedup.appendToFingerprintIndexTable(exact, "__t",
+            fingerprintTable, buckets)),
+        () => labeled(session, "append minhash")(
+          Dedup.appendToMinHashIndexTablePre(
+            docsSh.select(col("id"), col("n_sh"), col("shingles"))
+              .join(keptIds, Seq("id"), "left_semi"),
+            bandedSh.select(col("id"), col("band"), col("bucket"))
+              .join(keptIds, Seq("id"), "left_semi"),
+            minhashTable, buckets)),
+        () => labeled(session, "append bench ngram")(
+          Dedup.appendToNgramInvertedIndexTable(bench, idCol, "__t",
+            benchNgramTable, shingleSize = 3, buckets = buckets)))
       val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)

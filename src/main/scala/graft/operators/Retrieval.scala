@@ -111,10 +111,14 @@ object Retrieval {
     // candidate sum, df, and N) — un-materialized, each re-ran the
     // whole explode+count over the corpus. N = docs with >= 1 token is
     // derivable from tf itself (distinct __id), identical to counting
-    // distinct ids of the raw token stream.
+    // distinct ids of the raw token stream. persist, not
+    // localCheckpoint, for the corpus-wide tf: MEMORY_AND_DISK keeps
+    // recomputable lineage and spills under pressure instead of
+    // pinning executor-local checkpoint blocks — the honest posture
+    // for a multi-TB corpus.
     val tf = toks.groupBy(col("__id"), col("__t"))
       .agg(count(lit(1)).as("__tf"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = tf.select(col("__id")).distinct()
       .agg(count(lit(1)).as("__n"))
     val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))

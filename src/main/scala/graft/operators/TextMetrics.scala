@@ -55,14 +55,17 @@ object TextMetrics {
     require(ns.nonEmpty && ns.forall(_ >= 2), s"n-gram sizes must be >= 2: $ns")
     // tokenize the corpus ONCE: the per-n branches below are unioned
     // into one plan, and un-materialized each branch re-ran the whole
-    // scan+tokenize (|ns| passes over the corpus). The materialized
-    // frame holds one token array per doc — the same rows every branch
-    // starts from; at petabyte scale swap for a persisted staging table
-    // (the Recipe stage-boundary discipline).
+    // scan+tokenize (|ns| passes over the corpus). persist rather than
+    // localCheckpoint for a corpus-sized frame (one token array per
+    // doc): MEMORY_AND_DISK keeps recomputable lineage and spills to
+    // disk under pressure, where localCheckpoint pins executor-local
+    // blocks and loses the partition on executor death — the wrong
+    // posture at 100 TB. The branches share the one cached compute
+    // inside the single union action either way.
     val toksDf = df
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) > 0)
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ns.map { n =>
       val docs = toksDf.where(size(col("__toks")) >= n)
       val perDoc = docs.select(col(idCol), size(col("__toks")).as("__ntok"))

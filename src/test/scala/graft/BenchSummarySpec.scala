@@ -42,7 +42,8 @@ class BenchSummarySpec extends AnyFunSuite {
     val mins = SparkEntry.queries.keys.map(_ -> 999.999).toMap
     val line = BenchSummary.stdoutLine(999.999 * mins.size, mins,
       failed = mins.keys.toList, fullOut = "BENCH_FULL.json",
-      sfDir = "/root/testdata/sf0.1")
+      sfDir = "/root/testdata/sf0.1",
+      nMemoized = SparkEntry.memoFamilyOf.size, memoBuildSec = 9999.999)
     assert(line.getBytes("UTF-8").length < 3900,
       s"bench stdout line is ${line.getBytes("UTF-8").length} B; the " +
         "failed array has outgrown the tail — cap it to a count")
@@ -50,9 +51,13 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(line.startsWith("""{"metric":"total","value":"""))
     assert(line.contains("\"queries\":{") && line.contains("\"sf\":"))
     assert(line.contains("\"full\":\"BENCH_FULL.json\""))
+    // memo billing is visible on the line (r16 verdict #2)
+    assert(line.contains("\"n_memoized\":") &&
+      line.contains("\"memo_build_sec\":"))
     // and the realistic case (nothing failed) is far under budget
     val quiet = BenchSummary.stdoutLine(105.5, mins, Nil,
-      "BENCH_FULL.json", "/root/testdata/sf0.1")
+      "BENCH_FULL.json", "/root/testdata/sf0.1",
+      nMemoized = 22, memoBuildSec = 78.123)
     assert(quiet.getBytes("UTF-8").length < 400, quiet)
   }
 }
